@@ -1,0 +1,152 @@
+package graft.lwes
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.nio.ByteBuffer
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Journal record framing: 22-byte datagram header + serialized event.
+  *
+  * Header layout (big-endian), matching the reference
+  * DatagramPacketOutputStream.java:30-74:
+  * {{{
+  * uint16 payloadLength | int64 receiptTimeMillis | 4B senderIP (reversed)
+  * | uint16 senderPort | uint16 siteId | uint32 zero-padding
+  * }}}
+  */
+object Journal {
+  val HeaderLength = 22
+
+  final case class Header(payloadLength: Int, receiptTime: Long,
+      senderIp: Array[Byte], senderPort: Int, siteId: Int)
+
+  def isGzip(path: String): Boolean =
+    path.endsWith(".gz") || path.endsWith(".gzip")
+}
+
+/** Streaming journal reader.
+  *
+  * Mirrors reference DatagramPacketInputStream.readEvent
+  * (DatagramPacketInputStream.java:41-87): reads the header, parses the
+  * payload, then injects ReceiptTime/SenderIP/SenderPort/SiteID from
+  * the header as event attributes. Improvements over the reference:
+  *   - `eventNameFilter` rejects foreign events from the name byte alone
+  *     (no attribute parse);
+  *   - `wanted` projects the parse to requested attributes only.
+  */
+final class JournalReader(raw: InputStream,
+    eventNameFilter: String => Boolean = null,
+    wanted: String => Boolean = null) extends AutoCloseable {
+
+  private val in = new BufferedInputStream(raw, 1 << 16)
+  private val headerBuf = new Array[Byte](Journal.HeaderLength)
+  private var payloadBuf = new Array[Byte](1 << 16)
+
+  private def readFully(b: Array[Byte], len: Int): Boolean = {
+    var off = 0
+    while (off < len) {
+      val n = in.read(b, off, len - off)
+      if (n < 0) {
+        if (off == 0) return false
+        throw new EOFException(s"truncated journal record ($off/$len bytes)")
+      }
+      off += n
+    }
+    true
+  }
+
+  /** Next event passing the filters, or None at EOF. */
+  def next(): Option[LwesEvent] = {
+    while (true) {
+      if (!readFully(headerBuf, Journal.HeaderLength)) return None
+      val hb = ByteBuffer.wrap(headerBuf)
+      val len = hb.getShort() & 0xffff
+      val time = hb.getLong()
+      val d = hb.get(); val c = hb.get(); val b = hb.get(); val a = hb.get()
+      val ip = Array(a, b, c, d)
+      val port = hb.getShort() & 0xffff
+      val site = hb.getShort() & 0xffff
+      if (payloadBuf.length < len) payloadBuf = new Array[Byte](len)
+      if (!readFully(payloadBuf, len)) return None
+      val accept = eventNameFilter == null ||
+        eventNameFilter(LwesCodec.eventName(payloadBuf, 0))
+      if (accept) {
+        val ev = LwesCodec.deserialize(payloadBuf, 0, len, wanted)
+        // header-derived attrs overwrite any payload copies, like the
+        // reference (DatagramPacketInputStream.java:75-78)
+        if (wanted == null || wanted(LwesEvent.ReceiptTime))
+          ev.setInt64(LwesEvent.ReceiptTime, time)
+        if (wanted == null || wanted(LwesEvent.SenderIp))
+          ev.setIpAddr(LwesEvent.SenderIp, ip)
+        if (wanted == null || wanted(LwesEvent.SenderPort))
+          ev.setUInt16(LwesEvent.SenderPort, port)
+        if (wanted == null || wanted(LwesEvent.SiteId))
+          ev.setUInt16(LwesEvent.SiteId, site)
+        return Some(ev)
+      }
+      // else: skip and loop — foreign event never parsed
+    }
+    None // unreachable
+  }
+
+  def iterator: Iterator[LwesEvent] = new Iterator[LwesEvent] {
+    private var nextEv: Option[LwesEvent] = JournalReader.this.next()
+    def hasNext: Boolean = nextEv.isDefined
+    def next(): LwesEvent = {
+      val e = nextEv.get; nextEv = JournalReader.this.next(); e
+    }
+  }
+
+  override def close(): Unit = in.close()
+}
+
+object JournalReader {
+  /** Open a local file, transparently un-gzipping by extension. */
+  def open(path: String, eventNameFilter: String => Boolean = null,
+      wanted: String => Boolean = null): JournalReader = {
+    val fis = new java.io.FileInputStream(path)
+    val is: InputStream =
+      if (Journal.isGzip(path)) new GZIPInputStream(fis, 1 << 16) else fis
+    new JournalReader(is, eventNameFilter, wanted)
+  }
+}
+
+/** Streaming journal writer (reference DatagramPacketOutputStream
+  * .writeEvent, DatagramPacketOutputStream.java:83-119): header fields
+  * are carried from the event's ReceiptTime/SenderIP/SenderPort/SiteID
+  * attributes when present, zeros otherwise.
+  */
+final class JournalWriter(raw: OutputStream) extends AutoCloseable {
+  private val out = new BufferedOutputStream(raw, 1 << 16)
+  private val headerBuf = ByteBuffer.allocate(Journal.HeaderLength)
+
+  def write(ev: LwesEvent): Unit = {
+    val payload = LwesCodec.serialize(ev)
+    val time = ev.get(LwesEvent.ReceiptTime).map(_.value.asInstanceOf[Long]).getOrElse(0L)
+    val ip = ev.get(LwesEvent.SenderIp).map(_.value.asInstanceOf[Array[Byte]])
+      .getOrElse(Array[Byte](0, 0, 0, 0))
+    val port = ev.get(LwesEvent.SenderPort).map(_.value.asInstanceOf[Int]).getOrElse(0)
+    val site = ev.get(LwesEvent.SiteId).map(_.value.asInstanceOf[Int]).getOrElse(0)
+    headerBuf.clear()
+    headerBuf.putShort(payload.length.toShort)
+    headerBuf.putLong(time)
+    headerBuf.put(ip(3)).put(ip(2)).put(ip(1)).put(ip(0))
+    headerBuf.putShort(port.toShort)
+    headerBuf.putShort(site.toShort)
+    headerBuf.putInt(0)
+    out.write(headerBuf.array(), 0, Journal.HeaderLength)
+    out.write(payload)
+  }
+
+  override def close(): Unit = { out.flush(); out.close() }
+}
+
+object JournalWriter {
+  def create(path: String): JournalWriter = {
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val fos = new java.io.FileOutputStream(f)
+    val os: OutputStream =
+      if (Journal.isGzip(path)) new GZIPOutputStream(fos, 1 << 16) else fos
+    new JournalWriter(os)
+  }
+}
