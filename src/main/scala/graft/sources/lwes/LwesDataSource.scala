@@ -1,0 +1,314 @@
+package graft.sources.lwes
+
+import java.util
+
+import graft.lwes.{Journal, JournalReader, LwesCodec, LwesEvent}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** `spark.read.format("lwes")` — DataSource V2 for LWES journal files.
+  *
+  * Spark-native re-expression of the reference's Hive integration
+  * (JournalInputFormat + EventSerDe). One input partition per file —
+  * journals are gzip streams and not splittable, the same constraint the
+  * reference enforced (JournalInputFormat.java:58-60); at scale,
+  * parallelism comes from file count (hourly-rotated journals).
+  *
+  * Column pruning is pushed all the way into the byte-level parser
+  * (projected parse), and the `eventName` filter rejects foreign events
+  * from the name bytes alone — both are work the reference did per-row
+  * on fully-parsed events.
+  */
+class LwesDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "lwes"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LwesDataSource.inferSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LwesTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object LwesDataSource {
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq
+      .flatMap(_.stripPrefix("[").stripSuffix("]").split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    (single ++ multi).filter(_.nonEmpty)
+  }
+
+  def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  /** All journal files under the given roots (recursive, skips hidden). */
+  def listFiles(roots: Seq[String], conf: Configuration): Seq[FileStatus] = {
+    val out = mutable.ArrayBuffer[FileStatus]()
+    def walk(p: Path): Unit = {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) {
+        fs.listStatus(p).filterNot(s => isHidden(s.getPath.getName)).foreach(s => walk(s.getPath))
+      } else if (!isHidden(p.getName)) out += st
+    }
+    roots.foreach(r => walk(new Path(r)))
+    out.toSeq
+  }
+
+  private def isHidden(name: String) =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** Path-derived `k=v` partition segments, relative to the given roots. */
+  def partitionValues(file: Path, roots: Seq[String]): Map[String, String] = {
+    val segs = file.toUri.getPath.split('/')
+    segs.iterator.filter(_.contains('=')).map { s =>
+      val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
+    }.toMap
+  }
+
+  def openReader(pathStr: String, conf: Configuration,
+      nameFilter: String => Boolean, wanted: String => Boolean): JournalReader = {
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    val raw = fs.open(p)
+    val in: java.io.InputStream =
+      if (Journal.isGzip(pathStr)) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else raw
+    new JournalReader(in, nameFilter, wanted)
+  }
+
+  /** Sample journals → schema. Header attrs are always present
+    * (the journal layer injects them, DatagramPacketInputStream.java:75-78). */
+  def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = hadoopConf()
+    val roots = paths(options)
+    val files = listFiles(roots, conf)
+    require(files.nonEmpty, s"no LWES journal files under ${roots.mkString(",")}")
+    val maxEvents = options.getInt(LwesOptions.InferMaxEvents, 1000)
+    val maxFiles = options.getInt(LwesOptions.InferMaxFiles, 8)
+    val eventName = Option(options.get(LwesOptions.EventName))
+    val (attrFor, eventFor) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
+
+    val nameFilter: String => Boolean =
+      if (eventName.isDefined) n => n == eventName.get
+      else if (eventFor.nonEmpty) eventFor.values.toSet
+      else null
+
+    // attr -> widened type, preserving first-seen order
+    val seen = mutable.LinkedHashMap[String, DataType]()
+    var n = 0
+    files.take(maxFiles).foreach { f =>
+      if (n < maxEvents) {
+        val r = openReader(f.getPath.toString, conf, nameFilter, null)
+        try {
+          val it = r.iterator
+          while (it.hasNext && n < maxEvents) {
+            val ev = it.next()
+            ev.attrs.foreach { a =>
+              val t = LwesOptions.sparkTypeFor(a.token)
+              seen.updateWith(a.key) {
+                case Some(prev) => Some(LwesOptions.widen(prev, t))
+                case None => Some(t)
+              }
+            }
+            n += 1
+          }
+        } finally r.close()
+      }
+    }
+
+    val fields: Seq[StructField] =
+      if (attrFor.nonEmpty) {
+        // mapped columns only, named per mapping
+        attrFor.toSeq.map { case (col, attr) =>
+          StructField(col, seen.getOrElse(attr, StringType), nullable = true)
+        }
+      } else {
+        seen.toSeq.map { case (k, t) => StructField(k, t, nullable = true) }
+      }
+
+    // path-derived partition columns (A14)
+    val pcols = files.headOption.map(f =>
+      partitionValues(f.getPath, roots).keys.toSeq.sorted).getOrElse(Nil)
+      .filterNot(c => fields.exists(_.name == c))
+      .map(c => StructField(c, StringType, nullable = true))
+
+    StructType(fields ++ pcols)
+  }
+}
+
+class LwesTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String =
+    s"lwes:${LwesDataSource.paths(options).mkString(",")}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new LwesScanBuilder(schema, new CaseInsensitiveStringMap(
+      (options.asScala ++ opts.asScala).asJava))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LwesWriteBuilder(info, options)
+}
+
+class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var readSchema: StructType = fullSchema
+  private var partitionFilters: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit = {
+    // keep full-schema field order & types; required may reorder
+    val keep = required.fieldNames.toSet
+    val pruned = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
+    readSchema = if (pruned.isEmpty) StructType(fullSchema.fields.take(1)) else pruned
+  }
+
+  /** Partition-column equality filters prune whole files; everything is
+    * also left for Spark to re-apply (zero correctness risk). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val pcols = partitionColumns
+    partitionFilters = filters.filter {
+      case EqualTo(a, _) => pcols.contains(a)
+      case In(a, _) => pcols.contains(a)
+      case _ => false
+    }
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = partitionFilters
+
+  private def partitionColumns: Set[String] = {
+    val conf = LwesDataSource.hadoopConf()
+    val roots = LwesDataSource.paths(options)
+    LwesDataSource.listFiles(roots, conf).headOption
+      .map(f => LwesDataSource.partitionValues(f.getPath, roots).keySet)
+      .getOrElse(Set.empty)
+  }
+
+  override def build(): Scan = {
+    val eventName = Option(options.get(LwesOptions.EventName))
+    val (attrFor, eventFor) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
+    val eventNames: Set[String] =
+      eventName.map(Set(_)).getOrElse(eventFor.values.toSet)
+    val conf = LwesDataSource.hadoopConf()
+    val roots = LwesDataSource.paths(options)
+    val pcols = LwesDataSource.listFiles(roots, conf).headOption
+      .map(f => LwesDataSource.partitionValues(f.getPath, roots).keys.toSeq)
+      .getOrElse(Nil).filter(readSchema.fieldNames.contains)
+    new LwesScan(readSchema,
+      LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols),
+      roots, partitionFilters)
+  }
+}
+
+final case class LwesInputPartition(path: String, length: Long,
+    partitionValues: Map[String, String]) extends InputPartition
+
+class LwesScan(schema: StructType, config: LwesReadConfig,
+    roots: Seq[String], partitionFilters: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LwesScan(events=${config.eventNames.mkString("|")}, cols=${schema.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = LwesDataSource.hadoopConf()
+    val files = LwesDataSource.listFiles(roots, conf)
+    files.iterator.map { f =>
+      LwesInputPartition(f.getPath.toString, f.getLen,
+        LwesDataSource.partitionValues(f.getPath, roots))
+    }.filter(p => partitionFilters.forall(matches(p.partitionValues, _)))
+      // biggest files first → better task packing at scale
+      .toArray.sortBy(-_.length).map(p => p: InputPartition)
+  }
+
+  private def matches(pv: Map[String, String], f: Filter): Boolean = f match {
+    case EqualTo(a, v) => pv.get(a).forall(_ == String.valueOf(v))
+    case In(a, vs) => pv.get(a).forall(x => vs.map(String.valueOf).contains(x))
+    case _ => true
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LwesPartitionReaderFactory(config)
+}
+
+class LwesPartitionReaderFactory(config: LwesReadConfig)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new LwesPartitionReader(partition.asInstanceOf[LwesInputPartition], config)
+}
+
+class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig)
+    extends PartitionReader[InternalRow] {
+
+  private val schema = config.schema
+  private val nCols = schema.length
+  private val attrNames: Array[String] =
+    schema.fields.map(f => config.attrOf(f.name))
+  private val requiredEvent: Array[String] =
+    schema.fields.map(f => config.eventFor.getOrElse(f.name, ""))
+  private val partitionIdx: Set[Int] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if config.partitionCols.contains(f.name) => i
+    }.toSet
+
+  private val nameFilter: String => Boolean =
+    if (config.eventNames.isEmpty) null else config.eventNames
+  private val wanted: String => Boolean = {
+    val w = config.wantedAttrs
+    w.contains _
+  }
+
+  private val reader = LwesDataSource.openReader(
+    partition.path, new Configuration(), nameFilter, wanted)
+  private val it = reader.iterator
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val ev = it.next()
+    val row = new GenericInternalRow(nCols)
+    var i = 0
+    while (i < nCols) {
+      if (partitionIdx.contains(i)) {
+        row.update(i, partition.partitionValues.get(schema.fields(i).name)
+          .map(UTF8String.fromString).orNull)
+      } else if (requiredEvent(i).nonEmpty && requiredEvent(i) != ev.name) {
+        row.update(i, null) // column mapped to a different event type
+      } else {
+        val v = ev.get(attrNames(i))
+          .map(a => LwesOptions.toCatalyst(a, schema.fields(i).dataType))
+          .orNull
+        row.update(i, v)
+      }
+      i += 1
+    }
+    current = row
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,189 @@
+package graft.sources.lwes
+
+import graft.lwes.{LwesAttr, LwesEvent, LwesType}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Parsed reader/writer options for the `lwes` format.
+  *
+  * Mirrors the reference SerDe's table properties
+  * (reference EventSerDe.java:80-170, README):
+  *   - `eventName`   ≙ `'lwes.event_name'` — single-event-type journals.
+  *   - `mapping`     ≙ per-column serde properties: comma-separated
+  *     `col:Attr` (rename, EventSerDe.java:131-139) or
+  *     `col:Event::Name::Field` (multi-event journals,
+  *     EventSerDe.java:141-155).
+  *   - `compression` — `gzip` (default) or `none` for written files.
+  *
+  * Deviation from the reference, by design: events whose type matches no
+  * mapping are *skipped* (the reference emitted stale/null rows for them
+  * because it reused its row buffer, EventSerDe.java:199-216).
+  */
+final case class LwesReadConfig(
+    schema: StructType,
+    attrFor: Map[String, String], // column -> attribute
+    eventFor: Map[String, String], // column -> required event type ("" = any)
+    eventNames: Set[String], // accept-set; empty = accept all
+    partitionCols: Seq[String]) // path-derived k=v columns
+  extends Serializable {
+
+  /** Attributes the deserializer must materialize. */
+  def wantedAttrs: Set[String] =
+    schema.fieldNames.filterNot(partitionCols.contains).map(attrOf).toSet
+
+  def attrOf(col: String): String = attrFor.getOrElse(col, col)
+}
+
+object LwesOptions {
+  val EventName = "eventName"
+  val Mapping = "mapping"
+  val Compression = "compression"
+  val InferMaxEvents = "inferMaxEvents"
+  val InferMaxFiles = "inferMaxFiles"
+
+  /** Parse `mapping` option: `col:Attr` / `col:Event::Name::Field`. */
+  def parseMapping(mapping: String): (Map[String, String], Map[String, String]) = {
+    if (mapping == null || mapping.trim.isEmpty) return (Map.empty, Map.empty)
+    val attrFor = Map.newBuilder[String, String]
+    val eventFor = Map.newBuilder[String, String]
+    mapping.split(',').map(_.trim).filter(_.nonEmpty).foreach { entry =>
+      val sep = entry.indexOf(':')
+      require(sep > 0, s"bad mapping entry '$entry' (want col:Attr)")
+      val col = entry.substring(0, sep).trim
+      val target = entry.substring(sep + 1).trim
+      // Event::Name::Field — field is the last ::-segment, event the rest
+      // (same split rule as reference EventSerDe.java:142-155)
+      val lastSep = target.lastIndexOf("::")
+      if (lastSep > 0) {
+        attrFor += col -> target.substring(lastSep + 2)
+        eventFor += col -> target.substring(0, lastSep)
+      } else {
+        attrFor += col -> target
+      }
+    }
+    (attrFor.result(), eventFor.result())
+  }
+
+  // ------------------------------------------------ value conversions
+
+  /** LWES attr value → Catalyst value for the column's Spark type.
+    * Numeric widening is lenient; float/double accept LWES strings for
+    * parity with the reference (EventSerDe.java:270-281). Unconvertible
+    * → null (reference caught exceptions → null, EventSerDe.java:209-212). */
+  def toCatalyst(a: LwesAttr, dt: DataType): Any = {
+    try {
+      dt match {
+        case BooleanType => a.value match {
+          case b: Boolean => b
+          case _ => null
+        }
+        case ShortType => asLong(a).map(_.toShort).orNull
+        case IntegerType => asLong(a).map(_.toInt).orNull
+        case LongType => asLong(a).map(java.lang.Long.valueOf).orNull
+        case FloatType => a.value match {
+          case s: String => java.lang.Float.valueOf(s)
+          case _ => asDouble(a).map(_.toFloat).orNull
+        }
+        case DoubleType => a.value match {
+          case s: String => java.lang.Double.valueOf(s)
+          case _ => asDouble(a).map(java.lang.Double.valueOf).orNull
+        }
+        case StringType => UTF8String.fromString(asString(a))
+        case BinaryType => a.value match {
+          case b: Array[Byte] => b
+          case s: String => s.getBytes("UTF-8")
+          case _ => null
+        }
+        case _ => null
+      }
+    } catch {
+      case _: NumberFormatException => null
+    }
+  }
+
+  private def asLong(a: LwesAttr): Option[Long] = a.value match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Boolean => Some(if (b) 1L else 0L)
+    case s: String => s.toLongOption
+    case _ => None
+  }
+
+  private def asDouble(a: LwesAttr): Option[Double] = a.value match {
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case s: Short => Some(s.toDouble)
+    case s: String => s.toDoubleOption
+    case _ => None
+  }
+
+  def asString(a: LwesAttr): String = a.value match {
+    case b: Array[Byte] => LwesEvent.ipToString(b)
+    case v => v.toString
+  }
+
+  /** Spark value → typed LWES attribute set on `ev` (write path).
+    * Float/double stored as strings, byte upcast to int16 — parity with
+    * reference EventSerDe.java:382-441. Null → attribute unset
+    * (EventSerDe.java:377-380). Header-named attrs get their wire types so
+    * the journal writer can lift them into the record header. */
+  def setAttr(ev: LwesEvent, attr: String, dt: DataType, v: Any): Unit = {
+    if (v == null) return
+    attr match {
+      case LwesEvent.ReceiptTime =>
+        ev.setInt64(attr, numAsLong(v)); return
+      case LwesEvent.SenderPort | LwesEvent.SiteId =>
+        ev.setUInt16(attr, numAsLong(v).toInt); return
+      case LwesEvent.SenderIp =>
+        ev.setIpAddr(attr, LwesEvent.parseIp(v.toString)); return
+      case _ =>
+    }
+    dt match {
+      case BooleanType => ev.setBool(attr, v.asInstanceOf[Boolean])
+      case ByteType => ev.setInt16(attr, v.asInstanceOf[Byte].toShort)
+      case ShortType => ev.setInt16(attr, v.asInstanceOf[Short])
+      case IntegerType => ev.setInt32(attr, v.asInstanceOf[Int])
+      case LongType => ev.setInt64(attr, v.asInstanceOf[Long])
+      case FloatType => ev.setString(attr, v.asInstanceOf[Float].toString)
+      case DoubleType => ev.setString(attr, v.asInstanceOf[Double].toString)
+      case StringType => ev.setString(attr, v.toString)
+      case BinaryType => // opaque payloads ride as ipaddr only if 4B, else skip
+        val b = v.asInstanceOf[Array[Byte]]
+        if (b.length == 4) ev.setIpAddr(attr, b)
+      case other =>
+        throw new IllegalArgumentException(
+          s"LWES cannot carry Spark type $other (reference EventSerDe.java:443-447)")
+    }
+  }
+
+  private def numAsLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case s: UTF8String => s.toString.toLong
+    case s: String => s.toLong
+    case d: Double => d.toLong
+    case _ => throw new IllegalArgumentException(s"not numeric: $v")
+  }
+
+  /** Inference: LWES token → Spark type. */
+  def sparkTypeFor(token: Byte): DataType = token match {
+    case LwesType.Bool => BooleanType
+    case LwesType.Int16 => ShortType
+    case LwesType.UInt16 | LwesType.Int32 => IntegerType
+    case LwesType.UInt32 | LwesType.Int64 | LwesType.UInt64 => LongType
+    case LwesType.Str => StringType
+    case LwesType.IpAddr => StringType
+    case _ => StringType
+  }
+
+  /** Widen two inferred types to a common one. */
+  def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (ShortType, IntegerType) | (IntegerType, ShortType) => IntegerType
+    case (ShortType, LongType) | (LongType, ShortType) => LongType
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case _ => StringType
+  }
+}

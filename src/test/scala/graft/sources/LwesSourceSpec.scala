@@ -1,0 +1,149 @@
+package graft.sources
+
+import graft.lwes.{JournalWriter, LwesEvent}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class LwesSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("lwes-src").toString
+
+  private def writeMixedJournal(dir: String, n: Int, parts: Int = 3): Unit =
+    (0 until parts).foreach { p =>
+      val w = JournalWriter.create(s"$dir/part-$p.gz")
+      (p until n by parts).foreach { i =>
+        val name = if (i % 3 == 0) "Ad::Click" else "Ad::View"
+        w.write(LwesEvent(name)
+          .setInt64("id", i.toLong)
+          .setString("page", s"/p/${i % 10}")
+          .setInt32("score", i)
+          .setBool("bot", i % 7 == 0)
+          .setString("cost", (i * 0.25).toString)
+          .setInt64(LwesEvent.ReceiptTime, 1700000000000L + i)
+          .setIpAddr(LwesEvent.SenderIp, Array(10, 0, 0, (i % 200).toByte))
+          .setUInt16(LwesEvent.SenderPort, 9000)
+          .setUInt16(LwesEvent.SiteId, i % 5))
+      }
+      w.close()
+    }
+
+  test("write via DataFrame then read back round-trips (A3, A10)") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = (0 until 100).map(i => (i.toLong, s"u$i", i * 1.5, i % 2 == 0))
+      .toDF("id", "user", "amount", "flag")
+    df.write.format("lwes").option("eventName", "Tx::Done").mode("append").save(dir)
+
+    val back = spark.read.format("lwes")
+      .schema("id long, user string, amount double, flag boolean").load(dir)
+    assert(back.count() == 100)
+    assert(back.agg(sum("id")).head.getLong(0) == (0 until 100).map(_.toLong).sum)
+    // float/double ride as strings on the wire and parse back (A7)
+    assert(back.agg(round(sum("amount"), 2)).head.getDouble(0) == 7425.0)
+    assert(back.filter($"flag").count() == 50)
+  }
+
+  test("schema inference discovers attrs and header columns (A9)") {
+    val dir = tmp()
+    writeMixedJournal(dir, 300)
+    val df = spark.read.format("lwes").load(dir)
+    val names = df.schema.fieldNames.toSet
+    assert(Set("id", "page", "score", "bot", "cost",
+      "ReceiptTime", "SenderIP", "SenderPort", "SiteID").subsetOf(names))
+    assert(df.schema("id").dataType == LongType)
+    assert(df.schema("bot").dataType == BooleanType)
+    assert(df.schema("SenderIP").dataType == StringType)
+    assert(df.count() == 300)
+  }
+
+  test("eventName option filters to one type (A4)") {
+    val dir = tmp()
+    writeMixedJournal(dir, 300)
+    val clicks = spark.read.format("lwes").option("eventName", "Ad::Click").load(dir)
+    assert(clicks.count() == 100)
+    // ids of clicks are multiples of 3
+    assert(clicks.agg(max(expr("id % 3"))).head.get(0) == 0L)
+  }
+
+  test("mapping renames columns (A5) and header cols are queryable (A8)") {
+    val dir = tmp()
+    writeMixedJournal(dir, 100)
+    val df = spark.read.format("lwes")
+      .option("eventName", "Ad::View")
+      .option("mapping", "event_id:id, site_id:SiteID, sender_ip:SenderIP")
+      .load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("event_id", "site_id", "sender_ip"))
+    assert(df.schema("site_id").dataType == IntegerType)
+    val r = df.agg(countDistinct("site_id"), min("sender_ip")).head
+    assert(r.getLong(0) == 5)
+    assert(r.getString(1) == "10.0.0.1")
+  }
+
+  test("multi-event mapping via Event::Name::Field (A6)") {
+    val dir = tmp()
+    writeMixedJournal(dir, 300)
+    val df = spark.read.format("lwes")
+      .option("mapping",
+        "click_id:Ad::Click::id, view_page:Ad::View::page")
+      .load(dir)
+    // every matching event contributes a row; columns null for other types
+    assert(df.count() == 300)
+    assert(df.filter(col("click_id").isNotNull).count() == 100)
+    assert(df.filter(col("view_page").isNotNull).count() == 200)
+  }
+
+  test("float/double conversion from string attrs (A7)") {
+    val dir = tmp()
+    writeMixedJournal(dir, 100)
+    val df = spark.read.format("lwes")
+      .schema("id long, cost double").option("eventName", "Ad::View").load(dir)
+    val r = df.filter(col("id") === 10).head
+    assert(r.getDouble(1) == 2.5)
+  }
+
+  test("column pruning reaches the scan (A11)") {
+    val dir = tmp()
+    writeMixedJournal(dir, 50)
+    val df = spark.read.format("lwes").load(dir).select("id")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name) == Seq("id"))
+    assert(df.agg(sum("id")).head.getLong(0) == (0 until 50).map(_.toLong).sum)
+  }
+
+  test("partitioned dt= layout yields partition column (A14)") {
+    val dir = tmp()
+    writeMixedJournal(s"$dir/dt=2026-01-01", 60)
+    writeMixedJournal(s"$dir/dt=2026-01-02", 60)
+    val df = spark.read.format("lwes").load(dir)
+    assert(df.schema.fieldNames.contains("dt"))
+    assert(df.count() == 120)
+    assert(df.filter(col("dt") === "2026-01-02").count() == 60)
+    val byDt = df.groupBy("dt").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDt == Map("2026-01-01" -> 60L, "2026-01-02" -> 60L))
+  }
+
+  test("overwrite mode truncates previous journal files (A10)") {
+    import spark.implicits._
+    val dir = tmp()
+    val df1 = (0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+    df1.write.format("lwes").option("eventName", "E").mode("append").save(dir)
+    val df2 = (0 until 5).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+    df2.write.format("lwes").option("eventName", "E").mode("overwrite").save(dir)
+    val back = spark.read.format("lwes").schema("id long, v string").load(dir)
+    assert(back.count() == 5)
+    assert(back.agg(min("v")).head.getString(0) == "b0")
+  }
+}
