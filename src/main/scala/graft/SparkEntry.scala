@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Events, LwesQueries, Pipeline, Relational}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** All query packs: name -> (query fn, Option(oracle SQL)). */
+  private def packs: Map[String, ((SparkSession, String) => DataFrame, String)] =
+    Relational.all ++ Events.all ++ LwesQueries.all ++ Pipeline.withOracle
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.all("q1_pricing")._1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.map { case (k, (fn, _)) => k -> fn } ++ Pipeline.rowsOnly
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Rows-only ops are omitted by design. */
+  def oracleSql: Map[String, String] =
+    packs.map { case (k, (_, sql)) => k -> sql }
 }

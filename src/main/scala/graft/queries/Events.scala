@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics (SURVEY.md §2 B14-B16, B18) over the `events`
+  * table. `ts` is nanos-since-epoch (read as long); all window specs are
+  * keyed by user so no single-partition global sorts exist in any plan.
+  */
+object Events {
+  import Tables.events
+
+  private val SessionGapNs = 1800L * 1000 * 1000 * 1000 // 30 min
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // B14: gap-based sessionization via keyed lag + running flag-sum.
+    "q_sessionize" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1)
+              .otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_s")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .withColumn("events_per_session",
+            round(col("n_events").cast("double") / col("n_sessions"), 4))
+          .orderBy(col("user_id"))
+      },
+      s"""SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events,
+        |  round(count(*)::DOUBLE / sum(new_s), 4) AS events_per_session
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${SessionGapNs}
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |) flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)),
+
+    // B15: funnel — first-touch per stage, ordered-stage counts.
+    "q_funnel" -> ((
+      (s: SparkSession, d: String) => {
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+          .agg(
+            count(col("t_view")).as("n_view"),
+            sum(when(col("t_view") < col("t_click"), 1).otherwise(0)).cast("long").as("n_view_click"),
+            sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1)
+              .otherwise(0)).cast("long").as("n_full_funnel"))
+      },
+      """SELECT count(t_view) AS n_view,
+        |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id) stages""".stripMargin)),
+
+    // B16: tumbling 1-hour windows as engine-portable epoch buckets.
+    "q_event_window" -> ((
+      (s: SparkSession, d: String) => {
+        events(s, d)
+          .withColumn("hour_bucket", expr("ts div 3600000000000"))
+          .groupBy(col("hour_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("hour_bucket"), col("event_type"))
+      },
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY hour_bucket, event_type
+        |ORDER BY hour_bucket, event_type""".stripMargin)),
+
+    // B18 (strings): regex extraction from semi-structured props.
+    "q_props_extract" -> ((
+      (s: SparkSession, d: String) => {
+        events(s, d)
+          .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(round(avg(col("k")), 4).as("avg_k"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type,
+        |  round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 4) AS avg_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LWES format correctness queries (SURVEY.md §2 A3-A10).
+  *
+  * Each query materializes a real journal (the binary wire format) from a
+  * testdata table, reads it back through `format("lwes")`, and aggregates;
+  * the DuckDB oracle computes the same aggregate from the original
+  * parquet. A hash match proves the full serialize → header → gzip →
+  * parse → type-convert pipeline preserves the data.
+  */
+object LwesQueries {
+  import Tables.{events, t}
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  /** events table → journal dir, one event type per event_type value,
+    * header fields derived from the row. */
+  private def eventsJournal(s: SparkSession, d: String, types: Seq[String]): String = {
+    val dir = tmpDir("events")
+    val ev = events(s, d)
+      .withColumn("ReceiptTime", expr("ts div 1000000"))
+      .withColumn("SiteID", (col("user_id") % 5).cast("int"))
+      .select("event_id", "user_id", "event_type", "value", "ReceiptTime", "SiteID")
+    types.foreach { tp =>
+      ev.filter(col("event_type") === tp).drop("event_type")
+        .write.format("lwes").option("eventName", s"Ev::$tp").mode("append").save(dir)
+    }
+    dir
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // A3+A10: full write→read round-trip then aggregate.
+    "lwes_roundtrip_agg" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = tmpDir("rt")
+        events(s, d)
+          .select("event_id", "user_id", "event_type", "value")
+          .write.format("lwes").option("eventName", "App::Event").mode("append").save(dir)
+        s.read.format("lwes")
+          .schema("event_id long, user_id long, event_type string, value double")
+          .option("eventName", "App::Event").load(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A4: eventName pushdown — only the requested type is parsed.
+    "lwes_event_filter" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = eventsJournal(s, d, Seq("click", "view"))
+        s.read.format("lwes")
+          .schema("event_id long, user_id long, value double")
+          .option("eventName", "Ev::click").load(dir)
+          .agg(count(lit(1)).as("n_clicks"),
+            round(sum(col("value")), 2).as("click_value"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      """SELECT count(*) AS n_clicks, round(sum(value), 2) AS click_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_type = 'click'""".stripMargin)),
+
+    // A5: attribute→column renaming via the mapping option.
+    "lwes_col_mapping" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = tmpDir("map")
+        t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+          .write.format("lwes").option("eventName", "Order::Created").mode("append").save(dir)
+        s.read.format("lwes")
+          .schema("priority string, total double, okey long")
+          .option("eventName", "Order::Created")
+          .option("mapping", "priority:o_orderpriority, total:o_totalprice, okey:o_orderkey")
+          .load(dir)
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("total")), 2).as("total_price"),
+            max(col("okey")).as("max_key"))
+          .orderBy(col("priority"))
+      },
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin)),
+
+    // A6: one DataFrame over heterogeneous event types via
+    // Event::Name::Field mappings.
+    "lwes_multi_event" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = eventsJournal(s, d, Seq("click", "view", "purchase"))
+        s.read.format("lwes")
+          .schema("click_user long, view_user long, purchase_value double")
+          .option("mapping",
+            "click_user:Ev::click::user_id, view_user:Ev::view::user_id, " +
+              "purchase_value:Ev::purchase::value")
+          .load(dir)
+          .agg(count(col("click_user")).as("n_click"),
+            count(col("view_user")).as("n_view"),
+            round(sum(col("purchase_value")), 2).as("purchase_total"))
+      },
+      """SELECT
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_total
+        |FROM events WHERE event_type IN ('click', 'view', 'purchase')""".stripMargin)),
+
+    // A8: header-derived columns behave as normal queryable columns.
+    "lwes_header_cols" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = eventsJournal(s, d, Seq("click", "view"))
+        s.read.format("lwes")
+          .schema("event_id long, ReceiptTime long, SiteID int")
+          .load(dir)
+          .groupBy(col("SiteID"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ReceiptTime")).as("first_ms"),
+            max(col("ReceiptTime")).as("last_ms"))
+          .orderBy(col("SiteID"))
+      },
+      """SELECT CAST(user_id % 5 AS INT) AS SiteID, count(*) AS n,
+        |  min(epoch_ns(ts) // 1000000) AS first_ms,
+        |  max(epoch_ns(ts) // 1000000) AS last_ms
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY SiteID ORDER BY SiteID""".stripMargin)),
+
+    // A7: float/double ride the wire as strings (serde parity) and
+    // convert back exactly.
+    "lwes_float_conv" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = tmpDir("fc")
+        t(s, d, "part").select("p_partkey", "p_retailprice", "p_brand")
+          .write.format("lwes").option("eventName", "Part::Priced").mode("append").save(dir)
+        s.read.format("lwes")
+          .schema("p_brand string, p_retailprice double")
+          .option("eventName", "Part::Priced").load(dir)
+          .groupBy(col("p_brand"))
+          .agg(round(sum(col("p_retailprice")), 2).as("total_price"),
+            round(avg(col("p_retailprice")), 4).as("avg_price"))
+          .orderBy(col("p_brand"))
+      },
+      """SELECT p_brand, round(sum(p_retailprice), 2) AS total_price,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+  )
+}
