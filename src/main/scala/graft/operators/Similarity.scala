@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2 C5-C7).
+  *
+  * Vector math is composed from codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) over `array<double>` — no UDFs. The
+  * brute-force path broadcasts the (small) query side so the big side
+  * never shuffles; the LSH path confines candidate generation to
+  * hyperplane-sign buckets, which is the shape that survives 100 TB.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  // --------------------------------------------------------------- C6
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding self). Query side is broadcast; ranking
+    * is a keyed window (never a global sort). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
+
+  // --------------------------------------------------------------- C7
+
+  /** Deterministic pseudo-random hyperplane component: unit-free weight
+    * for (plane p, dim j) derived from xxhash64 — reproducible across
+    * runs and executors. */
+  private def planeWeight(p: Int, j: Column): Column =
+    (xxhash64(concat(lit(s"plane$p#"), j.cast("string"))) % 1000).cast("double") / 1000.0
+
+  /** Sign-bucket id from `nPlanes` random hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x * planeWeight(p, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share a hyperplane-sign bucket; exact
+    * cosine re-ranks within buckets. Recall < 1 by construction — this
+    * is the scale path; [[cosineTopK]] is the exact baseline. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
+      .withColumn("bucket", lshBucket(col("v_c"), nPlanes))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
+      .withColumn("bucket", lshBucket(col("v_q"), nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
+
+  // --------------------------------------------------------------- C5
+
+  /** Embedding near-duplicates: pairs with cosine >= threshold, found
+    * inside LSH buckets (bucket join, not a cross join). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

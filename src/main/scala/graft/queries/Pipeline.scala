@@ -1,13 +1,186 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
-/** Training-data pipeline operators (SURVEY.md §2 C) — filled in as
-  * operators land. Oracle-matched entries in [[withOracle]]; ops whose
-  * semantics aren't SQL-expressible in DuckDB register in [[rowsOnly]]
-  * (driver records a weaker rows-only check for those).
+/** Training-data pipeline operators (SURVEY.md §2 C) as driver-gate
+  * queries. Oracle-matched entries in [[withOracle]]; ops whose
+  * semantics aren't SQL-expressible in DuckDB (signature/LSH internals)
+  * register in [[rowsOnly]] with never-empty outputs.
   */
 object Pipeline {
-  val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map()
-  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map()
+  import Tables.t
+
+  val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // C1: exact dedup (keep smallest doc_id per identical text).
+    "dedup_exact" -> ((
+      (s: SparkSession, d: String) => {
+        Dedup.exact(t(s, d, "documents"), Seq("text"), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT * FROM documents
+        |      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1) deduped
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // C10: token counting (whitespace + BPE-ish regex pieces).
+    "text_tokens" -> ((
+      (s: SparkSession, d: String) => {
+        TextAnalysis.tokenCounts(t(s, d, "documents"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_tokens")).as("total_tokens"),
+            sum(col("n_bpeish")).as("total_bpeish"),
+            round(avg(col("n_tokens")), 4).as("avg_tokens"))
+          .orderBy(col("lang"))
+      },
+      """SELECT lang,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpeish,
+        |  round(avg(len(regexp_split_to_array(lower(trim(text)), '\s+'))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // C9: per-document quality metrics.
+    "text_quality" -> ((
+      (s: SparkSession, d: String) => {
+        TextAnalysis.qualityScore(t(s, d, "documents"))
+          .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+            col("punct_ratio"), col("stopword_ratio"), col("distinct_ratio"),
+            col("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+        |    round(length(text)::DOUBLE /
+        |      greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS avg_word_len,
+        |    round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE /
+        |      greatest(length(text), 1), 4) AS punct_ratio,
+        |    round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+        |      greatest(length(text), 1), 4) AS digit_ratio,
+        |    round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE /
+        |      greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS stopword_ratio,
+        |    round(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))::DOUBLE /
+        |      greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS distinct_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_words, avg_word_len, punct_ratio, stopword_ratio,
+        |  distinct_ratio,
+        |  round(least(1.0, greatest(0.0,
+        |    0.25 * least(n_words / 100.0, 1.0)
+        |    + 0.25 * distinct_ratio
+        |    + 0.25 * (1.0 - punct_ratio)
+        |    + 0.25 * (1.0 - digit_ratio))), 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // C8: language-ID heuristic vs the labeled lang column.
+    "text_langid" -> ((
+      (s: SparkSession, d: String) => {
+        TextAnalysis.langId(t(s, d, "documents"))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted_lang"))
+      },
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|to|is)\b')) AS s_en,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '\b(el|la|los|las|es|y)\b')) AS s_es,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|est|ne)\b')) AS s_fr,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN has_cjk THEN 'zh'
+        |       WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |       WHEN s_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS predicted_lang,
+        |  count(*) AS n
+        |FROM scored
+        |GROUP BY lang, predicted_lang
+        |ORDER BY lang, predicted_lang""".stripMargin)),
+
+    // C6: brute-force cosine top-k ANN baseline.
+    "sim_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qe, e.embedding), 4) AS score
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.qid)
+        |SELECT query_id, rnk, neighbor_id, score
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM scored) ranked
+        |WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin))
+  )
+
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C2: MinHash+LSH near-dup summary (pair count + jaccard stats).
+    "dedup_minhash" -> ((s: SparkSession, d: String) => {
+      Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id",
+          k = 32, bands = 8, w = 3, threshold = 0.3)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 4).as("avg_jaccard"),
+          round(max(col("jaccard")), 4).as("max_jaccard"))
+    }),
+
+    // C3: SimHash near-dup summary.
+    "dedup_simhash" -> ((s: SparkSession, d: String) => {
+      Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 16)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("hamming")), 4).as("avg_hamming"))
+    }),
+
+    // C4: exact n-gram Jaccard over a deterministic candidate set
+    // (consecutive doc ids) — always non-empty.
+    "dedup_ngram" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "text", "doc_id", w = 3)
+        .orderBy(col("id_a"))
+    }),
+
+    // C5: embedding near-dup summary via LSH buckets.
+    "embed_near_dup" -> ((s: SparkSession, d: String) => {
+      Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.8, nPlanes = 8)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("cosine")), 4).as("avg_cosine"))
+    }),
+
+    // C7: LSH-bucketed ANN (scale path of sim_topk).
+    "sim_lsh" -> ((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nPlanes = 8)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // C11: per-document rolling-hash fingerprints.
+    "text_fingerprint" -> ((s: SparkSession, d: String) => {
+      TextAnalysis.fingerprint(t(s, d, "documents"))
+        .select("doc_id", "fp_min", "fp_max", "fp_xor")
+        .orderBy("doc_id")
+    }),
+
+    // C12: multimodal binary columns + stubbed batch decode.
+    "mm_meta" -> ((s: SparkSession, d: String) => {
+      Multimodal.extractFeatures(s,
+          Multimodal.withFakeMedia(t(s, d, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    })
+  )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+  test("exact dedup keeps the row with the smallest tiebreaker") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb"), (5L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, Seq("text"), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated text") {
+    val longBase = (base + " " + base.reverse.toLowerCase.filter(c => c.isLetter || c == ' '))
+      .split(' ').take(30).mkString(" ")
+    val nearDup = longBase + " extra" // trailing edit -> jaccard ~0.8
+    val unrelated = "completely different words about spark catalyst engines and columnar execution plans today"
+    val df = Seq((1L, longBase), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    // 16 bands x 2 rows: detection probability ~1 - (1-0.8^2)^16 > 0.9999
+    val pairs = Dedup.minhashPairs(df, "text", "doc_id",
+      k = 32, bands = 16, w = 3, threshold = 0.3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.5)
+  }
+
+  test("simhash: identical text -> hamming 0; near-dup small; pairs found via buckets") {
+    val df = Seq((1L, base), (2L, base), (3L, base.replace("dog", "cat")))
+      .toDF("doc_id", "text")
+    val sigs = df.select(Dedup.simhash(col("text")).as("sh")).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) < 16)
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 16)
+    assert(pairs.filter(col("id_a") === 1 && col("id_b") === 2)
+      .head.getLong(2) == 0L)
+  }
+
+  test("ngram jaccard: identical=1.0, disjoint=0.0") {
+    val docs = Seq((1L, base), (2L, base), (3L, "x y z w v u t s r q"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(pairs, docs, "text", "doc_id")
+      .orderBy("id_b").collect()
+    assert(out(0).getDouble(2) == 1.0)
+    assert(out(1).getDouble(2) == 0.0)
+  }
+
+  test("cosineTopK ranks a planted identical vector first") {
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val noise = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((0L, v), (1L, v.map(_ * 2)), (2L, noise))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(df, df.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy("rnk").collect()
+    assert(top(0).getLong(2) == 1L) // scaled copy: cosine 1.0
+    assert(top(0).getDouble(3) == 1.0)
+    assert(top(1).getLong(2) == 2L)
+  }
+
+  test("lsh bucket is deterministic and identical vectors collide") {
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val df = Seq((0L, v), (1L, v)).toDF("vec_id", "embedding")
+    val buckets = df.select(Similarity.lshBucket(
+      transform(col("embedding"), x => x.cast("double")), 8)).collect().map(_.getLong(0))
+    assert(buckets(0) == buckets(1))
+  }
+
+  test("langId predicts en for English stopword-rich text") {
+    val df = Seq((1L, "the cat and the dog of the house is to be")).toDF("doc_id", "text")
+    assert(TextAnalysis.langId(df).select("predicted_lang").head.getString(0) == "en")
+  }
+
+  test("tokenCounts: whitespace vs bpe-ish pieces") {
+    val df = Seq((1L, "hello world42 foo-bar!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df).select("n_tokens", "n_bpeish").head
+    assert(r.getLong(0) == 3) // hello | world42 | foo-bar!
+    assert(r.getLong(1) == 7) // hello world 42 foo - bar !
+  }
+
+  test("fingerprint is stable and order-independent across runs") {
+    val df = Seq((1L, base)).toDF("doc_id", "text")
+    val a = TextAnalysis.fingerprint(df).select("fp_min", "fp_max", "fp_xor").head
+    val b = TextAnalysis.fingerprint(df).select("fp_min", "fp_max", "fp_xor").head
+    assert(a == b)
+  }
+
+  test("multimodal: stub decode is deterministic, schema is typed") {
+    val docs = Seq((1L, "some text payload"), (2L, "other bytes"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.withFakeMedia(docs))
+    val rows = feats.orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
+    val again = Multimodal.extractFeatures(spark, Multimodal.withFakeMedia(docs))
+      .orderBy("doc_id").collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+}
