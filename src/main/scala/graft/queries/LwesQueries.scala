@@ -133,6 +133,26 @@ object LwesQueries {
         |FROM events WHERE event_type IN ('click', 'view')
         |GROUP BY SiteID ORDER BY SiteID""".stripMargin)),
 
+    // A12: expression-level parse/serialize of LWES payloads in binary
+    // columns — to_lwes(struct) → from_lwes(bin) round-trip in one plan.
+    "lwes_from_binary" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.functions.LwesExpressions.{from_lwes, to_lwes}
+        events(s, d)
+          .select(to_lwes(struct(col("event_id"), col("user_id"),
+            col("event_type"), col("value")), "App::Event").as("bin"))
+          .select(from_lwes(col("bin"),
+            "event_id long, user_id long, event_type string, value double").as("e"))
+          .groupBy(col("e.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("e.value")), 2).as("total_value"),
+            countDistinct(col("e.user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // A7: float/double ride the wire as strings (serde parity) and
     // convert back exactly.
     "lwes_float_conv" -> ((

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -161,7 +162,8 @@ class LwesTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LwesScanBuilder(schema, new CaseInsensitiveStringMap(
@@ -252,6 +254,51 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LwesPartitionReaderFactory(config)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new LwesMicroBatchStream(config, roots)
+}
+
+/** Streaming journal source (SURVEY.md §2 A13): tails append-only
+  * journal directories. Files are ordered by (modification time, path);
+  * an offset is a count into that order, so each micro-batch reads the
+  * newly arrived files. The per-file reader (with event-name filter and
+  * projected parse) is shared with the batch path.
+  */
+class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String])
+    extends streaming.MicroBatchStream {
+
+  private def orderedFiles(): Seq[LwesInputPartition] = {
+    val conf = LwesDataSource.hadoopConf()
+    LwesDataSource.listFiles(roots, conf)
+      .sortBy(f => (f.getModificationTime, f.getPath.toString))
+      .map(f => LwesInputPartition(f.getPath.toString, f.getLen,
+        LwesDataSource.partitionValues(f.getPath, roots)))
+  }
+
+  override def initialOffset(): streaming.Offset = LwesStreamOffset(0)
+  override def latestOffset(): streaming.Offset =
+    LwesStreamOffset(orderedFiles().size)
+  override def deserializeOffset(json: String): streaming.Offset =
+    LwesStreamOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LwesStreamOffset].fileCount
+    val e = end.asInstanceOf[LwesStreamOffset].fileCount
+    orderedFiles().slice(s, e).map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LwesPartitionReaderFactory(config)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class LwesStreamOffset(fileCount: Int)
+    extends streaming.Offset {
+  override def json(): String = fileCount.toString
 }
 
 class LwesPartitionReaderFactory(config: LwesReadConfig)

@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.lwes.{JournalWriter, LwesEvent}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** A13 streaming journal source + B17 watermarked windowed aggregation. */
+class LwesStreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def writeFile(dir: String, name: String, from: Int, until: Int): Unit = {
+    val w = JournalWriter.create(s"$dir/$name")
+    (from until until).foreach { i =>
+      w.write(LwesEvent("S::E")
+        .setInt64("id", i.toLong)
+        .setInt32("amount", i * 2)
+        .setInt64(LwesEvent.ReceiptTime, 1700000000000L + i * 60000L))
+    }
+    w.close()
+  }
+
+  test("micro-batch stream picks up newly arrived journal files (A13)") {
+    val dir = Files.createTempDirectory("lwes-stream").toString
+    writeFile(dir, "a.gz", 0, 100)
+    val stream = spark.readStream.format("lwes")
+      .schema("id long, amount int").load(dir)
+    val q = stream.writeStream.format("memory")
+      .queryName("lwes_sink").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lwes_sink").count() == 100)
+      writeFile(dir, "b.gz", 100, 150)
+      q.processAllAvailable()
+      assert(spark.table("lwes_sink").count() == 150)
+      assert(spark.table("lwes_sink").agg(sum("id")).head.getLong(0)
+        == (0 until 150).map(_.toLong).sum)
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling-window aggregation over the stream (B17)") {
+    val dir = Files.createTempDirectory("lwes-stream-w").toString
+    writeFile(dir, "a.gz", 0, 120) // 1 event/minute -> 2 hours
+    val stream = spark.readStream.format("lwes")
+      .schema("id long, amount int, ReceiptTime long").load(dir)
+      .withColumn("ts", timestamp_millis(col("ReceiptTime")))
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+    val q = agg.writeStream.format("memory")
+      .queryName("lwes_win").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("lwes_win")
+        .select(col("window.start").cast("long").as("start"), col("n"), col("total"))
+        .orderBy("start").collect()
+      assert(rows.length == 3) // 2h window span starting mid-hour -> 3 buckets
+      assert(rows.map(_.getLong(1)).sum == 120)
+      assert(rows.map(_.getLong(2)).sum == (0 until 120).map(_ * 2L).sum)
+    } finally q.stop()
+  }
+}
