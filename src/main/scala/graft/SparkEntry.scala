@@ -16,7 +16,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.map { case (k, (fn, _)) => k -> fn } ++ Pipeline.rowsOnly
+    packs.map { case (k, (fn, _)) => k -> fn } ++
+      Pipeline.rowsOnly ++ Relational.rowsOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Rows-only ops are omitted by design. */

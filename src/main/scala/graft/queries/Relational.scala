@@ -26,6 +26,19 @@ object Tables {
 object Relational {
   import Tables.t
 
+  /** B13: HLL approximate distinct — engine-specific sketch values, so no
+    * cross-engine oracle (driver records a rows-only check). The exact
+    * counterpart is `q_distinct`. */
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> ((s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }))
+
   /** name -> (query fn, oracle SQL). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
