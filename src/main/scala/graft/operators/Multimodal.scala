@@ -66,4 +66,61 @@ object Multimodal {
         }
       }
   }
+
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+      target_w: Int, target_h: Int, resized: Array[Byte])
+
+  /** Resize plumbing: decode → resample → re-encode per row, batched per
+    * partition. The resample itself is the stubbed codec call — here a
+    * deterministic byte-resample to `targetW*targetH/16` bytes — but the
+    * distributed shape (binary in, binary out, no driver involvement,
+    * no shuffle) is the production one. */
+  def resize(spark: SparkSession, df: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "doc_id"): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    df.select(col(idCol).as("doc_id"), col("media_type"), col("media"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val outLen = math.max(targetW * targetH / 16, 1)
+        rows.map { case (id, mt, bytes) =>
+          // ??? <- real decode+resample+encode; deterministic byte
+          // resample below keeps the pipeline testable
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            out(i) = if (bytes.isEmpty) 0
+              else bytes((i.toLong * bytes.length / outLen).toInt)
+            i += 1
+          }
+          ResizedMedia(id, mt, targetW, targetH, out)
+        }
+      }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: video rows fan out to `n` evenly-spaced frame rows
+    * (explode-shaped; output partitioning inherits the input, so a
+    * downstream per-frame model call is embarrassingly parallel). */
+  def frameSample(spark: SparkSession, df: DataFrame, n: Int,
+      idCol: String = "doc_id"): Dataset[Frame] = {
+    import spark.implicits._
+    df.filter(col("media_type") === "video")
+      .select(col(idCol).as("doc_id"), col("media_type"), col("media"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, mt, bytes) =>
+          val (_, _, nFrames) = MediaCodec.decode(mt, bytes)
+          val take = math.min(n, nFrames)
+          (0 until take).iterator.map { k =>
+            val fi = (k.toLong * nFrames / math.max(take, 1)).toInt
+            // ??? <- real frame decode; deterministic slice stands in
+            val sliceLen = math.max(bytes.length / math.max(nFrames, 1), 1)
+            val start = math.min(fi.toLong * sliceLen, math.max(bytes.length - 1, 0)).toInt
+            val end = math.min(start + sliceLen, bytes.length)
+            Frame(id, fi, java.util.Arrays.copyOfRange(bytes, start, math.max(end, start)))
+          }
+        }
+      }
+  }
 }

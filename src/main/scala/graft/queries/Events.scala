@@ -15,17 +15,13 @@ object Events {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
-    // B14: gap-based sessionization via keyed lag + running flag-sum.
+    // B14: gap-based sessionization (graft.operators.Sessions).
     "q_sessionize" -> ((
       (s: SparkSession, d: String) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        events(s, d)
-          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-          .withColumn("new_s",
-            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1)
-              .otherwise(0))
+        graft.operators.Sessions
+          .sessionize(events(s, d), "user_id", "ts", "event_id", SessionGapNs)
           .groupBy(col("user_id"))
-          .agg(sum(col("new_s")).as("n_sessions"),
+          .agg(max(col("session_id")).cast("long").as("n_sessions"),
             count(lit(1)).as("n_events"))
           .withColumn("events_per_session",
             round(col("n_events").cast("double") / col("n_sessions"), 4))
@@ -45,20 +41,15 @@ object Events {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin)),
 
-    // B15: funnel — first-touch per stage, ordered-stage counts.
+    // B15: funnel — first-touch per stage, ordered-stage counts
+    // (graft.operators.Sessions.funnelCounts).
     "q_funnel" -> ((
       (s: SparkSession, d: String) => {
-        events(s, d)
-          .groupBy(col("user_id"))
-          .agg(
-            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
-            min(when(col("event_type") === "click", col("ts"))).as("t_click"),
-            min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
-          .agg(
-            count(col("t_view")).as("n_view"),
-            sum(when(col("t_view") < col("t_click"), 1).otherwise(0)).cast("long").as("n_view_click"),
-            sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1)
-              .otherwise(0)).cast("long").as("n_full_funnel"))
+        graft.operators.Sessions
+          .funnelCounts(events(s, d), "user_id", "event_type", "ts",
+            Seq("view", "click", "purchase"))
+          .select(col("n_view"), col("n_click").as("n_view_click"),
+            col("n_purchase").as("n_full_funnel"))
       },
       """SELECT count(t_view) AS n_view,
         |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,

@@ -49,7 +49,9 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
     val eventName = Option(options.get(LwesOptions.EventName)).getOrElse("Event")
     val (attrFor, _) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
     val gzip = Option(options.get(LwesOptions.Compression)).forall(_ != "none")
-    new LwesDataWriterFactory(path, schema, eventName, attrFor, gzip)
+    val partitionBy = Option(options.get("partitionBy")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    new LwesDataWriterFactory(path, schema, eventName, attrFor, gzip, partitionBy)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -57,34 +59,51 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
 }
 
 class LwesDataWriterFactory(dir: String, schema: StructType, eventName: String,
-    attrFor: Map[String, String], gzip: Boolean) extends DataWriterFactory {
+    attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LwesDataWriter(dir, schema, eventName, attrFor, gzip, partitionId, taskId)
+    new LwesDataWriter(dir, schema, eventName, attrFor, gzip, partitionBy,
+      partitionId, taskId)
 }
 
+/** One journal per task, or one per (task, partition-value combination)
+  * when `partitionBy` names columns — those route the row into a Hive
+  * style `col=value/` subdirectory (readable back by the A14 partition
+  * handling) and are not written as event attributes. */
 class LwesDataWriter(dir: String, schema: StructType, eventName: String,
-    attrFor: Map[String, String], gzip: Boolean, partitionId: Int, taskId: Long)
+    attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String],
+    partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
   private val ext = if (gzip) "gz" else "journal"
-  private val tmpName = s".part-$partitionId-$taskId-${UUID.randomUUID()}.$ext.tmp"
-  private val finalName = f"part-$partitionId%05d-$taskId.$ext"
   private val conf = new Configuration()
   private val fs = new Path(dir).getFileSystem(conf)
-  private val tmpPath = new Path(dir, tmpName)
-  private val out = {
-    val raw = fs.create(tmpPath, true)
-    new JournalWriter(
-      if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw)
-  }
   private val attrs: Array[String] = schema.fields.map(f => attrFor.getOrElse(f.name, f.name))
+  private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  private val isPartCol: Array[Boolean] =
+    schema.fields.indices.map(i => partIdx.contains(i)).toArray
+
+  // open journals: partition subdir ("" = unpartitioned) -> writer + paths
+  private val open = scala.collection.mutable.LinkedHashMap[String, (JournalWriter, Path, Path)]()
   private var count = 0L
+
+  private def writerFor(subdir: String): JournalWriter =
+    open.getOrElseUpdate(subdir, {
+      val base = if (subdir.isEmpty) new Path(dir) else new Path(dir, subdir)
+      fs.mkdirs(base)
+      val tmp = new Path(base, s".part-$partitionId-$taskId-${UUID.randomUUID()}.$ext.tmp")
+      val dest = new Path(base, f"part-$partitionId%05d-$taskId.$ext")
+      val raw = fs.create(tmp, true)
+      (new JournalWriter(
+        if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw),
+        tmp, dest)
+    })._1
 
   override def write(row: InternalRow): Unit = {
     val ev = LwesEvent(eventName)
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) {
+      if (!isPartCol(i) && !row.isNullAt(i)) {
         val dt = schema.fields(i).dataType
         val v = row.get(i, dt) match {
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
@@ -94,21 +113,29 @@ class LwesDataWriter(dir: String, schema: StructType, eventName: String,
       }
       i += 1
     }
-    out.write(ev)
+    val subdir = partIdx.map { i =>
+      val v = if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+        else row.get(i, schema.fields(i).dataType).toString
+      s"${schema.fields(i).name}=$v"
+    }.mkString("/")
+    writerFor(subdir).write(ev)
     count += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    val dest = new Path(dir, finalName)
-    if (!fs.rename(tmpPath, dest))
-      throw new java.io.IOException(s"rename $tmpPath -> $dest failed")
-    LwesCommitMessage(dest.toString, count)
+    open.values.foreach { case (w, tmp, dest) =>
+      w.close()
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    }
+    LwesCommitMessage(dir, count)
   }
 
   override def abort(): Unit = {
-    try out.close() catch { case _: Throwable => }
-    fs.delete(tmpPath, false)
+    open.values.foreach { case (w, tmp, _) =>
+      try w.close() catch { case _: Throwable => }
+      fs.delete(tmp, false)
+    }
   }
 
   override def close(): Unit = ()

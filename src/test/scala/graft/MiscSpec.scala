@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Multimodal, Sessions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Extensions registration, partitioned journal writes, multimodal
+  * resize/frame-sample, session/funnel operators. */
+class MiscSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("GraftExtensions injects lwes SQL functions via spark.sql.extensions") {
+    val r = spark.sql(
+      """SELECT lwes_event_name(bin) AS en,
+        |       from_lwes(bin, 'id long').id AS id
+        |FROM (SELECT to_lwes(named_struct('id', 42L), 'Ext::Reg') AS bin)""".stripMargin).head
+    assert(r.getString(0) == "Ext::Reg" && r.getLong(1) == 42L)
+  }
+
+  test("partitionBy write produces dt= layout readable with partition pruning") {
+    val dir = Files.createTempDirectory("lwes-pw").toString
+    val df = Seq((1L, "2026-01-01", 10), (2L, "2026-01-01", 20),
+      (3L, "2026-01-02", 30), (4L, "2026-01-03", 40))
+      .toDF("id", "dt", "amount")
+    df.repartition(2).write.format("lwes")
+      .option("eventName", "P::E").option("partitionBy", "dt")
+      .mode("append").save(dir)
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("dt=")).sorted
+    assert(dirs.toSeq == Seq("dt=2026-01-01", "dt=2026-01-02", "dt=2026-01-03"))
+    val back = spark.read.format("lwes").load(dir)
+    assert(back.schema.fieldNames.contains("dt"))
+    assert(back.count() == 4)
+    // dt rides in the path, not the payload; filter prunes to one dir
+    assert(back.filter($"dt" === "2026-01-02").select("id").head.getLong(0) == 3L)
+    assert(back.groupBy("dt").agg(sum("amount").as("s")).orderBy("dt")
+      .collect().map(_.getLong(1)).toSeq == Seq(30L, 30L, 40L))
+  }
+
+  test("multimodal resize emits deterministic fixed-budget bytes") {
+    val docs = Seq((1L, "abcdefgh" * 20), (2L, "zyx")).toDF("doc_id", "text")
+    val resized = Multimodal.resize(spark, Multimodal.withFakeMedia(docs), 64, 64)
+      .orderBy("doc_id").collect()
+    assert(resized.length == 2)
+    assert(resized.forall(_.resized.length == 64 * 64 / 16))
+    val again = Multimodal.resize(spark, Multimodal.withFakeMedia(docs), 64, 64)
+      .orderBy("doc_id").collect()
+    assert(resized.map(_.resized.toSeq).toSeq == again.map(_.resized.toSeq).toSeq)
+  }
+
+  test("multimodal frameSample fans out video rows to frame rows") {
+    val docs = (1L to 40L).map(i => (i, s"payload-$i-" + ("x" * 50))).toDF("doc_id", "text")
+    val media = Multimodal.withFakeMedia(docs)
+    val nVideos = media.filter($"media_type" === "video").count()
+    assert(nVideos > 0)
+    val frames = Multimodal.frameSample(spark, media, 4)
+    val byDoc = frames.groupByKey(_.doc_id).count().collect().toMap
+    assert(byDoc.size == nVideos)
+    assert(byDoc.values.forall(n => n >= 1 && n <= 4))
+    assert(frames.collect().forall(f => f.frame.nonEmpty && f.frame_idx >= 0))
+  }
+
+  test("sessionize assigns per-user ordinal sessions on gaps") {
+    val events = Seq(
+      (1L, 0L, 1L), (1L, 100L, 2L), (1L, 5000L, 3L), (1L, 5100L, 4L),
+      (2L, 0L, 5L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessions.sessionize(events, "user_id", "ts", "event_id", gap = 1000L)
+      .orderBy("user_id", "ts").collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 1L, 2L, 2L, 1L))
+  }
+
+  test("funnelCounts counts ordered-stage completion") {
+    val events = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L), // full
+      (2L, "view", 1L), (2L, "click", 2L), // view+click
+      (3L, "click", 1L), (3L, "view", 2L), // out of order
+      (4L, "view", 9L)) // view only
+      .toDF("user_id", "event_type", "ts")
+    val r = Sessions.funnelCounts(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).head
+    assert(r.getLong(0) == 4L) // n_view
+    assert(r.getLong(1) == 2L) // n_click after view
+    assert(r.getLong(2) == 1L) // n_purchase after click
+  }
+}
