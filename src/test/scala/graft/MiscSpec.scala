@@ -92,4 +92,18 @@ class MiscSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L) // n_click after view
     assert(r.getLong(2) == 1L) // n_purchase after click
   }
+
+  test("salted skew join equals plain join and spreads the hot key") {
+    import graft.operators.SkewJoin
+    // hot key: 90% of left rows share key 1
+    val left = (1L to 1000L).map(i => (if (i <= 900) 1L else i, i))
+      .toDF("k", "row_id")
+    val right = Seq((1L, "hot"), (950L, "cold")).toDF("k", "label")
+    val plain = left.join(right, Seq("k")).agg(count(lit(1)), sum("row_id")).head
+    val saltedJ = SkewJoin.salted(left, right, "k", "row_id", salt = 8)
+    assert(saltedJ.agg(count(lit(1)), sum("row_id")).head == plain)
+    // deterministic
+    assert(SkewJoin.salted(left, right, "k", "row_id", salt = 8)
+      .agg(sum("row_id")).head == saltedJ.agg(sum("row_id")).head)
+  }
 }
