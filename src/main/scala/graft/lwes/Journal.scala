@@ -121,6 +121,12 @@ final class JournalWriter(raw: OutputStream) extends AutoCloseable {
 
   def write(ev: LwesEvent): Unit = {
     val payload = LwesCodec.serialize(ev)
+    // the header length field is uint16 (wire-format constraint — events
+    // are datagrams); a silent Short truncation would corrupt the stream
+    if (payload.length > 0xffff)
+      throw new IllegalArgumentException(
+        s"event '${ev.name}' serializes to ${payload.length} bytes; " +
+          "LWES journal records are capped at 65535 (uint16 length header)")
     val time = ev.get(LwesEvent.ReceiptTime).map(_.value.asInstanceOf[Long]).getOrElse(0L)
     val ip = ev.get(LwesEvent.SenderIp).map(_.value.asInstanceOf[Array[Byte]])
       .getOrElse(Array[Byte](0, 0, 0, 0))

@@ -181,6 +181,18 @@ object Pipeline {
           Multimodal.withFakeMedia(t(s, d, "documents")))
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // C13: benchmark decontamination — corpus docs sharing 3-gram
+    // shingles with a probe set (here: 5 corpus docs as probes; each
+    // probe's self-match guarantees non-empty output).
+    "text_contamination" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), col("text"))
+      graft.operators.Contamination.ngramOverlap(docs, probes)
+        .filter(col("shared_shingles") >= 3)
+        .orderBy(col("probe_id"), col("containment").desc, col("doc_id"))
     })
   )
 }

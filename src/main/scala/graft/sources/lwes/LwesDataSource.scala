@@ -187,37 +187,34 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     readSchema = if (pruned.isEmpty) StructType(fullSchema.fields.take(1)) else pruned
   }
 
+  // one listing per scan build — at journal scale (10^4-10^6 files)
+  // re-listing per pushdown call would dominate planning time
+  private lazy val roots: Seq[String] = LwesDataSource.paths(options)
+  private lazy val samplePartitionCols: Set[String] = {
+    val conf = LwesDataSource.hadoopConf()
+    LwesDataSource.listFiles(roots, conf).headOption
+      .map(f => LwesDataSource.partitionValues(f.getPath, roots).keySet)
+      .getOrElse(Set.empty)
+  }
+
   /** Partition-column equality filters prune whole files; everything is
     * also left for Spark to re-apply (zero correctness risk). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val pcols = partitionColumns
     partitionFilters = filters.filter {
-      case EqualTo(a, _) => pcols.contains(a)
-      case In(a, _) => pcols.contains(a)
+      case EqualTo(a, _) => samplePartitionCols.contains(a)
+      case In(a, _) => samplePartitionCols.contains(a)
       case _ => false
     }
     filters // all residual
   }
   override def pushedFilters(): Array[Filter] = partitionFilters
 
-  private def partitionColumns: Set[String] = {
-    val conf = LwesDataSource.hadoopConf()
-    val roots = LwesDataSource.paths(options)
-    LwesDataSource.listFiles(roots, conf).headOption
-      .map(f => LwesDataSource.partitionValues(f.getPath, roots).keySet)
-      .getOrElse(Set.empty)
-  }
-
   override def build(): Scan = {
     val eventName = Option(options.get(LwesOptions.EventName))
     val (attrFor, eventFor) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
     val eventNames: Set[String] =
       eventName.map(Set(_)).getOrElse(eventFor.values.toSet)
-    val conf = LwesDataSource.hadoopConf()
-    val roots = LwesDataSource.paths(options)
-    val pcols = LwesDataSource.listFiles(roots, conf).headOption
-      .map(f => LwesDataSource.partitionValues(f.getPath, roots).keys.toSeq)
-      .getOrElse(Nil).filter(readSchema.fieldNames.contains)
+    val pcols = samplePartitionCols.toSeq.filter(readSchema.fieldNames.contains)
     new LwesScan(readSchema,
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols),
       roots, partitionFilters)

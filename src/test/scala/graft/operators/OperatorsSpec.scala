@@ -110,4 +110,21 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("contamination: planted probe overlap found, clean docs survive") {
+    import graft.operators.Contamination
+    val probeText = "the secret benchmark question about spark shuffles and joins"
+    val corpus = Seq(
+      (1L, "intro text " + probeText + " trailing words here"), // contaminated
+      (2L, "totally unrelated document about cooking pasta al dente tonight"),
+      (3L, probeText)) // exact copy
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, probeText)).toDF("probe_id", "text")
+    val overlap = Contamination.ngramOverlap(corpus, probes)
+      .orderBy("doc_id").collect()
+    assert(overlap.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(overlap.find(_.getLong(0) == 3L).get.getDouble(3) == 1.0)
+    val clean = Contamination.decontaminate(corpus, probes, threshold = 0.5)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
