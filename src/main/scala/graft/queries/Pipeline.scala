@@ -183,6 +183,30 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // C1-C13 composed: the full corpus-cleaning pipeline in one plan —
+    // exact dedup -> near-dup removal (MinHash-LSH) -> quality filter ->
+    // decontamination -> per-lang stats of the surviving corpus.
+    "pipeline_clean_corpus" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val exact = Dedup.exact(docs, Seq("text"), "doc_id")
+      val nearDupIds = Dedup.minhashPairs(exact, "text", "doc_id",
+          k = 32, bands = 8, w = 3, threshold = 0.8)
+        .select(col("id_b").as("__dup_id")).distinct()
+      val noDups = exact.join(nearDupIds,
+        exact("doc_id") === col("__dup_id"), "left_anti")
+      val quality = TextAnalysis.qualityScore(noDups)
+        .filter(col("quality_score") >= 0.3)
+      val probes = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("probe_id"), col("text"))
+      val clean = graft.operators.Contamination.decontaminate(
+        quality, probes, threshold = 0.9)
+      clean.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality_score")), 4).as("avg_quality"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // C13: benchmark decontamination — corpus docs sharing 3-gram
     // shingles with a probe set (here: 5 corpus docs as probes; each
     // probe's self-match guarantees non-empty output).

@@ -217,7 +217,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     val pcols = samplePartitionCols.toSeq.filter(readSchema.fieldNames.contains)
     new LwesScan(readSchema,
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols),
-      roots, partitionFilters)
+      roots, partitionFilters,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -225,7 +226,8 @@ final case class LwesInputPartition(path: String, length: Long,
     partitionValues: Map[String, String]) extends InputPartition
 
 class LwesScan(schema: StructType, config: LwesReadConfig,
-    roots: Seq[String], partitionFilters: Array[Filter])
+    roots: Seq[String], partitionFilters: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -253,17 +255,38 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
     new LwesPartitionReaderFactory(config)
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new LwesMicroBatchStream(config, roots)
+    new LwesMicroBatchStream(config, roots, maxFilesPerTrigger)
 }
 
 /** Streaming journal source (SURVEY.md §2 A13): tails append-only
   * journal directories. Files are ordered by (modification time, path);
   * an offset is a count into that order, so each micro-batch reads the
   * newly arrived files. The per-file reader (with event-name filter and
-  * projected parse) is shared with the batch path.
+  * projected parse) is shared with the batch path. `maxFilesPerTrigger`
+  * caps batch size (admission control) so a backlog drains in bounded
+  * micro-batches instead of one giant one.
   */
-class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String])
-    extends streaming.MicroBatchStream {
+class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
+
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    maxFilesPerTrigger.map(streaming.ReadLimit.maxFiles)
+      .getOrElse(streaming.ReadLimit.allAvailable())
+
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    val total = orderedFiles().size
+    val s = start.asInstanceOf[LwesStreamOffset].fileCount
+    limit match {
+      case mf: streaming.ReadMaxFiles =>
+        LwesStreamOffset(math.min(total, s + mf.maxFiles()))
+      case _ => LwesStreamOffset(total)
+    }
+  }
+
+  override def reportLatestOffset(): streaming.Offset =
+    LwesStreamOffset(orderedFiles().size)
 
   private def orderedFiles(): Seq[LwesInputPartition] = {
     val conf = LwesDataSource.hadoopConf()

@@ -67,4 +67,20 @@ class LwesStreamingSpec extends AnyFunSuite {
       assert(rows.map(_.getLong(2)).sum == (0 until 120).map(_ * 2L).sum)
     } finally q.stop()
   }
+
+  test("maxFilesPerTrigger bounds each micro-batch (admission control)") {
+    val dir = Files.createTempDirectory("lwes-stream-mft").toString
+    (0 until 5).foreach(i => writeFile(dir, s"f$i.gz", i * 10, (i + 1) * 10))
+    val stream = spark.readStream.format("lwes")
+      .schema("id long, amount int")
+      .option("maxFilesPerTrigger", "2").load(dir)
+    val q = stream.writeStream.format("memory")
+      .queryName("lwes_mft").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lwes_mft").count() == 50)
+      // 5 files at 2 per trigger -> at least 3 batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally q.stop()
+  }
 }
