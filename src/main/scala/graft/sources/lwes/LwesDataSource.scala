@@ -328,7 +328,7 @@ class LwesPartitionReaderFactory(config: LwesReadConfig)
 }
 
 class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig)
-    extends PartitionReader[InternalRow] {
+    extends PartitionReader[InternalRow] with org.apache.spark.internal.Logging {
 
   private val schema = config.schema
   private val nCols = schema.length
@@ -350,12 +350,28 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig)
 
   private val reader = LwesDataSource.openReader(
     partition.path, new Configuration(), nameFilter, wanted)
-  private val it = reader.iterator
   private var current: InternalRow = _
+  private var corrupt = false
 
   override def next(): Boolean = {
-    if (!it.hasNext) return false
-    val ev = it.next()
+    if (corrupt) return false
+    val ev = try {
+      reader.next() match {
+        case Some(e) => e
+        case None => return false
+      }
+    } catch {
+      // A corrupt/truncated tail ends this file, not the job — journals
+      // are harvested off the wire and torn tails are routine; the
+      // reference behaved the same way (readEvent catches, returns null
+      // = EOF, DatagramPacketInputStream.java:79-85).
+      case e @ (_: java.io.EOFException | _: IllegalArgumentException |
+          _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException) =>
+        logWarning(s"corrupt journal tail in ${partition.path}: ${e.getMessage}; " +
+          "stopping this file")
+        corrupt = true
+        return false
+    }
     val row = new GenericInternalRow(nCols)
     var i = 0
     while (i < nCols) {

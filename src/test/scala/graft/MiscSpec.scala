@@ -106,4 +106,16 @@ class MiscSpec extends AnyFunSuite {
     assert(SkewJoin.salted(left, right, "k", "row_id", salt = 8)
       .agg(sum("row_id")).head == saltedJ.agg(sum("row_id")).head)
   }
+
+  test("optimizer eliminates from_lwes(to_lwes(s)) round-trips") {
+    import graft.functions.LwesExpressions.{from_lwes, to_lwes}
+    val df = Seq((1L, "a", 2.5), (2L, "b", -1.0)).toDF("id", "name", "score")
+      .select(from_lwes(
+        to_lwes(struct($"id", $"name", $"score"), "RT::E"),
+        "name string, id long").as("e"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("from_lwes") && !opt.contains("FromLwes"))
+    assert(df.select("e.id", "e.name").orderBy("e.id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+  }
 }

@@ -83,4 +83,42 @@ class LwesStreamingSpec extends AnyFunSuite {
       assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
     } finally q.stop()
   }
+
+  test("corrupt journal tail ends the file, not the job") {
+    val dir = Files.createTempDirectory("lwes-corrupt").toString
+    writeFile(dir, "good.gz", 0, 50)
+    // plain journal with a torn tail: 30 records + half a header
+    writeFile(dir, "torn.journal", 100, 130)
+    val f = new java.io.RandomAccessFile(s"$dir/torn.journal", "rw")
+    f.seek(f.length()); f.write(Array[Byte](0, 99, 1, 2, 3)); f.close()
+    val df = spark.read.format("lwes").schema("id long, amount int").load(dir)
+    assert(df.count() == 80) // 50 + 30 survive, torn tail skipped
+  }
+
+  test("stateful running stats accumulate and dedup across micro-batches (B20)") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.EventRow
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lwes-state").toString
+    val ckpt = Files.createTempDirectory("lwes-state-ckpt").toString
+    writeFile(dir, "b0.gz", 0, 40)
+    val stream = spark.readStream.format("lwes")
+      .schema("id long, amount int").load(dir)
+      .selectExpr("id % 4 AS user_id", "id AS event_id", "CAST(amount AS DOUBLE) AS value")
+      .as[EventRow]
+    val stats = StreamOps.runningUserStats(spark, stream)
+    val q = stats.writeStream.format("memory").queryName("lwes_state")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 overlaps [20, 40) -> duplicates must be dropped by state
+      writeFile(dir, "b1.gz", 20, 60)
+      q.processAllAvailable()
+      val last = spark.table("lwes_state")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+        .orderBy("user_id").collect()
+      assert(last.map(_.getLong(1)).toSeq == Seq(15L, 15L, 15L, 15L)) // 60 events over 4 users
+      assert(last.map(_.getDouble(2)).sum == (0 until 60).map(_ * 2.0).sum)
+    } finally q.stop()
+  }
 }
