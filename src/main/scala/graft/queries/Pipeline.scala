@@ -113,8 +113,17 @@ object Pipeline {
       },
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |scored AS (
+        |  -- double-precision cosine, left-fold order: bit-identical to the
+        |  -- Spark zip_with/aggregate formulation (list_cosine_similarity
+        |  -- computes in float32 and would hash-mismatch)
         |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(q.qe, e.embedding), 4) AS score
+        |    round(
+        |      list_sum(list_transform(list_zip(q.qe, e.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / greatest(
+        |          sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))),
+        |          1e-12), 4) AS score
         |  FROM embeddings e CROSS JOIN q
         |  WHERE e.vec_id <> q.qid)
         |SELECT query_id, rnk, neighbor_id, score

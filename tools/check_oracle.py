@@ -21,7 +21,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        return repr(v)  # full precision — mimic the driver's exact hash
     return str(v)
 
 
