@@ -23,6 +23,18 @@ object Journal {
     path.endsWith(".gz") || path.endsWith(".gzip")
 }
 
+/** Common surface for the two journal container readers. */
+trait EventStreamReader extends AutoCloseable {
+  def next(): Option[LwesEvent]
+  def iterator: Iterator[LwesEvent] = new Iterator[LwesEvent] {
+    private var nextEv: Option[LwesEvent] = EventStreamReader.this.next()
+    def hasNext: Boolean = nextEv.isDefined
+    def next(): LwesEvent = {
+      val e = nextEv.get; nextEv = EventStreamReader.this.next(); e
+    }
+  }
+}
+
 /** Streaming journal reader.
   *
   * Mirrors reference DatagramPacketInputStream.readEvent
@@ -35,7 +47,7 @@ object Journal {
   */
 final class JournalReader(raw: InputStream,
     eventNameFilter: String => Boolean = null,
-    wanted: String => Boolean = null) extends AutoCloseable {
+    wanted: String => Boolean = null) extends EventStreamReader {
 
   private val in = new BufferedInputStream(raw, 1 << 16)
   private val headerBuf = new Array[Byte](Journal.HeaderLength)
@@ -86,14 +98,6 @@ final class JournalReader(raw: InputStream,
       // else: skip and loop — foreign event never parsed
     }
     None // unreachable
-  }
-
-  def iterator: Iterator[LwesEvent] = new Iterator[LwesEvent] {
-    private var nextEv: Option[LwesEvent] = JournalReader.this.next()
-    def hasNext: Boolean = nextEv.isDefined
-    def next(): LwesEvent = {
-      val e = nextEv.get; nextEv = JournalReader.this.next(); e
-    }
   }
 
   override def close(): Unit = in.close()

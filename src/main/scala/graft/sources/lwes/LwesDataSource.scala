@@ -2,7 +2,7 @@ package graft.sources.lwes
 
 import java.util
 
-import graft.lwes.{Journal, JournalReader, LwesCodec, LwesEvent}
+import graft.lwes.{EventStreamReader, Journal, JournalReader, LwesCodec, LwesEvent}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
@@ -84,15 +84,25 @@ object LwesDataSource {
     }.toMap
   }
 
+  /** Container auto-detection, mirroring the reference's introspection
+    * (EventSerDe.java:36-38): a SEQ magic means a SequenceFile of
+    * EventWritable; anything else is the datagram journal format. */
   def openReader(pathStr: String, conf: Configuration,
-      nameFilter: String => Boolean, wanted: String => Boolean): JournalReader = {
+      nameFilter: String => Boolean, wanted: String => Boolean): EventStreamReader = {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
-    val in: java.io.InputStream =
+    val in0: java.io.InputStream =
       if (Journal.isGzip(pathStr)) new java.util.zip.GZIPInputStream(raw, 1 << 16)
       else raw
-    new JournalReader(in, nameFilter, wanted)
+    val in = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(in0, 1 << 16), 3)
+    val magic = new Array[Byte](3)
+    val got = in.readNBytes(magic, 0, 3)
+    in.unread(magic, 0, got)
+    if (got == 3 && magic.sameElements("SEQ".getBytes))
+      new graft.lwes.SequenceJournalReader(in, nameFilter, wanted)
+    else new JournalReader(in, nameFilter, wanted)
   }
 
   /** Sample journals → schema. Header attrs are always present
