@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.util.Random
+
+/** Property fuzz: random schemas x random rows (nulls, unicode, extreme
+  * values) survive the DataFrame -> journal -> DataFrame round-trip
+  * exactly. Seeded, so failures reproduce. */
+class LwesFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val types: Seq[DataType] = Seq(BooleanType, ShortType, IntegerType,
+    LongType, FloatType, DoubleType, StringType)
+
+  private def randValue(rnd: Random, dt: DataType): Any = {
+    if (rnd.nextInt(6) == 0) return null
+    dt match {
+      case BooleanType => rnd.nextBoolean()
+      case ShortType => rnd.nextInt().toShort
+      case IntegerType => rnd.nextInt() match {
+        case 0 => Int.MinValue
+        case v => v
+      }
+      case LongType => if (rnd.nextInt(10) == 0) Long.MinValue else rnd.nextLong()
+      case FloatType => rnd.nextInt(5) match {
+        case 0 => Float.MinPositiveValue
+        case 1 => Float.MaxValue
+        case _ => rnd.nextFloat() * 1e6f - 5e5f
+      }
+      case DoubleType => rnd.nextInt(5) match {
+        case 0 => Double.MinPositiveValue
+        case 1 => -0.0
+        case _ => rnd.nextDouble() * 1e12 - 5e11
+      }
+      case StringType => rnd.nextInt(5) match {
+        case 0 => ""
+        case 1 => "héllo wörld 世界 😀"
+        case _ => rnd.alphanumeric.take(rnd.nextInt(50)).mkString
+      }
+      case _ => null
+    }
+  }
+
+  test("20 random schemas round-trip exactly through the journal format") {
+    val rnd = new Random(4242)
+    (0 until 20).foreach { trial =>
+      val nCols = 1 + rnd.nextInt(8)
+      val schema = StructType((0 until nCols).map(i =>
+        StructField(s"c$i", types(rnd.nextInt(types.length)), nullable = true)))
+      val nRows = 1 + rnd.nextInt(200)
+      val rows = (0 until nRows).map { r =>
+        Row.fromSeq(Seq(r.toLong) ++ schema.fields.map(f => randValue(rnd, f.dataType)))
+      }
+      val full = StructType(StructField("rid", LongType, nullable = false) +: schema.fields)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), full)
+      val dir = Files.createTempDirectory(s"fuzz$trial").toString
+      val gzip = rnd.nextBoolean()
+      df.write.format("lwes").option("eventName", s"Fuzz::T$trial")
+        .option("compression", if (gzip) "gzip" else "none")
+        .mode("append").save(dir)
+      val back = spark.read.format("lwes").schema(full)
+        .option("eventName", s"Fuzz::T$trial").load(dir)
+      val exp = df.collect().map(r => r.toSeq.map(normalize)).sortBy(_.toString)
+      val got = back.collect().map(r => r.toSeq.map(normalize)).sortBy(_.toString)
+      assert(got.length == exp.length, s"trial $trial: row count")
+      exp.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(e == g, s"trial $trial row $i: expected $e got $g (schema $full, gzip=$gzip)")
+      }
+    }
+  }
+
+  /** -0.0 serializes as "-0.0" and parses back to -0.0; normalize NaN
+    * boxing only (equality of boxed Float/Double NaN differs). */
+  private def normalize(v: Any): Any = v match {
+    case f: Float if f.isNaN => "NaN"
+    case d: Double if d.isNaN => "NaN"
+    case other => other
+  }
+}
