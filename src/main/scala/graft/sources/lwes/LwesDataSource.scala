@@ -86,15 +86,18 @@ object LwesDataSource {
 
   /** Container auto-detection, mirroring the reference's introspection
     * (EventSerDe.java:36-38): a SEQ magic means a SequenceFile of
-    * EventWritable; anything else is the datagram journal format. */
+    * EventWritable; anything else is the datagram journal format.
+    * Compression is by Hadoop codec detection on the extension
+    * (.gz/.bz2/.deflate/...), like the reference
+    * (JournalInputFormat.java:94-105). */
   def openReader(pathStr: String, conf: Configuration,
       nameFilter: String => Boolean, wanted: String => Boolean): EventStreamReader = {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
     val in0: java.io.InputStream =
-      if (Journal.isGzip(pathStr)) new java.util.zip.GZIPInputStream(raw, 1 << 16)
-      else raw
+      if (codec != null) codec.createInputStream(raw) else raw
     val in = new java.io.PushbackInputStream(
       new java.io.BufferedInputStream(in0, 1 << 16), 3)
     val magic = new Array[Byte](3)

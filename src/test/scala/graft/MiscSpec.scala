@@ -118,4 +118,35 @@ class MiscSpec extends AnyFunSuite {
     assert(df.select("e.id", "e.name").orderBy("e.id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("SQL DDL: CREATE TABLE ... USING lwes works like a Hive serde table") {
+    val dir = Files.createTempDirectory("lwes-ddl").toString
+    Seq((1L, "u1", 10.5), (2L, "u2", -3.25), (3L, "u1", 7.0))
+      .toDF("id", "user", "amount")
+      .write.format("lwes").option("eventName", "Tx::Row").mode("append").save(dir)
+    spark.sql(s"""
+      CREATE TABLE lwes_tx (id BIGINT, user STRING, amount DOUBLE)
+      USING lwes OPTIONS (path '$dir', eventName 'Tx::Row')""")
+    try {
+      val r = spark.sql(
+        "SELECT user, count(*) AS n, sum(amount) AS total FROM lwes_tx GROUP BY user ORDER BY user")
+        .collect()
+      assert(r.map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSeq
+        == Seq(("u1", 2L, 17.5), ("u2", 1L, -3.25)))
+    } finally spark.sql("DROP TABLE lwes_tx")
+  }
+
+  test("bz2-compressed journals read via Hadoop codec detection") {
+    val dir = Files.createTempDirectory("lwes-bz2").toString
+    val fos = new java.io.FileOutputStream(s"$dir/j.journal.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration())
+    val w = new graft.lwes.JournalWriter(codec.createOutputStream(fos))
+    (0 until 80).foreach(i => w.write(
+      graft.lwes.LwesEvent("Bz::E").setInt64("id", i.toLong)))
+    w.close()
+    val df = spark.read.format("lwes").schema("id long").load(dir)
+    assert(df.count() == 80)
+    assert(df.agg(sum("id")).head.getLong(0) == (0 until 80).map(_.toLong).sum)
+  }
 }
