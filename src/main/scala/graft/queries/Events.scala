@@ -77,6 +77,32 @@ object Events {
         |GROUP BY hour_bucket, event_type
         |ORDER BY hour_bucket, event_type""".stripMargin)),
 
+    // B21: as-of join — each purchase matched to the user's most recent
+    // click at-or-before it (graft.operators.Temporal).
+    "q_asof_join" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+            col("value").as("click_value"))
+        graft.operators.Temporal.asofJoin(
+            purchases, clicks, Seq("user_id"), "ts", "ts",
+            rightCols = Seq("click_id", "click_value"), tieBreak = "click_id")
+          .select(col("event_id"), col("user_id"), col("click_id"),
+            col("click_value"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT l.event_id, l.user_id, r.click_id, r.click_value
+        |FROM (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, epoch_ns(ts) AS tns,
+        |        event_id AS click_id, value AS click_value FROM events
+        |      WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.tns >= r.tns
+        |ORDER BY l.event_id""".stripMargin)),
+
     // B18 (strings): regex extraction from semi-structured props.
     "q_props_extract" -> ((
       (s: SparkSession, d: String) => {

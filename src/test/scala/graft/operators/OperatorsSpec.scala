@@ -127,4 +127,22 @@ class OperatorsSpec extends AnyFunSuite {
     val clean = Contamination.decontaminate(corpus, probes, threshold = 0.5)
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("asof join picks latest right row at-or-before each left ts") {
+    import graft.operators.Temporal
+    val left = Seq((1L, 10L, "p1"), (1L, 25L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "label")
+    val right = Seq((1L, 10L, 100.0, 1L), (1L, 20L, 200.0, 2L),
+      (1L, 30L, 300.0, 3L), (3L, 1L, 999.0, 4L))
+      .toDF("k", "ts", "v", "rid")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts",
+      rightCols = Seq("v", "rid"), tieBreak = "rid")
+      .orderBy("label").collect()
+    // p1: ts=10 -> right ts=10 (inclusive) v=100
+    assert(out(0).getString(2) == "p1" && out(0).getDouble(3) == 100.0)
+    // p2: ts=25 -> right ts=20 v=200
+    assert(out(1).getString(2) == "p2" && out(1).getDouble(3) == 200.0)
+    // p3: key 2 has no right rows -> nulls
+    assert(out(2).getString(2) == "p3" && out(2).isNullAt(3))
+  }
 }
