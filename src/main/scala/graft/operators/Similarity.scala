@@ -72,6 +72,46 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
 
+  /** IVF-flat ANN: k deterministic centroid vectors partition the
+    * corpus into inverted lists (assignment = nearest centroid); each
+    * query probes its `nprobe` closest lists and exact-ranks within
+    * them. Centroids are hash-sampled corpus rows — at 100 TB you'd
+    * k-means them, which changes recall but not this plan shape: a
+    * broadcast of k·dim doubles, one corpus pass to assign, and a join
+    * confined to probed lists (≈ nprobe/k of the corpus per query). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
+    // deterministic sample: nLists rows with the smallest id-hash
+    val cents = c
+      .withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h")).limit(nLists)
+      .withColumn("centroid_id", row_number().over(
+        Window.orderBy(col("__h"))).cast("long"))
+      .select(col("centroid_id"), col("v_c").as("v_cent"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("v_c"), col("v_cent")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rk") === 1)
+      .select(col("centroid_id"), col("neighbor_id"), col("v_c"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("v_q"), col("v_cent")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("v_q"), col("centroid_id"))
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
+
   // --------------------------------------------------------------- C5
 
   /** Embedding near-duplicates: pairs with cosine >= threshold, found

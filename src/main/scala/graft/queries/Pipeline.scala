@@ -177,6 +177,14 @@ object Pipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // C7b: IVF-flat ANN (inverted-list scale path).
+    "sim_ivf" -> ((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nLists = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // C11: per-document rolling-hash fingerprints.
     "text_fingerprint" -> ((s: SparkSession, d: String) => {
       TextAnalysis.fingerprint(t(s, d, "documents"))

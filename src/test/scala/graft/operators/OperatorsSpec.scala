@@ -145,4 +145,16 @@ class OperatorsSpec extends AnyFunSuite {
     // p3: key 2 has no right rows -> nulls
     assert(out(2).getString(2) == "p3" && out(2).isNullAt(3))
   }
+
+  test("ivf ann finds a planted duplicate via probed lists") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val planted = (100L, vecs(5)._2.map(x => x * 3f)) // scaled copy of vec 5
+    val df = (vecs :+ planted).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(df, df.filter($"vec_id" === 5), "vec_id", "embedding",
+      k = 3, nLists = 8, nprobe = 3).collect()
+    assert(out.nonEmpty)
+    // the scaled copy lands in the same list as its source and ranks first
+    assert(out.head.getLong(2) == 100L && out.head.getDouble(3) == 1.0)
+  }
 }
