@@ -328,6 +328,89 @@ object Relational {
         |      FROM customer GROUP BY c_nationkey) c ON n_nationkey = c.c_nationkey
         |ORDER BY n_name""".stripMargin)),
 
+    // B5/B6: revenue between a nation pair by year (TPC-H Q7 shape).
+    "q7_volume" -> ((
+      (s: SparkSession, d: String) => {
+        val n1 = t(s, d, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, d, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("ck"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // B3/B7: top customers by returned-item revenue (TPC-H Q10 shape).
+    "q10_returned" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)),
+
+    // B2/B18: promo revenue share (TPC-H Q14 shape) — ratio of exact
+    // decimal sums, so the division inputs are engine-identical.
+    "q14_promo" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(round(
+            lit(100.0) * sum(when(col("p_type") === "PROMO",
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+              .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+              / sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+                .cast("decimal(18,6)")).cast("double"), 6).as("promo_revenue_pct"))
+      },
+      """SELECT round(
+        |    100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |  6) AS promo_revenue_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin)),
+
     // B18: CASE expressions + timestamp interval arithmetic (Q12 shape).
     "q12_shipmode" -> ((
       (s: SparkSession, d: String) => {
