@@ -32,7 +32,19 @@ object EliminateLwesRoundTrip extends Rule[LogicalPlan] {
         child.dataType match {
           case st: StructType =>
             val wanted = StructType.fromDDL(ddl)
-            val ok = wanted.fields.forall { f =>
+            // Header-named fields are NOT lossless: setAttr coerces
+            // SiteID/SenderPort to uint16 (70000 round-trips to 4464),
+            // SenderIP is parsed as an IPv4 string (throws on non-IP,
+            // canonicalizes '01.2.3.4'), ReceiptTime to int64 — so the
+            // collapsed plan could differ from the executed round-trip.
+            // Any such field anywhere in the input struct blocks the
+            // rewrite (even unprojected ones: serialize may throw).
+            // Known residual divergence, accepted by design: a string
+            // field >65535 UTF-8 bytes makes the unoptimized serialize
+            // throw, while the collapsed plan succeeds.
+            val headerClash =
+              st.fields.exists(g => graft.lwes.LwesEvent.HeaderAttrs.contains(g.name))
+            val ok = !headerClash && wanted.fields.forall { f =>
               st.fields.exists(g => g.name == f.name && g.dataType == f.dataType &&
                 lossless(f.dataType))
             }

@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types where replicating the right side is semantics-preserving.
+    * Right/full outer are NOT: each unmatched right row would be emitted
+    * `salt` times (one per replica), corrupting the null-extension. */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def salted(left: DataFrame, right: DataFrame, key: String,
       saltBy: String, salt: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"salted join replicates the right side and cannot preserve " +
+        s"right/full outer semantics; got '$joinType'")
     val l = left.withColumn("__salt",
       pmod(xxhash64(col(saltBy)), lit(salt)).cast("int"))
     val r = right.withColumn("__salt",

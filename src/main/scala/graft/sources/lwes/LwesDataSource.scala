@@ -76,9 +76,17 @@ object LwesDataSource {
   private def isHidden(name: String) =
     name.startsWith("_") || name.startsWith(".")
 
-  /** Path-derived `k=v` partition segments, relative to the given roots. */
+  /** Path-derived `k=v` partition segments, relative to the given roots.
+    * Only directory segments BELOW a root count — a root like
+    * `/data/run=3/journals/` must not inject a spurious `run` column —
+    * and the file name itself never does (it isn't a directory). */
   def partitionValues(file: Path, roots: Seq[String]): Map[String, String] = {
-    val segs = file.toUri.getPath.split('/')
+    val fp = file.toUri.getPath
+    val rel = roots.iterator.map { r =>
+      val rp = new Path(r).toUri.getPath.stripSuffix("/")
+      if (fp.startsWith(rp + "/")) fp.substring(rp.length + 1) else null
+    }.find(_ != null).getOrElse(fp)
+    val segs = rel.split('/').dropRight(1) // drop the file name
     segs.iterator.filter(_.contains('=')).map { s =>
       val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
     }.toMap
@@ -265,82 +273,154 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LwesPartitionReaderFactory(config)
+    new LwesPartitionReaderFactory(config,
+      SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()))
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new LwesMicroBatchStream(config, roots, maxFilesPerTrigger)
+    new LwesMicroBatchStream(config, roots, maxFilesPerTrigger, checkpointLocation)
 }
 
 /** Streaming journal source (SURVEY.md §2 A13): tails append-only
-  * journal directories. Files are ordered by (modification time, path);
-  * an offset is a count into that order, so each micro-batch reads the
-  * newly arrived files. The per-file reader (with event-name filter and
-  * projected parse) is shared with the batch path. `maxFilesPerTrigger`
+  * journal directories. The per-file reader (with event-name filter and
+  * projected parse) is shared with the batch path; `maxFilesPerTrigger`
   * caps batch size (admission control) so a backlog drains in bounded
   * micro-batches instead of one giant one.
+  *
+  * Offset design (same shape as Spark's own FileStreamSource): an offset
+  * is a BATCH COUNT, and the exact file list of every batch is persisted
+  * under `<checkpoint>/lwes-file-batches/<batchId>` when the batch is
+  * first planned. A driver-side seen-paths set (rebuilt from those logs
+  * on restart) decides what is "new", so files landing with *older*
+  * modification times than already-processed ones (mtime-preserving
+  * copies, late hourly directories), deleted/retention-expired files,
+  * and non-atomic listings never shift the assignment: replays of an
+  * uncommitted batch re-read exactly the logged list, and offsets stay
+  * stable across checkpoint restarts.
   */
 class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
-    maxFilesPerTrigger: Option[Int] = None)
-    extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
+    maxFilesPerTrigger: Option[Int] = None, checkpointLocation: String)
+    extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
+    with org.apache.spark.internal.Logging {
+
+  private val conf = LwesDataSource.hadoopConf()
+  private val logDir = new Path(checkpointLocation, "lwes-file-batches")
+  private val fs = logDir.getFileSystem(conf)
+
+  // batchId -> that batch's files; index == batchId. Rebuilt from the
+  // persisted logs on restart so `seen` survives driver failover.
+  private val batches = mutable.ArrayBuffer[Seq[LwesInputPartition]]()
+  private val seen = mutable.HashSet[String]()
+  locally {
+    if (fs.exists(logDir)) {
+      val ids = fs.listStatus(logDir).flatMap(s => s.getPath.getName.toIntOption)
+        .sorted
+      ids.foreach { id =>
+        while (batches.size <= id) batches += Nil
+        batches(id) = readBatchLog(id)
+        batches(id).foreach(p => seen += p.path)
+      }
+    }
+  }
+
+  private def readBatchLog(id: Int): Seq[LwesInputPartition] = {
+    val in = fs.open(new Path(logDir, id.toString))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty)
+        .map { line =>
+          val Array(len, path) = line.split("\t", 2)
+          LwesInputPartition(path, len.toLong,
+            LwesDataSource.partitionValues(new Path(path), roots))
+        }.toVector
+    } finally in.close()
+  }
+
+  private def writeBatchLog(id: Int, parts: Seq[LwesInputPartition]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".$id.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(parts.map(p => s"${p.length}\t${p.path}\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(logDir, id.toString)
+    if (!fs.rename(tmp, dest) && !fs.exists(dest))
+      throw new java.io.IOException(s"cannot persist stream batch log $dest")
+  }
 
   override def getDefaultReadLimit: streaming.ReadLimit =
     maxFilesPerTrigger.map(streaming.ReadLimit.maxFiles)
       .getOrElse(streaming.ReadLimit.allAvailable())
 
+  /** Unseen files, oldest first (stable tiebreak on path). */
+  private def unseenFiles(): Seq[FileStatus] =
+    LwesDataSource.listFiles(roots, conf)
+      .filterNot(f => seen.contains(f.getPath.toString))
+      .sortBy(f => (f.getModificationTime, f.getPath.toString))
+
   override def latestOffset(start: streaming.Offset,
       limit: streaming.ReadLimit): streaming.Offset = {
-    val total = orderedFiles().size
-    val s = start.asInstanceOf[LwesStreamOffset].fileCount
-    limit match {
-      case mf: streaming.ReadMaxFiles =>
-        LwesStreamOffset(math.min(total, s + mf.maxFiles()))
-      case _ => LwesStreamOffset(total)
+    val fresh = unseenFiles()
+    val admitted = limit match {
+      case mf: streaming.ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
     }
+    if (admitted.nonEmpty) {
+      val parts = admitted.map(f => LwesInputPartition(f.getPath.toString,
+        f.getLen, LwesDataSource.partitionValues(f.getPath, roots)))
+      val id = batches.size
+      writeBatchLog(id, parts)
+      batches += parts
+      parts.foreach(p => seen += p.path)
+      logInfo(s"lwes stream batch $id: ${parts.size} new files")
+    }
+    LwesStreamOffset(batches.size)
   }
 
   override def reportLatestOffset(): streaming.Offset =
-    LwesStreamOffset(orderedFiles().size)
-
-  private def orderedFiles(): Seq[LwesInputPartition] = {
-    val conf = LwesDataSource.hadoopConf()
-    LwesDataSource.listFiles(roots, conf)
-      .sortBy(f => (f.getModificationTime, f.getPath.toString))
-      .map(f => LwesInputPartition(f.getPath.toString, f.getLen,
-        LwesDataSource.partitionValues(f.getPath, roots)))
-  }
+    LwesStreamOffset(batches.size)
 
   override def initialOffset(): streaming.Offset = LwesStreamOffset(0)
   override def latestOffset(): streaming.Offset =
-    LwesStreamOffset(orderedFiles().size)
+    latestOffset(initialOffset(), getDefaultReadLimit)
   override def deserializeOffset(json: String): streaming.Offset =
     LwesStreamOffset(json.trim.toInt)
 
   override def planInputPartitions(start: streaming.Offset,
       end: streaming.Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LwesStreamOffset].fileCount
-    val e = end.asInstanceOf[LwesStreamOffset].fileCount
-    orderedFiles().slice(s, e).map(p => p: InputPartition).toArray
+    val s = start.asInstanceOf[LwesStreamOffset].batchCount
+    val e = end.asInstanceOf[LwesStreamOffset].batchCount
+    // Replays after restart may reference batches not yet re-loaded in
+    // this instance (e.g. offsets written by a previous run whose logs
+    // exist but post-date our rebuild) — read them straight off the log.
+    (s until e).flatMap { id =>
+      if (id < batches.size && batches(id).nonEmpty) batches(id)
+      else readBatchLog(id)
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LwesPartitionReaderFactory(config)
+    new LwesPartitionReaderFactory(config,
+      SerializableHadoopConf.broadcast(conf))
 
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-final case class LwesStreamOffset(fileCount: Int)
+/** Number of planned file-batches; the files of batch `i` are pinned in
+  * `<checkpoint>/lwes-file-batches/<i>`. */
+final case class LwesStreamOffset(batchCount: Int)
     extends streaming.Offset {
-  override def json(): String = fileCount.toString
+  override def json(): String = batchCount.toString
 }
 
-class LwesPartitionReaderFactory(config: LwesReadConfig)
+class LwesPartitionReaderFactory(config: LwesReadConfig,
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LwesPartitionReader(partition.asInstanceOf[LwesInputPartition], config)
+    new LwesPartitionReader(partition.asInstanceOf[LwesInputPartition], config,
+      bconf.value.value)
 }
 
-class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig)
+class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
+    conf: Configuration)
     extends PartitionReader[InternalRow] with org.apache.spark.internal.Logging {
 
   private val schema = config.schema
@@ -362,7 +442,7 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig)
   }
 
   private val reader = LwesDataSource.openReader(
-    partition.path, new Configuration(), nameFilter, wanted)
+    partition.path, conf, nameFilter, wanted)
   private var current: InternalRow = _
   private var corrupt = false
 

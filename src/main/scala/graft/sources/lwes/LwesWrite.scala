@@ -51,7 +51,8 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
     val gzip = Option(options.get(LwesOptions.Compression)).forall(_ != "none")
     val partitionBy = Option(options.get("partitionBy")).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-    new LwesDataWriterFactory(path, schema, eventName, attrFor, gzip, partitionBy)
+    new LwesDataWriterFactory(path, schema, eventName, attrFor, gzip, partitionBy,
+      SerializableHadoopConf.broadcast(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -59,11 +60,12 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
 }
 
 class LwesDataWriterFactory(dir: String, schema: StructType, eventName: String,
-    attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String])
+    attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String],
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LwesDataWriter(dir, schema, eventName, attrFor, gzip, partitionBy,
-      partitionId, taskId)
+      partitionId, taskId, bconf.value.value)
 }
 
 /** One journal per task, or one per (task, partition-value combination)
@@ -72,11 +74,10 @@ class LwesDataWriterFactory(dir: String, schema: StructType, eventName: String,
   * handling) and are not written as event attributes. */
 class LwesDataWriter(dir: String, schema: StructType, eventName: String,
     attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String],
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, conf: Configuration)
     extends DataWriter[InternalRow] {
 
   private val ext = if (gzip) "gz" else "journal"
-  private val conf = new Configuration()
   private val fs = new Path(dir).getFileSystem(conf)
   private val attrs: Array[String] = schema.fields.map(f => attrFor.getOrElse(f.name, f.name))
   private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray

@@ -107,6 +107,35 @@ class MiscSpec extends AnyFunSuite {
       .agg(sum("row_id")).head == saltedJ.agg(sum("row_id")).head)
   }
 
+  test("salted skew join rejects right/full outer (right-side replication breaks them)") {
+    import graft.operators.SkewJoin
+    val left = Seq((1L, 1L)).toDF("k", "row_id")
+    val right = Seq((2L, "x")).toDF("k", "label")
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(left, right, "k", "row_id", salt = 4, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(left, right, "k", "row_id", salt = 4, joinType = "full")
+    }
+    // left_anti stays supported and correct: unmatched left rows survive once
+    assert(SkewJoin.salted(left, right, "k", "row_id", salt = 4,
+      joinType = "left_anti").count() == 1)
+  }
+
+  test("round-trip elimination bails when a struct field shadows an LWES header attr") {
+    import graft.functions.LwesExpressions.{from_lwes, to_lwes}
+    // SiteID is coerced to uint16 on serialize: 70000 -> 4464. The
+    // optimized (collapsed) plan must not silently change that result,
+    // so the rule bails and the executed round-trip keeps the coercion.
+    val df = Seq((70000L, "a")).toDF("SiteID", "name")
+      .select(from_lwes(
+        to_lwes(struct($"SiteID", $"name"), "RT::H"),
+        "SiteID long, name string").as("e"))
+    // if the rule wrongly collapsed the pair, this would read back 70000
+    assert(df.select("e.SiteID").head.getLong(0) == 4464L)
+    assert(df.select("e.name").head.getString(0) == "a")
+  }
+
   test("optimizer eliminates from_lwes(to_lwes(s)) round-trips") {
     import graft.functions.LwesExpressions.{from_lwes, to_lwes}
     val df = Seq((1L, "a", 2.5), (2L, "b", -1.0)).toDF("id", "name", "score")

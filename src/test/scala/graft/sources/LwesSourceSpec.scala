@@ -135,6 +135,17 @@ class LwesSourceSpec extends AnyFunSuite {
     assert(byDt == Map("2026-01-01" -> 60L, "2026-01-02" -> 60L))
   }
 
+  test("k=v segments ABOVE the load root are not partition columns (A14)") {
+    val dir = tmp()
+    // root itself lives under a k=v-looking directory; only dt= (below
+    // the root) is a real partition column
+    writeMixedJournal(s"$dir/run=3/journals/dt=2026-01-01", 30)
+    val df = spark.read.format("lwes").load(s"$dir/run=3/journals")
+    assert(df.schema.fieldNames.contains("dt"))
+    assert(!df.schema.fieldNames.contains("run"))
+    assert(df.filter(col("dt") === "2026-01-01").count() == 30)
+  }
+
   test("overwrite mode truncates previous journal files (A10)") {
     import spark.implicits._
     val dir = tmp()

@@ -84,6 +84,40 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late file with an OLDER mtime than processed files is still read exactly once") {
+    val dir = Files.createTempDirectory("lwes-stream-late").toString
+    val ckpt = Files.createTempDirectory("lwes-stream-late-ckpt").toString
+    val out = Files.createTempDirectory("lwes-stream-late-out").toString
+    writeFile(dir, "a.gz", 0, 30)
+    def start() = spark.readStream.format("lwes")
+      .schema("id long, amount int").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def ids() = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(ids() == (0L until 30L))
+      // a copy that PRESERVES an old mtime (older than a.gz): with
+      // count-into-sorted-listing offsets this would shift indices and
+      // skip/duplicate files; path-set tracking must read it once.
+      writeFile(dir, "b.gz", 30, 50)
+      new java.io.File(s"$dir/b.gz").setLastModified(
+        new java.io.File(s"$dir/a.gz").lastModified() - 3600000L)
+      q.processAllAvailable()
+      assert(ids() == (0L until 50L))
+    } finally q.stop()
+    // restart from checkpoint: a.gz/b.gz stay committed (not re-read),
+    // the post-restart file is read exactly once
+    writeFile(dir, "c.gz", 50, 60)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(ids() == (0L until 60L))
+    } finally q2.stop()
+  }
+
   test("corrupt journal tail ends the file, not the job") {
     val dir = Files.createTempDirectory("lwes-corrupt").toString
     writeFile(dir, "good.gz", 0, 50)
