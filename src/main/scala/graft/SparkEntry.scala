@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** All query packs: name -> (query fn, Option(oracle SQL)). */
   private def packs: Map[String, ((SparkSession, String) => DataFrame, String)] =
-    Relational.all ++ Events.all ++ LwesQueries.all ++ Pipeline.withOracle
+    Relational.all ++ Events.all ++ LwesQueries.all ++
+      Pipeline.withOracle ++ Pipeline.withOracle2
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -86,8 +86,11 @@ object Similarity {
     val cents = c
       .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h")).limit(nLists)
+      // constant partition key: nLists rows, so single-partition is the
+      // point — but an empty partitionSpec would trip WindowExec's
+      // "no partition defined" warning on every run
       .withColumn("centroid_id", row_number().over(
-        Window.orderBy(col("__h"))).cast("long"))
+        Window.partitionBy(lit(0)).orderBy(col("__h"))).cast("long"))
       .select(col("centroid_id"), col("v_c").as("v_cent"))
     val assigned = c.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("v_c"), col("v_cent")))

@@ -134,6 +134,62 @@ object Pipeline {
         |ORDER BY query_id, rnk""".stripMargin))
   )
 
+  /** Distinct w=3 string-shingle set per document in DuckDB terms —
+    * hash-cardinality-equivalent to ShingleHashes (space can't occur
+    * inside a token, so joined strings are bijective with token
+    * sequences; 64-bit collisions are ~2^-40 at this scale). Mirrors the
+    * n<w edge case: one whole-doc shingle. */
+  private val duckShingles: String =
+    """tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |        FROM documents),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(ts) >= 3
+      |         THEN list_distinct(list_transform(range(1, len(ts) - 1),
+      |                i -> array_to_string(ts[i:i+2], ' ')))
+      |         ELSE [array_to_string(ts, ' ')] END AS s
+      |  FROM tok)""".stripMargin
+
+  val withOracle2: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // C4: exact n-gram Jaccard over a deterministic candidate set
+    // (consecutive doc ids) — always non-empty.
+    "dedup_ngram" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        Dedup.ngramJaccard(pairs, docs, "text", "doc_id", w = 3)
+          .orderBy(col("id_a"))
+      },
+      s"""WITH $duckShingles
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin)),
+
+    // C13: benchmark decontamination — corpus docs sharing 3-gram
+    // shingles with a probe set (here: 5 corpus docs as probes; each
+    // probe's self-match guarantees non-empty output).
+    "text_contamination" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val probes = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("probe_id"), col("text"))
+        graft.operators.Contamination.ngramOverlap(docs, probes)
+          .filter(col("shared_shingles") >= 3)
+          .orderBy(col("probe_id"), col("containment").desc, col("doc_id"))
+      },
+      s"""WITH $duckShingles,
+        |probes AS (SELECT doc_id AS probe_id, s AS ps FROM sh WHERE doc_id < 5)
+        |SELECT d.doc_id, p.probe_id,
+        |  CAST(len(list_intersect(d.s, p.ps)) AS BIGINT) AS shared_shingles,
+        |  round(len(list_intersect(d.s, p.ps))::DOUBLE /
+        |    greatest(len(p.ps), 1), 4) AS containment
+        |FROM sh d CROSS JOIN probes p
+        |WHERE len(list_intersect(d.s, p.ps)) >= 3
+        |ORDER BY probe_id, containment DESC, doc_id""".stripMargin))
+  )
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // C2: MinHash+LSH near-dup summary (pair count + jaccard stats).
@@ -152,14 +208,6 @@ object Pipeline {
           round(avg(col("hamming")), 4).as("avg_hamming"))
     }),
 
-    // C4: exact n-gram Jaccard over a deterministic candidate set
-    // (consecutive doc ids) — always non-empty.
-    "dedup_ngram" -> ((s: SparkSession, d: String) => {
-      val docs = t(s, d, "documents")
-      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      Dedup.ngramJaccard(pairs, docs, "text", "doc_id", w = 3)
-        .orderBy(col("id_a"))
-    }),
 
     // C5: embedding near-dup summary via LSH buckets.
     "embed_near_dup" -> ((s: SparkSession, d: String) => {
@@ -201,22 +249,25 @@ object Pipeline {
     }),
 
     // C1-C13 composed: the full corpus-cleaning pipeline in one plan —
-    // exact dedup -> near-dup removal (MinHash-LSH) -> quality filter ->
+    // exact dedup -> quality filter -> near-dup removal (MinHash-LSH) ->
     // decontamination -> per-lang stats of the surviving corpus.
+    // Stage order is the 100 TB-shaped one: the per-row quality filter
+    // is O(n) and cuts the corpus BEFORE the candidate-pair stage, whose
+    // cost scales with bucket occupancy.
     "pipeline_clean_corpus" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       val exact = Dedup.exact(docs, Seq("text"), "doc_id")
-      val nearDupIds = Dedup.minhashPairs(exact, "text", "doc_id",
+      val quality = TextAnalysis.qualityScore(exact)
+        .filter(col("quality_score") >= 0.3)
+      val nearDupIds = Dedup.minhashPairs(quality, "text", "doc_id",
           k = 32, bands = 8, w = 3, threshold = 0.8)
         .select(col("id_b").as("__dup_id")).distinct()
-      val noDups = exact.join(nearDupIds,
-        exact("doc_id") === col("__dup_id"), "left_anti")
-      val quality = TextAnalysis.qualityScore(noDups)
-        .filter(col("quality_score") >= 0.3)
+      val noDups = quality.join(nearDupIds,
+        quality("doc_id") === col("__dup_id"), "left_anti")
       val probes = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("probe_id"), col("text"))
       val clean = graft.operators.Contamination.decontaminate(
-        quality, probes, threshold = 0.9)
+        noDups, probes, threshold = 0.9)
       clean.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("quality_score")), 4).as("avg_quality"),
@@ -224,16 +275,5 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
-    // C13: benchmark decontamination — corpus docs sharing 3-gram
-    // shingles with a probe set (here: 5 corpus docs as probes; each
-    // probe's self-match guarantees non-empty output).
-    "text_contamination" -> ((s: SparkSession, d: String) => {
-      val docs = t(s, d, "documents")
-      val probes = docs.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("probe_id"), col("text"))
-      graft.operators.Contamination.ngramOverlap(docs, probes)
-        .filter(col("shared_shingles") >= 3)
-        .orderBy(col("probe_id"), col("containment").desc, col("doc_id"))
-    })
   )
 }
