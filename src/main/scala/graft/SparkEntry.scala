@@ -1,14 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, LwesQueries, Pipeline, Relational}
+import graft.queries.{Events, LwesQueries, Pipeline, Relational, Subqueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All query packs: name -> (query fn, Option(oracle SQL)). */
   private def packs: Map[String, ((SparkSession, String) => DataFrame, String)] =
-    Relational.all ++ Events.all ++ LwesQueries.all ++
+    Relational.all ++ Subqueries.all ++ Events.all ++ LwesQueries.all ++
       Pipeline.withOracle ++ Pipeline.withOracle2
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
