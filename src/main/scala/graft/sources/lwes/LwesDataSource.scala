@@ -184,7 +184,7 @@ class LwesTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LwesScanBuilder(schema, new CaseInsensitiveStringMap(

@@ -7,6 +7,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -28,35 +29,83 @@ class LwesWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new LwesBatchWrite(info.schema(), options, doTruncate)
+    override def toStreaming: streaming.StreamingWrite =
+      new LwesStreamingWrite(info.schema(), options)
   }
 }
 
 final case class LwesCommitMessage(path: String, count: Long)
     extends WriterCommitMessage
 
+/** Write-side options shared by the batch and streaming paths. */
+private[lwes] final case class LwesWriteConfig(path: String, eventName: String,
+    attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String])
+
+private[lwes] object LwesWriteConfig {
+  def apply(options: CaseInsensitiveStringMap): LwesWriteConfig = {
+    val path = LwesDataSource.paths(options).headOption
+      .getOrElse(throw new IllegalArgumentException("lwes write needs a path"))
+    val (attrFor, _) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
+    LwesWriteConfig(path,
+      Option(options.get(LwesOptions.EventName)).getOrElse("Event"),
+      attrFor,
+      Option(options.get(LwesOptions.Compression)).forall(_ != "none"),
+      Option(options.get("partitionBy")).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+  }
+}
+
 class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
     truncate: Boolean) extends BatchWrite {
 
-  private val path = LwesDataSource.paths(options).headOption
-    .getOrElse(throw new IllegalArgumentException("lwes write needs a path"))
-
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val wc = LwesWriteConfig(options)
     val conf = LwesDataSource.hadoopConf()
-    val p = new Path(path)
+    val p = new Path(wc.path)
     val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    val eventName = Option(options.get(LwesOptions.EventName)).getOrElse("Event")
-    val (attrFor, _) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
-    val gzip = Option(options.get(LwesOptions.Compression)).forall(_ != "none")
-    val partitionBy = Option(options.get("partitionBy")).toSeq
-      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-    new LwesDataWriterFactory(path, schema, eventName, attrFor, gzip, partitionBy,
-      SerializableHadoopConf.broadcast(conf))
+    new LwesDataWriterFactory(wc.path, schema, wc.eventName, wc.attrFor, wc.gzip,
+      wc.partitionBy, SerializableHadoopConf.broadcast(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming journal sink (`df.writeStream.format("lwes")`): one journal
+  * per (epoch, partition) in the same append-only directory layout the
+  * streaming READER tails — a graft stream can land journals that
+  * another graft stream (or the batch reader) consumes directly.
+  * Epoch-qualified file names make replayed epochs idempotent: a
+  * re-attempt of a committed epoch regenerates the same name and the
+  * first committed file wins. */
+class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    val wc = LwesWriteConfig(options)
+    val conf = LwesDataSource.hadoopConf()
+    val p = new Path(wc.path)
+    p.getFileSystem(conf).mkdirs(p)
+    new LwesStreamingDataWriterFactory(wc.path, schema, wc.eventName, wc.attrFor,
+      wc.gzip, wc.partitionBy, SerializableHadoopConf.broadcast(conf))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class LwesStreamingDataWriterFactory(dir: String, schema: StructType,
+    eventName: String, attrFor: Map[String, String], gzip: Boolean,
+    partitionBy: Seq[String],
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LwesDataWriter(dir, schema, eventName, attrFor, gzip, partitionBy,
+      partitionId, taskId, bconf.value.value, s"part-e$epochId")
 }
 
 class LwesDataWriterFactory(dir: String, schema: StructType, eventName: String,
@@ -74,9 +123,16 @@ class LwesDataWriterFactory(dir: String, schema: StructType, eventName: String,
   * handling) and are not written as event attributes. */
 class LwesDataWriter(dir: String, schema: StructType, eventName: String,
     attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String],
-    partitionId: Int, taskId: Long, conf: Configuration)
+    partitionId: Int, taskId: Long, conf: Configuration,
+    prefix: String = null)
     extends DataWriter[InternalRow] {
 
+  /** Streaming (prefix != null): epoch-stable names — no taskId, so a
+    * replayed epoch regenerates the same name and the first committed
+    * file wins. Batch: taskId-qualified, the commit coordinator ensures
+    * a single committer per partition. */
+  private val stableNames = prefix != null
+  private val namePrefix = if (prefix == null) "part" else prefix
   private val ext = if (gzip) "gz" else "journal"
   private val fs = new Path(dir).getFileSystem(conf)
   private val attrs: Array[String] = schema.fields.map(f => attrFor.getOrElse(f.name, f.name))
@@ -92,8 +148,10 @@ class LwesDataWriter(dir: String, schema: StructType, eventName: String,
     open.getOrElseUpdate(subdir, {
       val base = if (subdir.isEmpty) new Path(dir) else new Path(dir, subdir)
       fs.mkdirs(base)
-      val tmp = new Path(base, s".part-$partitionId-$taskId-${UUID.randomUUID()}.$ext.tmp")
-      val dest = new Path(base, f"part-$partitionId%05d-$taskId.$ext")
+      val tmp = new Path(base, s".$namePrefix-$partitionId-$taskId-${UUID.randomUUID()}.$ext.tmp")
+      val dest = new Path(base,
+        if (stableNames) f"$namePrefix-$partitionId%05d.$ext"
+        else f"$namePrefix-$partitionId%05d-$taskId.$ext")
       val raw = fs.create(tmp, true)
       (new JournalWriter(
         if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw),
@@ -126,8 +184,12 @@ class LwesDataWriter(dir: String, schema: StructType, eventName: String,
   override def commit(): WriterCommitMessage = {
     open.values.foreach { case (w, tmp, dest) =>
       w.close()
-      if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(s"rename $tmp -> $dest failed")
+      if (!fs.rename(tmp, dest)) {
+        // replayed streaming epoch: an earlier attempt already committed
+        // this exact file — keep it, drop ours
+        if (stableNames && fs.exists(dest)) fs.delete(tmp, false)
+        else throw new java.io.IOException(s"rename $tmp -> $dest failed")
+      }
     }
     LwesCommitMessage(dir, count)
   }

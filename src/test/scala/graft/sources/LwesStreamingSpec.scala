@@ -118,6 +118,31 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming lwes SINK: stream-in journals, stream-out journals, read back (A16)") {
+    val src = Files.createTempDirectory("lwes-sink-src").toString
+    val dst = Files.createTempDirectory("lwes-sink-dst").toString
+    val ckpt = Files.createTempDirectory("lwes-sink-ckpt").toString
+    writeFile(src, "a.gz", 0, 40)
+    val q = spark.readStream.format("lwes")
+      .schema("id long, amount int").load(src)
+      .selectExpr("id", "amount * 10 AS amount10")
+      .writeStream.format("lwes")
+      .option("eventName", "Out::Ev")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start(dst)
+    try {
+      q.processAllAvailable()
+      writeFile(src, "b.gz", 40, 60)
+      q.processAllAvailable()
+      val back = spark.read.format("lwes")
+        .schema("id long, amount10 long")
+        .option("eventName", "Out::Ev").load(dst)
+      assert(back.count() == 60)
+      assert(back.agg(sum("amount10")).head.getLong(0)
+        == (0 until 60).map(_ * 20L).sum)
+    } finally q.stop()
+  }
+
   test("corrupt journal tail ends the file, not the job") {
     val dir = Files.createTempDirectory("lwes-corrupt").toString
     writeFile(dir, "good.gz", 0, 50)
