@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
@@ -153,7 +153,39 @@ object SignatureExpressions {
       copy(child = c)
   }
 
+  /** `cosine_sim(array<double>, array<double>)` → double: one-pass
+    * cosine with the exact semantics of the composed
+    * `aggregate(zip_with(a,b,*),0,+) / greatest(norm*norm, 1e-12)`
+    * formulation — same left-fold accumulation order (bit-identical
+    * doubles, the sim_topk oracle depends on it), null on length
+    * mismatch or any null element (zip_with padding/null-propagation
+    * semantics) — without materializing three intermediate arrays. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
   // ------------------------------------------------------- Column API
+
+  def cosine_sim(a: Column, b: Column): Column =
+    bridge.toColumn(CosineSim(bridge.toExpression(a), bridge.toExpression(b)))
 
   def shingle_hashes(tokens: Column, w: Int): Column =
     bridge.toColumn(ShingleHashes(bridge.toExpression(tokens), w))

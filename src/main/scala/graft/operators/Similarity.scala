@@ -14,14 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns. */
+  /** Dot product of two array<double> columns (composed formulation;
+    * [[cosine]] uses the one-pass expression with identical fold order). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
+    graft.functions.SignatureExpressions.cosine_sim(a, b)
 
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))

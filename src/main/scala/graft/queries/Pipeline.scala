@@ -257,13 +257,17 @@ object Pipeline {
     "pipeline_clean_corpus" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       val exact = Dedup.exact(docs, Seq("text"), "doc_id")
+      // persist the filtered corpus: four downstream subtrees (minhash
+      // signatures, anti-join left side, decontamination shingles, final
+      // anti-join) would each re-run the dedup window + quality regexes
+      // otherwise — the same midpoint you'd checkpoint at 100 TB
       val quality = TextAnalysis.qualityScore(exact)
-        .filter(col("quality_score") >= 0.3)
+        .filter(col("quality_score") >= 0.3).cache()
       val nearDupIds = Dedup.minhashPairs(quality, "text", "doc_id",
           k = 32, bands = 8, w = 3, threshold = 0.8)
         .select(col("id_b").as("__dup_id")).distinct()
       val noDups = quality.join(nearDupIds,
-        quality("doc_id") === col("__dup_id"), "left_anti")
+        quality("doc_id") === col("__dup_id"), "left_anti").cache()
       val probes = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("probe_id"), col("text"))
       val clean = graft.operators.Contamination.decontaminate(

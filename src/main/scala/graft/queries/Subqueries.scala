@@ -184,11 +184,18 @@ object Subqueries {
             col("l_orderkey") === col("o_orderkey"))
           .withColumn("late",
             col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-        val perOrder = li.groupBy(col("l_orderkey").as("__ok"))
-          .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
-            countDistinct(when(col("late"), col("l_suppkey"))).as("__n_late_supp"),
-            max(when(col("late"), col("l_suppkey"))).as("__late_supp"),
-            count(when(col("late"), lit(1))).as("__n_late_lines"))
+        // two-level aggregation instead of countDistinct×2: a single
+        // Expand-free pass per (order, supplier), then per order — the
+        // shape that holds when one order has thousands of lines
+        val perSupp = li.groupBy(col("l_orderkey").as("__ok"), col("l_suppkey"))
+          .agg(max(col("late")).as("__supp_late"),
+            count(when(col("late"), lit(1))).as("__supp_late_lines"))
+        val perOrder = perSupp.groupBy(col("__ok"))
+          .agg(count(lit(1)).as("__n_supp"),
+            count(when(col("__supp_late"), lit(1))).as("__n_late_supp"),
+            max(when(col("__supp_late"), col("l_suppkey"))).as("__late_supp"),
+            sum(when(col("__supp_late"), col("__supp_late_lines"))
+              .otherwise(lit(0L))).as("__n_late_lines"))
           .filter(col("__n_supp") >= 2 && col("__n_late_supp") === 1)
         perOrder
           .join(broadcast(t(s, d, "supplier")), col("__late_supp") === col("s_suppkey"))
