@@ -14,9 +14,9 @@ import java.io.{BufferedInputStream, DataInputStream, EOFException, InputStream}
   * does not need to exist on the classpath: the value payload is
   * `[4-byte big-endian length][serialized event]`
   * (reference EventWritable.java:52-57), identical to `BytesWritable`'s
-  * wire shape. Uncompressed record format only (the layout journal
-  * archives used); compressed containers should be re-landed via the
-  * datagram writer or parquet.
+  * wire shape. Supports uncompressed, zlib record-compressed, and zlib
+  * block-compressed containers (the three layouts Hive tables over the
+  * reference SerDe could physically contain).
   */
 final class SequenceJournalReader(raw: InputStream,
     eventNameFilter: String => Boolean = null,
@@ -28,6 +28,7 @@ final class SequenceJournalReader(raw: InputStream,
 
   private val sync = new Array[Byte](16)
   private var recordCompressed = false
+  private var blockCompressed = false
 
   // ----------------------------------------------------------- header
   {
@@ -39,13 +40,11 @@ final class SequenceJournalReader(raw: InputStream,
     readVIntString() // key class name (e.g. o.a.h.io.LongWritable)
     readVIntString() // value class name (e.g. org.lwes.hadoop.EventWritable)
     recordCompressed = in.readBoolean()
-    val blockCompressed = in.readBoolean()
-    require(!blockCompressed,
-      "block-compressed SequenceFile journals are not supported; re-land via the datagram writer")
-    if (recordCompressed) {
+    blockCompressed = in.readBoolean()
+    if (recordCompressed || blockCompressed) {
       val codec = readVIntString()
       require(codec == "org.apache.hadoop.io.compress.DefaultCodec",
-        s"unsupported SequenceFile record codec $codec (only zlib/DefaultCodec)")
+        s"unsupported SequenceFile codec $codec (only zlib/DefaultCodec)")
     }
     val metaCount = in.readInt()
     (0 until metaCount).foreach { _ => readVIntString(); readVIntString() }
@@ -88,8 +87,74 @@ final class SequenceJournalReader(raw: InputStream,
     (if (negative) ~v else v).toInt
   }
 
+  // ------------------------------------------- block-compressed format
+  // Each block: sync escape (-1) + 16B sync, vint record count, then
+  // four vint-framed zlib buffers (key-lengths, keys, value-lengths,
+  // values). Keys are skipped; value lengths frame the values buffer.
+  private var blockValues: Iterator[Array[Byte]] = Iterator.empty
+
+  /** vint length + zlib bytes → decompressed buffer. */
+  private def readZlibBuffer(): Array[Byte] = {
+    val len = readVInt()
+    val b = new Array[Byte](len)
+    in.readFully(b)
+    inflate(b)
+  }
+
+  /** Loads the next block's values; false at EOF. */
+  private def readNextBlock(): Boolean = {
+    val escape = try in.readInt() catch { case _: EOFException => return false }
+    require(escape == -1, s"expected block sync escape, got $escape")
+    val marker = new Array[Byte](16)
+    in.readFully(marker)
+    require(marker.sameElements(sync), "sync marker mismatch (corrupt block)")
+    val nRecords = readVInt()
+    readZlibBuffer() // key lengths (unused)
+    readZlibBuffer() // keys (unused)
+    val valLens = readZlibBuffer()
+    val values = readZlibBuffer()
+    // value-lengths buffer is a sequence of vints framing `values`
+    var p = 0
+    def bufVInt(): Int = {
+      val first = valLens(p); p += 1
+      val len = if (first >= -112) 1
+        else if (first >= -120) -111 - first
+        else -119 - first
+      if (len == 1) return first.toInt
+      var v = 0L
+      (0 until len - 1).foreach { _ => v = (v << 8) | (valLens(p) & 0xff); p += 1 }
+      (if (first < -120) ~v else v).toInt
+    }
+    var off = 0
+    blockValues = (0 until nRecords).map { _ =>
+      val l = bufVInt()
+      val slice = java.util.Arrays.copyOfRange(values, off, off + l)
+      off += l
+      slice
+    }.iterator
+    true
+  }
+
+  /** Parse + filter one EventWritable payload (4B BE length + event). */
+  private def toEvent(value: Array[Byte]): Option[LwesEvent] = {
+    val evLen = ((value(0) & 0xff) << 24) | ((value(1) & 0xff) << 16) |
+      ((value(2) & 0xff) << 8) | (value(3) & 0xff)
+    require(evLen == value.length - 4,
+      s"EventWritable length $evLen != record payload ${value.length - 4}")
+    if (eventNameFilter == null || eventNameFilter(LwesCodec.eventName(value, 4)))
+      Some(LwesCodec.deserialize(value, 4, evLen, wanted))
+    else None
+  }
+
   /** Next event passing the filters, or None at EOF. */
   def next(): Option[LwesEvent] = {
+    if (blockCompressed) {
+      while (blockValues.hasNext || readNextBlock()) {
+        val ev = toEvent(blockValues.next())
+        if (ev.isDefined) return ev
+      }
+      return None
+    }
     while (true) {
       val recordLen = try in.readInt() catch { case _: EOFException => return None }
       if (recordLen == -1) {
@@ -105,15 +170,8 @@ final class SequenceJournalReader(raw: InputStream,
           in.readFully(raw)
           if (recordCompressed) inflate(raw) else raw
         }
-        // EventWritable layout: 4B big-endian length prefix + event bytes
-        val evLen = ((value(0) & 0xff) << 24) | ((value(1) & 0xff) << 16) |
-          ((value(2) & 0xff) << 8) | (value(3) & 0xff)
-        require(evLen == value.length - 4,
-          s"EventWritable length $evLen != record payload ${value.length - 4}")
-        val accept = eventNameFilter == null ||
-          eventNameFilter(LwesCodec.eventName(value, 4))
-        if (accept)
-          return Some(LwesCodec.deserialize(value, 4, evLen, wanted))
+        val ev = toEvent(value)
+        if (ev.isDefined) return ev
       }
     }
     None // unreachable

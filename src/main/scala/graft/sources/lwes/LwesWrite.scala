@@ -39,19 +39,41 @@ final case class LwesCommitMessage(path: String, count: Long)
 
 /** Write-side options shared by the batch and streaming paths. */
 private[lwes] final case class LwesWriteConfig(path: String, eventName: String,
-    attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String])
+    attrFor: Map[String, String], compression: String, partitionBy: Seq[String])
 
 private[lwes] object LwesWriteConfig {
+  val Compressions = Set("gzip", "deflate", "bz2", "bzip2", "none")
+
   def apply(options: CaseInsensitiveStringMap): LwesWriteConfig = {
     val path = LwesDataSource.paths(options).headOption
       .getOrElse(throw new IllegalArgumentException("lwes write needs a path"))
     val (attrFor, _) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
+    val compression =
+      Option(options.get(LwesOptions.Compression)).getOrElse("gzip").toLowerCase
+    require(Compressions.contains(compression),
+      s"unsupported lwes compression '$compression' (${Compressions.mkString("|")})")
     LwesWriteConfig(path,
       Option(options.get(LwesOptions.EventName)).getOrElse("Event"),
-      attrFor,
-      Option(options.get(LwesOptions.Compression)).forall(_ != "none"),
+      attrFor, compression,
       Option(options.get("partitionBy")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+  }
+
+  /** Codec for a journal write; read-side detection is by extension, so
+    * the extension always comes from the codec's default one. */
+  def codecFor(compression: String, conf: Configuration):
+      Option[org.apache.hadoop.io.compress.CompressionCodec] = {
+    val codec = compression match {
+      case "gzip" => Some(new org.apache.hadoop.io.compress.GzipCodec)
+      case "deflate" => Some(new org.apache.hadoop.io.compress.DefaultCodec)
+      case "bz2" | "bzip2" => Some(new org.apache.hadoop.io.compress.BZip2Codec)
+      case _ => None
+    }
+    codec.foreach {
+      case c: org.apache.hadoop.conf.Configurable => c.setConf(conf)
+      case _ =>
+    }
+    codec
   }
 }
 
@@ -65,7 +87,7 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
     val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new LwesDataWriterFactory(wc.path, schema, wc.eventName, wc.attrFor, wc.gzip,
+    new LwesDataWriterFactory(wc.path, schema, wc.eventName, wc.attrFor, wc.compression,
       wc.partitionBy, SerializableHadoopConf.broadcast(conf))
   }
 
@@ -90,7 +112,7 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap)
     val p = new Path(wc.path)
     p.getFileSystem(conf).mkdirs(p)
     new LwesStreamingDataWriterFactory(wc.path, schema, wc.eventName, wc.attrFor,
-      wc.gzip, wc.partitionBy, SerializableHadoopConf.broadcast(conf))
+      wc.compression, wc.partitionBy, SerializableHadoopConf.broadcast(conf))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -98,22 +120,22 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class LwesStreamingDataWriterFactory(dir: String, schema: StructType,
-    eventName: String, attrFor: Map[String, String], gzip: Boolean,
+    eventName: String, attrFor: Map[String, String], compression: String,
     partitionBy: Seq[String],
     bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LwesDataWriter(dir, schema, eventName, attrFor, gzip, partitionBy,
+    new LwesDataWriter(dir, schema, eventName, attrFor, compression, partitionBy,
       partitionId, taskId, bconf.value.value, s"part-e$epochId")
 }
 
 class LwesDataWriterFactory(dir: String, schema: StructType, eventName: String,
-    attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String],
+    attrFor: Map[String, String], compression: String, partitionBy: Seq[String],
     bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LwesDataWriter(dir, schema, eventName, attrFor, gzip, partitionBy,
+    new LwesDataWriter(dir, schema, eventName, attrFor, compression, partitionBy,
       partitionId, taskId, bconf.value.value)
 }
 
@@ -122,7 +144,7 @@ class LwesDataWriterFactory(dir: String, schema: StructType, eventName: String,
   * style `col=value/` subdirectory (readable back by the A14 partition
   * handling) and are not written as event attributes. */
 class LwesDataWriter(dir: String, schema: StructType, eventName: String,
-    attrFor: Map[String, String], gzip: Boolean, partitionBy: Seq[String],
+    attrFor: Map[String, String], compression: String, partitionBy: Seq[String],
     partitionId: Int, taskId: Long, conf: Configuration,
     prefix: String = null)
     extends DataWriter[InternalRow] {
@@ -133,7 +155,9 @@ class LwesDataWriter(dir: String, schema: StructType, eventName: String,
     * a single committer per partition. */
   private val stableNames = prefix != null
   private val namePrefix = if (prefix == null) "part" else prefix
-  private val ext = if (gzip) "gz" else "journal"
+  private val codec = LwesWriteConfig.codecFor(compression, conf)
+  private val ext =
+    codec.map(_.getDefaultExtension.stripPrefix(".")).getOrElse("journal")
   private val fs = new Path(dir).getFileSystem(conf)
   private val attrs: Array[String] = schema.fields.map(f => attrFor.getOrElse(f.name, f.name))
   private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
@@ -154,7 +178,7 @@ class LwesDataWriter(dir: String, schema: StructType, eventName: String,
         else f"$namePrefix-$partitionId%05d-$taskId.$ext")
       val raw = fs.create(tmp, true)
       (new JournalWriter(
-        if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw),
+        codec.map(_.createOutputStream(raw): java.io.OutputStream).getOrElse(raw)),
         tmp, dest)
     })._1
 

@@ -90,4 +90,32 @@ class LwesSequenceFileSpec extends AnyFunSuite {
     assert(df.count() == 250)
     assert(df.agg(sum("score")).head.getLong(0) == (0 until 250).map(_ * 3L).sum)
   }
+
+  test("block-compressed (zlib) sequence journals read transparently") {
+    val dir = Files.createTempDirectory("lwes-seq-bc").toString
+    // small block size forces multiple blocks (sync + 4 zlib buffers each)
+    val conf = new Configuration()
+    conf.setInt("io.seqfile.compress.blocksize", 4096)
+    val w = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(new Path(s"$dir/bc.seq")),
+      SequenceFile.Writer.keyClass(classOf[LongWritable]),
+      SequenceFile.Writer.valueClass(classOf[BytesWritable]),
+      SequenceFile.Writer.compression(SequenceFile.CompressionType.BLOCK))
+    (0 until 1000).foreach { i =>
+      val ev = LwesEvent(if (i % 2 == 0) "Seq::A" else "Seq::B")
+        .setInt64("id", i.toLong)
+        .setString("tag", s"t${i % 7}")
+        .setInt32("score", i * 3)
+      w.append(new LongWritable(i.toLong), new BytesWritable(LwesCodec.serialize(ev)))
+    }
+    w.close()
+    val df = spark.read.format("lwes").schema("id long, tag string, score int").load(dir)
+    assert(df.count() == 1000)
+    assert(df.agg(sum("id")).head.getLong(0) == (0 until 1000).map(_.toLong).sum)
+    assert(df.agg(sum("score")).head.getLong(0) == (0 until 1000).map(_ * 3L).sum)
+    // eventName filter still applies inside blocks
+    val a = spark.read.format("lwes").schema("id long")
+      .option("eventName", "Seq::A").load(dir)
+    assert(a.count() == 500)
+  }
 }

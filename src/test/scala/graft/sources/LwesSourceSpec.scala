@@ -146,6 +146,22 @@ class LwesSourceSpec extends AnyFunSuite {
     assert(df.filter(col("dt") === "2026-01-01").count() == 30)
   }
 
+  test("write-side codecs: deflate and bz2 journals round-trip (A10)") {
+    import spark.implicits._
+    for (comp <- Seq("deflate", "bz2")) {
+      val dir = tmp()
+      (1L to 300L).map(i => (i, s"v$i")).toDF("id", "v")
+        .write.format("lwes").option("eventName", "C::E")
+        .option("compression", comp).mode("append").save(dir)
+      val files = new java.io.File(dir).listFiles.map(_.getName).filterNot(_.startsWith("."))
+      val wantExt = if (comp == "bz2") ".bz2" else ".deflate"
+      assert(files.nonEmpty && files.forall(_.endsWith(wantExt)), files.mkString(","))
+      val back = spark.read.format("lwes").schema("id long, v string").load(dir)
+      assert(back.count() == 300)
+      assert(back.agg(sum("id")).head.getLong(0) == (1L to 300L).sum)
+    }
+  }
+
   test("overwrite mode truncates previous journal files (A10)") {
     import spark.implicits._
     val dir = tmp()
