@@ -93,6 +93,32 @@ object TextAnalysis {
       .withColumn("fp_xor",
         aggregate(col("shingles"), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
       .drop("shingles")
+
+  // -------------------------------------------------------------- C15
+
+  /** PII patterns — the RE2/Java-regex common subset so the same
+    * pattern strings run identically in Spark and in SQL engines. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9\\- ]{7,}[0-9]"
+
+  /** PII scrubbing for training corpora: masks emails, IPv4s, and
+    * international-format phone numbers (in that fixed order), and
+    * counts what was masked. Pure per-row codegen'd expressions — no
+    * shuffle, no UDF. */
+  def scrubPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_pii",
+        (size(regexp_extract_all(t, lit(EmailRe), lit(0))) +
+          size(regexp_extract_all(t, lit(Ipv4Re), lit(0))) +
+          size(regexp_extract_all(t, lit(PhoneRe), lit(0)))).cast("long"))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+  }
 }
 
 /** Shared shingling helpers. */

@@ -15,6 +15,34 @@ object Events {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
+    // B30: cohort retention — users' first-activity day vs activity k
+    // days later. Day arithmetic stays in epoch-nano longs (integer
+    // division) so no timestamp type crosses the engine boundary.
+    "q_retention" -> ((
+      (s: SparkSession, d: String) => {
+        val DayNs = 86400000000000L
+        val days = events(s, d)
+          .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+          .distinct()
+        val cohort = days.groupBy(col("user_id").as("__u"))
+          .agg(min(col("day")).as("cohort_day"))
+        days.join(cohort, col("user_id") === col("__u"))
+          .withColumn("k", col("day") - col("cohort_day"))
+          .filter(col("k") <= 7)
+          .groupBy(col("cohort_day"), col("k"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_day"), col("k"))
+      },
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS k, count(*) AS n_users
+        |FROM days d JOIN cohort c ON d.user_id = c.user_id
+        |WHERE d.day - c.cohort_day <= 7
+        |GROUP BY c.cohort_day, k
+        |ORDER BY cohort_day, k""".stripMargin)),
+
     // B14: gap-based sessionization (graft.operators.Sessions).
     "q_sessionize" -> ((
       (s: SparkSession, d: String) => {

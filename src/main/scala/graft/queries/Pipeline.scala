@@ -187,7 +187,37 @@ object Pipeline {
         |    greatest(len(p.ps), 1), 4) AS containment
         |FROM sh d CROSS JOIN probes p
         |WHERE len(list_intersect(d.s, p.ps)) >= 3
-        |ORDER BY probe_id, containment DESC, doc_id""".stripMargin))
+        |ORDER BY probe_id, containment DESC, doc_id""".stripMargin)),
+
+    // C15: PII scrubbing. The corpus is synthetic (no PII), so the query
+    // injects deterministic emails/IPs/phones per doc, scrubs them, and
+    // the oracle compares the full scrubbed text via md5 (identical
+    // lowercase-hex semantics in both engines).
+    "text_scrub_pii" -> ((
+      (s: SparkSession, d: String) => {
+        val withPii = t(s, d, "documents")
+          .withColumn("text", concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or 192.168."),
+            pmod(col("doc_id"), lit(256)), lit(".1 call +1 555 010-"),
+            lit(1000) + pmod(col("doc_id"), lit(9000))))
+        TextAnalysis.scrubPii(withPii)
+          .select(col("doc_id"), col("n_pii"), md5(col("text")).as("scrub_md5"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 192.168.' ||
+        |      (doc_id % 256) || '.1 call +1 555 010-' || (1000 + doc_id % 9000) AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '${TextAnalysis.EmailRe}'))
+        |     + len(regexp_extract_all(t2, '${TextAnalysis.Ipv4Re}'))
+        |     + len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+        |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+        |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS scrub_md5
+        |FROM p ORDER BY doc_id""".stripMargin))
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
