@@ -97,6 +97,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  // -------------------------------------------------------------- C16
+
+  /** Candidate pairs from an inverted shingle index: documents sharing
+    * >= minShared distinct w-shingles, with stop-shingles (document
+    * frequency > maxDf) dropped first. The scale shape: one shuffle to
+    * build the index, a document-frequency filter that bounds bucket
+    * sizes (the "the quick brown" problem), and a self-join confined to
+    * rare shingles. */
+  def shingleCandidates(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, maxDf: Int = 20, minShared: Int = 5): DataFrame = {
+    val inv = df.select(col(idCol).as("id"),
+      explode(graft.functions.SignatureExpressions.shingle_hashes(
+        TextAnalysis.tokens(col(textCol)), w)).as("g"))
+    val rare = inv.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDf).select("g")
+    val r = inv.join(rare, Seq("g"))
+    val a = r.select(col("g"), col("id").as("id_a"))
+    val b = r.select(col("g"), col("id").as("id_b"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b")
+  }
+
+  /** Duplicate-cluster resolution: connected components over a verified
+    * near-dup edge set, by iterative min-label propagation — each
+    * iteration is one distributed join+aggregate; the driver only reads
+    * a convergence count. Converges in O(component diameter) rounds
+    * (near-dup clusters are shallow); at 100 TB swap the plain cache
+    * for checkpoints every few rounds to cut lineage, or move to the
+    * small-star/large-star variant for deep graphs. Returns
+    * (id, cluster_id = min reachable id). */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .cache()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = und.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .filter(col("label") =!= col("__old")).count()
+      labels = next
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   // --------------------------------------------------------------- C4
 
   /** Brute n-gram Jaccard for a candidate pair set (id_a, id_b):

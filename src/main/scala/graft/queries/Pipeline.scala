@@ -189,6 +189,44 @@ object Pipeline {
         |WHERE len(list_intersect(d.s, p.ps)) >= 3
         |ORDER BY probe_id, containment DESC, doc_id""".stripMargin)),
 
+    // C16: duplicate-cluster resolution — inverted-shingle-index
+    // candidates (df-filtered), exact-Jaccard-verified edges, connected
+    // components by min-label propagation. The oracle recomputes the
+    // same edge set over string shingles and closes it with a recursive
+    // CTE (transitive closure, min reachable id).
+    "dedup_clusters" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val cand = Dedup.shingleCandidates(docs, "text", "doc_id",
+          w = 3, maxDf = 20, minShared = 5)
+        val edges = Dedup.ngramJaccard(cand, docs, "text", "doc_id", w = 3)
+          .filter(col("jaccard") >= 0.5)
+        Dedup.connectedComponents(edges)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE $duckShingles,
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 20),
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM inv a JOIN rare USING (g) JOIN inv b USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY ida, idb HAVING count(*) >= 5),
+        |ver AS (
+        |  SELECT ida, idb
+        |  FROM cand JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb
+        |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+        |          greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1), 4) >= 0.5),
+        |und AS (SELECT ida AS src, idb AS dst FROM ver
+        |        UNION ALL SELECT idb, ida FROM ver),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM und
+        |  UNION
+        |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // C15: PII scrubbing. The corpus is synthetic (no PII), so the query
     // injects deterministic emails/IPs/phones per doc, scrubs them, and
     // the oracle compares the full scrubbed text via md5 (identical

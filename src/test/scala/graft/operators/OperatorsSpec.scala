@@ -17,6 +17,28 @@ class OperatorsSpec extends AnyFunSuite {
   private val base =
     "the quick brown fox jumps over the lazy dog and runs far away home tonight"
 
+  test("connected components resolve transitive duplicate clusters (C16)") {
+    // path 1-2-3-4 (diameter 3), disjoint pair 10-11, singleton edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("shingleCandidates drops stop-shingles and requires minShared (C16)") {
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, common + " one two three"),
+      (2L, common + " one two four"),   // shares 6+ shingles with doc 1
+      (3L, "totally different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.shingleCandidates(docs, "text", "doc_id",
+      w = 3, maxDf = 2, minShared = 3).collect()
+    assert(cand.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("exact dedup keeps the row with the smallest tiebreaker") {
     val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb"), (5L, "aaa"))
       .toDF("doc_id", "text")
