@@ -43,6 +43,26 @@ object Events {
         |GROUP BY c.cohort_day, k
         |ORDER BY cohort_day, k""".stripMargin)),
 
+    // B31: exact percentiles (linear interpolation at p*(n-1), the
+    // same definition as SQL quantile_cont) of the value distribution
+    // per event type.
+    "q_percentiles" -> ((
+      (s: SparkSession, d: String) => {
+        events(s, d)
+          .groupBy(col("event_type"))
+          .agg(round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+            round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+            round(percentile(col("value"), lit(0.99)), 4).as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // B14: gap-based sessionization (graft.operators.Sessions).
     "q_sessionize" -> ((
       (s: SparkSession, d: String) => {

@@ -154,6 +154,38 @@ class LwesStreamingSpec extends AnyFunSuite {
     assert(df.count() == 80) // 50 + 30 survive, torn tail skipped
   }
 
+  test("stream-stream interval join of two journal streams (B32)") {
+    val dirA = Files.createTempDirectory("lwes-ssj-a").toString
+    val dirB = Files.createTempDirectory("lwes-ssj-b").toString
+    // stream A: events at t+0; stream B: matching events 30s later,
+    // same id space — join B to A within [0, 2 min]
+    val wA = JournalWriter.create(s"$dirA/a.gz")
+    val wB = JournalWriter.create(s"$dirB/b.gz")
+    (0 until 100).foreach { i =>
+      val t0 = 1700000000000L + i * 60000L
+      wA.write(LwesEvent("S::A").setInt64("id", i.toLong).setInt64("t", t0))
+      wB.write(LwesEvent("S::B").setInt64("id", i.toLong).setInt64("t", t0 + 30000L))
+    }
+    wA.close(); wB.close()
+    val a = spark.readStream.format("lwes").schema("id long, t long").load(dirA)
+      .selectExpr("id AS a_id", "timestamp_millis(t) AS a_ts")
+      .withWatermark("a_ts", "10 minutes")
+    val b = spark.readStream.format("lwes").schema("id long, t long").load(dirB)
+      .selectExpr("id AS b_id", "timestamp_millis(t) AS b_ts")
+      .withWatermark("b_ts", "10 minutes")
+    val joined = a.join(b,
+      expr("a_id = b_id AND b_ts BETWEEN a_ts AND a_ts + INTERVAL 2 MINUTES"))
+    val q = joined.writeStream.format("memory")
+      .queryName("lwes_ssj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lwes_ssj").count() == 100)
+      assert(spark.table("lwes_ssj")
+        .selectExpr("sum(CAST(b_ts AS LONG) - CAST(a_ts AS LONG))")
+        .head.getLong(0) == 100L * 30)
+    } finally q.stop()
+  }
+
   test("stateful running stats accumulate and dedup across micro-batches (B20)") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.EventRow
