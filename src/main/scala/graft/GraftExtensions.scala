@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.functions.EliminateLwesRoundTrip)
+    e.injectOptimizerRule(_ => graft.plans.TopKFromWindow)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((FunctionIdentifier("from_lwes"),
       new ExpressionInfo(classOf[LwesExpressions.FromLwes].getName, "from_lwes"),
       (exprs: Seq[Expression]) => LwesExpressions.FromLwes(exprs.head, strLit(exprs(1)))))

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B33: per-key top-k via the TopKFromWindow rewrite — custom
+  * LogicalPlan + SparkStrategy + bounded-heap exec, no per-group sort. */
+class TopKPerKeySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.GraftExtensions)
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("matches an independently computed top-k per key") {
+    val rows = (1 to 5000).map { i => (i % 37L, (i * 7919) % 1000, s"row$i") }
+    val df = rows.toDF("k", "score", "payload")
+    val topk = TopK.perKey(df, Seq(col("k")),
+        Seq(col("score").desc, col("payload").asc), 5)
+      .select("k", "rnk", "score", "payload").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val expected = rows.groupBy(_._1).flatMap { case (k, g) =>
+      g.sortBy { case (_, s, p) => (-s, p) }.take(5).zipWithIndex
+        .map { case ((_, s, p), i) => (k, i + 1, s, p) }
+    }.toSet
+    assert(topk.length == expected.size)
+    assert(topk.toSet == expected)
+  }
+
+  test("k larger than group size returns whole groups, ranked") {
+    val df = Seq((1L, 30), (1L, 10), (2L, 20)).toDF("k", "v")
+    val out = TopK.perKey(df, Seq(col("k")), Seq(col("v").asc), 10)
+      .orderBy("k", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 10, 1), (1L, 30, 2), (2L, 20, 1)))
+  }
+
+  test("plans as TopKPerKeyExec with a hash exchange and NO sort or window") {
+    val df = (1 to 100).map(i => (i % 5L, i)).toDF("k", "v")
+    val topk = TopK.perKey(df, Seq(col("k")), Seq(col("v").desc), 3)
+    topk.collect() // force AQE final plan
+    // physical nodes render without the Exec suffix
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("!TopKPerKey"), plan) // no missing-attribute marker
+    assert(!plan.contains("Sort ") && !plan.contains("Window "), plan)
+    assert(plan.contains("hashpartitioning"), plan)
+  }
+
+  test("rewrite leaves rank()/multi-function windows and global windows alone") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 10), (1L, 10), (2L, 5)).toDF("k", "v")
+    // rank() has tie semantics a bounded heap cannot honor
+    val ranked = df.withColumn("r",
+        rank().over(Window.partitionBy("k").orderBy(col("v").desc)))
+      .filter(col("r") <= 1)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKeyExec"))
+    assert(ranked.count() == 3) // both tied rows of k=1 kept by rank()
+  }
+}
