@@ -196,10 +196,19 @@ class LwesTable(schema: StructType, options: CaseInsensitiveStringMap)
 
 class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var readSchema: StructType = fullSchema
   private var partitionFilters: Array[Filter] = Array.empty
+  private var pushedLimit: Int = -1
+
+  /** LIMIT n stops each partition's parse after n events (the global
+    * limit still applies on top). Safe with the eventName filter
+    * because the reader counts emitted rows, not scanned records. */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = limit
+    false // partial: Spark keeps the global Limit node
+  }
 
   override def pruneColumns(required: StructType): Unit = {
     // keep full-schema field order & types; required may reorder
@@ -237,7 +246,7 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       eventName.map(Set(_)).getOrElse(eventFor.values.toSet)
     val pcols = samplePartitionCols.toSeq.filter(readSchema.fieldNames.contains)
     new LwesScan(readSchema,
-      LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols),
+      LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols, pushedLimit),
       roots, partitionFilters,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
@@ -249,11 +258,23 @@ final case class LwesInputPartition(path: String, length: Long,
 class LwesScan(schema: StructType, config: LwesReadConfig,
     roots: Seq[String], partitionFilters: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"LwesScan(events=${config.eventNames.mkString("|")}, cols=${schema.fieldNames.mkString(",")})"
+
+  /** Compressed on-disk bytes × an inflation factor — enough signal for
+    * Catalyst/AQE to broadcast an lwes-sourced dimension instead of
+    * shuffling the fact side (without this, DSv2 assumes
+    * defaultSizeInBytes = "huge" and never broadcasts). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = planInputPartitions()
+      .map(_.asInstanceOf[LwesInputPartition].length).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(bytes, 1L) * 4)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = LwesDataSource.hadoopConf()
@@ -445,9 +466,11 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
     partition.path, conf, nameFilter, wanted)
   private var current: InternalRow = _
   private var corrupt = false
+  private var emitted = 0
 
   override def next(): Boolean = {
     if (corrupt) return false
+    if (config.limit >= 0 && emitted >= config.limit) return false
     val ev = try {
       reader.next() match {
         case Some(e) => e
@@ -482,6 +505,7 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
       i += 1
     }
     current = row
+    emitted += 1
     true
   }
 

@@ -24,7 +24,8 @@ final case class LwesReadConfig(
     attrFor: Map[String, String], // column -> attribute
     eventFor: Map[String, String], // column -> required event type ("" = any)
     eventNames: Set[String], // accept-set; empty = accept all
-    partitionCols: Seq[String]) // path-derived k=v columns
+    partitionCols: Seq[String], // path-derived k=v columns
+    limit: Int = -1) // pushed-down per-partition row limit (-1 = none)
   extends Serializable {
 
   /** Attributes the deserializer must materialize. */

@@ -135,6 +135,20 @@ class LwesSourceSpec extends AnyFunSuite {
     assert(byDt == Map("2026-01-01" -> 60L, "2026-01-02" -> 60L))
   }
 
+  test("scan reports statistics and pushes LIMIT into the parser (A17)") {
+    val dir = tmp()
+    writeMixedJournal(dir, 600)
+    val df = spark.read.format("lwes").schema("id long, score int").load(dir)
+    // statistics: logical plan sizeInBytes must come from file lengths,
+    // not the conservative defaultSizeInBytes
+    val stats = df.queryExecution.optimizedPlan.stats
+    val onDisk = new java.io.File(dir).listFiles.map(_.length).sum
+    assert(stats.sizeInBytes == BigInt(onDisk) * 4, s"$stats vs $onDisk")
+    // limit: reads stop early per partition; result still correct
+    assert(df.limit(7).count() == 7)
+    assert(df.limit(10000).count() == 600)
+  }
+
   test("k=v segments ABOVE the load root are not partition columns (A14)") {
     val dir = tmp()
     // root itself lives under a k=v-looking directory; only dt= (below
