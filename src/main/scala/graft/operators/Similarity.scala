@@ -73,18 +73,14 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
 
-  /** IVF-flat ANN: k deterministic centroid vectors partition the
-    * corpus into inverted lists (assignment = nearest centroid); each
-    * query probes its `nprobe` closest lists and exact-ranks within
-    * them. Centroids are hash-sampled corpus rows — at 100 TB you'd
-    * k-means them, which changes recall but not this plan shape: a
-    * broadcast of k·dim doubles, one corpus pass to assign, and a join
-    * confined to probed lists (≈ nprobe/k of the corpus per query). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nLists: Int = 16, nprobe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
-    // deterministic sample: nLists rows with the smallest id-hash
-    val cents = c
+  /** Deterministic k-means centroids for IVF lists: init = the k corpus
+    * rows with the smallest id-hash, then `iters` Lloyd rounds. Each
+    * round is one broadcast of k·dim doubles (assignment) + one
+    * element-wise mean (posexplode → per-dimension avg → re-assemble,
+    * ordered by position so the collect is deterministic). Clusters
+    * that lose all members keep their previous centroid. */
+  def kmeansCentroids(c: DataFrame, nLists: Int, iters: Int = 2): DataFrame = {
+    var cents = c
       .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h")).limit(nLists)
       // constant partition key: nLists rows, so single-partition is the
@@ -93,6 +89,37 @@ object Similarity {
       .withColumn("centroid_id", row_number().over(
         Window.partitionBy(lit(0)).orderBy(col("__h"))).cast("long"))
       .select(col("centroid_id"), col("v_c").as("v_cent"))
+    for (_ <- 0 until iters) {
+      val assigned = c.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("v_c"), col("v_cent")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("neighbor_id"))
+            .orderBy(col("sim").desc, col("centroid_id"))))
+        .filter(col("rk") === 1)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v_c")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("v_new"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("v_new"), col("v_cent")).as("v_cent"))
+    }
+    cents
+  }
+
+  /** IVF-flat ANN: k-means centroid vectors partition the corpus into
+    * inverted lists (assignment = nearest centroid); each query probes
+    * its `nprobe` closest lists and exact-ranks within them. The plan
+    * shape that survives 100 TB: a broadcast of k·dim doubles, one
+    * corpus pass to assign, and a join confined to probed lists
+    * (≈ nprobe/k of the corpus per query). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
+    val cents = kmeansCentroids(c, nLists, kmeansIters).cache()
     val assigned = c.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("v_c"), col("v_cent")))
       .withColumn("rk", row_number().over(

@@ -179,4 +179,20 @@ class OperatorsSpec extends AnyFunSuite {
     // the scaled copy lands in the same list as its source and ranks first
     assert(out.head.getLong(2) == 100L && out.head.getDouble(3) == 1.0)
   }
+
+  test("kmeans centroids: k rows, dims preserved, deterministic, lossless fallback") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val c = df.select($"vec_id".as("neighbor_id"),
+      transform($"embedding", x => x.cast("double")).as("v_c"))
+    val cents = Similarity.kmeansCentroids(c, nLists = 4, iters = 2)
+    val rows = cents.orderBy("centroid_id").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getSeq[Double](1).length == 8))
+    // deterministic: a second evaluation yields identical vectors
+    val rows2 = Similarity.kmeansCentroids(c, nLists = 4, iters = 2)
+      .orderBy("centroid_id").collect()
+    assert(rows.map(_.getSeq[Double](1)).toSeq == rows2.map(_.getSeq[Double](1)).toSeq)
+  }
 }
