@@ -143,6 +143,27 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compaction merges a streamed sink's small files, preserving rows (A18)") {
+    import graft.sources.lwes.Compact
+    val src = Files.createTempDirectory("lwes-compact-src").toString
+    val dst = Files.createTempDirectory("lwes-compact-dst").toString
+    val ckpt = Files.createTempDirectory("lwes-compact-ckpt").toString
+    val q = spark.readStream.format("lwes")
+      .schema("id long, amount int").option("maxFilesPerTrigger", "1").load(src)
+      .writeStream.format("lwes").option("eventName", "C::E")
+      .option("checkpointLocation", ckpt).outputMode("append").start(dst)
+    try {
+      // 6 source files, 1 per trigger -> >= 6 sink journals
+      (0 until 6).foreach { i => writeFile(src, s"f$i.gz", i * 10, (i + 1) * 10); q.processAllAvailable() }
+    } finally q.stop()
+    val (before, after) = Compact.compact(spark, dst, targetFiles = 2, eventName = "C::E")
+    assert(before >= 6 && after <= 2, s"$before -> $after")
+    val back = spark.read.format("lwes")
+      .schema("id long, amount long").option("eventName", "C::E").load(dst)
+    assert(back.count() == 60)
+    assert(back.agg(sum("id")).head.getLong(0) == (0 until 60).map(_.toLong).sum)
+  }
+
   test("corrupt journal tail ends the file, not the job") {
     val dir = Files.createTempDirectory("lwes-corrupt").toString
     writeFile(dir, "good.gz", 0, 50)
