@@ -269,6 +269,23 @@ object Pipeline {
           round(max(col("jaccard")), 4).as("max_jaccard"))
     }),
 
+    // C2+C16 composed: the production dedup chain — MinHash-LSH pair
+    // discovery, connected components, keep the cluster representative
+    // (min doc_id), report survivor stats. Signature-hash edges are not
+    // SQL-expressible, so rows-only.
+    "dedup_minhash_clusters" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        k = 32, bands = 8, w = 3, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs)
+      val removed = cc.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("__rm"))
+      docs.join(removed, docs("doc_id") === col("__rm"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // C3: SimHash near-dup summary.
     "dedup_simhash" -> ((s: SparkSession, d: String) => {
       Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 16)

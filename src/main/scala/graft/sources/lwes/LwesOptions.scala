@@ -37,6 +37,7 @@ final case class LwesReadConfig(
 
 object LwesOptions {
   val EventName = "eventName"
+  val EventNameColumn = "eventNameColumn" // write: per-row event type
   val Mapping = "mapping"
   val Compression = "compression"
   val InferMaxEvents = "inferMaxEvents"

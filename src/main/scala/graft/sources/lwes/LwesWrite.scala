@@ -37,9 +37,14 @@ class LwesWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap
 final case class LwesCommitMessage(path: String, count: Long)
     extends WriterCommitMessage
 
-/** Write-side options shared by the batch and streaming paths. */
+/** Write-side options shared by the batch and streaming paths.
+  * `eventNameCol` (option `eventNameColumn`): a column holding each
+  * row's event type — enables writing heterogeneous journals (the
+  * write-side counterpart of the A6 multi-event read); the column
+  * itself is not written as an attribute. */
 private[lwes] final case class LwesWriteConfig(path: String, eventName: String,
-    attrFor: Map[String, String], compression: String, partitionBy: Seq[String])
+    attrFor: Map[String, String], compression: String, partitionBy: Seq[String],
+    eventNameCol: Option[String] = None)
 
 private[lwes] object LwesWriteConfig {
   val Compressions = Set("gzip", "deflate", "bz2", "bzip2", "none")
@@ -56,7 +61,8 @@ private[lwes] object LwesWriteConfig {
       Option(options.get(LwesOptions.EventName)).getOrElse("Event"),
       attrFor, compression,
       Option(options.get("partitionBy")).toSeq
-        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+      Option(options.get(LwesOptions.EventNameColumn)))
   }
 
   /** Codec for a journal write; read-side detection is by extension, so
@@ -87,8 +93,7 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
     val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new LwesDataWriterFactory(wc.path, schema, wc.eventName, wc.attrFor, wc.compression,
-      wc.partitionBy, SerializableHadoopConf.broadcast(conf))
+    new LwesDataWriterFactory(wc, schema, SerializableHadoopConf.broadcast(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -111,43 +116,39 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap)
     val conf = LwesDataSource.hadoopConf()
     val p = new Path(wc.path)
     p.getFileSystem(conf).mkdirs(p)
-    new LwesStreamingDataWriterFactory(wc.path, schema, wc.eventName, wc.attrFor,
-      wc.compression, wc.partitionBy, SerializableHadoopConf.broadcast(conf))
+    new LwesStreamingDataWriterFactory(wc, schema, SerializableHadoopConf.broadcast(conf))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class LwesStreamingDataWriterFactory(dir: String, schema: StructType,
-    eventName: String, attrFor: Map[String, String], compression: String,
-    partitionBy: Seq[String],
+class LwesStreamingDataWriterFactory(wc: LwesWriteConfig, schema: StructType,
     bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LwesDataWriter(dir, schema, eventName, attrFor, compression, partitionBy,
-      partitionId, taskId, bconf.value.value, s"part-e$epochId")
+    new LwesDataWriter(wc, schema, partitionId, taskId, bconf.value.value,
+      s"part-e$epochId")
 }
 
-class LwesDataWriterFactory(dir: String, schema: StructType, eventName: String,
-    attrFor: Map[String, String], compression: String, partitionBy: Seq[String],
+class LwesDataWriterFactory(wc: LwesWriteConfig, schema: StructType,
     bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LwesDataWriter(dir, schema, eventName, attrFor, compression, partitionBy,
-      partitionId, taskId, bconf.value.value)
+    new LwesDataWriter(wc, schema, partitionId, taskId, bconf.value.value)
 }
 
 /** One journal per task, or one per (task, partition-value combination)
   * when `partitionBy` names columns — those route the row into a Hive
   * style `col=value/` subdirectory (readable back by the A14 partition
   * handling) and are not written as event attributes. */
-class LwesDataWriter(dir: String, schema: StructType, eventName: String,
-    attrFor: Map[String, String], compression: String, partitionBy: Seq[String],
+class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
     partitionId: Int, taskId: Long, conf: Configuration,
     prefix: String = null)
     extends DataWriter[InternalRow] {
+
+  private val dir = wc.path
 
   /** Streaming (prefix != null): epoch-stable names — no taskId, so a
     * replayed epoch regenerates the same name and the first committed
@@ -155,14 +156,16 @@ class LwesDataWriter(dir: String, schema: StructType, eventName: String,
     * a single committer per partition. */
   private val stableNames = prefix != null
   private val namePrefix = if (prefix == null) "part" else prefix
-  private val codec = LwesWriteConfig.codecFor(compression, conf)
+  private val codec = LwesWriteConfig.codecFor(wc.compression, conf)
   private val ext =
     codec.map(_.getDefaultExtension.stripPrefix(".")).getOrElse("journal")
   private val fs = new Path(dir).getFileSystem(conf)
-  private val attrs: Array[String] = schema.fields.map(f => attrFor.getOrElse(f.name, f.name))
-  private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  private val attrs: Array[String] =
+    schema.fields.map(f => wc.attrFor.getOrElse(f.name, f.name))
+  private val partIdx: Array[Int] = wc.partitionBy.map(schema.fieldIndex).toArray
+  private val nameIdx: Int = wc.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
   private val isPartCol: Array[Boolean] =
-    schema.fields.indices.map(i => partIdx.contains(i)).toArray
+    schema.fields.indices.map(i => partIdx.contains(i) || i == nameIdx).toArray
 
   // open journals: partition subdir ("" = unpartitioned) -> writer + paths
   private val open = scala.collection.mutable.LinkedHashMap[String, (JournalWriter, Path, Path)]()
@@ -183,7 +186,10 @@ class LwesDataWriter(dir: String, schema: StructType, eventName: String,
     })._1
 
   override def write(row: InternalRow): Unit = {
-    val ev = LwesEvent(eventName)
+    val name =
+      if (nameIdx >= 0 && !row.isNullAt(nameIdx)) row.getUTF8String(nameIdx).toString
+      else wc.eventName
+    val ev = LwesEvent(name)
     var i = 0
     while (i < schema.length) {
       if (!isPartCol(i) && !row.isNullAt(i)) {

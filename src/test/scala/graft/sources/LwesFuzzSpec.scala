@@ -63,9 +63,9 @@ class LwesFuzzSpec extends AnyFunSuite {
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 3), full)
       val dir = Files.createTempDirectory(s"fuzz$trial").toString
-      val gzip = rnd.nextBoolean()
+      val comp = Seq("gzip", "none", "deflate")(rnd.nextInt(3))
       df.write.format("lwes").option("eventName", s"Fuzz::T$trial")
-        .option("compression", if (gzip) "gzip" else "none")
+        .option("compression", comp)
         .mode("append").save(dir)
       val back = spark.read.format("lwes").schema(full)
         .option("eventName", s"Fuzz::T$trial").load(dir)
@@ -73,9 +73,37 @@ class LwesFuzzSpec extends AnyFunSuite {
       val got = back.collect().map(r => r.toSeq.map(normalize)).sortBy(_.toString)
       assert(got.length == exp.length, s"trial $trial: row count")
       exp.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
-        assert(e == g, s"trial $trial row $i: expected $e got $g (schema $full, gzip=$gzip)")
+        assert(e == g, s"trial $trial row $i: expected $e got $g (schema $full, comp=$comp)")
       }
     }
+  }
+
+  test("block-compressed SequenceFile containers survive random payload fuzz") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{BytesWritable, LongWritable, SequenceFile}
+    val rnd = new Random(777)
+    val dir = Files.createTempDirectory("fuzz-seq-block").toString
+    val conf = new Configuration()
+    conf.setInt("io.seqfile.compress.blocksize", 2048) // many small blocks
+    val w = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(new Path(s"$dir/f.seq")),
+      SequenceFile.Writer.keyClass(classOf[LongWritable]),
+      SequenceFile.Writer.valueClass(classOf[BytesWritable]),
+      SequenceFile.Writer.compression(SequenceFile.CompressionType.BLOCK))
+    val expected = (0 until 500).map { i =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(80)).mkString
+      val ev = graft.lwes.LwesEvent(s"F::${i % 3}")
+        .setInt64("id", i.toLong).setString("s", s)
+        .setInt32("n", rnd.nextInt())
+      w.append(new LongWritable(i.toLong),
+        new BytesWritable(graft.lwes.LwesCodec.serialize(ev)))
+      (i.toLong, s)
+    }
+    w.close()
+    val back = spark.read.format("lwes").schema("id long, s string").load(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == expected)
   }
 
   /** -0.0 serializes as "-0.0" and parses back to -0.0; normalize NaN

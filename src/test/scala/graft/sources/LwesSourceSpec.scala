@@ -160,6 +160,29 @@ class LwesSourceSpec extends AnyFunSuite {
     assert(df.filter(col("dt") === "2026-01-01").count() == 30)
   }
 
+  test("eventNameColumn writes heterogeneous journals, read back per type (A6 write parity)") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "Ev::click", 1.5), (2L, "Ev::view", 2.5), (3L, "Ev::click", 3.5))
+      .toDF("id", "etype", "value")
+      .write.format("lwes").option("eventNameColumn", "etype")
+      .mode("append").save(dir)
+    val clicks = spark.read.format("lwes").schema("id long, value double")
+      .option("eventName", "Ev::click").load(dir)
+    assert(clicks.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the name column itself is not an attribute on the wire
+    val all = spark.read.format("lwes").load(dir)
+    assert(!all.schema.fieldNames.contains("etype"))
+    // multi-event mapping sees both types in one frame
+    val multi = spark.read.format("lwes")
+      .schema("click_v double, view_v double")
+      .option("mapping", "click_v:Ev::click::value, view_v:Ev::view::value")
+      .load(dir)
+    assert(multi.agg(sum("click_v"), sum("view_v")).head match {
+      case r => r.getDouble(0) == 5.0 && r.getDouble(1) == 2.5
+    })
+  }
+
   test("write-side codecs: deflate and bz2 journals round-trip (A10)") {
     import spark.implicits._
     for (comp <- Seq("deflate", "bz2")) {
