@@ -43,4 +43,32 @@ object Temporal {
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
+
+  /** Interval-overlap join (SURVEY.md §2 B34): pairs (a, b) with
+    * `a.start <= b.end && b.start <= a.end`, found WITHOUT an
+    * inequality cross-join. Both sides explode their interval onto a
+    * `binSize` grid; candidates share a grid cell (equi-join, one
+    * shuffle), are deduped (an overlapping pair can share several
+    * cells), then the exact predicate filters. Cost scales with
+    * overlap density, not |A|×|B|; choose `binSize` near the typical
+    * interval length (each interval lands in len/binSize + 1 cells).
+    *
+    * Inputs need columns (`startCol`, `endCol`) in the same numeric
+    * unit; every other column is carried with the given prefix. */
+  def intervalJoin(a: DataFrame, b: DataFrame, startCol: String,
+      endCol: String, binSize: Long, prefixA: String = "a_",
+      prefixB: String = "b_"): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    def binned(df: DataFrame, prefix: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, prefix + c))
+      // integer `div`, not floor(double /): epoch nanos exceed 2^53
+      renamed.withColumn("__bin", explode(sequence(
+        expr(s"`$prefix$startCol` div ${binSize}L"),
+        expr(s"`$prefix$endCol` div ${binSize}L"))))
+    }
+    binned(a, prefixA).join(binned(b, prefixB), Seq("__bin"))
+      .drop("__bin").distinct()
+      .filter(col(prefixA + startCol) <= col(prefixB + endCol) &&
+        col(prefixB + startCol) <= col(prefixA + endCol))
+  }
 }

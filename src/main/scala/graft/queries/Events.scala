@@ -15,6 +15,44 @@ object Events {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
+    // B34: interval-overlap join — session intervals of DIFFERENT users
+    // that overlap in time, via grid-binned equi-join (never an
+    // inequality cross-join). Oracle does the plain inequality join.
+    "q_interval_join" -> ((
+      (s: SparkSession, d: String) => {
+        // micros on BOTH sides: DuckDB's parquet reader truncates nano
+        // timestamps to micros, so nano-precision endpoints would differ
+        val ev = events(s, d).withColumn("tus", expr("ts div 1000"))
+        val iv = graft.operators.Sessions
+          .sessionize(ev, "user_id", "tus", "event_id", 1800L * 1000 * 1000)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("tus")).as("s"), max(col("tus")).as("e"))
+        val pairs = graft.operators.Temporal
+          .intervalJoin(iv, iv, "s", "e", binSize = 3600L * 1000 * 1000)
+          .filter(col("a_user_id") < col("b_user_id"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+            .as("total_overlap_us"))
+      },
+      s"""WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid, t
+        |  FROM flagged),
+        |iv AS (SELECT user_id, sid, min(t) AS s, max(t) AS e
+        |       FROM sess GROUP BY user_id, sid)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS total_overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e""".stripMargin)),
+
     // B30: cohort retention — users' first-activity day vs activity k
     // days later. Day arithmetic stays in epoch-nano longs (integer
     // division) so no timestamp type crosses the engine boundary.
