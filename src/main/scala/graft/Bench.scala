@@ -26,14 +26,18 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // isolate queries: intermediate caches (LSH signatures etc.) must
         // not squeeze the next query's execution memory
         spark.catalog.clearCache()
-        elapsed
+        (ok, elapsed)
       }
-      name -> times.min
+      // a failed iteration must not report its (fast) failure time as
+      // sustained throughput: min over successes only, -1 if none
+      val good = times.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

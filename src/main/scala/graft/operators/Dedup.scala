@@ -130,7 +130,7 @@ object Dedup {
     * small-star/large-star variant for deep graphs. Returns
     * (id, cluster_id = min reachable id). */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 30): DataFrame = {
     val und = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .cache()
@@ -143,11 +143,20 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+      // the count materializes `next`, so the superseded cache can go
       changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
       labels = next
       i += 1
     }
+    // wrong-but-plausible cluster ids are worse than failing loud: a
+    // component with diameter > maxIter would silently split
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
+    und.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
   }
 

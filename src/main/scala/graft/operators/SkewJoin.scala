@@ -23,7 +23,7 @@ object SkewJoin {
     * `salt` times (one per replica), corrupting the null-extension. */
   private val SupportedJoinTypes =
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-      "left_anti", "leftanti", "cross")
+      "semi", "left_anti", "leftanti", "anti", "cross")
 
   def salted(left: DataFrame, right: DataFrame, key: String,
       saltBy: String, salt: Int = 16, joinType: String = "inner"): DataFrame = {

@@ -66,9 +66,16 @@ object Temporal {
         expr(s"`$prefix$startCol` div ${binSize}L"),
         expr(s"`$prefix$endCol` div ${binSize}L"))))
     }
+    // dedup multi-cell candidates WITHOUT distinct() (which would also
+    // collapse legitimately identical input rows and change join
+    // multiplicity): keep each pair only in the FIRST cell both
+    // intervals share — max(starts) div binSize, which any truly
+    // overlapping pair covers exactly once
     binned(a, prefixA).join(binned(b, prefixB), Seq("__bin"))
-      .drop("__bin").distinct()
       .filter(col(prefixA + startCol) <= col(prefixB + endCol) &&
         col(prefixB + startCol) <= col(prefixA + endCol))
+      .filter(col("__bin") === expr(
+        s"greatest(`$prefixA$startCol`, `$prefixB$startCol`) div ${binSize}L"))
+      .drop("__bin")
   }
 }

@@ -172,7 +172,12 @@ object LwesDataSource {
       .filterNot(c => fields.exists(_.name == c))
       .map(c => StructField(c, StringType, nullable = true))
 
-    StructType(fields ++ pcols)
+    // requested event-type column
+    val ncol = Option(options.get(LwesOptions.EventNameColumn)).toSeq
+      .filterNot(c => fields.exists(_.name == c))
+      .map(c => StructField(c, StringType, nullable = false))
+
+    StructType(fields ++ pcols ++ ncol)
   }
 }
 
@@ -245,8 +250,11 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     val eventNames: Set[String] =
       eventName.map(Set(_)).getOrElse(eventFor.values.toSet)
     val pcols = samplePartitionCols.toSeq.filter(readSchema.fieldNames.contains)
+    val ncol = Option(options.get(LwesOptions.EventNameColumn))
+      .filter(readSchema.fieldNames.contains)
     new LwesScan(readSchema,
-      LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols, pushedLimit),
+      LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
+        pushedLimit, ncol),
       roots, partitionFilters,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
@@ -264,19 +272,10 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
   override def description(): String =
     s"LwesScan(events=${config.eventNames.mkString("|")}, cols=${schema.fieldNames.mkString(",")})"
 
-  /** Compressed on-disk bytes × an inflation factor — enough signal for
-    * Catalyst/AQE to broadcast an lwes-sourced dimension instead of
-    * shuffling the fact side (without this, DSv2 assumes
-    * defaultSizeInBytes = "huge" and never broadcasts). */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = planInputPartitions()
-      .map(_.asInstanceOf[LwesInputPartition].length).sum
-    override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(math.max(bytes, 1L) * 4)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
+  // one listing per scan, shared by partition planning and every stats
+  // request (Catalyst may ask for stats repeatedly while planning; at
+  // journal scale each recursive listing is thousands of LIST calls)
+  private lazy val plannedPartitions: Array[InputPartition] = {
     val conf = LwesDataSource.hadoopConf()
     val files = LwesDataSource.listFiles(roots, conf)
     files.iterator.map { f =>
@@ -286,6 +285,22 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
       // biggest files first → better task packing at scale
       .toArray.sortBy(-_.length).map(p => p: InputPartition)
   }
+
+  /** Compressed on-disk bytes × an inflation factor — enough signal for
+    * Catalyst/AQE to broadcast an lwes-sourced dimension instead of
+    * shuffling the fact side (without this, DSv2 assumes
+    * defaultSizeInBytes = "huge" and never broadcasts). */
+  override def estimateStatistics(): Statistics = {
+    val bytes = plannedPartitions
+      .map(_.asInstanceOf[LwesInputPartition].length).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L) * 4)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   private def matches(pv: Map[String, String], f: Filter): Boolean = f match {
     case EqualTo(a, v) => pv.get(a).forall(_ == String.valueOf(v))
@@ -454,6 +469,8 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
     schema.fields.zipWithIndex.collect {
       case (f, i) if config.partitionCols.contains(f.name) => i
     }.toSet
+  private val nameColIdx: Int =
+    config.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
 
   private val nameFilter: String => Boolean =
     if (config.eventNames.isEmpty) null else config.eventNames
@@ -491,7 +508,9 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
     val row = new GenericInternalRow(nCols)
     var i = 0
     while (i < nCols) {
-      if (partitionIdx.contains(i)) {
+      if (i == nameColIdx) {
+        row.update(i, UTF8String.fromString(ev.name))
+      } else if (partitionIdx.contains(i)) {
         row.update(i, partition.partitionValues.get(schema.fields(i).name)
           .map(UTF8String.fromString).orNull)
       } else if (requiredEvent(i).nonEmpty && requiredEvent(i) != ev.name) {

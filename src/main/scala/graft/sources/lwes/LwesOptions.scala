@@ -25,19 +25,23 @@ final case class LwesReadConfig(
     eventFor: Map[String, String], // column -> required event type ("" = any)
     eventNames: Set[String], // accept-set; empty = accept all
     partitionCols: Seq[String], // path-derived k=v columns
-    limit: Int = -1) // pushed-down per-partition row limit (-1 = none)
+    limit: Int = -1, // pushed-down per-partition row limit (-1 = none)
+    eventNameCol: Option[String] = None) // column carrying the event type
   extends Serializable {
 
   /** Attributes the deserializer must materialize. */
   def wantedAttrs: Set[String] =
-    schema.fieldNames.filterNot(partitionCols.contains).map(attrOf).toSet
+    schema.fieldNames.filterNot(partitionCols.contains)
+      .filterNot(eventNameCol.contains).map(attrOf).toSet
 
   def attrOf(col: String): String = attrFor.getOrElse(col, col)
 }
 
 object LwesOptions {
   val EventName = "eventName"
-  val EventNameColumn = "eventNameColumn" // write: per-row event type
+  // read: add a string column carrying each event's wire type;
+  // write: take each row's event type from this column
+  val EventNameColumn = "eventNameColumn"
   val Mapping = "mapping"
   val Compression = "compression"
   val InferMaxEvents = "inferMaxEvents"

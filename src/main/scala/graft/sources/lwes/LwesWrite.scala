@@ -30,7 +30,7 @@ class LwesWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap
     override def toBatch: BatchWrite =
       new LwesBatchWrite(info.schema(), options, doTruncate)
     override def toStreaming: streaming.StreamingWrite =
-      new LwesStreamingWrite(info.schema(), options)
+      new LwesStreamingWrite(info.schema(), options, info.queryId())
   }
 }
 
@@ -104,11 +104,14 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
   * per (epoch, partition) in the same append-only directory layout the
   * streaming READER tails — a graft stream can land journals that
   * another graft stream (or the batch reader) consumes directly.
-  * Epoch-qualified file names make replayed epochs idempotent: a
-  * re-attempt of a committed epoch regenerates the same name and the
-  * first committed file wins. */
-class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap)
-    extends streaming.StreamingWrite {
+  * (queryId, epoch)-qualified file names make replayed epochs
+  * idempotent — a re-attempt of a committed epoch regenerates the same
+  * name and the first committed file wins — while a DIFFERENT query (or
+  * the same sink dir after a checkpoint reset, which changes the
+  * queryId) never collides with a previous run's files, so its output
+  * is never mistaken for an already-committed replay and dropped. */
+class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
+    queryId: String) extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
@@ -116,7 +119,8 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap)
     val conf = LwesDataSource.hadoopConf()
     val p = new Path(wc.path)
     p.getFileSystem(conf).mkdirs(p)
-    new LwesStreamingDataWriterFactory(wc, schema, SerializableHadoopConf.broadcast(conf))
+    new LwesStreamingDataWriterFactory(wc, schema,
+      SerializableHadoopConf.broadcast(conf), queryId)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -124,12 +128,13 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class LwesStreamingDataWriterFactory(wc: LwesWriteConfig, schema: StructType,
-    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    queryId: String)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LwesDataWriter(wc, schema, partitionId, taskId, bconf.value.value,
-      s"part-e$epochId")
+      s"part-q${queryId.replace("-", "").take(12)}-e$epochId")
 }
 
 class LwesDataWriterFactory(wc: LwesWriteConfig, schema: StructType,

@@ -183,6 +183,21 @@ class LwesSourceSpec extends AnyFunSuite {
     })
   }
 
+  test("read-side eventNameColumn exposes each event's wire type") {
+    val dir = tmp()
+    writeMixedJournal(dir, 90) // Ad::Click / Ad::View mix
+    val df = spark.read.format("lwes")
+      .option("eventNameColumn", "etype").load(dir)
+    assert(df.schema.fieldNames.contains("etype"))
+    val byType = df.groupBy("etype").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("Ad::Click" -> 30L, "Ad::View" -> 60L))
+    // explicit schema works too, and the column survives projection
+    val df2 = spark.read.format("lwes").schema("id long, etype string")
+      .option("eventNameColumn", "etype").load(dir)
+    assert(df2.filter(col("etype") === "Ad::Click").count() == 30)
+  }
+
   test("write-side codecs: deflate and bz2 journals round-trip (A10)") {
     import spark.implicits._
     for (comp <- Seq("deflate", "bz2")) {

@@ -156,12 +156,59 @@ class LwesStreamingSpec extends AnyFunSuite {
       // 6 source files, 1 per trigger -> >= 6 sink journals
       (0 until 6).foreach { i => writeFile(src, s"f$i.gz", i * 10, (i + 1) * 10); q.processAllAvailable() }
     } finally q.stop()
-    val (before, after) = Compact.compact(spark, dst, targetFiles = 2, eventName = "C::E")
+    val (before, after) = Compact.compact(spark, dst, targetFiles = 2)
     assert(before >= 6 && after <= 2, s"$before -> $after")
+    // event types survive compaction (read back via the type filter)
     val back = spark.read.format("lwes")
       .schema("id long, amount long").option("eventName", "C::E").load(dst)
     assert(back.count() == 60)
     assert(back.agg(sum("id")).head.getLong(0) == (0 until 60).map(_.toLong).sum)
+  }
+
+  test("compaction keeps late-appearing attributes and heterogeneous event types") {
+    import graft.sources.lwes.Compact
+    val dir = Files.createTempDirectory("lwes-compact-late").toString
+    // 12 files; a new attribute 'extra' and a second event type appear
+    // only in the LAST file — sampling-based inference would miss both
+    (0 until 11).foreach { i =>
+      val w = JournalWriter.create(s"$dir/f$i.gz")
+      (0 until 20).foreach(j => w.write(
+        LwesEvent("T::A").setInt64("id", (i * 20 + j).toLong)))
+      w.close()
+    }
+    val w = JournalWriter.create(s"$dir/f11.gz")
+    (0 until 20).foreach(j => w.write(
+      LwesEvent("T::B").setInt64("id", (220 + j).toLong).setString("extra", s"x$j")))
+    w.close()
+    val (before, after) = Compact.compact(spark, dir, targetFiles = 1)
+    assert(before == 12 && after == 1, s"$before -> $after")
+    val bOnly = spark.read.format("lwes").schema("id long, extra string")
+      .option("eventName", "T::B").load(dir)
+    assert(bOnly.count() == 20)
+    assert(bOnly.filter(col("extra").isNotNull).count() == 20)
+    val all = spark.read.format("lwes").schema("id long").load(dir)
+    assert(all.count() == 240)
+  }
+
+  test("second stream into the same sink directory does not collide with the first") {
+    val src = Files.createTempDirectory("lwes-twoq-src").toString
+    val dst = Files.createTempDirectory("lwes-twoq-dst").toString
+    writeFile(src, "a.gz", 0, 30)
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.format("lwes")
+        .schema("id long, amount int").load(src)
+        .writeStream.format("lwes").option("eventName", "Q::E")
+        .option("checkpointLocation", ckpt).outputMode("append").start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // two distinct queries (fresh checkpoints) write the same data:
+    // with epoch-only names the second run's epoch 0 would be silently
+    // dropped as an "already-committed replay"
+    run(Files.createTempDirectory("lwes-twoq-c1").toString)
+    run(Files.createTempDirectory("lwes-twoq-c2").toString)
+    val back = spark.read.format("lwes").schema("id long")
+      .option("eventName", "Q::E").load(dst)
+    assert(back.count() == 60)
   }
 
   test("corrupt journal tail ends the file, not the job") {
