@@ -256,7 +256,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
         pushedLimit, ncol),
       roots, partitionFilters,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   }
 }
 
@@ -265,7 +266,8 @@ final case class LwesInputPartition(path: String, length: Long,
 
 class LwesScan(schema: StructType, config: LwesReadConfig,
     roots: Seq[String], partitionFilters: Array[Filter],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -313,7 +315,8 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
       SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()))
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new LwesMicroBatchStream(config, roots, maxFilesPerTrigger, checkpointLocation)
+    new LwesMicroBatchStream(config, roots, maxFilesPerTrigger,
+      checkpointLocation, maxBytesPerTrigger)
 }
 
 /** Streaming journal source (SURVEY.md §2 A13): tails append-only
@@ -334,7 +337,8 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
   * stable across checkpoint restarts.
   */
 class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
-    maxFilesPerTrigger: Option[Int] = None, checkpointLocation: String)
+    maxFilesPerTrigger: Option[Int] = None, checkpointLocation: String,
+    maxBytesPerTrigger: Option[Long] = None)
     extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
     with org.apache.spark.internal.Logging {
 
@@ -394,9 +398,23 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
   override def latestOffset(start: streaming.Offset,
       limit: streaming.ReadLimit): streaming.Offset = {
     val fresh = unseenFiles()
-    val admitted = limit match {
+    val byFiles = limit match {
       case mf: streaming.ReadMaxFiles => fresh.take(mf.maxFiles())
       case _ => fresh
+    }
+    // byte-based admission control on top: journals vary widely in
+    // size, so a file-count cap alone doesn't bound batch work. Always
+    // admits at least one file so an oversized journal cannot wedge
+    // the stream.
+    val admitted = maxBytesPerTrigger match {
+      case Some(maxB) =>
+        var acc = 0L
+        byFiles.takeWhile { f =>
+          val first = acc == 0L
+          acc += f.getLen
+          first || acc <= maxB
+        }
+      case None => byFiles
     }
     if (admitted.nonEmpty) {
       val parts = admitted.map(f => LwesInputPartition(f.getPath.toString,

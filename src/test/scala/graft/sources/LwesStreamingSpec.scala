@@ -222,6 +222,23 @@ class LwesStreamingSpec extends AnyFunSuite {
     assert(df.count() == 80) // 50 + 30 survive, torn tail skipped
   }
 
+  test("maxBytesPerTrigger bounds batches by size; oversized file still admitted") {
+    val dir = Files.createTempDirectory("lwes-stream-mbt").toString
+    (0 until 4).foreach(i => writeFile(dir, s"f$i.gz", i * 10, (i + 1) * 10))
+    val oneFile = new java.io.File(s"$dir/f0.gz").length()
+    val stream = spark.readStream.format("lwes")
+      .schema("id long, amount int")
+      .option("maxBytesPerTrigger", (oneFile + 1).toString).load(dir)
+    val q = stream.writeStream.format("memory")
+      .queryName("lwes_mbt").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lwes_mbt").count() == 40)
+      // cap ~1 file per batch -> at least 3 non-empty batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join of two journal streams (B32)") {
     val dirA = Files.createTempDirectory("lwes-ssj-a").toString
     val dirB = Files.createTempDirectory("lwes-ssj-b").toString
