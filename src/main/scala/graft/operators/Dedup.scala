@@ -150,13 +150,15 @@ object Dedup {
       labels = next
       i += 1
     }
+    und.unpersist()
     // wrong-but-plausible cluster ids are worse than failing loud: a
     // component with diameter > maxIter would silently split
-    if (changed > 0)
+    if (changed > 0) {
+      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing); raise maxIter")
-    und.unpersist()
+    }
     labels.withColumnRenamed("label", "cluster_id")
   }
 

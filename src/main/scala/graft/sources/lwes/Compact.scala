@@ -39,24 +39,66 @@ object Compact {
       !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
     val before = journals()
     if (before.isEmpty) return (0, 0)
-    val df = spark.read.format("lwes")
+    val paths = before.map(_.getPath.toString)
+    // full-scan schema inference, but DISTRIBUTED: one executor pass
+    // computing per-file attribute->type maps, widened on the driver in
+    // path order (deterministic). The driver-side sampling inference
+    // would either miss late-appearing attributes (and compaction
+    // deletes the only copy) or decompress every journal single-threaded.
+    val bconf = SerializableHadoopConf.broadcast(conf)
+    val perFile = spark.sparkContext.parallelize(paths.toSeq, paths.length)
+      .map { path =>
+        val seen = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.DataType]()
+        val r = LwesDataSource.openReader(path, bconf.value.value, null, null)
+        try {
+          val it = r.iterator
+          while (it.hasNext) {
+            it.next().attrs.foreach { a =>
+              val t = LwesOptions.sparkTypeFor(a.token)
+              seen.updateWith(a.key) {
+                case Some(prev) => Some(LwesOptions.widen(prev, t))
+                case None => Some(t)
+              }
+            }
+          }
+        } finally r.close()
+        path -> seen.toSeq
+      }.collect()
+    val union = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.DataType]()
+    perFile.sortBy(_._1).foreach { case (_, attrs) =>
+      attrs.foreach { case (k, t) =>
+        union.updateWith(k) {
+          case Some(prev) => Some(LwesOptions.widen(prev, t))
+          case None => Some(t)
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      union.toSeq.map { case (k, t) =>
+        org.apache.spark.sql.types.StructField(k, t, nullable = true) } :+
+        org.apache.spark.sql.types.StructField(NameCol,
+          org.apache.spark.sql.types.StringType, nullable = false))
+    val df = spark.read.format("lwes").schema(schema)
       .option(LwesOptions.EventNameColumn, NameCol)
-      .option(LwesOptions.InferMaxFiles, Int.MaxValue)
-      .option(LwesOptions.InferMaxEvents, Int.MaxValue)
-      .load(before.map(_.getPath.toString): _*)
+      .load(paths: _*)
     val tmp = new Path(p, s".compact-${java.util.UUID.randomUUID()}")
     df.coalesce(math.max(targetFiles, 1))
       .write.format("lwes")
       .option(LwesOptions.EventNameColumn, NameCol)
       .option(LwesOptions.Compression, compression)
       .mode("append").save(tmp.toString)
-    // promote first (fresh names cannot collide), delete originals after
+    // promote first (fresh names cannot collide), delete originals
+    // after; skip hidden leftovers (a task attempt killed before its
+    // abort() leaves a torn .tmp behind — promoting it would surface a
+    // partial journal)
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    fs.listStatus(tmp).filter(_.isFile).zipWithIndex.foreach { case (s, i) =>
-      val ext = s.getPath.getName.substring(s.getPath.getName.lastIndexOf('.'))
-      if (!fs.rename(s.getPath, new Path(p, f"compact-$tag-$i%05d$ext")))
-        throw new java.io.IOException(s"promote ${s.getPath} failed")
-    }
+    fs.listStatus(tmp)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .zipWithIndex.foreach { case (s, i) =>
+        val ext = s.getPath.getName.substring(s.getPath.getName.lastIndexOf('.'))
+        if (!fs.rename(s.getPath, new Path(p, f"compact-$tag-$i%05d$ext")))
+          throw new java.io.IOException(s"promote ${s.getPath} failed")
+      }
     before.foreach(s => fs.delete(s.getPath, false))
     fs.delete(tmp, true)
     (before.length, journals().length)

@@ -82,14 +82,21 @@ object LwesDataSource {
     * and the file name itself never does (it isn't a directory). */
   def partitionValues(file: Path, roots: Seq[String]): Map[String, String] = {
     val fp = file.toUri.getPath
-    val rel = roots.iterator.map { r =>
+    // a file not strictly below any root (e.g. the root IS the file, as
+    // when loading explicit file paths) has no derivable partition
+    // values — falling back to the absolute path would hallucinate
+    // columns from k=v segments above the load point
+    roots.iterator.map { r =>
       val rp = new Path(r).toUri.getPath.stripSuffix("/")
       if (fp.startsWith(rp + "/")) fp.substring(rp.length + 1) else null
-    }.find(_ != null).getOrElse(fp)
-    val segs = rel.split('/').dropRight(1) // drop the file name
-    segs.iterator.filter(_.contains('=')).map { s =>
-      val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
-    }.toMap
+    }.find(_ != null) match {
+      case None => Map.empty
+      case Some(rel) =>
+        val segs = rel.split('/').dropRight(1) // drop the file name
+        segs.iterator.filter(_.contains('=')).map { s =>
+          val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
+        }.toMap
+    }
   }
 
   /** Container auto-detection, mirroring the reference's introspection
@@ -172,9 +179,10 @@ object LwesDataSource {
       .filterNot(c => fields.exists(_.name == c))
       .map(c => StructField(c, StringType, nullable = true))
 
-    // requested event-type column
+    // requested event-type column (must not duplicate an attribute OR a
+    // partition column)
     val ncol = Option(options.get(LwesOptions.EventNameColumn)).toSeq
-      .filterNot(c => fields.exists(_.name == c))
+      .filterNot(c => fields.exists(_.name == c) || pcols.exists(_.name == c))
       .map(c => StructField(c, StringType, nullable = false))
 
     StructType(fields ++ pcols ++ ncol)
@@ -409,10 +417,11 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     val admitted = maxBytesPerTrigger match {
       case Some(maxB) =>
         var acc = 0L
+        var n = 0
         byFiles.takeWhile { f =>
-          val first = acc == 0L
           acc += f.getLen
-          first || acc <= maxB
+          n += 1
+          n == 1 || acc <= maxB // first file always admitted
         }
       case None => byFiles
     }
