@@ -149,6 +149,16 @@ class LwesSourceSpec extends AnyFunSuite {
     assert(df.limit(10000).count() == 600)
   }
 
+  test("loading explicit FILE paths derives no partition columns at all") {
+    val dir = tmp()
+    writeMixedJournal(s"$dir/dt=2026-01-01", 30)
+    val files = new java.io.File(s"$dir/dt=2026-01-01").listFiles
+      .filterNot(_.getName.startsWith(".")).map(_.getAbsolutePath)
+    val df = spark.read.format("lwes").load(files: _*)
+    assert(!df.schema.fieldNames.contains("dt"), df.schema.treeString)
+    assert(df.count() == 30)
+  }
+
   test("k=v segments ABOVE the load root are not partition columns (A14)") {
     val dir = tmp()
     // root itself lives under a k=v-looking directory; only dt= (below
