@@ -152,14 +152,84 @@ object Dedup {
     }
     und.unpersist()
     // wrong-but-plausible cluster ids are worse than failing loud: a
-    // component with diameter > maxIter would silently split
+    // component with diameter > maxIter would silently split — for deep
+    // graphs use [[connectedComponentsStar]] (O(log n) rounds)
     if (changed > 0) {
       labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing); raise maxIter")
+          s"($changed labels still changing); raise maxIter or use " +
+          "connectedComponentsStar")
     }
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Connected components by the alternating large-star/small-star
+    * algorithm (public MapReduce CC literature): converges in
+    * O(log n) rounds regardless of component diameter — the deep-graph
+    * path where plain label propagation's O(diameter) rounds don't
+    * hold. Each round is two groupBy+join passes; hub neighborhoods
+    * shrink monotonically (large-star hangs big neighbors under the
+    * local min), so no collect_list of a hub's full adjacency ever
+    * materializes. Returns (id, cluster_id = component min). */
+  def connectedComponentsStar(edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // canonical undirected pair set, larger endpoint first
+    var e = edges.select(
+        greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().cache()
+    val vertices = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct().cache()
+
+    def checksum(d: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and cannot overflow under ANSI mode
+      val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    def largeStar(d: DataFrame): DataFrame = {
+      val nbrs = d.union(d.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy(col("u")).agg(min(col("v")).as("__minv"))
+        .select(col("u").as("__c"), least(col("__minv"), col("u")).as("__m"))
+      nbrs.filter(col("v") > col("u"))
+        .join(m, col("u") === col("__c"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    def smallStar(d: DataFrame): DataFrame = {
+      // d is (u, v) with v < u: neighbors-below plus self
+      val m = d.groupBy(col("u")).agg(min(col("v")).as("__m"))
+        .withColumnRenamed("u", "__c")
+      val re = d.join(m, col("u") === col("__c"))
+        .select(col("u"), col("v"), col("__m"))
+      re.filter(col("v") =!= col("__m"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .union(re.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var prev = checksum(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).cache()
+      val cs = checksum(next) // materializes next
+      e.unpersist()
+      e = next
+      converged = cs == prev
+      prev = cs
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // converged: e is a union of stars (u -> component min)
+    val out = vertices
+      .join(e, vertices("id") === e("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
+    vertices.unpersist()
+    out
   }
 
   // --------------------------------------------------------------- C4

@@ -27,6 +27,26 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("star connected components handle a deep chain in O(log n) rounds (C16)") {
+    // 200-node chain: diameter 199 — label propagation would need ~199
+    // rounds (and throws at maxIter); the star algorithm converges fast
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(chain)
+    assert(cc.count() == 200)
+    assert(cc.filter(col("cluster_id") =!= 0L).count() == 0)
+    // and it agrees with label propagation on a shallow random graph
+    val rnd = new scala.util.Random(3)
+    val edges = (0 until 150).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
   test("shingleCandidates drops stop-shingles and requires minShared (C16)") {
     val common = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
