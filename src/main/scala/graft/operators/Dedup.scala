@@ -131,36 +131,35 @@ object Dedup {
     * (id, cluster_id = min reachable id). */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+    // localCheckpoint: materializes AND truncates the logical lineage —
+    // `und` would otherwise drag the whole upstream plan (e.g. a MinHash
+    // pipeline) into every round's analysis, and labels would nest one
+    // layer per round
     val und = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = und.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
       val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
-      // the count materializes `next`, so the superseded cache can go
+        .groupBy(col("id")).agg(min(col("label")).as("label")).localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
-    und.unpersist()
     // wrong-but-plausible cluster ids are worse than failing loud: a
     // component with diameter > maxIter would silently split — for deep
     // graphs use [[connectedComponentsStar]] (O(log n) rounds)
-    if (changed > 0) {
-      labels.unpersist()
+    if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing); raise maxIter or use " +
           "connectedComponentsStar")
-    }
     labels.withColumnRenamed("label", "cluster_id")
   }
 
@@ -174,12 +173,16 @@ object Dedup {
     * materializes. Returns (id, cluster_id = component min). */
   def connectedComponentsStar(edges: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    // canonical undirected pair set, larger endpoint first
+    // canonical undirected pair set, larger endpoint first.
+    // localCheckpoint (not cache) everywhere in the loop: caching only
+    // substitutes at PHYSICAL planning, so the logical lineage would
+    // still nest twice per round and blow up plan analysis after ~8
+    // rounds; checkpointing truncates the plan to a LogicalRDD.
     var e = edges.select(
         greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
-      .filter(col("u") =!= col("v")).distinct().cache()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     val vertices = e.select(col("u").as("id"))
-      .union(e.select(col("v").as("id"))).distinct().cache()
+      .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
 
     def checksum(d: DataFrame): (Long, Long) = {
       // bit_xor: order-independent and cannot overflow under ANSI mode
@@ -213,10 +216,11 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).cache()
-      val cs = checksum(next) // materializes next
-      e.unpersist()
-      e = next
+      // eager checkpoint: materializes AND truncates lineage; the old
+      // round's blocks are released by the ContextCleaner once the
+      // previous DataFrame is unreferenced
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cs = checksum(e)
       converged = cs == prev
       prev = cs
       i += 1
@@ -225,11 +229,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIter rounds")
     // converged: e is a union of stars (u -> component min)
-    val out = vertices
+    vertices
       .join(e, vertices("id") === e("u"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
-    vertices.unpersist()
-    out
   }
 
   // --------------------------------------------------------------- C4
