@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splits (SURVEY.md §2 C17).
+  *
+  * Training pipelines need REPRODUCIBLE sampling: the same document
+  * must land in the same sample/split on every run, on any cluster, in
+  * any engine — `rand()`-based sampling gives none of that. Bucketing
+  * a key's hash delivers it as a pure per-row projection: no shuffle,
+  * no state, stable under repartitioning and retries.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column (xxhash64 — the
+    * fast path for Spark-only pipelines). */
+  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column =
+    pmod(xxhash64(concat(key.cast("string"), lit(salt))), lit(buckets))
+
+  /** Engine-portable bucket (md5-derived, identical in any SQL engine
+    * with md5: first 8 hex chars as an integer, mod buckets). */
+  def md5Bucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Keep `pct` of 100 hash-buckets of the key — a deterministic
+    * `pct`% sample. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int,
+      salt: String = "", portable: Boolean = false): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct in [0,100]")
+    val b = if (portable) md5Bucket(col(keyCol), 100)
+      else hashBucket(col(keyCol), 100, salt)
+    df.filter(b < pct)
+  }
+
+  /** Adds a `split` column assigning each row to a named fraction
+    * (e.g. Seq("train" -> 98, "val" -> 1, "test" -> 1); weights sum to
+    * 100). Assignment is per-key deterministic and engine-portable. */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)], portable: Boolean = false): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split weights must sum to 100")
+    val b = if (portable) md5Bucket(col(keyCol), 100)
+      else hashBucket(col(keyCol), 100)
+    val cums = splits.scanLeft(0)(_ + _._2).tail
+    // cascading CASE: smallest cumulative threshold checked first
+    val caseExpr = splits.zip(cums).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cum)) =>
+        when(b < cum, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", caseExpr)
+  }
+}

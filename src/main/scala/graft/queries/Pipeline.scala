@@ -227,6 +227,40 @@ object Pipeline {
         |SELECT id AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // C17: deterministic hash sampling — per-lang stats of a portable
+    // 10% sample (md5-bucketed key; identical row set in any engine).
+    "text_sample" -> ((
+      (s: SparkSession, d: String) => {
+        graft.operators.Sampling.hashSample(
+            t(s, d, "documents"), "doc_id", pct = 10, portable = true)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // C17b: deterministic train/val/test split assignment — per-split
+    // doc counts (stable across runs, engines, and repartitioning).
+    "text_splits" -> ((
+      (s: SparkSession, d: String) => {
+        graft.operators.Sampling.assignSplits(t(s, d, "documents"), "doc_id",
+            Seq("train" -> 96, "val" -> 2, "test" -> 2), portable = true)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .orderBy(col("split"))
+      },
+      """SELECT CASE
+        |    WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test'
+        |  END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin)),
+
     // C15: PII scrubbing. The corpus is synthetic (no PII), so the query
     // injects deterministic emails/IPs/phones per doc, scrubs them, and
     // the oracle compares the full scrubbed text via md5 (identical
