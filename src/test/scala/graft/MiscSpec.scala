@@ -93,6 +93,33 @@ class MiscSpec extends AnyFunSuite {
     assert(r.getLong(2) == 1L) // n_purchase after click
   }
 
+  test("bucketed tables co-locate the join: no exchange before the sort-merge join") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      (1L to 10000L).map(i => (i % 500, i)).toDF("k", "va")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+        .option("path", s"$wh/ta").saveAsTable("graft_ta")
+      (1L to 5000L).map(i => (i % 500, i * 2)).toDF("k", "vb")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+        .option("path", s"$wh/tb").saveAsTable("graft_tb")
+      val j = spark.table("graft_ta").join(spark.table("graft_tb"), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // bucketing pre-partitions both sides: the join needs NO exchange
+      // (the only exchange allowed is none at all — the final group-by
+      // reuses the join's bucket partitioning too, same key)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ta")
+      spark.sql("DROP TABLE IF EXISTS graft_tb")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("salted skew join equals plain join and spreads the hot key") {
     import graft.operators.SkewJoin
     // hot key: 90% of left rows share key 1
