@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
@@ -15,8 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * fine but evaluate one lambda invocation per array element per
   * hash/bit/plane — tens of millions of interpreted expression nodes per
   * partition. Each of these expressions runs the same math as ONE tight
-  * JIT-compiled loop per row (measured ~20x on the sf0.1 bench). They
-  * are deterministic, executor-local, and shuffle nothing.
+  * JIT-compiled loop per row (measured ~20x on the sf0.1 bench), and
+  * participates in whole-stage codegen: `doGenCode` emits a direct
+  * static call (or, for cosine, the loop itself) instead of the boxed
+  * per-row `eval` a CodegenFallback would pay.
   */
 object SignatureExpressions {
 
@@ -31,97 +33,140 @@ object SignatureExpressions {
     z ^ (z >>> 31)
   }
 
+  // ---------------------------------------------------- eval kernels
+  // Public so generated code can call them through the object's static
+  // forwarders (graft.functions.SignatureExpressions.xxxEval(...)).
+
+  def shingleHashesEval(input: ArrayData, w: Int): ArrayData = {
+    val arr = input
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var j = 0
+    while (j < n) { th(j) = hashUtf8(arr.getUTF8String(j), 42L); j += 1 }
+    val nSh = math.max(n - w + 1, 1)
+    val out = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = 0xcbf29ce484222325L
+      var t = i
+      val end = math.min(i + w, n)
+      while (t < end) { h = (h ^ th(t)) * 0x100000001b3L; t += 1 }
+      out(i) = mix(h)
+      i += 1
+    }
+    // distinct (sets for jaccard); sort-dedupe in place
+    java.util.Arrays.sort(out)
+    var m = 0
+    i = 0
+    while (i < nSh) {
+      if (i == 0 || out(i) != out(i - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  private val minhashCoeffs =
+    scala.collection.concurrent.TrieMap.empty[Int, (Array[Long], Array[Long])]
+  private def coeffs(k: Int): (Array[Long], Array[Long]) =
+    minhashCoeffs.getOrElseUpdate(k,
+      (Array.tabulate(k)(i => mix(2L * i + 1) | 1L),
+        Array.tabulate(k)(i => mix(0x5eed0000L + i))))
+
+  def minHashesEval(input: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coeffs(k)
+    val n = input.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    while (e < n) {
+      val h = input.getLong(e)
+      var i = 0
+      while (i < k) {
+        val hi = as(i) * h + bs(i)
+        if (hi < mins(i)) mins(i) = hi
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simHash64Eval(input: ArrayData): Long = {
+    val n = input.numElements()
+    val counts = new Array[Int](64)
+    var e = 0
+    while (e < n) {
+      val h = hashUtf8(input.getUTF8String(e), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      e += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def hyperplaneBucketEval(input: ArrayData, nPlanes: Int): Long = {
+    val n = input.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        val w = (mix(p.toLong * 0x9e3779b9L + j).toDouble / Long.MaxValue.toDouble) / 2.0
+        proj += input.getDouble(j) * w
+        j += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  // ------------------------------------------------------ expressions
+
   /** `shingle_hashes(array<string>, w)` → array<long>: distinct 64-bit
     * hashes of the w-token rolling shingles, in one pass — the string
     * shingles are never materialized (hashing the window of token
     * hashes is equivalent up to 2^-64 collisions). */
-  case class ShingleHashes(child: Expression, w: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val th = new Array[Long](n)
-      var j = 0
-      while (j < n) { th(j) = hashUtf8(arr.getUTF8String(j), 42L); j += 1 }
-      val nSh = math.max(n - w + 1, 1)
-      val out = new Array[Long](nSh)
-      var i = 0
-      while (i < nSh) {
-        var h = 0xcbf29ce484222325L
-        var t = i
-        val end = math.min(i + w, n)
-        while (t < end) { h = (h ^ th(t)) * 0x100000001b3L; t += 1 }
-        out(i) = mix(h)
-        i += 1
-      }
-      // distinct (sets for jaccard); sort-dedupe in place
-      java.util.Arrays.sort(out)
-      var m = 0
-      i = 0
-      while (i < nSh) {
-        if (i == 0 || out(i) != out(i - 1)) { out(m) = out(i); m += 1 }
-        i += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(out, m))
-    }
+    override def nullSafeEval(input: Any): Any =
+      shingleHashesEval(input.asInstanceOf[ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.shingleHashesEval($c, $w)")
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   }
 
   /** `minhashes(array<long>, k)` → array<long>: k min-hashes in one
     * pass over pre-hashed elements; the k hash families are affine
     * transforms h_i = A_i * h + B_i (odd multipliers). */
-  case class MinHashes(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    private lazy val as: Array[Long] = Array.tabulate(k)(i => mix(2L * i + 1) | 1L)
-    private lazy val bs: Array[Long] = Array.tabulate(k)(i => mix(0x5eed0000L + i))
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val mins = Array.fill(k)(Long.MaxValue)
-      var e = 0
-      while (e < n) {
-        val h = arr.getLong(e)
-        var i = 0
-        while (i < k) {
-          val hi = as(i) * h + bs(i)
-          if (hi < mins(i)) mins(i) = hi
-          i += 1
-        }
-        e += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minHashesEval(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.minHashesEval($c, $k)")
     override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
   }
 
   /** `simhash64(array<string>)` → long: 64-bit SimHash in one pass. */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val counts = new Array[Int](64)
-      var e = 0
-      while (e < n) {
-        val h = hashUtf8(arr.getUTF8String(e), 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-        e += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) {
-        if (counts(b) > 0) sig |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simHash64Eval(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.simHash64Eval($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
@@ -129,26 +174,13 @@ object SignatureExpressions {
     * projections onto deterministic pseudo-random hyperplanes; weight
     * (p, j) = splitmix64(p, j) mapped to [-0.5, 0.5). */
   case class HyperplaneBucket(child: Expression, nPlanes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      var bucket = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var proj = 0.0
-        var j = 0
-        while (j < n) {
-          val w = (mix(p.toLong * 0x9e3779b9L + j).toDouble / Long.MaxValue.toDouble) / 2.0
-          proj += arr.getDouble(j) * w
-          j += 1
-        }
-        if (proj > 0) bucket |= (1L << p)
-        p += 1
-      }
-      java.lang.Long.valueOf(bucket)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(hyperplaneBucketEval(input.asInstanceOf[ArrayData], nPlanes))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.hyperplaneBucketEval($c, $nPlanes)")
     override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
       copy(child = c)
   }
@@ -159,10 +191,13 @@ object SignatureExpressions {
     * formulation — same left-fold accumulation order (bit-identical
     * doubles, the sim_topk oracle depends on it), null on length
     * mismatch or any null element (zip_with padding/null-propagation
-    * semantics) — without materializing three intermediate arrays. */
+    * semantics) — without materializing three intermediate arrays.
+    * Codegen emits the loop inline inside the whole-stage function. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // can yield null even for non-null inputs (length mismatch)
+    override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
@@ -178,6 +213,33 @@ object SignatureExpressions {
       }
       java.lang.Double.valueOf(dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12))
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val ok = ctx.freshName("ok")
+        s"""
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  boolean $ok = true;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $ok = false; break; }
+           |    double xv = $a.getDouble($i);
+           |    double yv = $b.getDouble($i);
+           |    $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+           |  }
+           |  if (!$ok) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    ${ev.value} =
+           |      $dot / Math.max(Math.sqrt($na) * Math.sqrt($nb), 1e-12);
+           |  }
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(left = l, right = r)
   }
