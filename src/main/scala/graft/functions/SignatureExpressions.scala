@@ -244,7 +244,28 @@ object SignatureExpressions {
       copy(left = l, right = r)
   }
 
+  def nfcNormalizeEval(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** `nfc_normalize(string)` → string: Unicode NFC normalization (the
+    * JDK implements the same Unicode standard as any other engine's
+    * nfc function, so results are engine-portable by definition). */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      nfcNormalizeEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.nfcNormalizeEval($c)")
+    override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------- Column API
+
+  def nfc_normalize(s: Column): Column =
+    bridge.toColumn(NfcNormalize(bridge.toExpression(s)))
 
   def cosine_sim(a: Column, b: Column): Column =
     bridge.toColumn(CosineSim(bridge.toExpression(a), bridge.toExpression(b)))

@@ -94,6 +94,17 @@ object TextAnalysis {
         aggregate(col("shingles"), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
       .drop("shingles")
 
+  // -------------------------------------------------------------- C18
+
+  /** Canonical text normalization for training corpora: Unicode NFC
+    * (composed forms — 'e'+combining-acute becomes 'é'), lowercase,
+    * trim, and whitespace collapse. Pure per-row projection; NFC is
+    * standard-defined so the result is engine-portable. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(
+      lower(trim(graft.functions.SignatureExpressions.nfc_normalize(text))),
+      "\\s+", " ")
+
   // -------------------------------------------------------------- C15
 
   /** PII patterns — the RE2/Java-regex common subset so the same

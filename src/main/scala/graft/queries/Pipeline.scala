@@ -227,6 +227,30 @@ object Pipeline {
         |SELECT id AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // C18: canonical text normalization — NFC + casefold + whitespace
+    // collapse. The corpus is ASCII, so decomposed unicode is injected
+    // per doc (e + combining acute, extra whitespace, mixed case) and
+    // the oracle must produce the byte-identical normalized text (md5).
+    "text_normalize" -> ((
+      (s: SparkSession, d: String) => {
+        val decorated = t(s, d, "documents")
+          .withColumn("text", concat(col("text"),
+            lit("  CAFE"), lit("\u0301"), lit("  Mixed\tCase  ")))
+        decorated
+          .select(col("doc_id"),
+            md5(TextAnalysis.normalizeText(col("text"))).as("norm_md5"),
+            length(TextAnalysis.normalizeText(col("text"))).as("norm_len"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(nfc_normalize(
+        |    text || '  CAFE' || chr(769) || '  Mixed' || chr(9) || 'Case  '))),
+        |    '\s+', ' ', 'g')) AS norm_md5,
+        |  CAST(length(regexp_replace(lower(trim(nfc_normalize(
+        |    text || '  CAFE' || chr(769) || '  Mixed' || chr(9) || 'Case  '))),
+        |    '\s+', ' ', 'g')) AS INT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // C17: deterministic hash sampling — per-lang stats of a portable
     // 10% sample (md5-bucketed key; identical row set in any engine).
     "text_sample" -> ((
