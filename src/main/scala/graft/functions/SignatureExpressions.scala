@@ -65,15 +65,15 @@ object SignatureExpressions {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
-  private val minhashCoeffs =
-    scala.collection.concurrent.TrieMap.empty[Int, (Array[Long], Array[Long])]
-  private def coeffs(k: Int): (Array[Long], Array[Long]) =
-    minhashCoeffs.getOrElseUpdate(k,
-      (Array.tabulate(k)(i => mix(2L * i + 1) | 1L),
-        Array.tabulate(k)(i => mix(0x5eed0000L + i))))
+  /** MinHash coefficient families for `k` hashes (computed once per
+    * plan — the expression passes them in as reference objects, never
+    * re-derived per row). */
+  def minhashCoeffs(k: Int): (Array[Long], Array[Long]) =
+    (Array.tabulate(k)(i => mix(2L * i + 1) | 1L),
+      Array.tabulate(k)(i => mix(0x5eed0000L + i)))
 
-  def minHashesEval(input: ArrayData, k: Int): ArrayData = {
-    val (as, bs) = coeffs(k)
+  def minHashesEval(as: Array[Long], bs: Array[Long], input: ArrayData): ArrayData = {
+    val k = as.length
     val n = input.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
     var e = 0
@@ -151,11 +151,15 @@ object SignatureExpressions {
     * transforms h_i = A_i * h + B_i (odd multipliers). */
   case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val cs = minhashCoeffs(k)
     override def nullSafeEval(input: Any): Any =
-      minHashesEval(input.asInstanceOf[ArrayData], k)
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      minHashesEval(cs._1, cs._2, input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("mhAs", cs._1, "long[]")
+      val bsRef = ctx.addReferenceObj("mhBs", cs._2, "long[]")
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.SignatureExpressions.minHashesEval($c, $k)")
+        s"graft.functions.SignatureExpressions.minHashesEval($asRef, $bsRef, $c)")
+    }
     override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
   }
 
@@ -248,6 +252,11 @@ object SignatureExpressions {
     UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
 
+  def nfcCasefoldEval(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+        .toLowerCase(java.util.Locale.ROOT))
+
   /** `nfc_normalize(string)` → string: Unicode NFC normalization (the
     * JDK implements the same Unicode standard as any other engine's
     * nfc function, so results are engine-portable by definition). */
@@ -262,10 +271,29 @@ object SignatureExpressions {
       copy(child = c)
   }
 
+  /** `nfc_casefold(string)` → string: NFC + Locale.ROOT lowercase in
+    * one pass. Spark's `lower()` routes non-ASCII strings through the
+    * JVM DEFAULT locale (the Turkish-I trap: 'I' → 'ı' under tr_TR);
+    * Locale.ROOT pins the Unicode default case mapping so results match
+    * other engines regardless of JVM locale. */
+  case class NfcCasefold(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      nfcCasefoldEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.nfcCasefoldEval($c)")
+    override protected def withNewChildInternal(c: Expression): NfcCasefold =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------- Column API
 
   def nfc_normalize(s: Column): Column =
     bridge.toColumn(NfcNormalize(bridge.toExpression(s)))
+
+  def nfc_casefold(s: Column): Column =
+    bridge.toColumn(NfcCasefold(bridge.toExpression(s)))
 
   def cosine_sim(a: Column, b: Column): Column =
     bridge.toColumn(CosineSim(bridge.toExpression(a), bridge.toExpression(b)))

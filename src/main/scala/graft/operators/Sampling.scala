@@ -13,15 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Null keys map to the empty string: deterministic (all null-keyed
+    * rows bucket together), identical on both hash paths, and never a
+    * silent fall-through. */
+  private def keyStr(key: Column, salt: String): Column =
+    concat(coalesce(key.cast("string"), lit("")), lit(salt))
+
   /** Stable bucket in [0, buckets) from a key column (xxhash64 — the
     * fast path for Spark-only pipelines). */
   def hashBucket(key: Column, buckets: Int, salt: String = ""): Column =
-    pmod(xxhash64(concat(key.cast("string"), lit(salt))), lit(buckets))
+    pmod(xxhash64(keyStr(key, salt)), lit(buckets))
 
   /** Engine-portable bucket (md5-derived, identical in any SQL engine
     * with md5: first 8 hex chars as an integer, mod buckets). */
-  def md5Bucket(key: Column, buckets: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+  def md5Bucket(key: Column, buckets: Int, salt: String = ""): Column =
+    conv(substring(md5(keyStr(key, salt)), 1, 8), 16, 10)
       .cast("long") % buckets
 
   /** Keep `pct` of 100 hash-buckets of the key — a deterministic
@@ -29,7 +35,7 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, pct: Int,
       salt: String = "", portable: Boolean = false): DataFrame = {
     require(pct >= 0 && pct <= 100, "pct in [0,100]")
-    val b = if (portable) md5Bucket(col(keyCol), 100)
+    val b = if (portable) md5Bucket(col(keyCol), 100, salt)
       else hashBucket(col(keyCol), 100, salt)
     df.filter(b < pct)
   }
@@ -43,11 +49,14 @@ object Sampling {
     val b = if (portable) md5Bucket(col(keyCol), 100)
       else hashBucket(col(keyCol), 100)
     val cums = splits.scanLeft(0)(_ + _._2).tail
-    // cascading CASE: smallest cumulative threshold checked first
+    // materialize the bucket once — a cascading CASE over the raw hash
+    // expression would recompute the md5/xxhash per branch tested
     val caseExpr = splits.zip(cums).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cum)) =>
-        when(b < cum, lit(name)).otherwise(acc)
+        when(col("__bucket") < cum, lit(name)).otherwise(acc)
       }
-    df.withColumn("split", caseExpr)
+    df.withColumn("__bucket", b)
+      .withColumn("split", caseExpr)
+      .drop("__bucket")
   }
 }

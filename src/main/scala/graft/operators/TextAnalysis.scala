@@ -97,13 +97,20 @@ object TextAnalysis {
   // -------------------------------------------------------------- C18
 
   /** Canonical text normalization for training corpora: Unicode NFC
-    * (composed forms — 'e'+combining-acute becomes 'é'), lowercase,
-    * trim, and whitespace collapse. Pure per-row projection; NFC is
-    * standard-defined so the result is engine-portable. */
+    * (composed forms — 'e'+combining-acute becomes 'é'), Locale.ROOT
+    * casefold (Spark's `lower()` is JVM-default-locale-sensitive on
+    * non-ASCII — the Turkish-I trap), trim, and whitespace collapse
+    * over an EXPLICIT class (Java `\s` includes \x0B, RE2's does not —
+    * the explicit class means the same bytes in every engine). Pure
+    * per-row projection. */
+  val WhitespaceClass = "[ \\x09\\x0A\\x0D\\x0C\\x0B]+"
+
   def normalizeText(text: Column): Column =
-    regexp_replace(
-      lower(trim(graft.functions.SignatureExpressions.nfc_normalize(text))),
-      "\\s+", " ")
+    // collapse BEFORE trim: trim only strips spaces, so a leading tab
+    // must first become a space to be trimmed
+    trim(regexp_replace(
+      graft.functions.SignatureExpressions.nfc_casefold(text),
+      WhitespaceClass, " "))
 
   // -------------------------------------------------------------- C15
 

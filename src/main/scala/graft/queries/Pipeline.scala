@@ -242,14 +242,14 @@ object Pipeline {
             length(TextAnalysis.normalizeText(col("text"))).as("norm_len"))
           .orderBy(col("doc_id"))
       },
-      """SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(nfc_normalize(
-        |    text || '  CAFE' || chr(769) || '  Mixed' || chr(9) || 'Case  '))),
-        |    '\s+', ' ', 'g')) AS norm_md5,
-        |  CAST(length(regexp_replace(lower(trim(nfc_normalize(
-        |    text || '  CAFE' || chr(769) || '  Mixed' || chr(9) || 'Case  '))),
-        |    '\s+', ' ', 'g')) AS INT) AS norm_len
-        |FROM documents ORDER BY doc_id""".stripMargin)),
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(nfc_normalize(
+        |      text || '  CAFE' || chr(769) || '  Mixed' || chr(9) || 'Case  ')),
+        |      '[ \x09\x0a\x0d\x0c\x0b]+', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT doc_id, md5(nt) AS norm_md5, CAST(length(nt) AS INT) AS norm_len
+        |FROM n ORDER BY doc_id""".stripMargin)),
 
     // C17: deterministic hash sampling — per-lang stats of a portable
     // 10% sample (md5-bucketed key; identical row set in any engine).
