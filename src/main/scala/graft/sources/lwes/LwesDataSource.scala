@@ -276,24 +276,53 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
     roots: Seq[String], partitionFilters: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"LwesScan(events=${config.eventNames.mkString("|")}, cols=${schema.fieldNames.mkString(",")})"
 
+  /** Runtime (dynamic partition) pruning: joins on a path-derived
+    * partition column hand the build side's values back to the scan
+    * AFTER planning, and whole files drop out — the DSv2 counterpart
+    * of parquet DPP, and at journal scale (10^4-10^6 files) the
+    * difference between scanning one dt= hour and scanning a year. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    config.partitionCols.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters.filter {
+      case EqualTo(a, _) => config.partitionCols.contains(a)
+      case In(a, _) => config.partitionCols.contains(a)
+      case _ => false
+    }
+    cachedPartitions = null // re-plan with the runtime filters applied
+  }
+
   // one listing per scan, shared by partition planning and every stats
   // request (Catalyst may ask for stats repeatedly while planning; at
-  // journal scale each recursive listing is thousands of LIST calls)
-  private lazy val plannedPartitions: Array[InputPartition] = {
-    val conf = LwesDataSource.hadoopConf()
-    val files = LwesDataSource.listFiles(roots, conf)
-    files.iterator.map { f =>
-      LwesInputPartition(f.getPath.toString, f.getLen,
-        LwesDataSource.partitionValues(f.getPath, roots))
-    }.filter(p => partitionFilters.forall(matches(p.partitionValues, _)))
-      // biggest files first → better task packing at scale
-      .toArray.sortBy(-_.length).map(p => p: InputPartition)
+  // journal scale each recursive listing is thousands of LIST calls).
+  // Invalidated only when runtime filters arrive.
+  @volatile private var cachedPartitions: Array[InputPartition] = _
+  private def plannedPartitions: Array[InputPartition] = {
+    var p = cachedPartitions
+    if (p == null) {
+      val conf = LwesDataSource.hadoopConf()
+      val files = LwesDataSource.listFiles(roots, conf)
+      p = files.iterator.map { f =>
+        LwesInputPartition(f.getPath.toString, f.getLen,
+          LwesDataSource.partitionValues(f.getPath, roots))
+      }.filter(p => (partitionFilters ++ runtimeFilters)
+          .forall(matches(p.partitionValues, _)))
+        // biggest files first → better task packing at scale
+        .toArray.sortBy(-_.length).map(p => p: InputPartition)
+      cachedPartitions = p
+    }
+    p
   }
 
   /** Compressed on-disk bytes × an inflation factor — enough signal for

@@ -149,6 +149,32 @@ class LwesSourceSpec extends AnyFunSuite {
     assert(df.limit(10000).count() == 600)
   }
 
+  test("runtime filtering prunes partition files after planning (DPP for journals)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = tmp()
+    writeMixedJournal(s"$dir/dt=2026-01-01", 30)
+    writeMixedJournal(s"$dir/dt=2026-01-02", 30)
+    writeMixedJournal(s"$dir/dt=2026-01-03", 30)
+    // unit level: build the scan, hand it a runtime filter, re-plan
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+    val schema = graft.sources.lwes.LwesDataSource.inferSchema(opts)
+    val scan = new graft.sources.lwes.LwesScanBuilder(schema, opts).build()
+      .asInstanceOf[graft.sources.lwes.LwesScan]
+    val before = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("dt", "2026-01-02")))
+    val after = scan.planInputPartitions().length
+    assert(before == 3 * after && after > 0, s"$before -> $after")
+    // end-to-end: the scan declares dt as runtime-filterable, so a join
+    // against a filtered dim still returns correct results
+    val dim = Seq("2026-01-02").toDF("d")
+    val joined = spark.read.format("lwes").load(dir)
+      .join(dim, col("dt") === col("d"))
+    assert(joined.count() == 30)
+  }
+
   test("loading explicit FILE paths derives no partition columns at all") {
     val dir = tmp()
     writeMixedJournal(s"$dir/dt=2026-01-01", 30)
