@@ -251,6 +251,33 @@ object Pipeline {
         |SELECT doc_id, md5(nt) AS norm_md5, CAST(length(nt) AS INT) AS norm_len
         |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // C19: per-language top terms — exploded token counts ranked by the
+    // TopKPerKey operator (the window-rewrite fires inside this plan).
+    "text_top_terms" -> ((
+      (s: SparkSession, d: String) => {
+        val counts = t(s, d, "documents")
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(length(col("token")) >= 3)
+          .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+        graft.plans.TopK.perKey(counts, Seq(col("lang")),
+            Seq(col("n").desc, col("token").asc), 5)
+          .select(col("lang"), col("rnk").cast("long").as("rnk"),
+            col("token"), col("n"))
+          .orderBy(col("lang"), col("rnk"))
+      },
+      """WITH counts AS (
+        |  SELECT lang, token, count(*) AS n
+        |  FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE length(token) >= 3
+        |  GROUP BY lang, token)
+        |SELECT lang, rnk, token, n FROM (
+        |  SELECT lang, token, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rnk
+        |  FROM counts) ranked
+        |WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin)),
+
     // C17: deterministic hash sampling — per-lang stats of a portable
     // 10% sample (md5-bucketed key; identical row set in any engine).
     "text_sample" -> ((

@@ -315,6 +315,26 @@ object Relational {
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // B19: salted skew join vs a plain-join oracle — the salt spreads
+    // each key over 16 shuffle partitions and must be result-invisible.
+    "q_salted_join" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"), col("s_nationkey"))
+        graft.operators.SkewJoin
+          .salted(li, sup, "l_suppkey", "l_orderkey", salt = 16)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_quantity")), 2).as("total_qty"))
+          .orderBy(col("s_nationkey"))
+      },
+      """SELECT s_nationkey, count(*) AS n_lines,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // B12: exact distincts + conditional counts, pre-aggregated per side
     // so the nation join never fans out.
     "q_distinct" -> ((
