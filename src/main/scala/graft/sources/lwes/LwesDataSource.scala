@@ -377,6 +377,7 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     maxFilesPerTrigger: Option[Int] = None, checkpointLocation: String,
     maxBytesPerTrigger: Option[Long] = None)
     extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
+    with streaming.SupportsTriggerAvailableNow
     with org.apache.spark.internal.Logging {
 
   private val conf = LwesDataSource.hadoopConf()
@@ -426,9 +427,20 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     maxFilesPerTrigger.map(streaming.ReadLimit.maxFiles)
       .getOrElse(streaming.ReadLimit.allAvailable())
 
+  // Trigger.AvailableNow: freeze the file universe at prepare time so
+  // the query drains exactly the backlog that existed then (in bounded
+  // admission-controlled batches) and terminates; files landing after
+  // the snapshot wait for the next run.
+  private var availableNowSnapshot: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowSnapshot = Some(
+      LwesDataSource.listFiles(roots, conf).map(_.getPath.toString).toSet)
+  }
+
   /** Unseen files, oldest first (stable tiebreak on path). */
   private def unseenFiles(): Seq[FileStatus] =
     LwesDataSource.listFiles(roots, conf)
+      .filter(f => availableNowSnapshot.forall(_.contains(f.getPath.toString)))
       .filterNot(f => seen.contains(f.getPath.toString))
       .sortBy(f => (f.getModificationTime, f.getPath.toString))
 

@@ -222,6 +222,21 @@ class LwesStreamingSpec extends AnyFunSuite {
     assert(df.count() == 80) // 50 + 30 survive, torn tail skipped
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches and terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("lwes-avnow").toString
+    (0 until 3).foreach(i => writeFile(dir, s"f$i.gz", i * 10, (i + 1) * 10))
+    val q = spark.readStream.format("lwes")
+      .schema("id long, amount int")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("lwes_avnow")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "query should self-terminate")
+    assert(spark.table("lwes_avnow").count() == 30)
+    // 3 files at 1/trigger -> 3 non-empty batches, then done
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+  }
+
   test("maxBytesPerTrigger bounds batches by size; oversized file still admitted") {
     val dir = Files.createTempDirectory("lwes-stream-mbt").toString
     (0 until 4).foreach(i => writeFile(dir, s"f$i.gz", i * 10, (i + 1) * 10))
