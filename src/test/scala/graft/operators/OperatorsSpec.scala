@@ -59,6 +59,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cand.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("sampling: salts decorrelate, null keys bucket deterministically, splits partition (C17)") {
+    val df = ((1L to 1000L).map(i => Some(i)) :+ None).toDF("k")
+    val a = Sampling.hashSample(df, "k", 10, salt = "a", portable = true)
+      .collect().map(_.get(0)).toSet
+    val b = Sampling.hashSample(df, "k", 10, salt = "b", portable = true)
+      .collect().map(_.get(0)).toSet
+    assert(a != b, "different salts must draw different samples")
+    // same salt = same sample (deterministic)
+    val a2 = Sampling.hashSample(df, "k", 10, salt = "a", portable = true)
+      .collect().map(_.get(0)).toSet
+    assert(a == a2)
+    // splits cover every row exactly once, including the null key
+    val splits = Sampling.assignSplits(df, "k",
+      Seq("train" -> 96, "val" -> 2, "test" -> 2))
+    assert(splits.count() == 1001)
+    assert(splits.groupBy("split").count().collect().map(_.getLong(1)).sum == 1001)
+    // null key maps to the empty-string bucket, not blindly to the last split
+    val nullSplit = splits.filter(col("k").isNull).select("split").head.getString(0)
+    val emptyKeyBucketSplit = Sampling.assignSplits(
+      Seq("").toDF("k"), "k", Seq("train" -> 96, "val" -> 2, "test" -> 2))
+      .select("split").head.getString(0)
+    assert(nullSplit == emptyKeyBucketSplit)
+  }
+
+  test("nfc casefold is JVM-locale-independent (Turkish-I trap)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // under tr_TR, String.toLowerCase turns 'I' into dotless 'ı';
+      // the kernel must pin Locale.ROOT and yield plain 'i'
+      val out = graft.functions.SignatureExpressions
+        .nfcCasefoldEval(UTF8String.fromString("TITLE I + CAFÉ")).toString
+      assert(out == "title i + café", out)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("exact dedup keeps the row with the smallest tiebreaker") {
     val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb"), (5L, "aaa"))
       .toDF("doc_id", "text")
