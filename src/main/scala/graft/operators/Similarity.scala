@@ -76,18 +76,23 @@ object Similarity {
   /** Deterministic k-means centroids for IVF lists: init = the k corpus
     * rows with the smallest id-hash, then `iters` Lloyd rounds. Each
     * round is one broadcast of k·dim doubles (assignment) + one
-    * element-wise mean (posexplode → per-dimension avg → re-assemble,
-    * ordered by position so the collect is deterministic). Clusters
-    * that lose all members keep their previous centroid. */
+    * element-wise mean (posexplode → per-dimension mean → re-assemble,
+    * ordered by position so the collect is deterministic). The mean
+    * accumulates in decimal (exact, order-insensitive addition), so
+    * centroids are bit-stable across partition layouts and cluster
+    * sizes — not merely same-plan reproducible. Clusters that lose all
+    * members keep their previous centroid. */
   def kmeansCentroids(c: DataFrame, nLists: Int, iters: Int = 2): DataFrame = {
     var cents = c
       .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h")).limit(nLists)
-      // constant partition key: nLists rows, so single-partition is the
-      // point — but an empty partitionSpec would trip WindowExec's
-      // "no partition defined" warning on every run
+      // constant-but-NON-FOLDABLE partition key: nLists rows, so
+      // single-partition is the point — but Spark 4's
+      // EliminateWindowPartitions folds literal partition keys away,
+      // which re-exposes WindowExec's "no partition defined" warning;
+      // pmod(__h, 1) is 0 for every row yet survives the optimizer
       .withColumn("centroid_id", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("__h"))).cast("long"))
+        Window.partitionBy(pmod(col("__h"), lit(1))).orderBy(col("__h"))).cast("long"))
       .select(col("centroid_id"), col("v_c").as("v_cent"))
     for (_ <- 0 until iters) {
       val assigned = c.crossJoin(broadcast(cents))
@@ -98,7 +103,11 @@ object Similarity {
         .filter(col("rk") === 1)
       val means = assigned
         .select(col("centroid_id"), posexplode(col("v_c")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"), col("pos"))
+        // decimal sum: exact and commutative, so the per-dimension mean
+        // does not depend on partition-dependent accumulation order
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("v_new"))

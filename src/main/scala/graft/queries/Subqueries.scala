@@ -81,8 +81,13 @@ object Subqueries {
     // the equality is safe).
     "q15_top_supplier" -> ((
       (s: SparkSession, d: String) => {
+        // rev is referenced twice (global max + equality join); an eager
+        // localCheckpoint materializes the per-supplier aggregate once,
+        // so lineitem is scanned/aggregated a single time instead of
+        // relying on ReuseExchange to dedupe the two subtrees
         val rev = t(s, d, "lineitem")
           .groupBy(col("l_suppkey")).agg(sum(revDec).as("__rev"))
+          .localCheckpoint()
         val mx = rev.agg(max(col("__rev")).as("__mx"))
         rev.join(broadcast(mx), col("__rev") === col("__mx"))
           .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))

@@ -22,21 +22,55 @@ import org.apache.spark.sql.SparkSession
   *    and compaction deletes the only copy;
   *  - only the listed top-level files are read AND deleted —
   *    `k=v` partition subdirectories are untouched (compact them per
-  *    directory).
+  *    directory);
+  *  - streaming-sink epoch files without their `_epoch-*.manifest`
+  *    commit marker are skipped (uncommitted / mid-promote epochs are
+  *    not data yet), and `minAgeMs` skips files newer than a stability
+  *    horizon so an actively-landing batch is left alone;
+  *  - epoch MANIFESTS are deliberately left behind: a sink replaying a
+  *    compacted-away epoch sees its manifest, takes the
+  *    already-committed branch, and drops the replay instead of
+  *    re-creating (= duplicating) the deleted journal.
+  *
+  * Concurrency contract: compaction may run beside a sink that is
+  * APPENDING (new epochs land under new names and, inside `minAgeMs`,
+  * are skipped), but NOT beside a reader TAILING the same directory —
+  * the promoted `compact-*` files are new paths to it, so it would
+  * re-ingest all compacted rows. Quiesce tailing readers (or point
+  * them elsewhere) before compacting; batch readers are unaffected.
   */
 object Compact {
 
   private val NameCol = "__compact_event_type"
+  private val EpochFileName = """part-(q[0-9a-fA-F]+-e\d+)-\d+\.[^/]+""".r
+  private val EpochManifestName = """_epoch-(q[0-9a-fA-F]+-e\d+)\.manifest""".r
 
   /** Rewrite `dir`'s top-level journals into `targetFiles` files.
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String, targetFiles: Int,
-      compression: String = "gzip"): (Int, Int) = {
+      compression: String = "gzip", minAgeMs: Long = 0L): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    def journals() = fs.listStatus(p).filter(s => s.isFile &&
-      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+    val horizon = System.currentTimeMillis() - minAgeMs
+    def journals() = {
+      val all = fs.listStatus(p)
+      val committed = all.collect {
+        case s if s.isFile => s.getPath.getName match {
+          case EpochManifestName(tok) => tok
+          case _ => null
+        }
+      }.filter(_ != null).toSet
+      all.filter { s =>
+        s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_") &&
+          s.getModificationTime <= horizon &&
+          (s.getPath.getName match {
+            case EpochFileName(tok) => committed.contains(tok)
+            case _ => true
+          })
+      }
+    }
     val before = journals()
     if (before.isEmpty) return (0, 0)
     val paths = before.map(_.getPath.toString)
@@ -101,6 +135,9 @@ object Compact {
       }
     before.foreach(s => fs.delete(s.getPath, false))
     fs.delete(tmp, true)
-    (before.length, journals().length)
+    // "after" counts every visible top-level journal (the fresh
+    // compact-* files post-date the stability horizon by construction)
+    (before.length, fs.listStatus(p).count(s => s.isFile &&
+      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_")))
   }
 }

@@ -58,20 +58,50 @@ object LwesDataSource {
   def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
-  /** All journal files under the given roots (recursive, skips hidden). */
+  /** All journal files under the given roots (recursive, skips hidden).
+    *
+    * Files named by the streaming sink (`part-q<qid>-e<epoch>-*`) are
+    * only visible once their epoch's `_epoch-q<qid>-e<epoch>.manifest`
+    * commit marker exists — a tailing reader (or batch scan) therefore
+    * never observes an uncommitted or partially-promoted epoch. A root
+    * that IS a file (explicit path load) bypasses the gate: naming the
+    * file is the user overriding it. */
   def listFiles(roots: Seq[String], conf: Configuration): Seq[FileStatus] = {
     val out = mutable.ArrayBuffer[FileStatus]()
+    val explicit = mutable.ArrayBuffer[FileStatus]()
+    val committedEpochs = mutable.HashSet[String]()
     def walk(p: Path): Unit = {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return
       val st = fs.getFileStatus(p)
       if (st.isDirectory) {
-        fs.listStatus(p).filterNot(s => isHidden(s.getPath.getName)).foreach(s => walk(s.getPath))
+        fs.listStatus(p).foreach { s =>
+          val n = s.getPath.getName
+          n match {
+            case EpochManifestName(tok) if s.isFile => committedEpochs += tok
+            case _ if !isHidden(n) => walk(s.getPath)
+            case _ =>
+          }
+        }
       } else if (!isHidden(p.getName)) out += st
     }
-    roots.foreach(r => walk(new Path(r)))
-    out.toSeq
+    roots.foreach { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p) && fs.getFileStatus(p).isFile) {
+        if (!isHidden(p.getName)) explicit += fs.getFileStatus(p)
+      } else walk(p)
+    }
+    (out.filter { s =>
+      s.getPath.getName match {
+        case EpochFileName(tok) => committedEpochs.contains(tok)
+        case _ => true
+      }
+    } ++ explicit).toSeq
   }
+
+  private val EpochManifestName = """_epoch-(q[0-9a-fA-F]+-e\d+)\.manifest""".r
+  private val EpochFileName = """part-(q[0-9a-fA-F]+-e\d+)-\d+\.[^/]+""".r
 
   private def isHidden(name: String) =
     name.startsWith("_") || name.startsWith(".")
@@ -485,7 +515,7 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
   override def latestOffset(): streaming.Offset =
     latestOffset(initialOffset(), getDefaultReadLimit)
   override def deserializeOffset(json: String): streaming.Offset =
-    LwesStreamOffset(json.trim.toInt)
+    LwesStreamOffset.fromJson(json)
 
   override def planInputPartitions(start: streaming.Offset,
       end: streaming.Offset): Array[InputPartition] = {
@@ -509,10 +539,27 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
 }
 
 /** Number of planned file-batches; the files of batch `i` are pinned in
-  * `<checkpoint>/lwes-file-batches/<i>`. */
+  * `<checkpoint>/lwes-file-batches/<i>`.
+  *
+  * The offset JSON is VERSIONED: earlier releases persisted a bare file
+  * count whose meaning differs from today's batch count, so resuming a
+  * checkpoint across that change would silently read the wrong files.
+  * A v1 (unversioned) offset is rejected with an explicit error instead
+  * of being reinterpreted. */
 final case class LwesStreamOffset(batchCount: Int)
     extends streaming.Offset {
-  override def json(): String = batchCount.toString
+  override def json(): String = s"""{"v":2,"batches":$batchCount}"""
+}
+
+object LwesStreamOffset {
+  private val V2 = """\s*\{\s*"v"\s*:\s*2\s*,\s*"batches"\s*:\s*(\d+)\s*\}\s*""".r
+  def fromJson(json: String): LwesStreamOffset = json match {
+    case V2(n) => LwesStreamOffset(n.toInt)
+    case other => throw new IllegalStateException(
+      s"incompatible lwes stream checkpoint: offset '$other' was written by " +
+        "an earlier release (v1 file-count offsets cannot be resumed as v2 " +
+        "batch counts). Restart the query with a fresh checkpointLocation.")
+  }
 }
 
 class LwesPartitionReaderFactory(config: LwesReadConfig,

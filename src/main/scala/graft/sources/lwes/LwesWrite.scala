@@ -34,7 +34,10 @@ class LwesWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap
   }
 }
 
-final case class LwesCommitMessage(path: String, count: Long)
+/** `files`: streaming only — (hidden pending path, final path) per
+  * journal the task parked; the driver's epoch commit promotes them. */
+final case class LwesCommitMessage(path: String, count: Long,
+    files: Seq[(String, String)] = Nil)
     extends WriterCommitMessage
 
 /** Write-side options shared by the batch and streaming paths.
@@ -104,14 +107,25 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
   * per (epoch, partition) in the same append-only directory layout the
   * streaming READER tails — a graft stream can land journals that
   * another graft stream (or the batch reader) consumes directly.
-  * (queryId, epoch)-qualified file names make replayed epochs
-  * idempotent — a re-attempt of a committed epoch regenerates the same
-  * name and the first committed file wins — while a DIFFERENT query (or
-  * the same sink dir after a checkpoint reset, which changes the
-  * queryId) never collides with a previous run's files, so its output
-  * is never mistaken for an already-committed replay and dropped. */
+  *
+  * Epoch commit protocol (exactly-once visibility under replay):
+  * tasks park output under hidden `.pending-part-q<qid>-e<epoch>-*`
+  * names; this driver-side commit (a) drops the replay's output if the
+  * epoch's `_epoch-q<qid>-e<epoch>.manifest` already exists (first
+  * committed attempt wins, whole-epoch — never file-by-file, so a
+  * replay with a DIFFERENT partition count cannot interleave with a
+  * half-committed earlier layout), (b) otherwise deletes any visible
+  * leftovers of a crashed mid-commit attempt for this (query, epoch),
+  * promotes all pendings, and writes the manifest last. Readers
+  * ([[LwesDataSource.listFiles]]) treat the manifest as the commit
+  * marker: epoch-named files without one are invisible, so tailing
+  * consumers never observe an uncommitted or partially-promoted epoch.
+  * A DIFFERENT query (or the same sink dir after a checkpoint reset,
+  * which changes the queryId) never collides with a previous run's
+  * files, so its output is never mistaken for a replay and dropped. */
 class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
-    queryId: String) extends streaming.StreamingWrite {
+    queryId: String) extends streaming.StreamingWrite
+    with org.apache.spark.internal.Logging {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
@@ -123,8 +137,73 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
       SerializableHadoopConf.broadcast(conf), queryId)
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = LwesDataSource.hadoopConf()
+    val root = new Path(LwesWriteConfig(options).path)
+    val fs = root.getFileSystem(conf)
+    val token = s"${LwesStreamingWrite.queryTag(queryId)}-e$epochId"
+    val manifest = new Path(root, s"_epoch-$token.manifest")
+    val pairs = messages.toSeq.collect {
+      case LwesCommitMessage(_, _, files) => files }.flatten
+    if (fs.exists(manifest)) {
+      // a previous attempt committed this whole epoch — drop the replay
+      pairs.foreach { case (p, _) => fs.delete(new Path(p), false) }
+      return
+    }
+    // clear leftovers of a crashed mid-promote attempt: its visible set
+    // may be partial or partitioned differently, and mixing layouts
+    // duplicates/loses rows — this attempt's pending set is complete.
+    // Compare scheme-stripped paths: listStatus returns fully-qualified
+    // URIs while the writer records the raw configured path.
+    val keepPending = pairs.map(p => new Path(p._1).toUri.getPath).toSet
+    LwesStreamingWrite.epochFiles(fs, root, token).foreach { s =>
+      if (!keepPending.contains(s.getPath.toUri.getPath)) {
+        logWarning(s"lwes sink: removing stale epoch file ${s.getPath} " +
+          s"from an uncommitted attempt of epoch $epochId")
+        fs.delete(s.getPath, false)
+      }
+    }
+    pairs.foreach { case (pnd, fin) =>
+      val f = new Path(fin)
+      if (!fs.rename(new Path(pnd), f))
+        throw new java.io.IOException(s"promote $pnd -> $fin failed")
+    }
+    val tmp = new Path(root, s"._epoch-$token.manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(pairs.map(_._2 + "\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, manifest) && !fs.exists(manifest))
+      throw new java.io.IOException(s"cannot write epoch manifest $manifest")
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = LwesDataSource.hadoopConf()
+    val root = new Path(LwesWriteConfig(options).path)
+    val fs = root.getFileSystem(conf)
+    messages.toSeq.collect { case LwesCommitMessage(_, _, files) => files }
+      .flatten.foreach { case (p, _) => fs.delete(new Path(p), false) }
+  }
+}
+
+object LwesStreamingWrite {
+  private[lwes] def queryTag(queryId: String): String =
+    s"q${queryId.replace("-", "").take(12)}"
+
+  /** Every file (visible `part-<token>-*` or parked `.pending-part-
+    * <token>-*`) belonging to one (query, epoch), across partition
+    * subdirectories. */
+  private def epochFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      token: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory) { if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath) }
+      else if (n.startsWith(s"part-$token-") || n.startsWith(s".pending-part-$token-"))
+        out += s
+    }
+    if (fs.exists(root)) walk(root)
+    out.toSeq
+  }
 }
 
 class LwesStreamingDataWriterFactory(wc: LwesWriteConfig, schema: StructType,
@@ -134,7 +213,7 @@ class LwesStreamingDataWriterFactory(wc: LwesWriteConfig, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LwesDataWriter(wc, schema, partitionId, taskId, bconf.value.value,
-      s"part-q${queryId.replace("-", "").take(12)}-e$epochId")
+      s"part-${LwesStreamingWrite.queryTag(queryId)}-e$epochId")
 }
 
 class LwesDataWriterFactory(wc: LwesWriteConfig, schema: StructType,
@@ -217,16 +296,30 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach { case (w, tmp, dest) =>
-      w.close()
-      if (!fs.rename(tmp, dest)) {
-        // replayed streaming epoch: an earlier attempt already committed
-        // this exact file — keep it, drop ours
-        if (stableNames && fs.exists(dest)) fs.delete(tmp, false)
-        else throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    if (stableNames) {
+      // Streaming: nothing becomes visible at task commit. Output is
+      // parked under a hidden `.pending-` name and the DRIVER's epoch
+      // commit promotes the whole epoch atomically behind a manifest —
+      // a replay with a different partition count can therefore never
+      // leave a mixed-layout set of visible files (see
+      // LwesStreamingWrite.commit).
+      val files = open.values.toSeq.map { case (w, tmp, dest) =>
+        w.close()
+        val pending = new Path(dest.getParent, s".pending-${dest.getName}")
+        fs.delete(pending, false) // stale same-task attempt
+        if (!fs.rename(tmp, pending))
+          throw new java.io.IOException(s"rename $tmp -> $pending failed")
+        (pending.toString, dest.toString)
       }
+      LwesCommitMessage(dir, count, files)
+    } else {
+      open.values.foreach { case (w, tmp, dest) =>
+        w.close()
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"rename $tmp -> $dest failed")
+      }
+      LwesCommitMessage(dir, count)
     }
-    LwesCommitMessage(dir, count)
   }
 
   override def abort(): Unit = {

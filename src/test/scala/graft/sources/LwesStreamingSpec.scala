@@ -211,6 +211,90 @@ class LwesStreamingSpec extends AnyFunSuite {
     assert(back.count() == 60)
   }
 
+  test("uncommitted sink epoch files are invisible until their manifest lands") {
+    val dir = Files.createTempDirectory("lwes-manifest").toString
+    writeFile(dir, "plain.gz", 0, 10)
+    // an epoch-named file with NO _epoch manifest = a crashed mid-commit
+    // attempt; readers must not observe it
+    writeFile(dir, "part-qdeadbeef0123-e0-00000.gz", 100, 120)
+    def read() = spark.read.format("lwes").schema("id long").load(dir)
+    assert(read().count() == 10)
+    // the commit marker lands -> the epoch becomes visible atomically
+    Files.write(java.nio.file.Paths.get(dir, "_epoch-qdeadbeef0123-e0.manifest"),
+      "part-qdeadbeef0123-e0-00000.gz\n".getBytes("UTF-8"))
+    assert(read().count() == 30)
+    // naming the file explicitly bypasses the gate (user override)
+    writeFile(dir, "part-qdeadbeef0123-e1-00000.gz", 200, 205)
+    assert(read().count() == 30)
+    assert(spark.read.format("lwes").schema("id long")
+      .load(s"$dir/part-qdeadbeef0123-e1-00000.gz").count() == 5)
+  }
+
+  test("v1 (unversioned) checkpoint offsets are rejected with an explicit error") {
+    import graft.sources.lwes.LwesStreamOffset
+    assert(LwesStreamOffset.fromJson("""{"v":2,"batches":7}""").batchCount == 7)
+    assert(LwesStreamOffset(3).json() == """{"v":2,"batches":3}""")
+    val ex = intercept[IllegalStateException](LwesStreamOffset.fromJson("5"))
+    assert(ex.getMessage.contains("incompatible"))
+  }
+
+  test("epoch replay with a different partition layout removes the crashed attempt's files") {
+    import graft.sources.lwes.{LwesCommitMessage, LwesStreamingWrite}
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext // ensure an active session for hadoopConf()
+    val dst = Files.createTempDirectory("lwes-replay").toString
+    val queryId = "abcdef1234567890" // tag: qabcdef123456
+    val tag = "qabcdef123456"
+    // crashed attempt: promoted 2 of its files (partitions 0 and 7 of an
+    // 8-partition layout), then died before writing the manifest
+    writeFile(dst, s"part-$tag-e0-00000.gz", 0, 10)
+    writeFile(dst, s"part-$tag-e0-00007.gz", 70, 80)
+    // replay runs with TWO partitions; tasks parked pendings
+    writeFile(dst, s".pending-part-$tag-e0-00000.gz", 0, 40)
+    writeFile(dst, s".pending-part-$tag-e0-00001.gz", 40, 80)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id long, amount int")
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("path" -> dst).asJava)
+    val write = new LwesStreamingWrite(schema, opts, queryId)
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(
+        LwesCommitMessage(dst, 40,
+          Seq((s"$dst/.pending-part-$tag-e0-00000.gz", s"$dst/part-$tag-e0-00000.gz"))),
+        LwesCommitMessage(dst, 40,
+          Seq((s"$dst/.pending-part-$tag-e0-00001.gz", s"$dst/part-$tag-e0-00001.gz"))))
+    write.commit(0L, msgs)
+    // stale partition 7 gone, manifest present, exactly the replay's rows
+    assert(!new java.io.File(s"$dst/part-$tag-e0-00007.gz").exists())
+    assert(new java.io.File(s"$dst/_epoch-$tag-e0.manifest").exists())
+    val back = spark.read.format("lwes").schema("id long").load(dst)
+    assert(back.count() == 80)
+    assert(back.agg(sum("id")).head.getLong(0) == (0 until 80).map(_.toLong).sum)
+    // a SECOND replay of the committed epoch drops its output entirely
+    writeFile(dst, s".pending-part-$tag-e0-00000.gz", 0, 80)
+    write.commit(0L, Array(LwesCommitMessage(dst, 80,
+      Seq((s"$dst/.pending-part-$tag-e0-00000.gz", s"$dst/part-$tag-e0-00000.gz")))))
+    assert(!new java.io.File(s"$dst/.pending-part-$tag-e0-00000.gz").exists())
+    assert(spark.read.format("lwes").schema("id long").load(dst).count() == 80)
+  }
+
+  test("compaction skips files inside the stability horizon") {
+    import graft.sources.lwes.Compact
+    val dir = Files.createTempDirectory("lwes-compact-horizon").toString
+    (0 until 3).foreach { i =>
+      writeFile(dir, s"old$i.gz", i * 10, (i + 1) * 10)
+      new java.io.File(s"$dir/old$i.gz").setLastModified(
+        System.currentTimeMillis() - 3600000L)
+    }
+    writeFile(dir, "fresh.gz", 100, 110) // still being landed, maybe
+    val (before, after) = Compact.compact(spark, dir, targetFiles = 1,
+      minAgeMs = 60000L)
+    assert(before == 3, s"horizon should exclude fresh.gz (got $before)")
+    assert(after == 2, s"1 compacted + 1 fresh expected (got $after)")
+    assert(new java.io.File(s"$dir/fresh.gz").exists())
+    val back = spark.read.format("lwes").schema("id long").load(dir)
+    assert(back.count() == 40)
+  }
+
   test("corrupt journal tail ends the file, not the job") {
     val dir = Files.createTempDirectory("lwes-corrupt").toString
     writeFile(dir, "good.gz", 0, 50)
