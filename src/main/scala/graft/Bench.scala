@@ -19,10 +19,33 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/events.parquet").count()
-    // Two timed runs per query, report the min: a single local[32] pass
-    // is noisy (JIT warmup, GC pauses land on whichever query is
-    // running); the min is the throughput the plan actually sustains.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // JIT-warm the shared signature kernels (shingle/minhash/simhash/
+    // hyperplane/cosine/NFC): whichever dedup/similarity query happens
+    // to run first in map order would otherwise absorb their compile
+    // time — round-over-round that made per-query numbers depend on
+    // suite ORDER, not on the plans being measured.
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.functions.SignatureExpressions._
+      val warm = spark.range(50000L).selectExpr(
+        "concat('quick brown fox ', id % 97, ' jumps over the lazy dog ', id % 13) AS t",
+        "array(cast(id % 7 as double), 1.5, -2.25, 3.0) AS v")
+      warm.select(
+          minhashes(shingle_hashes(split(col("t"), " "), 3), 16).as("mh"),
+          simhash64(split(col("t"), " ")).as("sh"),
+          hyperplane_bucket(col("v"), 8).as("hb"),
+          cosine_sim(col("v"), col("v")).as("cs"),
+          length(nfc_casefold(col("t"))).as("nc"))
+        .selectExpr("sum(size(mh))", "max(sh)", "max(hb)", "sum(cs)", "sum(nc)")
+        .collect()
+    }
+    // Three timed runs per query, report the min: a single local[32]
+    // pass is noisy (JIT warmup, GC pauses land on whichever query is
+    // running), and kernel-heavy queries need ~2 passes before the JIT
+    // compiles their hot loops; the min is the throughput the plan
+    // actually sustains — which is what a warm long-running executor
+    // delivers at the 100 TB design point.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()

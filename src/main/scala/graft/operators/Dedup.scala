@@ -244,12 +244,14 @@ object Dedup {
     val sh = docs.select(col(idCol).as("__id"),
       graft.functions.SignatureExpressions.shingle_hashes(
         TextAnalysis.tokens(col(textCol)), w).as("__sh"))
+    val a = sh.as("sha")
+    val b = sh.as("shb")
     pairs
-      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .join(a, col("id_a") === col("sha.__id"))
+      .join(b, col("id_b") === col("shb.__id"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"), 4))
+        size(array_intersect(col("sha.__sh"), col("shb.__sh"))).cast("double") /
+          greatest(size(array_union(col("sha.__sh"), col("shb.__sh"))), lit(1)).cast("double"), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * Media ride as opaque `binary` columns next to typed metadata — the
   * same pattern a 100 TB image/audio pipeline uses (bytes in parquet or
-  * pointer columns, decode on executors). The Spark-side plumbing —
-  * schema, per-partition batch shape, feature columns — is real; the
-  * actual codec call is stubbed behind [[MediaCodec.decode]] with a
-  * deterministic fake (media libraries are not present in this
-  * environment, and at scale that call is the only thing that changes).
+  * pointer columns, decode on executors). Both the Spark-side plumbing
+  * (schema, per-partition batch shape, feature columns) AND the decode
+  * kernels are real: PNG/JPEG through JDK ImageIO, WAV through a RIFF
+  * PCM parser — no extra dependencies. Only VIDEO container decode
+  * (which needs an external codec library like ffmpeg) falls back to a
+  * deterministic stand-in, as do unrecognized byte payloads (which keeps
+  * the synthetic-media test harness and the `mm_meta` gate stable).
   */
 object Multimodal {
 
@@ -19,13 +21,90 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, media_type: String,
       n_bytes: Long, checksum: Long, width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder boundary. In production this calls the image/audio/video
-    * codec (e.g. libjpeg / ffmpeg) on each byte payload. Here it derives
-    * deterministic fake dimensions from the bytes so the distributed
-    * plumbing (batching, schema, partitioning) is fully exercisable. */
+  /** Decoder boundary. Real kernels for the formats the JDK can decode
+    * (PNG/JPEG via ImageIO, WAV PCM via a RIFF parse); a deterministic
+    * byte-derived stand-in for video containers (no codec library in
+    * the JDK) and unrecognized payloads. */
   object MediaCodec {
-    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
-      // ??? <- real codec goes here; deterministic fake below
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length > 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length > 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
+    private def isWav(b: Array[Byte]): Boolean =
+      b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** PNG/JPEG → pixels. None for anything else (including corrupt
+      * streams — at 100 TB some payloads are always torn, and a decode
+      * failure must be a null-ish feature row, not a task failure). */
+    def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!isPng(bytes) && !isJpeg(bytes)) None
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** Interleaved PCM normalized to [-1, 1]. */
+    final case class WavPcm(sampleRate: Int, channels: Int,
+        bitsPerSample: Int, samples: Array[Double]) {
+      def nFrames: Int = if (channels == 0) 0 else samples.length / channels
+    }
+
+    /** RIFF/WAVE parse: fmt + data chunks, PCM 8-bit unsigned and
+      * 16-bit signed little-endian. None for non-WAV/non-PCM bytes. */
+    def decodeWav(bytes: Array[Byte]): Option[WavPcm] = {
+      if (!isWav(bytes)) return None
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.position(12) // past RIFF<len>WAVE
+        var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, channels, rate, bits
+        var data: Option[(Int, Int)] = None // offset, length
+        while (bb.remaining() >= 8 && (fmt.isEmpty || data.isEmpty)) {
+          val id = new String(Array(bb.get(), bb.get(), bb.get(), bb.get()), "US-ASCII")
+          val len = bb.getInt()
+          val start = bb.position()
+          if (id == "fmt " && len >= 16) {
+            val audioFormat = bb.getShort() & 0xFFFF
+            val channels = bb.getShort() & 0xFFFF
+            val rate = bb.getInt()
+            bb.getInt(); bb.getShort() // byteRate, blockAlign
+            val bits = bb.getShort() & 0xFFFF
+            fmt = Some((audioFormat, channels, rate, bits))
+          } else if (id == "data") {
+            data = Some((start, math.min(len, bytes.length - start)))
+          }
+          bb.position(math.min(start + len + (len & 1), bytes.length)) // chunks are word-aligned
+        }
+        for {
+          (audioFormat, channels, rate, bits) <- fmt
+          if audioFormat == 1 && channels > 0 && (bits == 8 || bits == 16)
+          (off, len) <- data
+        } yield {
+          val n = len / (bits / 8)
+          val samples = new Array[Double](n)
+          var i = 0
+          if (bits == 8) {
+            while (i < n) { samples(i) = ((bytes(off + i) & 0xFF) - 128) / 128.0; i += 1 }
+          } else {
+            val sb = java.nio.ByteBuffer.wrap(bytes, off, len)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+            while (i < n) { samples(i) = sb.get(i) / 32768.0; i += 1 }
+          }
+          WavPcm(rate, channels, bits, samples)
+        }
+      } catch { case _: Exception => None }
+    }
+
+    /** (width, height, n_frames) feature triple:
+      *  - image: pixel dims, 1 frame;
+      *  - WAV audio: (sampleRate, channels, PCM frame count);
+      *  - video / unrecognized: deterministic byte-derived stand-in
+      *    (video container decode needs an external codec library). */
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) =
+      decodeImage(bytes).map(img => (img.getWidth, img.getHeight, 1))
+        .orElse(decodeWav(bytes).map(w => (w.sampleRate, w.channels, w.nFrames)))
+        .getOrElse(fakeDecode(mediaType, bytes))
+
+    private def fakeDecode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
       var h = 1125899906842597L
       var i = 0
       while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
@@ -38,6 +117,23 @@ object Multimodal {
       }
       (w, ht, frames)
     }
+
+    /** Decode → bilinear resample → PNG re-encode. None when the bytes
+      * are not a decodable image (caller falls back). */
+    def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+      decodeImage(bytes).map { img =>
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
   }
 
   /** Attach an opaque binary media column + typed metadata to a table
@@ -70,11 +166,11 @@ object Multimodal {
   final case class ResizedMedia(doc_id: Long, media_type: String,
       target_w: Int, target_h: Int, resized: Array[Byte])
 
-  /** Resize plumbing: decode → resample → re-encode per row, batched per
-    * partition. The resample itself is the stubbed codec call — here a
-    * deterministic byte-resample to `targetW*targetH/16` bytes — but the
-    * distributed shape (binary in, binary out, no driver involvement,
-    * no shuffle) is the production one. */
+  /** Resize: decode → bilinear resample → PNG re-encode per row, batched
+    * per partition (binary in, binary out, no driver involvement, no
+    * shuffle — the production shape). Real for decodable images
+    * (ImageIO); non-image/undecodable payloads get a deterministic
+    * byte-resample so synthetic test media still flows through. */
   def resize(spark: SparkSession, df: DataFrame, targetW: Int, targetH: Int,
       idCol: String = "doc_id"): Dataset[ResizedMedia] = {
     import spark.implicits._
@@ -83,14 +179,15 @@ object Multimodal {
       .mapPartitions { rows =>
         val outLen = math.max(targetW * targetH / 16, 1)
         rows.map { case (id, mt, bytes) =>
-          // ??? <- real decode+resample+encode; deterministic byte
-          // resample below keeps the pipeline testable
-          val out = new Array[Byte](outLen)
-          var i = 0
-          while (i < outLen) {
-            out(i) = if (bytes.isEmpty) 0
-              else bytes((i.toLong * bytes.length / outLen).toInt)
-            i += 1
+          val out = MediaCodec.resizeImage(bytes, targetW, targetH).getOrElse {
+            val o = new Array[Byte](outLen)
+            var i = 0
+            while (i < outLen) {
+              o(i) = if (bytes.isEmpty) 0
+                else bytes((i.toLong * bytes.length / outLen).toInt)
+              i += 1
+            }
+            o
           }
           ResizedMedia(id, mt, targetW, targetH, out)
         }
@@ -114,7 +211,9 @@ object Multimodal {
           val take = math.min(n, nFrames)
           (0 until take).iterator.map { k =>
             val fi = (k.toLong * nFrames / math.max(take, 1)).toInt
-            // ??? <- real frame decode; deterministic slice stands in
+            // video container decode needs an external codec library
+            // (ffmpeg-class); a deterministic byte slice stands in for
+            // the per-frame extraction while keeping the fan-out shape
             val sliceLen = math.max(bytes.length / math.max(nFrames, 1), 1)
             val start = math.min(fi.toLong * sliceLen, math.max(bytes.length - 1, 0)).toInt
             val end = math.min(start + sliceLen, bytes.length)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 
 import scala.collection.mutable
 
@@ -84,17 +84,35 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    // the heap map holds O(distinct keys × k) copied rows per partition
+    // with no spill path; past this cap the operator degrades to a
+    // SPILLABLE external sort (TaskMemoryManager-backed) + streaming
+    // rank — memory pressure becomes disk instead of executor OOM
+    val maxBuffered = conf
+      .getConfString("spark.graft.topk.maxBufferedRows", (1 << 20).toString)
+      .toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ordering = GenerateOrdering.generate(order, childOutput)
+      val toUnsafe = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val rankRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val rankIsLong = rankAttr.dataType == org.apache.spark.sql.types.LongType
+      def emit(r: InternalRow, rank: Int): InternalRow = {
+        rankRow.update(0, if (rankIsLong) rank.toLong else rank)
+        toUnsafe(joined(r, rankRow))
+      }
       // mutable.PriorityQueue surfaces the MAX of `ordering` = the row
       // that sorts LAST = the current worst of the kept k
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var buffered = 0L
+      var overflowed = false
+      while (iter.hasNext && !overflowed) {
+        val row = iter.next()
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(h) =>
-            if (h.size < k) h.enqueue(row.copy())
+            if (h.size < k) { h.enqueue(row.copy()); buffered += 1 }
             else if (ordering.compare(row, h.head) < 0) {
               h.dequeue(); h.enqueue(row.copy())
             }
@@ -102,19 +120,53 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
             val h = new mutable.PriorityQueue[InternalRow]()(ordering)
             h.enqueue(row.copy())
             heaps.put(key.copy(), h)
+            buffered += 1
         }
+        if (buffered > maxBuffered) overflowed = true
       }
-      val toUnsafe = UnsafeProjection.create(output.map(_.dataType).toArray)
-      val rankRow = new GenericInternalRow(1)
-      val joined = new JoinedRow
-      val rankIsLong = rankAttr.dataType == org.apache.spark.sql.types.LongType
-      heaps.valuesIterator.flatMap { h =>
-        // drain worst-first, then reverse so rank 1 = best
-        val drained = mutable.ArrayBuffer.empty[InternalRow]
-        while (h.nonEmpty) drained += h.dequeue()
-        drained.reverseIterator.zipWithIndex.map { case (r, i) =>
-          rankRow.update(0, if (rankIsLong) (i + 1).toLong else i + 1)
-          toUnsafe(joined(r, rankRow))
+      if (!overflowed) {
+        heaps.valuesIterator.flatMap { h =>
+          // drain worst-first, then reverse so rank 1 = best
+          val drained = mutable.ArrayBuffer.empty[InternalRow]
+          while (h.nonEmpty) drained += h.dequeue()
+          drained.reverseIterator.zipWithIndex.map { case (r, i) => emit(r, i + 1) }
+        }
+      } else {
+        // fallback: external sort by (key, order) — spills through
+        // TaskMemoryManager — then a streaming first-k-per-key pass
+        // (the shape of Spark's own WindowGroupLimit final phase).
+        // Heap contents so far are already ≤ k per key and feed the
+        // same sorter, so no work is lost.
+        val schema = org.apache.spark.sql.types.StructType(childOutput.map(a =>
+          org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+        val sortOrder = keys.map(e =>
+          SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)) ++ order
+        val fullOrdering = GenerateOrdering.generate(sortOrder, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            p.isNull = false; p.value = 0L; p
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(schema, fullOrdering,
+          org.apache.spark.util.collection.unsafe.sort.PrefixComparators.LONG,
+          prefixComputer, 4L * 1024 * 1024, false)
+        val childToUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        def asUnsafe(r: InternalRow): UnsafeRow = r match {
+          case u: UnsafeRow => u
+          case other => childToUnsafe(other)
+        }
+        heaps.valuesIterator.foreach(_.foreach(r => sorter.insertRow(asUnsafe(r))))
+        heaps.clear()
+        iter.foreach(row => sorter.insertRow(asUnsafe(row)))
+        var curKey: UnsafeRow = null
+        var rank = 0
+        sorter.sort().flatMap { r =>
+          val key = keyProj(r)
+          if (curKey == null || key != curKey) { curKey = key.copy(); rank = 0 }
+          rank += 1
+          if (rank <= k) Some(emit(r, rank)) else None
         }
       }
     }, preservesPartitioning = true)

@@ -167,6 +167,72 @@ object LwesQueries {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // A13+A16+B17 end-to-end: journals → streaming source (AvailableNow,
+    // bounded batches) → watermarked tumbling-window aggregation →
+    // streaming lwes SINK (epoch-manifest commits) → batch read-back.
+    // Two watermark subtleties make the drain exact:
+    //  - journals are NOT time-ordered (repartition spreads the span
+    //    across every file), so the delay must exceed the whole event
+    //    span or batch 2+ would arrive "late" and be dropped;
+    //  - append mode only emits CLOSED windows, so a sentinel event past
+    //    span+delay rides in a final journal (mtime-ordered last) to
+    //    close every real window; its own window is excluded by the ts
+    //    filter. The DuckDB oracle computes the same tumbling windows
+    //    straight from parquet.
+    "lwes_stream_drain" -> ((
+      (s: SparkSession, d: String) => {
+        val mm = events(s, d)
+          .agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head
+        val (tsMinUs, tsMaxUs) = (mm.getLong(0), mm.getLong(1))
+        val delayUs = (tsMaxUs - tsMinUs) + 3600000000L
+        val sentinelTs = tsMaxUs + delayUs + 7200000000L
+        val src = cached(s"drain|$d") { dir =>
+          events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("ts div 1000").as("ts_us"))
+            .repartition(8)
+            .write.format("lwes").option("eventName", "Ev::S").mode("append").save(dir)
+          val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+          s.range(1).select(lit(-1L).as("event_id"), lit(0L).as("user_id"),
+              lit("sentinel").as("event_type"), lit(sentinelTs).as("ts_us"))
+            .coalesce(1)
+            .write.format("lwes").option("eventName", "Ev::S").mode("append").save(dir)
+          val files = new java.io.File(dir).listFiles()
+          val maxMtime = files.map(_.lastModified()).max
+          files.filterNot(f => before.contains(f.getName))
+            .foreach(_.setLastModified(maxMtime + 60000L))
+        }
+        val dst = tmpDir("drain-dst")
+        val ckpt = tmpDir("drain-ckpt")
+        val q = s.readStream.format("lwes")
+          .schema("event_id long, user_id long, event_type string, ts_us long")
+          .option("eventName", "Ev::S")
+          .option("maxFilesPerTrigger", "3").load(src)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", s"$delayUs microseconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("sum_uid"))
+          .writeStream.format("lwes")
+          .option("eventName", "Win::Agg")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+        s.read.format("lwes")
+          .schema("window_start_us long, event_type string, n long, sum_uid long")
+          .option("eventName", "Win::Agg").load(dst)
+          .filter(col("window_start_us") <= tsMaxUs)
+          .orderBy(col("window_start_us"), col("event_type"))
+      },
+      """SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_start_us,
+        |  event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events
+        |GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin)),
+
     // A7: float/double ride the wire as strings (serde parity) and
     // convert back exactly.
     "lwes_float_conv" -> ((

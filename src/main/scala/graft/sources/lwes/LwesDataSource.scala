@@ -164,6 +164,7 @@ object LwesDataSource {
     val maxFiles = options.getInt(LwesOptions.InferMaxFiles, 8)
     val eventName = Option(options.get(LwesOptions.EventName))
     val (attrFor, eventFor) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
+    val u64Dec = "decimal".equalsIgnoreCase(options.getOrDefault(LwesOptions.Uint64As, "long"))
 
     val nameFilter: String => Boolean =
       if (eventName.isDefined) n => n == eventName.get
@@ -181,7 +182,7 @@ object LwesDataSource {
           while (it.hasNext && n < maxEvents) {
             val ev = it.next()
             ev.attrs.foreach { a =>
-              val t = LwesOptions.sparkTypeFor(a.token)
+              val t = LwesOptions.sparkTypeFor(a.token, u64Dec)
               seen.updateWith(a.key) {
                 case Some(prev) => Some(LwesOptions.widen(prev, t))
                 case None => Some(t)

@@ -46,6 +46,10 @@ object LwesOptions {
   val Compression = "compression"
   val InferMaxEvents = "inferMaxEvents"
   val InferMaxFiles = "inferMaxFiles"
+  // uint64 mapping: "long" (default — raw bits, values >= 2^63 wrap
+  // negative, parity with the reference's getInt64) or "decimal"
+  // (schema inference yields decimal(20,0) and reads are unsigned-exact)
+  val Uint64As = "uint64As"
 
   /** Parse `mapping` option: `col:Attr` / `col:Event::Name::Field`. */
   def parseMapping(mapping: String): (Map[String, String], Map[String, String]) = {
@@ -100,6 +104,20 @@ object LwesOptions {
           case s: String => s.getBytes("UTF-8")
           case _ => null
         }
+        // decimal columns read uint64 attributes UNSIGNED-exactly
+        // (the 2^63..2^64-1 range that LongType wraps negative);
+        // other numeric tokens convert signed as usual
+        case dt: DecimalType =>
+          val bd: java.math.BigDecimal =
+            if (a.token == LwesType.UInt64)
+              new java.math.BigDecimal(
+                java.lang.Long.toUnsignedString(a.value.asInstanceOf[Long]))
+            else asLong(a).map(java.math.BigDecimal.valueOf).orNull
+          if (bd == null) null
+          else {
+            val d = Decimal(scala.math.BigDecimal(bd))
+            if (d.changePrecision(dt.precision, dt.scale)) d else null
+          }
         case _ => null
       }
     } catch {
@@ -157,6 +175,9 @@ object LwesOptions {
       case BinaryType => // opaque payloads ride as ipaddr only if 4B, else skip
         val b = v.asInstanceOf[Array[Byte]]
         if (b.length == 4) ev.setIpAddr(attr, b)
+      case _: DecimalType => // unsigned round-trip back to uint64 raw bits
+        ev.setUInt64(attr,
+          v.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger.longValue())
       case other =>
         throw new IllegalArgumentException(
           s"LWES cannot carry Spark type $other (reference EventSerDe.java:443-447)")
@@ -173,16 +194,20 @@ object LwesOptions {
     case _ => throw new IllegalArgumentException(s"not numeric: $v")
   }
 
-  /** Inference: LWES token → Spark type. */
-  def sparkTypeFor(token: Byte): DataType = token match {
-    case LwesType.Bool => BooleanType
-    case LwesType.Int16 => ShortType
-    case LwesType.UInt16 | LwesType.Int32 => IntegerType
-    case LwesType.UInt32 | LwesType.Int64 | LwesType.UInt64 => LongType
-    case LwesType.Str => StringType
-    case LwesType.IpAddr => StringType
-    case _ => StringType
-  }
+  /** Inference: LWES token → Spark type. `uint64AsDecimal` maps UInt64
+    * to decimal(20,0) (unsigned-exact) instead of the default LongType
+    * (raw bits — values ≥ 2^63 wrap negative, reference parity). */
+  def sparkTypeFor(token: Byte, uint64AsDecimal: Boolean = false): DataType =
+    token match {
+      case LwesType.Bool => BooleanType
+      case LwesType.Int16 => ShortType
+      case LwesType.UInt16 | LwesType.Int32 => IntegerType
+      case LwesType.UInt64 if uint64AsDecimal => DecimalType(20, 0)
+      case LwesType.UInt32 | LwesType.Int64 | LwesType.UInt64 => LongType
+      case LwesType.Str => StringType
+      case LwesType.IpAddr => StringType
+      case _ => StringType
+    }
 
   /** Widen two inferred types to a common one. */
   def widen(a: DataType, b: DataType): DataType = (a, b) match {
@@ -190,6 +215,9 @@ object LwesOptions {
     case (ShortType, IntegerType) | (IntegerType, ShortType) => IntegerType
     case (ShortType, LongType) | (LongType, ShortType) => LongType
     case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    // decimal(20,0) (unsigned uint64) absorbs any signed integral width
+    case (d: DecimalType, ShortType | IntegerType | LongType) => d
+    case (ShortType | IntegerType | LongType, d: DecimalType) => d
     case _ => StringType
   }
 }

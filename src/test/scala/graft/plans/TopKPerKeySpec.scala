@@ -52,6 +52,28 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning"), plan)
   }
 
+  test("buffered-row cap degrades to the spillable sort fallback, same result") {
+    // 2000 distinct keys × k=3 = 6000 buffered rows; a cap of 100 forces
+    // the external-sort + streaming-rank path almost immediately
+    val rows = (1 to 20000).map { i => (i % 2000L, (i * 7919) % 1000, s"r$i") }
+    val df = rows.toDF("k", "score", "payload")
+    def run() = TopK.perKey(df, Seq(col("k")),
+        Seq(col("score").desc, col("payload").asc), 3)
+      .select("k", "rnk", "score", "payload").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val unbounded = run()
+    spark.conf.set("spark.graft.topk.maxBufferedRows", "100")
+    try {
+      val spilled = run()
+      assert(spilled == unbounded)
+      val expected = rows.groupBy(_._1).flatMap { case (k, g) =>
+        g.sortBy { case (_, s, p) => (-s, p) }.take(3).zipWithIndex
+          .map { case ((_, s, p), i) => (k, i + 1, s, p) }
+      }.toSet
+      assert(spilled == expected)
+    } finally spark.conf.unset("spark.graft.topk.maxBufferedRows")
+  }
+
   test("rewrite leaves rank()/multi-function windows and global windows alone") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq((1L, 10), (1L, 10), (2L, 5)).toDF("k", "v")

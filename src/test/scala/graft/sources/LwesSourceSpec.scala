@@ -261,4 +261,36 @@ class LwesSourceSpec extends AnyFunSuite {
     assert(back.count() == 5)
     assert(back.agg(min("v")).head.getString(0) == "b0")
   }
+
+  test("uint64 >= 2^63: long wraps (reference parity), decimal(20,0) opt-in is unsigned-exact (A7)") {
+    val dir = tmp()
+    val big = java.lang.Long.parseUnsignedLong("18446744073709551615") // 2^64-1 == -1L
+    val w = JournalWriter.create(s"$dir/u64.gz")
+    w.write(LwesEvent("U::E").setInt64("id", 1L).setUInt64("ctr", big))
+    w.write(LwesEvent("U::E").setInt64("id", 2L).setUInt64("ctr",
+      java.lang.Long.parseUnsignedLong("9223372036854775808"))) // 2^63
+    w.write(LwesEvent("U::E").setInt64("id", 3L).setUInt64("ctr", 42L))
+    w.close()
+    // default: raw bits into LongType — wraps negative, like the
+    // reference's getInt64 (EventSerDe.java:258-268)
+    val asLong = spark.read.format("lwes").load(dir)
+    assert(asLong.schema("ctr").dataType == LongType)
+    assert(asLong.orderBy("id").select("ctr").collect().map(_.getLong(0)).toSeq
+      == Seq(-1L, Long.MinValue, 42L))
+    // opt-in: inference yields decimal(20,0), values unsigned-exact
+    val asDec = spark.read.format("lwes").option("uint64As", "decimal").load(dir)
+    assert(asDec.schema("ctr").dataType == DecimalType(20, 0))
+    assert(asDec.orderBy("id").select("ctr").collect()
+      .map(_.getDecimal(0).toBigInteger.toString).toSeq
+      == Seq("18446744073709551615", "9223372036854775808", "42"))
+    // explicit decimal schema works without the option, and the write
+    // path round-trips decimals back to uint64 raw bits
+    val dir2 = tmp()
+    asDec.write.format("lwes").option("eventName", "U::E").mode("append").save(dir2)
+    val back = spark.read.format("lwes")
+      .schema("id long, ctr decimal(20,0)").load(dir2)
+    assert(back.orderBy("id").select("ctr").collect()
+      .map(_.getDecimal(0).toBigInteger.toString).toSeq
+      == Seq("18446744073709551615", "9223372036854775808", "42"))
+  }
 }
