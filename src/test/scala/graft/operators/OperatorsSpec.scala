@@ -151,6 +151,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top(1).getLong(2) == 2L)
   }
 
+  test("embeddingNearDup recalls planted near-identical pairs, skips dissimilar ones") {
+    // planted pair: same direction with tiny perturbation (cosine ~1);
+    // identical vectors guarantee same LSH bucket; the perturbed copy
+    // flips no hyperplane sign at this magnitude. Decoys are random-ish
+    // sign patterns with cosine far below threshold.
+    val base = Array.tabulate(16)(i => 0.2f * ((i % 5) + 1))
+    val near = base.zipWithIndex.map { case (x, i) => x * (if (i == 0) 1.0001f else 1.0f) }
+    val decoys = (10L to 29L).map { s =>
+      (s, Array.tabulate(16)(i => if (((s + i) % 3) == 0) -1.0f else 1.0f * ((i % 4) - 1.5f)))
+    }
+    val df = (Seq((0L, base), (1L, near)) ++ decoys).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDup(df, "vec_id", "embedding",
+      threshold = 0.95).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      s"planted pair missed: ${pairs.mkString(";")}")
+    // no false positives: every emitted pair satisfies the exact threshold
+    assert(pairs.forall(_.getDouble(2) >= 0.95), pairs.mkString(";"))
+  }
+
+  test("sim_lsh / sim_ivf recall vs exact sim_topk on testdata embeddings") {
+    // the approximate paths trade recall for never-cross-joining; this
+    // pins the trade so a bucketing regression (e.g. losing the
+    // multi-table union) fails loudly. Measured at HEAD: lsh ≈ 0.61
+    // (was 0.016 single-table), ivf ≈ 0.56.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 20 === 0)
+    val k = 10
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.cosineTopK(emb, q, "vec_id", "embedding", k))
+    val lsh = hits(Similarity.lshTopK(emb, q, "vec_id", "embedding", k))
+    val ivf = hits(Similarity.ivfTopK(emb, q, "vec_id", "embedding", k))
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"recall@$k vs exact: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f")
+    assert(lshRecall >= 0.45, f"multi-table LSH recall collapsed: $lshRecall%.3f")
+    assert(ivfRecall >= 0.40, f"IVF recall collapsed: $ivfRecall%.3f")
+  }
+
   test("lsh bucket is deterministic and identical vectors collide") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val df = Seq((0L, v), (1L, v)).toDF("vec_id", "embedding")
