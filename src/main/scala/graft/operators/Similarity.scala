@@ -113,6 +113,10 @@ object Similarity {
       .withColumn("centroid_id", row_number().over(
         Window.partitionBy(pmod(col("__h"), lit(1))).orderBy(col("__h"))).cast("long"))
       .select(col("centroid_id"), col("v_c").as("v_cent"))
+      // k·dim rows only — materializing each round truncates the
+      // otherwise multiplicative lineage (every consumer of `cents`
+      // would re-execute all previous Lloyd rounds)
+      .localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = c.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("v_c"), col("v_cent")))
@@ -133,6 +137,7 @@ object Similarity {
       cents = cents.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("v_new"), col("v_cent")).as("v_cent"))
+        .localCheckpoint()
     }
     cents
   }

@@ -204,22 +204,32 @@ object LwesQueries {
         }
         val dst = tmpDir("drain-dst")
         val ckpt = tmpDir("drain-ckpt")
-        val q = s.readStream.format("lwes")
-          .schema("event_id long, user_id long, event_type string, ts_us long")
-          .option("eventName", "Ev::S")
-          .option("maxFilesPerTrigger", "3").load(src)
-          .withColumn("ts", timestamp_micros(col("ts_us")))
-          .withWatermark("ts", s"$delayUs microseconds")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
-          .select(unix_micros(col("window.start")).as("window_start_us"),
-            col("event_type"), col("n"), col("sum_uid"))
-          .writeStream.format("lwes")
-          .option("eventName", "Win::Agg")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start(dst)
+        // a fresh stateful query commits one state-store file per
+        // shuffle partition per microbatch — 32 partitions × 3 batches
+        // of fsyncs dominate a drain whose windowed state has ~dozens
+        // of keys; 8 partitions keep the same results and multi-batch
+        // coverage at a fraction of the commit overhead (scoped +
+        // restored: the conf is weakly-typed session state)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.readStream.format("lwes")
+            .schema("event_id long, user_id long, event_type string, ts_us long")
+            .option("eventName", "Ev::S")
+            .option("maxFilesPerTrigger", "4").load(src)
+            .withColumn("ts", timestamp_micros(col("ts_us")))
+            .withWatermark("ts", s"$delayUs microseconds")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+            .select(unix_micros(col("window.start")).as("window_start_us"),
+              col("event_type"), col("n"), col("sum_uid"))
+            .writeStream.format("lwes")
+            .option("eventName", "Win::Agg")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(dst)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         q.awaitTermination()
         s.read.format("lwes")
           .schema("window_start_us long, event_type string, n long, sum_uid long")
