@@ -46,7 +46,7 @@ object Bench {
     // actually sustains — which is what a warm long-running executor
     // delivers at the 100 TB design point.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val raw = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -57,17 +57,48 @@ object Bench {
         spark.catalog.clearCache()
         (ok, elapsed)
       }
-      // a failed iteration must not report its (fast) failure time as
-      // sustained throughput: min over successes only, -1 if none
+      name -> times
+    }
+    // Locale.ROOT: a comma decimal separator from the default locale would
+    // corrupt the JSON.
+    def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    // a failed iteration must not report its (fast) failure time as
+    // sustained throughput: min over successes only, -1 if none
+    val results = raw.map { case (name, times) =>
       val good = times.filter(_._1).map(_._2)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // Per-iteration times + relative spread, so an environmental outlier
+    // (GC pause, machine load during one pass) is distinguishable from a
+    // plan change without rerunning the whole suite. spread = (max-min)/min
+    // over successful iterations; > ~0.5 means the min is not a stable
+    // reading for that query.
+    val itersJson = raw.map { case (k, times) =>
+      s"\"" + k + "\":" + times.map { case (ok, t) => if (ok) f(t) else "-1" }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val spreadJson = raw.map { case (k, times) =>
+      val good = times.filter(_._1).map(_._2)
+      val spread =
+        if (good.size < 2 || good.min <= 0) -1.0
+        else (good.max - good.min) / good.min
+      s"\"" + k + "\":" + f(spread)
+    }.mkString("{", ",", "}")
     // failed queries carry a -1 sentinel — they must not SUBTRACT from
     // the headline total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"iters_per_query":$iters,"sf":"$sfDir"}"""
+    // Stdout tail capture can truncate the front of a very long single
+    // line (BENCH_r03 parsed null that way) — persist to a file too, so
+    // round-over-round comparison never depends on stdout buffer length.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

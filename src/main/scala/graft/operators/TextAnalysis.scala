@@ -84,15 +84,28 @@ object TextAnalysis {
   // -------------------------------------------------------------- C11
 
   /** Rolling-hash document fingerprint: min/max/xor-fold of the hashed
-    * w-token shingle set — order-independent, stable 64-bit ids. */
-  def fingerprint(df: DataFrame, textCol: String = "text", w: Int = 3): DataFrame =
-    df.withColumn("shingles",
-        graft.functions.SignatureExpressions.shingle_hashes(tokens(col(textCol)), w))
+    * w-token shingle set — order-independent, stable 64-bit ids.
+    *
+    * `portable = true` swaps the xxhash64 rolling kernel for an
+    * md5-derived shingle hash (first 8 hex chars of md5 of the
+    * space-joined shingle, like [[Sampling.md5Bucket]]): slower, but
+    * replayable bit-for-bit in any engine with md5 — that's the
+    * oracle-gate path. Default stays on the fast kernel. */
+  def fingerprint(df: DataFrame, textCol: String = "text", w: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val shingles =
+      if (portable)
+        transform(Shingles.shingles(col(textCol), w),
+          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+      else
+        graft.functions.SignatureExpressions.shingle_hashes(tokens(col(textCol)), w)
+    df.withColumn("shingles", shingles)
       .withColumn("fp_min", array_min(col("shingles")))
       .withColumn("fp_max", array_max(col("shingles")))
       .withColumn("fp_xor",
         aggregate(col("shingles"), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
       .drop("shingles")
+  }
 
   // -------------------------------------------------------------- C18
 

@@ -325,6 +325,23 @@ object Pipeline {
         |      FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin)),
 
+    // C11: per-document fingerprints, portable-hash mode (md5-derived
+    // shingle hash — promoted from rows-only in round 4; the xxhash64
+    // rolling kernel stays the operator default for Spark-only use).
+    "text_fingerprint" -> ((
+      (s: SparkSession, d: String) => {
+        TextAnalysis.fingerprint(t(s, d, "documents"), portable = true)
+          .select("doc_id", "fp_min", "fp_max", "fp_xor")
+          .orderBy("doc_id")
+      },
+      s"""WITH $duckShingles,
+        |h AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS hv
+        |      FROM (SELECT doc_id, unnest(s) AS g FROM sh))
+        |SELECT doc_id, min(hv) AS fp_min, max(hv) AS fp_max,
+        |  bit_xor(hv) AS fp_xor
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // C15: PII scrubbing. The corpus is synthetic (no PII), so the query
     // injects deterministic emails/IPs/phones per doc, scrubs them, and
     // the oracle compares the full scrubbed text via md5 (identical
@@ -469,13 +486,6 @@ object Pipeline {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nLists = 16, nprobe = 4)
         .orderBy(col("query_id"), col("rnk"))
-    }),
-
-    // C11: per-document rolling-hash fingerprints.
-    "text_fingerprint" -> ((s: SparkSession, d: String) => {
-      TextAnalysis.fingerprint(t(s, d, "documents"))
-        .select("doc_id", "fp_min", "fp_max", "fp_xor")
-        .orderBy("doc_id")
     }),
 
     // C12: multimodal binary columns + stubbed batch decode.
