@@ -60,6 +60,34 @@ object Similarity {
     posexplode(graft.functions.SignatureExpressions
       .hyperplane_buckets(vec, nPlanes, nTables))
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")
+
+  /** Occupancy cap for hyperplane buckets — the [[Dedup.shingleCandidates]]
+    * `maxDf` idea applied to sign buckets: a degenerate corpus (all
+    * near-identical vectors, or a collapsed embedding space) piles every
+    * row into one (tbl, bucket) and makes the candidate self-join
+    * quadratic with no bound. Buckets above `maxBucket` rows are dropped
+    * and logged; recall inside a dropped bucket is 0 by construction,
+    * which is the documented LSH trade — the exact paths
+    * ([[cosineTopK]], the verify stage) are unaffected. The bucket
+    * space is tiny (nTables · 2^nPlanes), so the overflow list is
+    * driver-side metadata, never corpus data. */
+  private def capBuckets(b: DataFrame, maxBucket: Int, what: String): DataFrame = {
+    val over = b.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .localCheckpoint() // ≤ nTables·2^nPlanes rows, materialized once
+    val overRows = over.collect()
+    if (overRows.isEmpty) b
+    else {
+      val skipped = overRows.map(_.getAs[Long]("__n")).sum
+      log.warn(s"$what: skipping ${overRows.length} LSH buckets over " +
+        s"$maxBucket rows ($skipped bucket entries) — degenerate density; " +
+        "pairs confined to skipped buckets are not emitted")
+      b.join(broadcast(over.select(col("tbl"), col("bucket"))),
+        Seq("tbl", "bucket"), "left_anti")
+    }
+  }
+
   /** LSH-bucketed ANN, multi-table: candidates share a hyperplane-sign
     * bucket in ANY of `nTables` independent tables of `nPlanes` planes;
     * exact cosine re-ranks the deduped candidate set. One long table
@@ -71,11 +99,14 @@ object Similarity {
     * key afterwards. Recall < 1 by construction — this is the scale
     * path; [[cosineTopK]] is the exact baseline. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+      vecCol: String, k: Int, nPlanes: Int = 4, nTables: Int = 8,
+      maxBucket: Int = 100000): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
-    val cB = c.select(col("neighbor_id"),
-      tableBuckets(col("v_c"), nPlanes, nTables).as(Seq("tbl", "bucket")))
+    val cB = capBuckets(
+      c.select(col("neighbor_id"),
+        tableBuckets(col("v_c"), nPlanes, nTables).as(Seq("tbl", "bucket"))),
+      maxBucket, "lshTopK")
     val qB = q.select(col("query_id"),
       tableBuckets(col("v_q"), nPlanes, nTables).as(Seq("tbl", "bucket")))
     // narrow id-only candidate rows; a pair colliding in several tables
@@ -92,80 +123,150 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
 
-  /** Deterministic k-means centroids for IVF lists: init = the k corpus
-    * rows with the smallest id-hash, then `iters` Lloyd rounds. Each
-    * round is one broadcast of k·dim doubles (assignment) + one
-    * element-wise mean (posexplode → per-dimension mean → re-assemble,
-    * ordered by position so the collect is deterministic). The mean
-    * accumulates in decimal (exact, order-insensitive addition), so
-    * centroids are bit-stable across partition layouts and cluster
-    * sizes — not merely same-plan reproducible. Clusters that lose all
-    * members keep their previous centroid. */
-  def kmeansCentroids(c: DataFrame, nLists: Int, iters: Int = 2): DataFrame = {
-    var cents = c
-      .withColumn("__h", xxhash64(col("neighbor_id")))
-      .orderBy(col("__h")).limit(nLists)
-      // constant-but-NON-FOLDABLE partition key: nLists rows, so
-      // single-partition is the point — but Spark 4's
-      // EliminateWindowPartitions folds literal partition keys away,
-      // which re-exposes WindowExec's "no partition defined" warning;
-      // pmod(__h, 1) is 0 for every row yet survives the optimizer
-      .withColumn("centroid_id", row_number().over(
-        Window.partitionBy(pmod(col("__h"), lit(1))).orderBy(col("__h"))).cast("long"))
-      .select(col("centroid_id"), col("v_c").as("v_cent"))
-      // k·dim rows only — materializing each round truncates the
-      // otherwise multiplicative lineage (every consumer of `cents`
-      // would re-execute all previous Lloyd rounds)
-      .localCheckpoint()
-    for (_ <- 0 until iters) {
-      val assigned = c.crossJoin(broadcast(cents))
-        .withColumn("sim", cosine(col("v_c"), col("v_cent")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("neighbor_id"))
-            .orderBy(col("sim").desc, col("centroid_id"))))
-        .filter(col("rk") === 1)
-      val means = assigned
-        .select(col("centroid_id"), posexplode(col("v_c")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        // decimal sum: exact and commutative, so the per-dimension mean
-        // does not depend on partition-dependent accumulation order
-        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
-          .cast("double").as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("v_new"))
-      cents = cents.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(col("v_new"), col("v_cent")).as("v_cent"))
-        .localCheckpoint()
+  /** Per-row nearest-centroid id (1-based) against a LITERAL centroid
+    * table: k cosines + argmax inside one codegen'd projection — no
+    * crossJoin, no per-row window, no shuffle. The k cosines are
+    * UNROLLED into a plain `array(...)` rather than `transform` over an
+    * array literal — higher-order functions are CodegenFallback, which
+    * would drop the whole projection out of whole-stage codegen. Ties
+    * break to the smallest centroid_id (array_position returns the
+    * first match). */
+  private def nearestCentroid(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val sims = array(cents.map(cv => cosine(v, typedLit(cv))): _*)
+    array_position(sims, array_max(sims)).cast("long")
+  }
+
+  /** Deterministic k-means centroids for IVF lists: init = the k rows
+    * with the smallest id-hash, then `iters` Lloyd rounds.
+    *
+    * Trains on a deterministic hash-SAMPLE capped at `sampleCap` rows —
+    * at the 100 TB design point you cluster a bounded sample once and
+    * reuse the centroid table ([[ivfTopK]]'s `centroids` parameter),
+    * you don't re-scan the corpus per query. Each round assigns rows
+    * with [[nearestCentroid]] (a per-row projection against the k·dim
+    * literal — no crossJoin, no window) and recomputes per-dimension
+    * means with a decimal sum (exact, order-insensitive), so centroids
+    * are bit-stable across partition layouts and cluster sizes — not
+    * merely same-plan reproducible. Clusters that lose all members keep
+    * their previous centroid. Returns (centroid_id, v_cent). */
+  def kmeansCentroids(c: DataFrame, nLists: Int, iters: Int = 2,
+      sampleCap: Long = 100000L): DataFrame = {
+    val spark = c.sparkSession
+    // ONE corpus pass returns both the row count (sizes the training
+    // sample) and the k rows with the smallest id-hash (the init
+    // centroids): a bounded per-partition selection folded with
+    // treeAggregate — k·dim doubles of driver metadata, never corpus
+    // data. Selection (not summation), so partition order can't change
+    // the result (modulo astronomically-unlikely 64-bit hash ties,
+    // matching the previous orderBy(hash).limit(k) semantics).
+    val (n, init) = c
+      .select(xxhash64(col("neighbor_id")).as("__h"), col("v_c"))
+      .rdd.treeAggregate((0L, Vector.empty[(Long, IndexedSeq[Double])]))(
+        { case ((cnt, acc), row) =>
+          val t = (row.getLong(0), row.getSeq[Double](1).toIndexedSeq)
+          (cnt + 1, (acc :+ t).sortBy(_._1).take(nLists)) },
+        { case ((c1, a1), (c2, a2)) =>
+          (c1 + c2, (a1 ++ a2).sortBy(_._1).take(nLists)) })
+    val train =
+      if (n > sampleCap) {
+        // per-mille hash bucket keeps ~sampleCap rows; deterministic
+        // per-row, stable under repartitioning and retries
+        val keepPerMillion = math.max(1L, sampleCap * 1000000L / n)
+        c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L)) < keepPerMillion)
+      } else c
+    var cents: Seq[Seq[Double]] = init.map(_._2)
+    // Each Lloyd round is ONE single-stage pass: per partition, assign
+    // each row to its nearest centroid (argmax of k cosines, first-index
+    // tie-break) and fold exact BigDecimal per-(centroid, dimension)
+    // sums; merge is element-wise. BigDecimal addition of binary-exact
+    // doubles is exact, hence commutative — centroids stay bit-stable
+    // across partition layouts and cluster sizes (the round-2 ADVICE
+    // guarantee), without shuffling sample×dim exploded rows the way a
+    // posexplode/groupBy formulation would. Only k·dim decimals travel
+    // per partition. Clusters that lose all members keep their previous
+    // centroid.
+    val dims = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until iters if cents.nonEmpty) {
+      val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+      val k = centArr.length
+      def zero() = (
+        Array.fill(k, dims)(java.math.BigDecimal.ZERO),
+        new Array[Long](k))
+      val (sums, counts) = train.select(col("v_c"))
+        .rdd.treeAggregate(zero())(
+          { case ((s, cnt), row) =>
+            val v = row.getSeq[Double](0)
+            var best = 0; var bestSim = Double.NegativeInfinity
+            var j = 0
+            while (j < k) {
+              val cv = centArr(j)
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              while (i < dims) {
+                dot += v(i) * cv(i); na += v(i) * v(i); nb += cv(i) * cv(i); i += 1
+              }
+              val sim = dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+              if (sim > bestSim) { bestSim = sim; best = j }
+              j += 1
+            }
+            var i = 0
+            while (i < dims) {
+              s(best)(i) = s(best)(i).add(new java.math.BigDecimal(v(i))); i += 1
+            }
+            cnt(best) += 1
+            (s, cnt) },
+          { case ((s1, c1), (s2, c2)) =>
+            var j = 0
+            while (j < k) {
+              var i = 0
+              while (i < dims) { s1(j)(i) = s1(j)(i).add(s2(j)(i)); i += 1 }
+              c1(j) += c2(j); j += 1
+            }
+            (s1, c1) })
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0L) old // empty cluster keeps its centroid
+        else (0 until dims).map(i => sums(j)(i)
+          .divide(java.math.BigDecimal.valueOf(counts(j)),
+            java.math.MathContext.DECIMAL128).doubleValue)
+      }
     }
-    cents
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) })
+      .toDF("centroid_id", "v_cent")
   }
 
   /** IVF-flat ANN: k-means centroid vectors partition the corpus into
     * inverted lists (assignment = nearest centroid); each query probes
-    * its `nprobe` closest lists and exact-ranks within them. The plan
-    * shape that survives 100 TB: a broadcast of k·dim doubles, one
-    * corpus pass to assign, and a join confined to probed lists
-    * (≈ nprobe/k of the corpus per query). */
+    * its `nprobe` closest lists and exact-ranks within them.
+    *
+    * Pass `centroids` (a (centroid_id, v_cent) table, e.g. a persisted
+    * [[kmeansCentroids]] result) to skip training entirely — the
+    * 100 TB shape, where the index is built once and served many times.
+    * Without it, training runs on a hash-sample capped at `sampleCap`.
+    * Assignment and probe selection are per-row projections against the
+    * k·dim centroid literal (no crossJoin, no window); the only
+    * remaining joins are the probed-list join (≈ nprobe/nLists of the
+    * corpus per query) and the final top-k window per query. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nprobe: Int = 4,
-      kmeansIters: Int = 2): DataFrame = {
+      kmeansIters: Int = 2, centroids: Option[DataFrame] = None,
+      sampleCap: Long = 100000L): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
-    val cents = kmeansCentroids(c, nLists, kmeansIters).cache()
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col("v_c"), col("v_cent")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rk") === 1)
-      .select(col("centroid_id"), col("neighbor_id"), col("v_c"))
+    val centsDf = centroids.getOrElse(kmeansCentroids(c, nLists, kmeansIters, sampleCap))
+    val cents: Seq[Seq[Double]] = centsDf.orderBy(col("centroid_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("v_cent").toIndexedSeq).toIndexedSeq
+    val assigned = c.withColumn("centroid_id", nearestCentroid(col("v_c"), cents))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col("v_q"), col("v_cent")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("v_q"), col("centroid_id"))
+    // per-query probe lists: sort struct(-sim, centroid_id) ascending =
+    // similarity desc with smallest-id tie-break, keep nprobe — again a
+    // pure projection, exploded to (query, centroid) rows
+    val probeIds = slice(
+      array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct((-cosine(col("v_q"), typedLit(cv))).as("ns"),
+          lit(i + 1).as("cid"))
+      }: _*)),
+      1, nprobe)
+    val probes = q.withColumn("pr", explode(probeIds))
+      .select(col("query_id"), col("v_q"), col("pr.cid").cast("long").as("centroid_id"))
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
@@ -185,10 +286,13 @@ object Similarity {
     * tables give pair recall ≈ 0.9; the exact filter keeps precision
     * at 1 regardless of the bucket tuning. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+      threshold: Double = 0.95, nPlanes: Int = 6, nTables: Int = 8,
+      maxBucket: Int = 100000): DataFrame = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val b = v.select(col("id"),
-      tableBuckets(col("v"), nPlanes, nTables).as(Seq("tbl", "bucket")))
+    val b = capBuckets(
+      v.select(col("id"),
+        tableBuckets(col("v"), nPlanes, nTables).as(Seq("tbl", "bucket"))),
+      maxBucket, "embeddingNearDup")
     val cand = b.select(col("tbl"), col("bucket"), col("id").as("id_a"))
       .join(b.select(col("tbl"), col("bucket"), col("id").as("id_b")),
         Seq("tbl", "bucket"))

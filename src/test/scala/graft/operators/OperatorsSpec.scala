@@ -170,6 +170,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.95), pairs.mkString(";"))
   }
 
+  test("embeddingNearDup occupancy cap bounds a degenerate all-identical corpus") {
+    // 400 identical vectors: every row lands in the SAME (tbl, bucket)
+    // in all 8 tables — uncapped, the candidate self-join is 400² per
+    // table. With the cap below the bucket size the overflowing buckets
+    // are skipped and the query completes with an empty (not quadratic)
+    // candidate set.
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val df = (0L until 400L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val capped = Similarity.embeddingNearDup(df, "vec_id", "embedding",
+      threshold = 0.95, maxBucket = 100)
+    assert(capped.count() == 0)
+    // raising the cap above the corpus size restores the full pair set
+    val uncapped = Similarity.embeddingNearDup(df, "vec_id", "embedding",
+      threshold = 0.95, maxBucket = 1000)
+    assert(uncapped.count() == 400L * 399 / 2)
+  }
+
+  test("ivfTopK reuses pre-trained centroids; sampled training caps the corpus") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val c = df.select($"vec_id".as("neighbor_id"),
+      transform($"embedding", x => x.cast("double")).as("v_c"))
+    val cents = Similarity.kmeansCentroids(c, nLists = 8, iters = 2)
+    val q = df.filter($"vec_id" < 5)
+    // a persisted centroid table gives the same answers as in-line training
+    val pre = Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 3,
+      nLists = 8, nprobe = 3, centroids = Some(cents)).collect()
+    val inl = Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 3,
+      nLists = 8, nprobe = 3).collect()
+    assert(pre.map(_.toString).sorted.toSeq == inl.map(_.toString).sorted.toSeq)
+    // training on a hash-sample (cap < corpus size) still yields k full-dim
+    // centroids
+    val sampled = Similarity.kmeansCentroids(c, nLists = 4, iters = 1, sampleCap = 50L)
+    val rows = sampled.orderBy("centroid_id").collect()
+    assert(rows.length == 4 && rows.forall(_.getSeq[Double](1).length == 16))
+  }
+
   test("sim_lsh / sim_ivf recall vs exact sim_topk on testdata embeddings") {
     // the approximate paths trade recall for never-cross-joining; this
     // pins the trade so a bucketing regression (e.g. losing the
