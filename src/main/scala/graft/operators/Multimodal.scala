@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * pointer columns, decode on executors). Both the Spark-side plumbing
   * (schema, per-partition batch shape, feature columns) AND the decode
   * kernels are real: PNG/JPEG through JDK ImageIO, WAV through a RIFF
-  * PCM parser — no extra dependencies. Only VIDEO container decode
+  * PCM parser, MP4/QuickTime container METADATA (moov/mvhd duration,
+  * track count, tkhd dims, stts frame count) through an ISO-BMFF box
+  * walk — no extra dependencies. Only per-frame video PIXEL decode
   * (which needs an external codec library like ffmpeg) falls back to a
   * deterministic stand-in, as do unrecognized byte payloads (which keeps
   * the synthetic-media test harness and the `mm_meta` gate stable).
@@ -94,14 +96,101 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** MP4/QuickTime (ISO BMFF) container metadata: presentation
+      * duration and timescale from `moov/mvhd`, track count, the first
+      * non-zero `tkhd` width/height (16.16 fixed point), and the sample
+      * (frame) count summed from the first `stts` table. A pure-JVM box
+      * walk — container METADATA is parseable without a codec library;
+      * per-frame pixel decode is not, and still falls back to the
+      * stand-in. Torn/overrunning boxes end the walk (partial metadata
+      * beats a task failure); None for non-BMFF bytes. */
+    final case class Mp4Meta(timescale: Long, durationUnits: Long,
+        nTracks: Int, width: Int, height: Int, nSamples: Long) {
+      def durationSec: Double =
+        if (timescale == 0) 0.0 else durationUnits.toDouble / timescale
+    }
+
+    def decodeMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+      if (bytes.length < 16) return None
+      def u32(off: Int): Long =
+        ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+          ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+      def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+      def boxType(off: Int): String = new String(bytes, off + 4, 4, "ISO-8859-1")
+      val t0 = boxType(0)
+      if (t0 != "ftyp" && t0 != "moov") return None
+      // visit each box in [start, end) as (type, payloadStart, payloadEnd)
+      def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var off = start
+        var done = false
+        while (!done && off + 8 <= end) {
+          var size = u32(off)
+          var hdr = 8
+          if (size == 1 && off + 16 <= end) { size = u64(off + 8); hdr = 16 }
+          else if (size == 0) size = (end - off).toLong
+          if (size < hdr || off + size > end) done = true // torn box: stop
+          else {
+            f(boxType(off), off + hdr, (off + size).toInt)
+            off += size.toInt
+          }
+        }
+      }
+      var timescale = 0L; var duration = 0L; var tracks = 0
+      var w = 0; var h = 0; var samples = 0L
+      try {
+        walk(0, bytes.length) { (t, s, e) =>
+          if (t == "moov") walk(s, e) { (t2, s2, e2) =>
+            if (t2 == "mvhd" && e2 - s2 >= 20) {
+              val ver = bytes(s2) & 0xFF
+              if (ver == 1 && e2 - s2 >= 32) {
+                timescale = u32(s2 + 20); duration = u64(s2 + 24)
+              } else {
+                timescale = u32(s2 + 12); duration = u32(s2 + 16)
+              }
+            } else if (t2 == "trak") {
+              tracks += 1
+              walk(s2, e2) { (t3, s3, e3) =>
+                if (t3 == "tkhd" && e3 - s3 >= 84) {
+                  val ww = (u32(e3 - 8) >> 16).toInt
+                  val hh = (u32(e3 - 4) >> 16).toInt
+                  if (w == 0 && ww > 0) { w = ww; h = hh }
+                } else if (t3 == "mdia") walk(s3, e3) { (t4, s4, e4) =>
+                  if (t4 == "minf") walk(s4, e4) { (t5, s5, e5) =>
+                    if (t5 == "stbl") walk(s5, e5) { (t6, s6, e6) =>
+                      if (t6 == "stts" && e6 - s6 >= 8 && samples == 0) {
+                        val n = u32(s6 + 4).toInt
+                        var i = 0; var cnt = 0L
+                        while (i < n && s6 + 8 + i * 8 + 8 <= e6) {
+                          cnt += u32(s6 + 8 + i * 8); i += 1
+                        }
+                        samples = cnt
+                      }
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      } catch { case _: Exception => return None }
+      if (timescale == 0 && tracks == 0) None
+      else Some(Mp4Meta(timescale, duration, tracks, w, h, samples))
+    }
+
     /** (width, height, n_frames) feature triple:
       *  - image: pixel dims, 1 frame;
       *  - WAV audio: (sampleRate, channels, PCM frame count);
-      *  - video / unrecognized: deterministic byte-derived stand-in
-      *    (video container decode needs an external codec library). */
+      *  - MP4/QuickTime video: tkhd display dims + stts sample count
+      *    (container metadata — real; pixel decode still needs a codec
+      *    library);
+      *  - unrecognized payloads: deterministic byte-derived stand-in. */
     def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) =
       decodeImage(bytes).map(img => (img.getWidth, img.getHeight, 1))
         .orElse(decodeWav(bytes).map(w => (w.sampleRate, w.channels, w.nFrames)))
+        .orElse(decodeMp4(bytes).map(m =>
+          (m.width, m.height,
+            if (m.nSamples > 0) m.nSamples.toInt
+            else math.ceil(m.durationSec).toInt)))
         .getOrElse(fakeDecode(mediaType, bytes))
 
     private def fakeDecode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {

@@ -324,6 +324,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01, s"rms=$rms")
   }
 
+  private def makeMp4(timescale: Int, duration: Int, w: Int, h: Int,
+      sttsCounts: Seq[Int]): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes)
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0).putInt(0) // ctime, mtime
+      bb.putInt(timescale).putInt(duration)
+      box("mvhd", bb.array())
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration)
+      bb.position(84 - 8)
+      bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+      box("tkhd", bb.array())
+    }
+    val stts = {
+      val bb = java.nio.ByteBuffer.allocate(8 + sttsCounts.length * 8)
+      bb.putInt(0).putInt(sttsCounts.length)
+      sttsCounts.foreach(c => bb.putInt(c).putInt(100)) // (count, delta)
+      box("stts", bb.array())
+    }
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stts))))
+    ftyp ++ box("moov", mvhd ++ trak)
+  }
+
+  test("real MP4 container metadata: duration, tracks, dims, frame count (C12)") {
+    // 5 s at timescale 600, one 640x360 track, stts 48+42 = 90 samples
+    val mp4 = makeMp4(600, 3000, 640, 360, Seq(48, 42))
+    val meta = Multimodal.MediaCodec.decodeMp4(mp4).get
+    assert(meta.timescale == 600 && meta.durationUnits == 3000)
+    assert(meta.durationSec == 5.0)
+    assert(meta.nTracks == 1 && meta.width == 640 && meta.height == 360)
+    assert(meta.nSamples == 90)
+    assert(Multimodal.MediaCodec.decode("video", mp4) == (640, 360, 90))
+    // truncated container: the moov box overruns the buffer, the walk
+    // stops at the torn box (no metadata, no exception)
+    assert(Multimodal.MediaCodec.decodeMp4(mp4.take(40)).isEmpty)
+    assert(Multimodal.MediaCodec.decodeMp4("garbage bytes!!!".getBytes).isEmpty)
+    val standIn = Multimodal.MediaCodec.decode("video", Array[Byte](1, 2, 3, 4))
+    assert(standIn._1 >= 64) // unknown bytes still produce a feature row
+  }
+
   test("real decode flows through the distributed feature/resize path (C12)") {
     val png = makePng(20, 10, (x, y) => (x * 12 << 16) | (y * 25 << 8) | 3)
     val wav = makeWav(16000, 1, 320, _ => 1000.toShort)
