@@ -112,6 +112,40 @@ object SignatureExpressions {
     sig
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable 48-bit SimHash kernel: token hash = first 6 md5 bytes
+    * big-endian, which is EXACTLY the integer an engine gets from
+    * parsing the first 12 hex chars of md5's lowercase-hex form — the
+    * dedup_simhash oracle rebuilds the same signatures in SQL, so this
+    * loop must stay bit-identical to that formulation. */
+  def simHashPortable48Eval(input: ArrayData): Long = {
+    val md = md5Local.get()
+    val n = input.numElements()
+    val counts = new Array[Int](48)
+    var e = 0
+    while (e < n) {
+      md.reset()
+      val digest = md.digest(input.getUTF8String(e).getBytes)
+      var h = 0L
+      var i = 0
+      while (i < 6) { h = (h << 8) | (digest(i) & 0xFFL); i += 1 }
+      var b = 0
+      while (b < 48) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      e += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 48) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   def hyperplaneBucketEval(input: ArrayData, nPlanes: Int): Long = {
     val n = input.numElements()
     var bucket = 0L
@@ -205,6 +239,20 @@ object SignatureExpressions {
       defineCodeGen(ctx, ev, c =>
         s"graft.functions.SignatureExpressions.simHash64Eval($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** `simhash_portable48(array<string>)` → long: engine-portable 48-bit
+    * SimHash (md5-derived token hashes) in one pass — see
+    * [[simHashPortable48Eval]]. */
+  case class SimHashPortable48(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simHashPortable48Eval(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.simHashPortable48Eval($c)")
+    override protected def withNewChildInternal(c: Expression): SimHashPortable48 =
+      copy(child = c)
   }
 
   /** `hyperplane_bucket(array<double>, nPlanes)` → long: sign bits of
@@ -354,6 +402,9 @@ object SignatureExpressions {
 
   def simhash64(tokens: Column): Column =
     bridge.toColumn(SimHash64(bridge.toExpression(tokens)))
+
+  def simhash_portable48(tokens: Column): Column =
+    bridge.toColumn(SimHashPortable48(bridge.toExpression(tokens)))
 
   def hyperplane_bucket(vec: Column, nPlanes: Int): Column =
     bridge.toColumn(HyperplaneBucket(bridge.toExpression(vec), nPlanes))

@@ -82,19 +82,56 @@ object Dedup {
     graft.functions.SignatureExpressions.simhash64(TextAnalysis.tokens(text))
   }
 
-  /** SimHash near-dup pairs: bucket on the top-16-bit prefix, pair within
-    * buckets, keep pairs with hamming distance <= maxHamming. */
+  /** Portable 48-bit SimHash: token hash = first 12 hex chars of
+    * md5(token) (exact in any engine with md5 — divisions by powers of
+    * two are exact in binary floating point, and 48-bit values fit a
+    * double's 53-bit mantissa, so the bit tests replay bit-identically
+    * in SQL). One tight codegen'd loop per row
+    * (SignatureExpressions.SimHashPortable48); it exists to make the
+    * banded pair semantics oracle-checkable — the xxhash64 path stays
+    * the production default. */
+  def simhashPortable(text: Column): Column =
+    graft.functions.SignatureExpressions.simhash_portable48(
+      TextAnalysis.tokens(text))
+
+  /** SimHash near-dup pairs, banded (Manku et al., WWW'07 "Detecting
+    * Near-Duplicates for Web Crawling" §3): the 64-bit signature splits
+    * into 4 disjoint 16-bit bands; documents pair when ANY band matches
+    * exactly, then the full hamming distance filters. By pigeonhole, a
+    * pair within hamming 3 always shares an intact band — recall is
+    * GUARANTEED up to maxHamming 3 and decays gracefully beyond (a miss
+    * needs a differing bit in every band). A single prefix bucket (the
+    * previous shape) silently missed ~45% of true near-dups on the test
+    * corpus. Candidate generation stays bucket-confined: cost is band
+    * occupancy, never a cross join.
+    *
+    * With 4 disjoint bands the pigeonhole guarantee makes the emitted
+    * set at `maxHamming <= 3` EXACTLY the brute-force hamming-ball pair
+    * set — in `portable = true` mode (48-bit md5-derived signature,
+    * [[simhashPortable]]) that set is replayable in SQL, which is what
+    * the dedup_simhash oracle gate does. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 6): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-      .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
-    val a = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bucket"))
-    val b = sigs.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
+      maxHamming: Int = 6, portable: Boolean = false): DataFrame = {
+    val (sig, bits) =
+      if (portable) (simhashPortable(col(textCol)), 48)
+      else (simhash(col(textCol)), 64)
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    val banded = df.select(col(idCol).as("id"), sig.as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("sh"), bandBits * i).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bval")))
+    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("band"), col("bval"))
+    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
   }
 
   // -------------------------------------------------------------- C16

@@ -325,6 +325,43 @@ object Pipeline {
         |      FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin)),
 
+    // C3: SimHash near-dup pairs, portable 48-bit signature, banded
+    // candidates at maxHamming=3 (promoted from rows-only in round 4).
+    // With 4 disjoint 12-bit bands, pigeonhole guarantees every pair
+    // within hamming 3 shares an intact band, so the banded emission
+    // EQUALS the brute-force hamming ball — which the oracle replays:
+    // the same md5-derived signature built in SQL (divisions by powers
+    // of two are exact in binary floating point; 48-bit values fit the
+    // 53-bit mantissa), then an O(n²) hamming join. A missed or
+    // spurious banded pair fails the hash. The xxhash64 64-bit kernel
+    // stays the operator default for Spark-only pipelines.
+    "dedup_simhash" -> ((
+      (s: SparkSession, d: String) => {
+        Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id",
+            maxHamming = 3, portable = true)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH tokh AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |        FROM documents)),
+        |bitsum AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM tokh CROSS JOIN (SELECT unnest(range(48)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS sg
+        |  FROM bitsum GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sg, b.sg)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // C11: per-document fingerprints, portable-hash mode (md5-derived
     // shingle hash — promoted from rows-only in round 4; the xxhash64
     // rolling kernel stays the operator default for Spark-only use).
@@ -463,14 +500,6 @@ object Pipeline {
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // C3: SimHash near-dup summary.
-    "dedup_simhash" -> ((s: SparkSession, d: String) => {
-      Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 16)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("hamming")), 4).as("avg_hamming"))
-    }),
-
 
     // C7: LSH-bucketed ANN (scale path of sim_topk).
     "sim_lsh" -> ((s: SparkSession, d: String) => {
