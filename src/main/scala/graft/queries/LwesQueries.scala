@@ -243,6 +243,79 @@ object LwesQueries {
         |GROUP BY window_start_us, event_type
         |ORDER BY window_start_us, event_type""".stripMargin)),
 
+    // A13+A16+B32 end-to-end: STREAM-STREAM interval join through the
+    // drain pattern — two streaming readers over the same journal dir
+    // (eventName selects the type; each source checkpoints its own
+    // offsets), per-user interval join (purchase within 1h after a
+    // click), joined rows appended to the lwes sink, then batch
+    // read-back + aggregate. Inner joins emit on match (no window close
+    // needed, so no sentinel); the watermark delay exceeds the whole
+    // event span because journals are not time-ordered, so state is
+    // never evicted before the matching side arrives. The DuckDB oracle
+    // replays the interval self-join straight from parquet.
+    "lwes_stream_join" -> ((
+      (s: SparkSession, d: String) => {
+        val src = eventsJournal(s, d, Seq("click", "purchase"))
+        val mm = events(s, d)
+          .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).head
+        val delayMs = (mm.getLong(1) - mm.getLong(0)) + 3600000L
+        val dst = tmpDir("sj-dst")
+        val ckpt = tmpDir("sj-ckpt")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          def side(tp: String) = s.readStream.format("lwes")
+            .schema("event_id long, user_id long, value double, ReceiptTime long")
+            .option("eventName", s"Ev::$tp")
+            .option("maxFilesPerTrigger", "4").load(src)
+          val c = side("click")
+            .withColumn("cts", timestamp_millis(col("ReceiptTime")))
+            .withWatermark("cts", s"$delayMs milliseconds")
+            .select(col("user_id").as("c_uid"), col("event_id").as("c_eid"), col("cts"))
+          val p = side("purchase")
+            .withColumn("pts", timestamp_millis(col("ReceiptTime")))
+            .withWatermark("pts", s"$delayMs milliseconds")
+            .select(col("user_id").as("p_uid"), col("event_id").as("p_eid"),
+              col("value").as("p_value"), col("pts"))
+          c.join(p, expr(
+              "c_uid = p_uid AND pts >= cts AND pts <= cts + interval 1 hour"))
+            .select(col("c_eid"), col("p_eid"), col("c_uid").as("user_id"),
+              col("p_value"), unix_millis(col("pts")).as("pts_ms"))
+            .writeStream.format("lwes")
+            .option("eventName", "Join::CP")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(dst)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        s.read.format("lwes")
+          .schema("c_eid long, p_eid long, user_id long, p_value double, pts_ms long")
+          .option("eventName", "Join::CP").load(dst)
+          .groupBy(pmod(col("user_id"), lit(10)).as("uid_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(sum(col("p_value")), 2).as("purchase_total"),
+            min(col("c_eid")).as("min_click"),
+            max(col("p_eid")).as("max_purchase"))
+          .orderBy(col("uid_bucket"))
+      },
+      """WITH c AS (
+        |  SELECT event_id AS c_eid, user_id, epoch_ns(ts) // 1000000 AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS p_eid, user_id, value, epoch_ns(ts) // 1000000 AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.user_id, c.c_eid, p.p_eid, p.value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.pts >= c.cts AND p.pts <= c.cts + 3600000)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS uid_bucket, count(*) AS n_pairs,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS purchase_total,
+        |  min(c_eid) AS min_click, max(p_eid) AS max_purchase
+        |FROM j GROUP BY uid_bucket ORDER BY uid_bucket""".stripMargin)),
+
     // A7: float/double ride the wire as strings (serde parity) and
     // convert back exactly.
     "lwes_float_conv" -> ((
