@@ -379,6 +379,39 @@ object Pipeline {
         |  bit_xor(hv) AS fp_xor
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // C12: multimodal decode (promoted from rows-only in round 4): the
+    // harness builds REAL media per row (PNG via ImageIO, 8-bit PCM WAV,
+    // minimal MP4 container — MediaGen), type chosen by a portable md5
+    // bucket of the text; the distributed path then runs the real
+    // decode kernels, and every decoded feature is a closed-form
+    // function of length(text), which the oracle replays. A broken
+    // encoder, decoder, or batch path changes the features and fails
+    // the hash. (checksum/n_bytes stay out of the output: container
+    // byte size depends on deflate, not on a SQL-expressible formula.)
+    "mm_meta" -> ((
+      (s: SparkSession, d: String) => {
+        Multimodal.extractFeatures(s,
+            Multimodal.withRealMedia(s, t(s, d, "documents")))
+          .toDF()
+          .select(col("doc_id"), col("media_type"), col("width"),
+            col("height"), col("n_frames"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 3 AS mb
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE mb WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        |    AS media_type,
+        |  CAST(CASE mb WHEN 0 THEN 16 + n % 32 WHEN 1 THEN 8000
+        |       ELSE 640 END AS INT) AS width,
+        |  CAST(CASE mb WHEN 0 THEN 16 + (n // 32) % 32 WHEN 1 THEN 1
+        |       ELSE 360 END AS INT) AS height,
+        |  CAST(CASE mb WHEN 0 THEN 1 WHEN 1 THEN n
+        |       ELSE 1 + n % 240 END AS INT) AS n_frames
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
     // C15: PII scrubbing. The corpus is synthetic (no PII), so the query
     // injects deterministic emails/IPs/phones per doc, scrubs them, and
     // the oracle compares the full scrubbed text via md5 (identical
@@ -515,14 +548,6 @@ object Pipeline {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nLists = 16, nprobe = 4)
         .orderBy(col("query_id"), col("rnk"))
-    }),
-
-    // C12: multimodal binary columns + stubbed batch decode.
-    "mm_meta" -> ((s: SparkSession, d: String) => {
-      Multimodal.extractFeatures(s,
-          Multimodal.withFakeMedia(t(s, d, "documents")))
-        .toDF()
-        .orderBy("doc_id")
     }),
 
   )

@@ -373,6 +373,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(standIn._1 >= 64) // unknown bytes still produce a feature row
   }
 
+  test("withRealMedia: generated PNG/WAV/MP4 decode to closed-form features (C12)") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x"), (3L, ""),
+      (4L, "the quick brown fox jumps over the lazy dog repeatedly and often"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark,
+        Multimodal.withRealMedia(spark, docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    val texts = Map(1L -> "alpha beta gamma delta", 2L -> "x", 3L -> "",
+      4L -> "the quick brown fox jumps over the lazy dog repeatedly and often")
+    texts.foreach { case (id, text) =>
+      val n = text.length
+      val f = feats(id)
+      Multimodal.MediaGen.mediaBucket(text) match {
+        case 0 =>
+          assert(f.media_type == "image" &&
+            (f.width, f.height, f.n_frames) == (16 + n % 32, 16 + (n / 32) % 32, 1))
+        case 1 =>
+          assert(f.media_type == "audio" &&
+            (f.width, f.height, f.n_frames) == (8000, 1, n))
+        case _ =>
+          assert(f.media_type == "video" &&
+            (f.width, f.height, f.n_frames) == (640, 360, 1 + n % 240))
+      }
+    }
+  }
+
   test("real decode flows through the distributed feature/resize path (C12)") {
     val png = makePng(20, 10, (x, y) => (x * 12 << 16) | (y * 25 << 8) | 3)
     val wav = makeWav(16000, 1, 320, _ => 1000.toShort)
