@@ -46,7 +46,17 @@ object Bench {
     // actually sustains — which is what a warm long-running executor
     // delivers at the 100 TB design point.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val raw = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 re-measures a subset under the SAME
+    // session config and warm-up as the full suite — profiling a
+    // "regressed" query under a different harness invites the
+    // environmental misdiagnosis round 3 suffered
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
+      case None => SparkEntry.queries
+    }
+    val raw = selected.map { case (name, fn) =>
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -93,11 +103,16 @@ object Bench {
     // Stdout tail capture can truncate the front of a very long single
     // line (BENCH_r03 parsed null that way) — persist to a file too, so
     // round-over-round comparison never depends on stdout buffer length.
+    // A write failure must be VISIBLE (the file is the reliable channel),
+    // but must not fail the bench whose numbers are already in hand.
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")),
         (json + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BENCH: failed to write bench-out.json: $e")
+    }
     println(json)
     spark.stop()
   }

@@ -141,9 +141,14 @@ object Multimodal {
         walk(0, bytes.length) { (t, s, e) =>
           if (t == "moov") walk(s, e) { (t2, s2, e2) =>
             if (t2 == "mvhd" && e2 - s2 >= 20) {
+              // a torn v1 box (payload 20-31 bytes) must be SKIPPED, not
+              // read with v0 offsets — that would yield garbage
+              // timescale/duration from the middle of the 64-bit times
               val ver = bytes(s2) & 0xFF
-              if (ver == 1 && e2 - s2 >= 32) {
-                timescale = u32(s2 + 20); duration = u64(s2 + 24)
+              if (ver == 1) {
+                if (e2 - s2 >= 32) {
+                  timescale = u32(s2 + 20); duration = u64(s2 + 24)
+                }
               } else {
                 timescale = u32(s2 + 12); duration = u32(s2 + 16)
               }
@@ -187,10 +192,15 @@ object Multimodal {
     def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) =
       decodeImage(bytes).map(img => (img.getWidth, img.getHeight, 1))
         .orElse(decodeWav(bytes).map(w => (w.sampleRate, w.channels, w.nFrames)))
-        .orElse(decodeMp4(bytes).map(m =>
-          (m.width, m.height,
-            if (m.nSamples > 0) m.nSamples.toInt
-            else math.ceil(m.durationSec).toInt)))
+        .orElse(decodeMp4(bytes).map { m =>
+          // clamp: a corrupt stts sum past Int.MaxValue must not wrap to
+          // a negative frame count (frameSample would silently emit
+          // nothing); durations clamp the same way
+          val frames =
+            if (m.nSamples > 0) math.min(m.nSamples, Int.MaxValue.toLong).toInt
+            else math.min(math.ceil(m.durationSec), Int.MaxValue.toDouble).toInt
+          (m.width, m.height, frames)
+        })
         .getOrElse(fakeDecode(mediaType, bytes))
 
     private def fakeDecode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
@@ -234,11 +244,21 @@ object Multimodal {
     * lets the `mm_meta` gate hash-match a DuckDB oracle WHILE the
     * distributed path runs the real PNG/WAV/MP4 decode kernels. */
   object MediaGen {
+    // in-memory image IO: the default FileCacheImageOutputStream would
+    // create+delete a temp file per encoded row in the hot partition loop
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
     /** md5-bucket in {0,1,2}: first 8 hex chars of md5(text) as an
       * integer, mod 3 — the same value SQL gets from
       * `CAST(('0x' || substr(md5(text),1,8)) AS BIGINT) % 3`. */
     def mediaBucket(text: String): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = md5Local.get()
+      md.reset()
       val d = md.digest(text.getBytes("UTF-8"))
       var h = 0L
       var i = 0
@@ -246,10 +266,16 @@ object Multimodal {
       (h % 3).toInt
     }
 
+    /** CODE POINTS, not UTF-16 units: SQL `length(text)` counts code
+      * points, and every decoded feature must be a closed-form function
+      * of the same n in both engines (a supplementary-plane char would
+      * otherwise silently break the mm_meta hash). */
+    def textLen(text: String): Int = text.codePointCount(0, text.length)
+
     def pngDims(n: Int): (Int, Int) = (16 + n % 32, 16 + (n / 32) % 32)
 
     def makePng(text: String): Array[Byte] = {
-      val (w, h) = pngDims(text.length)
+      val (w, h) = pngDims(textLen(text))
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -267,9 +293,9 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Mono 8-bit PCM at 8 kHz; one sample per text char. */
+    /** Mono 8-bit PCM at 8 kHz; one sample per text CODE POINT. */
     def makeWav(text: String): Array[Byte] = {
-      val n = text.length
+      val n = textLen(text)
       val bb = java.nio.ByteBuffer.allocate(44 + n)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
@@ -277,13 +303,17 @@ object Multimodal {
         .putInt(8000).putInt(8000).putShort(1).putShort(8)
       bb.put("data".getBytes).putInt(n)
       var i = 0
-      while (i < n) { bb.put((text.charAt(i) & 0x7F).toByte); i += 1 }
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        bb.put((cp & 0x7F).toByte)
+        i += Character.charCount(cp)
+      }
       bb.array()
     }
 
     /** Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd + stbl/stts)). */
     def makeMp4(text: String): Array[Byte] = {
-      val n = text.length
+      val n = textLen(text)
       val duration = n * 100
       val frames = 1 + n % 240
       def box(tpe: String, payload: Array[Byte]): Array[Byte] = {

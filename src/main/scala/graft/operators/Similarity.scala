@@ -60,33 +60,22 @@ object Similarity {
     posexplode(graft.functions.SignatureExpressions
       .hyperplane_buckets(vec, nPlanes, nTables))
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")
-
   /** Occupancy cap for hyperplane buckets — the [[Dedup.shingleCandidates]]
     * `maxDf` idea applied to sign buckets: a degenerate corpus (all
     * near-identical vectors, or a collapsed embedding space) piles every
     * row into one (tbl, bucket) and makes the candidate self-join
-    * quadratic with no bound. Buckets above `maxBucket` rows are dropped
-    * and logged; recall inside a dropped bucket is 0 by construction,
-    * which is the documented LSH trade — the exact paths
-    * ([[cosineTopK]], the verify stage) are unaffected. The bucket
-    * space is tiny (nTables · 2^nPlanes), so the overflow list is
-    * driver-side metadata, never corpus data. */
-  private def capBuckets(b: DataFrame, maxBucket: Int, what: String): DataFrame = {
-    val over = b.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-      .localCheckpoint() // ≤ nTables·2^nPlanes rows, materialized once
-    val overRows = over.collect()
-    if (overRows.isEmpty) b
-    else {
-      val skipped = overRows.map(_.getAs[Long]("__n")).sum
-      log.warn(s"$what: skipping ${overRows.length} LSH buckets over " +
-        s"$maxBucket rows ($skipped bucket entries) — degenerate density; " +
-        "pairs confined to skipped buckets are not emitted")
-      b.join(broadcast(over.select(col("tbl"), col("bucket"))),
-        Seq("tbl", "bucket"), "left_anti")
-    }
-  }
+    * quadratic with no bound. Rows in buckets above `maxBucket` are
+    * dropped IN-PLAN (a count window over the bucket key — one shuffle
+    * that co-locates exactly what the candidate join needs next, no
+    * eager driver jobs, no pinned checkpoint blocks); recall inside a
+    * dropped bucket is 0 by construction, which is the documented LSH
+    * trade — the exact paths ([[cosineTopK]], the verify stage) are
+    * unaffected. */
+  private def capBuckets(b: DataFrame, maxBucket: Int): DataFrame =
+    b.withColumn("__occ",
+        count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("__occ") <= maxBucket)
+      .drop("__occ")
 
   /** LSH-bucketed ANN, multi-table: candidates share a hyperplane-sign
     * bucket in ANY of `nTables` independent tables of `nPlanes` planes;
@@ -106,7 +95,7 @@ object Similarity {
     val cB = capBuckets(
       c.select(col("neighbor_id"),
         tableBuckets(col("v_c"), nPlanes, nTables).as(Seq("tbl", "bucket"))),
-      maxBucket, "lshTopK")
+      maxBucket)
     val qB = q.select(col("query_id"),
       tableBuckets(col("v_q"), nPlanes, nTables).as(Seq("tbl", "bucket")))
     // narrow id-only candidate rows; a pair colliding in several tables
@@ -292,7 +281,7 @@ object Similarity {
     val b = capBuckets(
       v.select(col("id"),
         tableBuckets(col("v"), nPlanes, nTables).as(Seq("tbl", "bucket"))),
-      maxBucket, "embeddingNearDup")
+      maxBucket)
     val cand = b.select(col("tbl"), col("bucket"), col("id").as("id_a"))
       .join(b.select(col("tbl"), col("bucket"), col("id").as("id_b")),
         Seq("tbl", "bucket"))

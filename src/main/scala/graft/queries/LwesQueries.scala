@@ -295,7 +295,11 @@ object LwesQueries {
           .groupBy(pmod(col("user_id"), lit(10)).as("uid_bucket"))
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct(col("user_id")).as("n_users"),
-            round(sum(col("p_value")), 2).as("purchase_total"),
+            // join-amplified values sum through decimal (exact,
+            // order-insensitive) — a plain double sum near a .005
+            // boundary could round differently per engine
+            round(sum(col("p_value").cast("decimal(18,6)")), 2)
+              .cast("double").as("purchase_total"),
             min(col("c_eid")).as("min_click"),
             max(col("p_eid")).as("max_purchase"))
           .orderBy(col("uid_bucket"))
@@ -312,7 +316,8 @@ object LwesQueries {
         |    AND p.pts >= c.cts AND p.pts <= c.cts + 3600000)
         |SELECT CAST(user_id % 10 AS BIGINT) AS uid_bucket, count(*) AS n_pairs,
         |  count(DISTINCT user_id) AS n_users,
-        |  round(sum(value), 2) AS purchase_total,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS purchase_total,
         |  min(c_eid) AS min_click, max(p_eid) AS max_purchase
         |FROM j GROUP BY uid_bucket ORDER BY uid_bucket""".stripMargin)),
 
