@@ -321,6 +321,111 @@ object LwesQueries {
         |  min(c_eid) AS min_click, max(p_eid) AS max_purchase
         |FROM j GROUP BY uid_bucket ORDER BY uid_bucket""".stripMargin)),
 
+    // A13+A16+B20 end-to-end: ARBITRARY STATEFUL streaming op
+    // (flatMapGroupsWithState + EventTimeTimeout) through the drain
+    // pattern — per-user exact sessionization of the unordered journal
+    // stream: events buffer in per-key state until the watermark passes
+    // the flush point, then the event-time timeout emits one summary
+    // row per user into the lwes sink. TWO sentinels in SEPARATE
+    // batches make the flush deterministic without relying on a
+    // trailing no-data micro-batch (window aggregations get one under
+    // AvailableNow; FlatMapGroupsWithStateExec does not): sentinel 1
+    // advances the watermark at the end of its batch, and sentinel 2's
+    // batch — real data, so it always runs — fires the timeouts under
+    // that watermark. maxFilesPerTrigger is picked as a divisor of
+    // (dataFiles + 1) so greedy mtime-ordered admission always closes a
+    // batch exactly at sentinel 1. The DuckDB oracle replays the same
+    // 30-min-gap session split in SQL (µs on both sides — DuckDB's
+    // parquet reader truncates ns to µs).
+    "lwes_stream_sessions" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val mm = events(s, d)
+          .agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head
+        val (tsMinUs, tsMaxUs) = (mm.getLong(0), mm.getLong(1))
+        val delayUs = (tsMaxUs - tsMinUs) + 3600000000L
+        val sentinelTs = tsMaxUs + delayUs + 7200000000L
+        val src = cached(s"sess|$d") { dir =>
+          events(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("ts div 1000").as("ts_us"))
+            .repartition(8)
+            .write.format("lwes").option("eventName", "Ev::S").mode("append").save(dir)
+          def marker(eventId: Long, ts: Long, mtimeBump: Long): Unit = {
+            val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+            s.range(1).select(lit(eventId).as("event_id"), lit(0L).as("user_id"),
+                lit("sentinel").as("event_type"), lit(ts).as("ts_us"))
+              .coalesce(1)
+              .write.format("lwes").option("eventName", "Ev::S").mode("append").save(dir)
+            val files = new java.io.File(dir).listFiles()
+            val maxMtime = files.map(_.lastModified()).max
+            files.filterNot(f => before.contains(f.getName))
+              .foreach(_.setLastModified(maxMtime + mtimeBump))
+          }
+          // batch-count control: greedy mtime-ordered admission must
+          // close a batch exactly at sentinel 1, i.e. maxFilesPerTrigger
+          // must divide (files-before-sentinel-2). Pad with watermark-
+          // neutral files (event_id=-2, ts=min — dropped in-state, no
+          // watermark effect) until that count has a divisor in 2..8,
+          // so the drain doesn't degrade to one file per batch when the
+          // natural count+1 is prime.
+          val nData0 = new java.io.File(dir).listFiles().length
+          val pads = (0 to 3).find(p =>
+            (8 to 2 by -1).exists(m => (nData0 + p + 1) % m == 0)).getOrElse(0)
+          (0 until pads).foreach(_ => marker(-2L, tsMinUs, 30000L))
+          marker(-1L, sentinelTs, 60000L)
+          marker(-1L, sentinelTs + 3600000000L, 120000L)
+        }
+        // files before sentinel 2 = all - 1; the cached block guaranteed
+        // a divisor in 2..8 exists
+        val nPre = new java.io.File(src).listFiles().length - 1
+        val mft = (8 to 2 by -1).find(m => nPre % m == 0).getOrElse(1)
+        val dst = tmpDir("sess-dst")
+        val ckpt = tmpDir("sess-ckpt")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val in = s.readStream.format("lwes")
+            .schema("event_id long, user_id long, event_type string, ts_us long")
+            .option("eventName", "Ev::S")
+            .option("maxFilesPerTrigger", mft.toString).load(src)
+            .withColumn("ts", timestamp_micros(col("ts_us")))
+            .withWatermark("ts", s"$delayUs microseconds")
+            // NO pre-group sentinel filter: it would be pushed below the
+            // watermark collector and the sentinel would never advance
+            // the watermark — drainSessions drops event_id < 0 in-state
+            .select(col("user_id"), col("event_id"), col("ts_us"), col("ts"))
+            .as[graft.streaming.StreamOps.SessionEvent]
+          graft.streaming.StreamOps
+            .drainSessions(s, in, gapUs = 1800000000L,
+              flushAtMs = tsMaxUs / 1000 + 1000)
+            .toDF()
+            .writeStream.format("lwes")
+            .option("eventName", "Sess::U")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(dst)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        s.read.format("lwes")
+          .schema("user_id long, n_sessions long, n_events long")
+          .option("eventName", "Sess::U").load(dst)
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |) flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)),
+
     // A7: float/double ride the wire as strings (serde parity) and
     // convert back exactly.
     "lwes_float_conv" -> ((

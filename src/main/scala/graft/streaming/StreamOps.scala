@@ -16,6 +16,68 @@ object StreamOps {
   // public: Catalyst's generated state encoder needs constructor access
   final case class UserState(n: Long, total: Double, seenMax: Long)
 
+  // carries the watermarked `ts` column through to the stateful op —
+  // projecting it away would strip the event-time watermark the
+  // EventTimeTimeout requires
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long,
+      ts: java.sql.Timestamp)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+  // public: Catalyst's generated state encoder needs constructor access
+  final case class SessionBuf(events: List[SessionEvent])
+
+  /** Exact per-user sessionization of an out-of-order stream via
+    * flatMapGroupsWithState + EventTimeTimeout (SURVEY §2 B20): each
+    * user's events buffer in the state store until the watermark passes
+    * `flushAtMs` (a timestamp only the drain sentinel can push it
+    * past), then the buffered set is sorted by (ts, event_id) and
+    * split on gaps > `gapUs` — the SAME session definition as the
+    * batch operator, so a SQL oracle can replay it. Buffering the full
+    * per-user history is what exact sessionization of unordered input
+    * requires (Spark's own session windows hold equivalent state);
+    * state is per-key partitioned and is removed at flush. Emits one
+    * summary row per user, in the no-data micro-batch that follows the
+    * final watermark advance. */
+  def drainSessions(spark: SparkSession, events: Dataset[SessionEvent],
+      gapUs: Long, flushAtMs: Long): Dataset[UserSessions] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val evs = state.getOption.map(_.events).getOrElse(Nil)
+              .sortBy(e => (e.ts_us, e.event_id))
+            state.remove()
+            if (evs.isEmpty) Iterator.empty
+            else {
+              var sessions = 1L
+              var prev = evs.head.ts_us
+              evs.tail.foreach { e =>
+                if (e.ts_us - prev > gapUs) sessions += 1
+                prev = e.ts_us
+              }
+              Iterator.single(UserSessions(uid, sessions, evs.length.toLong))
+            }
+          } else {
+            // event_id < 0 marks a watermark-only sentinel: it must flow
+            // THROUGH the watermark node to advance it (a pre-group
+            // filter gets pushed below the watermark collector and the
+            // sentinel never counts), but it is not session data
+            val buf = state.getOption.map(_.events).getOrElse(Nil) ++
+              rows.filter(_.event_id >= 0)
+            state.update(SessionBuf(buf))
+            // absolute flush point: pre-sentinel watermarks sit a full
+            // delay below the event span, so only the sentinel batch
+            // can move the watermark past it. Clamp above the current
+            // watermark — a group fed by the second sentinel runs AFTER
+            // the watermark already passed the flush point, and Spark
+            // rejects a timeout at-or-below the watermark.
+            state.setTimeoutTimestamp(
+              math.max(flushAtMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Running per-user totals across micro-batches, with monotonic
     * event-id dedup inside each user's state (journal re-delivery
     * tolerance): events with id <= the highest already-processed id for

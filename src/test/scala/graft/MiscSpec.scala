@@ -27,6 +27,25 @@ class MiscSpec extends AnyFunSuite {
     assert(r.getString(0) == "Ext::Reg" && r.getLong(1) == 42L)
   }
 
+  test("approx_count_distinct stays within its rsd bound vs exact (B13 gate query)") {
+    // q_approx_distinct is rows-only by design (HLL sketches differ per
+    // engine); this pins the ESTIMATE QUALITY so a sketch regression
+    // fails loudly. HLL++ rsd default is 0.05; the 0.01-rsd column uses
+    // more registers. Allow 4x rsd — far beyond normal estimator noise,
+    // tight enough to catch a broken sketch (which is off by orders).
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("a5"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("a1"),
+      countDistinct(col("l_orderkey")).as("e_ord"),
+      countDistinct(col("l_partkey")).as("e_part")).head
+    val (a5, a1, eOrd, ePart) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(math.abs(a5 - eOrd).toDouble / eOrd <= 0.20,
+      s"orderkey HLL estimate $a5 vs exact $eOrd")
+    assert(math.abs(a1 - ePart).toDouble / ePart <= 0.04,
+      s"partkey HLL(0.01) estimate $a1 vs exact $ePart")
+  }
+
   test("partitionBy write produces dt= layout readable with partition pruning") {
     val dir = Files.createTempDirectory("lwes-pw").toString
     val df = Seq((1L, "2026-01-01", 10), (2L, "2026-01-01", 20),
