@@ -59,4 +59,26 @@ object Sampling {
       .withColumn("split", caseExpr)
       .drop("__bucket")
   }
+
+  // -------------------------------------------------------------- C22
+
+  /** Training-shard assignment by running token budget: within each
+    * `partCol` group, rows ordered by `idCol` accumulate whitespace
+    * token counts, and `shard_id = floor(tokens_before / budget)` —
+    * contiguous ~budget-token shards, the layout a sequence-packing
+    * data loader consumes. One ordered prefix-sum window per group key
+    * (same shuffle shape as sessionization: key-partitioned, no global
+    * sort), then everything downstream groups on (part, shard). Counts
+    * stay far below 2^53 so the floor-division replays exactly in any
+    * engine. */
+  def shardByTokenBudget(df: DataFrame, partCol: String, idCol: String,
+      textCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("n_tok", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
+  }
 }

@@ -41,9 +41,63 @@ object Similarity {
       .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    // filter BEFORE the long cast: Filter(rnk <= k, Window(row_number))
+    // is the exact shape TopKFromWindow replans into the spillable
+    // TopKPerKey heap (a Cast in between blocks the rule)
+    scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("score"))
+  }
+
+  // -------------------------------------------------------------- C21
+
+  /** Symmetric int8 quantization of an embedding column:
+    * `q_i = floor(v_i · 127/max|v| + 0.5)` as `array<tinyint>` — 4×
+    * smaller than float32 at rest and on the shuffle wire, which is the
+    * change that matters when the corpus is 100 TB and every ANN stage
+    * re-shuffles vectors. `floor(x + 0.5)` instead of `round` because it
+    * replays bit-identically across engines (IEEE division and floor are
+    * exact); an all-zero vector quantizes to zeros. */
+  def quantize(vec: Column): Column = {
+    val v = asDouble(vec)
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    when(maxAbs === lit(0.0), transform(v, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(v,
+        x => floor(x * (lit(127.0) / maxAbs) + lit(0.5)).cast("tinyint")))
+  }
+
+  /** Dot product of two quantized vectors in exact 64-bit integer math
+    * (dim·127² ≪ 2⁶³ — no accumulation-order sensitivity at all). */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k in the quantized domain: same plan shape
+    * as [[cosineTopK]] (broadcast queries, keyed window — never a global
+    * sort) but the corpus side carries int8 vectors and the score is an
+    * exact integer dot over pre-computed integer norms, so the result is
+    * fully deterministic and the per-pair work is integer-only. Emits
+    * the raw integer dot alongside the rank. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("q_c"))
+      .withColumn("n_c", sqrt(quantizedDot(col("q_c"), col("q_c"))))
+    val q = queries
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_q"))
+      .withColumn("n_q", sqrt(quantizedDot(col("q_q"), col("q_q"))))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", quantizedDot(col("q_q"), col("q_c")))
+      .withColumn("qcos", col("qdot") / (col("n_q") * col("n_c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    // same TopKFromWindow-compatible shape as [[cosineTopK]]
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("qdot"))
   }
 
   // --------------------------------------------------------------- C7
@@ -107,9 +161,13 @@ object Similarity {
       .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    // filter BEFORE the long cast: Filter(rnk <= k, Window(row_number))
+    // is the exact shape TopKFromWindow replans into the spillable
+    // TopKPerKey heap (a Cast in between blocks the rule)
+    scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("score"))
   }
 
   /** Per-row nearest-centroid id (1-based) against a LITERAL centroid
@@ -261,9 +319,13 @@ object Similarity {
       .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    // filter BEFORE the long cast: Filter(rnk <= k, Window(row_number))
+    // is the exact shape TopKFromWindow replans into the spillable
+    // TopKPerKey heap (a Cast in between blocks the rule)
+    scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("score"))
   }
 
   // --------------------------------------------------------------- C5

@@ -150,6 +150,51 @@ object TextAnalysis {
             Ipv4Re, "<IP>"),
           PhoneRe, "<PHONE>"))
   }
+
+  // -------------------------------------------------------------- C20
+
+  /** Gopher-style repetition signals (word-level): `top2_frac` is the
+    * share of word 2-grams taken by the single most common 2-gram, and
+    * `dup3_frac` the share of word 3-grams that occur more than once in
+    * the document. High values flag boilerplate/templated text that the
+    * charset- and length-based [[qualityScore]] signals miss. Tokens are
+    * a plain single-space split (engine-portable, matches the corpus
+    * format). Grams explode to (doc, gram) rows and aggregate with
+    * map-side combine — two keyed shuffles, no per-doc state, so the
+    * shape holds at 100 TB. Docs with fewer than 3 words are dropped
+    * (no 3-gram denominator). */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val base = df
+      .select(col(idCol), words.as("w"), size(words).as("nw"))
+      .filter(col("nw") >= 3)
+    def grams(n: Int): Column = {
+      // n aligned slices of length nw-(n-1), zipped into space-joined
+      // n-grams; zip_with operands share one length so nothing pads null
+      val len = col("nw") - (n - 1)
+      (2 to n).foldLeft(slice(col("w"), lit(1), len)) { (acc, j) =>
+        zip_with(acc, slice(col("w"), lit(j), len), (g, x) => concat_ws(" ", g, x))
+      }
+    }
+    val top2 = base
+      .select(col(idCol), col("nw"), explode(grams(2)).as("g"))
+      .groupBy(col(idCol), col("nw"), col("g")).count()
+      .groupBy(col(idCol), col("nw"))
+      .agg(max(col("count")).as("top2"))
+    val dup3 = base
+      .select(col(idCol), explode(grams(3)).as("g"))
+      .groupBy(col(idCol), col("g")).count()
+      .groupBy(col(idCol))
+      .agg(sum(when(col("count") > 1, col("count")).otherwise(0L)).as("dup3"))
+    top2.join(dup3, Seq(idCol))
+      .select(col(idCol), col("nw").cast("long").as("n_words"),
+        // k/n with n <= a few hundred never sits on a 6-decimal .5
+        // rounding boundary (that needs a 2^7·5^b denominator), so the
+        // round replays identically cross-engine
+        round(col("top2").cast("double") / (col("nw") - 1), 6).as("top2_frac"),
+        round(col("dup3").cast("double") / (col("nw") - 2), 6).as("dup3_frac"))
+  }
 }
 
 /** Shared shingling helpers. */

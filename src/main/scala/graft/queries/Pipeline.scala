@@ -131,6 +131,75 @@ object Pipeline {
         |        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
         |      FROM scored) ranked
         |WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin)),
+
+    // C20: Gopher-style repetition quality signals.
+    "text_repetition" -> ((
+      (s: SparkSession, d: String) => {
+        TextAnalysis.repetitionSignals(t(s, d, "documents"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id, len(words) AS nw,
+        |    list_transform(list_filter(list_zip(words, words[2:]),
+        |      p -> p[2] IS NOT NULL), p -> p[1] || ' ' || p[2]) AS g2,
+        |    list_transform(list_filter(list_zip(words, words[2:], words[3:]),
+        |      p -> p[3] IS NOT NULL), p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS g3
+        |  FROM w WHERE len(words) >= 3
+        |), c2 AS (
+        |  SELECT doc_id, nw, g, count(*) AS cnt
+        |  FROM (SELECT doc_id, nw, unnest(g2) AS g FROM g) GROUP BY 1, 2, 3
+        |), a2 AS (
+        |  SELECT doc_id, nw, max(cnt) AS top2 FROM c2 GROUP BY 1, 2
+        |), c3 AS (
+        |  SELECT doc_id, g, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(g3) AS g FROM g) GROUP BY 1, 2
+        |), a3 AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3
+        |  FROM c3 GROUP BY 1
+        |)
+        |SELECT a2.doc_id, CAST(a2.nw AS BIGINT) AS n_words,
+        |  round(top2::DOUBLE / (a2.nw - 1), 6) AS top2_frac,
+        |  round(CAST(dup3 AS BIGINT)::DOUBLE / (a2.nw - 2), 6) AS dup3_frac
+        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+        |ORDER BY a2.doc_id""".stripMargin)),
+
+    // C21: int8-quantized ANN top-k (exact integer scoring, so fully
+    // oracle-replayable unlike the float sketch paths).
+    "embed_quantized_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      """WITH qz AS (
+        |  -- floor(x + 0.5) quantization replayed exactly (see Similarity.quantize)
+        |  SELECT vec_id,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+        |        (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv,
+        |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)) AS nrm
+        |  FROM qz
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) AS qdot,
+        |    q.nrm AS n_q, c.nrm AS n_c
+        |  FROM (SELECT * FROM n WHERE vec_id < 5) q CROSS JOIN n c
+        |  WHERE c.vec_id <> q.vec_id
+        |)
+        |SELECT query_id, rnk, neighbor_id, qdot
+        |FROM (SELECT query_id, neighbor_id, qdot,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY qdot / (n_q * n_c) DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM scored) ranked
+        |WHERE rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin))
   )
 
@@ -324,6 +393,31 @@ object Pipeline {
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |      FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin)),
+
+    // C22: training-shard assignment by running token budget — the
+    // sequence-packing layout a data loader consumes. Per-shard stats
+    // (cumulative sums stay ≪ 2^53, so the floor-division is exact in
+    // both engines).
+    "text_shards" -> ((
+      (s: SparkSession, d: String) => {
+        graft.operators.Sampling
+          .shardByTokenBudget(t(s, d, "documents"), "lang", "doc_id", "text", 500)
+          .groupBy(col("lang"), col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("shard_tokens"))
+          .orderBy(col("lang"), col("shard_id"))
+      },
+      """WITH tk AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
+        |  FROM tk
+        |)
+        |SELECT lang, CAST(floor(COALESCE(cumb, 0)::DOUBLE / 500) AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin)),
 
     // C3: SimHash near-dup pairs, portable 48-bit signature, banded
     // candidates at maxHamming=3 (promoted from rows-only in round 4).

@@ -485,4 +485,59 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("centroid_id").collect()
     assert(rows.map(_.getSeq[Double](1)).toSeq == rows2.map(_.getSeq[Double](1)).toSeq)
   }
+
+  test("repetition signals: boilerplate vs distinct text, short docs dropped (C20)") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // 2-grams: ab,ba,ab,ba,ab -> top 3/5; 3-grams all dup -> 4/4
+      (2L, "v w x y z"), //   all grams distinct -> top2 1/4, dup3 0/3
+      (3L, "x y")) //         < 3 words: dropped
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r(0).getLong(1) == 6L && r(0).getDouble(2) == 0.6 && r(0).getDouble(3) == 1.0)
+    assert(r(1).getLong(1) == 5L && r(1).getDouble(2) == 0.25 && r(1).getDouble(3) == 0.0)
+  }
+
+  test("int8 quantize: scale to ±127, floor(x+0.5) rounding, zero vector (C21)") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .orderBy("vec_id")
+    assert(df.schema("q").dataType.simpleString == "array<tinyint>")
+    val r = df.collect()
+    // scale 127/1.0: floor(63.5+0.5)=64, floor(-127+0.5)=-127, floor(31.75+0.5)=32
+    assert(r(0).getSeq[Byte](1) == Seq[Byte](64, -127, 32, 0))
+    assert(r(1).getSeq[Byte](1) == Seq[Byte](0, 0, 0, 0))
+  }
+
+  test("quantizedTopK ranks a planted identical vector first, integer dots (C21)") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f)), // near-identical to 1
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity
+      .quantizedTopK(corpus, corpus.filter(col("vec_id") === 1L), "vec_id", "embedding", 2)
+      .collect()
+    assert(top.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 3L)))
+    // q1=[127,0,0], q2=[127,1,0] -> dot exactly 127*127
+    assert(top(0).getLong(3) == 127L * 127L)
+  }
+
+  test("shardByTokenBudget: contiguous budget chunks reset per group (C22)") {
+    val docs = Seq(
+      (1L, "en", "a b c"), //     3 tok, 0 before  -> shard 0
+      (2L, "en", "d e f g"), //   4 tok, 3 before  -> shard 0
+      (3L, "en", "h i"), //       2 tok, 7 before  -> shard 1 (budget 5)
+      (4L, "fr", "x y z w v u")) // other group starts at shard 0
+      .toDF("doc_id", "lang", "text")
+    val r = Sampling.shardByTokenBudget(docs, "lang", "doc_id", "text", 5)
+      .select(col("doc_id"), col("shard_id")).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toSeq
+    assert(r == Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
 }
