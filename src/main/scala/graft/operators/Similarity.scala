@@ -39,15 +39,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    // filter BEFORE the long cast: Filter(rnk <= k, Window(row_number))
-    // is the exact shape TopKFromWindow replans into the spillable
-    // TopKPerKey heap (a Cast in between blocks the rule)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("neighbor_id"), col("score"))
+    rankTopK(scored, k, orderCol = "score", outCol = "score")
   }
 
   // -------------------------------------------------------------- C21
@@ -90,15 +82,26 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", quantizedDot(col("q_q"), col("q_c")))
-      .withColumn("qcos", col("qdot") / (col("n_q") * col("n_c")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("neighbor_id"))
-    // same TopKFromWindow-compatible shape as [[cosineTopK]]
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("neighbor_id"), col("qdot"))
+      // norm floor guards the all-zero vector (qcos would be 0/0 = NaN,
+      // which Spark sorts FIRST desc while SQL engines return NULL —
+      // a cross-engine rank divergence); mirrored in the gate oracle
+      .withColumn("qcos",
+        col("qdot") / greatest(col("n_q") * col("n_c"), lit(1e-12)))
+    rankTopK(scored, k, orderCol = "qcos", outCol = "qdot")
   }
+
+  /** Shared ranking epilogue for the ANN paths: per-`query_id` top-k by
+    * `orderCol` desc (neighbor_id tie-break), keeping `outCol`. Built on
+    * [[graft.plans.TopK.perKey]] so the `Filter(rnk <= k,
+    * Window(row_number))` shape reaches the TopKFromWindow rule intact —
+    * a Cast between Filter and Window silently loses the B33
+    * spillable-heap plan (the long cast happens after the filter). */
+  private def rankTopK(scored: DataFrame, k: Int, orderCol: String,
+      outCol: String): DataFrame =
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col(orderCol).desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col(outCol))
 
   // --------------------------------------------------------------- C7
 
@@ -159,15 +162,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id")).distinct()
     val scored = cand.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
       .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    // filter BEFORE the long cast: Filter(rnk <= k, Window(row_number))
-    // is the exact shape TopKFromWindow replans into the spillable
-    // TopKPerKey heap (a Cast in between blocks the rule)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("neighbor_id"), col("score"))
+    rankTopK(scored, k, orderCol = "score", outCol = "score")
   }
 
   /** Per-row nearest-centroid id (1-based) against a LITERAL centroid
@@ -317,15 +312,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    // filter BEFORE the long cast: Filter(rnk <= k, Window(row_number))
-    // is the exact shape TopKFromWindow replans into the spillable
-    // TopKPerKey heap (a Cast in between blocks the rule)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("neighbor_id"), col("score"))
+    rankTopK(scored, k, orderCol = "score", outCol = "score")
   }
 
   // --------------------------------------------------------------- C5

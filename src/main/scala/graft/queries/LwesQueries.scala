@@ -327,16 +327,18 @@ object LwesQueries {
     // stream: events buffer in per-key state until the watermark passes
     // the flush point, then the event-time timeout emits one summary
     // row per user into the lwes sink. TWO sentinels in SEPARATE
-    // batches make the flush deterministic without relying on a
-    // trailing no-data micro-batch (window aggregations get one under
-    // AvailableNow; FlatMapGroupsWithStateExec does not): sentinel 1
-    // advances the watermark at the end of its batch, and sentinel 2's
-    // batch — real data, so it always runs — fires the timeouts under
-    // that watermark. maxFilesPerTrigger is picked as a divisor of
-    // (dataFiles + 1) so greedy mtime-ordered admission always closes a
-    // batch exactly at sentinel 1. The DuckDB oracle replays the same
-    // 30-min-gap session split in SQL (µs on both sides — DuckDB's
-    // parquet reader truncates ns to µs).
+    // batches make the flush independent of the trailing no-data
+    // micro-batch (Spark 4.1 runs one under AvailableNow and fires
+    // timeouts in it, but that is not contractual for stateful ops):
+    // sentinel 1 advances the watermark at the end of its batch, and
+    // sentinel 2's batch — real data, so it always runs — fires the
+    // timeouts under that watermark. maxFilesPerTrigger is picked as a
+    // divisor of (source-visible files before sentinel 2) so greedy
+    // mtime-ordered admission always closes a batch exactly at
+    // sentinel 1; only non-hidden files count (the local Hadoop FS
+    // also writes .part-*.crc siblings the source never lists). The
+    // DuckDB oracle replays the same 30-min-gap session split in SQL
+    // (µs on both sides — DuckDB's parquet reader truncates ns to µs).
     "lwes_stream_sessions" -> ((
       (s: SparkSession, d: String) => {
         import s.implicits._
@@ -351,13 +353,19 @@ object LwesQueries {
               expr("ts div 1000").as("ts_us"))
             .repartition(8)
             .write.format("lwes").option("eventName", "Ev::S").mode("append").save(dir)
+          // only what the streaming source lists counts toward batch
+          // math: the local Hadoop FS writes hidden .part-*.crc
+          // checksum siblings next to every journal file
+          def visible(d0: String): Array[java.io.File] =
+            new java.io.File(d0).listFiles()
+              .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
           def marker(eventId: Long, ts: Long, mtimeBump: Long): Unit = {
-            val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+            val before = visible(dir).map(_.getName).toSet
             s.range(1).select(lit(eventId).as("event_id"), lit(0L).as("user_id"),
                 lit("sentinel").as("event_type"), lit(ts).as("ts_us"))
               .coalesce(1)
               .write.format("lwes").option("eventName", "Ev::S").mode("append").save(dir)
-            val files = new java.io.File(dir).listFiles()
+            val files = visible(dir)
             val maxMtime = files.map(_.lastModified()).max
             files.filterNot(f => before.contains(f.getName))
               .foreach(_.setLastModified(maxMtime + mtimeBump))
@@ -369,16 +377,17 @@ object LwesQueries {
           // watermark effect) until that count has a divisor in 2..8,
           // so the drain doesn't degrade to one file per batch when the
           // natural count+1 is prime.
-          val nData0 = new java.io.File(dir).listFiles().length
+          val nData0 = visible(dir).length
           val pads = (0 to 3).find(p =>
             (8 to 2 by -1).exists(m => (nData0 + p + 1) % m == 0)).getOrElse(0)
           (0 until pads).foreach(_ => marker(-2L, tsMinUs, 30000L))
           marker(-1L, sentinelTs, 60000L)
           marker(-1L, sentinelTs + 3600000000L, 120000L)
         }
-        // files before sentinel 2 = all - 1; the cached block guaranteed
-        // a divisor in 2..8 exists
-        val nPre = new java.io.File(src).listFiles().length - 1
+        // source-visible files before sentinel 2 = all - 1; the cached
+        // block guaranteed a divisor in 2..8 exists
+        val nPre = new java.io.File(src).listFiles()
+          .count(f => !f.getName.startsWith(".") && !f.getName.startsWith("_")) - 1
         val mft = (8 to 2 by -1).find(m => nPre % m == 0).getOrElse(1)
         val dst = tmpDir("sess-dst")
         val ckpt = tmpDir("sess-ckpt")

@@ -197,7 +197,7 @@ object Pipeline {
         |SELECT query_id, rnk, neighbor_id, qdot
         |FROM (SELECT query_id, neighbor_id, qdot,
         |        CAST(row_number() OVER (PARTITION BY query_id
-        |          ORDER BY qdot / (n_q * n_c) DESC, neighbor_id) AS BIGINT) AS rnk
+        |          ORDER BY qdot / greatest(n_q * n_c, 1e-12) DESC, neighbor_id) AS BIGINT) AS rnk
         |      FROM scored) ranked
         |WHERE rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin))

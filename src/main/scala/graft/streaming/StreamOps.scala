@@ -22,8 +22,12 @@ object StreamOps {
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long,
       ts: java.sql.Timestamp)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
-  // public: Catalyst's generated state encoder needs constructor access
-  final case class SessionBuf(events: List[SessionEvent])
+  // public: Catalyst's generated state encoder needs constructor access.
+  // Buffers only (ts_us, event_id) — NOT the whole SessionEvent: the
+  // boxed Timestamp duplicates ts_us and would double per-event state
+  // size in the store for no flush-path benefit.
+  final case class BufEvent(ts_us: Long, event_id: Long)
+  final case class SessionBuf(events: List[BufEvent])
 
   /** Exact per-user sessionization of an out-of-order stream via
     * flatMapGroupsWithState + EventTimeTimeout (SURVEY §2 B20): each
@@ -63,7 +67,7 @@ object StreamOps {
             // filter gets pushed below the watermark collector and the
             // sentinel never counts), but it is not session data
             val buf = state.getOption.map(_.events).getOrElse(Nil) ++
-              rows.filter(_.event_id >= 0)
+              rows.filter(_.event_id >= 0).map(e => BufEvent(e.ts_us, e.event_id))
             state.update(SessionBuf(buf))
             // absolute flush point: pre-sentinel watermarks sit a full
             // delay below the event span, so only the sentinel batch
