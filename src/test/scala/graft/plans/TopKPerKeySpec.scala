@@ -84,4 +84,21 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKeyExec"))
     assert(ranked.count() == 3) // both tied rows of k=1 kept by rank()
   }
+
+  test("Similarity ANN top-k paths compile into TopKPerKey (regression guard)") {
+    // a Cast between the rnk Filter and the Window once silently blocked
+    // the TopKFromWindow rewrite in every ANN path — assert the plans,
+    // not just the results
+    import graft.operators.Similarity
+    val emb = (0 until 40)
+      .map(i => (i.toLong, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+    for ((name, df) <- Seq(
+        "cosineTopK" -> Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),
+        "quantizedTopK" -> Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"$name lost the TopKPerKey plan:\n$plan")
+    }
+  }
 }
