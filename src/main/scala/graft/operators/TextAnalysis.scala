@@ -195,6 +195,35 @@ object TextAnalysis {
         round(col("top2").cast("double") / (col("nw") - 1), 6).as("top2_frac"),
         round(col("dup3").cast("double") / (col("nw") - 2), 6).as("dup3_frac"))
   }
+
+  // -------------------------------------------------------------- C23
+
+  /** Fixed-size token chunking with overlap — the context-window layout
+    * a pretraining tokenizer (or RAG indexer) consumes: chunk `i` of a
+    * document covers whitespace tokens `[i·stride, i·stride + chunkSize)`
+    * with `stride = chunkSize - overlap`; the last chunk may be shorter
+    * and no chunk starts beyond the final `chunkSize` window. Pure
+    * per-row array expressions exploded to one output row per chunk —
+    * no shuffle at all, so it pipelines into whatever keyed op follows.
+    * Integer count math only (exact in any engine). */
+  def chunkByTokens(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1))
+      // ceil((n - chunkSize)/stride) + 1 in exact integer math
+      .otherwise(floor((n - chunkSize + (stride - 1)) / lit(stride.toDouble))
+        .cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
 }
 
 /** Shared shingling helpers. */

@@ -419,6 +419,36 @@ object Pipeline {
         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin)),
 
+    // C23: fixed-window token chunking with overlap (32-token chunks,
+    // stride 24) — one row per chunk, md5 pins the exact chunk text.
+    "text_chunks" -> ((
+      (s: SparkSession, d: String) => {
+        TextAnalysis.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
+            chunkSize = 32, overlap = 8)
+          .select(col("doc_id"), col("chunk_id"),
+            size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"),
+            md5(col("chunk_text")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), nc AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(CASE WHEN n <= 32 THEN 1
+        |                      ELSE (n - 32 + 23) // 24 + 1 END)) AS i
+        |  FROM tk
+        |), ch AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    array_to_string(toks[(i*24 + 1):(i*24 + 32)], ' ') AS chunk_text
+        |  FROM nc
+        |)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens,
+        |  md5(chunk_text) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // C3: SimHash near-dup pairs, portable 48-bit signature, banded
     // candidates at maxHamming=3 (promoted from rows-only in round 4).
     // With 4 disjoint 12-bit bands, pigeonhole guarantees every pair

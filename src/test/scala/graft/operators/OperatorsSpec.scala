@@ -540,4 +540,18 @@ class OperatorsSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> x.getLong(1)).toSeq
     assert(r == Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("chunkByTokens: stride windows, short tail, single chunk when doc fits (C23)") {
+    val docs = Seq(
+      (1L, (1 to 9).map(i => s"t$i").mkString(" ")), // 9 tok, size 4 stride 3:
+      //   chunks [t1..t4], [t4..t7], [t7..t9] (tail of 3)
+      (2L, "a b c")) //                                 fits in one chunk
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunkByTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, "t1 t2 t3 t4"), (1L, 1L, "t4 t5 t6 t7"), (1L, 2L, "t7 t8 t9"),
+      (2L, 0L, "a b c")))
+  }
 }
