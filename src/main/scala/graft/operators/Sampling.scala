@@ -81,4 +81,24 @@ object Sampling {
       .withColumn("shard_id",
         floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
   }
+
+  // -------------------------------------------------------------- C24
+
+  /** Deterministic exact-k-per-group sample: within each `groupCol`,
+    * keep the k rows ranked first by the md5 of (key ‖ salt) — a
+    * reservoir-sample shape whose selection is reproducible across
+    * runs, engines, and partitionings (no RNG state). Different salts
+    * draw decorrelated samples. Rides the B33 TopKPerKey plan (bounded
+    * heap per group, no per-group sort), so a 100 TB corpus pays one
+    * keyed shuffle of k·groups surviving rows. Adds `smp_rank` 1..k. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.plans.TopK.perKey(df,
+        Seq(col(groupCol)),
+        Seq(md5(concat(col(keyCol).cast("string"), lit(salt))).asc,
+          col(keyCol).asc), k)
+      .withColumn("smp_rank", col("rnk").cast("long"))
+      .drop("rnk")
+  }
 }

@@ -419,6 +419,23 @@ object Pipeline {
         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin)),
 
+    // C24: deterministic exact-k-per-group sampling (portable md5
+    // order — selection reproducible across engines; rides TopKPerKey).
+    "text_sample_group" -> ((
+      (s: SparkSession, d: String) => {
+        graft.operators.Sampling
+          .sampleKPerGroup(t(s, d, "documents"), "lang", "doc_id", 3, "s1")
+          .select(col("lang"), col("smp_rank"), col("doc_id"))
+          .orderBy(col("lang"), col("smp_rank"))
+      },
+      """SELECT lang, CAST(rnk AS BIGINT) AS smp_rank, doc_id
+        |FROM (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR) || 's1'), doc_id) AS rnk
+        |      FROM documents) r
+        |WHERE rnk <= 3
+        |ORDER BY lang, smp_rank""".stripMargin)),
+
     // C23: fixed-window token chunking with overlap (32-token chunks,
     // stride 24) — one row per chunk, md5 pins the exact chunk text.
     "text_chunks" -> ((

@@ -101,4 +101,20 @@ class TopKPerKeySpec extends AnyFunSuite {
       assert(plan.contains("TopKPerKey"), s"$name lost the TopKPerKey plan:\n$plan")
     }
   }
+
+  test("sampleKPerGroup: exact k per group, salts decorrelate, heap plan (C24)") {
+    import graft.operators.Sampling
+    val docs = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr", s"d$i"))
+      .toDF("doc_id", "lang", "text")
+    def draw(salt: String): Set[(String, Long)] =
+      Sampling.sampleKPerGroup(docs, "lang", "doc_id", 5, salt)
+        .select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val s = Sampling.sampleKPerGroup(docs, "lang", "doc_id", 5, "a")
+    assert(s.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val a = draw("a")
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+    assert(a == draw("a")) // same salt -> same sample
+    assert(a != draw("b")) // different salt -> decorrelated draw
+  }
 }
