@@ -94,10 +94,19 @@ object Sampling {
   def sampleKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
       k: Int, salt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")
-    graft.plans.TopK.perKey(df,
-        Seq(col(groupCol)),
-        Seq(md5(concat(col(keyCol).cast("string"), lit(salt))).asc,
-          col(keyCol).asc), k)
+    // TopK.perKey materializes its rank as `rnk`; refuse to silently
+    // overwrite caller columns of either name
+    require(!df.columns.contains("rnk") && !df.columns.contains("smp_rank"),
+      "input already has a rnk/smp_rank column — rename it first")
+    // null-safe key and a separator between key and salt: a null key
+    // would hash to NULL and sort opposite ways across engines (Spark
+    // ASC = nulls first, most SQL engines = nulls last), and without a
+    // separator distinct (key, salt) pairs can collide ('1'+'1s' ==
+    // '11'+'s'), correlating draws across salts
+    val hk = md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
+      lit("|"), lit(salt)))
+    graft.plans.TopK.perKey(df, Seq(col(groupCol)),
+        Seq(hk.asc, col(keyCol).asc), k)
       .withColumn("smp_rank", col("rnk").cast("long"))
       .drop("rnk")
   }

@@ -211,7 +211,10 @@ object TextAnalysis {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    val toks = split(col(textCol), " ")
+    // null text behaves like empty text (one empty chunk) — exploding a
+    // null chunk count would otherwise DROP the row silently, and a
+    // corpus-layout operator must keep docs-in == docs-represented
+    val toks = split(coalesce(col(textCol), lit("")), " ")
     val n = size(toks)
     val nChunks = when(n <= chunkSize, lit(1))
       // ceil((n - chunkSize)/stride) + 1 in exact integer math

@@ -431,7 +431,8 @@ object Pipeline {
       """SELECT lang, CAST(rnk AS BIGINT) AS smp_rank, doc_id
         |FROM (SELECT lang, doc_id,
         |        row_number() OVER (PARTITION BY lang
-        |          ORDER BY md5(CAST(doc_id AS VARCHAR) || 's1'), doc_id) AS rnk
+        |          ORDER BY md5(COALESCE(CAST(doc_id AS VARCHAR), '') || '|' || 's1'),
+        |            doc_id) AS rnk
         |      FROM documents) r
         |WHERE rnk <= 3
         |ORDER BY lang, smp_rank""".stripMargin)),

@@ -96,7 +96,10 @@ class TopKPerKeySpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") < 3)
     for ((name, df) <- Seq(
         "cosineTopK" -> Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5),
-        "quantizedTopK" -> Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 5))) {
+        "quantizedTopK" -> Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 5),
+        "lshTopK" -> Similarity.lshTopK(emb, q, "vec_id", "embedding", 5),
+        "ivfTopK" -> Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+          nLists = 2, nprobe = 2))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("TopKPerKey"), s"$name lost the TopKPerKey plan:\n$plan")
     }
