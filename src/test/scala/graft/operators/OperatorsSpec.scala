@@ -554,4 +554,28 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 0L, "t1 t2 t3 t4"), (1L, 1L, "t4 t5 t6 t7"), (1L, 2L, "t7 t8 t9"),
       (2L, 0L, "a b c")))
   }
+
+  test("chunkByTokens: null text yields one empty chunk, not a dropped row (C23)") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunkByTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.toSeq == Seq((1L, 0L, ""), (2L, 0L, "x y")))
+  }
+
+  test("sampleKPerGroup: deterministic, null keys don't vanish, rnk input refused (C24)") {
+    val docs = (1 to 50).map(i => (if (i <= 48) i.toLong else -1L, "en"))
+      .map { case (id, g) => (if (id < 0) None else Some(id), g) }
+      .toDF("doc_id", "lang")
+    def draw() = Sampling.sampleKPerGroup(docs, "lang", "doc_id", 10, "s")
+      .select("smp_rank", "doc_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val a = draw()
+    assert(a.size == 10 && a == draw())
+    val withRnk = docs.withColumn("rnk", lit(1))
+    assertThrows[IllegalArgumentException] {
+      Sampling.sampleKPerGroup(withRnk, "lang", "doc_id", 3)
+    }
+  }
 }
