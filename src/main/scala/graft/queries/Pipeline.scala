@@ -419,6 +419,20 @@ object Pipeline {
         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin)),
 
+    // C7 recall gates (necessary-condition oracle): sim_lsh / sim_ivf
+    // stay rows-only (bucket selections aren't SQL-replayable), but
+    // their recall-vs-exact CONTRACT is gated — the query joins the
+    // approximate top-k against the exact top-k in-plan and emits one
+    // row with a recall-floor boolean the oracle expects to be true.
+    // Both paths are deterministic functions of the data (seeded
+    // hyperplanes, exact-decimal k-means), so the boolean is stable;
+    // floors leave >25% margin under measured recall (lsh 0.62-0.69,
+    // ivf 0.52-0.58 across sf0.01/sf0.1).
+    "sim_lsh_recall" -> recallGate("lsh", 0.45,
+      (emb, q) => Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)),
+    "sim_ivf_recall" -> recallGate("ivf", 0.40,
+      (emb, q) => Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10)),
+
     // C24: deterministic exact-k-per-group sampling (portable md5
     // order — selection reproducible across engines; rides TopKPerKey).
     "text_sample_group" -> ((
@@ -673,6 +687,30 @@ object Pipeline {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE c >= 0.8""".stripMargin))
   )
+
+  /** Builds a (query fn, oracle SQL) pair asserting an ANN path's
+    * recall@10 vs the exact brute-force top-k meets `floor` — the
+    * necessary-condition-oracle shape used by the C7 recall gates. */
+  private def recallGate(tag: String, floor: Double,
+      approx: (DataFrame, DataFrame) => DataFrame)
+      : ((SparkSession, String) => DataFrame, String) = ((
+    (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 20 === 0)
+      val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val a = approx(emb, q)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      exact.join(a,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+          "left_outer")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          ((count(col("an")).cast("double") / count(lit(1))) >= lit(floor))
+            .as("recall_floor_met"))
+    },
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  true AS recall_floor_met
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin))
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -26,21 +26,45 @@ object Tables {
 object Relational {
   import Tables.t
 
-  /** B13: HLL approximate distinct — engine-specific sketch values, so no
-    * cross-engine oracle (driver records a rows-only check). The exact
-    * counterpart is `q_distinct`. */
-  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_approx_distinct" -> ((s: SparkSession, d: String) => {
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))
-    }))
+  /** B13 (formerly rows-only): HLL sketch VALUES are engine-specific,
+    * but the estimator's tolerance contract is not — `q_approx_distinct`
+    * now emits exact distinct counts plus booleans asserting the HLL
+    * estimates sit within their rsd bounds (4× rsd: 20% for the default
+    * 0.05 sketch, 4% for the 0.01 one), and the oracle replays the
+    * exact counts with literal `true`s. HLL is a pure function of the
+    * value set (no RNG, merge is commutative), so the booleans are
+    * stable across runs and partitionings; a broken sketch — off by
+    * orders — hash-mismatches the gate. The necessary-condition-oracle
+    * pattern from the round-3 brief. */
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
   /** name -> (query fn, oracle SQL). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // B13: HLL estimate-quality gate (see rowsOnly scaladoc above).
+    "q_approx_distinct" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_orderkey")).as("__a5"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("__a1"))
+          .select(col("l_returnflag"), col("n"),
+            col("exact_orders"), col("exact_parts"),
+            (abs(col("__a5") - col("exact_orders"))
+              <= col("exact_orders") * lit(0.20)).as("hll_ok"),
+            (abs(col("__a1") - col("exact_parts"))
+              <= col("exact_parts") * lit(0.04)).as("hll_precise_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS hll_ok, true AS hll_precise_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
 
     // B2: multi-key aggregation over the fact table (TPC-H Q1 shape).
     "q1_pricing" -> ((
