@@ -428,9 +428,9 @@ object Pipeline {
     // hyperplanes, exact-decimal k-means), so the boolean is stable;
     // floors leave >25% margin under measured recall (lsh 0.62-0.69,
     // ivf 0.52-0.58 across sf0.01/sf0.1).
-    "sim_lsh_recall" -> recallGate("lsh", 0.45,
+    "sim_lsh_recall" -> recallGate(0.45,
       (emb, q) => Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)),
-    "sim_ivf_recall" -> recallGate("ivf", 0.40,
+    "sim_ivf_recall" -> recallGate(0.40,
       (emb, q) => Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10)),
 
     // C24: deterministic exact-k-per-group sampling (portable md5
@@ -691,7 +691,7 @@ object Pipeline {
   /** Builds a (query fn, oracle SQL) pair asserting an ANN path's
     * recall@10 vs the exact brute-force top-k meets `floor` — the
     * necessary-condition-oracle shape used by the C7 recall gates. */
-  private def recallGate(tag: String, floor: Double,
+  private def recallGate(floor: Double,
       approx: (DataFrame, DataFrame) => DataFrame)
       : ((SparkSession, String) => DataFrame, String) = ((
     (s: SparkSession, d: String) => {
