@@ -396,4 +396,50 @@ class LwesStreamingSpec extends AnyFunSuite {
       assert(last.map(_.getDouble(2)).sum == (0 until 60).map(_ * 2.0).sum)
     } finally q.stop()
   }
+
+  test("drainSessions: out-of-order buffering, sentinel drop, timeout flush (B20)") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.SessionEvent
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("lwes-sess-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000000L // µs
+    def ev(uid: Long, eid: Long, tsUs: Long) =
+      SessionEvent(uid, eid, tsUs, new java.sql.Timestamp(tsUs / 1000))
+    val mem = MemoryStream[SessionEvent]
+    val in = mem.toDS()
+      .withWatermark("ts", "10 minutes")
+    // user 1: two sessions (40-min gap); user 2: one session, delivered
+    // OUT OF ORDER across batches — state buffering must reassemble it
+    val gapUs = 1800000000L // 30 min
+    val out = StreamOps.drainSessions(spark, in, gapUs,
+      flushAtMs = base / 1000 + 3600000L) // flush point: base + 1h
+    val q = out.writeStream.format("memory").queryName("drain_sessions")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem.addData(
+        ev(1L, 10L, base), ev(1L, 11L, base + 60000000L), // s1: 0, +1min
+        ev(2L, 20L, base + 120000000L)) //                    u2 later event
+      q.processAllAvailable()
+      mem.addData(
+        ev(1L, 12L, base + 3600000000L), // s2: +60min (40-min gap after s1)
+        ev(2L, 21L, base + 60000000L), //  u2 EARLIER event, late delivery
+        ev(3L, -5L, base)) //              sentinel-marked: dropped in-state
+      q.processAllAvailable()
+      // nothing flushed yet: watermark is far below the flush point
+      assert(spark.table("drain_sessions").isEmpty)
+      // sentinel 1 advances the watermark past flushAt at END of batch;
+      // sentinel 2's batch then fires the timeouts
+      mem.addData(ev(0L, -1L, base + 9000000000000L))
+      q.processAllAvailable()
+      mem.addData(ev(0L, -1L, base + 9100000000000L))
+      q.processAllAvailable()
+      val r = spark.table("drain_sessions").orderBy("user_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      // user 3 had only a sentinel-marked row -> empty state -> no row
+      assert(r.toSeq == Seq((1L, 2L, 3L), (2L, 1L, 2L)))
+    } finally q.stop()
+  }
 }
