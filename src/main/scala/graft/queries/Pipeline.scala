@@ -708,7 +708,7 @@ object Pipeline {
           ((count(col("an")).cast("double") / count(lit(1))) >= lit(floor))
             .as("recall_floor_met"))
     },
-    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+    """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
       |  true AS recall_floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin))
 

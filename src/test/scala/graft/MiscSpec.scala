@@ -28,11 +28,11 @@ class MiscSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within its rsd bound vs exact (B13 gate query)") {
-    // q_approx_distinct is rows-only by design (HLL sketches differ per
-    // engine); this pins the ESTIMATE QUALITY so a sketch regression
-    // fails loudly. HLL++ rsd default is 0.05; the 0.01-rsd column uses
-    // more registers. Allow 4x rsd — far beyond normal estimator noise,
-    // tight enough to catch a broken sketch (which is off by orders).
+    // q_approx_distinct gates this same 4x-rsd contract against the
+    // DuckDB oracle at sf0.01/sf0.1 (Relational.scala B13); this spec
+    // adds sf0.001 coverage and a fast local signal. HLL++ rsd default
+    // is 0.05; the 0.01-rsd column uses more registers. 4x rsd is far
+    // beyond estimator noise, tight enough to catch a broken sketch.
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val r = li.agg(
       approx_count_distinct(col("l_orderkey")).as("a5"),

@@ -568,11 +568,14 @@ class OperatorsSpec extends AnyFunSuite {
     val docs = (1 to 50).map(i => (if (i <= 48) i.toLong else -1L, "en"))
       .map { case (id, g) => (if (id < 0) None else Some(id), g) }
       .toDF("doc_id", "lang")
-    def draw() = Sampling.sampleKPerGroup(docs, "lang", "doc_id", 10, "s")
+    def draw(k: Int) = Sampling.sampleKPerGroup(docs, "lang", "doc_id", k, "s")
       .select("smp_rank", "doc_id").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
-    val a = draw()
-    assert(a.size == 10 && a == draw())
+    val a = draw(10)
+    assert(a.size == 10 && a == draw(10))
+    // k >= group size keeps every row: the null-keyed row must be IN the
+    // sample (hashed as empty string), not silently dropped
+    assert(draw(49).exists(_._2 == -1L))
     val withRnk = docs.withColumn("rnk", lit(1))
     assertThrows[IllegalArgumentException] {
       Sampling.sampleKPerGroup(withRnk, "lang", "doc_id", 3)
