@@ -212,7 +212,7 @@ object LwesQueries {
         // restored: the conf is weakly-typed session state)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", "4")
           s.readStream.format("lwes")
             .schema("event_id long, user_id long, event_type string, ts_us long")
             .option("eventName", "Ev::S")
@@ -263,7 +263,7 @@ object LwesQueries {
         val ckpt = tmpDir("sj-ckpt")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", "4")
           def side(tp: String) = s.readStream.format("lwes")
             .schema("event_id long, user_id long, value double, ReceiptTime long")
             .option("eventName", s"Ev::$tp")
@@ -393,7 +393,7 @@ object LwesQueries {
         val ckpt = tmpDir("sess-ckpt")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", "4")
           val in = s.readStream.format("lwes")
             .schema("event_id long, user_id long, event_type string, ts_us long")
             .option("eventName", "Ev::S")
