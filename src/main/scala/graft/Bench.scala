@@ -114,6 +114,13 @@ object Bench {
         System.err.println(s"BENCH: failed to write bench-out.json: $e")
     }
     println(json)
+    // The full line above is one very long JSON object; a stdout tail
+    // window can truncate its FRONT and leave nothing parseable (BENCH_r03
+    // and r04 both landed as parsed:null that way). Print a SHORT summary
+    // object LAST — total, query count, sf, and where the full per-query
+    // data lives — so any tail capture ends with a complete JSON line.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"iters_per_query":$iters,"sf":"$sfDir","detail":"$outPath"}""")
     spark.stop()
   }
 }

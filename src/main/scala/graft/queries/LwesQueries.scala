@@ -359,9 +359,18 @@ object LwesQueries {
           def visible(d0: String): Array[java.io.File] =
             new java.io.File(d0).listFiles()
               .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+          // sentinel/pad rows carry a user_id no real row can have
+          // (Long.MinValue): flatMapGroupsWithState re-arms a group's
+          // EventTimeTimeout whenever the group receives ANY row, so a
+          // sentinel sharing a real user's id would defer that user's
+          // flush to the trailing no-data micro-batch — which Spark 4.1
+          // runs under AvailableNow but does not contract for stateful
+          // ops. An impossible id keeps every real group untouched in
+          // the sentinel-2 batch, so all of them time out there.
           def marker(eventId: Long, ts: Long, mtimeBump: Long): Unit = {
             val before = visible(dir).map(_.getName).toSet
-            s.range(1).select(lit(eventId).as("event_id"), lit(0L).as("user_id"),
+            s.range(1).select(lit(eventId).as("event_id"),
+                lit(Long.MinValue).as("user_id"),
                 lit("sentinel").as("event_type"), lit(ts).as("ts_us"))
               .coalesce(1)
               .write.format("lwes").option("eventName", "Ev::S").mode("append").save(dir)
