@@ -56,6 +56,14 @@ object Bench {
       case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
       case None => SparkEntry.queries
     }
+    // Machine load is THE confound this suite keeps re-litigating (rounds
+    // 3–6 each spent forensic effort separating "plan regressed" from
+    // "box was busy"). Record /proc/loadavg at bench start and end so the
+    // reading is a fact in the artifact, not a reconstruction.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(" ")
+      catch { case scala.util.control.NonFatal(_) => "unavailable" }
+    val loadStart = loadavg()
     val raw = selected.map { case (name, fn) =>
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
@@ -99,7 +107,19 @@ object Bench {
     // failed queries carry a -1 sentinel — they must not SUBTRACT from
     // the headline total
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"iters_per_query":$iters,"sf":"$sfDir"}"""
+    val loadEnd = loadavg()
+    // sfDir/outPath come from the environment; a path with a quote or
+    // backslash must not corrupt the one JSON line the driver parses
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
+    val loadJson = s""""loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"iters_per_query":$iters,$loadJson,"sf":${jstr(sfDir)}}"""
     // Stdout tail capture can truncate the front of a very long single
     // line (BENCH_r03 parsed null that way) — persist to a file too, so
     // round-over-round comparison never depends on stdout buffer length.
@@ -107,11 +127,11 @@ object Bench {
     // but must not fail the bench whose numbers are already in hand.
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")),
+        java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))
     } catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"BENCH: failed to write bench-out.json: $e")
+        System.err.println(s"BENCH: failed to write $outPath: $e")
     }
     println(json)
     // The full line above is one very long JSON object; a stdout tail
@@ -119,8 +139,9 @@ object Bench {
     // and r04 both landed as parsed:null that way). Print a SHORT summary
     // object LAST — total, query count, sf, and where the full per-query
     // data lives — so any tail capture ends with a complete JSON line.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"iters_per_query":$iters,"sf":"$sfDir","detail":"$outPath"}""")
+    // metric name differs from the full line's "total" so a consumer that
+    // sums every metric:total line cannot double-count the run.
+    println(s"""{"metric":"total_summary","value":${f(total)},"unit":"sec","n_queries":${results.size},"iters_per_query":$iters,$loadJson,"sf":${jstr(sfDir)},"detail":${jstr(outPath)}}""")
     spark.stop()
   }
 }

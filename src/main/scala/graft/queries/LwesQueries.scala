@@ -462,6 +462,41 @@ object LwesQueries {
       },
       """SELECT p_brand, round(sum(p_retailprice), 2) AS total_price,
         |  round(avg(p_retailprice), 4) AS avg_price
-        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // The reference's actual user interface is SQL DDL (README:49
+    // `CREATE EXTERNAL TABLE ... ROW FORMAT SERDE
+    // 'org.lwes.hadoop.hive.EventSerDe'`); Spark parity is
+    // `CREATE TABLE ... USING lwes` + `INSERT INTO` + `SELECT`, all
+    // through the catalog. This gate drives the full DDL/DML loop —
+    // the INSERT exercises the DSv2 write path from SQL, the SELECT the
+    // read path — and the oracle replays the aggregate on the source
+    // parquet, so a serde bug anywhere in the loop hash-mismatches.
+    "lwes_sql_ddl" -> ((
+      (s: SparkSession, d: String) => {
+        def createTable(dir: String): Unit = s.sql(
+          s"""CREATE TABLE IF NOT EXISTS graft_ddl_cust
+             |  (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+             |USING lwes OPTIONS (path '$dir', eventName 'Cust::Row')""".stripMargin)
+        val dir = cached(s"ddl|$d") { dir =>
+          t(s, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+            .createOrReplaceTempView("graft_ddl_src")
+          createTable(dir)
+          s.sql("""INSERT INTO graft_ddl_cust
+                  |SELECT c_custkey, c_mktsegment, c_acctbal
+                  |FROM graft_ddl_src""".stripMargin)
+        }
+        // a fresh session in the same JVM reuses the journal the cached
+        // block already populated, but needs its own catalog entry
+        createTable(dir)
+        s.sql("""SELECT c_mktsegment, count(*) AS n,
+                |  round(sum(c_acctbal), 2) AS total_bal,
+                |  max(c_custkey) AS max_key
+                |FROM graft_ddl_cust
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS total_bal, max(c_custkey) AS max_key
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }
