@@ -21,6 +21,12 @@ object Journal {
 
   def isGzip(path: String): Boolean =
     path.endsWith(".gz") || path.endsWith(".gzip")
+
+  /** zstd rides zstd-jni (shipped with Spark for shuffle/parquet) rather
+    * than Hadoop's ZStandardCodec, which needs the native libhadoop
+    * binding that plain Spark deployments don't carry. */
+  def isZstd(path: String): Boolean =
+    path.endsWith(".zst") || path.endsWith(".zstd")
 }
 
 /** Common surface for the two journal container readers. */
@@ -109,7 +115,9 @@ object JournalReader {
       wanted: String => Boolean = null): JournalReader = {
     val fis = new java.io.FileInputStream(path)
     val is: InputStream =
-      if (Journal.isGzip(path)) new GZIPInputStream(fis, 1 << 16) else fis
+      if (Journal.isGzip(path)) new GZIPInputStream(fis, 1 << 16)
+      else if (Journal.isZstd(path)) new com.github.luben.zstd.ZstdInputStream(fis)
+      else fis
     new JournalReader(is, eventNameFilter, wanted)
   }
 }
@@ -156,7 +164,9 @@ object JournalWriter {
     Option(f.getParentFile).foreach(_.mkdirs())
     val fos = new java.io.FileOutputStream(f)
     val os: OutputStream =
-      if (Journal.isGzip(path)) new GZIPOutputStream(fos, 1 << 16) else fos
+      if (Journal.isGzip(path)) new GZIPOutputStream(fos, 1 << 16)
+      else if (Journal.isZstd(path)) new com.github.luben.zstd.ZstdOutputStream(fos)
+      else fos
     new JournalWriter(os)
   }
 }

@@ -445,12 +445,14 @@ object LwesQueries {
         |ORDER BY user_id""".stripMargin)),
 
     // A7: float/double ride the wire as strings (serde parity) and
-    // convert back exactly.
+    // convert back exactly. The journal is zstd-compressed so the
+    // modern-capture codec path is itself hash-gated every round.
     "lwes_float_conv" -> ((
       (s: SparkSession, d: String) => {
         val dir = cached(s"fc|$d") { dir =>
           t(s, d, "part").select("p_partkey", "p_retailprice", "p_brand")
-            .write.format("lwes").option("eventName", "Part::Priced").mode("append").save(dir)
+            .write.format("lwes").option("eventName", "Part::Priced")
+            .option("compression", "zstd").mode("append").save(dir)
         }
         s.read.format("lwes")
           .schema("p_brand string, p_retailprice double")

@@ -140,9 +140,15 @@ object LwesDataSource {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
-    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
     val in0: java.io.InputStream =
-      if (codec != null) codec.createInputStream(raw) else raw
+      if (graft.lwes.Journal.isZstd(p.getName))
+        // zstd-jni, not Hadoop ZStandardCodec — the latter needs native
+        // libhadoop which plain Spark deployments don't carry
+        new com.github.luben.zstd.ZstdInputStream(raw)
+      else {
+        val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
+        if (codec != null) codec.createInputStream(raw) else raw
+      }
     val in = new java.io.PushbackInputStream(
       new java.io.BufferedInputStream(in0, 1 << 16), 3)
     val magic = new Array[Byte](3)

@@ -13,7 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `col:Attr` (rename, EventSerDe.java:131-139) or
   *     `col:Event::Name::Field` (multi-event journals,
   *     EventSerDe.java:141-155).
-  *   - `compression` — `gzip` (default) or `none` for written files.
+  *   - `compression` — codec for written files: `gzip` (default),
+  *     `deflate`, `bz2`, `zstd`, or `none`; reads auto-detect by
+  *     extension regardless of this option.
   *
   * Deviation from the reference, by design: events whose type matches no
   * mapping are *skipped* (the reference emitted stale/null rows for them

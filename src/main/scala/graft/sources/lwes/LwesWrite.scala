@@ -50,7 +50,7 @@ private[lwes] final case class LwesWriteConfig(path: String, eventName: String,
     eventNameCol: Option[String] = None)
 
 private[lwes] object LwesWriteConfig {
-  val Compressions = Set("gzip", "deflate", "bz2", "bzip2", "none")
+  val Compressions = Set("gzip", "deflate", "bz2", "bzip2", "zstd", "zst", "none")
 
   def apply(options: CaseInsensitiveStringMap): LwesWriteConfig = {
     val path = LwesDataSource.paths(options).headOption
@@ -84,6 +84,24 @@ private[lwes] object LwesWriteConfig {
     }
     codec
   }
+
+  /** (extension, stream wrapper) for a journal write. zstd is handled
+    * through zstd-jni (the library Spark itself ships) because Hadoop's
+    * ZStandardCodec requires the native libhadoop binding; everything
+    * else rides the Hadoop codec so read-side extension detection stays
+    * symmetric. */
+  def streamCodecFor(compression: String, conf: Configuration):
+      (String, java.io.OutputStream => java.io.OutputStream) =
+    compression match {
+      case "zstd" | "zst" =>
+        ("zst", out => new com.github.luben.zstd.ZstdOutputStream(out))
+      case "none" => ("journal", identity)
+      case other =>
+        val c = codecFor(other, conf).getOrElse(
+          throw new IllegalArgumentException(s"unsupported lwes compression '$other'"))
+        (c.getDefaultExtension.stripPrefix("."),
+          out => c.createOutputStream(out))
+    }
 }
 
 class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
@@ -240,9 +258,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
     * a single committer per partition. */
   private val stableNames = prefix != null
   private val namePrefix = if (prefix == null) "part" else prefix
-  private val codec = LwesWriteConfig.codecFor(wc.compression, conf)
-  private val ext =
-    codec.map(_.getDefaultExtension.stripPrefix(".")).getOrElse("journal")
+  private val (ext, wrapOut) = LwesWriteConfig.streamCodecFor(wc.compression, conf)
   private val fs = new Path(dir).getFileSystem(conf)
   private val attrs: Array[String] =
     schema.fields.map(f => wc.attrFor.getOrElse(f.name, f.name))
@@ -264,9 +280,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
         if (stableNames) f"$namePrefix-$partitionId%05d.$ext"
         else f"$namePrefix-$partitionId%05d-$taskId.$ext")
       val raw = fs.create(tmp, true)
-      (new JournalWriter(
-        codec.map(_.createOutputStream(raw): java.io.OutputStream).getOrElse(raw)),
-        tmp, dest)
+      (new JournalWriter(wrapOut(raw)), tmp, dest)
     })._1
 
   override def write(row: InternalRow): Unit = {

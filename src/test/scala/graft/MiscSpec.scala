@@ -234,6 +234,51 @@ class MiscSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE lwes_tx")
   }
 
+  test("zstd journals: DSv2 round-trip, local writer/reader, compaction to zstd") {
+    // write side: compression=zstd must emit .zst files readable back
+    val dir = Files.createTempDirectory("lwes-zstd").toString
+    val src = Seq((1L, "a", 2.5), (2L, "b", -1.0), (3L, "a", 4.25))
+      .toDF("id", "tag", "v")
+    src.write.format("lwes")
+      .option("eventName", "Z::E").option("compression", "zstd")
+      .mode("append").save(dir)
+    val written = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".zst"))
+    assert(written.nonEmpty, "zstd write must produce .zst journals")
+    val back = spark.read.format("lwes")
+      .schema("id long, tag string, v double").option("eventName", "Z::E")
+      .load(dir)
+    assert(back.count() == 3)
+    assert(back.agg(sum("v")).head.getDouble(0) == 5.75)
+
+    // local-file writer/reader path (tools/specs use it directly)
+    val lp = s"$dir/local.journal.zst"
+    val w = graft.lwes.JournalWriter.create(lp)
+    (0 until 50).foreach(i => w.write(
+      graft.lwes.LwesEvent("Z::L").setInt64("id", i.toLong)))
+    w.close()
+    val r = graft.lwes.JournalReader.open(lp)
+    try assert(r.iterator.size == 50) finally r.close()
+
+    // compaction can re-encode gzip journals as zstd and keeps rows
+    val cdir = Files.createTempDirectory("lwes-zstd-compact").toString
+    (0 until 3).foreach { i =>
+      src.withColumn("id", col("id") + lit(i * 10L))
+        .write.format("lwes").option("eventName", "Z::E")
+        .mode("append").save(cdir)
+    }
+    val (before, after) = graft.sources.lwes.Compact.compact(
+      spark, cdir, targetFiles = 1, compression = "zstd")
+    assert(before >= 3 && after == 1)
+    val files = new java.io.File(cdir).listFiles.filter(f =>
+      f.isFile && !f.getName.startsWith("."))
+    assert(files.forall(_.getName.endsWith(".zst")),
+      s"compaction output must be zstd: ${files.map(_.getName).toSeq}")
+    val cback = spark.read.format("lwes")
+      .schema("id long, tag string, v double").option("eventName", "Z::E")
+      .load(cdir)
+    assert(cback.count() == 9)
+  }
+
   test("bz2-compressed journals read via Hadoop codec detection") {
     val dir = Files.createTempDirectory("lwes-bz2").toString
     val fos = new java.io.FileOutputStream(s"$dir/j.journal.bz2")
