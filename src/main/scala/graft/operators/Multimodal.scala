@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * pointer columns, decode on executors). Both the Spark-side plumbing
   * (schema, per-partition batch shape, feature columns) AND the decode
   * kernels are real: PNG/JPEG through JDK ImageIO, WAV through a RIFF
-  * PCM parser, MP4/QuickTime container METADATA (moov/mvhd duration,
-  * track count, tkhd dims, stts frame count) through an ISO-BMFF box
-  * walk — no extra dependencies. Only per-frame video PIXEL decode
-  * (which needs an external codec library like ffmpeg) falls back to a
-  * deterministic stand-in, as do unrecognized byte payloads (which keeps
-  * the synthetic-media test harness and the `mm_meta` gate stable).
+  * PCM parser, MJPEG-in-AVI per-frame PIXELS through a RIFF chunk walk +
+  * per-frame JPEG decode, MP4/QuickTime container METADATA (moov/mvhd
+  * duration, track count, tkhd dims, stts frame count) through an
+  * ISO-BMFF box walk — no extra dependencies. Only inter-frame-coded
+  * video (H.264-class, which needs an external codec library like
+  * ffmpeg) falls back to a deterministic stand-in, as do unrecognized
+  * byte payloads (which keeps the synthetic-media test harness and the
+  * `mm_meta` gate stable).
   */
 object Multimodal {
 
@@ -24,9 +26,10 @@ object Multimodal {
       n_bytes: Long, checksum: Long, width: Int, height: Int, n_frames: Int)
 
   /** Decoder boundary. Real kernels for the formats the JDK can decode
-    * (PNG/JPEG via ImageIO, WAV PCM via a RIFF parse); a deterministic
-    * byte-derived stand-in for video containers (no codec library in
-    * the JDK) and unrecognized payloads. */
+    * (PNG/JPEG via ImageIO, WAV PCM via a RIFF parse, MJPEG AVI frames
+    * via RIFF walk + ImageIO); a deterministic byte-derived stand-in for
+    * inter-frame-coded video containers (no codec library in the JDK)
+    * and unrecognized payloads. */
   object MediaCodec {
 
     private def isPng(b: Array[Byte]): Boolean =
@@ -36,6 +39,9 @@ object Multimodal {
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    private def isAvi(b: Array[Byte]): Boolean =
+      b.length > 24 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
     /** PNG/JPEG → pixels. None for anything else (including corrupt
       * streams — at 100 TB some payloads are always torn, and a decode
@@ -182,6 +188,64 @@ object Multimodal {
       else Some(Mp4Meta(timescale, duration, tracks, w, h, samples))
     }
 
+    /** MJPEG-in-AVI per-frame PIXEL decode — the one video codec a bare
+      * JVM can fully decode (each movi `..dc`/`..db` chunk is a baseline
+      * JPEG, which ImageIO handles). RIFF chunk walk: sizes are
+      * little-endian, chunks word-aligned; a torn chunk ends the walk
+      * (partial frames beat a task failure), mirroring the MP4 walker. */
+    def aviFrameChunks(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+      if (!isAvi(bytes)) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = IndexedSeq.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var off = start
+        var done = false
+        while (!done && off + 8 <= end) {
+          val id = new String(bytes, off, 4, "ISO-8859-1")
+          val size = bb.getInt(off + 4)
+          if (size < 0 || off + 8 + size > end) done = true // torn chunk
+          else {
+            if (id == "LIST" && size >= 4) {
+              val tpe = new String(bytes, off + 8, 4, "ISO-8859-1")
+              walk(off + 12, off + 8 + size, inMovi || tpe == "movi")
+            } else if (inMovi && (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
+              out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+            }
+            off += 8 + size + (size & 1)
+          }
+        }
+      }
+      try walk(12, bytes.length, inMovi = false)
+      catch { case _: Exception => return None }
+      val frames = out.result()
+      if (frames.isEmpty) None else Some(frames)
+    }
+
+    final case class FrameStat(width: Int, height: Int, meanLuma: Double)
+
+    /** Real per-frame pixel statistics for an MJPEG AVI: each frame's
+      * dimensions and mean luma (Rec.601 from the decoded RGB). Frames
+      * whose JPEG payload is torn are skipped. None for non-AVI bytes. */
+    def aviFrameStats(bytes: Array[Byte]): Option[IndexedSeq[FrameStat]] =
+      aviFrameChunks(bytes).map(_.flatMap { fb =>
+        decodeImage(fb).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          FrameStat(w, h, if (w * h == 0) 0.0 else sum / (w * h))
+        }
+      })
+
     /** (width, height, n_frames) feature triple:
       *  - image: pixel dims, 1 frame;
       *  - WAV audio: (sampleRate, channels, PCM frame count);
@@ -192,6 +256,11 @@ object Multimodal {
     def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) =
       decodeImage(bytes).map(img => (img.getWidth, img.getHeight, 1))
         .orElse(decodeWav(bytes).map(w => (w.sampleRate, w.channels, w.nFrames)))
+        .orElse(aviFrameChunks(bytes).flatMap(frames =>
+          // MJPEG AVI: real pixel decode — dims from the first decodable
+          // frame, count from the movi chunk list
+          frames.iterator.flatMap(decodeImage).buffered.headOption
+            .map(img => (img.getWidth, img.getHeight, frames.length))))
         .orElse(decodeMp4(bytes).map { m =>
           // clamp: a corrupt stts sum past Int.MaxValue must not wrap to
           // a negative frame count (frameSample would silently emit
@@ -342,6 +411,58 @@ object Multimodal {
       val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stts))))
       ftyp ++ box("moov", mvhd ++ trak)
     }
+
+    /** Real MJPEG-in-AVI: RIFF('AVI ') with hdrl(avih + strl(strh'vids'/
+      * 'MJPG' + strf BITMAPINFOHEADER)) and movi holding one baseline-
+      * JPEG `00dc` chunk per frame. Frame k is solid gray
+      * `20 + (n*31 + k*40) % 200` (n = text code points), so decoded
+      * mean luma is predictable to JPEG rounding — the spec's handle on
+      * REAL per-frame pixel decode. */
+    def makeAvi(text: String): Array[Byte] = {
+      val n = textLen(text)
+      val w = 32; val h = 24
+      val nFrames = 2 + n % 6
+      val jpegs = (0 until nFrames).map { k =>
+        val g = 20 + (n * 31 + k * 40) % 200
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+        val pad = payload.length & 1
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(id.getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+        bb.array()
+      }
+      def list(tpe: String, children: Array[Byte]): Array[Byte] =
+        chunk("LIST", tpe.getBytes("ISO-8859-1") ++ children)
+      def le(fields: (Int, Int)*): Array[Byte] = { // (byteWidth, value)*
+        val bb = java.nio.ByteBuffer
+          .allocate(fields.map(_._1).sum).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        fields.foreach {
+          case (2, v) => bb.putShort(v.toShort)
+          case (_, v) => bb.putInt(v)
+        }
+        bb.array()
+      }
+      val avih = chunk("avih", le((4, 40000), (4, 0), (4, 0), (4, 0),
+        (4, nFrames), (4, 0), (4, 1), (4, 0), (4, w), (4, h),
+        (4, 0), (4, 0), (4, 0), (4, 0)))
+      val strh = chunk("strh", "vids".getBytes ++ "MJPG".getBytes ++
+        le((4, 0), (2, 0), (2, 0), (4, 0), (4, 1), (4, 25), (4, 0),
+          (4, nFrames), (4, 0), (4, 0), (4, 0), (2, 0), (2, 0), (2, w), (2, h)))
+      val strf = chunk("strf", le((4, 40), (4, w), (4, h), (2, 1), (2, 24)) ++
+        "MJPG".getBytes ++ le((4, w * h * 3), (4, 0), (4, 0), (4, 0), (4, 0)))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+      chunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi)
+    }
   }
 
   /** Attach REAL media (PNG / WAV / MP4, [[MediaGen]]) + typed metadata
@@ -437,17 +558,28 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, mt, bytes) =>
-          val (_, _, nFrames) = MediaCodec.decode(mt, bytes)
-          val take = math.min(n, nFrames)
-          (0 until take).iterator.map { k =>
-            val fi = (k.toLong * nFrames / math.max(take, 1)).toInt
-            // video container decode needs an external codec library
-            // (ffmpeg-class); a deterministic byte slice stands in for
-            // the per-frame extraction while keeping the fan-out shape
-            val sliceLen = math.max(bytes.length / math.max(nFrames, 1), 1)
-            val start = math.min(fi.toLong * sliceLen, math.max(bytes.length - 1, 0)).toInt
-            val end = math.min(start + sliceLen, bytes.length)
-            Frame(id, fi, java.util.Arrays.copyOfRange(bytes, start, math.max(end, start)))
+          MediaCodec.aviFrameChunks(bytes) match {
+            // MJPEG AVI: REAL frames — each emitted row carries that
+            // frame's standalone JPEG, decodable downstream
+            case Some(frames) =>
+              val take = math.min(n, frames.length)
+              (0 until take).iterator.map { k =>
+                val fi = (k.toLong * frames.length / math.max(take, 1)).toInt
+                Frame(id, fi, frames(fi))
+              }
+            case None =>
+              val (_, _, nFrames) = MediaCodec.decode(mt, bytes)
+              val take = math.min(n, nFrames)
+              (0 until take).iterator.map { k =>
+                val fi = (k.toLong * nFrames / math.max(take, 1)).toInt
+                // non-MJPEG containers (MP4/H.264 etc.) still need an
+                // external codec library; a deterministic byte slice
+                // stands in while keeping the fan-out shape
+                val sliceLen = math.max(bytes.length / math.max(nFrames, 1), 1)
+                val start = math.min(fi.toLong * sliceLen, math.max(bytes.length - 1, 0)).toInt
+                val end = math.min(start + sliceLen, bytes.length)
+                Frame(id, fi, java.util.Arrays.copyOfRange(bytes, start, math.max(end, start)))
+              }
           }
         }
       }

@@ -373,6 +373,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(standIn._1 >= 64) // unknown bytes still produce a feature row
   }
 
+  test("real MJPEG-AVI per-frame pixel decode: dims, frame count, luma (C12)") {
+    val text = "mjpeg avi sample text"
+    val n = Multimodal.MediaGen.textLen(text)
+    val avi = Multimodal.MediaGen.makeAvi(text)
+    val expFrames = 2 + n % 6
+    // container walk finds every movi frame; decode() reports real dims
+    assert(Multimodal.MediaCodec.decode("video", avi) == (32, 24, expFrames))
+    // per-frame PIXEL stats: frame k is solid gray 20+(n*31+k*40)%200,
+    // so decoded mean luma matches to JPEG DC-quantization rounding
+    val stats = Multimodal.MediaCodec.aviFrameStats(avi).get
+    assert(stats.length == expFrames)
+    stats.zipWithIndex.foreach { case (st, k) =>
+      val expected = 20 + (n * 31 + k * 40) % 200
+      assert(st.width == 32 && st.height == 24)
+      assert(math.abs(st.meanLuma - expected) < 3.0,
+        s"frame $k meanLuma=${st.meanLuma} expected~$expected")
+    }
+    // frameSample emits the REAL standalone JPEG of each sampled frame
+    val media = Seq((9L, "video", avi)).toDF("doc_id", "media_type", "media")
+    val frames = Multimodal.frameSample(spark, media, 3).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    frames.foreach { fr =>
+      val img = Multimodal.MediaCodec.decodeImage(fr.frame).get
+      val expected = 20 + (n * 31 + fr.frame_idx * 40) % 200
+      val luma = (img.getRGB(16, 12) >> 16) & 0xFF
+      assert(math.abs(luma - expected) < 3, s"frame ${fr.frame_idx}: $luma vs $expected")
+    }
+    // torn container: walk stops, no exception; truncating inside movi
+    // still yields the leading intact frames
+    assert(Multimodal.MediaCodec.aviFrameChunks(avi.take(20)).isEmpty)
+  }
+
   test("withRealMedia: generated PNG/WAV/MP4 decode to closed-form features (C12)") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x"), (3L, ""),
       (4L, "the quick brown fox jumps over the lazy dog repeatedly and often"))
