@@ -32,6 +32,24 @@ object LwesQueries {
       dir
     })
 
+  /** State-store visibility for the streaming gates: at 100 TB the real
+    * streaming risk is unbounded state, and a watermark/eviction
+    * regression shows up as state growth long before it shows up as a
+    * wrong answer. Logs peak rows/bytes per stateful operator from the
+    * finished query's progress history so the numbers are recorded
+    * round-over-round in the Verify/Bench output. */
+  private def logStateMetrics(tag: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ops = q.recentProgress.flatMap(_.stateOperators)
+    if (ops.nonEmpty) {
+      val byOp = ops.groupBy(_.operatorName)
+      val summary = byOp.map { case (name, ps) =>
+        s"$name rows=${ps.map(_.numRowsTotal).max} bytes=${ps.map(_.memoryUsedBytes).max}"
+      }.mkString("; ")
+      System.err.println(s"[graft-stream-state] $tag: $summary")
+    }
+  }
+
   /** events table → journal dir, one event type per event_type value,
     * header fields derived from the row. */
   private def eventsJournal(s: SparkSession, d: String, types: Seq[String]): String =
@@ -231,6 +249,7 @@ object LwesQueries {
             .start(dst)
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         q.awaitTermination()
+        logStateMetrics("lwes_stream_drain", q)
         s.read.format("lwes")
           .schema("window_start_us long, event_type string, n long, sum_uid long")
           .option("eventName", "Win::Agg").load(dst)
@@ -289,6 +308,7 @@ object LwesQueries {
             .start(dst)
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         q.awaitTermination()
+        logStateMetrics("lwes_stream_join", q)
         s.read.format("lwes")
           .schema("c_eid long, p_eid long, user_id long, p_value double, pts_ms long")
           .option("eventName", "Join::CP").load(dst)
@@ -426,6 +446,7 @@ object LwesQueries {
             .start(dst)
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         q.awaitTermination()
+        logStateMetrics("lwes_stream_sessions", q)
         s.read.format("lwes")
           .schema("user_id long, n_sessions long, n_events long")
           .option("eventName", "Sess::U").load(dst)

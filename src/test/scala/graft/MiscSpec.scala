@@ -234,6 +234,46 @@ class MiscSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE lwes_tx")
   }
 
+  test("AQE splits skewed partitions in a shuffle join (OptimizeSkewedJoin)") {
+    // The salted-join operator covers the manual half of the skew story
+    // (SkewJoin.scala, q_salted_join); this pins the AQE half: on a
+    // synthetic 99%-one-key join, the final adaptive plan must contain a
+    // skew-split AQEShuffleRead, so a config regression that silently
+    // disables runtime skew handling fails a spec rather than a 100 TB
+    // run. Thresholds are lowered because the test data is KBs, not GBs.
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = spark.range(300000L)
+        .selectExpr("IF(id % 100 < 99, 0L, id % 100) AS k", "id AS v")
+      val right = spark.range(100L).selectExpr("id AS k", "id * 2 AS w")
+      // collect() the join itself: .head/.count would plan a SEPARATE
+      // limited query and leave this one's adaptive plan non-final
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 300000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true") && plan.toLowerCase.contains("skew"),
+        s"expected a skew-split AQEShuffleRead in the final plan:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("zstd journals: DSv2 round-trip, local writer/reader, compaction to zstd") {
     // write side: compression=zstd must emit .zst files readable back
     val dir = Files.createTempDirectory("lwes-zstd").toString
