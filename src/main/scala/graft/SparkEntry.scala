@@ -10,7 +10,7 @@ object SparkEntry {
   private def packs: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Relational.all ++ Subqueries.all ++ Events.all ++ LwesQueries.all ++
       Pipeline.withOracle ++ Pipeline.withOracle2 ++ Pipeline.withOracle3 ++
-      Pipeline.withOracle4
+      Pipeline.withOracle4 ++ Pipeline.withOracle5
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

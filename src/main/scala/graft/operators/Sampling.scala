@@ -60,6 +60,29 @@ object Sampling {
       .drop("__bucket")
   }
 
+  // -------------------------------------------------------------- C26
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    * deterministic: each row's uniform u ∈ (0,1] comes from the
+    * engine-portable md5 hash of its key (not `rand()` — the sample
+    * must be reproducible across runs, clusters, and engines), and the
+    * row's sort key is u^(1/w); the k largest sort keys are exactly a
+    * weight-proportional sample without replacement. Weights must be
+    * positive. Adds a `sample_key` column.
+    *
+    * Scale shape: the hash and pow are per-row projections; the global
+    * top-k executes as TakeOrdered (per-partition bounded heaps, then a
+    * driver merge of k-row partials) — no global sort, no shuffle of
+    * the input, the right shape for "sample 1M docs from 100 TB by
+    * length/quality weight". */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    val u = (md5Bucket(col(keyCol), 1000000000, salt) + lit(1.0)) / lit(1.0e9)
+    df.withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("sample_key").desc, col(keyCol))
+      .limit(k)
+  }
+
   // -------------------------------------------------------------- C22
 
   /** Training-shard assignment by running token budget: within each

@@ -227,6 +227,39 @@ object TextAnalysis {
           slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
           .as("chunk_text"))
   }
+
+  // -------------------------------------------------------------- C25
+
+  /** Per-(doc, token) TF-IDF over a corpus: `tf * (ln((N+1)/(df+1)) + 1)`
+    * (the smoothed sklearn-style variant — never negative, defined for
+    * every df). The keyword/rare-term weighting a corpus curator uses
+    * for relevance filtering and near-duplicate triage.
+    *
+    * Scale shape: one tokenize+explode pass feeding a (doc, token)
+    * aggregation; document frequency is a SECOND aggregation of that
+    * result (each (doc, token) row counts once — no re-tokenize, no
+    * count-distinct over raw token rows); the tf←→df combine is a
+    * token-keyed shuffle join — at 100 TB the vocabulary is itself
+    * billions of rows, so it must never be a broadcast or a driver map.
+    * The corpus size N is the only scalar, carried by a 1-row broadcast
+    * cross join. All inputs to the float math are exact integers, so
+    * the expression replays bit-identically in any engine up to the
+    * final ln. */
+  def tfidf(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minTokenLen: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= minTokenLen)
+      .groupBy(col("__doc"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("__n"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .select(col("__doc").as(idCol), col("token"), col("tf"), col("df"),
+        col("tfidf"))
+  }
 }
 
 /** Shared shingling helpers. */

@@ -822,4 +822,65 @@ object Pipeline {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM clean GROUP BY lang ORDER BY lang""".stripMargin))
   )
+
+  /** Round-7 additions: relevance weighting + weighted sampling. */
+  val withOracle5: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // C25: TF-IDF keyword extraction — top-3 terms per doc. The RANKING
+    // is pure integer math (tf desc, df asc, token asc), so rank order
+    // replays exactly in any engine; the tfidf VALUE (the one float,
+    // ln-based) is emitted rounded to 2 decimals. TopK.perKey re-plans
+    // the window into the bounded-heap TopKPerKey exec.
+    "text_tfidf" -> ((
+      (s: SparkSession, d: String) => {
+        val scored = TextAnalysis.tfidf(t(s, d, "documents"))
+        graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
+            Seq(col("tf").desc, col("df").asc, col("token").asc), 3)
+          .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+            col("token"), col("tf"), col("df"),
+            round(col("tfidf"), 2).as("tfidf"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE length(token) >= 3
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 2) AS tfidf,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS BIGINT) AS rnk
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, rnk, token, tf, df, tfidf FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin)),
+
+    // C26: deterministic weighted sampling (A-ES exponential keys over
+    // a portable md5 uniform) — 20 docs weight-proportional to length.
+    // The selected SET is ulp-robust (adjacent order statistics of the
+    // random keys are far wider apart than float error); the key itself
+    // is emitted rounded to 4 decimals.
+    "text_sample_weighted" -> ((
+      (s: SparkSession, d: String) => {
+        graft.operators.Sampling.weightedSample(
+            t(s, d, "documents"), "doc_id", "n_chars", 20)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            round(col("sample_key"), 4).as("sample_key"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT * FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(pow(u, 1.0 / n_chars), 4) AS sample_key
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |            % 1000000000 + 1.0) / 1e9 AS u
+        |        FROM documents)
+        |  ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+        |  LIMIT 20)
+        |ORDER BY doc_id""".stripMargin))
+  )
 }

@@ -83,6 +83,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nullSplit == emptyKeyBucketSplit)
   }
 
+  test("tfidf: rare terms outweigh common ones, counts exact (C25)") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "apple banana banana"),
+      (3L, "apple durian")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidf(docs, minTokenLen = 3).collect()
+      .map(x => (x.getLong(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // apple appears in all 3 docs; durian only in doc 3
+    assert(r((1L, "apple")) == (2L, 3L, 2.0 * (math.log(4.0 / 4.0) + 1)))
+    assert(r((2L, "banana")) == (2L, 2L, 2.0 * (math.log(4.0 / 3.0) + 1)))
+    val (dTf, dDf, dScore) = r((3L, "durian"))
+    assert(dTf == 1L && dDf == 1L && dScore == math.log(4.0 / 2.0) + 1)
+    // the rare term ranks above the ubiquitous one within its doc
+    assert(dScore > r((3L, "apple"))._3)
+  }
+
+  test("weightedSample: deterministic, weight-monotone, A-ES shaped (C26)") {
+    val df = (1L to 500L).map(i => (i, 10L + i % 90)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", 50).collect()
+    val s2 = Sampling.weightedSample(df, "id", "w", 50).collect()
+    assert(s1.length == 50)
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq,
+      "same input must draw the identical sample")
+    // sample_key really is u^(1/w): recompute one row's key from scratch
+    val row = s1.head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(row.getLong(0).toString.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    val u = (java.lang.Long.parseLong(hex, 16) % 1000000000L + 1.0) / 1e9
+    assert(math.abs(row.getDouble(2) - math.pow(u, 1.0 / row.getLong(1))) < 1e-12)
+    // weight-proportional pull: giving every row weight 1000x its old
+    // weight changes nothing (scale-free in the ordering)... but a
+    // heavily up-weighted single row must enter the sample
+    val boosted = df.withColumn("w",
+      when(col("id") === 123L, lit(1000000L)).otherwise(lit(1L)))
+    val picked = Sampling.weightedSample(boosted, "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.contains(123L), s"1e6x-weighted row must be sampled: $picked")
+  }
+
   test("nfc casefold is JVM-locale-independent (Turkish-I trap)") {
     import org.apache.spark.unsafe.types.UTF8String
     val prev = java.util.Locale.getDefault
