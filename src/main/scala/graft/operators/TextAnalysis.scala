@@ -244,7 +244,15 @@ object TextAnalysis {
     * The corpus size N is the only scalar, carried by a 1-row broadcast
     * cross join. All inputs to the float math are exact integers, so
     * the expression replays bit-identically in any engine up to the
-    * final ln. */
+    * final ln.
+    *
+    * df is a join, not a `count over (partition by token)` window, on
+    * purpose: stopword tokens make either shape hot, but AQE skew-split
+    * rescues the join and cannot rescue a window. Catalyst does not
+    * dedupe the shared tf subtree (the df branch recomputes it), so a
+    * 100 TB caller should persist/checkpoint the (doc,token) aggregate
+    * and pass it through this same combine — at gate scale the
+    * recompute is cheaper than polluting the storage layer. */
   def tfidf(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minTokenLen: Int = 3): DataFrame = {
     val tf = docs
