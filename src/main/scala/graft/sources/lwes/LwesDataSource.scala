@@ -601,11 +601,25 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
     w.contains _
   }
 
-  private val reader = LwesDataSource.openReader(
-    partition.path, conf, nameFilter, wanted)
   private var current: InternalRow = _
   private var corrupt = false
   private var emitted = 0
+
+  // Construction already reads (magic-byte sniff + decompressor
+  // buffering): a file torn inside its first compressed block throws
+  // HERE, not in next() — same tolerance applies (0 rows, loud warning,
+  // no task failure). Transport IOExceptions stay fatal.
+  private val reader: graft.lwes.EventStreamReader =
+    try LwesDataSource.openReader(partition.path, conf, nameFilter, wanted)
+    catch {
+      case e @ (_: java.io.EOFException | _: IllegalArgumentException |
+          _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException |
+          _: java.util.zip.ZipException | _: com.github.luben.zstd.ZstdIOException) =>
+        logWarning(s"corrupt journal head in ${partition.path}: ${e.getMessage}; " +
+          "skipping this file")
+        corrupt = true
+        null
+    }
 
   override def next(): Boolean = {
     if (corrupt) return false
@@ -619,9 +633,14 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
       // A corrupt/truncated tail ends this file, not the job — journals
       // are harvested off the wire and torn tails are routine; the
       // reference behaved the same way (readEvent catches, returns null
-      // = EOF, DatagramPacketInputStream.java:79-85).
+      // = EOF, DatagramPacketInputStream.java:79-85). ZipException /
+      // ZstdIOException are the codec-corruption signals (bad bytes, not
+      // just short reads); transport-level IOExceptions stay fatal so a
+      // flaky-network read is retried by Spark instead of silently
+      // truncating the file.
       case e @ (_: java.io.EOFException | _: IllegalArgumentException |
-          _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException) =>
+          _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException |
+          _: java.util.zip.ZipException | _: com.github.luben.zstd.ZstdIOException) =>
         logWarning(s"corrupt journal tail in ${partition.path}: ${e.getMessage}; " +
           "stopping this file")
         corrupt = true
@@ -651,5 +670,5 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }

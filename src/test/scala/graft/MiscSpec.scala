@@ -319,6 +319,40 @@ class MiscSpec extends AnyFunSuite {
     assert(cback.count() == 9)
   }
 
+  test("torn compressed tails end the file, not the job (zstd + gzip)") {
+    // 100 TB reality: some harvested journals are always torn. A
+    // truncated zstd frame (ZstdIOException) or corrupt gzip bytes
+    // (ZipException) must yield the leading intact events and stop,
+    // like the plain-journal EOF tolerance.
+    val dir = Files.createTempDirectory("lwes-torn").toString
+    def writeJournal(path: String): Unit = {
+      val w = graft.lwes.JournalWriter.create(path)
+      (0 until 5000).foreach(i => w.write(
+        graft.lwes.LwesEvent("T::E").setInt64("id", i.toLong)))
+      w.close()
+    }
+    def truncate(path: String, keep: Double): Unit = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        java.util.Arrays.copyOf(bytes, (bytes.length * keep).toInt))
+    }
+    writeJournal(s"$dir/a.journal.zst")
+    truncate(s"$dir/a.journal.zst", 0.5)
+    writeJournal(s"$dir/b.journal.gz")
+    truncate(s"$dir/b.journal.gz", 0.5)
+    val df = spark.read.format("lwes").schema("id long").load(dir)
+    // No task failure; whatever decodes before each tear survives. gzip
+    // (32 KB deflate window) always salvages leading events; zstd's
+    // corruption granularity is its 128 KB block, so a small torn file
+    // may legitimately contribute 0 rows — the contract is "skip, don't
+    // throw", and an intact sibling file is unaffected.
+    val n = df.count()
+    assert(n > 0 && n < 10000, s"expected a strict subset of 10000 rows, got $n")
+    val gz = spark.read.format("lwes").schema("id long")
+      .load(s"$dir/b.journal.gz")
+    assert(gz.count() > 0, "gzip torn tail must still yield leading events")
+  }
+
   test("bz2-compressed journals read via Hadoop codec detection") {
     val dir = Files.createTempDirectory("lwes-bz2").toString
     val fos = new java.io.FileOutputStream(s"$dir/j.journal.bz2")
