@@ -80,26 +80,45 @@ object Compact {
     // would either miss late-appearing attributes (and compaction
     // deletes the only copy) or decompress every journal single-threaded.
     val bconf = SerializableHadoopConf.broadcast(conf)
+    // Torn files are DETECTED here and excluded from the whole
+    // compaction (not rewritten, NOT deleted): the batch reader
+    // salvages a torn file's leading events tolerantly, but compaction
+    // deletes its input — rewriting the salvageable prefix and deleting
+    // the original would silently discard the torn remainder. Leaving
+    // the file in place keeps every byte for forensics while the
+    // healthy files still compact.
     val perFile = spark.sparkContext.parallelize(paths.toSeq, paths.length)
       .map { path =>
         val seen = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.DataType]()
-        val r = LwesDataSource.openReader(path, bconf.value.value, null, null)
+        var torn = false
         try {
-          val it = r.iterator
-          while (it.hasNext) {
-            it.next().attrs.foreach { a =>
-              val t = LwesOptions.sparkTypeFor(a.token)
-              seen.updateWith(a.key) {
-                case Some(prev) => Some(LwesOptions.widen(prev, t))
-                case None => Some(t)
+          val r = LwesDataSource.openReader(path, bconf.value.value, null, null)
+          try {
+            val it = r.iterator
+            while (it.hasNext) {
+              it.next().attrs.foreach { a =>
+                val t = LwesOptions.sparkTypeFor(a.token)
+                seen.updateWith(a.key) {
+                  case Some(prev) => Some(LwesOptions.widen(prev, t))
+                  case None => Some(t)
+                }
               }
             }
-          }
-        } finally r.close()
-        path -> seen.toSeq
+          } finally r.close()
+        } catch {
+          case e if LwesDataSource.isCorruption(e) => torn = true
+        }
+        (path, torn, seen.toSeq)
       }.collect()
+    val tornPaths = perFile.collect { case (path, true, _) => path }.toSet
+    if (tornPaths.nonEmpty)
+      System.err.println(s"[graft-compact] skipping ${tornPaths.size} torn " +
+        s"journal(s), left in place: ${tornPaths.toSeq.sorted.mkString(", ")}")
+    val goodBefore = before.filterNot(s => tornPaths.contains(s.getPath.toString))
+    if (goodBefore.isEmpty) return (before.length, before.length)
+    val goodPaths = goodBefore.map(_.getPath.toString)
     val union = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.DataType]()
-    perFile.sortBy(_._1).foreach { case (_, attrs) =>
+    perFile.filter(!_._2).sortBy(_._1).foreach { case (_, _, attrs) =>
       attrs.foreach { case (k, t) =>
         union.updateWith(k) {
           case Some(prev) => Some(LwesOptions.widen(prev, t))
@@ -114,7 +133,7 @@ object Compact {
           org.apache.spark.sql.types.StringType, nullable = false))
     val df = spark.read.format("lwes").schema(schema)
       .option(LwesOptions.EventNameColumn, NameCol)
-      .load(paths: _*)
+      .load(goodPaths: _*)
     val tmp = new Path(p, s".compact-${java.util.UUID.randomUUID()}")
     df.coalesce(math.max(targetFiles, 1))
       .write.format("lwes")
@@ -133,7 +152,7 @@ object Compact {
         if (!fs.rename(s.getPath, new Path(p, f"compact-$tag-$i%05d$ext")))
           throw new java.io.IOException(s"promote ${s.getPath} failed")
       }
-    before.foreach(s => fs.delete(s.getPath, false))
+    goodBefore.foreach(s => fs.delete(s.getPath, false))
     fs.delete(tmp, true)
     // "after" counts every visible top-level journal (the fresh
     // compact-* files post-date the stability horizon by construction)

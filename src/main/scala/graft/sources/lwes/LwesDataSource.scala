@@ -135,6 +135,16 @@ object LwesDataSource {
     * Compression is by Hadoop codec detection on the extension
     * (.gz/.bz2/.deflate/...), like the reference
     * (JournalInputFormat.java:94-105). */
+  /** Corruption signals (torn/garbled journal bytes, at any codec
+    * layer) vs transport errors: the former end a file tolerantly, the
+    * latter must stay fatal so Spark retries the read. */
+  private[lwes] def isCorruption(e: Throwable): Boolean = e match {
+    case _: java.io.EOFException | _: IllegalArgumentException |
+        _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException |
+        _: java.util.zip.ZipException | _: com.github.luben.zstd.ZstdIOException => true
+    case _ => false
+  }
+
   def openReader(pathStr: String, conf: Configuration,
       nameFilter: String => Boolean, wanted: String => Boolean): EventStreamReader = {
     val p = new Path(pathStr)
@@ -612,9 +622,7 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
   private val reader: graft.lwes.EventStreamReader =
     try LwesDataSource.openReader(partition.path, conf, nameFilter, wanted)
     catch {
-      case e @ (_: java.io.EOFException | _: IllegalArgumentException |
-          _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException |
-          _: java.util.zip.ZipException | _: com.github.luben.zstd.ZstdIOException) =>
+      case e if LwesDataSource.isCorruption(e) =>
         logWarning(s"corrupt journal head in ${partition.path}: ${e.getMessage}; " +
           "skipping this file")
         corrupt = true
@@ -638,9 +646,7 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
       // just short reads); transport-level IOExceptions stay fatal so a
       // flaky-network read is retried by Spark instead of silently
       // truncating the file.
-      case e @ (_: java.io.EOFException | _: IllegalArgumentException |
-          _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException |
-          _: java.util.zip.ZipException | _: com.github.luben.zstd.ZstdIOException) =>
+      case e if LwesDataSource.isCorruption(e) =>
         logWarning(s"corrupt journal tail in ${partition.path}: ${e.getMessage}; " +
           "stopping this file")
         corrupt = true

@@ -353,6 +353,37 @@ class MiscSpec extends AnyFunSuite {
     assert(gz.count() > 0, "gzip torn tail must still yield leading events")
   }
 
+  test("compaction skips torn journals and never deletes them") {
+    // compaction deletes its inputs, so a torn file must be excluded
+    // from the rewrite AND the delete — rewriting its salvageable
+    // prefix then deleting the original would silently drop the rest
+    val dir = Files.createTempDirectory("lwes-torn-compact").toString
+    (0 until 2).foreach { i =>
+      val w = graft.lwes.JournalWriter.create(s"$dir/good-$i.journal.gz")
+      (0 until 100).foreach(j => w.write(
+        graft.lwes.LwesEvent("T::E").setInt64("id", (i * 100 + j).toLong)))
+      w.close()
+    }
+    val tornPath = s"$dir/torn.journal.zst"
+    val w = graft.lwes.JournalWriter.create(tornPath)
+    (0 until 5000).foreach(j => w.write(
+      graft.lwes.LwesEvent("T::E").setInt64("id", (10000 + j).toLong)))
+    w.close()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tornPath))
+    java.nio.file.Files.write(java.nio.file.Paths.get(tornPath),
+      java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    val (before, after) = graft.sources.lwes.Compact.compact(
+      spark, dir, targetFiles = 1)
+    assert(before == 3 && after == 2, s"($before, $after)") // 1 compacted + torn
+    assert(new java.io.File(tornPath).exists, "torn journal must survive untouched")
+    // the healthy rows all made it into the compacted file
+    val ids = spark.read.format("lwes").schema("id long")
+      .load(new java.io.File(dir).listFiles
+        .filter(f => f.getName.startsWith("compact-")).map(_.getPath).toSeq: _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0 until 200).map(_.toLong).toSet)
+  }
+
   test("bz2-compressed journals read via Hadoop codec detection") {
     val dir = Files.createTempDirectory("lwes-bz2").toString
     val fos = new java.io.FileOutputStream(s"$dir/j.journal.bz2")
