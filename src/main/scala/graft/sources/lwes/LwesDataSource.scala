@@ -319,6 +319,32 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
 final case class LwesInputPartition(path: String, length: Long,
     partitionValues: Map[String, String]) extends InputPartition
 
+/** DSv2 custom scan metrics, surfaced per-scan in the SQL UI. At
+  * journal scale these are the difference between diagnosing "slow
+  * scan" and "mis-mapped eventName": a scan that parses millions of
+  * events but emits none has a name-filter problem, and a nonzero
+  * torn-file count explains a row-count delta without a replay. */
+private[lwes] class EventsParsedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "eventsParsed"
+  override def description(): String = "events parsed into rows"
+}
+private[lwes] class EventsSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "eventsSkipped"
+  override def description(): String = "events rejected by the name filter"
+}
+private[lwes] class TornFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "tornFiles"
+  override def description(): String = "journals cut short by corruption"
+}
+private[lwes] final case class LwesTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
 class LwesScan(schema: StructType, config: LwesReadConfig,
     roots: Seq[String], partitionFilters: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
@@ -329,6 +355,9 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
   override def toBatch: Batch = this
   override def description(): String =
     s"LwesScan(events=${config.eventNames.mkString("|")}, cols=${schema.fieldNames.mkString(",")})"
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new EventsParsedMetric, new EventsSkippedMetric, new TornFilesMetric)
 
   /** Runtime (dynamic partition) pruning: joins on a path-derived
     * partition column hand the build side's values back to the scan
@@ -604,8 +633,14 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
   private val nameColIdx: Int =
     config.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
 
+  private var skipped = 0L
   private val nameFilter: String => Boolean =
-    if (config.eventNames.isEmpty) null else config.eventNames
+    if (config.eventNames.isEmpty) null
+    else (n: String) => {
+      val ok = config.eventNames(n)
+      if (!ok) skipped += 1
+      ok
+    }
   private val wanted: String => Boolean = {
     val w = config.wantedAttrs
     w.contains _
@@ -677,4 +712,10 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
 
   override def get(): InternalRow = current
   override def close(): Unit = if (reader != null) reader.close()
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(LwesTaskMetric("eventsParsed", emitted),
+      LwesTaskMetric("eventsSkipped", skipped),
+      LwesTaskMetric("tornFiles", if (corrupt) 1L else 0L))
 }

@@ -353,6 +353,27 @@ class MiscSpec extends AnyFunSuite {
     assert(gz.count() > 0, "gzip torn tail must still yield leading events")
   }
 
+  test("DSv2 scan reports eventsParsed/eventsSkipped/tornFiles custom metrics") {
+    val dir = Files.createTempDirectory("lwes-metrics").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+      .coalesce(1).write.format("lwes")
+      .option("eventName", "M::One").mode("append").save(dir)
+    Seq((4L, "d"), (5L, "e")).toDF("id", "t")
+      .coalesce(1).write.format("lwes")
+      .option("eventName", "M::Two").mode("append").save(dir)
+    val df = spark.read.format("lwes").schema("id long, t string")
+      .option("eventName", "M::One").load(dir)
+    assert(df.collect().length == 3)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val m = scans.head.metrics
+    assert(m("eventsParsed").value == 3, m.view.mapValues(_.value).toMap)
+    assert(m("eventsSkipped").value == 2, "the two M::Two events are skipped")
+    assert(m("tornFiles").value == 0)
+  }
+
   test("compaction skips torn journals and never deletes them") {
     // compaction deletes its inputs, so a torn file must be excluded
     // from the rewrite AND the delete — rewriting its salvageable
