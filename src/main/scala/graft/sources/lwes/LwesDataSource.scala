@@ -454,6 +454,7 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     maxBytesPerTrigger: Option[Long] = None)
     extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
     with streaming.SupportsTriggerAvailableNow
+    with streaming.ReportsSourceMetrics
     with org.apache.spark.internal.Logging {
 
   private val conf = LwesDataSource.hadoopConf()
@@ -542,6 +543,11 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
         }
       case None => byFiles
     }
+    // backlog AFTER this admission decision (admitted is a prefix of
+    // fresh): the number the operator actually needs — how far behind
+    // the stream is — published per progress without an extra listing
+    backlogFiles = (fresh.size - admitted.size).toLong
+    backlogBytes = fresh.drop(admitted.size).map(_.getLen).sum
     if (admitted.nonEmpty) {
       val parts = admitted.map(f => LwesInputPartition(f.getPath.toString,
         f.getLen, LwesDataSource.partitionValues(f.getPath, roots)))
@@ -552,6 +558,21 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
       logInfo(s"lwes stream batch $id: ${parts.size} new files")
     }
     LwesStreamOffset(batches.size)
+  }
+
+  // Admission-control observability: files/bytes discovered but not yet
+  // admitted, surfaced in StreamingQueryProgress.sources[].metrics —
+  // the state-metrics counterpart for the SOURCE side (a growing
+  // backlog under maxFilesPerTrigger/maxBytesPerTrigger is the 100 TB
+  // "stream is falling behind" signal).
+  @volatile private var backlogFiles = 0L
+  @volatile private var backlogBytes = 0L
+  override def metrics(latestConsumedOffset: java.util.Optional[streaming.Offset])
+      : java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("backlogFiles", backlogFiles.toString)
+    m.put("backlogBytes", backlogBytes.toString)
+    m
   }
 
   override def reportLatestOffset(): streaming.Offset =

@@ -81,6 +81,13 @@ class LwesStreamingSpec extends AnyFunSuite {
       assert(spark.table("lwes_mft").count() == 50)
       // 5 files at 2 per trigger -> at least 3 batches
       assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+      // ReportsSourceMetrics: mid-drain batches saw a positive backlog,
+      // and the drained stream reports none left
+      val backlogs = q.recentProgress.toSeq
+        .map(_.sources.head.metrics.get("backlogFiles").toLong)
+      assert(backlogs.exists(_ > 0), s"expected a mid-drain backlog: $backlogs")
+      assert(backlogs.last == 0, s"drained stream must report 0 backlog: $backlogs")
+      assert(q.lastProgress.sources.head.metrics.containsKey("backlogBytes"))
     } finally q.stop()
   }
 
