@@ -228,6 +228,53 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  // -------------------------------------------------------------- C27
+
+  /** Character-trigram language-model likelihood scoring: each doc's
+    * mean log P(c | ab) under the corpus's own trigram statistics —
+    * the CCNet/Gopher-style "does this text look like the corpus"
+    * quality signal (gibberish, wrong-charset, and template spam score
+    * far below prose). `avg_ll = mean over trigram occurrences of
+    * ln((count(abc) + 1) / (count(ab·) + 256))` — add-one smoothing
+    * over a fixed 256-char alphabet. The smoothing is what makes
+    * self-scoring discriminative: unsmoothed conditional likelihood
+    * scores a doc whose contexts are UNIQUE in the corpus as perfect
+    * (c3 = c2 → ln 1 = 0), i.e. gibberish would beat prose.
+    *
+    * Scale shape: one explode feeding a (doc, trigram) aggregation; the
+    * trigram model is two further aggregations OF that result. Unlike
+    * TF-IDF's unbounded vocabulary, the char-trigram model is bounded
+    * by charset³, so the model side of both joins is broadcast-sized at
+    * any corpus scale — Catalyst's stats pick that up on their own.
+    * Per-term logs are quantized to DECIMAL(18,9) before summing so the
+    * aggregate is independent of accumulation order (Spark's partial
+    * aggregation order is nondeterministic, and the oracle replays the
+    * same quantized sum exactly). Docs shorter than one trigram drop
+    * out (no likelihood is defined for them). */
+  def charTrigramLogLik(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tr = docs
+      .select(col(idCol).as("doc_id"), lower(trim(col(textCol))).as("__t"))
+      .filter(length(col("__t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(__t) - 2), i -> substring(__t, i, 3))"))
+        .as("tri"))
+    val m = tr.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("m"))
+    val c3 = m.groupBy(col("tri")).agg(sum(col("m")).as("c3"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("bi"))
+      .agg(sum(col("c3")).as("c2"))
+    m.join(c3, "tri")
+      .withColumn("bi", substring(col("tri"), 1, 2))
+      .join(c2, "bi")
+      .withColumn("l",
+        log((col("c3") + lit(1)).cast("double") / (col("c2") + lit(256)))
+          .cast("decimal(18,9)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast("long").as("n_tri"),
+        round(sum(col("m") * col("l")).cast("double") / sum(col("m")), 4)
+          .as("avg_ll"))
+  }
+
   // -------------------------------------------------------------- C25
 
   /** Per-(doc, token) TF-IDF over a corpus: `tf * (ln((N+1)/(df+1)) + 1)`

@@ -859,6 +859,31 @@ object Pipeline {
         |SELECT doc_id, rnk, token, tf, df, tfidf FROM ranked WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin)),
 
+    // C27: char-trigram LM likelihood (corpus self-scoring). Per-term
+    // logs are decimal-quantized before the sum, so the float aggregate
+    // is accumulation-order-independent — same device as
+    // pipeline_clean_corpus's quality totals.
+    "text_lm_score" -> ((
+      (s: SparkSession, d: String) => {
+        TextAnalysis.charTrigramLogLik(t(s, d, "documents"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS tx FROM documents),
+        |g AS (SELECT doc_id, unnest(generate_series(1, length(tx) - 2)) AS i, tx
+        |      FROM t WHERE length(tx) >= 3),
+        |tr AS (SELECT doc_id, substring(tx, i, 3) AS tri FROM g),
+        |m AS (SELECT doc_id, tri, count(*) AS m FROM tr GROUP BY doc_id, tri),
+        |c3 AS (SELECT tri, sum(m) AS c3 FROM m GROUP BY tri),
+        |c2 AS (SELECT substring(tri, 1, 2) AS bi, sum(c3) AS c2 FROM c3 GROUP BY bi),
+        |ll AS (
+        |  SELECT m.doc_id, m.m,
+        |    CAST(ln(CAST(c3.c3 + 1 AS DOUBLE) / (c2.c2 + 256)) AS DECIMAL(18,9)) AS l
+        |  FROM m JOIN c3 USING (tri)
+        |  JOIN c2 ON substring(m.tri, 1, 2) = c2.bi)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tri,
+        |  round(CAST(sum(m * l) AS DOUBLE) / sum(m), 4) AS avg_ll
+        |FROM ll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // C26: deterministic weighted sampling (A-ES exponential keys over
     // a portable md5 uniform) — 20 docs weight-proportional to length.
     // The selected SET is ulp-robust (adjacent order statistics of the

@@ -100,6 +100,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dScore > r((3L, "apple"))._3)
   }
 
+  test("charTrigramLogLik: closed-form tiny corpus, prose beats gibberish (C27)") {
+    // corpus {"aaaa", "aab"}: c3(aaa)=2, c3(aab)=1, c2(aa)=3; add-one
+    // smoothing over 256 -> doc1 avg = ln(3/259), doc2 = ln(2/259)
+    val tiny = Seq((1L, "aaaa"), (2L, "aab"), (3L, "x")).toDF("doc_id", "text")
+    val r = TextAnalysis.charTrigramLogLik(tiny).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.keySet == Set(1L, 2L), "sub-trigram doc 3 drops out")
+    assert(r(1L)._1 == 2L && math.abs(r(1L)._2 - math.log(3.0 / 259)) < 1e-3)
+    assert(r(2L)._1 == 1L && math.abs(r(2L)._2 - math.log(2.0 / 259)) < 1e-3)
+    // corpus-typical prose scores above charset-noise of the same length
+    val mixed = (1L to 40L).map(i => (i, s"the quick brown fox number $i jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "zq9xv7kp2mw4jr8tn3bh5gd6fc1ly0os")).toDF("doc_id", "text"))
+    val scores = TextAnalysis.charTrigramLogLik(mixed).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val proseMin = (1L to 40L).map(scores).min
+    assert(scores(99L) < proseMin,
+      s"gibberish ${scores(99L)} must score below prose min $proseMin")
+  }
+
   test("weightedSample: deterministic, weight-monotone, A-ES shaped (C26)") {
     val df = (1L to 500L).map(i => (i, 10L + i % 90)).toDF("id", "w")
     val s1 = Sampling.weightedSample(df, "id", "w", 50).collect()
