@@ -259,6 +259,11 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(__t) - 2), i -> substring(__t, i, 3))"))
         .as("tri"))
+    // Catalyst does not dedupe shared subtrees, so the c3/c2 model
+    // branches re-run the explode+agg. Measured at bench scale, the
+    // codegen'd recompute beats a .cache() of `m` (columnar encode +
+    // broken pipelines cost more than two extra passes); a 100 TB
+    // caller should persist `m` externally instead — see scaladoc.
     val m = tr.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("m"))
     val c3 = m.groupBy(col("tri")).agg(sum(col("m")).as("c3"))
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("bi"))
