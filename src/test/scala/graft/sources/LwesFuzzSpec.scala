@@ -63,7 +63,7 @@ class LwesFuzzSpec extends AnyFunSuite {
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 3), full)
       val dir = Files.createTempDirectory(s"fuzz$trial").toString
-      val comp = Seq("gzip", "none", "deflate")(rnd.nextInt(3))
+      val comp = Seq("gzip", "none", "deflate", "zstd")(rnd.nextInt(4))
       df.write.format("lwes").option("eventName", s"Fuzz::T$trial")
         .option("compression", comp)
         .mode("append").save(dir)
