@@ -361,6 +361,27 @@ object Relational {
 
     // B12: exact distincts + conditional counts, pre-aggregated per side
     // so the nation join never fans out.
+    // B36: PIVOT — wide-format reshaping (`groupBy().pivot()`), planned
+    // as a single pass of conditional aggregates (one shuffle, same as
+    // a plain groupBy — never a per-column self-join). The pivot value
+    // list is pinned so the output schema is static: at 100 TB an
+    // unpinned pivot means a separate values-discovery job first.
+    "q_pivot" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum(col("l_quantity")), 2))
+          .select(col("l_returnflag"),
+            coalesce(col("F"), lit(0.0)).as("qty_f"),
+            coalesce(col("O"), lit(0.0)).as("qty_o"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag,
+        |  coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2), 0) AS qty_f,
+        |  coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2), 0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "q_distinct" -> ((
       (s: SparkSession, d: String) => {
         val supAgg = t(s, d, "supplier").groupBy(col("s_nationkey"))
