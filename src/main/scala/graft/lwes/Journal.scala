@@ -133,26 +133,35 @@ final class JournalWriter(raw: OutputStream) extends AutoCloseable {
 
   def write(ev: LwesEvent): Unit = {
     val payload = LwesCodec.serialize(ev)
-    // the header length field is uint16 (wire-format constraint — events
-    // are datagrams); a silent Short truncation would corrupt the stream
-    if (payload.length > 0xffff)
-      throw new IllegalArgumentException(
-        s"event '${ev.name}' serializes to ${payload.length} bytes; " +
-          "LWES journal records are capped at 65535 (uint16 length header)")
     val time = ev.get(LwesEvent.ReceiptTime).map(_.value.asInstanceOf[Long]).getOrElse(0L)
     val ip = ev.get(LwesEvent.SenderIp).map(_.value.asInstanceOf[Array[Byte]])
       .getOrElse(Array[Byte](0, 0, 0, 0))
     val port = ev.get(LwesEvent.SenderPort).map(_.value.asInstanceOf[Int]).getOrElse(0)
     val site = ev.get(LwesEvent.SiteId).map(_.value.asInstanceOf[Int]).getOrElse(0)
+    writeRecord(payload, 0, payload.length, time, ip, port, site)
+  }
+
+  /** Raw capture write: header + payload bytes verbatim, no parse — the
+    * shape of the reference's datagram journaling (a received packet is
+    * stamped and appended without deserializing it,
+    * DatagramPacketOutputStream.java:42-74). */
+  def writeRecord(payload: Array[Byte], off: Int, len: Int, time: Long,
+      ip: Array[Byte], port: Int, site: Int): Unit = {
+    // the header length field is uint16 (wire-format constraint — events
+    // are datagrams); a silent Short truncation would corrupt the stream
+    if (len > 0xffff)
+      throw new IllegalArgumentException(
+        s"journal record of $len bytes; " +
+          "LWES journal records are capped at 65535 (uint16 length header)")
     headerBuf.clear()
-    headerBuf.putShort(payload.length.toShort)
+    headerBuf.putShort(len.toShort)
     headerBuf.putLong(time)
     headerBuf.put(ip(3)).put(ip(2)).put(ip(1)).put(ip(0))
     headerBuf.putShort(port.toShort)
     headerBuf.putShort(site.toShort)
     headerBuf.putInt(0)
     out.write(headerBuf.array(), 0, Journal.HeaderLength)
-    out.write(payload)
+    out.write(payload, off, len)
   }
 
   override def close(): Unit = { out.flush(); out.close() }

@@ -1,0 +1,116 @@
+package graft.lwes
+
+import java.io.File
+import java.net.{DatagramPacket, DatagramSocket, SocketTimeoutException}
+
+/** UDP journal capture — the reference system's ingest side: LWES
+  * events arrive as UDP datagrams and are appended to journal files
+  * with a 22-byte receipt header stamped from the packet (receipt time,
+  * sender ip/port, site id — DatagramPacketOutputStream.java:30-74).
+  * The payload is journaled VERBATIM, never parsed: capture must not
+  * depend on being able to decode what it captures.
+  *
+  * Files rotate by size and age and become visible atomically
+  * (hidden `.capture-*.tmp` while open, renamed on close), so the
+  * streaming source tailing the directory — which skips hidden files —
+  * only ever admits complete journals. Capture (this class, one cheap
+  * single-threaded loop per listener) and analytics (Spark over the
+  * journal directory) scale independently, which is exactly the
+  * reference deployment's journaller/Hadoop split.
+  */
+final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
+    rotateBytes: Long = 64L << 20, rotateMs: Long = 60000L,
+    compression: String = "gzip") extends AutoCloseable {
+
+  private val ext = compression match {
+    case "gzip" => "journal.gz"
+    case "zstd" | "zst" => "journal.zst"
+    case "none" => "journal"
+    case other => throw new IllegalArgumentException(
+      s"unsupported capture compression '$other' (gzip|zstd|none)")
+  }
+
+  new File(dir).mkdirs()
+  private val socket = new DatagramSocket(port)
+  // a deep OS buffer rides out rotation pauses (close+rename happens
+  // on the receive thread; packets arriving meanwhile queue here)
+  socket.setReceiveBufferSize(4 << 20)
+  socket.setSoTimeout(200) // wake to check the age-based rotation clock
+
+  /** The bound port (useful with port = 0, an ephemeral port). */
+  def boundPort: Int = socket.getLocalPort
+
+  @volatile private var running = true
+  private var seq = 0
+  private var cur: JournalWriter = null
+  private var curTmp: File = null
+  private var curBytes = 0L
+  private var curOpenedAt = 0L
+  @volatile private var receivedCount = 0L
+
+  /** Datagrams journaled so far (monotonic; for tests/monitoring). */
+  def received: Long = receivedCount
+
+  private def ensureWriter(now: Long): Unit = if (cur == null) {
+    // hidden while open; the ".tmp" suffix defeats extension-based codec
+    // detection, so the codec is chosen explicitly here
+    curTmp = new File(dir, s".capture-$seq.$ext.tmp")
+    val fos = new java.io.FileOutputStream(curTmp)
+    val os: java.io.OutputStream = compression match {
+      case "gzip" => new java.util.zip.GZIPOutputStream(fos, 1 << 16)
+      case "zstd" | "zst" => new com.github.luben.zstd.ZstdOutputStream(fos)
+      case _ => fos
+    }
+    cur = new JournalWriter(os)
+    curBytes = 0L
+    curOpenedAt = now
+  }
+
+  private def rotate(): Unit = if (cur != null) {
+    cur.close()
+    val dest = new File(dir, f"capture-$curOpenedAt-$seq%05d.$ext")
+    if (!curTmp.renameTo(dest))
+      throw new java.io.IOException(s"cannot promote ${curTmp.getPath}")
+    seq += 1
+    cur = null
+    curTmp = null
+  }
+
+  private val thread = new Thread(() => loop(), "lwes-udp-journaller")
+  thread.setDaemon(true)
+
+  def start(): UdpJournaller = { thread.start(); this }
+
+  private def loop(): Unit = {
+    val buf = new Array[Byte](0xffff)
+    val pkt = new DatagramPacket(buf, buf.length)
+    while (running) {
+      try {
+        socket.receive(pkt)
+        val now = System.currentTimeMillis()
+        ensureWriter(now)
+        val a = pkt.getAddress.getAddress
+        val ip4 = if (a.length == 4) a else Array[Byte](0, 0, 0, 0)
+        cur.writeRecord(pkt.getData, pkt.getOffset, pkt.getLength,
+          now, ip4, pkt.getPort, siteId)
+        curBytes += pkt.getLength + Journal.HeaderLength
+        receivedCount += 1
+        if (curBytes >= rotateBytes || now - curOpenedAt >= rotateMs) rotate()
+      } catch {
+        case _: SocketTimeoutException =>
+          // no traffic: age-based rotation still has to fire, or a slow
+          // trickle would pin events invisible in the hidden file
+          if (cur != null && System.currentTimeMillis() - curOpenedAt >= rotateMs)
+            rotate()
+        case _: java.net.SocketException if !running => // closed by close()
+      }
+    }
+  }
+
+  override def close(): Unit = {
+    running = false
+    socket.close()
+    thread.join(5000)
+    rotate() // promote the in-flight file so nothing captured is lost
+  }
+}

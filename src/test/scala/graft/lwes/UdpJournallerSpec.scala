@@ -1,0 +1,67 @@
+package graft.lwes
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UDP capture → journal → Spark read, end to end over loopback — the
+  * reference deployment's journaller/analytics split. */
+class UdpJournallerSpec extends AnyFunSuite {
+
+  // registers the extensions like every other suite: sessions are
+  // JVM-shared across suites, and whichever suite builds it first must
+  // not strip the TopKPerKey rule/strategy from the rest of the run
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("datagrams are journaled with receipt headers and read back by the source") {
+    val dir = Files.createTempDirectory("udp-journal").toString
+    // tiny rotateBytes forces several rotations mid-capture
+    val j = new UdpJournaller(dir, port = 0, siteId = 7,
+      rotateBytes = 4096, rotateMs = 60000L, compression = "gzip").start()
+    val sender = new DatagramSocket()
+    val target = InetAddress.getLoopbackAddress
+    val n = 200
+    (0 until n).foreach { i =>
+      val payload = LwesCodec.serialize(
+        LwesEvent("Cap::E").setInt64("id", i.toLong)
+          .setString("pad", "x" * 50))
+      sender.send(new DatagramPacket(payload, payload.length, target, j.boundPort))
+      // loopback is lossless only while the receiver keeps up; pace a
+      // little so rotation pauses never overrun the 4 MB socket buffer
+      if (i % 20 == 19) Thread.sleep(2)
+    }
+    val deadline = System.currentTimeMillis() + 10000
+    while (j.received < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(j.received == n, s"journaller received ${j.received}/$n")
+    j.close()
+    val senderPort = sender.getLocalPort
+    sender.close()
+
+    val files = new java.io.File(dir).listFiles()
+    assert(files.forall(f => !f.getName.startsWith(".")),
+      "no hidden in-flight files may remain after close")
+    assert(files.length > 1, s"rotateBytes=4096 must rotate: ${files.length} file(s)")
+    assert(files.forall(_.getName.endsWith(".journal.gz")))
+
+    val df = spark.read.format("lwes")
+      .schema("id long, pad string, ReceiptTime long, SenderPort int, SiteID int")
+      .option("eventName", "Cap::E").load(dir)
+    val rows = df.collect()
+    assert(rows.length == n)
+    assert(rows.map(_.getLong(0)).toSet == (0 until n).map(_.toLong).toSet)
+    assert(rows.forall(_.getString(1) == "x" * 50))
+    assert(rows.forall(_.getInt(4) == 7), "SiteID stamped from the journaller")
+    assert(rows.forall(_.getInt(3) == senderPort), "SenderPort from the packet")
+    val now = System.currentTimeMillis()
+    assert(rows.forall(r => math.abs(r.getLong(2) - now) < 600000),
+      "ReceiptTime stamped at capture")
+  }
+}
