@@ -20,7 +20,8 @@ import java.net.{DatagramPacket, DatagramSocket, SocketTimeoutException}
   */
 final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
     rotateBytes: Long = 64L << 20, rotateMs: Long = 60000L,
-    compression: String = "gzip") extends AutoCloseable {
+    compression: String = "gzip", multicastGroup: Option[String] = None)
+    extends AutoCloseable {
 
   private val ext = compression match {
     case "gzip" => "journal.gz"
@@ -31,7 +32,16 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
   }
 
   new File(dir).mkdirs()
-  private val socket = new DatagramSocket(port)
+  // lwes emitters broadcast to a multicast group (the canonical lwes
+  // transport); a plain unicast socket otherwise
+  private val socket: DatagramSocket = multicastGroup match {
+    case Some(group) =>
+      val ms = new java.net.MulticastSocket(port)
+      ms.joinGroup(new java.net.InetSocketAddress(
+        java.net.InetAddress.getByName(group), port), null)
+      ms
+    case None => new DatagramSocket(port)
+  }
   // a deep OS buffer rides out rotation pauses (close+rename happens
   // on the receive thread; packets arriving meanwhile queue here)
   socket.setReceiveBufferSize(4 << 20)

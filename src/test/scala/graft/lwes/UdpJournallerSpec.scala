@@ -20,6 +20,32 @@ class UdpJournallerSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("multicast capture journals group traffic (canceled if the netns lacks multicast)") {
+    val dir = Files.createTempDirectory("udp-mcast").toString
+    val group = "230.21.42.9"
+    val j = try
+      new UdpJournaller(dir, port = 0, compression = "none",
+        multicastGroup = Some(group)).start()
+    catch { case e: java.io.IOException => cancel(s"multicast join unavailable: $e") }
+    try {
+      val sender = new DatagramSocket()
+      val payload = LwesCodec.serialize(LwesEvent("MC::E").setInt64("id", 1L))
+      (0 until 5).foreach { _ =>
+        sender.send(new DatagramPacket(payload, payload.length,
+          InetAddress.getByName(group), j.boundPort))
+        Thread.sleep(20)
+      }
+      sender.close()
+      val deadline = System.currentTimeMillis() + 3000
+      while (j.received < 5 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      if (j.received == 0) cancel("multicast loopback not routed in this netns")
+      j.close()
+      val df = spark.read.format("lwes").schema("id long")
+        .option("eventName", "MC::E").load(dir)
+      assert(df.count() == j.received)
+    } finally j.close()
+  }
+
   test("datagrams are journaled with receipt headers and read back by the source") {
     val dir = Files.createTempDirectory("udp-journal").toString
     // tiny rotateBytes forces several rotations mid-capture
