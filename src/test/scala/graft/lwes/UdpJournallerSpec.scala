@@ -20,6 +20,53 @@ class UdpJournallerSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("live pipeline: UDP capture feeding a running streaming query") {
+    // the whole reference deployment in one test: emit -> capture ->
+    // age-rotate -> streaming source admits the promoted files ->
+    // aggregate. Age-based rotation (300 ms) is what makes the data
+    // flow WHILE capture continues.
+    val dir = Files.createTempDirectory("udp-live").toString
+    val j = new UdpJournaller(dir, port = 0, siteId = 1,
+      rotateBytes = 1L << 20, rotateMs = 300L, compression = "gzip").start()
+    val stream = spark.readStream.format("lwes")
+      .schema("id long")
+      .option("eventName", "Live::E").load(dir)
+    val q = stream.writeStream.format("memory")
+      .queryName("udp_live").outputMode("append").start()
+    try {
+      val sender = new DatagramSocket()
+      val target = InetAddress.getLoopbackAddress
+      val n = 120
+      def send(range: Range): Unit = range.foreach { i =>
+        val payload = LwesCodec.serialize(
+          LwesEvent("Live::E").setInt64("id", i.toLong))
+        sender.send(new DatagramPacket(payload, payload.length, target, j.boundPort))
+      }
+      // first chunk, then WAIT until the running query has surfaced it
+      // before sending the rest — proves data flows during capture
+      // rather than as one post-hoc backfill
+      send(0 until 40)
+      val seenFirst = System.currentTimeMillis() + 15000
+      while (spark.table("udp_live").isEmpty &&
+          System.currentTimeMillis() < seenFirst)
+        Thread.sleep(100)
+      assert(!spark.table("udp_live").isEmpty,
+        "streaming query must surface rows while capture continues")
+      send(40 until n)
+      sender.close()
+      val deadline = System.currentTimeMillis() + 10000
+      while (j.received < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(j.received == n)
+      j.close() // promotes the in-flight tail file
+      q.processAllAvailable()
+      val got = spark.table("udp_live").collect().map(_.getLong(0)).toSet
+      assert(got == (0 until n).map(_.toLong).toSet,
+        s"missing: ${(0 until n).map(_.toLong).toSet -- got}")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
+
   test("multicast capture journals group traffic (canceled if the netns lacks multicast)") {
     val dir = Files.createTempDirectory("udp-mcast").toString
     val group = "230.21.42.9"
