@@ -32,6 +32,9 @@ object Journal {
 /** Common surface for the two journal container readers. */
 trait EventStreamReader extends AutoCloseable {
   def next(): Option[LwesEvent]
+  /** Records skipped because their payload was undecodable (0 for
+    * containers without record-level resync). */
+  def corruptRecords: Long = 0L
   def iterator: Iterator[LwesEvent] = new Iterator[LwesEvent] {
     private var nextEv: Option[LwesEvent] = EventStreamReader.this.next()
     def hasNext: Boolean = nextEv.isDefined
@@ -85,26 +88,48 @@ final class JournalReader(raw: InputStream,
       val site = hb.getShort() & 0xffff
       if (payloadBuf.length < len) payloadBuf = new Array[Byte](len)
       if (!readFully(payloadBuf, len)) return None
-      val accept = eventNameFilter == null ||
-        eventNameFilter(LwesCodec.eventName(payloadBuf, 0))
-      if (accept) {
-        val ev = LwesCodec.deserialize(payloadBuf, 0, len, wanted)
-        // header-derived attrs overwrite any payload copies, like the
-        // reference (DatagramPacketInputStream.java:75-78)
-        if (wanted == null || wanted(LwesEvent.ReceiptTime))
-          ev.setInt64(LwesEvent.ReceiptTime, time)
-        if (wanted == null || wanted(LwesEvent.SenderIp))
-          ev.setIpAddr(LwesEvent.SenderIp, ip)
-        if (wanted == null || wanted(LwesEvent.SenderPort))
-          ev.setUInt16(LwesEvent.SenderPort, port)
-        if (wanted == null || wanted(LwesEvent.SiteId))
-          ev.setUInt16(LwesEvent.SiteId, site)
-        return Some(ev)
+      val evOrSkip: Option[LwesEvent] =
+        try {
+          val accept = eventNameFilter == null ||
+            eventNameFilter(LwesCodec.eventName(payloadBuf, 0))
+          if (!accept) None // foreign event never parsed
+          else Some(LwesCodec.deserialize(payloadBuf, 0, len, wanted))
+        } catch {
+          // Record-level resync: the uint16 length header frames every
+          // record, so an undecodable PAYLOAD (foreign traffic captured
+          // on the port, flipped bytes) costs exactly one record and
+          // the reader continues at the next frame — an improvement
+          // over the reference, which treats the first bad record as
+          // EOF (DatagramPacketInputStream.java:79-85). Short reads
+          // (torn tail) still end the file via EOFException above.
+          case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+              _: java.nio.BufferUnderflowException =>
+            corruptCount += 1
+            None
+        }
+      evOrSkip match {
+        case Some(ev) =>
+          // header-derived attrs overwrite any payload copies, like the
+          // reference (DatagramPacketInputStream.java:75-78)
+          if (wanted == null || wanted(LwesEvent.ReceiptTime))
+            ev.setInt64(LwesEvent.ReceiptTime, time)
+          if (wanted == null || wanted(LwesEvent.SenderIp))
+            ev.setIpAddr(LwesEvent.SenderIp, ip)
+          if (wanted == null || wanted(LwesEvent.SenderPort))
+            ev.setUInt16(LwesEvent.SenderPort, port)
+          if (wanted == null || wanted(LwesEvent.SiteId))
+            ev.setUInt16(LwesEvent.SiteId, site)
+          return Some(ev)
+        case None => // skip and loop
       }
-      // else: skip and loop — foreign event never parsed
     }
     None // unreachable
   }
+
+  private var corruptCount = 0L
+
+  /** Records skipped by the resync path (undecodable payloads). */
+  override def corruptRecords: Long = corruptCount
 
   override def close(): Unit = in.close()
 }

@@ -339,6 +339,11 @@ private[lwes] class TornFilesMetric
   override def name(): String = "tornFiles"
   override def description(): String = "journals cut short by corruption"
 }
+private[lwes] class CorruptRecordsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "corruptRecords"
+  override def description(): String = "records skipped by frame resync"
+}
 private[lwes] final case class LwesTaskMetric(metricName: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = metricName
@@ -357,7 +362,8 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
     s"LwesScan(events=${config.eventNames.mkString("|")}, cols=${schema.fieldNames.mkString(",")})"
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new EventsParsedMetric, new EventsSkippedMetric, new TornFilesMetric)
+    Array(new EventsParsedMetric, new EventsSkippedMetric,
+      new TornFilesMetric, new CorruptRecordsMetric)
 
   /** Runtime (dynamic partition) pruning: joins on a path-derived
     * partition column hand the build side's values back to the scan
@@ -738,5 +744,7 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(LwesTaskMetric("eventsParsed", emitted),
       LwesTaskMetric("eventsSkipped", skipped),
-      LwesTaskMetric("tornFiles", if (corrupt) 1L else 0L))
+      LwesTaskMetric("tornFiles", if (corrupt) 1L else 0L),
+      LwesTaskMetric("corruptRecords",
+        if (reader != null) reader.corruptRecords else 0L))
 }

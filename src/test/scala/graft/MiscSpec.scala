@@ -372,6 +372,27 @@ class MiscSpec extends AnyFunSuite {
     assert(m("eventsParsed").value == 3, m.view.mapValues(_.value).toMap)
     assert(m("eventsSkipped").value == 2, "the two M::Two events are skipped")
     assert(m("tornFiles").value == 0)
+    assert(m("corruptRecords").value == 0)
+  }
+
+  test("record-level resync: an undecodable payload costs one record, not the file") {
+    val dir = Files.createTempDirectory("lwes-resync").toString
+    val w = graft.lwes.JournalWriter.create(s"$dir/mixed.journal.gz")
+    w.write(graft.lwes.LwesEvent("R::E").setInt64("id", 1L))
+    // a correctly FRAMED record whose payload is garbage — captured
+    // foreign traffic looks exactly like this
+    w.writeRecord(Array.fill[Byte](30)(0xFF.toByte), 0, 30, 0L,
+      Array[Byte](0, 0, 0, 0), 0, 0)
+    w.write(graft.lwes.LwesEvent("R::E").setInt64("id", 2L))
+    w.close()
+    val df = spark.read.format("lwes").schema("id long").load(dir)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "events AFTER the bad record must survive (the reference loses them)")
+    val m = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.metrics
+    assert(m("corruptRecords").value == 1)
+    assert(m("tornFiles").value == 0)
   }
 
   test("compaction skips torn journals and never deletes them") {
