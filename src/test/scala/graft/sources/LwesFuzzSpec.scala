@@ -78,6 +78,42 @@ class LwesFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("resync fuzz: random garbage records between valid events never cost good rows") {
+    val rnd = new Random(31337)
+    (0 until 10).foreach { trial =>
+      val dir = Files.createTempDirectory(s"fuzz-resync$trial").toString
+      val comp = Seq("gzip", "none", "zstd")(rnd.nextInt(3))
+      val ext = comp match {
+        case "gzip" => "journal.gz"; case "zstd" => "journal.zst"
+        case _ => "journal"
+      }
+      val w = graft.lwes.JournalWriter.create(s"$dir/j.$ext")
+      val nGood = 20 + rnd.nextInt(80)
+      var garbage = 0
+      (0 until nGood).foreach { i =>
+        w.write(graft.lwes.LwesEvent(s"FR::E").setInt64("id", i.toLong)
+          .setString("s", rnd.alphanumeric.take(rnd.nextInt(30)).mkString))
+        if (rnd.nextInt(3) == 0) {
+          // correctly framed, undecodable payload
+          val len = 1 + rnd.nextInt(64)
+          val junk = Array.fill[Byte](len)((rnd.nextInt(256) - 128).toByte)
+          // a junk payload whose first byte happens to frame a valid
+          // name+attrs would decode as a (harmless) foreign event —
+          // force an invalid name length so it always exercises resync
+          junk(0) = 0xF0.toByte
+          w.writeRecord(junk, 0, len, 0L, Array[Byte](0, 0, 0, 0), 0, 0)
+          garbage += 1
+        }
+      }
+      w.close()
+      val back = spark.read.format("lwes").schema("id long, s string")
+        .option("eventName", "FR::E").load(dir)
+      assert(back.collect().map(_.getLong(0)).sorted.toSeq ==
+        (0 until nGood).map(_.toLong),
+        s"trial $trial (comp=$comp, $garbage garbage records)")
+    }
+  }
+
   test("block-compressed SequenceFile containers survive random payload fuzz") {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
