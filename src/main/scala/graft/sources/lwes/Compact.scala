@@ -45,6 +45,29 @@ object Compact {
   private val EpochFileName = """part-(q[0-9a-fA-F]+-e\d+)-\d+\.[^/]+""".r
   private val EpochManifestName = """_epoch-(q[0-9a-fA-F]+-e\d+)\.manifest""".r
 
+  /** Compact every `k=v` partition subdirectory of `dir` to
+    * `targetFiles` files each, preserving the partition layout (each
+    * partition compacts independently — partition values live in the
+    * PATH, not the records, so cross-partition merging would corrupt
+    * them). Returns summed (filesBefore, filesAfter). Partitions are
+    * processed sequentially — each is its own bounded Spark job — so an
+    * operator can run this incrementally over however many `dt=` hours
+    * a maintenance window allows; at 100 TB you point it at the
+    * partitions behind the small-files alert, not the whole table. */
+  def compactPartitioned(spark: SparkSession, dir: String, targetFiles: Int,
+      compression: String = "gzip", minAgeMs: Long = 0L): (Int, Int) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .sortBy(_.getPath.getName)
+    parts.foldLeft((0, 0)) { case ((b, a), s) =>
+      val (pb, pa) = compact(spark, s.getPath.toString, targetFiles,
+        compression, minAgeMs)
+      (b + pb, a + pa)
+    }
+  }
+
   /** Rewrite `dir`'s top-level journals into `targetFiles` files.
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String, targetFiles: Int,

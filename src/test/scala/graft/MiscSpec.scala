@@ -395,6 +395,29 @@ class MiscSpec extends AnyFunSuite {
     assert(m("tornFiles").value == 0)
   }
 
+  test("partitioned compaction: each dt= partition compacts in place") {
+    val dir = Files.createTempDirectory("lwes-compact-part").toString
+    val src = Seq((1L, "2026-01-01"), (2L, "2026-01-01"), (3L, "2026-01-02"))
+      .toDF("id", "dt")
+    // three appends -> 3+ small files per partition
+    (0 until 3).foreach { i =>
+      src.withColumn("id", col("id") + lit(i * 10L))
+        .repartition(2)
+        .write.format("lwes").option("eventName", "P::E")
+        .option("partitionBy", "dt").mode("append").save(dir)
+    }
+    val (before, after) = graft.sources.lwes.Compact.compactPartitioned(
+      spark, dir, targetFiles = 1)
+    assert(before > 2 && after == 2, s"($before, $after)") // 1 file per dt
+    val back = spark.read.format("lwes").schema("id long, dt string").load(dir)
+    assert(back.count() == 9)
+    // partition pruning still works on the compacted layout
+    val d1 = back.filter(col("dt") === "2026-01-01")
+    assert(d1.count() == 6)
+    assert(d1.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 11L, 12L, 21L, 22L))
+  }
+
   test("compaction skips torn journals and never deletes them") {
     // compaction deletes its inputs, so a torn file must be excluded
     // from the rewrite AND the delete — rewriting its salvageable
