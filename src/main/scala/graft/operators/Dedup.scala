@@ -223,7 +223,7 @@ object Dedup {
 
     def checksum(d: DataFrame): (Long, Long) = {
       // bit_xor: order-independent and cannot overflow under ANSI mode
-      val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 

@@ -200,7 +200,7 @@ object LwesQueries {
     "lwes_stream_drain" -> ((
       (s: SparkSession, d: String) => {
         val mm = events(s, d)
-          .agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head
+          .agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head()
         val (tsMinUs, tsMaxUs) = (mm.getLong(0), mm.getLong(1))
         val delayUs = (tsMaxUs - tsMinUs) + 3600000000L
         val sentinelTs = tsMaxUs + delayUs + 7200000000L
@@ -276,7 +276,7 @@ object LwesQueries {
       (s: SparkSession, d: String) => {
         val src = eventsJournal(s, d, Seq("click", "purchase"))
         val mm = events(s, d)
-          .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).head
+          .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).head()
         val delayMs = (mm.getLong(1) - mm.getLong(0)) + 3600000L
         val dst = tmpDir("sj-dst")
         val ckpt = tmpDir("sj-ckpt")
@@ -363,7 +363,7 @@ object LwesQueries {
       (s: SparkSession, d: String) => {
         import s.implicits._
         val mm = events(s, d)
-          .agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head
+          .agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head()
         val (tsMinUs, tsMaxUs) = (mm.getLong(0), mm.getLong(1))
         val delayUs = (tsMaxUs - tsMinUs) + 3600000000L
         val sentinelTs = tsMaxUs + delayUs + 7200000000L

@@ -156,7 +156,7 @@ object Compact {
           org.apache.spark.sql.types.StringType, nullable = false))
     val df = spark.read.format("lwes").schema(schema)
       .option(LwesOptions.EventNameColumn, NameCol)
-      .load(goodPaths: _*)
+      .load(goodPaths.toIndexedSeq: _*)
     val tmp = new Path(p, s".compact-${java.util.UUID.randomUUID()}")
     df.coalesce(math.max(targetFiles, 1))
       .write.format("lwes")
