@@ -319,6 +319,13 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
 final case class LwesInputPartition(path: String, length: Long,
     partitionValues: Map[String, String]) extends InputPartition
 
+/** A bin of small files scheduled as ONE task (batch scans only; the
+  * streaming source keeps per-file partitions since admission control
+  * is per-file). Journals are unsplittable, so files are atomic — the
+  * bin bounds task COUNT, never splits a file. */
+final case class LwesFilesPartition(files: Seq[LwesInputPartition])
+    extends InputPartition
+
 /** DSv2 custom scan metrics, surfaced per-scan in the SQL UI. At
   * journal scale these are the difference between diagnosing "slow
   * scan" and "mis-mapped eventName": a scan that parses millions of
@@ -395,16 +402,54 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
     if (p == null) {
       val conf = LwesDataSource.hadoopConf()
       val files = LwesDataSource.listFiles(roots, conf)
-      p = files.iterator.map { f =>
+      val slices = files.iterator.map { f =>
         LwesInputPartition(f.getPath.toString, f.getLen,
           LwesDataSource.partitionValues(f.getPath, roots))
       }.filter(p => (partitionFilters ++ runtimeFilters)
           .forall(matches(p.partitionValues, _)))
         // biggest files first → better task packing at scale
-        .toArray.sortBy(-_.length).map(p => p: InputPartition)
+        .toArray.sortBy(-_.length)
+      p = packPartitions(slices)
       cachedPartitions = p
     }
     p
+  }
+
+  /** Bin-pack small files into shared tasks, Spark's own FilePartition
+    * policy (maxSplitBytes = min(files.maxPartitionBytes,
+    * max(openCostInBytes, totalBytes / defaultParallelism))): a
+    * directory of 10^6 hourly journals must not plan 10^6 tasks —
+    * driver partition-planning memory and per-task overhead both scale
+    * with task COUNT, while small-corpus scans keep one file per task
+    * (the dynamic bytes-per-core floor preserves parallelism). Files
+    * stay atomic (gzip journals are unsplittable). */
+  private def packPartitions(slices: Array[LwesInputPartition]): Array[InputPartition] = {
+    val (maxBytes, openCost, parallelism) =
+      try {
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+        (sqlConf.filesMaxPartitionBytes, sqlConf.filesOpenCostInBytes,
+          sc.defaultParallelism)
+      } catch { case scala.util.control.NonFatal(_) => (128L << 20, 4L << 20, 8) }
+    val totalBytes = slices.map(_.length + openCost).sum
+    val maxSplit = math.min(maxBytes,
+      math.max(openCost, totalBytes / math.max(parallelism, 1)))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[LwesInputPartition]
+    var curSize = 0L
+    slices.foreach { s => // already sorted largest-first
+      val cost = s.length + openCost
+      if (cur.nonEmpty && curSize + cost > maxSplit) {
+        bins += (if (cur.length == 1) cur.head else LwesFilesPartition(cur.toSeq))
+        cur = scala.collection.mutable.ArrayBuffer.empty
+        curSize = 0L
+      }
+      cur += s
+      curSize += cost
+    }
+    if (cur.nonEmpty)
+      bins += (if (cur.length == 1) cur.head else LwesFilesPartition(cur.toSeq))
+    bins.toArray
   }
 
   /** Compressed on-disk bytes × an inflation factor — enough signal for
@@ -412,8 +457,10 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
     * shuffling the fact side (without this, DSv2 assumes
     * defaultSizeInBytes = "huge" and never broadcasts). */
   override def estimateStatistics(): Statistics = {
-    val bytes = plannedPartitions
-      .map(_.asInstanceOf[LwesInputPartition].length).sum
+    val bytes = plannedPartitions.map {
+      case s: LwesInputPartition => s.length
+      case m: LwesFilesPartition => m.files.map(_.length).sum
+    }.sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L) * 4)
@@ -639,8 +686,54 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
     bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LwesPartitionReader(partition.asInstanceOf[LwesInputPartition], config,
-      bconf.value.value)
+    partition match {
+      case p: LwesInputPartition =>
+        new LwesPartitionReader(p, config, bconf.value.value)
+      case m: LwesFilesPartition =>
+        new LwesMultiFileReader(m.files, config, bconf.value.value)
+    }
+}
+
+/** Sequentially chains the per-file readers of a bin-packed partition.
+  * Per-file semantics (torn-file stop, record resync, partition-value
+  * injection) are exactly the single-file reader's — this class only
+  * concatenates, enforces the pushed LIMIT across the whole bin, and
+  * aggregates metrics. */
+class LwesMultiFileReader(files: Seq[LwesInputPartition],
+    config: LwesReadConfig, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val it = files.iterator
+  private var cur: LwesPartitionReader = null
+  private var emittedTotal = 0L
+  private val acc = scala.collection.mutable.Map.empty[String, Long]
+    .withDefaultValue(0L)
+
+  override def next(): Boolean = {
+    if (config.limit >= 0 && emittedTotal >= config.limit) return false
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new LwesPartitionReader(it.next(), config, conf)
+      }
+      if (cur.next()) { emittedTotal += 1; return true }
+      cur.currentMetricsValues().foreach(m => acc(m.name()) += m.value())
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = cur.get()
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val live = if (cur == null) Map.empty[String, Long]
+      else cur.currentMetricsValues().map(m => m.name() -> m.value()).toMap
+    (acc.keySet ++ live.keySet).toArray.map(k =>
+      LwesTaskMetric(k, acc(k) + live.getOrElse(k, 0L)))
+  }
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,

@@ -37,6 +37,52 @@ class LwesSourceSpec extends AnyFunSuite {
       w.close()
     }
 
+  test("small files bin-pack into shared tasks; large corpora don't explode task count") {
+    val dir = tmp()
+    val nFiles = 40
+    (0 until nFiles).foreach { f =>
+      val w = JournalWriter.create(s"$dir/tiny-$f.gz")
+      (0 until 10).foreach(i => w.write(
+        LwesEvent("B::E").setInt64("id", (f * 10 + i).toLong)))
+      w.close()
+    }
+    val restore = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // openCost tiny + small maxPartitionBytes -> packing kicks in
+      spark.conf.set("spark.sql.files.openCostInBytes", "16")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      val df = spark.read.format("lwes").schema("id long").load(dir)
+      val parts = df.rdd.getNumPartitions
+      assert(parts < nFiles && parts >= 1,
+        s"$nFiles tiny files should share tasks, got $parts partitions")
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+        (0 until nFiles * 10).map(_.toLong), "packing must not lose or dup rows")
+      // default confs: the bytes-per-core floor packs toward
+      // defaultParallelism bins — cores stay busy, task count bounded
+      spark.conf.set("spark.sql.files.openCostInBytes", String.valueOf(4L << 20))
+      spark.conf.set("spark.sql.files.maxPartitionBytes", String.valueOf(128L << 20))
+      val dfDefault = spark.read.format("lwes").schema("id long").load(dir)
+      val dp = spark.sparkContext.defaultParallelism
+      val partsDefault = dfDefault.rdd.getNumPartitions
+      assert(partsDefault >= dp && partsDefault < nFiles,
+        s"default policy: ~parallelism($dp) bins, got $partsDefault")
+      assert(dfDefault.count() == nFiles * 10)
+      // a corpus with fewer files than cores keeps one file per task
+      val smallDir = tmp()
+      (0 until 3).foreach { f =>
+        val w = JournalWriter.create(s"$smallDir/s-$f.gz")
+        w.write(LwesEvent("B::E").setInt64("id", f.toLong)); w.close()
+      }
+      val dfSmall = spark.read.format("lwes").schema("id long").load(smallDir)
+      assert(dfSmall.rdd.getNumPartitions == 3)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("write via DataFrame then read back round-trips (A3, A10)") {
     import spark.implicits._
     val dir = tmp()
@@ -157,15 +203,25 @@ class LwesSourceSpec extends AnyFunSuite {
     writeMixedJournal(s"$dir/dt=2026-01-01", 30)
     writeMixedJournal(s"$dir/dt=2026-01-02", 30)
     writeMixedJournal(s"$dir/dt=2026-01-03", 30)
-    // unit level: build the scan, hand it a runtime filter, re-plan
+    // unit level: build the scan, hand it a runtime filter, re-plan.
+    // The session must exist before driving the scan API directly
+    // (inferSchema resolves the active session), and pruning is
+    // asserted on FILE counts — partitions are bin-packed, so their
+    // count is a packing decision, not the pruning contract.
+    spark.sparkContext
+    def filesIn(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Int =
+      parts.map {
+        case _: graft.sources.lwes.LwesInputPartition => 1
+        case m: graft.sources.lwes.LwesFilesPartition => m.files.length
+      }.sum
     val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
     val schema = graft.sources.lwes.LwesDataSource.inferSchema(opts)
     val scan = new graft.sources.lwes.LwesScanBuilder(schema, opts).build()
       .asInstanceOf[graft.sources.lwes.LwesScan]
-    val before = scan.planInputPartitions().length
+    val before = filesIn(scan.planInputPartitions())
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.EqualTo("dt", "2026-01-02")))
-    val after = scan.planInputPartitions().length
+    val after = filesIn(scan.planInputPartitions())
     assert(before == 3 * after && after > 0, s"$before -> $after")
     // end-to-end: the scan declares dt as runtime-filterable, so a join
     // against a filtered dim still returns correct results
