@@ -57,9 +57,16 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
   private var curBytes = 0L
   private var curOpenedAt = 0L
   @volatile private var receivedCount = 0L
+  @volatile private var lastError: Option[Throwable] = None
 
   /** Datagrams journaled so far (monotonic; for tests/monitoring). */
   def received: Long = receivedCount
+
+  /** Last unexpected capture-loop error, if any. A non-empty value with
+    * `received` not advancing means capture is degraded — the signal an
+    * operator (or a liveness probe) should alert on.
+    */
+  def failed: Option[Throwable] = lastError
 
   private def ensureWriter(now: Long): Unit = if (cur == null) {
     // hidden while open; the ".tmp" suffix defeats extension-based codec
@@ -79,11 +86,15 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
   private def rotate(): Unit = if (cur != null) {
     cur.close()
     val dest = new File(dir, f"capture-$curOpenedAt-$seq%05d.$ext")
-    if (!curTmp.renameTo(dest))
-      throw new java.io.IOException(s"cannot promote ${curTmp.getPath}")
+    val promoted = curTmp.renameTo(dest)
+    val tmp = curTmp
+    // clear state BEFORE any throw: a failed promote must not leave a
+    // closed writer behind for the next writeRecord to hit
     seq += 1
     cur = null
     curTmp = null
+    if (!promoted)
+      throw new java.io.IOException(s"cannot promote ${tmp.getPath}")
   }
 
   private val thread = new Thread(() => loop(), "lwes-udp-journaller")
@@ -113,6 +124,15 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
           if (cur != null && System.currentTimeMillis() - curOpenedAt >= rotateMs)
             rotate()
         case _: java.net.SocketException if !running => // closed by close()
+        case scala.util.control.NonFatal(e) if running =>
+          // disk-full IOException, a failed promote from rotate(), … —
+          // without this arm any such error would silently kill the
+          // daemon receive thread while the process looks healthy
+          lastError = Some(e)
+          System.err.println(
+            s"[graft-udp-journaller] capture error (retrying): $e")
+          try Thread.sleep(200)
+          catch { case _: InterruptedException => running = false }
       }
     }
   }
@@ -121,6 +141,12 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
     running = false
     socket.close()
     thread.join(5000)
-    rotate() // promote the in-flight file so nothing captured is lost
+    if (!thread.isAlive)
+      rotate() // promote the in-flight file so nothing captured is lost
+    else
+      // a wedged receive thread may still hold the writer; rotating here
+      // would race it (double-close / write-after-close)
+      System.err.println("[graft-udp-journaller] receive thread still " +
+        "alive after 5s; skipping final rotate to avoid racing the writer")
   }
 }

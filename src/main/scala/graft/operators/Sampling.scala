@@ -67,8 +67,15 @@ object Sampling {
     * engine-portable md5 hash of its key (not `rand()` — the sample
     * must be reproducible across runs, clusters, and engines), and the
     * row's sort key is u^(1/w); the k largest sort keys are exactly a
-    * weight-proportional sample without replacement. Weights must be
-    * positive. Adds a `sample_key` column.
+    * weight-proportional sample without replacement. Rows with
+    * non-positive weights are filtered out (u^(1/w) would be Inf/NaN
+    * and float to the top of the sample). Adds a `sample_key` column.
+    *
+    * u uses 60 hash bits (15 md5 hex chars) with NO modulo: a modulo
+    * over a 32-bit hash (the md5Bucket shape) makes low residues ~25%
+    * more likely at 10^9 buckets, skewing inclusion probabilities away
+    * from weight-proportional; dividing the full 60-bit value by 2^60
+    * has zero modulo bias and stays exact in a BIGINT in any engine.
     *
     * Scale shape: the hash and pow are per-row projections; the global
     * top-k executes as TakeOrdered (per-partition bounded heaps, then a
@@ -77,8 +84,10 @@ object Sampling {
     * length/quality weight". */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int, salt: String = ""): DataFrame = {
-    val u = (md5Bucket(col(keyCol), 1000000000, salt) + lit(1.0)) / lit(1.0e9)
-    df.withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+    val u = (conv(substring(md5(keyStr(col(keyCol), salt)), 1, 15), 16, 10)
+      .cast("long") + lit(1.0)) / lit(1152921504606846976.0) // 2^60
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
       .orderBy(col("sample_key").desc, col(keyCol))
       .limit(k)
   }

@@ -901,9 +901,9 @@ object Pipeline {
         |  SELECT doc_id, lang, n_chars,
         |    round(pow(u, 1.0 / n_chars), 4) AS sample_key
         |  FROM (SELECT doc_id, lang, n_chars,
-        |          (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |            % 1000000000 + 1.0) / 1e9 AS u
-        |        FROM documents)
+        |          (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |            + 1.0) / 1152921504606846976.0 AS u
+        |        FROM documents WHERE n_chars > 0)
         |  ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
         |  LIMIT 20)
         |ORDER BY doc_id""".stripMargin))

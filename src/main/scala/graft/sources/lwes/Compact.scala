@@ -103,17 +103,22 @@ object Compact {
     // would either miss late-appearing attributes (and compaction
     // deletes the only copy) or decompress every journal single-threaded.
     val bconf = SerializableHadoopConf.broadcast(conf)
-    // Torn files are DETECTED here and excluded from the whole
-    // compaction (not rewritten, NOT deleted): the batch reader
-    // salvages a torn file's leading events tolerantly, but compaction
-    // deletes its input — rewriting the salvageable prefix and deleting
-    // the original would silently discard the torn remainder. Leaving
-    // the file in place keeps every byte for forensics while the
-    // healthy files still compact.
+    // Damaged files are DETECTED here and excluded from the whole
+    // compaction (not rewritten, NOT deleted). Two kinds of damage:
+    //  - torn files (frame/codec-level corruption ends the stream): the
+    //    batch reader salvages the leading events tolerantly, but
+    //    compaction deletes its input — rewriting the salvageable prefix
+    //    and deleting the original would silently discard the remainder;
+    //  - resync-absorbed records (framed-but-undecodable payloads the
+    //    reader skips WITHOUT raising, counted by `corruptRecords`):
+    //    rewriting only the decodable events and deleting the original
+    //    would silently drop those bytes too.
+    // Either way the file is left in place: every byte kept for
+    // forensics while the healthy files still compact.
     val perFile = spark.sparkContext.parallelize(paths.toSeq, paths.length)
       .map { path =>
         val seen = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.DataType]()
-        var torn = false
+        var damaged = false
         try {
           val r = LwesDataSource.openReader(path, bconf.value.value, null, null)
           try {
@@ -127,16 +132,17 @@ object Compact {
                 }
               }
             }
+            damaged = r.corruptRecords > 0
           } finally r.close()
         } catch {
-          case e if LwesDataSource.isCorruption(e) => torn = true
+          case e if LwesDataSource.isCorruption(e) => damaged = true
         }
-        (path, torn, seen.toSeq)
+        (path, damaged, seen.toSeq)
       }.collect()
     val tornPaths = perFile.collect { case (path, true, _) => path }.toSet
     if (tornPaths.nonEmpty)
-      System.err.println(s"[graft-compact] skipping ${tornPaths.size} torn " +
-        s"journal(s), left in place: ${tornPaths.toSeq.sorted.mkString(", ")}")
+      System.err.println(s"[graft-compact] skipping ${tornPaths.size} torn/" +
+        s"corrupt journal(s), left in place: ${tornPaths.toSeq.sorted.mkString(", ")}")
     val goodBefore = before.filterNot(s => tornPaths.contains(s.getPath.toString))
     if (goodBefore.isEmpty) return (before.length, before.length)
     val goodPaths = goodBefore.map(_.getPath.toString)

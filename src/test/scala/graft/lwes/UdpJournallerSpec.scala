@@ -114,6 +114,7 @@ class UdpJournallerSpec extends AnyFunSuite {
     while (j.received < n && System.currentTimeMillis() < deadline)
       Thread.sleep(20)
     assert(j.received == n, s"journaller received ${j.received}/$n")
+    assert(j.failed.isEmpty, s"healthy capture must report no error: ${j.failed}")
     j.close()
     val senderPort = sender.getLocalPort
     sender.close()

@@ -127,13 +127,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1.length == 50)
     assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq,
       "same input must draw the identical sample")
-    // sample_key really is u^(1/w): recompute one row's key from scratch
+    // sample_key really is u^(1/w) over the full 60-bit (no-modulo)
+    // uniform: recompute one row's key from scratch
     val row = s1.head
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(row.getLong(0).toString.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
-    val u = (java.lang.Long.parseLong(hex, 16) % 1000000000L + 1.0) / 1e9
+      .map(b => f"$b%02x").mkString.take(15)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / math.pow(2, 60)
     assert(math.abs(row.getDouble(2) - math.pow(u, 1.0 / row.getLong(1))) < 1e-12)
+    // non-positive weights are excluded, not floated to the top
+    val withBad = df.withColumn("w",
+      when(col("id") <= 2L, lit(0L) - (col("id") - 1L)).otherwise(col("w")))
+    val cleaned = Sampling.weightedSample(withBad, "id", "w", 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(!cleaned.contains(1L) && !cleaned.contains(2L),
+      "zero/negative-weight rows must be filtered out")
     // weight-proportional pull: giving every row weight 1000x its old
     // weight changes nothing (scale-free in the ordering)... but a
     // heavily up-weighted single row must enter the sample
