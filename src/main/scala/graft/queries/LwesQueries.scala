@@ -520,6 +520,52 @@ object LwesQueries {
       },
       """SELECT c_mktsegment, count(*) AS n,
         |  round(sum(c_acctbal), 2) AS total_bal, max(c_custkey) AS max_key
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ReceiptTime-range FILE pruning end to end (the Spark-native
+    // generalization of the reference README's `PARTITIONED BY(dt)`
+    // pattern): journals land one file per time-range slice, each name
+    // tagged with its exact receipt bounds by the writer, and the
+    // "events from window X" query prunes non-overlapping files from
+    // the listing alone — at 100 TB the difference between opening an
+    // hour and decompressing a year. The oracle replays the window on
+    // the source parquet, so over-pruning (a lost file) or a tag bug
+    // hash-mismatches immediately.
+    "lwes_time_prune" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"tprune|$d") { dir =>
+          events(s, d)
+            .withColumn("ReceiptTime", expr("ts div 1000000"))
+            .select("event_id", "user_id", "value", "ReceiptTime")
+            .repartitionByRange(8, col("ReceiptTime"))
+            .write.format("lwes").option("eventName", "Tw::E")
+            .mode("append").save(dir)
+        }
+        // window = middle half of the observed span, computed with the
+        // same integer arithmetic the oracle uses; literal bounds so the
+        // range filter plans as a pushed-down prune
+        val b = events(s, d)
+          .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).head
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        s.read.format("lwes")
+          .schema("event_id long, user_id long, value double, ReceiptTime long")
+          .option("eventName", "Tw::E").load(dir)
+          .filter(col("ReceiptTime") >= lo && col("ReceiptTime") <= hi)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("ReceiptTime")).as("first_ms"),
+            max(col("ReceiptTime")).as("last_ms"))
+      },
+      """WITH b AS (SELECT min(epoch_ns(ts) // 1000000) AS mn,
+        |             max(epoch_ns(ts) // 1000000) AS mx FROM events)
+        |SELECT count(*) AS n, round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(epoch_ns(ts) // 1000000) AS first_ms,
+        |  max(epoch_ns(ts) // 1000000) AS last_ms
+        |FROM events, b
+        |WHERE epoch_ns(ts) // 1000000
+        |  BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin))
   )
 }

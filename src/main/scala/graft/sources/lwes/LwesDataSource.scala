@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -105,6 +105,28 @@ object LwesDataSource {
 
   private def isHidden(name: String) =
     name.startsWith("_") || name.startsWith(".")
+
+  private val RangeTagName = """\.t(\d+)-(\d+)\.""".r.unanchored
+  private val CaptureName = """^capture-(\d+)-""".r.unanchored
+
+  /** Conservative [lo, hi] bounds on any ReceiptTime inside a journal
+    * file, from its name + modification time only (no open/decompress):
+    *  - the writer's `.t<min>-<max>.` name tag is EXACT (computed from
+    *    the records as they were written);
+    *  - a `capture-<openMillis>-` journaller stamp lower-bounds every
+    *    receipt (records are stamped at/after the file opens), and the
+    *    modification time upper-bounds them (a journal's records are all
+    *    received before the file closes) — both heuristics slackened by
+    *    `slackMs` against clock skew between stamping host and
+    *    filesystem;
+    *  - any other name keeps only the mtime upper bound.
+    * See [[LwesOptions.TimePrune]] for the layout contract. */
+  def receiptTimeBounds(name: String, mtime: Long, slackMs: Long): (Long, Long) =
+    name match {
+      case RangeTagName(mn, mx) => (mn.toLong, mx.toLong)
+      case CaptureName(open) => (open.toLong - slackMs, mtime + slackMs)
+      case _ => (Long.MinValue, mtime + slackMs)
+    }
 
   /** Path-derived `k=v` partition segments, relative to the given roots.
     * Only directory segments BELOW a root count — a root like
@@ -287,17 +309,51 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       .getOrElse(Set.empty)
   }
 
-  /** Partition-column equality filters prune whole files; everything is
-    * also left for Spark to re-apply (zero correctness risk). */
+  // columns that read the record header's receipt time (post-mapping) —
+  // range filters on them prune whole files by name-tag/mtime bounds
+  private lazy val receiptCols: Set[String] = {
+    val (attrFor, _) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
+    fullSchema.fieldNames
+      .filter(c => attrFor.getOrElse(c, c) == graft.lwes.LwesEvent.ReceiptTime)
+      .toSet
+  }
+  private var timeLo: Long = Long.MinValue
+  private var timeHi: Long = Long.MaxValue
+  private var timeFilters: Array[Filter] = Array.empty
+
+  /** Partition-column equality filters and receipt-time range filters
+    * prune whole files; everything is also left for Spark to re-apply
+    * (false positives cost nothing — only the file-level BOUNDS must be
+    * sound, see [[LwesDataSource.receiptTimeBounds]]). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     partitionFilters = filters.filter {
       case EqualTo(a, _) => samplePartitionCols.contains(a)
       case In(a, _) => samplePartitionCols.contains(a)
       case _ => false
     }
+    val tf = mutable.ArrayBuffer[Filter]()
+    // receipt times are integral millis, so strict bounds convert
+    // exactly: `< v` ⟺ `<= v-1` (saturating at the Long extremes)
+    filters.foreach {
+      case f @ GreaterThan(a, v: Number) if receiptCols(a) =>
+        val x = v.longValue()
+        timeLo = math.max(timeLo, if (x == Long.MaxValue) x else x + 1); tf += f
+      case f @ GreaterThanOrEqual(a, v: Number) if receiptCols(a) =>
+        timeLo = math.max(timeLo, v.longValue()); tf += f
+      case f @ LessThan(a, v: Number) if receiptCols(a) =>
+        val x = v.longValue()
+        timeHi = math.min(timeHi, if (x == Long.MinValue) x else x - 1); tf += f
+      case f @ LessThanOrEqual(a, v: Number) if receiptCols(a) =>
+        timeHi = math.min(timeHi, v.longValue()); tf += f
+      case f @ EqualTo(a, v: Number) if receiptCols(a) =>
+        timeLo = math.max(timeLo, v.longValue())
+        timeHi = math.min(timeHi, v.longValue()); tf += f
+      case _ =>
+    }
+    timeFilters = tf.toArray
     filters // all residual
   }
-  override def pushedFilters(): Array[Filter] = partitionFilters
+  override def pushedFilters(): Array[Filter] = partitionFilters ++ timeFilters
 
   override def build(): Scan = {
     val eventName = Option(options.get(LwesOptions.EventName))
@@ -307,12 +363,16 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     val pcols = samplePartitionCols.toSeq.filter(readSchema.fieldNames.contains)
     val ncol = Option(options.get(LwesOptions.EventNameColumn))
       .filter(readSchema.fieldNames.contains)
+    val pruneOn = options.getBoolean(LwesOptions.TimePrune, true)
     new LwesScan(readSchema,
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
         pushedLimit, ncol),
       roots, partitionFilters,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      timeLo = if (pruneOn) timeLo else Long.MinValue,
+      timeHi = if (pruneOn) timeHi else Long.MaxValue,
+      timeSlackMs = options.getLong(LwesOptions.TimePruneSlackMs, 3600000L))
   }
 }
 
@@ -351,6 +411,12 @@ private[lwes] class CorruptRecordsMetric
   override def name(): String = "corruptRecords"
   override def description(): String = "records skipped by frame resync"
 }
+private[lwes] class FilesPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesPruned"
+  override def description(): String =
+    "journals skipped by ReceiptTime-range bounds"
+}
 private[lwes] final case class LwesTaskMetric(metricName: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = metricName
@@ -360,7 +426,9 @@ private[lwes] final case class LwesTaskMetric(metricName: String, v: Long)
 class LwesScan(schema: StructType, config: LwesReadConfig,
     roots: Seq[String], partitionFilters: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    timeLo: Long = Long.MinValue, timeHi: Long = Long.MaxValue,
+    timeSlackMs: Long = 3600000L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
@@ -370,7 +438,20 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new EventsParsedMetric, new EventsSkippedMetric,
-      new TornFilesMetric, new CorruptRecordsMetric)
+      new TornFilesMetric, new CorruptRecordsMetric, new FilesPrunedMetric)
+
+  /** Driver-side planning metric: files the ReceiptTime bounds skipped
+    * (visible in the SQL UI next to the task metrics). */
+  override def reportDriverMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    plannedPartitions // ensure planning ran
+    Array(LwesTaskMetric("filesPruned", prunedFileCount))
+  }
+
+  @volatile private var prunedFiles = 0L
+  /** Files skipped by ReceiptTime-range pruning in the last planning
+    * pass (test/diagnostic accessor; same number as the driver metric). */
+  def prunedFileCount: Long = prunedFiles
 
   /** Runtime (dynamic partition) pruning: joins on a path-derived
     * partition column hand the build side's values back to the scan
@@ -401,7 +482,19 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
     var p = cachedPartitions
     if (p == null) {
       val conf = LwesDataSource.hadoopConf()
-      val files = LwesDataSource.listFiles(roots, conf)
+      val listed = LwesDataSource.listFiles(roots, conf)
+      // ReceiptTime-range pruning: drop whole files whose name-tag/mtime
+      // bounds cannot overlap the pushed [timeLo, timeHi] window —
+      // BEFORE any open/decompress. Exact-tagged files prune exactly;
+      // untagged ones keep a slackened mtime upper bound only.
+      val files =
+        if (timeLo == Long.MinValue && timeHi == Long.MaxValue) listed
+        else listed.filter { f =>
+          val (flo, fhi) = LwesDataSource.receiptTimeBounds(
+            f.getPath.getName, f.getModificationTime, timeSlackMs)
+          fhi >= timeLo && flo <= timeHi
+        }
+      prunedFiles = (listed.size - files.size).toLong
       val slices = files.iterator.map { f =>
         LwesInputPartition(f.getPath.toString, f.getLen,
           LwesDataSource.partitionValues(f.getPath, roots))

@@ -52,6 +52,22 @@ object LwesOptions {
   // negative, parity with the reference's getInt64) or "decimal"
   // (schema inference yields decimal(20,0) and reads are unsigned-exact)
   val Uint64As = "uint64As"
+  // ReceiptTime-range FILE pruning (default true): a pushed range filter
+  // on the receipt-time column skips whole journals whose conservative
+  // [min,max] receipt-time bounds cannot overlap the query window. The
+  // Spark-native generalization of the reference README's
+  // `PARTITIONED BY(dt STRING)` pattern — "last hour's events" over a
+  // year of rotated journals stops decompressing the year. Bounds come
+  // from (exact) the writer's `.t<min>-<max>.` file-name tag, or
+  // (heuristic, ±slack) a `capture-<openMillis>-` journaller name stamp
+  // as lower bound and the file modification time as upper bound — a
+  // journal's records are all received before the file is closed.
+  // Disable for layouts that violate that contract (files holding
+  // receipt times later than their mtime, e.g. synthetic future-dated
+  // data under untagged names).
+  val TimePrune = "timePrune"
+  // clock-skew allowance for the heuristic (untagged) bounds, millis
+  val TimePruneSlackMs = "timePruneSlackMs"
 
   /** Parse `mapping` option: `col:Attr` / `col:Event::Name::Field`. */
   def parseMapping(mapping: String): (Map[String, String], Map[String, String]) = {

@@ -267,11 +267,33 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
   private val isPartCol: Array[Boolean] =
     schema.fields.indices.map(i => partIdx.contains(i) || i == nameIdx).toArray
 
-  // open journals: partition subdir ("" = unpartitioned) -> writer + paths
-  private val open = scala.collection.mutable.LinkedHashMap[String, (JournalWriter, Path, Path)]()
+  // column carrying the receipt time (post-mapping): when present, the
+  // final file name is tagged `.t<min>-<max>.` with the EXACT receipt
+  // bounds of the records written — the scan prunes whole files from a
+  // pushed ReceiptTime range filter on that tag alone (the journal
+  // counterpart of a parquet footer's min/max stats)
+  private val rtIdx: Int = {
+    val i = attrs.indexOf(graft.lwes.LwesEvent.ReceiptTime)
+    if (i >= 0 && isPartCol(i)) -1 else i
+  }
+
+  /** One open journal: writer, staging path, untagged destination, and
+    * the receipt-time bounds of everything written into it. */
+  private final class OpenJournal(val w: JournalWriter, val tmp: Path, val dest: Path) {
+    var tMin: Long = Long.MaxValue
+    var tMax: Long = Long.MinValue
+    /** Destination with the exact receipt-bounds tag (when tracked). */
+    def taggedDest: Path =
+      if (rtIdx < 0 || tMin > tMax || tMin < 0) dest
+      else new Path(dest.getParent,
+        s"${dest.getName.stripSuffix("." + ext)}.t$tMin-$tMax.$ext")
+  }
+
+  // open journals: partition subdir ("" = unpartitioned) -> journal
+  private val open = scala.collection.mutable.LinkedHashMap[String, OpenJournal]()
   private var count = 0L
 
-  private def writerFor(subdir: String): JournalWriter =
+  private def journalFor(subdir: String): OpenJournal =
     open.getOrElseUpdate(subdir, {
       val base = if (subdir.isEmpty) new Path(dir) else new Path(dir, subdir)
       fs.mkdirs(base)
@@ -280,8 +302,8 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
         if (stableNames) f"$namePrefix-$partitionId%05d.$ext"
         else f"$namePrefix-$partitionId%05d-$taskId.$ext")
       val raw = fs.create(tmp, true)
-      (new JournalWriter(wrapOut(raw)), tmp, dest)
-    })._1
+      new OpenJournal(new JournalWriter(wrapOut(raw)), tmp, dest)
+    })
 
   override def write(row: InternalRow): Unit = {
     val name =
@@ -305,7 +327,16 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
         else row.get(i, schema.fields(i).dataType).toString
       s"${schema.fields(i).name}=$v"
     }.mkString("/")
-    writerFor(subdir).write(ev)
+    val oj = journalFor(subdir)
+    oj.w.write(ev)
+    if (rtIdx >= 0) {
+      // track what the journal layer actually stamps (unset attr → 0),
+      // so the name tag is exact for every record in the file
+      val t = ev.get(graft.lwes.LwesEvent.ReceiptTime)
+        .map(_.value.asInstanceOf[Long]).getOrElse(0L)
+      if (t < oj.tMin) oj.tMin = t
+      if (t > oj.tMax) oj.tMax = t
+    }
     count += 1
   }
 
@@ -317,29 +348,33 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
       // a replay with a different partition count can therefore never
       // leave a mixed-layout set of visible files (see
       // LwesStreamingWrite.commit).
-      val files = open.values.toSeq.map { case (w, tmp, dest) =>
-        w.close()
+      // tagged names stay epoch-stable: a replayed epoch rewrites the
+      // same rows, so the receipt bounds (and thus the name) recur
+      val files = open.values.toSeq.map { oj =>
+        oj.w.close()
+        val dest = oj.taggedDest
         val pending = new Path(dest.getParent, s".pending-${dest.getName}")
         fs.delete(pending, false) // stale same-task attempt
-        if (!fs.rename(tmp, pending))
-          throw new java.io.IOException(s"rename $tmp -> $pending failed")
+        if (!fs.rename(oj.tmp, pending))
+          throw new java.io.IOException(s"rename ${oj.tmp} -> $pending failed")
         (pending.toString, dest.toString)
       }
       LwesCommitMessage(dir, count, files)
     } else {
-      open.values.foreach { case (w, tmp, dest) =>
-        w.close()
-        if (!fs.rename(tmp, dest))
-          throw new java.io.IOException(s"rename $tmp -> $dest failed")
+      open.values.foreach { oj =>
+        oj.w.close()
+        val dest = oj.taggedDest
+        if (!fs.rename(oj.tmp, dest))
+          throw new java.io.IOException(s"rename ${oj.tmp} -> $dest failed")
       }
       LwesCommitMessage(dir, count)
     }
   }
 
   override def abort(): Unit = {
-    open.values.foreach { case (w, tmp, _) =>
-      try w.close() catch { case _: Throwable => }
-      fs.delete(tmp, false)
+    open.values.foreach { oj =>
+      try oj.w.close() catch { case _: Throwable => }
+      fs.delete(oj.tmp, false)
     }
   }
 
