@@ -2,6 +2,8 @@ package graft.queries
 
 import java.nio.file.Files
 
+import graft.lwes.{LwesCodec, LwesEvent}
+import org.apache.hadoop.io.{BytesWritable, LongWritable, SequenceFile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -566,6 +568,132 @@ object LwesQueries {
         |  max(epoch_ns(ts) // 1000000) AS last_ms
         |FROM events, b
         |WHERE epoch_ns(ts) // 1000000
-        |  BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin))
+        |  BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin)),
+
+    // A9 promoted to the hard gate: read the journal with NO schema —
+    // inference must surface every attribute with usable types (doubles
+    // ride the wire as LWES strings, reference parity, so the query
+    // casts back) — and the aggregate must still hash-match the source.
+    "lwes_infer" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"infer|$d") { dir =>
+          t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .write.format("lwes").option("eventName", "Order::Inf")
+            .mode("append").save(dir)
+        }
+        s.read.format("lwes").option("eventName", "Order::Inf").load(dir)
+          .agg(count(lit(1)).as("n"),
+            max(col("o_orderkey")).as("max_key"),
+            countDistinct(col("o_orderpriority")).as("n_prio"),
+            round(sum(col("o_totalprice").cast("double")), 2).as("total_price"))
+      },
+      """SELECT count(*) AS n, max(o_orderkey) AS max_key,
+        |  count(DISTINCT o_orderpriority) AS n_prio,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders""".stripMargin)),
+
+    // A14 promoted: Hive-style k=v partitioned journal layout, written
+    // by the sink's partitionBy routing and read back with the partition
+    // column materialized from the PATH; the IN filter prunes partition
+    // directories before any file opens.
+    "lwes_partitioned" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"part|$d") { dir =>
+          t(s, d, "orders")
+            .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+            .select("o_orderkey", "o_totalprice", "prio")
+            .write.format("lwes").option("eventName", "Order::Pt")
+            .option("partitionBy", "prio").mode("append").save(dir)
+        }
+        s.read.format("lwes")
+          .schema("o_orderkey long, o_totalprice double, prio string")
+          .option("eventName", "Order::Pt").load(dir)
+          .filter(col("prio").isin("1", "3", "5"))
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total_price"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("prio"))
+      },
+      """SELECT substr(o_orderpriority, 1, 1) AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  max(o_orderkey) AS max_key
+        |FROM orders WHERE substr(o_orderpriority, 1, 1) IN ('1', '3', '5')
+        |GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // A15 promoted: journals stored as SequenceFiles of EventWritable
+    // (the reference's second container, EventSerDe.java:36-38), one
+    // zlib record-compressed and one block-compressed, auto-detected by
+    // the same format("lwes") load. The containers are materialized
+    // driver-side with Hadoop's own SequenceFile.Writer — scaffolding
+    // (the reference layout came from legacy Hadoop jobs); the operator
+    // under test is the read path.
+    "lwes_seqfile" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"seq|$d") { dir =>
+          val conf = s.sessionState.newHadoopConf()
+          def open(path: String, ct: SequenceFile.CompressionType) =
+            SequenceFile.createWriter(conf,
+              SequenceFile.Writer.file(new org.apache.hadoop.fs.Path(path)),
+              SequenceFile.Writer.keyClass(classOf[LongWritable]),
+              SequenceFile.Writer.valueClass(classOf[BytesWritable]),
+              SequenceFile.Writer.compression(ct))
+          val ws = Array(
+            open(s"$dir/j0.seq", SequenceFile.CompressionType.RECORD),
+            open(s"$dir/j1.seq", SequenceFile.CompressionType.BLOCK))
+          val it = t(s, d, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal").toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            val ev = LwesEvent("Cust::Seq")
+              .setInt64("c_custkey", r.getLong(0))
+              .setString("c_mktsegment", r.getString(1))
+              .setString("c_acctbal", r.getDouble(2).toString)
+            val bytes = LwesCodec.serialize(ev)
+            ws((r.getLong(0) % 2).toInt).append(
+              new LongWritable(r.getLong(0)), new BytesWritable(bytes))
+          }
+          ws.foreach(_.close())
+        }
+        s.read.format("lwes")
+          .schema("c_custkey long, c_mktsegment string, c_acctbal double")
+          .option("eventName", "Cust::Seq").load(dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal")), 2).as("total_bal"),
+            min(col("c_custkey")).as("min_key"))
+          .orderBy(col("c_mktsegment"))
+      },
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS total_bal, min(c_custkey) AS min_key
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // A18 promoted: 12 small journals compact to 2 and the aggregate
+    // over the compacted directory still hash-matches the source —
+    // compaction's uncapped inference, event-type preservation, and
+    // promote-then-delete swap all sit under the hard signal.
+    "lwes_compacted" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"cmp|$d") { dir =>
+          events(s, d).select("event_id", "user_id", "value")
+            .repartition(12)
+            .write.format("lwes").option("eventName", "Cm::E")
+            .mode("append").save(dir)
+          val (before, after) = graft.sources.lwes.Compact.compact(s, dir, 2)
+          require(before == 12 && after <= 2,
+            s"compaction must shrink 12 journals to <=2, got $before -> $after")
+        }
+        s.read.format("lwes")
+          .schema("event_id long, user_id long, value double")
+          .option("eventName", "Cm::E").load(dir)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"),
+            max(col("event_id")).as("max_id"))
+      },
+      """SELECT count(*) AS n, round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users, max(event_id) AS max_id
+        |FROM events""".stripMargin))
   )
 }
