@@ -65,21 +65,47 @@ object LwesDataSource {
     * commit marker exists — a tailing reader (or batch scan) therefore
     * never observes an uncommitted or partially-promoted epoch. A root
     * that IS a file (explicit path load) bypasses the gate: naming the
-    * file is the user overriding it. */
+    * file is the user overriding it.
+    *
+    * On distributed stores (HDFS-like) the listing goes through
+    * `listLocatedStatus`, so every returned file is a
+    * `LocatedFileStatus` carrying its block hosts from the SAME listing
+    * RPC — no per-file location call — and scan partitions expose
+    * `preferredLocations()` for free. Local filesystems keep the plain
+    * `listStatus` walk: locality is meaningless there, and
+    * RawLocalFileSystem's located listing stats every entry eagerly
+    * (shelling out for permissions), which races fatally with files
+    * being rotated/compacted away mid-listing. */
   def listFiles(roots: Seq[String], conf: Configuration): Seq[FileStatus] = {
     val out = mutable.ArrayBuffer[FileStatus]()
     val explicit = mutable.ArrayBuffer[FileStatus]()
     val committedEpochs = mutable.HashSet[String]()
+    def isLocal(fs: org.apache.hadoop.fs.FileSystem): Boolean = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+          _: org.apache.hadoop.fs.RawLocalFileSystem => true
+      case _ => false
+    }
+    def entries(fs: org.apache.hadoop.fs.FileSystem, p: Path): Iterator[FileStatus] =
+      if (isLocal(fs)) fs.listStatus(p).iterator
+      else {
+        val it = fs.listLocatedStatus(p)
+        new Iterator[FileStatus] {
+          def hasNext: Boolean = it.hasNext
+          def next(): FileStatus = it.next()
+        }
+      }
     def walk(p: Path): Unit = {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return
       val st = fs.getFileStatus(p)
       if (st.isDirectory) {
-        fs.listStatus(p).foreach { s =>
+        entries(fs, p).foreach { s =>
           val n = s.getPath.getName
           n match {
             case EpochManifestName(tok) if s.isFile => committedEpochs += tok
-            case _ if !isHidden(n) => walk(s.getPath)
+            case _ if !isHidden(n) =>
+              if (s.isDirectory) walk(s.getPath)
+              else out += s
             case _ =>
           }
         }
@@ -89,7 +115,10 @@ object LwesDataSource {
       val p = new Path(r)
       val fs = p.getFileSystem(conf)
       if (fs.exists(p) && fs.getFileStatus(p).isFile) {
-        if (!isHidden(p.getName)) explicit += fs.getFileStatus(p)
+        if (!isHidden(p.getName)) {
+          if (isLocal(fs)) explicit += fs.getFileStatus(p)
+          else entries(fs, p).foreach(explicit += _)
+        }
       } else walk(p)
     }
     (out.filter { s =>
@@ -98,6 +127,23 @@ object LwesDataSource {
         case _ => true
       }
     } ++ explicit).toSeq
+  }
+
+  /** Hosts holding a file's blocks, ranked by bytes covered (the
+    * scheduler's first choice should be the host with most of a
+    * sequentially-read, unsplittable journal). Empty when the
+    * filesystem reports no locations. */
+  def hostsOf(f: FileStatus): Seq[String] = f match {
+    case lf: org.apache.hadoop.fs.LocatedFileStatus =>
+      val byHost = mutable.LinkedHashMap.empty[String, Long]
+      lf.getBlockLocations.foreach { b =>
+        b.getHosts.foreach(h => byHost.updateWith(h) {
+          case Some(n) => Some(n + b.getLength)
+          case None => Some(b.getLength)
+        })
+      }
+      byHost.toSeq.sortBy { case (h, n) => (-n, h) }.map(_._1)
+    case _ => Nil
   }
 
   private val EpochManifestName = """_epoch-(q[0-9a-fA-F]+-e\d+)\.manifest""".r
@@ -377,14 +423,33 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
 }
 
 final case class LwesInputPartition(path: String, length: Long,
-    partitionValues: Map[String, String]) extends InputPartition
+    partitionValues: Map[String, String], locations: Seq[String] = Nil)
+    extends InputPartition {
+  /** Block hosts from the listing (HDFS/YARN locality; empty on
+    * local/object stores, where Spark schedules anywhere). */
+  override def preferredLocations(): Array[String] = locations.toArray
+}
 
 /** A bin of small files scheduled as ONE task (batch scans only; the
   * streaming source keeps per-file partitions since admission control
   * is per-file). Journals are unsplittable, so files are atomic — the
   * bin bounds task COUNT, never splits a file. */
 final case class LwesFilesPartition(files: Seq[LwesInputPartition])
-    extends InputPartition
+    extends InputPartition {
+  /** Hosts ranked by total bytes they hold across the bin's files —
+    * bins are packed per primary host, so the top entry usually serves
+    * the whole task locally. */
+  override def preferredLocations(): Array[String] = {
+    val byHost = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    files.foreach { f =>
+      f.locations.foreach(h => byHost.updateWith(h) {
+        case Some(n) => Some(n + f.length)
+        case None => Some(f.length)
+      })
+    }
+    byHost.toSeq.sortBy { case (h, n) => (-n, h) }.map(_._1).toArray
+  }
+}
 
 /** DSv2 custom scan metrics, surfaced per-scan in the SQL UI. At
   * journal scale these are the difference between diagnosing "slow
@@ -497,52 +562,22 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
       prunedFiles = (listed.size - files.size).toLong
       val slices = files.iterator.map { f =>
         LwesInputPartition(f.getPath.toString, f.getLen,
-          LwesDataSource.partitionValues(f.getPath, roots))
+          LwesDataSource.partitionValues(f.getPath, roots),
+          LwesDataSource.hostsOf(f))
       }.filter(p => (partitionFilters ++ runtimeFilters)
           .forall(matches(p.partitionValues, _)))
-        // biggest files first → better task packing at scale
-        .toArray.sortBy(-_.length)
-      p = packPartitions(slices)
+        .toArray
+      val (maxBytes, openCost, parallelism) =
+        try {
+          val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+          val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+          (sqlConf.filesMaxPartitionBytes, sqlConf.filesOpenCostInBytes,
+            sc.defaultParallelism)
+        } catch { case scala.util.control.NonFatal(_) => (128L << 20, 4L << 20, 8) }
+      p = LwesScan.packPartitions(slices, maxBytes, openCost, parallelism)
       cachedPartitions = p
     }
     p
-  }
-
-  /** Bin-pack small files into shared tasks, Spark's own FilePartition
-    * policy (maxSplitBytes = min(files.maxPartitionBytes,
-    * max(openCostInBytes, totalBytes / defaultParallelism))): a
-    * directory of 10^6 hourly journals must not plan 10^6 tasks —
-    * driver partition-planning memory and per-task overhead both scale
-    * with task COUNT, while small-corpus scans keep one file per task
-    * (the dynamic bytes-per-core floor preserves parallelism). Files
-    * stay atomic (gzip journals are unsplittable). */
-  private def packPartitions(slices: Array[LwesInputPartition]): Array[InputPartition] = {
-    val (maxBytes, openCost, parallelism) =
-      try {
-        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-        val sqlConf = org.apache.spark.sql.internal.SQLConf.get
-        (sqlConf.filesMaxPartitionBytes, sqlConf.filesOpenCostInBytes,
-          sc.defaultParallelism)
-      } catch { case scala.util.control.NonFatal(_) => (128L << 20, 4L << 20, 8) }
-    val totalBytes = slices.map(_.length + openCost).sum
-    val maxSplit = math.min(maxBytes,
-      math.max(openCost, totalBytes / math.max(parallelism, 1)))
-    val bins = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    var cur = scala.collection.mutable.ArrayBuffer.empty[LwesInputPartition]
-    var curSize = 0L
-    slices.foreach { s => // already sorted largest-first
-      val cost = s.length + openCost
-      if (cur.nonEmpty && curSize + cost > maxSplit) {
-        bins += (if (cur.length == 1) cur.head else LwesFilesPartition(cur.toSeq))
-        cur = scala.collection.mutable.ArrayBuffer.empty
-        curSize = 0L
-      }
-      cur += s
-      curSize += cost
-    }
-    if (cur.nonEmpty)
-      bins += (if (cur.length == 1) cur.head else LwesFilesPartition(cur.toSeq))
-    bins.toArray
   }
 
   /** Compressed on-disk bytes × an inflation factor — enough signal for
@@ -576,6 +611,55 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
     new LwesMicroBatchStream(config, roots, maxFilesPerTrigger,
       checkpointLocation, maxBytesPerTrigger)
+}
+
+object LwesScan {
+  /** Bin-pack small files into shared tasks, Spark's own FilePartition
+    * policy (maxSplitBytes = min(files.maxPartitionBytes,
+    * max(openCostInBytes, totalBytes / defaultParallelism))): a
+    * directory of 10^6 hourly journals must not plan 10^6 tasks —
+    * driver partition-planning memory and per-task overhead both scale
+    * with task COUNT, while small-corpus scans keep one file per task
+    * (the dynamic bytes-per-core floor preserves parallelism). Files
+    * stay atomic (gzip journals are unsplittable).
+    *
+    * Packing is LOCALITY-AWARE: files group by their primary block
+    * host before packing, so each bin's files share a host and the
+    * bin's `preferredLocations()` can be honored for every file in the
+    * task — mixing hosts in one bin would force remote reads for all
+    * but one of them. Location-less files (local FS, object stores)
+    * all land in one group, giving exactly the host-agnostic packing.
+    * The cost is at most one partially-filled bin per host, noise at
+    * 10^3+ files/host. maxSplit stays GLOBAL (total bytes over total
+    * cores), so a skewed host distribution cannot inflate per-task
+    * work. */
+  private[lwes] def packPartitions(slices: Array[LwesInputPartition],
+      maxBytes: Long, openCost: Long, parallelism: Int): Array[InputPartition] = {
+    val totalBytes = slices.map(_.length + openCost).sum
+    val maxSplit = math.min(maxBytes,
+      math.max(openCost, totalBytes / math.max(parallelism, 1)))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    slices.groupBy(_.locations.headOption.getOrElse(""))
+      .toSeq.sortBy(_._1).foreach { case (_, group) =>
+        // biggest files first → better packing within the host group
+        val sorted = group.sortBy(s => (-s.length, s.path))
+        var cur = scala.collection.mutable.ArrayBuffer.empty[LwesInputPartition]
+        var curSize = 0L
+        def flush(): Unit = if (cur.nonEmpty) {
+          bins += (if (cur.length == 1) cur.head else LwesFilesPartition(cur.toSeq))
+          cur = scala.collection.mutable.ArrayBuffer.empty
+          curSize = 0L
+        }
+        sorted.foreach { s =>
+          val cost = s.length + openCost
+          if (cur.nonEmpty && curSize + cost > maxSplit) flush()
+          cur += s
+          curSize += cost
+        }
+        flush()
+      }
+    bins.toArray
+  }
 }
 
 /** Streaming journal source (SURVEY.md §2 A13): tails append-only
