@@ -119,7 +119,15 @@ object Bench {
       } + "\""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
     val loadJson = s""""loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)}"""
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"iters_per_query":$iters,$loadJson,"sf":${jstr(sfDir)}}"""
+    // Streaming gates also record a drain rate (input rows ÷ summed
+    // micro-batch time) — wall-clock timing alone hides whether a
+    // streaming regression is in the drain or in the batch read-back.
+    val streamJson = graft.queries.LwesQueries.streamThroughput.toSeq
+      .sortBy(_._1).map { case (k, (rows, secs)) =>
+        s"\"" + k + "\":{\"events\":" + rows + ",\"secs\":" + f(secs) +
+          ",\"events_per_sec\":" + f(rows / secs) + "}"
+      }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"streaming":$streamJson,"iters_per_query":$iters,$loadJson,"sf":${jstr(sfDir)}}"""
     // Stdout tail capture can truncate the front of a very long single
     // line (BENCH_r03 parsed null that way) — persist to a file too, so
     // round-over-round comparison never depends on stdout buffer length.

@@ -34,12 +34,21 @@ object LwesQueries {
       dir
     })
 
+  /** events/s drain rate per streaming gate (input rows ÷ summed
+    * micro-batch wall time), recorded when each gate's query finishes.
+    * Bench folds the latest reading per key into bench-out.json, so a
+    * streaming-throughput regression is as visible round-over-round as
+    * a batch timing one. */
+  val streamThroughput =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Double)]
+
   /** State-store visibility for the streaming gates: at 100 TB the real
     * streaming risk is unbounded state, and a watermark/eviction
     * regression shows up as state growth long before it shows up as a
     * wrong answer. Logs peak rows/bytes per stateful operator from the
     * finished query's progress history so the numbers are recorded
-    * round-over-round in the Verify/Bench output. */
+    * round-over-round in the Verify/Bench output. Also records the
+    * gate's drain throughput (see [[streamThroughput]]). */
   private def logStateMetrics(tag: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val ops = q.recentProgress.flatMap(_.stateOperators)
@@ -50,6 +59,9 @@ object LwesQueries {
       }.mkString("; ")
       System.err.println(s"[graft-stream-state] $tag: $summary")
     }
+    val rows = q.recentProgress.map(_.numInputRows).sum
+    val secs = q.recentProgress.map(_.batchDuration).sum / 1000.0
+    if (rows > 0 && secs > 0) streamThroughput(tag) = (rows, secs)
   }
 
   /** events table → journal dir, one event type per event_type value,
