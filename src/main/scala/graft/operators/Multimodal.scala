@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   * PCM parser, MJPEG-in-AVI per-frame PIXELS through a RIFF chunk walk +
   * per-frame JPEG decode, MP4/QuickTime container METADATA (moov/mvhd
   * duration, track count, tkhd dims, stts frame count) through an
-  * ISO-BMFF box walk — no extra dependencies. Only inter-frame-coded
-  * video (H.264-class, which needs an external codec library like
-  * ffmpeg) falls back to a deterministic stand-in, as do unrecognized
-  * byte payloads (which keeps the synthetic-media test harness and the
-  * `mm_meta` gate stable).
+  * ISO-BMFF box walk, and H.264-in-MP4 per-frame PIXELS through a
+  * from-scratch bitstream decoder for the I_PCM/P_Skip subset
+  * ([[H264]]: NAL/RBSP, Exp-Golomb, SPS/PPS/slice headers, zero-MV
+  * reference-frame copy — true inter-frame decode) — no extra
+  * dependencies. Only entropy-coded video residuals (CAVLC/CABAC +
+  * prediction + IDCT, i.e. typical camera footage, which needs a full
+  * codec library like ffmpeg) fall back to a deterministic stand-in, as
+  * do unrecognized byte payloads (which keeps the synthetic-media test
+  * harness and the `mm_meta`/`mm_h264` gates stable).
   */
 object Multimodal {
 
@@ -223,6 +227,44 @@ object Multimodal {
 
     final case class FrameStat(width: Int, height: Int, meanLuma: Double)
 
+    /** H.264-in-MP4 per-frame PIXEL statistics for the I_PCM/P_Skip
+      * subset — a real bitstream decode (NAL/RBSP unescape, Exp-Golomb
+      * headers, macroblock layer, zero-MV reference copy for skipped
+      * macroblocks; [[H264]]). None when the stream carries
+      * entropy-coded residual macroblocks (CAVLC/CABAC — full-codec
+      * territory), so callers fall back to container metadata or the
+      * stand-in. */
+    def mp4FrameStats(bytes: Array[Byte]): Option[IndexedSeq[FrameStat]] =
+      H264.decodeMp4(bytes).map(_.frames.map(p =>
+        FrameStat(p.width, p.height, p.meanLuma)))
+
+    /** Decoded 4:2:0 plane → standalone PNG (BT.601 full-range
+      * YCbCr→RGB), so sampled H.264 frames ride downstream exactly like
+      * sampled MJPEG frames. */
+    def planePng(p: H264.Plane): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(p.width, p.height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+      var yy = 0
+      while (yy < p.height) {
+        var x = 0
+        while (x < p.width) {
+          val l = p.y(yy * p.width + x) & 0xFF
+          val cbv = (p.cb((yy / 2) * (p.width / 2) + x / 2) & 0xFF) - 128
+          val crv = (p.cr((yy / 2) * (p.width / 2) + x / 2) & 0xFF) - 128
+          val r = clamp(l + 1.402 * crv)
+          val g = clamp(l - 0.344136 * cbv - 0.714136 * crv)
+          val b = clamp(l + 1.772 * cbv)
+          img.setRGB(x, yy, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        yy += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** Real per-frame pixel statistics for an MJPEG AVI: each frame's
       * dimensions and mean luma (Rec.601 from the decoded RGB). Frames
       * whose JPEG payload is torn are skipped. None for non-AVI bytes. */
@@ -412,6 +454,122 @@ object Multimodal {
       ftyp ++ box("moov", mvhd ++ trak)
     }
 
+    /** Closed-form gray level of H.264 frame k for an n-code-point
+      * text: 20 + (n*31 + k*40) % 200 — PCM-exact (no JPEG rounding). */
+    def h264Gray(n: Int, k: Int): Int = 20 + (n * 31 + k * 40) % 200
+    def h264FrameCount(n: Int): Int = 3 + n % 5
+    val H264W = 32
+    val H264H = 32
+
+    /** REAL H.264/AVC in MP4 (avc1 + avcC): 32×32, 3–7 frames. Frame 0
+      * is an IDR of solid I_PCM gray `h264Gray(n, 0)`; every later
+      * frame k is a P slice that intra-refreshes its TOP macroblock row
+      * to `h264Gray(n, k)` and P_Skips the bottom row — whose pixels
+      * therefore only exist by zero-motion copy from frame k-1 in the
+      * DECODER's reference buffer. True inter-frame coding with every
+      * decoded pixel closed-form in n: mean luma of frame 0 is g(0), of
+      * frame k≥1 is (g(k) + g(0)) / 2. Spec-valid baseline H.264 — any
+      * conformant player decodes the same pixels. */
+    def makeMp4Avc(text: String): Array[Byte] = {
+      val n = textLen(text)
+      val (w, h) = (H264W, H264H)
+      val nFrames = h264FrameCount(n)
+      val neutral = 128.toByte
+      var prev: H264.Plane = null
+      val frames = (0 until nFrames).map { k =>
+        val g = h264Gray(n, k).toByte
+        val y = new Array[Byte](w * h)
+        val cb = Array.fill[Byte]((w / 2) * (h / 2))(neutral)
+        val cr = Array.fill[Byte]((w / 2) * (h / 2))(neutral)
+        if (k == 0) java.util.Arrays.fill(y, g)
+        else {
+          System.arraycopy(prev.y, 0, y, 0, y.length) // P_Skip persists
+          java.util.Arrays.fill(y, 0, 16 * w, g) // top MB row refresh
+        }
+        val p = H264.Plane(w, h, y, cb, cr)
+        prev = p
+        p
+      }
+      val enc = H264.encode(frames, refreshMbs = w / 16) // top row of MBs
+      // --- mux into ISO-BMFF: ftyp, mdat (length-prefixed NALs), moov
+      def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        bb.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1")).put(payload)
+        bb.array()
+      }
+      def be(fields: Int*): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(fields.length * 4)
+        fields.foreach(bb.putInt)
+        bb.array()
+      }
+      val sampleBytes = enc.frameNals.map { nal =>
+        java.nio.ByteBuffer.allocate(4 + nal.length).putInt(nal.length)
+          .put(nal).array()
+      }
+      val mdatPayload = sampleBytes.toArray.flatten
+      val ftyp = box("ftyp",
+        "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes)
+      val mdat = box("mdat", mdatPayload)
+      val mdatOff = ftyp.length + 8 // payload offset of mdat in the file
+      val duration = nFrames * 60 // timescale 600, 10 fps
+      val avcC = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(1); bos.write(66); bos.write(0); bos.write(20) // ver/profile/compat/level
+        bos.write(0xFF) // reserved + lengthSizeMinusOne=3
+        bos.write(0xE1) // reserved + numSps=1
+        bos.write(enc.sps.length >> 8); bos.write(enc.sps.length & 0xFF)
+        bos.write(enc.sps)
+        bos.write(1) // numPps
+        bos.write(enc.pps.length >> 8); bos.write(enc.pps.length & 0xFF)
+        bos.write(enc.pps)
+        box("avcC", bos.toByteArray)
+      }
+      val avc1 = {
+        val bb = java.nio.ByteBuffer.allocate(78)
+        bb.position(6) // reserved
+        bb.putShort(1) // data_reference_index
+        bb.position(24) // pre_defined/reserved
+        bb.putShort(w.toShort).putShort(h.toShort)
+        bb.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+        bb.putInt(0)
+        bb.putShort(1) // frame_count
+        bb.position(74) // skip compressorname(32)
+        bb.putShort(0x0018) // depth
+        bb.putShort(-1) // pre_defined
+        box("avc1", bb.array() ++ avcC)
+      }
+      val stsd = box("stsd", be(0, 1) ++ avc1)
+      val stts = box("stts", be(0, 1, nFrames, 60))
+      val stsc = box("stsc", be(0, 1, 1, nFrames, 1))
+      val stsz = box("stsz", be(Seq(0, 0, nFrames) ++ sampleBytes.map(_.length): _*))
+      val stco = box("stco", be(0, 1, mdatOff))
+      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val url0 = box("url ", be(1))
+      val dinf = box("dinf", box("dref", be(0, 1) ++ url0))
+      val vmhd = box("vmhd", be(1, 0))
+      val hdlr = box("hdlr",
+        be(0, 0) ++ "vide".getBytes("ISO-8859-1") ++ be(0, 0, 0) ++ Array[Byte](0))
+      val mdhd = box("mdhd", be(0, 0, 0, 600, duration) ++ Array[Byte](0x55, -60, 0, 0))
+      val minf = box("minf", vmhd ++ dinf ++ stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val tkhd = {
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.putInt(7) // version 0, flags: enabled|in_movie|in_preview
+        bb.putInt(0).putInt(0) // ctime/mtime
+        bb.putInt(1).putInt(0).putInt(duration) // track id, reserved, duration
+        bb.position(84 - 8)
+        bb.putInt(w << 16).putInt(h << 16)
+        box("tkhd", bb.array())
+      }
+      val mvhd = {
+        val bb = java.nio.ByteBuffer.allocate(100)
+        bb.putInt(0).putInt(0).putInt(0).putInt(600).putInt(duration)
+        box("mvhd", bb.array())
+      }
+      val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+      ftyp ++ mdat ++ moov
+    }
+
     /** Real MJPEG-in-AVI: RIFF('AVI ') with hdrl(avih + strl(strh'vids'/
       * 'MJPG' + strf BITMAPINFOHEADER)) and movi holding one baseline-
       * JPEG `00dc` chunk per frame. Frame k is solid gray
@@ -485,6 +643,32 @@ object Multimodal {
       }.toDF("doc_id", "media_type", "media")
       .withColumn("n_bytes", length(col("media")).cast("long"))
       .withColumn("checksum", xxhash64(col("media")))
+  }
+
+  /** Per-document H.264 pixel audit (the `mm_h264` gate): encode a
+    * real I_PCM/P_Skip H.264 MP4 per row, then DECODE it back through
+    * the full bitstream path ([[H264]]) on the executors, emitting
+    * frame count, dims, and the per-doc sum of doubled mean lumas —
+    * exact integers (PCM pixels, no DCT/entropy rounding), so a DuckDB
+    * oracle replays them closed-form from `length(text)`. A bug
+    * anywhere in NAL escaping, Exp-Golomb, slice parsing, the
+    * macroblock layer, or the reference-frame copy changes the sums
+    * and fails the hash. */
+  def h264PixelAudit(spark: SparkSession, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = MediaGen.makeMp4Avc(text)
+          val stats = MediaCodec.mp4FrameStats(bytes).getOrElse(
+            throw new IllegalStateException(
+              s"generated H.264 stream failed to decode for doc $id"))
+          val luma2x = stats.map(fs => math.round(fs.meanLuma * 2)).sum
+          (id, stats.length, stats.head.width, stats.head.height, luma2x)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "luma2x")
   }
 
   /** Attach an opaque binary media column + typed metadata to a table
@@ -567,19 +751,31 @@ object Multimodal {
                 val fi = (k.toLong * frames.length / math.max(take, 1)).toInt
                 Frame(id, fi, frames(fi))
               }
-            case None =>
-              val (_, _, nFrames) = MediaCodec.decode(mt, bytes)
-              val take = math.min(n, nFrames)
-              (0 until take).iterator.map { k =>
-                val fi = (k.toLong * nFrames / math.max(take, 1)).toInt
-                // non-MJPEG containers (MP4/H.264 etc.) still need an
-                // external codec library; a deterministic byte slice
-                // stands in while keeping the fan-out shape
-                val sliceLen = math.max(bytes.length / math.max(nFrames, 1), 1)
-                val start = math.min(fi.toLong * sliceLen, math.max(bytes.length - 1, 0)).toInt
-                val end = math.min(start + sliceLen, bytes.length)
-                Frame(id, fi, java.util.Arrays.copyOfRange(bytes, start, math.max(end, start)))
-              }
+            case None => H264.decodeMp4(bytes) match {
+              // H.264 MP4 (I_PCM/P_Skip subset): REAL decoded frames,
+              // re-encoded as standalone PNGs — note a sampled frame is
+              // fully materialized even when its bits were mostly
+              // P_Skip references into earlier frames
+              case Some(dec) =>
+                val take = math.min(n, dec.frames.length)
+                (0 until take).iterator.map { k =>
+                  val fi = (k.toLong * dec.frames.length / math.max(take, 1)).toInt
+                  Frame(id, fi, MediaCodec.planePng(dec.frames(fi)))
+                }
+              case None =>
+                val (_, _, nFrames) = MediaCodec.decode(mt, bytes)
+                val take = math.min(n, nFrames)
+                (0 until take).iterator.map { k =>
+                  val fi = (k.toLong * nFrames / math.max(take, 1)).toInt
+                  // entropy-coded video (CAVLC/CABAC residuals) still
+                  // needs an external codec library; a deterministic
+                  // byte slice stands in while keeping the fan-out shape
+                  val sliceLen = math.max(bytes.length / math.max(nFrames, 1), 1)
+                  val start = math.min(fi.toLong * sliceLen, math.max(bytes.length - 1, 0)).toInt
+                  val end = math.min(start + sliceLen, bytes.length)
+                  Frame(id, fi, java.util.Arrays.copyOfRange(bytes, start, math.max(end, start)))
+                }
+            }
           }
         }
       }

@@ -568,6 +568,36 @@ object Pipeline {
         |       ELSE 1 + n % 240 END AS INT) AS n_frames
         |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // C12, pixel level: REAL H.264 decode under the hash gate. Every
+    // document becomes a spec-valid baseline H.264 MP4 (IDR of I_PCM
+    // macroblocks, then P slices mixing an I_PCM intra-refresh row with
+    // P_Skip runs), decoded back on the executors through the from-
+    // scratch bitstream decoder (NAL/RBSP, Exp-Golomb, slice headers,
+    // zero-MV reference copy). PCM pixels are exact, so per-frame mean
+    // lumas are closed-form in length(text): frame 0 = g(0), frame k =
+    // (g(k)+g(0))/2 with g(k) = 20 + (n*31 + k*40) % 200 — the oracle
+    // replays the doubled-luma sum as exact integers.
+    "mm_h264" -> ((
+      (s: SparkSession, d: String) => {
+        Multimodal.h264PixelAudit(s, t(s, d, "documents"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    3 + length(text) % 5 AS nf,
+        |    20 + (length(text) * 31) % 200 AS g0
+        |  FROM documents),
+        |tail AS (
+        |  SELECT f.doc_id,
+        |    SUM(20 + (n * 31 + t.k * 40) % 200 + g0) AS pairs
+        |  FROM f JOIN range(1, 7) t(k) ON t.k <= nf - 1
+        |  GROUP BY f.doc_id)
+        |SELECT f.doc_id, CAST(nf AS INT) AS n_frames,
+        |  CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        |  CAST(2 * g0 + coalesce(tail.pairs, 0) AS BIGINT) AS luma2x
+        |FROM f LEFT JOIN tail USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // C15: PII scrubbing. The corpus is synthetic (no PII), so the query
     // injects deterministic emails/IPs/phones per doc, scrubs them, and
     // the oracle compares the full scrubbed text via md5 (identical

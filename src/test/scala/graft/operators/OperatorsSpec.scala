@@ -475,6 +475,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.aviFrameChunks(avi.take(20)).isEmpty)
   }
 
+  test("real H.264 per-frame pixel decode: closed-form luma, inter-frame copy (C12)") {
+    val text = "h264 sample text for the decoder"
+    val n = Multimodal.MediaGen.textLen(text)
+    val mp4 = Multimodal.MediaGen.makeMp4Avc(text)
+    val expFrames = Multimodal.MediaGen.h264FrameCount(n)
+    def g(k: Int) = Multimodal.MediaGen.h264Gray(n, k)
+    // container metadata agrees with the stream
+    assert(Multimodal.MediaCodec.decode("video", mp4) == (32, 32, expFrames))
+    // full bitstream decode: PCM pixels are EXACT (no DCT rounding)
+    val dec = H264.decodeMp4(mp4).get
+    assert(dec.width == 32 && dec.height == 32)
+    assert(dec.frames.length == expFrames)
+    assert(dec.frames.head.meanLuma == g(0).toDouble)
+    dec.frames.zipWithIndex.drop(1).foreach { case (p, k) =>
+      // top macroblock row: this frame's I_PCM refresh; bottom row:
+      // pixels that exist ONLY via the P_Skip zero-motion copy of the
+      // previous frame — the inter-frame path under test
+      assert((p.y(0) & 0xFF) == g(k), s"frame $k refresh row")
+      assert((p.y(p.y.length - 1) & 0xFF) == g(0), s"frame $k skip-copied row")
+      assert(p.meanLuma == (g(k) + g(0)) / 2.0, s"frame $k mean luma")
+    }
+    val stats = Multimodal.MediaCodec.mp4FrameStats(mp4).get
+    assert(stats.map(_.meanLuma) == dec.frames.map(_.meanLuma))
+    // frameSample emits each sampled frame as a fully-materialized PNG
+    // (even though most of its source bits were P_Skip references)
+    val media = Seq((3L, "video", mp4)).toDF("doc_id", "media_type", "media")
+    val frames = Multimodal.frameSample(spark, media, 3).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    frames.foreach { fr =>
+      val img = Multimodal.MediaCodec.decodeImage(fr.frame).get
+      val top = (img.getRGB(0, 0) >> 16) & 0xFF
+      val bottom = (img.getRGB(31, 31) >> 16) & 0xFF
+      assert(top == g(fr.frame_idx), s"frame ${fr.frame_idx} top")
+      assert(bottom == g(0), s"frame ${fr.frame_idx} bottom")
+    }
+    // torn mdat / garbage: clean refusal, not an exception
+    assert(H264.decodeMp4(mp4.take(60)).isEmpty)
+    assert(H264.decodeMp4("garbage not a container".getBytes).isEmpty)
+  }
+
+  test("H.264 emulation prevention and subset boundary (C12)") {
+    // all-zero pixels force 00 00 00 runs in the PCM payload — the NAL
+    // escaping (emulation_prevention_three_byte) must round-trip them
+    val zero = H264.Plane(16, 16, new Array[Byte](256),
+      new Array[Byte](64), new Array[Byte](64))
+    val enc = H264.encode(IndexedSeq(zero, zero), refreshMbs = 1)
+    // the escaped IDR NAL must contain no start-code-emulating runs
+    val idr = enc.frameNals.head
+    (0 until idr.length - 2).foreach { i =>
+      assert(!(idr(i) == 0 && idr(i + 1) == 0 && (idr(i + 2) & 0xFF) <= 2),
+        s"unescaped start-code emulation at $i")
+    }
+    val dec = H264.decodeNals(Seq(enc.sps, enc.pps) ++ enc.frameNals).get
+    assert(dec.frames.length == 2)
+    assert(dec.frames.forall(_.y.forall(_ == 0)))
+    // subset boundary: a CABAC PPS (entropy_coding_mode_flag=1, first
+    // payload byte 0xE8 = ue(0),ue(0),1,...) is refused, falling back
+    // to the stand-in path instead of misdecoding
+    val cabacPps = Array[Byte]((3 << 5 | 8).toByte, 0xE8.toByte)
+    assert(H264.decodeNals(Seq(enc.sps, cabacPps) ++ enc.frameNals).isEmpty)
+  }
+
   test("withRealMedia: generated PNG/WAV/MP4 decode to closed-form features (C12)") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x"), (3L, ""),
       (4L, "the quick brown fox jumps over the lazy dog repeatedly and often"))
