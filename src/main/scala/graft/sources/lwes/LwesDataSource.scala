@@ -412,7 +412,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     val pruneOn = options.getBoolean(LwesOptions.TimePrune, true)
     new LwesScan(readSchema,
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
-        pushedLimit, ncol),
+        pushedLimit, ncol,
+        columnar = options.getBoolean(LwesOptions.Vectorized, true)),
       roots, partitionFilters,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
@@ -609,8 +610,11 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
       SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()))
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new LwesMicroBatchStream(config, roots, maxFilesPerTrigger,
-      checkpointLocation, maxBytesPerTrigger)
+    // streaming stays row-based: micro-batches are admission-bounded and
+    // small, so vectorization buys little and widens the stateful-op
+    // surface under test
+    new LwesMicroBatchStream(config.copy(columnar = false), roots,
+      maxFilesPerTrigger, checkpointLocation, maxBytesPerTrigger)
 }
 
 object LwesScan {
@@ -869,6 +873,154 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
       case m: LwesFilesPartition =>
         new LwesMultiFileReader(m.files, config, bconf.value.value)
     }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    config.columnar
+
+  override def createColumnarReader(partition: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val files = partition match {
+      case p: LwesInputPartition => Seq(p)
+      case m: LwesFilesPartition => m.files
+    }
+    new LwesColumnarBatchReader(files, config, bconf.value.value)
+  }
+}
+
+/** Vectorized scan output: events land directly in `ColumnarBatch`
+  * column vectors (4096 rows per batch) instead of one
+  * `GenericInternalRow` per event — Spark's `ColumnarToRow` then feeds
+  * whole-stage codegen from flat arrays, removing the per-row object
+  * and iterator overhead between parse and Tungsten. Per-file semantics
+  * (torn-file stop, record resync, projected parse, metrics) come from
+  * the same underlying [[LwesPartitionReader]]s as the row path. */
+class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
+    config: LwesReadConfig, conf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val schema = config.schema
+  private val nCols = schema.length
+  private val capacity = 4096
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, schema)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+  private val attrNames: Array[String] =
+    schema.fields.map(f => config.attrOf(f.name))
+  private val requiredEvent: Array[String] =
+    schema.fields.map(f => config.eventFor.getOrElse(f.name, ""))
+  private val partitionIdx: Set[Int] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if config.partitionCols.contains(f.name) => i
+    }.toSet
+  private val nameColIdx: Int =
+    config.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
+
+  private val fileIt = files.iterator
+  private var cur: LwesPartitionReader = null
+  private var curPart: LwesInputPartition = null
+  private var emittedTotal = 0L
+  private val acc = scala.collection.mutable.Map.empty[String, Long]
+    .withDefaultValue(0L)
+
+  private def nextEvent(): graft.lwes.LwesEvent = {
+    while (true) {
+      if (cur == null) {
+        if (!fileIt.hasNext) return null
+        curPart = fileIt.next()
+        cur = new LwesPartitionReader(curPart, config, conf)
+      }
+      val ev = cur.nextEvent()
+      if (ev != null) { cur.countEmitted(); return ev }
+      cur.currentMetricsValues().foreach(m => acc(m.name()) += m.value())
+      cur.close()
+      cur = null
+    }
+    null // unreachable
+  }
+
+  private def putValue(i: Int, rowId: Int, ev: graft.lwes.LwesEvent): Unit = {
+    val vec = vectors(i)
+    val dt = schema.fields(i).dataType
+    if (i == nameColIdx) {
+      val b = ev.name.getBytes("UTF-8")
+      vec.putByteArray(rowId, b, 0, b.length)
+      return
+    }
+    if (partitionIdx.contains(i)) {
+      curPart.partitionValues.get(schema.fields(i).name) match {
+        case Some(v) =>
+          val b = v.getBytes("UTF-8")
+          vec.putByteArray(rowId, b, 0, b.length)
+        case None => vec.putNull(rowId)
+      }
+      return
+    }
+    if (requiredEvent(i).nonEmpty && requiredEvent(i) != ev.name) {
+      vec.putNull(rowId) // column mapped to a different event type
+      return
+    }
+    // same conversion semantics as the row path (toCatalyst), then a
+    // typed vector write — one shared conversion, zero drift risk
+    val v = ev.get(attrNames(i))
+      .map(a => LwesOptions.toCatalyst(a, dt)).orNull
+    if (v == null) { vec.putNull(rowId); return }
+    dt match {
+      case BooleanType => vec.putBoolean(rowId, v.asInstanceOf[Boolean])
+      case ShortType => vec.putShort(rowId, v.asInstanceOf[Short])
+      case IntegerType => vec.putInt(rowId, v.asInstanceOf[Int])
+      case LongType => vec.putLong(rowId, v.asInstanceOf[Long])
+      case FloatType => vec.putFloat(rowId, v.asInstanceOf[Float])
+      case DoubleType => vec.putDouble(rowId, v.asInstanceOf[Double])
+      case StringType =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        vec.putByteArray(rowId, b, 0, b.length)
+      case BinaryType =>
+        val b = v.asInstanceOf[Array[Byte]]
+        vec.putByteArray(rowId, b, 0, b.length)
+      case d: DecimalType =>
+        vec.putDecimal(rowId, v.asInstanceOf[org.apache.spark.sql.types.Decimal],
+          d.precision)
+      case _ => vec.putNull(rowId)
+    }
+  }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < nCols) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity &&
+        (config.limit < 0 || emittedTotal < config.limit)) {
+      val ev = nextEvent()
+      if (ev == null) {
+        batch.setNumRows(n)
+        return n > 0
+      }
+      var c = 0
+      while (c < nCols) { putValue(c, n, ev); c += 1 }
+      n += 1
+      emittedTotal += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val live = if (cur == null) Map.empty[String, Long]
+      else cur.currentMetricsValues().map(m => m.name() -> m.value()).toMap
+    (acc.keySet ++ live.keySet).toArray.map(k =>
+      LwesTaskMetric(k, acc(k) + live.getOrElse(k, 0L)))
+  }
+
+  override def close(): Unit = {
+    if (cur != null) { cur.close(); cur = null }
+    batch.close()
+  }
 }
 
 /** Sequentially chains the per-file readers of a bin-packed partition.
@@ -961,13 +1113,16 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
         null
     }
 
-  override def next(): Boolean = {
-    if (corrupt) return false
-    if (config.limit >= 0 && emitted >= config.limit) return false
-    val ev = try {
+  /** Next event from this file, or null at end — shared by the row
+    * path below and the columnar batch reader (which does its own
+    * row-shaping). Corruption tolerance lives here so both paths treat
+    * torn tails identically. */
+  private[lwes] def nextEvent(): graft.lwes.LwesEvent = {
+    if (corrupt) return null
+    try {
       reader.next() match {
         case Some(e) => e
-        case None => return false
+        case None => null
       }
     } catch {
       // A corrupt/truncated tail ends this file, not the job — journals
@@ -982,8 +1137,16 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
         logWarning(s"corrupt journal tail in ${partition.path}: ${e.getMessage}; " +
           "stopping this file")
         corrupt = true
-        return false
+        null
     }
+  }
+
+  private[lwes] def countEmitted(): Unit = emitted += 1
+
+  override def next(): Boolean = {
+    if (config.limit >= 0 && emitted >= config.limit) return false
+    val ev = nextEvent()
+    if (ev == null) return false
     val row = new GenericInternalRow(nCols)
     var i = 0
     while (i < nCols) {

@@ -28,7 +28,8 @@ final case class LwesReadConfig(
     eventNames: Set[String], // accept-set; empty = accept all
     partitionCols: Seq[String], // path-derived k=v columns
     limit: Int = -1, // pushed-down per-partition row limit (-1 = none)
-    eventNameCol: Option[String] = None) // column carrying the event type
+    eventNameCol: Option[String] = None, // column carrying the event type
+    columnar: Boolean = true) // vectorized ColumnarBatch output (batch scans)
   extends Serializable {
 
   /** Attributes the deserializer must materialize. */
@@ -68,6 +69,10 @@ object LwesOptions {
   val TimePrune = "timePrune"
   // clock-skew allowance for the heuristic (untagged) bounds, millis
   val TimePruneSlackMs = "timePruneSlackMs"
+  // vectorized scan output (default true): events land in ColumnarBatch
+  // vectors instead of one GenericInternalRow each, feeding ColumnarToRow
+  // codegen from flat arrays; batch scans only (streaming stays row-based)
+  val Vectorized = "vectorized"
 
   /** Parse `mapping` option: `col:Attr` / `col:Event::Name::Field`. */
   def parseMapping(mapping: String): (Map[String, String], Map[String, String]) = {

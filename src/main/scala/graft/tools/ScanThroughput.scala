@@ -1,0 +1,76 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.lwes.{JournalWriter, LwesEvent}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Journal-scan throughput harness (the SURVEY §7 series): 5M events /
+  * 64 gzip files on local[32], measuring events/s for (a) full
+  * 7-column parse, (b) pruned 2-column parse, (c) eventName rejection —
+  * each on the row path and the vectorized ColumnarBatch path. Run:
+  * `sbt "runMain graft.tools.ScanThroughput"` (env:
+  * SPARK_GRAFT_TP_EVENTS / _FILES / _CPUS to resize).
+  */
+object ScanThroughput {
+  def main(args: Array[String]): Unit = {
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_TP_EVENTS", "5000000").toInt
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_TP_FILES", "64").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_TP_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("lwes-tp").toString
+    val perFile = nEvents / nFiles
+    println(s"writing $nEvents events across $nFiles gzip journals...")
+    java.util.stream.IntStream.range(0, nFiles).parallel().forEach { f =>
+      val w = JournalWriter.create(s"$dir/j$f.journal.gz")
+      (0 until perFile).foreach { i =>
+        val id = f.toLong * perFile + i
+        w.write(LwesEvent(if (id % 4 == 0) "Tp::Want" else "Tp::Skip")
+          .setInt64("id", id)
+          .setInt64("user", id % 99991)
+          .setInt32("score", (id % 1000).toInt)
+          .setString("page", s"/p/${id % 50}")
+          .setString("cost", (id % 97 * 0.25).toString)
+          .setBool("flag", id % 3 == 0)
+          .setUInt16("site", (id % 5).toInt))
+      }
+      w.close()
+    }
+
+    val full = "id long, user long, score int, page string, cost double, " +
+      "flag boolean, site int"
+    // aggregates FORCE the stated column set through the parser —
+    // count() would let column pruning empty the read schema
+    def bench(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      df.collect() // warm (JIT + page cache)
+      val runs = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = runs.min
+      println(f"$tag%-28s ${nEvents / best / 1e6}%6.2f M events/s  (best $best%.2f s)")
+    }
+    Seq(true, false).foreach { vec =>
+      val mode = if (vec) "columnar" else "row"
+      def read(schema: String) = spark.read.format("lwes").schema(schema)
+        .option("vectorized", vec.toString).load(dir)
+      bench(s"$mode full 7-col parse")(read(full).agg(
+        sum("id"), max("user"), sum("score"), max("page"), sum("cost"),
+        sum(when(col("flag"), 1).otherwise(0)), max("site")))
+      bench(s"$mode pruned 2-col")(read(full)
+        .agg(sum("id"), sum("score")))
+      bench(s"$mode eventName filter")(
+        spark.read.format("lwes").schema("id long, cost double")
+          .option("vectorized", vec.toString)
+          .option("eventName", "Tp::Want").load(dir)
+          .agg(sum("id"), sum("cost")))
+    }
+    spark.stop()
+  }
+}
