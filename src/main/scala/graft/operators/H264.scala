@@ -66,15 +66,18 @@ object H264 {
       pos += 8
       v
     }
-    /** more_rbsp_data(): true while bits beyond the trailing stop-bit
-      * pattern remain. */
-    def moreRbspData(): Boolean = {
-      if (bitsLeft <= 0) return false
-      // find the last set bit in the payload (the rbsp_stop_one_bit)
+    // the rbsp_stop_one_bit position is a constant of the buffer —
+    // computed once, not re-scanned per macroblock (a 1080p P slice
+    // would otherwise rescan megabytes thousands of times)
+    private lazy val lastSetBit: Int = {
       var last = b.length * 8 - 1
       while (last >= 0 && ((b(last >> 3) >> (7 - (last & 7))) & 1) == 0) last -= 1
-      pos < last
+      last
     }
+
+    /** more_rbsp_data(): true while bits beyond the trailing stop-bit
+      * pattern remain. */
+    def moreRbspData(): Boolean = bitsLeft > 0 && pos < lastSetBit
   }
 
   /** MSB-first bit writer producing an RBSP payload. */

@@ -135,15 +135,22 @@ object LwesDataSource {
     * filesystem reports no locations. */
   def hostsOf(f: FileStatus): Seq[String] = f match {
     case lf: org.apache.hadoop.fs.LocatedFileStatus =>
-      val byHost = mutable.LinkedHashMap.empty[String, Long]
-      lf.getBlockLocations.foreach { b =>
-        b.getHosts.foreach(h => byHost.updateWith(h) {
-          case Some(n) => Some(n + b.getLength)
-          case None => Some(b.getLength)
-        })
-      }
-      byHost.toSeq.sortBy { case (h, n) => (-n, h) }.map(_._1)
+      rankHosts(lf.getBlockLocations.iterator.flatMap(b =>
+        b.getHosts.iterator.map(_ -> b.getLength)))
     case _ => Nil
+  }
+
+  /** Hosts ranked by total bytes held (desc, name tiebreak) — shared by
+    * the single-file and bin-level preferred-location derivations. */
+  private[lwes] def rankHosts(weighted: Iterator[(String, Long)]): Seq[String] = {
+    val byHost = mutable.LinkedHashMap.empty[String, Long]
+    weighted.foreach { case (h, n) =>
+      byHost.updateWith(h) {
+        case Some(x) => Some(x + n)
+        case None => Some(n)
+      }
+    }
+    byHost.toSeq.sortBy { case (h, n) => (-n, h) }.map(_._1)
   }
 
   private val EpochManifestName = """_epoch-(q[0-9a-fA-F]+-e\d+)\.manifest""".r
@@ -152,8 +159,10 @@ object LwesDataSource {
   private def isHidden(name: String) =
     name.startsWith("_") || name.startsWith(".")
 
-  private val RangeTagName = """\.t(\d+)-(\d+)\.""".r.unanchored
-  private val CaptureName = """^capture-(\d+)-""".r.unanchored
+  // 1-18 digits: never overflows Long.parse, and a >18-digit run in a
+  // foreign file name simply doesn't match instead of failing planning
+  private val RangeTagName = """\.t(\d{1,18})-(\d{1,18})\.""".r.unanchored
+  private val CaptureName = """^capture-(\d{1,18})-""".r.unanchored
 
   /** Conservative [lo, hi] bounds on any ReceiptTime inside a journal
     * file, from its name + modification time only (no open/decompress):
@@ -166,10 +175,14 @@ object LwesDataSource {
     *    `slackMs` against clock skew between stamping host and
     *    filesystem;
     *  - any other name keeps only the mtime upper bound.
-    * See [[LwesOptions.TimePrune]] for the layout contract. */
+    * A tag-shaped substring with INVERTED bounds (min > max) is some
+    * foreign naming convention, not our writer's tag — it degrades to
+    * the mtime heuristic rather than pruning on garbage. See
+    * [[LwesOptions.TimePrune]] for the layout contract. */
   def receiptTimeBounds(name: String, mtime: Long, slackMs: Long): (Long, Long) =
     name match {
-      case RangeTagName(mn, mx) => (mn.toLong, mx.toLong)
+      case RangeTagName(mn, mx) if mn.toLong <= mx.toLong =>
+        (mn.toLong, mx.toLong)
       case CaptureName(open) => (open.toLong - slackMs, mtime + slackMs)
       case _ => (Long.MinValue, mtime + slackMs)
     }
@@ -363,14 +376,44 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       .filter(c => attrFor.getOrElse(c, c) == graft.lwes.LwesEvent.ReceiptTime)
       .toSet
   }
+  private lazy val pruneEnabled: Boolean =
+    options.getBoolean(LwesOptions.TimePrune, true)
   private var timeLo: Long = Long.MinValue
   private var timeHi: Long = Long.MaxValue
   private var timeFilters: Array[Filter] = Array.empty
 
+  /** (floor, ceil) of a pushed comparison literal as saturating Longs —
+    * exact for integral types; floating/decimal literals (a filter on a
+    * receipt column the user declared as double) round OUTWARD so the
+    * derived file bounds stay sound. None for non-numeric literals and
+    * NaN (a NaN comparison matches no rows; nothing to prune on). */
+  private def floorCeil(v: Any): Option[(Long, Long)] = v match {
+    case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+        _: java.lang.Long) =>
+      val x = n.asInstanceOf[Number].longValue()
+      Some((x, x))
+    case n: java.lang.Float => floorCeilDouble(n.doubleValue())
+    case n: java.lang.Double => floorCeilDouble(n.doubleValue())
+    case d: java.math.BigDecimal =>
+      def clamp(b: java.math.BigInteger): Long =
+        if (b.bitLength() >= 64) (if (b.signum() >= 0) Long.MaxValue else Long.MinValue)
+        else b.longValue()
+      Some((clamp(d.setScale(0, java.math.RoundingMode.FLOOR).toBigInteger),
+        clamp(d.setScale(0, java.math.RoundingMode.CEILING).toBigInteger)))
+    case d: scala.math.BigDecimal => floorCeil(d.underlying)
+    case _ => None
+  }
+  private def floorCeilDouble(d: Double): Option[(Long, Long)] =
+    if (d.isNaN) None
+    else Some((math.floor(d).toLong, math.ceil(d).toLong)) // toLong saturates
+
   /** Partition-column equality filters and receipt-time range filters
     * prune whole files; everything is also left for Spark to re-apply
     * (false positives cost nothing — only the file-level BOUNDS must be
-    * sound, see [[LwesDataSource.receiptTimeBounds]]). */
+    * sound, see [[LwesDataSource.receiptTimeBounds]]). Receipt times
+    * are integral millis, so for any real threshold v:
+    * `x > v ⟺ x >= floor(v)+1`, `x >= v ⟺ x >= ceil(v)`,
+    * `x < v ⟺ x <= ceil(v)-1`, `x <= v ⟺ x <= floor(v)`. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     partitionFilters = filters.filter {
       case EqualTo(a, _) => samplePartitionCols.contains(a)
@@ -378,22 +421,27 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       case _ => false
     }
     val tf = mutable.ArrayBuffer[Filter]()
-    // receipt times are integral millis, so strict bounds convert
-    // exactly: `< v` ⟺ `<= v-1` (saturating at the Long extremes)
-    filters.foreach {
-      case f @ GreaterThan(a, v: Number) if receiptCols(a) =>
-        val x = v.longValue()
-        timeLo = math.max(timeLo, if (x == Long.MaxValue) x else x + 1); tf += f
-      case f @ GreaterThanOrEqual(a, v: Number) if receiptCols(a) =>
-        timeLo = math.max(timeLo, v.longValue()); tf += f
-      case f @ LessThan(a, v: Number) if receiptCols(a) =>
-        val x = v.longValue()
-        timeHi = math.min(timeHi, if (x == Long.MinValue) x else x - 1); tf += f
-      case f @ LessThanOrEqual(a, v: Number) if receiptCols(a) =>
-        timeHi = math.min(timeHi, v.longValue()); tf += f
-      case f @ EqualTo(a, v: Number) if receiptCols(a) =>
-        timeLo = math.max(timeLo, v.longValue())
-        timeHi = math.min(timeHi, v.longValue()); tf += f
+    def inc(x: Long) = if (x == Long.MaxValue) x else x + 1
+    def dec(x: Long) = if (x == Long.MinValue) x else x - 1
+    if (pruneEnabled) filters.foreach {
+      case f @ GreaterThan(a, v) if receiptCols(a) =>
+        floorCeil(v).foreach { case (fl, _) =>
+          timeLo = math.max(timeLo, inc(fl)); tf += f }
+      case f @ GreaterThanOrEqual(a, v) if receiptCols(a) =>
+        floorCeil(v).foreach { case (_, ce) =>
+          timeLo = math.max(timeLo, ce); tf += f }
+      case f @ LessThan(a, v) if receiptCols(a) =>
+        floorCeil(v).foreach { case (_, ce) =>
+          timeHi = math.min(timeHi, dec(ce)); tf += f }
+      case f @ LessThanOrEqual(a, v) if receiptCols(a) =>
+        floorCeil(v).foreach { case (fl, _) =>
+          timeHi = math.min(timeHi, fl); tf += f }
+      case f @ EqualTo(a, v) if receiptCols(a) =>
+        floorCeil(v).foreach { case (fl, ce) =>
+          // a fractional literal can equal no integral value: lo > hi,
+          // every file prunes — and no row could match anyway
+          timeLo = math.max(timeLo, ce)
+          timeHi = math.min(timeHi, fl); tf += f }
       case _ =>
     }
     timeFilters = tf.toArray
@@ -409,7 +457,6 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     val pcols = samplePartitionCols.toSeq.filter(readSchema.fieldNames.contains)
     val ncol = Option(options.get(LwesOptions.EventNameColumn))
       .filter(readSchema.fieldNames.contains)
-    val pruneOn = options.getBoolean(LwesOptions.TimePrune, true)
     new LwesScan(readSchema,
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
         pushedLimit, ncol,
@@ -417,8 +464,7 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       roots, partitionFilters,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      timeLo = if (pruneOn) timeLo else Long.MinValue,
-      timeHi = if (pruneOn) timeHi else Long.MaxValue,
+      timeLo = timeLo, timeHi = timeHi, // unbounded unless pruneEnabled
       timeSlackMs = options.getLong(LwesOptions.TimePruneSlackMs, 3600000L))
   }
 }
@@ -440,16 +486,9 @@ final case class LwesFilesPartition(files: Seq[LwesInputPartition])
   /** Hosts ranked by total bytes they hold across the bin's files —
     * bins are packed per primary host, so the top entry usually serves
     * the whole task locally. */
-  override def preferredLocations(): Array[String] = {
-    val byHost = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    files.foreach { f =>
-      f.locations.foreach(h => byHost.updateWith(h) {
-        case Some(n) => Some(n + f.length)
-        case None => Some(f.length)
-      })
-    }
-    byHost.toSeq.sortBy { case (h, n) => (-n, h) }.map(_._1).toArray
-  }
+  override def preferredLocations(): Array[String] =
+    LwesDataSource.rankHosts(files.iterator.flatMap(f =>
+      f.locations.iterator.map(_ -> f.length))).toArray
 }
 
 /** DSv2 custom scan metrics, surfaced per-scan in the SQL UI. At
@@ -907,16 +946,40 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     OnHeapColumnVector.allocateColumns(capacity, schema)
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
 
-  private val attrNames: Array[String] =
-    schema.fields.map(f => config.attrOf(f.name))
-  private val requiredEvent: Array[String] =
-    schema.fields.map(f => config.eventFor.getOrElse(f.name, ""))
-  private val partitionIdx: Set[Int] =
-    schema.fields.zipWithIndex.collect {
-      case (f, i) if config.partitionCols.contains(f.name) => i
-    }.toSet
-  private val nameColIdx: Int =
-    config.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
+  private val shape = new ColumnShape(config)
+
+  // per-column typed vector writers, resolved ONCE (the per-cell loop
+  // must not re-match DataType 4096 × nCols times per batch)
+  private val writers: Array[(Int, Any) => Unit] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val vec = vectors(i)
+      f.dataType match {
+        case BooleanType => (r: Int, v: Any) =>
+          vec.putBoolean(r, v.asInstanceOf[Boolean])
+        case ShortType => (r: Int, v: Any) =>
+          vec.putShort(r, v.asInstanceOf[Short])
+        case IntegerType => (r: Int, v: Any) =>
+          vec.putInt(r, v.asInstanceOf[Int])
+        case LongType => (r: Int, v: Any) =>
+          vec.putLong(r, v.asInstanceOf[Long])
+        case FloatType => (r: Int, v: Any) =>
+          vec.putFloat(r, v.asInstanceOf[Float])
+        case DoubleType => (r: Int, v: Any) =>
+          vec.putDouble(r, v.asInstanceOf[Double])
+        case StringType => (r: Int, v: Any) => {
+          val b = v.asInstanceOf[UTF8String].getBytes
+          vec.putByteArray(r, b, 0, b.length)
+        }
+        case BinaryType => (r: Int, v: Any) => {
+          val b = v.asInstanceOf[Array[Byte]]
+          vec.putByteArray(r, b, 0, b.length)
+        }
+        case d: DecimalType => (r: Int, v: Any) =>
+          vec.putDecimal(r,
+            v.asInstanceOf[org.apache.spark.sql.types.Decimal], d.precision)
+        case _ => (r: Int, _: Any) => vec.putNull(r)
+      }
+    }
 
   private val fileIt = files.iterator
   private var cur: LwesPartitionReader = null
@@ -942,49 +1005,11 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
   }
 
   private def putValue(i: Int, rowId: Int, ev: graft.lwes.LwesEvent): Unit = {
-    val vec = vectors(i)
-    val dt = schema.fields(i).dataType
-    if (i == nameColIdx) {
-      val b = ev.name.getBytes("UTF-8")
-      vec.putByteArray(rowId, b, 0, b.length)
-      return
-    }
-    if (partitionIdx.contains(i)) {
-      curPart.partitionValues.get(schema.fields(i).name) match {
-        case Some(v) =>
-          val b = v.getBytes("UTF-8")
-          vec.putByteArray(rowId, b, 0, b.length)
-        case None => vec.putNull(rowId)
-      }
-      return
-    }
-    if (requiredEvent(i).nonEmpty && requiredEvent(i) != ev.name) {
-      vec.putNull(rowId) // column mapped to a different event type
-      return
-    }
-    // same conversion semantics as the row path (toCatalyst), then a
-    // typed vector write — one shared conversion, zero drift risk
-    val v = ev.get(attrNames(i))
-      .map(a => LwesOptions.toCatalyst(a, dt)).orNull
-    if (v == null) { vec.putNull(rowId); return }
-    dt match {
-      case BooleanType => vec.putBoolean(rowId, v.asInstanceOf[Boolean])
-      case ShortType => vec.putShort(rowId, v.asInstanceOf[Short])
-      case IntegerType => vec.putInt(rowId, v.asInstanceOf[Int])
-      case LongType => vec.putLong(rowId, v.asInstanceOf[Long])
-      case FloatType => vec.putFloat(rowId, v.asInstanceOf[Float])
-      case DoubleType => vec.putDouble(rowId, v.asInstanceOf[Double])
-      case StringType =>
-        val b = v.asInstanceOf[UTF8String].getBytes
-        vec.putByteArray(rowId, b, 0, b.length)
-      case BinaryType =>
-        val b = v.asInstanceOf[Array[Byte]]
-        vec.putByteArray(rowId, b, 0, b.length)
-      case d: DecimalType =>
-        vec.putDecimal(rowId, v.asInstanceOf[org.apache.spark.sql.types.Decimal],
-          d.precision)
-      case _ => vec.putNull(rowId)
-    }
+    // the SAME shaping rule as the row path (ColumnShape), then a typed
+    // vector write resolved per column at construction
+    val v = shape.valueFor(i, ev, curPart.partitionValues)
+    if (v == null) vectors(i).putNull(rowId)
+    else writers(i)(rowId, v)
   }
 
   override def next(): Boolean = {
@@ -1065,22 +1090,41 @@ class LwesMultiFileReader(files: Seq[LwesInputPartition],
   override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
+/** Schema→event column shaping, derived ONCE from the read config and
+  * shared by the row and columnar readers — one rule for name columns,
+  * path-derived partition columns, per-event-type nulling, and
+  * attribute conversion, so the two output paths cannot drift. */
+private[lwes] final class ColumnShape(config: LwesReadConfig) extends Serializable {
+  private val schema = config.schema
+  private val attrNames: Array[String] =
+    schema.fields.map(f => config.attrOf(f.name))
+  private val requiredEvent: Array[String] =
+    schema.fields.map(f => config.eventFor.getOrElse(f.name, ""))
+  private val isPartition: Array[Boolean] =
+    schema.fields.map(f => config.partitionCols.contains(f.name))
+  private val nameColIdx: Int =
+    config.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
+
+  /** Catalyst value of column `i` for `ev` (null = SQL NULL). */
+  def valueFor(i: Int, ev: LwesEvent,
+      partitionValues: Map[String, String]): Any =
+    if (i == nameColIdx) UTF8String.fromString(ev.name)
+    else if (isPartition(i))
+      partitionValues.get(schema.fields(i).name)
+        .map(UTF8String.fromString).orNull
+    else if (requiredEvent(i).nonEmpty && requiredEvent(i) != ev.name)
+      null // column mapped to a different event type
+    else ev.get(attrNames(i))
+      .map(a => LwesOptions.toCatalyst(a, schema.fields(i).dataType)).orNull
+}
+
 class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
     conf: Configuration)
     extends PartitionReader[InternalRow] with org.apache.spark.internal.Logging {
 
   private val schema = config.schema
   private val nCols = schema.length
-  private val attrNames: Array[String] =
-    schema.fields.map(f => config.attrOf(f.name))
-  private val requiredEvent: Array[String] =
-    schema.fields.map(f => config.eventFor.getOrElse(f.name, ""))
-  private val partitionIdx: Set[Int] =
-    schema.fields.zipWithIndex.collect {
-      case (f, i) if config.partitionCols.contains(f.name) => i
-    }.toSet
-  private val nameColIdx: Int =
-    config.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
+  private val shape = new ColumnShape(config)
 
   private var skipped = 0L
   private val nameFilter: String => Boolean =
@@ -1150,19 +1194,7 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
     val row = new GenericInternalRow(nCols)
     var i = 0
     while (i < nCols) {
-      if (i == nameColIdx) {
-        row.update(i, UTF8String.fromString(ev.name))
-      } else if (partitionIdx.contains(i)) {
-        row.update(i, partition.partitionValues.get(schema.fields(i).name)
-          .map(UTF8String.fromString).orNull)
-      } else if (requiredEvent(i).nonEmpty && requiredEvent(i) != ev.name) {
-        row.update(i, null) // column mapped to a different event type
-      } else {
-        val v = ev.get(attrNames(i))
-          .map(a => LwesOptions.toCatalyst(a, schema.fields(i).dataType))
-          .orNull
-        row.update(i, v)
-      }
+      row.update(i, shape.valueFor(i, ev, partition.partitionValues))
       i += 1
     }
     current = row

@@ -145,6 +145,50 @@ class LwesTimePruneSpec extends AnyFunSuite {
       "a bound within the slack must not prune")
   }
 
+  test("foreign tag-shaped names never produce unsound bounds") {
+    // inverted "tag" (a date-ish foreign convention): must degrade to
+    // the mtime heuristic, not prune on garbage bounds
+    val (lo1, hi1) = graft.sources.lwes.LwesDataSource
+      .receiptTimeBounds("app.t20240131-000001.journal.gz", T0, 60000L)
+    assert(lo1 == Long.MinValue && hi1 == T0 + 60000L)
+    // >18-digit run: must not match (and must not throw on parse)
+    val (lo2, hi2) = graft.sources.lwes.LwesDataSource
+      .receiptTimeBounds(".t99999999999999999999-1.x", T0, 60000L)
+    assert(lo2 == Long.MinValue && hi2 == T0 + 60000L)
+    // the real thing still parses exactly
+    assert(graft.sources.lwes.LwesDataSource
+      .receiptTimeBounds("part-00000-3.t100-200.gz", T0, 60000L) == (100L, 200L))
+    // end-to-end: a directory containing ONLY a foreign-tagged file
+    // keeps its rows under a range filter (mtime bound is generous)
+    val dir = tmp()
+    val w = JournalWriter.create(s"$dir/app.t20240131-000001.journal")
+    (0 until 3).foreach(i => w.write(LwesEvent("Fx::E").setInt64("id", i.toLong)
+      .setInt64(LwesEvent.ReceiptTime, T0 + i * 1000L)))
+    w.close()
+    val df = spark.read.format("lwes")
+      .schema("id long, ReceiptTime long").option("eventName", "Fx::E").load(dir)
+      .filter(col("ReceiptTime") >= T0)
+    assert(df.count() == 3)
+  }
+
+  test("fractional double thresholds round outward, never over-prune") {
+    val dir = tmp()
+    writeTaggedHours(dir, 2, 3)
+    // declare the receipt column as double: Spark pushes Double literals
+    def read() = spark.read.format("lwes")
+      .schema("id long, ReceiptTime double").option("eventName", "Pr::E").load(dir)
+    // hour-1 file's tag starts exactly at T0+Hour; a threshold a hair
+    // below must keep it (floor+1 semantics), and the rows must survive
+    val ge = read().filter(col("ReceiptTime") > (T0 + Hour - 0.5))
+    assert(ge.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L, 102L))
+    assert(scanOf(ge).prunedFileCount == 1) // hour 0 pruned, hour 1 kept
+    // likewise on the upper side: < T0 + 0.5 keeps the file whose min
+    // is exactly T0
+    val lt = read().filter(col("ReceiptTime") < (T0 + 0.5))
+    assert(lt.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L))
+    assert(scanOf(lt).prunedFileCount == 1)
+  }
+
   test("untagged, unstamped names keep only the mtime upper bound") {
     val dir = tmp()
     (0 until 2).foreach { h =>
