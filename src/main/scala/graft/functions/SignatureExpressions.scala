@@ -383,6 +383,40 @@ object SignatureExpressions {
       copy(child = c)
   }
 
+  /** Any-element Bloom membership over a pre-hashed array — the corpus
+    * side of Bloom-gated decontamination (C29): one filter probe per
+    * shingle hash, short-circuiting on the first hit. */
+  def bloomAnyEval(bf: org.apache.spark.util.sketch.BloomFilter,
+      arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (bf.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** `bloom_any_contains(array<long>)` → boolean. The Bloom filter
+    * rides the expression itself (serialized once with the task binary,
+    * surfaced to generated code via `addReferenceObj`) — a broadcast-
+    * sized sketch probed inside whole-stage codegen, no UDF, no join. */
+  case class BloomAnyContains(child: Expression,
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Boolean.valueOf(bloomAnyEval(bloom, input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.bloomAnyEval($ref, $c)")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomAnyContains =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------- Column API
 
   def nfc_normalize(s: Column): Column =
@@ -411,4 +445,8 @@ object SignatureExpressions {
 
   def hyperplane_buckets(vec: Column, nPlanes: Int, nTables: Int): Column =
     bridge.toColumn(HyperplaneBuckets(bridge.toExpression(vec), nPlanes, nTables))
+
+  def bloom_any_contains(hashes: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    bridge.toColumn(BloomAnyContains(bridge.toExpression(hashes), bf))
 }

@@ -936,6 +936,59 @@ object Pipeline {
         |        FROM documents WHERE n_chars > 0)
         |  ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
         |  LIMIT 20)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // C28: cross-document repeated 8-token spans (the exact-substring
+    // dedup signal of Lee et al. 2021) — every span in >= 2 distinct
+    // docs, with occurrence counts. The md5 span keys make the whole
+    // table replayable in SQL; a missed or spurious span changes the
+    // aggregate and fails the hash.
+    "text_spans" -> ((
+      (s: SparkSession, d: String) => {
+        graft.operators.Spans.repeatedSpans(
+            t(s, d, "documents"), w = 8, minDocs = 2)
+          .orderBy(col("span_md5"))
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, md5(array_to_string(t[k:k+7], ' ')) AS span_md5
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS k
+        |        FROM tok WHERE len(t) >= 8))
+        |SELECT span_md5, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM spans GROUP BY span_md5
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY span_md5""".stripMargin)),
+
+    // C29: Bloom-gated decontamination — the corpus side is a pure
+    // projection against a broadcast Bloom filter of probe shingles;
+    // only flagged docs pay the exact verification join. The oracle
+    // replays the EXACT containment answer (the Bloom no-false-negative
+    // contract means the gated path must equal the full join), and
+    // bloom_caught pins the contaminated ⇒ flagged implication.
+    "text_bloom_decontam" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val probes = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("probe_id"), col("text"))
+        graft.operators.Spans.bloomDecontaminate(docs, probes, threshold = 0.5)
+          .select(col("doc_id"), col("contaminated"),
+            (!col("contaminated") || col("bloom_hit")).as("bloom_caught"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $duckShingles,
+        |probes AS (SELECT doc_id AS probe_id, s AS ps FROM sh WHERE doc_id < 5),
+        |cont AS (
+        |  SELECT DISTINCT d.doc_id
+        |  FROM sh d CROSS JOIN probes p
+        |  WHERE round(len(list_intersect(d.s, p.ps))::DOUBLE /
+        |          greatest(len(p.ps), 1), 4) >= 0.5)
+        |SELECT doc_id,
+        |  (doc_id IN (SELECT doc_id FROM cont)) AS contaminated,
+        |  true AS bloom_caught
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

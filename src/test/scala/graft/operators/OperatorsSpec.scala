@@ -17,6 +17,60 @@ class OperatorsSpec extends AnyFunSuite {
   private val base =
     "the quick brown fox jumps over the lazy dog and runs far away home tonight"
 
+  test("repeatedSpans finds cross-doc spans, counts multiplicity (C28)") {
+    val boiler = "all rights reserved contact us for more information today"
+    val df = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"delta $boiler epsilon zeta"),
+      (3L, s"unrelated text with no repeated content at all whatsoever here"),
+      // doc 4 repeats the boilerplate TWICE within one doc, plus its
+      // own internal-only repeated phrase
+      (4L, s"$boiler and again $boiler"),
+      (5L, "one two three four five six seven eight nine stop " +
+        "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val spans = Spans.repeatedSpans(df, w = 9, minDocs = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the 9-token boilerplate appears once in docs 1,2 and twice in 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(boiler.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(spans.contains(key), s"missing boilerplate span in ${spans.keys}")
+    assert(spans(key) == ((4L, 3L, 1L)), s"got ${spans(key)}")
+    // no span unique to one document leaks through minDocs
+    val all = Spans.repeatedSpans(df, w = 9, minDocs = 2)
+      .agg(min("n_docs")).head.getLong(0)
+    assert(all >= 2)
+    // within-doc-only repetition (minDocs=1) IS visible when asked for:
+    // doc 5's nine-token phrase repeats internally and nowhere else
+    val withinDoc = Spans.repeatedSpans(df, w = 9, minDocs = 1)
+      .filter(col("n_occurrences") >= 2 && col("n_docs") === 1).count()
+    assert(withinDoc > 0, "doc-5 internal repeats must surface at minDocs=1")
+  }
+
+  test("bloomDecontaminate equals the exact join; bloom actually prunes (C29)") {
+    val probeText = "the secret benchmark question about quantum gravity"
+    val docs = (1L to 200L).map { i =>
+      val t = if (i % 50 == 0) s"leaked copy: $probeText appears here"
+        else s"clean document number $i with its own distinct words w$i x$i y$i z$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val probes = Seq((1L, probeText)).toDF("probe_id", "text")
+    val out = Spans.bloomDecontaminate(docs, probes, threshold = 0.3)
+    val rows = out.select("doc_id", "bloom_hit", "contaminated").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    // exact answer: exactly the 4 leaked docs
+    val contaminated = rows.filter(_._2._2).keys.toSet
+    assert(contaminated == Set(50L, 100L, 150L, 200L))
+    // matches the full-join operator (the Bloom gate loses nothing)
+    val exactKept = Contamination.decontaminate(docs, probes, threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.filterNot(_._2._2).keys.toSet == exactKept)
+    // contaminated ⇒ bloom-flagged, and the filter prunes most of the
+    // clean corpus from the verification join
+    assert(rows.filter(_._2._2).forall(_._2._1), "no false negatives")
+    val flagged = rows.count(_._2._1)
+    assert(flagged < 50, s"bloom should prune most clean docs, flagged=$flagged")
+  }
+
   test("connected components resolve transitive duplicate clusters (C16)") {
     // path 1-2-3-4 (diameter 3), disjoint pair 10-11, singleton edge 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
