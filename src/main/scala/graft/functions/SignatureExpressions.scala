@@ -397,6 +397,142 @@ object SignatureExpressions {
     false
   }
 
+  // ---------------------------------------------------- PQ kernels
+
+  /** L2-normalized copy of a double-array column value (zero vectors
+    * stay zero). PQ operates on normalized vectors so squared-L2 ADC
+    * ranking coincides with cosine ranking (‖a−b‖² = 2 − 2·cosθ). */
+  private def l2normalized(v: ArrayData): Array[Double] = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); out(i) = x; s += x * x; i += 1 }
+    if (s > 0) {
+      val inv = 1.0 / math.sqrt(s)
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+    }
+    out
+  }
+
+  /** PQ encode: nearest sub-centroid per subspace (squared L2, ties to
+    * the smallest code). `cb` is the flattened (m × ks × dsub) codebook. */
+  def pqEncodeEval(cb: Array[Double], m: Int, ks: Int, dsub: Int,
+      v: ArrayData): ArrayData = {
+    val x = l2normalized(v)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        val base = (s * ks + c) * dsub
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = x(s * dsub + j) - cb(base + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    ArrayData.toArrayData(codes)
+  }
+
+  /** Per-query ADC lookup table: squared L2 from each of the query's
+    * subvectors to every sub-centroid, flattened (m × ks). */
+  def pqTableEval(cb: Array[Double], m: Int, ks: Int, dsub: Int,
+      q: ArrayData): ArrayData = {
+    val x = l2normalized(q)
+    val t = new Array[Double](m * ks)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ks) {
+        val base = (s * ks + c) * dsub
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = x(s * dsub + j) - cb(base + j)
+          d += diff * diff
+          j += 1
+        }
+        t(s * ks + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    ArrayData.toArrayData(t)
+  }
+
+  /** ADC distance: sum of the table entries the codes select — m array
+    * lookups per (query, code) pair, never a vector op. */
+  def pqAdcEval(table: ArrayData, codes: ArrayData, ks: Int): Double = {
+    val m = codes.numElements()
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      sum += table.getDouble(s * ks + codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  /** `pq_encode(array<double>)` → array<int>: m sub-codes against the
+    * embedded codebook (rides the expression like [[BloomAnyContains]]'s
+    * filter — broadcast-sized constant surfaced via addReferenceObj). */
+  case class PqEncode(child: Expression, cb: Array[Double], m: Int, ks: Int)
+      extends UnaryExpression {
+    private def dsub: Int = cb.length / (m * ks)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      pqEncodeEval(cb, m, ks, dsub, input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", cb, "double[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.pqEncodeEval($ref, $m, $ks, $dsub, $c)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
+  /** `pq_adc_table(array<double>)` → array<double>: the query-side ADC
+    * lookup table (m × ks squared distances). */
+  case class PqAdcTable(child: Expression, cb: Array[Double], m: Int, ks: Int)
+      extends UnaryExpression {
+    private def dsub: Int = cb.length / (m * ks)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      pqTableEval(cb, m, ks, dsub, input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", cb, "double[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.pqTableEval($ref, $m, $ks, $dsub, $c)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqAdcTable =
+      copy(child = c)
+  }
+
+  /** `pq_adc(table, codes)` → double: asymmetric distance. */
+  case class PqAdc(left: Expression, right: Expression, ks: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(t: Any, c: Any): Any =
+      java.lang.Double.valueOf(pqAdcEval(
+        t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], ks))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, c) =>
+        s"graft.functions.SignatureExpressions.pqAdcEval($t, $c, $ks)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+      copy(left = l, right = r)
+  }
+
   /** `bloom_any_contains(array<long>)` → boolean. The Bloom filter
     * rides the expression itself (serialized once with the task binary,
     * surfaced to generated code via `addReferenceObj`) — a broadcast-
@@ -449,4 +585,13 @@ object SignatureExpressions {
   def bloom_any_contains(hashes: Column,
       bf: org.apache.spark.util.sketch.BloomFilter): Column =
     bridge.toColumn(BloomAnyContains(bridge.toExpression(hashes), bf))
+
+  def pq_encode(vec: Column, cb: Array[Double], m: Int, ks: Int): Column =
+    bridge.toColumn(PqEncode(bridge.toExpression(vec), cb, m, ks))
+
+  def pq_adc_table(vec: Column, cb: Array[Double], m: Int, ks: Int): Column =
+    bridge.toColumn(PqAdcTable(bridge.toExpression(vec), cb, m, ks))
+
+  def pq_adc(table: Column, codes: Column, ks: Int): Column =
+    bridge.toColumn(PqAdc(bridge.toExpression(table), bridge.toExpression(codes), ks))
 }

@@ -343,4 +343,154 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // -------------------------------------------------------------- C30
+
+  /** Deterministic product-quantization codebooks (Jégou et al. 2011):
+    * the vector space splits into `m` subspaces of dim/m dimensions,
+    * each clustered independently into `ks` sub-centroids — a vector
+    * then compresses to m small codes (here m·log2(ks) bits vs dim·32
+    * for raw floats: 16-64× smaller at rest AND on every shuffle, far
+    * past int8's 4×, which is what lets a 100 TB embedding corpus fit
+    * an in-memory ANN scan).
+    *
+    * Same train-once discipline as [[kmeansCentroids]]: a capped
+    * deterministic hash-sample, init from the ks smallest-id-hash rows,
+    * and Lloyd rounds folding exact BigDecimal per-(subspace, centroid,
+    * dimension) sums in ONE treeAggregate per round (all m subspaces
+    * together) — codebooks are bit-stable across partition layouts.
+    * Vectors are L2-normalized first so squared-L2 ADC ranking equals
+    * cosine ranking. Returns the flattened (m × ks × dsub) codebook —
+    * k·dim doubles of driver metadata, reusable across queries. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 32, ks: Int = 32, iters: Int = 2,
+      sampleCap: Long = 100000L): Array[Double] = {
+    def normalize(v: Seq[Double]): Array[Double] = {
+      val a = v.toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n > 0) a.map(_ / n) else a
+    }
+    val rows = corpus.select(xxhash64(col(idCol)).as("__h"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val (n, init) = rows.rdd
+      .treeAggregate((0L, Vector.empty[(Long, Array[Double])]))(
+        { case ((cnt, acc), row) =>
+          val t = (row.getLong(0), normalize(row.getSeq[Double](1)))
+          (cnt + 1, (acc :+ t).sortBy(_._1).take(ks)) },
+        { case ((c1, a1), (c2, a2)) =>
+          (c1 + c2, (a1 ++ a2).sortBy(_._1).take(ks)) })
+    require(init.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = init.head._2.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    // cb(s)(c)(j) flattened to (s * ks + c) * dsub + j
+    var cb = new Array[Double](m * ks * dsub)
+    init.zipWithIndex.foreach { case ((_, v), c) =>
+      var s = 0
+      while (s < m) {
+        System.arraycopy(v, s * dsub, cb, (s * ks + c) * dsub, dsub)
+        s += 1
+      }
+    }
+    // fewer init rows than ks: duplicate the last so every code is valid
+    if (init.length < ks) (init.length until ks).foreach { c =>
+      var s = 0
+      while (s < m) {
+        System.arraycopy(cb, (s * ks + init.length - 1) * dsub,
+          cb, (s * ks + c) * dsub, dsub)
+        s += 1
+      }
+    }
+    val train =
+      if (n > sampleCap) {
+        val keepPerMillion = math.max(1L, sampleCap * 1000000L / n)
+        rows.filter(pmod(col("__h"), lit(1000000L)) < keepPerMillion)
+      } else rows
+    for (_ <- 0 until iters) {
+      val cbNow = cb
+      def zero() = (Array.fill(m * ks * dsub)(java.math.BigDecimal.ZERO),
+        new Array[Long](m * ks))
+      val (sums, counts) = train.select(col("__v")).rdd.treeAggregate(zero())(
+        { case ((sm, cnt), row) =>
+          val x = normalize(row.getSeq[Double](0))
+          var s = 0
+          while (s < m) {
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < ks) {
+              val base = (s * ks + c) * dsub
+              var d = 0.0
+              var j = 0
+              while (j < dsub) {
+                val diff = x(s * dsub + j) - cbNow(base + j)
+                d += diff * diff
+                j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            val cell = s * ks + best
+            cnt(cell) += 1
+            var j = 0
+            while (j < dsub) {
+              sm(cell * dsub + j) = sm(cell * dsub + j)
+                .add(new java.math.BigDecimal(x(s * dsub + j)))
+              j += 1
+            }
+            s += 1
+          }
+          (sm, cnt) },
+        { case ((s1, c1), (s2, c2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) = s1(i).add(s2(i)); i += 1 }
+          i = 0
+          while (i < c1.length) { c1(i) += c2(i); i += 1 }
+          (s1, c1) })
+      val next = cb.clone()
+      var cell = 0
+      while (cell < m * ks) {
+        if (counts(cell) > 0) {
+          var j = 0
+          while (j < dsub) {
+            next(cell * dsub + j) = sums(cell * dsub + j)
+              .divide(new java.math.BigDecimal(counts(cell)),
+                java.math.MathContext.DECIMAL64).doubleValue()
+            j += 1
+          }
+        } // empty cluster keeps its previous sub-centroid
+        cell += 1
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** PQ-ANN top-k (asymmetric distance): corpus vectors compress to m
+    * codes against the codebook (one codegen'd projection); each query
+    * precomputes its m×ks ADC lookup table once; scoring a pair is m
+    * table lookups — no vector math on the corpus side and only CODES
+    * on the shuffle wire. Ranking rides the B33 bounded heap. Recall
+    * < 1 by construction (quantization error); [[cosineTopK]] is the
+    * exact baseline and the `sim_pq_recall` gate pins the floor. Pass
+    * a pre-trained `codebook` in production — train once, serve many. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 32, ks: Int = 32,
+      codebook: Option[Array[Double]] = None): DataFrame = {
+    import graft.functions.SignatureExpressions._
+    val cb = codebook.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, ks))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("v_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("v_q"))
+    val enc = c.select(col("neighbor_id"),
+      pq_encode(col("v_c"), cb, m, ks).as("codes"))
+    val qt = q.select(col("query_id"),
+      pq_adc_table(col("v_q"), cb, m, ks).as("tbl"))
+    val scored = enc.crossJoin(broadcast(qt))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", round(pq_adc(col("tbl"), col("codes"), ks), 6))
+      .withColumn("score", -col("adc_dist"))
+    rankTopK(scored, k, orderCol = "score", outCol = "adc_dist")
+  }
 }

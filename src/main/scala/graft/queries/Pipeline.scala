@@ -432,6 +432,10 @@ object Pipeline {
       (emb, q) => Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)),
     "sim_ivf_recall" -> recallGate(0.40,
       (emb, q) => Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10)),
+    // C30: product quantization (measured recall@10 0.64/0.61 at
+    // sf0.01/sf0.1 with m=32, ks=32 — the floor leaves >35% margin)
+    "sim_pq_recall" -> recallGate(0.40,
+      (emb, q) => Similarity.pqTopK(emb, q, "vec_id", "embedding", 10)),
 
     // C24: deterministic exact-k-per-group sampling (portable md5
     // order — selection reproducible across engines; rides TopKPerKey).
@@ -757,6 +761,16 @@ object Pipeline {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nLists = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // C30: product-quantization ANN (memory-bound scale path: codes on
+    // the wire, table lookups per pair). Recall contract hash-gated
+    // separately (sim_pq_recall).
+    "sim_pq" -> ((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5)
         .orderBy(col("query_id"), col("rnk"))
     }),
 

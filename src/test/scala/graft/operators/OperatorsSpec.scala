@@ -71,6 +71,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(flagged < 50, s"bloom should prune most clean docs, flagged=$flagged")
   }
 
+  test("PQ: deterministic codebooks, planted neighbors found, reuse path (C30)") {
+    // 64-dim corpus of 6 well-separated direction clusters + planted
+    // near-duplicates of the query vectors
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def jitter(base: Array[Double], eps: Double) =
+      base.map(x => x + eps * rnd.nextGaussian())
+    val bases = (0 until 6).map { c =>
+      Array.tabulate(dim)(j => if (j % 6 == c) 1.0 else 0.05 * ((j + c) % 3))
+    }
+    val rows = (0 until 300).map { i =>
+      (i.toLong, jitter(bases(i % 6), 0.02).toSeq)
+    } ++ Seq((1000L, jitter(bases(0), 0.001).toSeq)) // near-dup of vec 0's cluster
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0L)
+    val top = Similarity.pqTopK(df, q, "vec_id", "embedding", 10, m = 16, ks = 16)
+      .collect().map(_.getLong(2)).toSet
+    // quantization collapses intra-cluster distances to ties, so the
+    // guarantee is cluster-level: every retrieved neighbor is from the
+    // query's cluster (or the planted near-dup), never a foreign one
+    assert(top.forall(id => id == 1000L || id % 6 == 0),
+      s"PQ top-10 must stay in the query's cluster: $top")
+    // widening k past the cluster-tie block must surface the near-dup
+    val top60 = Similarity.pqTopK(df, q, "vec_id", "embedding", 60,
+        m = 16, ks = 16).collect().map(_.getLong(2)).toSet
+    assert(top60.contains(1000L), s"planted near-dup missing from top-60")
+    // codebooks are bit-stable across runs (exact-decimal training)
+    val cb1 = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 16, ks = 16)
+    val cb2 = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 16, ks = 16)
+    assert(cb1.sameElements(cb2))
+    // train-once-serve-many: the pre-trained codebook path matches
+    val viaReuse = Similarity.pqTopK(df, q, "vec_id", "embedding", 10,
+        m = 16, ks = 16, codebook = Some(cb1))
+      .collect().map(_.getLong(2)).toSet
+    assert(viaReuse == top)
+  }
+
   test("connected components resolve transitive duplicate clusters (C16)") {
     // path 1-2-3-4 (diameter 3), disjoint pair 10-11, singleton edge 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
