@@ -554,9 +554,10 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
   }
 
   @volatile private var prunedFiles = 0L
-  /** Files skipped by ReceiptTime-range pruning in the last planning
-    * pass (test/diagnostic accessor; same number as the driver metric). */
-  def prunedFileCount: Long = prunedFiles
+  /** Files skipped by ReceiptTime-range pruning (test/diagnostic
+    * accessor; same number as the driver metric). Forces planning so
+    * the reading never depends on whether the plan executed yet. */
+  def prunedFileCount: Long = { plannedPartitions; prunedFiles }
 
   /** Runtime (dynamic partition) pruning: joins on a path-derived
     * partition column hand the build side's values back to the scan

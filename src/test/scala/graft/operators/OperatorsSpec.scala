@@ -607,6 +607,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(H264.decodeMp4("garbage not a container".getBytes).isEmpty)
   }
 
+  test("H.264 decoder never throws on arbitrary bytes (C12)") {
+    // a 100 TB corpus contains garbage payloads; the decoder's contract
+    // is None (fall back to the stand-in), never an exception
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { i =>
+      val len = rnd.nextInt(400)
+      val junk = Array.fill[Byte](len)(rnd.nextInt().toByte)
+      assert(H264.decodeMp4(junk).isEmpty)
+      assert(H264.decodeNals(Seq(junk)).isEmpty || junk.nonEmpty)
+    }
+    // a VALID container with bit-flipped mdat: clean refusal too
+    val mp4 = Multimodal.MediaGen.makeMp4Avc("fuzz target text")
+    (0 until 50).foreach { i =>
+      val mutated = mp4.clone()
+      val pos = 40 + rnd.nextInt(mutated.length - 40)
+      mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+      H264.decodeMp4(mutated) // Some(partial) or None — must not throw
+    }
+  }
+
   test("H.264 emulation prevention and subset boundary (C12)") {
     // all-zero pixels force 00 00 00 runs in the PCM payload — the NAL
     // escaping (emulation_prevention_three_byte) must round-trip them
