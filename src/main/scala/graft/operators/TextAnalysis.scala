@@ -57,6 +57,41 @@ object TextAnalysis {
             + lit(0.25) * (lit(1.0) - col("digit_ratio")))), 6)) // not number soup
   }
 
+  // -------------------------------------------------------------- C31
+
+  /** Source-level curation profile (RefinedWeb/CCNet shape): corpora
+    * are curated per ORIGIN (domain / crawl / feed) before per-document
+    * filtering — a low-quality source taints all its documents, and
+    * source decisions amortize over millions of them. One row per
+    * source: doc count, token totals, and mean document quality
+    * ([[qualityScore]]) — carried as `quality_sum_1e6`, an EXACT
+    * integer sum (order-independent, engine-portable: the 6-decimal
+    * quality grid scaled to integers), plus the derived double mean.
+    * Sources are a low-cardinality dimension next to the corpus, so
+    * the aggregate is one keyed shuffle of per-source partials. */
+  def sourceProfile(df: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame =
+    qualityScore(df, textCol)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(round(col("quality_score") * 1e6).cast("long")).as("quality_sum_1e6"))
+      .withColumn("mean_quality",
+        round(col("quality_sum_1e6") / (col("n_docs") * lit(1e6)), 4))
+
+  /** Drop every document of sources below the quality bar (mean doc
+    * quality < minMeanQuality, or fewer than minDocs documents — tiny
+    * sources have unreliable means). The keep-set is source-level —
+    * broadcast into a semi-join, so the corpus side shuffles nothing. */
+  def filterBySourceQuality(df: DataFrame, minMeanQuality: Double,
+      minDocs: Long = 1L, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val keep = sourceProfile(df, textCol, sourceCol)
+      .filter(col("mean_quality") >= minMeanQuality && col("n_docs") >= minDocs)
+      .select(col(sourceCol))
+    df.join(broadcast(keep), Seq(sourceCol), "left_semi")
+  }
+
   // --------------------------------------------------------------- C8
 
   /** Marker-word scores per language (n-gram/stopword heuristic). CJK

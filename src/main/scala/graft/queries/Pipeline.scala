@@ -76,6 +76,43 @@ object Pipeline {
         |    + 0.25 * (1.0 - digit_ratio))), 6) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // C31: source-level curation — per-source quality profile with the
+    // keep decision computed in exact integer arithmetic (the 6-decimal
+    // quality grid scaled to 1e6), so the aggregate is accumulation-
+    // order-independent and the oracle replays it bit-for-bit.
+    "text_source_quality" -> ((
+      (s: SparkSession, d: String) => {
+        TextAnalysis.sourceProfile(t(s, d, "documents"))
+          .withColumn("keep",
+            col("quality_sum_1e6") >= lit(550000L) * col("n_docs"))
+          .select(col("source"), col("n_docs"), col("total_words"),
+            col("quality_sum_1e6"), col("keep"))
+          .orderBy(col("source"))
+      },
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+        |    round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE /
+        |      greatest(length(text), 1), 4) AS punct_ratio,
+        |    round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+        |      greatest(length(text), 1), 4) AS digit_ratio,
+        |    round(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))::DOUBLE /
+        |      greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS distinct_ratio
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, n_words,
+        |    CAST(round(round(least(1.0, greatest(0.0,
+        |      0.25 * least(n_words / 100.0, 1.0)
+        |      + 0.25 * distinct_ratio
+        |      + 0.25 * (1.0 - punct_ratio)
+        |      + 0.25 * (1.0 - digit_ratio))), 6) * 1000000) AS BIGINT) AS q6
+        |  FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(sum(q6) AS BIGINT) AS quality_sum_1e6,
+        |  (sum(q6) >= 550000 * count(*)) AS keep
+        |FROM q GROUP BY source ORDER BY source""".stripMargin)),
+
     // C8: language-ID heuristic vs the labeled lang column.
     "text_langid" -> ((
       (s: SparkSession, d: String) => {

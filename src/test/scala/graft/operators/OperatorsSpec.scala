@@ -71,6 +71,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(flagged < 50, s"bloom should prune most clean docs, flagged=$flagged")
   }
 
+  test("source-level curation profiles and filters by origin quality (C31)") {
+    val good = "the quick brown fox jumps over a lazy dog and it runs far " +
+      "away to the old house in the green field of tall grass tonight"
+    val bad = "!!! 555 ... 12345 ,,, 999 ;;; 000 !!! 555 ... 12345 ,,, 999"
+    val df = (0 until 40).map { i =>
+      if (i < 20) (i.toLong, good + s" extra$i", s"cleansrc")
+      else (i.toLong, bad, s"spamsrc")
+    }.toDF("doc_id", "text", "source")
+    val prof = TextAnalysis.sourceProfile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(prof("cleansrc")._1 == 20 && prof("spamsrc")._1 == 20)
+    assert(prof("cleansrc")._2 > prof("spamsrc")._2 + 0.2,
+      s"clean source must profile far above spam: $prof")
+    // the filter drops every spam-source doc and keeps every clean one
+    val mid = (prof("cleansrc")._2 + prof("spamsrc")._2) / 2
+    val kept = TextAnalysis.filterBySourceQuality(df, mid)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 20L).toSet)
+    // minDocs bar: a 1-doc source is dropped regardless of quality
+    val withTiny = df.union(Seq((99L, good, "tinysrc")).toDF())
+    val kept2 = TextAnalysis.filterBySourceQuality(withTiny, mid, minDocs = 5)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(kept2 == Set("cleansrc"))
+  }
+
   test("PQ: deterministic codebooks, planted neighbors found, reuse path (C30)") {
     // 64-dim corpus of 6 well-separated direction clusters + planted
     // near-duplicates of the query vectors
