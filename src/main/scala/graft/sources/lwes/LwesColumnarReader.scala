@@ -1,0 +1,624 @@
+package graft.sources.lwes
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.lwes.{Journal, LwesEvent, LwesType}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** Vectorized scan output: journal WIRE BYTES are decoded straight into
+  * `ColumnarBatch` column vectors (4096 rows per batch) — no per-event
+  * object, no per-attribute boxing, no String keys. The record loop:
+  *
+  *   - reads the 22-byte header + payload into two reused buffers;
+  *   - applies the eventName filter by comparing raw name bytes;
+  *   - walks the attribute list ONCE, resolving each key through a
+  *     byte-keyed open-addressed dispatch table (attr → target columns);
+  *     unreferenced attributes are length-skipped, referenced ones are
+  *     decoded by wire token directly into the per-column typed writer;
+  *   - injects header-derived columns (ReceiptTime/SenderIP/SenderPort/
+  *     SiteID) from the header fields, overwriting payload copies — the
+  *     same replace semantics as the row path's `ev.set`;
+  *   - null-fills columns no attribute reached (per-row stamp array, no
+  *     per-row clearing).
+  *
+  * Every conversion matches [[LwesOptions.toCatalyst]] bit-for-bit (the
+  * parity contract pinned by LwesColumnarSpec): float-from-string,
+  * uint64-as-decimal, IPADDR un-reversal, unconvertible → NULL, and
+  * malformed-UTF-8 string attrs take the same String round-trip the row
+  * path takes (ASCII fast-paths straight from the wire).
+  *
+  * Corruption semantics are the row path's exactly: torn tail / codec
+  * corruption ends the FILE (tornFiles metric), an undecodable payload
+  * costs one RECORD and resyncs at the next frame (corruptRecords
+  * metric; partially-written rows are rolled back by not advancing the
+  * row index and clearing its null bits). SequenceFile containers —
+  * detected by magic, rare, already object-shaped — fall back to the
+  * shared [[ColumnShape]] fill per file.
+  *
+  * At 100 TB, scan CPU is the dominant cost and this is the hot loop:
+  * the row path pays ~6 allocations per attribute (key byte[], key
+  * String, boxed value, LwesAttr, ArrayBuffer growth, Option) before
+  * shaping even starts; this path pays zero for skipped attributes and
+  * at most one (the vector's own append) for projected ones.
+  */
+class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
+    config: LwesReadConfig, conf: Configuration)
+    extends PartitionReader[ColumnarBatch] with org.apache.spark.internal.Logging {
+
+  private val schema = config.schema
+  private val nCols = schema.length
+  private val capacity = 4096
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, schema)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+  // ------------------------------------------------------- column roles
+  private val nameColIdx: Int =
+    config.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
+  private val partCols: Array[Int] = schema.fieldNames.zipWithIndex
+    .filter { case (n, i) => i != nameColIdx && config.partitionCols.contains(n) }
+    .map(_._2)
+  private def isAttrCol(i: Int): Boolean =
+    i != nameColIdx && !partCols.contains(i)
+
+  // required-event groups: distinct non-empty `Event::Name` mappings;
+  // per record each group's name is byte-compared against the event name
+  // once, however many columns share it
+  private val groupNames: Array[Array[Byte]] = schema.fieldNames
+    .flatMap(config.eventFor.get).filter(_.nonEmpty).distinct
+    .map(_.getBytes(UTF_8))
+  private val colGroup: Array[Int] = schema.fieldNames.zipWithIndex.map {
+    case (n, i) =>
+      if (!isAttrCol(i)) -1
+      else config.eventFor.get(n).filter(_.nonEmpty)
+        .map(g => groupNames.indexWhere(java.util.Arrays.equals(_, g.getBytes(UTF_8))))
+        .getOrElse(-1)
+  }
+  private val groupMatch = new Array[Boolean](groupNames.length)
+  @inline private def groupOk(c: Int): Boolean = {
+    val g = colGroup(c); g < 0 || groupMatch(g)
+  }
+
+  // header-derived columns: (column, header field), written after the
+  // payload scan so they REPLACE payload copies (row-path `set` parity)
+  private val HReceipt = 0; private val HIp = 1
+  private val HPort = 2; private val HSite = 3
+  private val headerWrites: Array[(Int, Int)] =
+    schema.fieldNames.zipWithIndex.filter { case (_, i) => isAttrCol(i) }
+      .flatMap { case (n, i) =>
+        config.attrOf(n) match {
+          case LwesEvent.ReceiptTime => Some((i, HReceipt))
+          case LwesEvent.SenderIp => Some((i, HIp))
+          case LwesEvent.SenderPort => Some((i, HPort))
+          case LwesEvent.SiteId => Some((i, HSite))
+          case _ => None
+        }
+      }
+
+  // eventName accept-set as raw UTF-8 (empty = accept all)
+  private val acceptNames: Array[Array[Byte]] =
+    config.eventNames.toArray.sorted.map(_.getBytes(UTF_8))
+
+  // ------------------------------------------------------ typed writers
+  /** One per column: wire (token, bytes, lv) → typed vector cell or
+    * null, replicating [[LwesOptions.toCatalyst]] exactly. `lv` carries
+    * the sign-corrected integral value for numeric/bool tokens. */
+  private abstract class ColWriter {
+    def write(r: Int, token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit
+  }
+
+  /** UTF-8 parity write: ASCII goes straight from the wire; anything
+    * else takes the row path's String round-trip so malformed sequences
+    * produce identical replacement bytes. */
+  private def putUtf8(vec: OnHeapColumnVector, r: Int,
+      b: Array[Byte], off: Int, len: Int): Unit = {
+    var i = off
+    val end = off + len
+    while (i < end && b(i) >= 0) i += 1
+    if (i == end) vec.putByteArray(r, b, off, len)
+    else {
+      val rb = new String(b, off, len, UTF_8).getBytes(UTF_8)
+      vec.putByteArray(r, rb, 0, rb.length)
+    }
+  }
+
+  @inline private def strOff(off: Int): Int = off + 2 // skip uint16 length
+  @inline private def strLen(len: Int): Int = len - 2
+
+  private def parseLong(b: Array[Byte], off: Int, len: Int): Option[Long] =
+    new String(b, strOff(off), strLen(len), UTF_8).toLongOption
+
+  private val writers: Array[ColWriter] = schema.fields.zipWithIndex.map {
+    case (f, i) =>
+      val vec = vectors(i)
+      f.dataType match {
+        case BooleanType => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            if (t == LwesType.Bool) vec.putBoolean(r, lv != 0) else vec.putNull(r)
+        }
+        case ShortType => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            t match {
+              case LwesType.Str => parseLong(b, off, len) match {
+                case Some(x) => vec.putShort(r, x.toShort)
+                case None => vec.putNull(r)
+              }
+              case LwesType.IpAddr => vec.putNull(r)
+              case _ => vec.putShort(r, lv.toShort)
+            }
+        }
+        case IntegerType => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            t match {
+              case LwesType.Str => parseLong(b, off, len) match {
+                case Some(x) => vec.putInt(r, x.toInt)
+                case None => vec.putNull(r)
+              }
+              case LwesType.IpAddr => vec.putNull(r)
+              case _ => vec.putInt(r, lv.toInt)
+            }
+        }
+        case LongType => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            t match {
+              case LwesType.Str => parseLong(b, off, len) match {
+                case Some(x) => vec.putLong(r, x)
+                case None => vec.putNull(r)
+              }
+              case LwesType.IpAddr => vec.putNull(r)
+              case _ => vec.putLong(r, lv)
+            }
+        }
+        case FloatType => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            t match {
+              case LwesType.Str =>
+                try vec.putFloat(r,
+                  java.lang.Float.parseFloat(new String(b, strOff(off), strLen(len), UTF_8)))
+                catch { case _: NumberFormatException => vec.putNull(r) }
+              case LwesType.IpAddr | LwesType.Bool => vec.putNull(r)
+              // row path: asDouble then .toFloat — keep the double hop
+              case _ => vec.putFloat(r, lv.toDouble.toFloat)
+            }
+        }
+        case DoubleType => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            t match {
+              case LwesType.Str =>
+                try vec.putDouble(r,
+                  java.lang.Double.parseDouble(new String(b, strOff(off), strLen(len), UTF_8)))
+                catch { case _: NumberFormatException => vec.putNull(r) }
+              case LwesType.IpAddr | LwesType.Bool => vec.putNull(r)
+              case _ => vec.putDouble(r, lv.toDouble)
+            }
+        }
+        case StringType => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            t match {
+              case LwesType.Str => putUtf8(vec, r, b, strOff(off), strLen(len))
+              case LwesType.IpAddr =>
+                // wire holds d.c.b.a; render a.b.c.d (pure ASCII)
+                val s = new java.lang.StringBuilder(15)
+                s.append(b(off + 3) & 0xff).append('.').append(b(off + 2) & 0xff)
+                  .append('.').append(b(off + 1) & 0xff).append('.').append(b(off) & 0xff)
+                val rb = s.toString.getBytes(UTF_8)
+                vec.putByteArray(r, rb, 0, rb.length)
+              case LwesType.Bool =>
+                val rb = (if (lv != 0) "true" else "false").getBytes(UTF_8)
+                vec.putByteArray(r, rb, 0, rb.length)
+              case _ =>
+                val rb = java.lang.Long.toString(lv).getBytes(UTF_8)
+                vec.putByteArray(r, rb, 0, rb.length)
+            }
+        }
+        case BinaryType => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            t match {
+              case LwesType.Str => putUtf8(vec, r, b, strOff(off), strLen(len))
+              case LwesType.IpAddr =>
+                val rb = Array(b(off + 3), b(off + 2), b(off + 1), b(off))
+                vec.putByteArray(r, rb, 0, rb.length)
+              case _ => vec.putNull(r)
+            }
+        }
+        case dt: DecimalType => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit = {
+            val bd: java.math.BigDecimal = t match {
+              case LwesType.UInt64 =>
+                new java.math.BigDecimal(java.lang.Long.toUnsignedString(lv))
+              case LwesType.Str =>
+                parseLong(b, off, len).map(java.math.BigDecimal.valueOf).orNull
+              case LwesType.IpAddr => null
+              case _ => java.math.BigDecimal.valueOf(lv)
+            }
+            if (bd == null) vec.putNull(r)
+            else {
+              val d = Decimal(scala.math.BigDecimal(bd))
+              if (d.changePrecision(dt.precision, dt.scale))
+                vec.putDecimal(r, d, dt.precision)
+              else vec.putNull(r)
+            }
+          }
+        }
+        case _ => new ColWriter {
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            vec.putNull(r)
+        }
+      }
+  }
+
+  // --------------------------------------- attr dispatch (byte-keyed)
+  // open-addressed, power-of-two table: wire key bytes → target columns.
+  // Built once; lookups allocate nothing.
+  private val (tabKeys, tabCols, tabMask) = {
+    val byAttr = scala.collection.mutable.LinkedHashMap[String, List[Int]]()
+    schema.fieldNames.zipWithIndex.foreach { case (n, i) =>
+      if (isAttrCol(i)) {
+        val a = config.attrOf(n)
+        byAttr(a) = byAttr.getOrElse(a, Nil) :+ i
+      }
+    }
+    var size = 8
+    while (size < byAttr.size * 4) size <<= 1
+    val keys = new Array[Array[Byte]](size)
+    val cols = new Array[Array[Int]](size)
+    byAttr.foreach { case (a, cs) =>
+      val kb = a.getBytes(UTF_8)
+      var idx = hashBytes(kb, 0, kb.length) & (size - 1)
+      while (keys(idx) != null) idx = (idx + 1) & (size - 1)
+      keys(idx) = kb
+      cols(idx) = cs.toArray
+    }
+    (keys, cols, size - 1)
+  }
+
+  @inline private def hashBytes(b: Array[Byte], off: Int, len: Int): Int = {
+    var h = 1
+    var i = off
+    val end = off + len
+    while (i < end) { h = h * 31 + b(i); i += 1 }
+    h
+  }
+
+  private def regionEquals(b: Array[Byte], off: Int, len: Int,
+      k: Array[Byte]): Boolean = {
+    if (k.length != len) return false
+    var i = 0
+    while (i < len) { if (b(off + i) != k(i)) return false; i += 1 }
+    true
+  }
+
+  /** Columns wanting the attr at `b[off,len)`, or null. */
+  private def lookup(b: Array[Byte], off: Int, len: Int): Array[Int] = {
+    var idx = hashBytes(b, off, len) & tabMask
+    var k = tabKeys(idx)
+    while (k != null) {
+      if (regionEquals(b, off, len, k)) return tabCols(idx)
+      idx = (idx + 1) & tabMask
+      k = tabKeys(idx)
+    }
+    null
+  }
+
+  // ------------------------------------------------------ record parse
+  private val headerBuf = new Array[Byte](Journal.HeaderLength)
+  private var payloadBuf = new Array[Byte](1 << 16)
+  // per-column "written this row" stamps (monotone counter — no per-row
+  // array clear)
+  private val stamps = new Array[Long](nCols)
+  private var stamp = 0L
+
+  private var in: java.io.InputStream = _
+  private var seqFill: SeqFill = _ // SequenceFile fallback for this file
+  private val fileIt = files.iterator
+  private var curPart: LwesInputPartition = _
+  private var partBytes: Array[Array[Byte]] = _ // parallel to partCols
+
+  private var emittedTotal = 0L
+  private var parsed = 0L
+  private var skipped = 0L
+  private var torn = 0L
+  private var corruptCnt = 0L
+
+  /** Advance to a readable file; false when the bin is exhausted. */
+  private def ensureFile(): Boolean = {
+    while (in == null && seqFill == null) {
+      if (!fileIt.hasNext) return false
+      curPart = fileIt.next()
+      partBytes = partCols.map(c =>
+        curPart.partitionValues.get(schema.fields(c).name)
+          .map(_.getBytes(UTF_8)).orNull)
+      try {
+        val s = LwesDataSource.openStream(curPart.path, conf)
+        if (LwesDataSource.sniffSeq(s)) seqFill = new SeqFill(s)
+        else in = s
+      } catch {
+        case e if LwesDataSource.isCorruption(e) =>
+          logWarning(s"corrupt journal head in ${curPart.path}: " +
+            s"${e.getMessage}; skipping this file")
+          torn += 1
+      }
+    }
+    true
+  }
+
+  private def closeFile(): Unit = {
+    if (in != null) { try in.close() catch { case _: java.io.IOException => () }; in = null }
+    if (seqFill != null) {
+      corruptCnt += seqFill.reader.corruptRecords
+      seqFill.close(); seqFill = null
+    }
+  }
+
+  private def readFully(b: Array[Byte], len: Int): Boolean = {
+    var off = 0
+    while (off < len) {
+      val n = in.read(b, off, len - off)
+      if (n < 0) {
+        if (off == 0) return false
+        throw new java.io.EOFException(s"truncated journal record ($off/$len bytes)")
+      }
+      off += n
+    }
+    true
+  }
+
+  @inline private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def decodeLong(token: Byte, b: Array[Byte], off: Int): Long =
+    token match {
+      case LwesType.UInt16 => u16(b, off).toLong
+      case LwesType.Int16 => u16(b, off).toShort.toLong
+      case LwesType.Int32 =>
+        (((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)).toLong
+      case LwesType.UInt32 =>
+        ((((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)).toLong) & 0xffffffffL
+      case LwesType.Int64 | LwesType.UInt64 =>
+        ((b(off) & 0xffL) << 56) | ((b(off + 1) & 0xffL) << 48) |
+          ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
+          ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
+          ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+      case LwesType.Bool => if (b(off) != 0) 1L else 0L
+      case _ => 0L
+    }
+
+  /** Clear row `r`'s null bits after a partially-written (corrupt)
+    * record so the next record's writes start from a clean slate. */
+  private def cleanupRow(r: Int): Unit = {
+    var c = 0
+    while (c < nCols) { vectors(c).putNotNull(r); c += 1 }
+  }
+
+  /** Parse one record into row `r`: 1 = written, 0 = filtered/corrupt
+    * (row not advanced), -1 = end of this file. */
+  private def parseRecord(r: Int): Int = {
+    var len = 0
+    var time = 0L
+    var port = 0
+    var site = 0
+    try {
+      if (!readFully(headerBuf, Journal.HeaderLength)) return -1
+      len = u16(headerBuf, 0)
+      time = decodeLong(LwesType.Int64, headerBuf, 2)
+      port = u16(headerBuf, 14)
+      site = u16(headerBuf, 16)
+      if (payloadBuf.length < len) payloadBuf = new Array[Byte](len)
+      if (!readFully(payloadBuf, len)) return -1
+    } catch {
+      case e if LwesDataSource.isCorruption(e) =>
+        logWarning(s"corrupt journal tail in ${curPart.path}: " +
+          s"${e.getMessage}; stopping this file")
+        torn += 1
+        return -1
+    }
+    val b = payloadBuf
+    try {
+      if (len < 3) throw new IllegalArgumentException(s"event of $len bytes")
+      val nameLen = b(0) & 0xff
+      if (1 + nameLen + 2 > len)
+        throw new IllegalArgumentException("event name overruns record")
+      // name filter straight off the wire bytes
+      if (acceptNames.nonEmpty) {
+        var ok = false
+        var i = 0
+        while (i < acceptNames.length && !ok) {
+          ok = regionEquals(b, 1, nameLen, acceptNames(i)); i += 1
+        }
+        if (!ok) { skipped += 1; return 0 }
+      }
+      var g = 0
+      while (g < groupNames.length) {
+        groupMatch(g) = regionEquals(b, 1, nameLen, groupNames(g)); g += 1
+      }
+      stamp += 1
+      // ---- attribute walk
+      var off = 1 + nameLen
+      val count = u16(b, off)
+      off += 2
+      var i = 0
+      while (i < count && off < len) {
+        val keyLen = b(off) & 0xff
+        val keyOff = off + 1
+        if (keyOff + keyLen + 1 > len)
+          throw new IllegalArgumentException("attr key overruns record")
+        val token = b(keyOff + keyLen)
+        val valOff = keyOff + keyLen + 1
+        val valLen = token match {
+          case LwesType.UInt16 | LwesType.Int16 => 2
+          case LwesType.UInt32 | LwesType.Int32 => 4
+          case LwesType.Int64 | LwesType.UInt64 => 8
+          case LwesType.Bool => 1
+          case LwesType.IpAddr => 4
+          case LwesType.Str =>
+            if (valOff + 2 > len)
+              throw new IllegalArgumentException("string length overruns record")
+            2 + u16(b, valOff)
+          case t => throw new IllegalArgumentException(
+            s"unknown LWES type token 0x${"%02x".format(t)}")
+        }
+        if (valOff + valLen > len)
+          throw new IllegalArgumentException("attr value overruns record")
+        val cols = lookup(b, keyOff, keyLen)
+        if (cols != null) {
+          val lv = decodeLong(token, b, valOff)
+          var j = 0
+          while (j < cols.length) {
+            val c = cols(j)
+            // first occurrence wins (row-path `ev.get` parity); foreign
+            // event types keep the column null
+            if (stamps(c) != stamp && groupOk(c)) {
+              writers(c).write(r, token, b, valOff, valLen, lv)
+              stamps(c) = stamp
+            }
+            j += 1
+          }
+        }
+        off = valOff + valLen
+        i += 1
+      }
+      // ---- header-derived columns replace payload copies
+      var h = 0
+      while (h < headerWrites.length) {
+        val (c, kind) = headerWrites(h)
+        if (groupOk(c)) {
+          kind match {
+            case HReceipt => writers(c).write(r, LwesType.Int64, null, 0, 8, time)
+            case HIp => writers(c).write(r, LwesType.IpAddr, headerBuf, 10, 4, 0L)
+            case HPort => writers(c).write(r, LwesType.UInt16, null, 0, 2, port.toLong)
+            case HSite => writers(c).write(r, LwesType.UInt16, null, 0, 2, site.toLong)
+          }
+          stamps(c) = stamp
+        }
+        h += 1
+      }
+      // ---- name + partition columns
+      if (nameColIdx >= 0) {
+        putUtf8(vectors(nameColIdx), r, b, 1, nameLen)
+        stamps(nameColIdx) = stamp
+      }
+      var p = 0
+      while (p < partCols.length) {
+        val c = partCols(p)
+        val pb = partBytes(p)
+        if (pb == null) vectors(c).putNull(r)
+        else vectors(c).putByteArray(r, pb, 0, pb.length)
+        stamps(c) = stamp
+        p += 1
+      }
+      // ---- null-fill untouched columns
+      var c = 0
+      while (c < nCols) {
+        if (stamps(c) != stamp) vectors(c).putNull(r)
+        c += 1
+      }
+      1
+    } catch {
+      // record-level resync: an undecodable payload costs one record
+      // (JournalReader parity); the frame header re-syncs the stream
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+        cleanupRow(r)
+        corruptCnt += 1
+        0
+    }
+  }
+
+  // -------------------------------------- SequenceFile fallback (rare)
+  /** SEQ containers arrive as parsed events; fill rows via the shared
+    * [[ColumnShape]] so the two containers cannot drift. */
+  private final class SeqFill(s: java.io.InputStream) {
+    private val shape = new ColumnShape(config)
+    private val nameFilter: String => Boolean =
+      if (config.eventNames.isEmpty) null
+      else (n: String) => {
+        val ok = config.eventNames(n)
+        if (!ok) skipped += 1
+        ok
+      }
+    val reader = new graft.lwes.SequenceJournalReader(s, nameFilter,
+      config.wantedAttrs.contains _)
+
+    /** 1 = row written, -1 = end of file (no record resync here —
+      * [[graft.lwes.SequenceJournalReader]] frames its own records). */
+    def fill(r: Int): Int = {
+      val ev =
+        try reader.next().orNull
+        catch {
+          case e if LwesDataSource.isCorruption(e) =>
+            logWarning(s"corrupt SequenceFile tail in ${curPart.path}: " +
+              s"${e.getMessage}; stopping this file")
+            torn += 1
+            null
+        }
+      if (ev == null) return -1
+      var c = 0
+      while (c < nCols) {
+        val v = shape.valueFor(c, ev, curPart.partitionValues)
+        if (v == null) vectors(c).putNull(r)
+        else boxedWrite(c, r, v)
+        c += 1
+      }
+      1
+    }
+    def close(): Unit = reader.close()
+  }
+
+  /** Catalyst-value vector write (SEQ fallback only — the hot path
+    * writes wire bytes directly through [[ColWriter]]s). */
+  private def boxedWrite(c: Int, r: Int, v: Any): Unit =
+    schema.fields(c).dataType match {
+      case BooleanType => vectors(c).putBoolean(r, v.asInstanceOf[Boolean])
+      case ShortType => vectors(c).putShort(r, v.asInstanceOf[Short])
+      case IntegerType => vectors(c).putInt(r, v.asInstanceOf[Int])
+      case LongType => vectors(c).putLong(r, v.asInstanceOf[Long])
+      case FloatType => vectors(c).putFloat(r, v.asInstanceOf[Float])
+      case DoubleType => vectors(c).putDouble(r, v.asInstanceOf[Double])
+      case StringType =>
+        val bs = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+        vectors(c).putByteArray(r, bs, 0, bs.length)
+      case BinaryType =>
+        val bs = v.asInstanceOf[Array[Byte]]
+        vectors(c).putByteArray(r, bs, 0, bs.length)
+      case d: DecimalType =>
+        vectors(c).putDecimal(r, v.asInstanceOf[Decimal], d.precision)
+      case _ => vectors(c).putNull(r)
+    }
+
+  // ------------------------------------------------------------ driver
+  override def next(): Boolean = {
+    var i = 0
+    while (i < nCols) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity && (config.limit < 0 || emittedTotal < config.limit)) {
+      if (!ensureFile()) { batch.setNumRows(n); return n > 0 }
+      val r = if (seqFill != null) seqFill.fill(n) else parseRecord(n)
+      if (r > 0) { n += 1; emittedTotal += 1; parsed += 1 }
+      else if (r < 0) closeFile()
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val liveCorrupt =
+      if (seqFill != null) seqFill.reader.corruptRecords else 0L
+    Array(LwesTaskMetric("eventsParsed", parsed),
+      LwesTaskMetric("eventsSkipped", skipped),
+      LwesTaskMetric("tornFiles", torn),
+      LwesTaskMetric("corruptRecords", corruptCnt + liveCorrupt))
+  }
+
+  override def close(): Unit = {
+    closeFile()
+    batch.close()
+  }
+}

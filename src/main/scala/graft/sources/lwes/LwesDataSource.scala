@@ -226,26 +226,38 @@ object LwesDataSource {
     case _ => false
   }
 
-  def openReader(pathStr: String, conf: Configuration,
-      nameFilter: String => Boolean, wanted: String => Boolean): EventStreamReader = {
+  /** Open a journal file as a decompressed, buffered byte stream (codec
+    * by extension; zstd via zstd-jni — Hadoop's ZStandardCodec needs
+    * native libhadoop which plain Spark deployments don't carry). The
+    * 3-byte pushback window lets [[sniffSeq]] detect the container. */
+  def openStream(pathStr: String, conf: Configuration): java.io.PushbackInputStream = {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
     val in0: java.io.InputStream =
       if (graft.lwes.Journal.isZstd(p.getName))
-        // zstd-jni, not Hadoop ZStandardCodec — the latter needs native
-        // libhadoop which plain Spark deployments don't carry
         new com.github.luben.zstd.ZstdInputStream(raw)
       else {
         val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
         if (codec != null) codec.createInputStream(raw) else raw
       }
-    val in = new java.io.PushbackInputStream(
+    new java.io.PushbackInputStream(
       new java.io.BufferedInputStream(in0, 1 << 16), 3)
+  }
+
+  /** True iff the stream starts with the SequenceFile magic (bytes are
+    * pushed back either way). */
+  def sniffSeq(in: java.io.PushbackInputStream): Boolean = {
     val magic = new Array[Byte](3)
     val got = in.readNBytes(magic, 0, 3)
     in.unread(magic, 0, got)
-    if (got == 3 && magic.sameElements("SEQ".getBytes))
+    got == 3 && magic.sameElements("SEQ".getBytes)
+  }
+
+  def openReader(pathStr: String, conf: Configuration,
+      nameFilter: String => Boolean, wanted: String => Boolean): EventStreamReader = {
+    val in = openStream(pathStr, conf)
+    if (sniffSeq(in))
       new graft.lwes.SequenceJournalReader(in, nameFilter, wanted)
     else new JournalReader(in, nameFilter, wanted)
   }
@@ -924,128 +936,6 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
       case m: LwesFilesPartition => m.files
     }
     new LwesColumnarBatchReader(files, config, bconf.value.value)
-  }
-}
-
-/** Vectorized scan output: events land directly in `ColumnarBatch`
-  * column vectors (4096 rows per batch) instead of one
-  * `GenericInternalRow` per event — Spark's `ColumnarToRow` then feeds
-  * whole-stage codegen from flat arrays, removing the per-row object
-  * and iterator overhead between parse and Tungsten. Per-file semantics
-  * (torn-file stop, record resync, projected parse, metrics) come from
-  * the same underlying [[LwesPartitionReader]]s as the row path. */
-class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
-    config: LwesReadConfig, conf: Configuration)
-    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
-
-  private val schema = config.schema
-  private val nCols = schema.length
-  private val capacity = 4096
-  private val vectors: Array[OnHeapColumnVector] =
-    OnHeapColumnVector.allocateColumns(capacity, schema)
-  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
-
-  private val shape = new ColumnShape(config)
-
-  // per-column typed vector writers, resolved ONCE (the per-cell loop
-  // must not re-match DataType 4096 × nCols times per batch)
-  private val writers: Array[(Int, Any) => Unit] =
-    schema.fields.zipWithIndex.map { case (f, i) =>
-      val vec = vectors(i)
-      f.dataType match {
-        case BooleanType => (r: Int, v: Any) =>
-          vec.putBoolean(r, v.asInstanceOf[Boolean])
-        case ShortType => (r: Int, v: Any) =>
-          vec.putShort(r, v.asInstanceOf[Short])
-        case IntegerType => (r: Int, v: Any) =>
-          vec.putInt(r, v.asInstanceOf[Int])
-        case LongType => (r: Int, v: Any) =>
-          vec.putLong(r, v.asInstanceOf[Long])
-        case FloatType => (r: Int, v: Any) =>
-          vec.putFloat(r, v.asInstanceOf[Float])
-        case DoubleType => (r: Int, v: Any) =>
-          vec.putDouble(r, v.asInstanceOf[Double])
-        case StringType => (r: Int, v: Any) => {
-          val b = v.asInstanceOf[UTF8String].getBytes
-          vec.putByteArray(r, b, 0, b.length)
-        }
-        case BinaryType => (r: Int, v: Any) => {
-          val b = v.asInstanceOf[Array[Byte]]
-          vec.putByteArray(r, b, 0, b.length)
-        }
-        case d: DecimalType => (r: Int, v: Any) =>
-          vec.putDecimal(r,
-            v.asInstanceOf[org.apache.spark.sql.types.Decimal], d.precision)
-        case _ => (r: Int, _: Any) => vec.putNull(r)
-      }
-    }
-
-  private val fileIt = files.iterator
-  private var cur: LwesPartitionReader = null
-  private var curPart: LwesInputPartition = null
-  private var emittedTotal = 0L
-  private val acc = scala.collection.mutable.Map.empty[String, Long]
-    .withDefaultValue(0L)
-
-  private def nextEvent(): graft.lwes.LwesEvent = {
-    while (true) {
-      if (cur == null) {
-        if (!fileIt.hasNext) return null
-        curPart = fileIt.next()
-        cur = new LwesPartitionReader(curPart, config, conf)
-      }
-      val ev = cur.nextEvent()
-      if (ev != null) { cur.countEmitted(); return ev }
-      cur.currentMetricsValues().foreach(m => acc(m.name()) += m.value())
-      cur.close()
-      cur = null
-    }
-    null // unreachable
-  }
-
-  private def putValue(i: Int, rowId: Int, ev: graft.lwes.LwesEvent): Unit = {
-    // the SAME shaping rule as the row path (ColumnShape), then a typed
-    // vector write resolved per column at construction
-    val v = shape.valueFor(i, ev, curPart.partitionValues)
-    if (v == null) vectors(i).putNull(rowId)
-    else writers(i)(rowId, v)
-  }
-
-  override def next(): Boolean = {
-    var i = 0
-    while (i < nCols) { vectors(i).reset(); i += 1 }
-    var n = 0
-    while (n < capacity &&
-        (config.limit < 0 || emittedTotal < config.limit)) {
-      val ev = nextEvent()
-      if (ev == null) {
-        batch.setNumRows(n)
-        return n > 0
-      }
-      var c = 0
-      while (c < nCols) { putValue(c, n, ev); c += 1 }
-      n += 1
-      emittedTotal += 1
-    }
-    batch.setNumRows(n)
-    n > 0
-  }
-
-  override def get(): ColumnarBatch = batch
-
-  override def currentMetricsValues():
-      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
-    val live = if (cur == null) Map.empty[String, Long]
-      else cur.currentMetricsValues().map(m => m.name() -> m.value()).toMap
-    (acc.keySet ++ live.keySet).toArray.map(k =>
-      LwesTaskMetric(k, acc(k) + live.getOrElse(k, 0L)))
-  }
-
-  override def close(): Unit = {
-    if (cur != null) { cur.close(); cur = null }
-    batch.close()
   }
 }
 

@@ -18,6 +18,12 @@ object ScanThroughput {
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_TP_EVENTS", "5000000").toInt
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_TP_FILES", "64").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_TP_CPUS", "32")
+    // "gz" (default — the production layout) or "none" (isolates parse
+    // cost from decompress cost when profiling the reader itself)
+    val ext = sys.env.getOrElse("SPARK_GRAFT_TP_CODEC", "gz") match {
+      case "none" => ""
+      case c => s".$c"
+    }
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -27,7 +33,7 @@ object ScanThroughput {
     val perFile = nEvents / nFiles
     println(s"writing $nEvents events across $nFiles gzip journals...")
     java.util.stream.IntStream.range(0, nFiles).parallel().forEach { f =>
-      val w = JournalWriter.create(s"$dir/j$f.journal.gz")
+      val w = JournalWriter.create(s"$dir/j$f.journal$ext")
       (0 until perFile).foreach { i =>
         val id = f.toLong * perFile + i
         w.write(LwesEvent(if (id % 4 == 0) "Tp::Want" else "Tp::Skip")
@@ -44,13 +50,11 @@ object ScanThroughput {
 
     val full = "id long, user long, score int, page string, cost double, " +
       "flag boolean, site int"
-    // aggregates FORCE the stated column set through the parser —
-    // count() would let column pruning empty the read schema
-    def bench(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      df.collect() // warm (JIT + page cache)
+    def bench(tag: String)(run: => Unit): Unit = {
+      run // warm (JIT + page cache)
       val runs = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
-        df.collect()
+        run
         (System.nanoTime() - t0) / 1e9
       }
       val best = runs.min
@@ -60,16 +64,25 @@ object ScanThroughput {
       val mode = if (vec) "columnar" else "row"
       def read(schema: String) = spark.read.format("lwes").schema(schema)
         .option("vectorized", vec.toString).load(dir)
-      bench(s"$mode full 7-col parse")(read(full).agg(
+      // scan-only: drain the scan's output rows (post ColumnarToRow for
+      // the vectorized path — the pipeline Spark actually feeds codegen)
+      // without any aggregation diluting the parse delta
+      bench(s"$mode scan-only 7-col")(
+        read(full).queryExecution.toRdd.foreachPartition { it =>
+          while (it.hasNext) it.next()
+        })
+      // aggregates FORCE the stated column set through the parser —
+      // count() would let column pruning empty the read schema
+      bench(s"$mode full 7-col agg")(read(full).agg(
         sum("id"), max("user"), sum("score"), max("page"), sum("cost"),
-        sum(when(col("flag"), 1).otherwise(0)), max("site")))
+        sum(when(col("flag"), 1).otherwise(0)), max("site")).collect())
       bench(s"$mode pruned 2-col")(read(full)
-        .agg(sum("id"), sum("score")))
+        .agg(sum("id"), sum("score")).collect())
       bench(s"$mode eventName filter")(
         spark.read.format("lwes").schema("id long, cost double")
           .option("vectorized", vec.toString)
           .option("eventName", "Tp::Want").load(dir)
-          .agg(sum("id"), sum("cost")))
+          .agg(sum("id"), sum("cost")).collect())
     }
     spark.stop()
   }
