@@ -328,6 +328,13 @@ object H264 {
       r.u1() // gaps_in_frame_num_value_allowed_flag
       val wMbs = r.ue() + 1
       val hMbs = r.ue() + 1
+      // ue() can encode ~2^31, and decodeSlice allocates w*h(+chroma)
+      // bytes from these — a few-hundred-byte stream claiming 1000x1000
+      // MBs would force ~GB allocations (OutOfMemoryError is an Error,
+      // outside the never-throws contract). Cap at the Rec. H.264
+      // level-5.2 frame-size ceiling, MaxFS = 36864 macroblocks; Long
+      // math so the product itself cannot overflow.
+      if (wMbs.toLong * hMbs > 36864L) return None
       val frameMbsOnly = r.u1()
       if (frameMbsOnly == 0) return None // interlace: out of subset
       Some(Sps(wMbs, hMbs, log2MaxFrameNum))
@@ -578,9 +585,19 @@ object H264 {
                     case "stsz" if e6 - s6 >= 12 && avcC.isDefined && sizes.isEmpty =>
                       val fixed = u32(s6 + 4)
                       val n = u32(s6 + 8).toInt
-                      sizes =
-                        if (fixed != 0) IndexedSeq.fill(n)(fixed.toInt)
-                        else (0 until n).map(i => u32(s6 + 12 + i * 4).toInt)
+                      // the u32 sample count is attacker-controlled and
+                      // drives allocations — bound it against the bytes
+                      // that could actually hold the samples (each is at
+                      // least one byte of mdat for the fixed path, one
+                      // u32 size entry here for the variable path)
+                      // before any IndexedSeq materializes
+                      if (n >= 0 &&
+                          (fixed == 0 || n.toLong * math.max(fixed, 1L) <= bytes.length) &&
+                          (fixed != 0 || 12L + n.toLong * 4 <= (e6 - s6).toLong)) {
+                        sizes =
+                          if (fixed != 0) IndexedSeq.fill(n)(fixed.toInt)
+                          else (0 until n).map(i => u32(s6 + 12 + i * 4).toInt)
+                      }
                     case "stco" if e6 - s6 >= 8 && avcC.isDefined && chunkOff < 0 =>
                       if (u32(s6 + 4) >= 1) chunkOff = u32(s6 + 8)
                     case "co64" if e6 - s6 >= 8 && avcC.isDefined && chunkOff < 0 =>

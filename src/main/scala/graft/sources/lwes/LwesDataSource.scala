@@ -180,12 +180,20 @@ object LwesDataSource {
     * the mtime heuristic rather than pruning on garbage. See
     * [[LwesOptions.TimePrune]] for the layout contract. */
   def receiptTimeBounds(name: String, mtime: Long, slackMs: Long): (Long, Long) =
-    name match {
-      case RangeTagName(mn, mx) if mn.toLong <= mx.toLong =>
-        (mn.toLong, mx.toLong)
+    exactTagBounds(name).getOrElse(name match {
       case CaptureName(open) => (open.toLong - slackMs, mtime + slackMs)
       case _ => (Long.MinValue, mtime + slackMs)
-    }
+    })
+
+  /** The writer's EXACT `.t<min>-<max>.` name-tag bounds, or None for
+    * untagged files (whose heuristic stamp/mtime bounds can mis-prune a
+    * layout that violates the mtime contract — callers distinguish the
+    * two so heuristic prunes can be made loud or opted out of). */
+  def exactTagBounds(name: String): Option[(Long, Long)] = name match {
+    case RangeTagName(mn, mx) if mn.toLong <= mx.toLong =>
+      Some((mn.toLong, mx.toLong))
+    case _ => None
+  }
 
   /** Path-derived `k=v` partition segments, relative to the given roots.
     * Only directory segments BELOW a root count — a root like
@@ -388,8 +396,16 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       .filter(c => attrFor.getOrElse(c, c) == graft.lwes.LwesEvent.ReceiptTime)
       .toSet
   }
-  private lazy val pruneEnabled: Boolean =
-    options.getBoolean(LwesOptions.TimePrune, true)
+  // "true" (exact tags + stamp/mtime heuristics), "exact" (tag-named
+  // files only — heuristics off), "false" (no pruning)
+  private lazy val pruneMode: String =
+    Option(options.get(LwesOptions.TimePrune)).map(_.toLowerCase)
+      .getOrElse("true") match {
+        case "false" => "off"
+        case "exact" => "exact"
+        case _ => "all"
+      }
+  private lazy val pruneEnabled: Boolean = pruneMode != "off"
   private var timeLo: Long = Long.MinValue
   private var timeHi: Long = Long.MaxValue
   private var timeFilters: Array[Filter] = Array.empty
@@ -477,7 +493,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       timeLo = timeLo, timeHi = timeHi, // unbounded unless pruneEnabled
-      timeSlackMs = options.getLong(LwesOptions.TimePruneSlackMs, 3600000L))
+      timeSlackMs = options.getLong(LwesOptions.TimePruneSlackMs, 3600000L),
+      timeExactOnly = pruneMode == "exact")
   }
 }
 
@@ -545,9 +562,9 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     timeLo: Long = Long.MinValue, timeHi: Long = Long.MaxValue,
-    timeSlackMs: Long = 3600000L)
+    timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -608,9 +625,26 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
       val files =
         if (timeLo == Long.MinValue && timeHi == Long.MaxValue) listed
         else listed.filter { f =>
-          val (flo, fhi) = LwesDataSource.receiptTimeBounds(
-            f.getPath.getName, f.getModificationTime, timeSlackMs)
-          fhi >= timeLo && flo <= timeHi
+          LwesDataSource.exactTagBounds(f.getPath.getName) match {
+            case Some((flo, fhi)) => fhi >= timeLo && flo <= timeHi
+            case None if timeExactOnly => true // untagged: keep
+            case None =>
+              val (flo, fhi) = LwesDataSource.receiptTimeBounds(
+                f.getPath.getName, f.getModificationTime, timeSlackMs)
+              val keep = fhi >= timeLo && flo <= timeHi
+              // heuristic (stamp/mtime) prunes are sound only under the
+              // documented "records precede mtime" contract — say which
+              // files they dropped so a violated contract is loud, not a
+              // silent row loss (timePrune=exact opts the heuristics out)
+              if (!keep) logWarning(
+                s"pruning untagged journal ${f.getPath} by HEURISTIC " +
+                  s"ReceiptTime bounds [$flo, $fhi] (capture stamp/mtime " +
+                  s"+ ${timeSlackMs}ms slack) vs query window " +
+                  s"[$timeLo, $timeHi]; set timePrune=exact if this " +
+                  "layout's modification times do not upper-bound its " +
+                  "receipt times")
+              keep
+          }
         }
       prunedFiles = (listed.size - files.size).toLong
       val slices = files.iterator.map { f =>

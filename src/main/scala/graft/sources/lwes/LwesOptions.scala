@@ -63,9 +63,10 @@ object LwesOptions {
   // (heuristic, ±slack) a `capture-<openMillis>-` journaller name stamp
   // as lower bound and the file modification time as upper bound — a
   // journal's records are all received before the file is closed.
-  // Disable for layouts that violate that contract (files holding
-  // receipt times later than their mtime, e.g. synthetic future-dated
-  // data under untagged names).
+  // Values: "true" (exact tags + heuristics; every heuristic prune is
+  // logged with the bounds it used), "exact" (tag-named files only —
+  // for layouts that violate the mtime contract, e.g. future-dated
+  // receipt times under untagged names), "false" (off).
   val TimePrune = "timePrune"
   // clock-skew allowance for the heuristic (untagged) bounds, millis
   val TimePruneSlackMs = "timePruneSlackMs"

@@ -674,6 +674,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(H264.decodeNals(Seq(enc.sps, cabacPps) ++ enc.frameNals).isEmpty)
   }
 
+  test("H.264 memory-amplification payloads are refused, not allocated (C12)") {
+    // hand-assembled SPS claiming 4000x4000 MACROBLOCKS (~6 GB of
+    // planes): parseSps must reject past the level-5.2 MaxFS ceiling
+    // instead of letting decodeSlice allocate (OutOfMemoryError is an
+    // Error — the never-throws contract wouldn't catch it)
+    class BW { // minimal ue()/u() writer, MSB first
+      val out = new java.io.ByteArrayOutputStream(); var cur = 0; var n = 0
+      def u1(v: Int): Unit = { cur = (cur << 1) | (v & 1); n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 } }
+      def u(bits: Int, v: Int): Unit = (bits - 1 to 0 by -1).foreach(i => u1((v >> i) & 1))
+      def ue(v: Int): Unit = { val x = v + 1
+        val b = 32 - Integer.numberOfLeadingZeros(x); u(b - 1, 0); u(b, x) }
+      def bytes: Array[Byte] = { u1(1); while (n != 0) u1(0); out.toByteArray }
+    }
+    val w = new BW
+    w.u(8, 66); w.u(8, 0); w.u(8, 52) // profile/constraints/level
+    w.ue(0) // sps_id
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type
+    w.ue(1); w.u1(0) // max_num_ref_frames, gaps flag
+    w.ue(3999); w.ue(3999) // 4000x4000 MBs
+    w.u1(1); w.u1(0); w.u1(0); w.u1(0) // frame_mbs_only, direct8x8, crop, vui
+    val hugeSps = Array[Byte]((3 << 5 | 7).toByte) ++ w.bytes
+    val good = H264.encode(IndexedSeq(H264.Plane(16, 16, new Array[Byte](256),
+      new Array[Byte](64), new Array[Byte](64))), refreshMbs = 0)
+    assert(H264.decodeNals(Seq(hugeSps, good.pps) ++ good.frameNals).isEmpty)
+    // stsz memory bomb: a sample COUNT (and fixed-size) far beyond what
+    // the file's bytes could hold must not materialize a sizes table
+    val mp4 = Multimodal.MediaGen.makeMp4Avc("stsz bound check")
+    val idx = {
+      var i = -1
+      (0 until mp4.length - 4).foreach { p =>
+        if (i < 0 && mp4(p) == 's' && mp4(p + 1) == 't' && mp4(p + 2) == 's' &&
+          mp4(p + 3) == 'z') i = p
+      }
+      assert(i > 0); i
+    }
+    def patched(fixed: Long, count: Long): Array[Byte] = {
+      val m = mp4.clone()
+      (0 until 4).foreach { k =>
+        m(idx + 8 + k) = ((fixed >> (24 - 8 * k)) & 0xFF).toByte // sample_size
+        m(idx + 12 + k) = ((count >> (24 - 8 * k)) & 0xFF).toByte // sample_count
+      }
+      m
+    }
+    assert(H264.decodeMp4(patched(0L, 0x40000000L)).isEmpty) // variable path
+    assert(H264.decodeMp4(patched(0xFFFFFFL, 0x40000000L)).isEmpty) // fixed path
+    // the unpatched container still decodes
+    assert(H264.decodeMp4(mp4).isDefined)
+  }
+
   test("withRealMedia: generated PNG/WAV/MP4 decode to closed-form features (C12)") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x"), (3L, ""),
       (4L, "the quick brown fox jumps over the lazy dog repeatedly and often"))

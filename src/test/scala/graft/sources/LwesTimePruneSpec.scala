@@ -189,6 +189,30 @@ class LwesTimePruneSpec extends AnyFunSuite {
     assert(scanOf(lt).prunedFileCount == 1)
   }
 
+  test("timePrune=exact prunes tagged files but never untagged ones") {
+    val dir = tmp()
+    writeTaggedHours(dir, 3, 3) // exact-tagged, hours 0..2
+    // an untagged legacy file whose records POST-date its mtime (the
+    // layout that violates the heuristic contract): closed-looking but
+    // holding future receipt times
+    val w = JournalWriter.create(s"$dir/legacy-0.journal")
+    (0 until 3).foreach(i => w.write(LwesEvent("Pr::E").setInt64("id", 900L + i)
+      .setInt64(LwesEvent.ReceiptTime, T0 + 10 * Hour + i * 1000L)))
+    w.close()
+    new java.io.File(s"$dir/legacy-0.journal").setLastModified(T0)
+    def read(mode: String) = spark.read.format("lwes")
+      .schema("id long, ReceiptTime long").option("eventName", "Pr::E")
+      .option("timePrune", mode).option("timePruneSlackMs", "60000").load(dir)
+      .filter(col("ReceiptTime") >= T0 + 10 * Hour)
+    // heuristic mode would mis-prune the contract-violating file...
+    assert(read("true").count() == 0)
+    // ...exact mode keeps it (and still prunes the 3 tagged hour files)
+    val exact = read("exact")
+    assert(exact.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(900L, 901L, 902L))
+    assert(scanOf(exact).prunedFileCount == 3)
+  }
+
   test("untagged, unstamped names keep only the mtime upper bound") {
     val dir = tmp()
     (0 until 2).foreach { h =>
