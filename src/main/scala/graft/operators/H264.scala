@@ -9,18 +9,26 @@ package graft.operators
   * headers, and a macroblock layer supporting
   *
   *  - I_PCM macroblocks (raw 4:2:0 samples — `mb_type` 25 in I slices,
-  *    30 in P slices), and
+  *    30 in P slices),
   *  - P_Skip runs (`mb_skip_run`): zero-motion copy from the reference
-  *    frame — true inter-frame decode with a decoded-picture buffer.
+  *    frame — true inter-frame decode with a decoded-picture buffer, and
+  *  - ENTROPY-CODED I_16x16_2_0_0 macroblocks: CAVLC coefficient
+  *    parsing (coeff_token, trailing-one signs, level_prefix/suffix,
+  *    total_zeros), the inverse 4x4 Hadamard for the Intra16x16 luma
+  *    DC array, spec dequantization, the inverse 4x4 integer transform
+  *    (IDCT), and pixel-wise Intra16x16/chroma DC prediction — the
+  *    simplest real-encoder output family, emitted by
+  *    [[encodeCavlcIntra]].
   *
   * Every stream the [[Multimodal.MediaGen]] harness emits is spec-valid
   * H.264 (any conformant player decodes it), and this decoder is a real
   * bitstream decoder for that subset. What it does NOT implement is
-  * entropy-coded residual macroblocks (CAVLC/CABAC + prediction +
-  * IDCT) — real-world camera footage uses those, and such streams are
-  * rejected (`None`) so callers fall back to the documented stand-in.
-  * The subset boundary is checked, never guessed: any syntax element
-  * outside it aborts the decode.
+  * general AC residual blocks (CodedBlockPattern != 0) and CABAC —
+  *  typical camera footage — and such streams are rejected (`None`) so
+  * callers fall back to the documented stand-in. The subset boundary is
+  * checked, never guessed: any syntax element outside it — including a
+  * CAVLC context (nC ≥ 2), TotalCoeff ≥ 2, or VLC row beyond the
+  * implemented tables — aborts the decode rather than misdecoding.
   */
 object H264 {
 
@@ -289,6 +297,99 @@ object H264 {
   final case class Encoded(sps: Array[Byte], pps: Array[Byte],
       frameNals: IndexedSeq[Array[Byte]], widthMbs: Int, heightMbs: Int)
 
+  // --------------------------------------- CAVLC Intra_16x16 encoder
+
+  /** DC level whose reconstruction at QP 36 equals pixel delta `d`.
+    * QP 36 dequant is exact (dcY = 10·L, no rounding term), and the
+    * DC-only IDCT yields (10·L + 32) >> 6 per sample: L = ⌈(64d−32)/10⌉
+    * puts 10L+32 in [64d, 64d+9], whose floor-shift is exactly d for
+    * every d in [−255, 255]. */
+  private[operators] def dcLevelFor(d: Int): Int =
+    if (d == 0) 0 else Math.floorDiv(64 * d - 32 + 9, 10)
+
+  /** Write one Intra16x16DCLevel CAVLC block holding a single
+    * coefficient `L` at scan position 0 (or none when L == 0) — real
+    * entropy coding: coeff_token (Table 9-5, nC < 2 column), trailing-
+    * one sign or level_prefix/suffix, total_zeros. */
+  private def writeDcCavlc(w: BitWriter, level: Int): Unit = {
+    if (level == 0) w.u1(1) // coeff_token TotalCoeff=0: '1'
+    else if (level == 1 || level == -1) {
+      w.u(2, 1) // coeff_token (T1s=1, TC=1): '01'
+      w.u1(if (level < 0) 1 else 0) // trailing_ones_sign_flag
+      w.u1(1) // total_zeros = 0: '1'
+    } else {
+      w.u(6, 5) // coeff_token (T1s=0, TC=1): '000101'
+      // decoder adds 2 (first coeff past the trailing ones, T1s < 3)
+      val lc = (if (level > 0) 2 * level - 2 else -2 * level - 1) - 2
+      if (lc < 14) { w.u(lc, 0); w.u1(1) } // unary level_prefix
+      else if (lc < 30) { w.u(14, 0); w.u1(1); w.u(4, lc - 14) }
+      else { w.u(15, 0); w.u1(1); w.u(12, lc - 30) }
+      w.u1(1) // total_zeros = 0
+    }
+  }
+
+  /** Intra16x16 DC prediction of a FLAT-macroblock frame, from the
+    * already-encoded (== exactly reconstructed) neighbor values. */
+  private[operators] def flatDcPred(vals: IndexedSeq[Int], widthMbs: Int,
+      mb: Int): Int = {
+    val mx = mb % widthMbs
+    val my = mb / widthMbs
+    val left = if (mx > 0) vals(mb - 1) else -1
+    val top = if (my > 0) vals(mb - widthMbs) else -1
+    if (left >= 0 && top >= 0) (left + top + 1) >> 1
+    else if (left >= 0) left
+    else if (top >= 0) top
+    else 128
+  }
+
+  /** Encode frames of FLAT Intra_16x16 macroblocks (one gray value per
+    * MB, chroma neutral 128) as an entropy-coded CAVLC stream: each MB
+    * is I_16x16_2_0_0 (DC prediction, no AC, no chroma residual) whose
+    * luma-DC residual carries the delta to its DC prediction. Exact by
+    * construction (QP 36, [[dcLevelFor]]): decoding returns precisely
+    * `mbVals`. Frame 0 is an IDR; later frames are non-IDR I slices.
+    * MBs whose delta is zero alternate between an empty block and a
+    * reconstructing-to-zero ±1 trailing-one — same pixels, both
+    * entropy paths exercised. */
+  def encodeCavlcIntra(mbVals: IndexedSeq[IndexedSeq[Int]], widthMbs: Int,
+      heightMbs: Int): Encoded = {
+    require(mbVals.nonEmpty && mbVals.forall(_.length == widthMbs * heightMbs))
+    require(mbVals.forall(_.forall(v => v >= 0 && v <= 255)))
+    val nals = mbVals.zipWithIndex.map { case (vals, k) =>
+      val w = new BitWriter
+      val isIdr = k == 0
+      w.ue(0) // first_mb_in_slice
+      w.ue(7) // slice_type I (all slices in picture)
+      w.ue(0) // pic_parameter_set_id
+      w.u(4, if (isIdr) 0 else k & 0xF) // frame_num
+      if (isIdr) {
+        w.ue(0) // idr_pic_id
+        w.u1(0); w.u1(0) // no_output_of_prior / long_term_reference
+      } else {
+        w.u1(0) // adaptive_ref_pic_marking_mode_flag
+      }
+      w.se(10) // slice_qp_delta -> SliceQPY = 36 (exact DC dequant)
+      var mb = 0
+      val n = widthMbs * heightMbs
+      while (mb < n) {
+        w.ue(3) // mb_type I_16x16_2_0_0 (DC pred, CBP luma/chroma 0)
+        w.ue(0) // intra_chroma_pred_mode DC
+        w.se(0) // mb_qp_delta
+        val d = vals(mb) - flatDcPred(vals, widthMbs, mb)
+        val level =
+          if (d != 0) dcLevelFor(d)
+          else if ((k + mb) % 2 == 0) 0
+          else if ((k + mb) % 4 == 1) 1 // (10+32)>>6 == 0: pixels unchanged
+          else -1
+        writeDcCavlc(w, level)
+        mb += 1
+      }
+      w.rbspTrailing()
+      (Array[Byte]((3 << 5 | (if (isIdr) 5 else 1)).toByte)) ++ escape(w.toBytes)
+    }
+    Encoded(encodeSps(widthMbs, heightMbs), encodePps(), nals, widthMbs, heightMbs)
+  }
+
   /** Encode frames (all same dims, multiples of 16). Frame 0 is IDR
     * all-I_PCM; each later frame refreshes its first `refreshMbs`
     * macroblocks as I_PCM and P_Skips the rest — so its non-refreshed
@@ -341,16 +442,25 @@ object H264 {
     } catch { case _: Exception => None }
   }
 
+  final case class Pps(initQp: Int)
+
   /** Parse a PPS RBSP; None when outside the subset (CABAC, slice
-    * groups, more than one active ref). */
-  private def parsePps(rbsp: Array[Byte]): Option[Unit] = {
+    * groups, more than one active ref). Captures pic_init_qp (the
+    * CAVLC residual path dequantizes with SliceQPY derived from it). */
+  private def parsePps(rbsp: Array[Byte]): Option[Pps] = {
     try {
       val r = new BitReader(rbsp)
       if (r.ue() != 0 || r.ue() != 0) return None // pps/sps ids
       if (r.u1() != 0) return None // CABAC: out of subset
       r.u1() // bottom_field_pic_order_in_frame_present
       if (r.ue() != 0) return None // slice groups: out of subset
-      Some(())
+      r.ue() // num_ref_idx_l0_default_active_minus1
+      r.ue() // num_ref_idx_l1_default_active_minus1
+      r.u1() // weighted_pred_flag
+      r.u(2) // weighted_bipred_idc
+      val initQp = 26 + r.se()
+      if (initQp < 0 || initQp > 51) return None
+      Some(Pps(initQp))
     } catch { case _: Exception => None }
   }
 
@@ -362,7 +472,7 @@ object H264 {
     * and fall back. */
   def decodeNals(nals: Seq[Array[Byte]]): Option[Decoded] = {
     var sps: Option[Sps] = None
-    var ppsOk = false
+    var pps: Option[Pps] = None
     var ref: Plane = null
     val frames = IndexedSeq.newBuilder[Plane]
     try {
@@ -375,12 +485,12 @@ object H264 {
             sps = parseSps(rbsp)
             if (sps.isEmpty) return None
           case 8 =>
-            if (parsePps(rbsp).isEmpty) return None
-            ppsOk = true
+            pps = parsePps(rbsp)
+            if (pps.isEmpty) return None
           case 5 | 1 =>
             val s = sps.getOrElse(return None)
-            if (!ppsOk) return None
-            val out = decodeSlice(rbsp, s, isIdr = nalType == 5, ref)
+            val p = pps.getOrElse(return None)
+            val out = decodeSlice(rbsp, s, p, isIdr = nalType == 5, ref)
               .getOrElse(return None)
             ref = out
             frames += out
@@ -396,10 +506,113 @@ object H264 {
     }
   }
 
+  // ----------------------------- CAVLC residual transform machinery
+
+  /** Inverse 4x4 Hadamard for the Intra16x16 luma DC array (8.5.10):
+    * the ±1 butterfly, no scaling. Input/output row-major. */
+  private[operators] def ihadamard4x4(c: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val o = i * 4
+      val e0 = c(o) + c(o + 2); val e1 = c(o) - c(o + 2)
+      val e2 = c(o + 1) - c(o + 3); val e3 = c(o + 1) + c(o + 3)
+      t(o) = e0 + e3; t(o + 1) = e1 + e2; t(o + 2) = e1 - e2; t(o + 3) = e0 - e3
+      i += 1
+    }
+    val out = new Array[Int](16)
+    var j = 0
+    while (j < 4) {
+      val f0 = t(j) + t(8 + j); val f1 = t(j) - t(8 + j)
+      val f2 = t(4 + j) - t(12 + j); val f3 = t(4 + j) + t(12 + j)
+      out(j) = f0 + f3; out(4 + j) = f1 + f2
+      out(8 + j) = f1 - f2; out(12 + j) = f0 - f3
+      j += 1
+    }
+    out
+  }
+
+  /** Inverse 4x4 integer transform (8.5.12.2): the >>1 butterfly rows
+    * then columns, final (x + 32) >> 6 rounding. Input row-major
+    * dequantized coefficients, output residual samples. */
+  private[operators] def idct4x4(d: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val o = i * 4
+      val e0 = d(o) + d(o + 2); val e1 = d(o) - d(o + 2)
+      val e2 = (d(o + 1) >> 1) - d(o + 3); val e3 = d(o + 1) + (d(o + 3) >> 1)
+      t(o) = e0 + e3; t(o + 1) = e1 + e2; t(o + 2) = e1 - e2; t(o + 3) = e0 - e3
+      i += 1
+    }
+    val out = new Array[Int](16)
+    var j = 0
+    while (j < 4) {
+      val f0 = t(j) + t(8 + j); val f1 = t(j) - t(8 + j)
+      val f2 = (t(4 + j) >> 1) - t(12 + j); val f3 = t(4 + j) + (t(12 + j) >> 1)
+      out(j) = (f0 + f3 + 32) >> 6; out(4 + j) = (f1 + f2 + 32) >> 6
+      out(8 + j) = (f1 - f2 + 32) >> 6; out(12 + j) = (f0 - f3 + 32) >> 6
+      j += 1
+    }
+    out
+  }
+
+  /** Intra16x16 luma DC dequant (8.5.10): position-(0,0) scale
+    * {10,11,13,14,16,18}[qP%6], shifted by qP/6 against the fixed >>6
+    * normalization — exact (no rounding term) from qP 36 up. */
+  private[operators] def dequantLumaDc(f: Int, qp: Int): Int = {
+    val ls = (qp % 6) match {
+      case 0 => 10; case 1 => 11; case 2 => 13; case 3 => 14; case 4 => 16
+      case _ => 18
+    }
+    if (qp >= 36) (f * ls) << (qp / 6 - 6)
+    else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** Read one Intra16x16DCLevel CAVLC block of the supported profile:
+    * nC < 2, TotalCoeff ≤ 1, coefficient at scan position 0. Returns
+    * the single level (0 = empty block). Anything beyond the profile —
+    * an nC ≥ 2 context, TotalCoeff ≥ 2, a non-zero total_zeros, a
+    * level_prefix escape past 15 — throws (→ clean None upstream):
+    * the boundary is checked, never misdecoded. */
+  private def readDcCavlc(r: BitReader, nC: Int): Int = {
+    if (nC >= 2)
+      throw new IllegalArgumentException("nC>=2 coeff_token context unsupported")
+    if (r.u1() == 1) return 0 // coeff_token '1': TotalCoeff 0
+    if (r.u1() == 1) { // coeff_token '01': TotalCoeff 1, TrailingOnes 1
+      val level = if (r.u1() == 1) -1 else 1
+      if (r.u1() != 1) // total_zeros (TC=1): only '1' (= 0) in profile
+        throw new IllegalArgumentException("nonzero total_zeros unsupported")
+      return level
+    }
+    // remaining prefix must be '0101' completing coeff_token '000101'
+    // (TotalCoeff 1, TrailingOnes 0); everything else is TC >= 2
+    if (r.u1() != 0 || r.u1() != 1 || r.u1() != 0 || r.u1() != 1)
+      throw new IllegalArgumentException("TotalCoeff>=2 unsupported")
+    var prefix = 0
+    while (r.u1() == 0) {
+      prefix += 1
+      if (prefix > 15) throw new IllegalArgumentException("level_prefix escape")
+    }
+    var levelCode =
+      if (prefix < 14) prefix
+      else if (prefix == 14) 14 + r.u(4)
+      else 30 + r.u(12)
+    levelCode += 2 // first coefficient past the trailing ones, T1s < 3
+    val level =
+      if ((levelCode & 1) == 0) (levelCode + 2) >> 1
+      else -((levelCode + 1) >> 1)
+    if (r.u1() != 1)
+      throw new IllegalArgumentException("nonzero total_zeros unsupported")
+    level
+  }
+
   /** Decode one slice into a full frame plane. P_Skip macroblocks copy
     * from `ref` (zero motion, the inter-frame path); I_PCM macroblocks
-    * read raw samples. Anything else → None. */
-  private def decodeSlice(rbsp: Array[Byte], sps: Sps, isIdr: Boolean,
+    * read raw samples; I_16x16_2_0_0 macroblocks take the real CAVLC
+    * path (entropy-decoded luma DC, inverse Hadamard, dequant, 4x4
+    * IDCT, pixel-wise DC prediction). Anything else → None. */
+  private def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps, isIdr: Boolean,
       ref: Plane): Option[Plane] = {
     val r = new BitReader(rbsp)
     if (r.ue() != 0) return None // first_mb_in_slice: single-slice only
@@ -418,7 +631,8 @@ object H264 {
     }
     if (isIdr) { r.u1(); r.u1() } // no_output_of_prior / long_term
     else if (r.u1() != 0) return None // adaptive_ref_pic_marking
-    r.se() // slice_qp_delta
+    var qpy = pps.initQp + r.se() // slice_qp_delta
+    if (qpy < 0 || qpy > 51) return None
     // macroblock layer
     val (w, h) = (sps.width, sps.height)
     val y = new Array[Byte](w * h)
@@ -470,6 +684,127 @@ object H264 {
         comp += 1
       }
     }
+    // per-MB 4x4-block coefficient count for CAVLC nC derivation:
+    // I_PCM counts 16 (spec 9.2.1), our Intra16x16 profile (CBP 0)
+    // counts 0, inter skips count 0
+    val mbCoeff = new Array[Int](nMbs)
+
+    /** Decode one I_16x16_2_0_0 macroblock: DC-predicted, CAVLC luma
+      * DC residual, no AC, no chroma residual. */
+    def decodeIntra16Mb(mb: Int, mbType: Int): Boolean = {
+      // mb_type 1..24 encodes (predMode, cbpChroma, cbpLuma); only the
+      // DC-pred zero-CBP point of that lattice is in the profile
+      if (mbType != 3) return false
+      if (r.ue() != 0) return false // intra_chroma_pred_mode: DC only
+      val dq = r.se() // mb_qp_delta
+      if (dq < -26 || dq > 25) return false
+      qpy = (qpy + dq + 52) % 52
+      val (mx, my) = (mb % sps.widthMbs, mb / sps.widthMbs)
+      // nC from the neighboring 4x4 blocks of luma block 0 (left MB's
+      // rightmost, top MB's bottom-left) — PCM neighbors push the
+      // context past the implemented table: abort, never misdecode
+      val nA = if (mx > 0) mbCoeff(mb - 1) else -1
+      val nB = if (my > 0) mbCoeff(mb - sps.widthMbs) else -1
+      val nC =
+        if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+        else if (nA >= 0) nA
+        else if (nB >= 0) nB
+        else 0
+      val level = readDcCavlc(r, nC)
+      // luma DC pred from decoded neighbor pixels (8.3.3, DC mode)
+      val lumaPred = {
+        var sumL = 0
+        var sumT = 0
+        var i = 0
+        while (i < 16) {
+          if (mx > 0) sumL += y((my * 16 + i) * w + mx * 16 - 1) & 0xFF
+          if (my > 0) sumT += y((my * 16 - 1) * w + mx * 16 + i) & 0xFF
+          i += 1
+        }
+        if (mx > 0 && my > 0) (sumL + sumT + 16) >> 5
+        else if (mx > 0) (sumL + 8) >> 4
+        else if (my > 0) (sumT + 8) >> 4
+        else 128
+      }
+      // single level at scan position 0 -> DC array -> inverse
+      // Hadamard -> dequant -> per-4x4 DC-only IDCT (real transforms,
+      // degenerate inputs)
+      val dcIn = new Array[Int](16)
+      dcIn(0) = level
+      val had = ihadamard4x4(dcIn)
+      var blk = 0
+      while (blk < 16) {
+        val coeffs = new Array[Int](16)
+        coeffs(0) = dequantLumaDc(had(blk), qpy)
+        val res = idct4x4(coeffs)
+        val bx = (blk % 4) * 4
+        val by = (blk / 4) * 4
+        var rr = 0
+        while (rr < 4) {
+          var cc = 0
+          while (cc < 4) {
+            val v = lumaPred + res(rr * 4 + cc)
+            y((my * 16 + by + rr) * w + mx * 16 + bx + cc) =
+              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+            cc += 1
+          }
+          rr += 1
+        }
+        blk += 1
+      }
+      // chroma DC prediction (8.3.4.1): per-4x4 quadrant rule, no
+      // residual in this profile
+      val cw = w / 2
+      var comp = 0
+      while (comp < 2) {
+        val plane = if (comp == 0) cb else cr
+        val cx = mx * 8
+        val cy = my * 8
+        var q = 0
+        while (q < 4) {
+          val sx = (q % 2) * 4
+          val sy = (q / 2) * 4
+          var sumL = 0
+          var sumT = 0
+          var i = 0
+          while (i < 4) {
+            if (mx > 0) sumL += plane((cy + sy + i) * cw + cx - 1) & 0xFF
+            if (my > 0) sumT += plane((cy - 1) * cw + cx + sx + i) & 0xFF
+            i += 1
+          }
+          val useL = mx > 0
+          val useT = my > 0
+          val pred =
+            if (q == 0 || q == 3) { // corner blocks blend both
+              if (useL && useT) (sumL + sumT + 4) >> 3
+              else if (useL) (sumL + 2) >> 2
+              else if (useT) (sumT + 2) >> 2
+              else 128
+            } else if (q == 1) { // top-right prefers the column above
+              if (useT) (sumT + 2) >> 2
+              else if (useL) (sumL + 2) >> 2
+              else 128
+            } else { // bottom-left prefers the row to the left
+              if (useL) (sumL + 2) >> 2
+              else if (useT) (sumT + 2) >> 2
+              else 128
+            }
+          var rr = 0
+          while (rr < 4) {
+            var cc = 0
+            while (cc < 4) {
+              plane((cy + sy + rr) * cw + cx + sx + cc) = pred.toByte
+              cc += 1
+            }
+            rr += 1
+          }
+          q += 1
+        }
+        comp += 1
+      }
+      true
+    }
+
     var mb = 0
     while (mb < nMbs) {
       if (isP) {
@@ -482,12 +817,15 @@ object H264 {
           val mbType = r.ue()
           if (mbType != 30) return None // only I_PCM (5+25) in P subset
           readPcmMb(mb)
+          mbCoeff(mb) = 16
           mb += 1
         }
       } else {
         val mbType = r.ue()
-        if (mbType != 25) return None // only I_PCM in I subset
-        readPcmMb(mb)
+        if (mbType == 25) { readPcmMb(mb); mbCoeff(mb) = 16 } // I_PCM
+        else if (mbType >= 1 && mbType <= 24) {
+          if (!decodeIntra16Mb(mb, mbType)) return None
+        } else return None // I_4x4 / unknown: out of subset
         mb += 1
       }
     }

@@ -491,7 +491,36 @@ object Multimodal {
         p
       }
       val enc = H264.encode(frames, refreshMbs = w / 16) // top row of MBs
-      // --- mux into ISO-BMFF: ftyp, mdat (length-prefixed NALs), moov
+      muxAvcMp4(enc, w, h)
+    }
+
+    /** Closed-form flat gray of CAVLC frame k, macroblock m (n = text
+      * code points): 30 + (n*17 + k*53 + m*29) % 196 — every value in
+      * [30, 225], so reconstruction never clips. */
+    def h264CavlcVal(n: Int, k: Int, m: Int): Int =
+      30 + (n * 17 + k * 53 + m * 29) % 196
+    def h264CavlcFrameCount(n: Int): Int = 2 + n % 4
+
+    /** REAL entropy-coded H.264 in MP4: 32×32, 2–5 all-Intra frames of
+      * I_16x16_2_0_0 macroblocks whose CAVLC-coded luma-DC residuals
+      * refine each flat MB from its DC prediction to
+      * [[h264CavlcVal]](n, k, m) — exact by construction
+      * ([[H264.encodeCavlcIntra]]), so frame k's mean luma is
+      * closed-form: (Σ_m v(n,k,m)) / 4. */
+    def makeMp4AvcCavlc(text: String): Array[Byte] = {
+      val n = textLen(text)
+      val (w, h) = (H264W, H264H)
+      val wMbs = w / 16
+      val nMbs = wMbs * (h / 16)
+      val mbVals = (0 until h264CavlcFrameCount(n)).map(k =>
+        (0 until nMbs).map(m => h264CavlcVal(n, k, m)))
+      muxAvcMp4(H264.encodeCavlcIntra(mbVals, wMbs, h / 16), w, h)
+    }
+
+    /** Mux an encoded AVC elementary stream into ISO-BMFF: ftyp, mdat
+      * (length-prefixed NALs), moov with an avc1+avcC sample table. */
+    private def muxAvcMp4(enc: H264.Encoded, w: Int, h: Int): Array[Byte] = {
+      val nFrames = enc.frameNals.length
       def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
         val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
         bb.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1")).put(payload)
@@ -669,6 +698,33 @@ object Multimodal {
           (id, stats.length, stats.head.width, stats.head.height, luma2x)
         }
       }.toDF("doc_id", "n_frames", "width", "height", "luma2x")
+  }
+
+  /** Per-document CAVLC pixel audit (the `mm_h264_cavlc` gate): encode
+    * a real ENTROPY-CODED H.264 MP4 per row (Intra16x16 DC-refinement
+    * profile, [[H264.encodeCavlcIntra]]), decode it back through the
+    * full bitstream path on the executors — coeff_token, level
+    * entropy codes, inverse Hadamard, dequant, 4x4 IDCT, DC
+    * prediction — and emit the per-doc sum of quadrupled mean lumas,
+    * which the construction makes exact integers (frame mean = quarter
+    * of the four MB values): a DuckDB oracle replays them closed-form
+    * from `length(text)`. A bug anywhere in the entropy decode or the
+    * transform/prediction pipeline shifts the sums and fails the hash. */
+  def h264CavlcAudit(spark: SparkSession, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = MediaGen.makeMp4AvcCavlc(text)
+          val stats = MediaCodec.mp4FrameStats(bytes).getOrElse(
+            throw new IllegalStateException(
+              s"generated CAVLC H.264 stream failed to decode for doc $id"))
+          val luma4x = stats.map(fs => math.round(fs.meanLuma * 4)).sum
+          (id, stats.length, stats.head.width, stats.head.height, luma4x)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "luma4x")
   }
 
   /** Attach an opaque binary media column + typed metadata to a table

@@ -639,6 +639,38 @@ object Pipeline {
         |FROM f LEFT JOIN tail USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // C12, entropy level: REAL CAVLC H.264 decode under the hash gate.
+    // Every document becomes an all-Intra stream of I_16x16_2_0_0
+    // macroblocks whose luma-DC residuals are genuinely entropy-coded
+    // (coeff_token, trailing-one signs, level_prefix/suffix,
+    // total_zeros), decoded back through inverse Hadamard, spec
+    // dequantization, the 4x4 IDCT, and pixel-wise DC prediction. The
+    // construction (flat MBs, QP 36) makes every decoded pixel exact,
+    // so per-frame mean luma is closed-form: frame k of an n-char doc
+    // averages v(n,k,m) = 30 + (n*17 + k*53 + m*29) % 196 over the
+    // four macroblocks m — the oracle replays the quadrupled sums as
+    // exact integers.
+    "mm_h264_cavlc" -> ((
+      (s: SparkSession, d: String) => {
+        Multimodal.h264CavlcAudit(s, t(s, d, "documents"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n, 2 + length(text) % 4 AS nf
+        |  FROM documents),
+        |v AS (
+        |  SELECT f.doc_id,
+        |    SUM(30 + (n * 17 + tk.k * 53 + tm.m * 29) % 196) AS luma4x
+        |  FROM f
+        |  JOIN range(0, 5) tk(k) ON tk.k < nf
+        |  CROSS JOIN range(0, 4) tm(m)
+        |  GROUP BY f.doc_id)
+        |SELECT f.doc_id, CAST(nf AS INT) AS n_frames,
+        |  CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        |  CAST(v.luma4x AS BIGINT) AS luma4x
+        |FROM f JOIN v USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // C15: PII scrubbing. The corpus is synthetic (no PII), so the query
     // injects deterministic emails/IPs/phones per doc, scrubs them, and
     // the oracle compares the full scrubbed text via md5 (identical
