@@ -195,6 +195,21 @@ object LwesDataSource {
     case _ => None
   }
 
+  /** Whether a file's conservative ReceiptTime bounds can overlap the
+    * query/admission window [lo, hi] — shared by batch planning and
+    * streaming admission. `._2` flags a HEURISTIC (non-tag) decision so
+    * callers can log prunes whose soundness rests on the mtime
+    * contract. With `exactOnly`, untagged files are always kept. */
+  private[lwes] def timeOverlap(name: String, mtime: Long, lo: Long,
+      hi: Long, slackMs: Long, exactOnly: Boolean): (Boolean, Boolean) =
+    exactTagBounds(name) match {
+      case Some((flo, fhi)) => (fhi >= lo && flo <= hi, false)
+      case None if exactOnly => (true, false)
+      case None =>
+        val (flo, fhi) = receiptTimeBounds(name, mtime, slackMs)
+        (fhi >= lo && flo <= hi, true)
+    }
+
   /** Path-derived `k=v` partition segments, relative to the given roots.
     * Only directory segments BELOW a root count — a root like
     * `/data/run=3/journals/` must not inject a spurious `run` column —
@@ -485,6 +500,18 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     val pcols = samplePartitionCols.toSeq.filter(readSchema.fieldNames.contains)
     val ncol = Option(options.get(LwesOptions.EventNameColumn))
       .filter(readSchema.fieldNames.contains)
+    // explicit admission window (streaming backfills; also honored by
+    // batch scans) tightens whatever the pushed filters derived
+    val optLo =
+      if (pruneEnabled)
+        Option(options.get(LwesOptions.ReceiptTimeMin)).map(_.toLong)
+          .getOrElse(Long.MinValue)
+      else Long.MinValue
+    val optHi =
+      if (pruneEnabled)
+        Option(options.get(LwesOptions.ReceiptTimeMax)).map(_.toLong)
+          .getOrElse(Long.MaxValue)
+      else Long.MaxValue
     new LwesScan(readSchema,
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
         pushedLimit, ncol,
@@ -492,7 +519,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       roots, partitionFilters,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      timeLo = timeLo, timeHi = timeHi, // unbounded unless pruneEnabled
+      timeLo = math.max(timeLo, optLo), // unbounded unless pruneEnabled
+      timeHi = math.min(timeHi, optHi),
       timeSlackMs = options.getLong(LwesOptions.TimePruneSlackMs, 3600000L),
       timeExactOnly = pruneMode == "exact")
   }
@@ -625,26 +653,20 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
       val files =
         if (timeLo == Long.MinValue && timeHi == Long.MaxValue) listed
         else listed.filter { f =>
-          LwesDataSource.exactTagBounds(f.getPath.getName) match {
-            case Some((flo, fhi)) => fhi >= timeLo && flo <= timeHi
-            case None if timeExactOnly => true // untagged: keep
-            case None =>
-              val (flo, fhi) = LwesDataSource.receiptTimeBounds(
-                f.getPath.getName, f.getModificationTime, timeSlackMs)
-              val keep = fhi >= timeLo && flo <= timeHi
-              // heuristic (stamp/mtime) prunes are sound only under the
-              // documented "records precede mtime" contract — say which
-              // files they dropped so a violated contract is loud, not a
-              // silent row loss (timePrune=exact opts the heuristics out)
-              if (!keep) logWarning(
-                s"pruning untagged journal ${f.getPath} by HEURISTIC " +
-                  s"ReceiptTime bounds [$flo, $fhi] (capture stamp/mtime " +
-                  s"+ ${timeSlackMs}ms slack) vs query window " +
-                  s"[$timeLo, $timeHi]; set timePrune=exact if this " +
-                  "layout's modification times do not upper-bound its " +
-                  "receipt times")
-              keep
-          }
+          val (keep, heuristic) = LwesDataSource.timeOverlap(
+            f.getPath.getName, f.getModificationTime, timeLo, timeHi,
+            timeSlackMs, timeExactOnly)
+          // heuristic (stamp/mtime) prunes are sound only under the
+          // documented "records precede mtime" contract — say which
+          // files they dropped so a violated contract is loud, not a
+          // silent row loss (timePrune=exact opts the heuristics out)
+          if (!keep && heuristic) logWarning(
+            s"pruning untagged journal ${f.getPath} by HEURISTIC " +
+              s"ReceiptTime bounds (capture stamp/mtime + ${timeSlackMs}ms " +
+              s"slack) vs query window [$timeLo, $timeHi]; set " +
+              "timePrune=exact if this layout's modification times do " +
+              "not upper-bound its receipt times")
+          keep
         }
       prunedFiles = (listed.size - files.size).toLong
       val slices = files.iterator.map { f =>
@@ -700,7 +722,9 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
     // small, so vectorization buys little and widens the stateful-op
     // surface under test
     new LwesMicroBatchStream(config.copy(columnar = false), roots,
-      maxFilesPerTrigger, checkpointLocation, maxBytesPerTrigger)
+      maxFilesPerTrigger, checkpointLocation, maxBytesPerTrigger,
+      timeLo = timeLo, timeHi = timeHi, timeSlackMs = timeSlackMs,
+      timeExactOnly = timeExactOnly)
 }
 
 object LwesScan {
@@ -771,7 +795,9 @@ object LwesScan {
   */
 class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     maxFilesPerTrigger: Option[Int] = None, checkpointLocation: String,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    timeLo: Long = Long.MinValue, timeHi: Long = Long.MaxValue,
+    timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false)
     extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
     with streaming.SupportsTriggerAvailableNow
     with streaming.ReportsSourceMetrics
@@ -834,12 +860,37 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
       LwesDataSource.listFiles(roots, conf).map(_.getPath.toString).toSet)
   }
 
-  /** Unseen files, oldest first (stable tiebreak on path). */
-  private def unseenFiles(): Seq[FileStatus] =
-    LwesDataSource.listFiles(roots, conf)
+  // log each heuristically-pruned path once, not per trigger
+  private val heuristicPruneLogged = mutable.HashSet[String]()
+  @volatile private var admissionPruned = 0L
+
+  /** Unseen files overlapping the ReceiptTime admission window, oldest
+    * first (stable tiebreak on path). Pruned files are NOT marked seen:
+    * an open journal's mtime (its heuristic upper bound) advances as it
+    * is appended, so a file outside the window now can overlap it
+    * later — each listing re-evaluates from name+mtime alone, no opens. */
+  private def unseenFiles(): Seq[FileStatus] = {
+    val listed = LwesDataSource.listFiles(roots, conf)
       .filter(f => availableNowSnapshot.forall(_.contains(f.getPath.toString)))
       .filterNot(f => seen.contains(f.getPath.toString))
-      .sortBy(f => (f.getModificationTime, f.getPath.toString))
+    val admitted =
+      if (timeLo == Long.MinValue && timeHi == Long.MaxValue) listed
+      else listed.filter { f =>
+        val (keep, heuristic) = LwesDataSource.timeOverlap(
+          f.getPath.getName, f.getModificationTime, timeLo, timeHi,
+          timeSlackMs, timeExactOnly)
+        if (!keep && heuristic &&
+            heuristicPruneLogged.add(f.getPath.toString)) logWarning(
+          s"stream admission pruning untagged journal ${f.getPath} by " +
+            s"HEURISTIC ReceiptTime bounds (capture stamp/mtime + " +
+            s"${timeSlackMs}ms slack) vs window [$timeLo, $timeHi]; set " +
+            "timePrune=exact if this layout's modification times do not " +
+            "upper-bound its receipt times")
+        keep
+      }
+    admissionPruned = (listed.size - admitted.size).toLong
+    admitted.sortBy(f => (f.getModificationTime, f.getPath.toString))
+  }
 
   override def latestOffset(start: streaming.Offset,
       limit: streaming.ReadLimit): streaming.Offset = {
@@ -892,6 +943,7 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     val m = new java.util.HashMap[String, String]()
     m.put("backlogFiles", backlogFiles.toString)
     m.put("backlogBytes", backlogBytes.toString)
+    m.put("filesPruned", admissionPruned.toString)
     m
   }
 

@@ -70,6 +70,15 @@ object LwesOptions {
   val TimePrune = "timePrune"
   // clock-skew allowance for the heuristic (untagged) bounds, millis
   val TimePruneSlackMs = "timePruneSlackMs"
+  // explicit ReceiptTime admission window (inclusive millis) for
+  // STREAMING reads: a bounded backfill (`Trigger.AvailableNow` over a
+  // year-deep journal directory) admits only files whose conservative
+  // name-tag/stamp/mtime bounds overlap [min, max] — the streaming
+  // counterpart of the batch scan's pushed-range pruning, needed
+  // because a fresh stream has no pushed filters at admission time.
+  // Honors the same timePrune mode (exact|true|false) and slack.
+  val ReceiptTimeMin = "receiptTimeMin"
+  val ReceiptTimeMax = "receiptTimeMax"
   // vectorized scan output (default true): events land in ColumnarBatch
   // vectors instead of one GenericInternalRow each, feeding ColumnarToRow
   // codegen from flat arrays; batch scans only (streaming stays row-based)

@@ -91,6 +91,59 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming admission prunes by ReceiptTime window (backfill over deep dirs)") {
+    val dir = Files.createTempDirectory("lwes-stream-prune").toString
+    import spark.implicits._
+    val T0 = 1700000000000L
+    val Hour = 3600000L
+    // 6 "hourly" journals via the batch writer -> exact .t<min>-<max>. tags
+    (0 until 6).foreach { h =>
+      (0 until 10).map(i => (h * 100L + i, T0 + h * Hour + i * 1000L))
+        .toDF("id", "ReceiptTime").coalesce(1)
+        .write.format("lwes").option("eventName", "Pr::S")
+        .mode("append").save(dir)
+    }
+    // plus an untagged legacy journal closed long before the window
+    val w = JournalWriter.create(s"$dir/legacy.journal")
+    (0 until 5).foreach(i => w.write(LwesEvent("Pr::S").setInt64("id", 900L + i)
+      .setInt64(LwesEvent.ReceiptTime, T0 + i * 1000L)))
+    w.close()
+    new java.io.File(s"$dir/legacy.journal").setLastModified(T0 + 5000L)
+    val ckpt = Files.createTempDirectory("lwes-stream-prune-ckpt").toString
+    // backfill: only hours 4..5 wanted
+    val q = spark.readStream.format("lwes")
+      .schema("id long, ReceiptTime long")
+      .option("eventName", "Pr::S")
+      .option("receiptTimeMin", (T0 + 4 * Hour).toString)
+      .option("timePruneSlackMs", "60000")
+      .load(dir)
+      .writeStream.format("memory").queryName("lwes_prune")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      // rows: hours 4 and 5 only (tagged prune) and no legacy rows
+      // (heuristic mtime prune)
+      assert(spark.table("lwes_prune").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq == (400L to 409L) ++ (500L to 509L))
+      // admitted-file count: the persisted batch logs list exactly the
+      // 2 overlapping journals
+      val logDir = {
+        def find(d: java.io.File): Option[java.io.File] =
+          if (d.getName == "lwes-file-batches") Some(d)
+          else Option(d.listFiles()).toSeq.flatten.filter(_.isDirectory)
+            .flatMap(find).headOption
+        find(new java.io.File(ckpt)).get
+      }
+      val admitted = logDir.listFiles().filterNot(_.getName.startsWith("."))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty))
+      assert(admitted.length == 2, s"expected 2 admitted files: ${admitted.toSeq}")
+      // source metrics surfaced the pruned count (5 of 7 listed files)
+      assert(q.recentProgress.exists(p =>
+        Option(p.sources.head.metrics.get("filesPruned")).exists(_.toLong == 5L)))
+    } finally q.stop()
+  }
+
   test("late file with an OLDER mtime than processed files is still read exactly once") {
     val dir = Files.createTempDirectory("lwes-stream-late").toString
     val ckpt = Files.createTempDirectory("lwes-stream-late-ckpt").toString
