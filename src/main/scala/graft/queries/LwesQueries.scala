@@ -116,6 +116,28 @@ object LwesQueries {
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE event_type = 'click'""".stripMargin)),
 
+    // A4 generalized to VALUES: pushed attribute predicates evaluated
+    // inside the vectorized parse — non-matching records short-circuit
+    // mid-payload (skip remaining attributes, never materialize), with
+    // Spark's residual filter re-applying everything so deferred shapes
+    // stay correct. The aggregate hash proves the in-parse evaluation
+    // drops exactly the rows the oracle's WHERE drops.
+    "lwes_attr_pushdown" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = eventsJournal(s, d, Seq("click", "view"))
+        s.read.format("lwes")
+          .schema("event_id long, user_id long, value double")
+          .option("eventName", "Ev::click").load(dir)
+          .filter(col("user_id") <= 25 && col("event_id") > 100)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"),
+            max(col("event_id")).as("max_event"))
+      },
+      """SELECT count(*) AS n, round(sum(value), 2) AS total_value,
+        |  max(event_id) AS max_event
+        |FROM events
+        |WHERE event_type = 'click' AND user_id <= 25 AND event_id > 100""".stripMargin)),
+
     // A5: attribute→column renaming via the mapping option.
     "lwes_col_mapping" -> ((
       (s: SparkSession, d: String) => {

@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Vectorized scan output: journal WIRE BYTES are decoded straight into
   * `ColumnarBatch` column vectors (4096 rows per batch) — no per-event
@@ -98,6 +99,13 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
           case _ => None
         }
       }
+  // header-injected columns must not early-evaluate predicates on their
+  // payload copies — the header REPLACES those after the walk
+  private val headerMapped: Array[Boolean] = {
+    val m = new Array[Boolean](nCols)
+    headerWrites.foreach { case (c, _) => m(c) = true }
+    m
+  }
 
   // eventName accept-set as raw UTF-8 (empty = accept all)
   private val acceptNames: Array[Array[Byte]] =
@@ -251,6 +259,114 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       }
   }
 
+  // ---------------------------------- pushed attribute predicates
+  // Two tiers, both sound because Spark re-applies every filter:
+  //  - EARLY checks fire the moment the predicate column's attribute is
+  //    decoded mid-walk, on the wire value (numeric tokens against the
+  //    truncated stored value; ASCII string equality byte-for-byte) —
+  //    a failing record skips its remaining attributes and is never
+  //    materialized;
+  //  - POST checks read the finished row back from the vectors (exactly
+  //    what Spark would see), covering header-injected columns,
+  //    string-token numerics, non-ASCII text, and null semantics
+  //    (missing attribute / foreign event type ⇒ comparison is false).
+  // A check that cannot decide defers (-1) rather than guessing.
+  private abstract class EarlyCheck {
+    /** 1 = satisfied, 0 = definitely fails, -1 = cannot tell here. */
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int
+  }
+  private val OpEq = 0; private val OpGt = 1; private val OpGe = 2
+  private val OpLt = 3; private val OpLe = 4
+
+  private final class NumEarly(op: Int, lit: Long, trunc: Long => Long)
+      extends EarlyCheck {
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int =
+      token match {
+        case LwesType.Str | LwesType.IpAddr => -1 // conversion-dependent
+        case _ =>
+          val x = trunc(lv)
+          val r = op match {
+            case OpEq => x == lit
+            case OpGt => x > lit
+            case OpGe => x >= lit
+            case OpLt => x < lit
+            case _ => x <= lit
+          }
+          if (r) 1 else 0
+      }
+  }
+
+  private final class StrEqEarly(lit: Array[Byte]) extends EarlyCheck {
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int = {
+      if (token != LwesType.Str) return -1
+      val so = off + 2
+      val sl = len - 2
+      // equal bytes always decode equal; unequal bytes are conclusive
+      // only when the wire is ASCII (malformed UTF-8 round-trips to
+      // replacement chars that might still match)
+      if (regionEquals(b, so, sl, lit)) return 1
+      var i = so
+      while (i < so + sl) { if (b(i) < 0) return -1; i += 1 }
+      0
+    }
+  }
+
+  private val (earlyChecks, postChecks): (Array[Array[EarlyCheck]],
+      Array[Int => Boolean]) = {
+    import org.apache.spark.sql.sources._
+    val early = Array.fill[List[EarlyCheck]](nCols)(Nil)
+    val post = List.newBuilder[Int => Boolean]
+    def litLong(v: Any): Long = v.asInstanceOf[Number].longValue()
+    def truncOf(c: Int): Long => Long = schema.fields(c).dataType match {
+      case ShortType => l => l.toShort.toLong
+      case IntegerType => l => l.toInt.toLong
+      case _ => identity
+    }
+    def numPost(c: Int, op: Int, lit: Long): Int => Boolean = {
+      val vec = vectors(c)
+      val get: Int => Long = schema.fields(c).dataType match {
+        case ShortType => r => vec.getShort(r).toLong
+        case IntegerType => r => vec.getInt(r).toLong
+        case _ => r => vec.getLong(r)
+      }
+      r => !vec.isNullAt(r) && {
+        val x = get(r)
+        op match {
+          case OpEq => x == lit
+          case OpGt => x > lit
+          case OpGe => x >= lit
+          case OpLt => x < lit
+          case _ => x <= lit
+        }
+      }
+    }
+    def num(a: String, op: Int, v: Any): Unit = {
+      val c = schema.fieldIndex(a)
+      val lit = litLong(v)
+      early(c) ::= new NumEarly(op, lit, truncOf(c))
+      post += numPost(c, op, lit)
+    }
+    config.attrFilters.foreach {
+      case EqualTo(a, v: String) =>
+        val c = schema.fieldIndex(a)
+        val lit = UTF8String.fromString(v)
+        val litB = lit.getBytes
+        if (litB.forall(_ >= 0)) early(c) ::= new StrEqEarly(litB)
+        val vec = vectors(c)
+        post += (r => !vec.isNullAt(r) && vec.getUTF8String(r).equals(lit))
+      case EqualTo(a, v) => num(a, OpEq, v)
+      case GreaterThan(a, v) => num(a, OpGt, v)
+      case GreaterThanOrEqual(a, v) => num(a, OpGe, v)
+      case LessThan(a, v) => num(a, OpLt, v)
+      case LessThanOrEqual(a, v) => num(a, OpLe, v)
+      case IsNotNull(a) =>
+        val vec = vectors(schema.fieldIndex(a))
+        post += (r => !vec.isNullAt(r))
+      case _ => // builder only pushes the shapes above
+    }
+    (early.map(l => if (l.isEmpty) null else l.toArray), post.result().toArray)
+  }
+
   // --------------------------------------- attr dispatch (byte-keyed)
   // open-addressed, power-of-two table: wire key bytes → target columns.
   // Built once; lookups allocate nothing.
@@ -323,6 +439,7 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
   private var skipped = 0L
   private var torn = 0L
   private var corruptCnt = 0L
+  private var filtered = 0L
 
   /** Advance to a readable file; false when the bin is exhausted. */
   private def ensureFile(): Boolean = {
@@ -476,6 +593,20 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
             if (stamps(c) != stamp && groupOk(c)) {
               writers(c).write(r, token, b, valOff, valLen, lv)
               stamps(c) = stamp
+              // pushed-predicate early abort: a conclusive miss on the
+              // just-decoded value skips the record's remaining
+              // attributes and its materialization entirely
+              if (earlyChecks(c) != null && !headerMapped(c)) {
+                var e = 0
+                while (e < earlyChecks(c).length) {
+                  if (earlyChecks(c)(e).eval(token, b, valOff, valLen, lv) == 0) {
+                    cleanupRow(r)
+                    filtered += 1
+                    return 0
+                  }
+                  e += 1
+                }
+              }
             }
             j += 1
           }
@@ -517,6 +648,18 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       while (c < nCols) {
         if (stamps(c) != stamp) vectors(c).putNull(r)
         c += 1
+      }
+      // ---- pushed-predicate post checks on the finished row (what
+      // Spark's residual filter would see: header overwrites, odd
+      // conversions, and null semantics included)
+      var pc = 0
+      while (pc < postChecks.length) {
+        if (!postChecks(pc)(r)) {
+          cleanupRow(r)
+          filtered += 1
+          return 0
+        }
+        pc += 1
       }
       1
     } catch {
@@ -614,7 +757,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     Array(LwesTaskMetric("eventsParsed", parsed),
       LwesTaskMetric("eventsSkipped", skipped),
       LwesTaskMetric("tornFiles", torn),
-      LwesTaskMetric("corruptRecords", corruptCnt + liveCorrupt))
+      LwesTaskMetric("corruptRecords", corruptCnt + liveCorrupt),
+      LwesTaskMetric("rowsFiltered", filtered))
   }
 
   override def close(): Unit = {

@@ -488,9 +488,44 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       case _ =>
     }
     timeFilters = tf.toArray
+    // attribute-value pushdown (A4's name-skip generalized to values):
+    // integral comparisons and string equality on data-attribute
+    // columns short-circuit the PARSE of non-matching records. All
+    // filters remain residual — in-parse evaluation may defer odd
+    // shapes (float-from-string conversions, non-ASCII text), so Spark
+    // re-applies everything and false KEEPS cost nothing.
+    val attrCols: Set[String] = {
+      val ncol = Option(options.get(LwesOptions.EventNameColumn)).toSet
+      fullSchema.fieldNames.toSet -- samplePartitionCols -- ncol
+    }
+    def colType(a: String): Option[DataType] =
+      fullSchema.fields.find(_.name == a).map(_.dataType)
+    def integralCol(a: String): Boolean = colType(a).exists {
+      case ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def integralLit(v: Any): Boolean = v match {
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+          _: java.lang.Long => true
+      case _ => false
+    }
+    attrFilters = filters.filter {
+      case EqualTo(a, v: String) =>
+        attrCols(a) && colType(a).contains(StringType) && v != null
+      case EqualTo(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
+      case GreaterThan(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
+      case GreaterThanOrEqual(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
+      case LessThan(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
+      case LessThanOrEqual(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        attrCols(a) && colType(a).isDefined
+      case _ => false
+    }
     filters // all residual
   }
-  override def pushedFilters(): Array[Filter] = partitionFilters ++ timeFilters
+  private var attrFilters: Array[Filter] = Array.empty
+  override def pushedFilters(): Array[Filter] =
+    partitionFilters ++ timeFilters ++ attrFilters
 
   override def build(): Scan = {
     val eventName = Option(options.get(LwesOptions.EventName))
@@ -515,7 +550,9 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     new LwesScan(readSchema,
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
         pushedLimit, ncol,
-        columnar = options.getBoolean(LwesOptions.Vectorized, true)),
+        columnar = options.getBoolean(LwesOptions.Vectorized, true),
+        attrFilters = attrFilters.toSeq
+          .filter(f => f.references.forall(readSchema.fieldNames.contains))),
       roots, partitionFilters,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
@@ -579,13 +616,19 @@ private[lwes] class FilesPrunedMetric
   override def description(): String =
     "journals skipped by ReceiptTime-range bounds"
 }
+private[lwes] class RowsFilteredMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowsFiltered"
+  override def description(): String =
+    "records dropped by pushed attribute predicates during parse"
+}
 private[lwes] final case class LwesTaskMetric(metricName: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = metricName
   override def value(): Long = v
 }
 
-class LwesScan(schema: StructType, config: LwesReadConfig,
+class LwesScan(schema: StructType, val config: LwesReadConfig,
     roots: Seq[String], partitionFilters: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
@@ -596,11 +639,15 @@ class LwesScan(schema: StructType, config: LwesReadConfig,
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"LwesScan(events=${config.eventNames.mkString("|")}, cols=${schema.fieldNames.mkString(",")})"
+    s"LwesScan(events=${config.eventNames.mkString("|")}, " +
+      s"cols=${schema.fieldNames.mkString(",")}" +
+      (if (config.attrFilters.isEmpty) ")"
+       else s", pushed=[${config.attrFilters.mkString(", ")}])")
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new EventsParsedMetric, new EventsSkippedMetric,
-      new TornFilesMetric, new CorruptRecordsMetric, new FilesPrunedMetric)
+      new TornFilesMetric, new CorruptRecordsMetric, new FilesPrunedMetric,
+      new RowsFilteredMetric)
 
   /** Driver-side planning metric: files the ReceiptTime bounds skipped
     * (visible in the SQL UI next to the task metrics). */

@@ -29,7 +29,12 @@ final case class LwesReadConfig(
     partitionCols: Seq[String], // path-derived k=v columns
     limit: Int = -1, // pushed-down per-partition row limit (-1 = none)
     eventNameCol: Option[String] = None, // column carrying the event type
-    columnar: Boolean = true) // vectorized ColumnarBatch output (batch scans)
+    columnar: Boolean = true, // vectorized ColumnarBatch output (batch scans)
+    // comparison filters on data-attribute columns, evaluated INSIDE the
+    // vectorized parse so non-matching records short-circuit before row
+    // materialization (A4's name-skip generalized to values); Spark
+    // re-applies them, so evaluation may be partial but never wrong
+    attrFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
   extends Serializable {
 
   /** Attributes the deserializer must materialize. */

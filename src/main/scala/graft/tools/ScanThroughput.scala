@@ -83,6 +83,11 @@ object ScanThroughput {
           .option("vectorized", vec.toString)
           .option("eventName", "Tp::Want").load(dir)
           .agg(sum("id"), sum("cost")).collect())
+      // low-selectivity pushed attr predicate (~50 of 5M rows): the
+      // vectorized path aborts each miss mid-payload
+      bench(s"$mode attr predicate")(read(full)
+        .filter(col("user") === 12345L)
+        .agg(sum("id"), count(lit(1))).collect())
     }
     spark.stop()
   }
