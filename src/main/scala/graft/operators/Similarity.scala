@@ -493,4 +493,67 @@ object Similarity {
       .withColumn("score", -col("adc_dist"))
     rankTopK(scored, k, orderCol = "score", outCol = "adc_dist")
   }
+
+  // ----------------------------------------------------------- C7+C30
+
+  /** IVF-PQ top-k — the standard production ANN at corpus scale
+    * (Jégou et al. 2011, the FAISS `IVFx,PQy` shape): IVF centroids
+    * route each query to its `nprobe` nearest inverted lists, and only
+    * that sliver of the corpus is scored, by PQ asymmetric distance —
+    * m table lookups per candidate, never vector math.
+    *
+    * Composition of [[ivfTopK]]'s routing with [[pqTopK]]'s codes:
+    *  - the corpus side is ONE projection emitting (id, centroid_id,
+    *    m codes) — centroid assignment and PQ encoding fused, so the
+    *    probed-list join shuffles m bytes of codes per row, not dim
+    *    floats (the 25×+ wire shrink that makes the 100 TB scan fit);
+    *  - codes are NON-residual (encode v, not v − centroid), so one
+    *    codebook serves every list and each query needs a single ADC
+    *    table regardless of how many lists it probes — residual
+    *    encoding would force an ADC table per (query, probed list);
+    *  - both the centroid table and the codebook accept pre-trained
+    *    inputs (`centroids`, `codebook`) — train once on a bounded
+    *    hash-sample, serve many queries, the [[kmeansCentroids]] /
+    *    [[pqCodebooks]] discipline.
+    *
+    * Recall < 1 by construction (routing loss × quantization error);
+    * [[cosineTopK]] is the exact baseline and the `sim_ivfpq_recall`
+    * gate pins the floor. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nprobe: Int = 4,
+      m: Int = 32, ks: Int = 32, kmeansIters: Int = 2,
+      centroids: Option[DataFrame] = None,
+      codebook: Option[Array[Double]] = None,
+      sampleCap: Long = 100000L): DataFrame = {
+    import graft.functions.SignatureExpressions._
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
+    val centsDf = centroids.getOrElse(kmeansCentroids(c, nLists, kmeansIters, sampleCap))
+    val cents: Seq[Seq[Double]] = centsDf.orderBy(col("centroid_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("v_cent").toIndexedSeq).toIndexedSeq
+    val cb = codebook.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, ks, sampleCap = sampleCap))
+    // corpus: route + encode in one pass; only (id, centroid_id, codes)
+    // ever leaves the scan
+    val enc = c.select(col("neighbor_id"),
+      nearestCentroid(col("v_c"), cents).as("centroid_id"),
+      pq_encode(col("v_c"), cb, m, ks).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
+    // per-query probe lists (same projection as ivfTopK), each carrying
+    // the query's ONE ADC table
+    val probeIds = slice(
+      array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct((-cosine(col("v_q"), typedLit(cv))).as("ns"),
+          lit(i + 1).as("cid"))
+      }: _*)),
+      1, nprobe)
+    val probes = q
+      .withColumn("tbl", pq_adc_table(col("v_q"), cb, m, ks))
+      .withColumn("pr", explode(probeIds))
+      .select(col("query_id"), col("tbl"),
+        col("pr.cid").cast("long").as("centroid_id"))
+    val scored = enc.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", round(pq_adc(col("tbl"), col("codes"), ks), 6))
+      .withColumn("score", -col("adc_dist"))
+    rankTopK(scored, k, orderCol = "score", outCol = "adc_dist")
+  }
 }

@@ -473,6 +473,13 @@ object Pipeline {
     // sf0.01/sf0.1 with m=32, ks=32 — the floor leaves >35% margin)
     "sim_pq_recall" -> recallGate(0.40,
       (emb, q) => Similarity.pqTopK(emb, q, "vec_id", "embedding", 10)),
+    // C7+C30 composed: IVF routing over PQ codes — the production
+    // IVF-PQ shape. Routing loss multiplies quantization error, so
+    // nprobe=8 restores margin: measured recall@10 0.588/0.549 at
+    // sf0.01/sf0.1 (tools/PqRecall) — the 0.40 floor keeps >27%.
+    "sim_ivfpq_recall" -> recallGate(0.40,
+      (emb, q) => Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10,
+        nLists = 16, nprobe = 8)),
 
     // C24: deterministic exact-k-per-group sampling (portable md5
     // order — selection reproducible across engines; rides TopKPerKey).
@@ -840,6 +847,16 @@ object Pipeline {
       val emb = t(s, d, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // C7+C30: composed IVF-PQ (routing + codes — the production ANN
+    // shape at corpus scale). Recall contract hash-gated separately
+    // (sim_ivfpq_recall).
+    "sim_ivfpq" -> ((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, nLists = 16, nprobe = 8)
         .orderBy(col("query_id"), col("rnk"))
     }),
 

@@ -22,13 +22,18 @@ object PqRecall {
     val q = emb.filter(col("vec_id") % 20 === 0)
     val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 10)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.pqTopK(emb, q, "vec_id", "embedding", 10, m, ks)
-      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-    val r = exact.join(approx,
-        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
-        "left_outer")
-      .agg(count(col("an")).cast("double") / count(lit(1))).head.getDouble(0)
-    println(f"PQ m=$m ks=$ks recall@10 = $r%.4f  ($sfDir)")
+    def recallOf(name: String,
+        a: org.apache.spark.sql.DataFrame): Unit = {
+      val approx = a.select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      val r = exact.join(approx,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+          "left_outer")
+        .agg(count(col("an")).cast("double") / count(lit(1))).head.getDouble(0)
+      println(f"$name m=$m ks=$ks recall@10 = $r%.4f  ($sfDir)")
+    }
+    recallOf("PQ", Similarity.pqTopK(emb, q, "vec_id", "embedding", 10, m, ks))
+    recallOf("IVF-PQ(16,8)", Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      10, nLists = 16, nprobe = 8, m = m, ks = ks))
     spark.stop()
   }
 }

@@ -133,6 +133,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaReuse == top)
   }
 
+  test("IVF-PQ: routed sliver scoring, cluster-safe results, reuse path (C7+C30)") {
+    // same planted-cluster corpus shape as the PQ spec: 6 separated
+    // direction clusters, query from cluster 0
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    def jitter(base: Array[Double], eps: Double) =
+      base.map(x => x + eps * rnd.nextGaussian())
+    val bases = (0 until 6).map { c =>
+      Array.tabulate(dim)(j => if (j % 6 == c) 1.0 else 0.05 * ((j + c) % 3))
+    }
+    val rows = (0 until 300).map(i => (i.toLong, jitter(bases(i % 6), 0.02).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0L)
+    val top = Similarity.ivfPqTopK(df, q, "vec_id", "embedding", 10,
+        nLists = 6, nprobe = 2, m = 16, ks = 16)
+      .collect()
+    assert(top.length == 10)
+    // IVF routes to the query's cluster lists; PQ scores only that
+    // sliver — every neighbor is from the query's own cluster
+    assert(top.map(_.getLong(2)).forall(_ % 6 == 0),
+      s"IVF-PQ neighbors must stay in the query's cluster: ${top.toSeq}")
+    // train-once-serve-many: pre-trained centroids AND codebook give
+    // identical results to inline training (both are deterministic)
+    val c = df.select(col("vec_id").as("neighbor_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v_c"))
+    val cents = Similarity.kmeansCentroids(c, nLists = 6)
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 16, ks = 16)
+    val viaReuse = Similarity.ivfPqTopK(df, q, "vec_id", "embedding", 10,
+        nLists = 6, nprobe = 2, m = 16, ks = 16,
+        centroids = Some(cents), codebook = Some(cb))
+      .collect()
+    assert(viaReuse.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      top.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // plan shape: the corpus side reaches the scorer as codes via the
+    // centroid-key join — no cross join in the composed plan
+    val plan = Similarity.ivfPqTopK(df, q, "vec_id", "embedding", 10,
+      nLists = 6, nprobe = 2, m = 16, ks = 16,
+      centroids = Some(cents), codebook = Some(cb))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross join:\n$plan")
+  }
+
   test("connected components resolve transitive duplicate clusters (C16)") {
     // path 1-2-3-4 (diameter 3), disjoint pair 10-11, singleton edge 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
