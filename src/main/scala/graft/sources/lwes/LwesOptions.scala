@@ -88,6 +88,21 @@ object LwesOptions {
   // vectors instead of one GenericInternalRow each, feeding ColumnarToRow
   // codegen from flat arrays; batch scans only (streaming stays row-based)
   val Vectorized = "vectorized"
+  // STREAMING SINK auto-compaction: with `autoCompactTarget` set, every
+  // `autoCompactEveryEpochs`-th epoch commit (default 10) runs [[Compact]]
+  // over the sink directory after the manifest lands, rewriting the
+  // accumulated one-journal-per-(epoch × partition) files down to the
+  // target count — a long-running query stops accumulating millions of
+  // small files between manual maintenance runs. All of Compact's
+  // safety holds (manifest-gated epochs, torn/corrupt files left in
+  // place, stability horizon via `autoCompactMinAgeMs`), and a failed
+  // compaction never fails the epoch (the data is already committed).
+  // CONTRACT (same as manual Compact): no reader may be TAILING the
+  // sink directory — compacted files are new paths a tailing stream
+  // would re-ingest; batch readers are unaffected.
+  val AutoCompactTarget = "autoCompactTarget"
+  val AutoCompactEvery = "autoCompactEveryEpochs"
+  val AutoCompactMinAgeMs = "autoCompactMinAgeMs"
 
   /** Parse `mapping` option: `col:Attr` / `col:Event::Name::Field`. */
   def parseMapping(mapping: String): (Map[String, String], Map[String, String]) = {

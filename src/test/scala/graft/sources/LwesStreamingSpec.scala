@@ -225,6 +225,38 @@ class LwesStreamingSpec extends AnyFunSuite {
     assert(back.agg(sum("id")).head.getLong(0) == (0 until 60).map(_.toLong).sum)
   }
 
+  test("sink auto-compaction keeps the file count bounded across epochs (A16+A18)") {
+    val src = Files.createTempDirectory("lwes-autoc-src").toString
+    val dst = Files.createTempDirectory("lwes-autoc-dst").toString
+    val ckpt = Files.createTempDirectory("lwes-autoc-ckpt").toString
+    val q = spark.readStream.format("lwes")
+      .schema("id long, amount int").option("maxFilesPerTrigger", "1").load(src)
+      .writeStream.format("lwes").option("eventName", "AC::E")
+      .option("autoCompactTarget", "2")
+      .option("autoCompactEveryEpochs", "3")
+      .option("checkpointLocation", ckpt).outputMode("append").start(dst)
+    try {
+      // 9 source files, 1 per trigger -> 9 epochs; compaction fires on
+      // every 3rd commit, so the sink never accumulates past a handful
+      (0 until 9).foreach { i =>
+        writeFile(src, s"f$i.gz", i * 10, (i + 1) * 10)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val visible = new java.io.File(dst).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(visible.length <= 4, // target 2 + epochs landed since the last firing
+      s"auto-compaction left ${visible.length} files: ${visible.map(_.getName).toSeq}")
+    // hash-stable reads: every row exactly once, event types preserved
+    val back = spark.read.format("lwes")
+      .schema("id long, amount long").option("eventName", "AC::E").load(dst)
+    assert(back.count() == 90)
+    assert(back.agg(sum("id")).head.getLong(0) == (0 until 90).map(_.toLong).sum)
+    assert(back.agg(sum("amount")).head.getLong(0) == (0 until 90).map(_ * 2L).sum)
+    // epoch manifests survive (replay protection for compacted epochs)
+    assert(new java.io.File(dst).listFiles().count(_.getName.startsWith("_epoch-")) == 9)
+  }
+
   test("compaction keeps late-appearing attributes and heterogeneous event types") {
     import graft.sources.lwes.Compact
     val dir = Files.createTempDirectory("lwes-compact-late").toString
