@@ -434,8 +434,10 @@ object H264 {
       // MBs would force ~GB allocations (OutOfMemoryError is an Error,
       // outside the never-throws contract). Cap at the Rec. H.264
       // level-5.2 frame-size ceiling, MaxFS = 36864 macroblocks; Long
-      // math so the product itself cannot overflow.
-      if (wMbs.toLong * hMbs > 36864L) return None
+      // math so the product itself cannot overflow. ue() itself can
+      // return Int.MaxValue, wrapping the +1 to a negative count whose
+      // product would pass the cap — reject non-positive dims first.
+      if (wMbs <= 0 || hMbs <= 0 || wMbs.toLong * hMbs > 36864L) return None
       val frameMbsOnly = r.u1()
       if (frameMbsOnly == 0) return None // interlace: out of subset
       Some(Sps(wMbs, hMbs, log2MaxFrameNum))

@@ -178,6 +178,38 @@ object Similarity {
     array_position(sims, array_max(sims)).cast("long")
   }
 
+  /** Materialize a (centroid_id, v_cent) table to the driver in id
+    * order — bounded: k rows of dim doubles, index metadata not data. */
+  private def collectCentroids(centsDf: DataFrame): Seq[Seq[Double]] =
+    centsDf.orderBy(col("centroid_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("v_cent").toIndexedSeq).toIndexedSeq
+
+  /** Per-query probe list over `v_q`: the `nprobe` nearest centroid
+    * ids, similarity desc with smallest-id tie-break (sort
+    * struct(-sim, id) ascending) — a pure projection against the k·dim
+    * centroid literal (no crossJoin, no window), ready to explode to
+    * (query, centroid) rows. 1-based ids to match [[nearestCentroid]]. */
+  private def probeIdsCol(cents: Seq[Seq[Double]], nprobe: Int): Column =
+    slice(
+      array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct((-cosine(col("v_q"), typedLit(cv))).as("ns"),
+          lit(i + 1).as("cid"))
+      }: _*)),
+      1, nprobe)
+
+  /** Shared ADC scoring epilogue for the PQ family: drop self-pairs,
+    * score by asymmetric distance (the round-to-6 cross-layout
+    * determinism contract lives here and ONLY here), rank through the
+    * B33 bounded heap. `cands` carries (query_id, neighbor_id, tbl,
+    * codes). */
+  private def adcRank(cands: DataFrame, ks: Int, k: Int): DataFrame = {
+    import graft.functions.SignatureExpressions._
+    val scored = cands.filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", round(pq_adc(col("tbl"), col("codes"), ks), 6))
+      .withColumn("score", -col("adc_dist"))
+    rankTopK(scored, k, orderCol = "score", outCol = "adc_dist")
+  }
+
   /** Deterministic k-means centroids for IVF lists: init = the k rows
     * with the smallest id-hash, then `iters` Lloyd rounds.
     *
@@ -294,20 +326,10 @@ object Similarity {
       sampleCap: Long = 100000L): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
     val centsDf = centroids.getOrElse(kmeansCentroids(c, nLists, kmeansIters, sampleCap))
-    val cents: Seq[Seq[Double]] = centsDf.orderBy(col("centroid_id")).collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("v_cent").toIndexedSeq).toIndexedSeq
+    val cents = collectCentroids(centsDf)
     val assigned = c.withColumn("centroid_id", nearestCentroid(col("v_c"), cents))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
-    // per-query probe lists: sort struct(-sim, centroid_id) ascending =
-    // similarity desc with smallest-id tie-break, keep nprobe — again a
-    // pure projection, exploded to (query, centroid) rows
-    val probeIds = slice(
-      array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
-        struct((-cosine(col("v_q"), typedLit(cv))).as("ns"),
-          lit(i + 1).as("cid"))
-      }: _*)),
-      1, nprobe)
-    val probes = q.withColumn("pr", explode(probeIds))
+    val probes = q.withColumn("pr", explode(probeIdsCol(cents, nprobe)))
       .select(col("query_id"), col("v_q"), col("pr.cid").cast("long").as("centroid_id"))
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -487,11 +509,7 @@ object Similarity {
       pq_encode(col("v_c"), cb, m, ks).as("codes"))
     val qt = q.select(col("query_id"),
       pq_adc_table(col("v_q"), cb, m, ks).as("tbl"))
-    val scored = enc.crossJoin(broadcast(qt))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist", round(pq_adc(col("tbl"), col("codes"), ks), 6))
-      .withColumn("score", -col("adc_dist"))
-    rankTopK(scored, k, orderCol = "score", outCol = "adc_dist")
+    adcRank(enc.crossJoin(broadcast(qt)), ks, k)
   }
 
   // ----------------------------------------------------------- C7+C30
@@ -528,8 +546,7 @@ object Similarity {
     import graft.functions.SignatureExpressions._
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
     val centsDf = centroids.getOrElse(kmeansCentroids(c, nLists, kmeansIters, sampleCap))
-    val cents: Seq[Seq[Double]] = centsDf.orderBy(col("centroid_id")).collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("v_cent").toIndexedSeq).toIndexedSeq
+    val cents = collectCentroids(centsDf)
     val cb = codebook.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, ks, sampleCap = sampleCap))
     // corpus: route + encode in one pass; only (id, centroid_id, codes)
     // ever leaves the scan
@@ -537,23 +554,13 @@ object Similarity {
       nearestCentroid(col("v_c"), cents).as("centroid_id"),
       pq_encode(col("v_c"), cb, m, ks).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
-    // per-query probe lists (same projection as ivfTopK), each carrying
-    // the query's ONE ADC table
-    val probeIds = slice(
-      array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
-        struct((-cosine(col("v_q"), typedLit(cv))).as("ns"),
-          lit(i + 1).as("cid"))
-      }: _*)),
-      1, nprobe)
+    // per-query probe lists (the shared ivfTopK projection), each
+    // carrying the query's ONE ADC table
     val probes = q
       .withColumn("tbl", pq_adc_table(col("v_q"), cb, m, ks))
-      .withColumn("pr", explode(probeIds))
+      .withColumn("pr", explode(probeIdsCol(cents, nprobe)))
       .select(col("query_id"), col("tbl"),
         col("pr.cid").cast("long").as("centroid_id"))
-    val scored = enc.join(broadcast(probes), Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist", round(pq_adc(col("tbl"), col("codes"), ks), 6))
-      .withColumn("score", -col("adc_dist"))
-    rankTopK(scored, k, orderCol = "score", outCol = "adc_dist")
+    adcRank(enc.join(broadcast(probes), Seq("centroid_id")), ks, k)
   }
 }

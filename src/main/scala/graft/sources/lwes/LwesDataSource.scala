@@ -418,7 +418,13 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       .getOrElse("true") match {
         case "false" => "off"
         case "exact" => "exact"
-        case _ => "all"
+        case "true" => "all"
+        case other =>
+          // Reject rather than default: a typo like "exat" silently
+          // selecting the heuristic mode is exactly the silent-row-loss
+          // hazard the "exact" mode exists to prevent.
+          throw new IllegalArgumentException(
+            s"${LwesOptions.TimePrune}=$other is not one of true/false/exact")
       }
   private lazy val pruneEnabled: Boolean = pruneMode != "off"
   private var timeLo: Long = Long.MinValue

@@ -201,7 +201,10 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
     * manifest is durable, so the epoch's data is committed whatever
     * happens here — a compaction failure is logged, never rethrown
     * (the stream must not fail over maintenance). */
-  private def maybeAutoCompact(epochId: Long): Unit = {
+  private def maybeAutoCompact(epochId: Long): Unit = try {
+    // option parsing stays INSIDE the try: a malformed value
+    // (autoCompactEveryEpochs=ten) must degrade like any other
+    // maintenance failure, not kill the stream after a durable commit
     val target = Option(options.get(LwesOptions.AutoCompactTarget)).map(_.toInt)
     if (target.isEmpty) return
     val every = math.max(1,
@@ -209,25 +212,23 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
     if (epochId % every != every - 1) return // fires on the Nth commit
     val minAge =
       Option(options.get(LwesOptions.AutoCompactMinAgeMs)).map(_.toLong).getOrElse(0L)
-    try {
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .foreach { spark =>
-          val wc = LwesWriteConfig(options)
-          val (b, a) =
-            if (wc.partitionBy.nonEmpty)
-              Compact.compactPartitioned(spark, wc.path, target.get,
-                wc.compression, minAge)
-            else
-              Compact.compact(spark, wc.path, target.get, wc.compression, minAge)
-          logInfo(s"lwes sink auto-compaction after epoch $epochId: " +
-            s"$b files -> $a")
-        }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        logWarning(s"lwes sink auto-compaction after epoch $epochId failed " +
-          s"(epoch data is committed; will retry at the next interval)", e)
-    }
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { spark =>
+        val wc = LwesWriteConfig(options)
+        val (b, a) =
+          if (wc.partitionBy.nonEmpty)
+            Compact.compactPartitioned(spark, wc.path, target.get,
+              wc.compression, minAge)
+          else
+            Compact.compact(spark, wc.path, target.get, wc.compression, minAge)
+        logInfo(s"lwes sink auto-compaction after epoch $epochId: " +
+          s"$b files -> $a")
+      }
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      logWarning(s"lwes sink auto-compaction after epoch $epochId failed " +
+        s"(epoch data is committed; will retry at the next interval)", e)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -31,7 +31,8 @@ object ScanThroughput {
 
     val dir = Files.createTempDirectory("lwes-tp").toString
     val perFile = nEvents / nFiles
-    println(s"writing $nEvents events across $nFiles gzip journals...")
+    val codecDesc = if (ext.isEmpty) "uncompressed" else ext.stripPrefix(".")
+    println(s"writing $nEvents events across $nFiles $codecDesc journals...")
     java.util.stream.IntStream.range(0, nFiles).parallel().forEach { f =>
       val w = JournalWriter.create(s"$dir/j$f.journal$ext")
       (0 until perFile).foreach { i =>

@@ -833,6 +833,16 @@ class OperatorsSpec extends AnyFunSuite {
     val good = H264.encode(IndexedSeq(H264.Plane(16, 16, new Array[Byte](256),
       new Array[Byte](64), new Array[Byte](64))), refreshMbs = 0)
     assert(H264.decodeNals(Seq(hugeSps, good.pps) ++ good.frameNals).isEmpty)
+    // ue() overflow: width_minus1 = Int.MaxValue wraps wMbs to
+    // Int.MinValue; the NEGATIVE product would sail under the MaxFS cap
+    // and "decode" a width-0 frame — must be rejected before the cap
+    val w2 = new BW
+    w2.u(8, 66); w2.u(8, 0); w2.u(8, 52)
+    w2.ue(0); w2.ue(0); w2.ue(2); w2.ue(1); w2.u1(0)
+    w2.ue(Int.MaxValue); w2.ue(1) // wMbs = Int.MinValue, hMbs = 2
+    w2.u1(1); w2.u1(0); w2.u1(0); w2.u1(0)
+    val wrapSps = Array[Byte]((3 << 5 | 7).toByte) ++ w2.bytes
+    assert(H264.decodeNals(Seq(wrapSps, good.pps) ++ good.frameNals).isEmpty)
     // stsz memory bomb: a sample COUNT (and fixed-size) far beyond what
     // the file's bytes could hold must not materialize a sizes table
     val mp4 = Multimodal.MediaGen.makeMp4Avc("stsz bound check")

@@ -257,6 +257,26 @@ class LwesStreamingSpec extends AnyFunSuite {
     assert(new java.io.File(dst).listFiles().count(_.getName.startsWith("_epoch-")) == 9)
   }
 
+  test("malformed auto-compaction options degrade to a warning, never fail the epoch") {
+    val src = Files.createTempDirectory("lwes-autocbad-src").toString
+    val dst = Files.createTempDirectory("lwes-autocbad-dst").toString
+    val ckpt = Files.createTempDirectory("lwes-autocbad-ckpt").toString
+    val q = spark.readStream.format("lwes")
+      .schema("id long, amount int").load(src)
+      .writeStream.format("lwes").option("eventName", "AB::E")
+      .option("autoCompactTarget", "2")
+      .option("autoCompactEveryEpochs", "ten") // NumberFormatException bait
+      .option("checkpointLocation", ckpt).outputMode("append").start(dst)
+    try {
+      writeFile(src, "f0.gz", 0, 10)
+      q.processAllAvailable() // must not throw from commit()
+      assert(q.isActive)
+    } finally q.stop()
+    val back = spark.read.format("lwes")
+      .schema("id long").option("eventName", "AB::E").load(dst)
+    assert(back.count() == 10)
+  }
+
   test("compaction keeps late-appearing attributes and heterogeneous event types") {
     import graft.sources.lwes.Compact
     val dir = Files.createTempDirectory("lwes-compact-late").toString

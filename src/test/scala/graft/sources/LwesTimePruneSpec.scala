@@ -108,6 +108,19 @@ class LwesTimePruneSpec extends AnyFunSuite {
     assert(scanOf(df).prunedFileCount == 0)
   }
 
+  test("unrecognized timePrune values are rejected, never defaulted to pruning") {
+    // a typo like "exat" silently selecting the heuristic mode is the
+    // silent-row-loss hazard the exact mode exists to prevent
+    val dir = tmp()
+    writeTaggedHours(dir, 2, 3)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("lwes").schema("id long, ReceiptTime long")
+        .option("eventName", "Pr::E").option("timePrune", "exat")
+        .load(dir).filter(col("ReceiptTime") >= T0 + Hour).count()
+    }
+    assert(e.getMessage.contains("exat"))
+  }
+
   test("capture-name stamps lower-bound, mtime upper-bounds, slack respected") {
     val dir = tmp()
     // capture files (journaller convention): name stamp = open time

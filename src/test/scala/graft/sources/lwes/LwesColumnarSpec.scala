@@ -92,6 +92,72 @@ class LwesColumnarSpec extends AnyFunSuite {
     assert(counts.getLong(0) == 100 && counts.getLong(1) == 300)
   }
 
+  test("malformed-UTF-8 wire strings round-trip identically in both paths") {
+    import graft.lwes.LwesCodec
+    val bad = Array(0xC3, 0x28, 0xFF, 0x80, 0xE2, 0x82).map(_.toByte)
+    val dir = Files.createTempDirectory("lwes-col-utf8").toString
+    val w = JournalWriter.create(s"$dir/j.journal")
+    (0 until 50).foreach { i =>
+      val payload = LwesCodec.serialize(LwesEvent("Col::U")
+        .setInt64("id", i.toLong).setString("s", "ZZZZZZ")
+        .setString("ok", "héllo→世界"))
+      if (i % 2 == 0) {
+        // patch the marker value to invalid UTF-8 on the wire: bad
+        // continuation (C3 28), stray FF, lone continuation (80), and a
+        // truncated 3-byte sequence (E2 82) — equal length keeps framing
+        val at = payload.indexOfSlice("ZZZZZZ".getBytes("UTF-8"))
+        assert(at > 0)
+        System.arraycopy(bad, 0, payload, at, bad.length)
+      }
+      w.writeRecord(payload, 0, payload.length, 1700000000000L + i,
+        Array[Byte](0, 0, 0, 0), 0, 0)
+    }
+    w.close()
+    def read(v: Boolean) = spark.read.format("lwes")
+      .schema("id long, s string, ok string")
+      .option("vectorized", v.toString).load(dir)
+    val a = read(v = true).orderBy("id").collect()
+    val b = read(v = false).orderBy("id").collect()
+    assert(a.length == 50 && a.sameElements(b))
+    assert(a(1).getString(1) == "ZZZZZZ")
+    // malformed bytes surface as the JVM's replacement-char decode
+    assert(a(0).getString(1) ==
+      new String(bad, java.nio.charset.StandardCharsets.UTF_8))
+    assert(a(0).getString(2) == "héllo→世界")
+    // non-ASCII equality can't early-check (StrEqEarly defers) but the
+    // post check over the finished vectors must still be exact
+    assert(read(v = true)
+      .filter(col("ok") === "héllo→世界").count() == 50)
+    assert(read(v = true).filter(col("ok") === "héllo").count() == 0)
+  }
+
+  test("corruption resync and torn tails behave identically in both paths") {
+    val dir = Files.createTempDirectory("lwes-col-torn").toString
+    val path = s"$dir/j.journal"
+    val w = JournalWriter.create(path)
+    (0 until 300).foreach { i =>
+      w.write(LwesEvent("Col::T").setInt64("id", i.toLong)
+        .setString("s", s"v$i"))
+      if (i % 50 == 25) { // undecodable-but-framed garbage mid-file
+        val junk = Array.fill[Byte](40)(0x55)
+        junk(0) = 0xF0.toByte // invalid name length -> forces resync
+        w.writeRecord(junk, 0, junk.length, 0L, Array[Byte](0, 0, 0, 0), 0, 0)
+      }
+    }
+    w.close()
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    raf.setLength(raf.length() - 7) // tear mid-payload of the last record
+    raf.close()
+    def read(v: Boolean) = spark.read.format("lwes")
+      .schema("id long, s string").option("eventName", "Col::T")
+      .option("vectorized", v.toString).load(dir)
+    val a = read(v = true).orderBy("id").collect()
+    val b = read(v = false).orderBy("id").collect()
+    assert(a.sameElements(b))
+    // only the torn final record is lost; garbage cost no good rows
+    assert(a.length == 299 && a.map(_.getLong(0)).toSeq == (0L until 299L))
+  }
+
   test("columnar batches cross the 4096-row boundary intact") {
     val dir = Files.createTempDirectory("lwes-col3").toString
     writeJournal(dir, 1, 9000) // one file -> one reader, 3 batches
