@@ -517,6 +517,38 @@ object Multimodal {
       muxAvcMp4(H264.encodeCavlcIntra(mbVals, wMbs, h / 16), w, h)
     }
 
+    /** Deterministic textured pixel for the general-CAVLC stream:
+      * gradient + multiplicative-hash noise — real AC energy in every
+      * 4x4 block. `c`: 0 luma, 1 Cb, 2 Cr. */
+    def h264TexPix(n: Int, k: Int, x: Int, y: Int, c: Int): Int = {
+      val h = (n * 131L + k * 101 + x * 31 + y * 17 + c * 59) * 2654435761L
+      (x * 2 + y + ((h >>> 33) % 97).toInt) & 0xFF
+    }
+    def h264TexQp(n: Int): Int = 20 + n % 9 // 20..28: fidelity bound holds
+    def h264TexFrameCount(n: Int): Int = 1 + n % 3
+
+    /** REAL general entropy-coded H.264 in MP4: textured 32×32 frames
+      * (AC residuals in every block, prediction-mode sweep, chroma
+      * DC+AC) encoded by the full forward CAVLC encoder
+      * ([[H264.encodeCavlcTextured]]) at a per-doc QP. Returns the mp4,
+      * the encoder's decoder-exact expected reconstruction, and the
+      * QP. */
+    def makeMp4AvcTextured(text: String): (Array[Byte], IndexedSeq[H264.Plane], Int) = {
+      val n = textLen(text)
+      val (w, h) = (H264W, H264H)
+      val frames = (0 until h264TexFrameCount(n)).map { k =>
+        H264.Plane(w, h,
+          Array.tabulate(w * h)(i => h264TexPix(n, k, i % w, i / w, 0).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264TexPix(n, k, i % (w / 2), i / (w / 2), 1).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264TexPix(n, k, i % (w / 2), i / (w / 2), 2).toByte))
+      }
+      val qp = h264TexQp(n)
+      val (enc, expected) = H264.encodeCavlcTextured(frames, qp)
+      (muxAvcMp4(enc, w, h), expected, qp)
+    }
+
     /** Mux an encoded AVC elementary stream into ISO-BMFF: ftyp, mdat
       * (length-prefixed NALs), moov with an avc1+avcC sample table. */
     private def muxAvcMp4(enc: H264.Encoded, w: Int, h: Int): Array[Byte] = {
@@ -725,6 +757,55 @@ object Multimodal {
           (id, stats.length, stats.head.width, stats.head.height, luma4x)
         }
       }.toDF("doc_id", "n_frames", "width", "height", "luma4x")
+  }
+
+  /** C12 general-CAVLC gate: per doc, build a TEXTURED full-CAVLC
+    * H.264 mp4 (AC residuals in every block, all four Intra16x16 and
+    * chroma prediction modes, per-doc QP 20–28), decode it through the
+    * mux/demux + bitstream chain, and
+    *
+    *  - `exact`: decoded planes equal the encoder's independently
+    *    reconstructed output BIT-FOR-BIT — any desynchronization in
+    *    the CAVLC tables, level codes, nC contexts, transforms, or
+    *    prediction corrupts pixels and flips this false;
+    *  - `fidelity_ok`: frame-0 luma mean-abs-deviation from the
+    *    closed-form SOURCE texture < 6 (the quant-calibration
+    *    contract at qp ≤ 28) — guards against a vacuous exact match
+    *    (e.g. an encoder quantizing everything to zero).
+    *
+    * The oracle replays n_frames/dims/qp closed-form from
+    * `length(text)` and expects both booleans true. Scale shape: one
+    * `mapPartitions` projection, no shuffle, no driver work. */
+  def h264TexturedAudit(spark: SparkSession, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val n = MediaGen.textLen(text)
+          val (mp4, expected, qp) = MediaGen.makeMp4AvcTextured(text)
+          val dec = H264.decodeMp4(mp4).getOrElse(
+            throw new IllegalStateException(
+              s"generated textured H.264 stream failed to decode for doc $id"))
+          val exact = dec.frames.length == expected.length &&
+            dec.frames.zip(expected).forall { case (g, e) =>
+              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
+                g.cr.sameElements(e.cr)
+            }
+          val y0 = dec.frames.head.y
+          var sad = 0L
+          var i = 0
+          while (i < y0.length) {
+            sad += math.abs((y0(i) & 0xFF) -
+              MediaGen.h264TexPix(n, 0, i % dec.width, i / dec.width, 0))
+            i += 1
+          }
+          val fidelityOk = sad.toDouble / y0.length < 6.0
+          (id, dec.frames.length, dec.width, dec.height, qp, exact, fidelityOk)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "qp", "exact",
+        "fidelity_ok")
   }
 
   /** Attach an opaque binary media column + typed metadata to a table

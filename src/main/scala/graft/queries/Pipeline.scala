@@ -678,6 +678,24 @@ object Pipeline {
         |FROM f JOIN v USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // C12 (general CAVLC): textured full-CAVLC H.264 — AC residuals in
+    // every block, all prediction modes, per-doc QP. The decoded planes
+    // must equal the encoder's independent reconstruction bit-for-bit
+    // (`exact`) and track the closed-form source texture (`fidelity_ok`,
+    // the quant-calibration bound); the oracle replays the stream
+    // geometry closed-form and pins both booleans true.
+    "mm_h264_textured" -> ((
+      (s: SparkSession, d: String) => {
+        Multimodal.h264TexturedAudit(s, t(s, d, "documents"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(1 + length(text) % 3 AS INT) AS n_frames,
+        |  CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        |  CAST(20 + length(text) % 9 AS INT) AS qp,
+        |  true AS exact, true AS fidelity_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // C15: PII scrubbing. The corpus is synthetic (no PII), so the query
     // injects deterministic emails/IPs/phones per doc, scrubs them, and
     // the oracle compares the full scrubbed text via md5 (identical

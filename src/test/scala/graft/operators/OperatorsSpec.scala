@@ -868,6 +868,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(H264.decodeMp4(mp4).isDefined)
   }
 
+  test("H.264 full-CAVLC textured encode/decode is pixel-exact (C12)") {
+    // deterministic textured content: gradients + hash noise drive real
+    // AC coefficients through every nC context and prediction mode
+    def textured(wPix: Int, hPix: Int, nFrames: Int): IndexedSeq[H264.Plane] =
+      (0 until nFrames).map { f =>
+        def pix(x: Int, y: Int, c: Int): Byte = {
+          val h = (x * 31 + y * 17 + f * 101 + c * 59) * 2654435761L
+          ((x * 2 + y + ((h >>> 33) % 97)).toInt & 0xFF).toByte
+        }
+        H264.Plane(wPix, hPix,
+          Array.tabulate(wPix * hPix)(i => pix(i % wPix, i / wPix, 0)),
+          Array.tabulate(wPix / 2 * (hPix / 2))(i => pix(i % (wPix / 2), i / (wPix / 2), 1)),
+          Array.tabulate(wPix / 2 * (hPix / 2))(i => pix(i % (wPix / 2), i / (wPix / 2), 2)))
+      }
+    for {
+      (wPix, hPix, nF) <- Seq((16, 16, 1), (48, 32, 3), (64, 48, 2))
+      qp <- Seq(20, 28, 36, 44)
+    } {
+      val frames = textured(wPix, hPix, nF)
+      val (enc, expected) = H264.encodeCavlcTextured(frames, qp)
+      val dec = H264.decodeNals(Seq(enc.sps, enc.pps) ++ enc.frameNals)
+      assert(dec.isDefined, s"decode failed at ${wPix}x$hPix qp=$qp")
+      val got = dec.get.frames
+      assert(got.length == nF)
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g.y.sameElements(e.y), s"luma mismatch frame $i ${wPix}x$hPix qp=$qp")
+        assert(g.cb.sameElements(e.cb), s"cb mismatch frame $i qp=$qp")
+        assert(g.cr.sameElements(e.cr), s"cr mismatch frame $i qp=$qp")
+      }
+      // quality sanity: the match must not be vacuous (all-flat recon).
+      // At qp<=28 the transform+quant chain reproduces the texture well.
+      if (qp <= 28) {
+        val src = frames.head.y.map(_ & 0xFF)
+        val rec = got.head.y.map(_ & 0xFF)
+        val mad = src.zip(rec).map { case (a, b) => math.abs(a - b) }.sum /
+          src.length.toDouble
+        assert(mad < 6.0, s"mean abs err $mad at qp=$qp - quant degenerate?")
+      }
+    }
+    // entropy-level integrity: corrupting any single byte of a textured
+    // CAVLC slice never throws (clean None or a decoded-but-different
+    // frame are both acceptable outcomes for corrupt input)
+    val (enc1, _) = H264.encodeCavlcTextured(textured(32, 32, 1), 28)
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { _ =>
+      val mutated = enc1.frameNals.head.clone()
+      val pos = 1 + rnd.nextInt(mutated.length - 1)
+      mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+      H264.decodeNals(Seq(enc1.sps, enc1.pps, mutated))
+    }
+  }
+
   test("withRealMedia: generated PNG/WAV/MP4 decode to closed-form features (C12)") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x"), (3L, ""),
       (4L, "the quick brown fox jumps over the lazy dog repeatedly and often"))
