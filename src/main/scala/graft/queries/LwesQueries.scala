@@ -728,6 +728,80 @@ object LwesQueries {
       },
       """SELECT count(*) AS n, round(sum(value), 2) AS total_value,
         |  count(DISTINCT user_id) AS n_users, max(event_id) AS max_id
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    // C32: streaming exact dedup (first-arrival wins) — documents
+    // stream in doc_id-monotone micro-batches (6 mtime-ordered
+    // journals), a one-boolean-per-key state store drops every
+    // duplicate after its first arrival, and the surviving rows equal
+    // the BATCH dedup answer (QUALIFY row_number()=1) the oracle
+    // replays. Exercises flatMapGroupsWithState + the lwes sink's
+    // idempotent epochs end-to-end on the C-surface.
+    "lwes_stream_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val src = cached(s"sdedup|$d") { dir =>
+          // inject deterministic duplicates (every 7th doc re-arrives
+          // under a larger id) so the drop path is exercised at every
+          // SF — the corpus has few/no natural duplicate texts
+          val base = t(s, d, "documents")
+          val corpus = base.select(col("doc_id"), col("text"), col("lang"),
+              col("n_chars"))
+            .unionAll(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+              .select(col("doc_id") + lit(1000000), col("text"), col("lang"),
+                col("n_chars")))
+          val docs = corpus
+            .select(col("doc_id"), md5(col("text")).as("text_md5"),
+              col("lang"), col("n_chars").cast("long").as("n_chars"))
+            .orderBy(col("doc_id")).collect()
+          // 6 contiguous doc_id ranges, strictly increasing mtimes ->
+          // mtime-ordered admission streams batches in doc_id order, so
+          // first-arrival == smallest doc_id per text
+          val chunk = (docs.length + 5) / 6
+          docs.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+            val before = Option(new java.io.File(dir).listFiles())
+              .getOrElse(Array.empty).map(_.getName).toSet
+            s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+                docs.head.schema)
+              .write.format("lwes").option("eventName", "Doc::D")
+              .mode("append").save(dir)
+            new java.io.File(dir).listFiles()
+              .filterNot(f => before.contains(f.getName) ||
+                f.getName.startsWith(".") || f.getName.startsWith("_"))
+              .foreach(_.setLastModified(1700000000000L + i * 60000L))
+          }
+        }
+        val dst = tmpDir("sdedup-dst")
+        val ckpt = tmpDir("sdedup-ckpt")
+        val in = s.readStream.format("lwes")
+          .schema("doc_id long, text_md5 string, lang string, n_chars long")
+          .option("eventName", "Doc::D")
+          .option("maxFilesPerTrigger", "1").load(src)
+          .as[graft.streaming.StreamOps.DocRow]
+        val q = graft.streaming.StreamOps.dedupFirstSeen(s, in)
+          .toDF()
+          .writeStream.format("lwes")
+          .option("eventName", "Ded::D")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+        logStateMetrics("lwes_stream_dedup", q)
+        s.read.format("lwes")
+          .schema("doc_id long, text_md5 string, lang string, n_chars long")
+          .option("eventName", "Ded::D").load(dst)
+          .orderBy(col("doc_id"))
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, n_chars FROM documents
+        |  WHERE doc_id % 7 = 0)
+        |SELECT doc_id, md5(text) AS text_md5, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM corpus
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin))
   )
 }

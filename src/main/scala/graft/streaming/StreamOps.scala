@@ -106,4 +106,41 @@ object StreamOps {
           Iterator(UserStats(uid, n, total))
       }
   }
+
+  final case class DocRow(doc_id: Long, text_md5: String, lang: String,
+      n_chars: Long)
+
+  /** Streaming exact deduplication, first-arrival wins (SURVEY §2
+    * C32): the ingest-time counterpart of C1's batch dedup — documents
+    * are deduplicated AS THEY ARRIVE, so a continuously-fed corpus
+    * never materializes its duplicates downstream. Keyed on a content
+    * hash; per-key state is a single boolean in the state store
+    * (per-key partitioned across executors — the shape that scales to
+    * 10^9 distinct documents: ~key+bit per distinct doc, nothing per
+    * duplicate). The first micro-batch where a key appears emits that
+    * batch's smallest-doc_id row; every later arrival of the key is
+    * dropped in-state with no output.
+    *
+    * NoTimeout: dedup state is deliberately permanent for the stream's
+    * lifetime. At 100 TB, bound it by keying the stream per time
+    * partition (the journal layout's `dt=` dirs) or swapping in a
+    * ProcessingTimeTimeout TTL — the operator body is unchanged.
+    *
+    * First-arrival equals the batch min-doc_id answer whenever ingest
+    * order is doc_id-monotone across micro-batches (the gate arranges
+    * this with mtime-ordered journals; real pipelines simply accept
+    * arrival order as the tiebreak among identical texts). */
+  def dedupFirstSeen(spark: SparkSession,
+      docs: Dataset[DocRow]): Dataset[DocRow] = {
+    import spark.implicits._
+    docs.groupByKey(_.text_md5)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[DocRow], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
+  }
 }

@@ -509,6 +509,34 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupFirstSeen drops re-arrivals across micro-batches, first wins (C32)") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.DocRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("lwes-sdedup-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[DocRow]
+    val out = StreamOps.dedupFirstSeen(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      // batch 1: keys a,b (b twice in-batch -> smaller id wins)
+      mem.addData(DocRow(1, "a", "en", 10), DocRow(5, "b", "de", 20),
+        DocRow(3, "b", "de", 20))
+      q.processAllAvailable()
+      // batch 2: a re-arrives (dropped in-state), c is new
+      mem.addData(DocRow(9, "a", "en", 10), DocRow(7, "c", "fr", 30))
+      q.processAllAvailable()
+      // batch 3: everything a duplicate -> no output at all
+      mem.addData(DocRow(11, "a", "en", 10), DocRow(12, "c", "fr", 30))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "a"), (3L, "b"), (7L, "c")))
+    } finally q.stop()
+  }
+
   test("drainSessions: out-of-order buffering, sentinel drop, timeout flush (B20)") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.SessionEvent
