@@ -696,6 +696,34 @@ object Pipeline {
         |  true AS exact, true AS fidelity_ok
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // C33: Misra-Gries heavy hitters — sketch candidates (one
+    // treeAggregate, bounded summary, no raw-term shuffle) + exact
+    // broadcast recount; the no-false-negative guarantee at
+    // capacity 400 > 1/0.004 makes the emitted set EQUAL the true
+    // heavy-hitter set, so the oracle replays it with a plain
+    // GROUP BY ... HAVING.
+    "text_heavy_hitters" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("value"))
+          .filter(length(col("value")) > 0)
+          .as[String]
+        graft.operators.Sketches.heavyHitters(toks, capacity = 400,
+            minShare = 0.004)
+          .orderBy(col("n").desc, col("value"))
+      },
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS value
+        |  FROM documents),
+        |tok AS (SELECT value FROM toks WHERE value <> ''),
+        |tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT value, count(*) AS n
+        |FROM tok
+        |GROUP BY value
+        |HAVING count(*) >= (SELECT ceil(0.004 * total) FROM tot)
+        |ORDER BY n DESC, value""".stripMargin)),
+
     // C15: PII scrubbing. The corpus is synthetic (no PII), so the query
     // injects deterministic emails/IPs/phones per doc, scrubs them, and
     // the oracle compares the full scrubbed text via md5 (identical

@@ -143,4 +143,32 @@ object StreamOps {
           }
       }
   }
+
+  /** [[dedupFirstSeen]] with BOUNDED state: each key's seen-bit expires
+    * `ttlMs` of processing time after its last arrival, after which the
+    * key is eligible to be emitted again — the documented recipe for
+    * running the dedup indefinitely at 100 TB (state is keys active
+    * within the TTL window, not all keys ever). A re-arrival inside the
+    * window renews the key's lease, so a steadily duplicated document
+    * stays deduplicated as long as its duplicates keep coming. */
+  def dedupFirstSeenTtl(spark: SparkSession, docs: Dataset[DocRow],
+      ttlMs: Long): Dataset[DocRow] = {
+    import spark.implicits._
+    docs.groupByKey(_.text_md5)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: String, rows: Iterator[DocRow], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove() // lease expired: key re-emittable
+            Iterator.empty
+          } else if (state.exists) {
+            state.setTimeoutDuration(ttlMs) // renew the lease
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(ttlMs)
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
+  }
 }

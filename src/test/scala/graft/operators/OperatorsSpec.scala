@@ -920,6 +920,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries heavy hitters equal the exact answer across layouts (C33)") {
+    import spark.implicits._
+    // skewed synthetic stream: term t_i has frequency ~ 4000/i (Zipf),
+    // plus a long tail of singletons that must NOT displace true HHs
+    val items = (1 to 50).flatMap(i => Seq.fill(4000 / i)(s"t$i")) ++
+      (0 until 5000).map(i => s"noise$i")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size
+    val minShare = 0.004
+    val expect = exact.filter(_._2 >= math.ceil(minShare * n))
+      .toSeq.sortBy { case (v, c) => (-c, v) }
+    for (parts <- Seq(1, 7, 32)) {
+      val ds = spark.createDataset(items).repartition(parts)
+      val got = Sketches.heavyHitters(ds, capacity = 300, minShare = minShare)
+        .orderBy(col("n").desc, col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == expect, s"parts=$parts: ${got.take(3)} vs ${expect.take(3)}")
+    }
+    // capacity below the guarantee line is refused, not silently lossy
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(spark.createDataset(items), 100, minShare)
+    }
+  }
+
   test("withRealMedia: generated PNG/WAV/MP4 decode to closed-form features (C12)") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x"), (3L, ""),
       (4L, "the quick brown fox jumps over the lazy dog repeatedly and often"))

@@ -537,6 +537,50 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupFirstSeenTtl expires idle keys and renews leases on re-arrival (C32)") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.DocRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("lwes-sdedupttl-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[DocRow]
+    // TTL long enough that in-lease duplicates cannot race expiry,
+    // NOTE: a registered ProcessingTimeTimeout keeps scheduling no-data
+    // batches, so the stream is never "idle" — poll the sink with a
+    // deadline instead of processAllAvailable (which can block forever)
+    val out = StreamOps.dedupFirstSeenTtl(spark, mem.toDS(), ttlMs = 3000L)
+    val q = out.writeStream.format("memory").queryName("sdedup_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def awaitIds(expect: Seq[Long]): Seq[Long] = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = Seq.empty[Long]
+      while (got != expect && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        got = spark.table("sdedup_ttl").orderBy("doc_id")
+          .collect().map(_.getLong(0)).toSeq
+      }
+      got
+    }
+    try {
+      mem.addData(DocRow(1, "a", "en", 10))
+      assert(awaitIds(Seq(1L)) == Seq(1L))
+      // inside the lease: duplicate dropped (give it time to process)
+      mem.addData(DocRow(2, "a", "en", 10))
+      Thread.sleep(800)
+      assert(awaitIds(Seq(1L)) == Seq(1L))
+      Thread.sleep(6000) // let the 3s processing-time lease lapse
+      // after expiry the key re-emits; unrelated key flows normally
+      mem.addData(DocRow(7, "zzz", "de", 5))
+      assert(awaitIds(Seq(1L, 7L)) == Seq(1L, 7L))
+      mem.addData(DocRow(3, "a", "en", 10))
+      val got = awaitIds(Seq(1L, 3L, 7L))
+      assert(got == Seq(1L, 3L, 7L), s"got $got")
+    } finally q.stop()
+  }
+
   test("drainSessions: out-of-order buffering, sentinel drop, timeout flush (B20)") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.SessionEvent
