@@ -459,11 +459,20 @@ object H264 {
     * shift is calibrated against THIS decoder's [[dequant4x4]] +
     * [[idct4x4]] chain (identity to within quantization error — the
     * tools/QuantCal sweep: relerr 0.000-0.055 over qp 20-44). */
+  // largest magnitude every CAVLC level position can carry: at the
+  // tightest point (suffixLength 0 with the first-after-T1s -2
+  // adjustment) levelCode tops out at 4125, i.e. |level| 2063 — clamp
+  // a notch under it. Real encoders clamp exactly like this; clipping
+  // costs fidelity, never correctness (the recon loop is closed over
+  // the clamped level), and keeps high-contrast low-QP input encodable
+  // instead of crashing the writer.
+  private val MaxLevel = 2047
+
   private def quantAc(w: Int, pos: Int, qp: Int): Int = {
     val mf = MfTab(LsClass(pos))(qp % 6)
     val shift = 11 + qp / 6
     val f = (1L << shift) / 3 // intra deadzone
-    val v = ((math.abs(w).toLong * mf + f) >> shift).toInt
+    val v = math.min(((math.abs(w).toLong * mf + f) >> shift).toInt, MaxLevel)
     if (w < 0) -v else v
   }
 
@@ -475,7 +484,7 @@ object H264 {
     val mf = MfTab(0)(qp % 6)
     val shift = 12 + qp / 6
     val f = (1L << shift) / 3
-    val v = ((math.abs(w).toLong * mf + f) >> shift).toInt
+    val v = math.min(((math.abs(w).toLong * mf + f) >> shift).toInt, MaxLevel)
     if (w < 0) -v else v
   }
 
@@ -582,13 +591,13 @@ object H264 {
         while (k < 16) { dcScan(k) = dcQ(Zigzag4x4(k)); k += 1 }
         // ---- entropy: DC, then the 16 AC blocks (7.3.5.3 order)
         Cavlc.writeResidual(bw, dcScan,
-          nCOfEnc(lumaTc, lumaBlkW, mx * 4, my * 4))
+          nCOf(lumaTc, lumaBlkW, mx * 4, my * 4))
         blk = 0
         while (blk < 16) {
           val gx = mx * 4 + LumaBlkX(blk)
           val gy = my * 4 + LumaBlkY(blk)
           val tc = Cavlc.writeResidual(bw, acLevels(blk),
-            nCOfEnc(lumaTc, lumaBlkW, gx, gy))
+            nCOf(lumaTc, lumaBlkW, gx, gy))
           lumaTc(gy * lumaBlkW + gx) = tc
           blk += 1
         }
@@ -604,7 +613,7 @@ object H264 {
           val gx = mx * 2 + cblk % 2
           val gy = my * 2 + cblk / 2
           cbTc(gy * chromaBlkW + gx) = Cavlc.writeResidual(bw,
-            cbData._2(cblk), nCOfEnc(cbTc, chromaBlkW, gx, gy))
+            cbData._2(cblk), nCOf(cbTc, chromaBlkW, gx, gy))
           cblk += 1
         }
         cblk = 0
@@ -612,7 +621,7 @@ object H264 {
           val gx = mx * 2 + cblk % 2
           val gy = my * 2 + cblk / 2
           crTc(gy * chromaBlkW + gx) = Cavlc.writeResidual(bw,
-            crData._2(cblk), nCOfEnc(crTc, chromaBlkW, gx, gy))
+            crData._2(cblk), nCOf(crTc, chromaBlkW, gx, gy))
           cblk += 1
         }
         // ---- reconstruction through the DECODER-shared helpers
@@ -627,8 +636,8 @@ object H264 {
           }
           row += 1
         }
-        reconChromaInto(rcb, cbData, mx, my, cw, chromaMode, hasL, hasT, qpc)
-        reconChromaInto(rcr, crData, mx, my, cw, chromaMode, hasL, hasT, qpc)
+        reconChromaInto(rcb, cbData, mx, my, cw, qpc)
+        reconChromaInto(rcr, crData, mx, my, cw, qpc)
         mb += 1
       }
       bw.rbspTrailing()
@@ -639,8 +648,10 @@ object H264 {
       recons.result())
   }
 
-  // the decoder's 9.2.1 nC rule, repeated for the encoder's local arrays
-  private def nCOfEnc(tcArr: Array[Int], blkW: Int, gx: Int, gy: Int): Int = {
+  /** The 9.2.1 nC neighbor rule, SHARED by decoder and encoder (their
+    * bookkeeping arrays must agree bit-for-bit or the stream
+    * desynchronizes). */
+  private def nCOf(tcArr: Array[Int], blkW: Int, gx: Int, gy: Int): Int = {
     val a = if (gx > 0) tcArr(gy * blkW + gx - 1) else -1
     val b = if (gy > 0) tcArr((gy - 1) * blkW + gx) else -1
     if (a >= 0 && b >= 0) (a + b + 1) >> 1
@@ -650,11 +661,12 @@ object H264 {
   }
 
   /** Transform + quantize one chroma 8x8 of the current MB: returns
-    * (DC levels raster-scan, per-4x4 AC levels) against the
-    * reconstructed plane's prediction. */
+    * (DC levels raster-scan, per-4x4 AC levels, prediction) against
+    * the reconstructed plane — the prediction rides along so
+    * [[reconChromaInto]] need not re-derive it. */
   private def encodeChromaPlane(srcPlane: Array[Byte], reconPlane: Array[Byte],
       mx: Int, my: Int, cw: Int, chromaMode: Int, hasL: Boolean,
-      hasT: Boolean, qpc: Int): (Array[Int], Array[Array[Int]]) = {
+      hasT: Boolean, qpc: Int): (Array[Int], Array[Array[Int]], Array[Int]) = {
     val predC = predChroma8x8(chromaMode, hasL, hasT,
       (px, py) => reconPlane((my * 8 + py) * cw + mx * 8 + px) & 0xFF)
     val dc = new Array[Int](4)
@@ -690,17 +702,15 @@ object H264 {
     // forward 2x2 Hadamard + DC quant
     val wd = Array(dc(0) + dc(1) + dc(2) + dc(3), dc(0) - dc(1) + dc(2) - dc(3),
       dc(0) + dc(1) - dc(2) - dc(3), dc(0) - dc(1) - dc(2) + dc(3))
-    (wd.map(quantDc(_, qpc)), ac)
+    (wd.map(quantDc(_, qpc)), ac, predC)
   }
 
-  /** Write the reconstructed chroma 8x8 back into the plane (the same
-    * prediction re-derived — the plane still holds neighbor pixels). */
+  /** Write the reconstructed chroma 8x8 back into the plane, reusing
+    * the prediction computed during encode. */
   private def reconChromaInto(reconPlane: Array[Byte],
-      data: (Array[Int], Array[Array[Int]]), mx: Int, my: Int, cw: Int,
-      chromaMode: Int, hasL: Boolean, hasT: Boolean, qpc: Int): Unit = {
-    val predC = predChroma8x8(chromaMode, hasL, hasT,
-      (px, py) => reconPlane((my * 8 + py) * cw + mx * 8 + px) & 0xFF)
-    val out = reconChroma8x8(predC, data._1, data._2, qpc)
+      data: (Array[Int], Array[Array[Int]], Array[Int]), mx: Int, my: Int,
+      cw: Int, qpc: Int): Unit = {
+    val out = reconChroma8x8(data._3, data._1, data._2, qpc)
     var rr = 0
     while (rr < 8) {
       var cc = 0
@@ -1273,14 +1283,6 @@ object H264 {
         crTc(ci) = v
         cblk += 1
       }
-    }
-    def nCOf(tcArr: Array[Int], blkW: Int, gx: Int, gy: Int): Int = {
-      val a = if (gx > 0) tcArr(gy * blkW + gx - 1) else -1
-      val b = if (gy > 0) tcArr((gy - 1) * blkW + gx) else -1
-      if (a >= 0 && b >= 0) (a + b + 1) >> 1
-      else if (a >= 0) a
-      else if (b >= 0) b
-      else 0
     }
 
     /** Decode one Intra_16x16 macroblock, general profile: all four

@@ -58,23 +58,31 @@ object Sketches {
 
   /** Exact heavy hitters over a string column: every value whose
     * frequency is ≥ `minShare` of all rows, with its EXACT count.
-    * Requires `capacity + 1 > 1 / minShare` so the sketch's
-    * no-false-negative guarantee covers the threshold (enforced).
-    * Returns (value, n) — deterministic, partition-layout independent,
-    * SQL-replayable. */
+    * Requires `capacity ≥ ceil(1/minShare) + 1` so the sketch's
+    * STRICT no-false-negative guarantee covers the threshold even at
+    * the n/(capacity+1) boundary (enforced). Returns (value, n) —
+    * deterministic, partition-layout independent, SQL-replayable. */
   def heavyHitters(items: Dataset[String], capacity: Int,
       minShare: Double): DataFrame = {
-    require(minShare > 0 && (capacity + 1) > 1.0 / minShare,
-      s"capacity $capacity cannot guarantee recall at minShare $minShare")
+    // strict-inequality guarantee in integer arithmetic: a term at
+    // exactly freq = n/(capacity+1) CAN be evicted, and
+    // `capacity+1 > 1.0/minShare` passes at the boundary when the
+    // double quotient rounds just under the integer — demand one whole
+    // counter of slack past ceil(1/minShare) so both hazards are out
+    val minCap = math.ceil(1.0 / minShare).toInt + 1
+    require(minShare > 0 && capacity >= minCap,
+      s"capacity $capacity cannot guarantee recall at minShare $minShare " +
+        s"(needs >= $minCap)")
     val spark = items.sparkSession
     import spark.implicits._
-    // pass 1: candidates via the mergeable summary (bounded driver data)
-    val summary = items.rdd.treeAggregate(
-      scala.collection.mutable.HashMap.empty[String, Long])(
-      (m, t) => mgAdd(m, t, capacity),
-      (a, b) => mgMerge(a, b, capacity))
+    // pass 1: candidates AND the total count in one traversal
+    // (summary, n) — a separate count() would re-scan the (typically
+    // uncached, tokenization-heavy) input a second time
+    val (summary, n) = items.rdd.treeAggregate(
+      (scala.collection.mutable.HashMap.empty[String, Long], 0L))(
+      { case ((m, c), t) => (mgAdd(m, t, capacity), c + 1) },
+      { case ((a, ca), (b, cb)) => (mgMerge(a, b, capacity), ca + cb) })
     val candidates = summary.keys.toSeq
-    val n = items.count()
     val threshold = math.ceil(minShare * n).toLong
     // pass 2: exact recount of ≤ capacity candidates (broadcast join —
     // the corpus shuffles nothing), then the exact threshold filter

@@ -743,12 +743,16 @@ object LwesQueries {
         val src = cached(s"sdedup|$d") { dir =>
           // inject deterministic duplicates (every 7th doc re-arrives
           // under a larger id) so the drop path is exercised at every
-          // SF — the corpus has few/no natural duplicate texts
+          // SF — the corpus has few/no natural duplicate texts. Offset
+          // by max(doc_id)+1, not a constant: a fixed offset collides
+          // with real ids once the corpus outgrows it, and tied ids
+          // order nondeterministically under the hash compare
           val base = t(s, d, "documents")
+          val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
           val corpus = base.select(col("doc_id"), col("text"), col("lang"),
               col("n_chars"))
             .unionAll(base.filter(pmod(col("doc_id"), lit(7)) === 0)
-              .select(col("doc_id") + lit(1000000), col("text"), col("lang"),
+              .select(col("doc_id") + lit(maxId + 1), col("text"), col("lang"),
                 col("n_chars")))
           val docs = corpus
             .select(col("doc_id"), md5(col("text")).as("text_md5"),
@@ -796,8 +800,9 @@ object LwesQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text, lang, n_chars FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text, lang, n_chars FROM documents
-        |  WHERE doc_id % 7 = 0)
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |    text, lang, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0)
         |SELECT doc_id, md5(text) AS text_md5, lang,
         |  CAST(n_chars AS BIGINT) AS n_chars
         |FROM corpus

@@ -907,6 +907,22 @@ class OperatorsSpec extends AnyFunSuite {
         assert(mad < 6.0, s"mean abs err $mad at qp=$qp - quant degenerate?")
       }
     }
+    // extreme-contrast content at low QP overflows the raw quantizer
+    // output past the CAVLC-representable range: the encoder must CLAMP
+    // (like every real encoder) and stay pixel-exact, not crash
+    val hot = IndexedSeq(H264.Plane(16, 16,
+      Array.fill[Byte](256)(255.toByte), Array.fill[Byte](64)(0.toByte),
+      Array.fill[Byte](64)(255.toByte)))
+    val (encHot, expHot) = H264.encodeCavlcTextured(hot, qp = 10)
+    val decHot = H264.decodeNals(Seq(encHot.sps, encHot.pps) ++ encHot.frameNals)
+    assert(decHot.isDefined)
+    assert(decHot.get.frames.head.y.sameElements(expHot.head.y))
+    assert(decHot.get.frames.head.cb.sameElements(expHot.head.cb))
+    // the clamped DC level still moves every pixel toward the source
+    // (128 -> 144 at qp 10; exactness, not fidelity, is the contract
+    // for clamped pathological content)
+    assert(decHot.get.frames.head.meanLuma > 140)
+
     // entropy-level integrity: corrupting any single byte of a textured
     // CAVLC slice never throws (clean None or a decoded-but-different
     // frame are both acceptable outcomes for corrupt input)
@@ -938,9 +954,18 @@ class OperatorsSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got == expect, s"parts=$parts: ${got.take(3)} vs ${expect.take(3)}")
     }
-    // capacity below the guarantee line is refused, not silently lossy
+    // capacity below the guarantee line is refused, not silently lossy —
+    // INCLUDING the exact boundary (capacity+1 == 1/minShare, where a
+    // term at precisely the threshold frequency could be evicted) and
+    // the float-rounding hazard just under it
     intercept[IllegalArgumentException] {
       Sketches.heavyHitters(spark.createDataset(items), 100, minShare)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(spark.createDataset(items), 249, minShare)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(spark.createDataset(items), 250, minShare)
     }
   }
 
