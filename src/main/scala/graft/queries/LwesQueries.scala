@@ -777,19 +777,26 @@ object LwesQueries {
         }
         val dst = tmpDir("sdedup-dst")
         val ckpt = tmpDir("sdedup-ckpt")
-        val in = s.readStream.format("lwes")
-          .schema("doc_id long, text_md5 string, lang string, n_chars long")
-          .option("eventName", "Doc::D")
-          .option("maxFilesPerTrigger", "1").load(src)
-          .as[graft.streaming.StreamOps.DocRow]
-        val q = graft.streaming.StreamOps.dedupFirstSeen(s, in)
-          .toDF()
-          .writeStream.format("lwes")
-          .option("eventName", "Ded::D")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start(dst)
+        // 4 shuffle partitions for the micro-batch state op (the
+        // lwes_stream_sessions convention): 6 sequential batches x 32
+        // state-store tasks is pure per-task overhead at gate scale
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val in = s.readStream.format("lwes")
+            .schema("doc_id long, text_md5 string, lang string, n_chars long")
+            .option("eventName", "Doc::D")
+            .option("maxFilesPerTrigger", "1").load(src)
+            .as[graft.streaming.StreamOps.DocRow]
+          graft.streaming.StreamOps.dedupFirstSeen(s, in)
+            .toDF()
+            .writeStream.format("lwes")
+            .option("eventName", "Ded::D")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(dst)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         q.awaitTermination()
         logStateMetrics("lwes_stream_dedup", q)
         s.read.format("lwes")
