@@ -291,4 +291,37 @@ object Dedup {
           greatest(size(array_union(col("sha.__sh"), col("shb.__sh"))), lit(1)).cast("double"), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  // -------------------------------------------------------------- C34
+
+  /** Quality-aware dedup (SURVEY §2 C34): among each near-duplicate
+    * cluster keep exactly ONE document — the member maximizing
+    * `quality`, ties broken by the smallest id — and pass every
+    * unclustered document through untouched. The pipeline-standard
+    * "keep the best version" step after near-dup clustering: the
+    * longest/cleanest copy survives, truncated or boilerplate shards
+    * drop.
+    *
+    * Scale shape: `clusters` holds near-dup MEMBERS only (a sliver of
+    * the corpus in the regime this operator exists for), so the
+    * quality join, the per-cluster argmax (row_number k=1 — the B33
+    * TopKPerKey rule lowers it to a bounded heap), and the loser set
+    * all stay small; the corpus pays ONE broadcast anti-join against
+    * the losers and itself never shuffles. For a pathologically
+    * duplicate-heavy corpus (losers comparable to the corpus), drop
+    * the broadcast hint and let AQE pick the join. */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame,
+      idCol: String, quality: Column): DataFrame = {
+    val q = docs.select(col(idCol).as("__kb_id"), quality.as("__kb_q"))
+    val members = clusters
+      .select(col(idCol).as("__kb_id"), col("cluster_id"))
+      .join(q, Seq("__kb_id"))
+    val losers = members
+      .withColumn("__kb_rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__kb_q").desc, col("__kb_id"))))
+      .filter(col("__kb_rn") > 1)
+      .select(col("__kb_id"))
+    docs.join(broadcast(losers), col(idCol) === col("__kb_id"), "left_anti")
+  }
 }

@@ -255,6 +255,31 @@ object Pipeline {
       |         ELSE [array_to_string(ts, ' ')] END AS s
       |  FROM tok)""".stripMargin
 
+  /** The near-dup cluster construction shared by the dedup_clusters
+    * and dedup_keep_best oracles: rare-shingle candidate pairs, exact
+    * Jaccard verification, undirected edges, transitive closure
+    * (recursive CTE) — must match `Dedup.shingleCandidates` +
+    * `ngramJaccard(>=0.5)` + `connectedComponents` exactly. */
+  private val duckClusterCte: String =
+    """inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 20),
+      |cand AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb
+      |  FROM inv a JOIN rare USING (g) JOIN inv b USING (g)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY ida, idb HAVING count(*) >= 5),
+      |ver AS (
+      |  SELECT ida, idb
+      |  FROM cand JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb
+      |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+      |          greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1), 4) >= 0.5),
+      |und AS (SELECT ida AS src, idb AS dst FROM ver
+      |        UNION ALL SELECT idb, ida FROM ver),
+      |reach(id, label) AS (
+      |  SELECT DISTINCT src, src FROM und
+      |  UNION
+      |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.id)""".stripMargin
+
   /** Inverted-index intersection counts for the pair oracles: shingle
     * lists are distinct, so joining the unnested index with itself
     * yields exactly one row per shared shingle — count(*) IS the
@@ -325,26 +350,43 @@ object Pipeline {
           .orderBy(col("doc_id"))
       },
       s"""WITH RECURSIVE $duckShingles,
-        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 20),
-        |cand AS (
-        |  SELECT a.doc_id AS ida, b.doc_id AS idb
-        |  FROM inv a JOIN rare USING (g) JOIN inv b USING (g)
-        |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY ida, idb HAVING count(*) >= 5),
-        |ver AS (
-        |  SELECT ida, idb
-        |  FROM cand JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb
-        |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE /
-        |          greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1), 4) >= 0.5),
-        |und AS (SELECT ida AS src, idb AS dst FROM ver
-        |        UNION ALL SELECT idb, ida FROM ver),
-        |reach(id, label) AS (
-        |  SELECT DISTINCT src, src FROM und
-        |  UNION
-        |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.id)
+        |$duckClusterCte
         |SELECT id AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // C34: quality-aware dedup — keep the best (longest, id-tiebreak)
+    // member of each near-dup cluster, pass unclustered docs through.
+    // Same cluster construction as dedup_clusters; the corpus pays one
+    // broadcast anti-join against the per-cluster losers.
+    "dedup_keep_best" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val cand = Dedup.shingleCandidates(docs, "text", "doc_id",
+          w = 3, maxDf = 20, minShared = 5)
+        val edges = Dedup.ngramJaccard(cand, docs, "text", "doc_id", w = 3)
+          .filter(col("jaccard") >= 0.5)
+        val clusters = Dedup.connectedComponents(edges)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        Dedup.keepBestPerCluster(docs, clusters, "doc_id", col("n_chars"))
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE $duckShingles,
+        |$duckClusterCte,
+        |clus AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |         FROM reach GROUP BY id),
+        |best AS (
+        |  SELECT c.doc_id
+        |  FROM clus c JOIN documents dd USING (doc_id)
+        |  QUALIFY row_number() OVER (PARTITION BY c.cluster_id
+        |    ORDER BY dd.n_chars DESC, c.doc_id) = 1),
+        |losers AS (SELECT doc_id FROM clus
+        |           WHERE doc_id NOT IN (SELECT doc_id FROM best))
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin)),
 
     // C18: canonical text normalization — NFC + casefold + whitespace
     // collapse. The corpus is ASCII, so decomposed unicode is injected

@@ -936,6 +936,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepBestPerCluster keeps the argmax per cluster, passes singletons (C34)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 300L), (3L, "de", 300L), // cluster A
+      (4L, "fr", 50L), (5L, "fr", 60L), // cluster B
+      (6L, "en", 10L), (7L, "de", 999L) // unclustered
+    ).toDF("doc_id", "lang", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.keepBestPerCluster(docs, clusters, "doc_id",
+        col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // cluster A: 2 and 3 tie at 300 -> smaller id 2 wins; cluster B: 5
+    assert(kept == Seq(2L, 5L, 6L, 7L))
+  }
+
   test("Misra-Gries heavy hitters equal the exact answer across layouts (C33)") {
     import spark.implicits._
     // skewed synthetic stream: term t_i has frequency ~ 4000/i (Zipf),
