@@ -27,13 +27,19 @@ package graft.operators
   *    reconstruction for end-to-end pixel-equality gates.
   *
   * Every stream the [[Multimodal.MediaGen]] harness emits is spec-valid
-  * H.264 (any conformant player decodes it), and this decoder is a real
-  * bitstream decoder for that subset. What it does NOT implement is
-  * CABAC entropy coding, Intra_4x4/inter residual macroblocks, and
-  * multi-slice pictures — such streams are rejected (`None`) so callers
-  * fall back to the documented stand-in. The subset boundary is
-  * checked, never guessed: any syntax element outside it aborts the
-  * decode rather than misdecoding.
+  * H.264 that a conformant player decodes to the SAME PIXELS: the
+  * streams explicitly disable the in-loop deblocking filter (PPS
+  * deblocking_filter_control_present + slice idc 1), which this
+  * decoder does not implement. Foreign streams that leave the filter
+  * ON still decode to the exact transform/prediction reconstruction,
+  * with [[Decoded.filterExact]] = false reporting that a player would
+  * additionally smooth block edges — surfaced, never silent. What the
+  * decoder does NOT implement is CABAC entropy coding,
+  * Intra_4x4/inter residual macroblocks, and multi-slice pictures —
+  * such streams are rejected (`None`) so callers fall back to the
+  * documented stand-in. The subset boundary is checked, never
+  * guessed: any syntax element outside it aborts the decode rather
+  * than misdecoding.
   */
 object H264 {
 
@@ -214,7 +220,10 @@ object H264 {
     w.se(0) // pic_init_qp_minus26
     w.se(0) // pic_init_qs_minus26
     w.se(0) // chroma_qp_index_offset
-    w.u1(0) // deblocking_filter_control_present_flag
+    // slices explicitly DISABLE the in-loop deblocking filter: this
+    // decoder implements no filter, so disabling it in-stream is what
+    // makes generated output pixel-identical in any conformant player
+    w.u1(1) // deblocking_filter_control_present_flag
     w.u1(0) // constrained_intra_pred_flag
     w.u1(0) // redundant_pic_cnt_present_flag
     w.rbspTrailing()
@@ -260,6 +269,7 @@ object H264 {
     w.u1(0) // no_output_of_prior_pics_flag
     w.u1(0) // long_term_reference_flag
     w.se(0) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc = 1: loop filter OFF
     var mb = 0
     val n = widthMbs * heightMbs
     while (mb < n) {
@@ -285,6 +295,7 @@ object H264 {
     w.u1(0) // ref_pic_list_modification_flag_l0
     w.u1(0) // adaptive_ref_pic_marking_mode_flag
     w.se(0) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc = 1: loop filter OFF
     val n = widthMbs * heightMbs
     var mb = 0
     while (mb < refreshMbs) {
@@ -374,6 +385,7 @@ object H264 {
         w.u1(0) // adaptive_ref_pic_marking_mode_flag
       }
       w.se(10) // slice_qp_delta -> SliceQPY = 36 (exact DC dequant)
+      w.ue(1) // disable_deblocking_filter_idc = 1: loop filter OFF
       var mb = 0
       val n = widthMbs * heightMbs
       while (mb < n) {
@@ -525,6 +537,7 @@ object H264 {
         bw.u1(0) // adaptive_ref_pic_marking_mode_flag
       }
       bw.se(qp - 26) // slice_qp_delta
+      bw.ue(1) // disable_deblocking_filter_idc = 1: loop filter OFF
       // encoder-side nC bookkeeping, identical to the decoder's
       val lumaTc = new Array[Int](lumaBlkW * hMbs * 4)
       val cbTc = new Array[Int](chromaBlkW * hMbs * 2)
@@ -776,7 +789,7 @@ object H264 {
     } catch { case _: Exception => None }
   }
 
-  final case class Pps(initQp: Int)
+  final case class Pps(initQp: Int, deblockPresent: Boolean)
 
   /** Parse a PPS RBSP; None when outside the subset (CABAC, slice
     * groups, more than one active ref). Captures pic_init_qp (the
@@ -794,11 +807,28 @@ object H264 {
       r.u(2) // weighted_bipred_idc
       val initQp = 26 + r.se()
       if (initQp < 0 || initQp > 51) return None
-      Some(Pps(initQp))
+      r.se() // pic_init_qs_minus26
+      // chroma QP offset shifts the QPc table; only 0 is implemented
+      if (r.se() != 0) return None
+      val deblockPresent = r.u1() == 1
+      r.u1() // constrained_intra_pred_flag (no effect on this subset)
+      if (r.u1() != 0) return None // redundant slices: out of subset
+      Some(Pps(initQp, deblockPresent))
     } catch { case _: Exception => None }
   }
 
-  final case class Decoded(width: Int, height: Int, frames: IndexedSeq[Plane])
+  /** `filterExact`: true when decoded pixels are bit-identical to a
+    * conformant player's — either every slice explicitly disabled the
+    * in-loop deblocking filter (what [[encodeCavlcIntra]] /
+    * [[encodeCavlcTextured]] / [[encode]] emit) or no residual-coded
+    * macroblock was decoded (I_PCM edges deblock at qp 0 where the
+    * filter thresholds vanish; flat skips are filter-invariant).
+    * False means the stream left the filter ON and carried residuals:
+    * this decoder (which implements no loop filter) still returns the
+    * exact transform/prediction reconstruction, but a conformant
+    * player would additionally smooth block edges. */
+  final case class Decoded(width: Int, height: Int,
+      frames: IndexedSeq[Plane], filterExact: Boolean = true)
 
   /** Decode a sequence of NAL units (without start codes / length
     * prefixes). None when any slice uses coding tools outside the
@@ -808,6 +838,7 @@ object H264 {
     var sps: Option[Sps] = None
     var pps: Option[Pps] = None
     var ref: Plane = null
+    var filterExact = true
     val frames = IndexedSeq.newBuilder[Plane]
     try {
       nals.foreach { nal =>
@@ -824,8 +855,10 @@ object H264 {
           case 5 | 1 =>
             val s = sps.getOrElse(return None)
             val p = pps.getOrElse(return None)
-            val out = decodeSlice(rbsp, s, p, isIdr = nalType == 5, ref)
-              .getOrElse(return None)
+            val (out, sliceExact) =
+              decodeSlice(rbsp, s, p, isIdr = nalType == 5, ref)
+                .getOrElse(return None)
+            if (!sliceExact) filterExact = false
             ref = out
             frames += out
           case 6 | 9 | 10 | 11 | 12 => // SEI / AU delimiter / end: ignore
@@ -835,7 +868,8 @@ object H264 {
     } catch { case _: Exception => return None }
     val fs = frames.result()
     sps match {
-      case Some(s) if fs.nonEmpty => Some(Decoded(s.width, s.height, fs))
+      case Some(s) if fs.nonEmpty =>
+        Some(Decoded(s.width, s.height, fs, filterExact))
       case _ => None
     }
   }
@@ -1189,7 +1223,7 @@ object H264 {
     * path (entropy-decoded luma DC, inverse Hadamard, dequant, 4x4
     * IDCT, pixel-wise DC prediction). Anything else → None. */
   private def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps, isIdr: Boolean,
-      ref: Plane): Option[Plane] = {
+      ref: Plane): Option[(Plane, Boolean)] = {
     val r = new BitReader(rbsp)
     if (r.ue() != 0) return None // first_mb_in_slice: single-slice only
     val sliceType = r.ue() % 5 // 5..9 are the "all slices" aliases
@@ -1209,6 +1243,16 @@ object H264 {
     else if (r.u1() != 0) return None // adaptive_ref_pic_marking
     var qpy = pps.initQp + r.se() // slice_qp_delta
     if (qpy < 0 || qpy > 51) return None
+    // this decoder implements NO in-loop deblocking filter; track
+    // whether the stream disabled it so the caller can tell exact
+    // decode from edges-unfiltered decode (Decoded.filterExact)
+    var filterOn = !pps.deblockPresent // absent syntax = filter on
+    if (pps.deblockPresent) {
+      val idc = r.ue()
+      if (idc > 2) return None
+      filterOn = idc != 1
+      if (idc != 1) { r.se(); r.se() } // alpha/beta offsets: consume
+    }
     // macroblock layer
     val (w, h) = (sps.width, sps.height)
     val y = new Array[Byte](w * h)
@@ -1396,6 +1440,7 @@ object H264 {
       true
     }
 
+    var usedResiduals = false
     var mb = 0
     while (mb < nMbs) {
       if (isP) {
@@ -1416,11 +1461,12 @@ object H264 {
         if (mbType == 25) { readPcmMb(mb); fillMbTotals(mb, 16) } // I_PCM
         else if (mbType >= 1 && mbType <= 24) {
           if (!decodeIntra16Mb(mb, mbType)) return None
+          usedResiduals = true
         } else return None // I_4x4 / unknown: out of subset
         mb += 1
       }
     }
-    Some(Plane(w, h, y, cb, cr))
+    Some((Plane(w, h, y, cb, cr), !filterOn || !usedResiduals))
   }
 
   // ----------------------------------------------------- MP4 (avcC)

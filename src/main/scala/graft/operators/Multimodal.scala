@@ -788,6 +788,10 @@ object Multimodal {
           val dec = H264.decodeMp4(mp4).getOrElse(
             throw new IllegalStateException(
               s"generated textured H.264 stream failed to decode for doc $id"))
+          if (!dec.filterExact)
+            throw new IllegalStateException(
+              s"generated stream for doc $id did not disable the loop " +
+                "filter - player parity broken")
           val exact = dec.frames.length == expected.length &&
             dec.frames.zip(expected).forall { case (g, e) =>
               g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&

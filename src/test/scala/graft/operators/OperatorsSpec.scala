@@ -923,6 +923,14 @@ class OperatorsSpec extends AnyFunSuite {
     // for clamped pathological content)
     assert(decHot.get.frames.head.meanLuma > 140)
 
+    // every generated family explicitly disables the loop filter, so
+    // decode is player-exact end to end — filterExact must report true
+    assert(decHot.get.filterExact)
+    val pcmEnc = H264.encode(IndexedSeq(H264.Plane(16, 16,
+      new Array[Byte](256), new Array[Byte](64), new Array[Byte](64))), 0)
+    assert(H264.decodeNals(
+      Seq(pcmEnc.sps, pcmEnc.pps) ++ pcmEnc.frameNals).get.filterExact)
+
     // entropy-level integrity: corrupting any single byte of a textured
     // CAVLC slice never throws (clean None or a decoded-but-different
     // frame are both acceptable outcomes for corrupt input)
