@@ -316,12 +316,19 @@ object Dedup {
     val members = clusters
       .select(col(idCol).as("__kb_id"), col("cluster_id"))
       .join(q, Seq("__kb_id"))
-    val losers = members
+    val winners = members
       .withColumn("__kb_rn", row_number().over(
         Window.partitionBy(col("cluster_id"))
           .orderBy(col("__kb_q").desc, col("__kb_id"))))
-      .filter(col("__kb_rn") > 1)
+      .filter(col("__kb_rn") === 1)
       .select(col("__kb_id"))
+    // losers = clustered docs that win NOWHERE. Defined as the
+    // member-minus-winner difference (not "lost somewhere") so that
+    // with overlapping memberships a doc winning any of its clusters
+    // survives — every cluster keeps its argmax; CC partitions make
+    // the two definitions coincide.
+    val losers = members.select(col("__kb_id")).distinct()
+      .join(winners, Seq("__kb_id"), "left_anti")
     docs.join(broadcast(losers), col(idCol) === col("__kb_id"), "left_anti")
   }
 }

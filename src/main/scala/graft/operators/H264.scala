@@ -818,15 +818,14 @@ object H264 {
   }
 
   /** `filterExact`: true when decoded pixels are bit-identical to a
-    * conformant player's — either every slice explicitly disabled the
+    * conformant player's — every slice explicitly disabled the
     * in-loop deblocking filter (what [[encodeCavlcIntra]] /
-    * [[encodeCavlcTextured]] / [[encode]] emit) or no residual-coded
-    * macroblock was decoded (I_PCM edges deblock at qp 0 where the
-    * filter thresholds vanish; flat skips are filter-invariant).
-    * False means the stream left the filter ON and carried residuals:
-    * this decoder (which implements no loop filter) still returns the
-    * exact transform/prediction reconstruction, but a conformant
-    * player would additionally smooth block edges. */
+    * [[encodeCavlcTextured]] / [[encode]] emit). False means the
+    * stream left the filter ON: this decoder (which implements no
+    * loop filter) still returns the exact transform/prediction
+    * reconstruction, but a conformant player MAY additionally smooth
+    * block edges (whether it actually does depends on content and QP
+    * — the flag is deliberately conservative). */
   final case class Decoded(width: Int, height: Int,
       frames: IndexedSeq[Plane], filterExact: Boolean = true)
 
@@ -1440,7 +1439,6 @@ object H264 {
       true
     }
 
-    var usedResiduals = false
     var mb = 0
     while (mb < nMbs) {
       if (isP) {
@@ -1461,12 +1459,11 @@ object H264 {
         if (mbType == 25) { readPcmMb(mb); fillMbTotals(mb, 16) } // I_PCM
         else if (mbType >= 1 && mbType <= 24) {
           if (!decodeIntra16Mb(mb, mbType)) return None
-          usedResiduals = true
         } else return None // I_4x4 / unknown: out of subset
         mb += 1
       }
     }
-    Some((Plane(w, h, y, cb, cr), !filterOn || !usedResiduals))
+    Some((Plane(w, h, y, cb, cr), !filterOn))
   }
 
   // ----------------------------------------------------- MP4 (avcC)

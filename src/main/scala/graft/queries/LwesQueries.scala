@@ -21,6 +21,17 @@ object LwesQueries {
   private def tmpDir(tag: String): String =
     Files.createTempDirectory(s"graft-$tag").toString
 
+  /** Run `body` (typically a writeStream .start()) with
+    * spark.sql.shuffle.partitions narrowed to 4: the streaming gates
+    * run few sequential micro-batches, where 32 state-store tasks per
+    * batch is pure per-task overhead. start() clones the session conf,
+    * so restoring afterwards does not disturb the running query. */
+  private def withFewShufflePartitions[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", "4"); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Journal materialization is test scaffolding (the operator under
     * test is the read path); memoize per (source dir, shape) within the
     * JVM so Verify/Bench don't rebuild identical journals per query. */
@@ -264,9 +275,7 @@ object LwesQueries {
         // of keys; 8 partitions keep the same results and multi-batch
         // coverage at a fraction of the commit overhead (scoped +
         // restored: the conf is weakly-typed session state)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = withFewShufflePartitions(s) {
           s.readStream.format("lwes")
             .schema("event_id long, user_id long, event_type string, ts_us long")
             .option("eventName", "Ev::S")
@@ -283,7 +292,7 @@ object LwesQueries {
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start(dst)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         q.awaitTermination()
         logStateMetrics("lwes_stream_drain", q)
         s.read.format("lwes")
@@ -316,9 +325,7 @@ object LwesQueries {
         val delayMs = (mm.getLong(1) - mm.getLong(0)) + 3600000L
         val dst = tmpDir("sj-dst")
         val ckpt = tmpDir("sj-ckpt")
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = withFewShufflePartitions(s) {
           def side(tp: String) = s.readStream.format("lwes")
             .schema("event_id long, user_id long, value double, ReceiptTime long")
             .option("eventName", s"Ev::$tp")
@@ -342,7 +349,7 @@ object LwesQueries {
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start(dst)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         q.awaitTermination()
         logStateMetrics("lwes_stream_join", q)
         s.read.format("lwes")
@@ -456,9 +463,7 @@ object LwesQueries {
         val mft = (8 to 2 by -1).find(m => nPre % m == 0).getOrElse(1)
         val dst = tmpDir("sess-dst")
         val ckpt = tmpDir("sess-ckpt")
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = withFewShufflePartitions(s) {
           val in = s.readStream.format("lwes")
             .schema("event_id long, user_id long, event_type string, ts_us long")
             .option("eventName", "Ev::S")
@@ -480,7 +485,7 @@ object LwesQueries {
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start(dst)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         q.awaitTermination()
         logStateMetrics("lwes_stream_sessions", q)
         s.read.format("lwes")
@@ -748,7 +753,8 @@ object LwesQueries {
           // with real ids once the corpus outgrows it, and tied ids
           // order nondeterministically under the hash compare
           val base = t(s, d, "documents")
-          val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+          val maxIdRow = base.agg(max(col("doc_id"))).head
+          val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
           val corpus = base.select(col("doc_id"), col("text"), col("lang"),
               col("n_chars"))
             .unionAll(base.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -780,9 +786,7 @@ object LwesQueries {
         // 4 shuffle partitions for the micro-batch state op (the
         // lwes_stream_sessions convention): 6 sequential batches x 32
         // state-store tasks is pure per-task overhead at gate scale
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = withFewShufflePartitions(s) {
           val in = s.readStream.format("lwes")
             .schema("doc_id long, text_md5 string, lang string, n_chars long")
             .option("eventName", "Doc::D")
@@ -796,7 +800,7 @@ object LwesQueries {
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start(dst)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         q.awaitTermination()
         logStateMetrics("lwes_stream_dedup", q)
         s.read.format("lwes")

@@ -993,6 +993,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("filterExact reports false for streams that leave the loop filter on (C12)") {
+    // hand-built PPS with deblocking_filter_control_present_flag = 0
+    // (the common foreign layout: loop filter implicitly ON) + a PCM
+    // slice carrying no deblocking syntax — decode must succeed but
+    // must NOT claim player-pixel parity
+    val w = new H264.BitWriter
+    w.ue(0); w.ue(0); w.u1(0); w.u1(0); w.ue(0); w.ue(0); w.ue(0)
+    w.u1(0); w.u(2, 0); w.se(0); w.se(0); w.se(0)
+    w.u1(0) // deblocking_filter_control_present_flag = 0
+    w.u1(0); w.u1(0)
+    w.rbspTrailing()
+    val pps0 = Array[Byte]((3 << 5 | 8).toByte) ++ H264.escape(w.toBytes)
+    val sw = new H264.BitWriter
+    sw.ue(0); sw.ue(7); sw.ue(0); sw.u(4, 0) // first_mb/slice_type/pps/frame_num
+    sw.ue(0); sw.u1(0); sw.u1(0) // idr_pic_id + IDR flags
+    sw.se(0) // slice_qp_delta; NO deblocking fields follow (flag 0)
+    sw.ue(25) // mb_type I_PCM
+    sw.byteAlignZero()
+    (0 until 384).foreach(_ => sw.writeByteAligned(128))
+    sw.rbspTrailing()
+    val slice = Array[Byte]((3 << 5 | 5).toByte) ++ H264.escape(sw.toBytes)
+    val sps16 = H264.encode(IndexedSeq(H264.Plane(16, 16,
+      new Array[Byte](256), new Array[Byte](64), new Array[Byte](64))), 0).sps
+    val dec = H264.decodeNals(Seq(sps16, pps0, slice))
+    assert(dec.isDefined, "filter-on stream must still decode")
+    assert(!dec.get.filterExact, "filter-on stream must not claim parity")
+    assert(dec.get.frames.head.y.forall(_ == 128.toByte))
+  }
+
   test("withRealMedia: generated PNG/WAV/MP4 decode to closed-form features (C12)") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x"), (3L, ""),
       (4L, "the quick brown fox jumps over the lazy dog repeatedly and often"))
