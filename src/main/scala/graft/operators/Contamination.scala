@@ -30,6 +30,9 @@ object Contamination {
           TextAnalysis.tokens(col(probeTextCol)), w).as("sh"))
       .withColumn("probe_size", size(col("sh")))
       .select(col("probe_id"), col("probe_size"), explode(col("sh")).as("h"))
+    // bounded broadcast: `probes` is the eval/benchmark set — thousands
+    // of documents by construction, never corpus-scale; its exploded
+    // shingle rows are |probes| x shingles-per-doc, still dimension-sized
     docSh.join(broadcast(probeSh), Seq("h"))
       .groupBy(col("doc_id"), col("probe_id"), col("probe_size"))
       .agg(count(lit(1)).as("shared_shingles"))

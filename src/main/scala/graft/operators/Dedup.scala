@@ -43,25 +43,28 @@ object Dedup {
   /** LSH candidate pairs: split signatures into `bands` bands, bucket by
     * (band, band-signature-hash), emit doc pairs sharing a bucket, then
     * verify with true shingle Jaccard. Returns (id_a, id_b, jaccard)
-    * for pairs with jaccard >= threshold. */
+    * for pairs with jaccard >= threshold.
+    *
+    * Bucket-occupancy bound (`maxBucket`): the all-pairs self-join is
+    * O(f²) per bucket for a duplicate family of size f — a 10^6-copy
+    * boilerplate family would emit 8×10^12 candidate rows across 8
+    * bands. Buckets at or below `maxBucket` do all-pairs as before;
+    * a SATURATED bucket degrades to star edges through its min-id
+    * member (every member pairs with the hub), bounding per-bucket
+    * work at O(maxBucket² + f) while keeping the whole bucket in one
+    * connected component. Connectivity contract: saturated buckets are
+    * near-identical duplicate families (an exact band match at r
+    * hashes/band implies high expected Jaccard), so hub verification
+    * passes for true dups; a member whose Jaccard clears `threshold`
+    * against some member but not the hub can still pair in another
+    * band's sub-cap bucket, and the C16 inverted-shingle chain
+    * re-verifies edges independently downstream. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 32, bands: Int = 8, w: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 32, bands: Int = 8, w: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 100000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     val sigs = minhashSignatures(df, textCol, idCol, k, w).cache()
-    // bucket join carries only (id, band, sig) — candidate pairs stay
-    // narrow; shingles are re-joined once per *unique* pair afterwards
-    val banded = sigs.select(col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("minhashes"), b * lit(r) + lit(1), lit(r)),
-            m => m.cast("string")))))).as(Seq("band", "sig")))
-    val a = banded.select(col("id").as("id_a"), col("band"), col("sig"))
-    val b = banded.select(col("id").as("id_b"), col("band"), col("sig"))
-    val cand = a.join(b, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val cand = minhashCandidates(sigs, idCol, k, bands, maxBucket)
     val sh = sigs.select(col(idCol).as("__id"), col("shingles"))
     cand
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
@@ -71,6 +74,41 @@ object Dedup {
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Unverified LSH candidate pairs from a [[minhashSignatures]] frame —
+    * the bucketing half of [[minhashPairs]], factored out so its
+    * occupancy bound is spec-testable. `sigs` must carry `idCol` and
+    * `minhashes`. Candidate pairs always satisfy id_a < id_b.
+    *
+    * Plan shape: one shuffle on (band, sig) for the occupancy window,
+    * reused by the self-join; only (id, band, sig) rows cross the wire.
+    * Sub-cap buckets emit all pairs; saturated buckets emit |bucket|−1
+    * star edges to the min-id hub (see [[minhashPairs]] for the
+    * connectivity contract). */
+  private[graft] def minhashCandidates(sigs: DataFrame, idCol: String,
+      k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val r = k / bands
+    // bucket join carries only (id, band, sig) — candidate pairs stay
+    // narrow; shingles are re-joined once per *unique* pair afterwards
+    val bw = Window.partitionBy(col("band"), col("sig"))
+    val banded = sigs.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("minhashes"), b * lit(r) + lit(1), lit(r)),
+              m => m.cast("string")))))).as(Seq("band", "sig")))
+      .withColumn("__occ", count(lit(1)).over(bw))
+      .withColumn("__hub", min(col("id")).over(bw))
+    val small = banded.filter(col("__occ") <= maxBucket)
+    val a = small.select(col("id").as("id_a"), col("band"), col("sig"))
+    val b = small.select(col("id").as("id_b"), col("band"), col("sig"))
+    val allPairs = a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val starEdges = banded
+      .filter(col("__occ") > maxBucket && col("id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b"))
+    allPairs.union(starEdges).distinct()
   }
 
   // --------------------------------------------------------------- C3
@@ -302,16 +340,21 @@ object Dedup {
     * longest/cleanest copy survives, truncated or boilerplate shards
     * drop.
     *
-    * Scale shape: `clusters` holds near-dup MEMBERS only (a sliver of
-    * the corpus in the regime this operator exists for), so the
-    * quality join, the per-cluster argmax (row_number k=1 — the B33
-    * TopKPerKey rule lowers it to a bounded heap), and the loser set
-    * all stay small; the corpus pays ONE broadcast anti-join against
-    * the losers and itself never shuffles. For a pathologically
-    * duplicate-heavy corpus (losers comparable to the corpus), drop
-    * the broadcast hint and let AQE pick the join. */
+    * Scale shape: `clusters` holds near-dup MEMBERS only, so the
+    * quality join and the per-cluster argmax (row_number k=1 — the B33
+    * TopKPerKey rule lowers it to a bounded heap) shuffle only the
+    * members relation. The corpus pays one anti-join against the loser
+    * set, whose size is CORPUS-PROPORTIONAL at realistic web-crawl
+    * duplication rates (30-50% near-dup), so no broadcast is forced:
+    * AQE converts the anti-join to a broadcast at runtime when the
+    * built loser side is actually under `autoBroadcastJoinThreshold`,
+    * and keeps a shuffle join when it is not — either way the plan
+    * cannot OOM on a duplicate-heavy corpus. Callers that KNOW their
+    * loser set is bounded (e.g. capped cluster counts) may force the
+    * hint with `broadcastLosers = true`. */
   def keepBestPerCluster(docs: DataFrame, clusters: DataFrame,
-      idCol: String, quality: Column): DataFrame = {
+      idCol: String, quality: Column,
+      broadcastLosers: Boolean = false): DataFrame = {
     val q = docs.select(col(idCol).as("__kb_id"), quality.as("__kb_q"))
     val members = clusters
       .select(col(idCol).as("__kb_id"), col("cluster_id"))
@@ -329,6 +372,7 @@ object Dedup {
     // the two definitions coincide.
     val losers = members.select(col("__kb_id")).distinct()
       .join(winners, Seq("__kb_id"), "left_anti")
-    docs.join(broadcast(losers), col(idCol) === col("__kb_id"), "left_anti")
+    val loserSide = if (broadcastLosers) broadcast(losers) else losers
+    docs.join(loserSide, col(idCol) === col("__kb_id"), "left_anti")
   }
 }

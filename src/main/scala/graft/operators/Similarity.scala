@@ -36,6 +36,9 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
+    // bounded broadcast: the ANN API contract is |queries| << |corpus|
+    // (a probe set, not a second corpus) — all-pairs self-similarity
+    // goes through lshTopK/selfSimilarPairs, never this cross join
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
@@ -79,6 +82,8 @@ object Similarity {
     val q = queries
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_q"))
       .withColumn("n_q", sqrt(quantizedDot(col("q_q"), col("q_q"))))
+    // bounded broadcast: query probe set (|queries| << |corpus|), int8
+    // codes — 4x narrower than the float vectors on the wire
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", quantizedDot(col("q_q"), col("q_c")))
@@ -156,7 +161,9 @@ object Similarity {
     val qB = q.select(col("query_id"),
       tableBuckets(col("v_q"), nPlanes, nTables).as(Seq("tbl", "bucket")))
     // narrow id-only candidate rows; a pair colliding in several tables
-    // is scored once
+    // is scored once. Bounded broadcasts: qB is L bucket rows per query
+    // and q one vector per query — both |queries|-proportional, and the
+    // ANN contract is |queries| << |corpus|
     val cand = cB.join(broadcast(qB), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
@@ -331,6 +338,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
     val probes = q.withColumn("pr", explode(probeIdsCol(cents, nprobe)))
       .select(col("query_id"), col("v_q"), col("pr.cid").cast("long").as("centroid_id"))
+    // bounded broadcast: nprobe rows per query (probe lists), so size
+    // is |queries| x nprobe — query-proportional, never corpus-sized
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
@@ -509,6 +518,8 @@ object Similarity {
       pq_encode(col("v_c"), cb, m, ks).as("codes"))
     val qt = q.select(col("query_id"),
       pq_adc_table(col("v_q"), cb, m, ks).as("tbl"))
+    // bounded broadcast: one m x ks float ADC table per query —
+    // |queries|-proportional (ANN contract: |queries| << |corpus|)
     adcRank(enc.crossJoin(broadcast(qt)), ks, k)
   }
 
@@ -561,6 +572,8 @@ object Similarity {
       .withColumn("pr", explode(probeIdsCol(cents, nprobe)))
       .select(col("query_id"), col("tbl"),
         col("pr.cid").cast("long").as("centroid_id"))
+    // bounded broadcast: nprobe rows per query, each one ADC table —
+    // |queries| x nprobe x (m x ks floats), query-proportional
     adcRank(enc.join(broadcast(probes), Seq("centroid_id")), ks, k)
   }
 }

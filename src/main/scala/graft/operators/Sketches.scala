@@ -84,8 +84,10 @@ object Sketches {
       { case ((a, ca), (b, cb)) => (mgMerge(a, b, capacity), ca + cb) })
     val candidates = summary.keys.toSeq
     val threshold = math.ceil(minShare * n).toLong
-    // pass 2: exact recount of ≤ capacity candidates (broadcast join —
-    // the corpus shuffles nothing), then the exact threshold filter
+    // pass 2: exact recount of the candidates (broadcast join — the
+    // corpus shuffles nothing), then the exact threshold filter.
+    // Bounded broadcast: the MG summary holds ≤ `capacity` keys by
+    // construction, independent of corpus size
     items.toDF("value")
       .join(broadcast(candidates.toDF("value")), Seq("value"))
       .groupBy(col("value")).agg(count(lit(1)).as("n"))

@@ -81,15 +81,21 @@ object TextAnalysis {
 
   /** Drop every document of sources below the quality bar (mean doc
     * quality < minMeanQuality, or fewer than minDocs documents — tiny
-    * sources have unreliable means). The keep-set is source-level —
-    * broadcast into a semi-join, so the corpus side shuffles nothing. */
+    * sources have unreliable means). The keep-set is one row per
+    * surviving origin — usually dimension-sized but not PROVABLY
+    * bounded (URL-grained corpora can reach 1e8 origins), so the
+    * semi-join strategy is left to AQE, which broadcasts exactly when
+    * the built keep side is under the threshold and falls back to a
+    * shuffle semi-join when it is not. `broadcastKeep = true` forces
+    * the hint for callers with a known-small origin dimension. */
   def filterBySourceQuality(df: DataFrame, minMeanQuality: Double,
       minDocs: Long = 1L, textCol: String = "text",
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source", broadcastKeep: Boolean = false): DataFrame = {
     val keep = sourceProfile(df, textCol, sourceCol)
       .filter(col("mean_quality") >= minMeanQuality && col("n_docs") >= minDocs)
       .select(col(sourceCol))
-    df.join(broadcast(keep), Seq(sourceCol), "left_semi")
+    val keepSide = if (broadcastKeep) broadcast(keep) else keep
+    df.join(keepSide, Seq(sourceCol), "left_semi")
   }
 
   // --------------------------------------------------------------- C8
@@ -349,6 +355,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("__n"))
     tf.join(dfreq, "token")
+      // bounded broadcast: `n` is a single-row global aggregate
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf") * (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))

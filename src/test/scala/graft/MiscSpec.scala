@@ -449,6 +449,30 @@ class MiscSpec extends AnyFunSuite {
     assert(ids == (0 until 200).map(_.toLong).toSet)
   }
 
+  test("filterBySourceQuality leaves the keep-set join strategy to AQE by default (C31)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    import spark.implicits._
+    val df = Seq(
+      ("a.com", "solid readable prose with plenty of normal words here"),
+      ("a.com", "another perfectly reasonable document of real sentences"),
+      ("b.com", "@@@@ ~~~~ !!!! ????")).toDF("source", "text")
+    val kept = graft.operators.TextAnalysis.filterBySourceQuality(
+      df, minMeanQuality = 0.0, minDocs = 2L)
+    val hints = kept.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(hints.nonEmpty)
+    assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      s"unexpected forced join hints: $hints")
+    // opt-in hint for known-small origin dimensions still available
+    val forced = graft.operators.TextAnalysis.filterBySourceQuality(
+      df, minMeanQuality = 0.0, minDocs = 2L, broadcastKeep = true)
+    val forcedHints = forced.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(forcedHints.exists(h =>
+      h.rightHint.exists(_.strategy.contains(BROADCAST)) ||
+        h.leftHint.exists(_.strategy.contains(BROADCAST))))
+    assert(kept.select("source").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("a.com"))
+  }
+
   test("bz2-compressed journals read via Hadoop codec detection") {
     val dir = Files.createTempDirectory("lwes-bz2").toString
     val fos = new java.io.FileOutputStream(s"$dir/j.journal.bz2")

@@ -960,6 +960,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 5L, 6L, 7L))
   }
 
+  test("keepBestPerCluster leaves the loser join strategy to AQE by default (C34)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val docs = Seq(
+      (1L, 100L), (2L, 300L), (3L, 300L), (4L, 50L), (5L, 60L), (6L, 10L)
+    ).toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.keepBestPerCluster(docs, clusters, "doc_id", col("n_chars"))
+    // no join in the default plan carries a forced strategy hint — AQE
+    // (or stats) picks broadcast only when the loser side is actually
+    // small, so a corpus-sized loser set can never OOM the driver
+    val hints = kept.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(hints.nonEmpty)
+    assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      s"unexpected forced join hints: $hints")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 5L, 6L))
+    // the opt-in still forces the hint for callers with bounded losers
+    val forced = Dedup.keepBestPerCluster(docs, clusters, "doc_id",
+      col("n_chars"), broadcastLosers = true)
+    val forcedHints = forced.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(forcedHints.exists(h =>
+      h.rightHint.exists(_.strategy.contains(BROADCAST)) ||
+        h.leftHint.exists(_.strategy.contains(BROADCAST))))
+    assert(forced.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 5L, 6L))
+  }
+
+  test("minhashCandidates bounds saturated buckets with star edges (C2)") {
+    // a 1e5-copy duplicate family: uncapped banding would emit
+    // ~bands * f^2 / 2 = 4e10 candidate rows; the occupancy cap must
+    // degrade every saturated bucket to f-1 star edges through the
+    // min-id hub instead
+    val fam = spark.range(100000L)
+      .select(col("id").as("doc_id"), lit(base).as("text"))
+    val sigs = Dedup.minhashSignatures(fam, "text", "doc_id", k = 32, w = 3)
+    val cand = Dedup.minhashCandidates(sigs, "doc_id", k = 32, bands = 8,
+      maxBucket = 100)
+    // identical docs -> identical signatures -> one bucket per band, all
+    // saturated; every band's star set is the same f-1 edges from hub 0
+    assert(cand.count() == 99999L)
+    assert(cand.agg(max(col("id_a"))).head.getLong(0) == 0L)
+    // star edges keep the family one connected component
+    val nClusters = Dedup.connectedComponentsStar(cand)
+      .agg(countDistinct(col("cluster_id"))).head.getLong(0)
+    assert(nClusters == 1L)
+  }
+
+  test("minhashCandidates sub-cap buckets still emit all pairs (C2)") {
+    // mixed corpus: a saturated 300-copy family under cap 100 plus a
+    // sub-cap near-dup pair; the pair must come through the all-pairs
+    // path untouched
+    val longBase = (base + " " + base.reverse.toLowerCase.filter(c => c.isLetter || c == ' '))
+      .split(' ').take(30).mkString(" ")
+    val nearDup = longBase + " extra"
+    val fam = spark.range(1000L, 1300L)
+      .select(col("id").as("doc_id"), lit(base).as("text"))
+    val df = Seq((1L, longBase), (2L, nearDup)).toDF("doc_id", "text")
+      .unionByName(fam)
+    val pairs = Dedup.minhashPairs(df, "text", "doc_id",
+      k = 32, bands = 16, w = 3, threshold = 0.3, maxBucket = 100)
+    val famEdges = pairs.filter(col("id_a") >= 1000L)
+    // saturated family: exactly f-1 hub edges, all verified at jaccard 1
+    assert(famEdges.count() == 299L)
+    assert(famEdges.agg(min(col("jaccard"))).head.getDouble(0) == 1.0)
+    assert(pairs.filter(col("id_a") === 1L && col("id_b") === 2L).count() == 1L)
+  }
+
   test("Misra-Gries heavy hitters equal the exact answer across layouts (C33)") {
     import spark.implicits._
     // skewed synthetic stream: term t_i has frequency ~ 4000/i (Zipf),
