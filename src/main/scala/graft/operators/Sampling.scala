@@ -102,14 +102,20 @@ object Sampling {
     * (same shuffle shape as sessionization: key-partitioned, no global
     * sort), then everything downstream groups on (part, shard). Counts
     * stay far below 2^53 so the floor-division replays exactly in any
-    * engine. */
+    * engine.
+    *
+    * `tokenCount` is the budget's unit — default whitespace split; pass
+    * `c => graft.functions.Bpe.bpe_token_count(TextAnalysis.tokens(c), merges)`
+    * to budget in REAL BPE tokens (what the trainer's loader consumes),
+    * so shard sizes match what the model actually sees. */
   def shardByTokenBudget(df: DataFrame, partCol: String, idCol: String,
-      textCol: String, budget: Int): DataFrame = {
+      textCol: String, budget: Int,
+      tokenCount: Column => Column = c => size(split(c, " ")).cast("long")): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("n_tok", size(split(col(textCol), " ")).cast("long"))
+    df.withColumn("n_tok", tokenCount(col(textCol)).cast("long"))
       .withColumn("shard_id",
         floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
   }

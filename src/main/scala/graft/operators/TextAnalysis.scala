@@ -19,11 +19,40 @@ object TextAnalysis {
   /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
   val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Adds `n_tokens` (whitespace) and `n_bpeish` (regex pieces). */
-  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+  /** Adds `n_tokens` (whitespace) and `n_bpeish` (regex pieces); with
+    * `bpeMerges` set, also `n_bpe` — the REAL byte-pair-merge token
+    * count under that table ([[graft.functions.Bpe]]), which is what a
+    * training pipeline budgets shards and chunks with. */
+  def tokenCounts(df: DataFrame, textCol: String = "text",
+      bpeMerges: Option[Seq[(String, String)]] = None): DataFrame = {
+    val base = df
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
       .withColumn("n_bpeish",
         size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0))).cast("long"))
+    bpeMerges.fold(base)(m => base.withColumn("n_bpe",
+      graft.functions.Bpe.bpe_token_count(tokens(col(textCol)), m)))
+  }
+
+  /** Train a BPE merge table from the corpus (C10 upgrade). The
+    * distributed half is ONE keyed shuffle: explode to words, count,
+    * and keep the top `maxVocab` words by (frequency desc, word) — a
+    * TakeOrdered of bounded driver size (per-partition heaps, no global
+    * sort), exactly the reservoir a production tokenizer trains on. The
+    * Sennrich merge loop itself then runs locally over that bounded
+    * vocabulary ([[graft.functions.Bpe.train]]) and the resulting table
+    * ships back to executors as an expression reference object. At
+    * 100 TB nothing changes: vocabulary extraction is corpus-parallel,
+    * the collected table is maxVocab rows regardless of corpus size,
+    * and training cost is independent of document count. */
+  def trainBpeMerges(df: DataFrame, textCol: String = "text",
+      numMerges: Int = 160, maxVocab: Int = 65536): IndexedSeq[(String, String)] = {
+    val wf = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.Bpe.train(wf, numMerges)
+  }
 
   // --------------------------------------------------------------- C9
 
@@ -246,9 +275,15 @@ object TextAnalysis {
     * and no chunk starts beyond the final `chunkSize` window. Pure
     * per-row array expressions exploded to one output row per chunk —
     * no shuffle at all, so it pipelines into whatever keyed op follows.
-    * Integer count math only (exact in any engine). */
+    * Integer count math only (exact in any engine).
+    *
+    * With `bpeMerges` set, each chunk also carries `chunk_bpe_tokens` —
+    * its REAL BPE token count under that table — so a sequence packer
+    * can budget context windows in model tokens while the chunk
+    * BOUNDARIES stay whitespace-defined (cheap, streaming-stable). */
   def chunkByTokens(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", chunkSize: Int, overlap: Int): DataFrame = {
+      textCol: String = "text", chunkSize: Int, overlap: Int,
+      bpeMerges: Option[Seq[(String, String)]] = None): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
@@ -261,12 +296,14 @@ object TextAnalysis {
       // ceil((n - chunkSize)/stride) + 1 in exact integer math
       .otherwise(floor((n - chunkSize + (stride - 1)) / lit(stride.toDouble))
         .cast("int") + 1)
-    df.select(col(idCol), toks.as("__toks"),
+    val chunks = df.select(col(idCol), toks.as("__toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         concat_ws(" ",
           slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
           .as("chunk_text"))
+    bpeMerges.fold(chunks)(m => chunks.withColumn("chunk_bpe_tokens",
+      graft.functions.Bpe.bpe_token_count(tokens(col("chunk_text")), m)))
   }
 
   // -------------------------------------------------------------- C27

@@ -43,6 +43,55 @@ object Pipeline {
         |  round(avg(len(regexp_split_to_array(lower(trim(text)), '\s+'))), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // C10 upgrade: REAL byte-pair-merge token counts under the pinned
+    // build-time merge table; the oracle replays the greedy merge loop
+    // per distinct word with a recursive CTE (one leftmost-lowest-rank
+    // merge per iteration — equivalent to the reference merge-all step
+    // for any trained table, since a merge involving a composite symbol
+    // always ranks after the merge that created it).
+    "text_tokens_bpe" -> ((
+      (s: SparkSession, d: String) => {
+        TextAnalysis.tokenCounts(t(s, d, "documents"),
+            bpeMerges = Some(graft.functions.Bpe.PinnedMerges))
+          .select(col("doc_id"), col("n_bpe"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        val merges = graft.functions.Bpe.PinnedMerges
+        val keys = merges.map { case (l, r) =>
+          s"'$l' || chr(31) || '$r'"
+        }.mkString(", ")
+        val vals = merges.indices.mkString(", ")
+        s"""WITH RECURSIVE
+           |mm AS (SELECT map([$keys], [$vals]) AS m),
+           |words AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+           |  FROM documents
+           |),
+           |vocab AS (SELECT DISTINCT w FROM words),
+           |bpe(w, syms) AS (
+           |  SELECT w, list_transform(generate_series(1, length(w)), i -> w[i]) FROM vocab
+           |  UNION ALL
+           |  SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:len(syms)]
+           |  FROM (
+           |    SELECT w, syms,
+           |      list_position(rks, list_aggregate(rks, 'min')) AS pos,
+           |      list_aggregate(rks, 'min') AS best
+           |    FROM (
+           |      SELECT w, syms,
+           |        list_transform(generate_series(1, len(syms) - 1),
+           |          i -> coalesce(m[syms[i] || chr(31) || syms[i+1]][1], 1000000)) AS rks
+           |      FROM bpe, mm
+           |    )
+           |  )
+           |  WHERE best < 1000000
+           |),
+           |enc AS (SELECT w, min(len(syms)) AS n FROM bpe GROUP BY w)
+           |SELECT d.doc_id, CAST(sum(e.n) AS BIGINT) AS n_bpe
+           |FROM words d JOIN enc e USING (w)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+      })),
+
     // C9: per-document quality metrics.
     "text_quality" -> ((
       (s: SparkSession, d: String) => {
