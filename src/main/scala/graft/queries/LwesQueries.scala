@@ -818,6 +818,124 @@ object LwesQueries {
         |  CAST(n_chars AS BIGINT) AS n_chars
         |FROM corpus
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // C32 extension: streaming NEAR-dup dedup at ingest. Documents
+    // stream in doc_id-monotone micro-batches; each doc's portable
+    // 48-bit SimHash splits into 4 12-bit bands, a one-boolean-per-
+    // (band,value) state store records every arrival, and a doc
+    // survives iff NO band was seen on any earlier arrival — families
+    // chain transitively through dropped members, so the survivor set
+    // is exactly "docs sharing no band with any earlier doc", which
+    // the oracle replays with the gate-proven md5 SimHash replay + one
+    // anti-join. Injected exact copies (every 7th doc) always collide
+    // on all 4 bands; appended-tail copies (every 11th) collide on
+    // whichever bands the edit leaves intact — BOTH engines compute
+    // that from the same signature, so the answer is deterministic
+    // either way. Exercises flatMapGroupsWithState + the foreachBatch
+    // doc-level combine end-to-end.
+    "lwes_stream_neardup" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val src = cached(s"sneardup|$d") { dir =>
+          val base = t(s, d, "documents")
+          val maxIdRow = base.agg(max(col("doc_id"))).head
+          val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+          val corpus = base.select(col("doc_id"), col("text"), col("lang"),
+              col("n_chars"))
+            .unionAll(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+              .select(col("doc_id") + lit(maxId + 1), col("text"), col("lang"),
+                col("n_chars")))
+            .unionAll(base.filter(pmod(col("doc_id"), lit(11)) === 0)
+              .select(col("doc_id") + lit(2L * (maxId + 1)),
+                concat(col("text"), lit(" extra tail words")), col("lang"),
+                col("n_chars")))
+          val docs = corpus
+            .select(col("doc_id"), col("text"), col("lang"),
+              col("n_chars").cast("long").as("n_chars"))
+            .orderBy(col("doc_id")).collect()
+          // 6 contiguous doc_id ranges, strictly increasing mtimes ->
+          // doc_id-monotone arrival (the equivalence precondition)
+          val chunk = (docs.length + 5) / 6
+          docs.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+            val before = Option(new java.io.File(dir).listFiles())
+              .getOrElse(Array.empty).map(_.getName).toSet
+            s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+                docs.head.schema)
+              .write.format("lwes").option("eventName", "Doc::N")
+              .mode("append").save(dir)
+            new java.io.File(dir).listFiles()
+              .filterNot(f => before.contains(f.getName) ||
+                f.getName.startsWith(".") || f.getName.startsWith("_"))
+              .foreach(_.setLastModified(1700000000000L + i * 60000L))
+          }
+        }
+        val dst = tmpDir("sneardup-dst")
+        val ckpt = tmpDir("sneardup-ckpt")
+        val q = withFewShufflePartitions(s) {
+          val in = s.readStream.format("lwes")
+            .schema("doc_id long, text string, lang string, n_chars long")
+            .option("eventName", "Doc::N")
+            .option("maxFilesPerTrigger", "1").load(src)
+            .as[graft.streaming.StreamOps.NearDocRow]
+          graft.streaming.StreamOps.nearDupBandVerdicts(s, in)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.BandVerdict],
+               _: Long) =>
+                graft.streaming.StreamOps.keepUncollided(b.toDF())
+                  .write.format("lwes").option("eventName", "Ned::D")
+                  .mode("append").save(dst)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        q.awaitTermination()
+        logStateMetrics("lwes_stream_neardup", q)
+        s.read.format("lwes")
+          .schema("doc_id long, text_md5 string, lang string, n_chars long")
+          .option("eventName", "Ned::D").load(dst)
+          .orderBy(col("doc_id"))
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |    text, lang, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+        |    text || ' extra tail words', lang, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |tokh AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |        FROM corpus)),
+        |bitsum AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM tokh CROSS JOIN (SELECT unnest(range(48)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS sg
+        |  FROM bitsum GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b AS band,
+        |    CAST(floor(sg / power(2, 12 * b)) AS BIGINT) % 4096 AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |coll AS (
+        |  SELECT DISTINCT b2.doc_id
+        |  FROM bands b1 JOIN bands b2
+        |    ON b1.band = b2.band AND b1.bval = b2.bval
+        |   AND b1.doc_id < b2.doc_id)
+        |SELECT c.doc_id, md5(c.text) AS text_md5, c.lang,
+        |  CAST(c.n_chars AS BIGINT) AS n_chars
+        |FROM corpus c LEFT JOIN coll ON c.doc_id = coll.doc_id
+        |WHERE coll.doc_id IS NULL
+        |ORDER BY c.doc_id""".stripMargin))
   )
 }

@@ -144,6 +144,85 @@ object StreamOps {
       }
   }
 
+  // ---------------------------------------------------------- near-dup
+
+  final case class NearDocRow(doc_id: Long, text: String, lang: String,
+      n_chars: Long)
+  // public: Catalyst's generated encoders need constructor access
+  final case class BandedDoc(doc_id: Long, band: Int, bval: Long,
+      text_md5: String, lang: String, n_chars: Long)
+  final case class BandVerdict(doc_id: Long, text_md5: String, lang: String,
+      n_chars: Long, collided: Boolean)
+
+  /** Streaming NEAR-duplicate detection at ingest (C32 extension): the
+    * streaming counterpart of the batch C2/C16 near-dup chain. Each
+    * document's portable 48-bit SimHash ([[graft.operators.Dedup.simhashPortable]])
+    * splits into 4 disjoint 12-bit bands; a document COLLIDES when any
+    * of its band values was carried by ANY earlier arrival — kept or
+    * dropped — so duplicate families chain transitively through their
+    * members exactly like connected components, and under
+    * doc_id-monotone arrival the surviving set is precisely "docs
+    * sharing no band with any earlier doc", a definition a SQL oracle
+    * replays with one NOT EXISTS (the `lwes_stream_neardup` gate).
+    *
+    * Scale shape: state is ONE BOOLEAN per distinct (band, value) —
+    * 4 bits-with-keys per distinct signature, per-key partitioned
+    * across executors like C32, with the same TTL lease option for
+    * indefinite runs. Emits per-band verdict rows (4 per doc, id +
+    * hash + verdict — narrow); the doc-level combine is
+    * [[keepUncollided]], a micro-batch-local aggregation the caller
+    * runs in `foreachBatch` (the per-doc decision spans 4 band keys,
+    * which chained stateful operators cannot express in one pass —
+    * batch-domain combine per micro-batch is the standard shape).
+    * Within a micro-batch, arrival order is doc_id order (each band
+    * group sorts its batch slice), keeping the sequential semantics
+    * exact across batch boundaries. */
+  def nearDupBandVerdicts(spark: SparkSession, docs: Dataset[NearDocRow],
+      ttlMs: Option[Long] = None): Dataset[BandVerdict] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val banded = docs.toDF()
+      .withColumn("__sh", graft.operators.Dedup.simhashPortable(col("text")))
+      .withColumn("text_md5", md5(col("text")))
+      .select(col("doc_id"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("__sh"), 12 * i).bitwiseAND(lit(0xfffL))): _*))
+          .as(Seq("band", "bval")),
+        col("text_md5"), col("lang"), col("n_chars"))
+      .as[BandedDoc]
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(r => (r.band.toLong << 48) | r.bval)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: Long, rows: Iterator[BandedDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove() // lease expired: band value re-emittable
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(_.doc_id)
+            val preSeen = state.exists
+            if (!preSeen) state.update(true)
+            ttlMs.foreach(state.setTimeoutDuration) // renew the lease
+            sorted.iterator.zipWithIndex.map { case (r, i) =>
+              BandVerdict(r.doc_id, r.text_md5, r.lang, r.n_chars,
+                collided = preSeen || i > 0)
+            }
+          }
+      }
+  }
+
+  /** Doc-level combine for [[nearDupBandVerdicts]]: a doc survives iff
+    * NONE of its 4 band verdicts collided. Run per micro-batch inside
+    * `foreachBatch` — one batch-local shuffle of 4 narrow rows per doc. */
+  def keepUncollided(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    batch.groupBy(col("doc_id"), col("text_md5"), col("lang"), col("n_chars"))
+      .agg(max(col("collided")).as("__c"))
+      .filter(!col("__c"))
+      .drop("__c")
+  }
+
   /** [[dedupFirstSeen]] with BOUNDED state: each key's seen-bit expires
     * `ttlMs` of processing time after its last arrival, after which the
     * key is eligible to be emitted again — the documented recipe for

@@ -581,6 +581,123 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // local replay of the operator's banding: 4 x 12-bit bands of the
+  // portable 48-bit simhash
+  private def simBands(texts: Seq[String]): Map[String, Set[(Int, Long)]] = {
+    import graft.operators.Dedup
+    import spark.implicits._
+    texts.distinct.toDF("text")
+      .withColumn("sh", Dedup.simhashPortable(col("text")))
+      .collect().map { r =>
+        val sh = r.getLong(1)
+        r.getString(0) -> (0 until 4).map(i => (i, (sh >>> (12 * i)) & 0xfffL)).toSet
+      }.toMap
+  }
+
+  test("streaming near-dup: band collisions drop across batches and chain through dropped docs (C32 ext)") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.NearDocRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // find a triple (t1, t2, t3): t2 shares a band with t1, t3 shares a
+    // band with t2 but NONE with t1 — dropping t3 then proves the chain
+    // runs through the DROPPED t2. Deterministic search over suffix
+    // variants of a base text.
+    val base = "the quick brown fox jumps over the lazy dog and runs away home"
+    val cands = (0 until 80).map(i => s"$base tail$i word$i")
+    val bands = simBands(cands)
+    val triple = (for {
+      t1 <- cands.iterator
+      t2 <- cands.iterator if t2 != t1 && (bands(t1) & bands(t2)).nonEmpty
+      t3 <- cands.iterator
+      if t3 != t1 && t3 != t2 &&
+        (bands(t2) & bands(t3)).nonEmpty && (bands(t1) & bands(t3)).isEmpty
+    } yield (t1, t2, t3)).take(1).toList
+    assert(triple.nonEmpty, "no chain triple found in 80 variants")
+    val (t1, t2, t3) = triple.head
+
+    val ckpt = Files.createTempDirectory("lwes-sneardup-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[NearDocRow]
+    val survivors = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamOps.nearDupBandVerdicts(spark, mem.toDS())
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamOps.BandVerdict], _: Long) =>
+          val kept = StreamOps.keepUncollided(b.toDF())
+            .select("doc_id").collect().map(_.getLong(0))
+          survivors.synchronized { survivors ++= kept }
+          ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1: t1 (new) + an in-batch exact pair (min id 3 wins)
+      mem.addData(NearDocRow(1, t1, "en", 10), NearDocRow(5, t3 + " unrelated9", "en", 9),
+        NearDocRow(3, t3 + " unrelated9", "en", 9))
+      q.processAllAvailable()
+      // batch 2: t2 shares a band with t1 -> dropped
+      mem.addData(NearDocRow(7, t2, "en", 11))
+      q.processAllAvailable()
+      // batch 3: t3 shares a band only with the DROPPED t2 -> dropped
+      // (its bands were marked on arrival); exact re-arrival of t1 also
+      // dropped
+      mem.addData(NearDocRow(9, t3, "en", 12), NearDocRow(11, t1, "en", 10))
+      q.processAllAvailable()
+      val got = survivors.synchronized(survivors.sorted.toSeq)
+      // doc 5's text may or may not share bands with t1/t3 — assert on
+      // what the local replay says, so the spec never flakes
+      val d5 = simBands(Seq(t1, t3 + " unrelated9"))
+      val d5Kept = (d5(t1) & d5(t3 + " unrelated9")).isEmpty
+      val expect = if (d5Kept) Seq(1L, 3L) else Seq(1L)
+      assert(got == expect, s"got $got expect $expect")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup TTL: lease expiry re-admits a signature (C32 ext)") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.NearDocRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("lwes-sneardupttl-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[NearDocRow]
+    val survivors = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamOps.nearDupBandVerdicts(spark, mem.toDS(), ttlMs = Some(3000L))
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamOps.BandVerdict], _: Long) =>
+          val kept = StreamOps.keepUncollided(b.toDF())
+            .select("doc_id").collect().map(_.getLong(0))
+          survivors.synchronized { survivors ++= kept }
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", ckpt).start()
+    def await(expect: Seq[Long]): Seq[Long] = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = Seq.empty[Long]
+      while (got != expect && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        got = survivors.synchronized(survivors.sorted.toSeq)
+      }
+      got
+    }
+    val txt = "completely original text about columnar execution engines today"
+    try {
+      mem.addData(NearDocRow(1, txt, "en", 10))
+      assert(await(Seq(1L)) == Seq(1L))
+      // inside the lease: exact near-dup dropped
+      mem.addData(NearDocRow(2, txt, "en", 10))
+      Thread.sleep(800)
+      assert(await(Seq(1L)) == Seq(1L))
+      Thread.sleep(6000) // let the 3s lease lapse on all 4 band keys
+      mem.addData(NearDocRow(3, txt, "en", 10))
+      val got = await(Seq(1L, 3L))
+      assert(got == Seq(1L, 3L), s"got $got")
+    } finally q.stop()
+  }
+
   test("drainSessions: out-of-order buffering, sentinel drop, timeout flush (B20)") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.SessionEvent
