@@ -127,7 +127,14 @@ object Bench {
         s"\"" + k + "\":{\"events\":" + rows + ",\"secs\":" + f(secs) +
           ",\"events_per_sec\":" + f(rows / secs) + "}"
       }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"streaming":$streamJson,"iters_per_query":$iters,$loadJson,"sf":${jstr(sfDir)}}"""
+    // Measured ANN recall@10 (recorded by the sim_*_recall gates as
+    // they run): the floors are hash-gated booleans, but the VALUES
+    // belong in the round artifact so a recall regression is visible
+    // without re-reading gate internals.
+    val annJson = graft.queries.Pipeline.annRecall.toSeq
+      .sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"streaming":$streamJson,"ann_recall":$annJson,"iters_per_query":$iters,$loadJson,"sf":${jstr(sfDir)}}"""
     // Stdout tail capture can truncate the front of a very long single
     // line (BENCH_r03 parsed null that way) — persist to a file too, so
     // round-over-round comparison never depends on stdout buffer length.

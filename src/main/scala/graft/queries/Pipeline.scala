@@ -556,19 +556,19 @@ object Pipeline {
     // hyperplanes, exact-decimal k-means), so the boolean is stable;
     // floors leave >25% margin under measured recall (lsh 0.62-0.69,
     // ivf 0.52-0.58 across sf0.01/sf0.1).
-    "sim_lsh_recall" -> recallGate(0.45,
+    "sim_lsh_recall" -> recallGate("sim_lsh_recall", 0.45,
       (emb, q) => Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)),
-    "sim_ivf_recall" -> recallGate(0.40,
+    "sim_ivf_recall" -> recallGate("sim_ivf_recall", 0.40,
       (emb, q) => Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10)),
     // C30: product quantization (measured recall@10 0.64/0.61 at
     // sf0.01/sf0.1 with m=32, ks=32 — the floor leaves >35% margin)
-    "sim_pq_recall" -> recallGate(0.40,
+    "sim_pq_recall" -> recallGate("sim_pq_recall", 0.40,
       (emb, q) => Similarity.pqTopK(emb, q, "vec_id", "embedding", 10)),
     // C7+C30 composed: IVF routing over PQ codes — the production
     // IVF-PQ shape. Routing loss multiplies quantization error, so
     // nprobe=8 restores margin: measured recall@10 0.588/0.549 at
     // sf0.01/sf0.1 (tools/PqRecall) — the 0.40 floor keeps >27%.
-    "sim_ivfpq_recall" -> recallGate(0.40,
+    "sim_ivfpq_recall" -> recallGate("sim_ivfpq_recall", 0.40,
       (emb, q) => Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10,
         nLists = 16, nprobe = 8)),
 
@@ -935,10 +935,20 @@ object Pipeline {
         |WHERE c >= 0.8""".stripMargin))
   )
 
+  /** Measured recall@10 per ANN gate, recorded when the gate last ran —
+    * surfaced by Bench as the `ann_recall` block in bench-out.json so a
+    * recall regression is visible in round artifacts without re-reading
+    * gate internals. */
+  val annRecall = scala.collection.concurrent.TrieMap[String, Double]()
+
   /** Builds a (query fn, oracle SQL) pair asserting an ANN path's
     * recall@10 vs the exact brute-force top-k meets `floor` — the
-    * necessary-condition-oracle shape used by the C7 recall gates. */
-  private def recallGate(floor: Double,
+    * necessary-condition-oracle shape used by the C7 recall gates.
+    * The aggregate is computed ONCE (same distributed work as before);
+    * the measured value lands in [[annRecall]] and the gate returns a
+    * local one-row frame with the unchanged (n_queries,
+    * recall_floor_met) schema. */
+  private def recallGate(key: String, floor: Double,
       approx: (DataFrame, DataFrame) => DataFrame)
       : ((SparkSession, String) => DataFrame, String) = ((
     (s: SparkSession, d: String) => {
@@ -948,12 +958,17 @@ object Pipeline {
         .select(col("query_id"), col("neighbor_id"))
       val a = approx(emb, q)
         .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-      exact.join(a,
+      val row = exact.join(a,
           col("query_id") === col("aq") && col("neighbor_id") === col("an"),
           "left_outer")
         .agg(countDistinct(col("query_id")).as("n_queries"),
-          ((count(col("an")).cast("double") / count(lit(1))) >= lit(floor))
-            .as("recall_floor_met"))
+          (count(col("an")).cast("double") / count(lit(1))).as("recall"))
+        .head()
+      val recall = row.getDouble(1)
+      annRecall(key) = recall
+      import s.implicits._
+      Seq((row.getLong(0), recall >= floor))
+        .toDF("n_queries", "recall_floor_met")
     },
     """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
       |  true AS recall_floor_met

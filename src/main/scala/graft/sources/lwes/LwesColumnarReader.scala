@@ -110,6 +110,26 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
   // eventName accept-set as raw UTF-8 (empty = accept all)
   private val acceptNames: Array[Array[Byte]] =
     config.eventNames.toArray.sorted.map(_.getBytes(UTF_8))
+  // String originals for the non-ASCII fallback below
+  private val acceptNameStrs: Array[String] = config.eventNames.toArray.sorted
+  private val groupNameStrs: Array[String] = schema.fieldNames
+    .flatMap(config.eventFor.get).filter(_.nonEmpty).distinct
+
+  /** Row-path parity for event-name matching: the row path compares
+    * UTF-8-DECODED strings (JournalReader nameFilter / ColumnShape
+    * requiredEvent), so a wire name with invalid UTF-8 bytes can decode
+    * (via replacement chars) equal to an accepted name even though the
+    * raw bytes differ. Fast path stays the byte compare; only when it
+    * misses AND the wire bytes are not pure ASCII (corrupt input — the
+    * same deferral rule StrEqEarly uses for pushed string predicates)
+    * do we fall back to the decoded-String compare. */
+  @inline private def nameMatches(b: Array[Byte], off: Int, len: Int,
+      lit: Array[Byte], litStr: String): Boolean = {
+    if (regionEquals(b, off, len, lit)) return true
+    var i = 0
+    while (i < len) { if (b(off + i) < 0) return new String(b, off, len, UTF_8) == litStr; i += 1 }
+    false
+  }
 
   // ------------------------------------------------------ typed writers
   /** One per column: wire (token, bytes, lv) → typed vector cell or
@@ -546,13 +566,13 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         var ok = false
         var i = 0
         while (i < acceptNames.length && !ok) {
-          ok = regionEquals(b, 1, nameLen, acceptNames(i)); i += 1
+          ok = nameMatches(b, 1, nameLen, acceptNames(i), acceptNameStrs(i)); i += 1
         }
         if (!ok) { skipped += 1; return 0 }
       }
       var g = 0
       while (g < groupNames.length) {
-        groupMatch(g) = regionEquals(b, 1, nameLen, groupNames(g)); g += 1
+        groupMatch(g) = nameMatches(b, 1, nameLen, groupNames(g), groupNameStrs(g)); g += 1
       }
       stamp += 1
       // ---- attribute walk

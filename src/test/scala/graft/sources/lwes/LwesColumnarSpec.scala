@@ -131,6 +131,41 @@ class LwesColumnarSpec extends AnyFunSuite {
     assert(read(v = true).filter(col("ok") === "héllo").count() == 0)
   }
 
+  test("invalid-UTF-8 EVENT NAMES filter identically in both paths") {
+    import graft.lwes.LwesCodec
+    val dir = Files.createTempDirectory("lwes-col-name").toString
+    val w = JournalWriter.create(s"$dir/j.journal")
+    (0 until 30).foreach { i =>
+      val payload = LwesCodec.serialize(
+        LwesEvent(if (i % 2 == 0) "Col::AB" else "Col::OK")
+          .setInt64("id", i.toLong))
+      if (i % 2 == 0) {
+        // patch the name's trailing "AB" (payload offset 1 + 5) to a
+        // stray 0xFF + lone continuation 0x80 — invalid UTF-8 that the
+        // row path DECODES (two replacement chars) before comparing
+        payload(6) = 0xFF.toByte
+        payload(7) = 0x80.toByte
+      }
+      w.writeRecord(payload, 0, payload.length, 1700000000000L + i,
+        Array[Byte](0, 0, 0, 0), 0, 0)
+    }
+    w.close()
+    val decodedBad = "Col::��"
+    def read(v: Boolean, name: String) = spark.read.format("lwes")
+      .schema("id long").option("eventName", name)
+      .option("vectorized", v.toString).load(dir)
+    // a name that only matches after UTF-8 decode: the columnar byte
+    // compare misses, the non-ASCII fallback must recover row parity
+    val a = read(v = true, decodedBad).orderBy("id").collect().map(_.getLong(0))
+    val b = read(v = false, decodedBad).orderBy("id").collect().map(_.getLong(0))
+    assert(a.toSeq == (0 until 30 by 2).map(_.toLong))
+    assert(a.sameElements(b))
+    // pure-ASCII names stay on the fast byte path
+    assert(read(v = true, "Col::OK").count() ==
+      read(v = false, "Col::OK").count())
+    assert(read(v = true, "Col::OK").count() == 15)
+  }
+
   test("corruption resync and torn tails behave identically in both paths") {
     val dir = Files.createTempDirectory("lwes-col-torn").toString
     val path = s"$dir/j.journal"
