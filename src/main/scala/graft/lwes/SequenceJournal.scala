@@ -146,6 +146,34 @@ final class SequenceJournalReader(raw: InputStream,
     else None
   }
 
+  /** Next raw EventWritable VALUE bytes (`[4B BE length][event]`, event
+    * at offset 4), or null at EOF — the columnar path's zero-object
+    * handle; container framing and corruption behavior identical to
+    * [[next]], but name filtering / attr pruning are the CALLER's job
+    * (it has the wire bytes). */
+  def nextRawValue(): Array[Byte] = {
+    if (blockCompressed) {
+      if (blockValues.hasNext || readNextBlock()) return blockValues.next()
+      return null
+    }
+    while (true) {
+      val recordLen = try in.readInt() catch { case _: EOFException => return null }
+      if (recordLen == -1) {
+        val marker = new Array[Byte](16)
+        in.readFully(marker) // sync escape
+      } else {
+        val keyLen = in.readInt()
+        in.skipNBytes(keyLen.toLong)
+        val valueLen = recordLen - keyLen
+        require(valueLen >= 4, s"bad EventWritable record ($valueLen bytes)")
+        val raw = new Array[Byte](valueLen)
+        in.readFully(raw)
+        return if (recordCompressed) inflate(raw) else raw
+      }
+    }
+    null // unreachable
+  }
+
   /** Next event passing the filters, or None at EOF. */
   def next(): Option[LwesEvent] = {
     if (blockCompressed) {

@@ -555,35 +555,55 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         torn += 1
         return -1
     }
-    val b = payloadBuf
+    parsePayload(payloadBuf, 0, len, r, hasHeader = true, time, port, site) match {
+      // record-level resync: an undecodable payload costs one record
+      // (JournalReader parity); the frame header re-syncs the stream
+      case -2 => corruptCnt += 1; 0
+      case other => other
+    }
+  }
+
+  /** Walk one event payload at `b[b0, b0+len)` into row `r` — shared by
+    * the journal hot loop and the SequenceFile byte path (A17
+    * completion). `hasHeader` gates the journal-header column
+    * replacement: SEQ containers carry no 22-byte frame header, so
+    * their ReceiptTime/SenderIP/port/site attrs (if any) stay
+    * payload-written — row-path parity for both containers. Returns
+    * 1 = row written, 0 = filtered, -2 = corrupt payload (row rolled
+    * back, NOT counted: the caller owns its container's corruption
+    * semantics — journals resync per record, SEQ stops the file like
+    * the row path). */
+  private def parsePayload(b: Array[Byte], b0: Int, len: Int, r: Int,
+      hasHeader: Boolean, time: Long, port: Int, site: Int): Int = {
     try {
       if (len < 3) throw new IllegalArgumentException(s"event of $len bytes")
-      val nameLen = b(0) & 0xff
-      if (1 + nameLen + 2 > len)
+      val end = b0 + len
+      val nameLen = b(b0) & 0xff
+      if (b0 + 1 + nameLen + 2 > end)
         throw new IllegalArgumentException("event name overruns record")
       // name filter straight off the wire bytes
       if (acceptNames.nonEmpty) {
         var ok = false
         var i = 0
         while (i < acceptNames.length && !ok) {
-          ok = nameMatches(b, 1, nameLen, acceptNames(i), acceptNameStrs(i)); i += 1
+          ok = nameMatches(b, b0 + 1, nameLen, acceptNames(i), acceptNameStrs(i)); i += 1
         }
         if (!ok) { skipped += 1; return 0 }
       }
       var g = 0
       while (g < groupNames.length) {
-        groupMatch(g) = nameMatches(b, 1, nameLen, groupNames(g), groupNameStrs(g)); g += 1
+        groupMatch(g) = nameMatches(b, b0 + 1, nameLen, groupNames(g), groupNameStrs(g)); g += 1
       }
       stamp += 1
       // ---- attribute walk
-      var off = 1 + nameLen
+      var off = b0 + 1 + nameLen
       val count = u16(b, off)
       off += 2
       var i = 0
-      while (i < count && off < len) {
+      while (i < count && off < end) {
         val keyLen = b(off) & 0xff
         val keyOff = off + 1
-        if (keyOff + keyLen + 1 > len)
+        if (keyOff + keyLen + 1 > end)
           throw new IllegalArgumentException("attr key overruns record")
         val token = b(keyOff + keyLen)
         val valOff = keyOff + keyLen + 1
@@ -594,13 +614,13 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
           case LwesType.Bool => 1
           case LwesType.IpAddr => 4
           case LwesType.Str =>
-            if (valOff + 2 > len)
+            if (valOff + 2 > end)
               throw new IllegalArgumentException("string length overruns record")
             2 + u16(b, valOff)
           case t => throw new IllegalArgumentException(
             s"unknown LWES type token 0x${"%02x".format(t)}")
         }
-        if (valOff + valLen > len)
+        if (valOff + valLen > end)
           throw new IllegalArgumentException("attr value overruns record")
         val cols = lookup(b, keyOff, keyLen)
         if (cols != null) {
@@ -634,24 +654,27 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         off = valOff + valLen
         i += 1
       }
-      // ---- header-derived columns replace payload copies
-      var h = 0
-      while (h < headerWrites.length) {
-        val (c, kind) = headerWrites(h)
-        if (groupOk(c)) {
-          kind match {
-            case HReceipt => writers(c).write(r, LwesType.Int64, null, 0, 8, time)
-            case HIp => writers(c).write(r, LwesType.IpAddr, headerBuf, 10, 4, 0L)
-            case HPort => writers(c).write(r, LwesType.UInt16, null, 0, 2, port.toLong)
-            case HSite => writers(c).write(r, LwesType.UInt16, null, 0, 2, site.toLong)
+      // ---- header-derived columns replace payload copies (journal
+      // frames only — SEQ records have no header to inject)
+      if (hasHeader) {
+        var h = 0
+        while (h < headerWrites.length) {
+          val (c, kind) = headerWrites(h)
+          if (groupOk(c)) {
+            kind match {
+              case HReceipt => writers(c).write(r, LwesType.Int64, null, 0, 8, time)
+              case HIp => writers(c).write(r, LwesType.IpAddr, headerBuf, 10, 4, 0L)
+              case HPort => writers(c).write(r, LwesType.UInt16, null, 0, 2, port.toLong)
+              case HSite => writers(c).write(r, LwesType.UInt16, null, 0, 2, site.toLong)
+            }
+            stamps(c) = stamp
           }
-          stamps(c) = stamp
+          h += 1
         }
-        h += 1
       }
       // ---- name + partition columns
       if (nameColIdx >= 0) {
-        putUtf8(vectors(nameColIdx), r, b, 1, nameLen)
+        putUtf8(vectors(nameColIdx), r, b, b0 + 1, nameLen)
         stamps(nameColIdx) = stamp
       }
       var p = 0
@@ -683,35 +706,31 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       }
       1
     } catch {
-      // record-level resync: an undecodable payload costs one record
-      // (JournalReader parity); the frame header re-syncs the stream
       case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
         cleanupRow(r)
-        corruptCnt += 1
-        0
+        -2
     }
   }
 
-  // -------------------------------------- SequenceFile fallback (rare)
-  /** SEQ containers arrive as parsed events; fill rows via the shared
-    * [[ColumnShape]] so the two containers cannot drift. */
+  // ------------------------------------------ SequenceFile byte path
+  /** SEQ containers route through the SAME byte-level payload walk as
+    * journal records (A17 completion — no more object-shaped
+    * [[ColumnShape]] fallback): [[graft.lwes.SequenceJournalReader.nextRawValue]]
+    * hands back the framed EventWritable value (`[4B BE length][event]`,
+    * reference EventWritable.java:52-57) and [[parsePayload]] decodes
+    * the event bytes straight into the vectors — no LwesEvent, no
+    * per-attribute boxing; name filtering and attr pruning happen on
+    * the wire bytes like the journal hot loop. Corruption parity with
+    * the row path: a bad frame or undecodable payload stops the FILE
+    * (the row path's deserialize throws through to the file loop; SEQ
+    * has no record-resync point either way). */
   private final class SeqFill(s: java.io.InputStream) {
-    private val shape = new ColumnShape(config)
-    private val nameFilter: String => Boolean =
-      if (config.eventNames.isEmpty) null
-      else (n: String) => {
-        val ok = config.eventNames(n)
-        if (!ok) skipped += 1
-        ok
-      }
-    val reader = new graft.lwes.SequenceJournalReader(s, nameFilter,
-      config.wantedAttrs.contains _)
+    val reader = new graft.lwes.SequenceJournalReader(s)
 
-    /** 1 = row written, -1 = end of file (no record resync here —
-      * [[graft.lwes.SequenceJournalReader]] frames its own records). */
+    /** 1 = row written, 0 = filtered, -1 = end of file. */
     def fill(r: Int): Int = {
-      val ev =
-        try reader.next().orNull
+      val value =
+        try reader.nextRawValue()
         catch {
           case e if LwesDataSource.isCorruption(e) =>
             logWarning(s"corrupt SequenceFile tail in ${curPart.path}: " +
@@ -719,39 +738,32 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
             torn += 1
             null
         }
-      if (ev == null) return -1
-      var c = 0
-      while (c < nCols) {
-        val v = shape.valueFor(c, ev, curPart.partitionValues)
-        if (v == null) vectors(c).putNull(r)
-        else boxedWrite(c, r, v)
-        c += 1
+      if (value == null) return -1
+      if (value.length < 4) {
+        logWarning(s"short EventWritable frame in ${curPart.path}; " +
+          "stopping this file")
+        torn += 1
+        return -1
       }
-      1
+      val evLen = ((value(0) & 0xff) << 24) | ((value(1) & 0xff) << 16) |
+        ((value(2) & 0xff) << 8) | (value(3) & 0xff)
+      if (evLen != value.length - 4) {
+        logWarning(s"bad EventWritable frame in ${curPart.path}: declared " +
+          s"$evLen vs ${value.length - 4} payload bytes; stopping this file")
+        torn += 1
+        return -1
+      }
+      parsePayload(value, 4, evLen, r, hasHeader = false, 0L, 0, 0) match {
+        case -2 =>
+          logWarning(s"undecodable SequenceFile payload in ${curPart.path}; " +
+            "stopping this file")
+          torn += 1
+          -1
+        case other => other
+      }
     }
     def close(): Unit = reader.close()
   }
-
-  /** Catalyst-value vector write (SEQ fallback only — the hot path
-    * writes wire bytes directly through [[ColWriter]]s). */
-  private def boxedWrite(c: Int, r: Int, v: Any): Unit =
-    schema.fields(c).dataType match {
-      case BooleanType => vectors(c).putBoolean(r, v.asInstanceOf[Boolean])
-      case ShortType => vectors(c).putShort(r, v.asInstanceOf[Short])
-      case IntegerType => vectors(c).putInt(r, v.asInstanceOf[Int])
-      case LongType => vectors(c).putLong(r, v.asInstanceOf[Long])
-      case FloatType => vectors(c).putFloat(r, v.asInstanceOf[Float])
-      case DoubleType => vectors(c).putDouble(r, v.asInstanceOf[Double])
-      case StringType =>
-        val bs = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-        vectors(c).putByteArray(r, bs, 0, bs.length)
-      case BinaryType =>
-        val bs = v.asInstanceOf[Array[Byte]]
-        vectors(c).putByteArray(r, bs, 0, bs.length)
-      case d: DecimalType =>
-        vectors(c).putDecimal(r, v.asInstanceOf[Decimal], d.precision)
-      case _ => vectors(c).putNull(r)
-    }
 
   // ------------------------------------------------------------ driver
   override def next(): Boolean = {

@@ -29,24 +29,49 @@ object ScanThroughput {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_TP_CONTAINER=seq measures the SequenceFile byte path
+    // (zlib block-compressed, the reference's Hive-table layout)
+    val seqMode = sys.env.getOrElse("SPARK_GRAFT_TP_CONTAINER", "journal") == "seq"
     val dir = Files.createTempDirectory("lwes-tp").toString
     val perFile = nEvents / nFiles
-    val codecDesc = if (ext.isEmpty) "uncompressed" else ext.stripPrefix(".")
-    println(s"writing $nEvents events across $nFiles $codecDesc journals...")
+    val codecDesc =
+      if (seqMode) "SEQ-block-zlib"
+      else if (ext.isEmpty) "uncompressed" else ext.stripPrefix(".")
+    println(s"writing $nEvents events across $nFiles $codecDesc files...")
+    def mkEvent(id: Long): LwesEvent =
+      LwesEvent(if (id % 4 == 0) "Tp::Want" else "Tp::Skip")
+        .setInt64("id", id)
+        .setInt64("user", id % 99991)
+        .setInt32("score", (id % 1000).toInt)
+        .setString("page", s"/p/${id % 50}")
+        .setString("cost", (id % 97 * 0.25).toString)
+        .setBool("flag", id % 3 == 0)
+        .setUInt16("site", (id % 5).toInt)
     java.util.stream.IntStream.range(0, nFiles).parallel().forEach { f =>
-      val w = JournalWriter.create(s"$dir/j$f.journal$ext")
-      (0 until perFile).foreach { i =>
-        val id = f.toLong * perFile + i
-        w.write(LwesEvent(if (id % 4 == 0) "Tp::Want" else "Tp::Skip")
-          .setInt64("id", id)
-          .setInt64("user", id % 99991)
-          .setInt32("score", (id % 1000).toInt)
-          .setString("page", s"/p/${id % 50}")
-          .setString("cost", (id % 97 * 0.25).toString)
-          .setBool("flag", id % 3 == 0)
-          .setUInt16("site", (id % 5).toInt))
+      if (seqMode) {
+        import org.apache.hadoop.io.{BytesWritable, LongWritable, SequenceFile}
+        val w = SequenceFile.createWriter(new org.apache.hadoop.conf.Configuration(),
+          SequenceFile.Writer.file(new org.apache.hadoop.fs.Path(s"$dir/j$f.seq")),
+          SequenceFile.Writer.keyClass(classOf[LongWritable]),
+          SequenceFile.Writer.valueClass(classOf[BytesWritable]),
+          SequenceFile.Writer.compression(SequenceFile.CompressionType.BLOCK))
+        (0 until perFile).foreach { i =>
+          val id = f.toLong * perFile + i
+          val payload = graft.lwes.LwesCodec.serialize(mkEvent(id))
+          val framed = new Array[Byte](payload.length + 4)
+          framed(0) = (payload.length >>> 24).toByte
+          framed(1) = (payload.length >>> 16).toByte
+          framed(2) = (payload.length >>> 8).toByte
+          framed(3) = payload.length.toByte
+          System.arraycopy(payload, 0, framed, 4, payload.length)
+          w.append(new LongWritable(id), new BytesWritable(framed))
+        }
+        w.close()
+      } else {
+        val w = JournalWriter.create(s"$dir/j$f.journal$ext")
+        (0 until perFile).foreach(i => w.write(mkEvent(f.toLong * perFile + i)))
+        w.close()
       }
-      w.close()
     }
 
     val full = "id long, user long, score int, page string, cost double, " +

@@ -193,6 +193,62 @@ class LwesColumnarSpec extends AnyFunSuite {
     assert(a.length == 299 && a.map(_.getLong(0)).toSeq == (0L until 299L))
   }
 
+  test("SEQ containers use the byte path and match the row path on every type") {
+    import org.apache.hadoop.io.{BytesWritable, LongWritable, SequenceFile}
+    import graft.lwes.LwesCodec
+    val dir = Files.createTempDirectory("lwes-col-seq").toString
+    val conf = spark.sessionState.newHadoopConf()
+    def open(path: String, ct: SequenceFile.CompressionType) =
+      SequenceFile.createWriter(conf,
+        SequenceFile.Writer.file(new org.apache.hadoop.fs.Path(path)),
+        SequenceFile.Writer.keyClass(classOf[LongWritable]),
+        SequenceFile.Writer.valueClass(classOf[BytesWritable]),
+        SequenceFile.Writer.compression(ct))
+    val writers = Array(
+      open(s"$dir/j0.seq", SequenceFile.CompressionType.NONE),
+      open(s"$dir/j1.seq", SequenceFile.CompressionType.RECORD),
+      open(s"$dir/j2.seq", SequenceFile.CompressionType.BLOCK))
+    (0 until 300).foreach { id =>
+      val ev = LwesEvent(if (id % 4 == 0) "Col::A" else "Col::B")
+        .setInt64("id", id.toLong)
+        .setInt32("i32", id * 3)
+        .setInt16("i16", (id % 100).toShort)
+        .setUInt16("u16", id % 500)
+        .setUInt32("u32", id.toLong * 7)
+        .setUInt64("u64", -1L - id)
+        .setBool("flag", id % 3 == 0)
+        .setString("cost", (id * 0.25).toString)
+        .setIpAddr("ip", Array(10, 0, (id % 200).toByte, 1))
+        .setInt64(LwesEvent.ReceiptTime, 1700000000000L + id)
+      if (id % 5 != 0) ev.setString("opt", s"v$id")
+      val payload = LwesCodec.serialize(ev)
+      val framed = new Array[Byte](payload.length + 4)
+      framed(0) = (payload.length >>> 24).toByte
+      framed(1) = (payload.length >>> 16).toByte
+      framed(2) = (payload.length >>> 8).toByte
+      framed(3) = payload.length.toByte
+      System.arraycopy(payload, 0, framed, 4, payload.length)
+      writers(id % 3).append(new LongWritable(id.toLong),
+        new BytesWritable(framed))
+    }
+    writers.foreach(_.close())
+    def read(v: Boolean) = spark.read.format("lwes").schema(schemaDdl)
+      .option("uint64As", "decimal").option("vectorized", v.toString).load(dir)
+    val a = read(v = true).orderBy("id").collect()
+    val b = read(v = false).orderBy("id").collect()
+    assert(a.length == 300 && a.sameElements(b))
+    // SEQ has no journal frame header, and header-mapped columns are
+    // header-derived in both paths -> NULL for SEQ (row-path parity)
+    assert(a(5).isNullAt(10) && b(5).isNullAt(10))
+    // sometimes-missing attr is null in both
+    assert(a(0).isNullAt(9) && b(0).isNullAt(9))
+    // eventName filter applies on the wire bytes
+    assert(read(v = true).where("id % 4 = 0").count() ==
+      spark.read.format("lwes").schema(schemaDdl).option("uint64As", "decimal")
+        .option("eventName", "Col::A").option("vectorized", "true").load(dir)
+        .count())
+  }
+
   test("columnar batches cross the 4096-row boundary intact") {
     val dir = Files.createTempDirectory("lwes-col3").toString
     writeJournal(dir, 1, 9000) // one file -> one reader, 3 batches
