@@ -661,6 +661,325 @@ object H264 {
       recons.result())
   }
 
+  // ------------------------- Intra_4x4 / inter shared machinery
+  // (spec-layout tables and prediction formulas from H.264 clauses
+  // 8.3.1, 8.4.1-8.4.2, 9.1.2 — public standard content, same status
+  // as the CAVLC tables in Cavlc.scala)
+
+  /** Table 9-5 me(v) mapping, codeNum → coded_block_pattern,
+    * ChromaArrayType 1. */
+  private[operators] val IntraCbpTab: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+  private[operators] val InterCbpTab: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+  private[operators] val IntraCbpCode: Array[Int] = {
+    val inv = new Array[Int](48)
+    IntraCbpTab.zipWithIndex.foreach { case (cbp, code) => inv(cbp) = code }
+    inv
+  }
+  private[operators] val InterCbpCode: Array[Int] = {
+    val inv = new Array[Int](48)
+    InterCbpTab.zipWithIndex.foreach { case (cbp, code) => inv(cbp) = code }
+    inv
+  }
+
+  /** z-scan index of a 4x4 block position within its MB. (lazy: the
+    * LumaBlk tables are declared later in this object) */
+  private[operators] lazy val ZIdxOf: Array[Int] = {
+    val z = new Array[Int](16)
+    var b = 0
+    while (b < 16) { z(LumaBlkY(b) * 4 + LumaBlkX(b)) = b; b += 1 }
+    z
+  }
+
+  /** 8.3.1.1 mode prediction: min of the neighbor 4x4 modes, DC (2)
+    * for unavailable or non-Intra4x4 neighbors. `grid` holds the mode
+    * per decoded 4x4 block, -1 for blocks of non-Intra4x4 MBs. */
+  private[operators] def predI4Mode(grid: Array[Int], blkW: Int,
+      gx: Int, gy: Int): Int = {
+    val a = if (gx > 0) grid(gy * blkW + gx - 1) else -1
+    val b = if (gy > 0) grid((gy - 1) * blkW + gx) else -1
+    math.min(if (a < 0) 2 else a, if (b < 0) 2 else b)
+  }
+
+  /** Decode-order availability of the above-right 4x4 neighbor (the
+    * p[4..7,-1] samples): available iff inside the frame AND earlier
+    * in (MB raster, intra-MB z) decode order; when absent, prediction
+    * substitutes p[3,-1] (8.3.1.2). */
+  private[operators] def i4TrAvailable(mx: Int, my: Int, blkZ: Int,
+      wMbs: Int): Boolean = {
+    val gx = mx * 4 + LumaBlkX(blkZ)
+    val gy = my * 4 + LumaBlkY(blkZ)
+    val tx = gx + 1
+    val ty = gy - 1
+    if (ty < 0 || tx >= wMbs * 4) return false
+    val tmb = (ty / 4) * wMbs + tx / 4
+    val cmb = my * wMbs + mx
+    if (tmb != cmb) tmb < cmb
+    else ZIdxOf((ty % 4) * 4 + tx % 4) < blkZ
+  }
+
+  /** Which of the 9 Intra_4x4 modes the neighbor availability admits
+    * (conformant encoders never signal a mode whose samples are
+    * absent). */
+  private[operators] def i4ModeValid(mode: Int, hasL: Boolean,
+      hasT: Boolean): Boolean = mode match {
+    case 0 | 3 | 7 => hasT
+    case 1 | 8 => hasL
+    case 4 | 5 | 6 => hasL && hasT
+    case 2 => true
+    case _ => false
+  }
+
+  /** Intra_4x4 prediction, all nine modes (8.3.1.2.1-9). `px(dx,dy)`
+    * fetches reconstructed samples relative to the block origin
+    * (dx,dy in [-1,7]x[-1,3]); the caller guarantees referenced
+    * neighbors exist per [[i4ModeValid]]. Top-right samples substitute
+    * p[3,-1] when `hasTR` is false. */
+  private[operators] def predIntra4x4(mode: Int, hasL: Boolean, hasT: Boolean,
+      hasTR: Boolean, px: (Int, Int) => Int): Array[Int] = {
+    val T = new Array[Int](8)
+    val L = new Array[Int](4)
+    if (hasT) {
+      var i = 0
+      while (i < 4) { T(i) = px(i, -1); i += 1 }
+      while (i < 8) { T(i) = if (hasTR) px(i, -1) else T(3); i += 1 }
+    }
+    if (hasL) {
+      var i = 0
+      while (i < 4) { L(i) = px(-1, i); i += 1 }
+    }
+    val X = if (hasL && hasT) px(-1, -1) else 0
+    // pL(-1) = top-left corner sample (modes 5/6 index through it)
+    @inline def pL(i: Int): Int = if (i < 0) X else L(i)
+    @inline def pT(i: Int): Int = if (i < 0) X else T(i)
+    val out = new Array[Int](16)
+    mode match {
+      case 0 => // Vertical
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { out(y * 4 + x) = T(x); x += 1 }; y += 1 }
+      case 1 => // Horizontal
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { out(y * 4 + x) = L(y); x += 1 }; y += 1 }
+      case 2 => // DC
+        val v =
+          if (hasL && hasT) (T(0) + T(1) + T(2) + T(3) + L(0) + L(1) + L(2) + L(3) + 4) >> 3
+          else if (hasT) (T(0) + T(1) + T(2) + T(3) + 2) >> 2
+          else if (hasL) (L(0) + L(1) + L(2) + L(3) + 2) >> 2
+          else 128
+        java.util.Arrays.fill(out, v)
+      case 3 => // Diagonal Down-Left
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            out(y * 4 + x) =
+              if (x == 3 && y == 3) (T(6) + 3 * T(7) + 2) >> 2
+              else (T(x + y) + 2 * T(x + y + 1) + T(x + y + 2) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 4 => // Diagonal Down-Right
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            out(y * 4 + x) =
+              if (x > y) (pT(x - y - 2) + 2 * pT(x - y - 1) + pT(x - y) + 2) >> 2
+              else if (x < y) (pL(y - x - 2) + 2 * pL(y - x - 1) + pL(y - x) + 2) >> 2
+              else (T(0) + 2 * X + L(0) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 5 => // Vertical-Right
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = 2 * x - y
+            out(y * 4 + x) =
+              if (z >= 0 && (z & 1) == 0) (pT(x - (y >> 1) - 1) + pT(x - (y >> 1)) + 1) >> 1
+              else if (z >= 0) (pT(x - (y >> 1) - 2) + 2 * pT(x - (y >> 1) - 1) + pT(x - (y >> 1)) + 2) >> 2
+              else if (z == -1) (L(0) + 2 * X + T(0) + 2) >> 2
+              else (pL(y - 2 * x - 1) + 2 * pL(y - 2 * x - 2) + pL(y - 2 * x - 3) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 6 => // Horizontal-Down
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = 2 * y - x
+            out(y * 4 + x) =
+              if (z >= 0 && (z & 1) == 0) (pL(y - (x >> 1) - 1) + pL(y - (x >> 1)) + 1) >> 1
+              else if (z >= 0) (pL(y - (x >> 1) - 2) + 2 * pL(y - (x >> 1) - 1) + pL(y - (x >> 1)) + 2) >> 2
+              else if (z == -1) (L(0) + 2 * X + T(0) + 2) >> 2
+              else (pT(x - 2 * y - 1) + 2 * pT(x - 2 * y - 2) + pT(x - 2 * y - 3) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 7 => // Vertical-Left
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            out(y * 4 + x) =
+              if ((y & 1) == 0) (T(x + (y >> 1)) + T(x + (y >> 1) + 1) + 1) >> 1
+              else (T(x + (y >> 1)) + 2 * T(x + (y >> 1) + 1) + T(x + (y >> 1) + 2) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 8 => // Horizontal-Up
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = x + 2 * y
+            out(y * 4 + x) =
+              if (z < 5 && (z & 1) == 0) (L(y + (x >> 1)) + L(y + (x >> 1) + 1) + 1) >> 1
+              else if (z < 5) (L(y + (x >> 1)) + 2 * L(y + (x >> 1) + 1) + L(y + (x >> 1) + 2) + 2) >> 2
+              else if (z == 5) (L(2) + 3 * L(3) + 2) >> 2
+              else L(3)
+            x += 1
+          }
+          y += 1
+        }
+      case _ => throw new IllegalArgumentException(s"intra4x4 mode $mode")
+    }
+    out
+  }
+
+  /** Reconstruct one plain 4x4 block (Intra_4x4 luma or inter luma —
+    * 16 coefficients, no separate DC): pred + idct(dequant), clipped.
+    * `levels` in zigzag order, null = all-zero residual. SHARED by
+    * decoder and encoder recon. */
+  private[operators] def recon4x4(pred: Array[Int], levels: Array[Int],
+      qp: Int): Array[Int] = {
+    if (levels == null) return pred.clone()
+    val d = new Array[Int](16)
+    var k = 0
+    while (k < 16) {
+      val pos = Zigzag4x4(k)
+      d(pos) = dequant4x4(levels(k), pos, qp)
+      k += 1
+    }
+    val res = idct4x4(d)
+    val out = new Array[Int](16)
+    var i = 0
+    while (i < 16) { out(i) = clip255(pred(i) + res(i)); i += 1 }
+    out
+  }
+
+  /** Median MV prediction for a 16x16 partition (8.4.1.3): neighbor
+    * A = left MB, B = above, C = above-right (D = above-left when C is
+    * outside). Arrays are per-MB (quarter-pel MVs; `inter(mb)` false
+    * for intra/PCM MBs, which contribute mv (0,0) and a non-matching
+    * ref). SHARED by decoder and encoder — they must agree exactly or
+    * every mvd in the stream lands on the wrong vector. */
+  private[operators] def mvPred16x16(mvx: Array[Int], mvy: Array[Int],
+      inter: Array[Boolean], decoded: Int, wMbs: Int, mb: Int): (Int, Int) = {
+    val mx = mb % wMbs
+    val my = mb / wMbs
+    val aMb = if (mx > 0) mb - 1 else -1
+    val bMb = if (my > 0) mb - wMbs else -1
+    val cMb = {
+      val cRaw = if (my > 0 && mx < wMbs - 1) mb - wMbs + 1 else -1
+      if (cRaw >= 0) cRaw
+      else if (my > 0 && mx > 0) mb - wMbs - 1 // D substitution
+      else -1
+    }
+    @inline def avail(n: Int): Boolean = n >= 0 && n < decoded
+    @inline def mv(n: Int): (Int, Int) =
+      if (avail(n) && inter(n)) (mvx(n), mvy(n)) else (0, 0)
+    @inline def refMatch(n: Int): Boolean = avail(n) && inter(n)
+    if (!avail(bMb) && !avail(cMb) && avail(aMb)) mv(aMb)
+    else {
+      val matches = Seq(aMb, bMb, cMb).filter(refMatch)
+      if (matches.size == 1) mv(matches.head)
+      else {
+        val (ax, ay) = mv(aMb); val (bx, by) = mv(bMb); val (cx, cy) = mv(cMb)
+        (ax + bx + cx - math.min(ax, math.min(bx, cx)) - math.max(ax, math.max(bx, cx)),
+          ay + by + cy - math.min(ay, math.min(by, cy)) - math.max(ay, math.max(by, cy)))
+      }
+    }
+  }
+
+  /** P_Skip motion vector (8.4.1.1): zero when the left/above context
+    * says "static edge", else the 16x16 median prediction. SHARED. */
+  private[operators] def skipMv(mvx: Array[Int], mvy: Array[Int],
+      inter: Array[Boolean], decoded: Int, wMbs: Int, mb: Int): (Int, Int) = {
+    val mx = mb % wMbs
+    val my = mb / wMbs
+    val aMb = if (mx > 0) mb - 1 else -1
+    val bMb = if (my > 0) mb - wMbs else -1
+    @inline def zeroish(n: Int): Boolean =
+      inter(n) && mvx(n) == 0 && mvy(n) == 0
+    if (aMb < 0 || bMb < 0 || zeroish(aMb) || zeroish(bMb)) (0, 0)
+    else mvPred16x16(mvx, mvy, inter, decoded, wMbs, mb)
+  }
+
+  /** Full-pel 16x16 luma motion compensation with edge clamping
+    * (8.4.2.2.1 integer case; sub-pel luma — the 6-tap filter — stays
+    * the documented out-of-subset boundary). `dx`,`dy` in full pels. */
+  private[operators] def mcLuma16(refY: Array[Byte], w: Int, h: Int,
+      mx: Int, my: Int, dx: Int, dy: Int): Array[Int] = {
+    val out = new Array[Int](256)
+    var r = 0
+    while (r < 16) {
+      val sy = math.max(0, math.min(h - 1, my * 16 + r + dy))
+      var c = 0
+      while (c < 16) {
+        val sx = math.max(0, math.min(w - 1, mx * 16 + c + dx))
+        out(r * 16 + c) = refY(sy * w + sx) & 0xFF
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** 8x8 chroma motion compensation, eighth-pel bilinear
+    * (8.4.2.2.2). `mvx`,`mvy` are the partition's QUARTER-LUMA-pel
+    * vector — chroma sampling halves it, so full-pel luma motion can
+    * still land on half-pel chroma positions. Edge-clamped. */
+  private[operators] def mcChroma8(refC: Array[Byte], cw: Int, ch: Int,
+      mx: Int, my: Int, mvx: Int, mvy: Int): Array[Int] = {
+    val bx = mvx >> 3
+    val by = mvy >> 3
+    val xF = mvx & 7
+    val yF = mvy & 7
+    @inline def s(x: Int, yy: Int): Int = {
+      val cx = math.max(0, math.min(cw - 1, x))
+      val cy = math.max(0, math.min(ch - 1, yy))
+      refC(cy * cw + cx) & 0xFF
+    }
+    val out = new Array[Int](64)
+    var r = 0
+    while (r < 8) {
+      val sy = my * 8 + r + by
+      var c = 0
+      while (c < 8) {
+        val sx = mx * 8 + c + bx
+        out(r * 8 + c) =
+          ((8 - xF) * (8 - yF) * s(sx, sy) + xF * (8 - yF) * s(sx + 1, sy) +
+            (8 - xF) * yF * s(sx, sy + 1) + xF * yF * s(sx + 1, sy + 1) + 32) >> 6
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** The 9.2.1 nC neighbor rule, SHARED by decoder and encoder (their
     * bookkeeping arrays must agree bit-for-bit or the stream
     * desynchronizes). */
@@ -682,6 +1001,14 @@ object H264 {
       hasT: Boolean, qpc: Int): (Array[Int], Array[Array[Int]], Array[Int]) = {
     val predC = predChroma8x8(chromaMode, hasL, hasT,
       (px, py) => reconPlane((my * 8 + py) * cw + mx * 8 + px) & 0xFF)
+    encodeChromaWithPred(srcPlane, predC, mx, my, cw, qpc)
+  }
+
+  /** [[encodeChromaPlane]] core against an EXTERNAL prediction (intra
+    * neighbors or motion compensation — the inter path hands in its MC
+    * block). */
+  private def encodeChromaWithPred(srcPlane: Array[Byte], predC: Array[Int],
+      mx: Int, my: Int, cw: Int, qpc: Int): (Array[Int], Array[Array[Int]], Array[Int]) = {
     val dc = new Array[Int](4)
     val ac = new Array[Array[Int]](4)
     var blk = 0
@@ -733,6 +1060,388 @@ object H264 {
       }
       rr += 1
     }
+  }
+
+  /** Quantize one 4x4 residual (16 coefficients, zigzag): levels
+    * array, or null when everything quantizes to zero. */
+  private def quantBlock16(res: Array[Int], qp: Int): Array[Int] = {
+    val wt = fdct4x4(res)
+    val lv = new Array[Int](16)
+    var nz = false
+    var k = 0
+    while (k < 16) {
+      val p = Zigzag4x4(k)
+      lv(k) = quantAc(wt(p), p, qp)
+      if (lv(k) != 0) nz = true
+      k += 1
+    }
+    if (nz) lv else null
+  }
+
+  /** Encode frames as an Intra_4x4 IDR followed by P_L0_16x16/P_Skip
+    * pictures — the GOP shape real baseline footage uses: keyframes in
+    * the common Intra_4x4 mode (per-block 9-mode prediction chosen by
+    * SAD, the 8.3.1.1 min-neighbor mode predictor signalled with
+    * prev/rem flags, me(v) coded_block_pattern), then motion-predicted
+    * frames (full-pel SAD search over ±`searchRange`, mvd against the
+    * 8.4.1.3 median predictor, inter me(v) cbp, 16-coefficient luma
+    * residual blocks, eighth-pel bilinear chroma MC) with P_Skip runs
+    * where the 8.4.1.1 skip vector already predicts the block exactly.
+    * Sub-pel LUMA motion (the 6-tap filter) and CABAC stay the
+    * documented out-of-subset boundaries.
+    *
+    * Returns the bitstream AND the reconstruction computed through the
+    * decoder-shared helpers ([[predIntra4x4]]/[[recon4x4]]/
+    * [[mcLuma16]]/[[mcChroma8]]/[[reconChroma8x8]]), so `decodeNals`
+    * output must equal it BIT-EXACTLY. */
+  def encodeCavlcI4P(frames: IndexedSeq[Plane], qp: Int,
+      searchRange: Int = 4): (Encoded, IndexedSeq[Plane]) = {
+    require(frames.nonEmpty && qp >= 10 && qp <= 51, "qp in [10,51]")
+    val w = frames.head.width
+    val h = frames.head.height
+    require(w % 16 == 0 && h % 16 == 0)
+    val wMbs = w / 16
+    val hMbs = h / 16
+    val cw = w / 2
+    val chh = h / 2
+    val lumaBlkW = wMbs * 4
+    val chromaBlkW = wMbs * 2
+    val nMbs = wMbs * hMbs
+    val qpc = chromaQp(qp)
+    val recons = IndexedSeq.newBuilder[Plane]
+    var ref: Plane = null
+    val nals = frames.zipWithIndex.map { case (src, fi) =>
+      val bw = new BitWriter
+      val isIdr = fi == 0
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(if (isIdr) 7 else 5) // slice_type: I / P ("all slices")
+      bw.ue(0) // pic_parameter_set_id
+      bw.u(4, fi & 0xF) // frame_num
+      if (isIdr) {
+        bw.ue(0) // idr_pic_id
+        bw.u1(0); bw.u1(0) // no_output_of_prior / long_term_reference
+      } else {
+        bw.u1(0) // num_ref_idx_active_override_flag
+        bw.u1(0) // ref_pic_list_modification_flag_l0
+        bw.u1(0) // adaptive_ref_pic_marking_mode_flag
+      }
+      bw.se(qp - 26) // slice_qp_delta
+      bw.ue(1) // disable_deblocking_filter_idc = 1: loop filter OFF
+      // encoder-side bookkeeping, identical to the decoder's
+      val lumaTc = new Array[Int](lumaBlkW * hMbs * 4)
+      val cbTc = new Array[Int](chromaBlkW * hMbs * 2)
+      val crTc = new Array[Int](chromaBlkW * hMbs * 2)
+      val i4Grid = new Array[Int](lumaBlkW * hMbs * 4)
+      java.util.Arrays.fill(i4Grid, -1)
+      val mvXArr = new Array[Int](nMbs)
+      val mvYArr = new Array[Int](nMbs)
+      val interArr = new Array[Boolean](nMbs)
+      val ry = new Array[Byte](w * h)
+      val rcb = new Array[Byte](cw * chh)
+      val rcr = new Array[Byte](cw * chh)
+      var skipRun = 0
+
+      def writeChromaEntropy(cbpChroma: Int, mx: Int, my: Int,
+          cbData: (Array[Int], Array[Array[Int]], Array[Int]),
+          crData: (Array[Int], Array[Array[Int]], Array[Int])): Unit = {
+        if (cbpChroma != 0) {
+          Cavlc.writeResidual(bw, cbData._1, -1)
+          Cavlc.writeResidual(bw, crData._1, -1)
+        }
+        if (cbpChroma == 2) {
+          var cblk = 0
+          while (cblk < 4) {
+            val gx = mx * 2 + cblk % 2
+            val gy = my * 2 + cblk / 2
+            cbTc(gy * chromaBlkW + gx) = Cavlc.writeResidual(bw,
+              cbData._2(cblk), nCOf(cbTc, chromaBlkW, gx, gy))
+            cblk += 1
+          }
+          cblk = 0
+          while (cblk < 4) {
+            val gx = mx * 2 + cblk % 2
+            val gy = my * 2 + cblk / 2
+            crTc(gy * chromaBlkW + gx) = Cavlc.writeResidual(bw,
+              crData._2(cblk), nCOf(crTc, chromaBlkW, gx, gy))
+            cblk += 1
+          }
+        }
+      }
+
+      /** cbpChroma from the quantized levels: 2 = some AC, 1 = DC
+        * only, 0 = nothing. */
+      def chromaCbpOf(cbData: (Array[Int], Array[Array[Int]], Array[Int]),
+          crData: (Array[Int], Array[Array[Int]], Array[Int])): Int = {
+        val acNz = cbData._2.exists(_.exists(_ != 0)) ||
+          crData._2.exists(_.exists(_ != 0))
+        val dcNz = cbData._1.exists(_ != 0) || crData._1.exists(_ != 0)
+        if (acNz) 2 else if (dcNz) 1 else 0
+      }
+
+      /** Reconstruct chroma exactly as the decoder will: levels the
+        * stream does not carry are zero. */
+      def reconChromaAs(cbpChroma: Int, mx: Int, my: Int,
+          cbData: (Array[Int], Array[Array[Int]], Array[Int]),
+          crData: (Array[Int], Array[Array[Int]], Array[Int])): Unit = {
+        def eff(d: (Array[Int], Array[Array[Int]], Array[Int])) = (
+          if (cbpChroma >= 1) d._1 else null,
+          if (cbpChroma == 2) d._2 else null,
+          d._3)
+        reconChromaInto(rcb, eff(cbData), mx, my, cw, qpc)
+        reconChromaInto(rcr, eff(crData), mx, my, cw, qpc)
+      }
+
+      def writeLumaEntropy(cbpLuma: Int, mx: Int, my: Int,
+          lumaLv: Array[Array[Int]]): Unit = {
+        val zeros = new Array[Int](16)
+        var i8 = 0
+        while (i8 < 4) {
+          if (((cbpLuma >> i8) & 1) != 0) {
+            var j = 0
+            while (j < 4) {
+              val blk = i8 * 4 + j
+              val gx = mx * 4 + LumaBlkX(blk)
+              val gy = my * 4 + LumaBlkY(blk)
+              val lv = if (lumaLv(blk) == null) zeros else lumaLv(blk)
+              lumaTc(gy * lumaBlkW + gx) =
+                Cavlc.writeResidual(bw, lv, nCOf(lumaTc, lumaBlkW, gx, gy))
+              j += 1
+            }
+          }
+          i8 += 1
+        }
+      }
+
+      def encodeI4Mb(mb: Int, mbTypeCode: Int): Unit = {
+        val mx = mb % wMbs
+        val my = mb / wMbs
+        val hasL = mx > 0
+        val hasT = my > 0
+        // ---- pass 1: per-block mode choice (min SAD, lowest index on
+        // ties — deterministic), quant, closed-loop recon in z-order
+        val modes = new Array[Int](16)
+        val lumaLv = new Array[Array[Int]](16)
+        var blk = 0
+        while (blk < 16) {
+          val px0 = mx * 16 + LumaBlkX(blk) * 4
+          val py0 = my * 16 + LumaBlkY(blk) * 4
+          val gx = mx * 4 + LumaBlkX(blk)
+          val gy = my * 4 + LumaBlkY(blk)
+          val bTr = i4TrAvailable(mx, my, blk, wMbs)
+          val fetch = (dx: Int, dy: Int) => ry((py0 + dy) * w + px0 + dx) & 0xFF
+          var bestMode = -1
+          var bestSad = Int.MaxValue
+          var m = 0
+          while (m < 9) {
+            if (i4ModeValid(m, gx > 0, gy > 0)) {
+              val pr = predIntra4x4(m, gx > 0, gy > 0, bTr, fetch)
+              var sad = 0
+              var i = 0
+              while (i < 16) {
+                sad += math.abs(
+                  (src.y((py0 + i / 4) * w + px0 + i % 4) & 0xFF) - pr(i))
+                i += 1
+              }
+              if (sad < bestSad) { bestSad = sad; bestMode = m }
+            }
+            m += 1
+          }
+          val pred = predIntra4x4(bestMode, gx > 0, gy > 0, bTr, fetch)
+          val res = new Array[Int](16)
+          var i = 0
+          while (i < 16) {
+            res(i) = (src.y((py0 + i / 4) * w + px0 + i % 4) & 0xFF) - pred(i)
+            i += 1
+          }
+          val lv = quantBlock16(res, qp)
+          lumaLv(blk) = lv
+          modes(blk) = bestMode
+          i4Grid(gy * lumaBlkW + gx) = bestMode
+          val out = recon4x4(pred, lv, qp)
+          var rr = 0
+          while (rr < 4) {
+            var cc = 0
+            while (cc < 4) {
+              ry((py0 + rr) * w + px0 + cc) = out(rr * 4 + cc).toByte
+              cc += 1
+            }
+            rr += 1
+          }
+          blk += 1
+        }
+        // chroma: availability-gated mode sweep (coverage of all four)
+        val chromaMode = (mb + fi) % 4 match {
+          case 0 if hasT => 2
+          case 1 if hasL => 1
+          case 3 if hasL && hasT => 3
+          case _ => 0
+        }
+        val cbData = encodeChromaPlane(src.cb, rcb, mx, my, cw, chromaMode,
+          hasL, hasT, qpc)
+        val crData = encodeChromaPlane(src.cr, rcr, mx, my, cw, chromaMode,
+          hasL, hasT, qpc)
+        var cbpLuma = 0
+        var i8 = 0
+        while (i8 < 4) {
+          var j = 0
+          var any = false
+          while (j < 4) { if (lumaLv(i8 * 4 + j) != null) any = true; j += 1 }
+          if (any) cbpLuma |= 1 << i8
+          i8 += 1
+        }
+        val cbpChroma = chromaCbpOf(cbData, crData)
+        val cbp = (cbpChroma << 4) | cbpLuma
+        // ---- bitstream
+        bw.ue(mbTypeCode) // I_NxN: 0 in I slices, 5 in P slices
+        blk = 0
+        while (blk < 16) {
+          val gx = mx * 4 + LumaBlkX(blk)
+          val gy = my * 4 + LumaBlkY(blk)
+          // the grid cells the predictor reads belong to earlier
+          // z-blocks/MBs, so the post-pass-1 grid equals parse order
+          val pm = predI4Mode(i4Grid, lumaBlkW, gx, gy)
+          if (modes(blk) == pm) bw.u1(1)
+          else {
+            bw.u1(0)
+            bw.u(3, if (modes(blk) < pm) modes(blk) else modes(blk) - 1)
+          }
+          blk += 1
+        }
+        bw.ue(chromaMode)
+        bw.ue(IntraCbpCode(cbp))
+        if (cbp != 0) bw.se(0) // mb_qp_delta
+        writeLumaEntropy(cbpLuma, mx, my, lumaLv)
+        writeChromaEntropy(cbpChroma, mx, my, cbData, crData)
+        reconChromaAs(cbpChroma, mx, my, cbData, crData)
+      }
+
+      def encodePMb(mb: Int): Unit = {
+        val mx = mb % wMbs
+        val my = mb / wMbs
+        // ---- full-pel SAD search, (0,0) seeded, strict-< tie-break
+        var bestDx = 0
+        var bestDy = 0
+        var bestSad = Int.MaxValue
+        var dy = -searchRange
+        while (dy <= searchRange) {
+          var dx = -searchRange
+          while (dx <= searchRange) {
+            val pr = mcLuma16(ref.y, w, h, mx, my, dx, dy)
+            var sad = 0
+            var i = 0
+            while (i < 256) {
+              sad += math.abs(
+                (src.y((my * 16 + i / 16) * w + mx * 16 + i % 16) & 0xFF) - pr(i))
+              i += 1
+            }
+            // bias toward (0,0) then raster order: evaluate (0,0) first
+            val better =
+              if (dx == 0 && dy == 0) sad <= bestSad
+              else sad < bestSad
+            if (better) { bestSad = sad; bestDx = dx; bestDy = dy }
+            dx += 1
+          }
+          dy += 1
+        }
+        val mvx = bestDx * 4
+        val mvy = bestDy * 4
+        // ---- residuals against the MC prediction
+        val predL = mcLuma16(ref.y, w, h, mx, my, bestDx, bestDy)
+        val lumaLv = new Array[Array[Int]](16)
+        var blk = 0
+        while (blk < 16) {
+          val res = new Array[Int](16)
+          var i = 0
+          while (i < 16) {
+            val srcPix = (src.y((my * 16 + LumaBlkY(blk) * 4 + i / 4) * w +
+              mx * 16 + LumaBlkX(blk) * 4 + i % 4) & 0xFF)
+            res(i) = srcPix -
+              predL((LumaBlkY(blk) * 4 + i / 4) * 16 + LumaBlkX(blk) * 4 + i % 4)
+            i += 1
+          }
+          lumaLv(blk) = quantBlock16(res, qp)
+          blk += 1
+        }
+        val predCb = mcChroma8(ref.cb, cw, chh, mx, my, mvx, mvy)
+        val predCr = mcChroma8(ref.cr, cw, chh, mx, my, mvx, mvy)
+        val cbData = encodeChromaWithPred(src.cb, predCb, mx, my, cw, qpc)
+        val crData = encodeChromaWithPred(src.cr, predCr, mx, my, cw, qpc)
+        var cbpLuma = 0
+        var i8 = 0
+        while (i8 < 4) {
+          var j = 0
+          var any = false
+          while (j < 4) { if (lumaLv(i8 * 4 + j) != null) any = true; j += 1 }
+          if (any) cbpLuma |= 1 << i8
+          i8 += 1
+        }
+        val cbpChroma = chromaCbpOf(cbData, crData)
+        val cbp = (cbpChroma << 4) | cbpLuma
+        // ---- P_Skip when the skip vector predicts this MB exactly
+        val (skx, sky) = skipMv(mvXArr, mvYArr, interArr, mb, wMbs, mb)
+        if (cbp == 0 && skx == mvx && sky == mvy) {
+          skipRun += 1
+          mvXArr(mb) = mvx; mvYArr(mb) = mvy; interArr(mb) = true
+        } else {
+          bw.ue(skipRun) // mb_skip_run
+          skipRun = 0
+          bw.ue(0) // mb_type P_L0_16x16
+          val (px, py) = mvPred16x16(mvXArr, mvYArr, interArr, mb, wMbs, mb)
+          bw.se(mvx - px)
+          bw.se(mvy - py)
+          bw.ue(InterCbpCode(cbp))
+          if (cbp != 0) bw.se(0) // mb_qp_delta
+          writeLumaEntropy(cbpLuma, mx, my, lumaLv)
+          writeChromaEntropy(cbpChroma, mx, my, cbData, crData)
+          mvXArr(mb) = mvx; mvYArr(mb) = mvy; interArr(mb) = true
+        }
+        // ---- closed-loop recon (identical for skip and coded: the
+        // decoder sees zero residual where cbp bits are clear)
+        blk = 0
+        while (blk < 16) {
+          val px0 = mx * 16 + LumaBlkX(blk) * 4
+          val py0 = my * 16 + LumaBlkY(blk) * 4
+          val pred = new Array[Int](16)
+          var rr = 0
+          while (rr < 4) {
+            var cc = 0
+            while (cc < 4) {
+              pred(rr * 4 + cc) =
+                predL((LumaBlkY(blk) * 4 + rr) * 16 + LumaBlkX(blk) * 4 + cc)
+              cc += 1
+            }
+            rr += 1
+          }
+          val lv = if (((cbp >> (blk / 4)) & 1) != 0) lumaLv(blk) else null
+          val out = recon4x4(pred, lv, qp)
+          rr = 0
+          while (rr < 4) {
+            var cc = 0
+            while (cc < 4) {
+              ry((py0 + rr) * w + px0 + cc) = out(rr * 4 + cc).toByte
+              cc += 1
+            }
+            rr += 1
+          }
+          blk += 1
+        }
+        reconChromaAs(cbpChroma, mx, my, cbData, crData)
+      }
+
+      var mb = 0
+      while (mb < nMbs) {
+        if (isIdr) encodeI4Mb(mb, 0)
+        else encodePMb(mb)
+        mb += 1
+      }
+      if (!isIdr && skipRun > 0) bw.ue(skipRun) // trailing skip run
+      bw.rbspTrailing()
+      recons += Plane(w, h, ry, rcb, rcr)
+      ref = Plane(w, h, ry, rcb, rcr)
+      (Array[Byte]((3 << 5 | (if (isIdr) 5 else 1)).toByte)) ++ escape(bw.toBytes)
+    }
+    (Encoded(encodeSps(wMbs, hMbs), encodePps(), nals, wMbs, hMbs),
+      recons.result())
   }
 
   /** Encode frames (all same dims, multiples of 16). Frame 0 is IDR
@@ -1328,6 +2037,269 @@ object H264 {
       }
     }
 
+    // per-4x4-block Intra_4x4 prediction modes (for 8.3.1.1 mode
+    // prediction); -1 = block not Intra_4x4-coded
+    val i4Grid = new Array[Int](lumaBlkW * sps.heightMbs * 4)
+    java.util.Arrays.fill(i4Grid, -1)
+    // per-MB motion state for MV prediction (quarter-pel; inter=false
+    // for intra/PCM MBs)
+    val mvXArr = new Array[Int](nMbs)
+    val mvYArr = new Array[Int](nMbs)
+    val interArr = new Array[Boolean](nMbs)
+
+    /** Read the chroma residual for cbpChroma in {0,1,2}: (cbDc, crDc,
+      * cbAc, crAc), nulls where absent — shared by every non-PCM MB
+      * type. */
+    def readChroma(mb: Int, cbpChroma: Int)
+        : (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]]) = {
+      val mx = mb % sps.widthMbs
+      val my = mb / sps.widthMbs
+      var cbDc: Array[Int] = null
+      var crDc: Array[Int] = null
+      if (cbpChroma != 0) {
+        cbDc = Cavlc.readResidual(r, -1, 4)
+        crDc = Cavlc.readResidual(r, -1, 4)
+      }
+      var cbAc: Array[Array[Int]] = null
+      var crAc: Array[Array[Int]] = null
+      if (cbpChroma == 2) {
+        def readAc(tcArr: Array[Int]): Array[Array[Int]] = {
+          val arr = new Array[Array[Int]](4)
+          var blk = 0
+          while (blk < 4) {
+            val gx = mx * 2 + blk % 2
+            val gy = my * 2 + blk / 2
+            val lv = Cavlc.readResidual(r, nCOf(tcArr, chromaBlkW, gx, gy), 15)
+            arr(blk) = lv
+            tcArr(gy * chromaBlkW + gx) = lv.count(_ != 0)
+            blk += 1
+          }
+          arr
+        }
+        cbAc = readAc(cbTc)
+        crAc = readAc(crTc)
+      }
+      (cbDc, crDc, cbAc, crAc)
+    }
+
+    /** Reconstruct + store both chroma 8x8s from prediction arrays. */
+    def reconChromaMb(mb: Int, predCb: Array[Int], predCr: Array[Int],
+        ch: (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]]),
+        qpc: Int): Unit = {
+      val mx = mb % sps.widthMbs
+      val my = mb / sps.widthMbs
+      val cw = w / 2
+      var comp = 0
+      while (comp < 2) {
+        val plane = if (comp == 0) cb else cr
+        val out = reconChroma8x8(if (comp == 0) predCb else predCr,
+          if (comp == 0) ch._1 else ch._2,
+          if (comp == 0) ch._3 else ch._4, qpc)
+        var rr = 0
+        while (rr < 8) {
+          var cc = 0
+          while (cc < 8) {
+            plane((my * 8 + rr) * cw + mx * 8 + cc) = out(rr * 8 + cc).toByte
+            cc += 1
+          }
+          rr += 1
+        }
+        comp += 1
+      }
+    }
+
+    /** Decode one Intra_4x4 macroblock (mb_type I_NxN, CAVLC): 16
+      * per-block prediction modes with the 8.3.1.1 min-neighbor
+      * predictor, me(v) coded_block_pattern, mb_qp_delta when any
+      * residual, 16-coefficient luma blocks per set cbp 8x8, chroma
+      * DC/AC like Intra_16x16. Prediction reads RECONSTRUCTED samples
+      * (earlier z-blocks of the same MB included), so entropy decode
+      * runs first, reconstruction second — the spec's own ordering. */
+    def decodeIntra4Mb(mb: Int): Boolean = {
+      val mx = mb % sps.widthMbs
+      val my = mb / sps.widthMbs
+      val modes = new Array[Int](16)
+      var b = 0
+      while (b < 16) {
+        val gx = mx * 4 + LumaBlkX(b)
+        val gy = my * 4 + LumaBlkY(b)
+        val pm = predI4Mode(i4Grid, lumaBlkW, gx, gy)
+        val mode =
+          if (r.u1() == 1) pm
+          else { val rem = r.u(3); if (rem < pm) rem else rem + 1 }
+        if (!i4ModeValid(mode, gx > 0, gy > 0)) return false
+        modes(b) = mode
+        i4Grid(gy * lumaBlkW + gx) = mode
+        b += 1
+      }
+      val chromaPredMode = r.ue()
+      if (chromaPredMode > 3) return false
+      val hasL = mx > 0
+      val hasT = my > 0
+      val okC = chromaPredMode match {
+        case 1 => hasL
+        case 2 => hasT
+        case 3 => hasL && hasT
+        case _ => true
+      }
+      if (!okC) return false
+      val cbpCode = r.ue()
+      if (cbpCode > 47) return false
+      val cbp = IntraCbpTab(cbpCode)
+      val cbpChroma = cbp >> 4
+      if (cbpChroma > 2) return false
+      if (cbp != 0) {
+        val dq = r.se()
+        if (dq < -26 || dq > 25) return false
+        qpy = (qpy + dq + 52) % 52
+      }
+      // ---- entropy (7.3.5.3.1: i8x8-gated 16-coeff luma blocks)
+      val lumaLv = new Array[Array[Int]](16)
+      var i8 = 0
+      while (i8 < 4) {
+        if (((cbp >> i8) & 1) != 0) {
+          var j = 0
+          while (j < 4) {
+            val blk = i8 * 4 + j
+            val gx = mx * 4 + LumaBlkX(blk)
+            val gy = my * 4 + LumaBlkY(blk)
+            val lv = Cavlc.readResidual(r, nCOf(lumaTc, lumaBlkW, gx, gy), 16)
+            lumaLv(blk) = lv
+            lumaTc(gy * lumaBlkW + gx) = lv.count(_ != 0)
+            j += 1
+          }
+        }
+        i8 += 1
+      }
+      val ch = readChroma(mb, cbpChroma)
+      // ---- per-block prediction + reconstruction, z-order
+      var blk = 0
+      while (blk < 16) {
+        val px0 = mx * 16 + LumaBlkX(blk) * 4
+        val py0 = my * 16 + LumaBlkY(blk) * 4
+        val gx = mx * 4 + LumaBlkX(blk)
+        val gy = my * 4 + LumaBlkY(blk)
+        val pred = predIntra4x4(modes(blk), gx > 0, gy > 0,
+          i4TrAvailable(mx, my, blk, sps.widthMbs),
+          (dx, dy) => y((py0 + dy) * w + px0 + dx) & 0xFF)
+        val out = recon4x4(pred, lumaLv(blk), qpy)
+        var rr = 0
+        while (rr < 4) {
+          var cc = 0
+          while (cc < 4) {
+            y((py0 + rr) * w + px0 + cc) = out(rr * 4 + cc).toByte
+            cc += 1
+          }
+          rr += 1
+        }
+        blk += 1
+      }
+      val qpc = chromaQp(qpy)
+      val cw = w / 2
+      val predCb = predChroma8x8(chromaPredMode, hasL, hasT,
+        (px, py) => cb((my * 8 + py) * cw + mx * 8 + px) & 0xFF)
+      val predCr = predChroma8x8(chromaPredMode, hasL, hasT,
+        (px, py) => cr((my * 8 + py) * cw + mx * 8 + px) & 0xFF)
+      reconChromaMb(mb, predCb, predCr, ch, qpc)
+      true
+    }
+
+    /** Motion-compensate + store one inter MB from `ref` at quarter-pel
+      * MV (mvx, mvy); luma must be full-pel (sub-pel luma = 6-tap
+      * interpolation, the documented out-of-subset boundary). Residual
+      * arrays may be null (P_Skip / cbp 0). */
+    def reconInterMb(mb: Int, mvx: Int, mvy: Int,
+        lumaLv: Array[Array[Int]],
+        ch: (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]])): Boolean = {
+      if (ref == null) return false
+      if ((mvx & 3) != 0 || (mvy & 3) != 0) return false // sub-pel luma
+      val mx = mb % sps.widthMbs
+      val my = mb / sps.widthMbs
+      val predL = mcLuma16(ref.y, w, h, mx, my, mvx >> 2, mvy >> 2)
+      var blk = 0
+      while (blk < 16) {
+        val px0 = mx * 16 + LumaBlkX(blk) * 4
+        val py0 = my * 16 + LumaBlkY(blk) * 4
+        val pred = new Array[Int](16)
+        var rr = 0
+        while (rr < 4) {
+          var cc = 0
+          while (cc < 4) {
+            pred(rr * 4 + cc) =
+              predL((LumaBlkY(blk) * 4 + rr) * 16 + LumaBlkX(blk) * 4 + cc)
+            cc += 1
+          }
+          rr += 1
+        }
+        val out = recon4x4(pred, if (lumaLv == null) null else lumaLv(blk), qpy)
+        rr = 0
+        while (rr < 4) {
+          var cc = 0
+          while (cc < 4) {
+            y((py0 + rr) * w + px0 + cc) = out(rr * 4 + cc).toByte
+            cc += 1
+          }
+          rr += 1
+        }
+        blk += 1
+      }
+      val qpc = chromaQp(qpy)
+      val cw = w / 2
+      val chh = h / 2
+      val predCb = mcChroma8(ref.cb, cw, chh, mx, my, mvx, mvy)
+      val predCr = mcChroma8(ref.cr, cw, chh, mx, my, mvx, mvy)
+      reconChromaMb(mb, predCb, predCr,
+        if (ch == null) (null, null, null, null) else ch, qpc)
+      mvXArr(mb) = mvx
+      mvYArr(mb) = mvy
+      interArr(mb) = true
+      true
+    }
+
+    /** Decode one P_L0_16x16 macroblock: mvd against the 8.4.1.3
+      * median predictor, me(v) inter coded_block_pattern, 16-coeff
+      * luma residual per set 8x8, chroma DC/AC. */
+    def decodeInter16Mb(mb: Int): Boolean = {
+      // num_ref_idx_l0_active is 1 in-subset: no ref_idx_l0 field
+      val mvdx = r.se()
+      val mvdy = r.se()
+      val (px, py) = mvPred16x16(mvXArr, mvYArr, interArr, mb, sps.widthMbs, mb)
+      val mvx = px + mvdx
+      val mvy = py + mvdy
+      val cbpCode = r.ue()
+      if (cbpCode > 47) return false
+      val cbp = InterCbpTab(cbpCode)
+      val cbpChroma = cbp >> 4
+      if (cbpChroma > 2) return false
+      if (cbp != 0) {
+        val dq = r.se()
+        if (dq < -26 || dq > 25) return false
+        qpy = (qpy + dq + 52) % 52
+      }
+      val mx = mb % sps.widthMbs
+      val my = mb / sps.widthMbs
+      val lumaLv: Array[Array[Int]] =
+        if ((cbp & 15) != 0) new Array[Array[Int]](16) else null
+      var i8 = 0
+      while (i8 < 4) {
+        if (((cbp >> i8) & 1) != 0) {
+          var j = 0
+          while (j < 4) {
+            val blk = i8 * 4 + j
+            val gx = mx * 4 + LumaBlkX(blk)
+            val gy = my * 4 + LumaBlkY(blk)
+            val lv = Cavlc.readResidual(r, nCOf(lumaTc, lumaBlkW, gx, gy), 16)
+            lumaLv(blk) = lv
+            lumaTc(gy * lumaBlkW + gx) = lv.count(_ != 0)
+            j += 1
+          }
+        }
+        i8 += 1
+      }
+      val ch = readChroma(mb, cbpChroma)
+      reconInterMb(mb, mvx, mvy, lumaLv, ch)
+    }
+
     /** Decode one Intra_16x16 macroblock, general profile: all four
       * prediction modes (Vertical/Horizontal/DC/Plane), CBP luma 0 or
       * 15 (full AC residual), CBP chroma 0/1/2 (DC / DC+AC residual),
@@ -1445,21 +2417,40 @@ object H264 {
         val skip = r.ue() // mb_skip_run
         if (mb + skip > nMbs) return None
         var k = 0
-        while (k < skip) { copyMbFromRef(mb); mb += 1; k += 1 }
+        while (k < skip) {
+          // P_Skip: motion-compensate at the 8.4.1.1-derived vector
+          // (zero-MV skips reduce to the old copy-from-ref behavior)
+          val (sx, sy) = skipMv(mvXArr, mvYArr, interArr, mb, sps.widthMbs, mb)
+          if (sx == 0 && sy == 0) {
+            copyMbFromRef(mb)
+            mvXArr(mb) = 0; mvYArr(mb) = 0; interArr(mb) = true
+          } else if (!reconInterMb(mb, sx, sy, null, null)) return None
+          mb += 1
+          k += 1
+        }
         if (mb < nMbs) {
           if (!r.moreRbspData()) return None // slice ended mid-picture
           val mbType = r.ue()
-          if (mbType != 30) return None // only I_PCM (5+25) in P subset
-          readPcmMb(mb)
-          fillMbTotals(mb, 16)
+          if (mbType == 0) { // P_L0_16x16
+            if (!decodeInter16Mb(mb)) return None
+          } else if (mbType == 5) { // I_NxN in a P slice
+            if (!decodeIntra4Mb(mb)) return None
+          } else if (mbType >= 6 && mbType <= 29) { // Intra_16x16 in P
+            if (!decodeIntra16Mb(mb, mbType - 5)) return None
+          } else if (mbType == 30) { // I_PCM (5 + 25)
+            readPcmMb(mb)
+            fillMbTotals(mb, 16)
+          } else return None // P_8x8 etc: out of subset
           mb += 1
         }
       } else {
         val mbType = r.ue()
-        if (mbType == 25) { readPcmMb(mb); fillMbTotals(mb, 16) } // I_PCM
+        if (mbType == 0) { // I_NxN (Intra_4x4)
+          if (!decodeIntra4Mb(mb)) return None
+        } else if (mbType == 25) { readPcmMb(mb); fillMbTotals(mb, 16) } // I_PCM
         else if (mbType >= 1 && mbType <= 24) {
           if (!decodeIntra16Mb(mb, mbType)) return None
-        } else return None // I_4x4 / unknown: out of subset
+        } else return None // unknown: out of subset
         mb += 1
       }
     }

@@ -944,6 +944,134 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("H.264 Intra_4x4 + P-frame encode/decode is pixel-exact (C12)") {
+    // textured frames with GLOBAL MOTION: frame f shows the same
+    // pattern shifted by (2f, f) pixels plus evolving noise, so the
+    // P-frame search finds real vectors and still has residual to code
+    def moving(wPix: Int, hPix: Int, nFrames: Int): IndexedSeq[H264.Plane] =
+      (0 until nFrames).map { f =>
+        def pix(x: Int, y: Int, c: Int): Byte = {
+          val sx = x + 2 * f
+          val sy = y + f
+          val h = (sx * 31 + sy * 17 + c * 59) * 2654435761L
+          ((sx * 2 + sy + ((h >>> 33) % 97) + (f * (c + 1)) % 5).toInt & 0xFF).toByte
+        }
+        H264.Plane(wPix, hPix,
+          Array.tabulate(wPix * hPix)(i => pix(i % wPix, i / wPix, 0)),
+          Array.tabulate(wPix / 2 * (hPix / 2))(i => pix(i % (wPix / 2), i / (wPix / 2), 1)),
+          Array.tabulate(wPix / 2 * (hPix / 2))(i => pix(i % (wPix / 2), i / (wPix / 2), 2)))
+      }
+    for {
+      (wPix, hPix, nF) <- Seq((16, 16, 1), (48, 32, 3), (64, 48, 2))
+      qp <- Seq(20, 28, 36)
+    } {
+      val frames = moving(wPix, hPix, nF)
+      val (enc, expected) = H264.encodeCavlcI4P(frames, qp)
+      val dec = H264.decodeNals(Seq(enc.sps, enc.pps) ++ enc.frameNals)
+      assert(dec.isDefined, s"decode failed at ${wPix}x$hPix qp=$qp")
+      val got = dec.get.frames
+      assert(got.length == nF)
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g.y.sameElements(e.y), s"luma mismatch frame $i ${wPix}x$hPix qp=$qp")
+        assert(g.cb.sameElements(e.cb), s"cb mismatch frame $i qp=$qp")
+        assert(g.cr.sameElements(e.cr), s"cr mismatch frame $i qp=$qp")
+      }
+      assert(dec.get.filterExact)
+      if (qp <= 28) {
+        val src = frames.head.y.map(_ & 0xFF)
+        val rec = got.head.y.map(_ & 0xFF)
+        val mad = src.zip(rec).map { case (a, b) => math.abs(a - b) }.sum /
+          src.length.toDouble
+        assert(mad < 6.0, s"mean abs err $mad at qp=$qp - quant degenerate?")
+      }
+    }
+    // a STATIC scene: when a P source equals the reference
+    // reconstruction (decoded-loop content), every macroblock satisfies
+    // the 8.4.1.1 skip conditions and the P frame collapses to one
+    // skip run (a few bytes)
+    val still = moving(64, 48, 1)
+    val (_, rec0) = H264.encodeCavlcI4P(IndexedSeq(still.head), 28)
+    val staticFrames = IndexedSeq(still.head, rec0.head, rec0.head)
+    val (encS, expS) = H264.encodeCavlcI4P(staticFrames, 28)
+    assert(encS.frameNals(1).length < 16,
+      s"static P frame should be a bare skip run, got ${encS.frameNals(1).length}B")
+    val decS = H264.decodeNals(Seq(encS.sps, encS.pps) ++ encS.frameNals)
+    assert(decS.isDefined)
+    decS.get.frames.zip(expS).foreach { case (g, e) =>
+      assert(g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
+        g.cr.sameElements(e.cr))
+    }
+    // corrupting any single byte of an I4/P stream never throws
+    val (enc1, _) = H264.encodeCavlcI4P(moving(32, 32, 2), 28)
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val fi = rnd.nextInt(2)
+      val mutated = enc1.frameNals(fi).clone()
+      val pos = 1 + rnd.nextInt(mutated.length - 1)
+      mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+      H264.decodeNals(Seq(enc1.sps, enc1.pps) ++
+        enc1.frameNals.updated(fi, mutated))
+    }
+  }
+
+  test("H.264 Intra_4x4 prediction formulas and MV predictors (C12)") {
+    // mode formulas against hand-computed vectors: T = 10,20,30,40
+    // (TR absent -> 40 substituted), L = 50,60,70,80, X = 90
+    val px: (Int, Int) => Int = {
+      case (-1, -1) => 90
+      case (x, -1) => 10 * (x + 1)
+      case (-1, y) => 50 + 10 * y
+      case _ => fail("pred read inside block")
+    }
+    val pxT: (Int, Int) => Int = { case (x, -1) => 10 * (x + 1); case _ => fail("x") }
+    // Vertical: rows repeat T
+    assert(H264.predIntra4x4(0, hasL = false, hasT = true, hasTR = false, pxT)
+      .toSeq == Seq(10, 20, 30, 40, 10, 20, 30, 40, 10, 20, 30, 40, 10, 20, 30, 40))
+    // DC over both sides: (10+20+30+40+50+60+70+80+4)>>3 = 45
+    assert(H264.predIntra4x4(2, hasL = true, hasT = true, hasTR = false, px)
+      .forall(_ == 45))
+    // DC with nothing available = 128
+    assert(H264.predIntra4x4(2, hasL = false, hasT = false, hasTR = false,
+      (_, _) => fail("no neighbors")).forall(_ == 128))
+    // Diagonal Down-Left with substituted top-right (T4..7 = 40):
+    // pred[0,0] = (T0 + 2T1 + T2 + 2) >> 2 = (10+40+30+2)>>2 = 20
+    // pred[3,3] = (T6 + 3*T7 + 2) >> 2 = (40 + 120 + 2) >> 2 = 40
+    val ddl = H264.predIntra4x4(3, hasL = false, hasT = true, hasTR = false, pxT)
+    assert(ddl(0) == 20 && ddl(15) == 40)
+    // Horizontal-Up: pred[0,0] = (L0+L1+1)>>1 = 55; bottom-right = L3
+    val hu = H264.predIntra4x4(8, hasL = true, hasT = false, hasTR = false, px)
+    assert(hu(0) == 55 && hu(15) == 80)
+    // Diagonal Down-Right main diagonal = (T0 + 2X + L0 + 2)>>2
+    val ddr = H264.predIntra4x4(4, hasL = true, hasT = true, hasTR = false, px)
+    assert(ddr(0) == ((10 + 180 + 50 + 2) >> 2))
+    assert(ddr(5) == ddr(0) && ddr(10) == ddr(0) && ddr(15) == ddr(0))
+
+    // --- 8.4.1.3 median MV prediction on a 3x2 MB grid
+    val mvx = Array(4, 8, 16, 0, 0, 0)
+    val mvy = Array(0, -4, 4, 0, 0, 0)
+    val inter = Array(true, true, true, false, false, false)
+    // mb 4 (mid bottom): A=mb3 (intra -> 0), B=mb1, C=mb2 -> more than
+    // one match -> median(0, 8, 16)=8, median(0, -4, 4)=0
+    assert(H264.mvPred16x16(mvx, mvy, inter, 4, 3, 4) == ((8, 0)))
+    // mb 1 top row: B,C,D unavailable, A available -> mvA
+    assert(H264.mvPred16x16(mvx, mvy, inter, 1, 3, 1) == ((4, 0)))
+    // exactly-one-match: A intra, B inter, C(D) intra -> B's mv
+    val inter2 = Array(false, true, false, false, false, false)
+    assert(H264.mvPred16x16(mvx, mvy, inter2, 4, 3, 4) == ((8, -4)))
+    // skip rule: left neighbor zero-MV inter -> skip MV is (0,0)
+    val zx = Array(0, 8, 8, 0, 0, 0)
+    val zy = Array(0, 4, 4, 0, 0, 0)
+    val zi = Array(true, true, true, true, false, false)
+    assert(H264.skipMv(zx, zy, zi, 4, 3, 4) == ((0, 0)))
+    // skip rule: all neighbors moving -> the median prediction
+    val mx2 = Array(8, 8, 8, 8, 0, 0)
+    val my2 = Array(4, 4, 4, 4, 0, 0)
+    val mi2 = Array(true, true, true, true, false, false)
+    assert(H264.skipMv(mx2, my2, mi2, 4, 3, 4) == ((8, 4)))
+    // edge MB (no left or above) -> (0,0)
+    assert(H264.skipMv(mx2, my2, mi2, 0, 3, 0) == ((0, 0)))
+  }
+
   test("keepBestPerCluster keeps the argmax per cluster, passes singletons (C34)") {
     import spark.implicits._
     val docs = Seq(
