@@ -822,18 +822,20 @@ object LwesQueries {
 
     // C32 extension: streaming NEAR-dup dedup at ingest. Documents
     // stream in doc_id-monotone micro-batches; each doc's portable
-    // 48-bit SimHash splits into 4 12-bit bands, a one-boolean-per-
-    // (band,value) state store records every arrival, and a doc
-    // survives iff NO band was seen on any earlier arrival — families
-    // chain transitively through dropped members, so the survivor set
-    // is exactly "docs sharing no band with any earlier doc", which
-    // the oracle replays with the gate-proven md5 SimHash replay + one
-    // anti-join. Injected exact copies (every 7th doc) always collide
-    // on all 4 bands; appended-tail copies (every 11th) collide on
-    // whichever bands the edit leaves intact — BOTH engines compute
-    // that from the same signature, so the answer is deterministic
-    // either way. Exercises flatMapGroupsWithState + the foreachBatch
-    // doc-level combine end-to-end.
+    // 48-bit SimHash splits into 4 12-bit bands, each (band,value)
+    // state bucket stores the full signatures that carried it, and a
+    // doc is dropped iff some EARLIER arrival (kept or dropped)
+    // sharing a band is within hamming <= 3 of its full signature —
+    // the batch C3 verification contract. By pigeonhole the surviving
+    // set equals the brute-force first-arrival hamming dedup, which
+    // the oracle replays with the gate-proven md5 SimHash replay + a
+    // banded hamming join + one anti-join. Injected exact copies
+    // (every 7th doc) are always hamming 0 from their original;
+    // appended-tail copies (every 11th) are dropped only when the
+    // edit moves <= 3 signature bits — BOTH engines compute that from
+    // the same signature, so the answer is deterministic either way.
+    // Exercises flatMapGroupsWithState + the foreachBatch doc-level
+    // combine end-to-end.
     "lwes_stream_neardup" -> ((
       (s: SparkSession, d: String) => {
         import s.implicits._
@@ -931,7 +933,10 @@ object LwesQueries {
         |  SELECT DISTINCT b2.doc_id
         |  FROM bands b1 JOIN bands b2
         |    ON b1.band = b2.band AND b1.bval = b2.bval
-        |   AND b1.doc_id < b2.doc_id)
+        |   AND b1.doc_id < b2.doc_id
+        |  JOIN sig s1 ON s1.doc_id = b1.doc_id
+        |  JOIN sig s2 ON s2.doc_id = b2.doc_id
+        |  WHERE bit_count(xor(s1.sg, s2.sg)) <= 3)
         |SELECT c.doc_id, md5(c.text) AS text_md5, c.lang,
         |  CAST(c.n_chars AS BIGINT) AS n_chars
         |FROM corpus c LEFT JOIN coll ON c.doc_id = coll.doc_id

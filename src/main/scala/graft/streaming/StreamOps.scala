@@ -149,28 +149,41 @@ object StreamOps {
   final case class NearDocRow(doc_id: Long, text: String, lang: String,
       n_chars: Long)
   // public: Catalyst's generated encoders need constructor access
-  final case class BandedDoc(doc_id: Long, band: Int, bval: Long,
+  final case class BandedDoc(doc_id: Long, band: Int, bval: Long, sig: Long,
       text_md5: String, lang: String, n_chars: Long)
   final case class BandVerdict(doc_id: Long, text_md5: String, lang: String,
       n_chars: Long, collided: Boolean)
+  // per-(band,value) bucket state: the full 48-bit signatures of every
+  // distinct arrival that carried this band value (capped)
+  final case class BandSigs(sigs: List[Long])
 
   /** Streaming NEAR-duplicate detection at ingest (C32 extension): the
-    * streaming counterpart of the batch C2/C16 near-dup chain. Each
+    * streaming counterpart of the batch C2/C3/C16 near-dup chain. Each
     * document's portable 48-bit SimHash ([[graft.operators.Dedup.simhashPortable]])
-    * splits into 4 disjoint 12-bit bands; a document COLLIDES when any
-    * of its band values was carried by ANY earlier arrival — kept or
-    * dropped — so duplicate families chain transitively through their
-    * members exactly like connected components, and under
-    * doc_id-monotone arrival the surviving set is precisely "docs
-    * sharing no band with any earlier doc", a definition a SQL oracle
-    * replays with one NOT EXISTS (the `lwes_stream_neardup` gate).
+    * splits into 4 disjoint 12-bit bands; the band buckets are a pure
+    * CANDIDATE filter — a document COLLIDES only when some earlier
+    * arrival (kept or dropped) that shared a band has full-signature
+    * hamming distance <= `maxHamming` from it, the same verification
+    * contract as batch C3 ([[graft.operators.Dedup.simhashPairs]]).
+    * By pigeonhole (4 disjoint bands), any pair within hamming 3
+    * shares an intact band, so at `maxHamming <= 3` the surviving set
+    * is EXACTLY the brute-force first-arrival hamming dedup: "docs
+    * with no earlier doc within hamming maxHamming" — a definition a
+    * SQL oracle replays with the banded hamming join (the
+    * `lwes_stream_neardup` gate). Unlike the any-band-ever-seen
+    * definition this replaces, the 16 384-key band space CANNOT
+    * saturate into false drops: a band re-use by an unrelated
+    * signature fails the hamming check and the unique doc survives.
     *
-    * Scale shape: state is ONE BOOLEAN per distinct (band, value) —
-    * 4 bits-with-keys per distinct signature, per-key partitioned
-    * across executors like C32, with the same TTL lease option for
-    * indefinite runs. Emits per-band verdict rows (4 per doc, id +
-    * hash + verdict — narrow); the doc-level combine is
-    * [[keepUncollided]], a micro-batch-local aggregation the caller
+    * Scale shape: state is a capped list of full signatures per
+    * distinct (band, value) — the whole store is bounded by
+    * 4 096 x 4 buckets x `maxBucket` longs, per-key partitioned across
+    * executors like C32, with the same TTL lease option for indefinite
+    * runs. A bucket at its cap stops RECORDING new signatures but still
+    * verifies against the stored ones (bounded false-negative risk on
+    * the capped tail, never a false drop). Emits per-band verdict rows
+    * (4 per doc, id + hash + verdict — narrow); the doc-level combine
+    * is [[keepUncollided]], a micro-batch-local aggregation the caller
     * runs in `foreachBatch` (the per-doc decision spans 4 band keys,
     * which chained stateful operators cannot express in one pass —
     * batch-domain combine per micro-batch is the standard shape).
@@ -178,7 +191,8 @@ object StreamOps {
     * group sorts its batch slice), keeping the sequential semantics
     * exact across batch boundaries. */
   def nearDupBandVerdicts(spark: SparkSession, docs: Dataset[NearDocRow],
-      ttlMs: Option[Long] = None): Dataset[BandVerdict] = {
+      ttlMs: Option[Long] = None, maxHamming: Int = 3,
+      maxBucket: Int = 1024): Dataset[BandVerdict] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val banded = docs.toDF()
@@ -188,26 +202,36 @@ object StreamOps {
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("__sh"), 12 * i).bitwiseAND(lit(0xfffL))): _*))
           .as(Seq("band", "bval")),
-        col("text_md5"), col("lang"), col("n_chars"))
+        col("__sh").as("sig"), col("text_md5"), col("lang"), col("n_chars"))
       .as[BandedDoc]
     val timeout =
       if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     banded.groupByKey(r => (r.band.toLong << 48) | r.bval)
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
-        (_: Long, rows: Iterator[BandedDoc], state: GroupState[Boolean]) =>
+        (_: Long, rows: Iterator[BandedDoc], state: GroupState[BandSigs]) =>
           if (state.hasTimedOut) {
-            state.remove() // lease expired: band value re-emittable
+            state.remove() // lease expired: bucket forgets its signatures
             Iterator.empty
           } else {
             val sorted = rows.toArray.sortBy(_.doc_id)
-            val preSeen = state.exists
-            if (!preSeen) state.update(true)
-            ttlMs.foreach(state.setTimeoutDuration) // renew the lease
-            sorted.iterator.zipWithIndex.map { case (r, i) =>
+            var stored = state.getOption.map(_.sigs).getOrElse(Nil)
+            var n = stored.length
+            val out = sorted.map { r =>
+              val hit = stored.exists(s =>
+                java.lang.Long.bitCount(s ^ r.sig) <= maxHamming)
+              // every arrival records its signature (kept or dropped) so
+              // families chain transitively, like batch C16 components;
+              // identical sigs store once (exact dups cost no state)
+              if (n < maxBucket && !stored.contains(r.sig)) {
+                stored = r.sig :: stored; n += 1
+              }
               BandVerdict(r.doc_id, r.text_md5, r.lang, r.n_chars,
-                collided = preSeen || i > 0)
+                collided = hit)
             }
+            state.update(BandSigs(stored))
+            ttlMs.foreach(state.setTimeoutDuration) // renew the lease
+            out.iterator
           }
       }
   }

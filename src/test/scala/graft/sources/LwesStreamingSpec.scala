@@ -581,44 +581,28 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  // local replay of the operator's banding: 4 x 12-bit bands of the
-  // portable 48-bit simhash
-  private def simBands(texts: Seq[String]): Map[String, Set[(Int, Long)]] = {
+  // local replay of the operator's signature: portable 48-bit simhash
+  private def simSigs(texts: Seq[String]): Map[String, Long] = {
     import graft.operators.Dedup
     import spark.implicits._
     texts.distinct.toDF("text")
       .withColumn("sh", Dedup.simhashPortable(col("text")))
-      .collect().map { r =>
-        val sh = r.getLong(1)
-        r.getString(0) -> (0 until 4).map(i => (i, (sh >>> (12 * i)) & 0xfffL)).toSet
-      }.toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  test("streaming near-dup: band collisions drop across batches and chain through dropped docs (C32 ext)") {
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private def bands48(s: Long): Set[(Int, Long)] =
+    (0 until 4).map(i => (i, (s >>> (12 * i)) & 0xfffL)).toSet
+
+  private def runNearDup(docs: Seq[(Seq[graft.streaming.StreamOps.NearDocRow])],
+      ckptName: String): Seq[Long] = {
     import graft.streaming.StreamOps
-    import graft.streaming.StreamOps.NearDocRow
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    // find a triple (t1, t2, t3): t2 shares a band with t1, t3 shares a
-    // band with t2 but NONE with t1 — dropping t3 then proves the chain
-    // runs through the DROPPED t2. Deterministic search over suffix
-    // variants of a base text.
-    val base = "the quick brown fox jumps over the lazy dog and runs away home"
-    val cands = (0 until 80).map(i => s"$base tail$i word$i")
-    val bands = simBands(cands)
-    val triple = (for {
-      t1 <- cands.iterator
-      t2 <- cands.iterator if t2 != t1 && (bands(t1) & bands(t2)).nonEmpty
-      t3 <- cands.iterator
-      if t3 != t1 && t3 != t2 &&
-        (bands(t2) & bands(t3)).nonEmpty && (bands(t1) & bands(t3)).isEmpty
-    } yield (t1, t2, t3)).take(1).toList
-    assert(triple.nonEmpty, "no chain triple found in 80 variants")
-    val (t1, t2, t3) = triple.head
-
-    val ckpt = Files.createTempDirectory("lwes-sneardup-ckpt").toString
+    val ckpt = Files.createTempDirectory(ckptName).toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[NearDocRow]
+    val mem = MemoryStream[StreamOps.NearDocRow]
     val survivors = new scala.collection.mutable.ArrayBuffer[Long]()
     val q = StreamOps.nearDupBandVerdicts(spark, mem.toDS())
       .writeStream
@@ -631,26 +615,92 @@ class LwesStreamingSpec extends AnyFunSuite {
       }
       .option("checkpointLocation", ckpt).start()
     try {
-      // batch 1: t1 (new) + an in-batch exact pair (min id 3 wins)
-      mem.addData(NearDocRow(1, t1, "en", 10), NearDocRow(5, t3 + " unrelated9", "en", 9),
-        NearDocRow(3, t3 + " unrelated9", "en", 9))
-      q.processAllAvailable()
-      // batch 2: t2 shares a band with t1 -> dropped
-      mem.addData(NearDocRow(7, t2, "en", 11))
-      q.processAllAvailable()
-      // batch 3: t3 shares a band only with the DROPPED t2 -> dropped
-      // (its bands were marked on arrival); exact re-arrival of t1 also
-      // dropped
-      mem.addData(NearDocRow(9, t3, "en", 12), NearDocRow(11, t1, "en", 10))
-      q.processAllAvailable()
-      val got = survivors.synchronized(survivors.sorted.toSeq)
-      // doc 5's text may or may not share bands with t1/t3 — assert on
-      // what the local replay says, so the spec never flakes
-      val d5 = simBands(Seq(t1, t3 + " unrelated9"))
-      val d5Kept = (d5(t1) & d5(t3 + " unrelated9")).isEmpty
-      val expect = if (d5Kept) Seq(1L, 3L) else Seq(1L)
-      assert(got == expect, s"got $got expect $expect")
+      docs.foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      survivors.synchronized(survivors.sorted.toSeq)
     } finally q.stop()
+  }
+
+  test("streaming near-dup: hamming-verified drops chain through dropped docs; band reuse alone never drops (C32 ext)") {
+    import graft.streaming.StreamOps.NearDocRow
+    // find (t1, t2, t3): 0 < hamming(t1,t2) <= 3, hamming(t2,t3) <= 3,
+    // hamming(t1,t3) > 3 — dropping t3 then proves the verified chain
+    // runs through the DROPPED t2. Then v (an unrelated in-batch exact
+    // pair, hamming > 3 from the trio) and u: shares a band with an
+    // earlier-fed doc but hamming > 3 from ALL of them — u MUST
+    // survive (the any-band-ever-seen definition this replaced dropped
+    // it: its band space saturates). Deterministic search over suffix
+    // variants of a base text.
+    val base = "the quick brown fox jumps over the lazy dog and runs away home"
+    val cands = (0 until 200).map(i => s"$base tail$i word$i")
+    val sigs = simSigs(cands)
+    val triple = (for {
+      t1 <- cands.iterator
+      t2 <- cands.iterator
+      if t2 != t1 && sigs(t1) != sigs(t2) && hamming(sigs(t1), sigs(t2)) <= 3
+      t3 <- cands.iterator
+      if t3 != t1 && t3 != t2 && hamming(sigs(t2), sigs(t3)) <= 3 &&
+        hamming(sigs(t1), sigs(t3)) > 3
+    } yield (t1, t2, t3)).take(1).toList
+    assert(triple.nonEmpty, "no chain triple found in 200 variants")
+    val (t1, t2, t3) = triple.head
+    val trio = Seq(t1, t2, t3)
+    val v = cands.find { c =>
+      !trio.contains(c) && trio.forall(t => hamming(sigs(t), sigs(c)) > 3)
+    }
+    assert(v.nonEmpty, "no unrelated text found in 200 variants")
+    val fedBeforeU = trio :+ v.get
+    val u = cands.find { c =>
+      !fedBeforeU.contains(c) &&
+        fedBeforeU.forall(t => hamming(sigs(t), sigs(c)) > 3) &&
+        fedBeforeU.exists(t => (bands48(sigs(t)) & bands48(sigs(c))).nonEmpty)
+    }
+    assert(u.nonEmpty, "no band-reuse survivor found in 200 variants")
+
+    val got = runNearDup(Seq(
+      // batch 1: t1 (new) + an in-batch exact pair (min id 3 wins)
+      Seq(NearDocRow(1, t1, "en", 10), NearDocRow(5, v.get, "en", 9),
+        NearDocRow(3, v.get, "en", 9)),
+      // batch 2: t2 within hamming 3 of t1 -> dropped
+      Seq(NearDocRow(7, t2, "en", 11)),
+      // batch 3: t3 within hamming 3 only of the DROPPED t2 -> dropped
+      // (dropped docs record their signatures); u shares a band with
+      // earlier docs but verifies far -> SURVIVES; exact re-arrival of
+      // t1 -> dropped
+      Seq(NearDocRow(9, t3, "en", 12), NearDocRow(11, u.get, "en", 10),
+        NearDocRow(13, t1, "en", 10))),
+      "lwes-sneardup-ckpt")
+    assert(got == Seq(1L, 3L, 11L), s"got $got expect Seq(1, 3, 11)")
+  }
+
+  test("streaming near-dup saturation: >4096 distinct signatures, unique docs survive (C32 ext)") {
+    import graft.streaming.StreamOps.NearDocRow
+    // The replaced any-band-ever-seen definition hard-caps survivors at
+    // 16384/4 = 4096 (each survivor consumes 4 unseen (band,value)
+    // slots) and on this corpus kept only ~98 of 5000. The verified
+    // operator must keep every doc with no earlier doc within hamming
+    // <= 3 — computed here by exact sequential replay — and that count
+    // exceeds the old cap, proving band-space saturation no longer
+    // drops unique docs.
+    val n = 5000
+    val texts = (0 until n).map(i =>
+      s"saturation doc $i payload p$i q${i * 7 + 1} r${i * 13 + 2} s${i * 29 + 3}")
+    val sigMap = simSigs(texts)
+    val sigs = texts.map(sigMap)
+    val expected = (0 until n).filter { i =>
+      (0 until i).forall(j => hamming(sigs(i), sigs(j)) > 3)
+    }.map(_.toLong)
+    assert(expected.length > 4096,
+      s"corpus not saturation-proving: ${expected.length} expected survivors")
+
+    val rows = (0 until n).map(i => NearDocRow(i.toLong, texts(i), "en", 10))
+    val batches = rows.grouped((n + 2) / 3).toSeq // 3 doc_id-monotone batches
+    val got = runNearDup(batches, "lwes-sneardup-sat-ckpt")
+    assert(got.length == expected.length,
+      s"got ${got.length} survivors, expected ${expected.length}")
+    assert(got == expected, "survivor sets differ")
   }
 
   test("streaming near-dup TTL: lease expiry re-admits a signature (C32 ext)") {
