@@ -9,11 +9,29 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries nanosecond timestamps; read `ts` as raw
-    * nanos-since-epoch longs for engine-portable arithmetic. */
+  /** Contract: `ts` is nanos-since-epoch LONG regardless of the physical
+    * parquet layout. Old layouts store nanosecond INT64 (read verbatim via
+    * `nanosAsLong`); current driver testdata stores `timestamp[us]`, which
+    * arrives as TIMESTAMP/TIMESTAMP_NTZ and is normalized here to epoch
+    * nanos under the UTC session timezone. Every downstream `ts div N`
+    * site depends on this one boundary. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    val df = t(spark, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // NTZ carries no instant; session tz is UTC in every entrypoint,
+        // so the cast re-interprets the naive value as UTC — matching
+        // DuckDB's epoch_ns(ts) on the same naive timestamp.
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"events.ts unsupported type: $other")
+    }
   }
 }
 

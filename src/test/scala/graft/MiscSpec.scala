@@ -473,6 +473,41 @@ class MiscSpec extends AnyFunSuite {
       == Seq("a.com"))
   }
 
+  test("Tables.events normalizes ts to epoch-nanos long for all physical schemas") {
+    // Regression pin for the r11 testdata drift: events.parquet moved from
+    // nanosecond INT64 (read as long via nanosAsLong) to timestamp[us].
+    // Tables.events owns the "ts is nanos-since-epoch LONG" contract; every
+    // `ts div N` site downstream assumes it. Exercise all three physical
+    // layouts through a ts-div query and demand identical answers.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val nanos = Seq(1700000000123456000L, 1700003600987654000L)
+    def hourly(dir: String): Seq[(Long, Long)] = {
+      val ev = graft.queries.Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+        s"$dir: ts must arrive as LongType")
+      ev.select((col("ts") / lit(3600000000000L)).cast("long").as("hr"), col("ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    // layout 1: nanosecond INT64 (legacy driver testdata)
+    val d1 = Files.createTempDirectory("ev-nanos").toString
+    nanos.toDF("ts").write.mode("overwrite").parquet(s"$d1/events.parquet")
+    // layout 2: TIMESTAMP (micros, UTC-adjusted)
+    val d2 = Files.createTempDirectory("ev-micros").toString
+    nanos.toDF("n").select(timestamp_micros((col("n") / 1000).cast("long")).as("ts"))
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    // layout 3: TIMESTAMP_NTZ (current driver testdata)
+    val d3 = Files.createTempDirectory("ev-ntz").toString
+    nanos.toDF("n").select(
+      timestamp_micros((col("n") / 1000).cast("long")).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$d3/events.parquet")
+    val expect = nanos.map(n => (n / 3600000000000L, n / 1000 * 1000)).sorted
+    assert(hourly(d2) == expect, "TIMESTAMP layout")
+    assert(hourly(d3) == expect, "TIMESTAMP_NTZ layout")
+    val h1 = hourly(d1)
+    assert(h1.map(_._1) == expect.map(_._1) && h1.map(_._2) == nanos.sorted,
+      "nano-INT64 layout preserves full nanos")
+  }
+
   test("bz2-compressed journals read via Hadoop codec detection") {
     val dir = Files.createTempDirectory("lwes-bz2").toString
     val fos = new java.io.FileOutputStream(s"$dir/j.journal.bz2")
