@@ -549,6 +549,41 @@ object Multimodal {
       (muxAvcMp4(enc, w, h), expected, qp)
     }
 
+    /** Textured pixel with GLOBAL MOTION for the Intra_4x4/P-frame
+      * stream: frame k shows the frame-0 pattern shifted by (2k, k),
+      * so the full-pel search finds real vectors and residual blocks
+      * still carry energy. `c`: 0 luma, 1 Cb, 2 Cr. */
+    def h264I4pPix(n: Int, k: Int, x: Int, y: Int, c: Int): Int = {
+      val sx = x + 2 * k
+      val sy = y + k
+      val h = (n * 131L + sx * 31 + sy * 17 + c * 59) * 2654435761L
+      (sx * 2 + sy + ((h >>> 33) % 97).toInt) & 0xFF
+    }
+    def h264I4pQp(n: Int): Int = 20 + n % 9 // 20..28: fidelity bound holds
+    def h264I4pFrameCount(n: Int): Int = 2 + n % 3 // 2..4: always ≥1 P frame
+
+    /** REAL Intra_4x4 + inter H.264 in MP4 — the GOP shape of actual
+      * baseline footage: an Intra_4x4 IDR (per-block 9-mode prediction)
+      * followed by P_L0_16x16/P_Skip motion-predicted frames
+      * ([[H264.encodeCavlcI4P]], full-pel SAD search, median MV
+      * predictors, inter cbp + residuals). Returns the mp4, the
+      * encoder's decoder-exact expected reconstruction, and the QP. */
+    def makeMp4AvcI4P(text: String): (Array[Byte], IndexedSeq[H264.Plane], Int) = {
+      val n = textLen(text)
+      val (w, h) = (H264W, H264H)
+      val frames = (0 until h264I4pFrameCount(n)).map { k =>
+        H264.Plane(w, h,
+          Array.tabulate(w * h)(i => h264I4pPix(n, k, i % w, i / w, 0).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264I4pPix(n, k, i % (w / 2), i / (w / 2), 1).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264I4pPix(n, k, i % (w / 2), i / (w / 2), 2).toByte))
+      }
+      val qp = h264I4pQp(n)
+      val (enc, expected) = H264.encodeCavlcI4P(frames, qp)
+      (muxAvcMp4(enc, w, h), expected, qp)
+    }
+
     /** Mux an encoded AVC elementary stream into ISO-BMFF: ftyp, mdat
       * (length-prefixed NALs), moov with an avc1+avcC sample table. */
     private def muxAvcMp4(enc: H264.Encoded, w: Int, h: Int): Array[Byte] = {
@@ -803,6 +838,56 @@ object Multimodal {
           while (i < y0.length) {
             sad += math.abs((y0(i) & 0xFF) -
               MediaGen.h264TexPix(n, 0, i % dec.width, i / dec.width, 0))
+            i += 1
+          }
+          val fidelityOk = sad.toDouble / y0.length < 6.0
+          (id, dec.frames.length, dec.width, dec.height, qp, exact, fidelityOk)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "qp", "exact",
+        "fidelity_ok")
+  }
+
+  /** C12 Intra_4x4/inter gate: per doc, build a MOVING-SCENE H.264 mp4
+    * whose IDR is Intra_4x4 (per-block 9-mode prediction) and whose P
+    * frames carry real motion vectors and inter residuals
+    * ([[MediaGen.makeMp4AvcI4P]]), decode it through the mux/demux +
+    * bitstream chain, and
+    *
+    *  - `exact`: decoded planes equal the encoder's independently
+    *    reconstructed output BIT-FOR-BIT — any desync in the Intra_4x4
+    *    mode predictor, the nine prediction formulas, the MV median
+    *    predictor, skip semantics, MC, or inter residual decode
+    *    corrupts pixels and flips this false;
+    *  - `fidelity_ok`: frame-0 luma mean-abs-deviation from the
+    *    closed-form SOURCE texture < 6 (qp ≤ 28 calibration bound) —
+    *    guards against a vacuous exact match.
+    *
+    * The oracle replays n_frames/dims/qp closed-form from
+    * `length(text)` and expects both booleans true. Scale shape: one
+    * `mapPartitions` projection, no shuffle, no driver work. */
+  def h264I4PAudit(spark: SparkSession, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val n = MediaGen.textLen(text)
+          val (mp4, expected, qp) = MediaGen.makeMp4AvcI4P(text)
+          val dec = H264.decodeMp4(mp4).getOrElse(
+            throw new IllegalStateException(
+              s"generated Intra_4x4/P H.264 stream failed to decode for doc $id"))
+          val exact = dec.frames.length == expected.length &&
+            dec.frames.zip(expected).forall { case (g, e) =>
+              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
+                g.cr.sameElements(e.cr)
+            }
+          val y0 = dec.frames.head.y
+          var sad = 0L
+          var i = 0
+          while (i < y0.length) {
+            sad += math.abs((y0(i) & 0xFF) -
+              MediaGen.h264I4pPix(n, 0, i % dec.width, i / dec.width, 0))
             i += 1
           }
           val fidelityOk = sad.toDouble / y0.length < 6.0

@@ -787,6 +787,25 @@ object Pipeline {
         |  true AS exact, true AS fidelity_ok
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // C12 (Intra_4x4/inter): moving-scene H.264 — Intra_4x4 IDR +
+    // motion-predicted P_L0_16x16/P_Skip frames, the GOP shape of real
+    // baseline footage. The decoded planes must equal the encoder's
+    // independent reconstruction bit-for-bit (`exact`: Intra_4x4 mode
+    // prediction, MV median predictors, skip semantics, MC, inter
+    // residuals) and track the closed-form moving source (`fidelity_ok`);
+    // the oracle replays the stream geometry and pins both booleans true.
+    "mm_h264_intra4x4" -> ((
+      (s: SparkSession, d: String) => {
+        Multimodal.h264I4PAudit(s, t(s, d, "documents"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(2 + length(text) % 3 AS INT) AS n_frames,
+        |  CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        |  CAST(20 + length(text) % 9 AS INT) AS qp,
+        |  true AS exact, true AS fidelity_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // C33: Misra-Gries heavy hitters — sketch candidates (one
     // treeAggregate, bounded summary, no raw-term shuffle) + exact
     // broadcast recount; the no-false-negative guarantee at
