@@ -92,6 +92,96 @@ object Pipeline {
            |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
       })),
 
+    // C10 end-to-end: CORPUS-TRAINED BPE. The distributed vocabulary
+    // extraction + Sennrich merge loop (TextAnalysis.trainBpeMerges)
+    // runs at the gate's own SF, documents are encoded under the table
+    // it just learned, and the oracle independently REPLAYS THE
+    // TRAINING in SQL: a recursive CTE carries (word, enc) state on a
+    // single-char symbol alphabet (merged symbols get private-use-area
+    // chars, so string replace() IS the left-to-right merge-all step),
+    // each step aggregates pair frequencies over the working table and
+    // applies the (count desc, pair lex asc) argmax until no pair
+    // occurs twice or 160 merges — the same stopping rule as the
+    // trainer. Output pins the per-doc trained-token counts AND an md5
+    // of the full merge table, so a divergence anywhere in vocabulary
+    // selection, tie-breaking, merge application, or encoding fails
+    // the hash.
+    "text_tokens_bpe_trained" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val merges = TextAnalysis.trainBpeMerges(docs)
+        TextAnalysis.tokenCounts(docs, bpeMerges = Some(merges))
+          .select(col("doc_id"), col("n_bpe").as("n_bpe_trained"),
+            md5(lit(merges.map { case (l, r) => s"$l $r" }.mkString("\n")))
+              .as("merges_md5"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT w, count(*)::BIGINT AS f FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |    FROM documents) WHERE w <> '' GROUP BY w
+        |),
+        |st(kind, iter, w, f, enc, c, s, l, r, rnk) AS (
+        |  SELECT 'w', 0, w, f, w,
+        |         NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::INT
+        |  FROM words
+        |  UNION ALL
+        |  (
+        |    WITH prev AS (SELECT * FROM st),
+        |    pairs AS (
+        |      SELECT substring(p.enc, gs.i, 2) AS p2, sum(p.f) AS n
+        |      FROM prev p, lateral (SELECT unnest(generate_series(1, length(p.enc) - 1)) AS i) gs
+        |      WHERE p.kind = 'w' AND length(p.enc) > 1
+        |      GROUP BY 1
+        |    ),
+        |    dict AS (SELECT c, s FROM prev WHERE kind = 'm'),
+        |    best AS (
+        |      SELECT p2, n,
+        |        coalesce(dl.s, substring(p2, 1, 1)) AS l_str,
+        |        coalesce(dr.s, substring(p2, 2, 1)) AS r_str
+        |      FROM pairs
+        |      LEFT JOIN dict dl ON dl.c = substring(p2, 1, 1)
+        |      LEFT JOIN dict dr ON dr.c = substring(p2, 2, 1)
+        |      WHERE n >= 2
+        |      ORDER BY n DESC, l_str ASC, r_str ASC
+        |      LIMIT 1
+        |    ),
+        |    k AS (SELECT coalesce(max(iter), 0) AS k FROM prev),
+        |    gate AS (SELECT * FROM best, k WHERE k.k < 160)
+        |    SELECT * FROM (
+        |      SELECT 'w' AS kind, k.k + 1 AS iter, p.w, p.f,
+        |        replace(p.enc, g.p2, chr(57344 + k.k)) AS enc,
+        |        NULL::VARCHAR AS c, NULL::VARCHAR AS s,
+        |        NULL::VARCHAR AS l, NULL::VARCHAR AS r, NULL::INT AS rnk
+        |      FROM prev p, gate g, k WHERE p.kind = 'w'
+        |      UNION ALL
+        |      SELECT 'm', k.k + 1, NULL, NULL, NULL, p.c, p.s, p.l, p.r, p.rnk
+        |      FROM prev p, gate g, k WHERE p.kind = 'm'
+        |      UNION ALL
+        |      SELECT 'm', k.k + 1, NULL, NULL, NULL,
+        |        chr(57344 + k.k), g.l_str || g.r_str, g.l_str, g.r_str, k.k
+        |      FROM gate g, k
+        |    )
+        |  )
+        |),
+        |fin AS (SELECT * FROM st WHERE iter = (SELECT max(iter) FROM st)),
+        |tbl AS (
+        |  SELECT md5(coalesce(string_agg(l || ' ' || r, chr(10) ORDER BY rnk), ''))
+        |    AS merges_md5
+        |  FROM fin WHERE kind = 'm'),
+        |docw AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents)
+        |SELECT d.doc_id,
+        |  CAST(sum(coalesce(length(f.enc), 0)) AS BIGINT) AS n_bpe_trained,
+        |  tbl.merges_md5
+        |FROM docw d
+        |LEFT JOIN (SELECT w, enc FROM fin WHERE kind = 'w') f USING (w)
+        |CROSS JOIN tbl
+        |GROUP BY d.doc_id, tbl.merges_md5
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // C9: per-document quality metrics.
     "text_quality" -> ((
       (s: SparkSession, d: String) => {
