@@ -941,6 +941,137 @@ object LwesQueries {
         |  CAST(c.n_chars AS BIGINT) AS n_chars
         |FROM corpus c LEFT JOIN coll ON c.doc_id = coll.doc_id
         |WHERE coll.doc_id IS NULL
+        |ORDER BY c.doc_id""".stripMargin)),
+
+    // C34 composed onto the C32 extension: streaming KEEP-BEST at
+    // ingest. Same verified band/hamming machinery as
+    // `lwes_stream_neardup`, but each wave's bucket slices process in
+    // (quality DESC, doc_id ASC) order — quality = text length — so
+    // within a wave a near-dup family keeps its quality argmax, not
+    // its first arrival; across waves the earlier winner stays
+    // (append streams cannot retract). Families are id-ADJACENT here
+    // (original at 4k, exact copy at 4k+1, longer tail variant at
+    // 4k+2) so they land in the same wave and the argmax genuinely
+    // flips to the tail variant wherever its signature stays within
+    // hamming 3. The kept set is greedy (wave, quality desc, doc_id)
+    // hamming dedup, which the oracle replays: signature replay +
+    // banded hamming join, with "earlier arrival" generalized to the
+    // processing-key comparison and the wave index recomputed from the
+    // same 6-way chunking the journal writer used.
+    "lwes_stream_keepbest" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val src = cached(s"skeepbest|$d") { dir =>
+          val base = t(s, d, "documents")
+          val corpus = base
+            .select((col("doc_id") * 4).as("doc_id"), col("text"), col("lang"),
+              col("n_chars"))
+            .unionAll(base.filter(pmod(col("doc_id"), lit(3)) === 0)
+              .select((col("doc_id") * 4 + 1).as("doc_id"), col("text"),
+                col("lang"), col("n_chars")))
+            .unionAll(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+              .select((col("doc_id") * 4 + 2).as("doc_id"),
+                concat(col("text"), lit(" extra tail words")).as("text"),
+                col("lang"), col("n_chars")))
+          val docs = corpus
+            .select(col("doc_id"), col("text"), col("lang"),
+              col("n_chars").cast("long").as("n_chars"))
+            .orderBy(col("doc_id")).collect()
+          // 6 contiguous doc_id ranges, strictly increasing mtimes ->
+          // one wave per file; families are id-adjacent so (almost)
+          // always co-wave
+          val chunk = (docs.length + 5) / 6
+          docs.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+            val before = Option(new java.io.File(dir).listFiles())
+              .getOrElse(Array.empty).map(_.getName).toSet
+            s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+                docs.head.schema)
+              .write.format("lwes").option("eventName", "Doc::K")
+              .mode("append").save(dir)
+            new java.io.File(dir).listFiles()
+              .filterNot(f => before.contains(f.getName) ||
+                f.getName.startsWith(".") || f.getName.startsWith("_"))
+              .foreach(_.setLastModified(1700000000000L + i * 60000L))
+          }
+        }
+        val dst = tmpDir("skeepbest-dst")
+        val ckpt = tmpDir("skeepbest-ckpt")
+        val q = withFewShufflePartitions(s) {
+          val in = s.readStream.format("lwes")
+            .schema("doc_id long, text string, lang string, n_chars long")
+            .option("eventName", "Doc::K")
+            .option("maxFilesPerTrigger", "1").load(src)
+            .withColumn("quality", length(col("text")).cast("double"))
+            .as[graft.streaming.StreamOps.QNearDocRow]
+          graft.streaming.StreamOps.nearDupKeepBestVerdicts(s, in)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.BandVerdict],
+               _: Long) =>
+                graft.streaming.StreamOps.keepUncollided(b.toDF())
+                  .write.format("lwes").option("eventName", "Ned::K")
+                  .mode("append").save(dst)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        q.awaitTermination()
+        logStateMetrics("lwes_stream_keepbest", q)
+        s.read.format("lwes")
+          .schema("doc_id long, text_md5 string, lang string, n_chars long")
+          .option("eventName", "Ned::K").load(dst)
+          .orderBy(col("doc_id"))
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id * 4 AS doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 1, text, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 2, text || ' extra tail words', lang, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |keyed AS (
+        |  SELECT doc_id, length(text) AS q,
+        |    (row_number() OVER (ORDER BY doc_id) - 1)
+        |      // CAST(ceil((SELECT count(*) FROM corpus) / 6.0) AS BIGINT)
+        |      AS wave
+        |  FROM corpus),
+        |tokh AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |        FROM corpus)),
+        |bitsum AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM tokh CROSS JOIN (SELECT unnest(range(48)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS sg
+        |  FROM bitsum GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b AS band,
+        |    CAST(floor(sg / power(2, 12 * b)) AS BIGINT) % 4096 AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |coll AS (
+        |  SELECT DISTINCT b2.doc_id
+        |  FROM bands b1 JOIN bands b2
+        |    ON b1.band = b2.band AND b1.bval = b2.bval
+        |   AND b1.doc_id <> b2.doc_id
+        |  JOIN keyed k1 ON k1.doc_id = b1.doc_id
+        |  JOIN keyed k2 ON k2.doc_id = b2.doc_id
+        |  JOIN sig s1 ON s1.doc_id = b1.doc_id
+        |  JOIN sig s2 ON s2.doc_id = b2.doc_id
+        |  WHERE (k1.wave < k2.wave OR (k1.wave = k2.wave AND
+        |         (k1.q > k2.q OR (k1.q = k2.q AND k1.doc_id < k2.doc_id))))
+        |    AND bit_count(xor(s1.sg, s2.sg)) <= 3)
+        |SELECT c.doc_id, md5(c.text) AS text_md5, c.lang,
+        |  CAST(c.n_chars AS BIGINT) AS n_chars
+        |FROM corpus c LEFT JOIN coll ON c.doc_id = coll.doc_id
+        |WHERE coll.doc_id IS NULL
         |ORDER BY c.doc_id""".stripMargin))
   )
 }

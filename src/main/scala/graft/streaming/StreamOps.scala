@@ -148,9 +148,14 @@ object StreamOps {
 
   final case class NearDocRow(doc_id: Long, text: String, lang: String,
       n_chars: Long)
-  // public: Catalyst's generated encoders need constructor access
+  /** [[NearDocRow]] plus a caller-supplied quality score, for the
+    * keep-best ingest variant ([[nearDupKeepBestVerdicts]]). */
+  final case class QNearDocRow(doc_id: Long, text: String, lang: String,
+      n_chars: Long, quality: Double)
+  // public: Catalyst's generated encoders need constructor access.
+  // `quality` orders within-batch processing (0.0 in arrival mode).
   final case class BandedDoc(doc_id: Long, band: Int, bval: Long, sig: Long,
-      text_md5: String, lang: String, n_chars: Long)
+      text_md5: String, lang: String, n_chars: Long, quality: Double)
   final case class BandVerdict(doc_id: Long, text_md5: String, lang: String,
       n_chars: Long, collided: Boolean)
   // per-(band,value) bucket state: the full 48-bit signatures of every
@@ -194,15 +199,50 @@ object StreamOps {
       ttlMs: Option[Long] = None, maxHamming: Int = 3,
       maxBucket: Int = 1024): Dataset[BandVerdict] = {
     import org.apache.spark.sql.functions._
+    bandVerdictsImpl(spark, docs.toDF().withColumn("quality", lit(0.0)),
+      ttlMs, maxHamming, maxBucket)
+  }
+
+  /** Keep-best-at-ingest (C34 composed onto the verified near-dup
+    * stream): identical collision semantics to [[nearDupBandVerdicts]]
+    * — band buckets are candidates, a drop requires full-signature
+    * hamming <= `maxHamming` — but each micro-batch's bucket slice is
+    * processed in (quality DESC, doc_id ASC) order instead of arrival
+    * order. Within one ingest wave the members of a new near-dup
+    * family therefore verify against their family's BEST member first:
+    * the argmax by (quality, smallest id) — C34's exact keep-best rule
+    * — is the one that survives [[keepUncollided]], and every ordering
+    * is consistent across the 4 band buckets, so the family decision
+    * is coherent. Across waves the semantics stay first-wave-wins (an
+    * append stream cannot retract an already-emitted winner); a later,
+    * better copy of an OLD family is dropped like any near-dup. The
+    * kept set equals greedy quality-first hamming dedup within each
+    * batch, chained across batches — replayable by a SQL oracle with
+    * the same banded hamming join as `lwes_stream_neardup`, ordered by
+    * (batch, quality desc, doc_id). State shape, caps, and TTL are
+    * unchanged from the arrival-order operator. */
+  def nearDupKeepBestVerdicts(spark: SparkSession, docs: Dataset[QNearDocRow],
+      ttlMs: Option[Long] = None, maxHamming: Int = 3,
+      maxBucket: Int = 1024): Dataset[BandVerdict] =
+    bandVerdictsImpl(spark, docs.toDF(), ttlMs, maxHamming, maxBucket)
+
+  /** Shared stateful core: expects (doc_id, text, lang, n_chars,
+    * quality); `quality` only orders within-batch processing (constant
+    * 0.0 degrades to pure doc_id arrival order). */
+  private def bandVerdictsImpl(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, ttlMs: Option[Long],
+      maxHamming: Int, maxBucket: Int): Dataset[BandVerdict] = {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    val banded = docs.toDF()
+    val banded = docs
       .withColumn("__sh", graft.operators.Dedup.simhashPortable(col("text")))
       .withColumn("text_md5", md5(col("text")))
       .select(col("doc_id"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("__sh"), 12 * i).bitwiseAND(lit(0xfffL))): _*))
           .as(Seq("band", "bval")),
-        col("__sh").as("sig"), col("text_md5"), col("lang"), col("n_chars"))
+        col("__sh").as("sig"), col("text_md5"), col("lang"), col("n_chars"),
+        col("quality"))
       .as[BandedDoc]
     val timeout =
       if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
@@ -214,7 +254,7 @@ object StreamOps {
             state.remove() // lease expired: bucket forgets its signatures
             Iterator.empty
           } else {
-            val sorted = rows.toArray.sortBy(_.doc_id)
+            val sorted = rows.toArray.sortBy(r => (-r.quality, r.doc_id))
             var stored = state.getOption.map(_.sigs).getOrElse(Nil)
             var n = stored.length
             val out = sorted.map { r =>

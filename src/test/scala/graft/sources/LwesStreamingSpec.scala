@@ -748,6 +748,64 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming keep-best-at-ingest: family argmax by quality within a wave, first-wave-wins across waves (C34 on C32 ext)") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.QNearDocRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // a verified near pair (hamming <= 3) and an unrelated text
+    val base = "the quick brown fox jumps over the lazy dog and runs away home"
+    val cands = (0 until 200).map(i => s"$base tail$i word$i")
+    val sigs = simSigs(cands)
+    val pair = (for {
+      t1 <- cands.iterator; t2 <- cands.iterator
+      if t2 != t1 && sigs(t1) != sigs(t2) && hamming(sigs(t1), sigs(t2)) <= 3
+    } yield (t1, t2)).take(1).toList
+    assert(pair.nonEmpty, "no near pair found in 200 variants")
+    val (t1, t2) = pair.head
+    val v = cands.find(c => c != t1 && c != t2 &&
+      hamming(sigs(c), sigs(t1)) > 3 && hamming(sigs(c), sigs(t2)) > 3)
+    assert(v.nonEmpty, "no unrelated text found")
+    val w = cands.find(c => c != t1 && c != t2 && c != v.get &&
+      Seq(t1, t2, v.get).forall(t => hamming(sigs(c), sigs(t)) > 3))
+    assert(w.nonEmpty, "no second unrelated text found")
+
+    val ckpt = Files.createTempDirectory("lwes-skeepbest-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[QNearDocRow]
+    val survivors = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamOps.nearDupKeepBestVerdicts(spark, mem.toDS())
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamOps.BandVerdict], _: Long) =>
+          val kept = StreamOps.keepUncollided(b.toDF())
+            .select("doc_id").collect().map(_.getLong(0))
+          survivors.synchronized { survivors ++= kept }
+          ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // wave 1: the family {1 (q=1), 2 (q=9)} must keep doc 2 — the
+      // quality argmax, NOT the first arrival; the unrelated doc 3 and
+      // the exact-dup quality tie {5, 4} (smallest id wins) ride along
+      mem.addData(
+        QNearDocRow(1, t1, "en", 10, 1.0),
+        QNearDocRow(2, t2, "en", 11, 9.0),
+        QNearDocRow(3, v.get, "en", 9, 5.0),
+        QNearDocRow(5, w.get, "en", 9, 4.0),
+        QNearDocRow(4, w.get, "en", 9, 4.0))
+      q.processAllAvailable()
+      assert(survivors.synchronized(survivors.sorted.toSeq) == Seq(2L, 3L, 4L),
+        s"wave-1 survivors ${survivors.sorted}")
+      // wave 2: a BETTER copy of the old family arrives late — append
+      // streams cannot retract doc 2, so doc 6 is dropped like any dup
+      mem.addData(QNearDocRow(6, t1, "en", 10, 99.0))
+      q.processAllAvailable()
+      assert(survivors.synchronized(survivors.sorted.toSeq) == Seq(2L, 3L, 4L),
+        s"wave-2 survivors ${survivors.sorted}")
+    } finally q.stop()
+  }
+
   test("drainSessions: out-of-order buffering, sentinel drop, timeout flush (B20)") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.SessionEvent
