@@ -81,11 +81,16 @@ object Dedup {
     * occupancy bound is spec-testable. `sigs` must carry `idCol` and
     * `minhashes`. Candidate pairs always satisfy id_a < id_b.
     *
-    * Plan shape: one shuffle on (band, sig) for the occupancy window,
-    * reused by the self-join; only (id, band, sig) rows cross the wire.
-    * Sub-cap buckets emit all pairs; saturated buckets emit |bucket|−1
-    * star edges to the min-id hub (see [[minhashPairs]] for the
-    * connectivity contract). */
+    * Plan shape: ONE occupancy window (count+min share the spec, so
+    * Catalyst plans a single Window exec) feeding the LEFT join side
+    * only — sub-cap members plus saturated-bucket hubs; the right side
+    * is the raw (id, band, sig) explode with no window or sort. One
+    * self-join then yields all i<j pairs for sub-cap buckets and the
+    * |bucket|−1 hub star edges for saturated ones in the same pass
+    * (the hub is the only left row of a saturated bucket). The r12 A/B
+    * found the previous three-consumer shape re-ran the explode +
+    * window 3× (~15% of pipeline_clean_corpus); this one runs it once.
+    * See [[minhashPairs]] for the connectivity contract. */
   private[graft] def minhashCandidates(sigs: DataFrame, idCol: String,
       k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val r = k / bands
@@ -97,18 +102,19 @@ object Dedup {
           b => xxhash64(concat_ws(",",
             transform(slice(col("minhashes"), b * lit(r) + lit(1), lit(r)),
               m => m.cast("string")))))).as(Seq("band", "sig")))
+    val left = banded
       .withColumn("__occ", count(lit(1)).over(bw))
       .withColumn("__hub", min(col("id")).over(bw))
-    val small = banded.filter(col("__occ") <= maxBucket)
-    val a = small.select(col("id").as("id_a"), col("band"), col("sig"))
-    val b = small.select(col("id").as("id_b"), col("band"), col("sig"))
-    val allPairs = a.join(b, Seq("band", "sig"))
+      // saturated buckets keep ONLY their hub on the probe side, so a
+      // 10^8-row degenerate bucket emits linear star edges, never a
+      // quadratic cross product
+      .filter(col("__occ") <= maxBucket || col("id") === col("__hub"))
+      .select(col("id").as("id_a"), col("band"), col("sig"))
+    val right = banded.select(col("id").as("id_b"), col("band"), col("sig"))
+    left.join(right, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val starEdges = banded
-      .filter(col("__occ") > maxBucket && col("id") =!= col("__hub"))
-      .select(col("__hub").as("id_a"), col("id").as("id_b"))
-    allPairs.union(starEdges).distinct()
+      .distinct()
   }
 
   // --------------------------------------------------------------- C3
