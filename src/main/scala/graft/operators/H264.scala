@@ -1318,7 +1318,14 @@ object H264 {
       def encodePMb(mb: Int): Unit = {
         val mx = mb % wMbs
         val my = mb / wMbs
-        // ---- full-pel SAD search, (0,0) seeded, strict-< tie-break
+        // ---- full-pel SAD search, (0,0) seeded, strict-< tie-break.
+        // SAD is inlined (no per-position prediction array) and bails
+        // as soon as the partial sum reaches the current best: an
+        // abandoned position has true sad >= partial >= bestSad, so it
+        // could never win under strict-<. (0,0) always evaluates fully
+        // (its <= tie-break needs the exact sum), preserving the
+        // original selection bit-for-bit while cutting the search cost
+        // severalfold — this loop dominates the mm_h264_intra4x4 gate.
         var bestDx = 0
         var bestDy = 0
         var bestSad = Int.MaxValue
@@ -1326,18 +1333,24 @@ object H264 {
         while (dy <= searchRange) {
           var dx = -searchRange
           while (dx <= searchRange) {
-            val pr = mcLuma16(ref.y, w, h, mx, my, dx, dy)
+            val isZero = dx == 0 && dy == 0
+            val limit = if (isZero) Int.MaxValue else bestSad
             var sad = 0
-            var i = 0
-            while (i < 256) {
-              sad += math.abs(
-                (src.y((my * 16 + i / 16) * w + mx * 16 + i % 16) & 0xFF) - pr(i))
-              i += 1
+            var r = 0
+            while (r < 16 && sad < limit) {
+              val sy = math.max(0, math.min(h - 1, my * 16 + r + dy))
+              val srcRow = (my * 16 + r) * w + mx * 16
+              val refRow = sy * w
+              var c = 0
+              while (c < 16) {
+                val sx = math.max(0, math.min(w - 1, mx * 16 + c + dx))
+                sad += math.abs((src.y(srcRow + c) & 0xFF) -
+                  (ref.y(refRow + sx) & 0xFF))
+                c += 1
+              }
+              r += 1
             }
-            // bias toward (0,0) then raster order: evaluate (0,0) first
-            val better =
-              if (dx == 0 && dy == 0) sad <= bestSad
-              else sad < bestSad
+            val better = if (isZero) sad <= bestSad else sad < bestSad
             if (better) { bestSad = sad; bestDx = dx; bestDy = dy }
             dx += 1
           }
