@@ -1072,6 +1072,82 @@ object LwesQueries {
         |  CAST(c.n_chars AS BIGINT) AS n_chars
         |FROM corpus c LEFT JOIN coll ON c.doc_id = coll.doc_id
         |WHERE coll.doc_id IS NULL
-        |ORDER BY c.doc_id""".stripMargin))
+        |ORDER BY c.doc_id""".stripMargin)),
+
+    // C13/C29 composed onto the journal stream: decontamination AT
+    // INGEST. Probe prep (Bloom + inverted shingle index) happens once
+    // before the stream starts; each arriving doc is screened by a
+    // STATELESS per-row projection — bloom any-hit for the common
+    // clean case, exact containment only for the flagged sliver. The
+    // verdict equals the batch decontaminate rule exactly (same
+    // shingles, same round(·,4) >= 0.5 containment), so the oracle
+    // replays it with string shingles; bloom_hit itself is
+    // implementation-specific, so the gate pins the IMPLICATION
+    // (contaminated => flagged) as bloom_caught, like
+    // text_bloom_decontam.
+    "lwes_stream_decontam" -> ((
+      (s: SparkSession, d: String) => {
+        val src = cached(s"sdecontam|$d") { dir =>
+          t(s, d, "documents")
+            .select(col("doc_id"), col("text"), col("lang"),
+              col("n_chars").cast("long").as("n_chars"))
+            .repartition(2)
+            .write.format("lwes").option("eventName", "Doc::C")
+            .mode("append").save(dir)
+        }
+        val probes = t(s, d, "documents")
+          .filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("probe_id"), col("text"))
+        val dst = tmpDir("sdecontam-dst")
+        val ckpt = tmpDir("sdecontam-ckpt")
+        val q = withFewShufflePartitions(s) {
+          val in = s.readStream.format("lwes")
+            .schema("doc_id long, text string, lang string, n_chars long")
+            .option("eventName", "Doc::C")
+            .option("maxFilesPerTrigger", "1").load(src)
+          graft.streaming.StreamOps.decontaminateStream(s, in, probes)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.DecontamDoc],
+               _: Long) =>
+                b.toDF()
+                  .withColumn("bloom_caught",
+                    !col("contaminated") || col("bloom_hit"))
+                  .drop("bloom_hit")
+                  .write.format("lwes").option("eventName", "Dec::D")
+                  .mode("append").save(dst)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        q.awaitTermination()
+        logStateMetrics("lwes_stream_decontam", q)
+        s.read.format("lwes")
+          .schema("doc_id long, lang string, n_chars long, " +
+            "contaminated boolean, bloom_caught boolean")
+          .option("eventName", "Dec::D").load(dst)
+          .orderBy(col("doc_id"))
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(ts) - 1),
+        |                i -> array_to_string(ts[i:i+2], ' ')))
+        |         ELSE [array_to_string(ts, ' ')] END AS s
+        |  FROM tok),
+        |probes AS (
+        |  SELECT doc_id AS probe_id, s AS ps FROM sh WHERE doc_id % 100 = 0),
+        |cont AS (
+        |  SELECT DISTINCT d.doc_id
+        |  FROM sh d CROSS JOIN probes p
+        |  WHERE round(len(list_intersect(d.s, p.ps))::DOUBLE /
+        |          greatest(len(p.ps), 1), 4) >= 0.5)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (doc_id IN (SELECT doc_id FROM cont)) AS contaminated,
+        |  true AS bloom_caught
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

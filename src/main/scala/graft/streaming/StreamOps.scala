@@ -314,4 +314,89 @@ object StreamOps {
           }
       }
   }
+
+  // ------------------------------------------------------- decontam
+
+  final case class DecontamDoc(doc_id: Long, lang: String, n_chars: Long,
+      bloom_hit: Boolean, contaminated: Boolean)
+
+  /** Streaming decontamination at ingest (C13/C29 composed onto the
+    * journal stream): the probe side is prepared ONCE before the
+    * stream starts — a Bloom filter over the probe set's distinct
+    * w-gram shingle hashes plus an inverted index (shingle hash →
+    * probe ordinals), both bounded by the benchmark-sized probe
+    * contract of the batch operators — and every arriving document is
+    * screened STATELESSLY: the codegen'd Bloom any-hit answers the
+    * common "clean" case per row (false negatives impossible), and
+    * only the flagged sliver pays the exact containment count against
+    * the inverted index. No state store, no watermark, no shuffle —
+    * per-row decisions keep ingest throughput scan-bound at any
+    * corpus rate, and `contaminated` EQUALS the batch
+    * [[graft.operators.Contamination.decontaminate]] drop rule
+    * (same shingles, same round(·,4) >= threshold containment), which
+    * is what the `lwes_stream_decontam` oracle replays. A Bloom false
+    * positive costs one redundant exact check, never a wrong verdict. */
+  def decontaminateStream(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, probes: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      probeIdCol: String = "probe_id", probeTextCol: String = "text",
+      w: Int = 3, threshold: Double = 0.5,
+      fpp: Double = 0.01): Dataset[DecontamDoc] = {
+    import graft.functions.SignatureExpressions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // bounded driver prep: |probes| rows, their distinct shingle hashes
+    val probeSets: Array[Array[Long]] = probes
+      .select(col(probeIdCol).cast("long"),
+        SignatureExpressions.shingle_hashes(
+          graft.operators.TextAnalysis.tokens(col(probeTextCol)), w))
+      .collect().map(_.getSeq[Long](1).toArray)
+    val inverted = new java.util.HashMap[Long, Array[Int]]()
+    probeSets.zipWithIndex.foreach { case (hs, pi) =>
+      hs.foreach { h =>
+        val prev = inverted.get(h)
+        inverted.put(h, if (prev == null) Array(pi) else prev :+ pi)
+      }
+    }
+    val probeSizes = probeSets.map(hs => math.max(hs.length, 1))
+    val distinct = probeSets.flatten.distinct
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(distinct.length.toLong, 1L), fpp)
+    distinct.foreach(bf.putLong)
+    val bcIdx = spark.sparkContext.broadcast((inverted, probeSizes))
+    docs
+      .select(col(idCol).cast("long").as("_1"), col("lang").as("_2"),
+        col("n_chars").cast("long").as("_3"),
+        SignatureExpressions.shingle_hashes(
+          graft.operators.TextAnalysis.tokens(col(textCol)), w).as("_4"))
+      .withColumn("_5",
+        SignatureExpressions.bloom_any_contains(col("_4"), bf))
+      .as[(Long, String, Long, Array[Long], Boolean)]
+      .mapPartitions { rows =>
+        val (idx, sizes) = bcIdx.value
+        rows.map { case (id, lang, nChars, sh, hit) =>
+          var contaminated = false
+          if (hit) {
+            val counts = new Array[Int](sizes.length)
+            var i = 0
+            while (i < sh.length && !contaminated) {
+              val ps = idx.get(sh(i))
+              if (ps != null) {
+                var j = 0
+                while (j < ps.length && !contaminated) {
+                  val p = ps(j)
+                  counts(p) += 1
+                  // the batch rule verbatim: round(shared/size, 4) >= t
+                  if (math.round(counts(p).toDouble / sizes(p) * 10000.0)
+                      / 10000.0 >= threshold) contaminated = true
+                  j += 1
+                }
+              }
+              i += 1
+            }
+          }
+          DecontamDoc(id, lang, nChars, hit, contaminated)
+        }
+      }
+  }
 }

@@ -806,6 +806,53 @@ class LwesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination at ingest: exact verdicts, bloom implication, stateless (C13/C29 on streams)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val probeTxt = "alpha beta gamma delta epsilon zeta eta theta"
+    val probes = Seq((100L, probeTxt)).toDF("probe_id", "text")
+    val ckpt = Files.createTempDirectory("lwes-sdecon-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val out = new scala.collection.mutable.ArrayBuffer[StreamOps.DecontamDoc]()
+    val q = StreamOps.decontaminateStream(spark,
+        mem.toDS().toDF("doc_id", "text", "lang", "n_chars"), probes)
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamOps.DecontamDoc], _: Long) =>
+          val rows = b.collect()
+          out.synchronized { out ++= rows }
+          ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(
+        // full probe text embedded -> containment 1.0 -> contaminated
+        (1L, s"prefix words $probeTxt suffix words", "en", 10L),
+        // half the probe's shingles (6 of 6-shingle probe? craft: first
+        // 5 tokens give 3 shingles of the probe's 6) -> containment 0.5
+        (2L, "alpha beta gamma delta epsilon", "en", 10L),
+        // unrelated -> clean, and the bloom should usually say no
+        (3L, "totally unrelated content about spark physical plans", "en", 10L))
+      q.processAllAvailable()
+      val byId = out.synchronized(out.map(d => d.doc_id -> d).toMap)
+      assert(byId(1L).contaminated, s"doc 1 must be contaminated: $byId")
+      assert(byId(1L).bloom_hit, "contaminated implies bloom_hit")
+      // probe has 8 tokens -> 6 shingles; doc 2 has 5 tokens -> 3 probe
+      // shingles shared -> containment 3/6 = 0.5 >= 0.5 -> contaminated
+      assert(byId(2L).contaminated, s"doc 2 at exactly threshold: $byId")
+      assert(!byId(3L).contaminated, s"doc 3 clean: $byId")
+      assert(out.synchronized(out.forall(d => !d.contaminated || d.bloom_hit)),
+        "bloom false negatives are impossible")
+      // stateless: re-feeding the clean doc keeps yielding clean (no
+      // dedup state interference between decontam batches)
+      mem.addData((4L, "totally unrelated content about spark physical plans", "en", 10L))
+      q.processAllAvailable()
+      assert(!out.synchronized(out.map(d => d.doc_id -> d).toMap)(4L).contaminated)
+    } finally q.stop()
+  }
+
   test("drainSessions: out-of-order buffering, sentinel drop, timeout flush (B20)") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.SessionEvent
