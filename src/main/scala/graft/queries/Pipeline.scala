@@ -1324,6 +1324,67 @@ object Pipeline {
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY span_md5""".stripMargin)),
 
+    // C14/C27/C17/C22 composed: the END-TO-END TRAINING-MIX layout —
+    // LM-score every document (C27), keep the above-threshold half,
+    // draw a deterministic portable 50% hash sample of the keepers
+    // (C17), and pack the survivors into per-language token-budget
+    // shards (C22). One gate proves the whole score->filter->sample->
+    // pack chain composes without any stage disturbing another's
+    // contract; the oracle replays every stage (quantized trigram
+    // log-lik, md5 bucket, running-sum shard assignment) and the
+    // per-shard decimal-quantized score totals pin the score values
+    // that flowed THROUGH the pipeline, not just survivor counts.
+    "pipeline_training_mix" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val scored = TextAnalysis.charTrigramLogLik(docs)
+        val kept = docs.join(scored, "doc_id")
+          .filter(col("avg_ll") >= lit(-0.95))
+        val sampled = graft.operators.Sampling.hashSample(
+          kept, "doc_id", pct = 50, portable = true)
+        val sharded = graft.operators.Sampling.shardByTokenBudget(
+          sampled, "lang", "doc_id", "text", 400)
+        sharded.groupBy(col("lang"), col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("shard_tokens"),
+            round(sum(col("avg_ll").cast("decimal(18,4)")), 4)
+              .cast("double").as("sum_ll"))
+          .orderBy(col("lang"), col("shard_id"))
+      },
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS tx FROM documents),
+        |g AS (SELECT doc_id, unnest(generate_series(1, length(tx) - 2)) AS i, tx
+        |      FROM t WHERE length(tx) >= 3),
+        |tr AS (SELECT doc_id, substring(tx, i, 3) AS tri FROM g),
+        |m AS (SELECT doc_id, tri, count(*) AS m FROM tr GROUP BY doc_id, tri),
+        |c3 AS (SELECT tri, sum(m) AS c3 FROM m GROUP BY tri),
+        |c2 AS (SELECT substring(tri, 1, 2) AS bi, sum(c3) AS c2 FROM c3 GROUP BY bi),
+        |ll AS (
+        |  SELECT m.doc_id, m.m,
+        |    CAST(ln(CAST(c3.c3 + 1 AS DOUBLE) / (c2.c2 + 256)) AS DECIMAL(18,9)) AS l
+        |  FROM m JOIN c3 USING (tri)
+        |  JOIN c2 ON substring(m.tri, 1, 2) = c2.bi),
+        |score AS (
+        |  SELECT doc_id, round(CAST(sum(m * l) AS DOUBLE) / sum(m), 4) AS avg_ll
+        |  FROM ll GROUP BY doc_id),
+        |samp AS (
+        |  SELECT d.doc_id, d.lang, d.text, s.avg_ll
+        |  FROM documents d JOIN score s USING (doc_id)
+        |  WHERE s.avg_ll >= -0.95
+        |    AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50),
+        |tk AS (
+        |  SELECT lang, doc_id, avg_ll,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM samp),
+        |c AS (
+        |  SELECT lang, avg_ll, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
+        |  FROM tk)
+        |SELECT lang, CAST(floor(COALESCE(cumb, 0)::DOUBLE / 400) AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS shard_tokens,
+        |  CAST(round(sum(CAST(avg_ll AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_ll
+        |FROM c GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin)),
+
     // C29: Bloom-gated decontamination — the corpus side is a pure
     // projection against a broadcast Bloom filter of probe shingles;
     // only flagged docs pay the exact verification join. The oracle
