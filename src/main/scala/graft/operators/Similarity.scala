@@ -375,6 +375,61 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Semantic deduplication (SemDeDup shape, Abbas et al. 2023):
+    * partition the embedding space into buckets, connect within-bucket
+    * pairs with cosine >= `threshold` into components, and keep ONE
+    * representative per component (the smallest id) plus every
+    * unbucketed-duplicate-free vector — the "drop semantically
+    * redundant copies" step a training pipeline runs on embeddings
+    * rather than text. Returns (idCol, n_members): each kept id with
+    * its component size (1 if it had no near-semantic neighbor).
+    *
+    * Bucketing is the SIGN PATTERN of the first `signDims` dimensions
+    * — an axis-aligned locality partition that is a pure per-row
+    * projection and replays exactly in any engine (the gate's oracle
+    * recomputes it in SQL), standing in for SemDeDup's k-means cells;
+    * like those cells it bounds the candidate set, and cross-bucket
+    * near-duplicates are accepted misses — the documented SemDeDup
+    * contract, not a bug. Scale shape mirrors [[embeddingNearDup]]:
+    * raise `signDims` so expected occupancy stays bounded (2^B cells),
+    * and the single occupancy window keeps a degenerate bucket (e.g.
+    * all-zero embeddings) linear — saturated buckets verify only
+    * against their min-id hub. Components come from the O(log n)
+    * large-star/small-star CC, so deep chains cannot stall the round
+    * count. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.3, signDims: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
+    require(signDims >= 1 && signDims <= 30, "signDims in [1,30]")
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val bucketExpr = (0 until signDims).map(i =>
+      when(element_at(col("v"), i + 1) > 0,
+        lit(1 << (signDims - 1 - i))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val b = v.withColumn("bucket", bucketExpr)
+    // the r12 minhash single-window shape: occupancy window on the
+    // LEFT side only; saturated buckets keep just their hub there
+    val bw = Window.partitionBy(col("bucket"))
+    val left = b
+      .withColumn("__occ", count(lit(1)).over(bw))
+      .withColumn("__hub", min(col("id")).over(bw))
+      .filter(col("__occ") <= maxBucket || col("id") === col("__hub"))
+      .select(col("id").as("id_a"), col("bucket"), col("v").as("v_a"))
+    val right = b.select(col("id").as("id_b"), col("bucket"), col("v").as("v_b"))
+    val edges = left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.operators.Dedup.connectedComponentsStar(edges)
+    val losers = cc.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__loser"))
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+    v.join(losers, col("id") === col("__loser"), "left_anti")
+      .join(sizes, col("id") === col("cluster_id"), "left")
+      .select(col("id").as(idCol), coalesce(col("__n"), lit(1L)).as("n_members"))
+  }
+
   // -------------------------------------------------------------- C30
 
   /** Deterministic product-quantization codebooks (Jégou et al. 2011):

@@ -1029,6 +1029,48 @@ object Pipeline {
     // path emits no false positives; planted-pair recall is spec-covered
     // (OperatorsSpec "embeddingNearDup recalls planted near-identical
     // pairs").
+    // C5/C16/C34 composed on EMBEDDINGS (SemDeDup shape): sign-pattern
+    // buckets stand in for k-means cells (pure per-row projection, so
+    // the oracle recomputes them in SQL), within-bucket cosine >= 0.3
+    // edges close into components via the O(log n) star CC, and each
+    // component keeps its smallest id. Cross-bucket near-dups are
+    // accepted misses — the SemDeDup contract — and BOTH engines apply
+    // the same bucket rule, so the kept set is deterministic and fully
+    // hash-gated (unlike the rows-only ANN gates).
+    "dedup_semantic" -> ((
+      (s: SparkSession, d: String) => {
+        Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+            threshold = 0.3, signDims = 4)
+          .orderBy(col("vec_id"))
+      },
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM v),
+        |e AS (
+        |  SELECT a.vec_id AS ida, b2.vec_id AS idb
+        |  FROM b a JOIN b b2
+        |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding, b2.embedding), 4) >= 0.3),
+        |und AS (SELECT ida AS src, idb AS dst FROM e
+        |        UNION ALL SELECT idb, ida FROM e),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM und
+        |  UNION
+        |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.id),
+        |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id)
+        |SELECT v.vec_id, CAST(COALESCE(s.n, 1) AS BIGINT) AS n_members
+        |FROM v
+        |LEFT JOIN cc ON cc.id = v.vec_id
+        |LEFT JOIN sizes s ON s.cluster_id = cc.cluster_id
+        |WHERE cc.id IS NULL OR cc.cluster_id = v.vec_id
+        |ORDER BY v.vec_id""".stripMargin)),
+
     "embed_near_dup" -> ((
       (s: SparkSession, d: String) => {
         Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",

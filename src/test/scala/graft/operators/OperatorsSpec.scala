@@ -205,6 +205,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(star == prop)
   }
 
+  test("semanticDedup: bucket-local cosine components keep min-id reps with sizes (C5/C16 composed)") {
+    // hand-built 4-dim vectors with known sign buckets and cosines:
+    // {1,2} cluster in bucket 1111, {4,5,6} cluster in bucket 1011,
+    // 3 and 7 are singletons in their own buckets
+    val rows = Seq(
+      (1L, Seq(1.0, 1.0, 1.0, 1.0)),
+      (2L, Seq(1.0, 1.0, 1.0, 0.9)),
+      (3L, Seq(-1.0, 1.0, 1.0, 1.0)),
+      (4L, Seq(1.0, -1.0, 1.0, 1.0)),
+      (5L, Seq(1.0, -1.0, 1.0, 1.1)),
+      (6L, Seq(1.0, -1.0, 0.9, 1.0)),
+      (7L, Seq(1.0, 1.0, -1.0, -1.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9, signDims = 4)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L), (4L, 3L), (7L, 1L)), s"got $got")
+    // same data, cross-bucket pair (3 vs 1: cosine 0.5 < 0.9 anyway) —
+    // and determinism: a second run returns the identical frame
+    val again = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9, signDims = 4)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == got)
+  }
+
   test("shingleCandidates drops stop-shingles and requires minShared (C16)") {
     val common = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
