@@ -1071,18 +1071,36 @@ object Pipeline {
         |WHERE cc.id IS NULL OR cc.cluster_id = v.vec_id
         |ORDER BY v.vec_id""".stripMargin)),
 
+    // The synthetic embeddings carry NO pair above 0.8, which left this
+    // gate verifying an empty answer (r12 finding). Planted EXACT
+    // duplicates (every 9th vector re-appended under a shifted id) make
+    // it a genuine detection gate: identical vectors share every LSH
+    // bucket by construction, so banded recall for the planted pairs is
+    // structurally 1 — no probabilistic recall leaks into the hash
+    // compare — while every non-identical pair stays below threshold.
     "embed_near_dup" -> ((
       (s: SparkSession, d: String) => {
-        Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val maxIdRow = emb.agg(max(col("vec_id"))).head
+        val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+        val corpus = emb.unionAll(emb.filter(col("vec_id") % 9 === 0)
+          .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+            col("embedding")))
+        Similarity.embeddingNearDup(corpus, "vec_id", "embedding",
             threshold = 0.8)
           .agg(count(lit(1)).as("n_pairs"),
             round(coalesce(avg(col("cosine")), lit(-1.0)), 4).as("avg_cosine"))
       },
-      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding
+        |  FROM embeddings WHERE vec_id % 9 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |  round(coalesce(avg(c), -1.0), 4) AS avg_cosine
         |FROM (
         |  SELECT list_cosine_similarity(a.embedding, b.embedding) AS c
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |WHERE c >= 0.8""".stripMargin))
   )
 
