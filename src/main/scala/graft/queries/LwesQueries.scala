@@ -21,6 +21,13 @@ object LwesQueries {
   private def tmpDir(tag: String): String =
     Files.createTempDirectory(s"graft-$tag").toString
 
+  /** The stream gates order wave files by mtime; a filesystem that
+    * silently rejects setLastModified would diverge file-processing
+    * order from the oracle's wave index. Fail fast instead. */
+  private def bumpMtime(f: java.io.File, t: Long): Unit =
+    require(f.setLastModified(t),
+      s"setLastModified($t) rejected for $f — wave ordering would be lost")
+
   /** Run `body` (typically a writeStream .start()) with
     * spark.sql.shuffle.partitions narrowed to 4: the streaming gates
     * run few sequential micro-batches, where 32 state-store tasks per
@@ -265,7 +272,7 @@ object LwesQueries {
           val files = new java.io.File(dir).listFiles()
           val maxMtime = files.map(_.lastModified()).max
           files.filterNot(f => before.contains(f.getName))
-            .foreach(_.setLastModified(maxMtime + 60000L))
+            .foreach(bumpMtime(_, maxMtime + 60000L))
         }
         val dst = tmpDir("drain-dst")
         val ckpt = tmpDir("drain-ckpt")
@@ -440,7 +447,7 @@ object LwesQueries {
             val files = visible(dir)
             val maxMtime = files.map(_.lastModified()).max
             files.filterNot(f => before.contains(f.getName))
-              .foreach(_.setLastModified(maxMtime + mtimeBump))
+              .foreach(bumpMtime(_, maxMtime + mtimeBump))
           }
           // batch-count control: greedy mtime-ordered admission must
           // close a batch exactly at sentinel 1, i.e. maxFilesPerTrigger
@@ -778,7 +785,7 @@ object LwesQueries {
             new java.io.File(dir).listFiles()
               .filterNot(f => before.contains(f.getName) ||
                 f.getName.startsWith(".") || f.getName.startsWith("_"))
-              .foreach(_.setLastModified(1700000000000L + i * 60000L))
+              .foreach(bumpMtime(_, 1700000000000L + i * 60000L))
           }
         }
         val dst = tmpDir("sdedup-dst")
@@ -869,7 +876,7 @@ object LwesQueries {
             new java.io.File(dir).listFiles()
               .filterNot(f => before.contains(f.getName) ||
                 f.getName.startsWith(".") || f.getName.startsWith("_"))
-              .foreach(_.setLastModified(1700000000000L + i * 60000L))
+              .foreach(bumpMtime(_, 1700000000000L + i * 60000L))
           }
         }
         val dst = tmpDir("sneardup-dst")
@@ -991,7 +998,7 @@ object LwesQueries {
             new java.io.File(dir).listFiles()
               .filterNot(f => before.contains(f.getName) ||
                 f.getName.startsWith(".") || f.getName.startsWith("_"))
-              .foreach(_.setLastModified(1700000000000L + i * 60000L))
+              .foreach(bumpMtime(_, 1700000000000L + i * 60000L))
           }
         }
         val dst = tmpDir("skeepbest-dst")

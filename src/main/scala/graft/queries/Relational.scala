@@ -17,6 +17,10 @@ object Tables {
     * site depends on this one boundary. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ branch below re-interprets naive timestamps as UTC; pin
+    // the session tz HERE so the contract is enforced at the boundary
+    // rather than by every entrypoint remembering to set it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = t(spark, dir, "events")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {

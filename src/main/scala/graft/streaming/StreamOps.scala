@@ -351,13 +351,20 @@ object StreamOps {
         SignatureExpressions.shingle_hashes(
           graft.operators.TextAnalysis.tokens(col(probeTextCol)), w))
       .collect().map(_.getSeq[Long](1).toArray)
-    val inverted = new java.util.HashMap[Long, Array[Int]]()
+    val invertedBuf =
+      new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
     probeSets.zipWithIndex.foreach { case (hs, pi) =>
       hs.foreach { h =>
-        val prev = inverted.get(h)
-        inverted.put(h, if (prev == null) Array(pi) else prev :+ pi)
+        var buf = invertedBuf.get(h)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[Int](4)
+          invertedBuf.put(h, buf)
+        }
+        buf += pi
       }
     }
+    val inverted = new java.util.HashMap[Long, Array[Int]]()
+    invertedBuf.forEach((h, buf) => inverted.put(h, buf.toArray))
     val probeSizes = probeSets.map(hs => math.max(hs.length, 1))
     val distinct = probeSets.flatten.distinct
     val bf = org.apache.spark.util.sketch.BloomFilter
