@@ -24,9 +24,55 @@ object Journal {
 
   /** zstd rides zstd-jni (shipped with Spark for shuffle/parquet) rather
     * than Hadoop's ZStandardCodec, which needs the native libhadoop
-    * binding that plain Spark deployments don't carry. */
+    * binding that plain Spark deployments don't carry. `.zsj` (the
+    * splittable container, [[SplitJournal]]) IS a valid multi-frame zstd
+    * stream — its footer index rides a skippable frame that zstd
+    * decoders pass over — so sequential readers treat it as plain zstd. */
   def isZstd(path: String): Boolean =
-    path.endsWith(".zst") || path.endsWith(".zstd")
+    path.endsWith(".zst") || path.endsWith(".zstd") ||
+      path.endsWith("." + SplitJournal.Extension)
+
+  /** Encode the 22-byte record header into `bb` (cleared first) —
+    * shared by the sequential and splittable journal writers so the
+    * wire layout has exactly one definition. */
+  def encodeHeader(bb: ByteBuffer, len: Int, time: Long, ip: Array[Byte],
+      port: Int, site: Int): Unit = {
+    // the header length field is uint16 (wire-format constraint — events
+    // are datagrams); a silent Short truncation would corrupt the stream
+    if (len > 0xffff)
+      throw new IllegalArgumentException(
+        s"journal record of $len bytes; " +
+          "LWES journal records are capped at 65535 (uint16 length header)")
+    bb.clear()
+    bb.putShort(len.toShort)
+    bb.putLong(time)
+    bb.put(ip(3)).put(ip(2)).put(ip(1)).put(ip(0))
+    bb.putShort(port.toShort)
+    bb.putShort(site.toShort)
+    bb.putInt(0)
+  }
+}
+
+/** Record-level journal write surface: the sequential gzip/zstd writer
+  * ([[JournalWriter]]) and the splittable framed writer
+  * ([[SplitJournalWriter]]) share it, so the DSv2 write path is
+  * container-agnostic. */
+trait JournalRecordWriter extends AutoCloseable {
+  def writeRecord(payload: Array[Byte], off: Int, len: Int, time: Long,
+      ip: Array[Byte], port: Int, site: Int): Unit
+
+  /** Header fields are carried from the event's ReceiptTime/SenderIP/
+    * SenderPort/SiteID attributes when present, zeros otherwise
+    * (reference DatagramPacketOutputStream.java:83-119). */
+  def write(ev: LwesEvent): Unit = {
+    val payload = LwesCodec.serialize(ev)
+    val time = ev.get(LwesEvent.ReceiptTime).map(_.value.asInstanceOf[Long]).getOrElse(0L)
+    val ip = ev.get(LwesEvent.SenderIp).map(_.value.asInstanceOf[Array[Byte]])
+      .getOrElse(Array[Byte](0, 0, 0, 0))
+    val port = ev.get(LwesEvent.SenderPort).map(_.value.asInstanceOf[Int]).getOrElse(0)
+    val site = ev.get(LwesEvent.SiteId).map(_.value.asInstanceOf[Int]).getOrElse(0)
+    writeRecord(payload, 0, payload.length, time, ip, port, site)
+  }
 }
 
 /** Common surface for the two journal container readers. */
@@ -148,23 +194,11 @@ object JournalReader {
 }
 
 /** Streaming journal writer (reference DatagramPacketOutputStream
-  * .writeEvent, DatagramPacketOutputStream.java:83-119): header fields
-  * are carried from the event's ReceiptTime/SenderIP/SenderPort/SiteID
-  * attributes when present, zeros otherwise.
+  * .writeEvent, DatagramPacketOutputStream.java:83-119).
   */
-final class JournalWriter(raw: OutputStream) extends AutoCloseable {
+final class JournalWriter(raw: OutputStream) extends JournalRecordWriter {
   private val out = new BufferedOutputStream(raw, 1 << 16)
   private val headerBuf = ByteBuffer.allocate(Journal.HeaderLength)
-
-  def write(ev: LwesEvent): Unit = {
-    val payload = LwesCodec.serialize(ev)
-    val time = ev.get(LwesEvent.ReceiptTime).map(_.value.asInstanceOf[Long]).getOrElse(0L)
-    val ip = ev.get(LwesEvent.SenderIp).map(_.value.asInstanceOf[Array[Byte]])
-      .getOrElse(Array[Byte](0, 0, 0, 0))
-    val port = ev.get(LwesEvent.SenderPort).map(_.value.asInstanceOf[Int]).getOrElse(0)
-    val site = ev.get(LwesEvent.SiteId).map(_.value.asInstanceOf[Int]).getOrElse(0)
-    writeRecord(payload, 0, payload.length, time, ip, port, site)
-  }
 
   /** Raw capture write: header + payload bytes verbatim, no parse — the
     * shape of the reference's datagram journaling (a received packet is
@@ -172,19 +206,7 @@ final class JournalWriter(raw: OutputStream) extends AutoCloseable {
     * DatagramPacketOutputStream.java:42-74). */
   def writeRecord(payload: Array[Byte], off: Int, len: Int, time: Long,
       ip: Array[Byte], port: Int, site: Int): Unit = {
-    // the header length field is uint16 (wire-format constraint — events
-    // are datagrams); a silent Short truncation would corrupt the stream
-    if (len > 0xffff)
-      throw new IllegalArgumentException(
-        s"journal record of $len bytes; " +
-          "LWES journal records are capped at 65535 (uint16 length header)")
-    headerBuf.clear()
-    headerBuf.putShort(len.toShort)
-    headerBuf.putLong(time)
-    headerBuf.put(ip(3)).put(ip(2)).put(ip(1)).put(ip(0))
-    headerBuf.putShort(port.toShort)
-    headerBuf.putShort(site.toShort)
-    headerBuf.putInt(0)
+    Journal.encodeHeader(headerBuf, len, time, ip, port, site)
     out.write(headerBuf.array(), 0, Journal.HeaderLength)
     out.write(payload, off, len)
   }

@@ -616,6 +616,59 @@ object LwesQueries {
         |WHERE epoch_ns(ts) // 1000000
         |  BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin)),
 
+    // A22: SPLITTABLE journal read. The whole events table is written as
+    // ONE `.zsj` split journal (zstd frames at record boundaries + a
+    // footer frame index, graft.lwes.SplitJournal) and read back with a
+    // small split target, so the single file plans MANY independent
+    // seek+bounded-decompress tasks — the in-gate require() fails loudly
+    // if the scan ever degrades to one task. The aggregate hash against
+    // the source parquet proves the frame-ranged parallel read sees
+    // exactly the records of the sequential read: a frame boundary that
+    // tore a record, or a run split that dropped/duplicated a frame,
+    // mismatches immediately. This removes the reference's deepest scale
+    // ceiling — unsplittable journals (JournalInputFormat.java:58-60),
+    // where one fat journal serializes the whole scan.
+    "lwes_split_read" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"split|$d") { dir =>
+          events(s, d)
+            .withColumn("ReceiptTime", expr("ts div 1000000"))
+            .select("event_id", "user_id", "event_type", "value", "ReceiptTime")
+            .repartition(1)
+            .write.format("lwes").option("eventName", "Ev::Split")
+            .option(graft.sources.lwes.LwesOptions.Compression, "split-zstd")
+            .option(graft.sources.lwes.LwesOptions.SplitFrameBytes, "65536")
+            .mode("append").save(dir)
+        }
+        val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".zsj"))
+        require(files.length == 1,
+          s"expected exactly one split journal, found ${files.length}")
+        val df = s.read.format("lwes")
+          .schema("event_id long, user_id long, event_type string, " +
+            "value double, ReceiptTime long")
+          .option("eventName", "Ev::Split")
+          .option(graft.sources.lwes.LwesOptions.SplitTargetBytes, "65536")
+          .load(dir)
+        val nTasks = df.rdd.getNumPartitions
+        require(nTasks > 1,
+          s"single split journal planned only $nTasks scan task(s) — " +
+            "the footer-indexed split path did not engage")
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("event_id")).as("n_events"),
+            min(col("ReceiptTime")).as("first_ms"),
+            max(col("ReceiptTime")).as("last_ms"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_id) AS n_events,
+        |  min(epoch_ns(ts) // 1000000) AS first_ms,
+        |  max(epoch_ns(ts) // 1000000) AS last_ms
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // A9 promoted to the hard gate: read the journal with NO schema —
     // inference must surface every attribute with usable types (doubles
     // ride the wire as LWES strings, reference parity, so the query

@@ -470,7 +470,7 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         curPart.partitionValues.get(schema.fields(c).name)
           .map(_.getBytes(UTF_8)).orNull)
       try {
-        val s = LwesDataSource.openStream(curPart.path, conf)
+        val s = LwesDataSource.openStream(curPart.path, conf, curPart.range)
         if (LwesDataSource.sniffSeq(s)) seqFill = new SeqFill(s)
         else in = s
       } catch {

@@ -252,18 +252,31 @@ object LwesDataSource {
   /** Open a journal file as a decompressed, buffered byte stream (codec
     * by extension; zstd via zstd-jni — Hadoop's ZStandardCodec needs
     * native libhadoop which plain Spark deployments don't carry). The
-    * 3-byte pushback window lets [[sniffSeq]] detect the container. */
-  def openStream(pathStr: String, conf: Configuration): java.io.PushbackInputStream = {
+    * 3-byte pushback window lets [[sniffSeq]] detect the container.
+    *
+    * `range` (split journals only, [[graft.lwes.SplitJournal]]): seek to
+    * the run's first frame and decode exactly `end - start` compressed
+    * bytes — frames are independent zstd frames starting at record
+    * boundaries, so the bounded multi-frame stream is a complete,
+    * self-contained journal byte stream. */
+  def openStream(pathStr: String, conf: Configuration,
+      range: Option[(Long, Long)] = None): java.io.PushbackInputStream = {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
-    val in0: java.io.InputStream =
-      if (graft.lwes.Journal.isZstd(p.getName))
-        new com.github.luben.zstd.ZstdInputStream(raw)
-      else {
-        val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
-        if (codec != null) codec.createInputStream(raw) else raw
-      }
+    val in0: java.io.InputStream = range match {
+      case Some((start, end)) =>
+        raw.seek(start)
+        new com.github.luben.zstd.ZstdInputStream(
+          new graft.lwes.BoundedInputStream(raw, end - start))
+      case None =>
+        if (graft.lwes.Journal.isZstd(p.getName))
+          new com.github.luben.zstd.ZstdInputStream(raw)
+        else {
+          val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
+          if (codec != null) codec.createInputStream(raw) else raw
+        }
+    }
     new java.io.PushbackInputStream(
       new java.io.BufferedInputStream(in0, 1 << 16), 3)
   }
@@ -278,8 +291,9 @@ object LwesDataSource {
   }
 
   def openReader(pathStr: String, conf: Configuration,
-      nameFilter: String => Boolean, wanted: String => Boolean): EventStreamReader = {
-    val in = openStream(pathStr, conf)
+      nameFilter: String => Boolean, wanted: String => Boolean,
+      range: Option[(Long, Long)] = None): EventStreamReader = {
+    val in = openStream(pathStr, conf, range)
     if (sniffSeq(in))
       new graft.lwes.SequenceJournalReader(in, nameFilter, wanted)
     else new JournalReader(in, nameFilter, wanted)
@@ -565,12 +579,15 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       timeLo = math.max(timeLo, optLo), // unbounded unless pruneEnabled
       timeHi = math.min(timeHi, optHi),
       timeSlackMs = options.getLong(LwesOptions.TimePruneSlackMs, 3600000L),
-      timeExactOnly = pruneMode == "exact")
+      timeExactOnly = pruneMode == "exact",
+      splitTargetBytes =
+        Option(options.get(LwesOptions.SplitTargetBytes)).map(_.toLong))
   }
 }
 
 final case class LwesInputPartition(path: String, length: Long,
-    partitionValues: Map[String, String], locations: Seq[String] = Nil)
+    partitionValues: Map[String, String], locations: Seq[String] = Nil,
+    range: Option[(Long, Long)] = None)
     extends InputPartition {
   /** Block hosts from the listing (HDFS/YARN locality; empty on
     * local/object stores, where Spark schedules anywhere). */
@@ -622,6 +639,12 @@ private[lwes] class FilesPrunedMetric
   override def description(): String =
     "journals skipped by ReceiptTime-range bounds"
 }
+private[lwes] class FramesPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "framesPruned"
+  override def description(): String =
+    "split-journal frames skipped by exact ReceiptTime bounds"
+}
 private[lwes] class RowsFilteredMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "rowsFiltered"
@@ -639,7 +662,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     timeLo: Long = Long.MinValue, timeHi: Long = Long.MaxValue,
-    timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false)
+    timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false,
+    splitTargetBytes: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = schema
@@ -653,14 +677,15 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new EventsParsedMetric, new EventsSkippedMetric,
       new TornFilesMetric, new CorruptRecordsMetric, new FilesPrunedMetric,
-      new RowsFilteredMetric)
+      new FramesPrunedMetric, new RowsFilteredMetric)
 
-  /** Driver-side planning metric: files the ReceiptTime bounds skipped
-    * (visible in the SQL UI next to the task metrics). */
+  /** Driver-side planning metrics: files/split-frames the ReceiptTime
+    * bounds skipped (visible in the SQL UI next to the task metrics). */
   override def reportDriverMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
     plannedPartitions // ensure planning ran
-    Array(LwesTaskMetric("filesPruned", prunedFileCount))
+    Array(LwesTaskMetric("filesPruned", prunedFileCount),
+      LwesTaskMetric("framesPruned", prunedFrames))
   }
 
   @volatile private var prunedFiles = 0L
@@ -668,6 +693,10 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * accessor; same number as the driver metric). Forces planning so
     * the reading never depends on whether the plan executed yet. */
   def prunedFileCount: Long = { plannedPartitions; prunedFiles }
+
+  /** Split-journal frames skipped by exact ReceiptTime bounds (same
+    * number as the framesPruned driver metric). */
+  def prunedFrameCount: Long = { plannedPartitions; prunedFrames }
 
   /** Runtime (dynamic partition) pruning: joins on a path-derived
     * partition column hand the build side's values back to the scan
@@ -722,7 +751,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           keep
         }
       prunedFiles = (listed.size - files.size).toLong
-      val slices = files.iterator.map { f =>
+      val fileSlices = files.iterator.map { f =>
         LwesInputPartition(f.getPath.toString, f.getLen,
           LwesDataSource.partitionValues(f.getPath, roots),
           LwesDataSource.hostsOf(f))
@@ -736,10 +765,79 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           (sqlConf.filesMaxPartitionBytes, sqlConf.filesOpenCostInBytes,
             sc.defaultParallelism)
         } catch { case scala.util.control.NonFatal(_) => (128L << 20, 4L << 20, 8) }
-      p = LwesScan.packPartitions(slices, maxBytes, openCost, parallelism)
+      // Split-journal expansion: a `.zsj` file larger than the split
+      // target becomes one slice per frame run (footer-indexed,
+      // [[graft.lwes.SplitJournal]]) — ONE fat journal plans N
+      // independent tasks, removing the reference's parallelism =
+      // file-count ceiling (JournalInputFormat.java:58-60). Footers are
+      // read only for oversized .zsj files, so small-file planning cost
+      // is unchanged. Frame runs are atomic units for the bin packer.
+      val totalBytes = fileSlices.map(_.length + openCost).sum
+      val defaultSplit = math.min(maxBytes,
+        math.max(openCost, totalBytes / math.max(parallelism, 1)))
+      val target = math.max(splitTargetBytes.getOrElse(defaultSplit), 1L)
+      val slices = fileSlices.flatMap { s =>
+        if (graft.lwes.SplitJournal.isSplit(s.path) && s.length > target)
+          expandSplit(s, target, conf)
+        else Seq(s)
+      }
+      p = LwesScan.packPartitions(slices,
+        math.min(maxBytes, target), openCost, parallelism)
       cachedPartitions = p
     }
     p
+  }
+
+  @volatile private var prunedFrames = 0L
+
+  /** Frame runs for one oversized split journal: read the footer index,
+    * drop frames whose EXACT ReceiptTime bounds miss the pushed window,
+    * and group the survivors into contiguous runs of ≤ `target`
+    * compressed bytes (breaking on pruning gaps — a run must be one
+    * seekable byte span). Any footer problem falls back to the unsplit
+    * whole-file read, which is always correct. */
+  private def expandSplit(s: LwesInputPartition, target: Long,
+      conf: Configuration): Seq[LwesInputPartition] = {
+    try {
+      val path = new Path(s.path)
+      val fs = path.getFileSystem(conf)
+      val in = fs.open(path)
+      val footer =
+        try graft.lwes.SplitJournal.readFooter(in, s.length)
+        finally in.close()
+      footer match {
+        case None =>
+          logWarning(s"split journal ${s.path} has no readable footer " +
+            "index; reading it unsplit")
+          Seq(s)
+        case Some(frames) =>
+          val kept =
+            if (timeLo == Long.MinValue && timeHi == Long.MaxValue) frames
+            else frames.filter(f => f.minReceipt > f.maxReceipt ||
+              (f.maxReceipt >= timeLo && f.minReceipt <= timeHi))
+          prunedFrames += (frames.size - kept.size).toLong
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var runStart = -1L
+          var runEnd = -1L
+          kept.foreach { f =>
+            if (runStart < 0 || f.offset != runEnd ||
+                (runEnd - runStart) + f.compressedLen > target) {
+              if (runStart >= 0) runs += ((runStart, runEnd))
+              runStart = f.offset
+            }
+            runEnd = f.offset + f.compressedLen
+          }
+          if (runStart >= 0) runs += ((runStart, runEnd))
+          runs.toSeq.map { case (start, end) =>
+            s.copy(length = end - start, range = Some((start, end)))
+          }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"failed to plan split journal ${s.path} " +
+          s"(${e.getMessage}); reading it unsplit")
+        Seq(s)
+    }
   }
 
   /** Compressed on-disk bytes × an inflation factor — enough signal for
@@ -1178,7 +1276,8 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
   // HERE, not in next() — same tolerance applies (0 rows, loud warning,
   // no task failure). Transport IOExceptions stay fatal.
   private val reader: graft.lwes.EventStreamReader =
-    try LwesDataSource.openReader(partition.path, conf, nameFilter, wanted)
+    try LwesDataSource.openReader(partition.path, conf, nameFilter, wanted,
+      partition.range)
     catch {
       case e if LwesDataSource.isCorruption(e) =>
         logWarning(s"corrupt journal head in ${partition.path}: ${e.getMessage}; " +

@@ -103,6 +103,15 @@ object LwesOptions {
   val AutoCompactTarget = "autoCompactTarget"
   val AutoCompactEvery = "autoCompactEveryEpochs"
   val AutoCompactMinAgeMs = "autoCompactMinAgeMs"
+  // SPLIT JOURNALS (.zsj, graft.lwes.SplitJournal — compression
+  // "split-zstd" on the write side): `frameBytes` sets the writer's raw
+  // bytes per zstd frame (default 4 MiB; the granularity at which the
+  // file can later split). `splitTargetBytes` caps the READ planner's
+  // compressed bytes per frame-run task for oversized .zsj files
+  // (default: Spark's own maxSplitBytes formula from
+  // files.maxPartitionBytes/openCostInBytes/defaultParallelism).
+  val SplitFrameBytes = "frameBytes"
+  val SplitTargetBytes = "splitTargetBytes"
 
   /** Parse `mapping` option: `col:Attr` / `col:Event::Name::Field`. */
   def parseMapping(mapping: String): (Map[String, String], Map[String, String]) = {

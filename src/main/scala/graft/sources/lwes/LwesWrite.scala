@@ -47,10 +47,17 @@ final case class LwesCommitMessage(path: String, count: Long,
   * itself is not written as an attribute. */
 private[lwes] final case class LwesWriteConfig(path: String, eventName: String,
     attrFor: Map[String, String], compression: String, partitionBy: Seq[String],
-    eventNameCol: Option[String] = None)
+    eventNameCol: Option[String] = None, frameBytes: Int = 4 << 20)
 
 private[lwes] object LwesWriteConfig {
-  val Compressions = Set("gzip", "deflate", "bz2", "bzip2", "zstd", "zst", "none")
+  /** `split-zstd` writes the splittable `.zsj` container
+    * ([[graft.lwes.SplitJournal]]): zstd frames at record boundaries +
+    * a footer frame index, so ONE large journal later scans as N
+    * tasks. Opt-in; every other codec writes the classic sequential
+    * container unchanged. */
+  val SplitZstd = "split-zstd"
+  val Compressions =
+    Set("gzip", "deflate", "bz2", "bzip2", "zstd", "zst", "none", SplitZstd)
 
   def apply(options: CaseInsensitiveStringMap): LwesWriteConfig = {
     val path = LwesDataSource.paths(options).headOption
@@ -65,7 +72,8 @@ private[lwes] object LwesWriteConfig {
       attrFor, compression,
       Option(options.get("partitionBy")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
-      Option(options.get(LwesOptions.EventNameColumn)))
+      Option(options.get(LwesOptions.EventNameColumn)),
+      frameBytes = options.getInt(LwesOptions.SplitFrameBytes, 4 << 20))
   }
 
   /** Codec for a journal write; read-side detection is by extension, so
@@ -295,7 +303,14 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
     * a single committer per partition. */
   private val stableNames = prefix != null
   private val namePrefix = if (prefix == null) "part" else prefix
-  private val (ext, wrapOut) = LwesWriteConfig.streamCodecFor(wc.compression, conf)
+  private val (ext, newJournal): (String, java.io.OutputStream => graft.lwes.JournalRecordWriter) =
+    if (wc.compression == LwesWriteConfig.SplitZstd)
+      (graft.lwes.SplitJournal.Extension,
+        raw => new graft.lwes.SplitJournalWriter(raw, wc.frameBytes))
+    else {
+      val (e, wrap) = LwesWriteConfig.streamCodecFor(wc.compression, conf)
+      (e, raw => new JournalWriter(wrap(raw)))
+    }
   private val fs = new Path(dir).getFileSystem(conf)
   private val attrs: Array[String] =
     schema.fields.map(f => wc.attrFor.getOrElse(f.name, f.name))
@@ -316,7 +331,8 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
 
   /** One open journal: writer, staging path, untagged destination, and
     * the receipt-time bounds of everything written into it. */
-  private final class OpenJournal(val w: JournalWriter, val tmp: Path, val dest: Path) {
+  private final class OpenJournal(val w: graft.lwes.JournalRecordWriter,
+      val tmp: Path, val dest: Path) {
     var tMin: Long = Long.MaxValue
     var tMax: Long = Long.MinValue
     /** Destination with the exact receipt-bounds tag (when tracked). */
@@ -339,7 +355,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
         if (stableNames) f"$namePrefix-$partitionId%05d.$ext"
         else f"$namePrefix-$partitionId%05d-$taskId.$ext")
       val raw = fs.create(tmp, true)
-      new OpenJournal(new JournalWriter(wrapOut(raw)), tmp, dest)
+      new OpenJournal(newJournal(raw), tmp, dest)
     })
 
   override def write(row: InternalRow): Unit = {

@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.lwes.{JournalReader, SplitJournal, SplitJournalWriter}
+import graft.sources.lwes.{LwesOptions, LwesScan}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Splittable `.zsj` journal container ([[graft.lwes.SplitJournal]]):
+  * zstd frames at record boundaries + a footer frame index, so ONE
+  * large journal plans N independent scan tasks — removing the
+  * reference's unsplittable-journal ceiling (JournalInputFormat.java:
+  * 58-60, parallelism = file count). These tests pin the format
+  * contract (footer round-trip, frame chain tiling, sequential-reader
+  * compatibility), the planner contract (task count > 1 for one file,
+  * split read ≡ unsplit read), exact frame-level time pruning, and the
+  * degraded paths (torn footer → unsplit fallback; classic containers
+  * unaffected).
+  */
+class LwesSplitSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("lwes-split").toString
+
+  private val T0 = 1700000000000L
+
+  /** One `.zsj` file of `n` events (id, ReceiptTime = T0 + id*1000)
+    * written through the DSv2 batch writer with small frames. */
+  private def writeSplit(dir: String, n: Int, frameBytes: Int = 2048): Unit = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, T0 + i * 1000L, s"payload-$i"))
+      .toDF("id", "ReceiptTime", "tag").coalesce(1)
+      .write.format("lwes").option("eventName", "Sp::E")
+      .option(LwesOptions.Compression, "split-zstd")
+      .option(LwesOptions.SplitFrameBytes, frameBytes.toString)
+      .mode("append").save(dir)
+  }
+
+  private def onlyFile(dir: String): java.io.File = {
+    val fs = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(fs.length == 1, s"expected one file, got ${fs.map(_.getName).toSeq}")
+    fs.head
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): LwesScan =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head.scan.asInstanceOf[LwesScan]
+
+  private def readSplitDf(dir: String, target: Option[Long]) = {
+    val r = spark.read.format("lwes")
+      .schema("id long, ReceiptTime long, tag string")
+      .option("eventName", "Sp::E")
+    target.fold(r)(t => r.option(LwesOptions.SplitTargetBytes, t.toString))
+      .load(dir)
+  }
+
+  test("footer index round-trips and the frame chain tiles the file") {
+    val dir = tmp()
+    writeSplit(dir, 500)
+    val f = onlyFile(dir)
+    assert(f.getName.endsWith(".zsj"))
+    val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+    val hfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = hfs.open(p)
+    val frames =
+      try SplitJournal.readFooter(in, f.length()).get
+      finally in.close()
+    assert(frames.length > 5, s"want many small frames, got ${frames.length}")
+    assert(frames.map(_.records.toLong).sum == 500L)
+    // chain tiles [0, dataEnd) — readFooter validates contiguity itself,
+    // but pin the first/last shape here too
+    assert(frames.head.offset == 0L)
+    // exact per-frame receipt bounds, monotone across frames (records
+    // were written in ReceiptTime order)
+    frames.foreach(fr => assert(fr.minReceipt <= fr.maxReceipt))
+    assert(frames.sliding(2).forall {
+      case Seq(a, b) => a.maxReceipt <= b.minReceipt
+      case _ => true
+    })
+  }
+
+  test("a .zsj file is a valid sequential zstd journal (footer skipped)") {
+    val dir = tmp()
+    writeSplit(dir, 300)
+    val r = JournalReader.open(onlyFile(dir).getAbsolutePath)
+    val ids =
+      try r.iterator.map(_.get("id").get.value.asInstanceOf[Long]).toVector
+      finally r.close()
+    assert(ids == (0L until 300L).toVector)
+  }
+
+  test("one split journal plans many tasks and matches the unsplit read") {
+    val dir = tmp()
+    writeSplit(dir, 2000)
+    val split = readSplitDf(dir, Some(4096L))
+    val nTasks = split.rdd.getNumPartitions
+    assert(nTasks > 1, s"split read planned $nTasks task(s)")
+    val unsplit = readSplitDf(dir, None) // small file, default target: 1 task
+    val a = split.orderBy("id").collect().toSeq
+    val b = unsplit.orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.length == 2000)
+  }
+
+  test("pushed ReceiptTime range prunes whole frames exactly") {
+    val dir = tmp()
+    writeSplit(dir, 2000)
+    val lo = T0 + 500 * 1000L
+    val hi = T0 + 700 * 1000L
+    val df = readSplitDf(dir, Some(4096L))
+      .filter(col("ReceiptTime") >= lo && col("ReceiptTime") <= hi)
+    val rows = df.collect()
+    assert(rows.length == 201) // ids 500..700 inclusive
+    val scan = scanOf(df)
+    assert(scan.prunedFrameCount > 0,
+      "expected frame-level pruning from the exact footer bounds")
+    // soundness: no kept-row loss vs the unfiltered read
+    val all = readSplitDf(dir, Some(4096L)).collect()
+      .filter { r =>
+        val t = r.getLong(1); t >= lo && t <= hi
+      }
+    assert(all.length == rows.length)
+  }
+
+  test("a torn footer degrades to the unsplit sequential read") {
+    val dir = tmp()
+    writeSplit(dir, 400)
+    val f = onlyFile(dir)
+    // chop the last 6 bytes: trailing (len, magic) is gone, so the
+    // planner must fall back; the data frames are intact, so the
+    // sequential read still sees every record (the torn skippable
+    // frame ends the file via the corruption path, costing 0 records)
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try raf.setLength(f.length() - 6)
+    finally raf.close()
+    // drop Hadoop's local-FS checksum sidecar: the truncation is the
+    // simulated corruption under test, not a CRC mismatch
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val df = readSplitDf(dir, Some(4096L))
+    assert(df.rdd.getNumPartitions == 1, "torn footer must not split")
+    assert(df.count() == 400L)
+  }
+
+  test("classic containers ignore the split target") {
+    val dir = tmp()
+    import spark.implicits._
+    (0 until 500).map(i => (i.toLong, T0 + i * 1000L, s"payload-$i"))
+      .toDF("id", "ReceiptTime", "tag").coalesce(1)
+      .write.format("lwes").option("eventName", "Sp::E")
+      .option(LwesOptions.Compression, "zstd")
+      .mode("append").save(dir)
+    val df = readSplitDf(dir, Some(1024L))
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 500L)
+  }
+
+  test("an empty split journal reads zero rows") {
+    val dir = tmp()
+    val path = new java.io.File(dir, "empty.zsj")
+    val w = new SplitJournalWriter(new java.io.FileOutputStream(path), 2048)
+    w.close()
+    assert(path.length() > 0) // footer-only file
+    val df = spark.read.format("lwes")
+      .schema("id long").option("eventName", "Sp::E")
+      .load(path.getAbsolutePath)
+    assert(df.count() == 0L)
+  }
+
+  test("split read survives a frame boundary mid-attribute-projection") {
+    // columnar + row parity across ranged reads: project a subset so the
+    // projected parse path runs over frame-ranged streams too
+    val dir = tmp()
+    writeSplit(dir, 1500)
+    val proj = readSplitDf(dir, Some(4096L)).select("tag")
+    assert(proj.rdd.getNumPartitions > 1)
+    assert(proj.distinct().count() == 1500L)
+  }
+}
