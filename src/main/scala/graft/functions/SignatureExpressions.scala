@@ -416,11 +416,30 @@ object SignatureExpressions {
     out
   }
 
+  /** Residual in the normalized space: `l2normalized(v) − cent`, where
+    * `cent` is a unit-norm centroid. NOT re-normalized — residual-PQ
+    * semantics require the raw offset (Jégou et al. 2011 §IV). */
+  private def residualOf(v: ArrayData, cent: ArrayData): Array[Double] = {
+    val x = l2normalized(v)
+    var i = 0
+    while (i < x.length) { x(i) -= cent.getDouble(i); i += 1 }
+    x
+  }
+
   /** PQ encode: nearest sub-centroid per subspace (squared L2, ties to
     * the smallest code). `cb` is the flattened (m × ks × dsub) codebook. */
   def pqEncodeEval(cb: Array[Double], m: Int, ks: Int, dsub: Int,
-      v: ArrayData): ArrayData = {
-    val x = l2normalized(v)
+      v: ArrayData): ArrayData =
+    pqEncodeRaw(cb, m, ks, dsub, l2normalized(v))
+
+  /** Residual PQ encode: codes for `l2normalized(v) − cent` against a
+    * residual-trained codebook. */
+  def pqEncodeResEval(cb: Array[Double], m: Int, ks: Int, dsub: Int,
+      v: ArrayData, cent: ArrayData): ArrayData =
+    pqEncodeRaw(cb, m, ks, dsub, residualOf(v, cent))
+
+  private def pqEncodeRaw(cb: Array[Double], m: Int, ks: Int, dsub: Int,
+      x: Array[Double]): ArrayData = {
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -448,8 +467,18 @@ object SignatureExpressions {
   /** Per-query ADC lookup table: squared L2 from each of the query's
     * subvectors to every sub-centroid, flattened (m × ks). */
   def pqTableEval(cb: Array[Double], m: Int, ks: Int, dsub: Int,
-      q: ArrayData): ArrayData = {
-    val x = l2normalized(q)
+      q: ArrayData): ArrayData =
+    pqTableRaw(cb, m, ks, dsub, l2normalized(q))
+
+  /** Residual ADC table: distances from `l2normalized(q) − cent` (cent
+    * = the PROBED list's unit centroid) to every residual sub-centroid
+    * — one table per (query, probed list), the residual-PQ cost. */
+  def pqTableResEval(cb: Array[Double], m: Int, ks: Int, dsub: Int,
+      q: ArrayData, cent: ArrayData): ArrayData =
+    pqTableRaw(cb, m, ks, dsub, residualOf(q, cent))
+
+  private def pqTableRaw(cb: Array[Double], m: Int, ks: Int, dsub: Int,
+      x: Array[Double]): ArrayData = {
     val t = new Array[Double](m * ks)
     var s = 0
     while (s < m) {
@@ -533,6 +562,43 @@ object SignatureExpressions {
       copy(left = l, right = r)
   }
 
+  /** `pq_encode_res(vec, cent)` → array<int>: residual-PQ codes —
+    * encode `l2normalized(vec) − cent` against a residual-trained
+    * codebook (cent = the row's assigned unit centroid). */
+  case class PqEncodeRes(left: Expression, right: Expression,
+      cb: Array[Double], m: Int, ks: Int) extends BinaryExpression {
+    private def dsub: Int = cb.length / (m * ks)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any, c: Any): Any =
+      pqEncodeResEval(cb, m, ks, dsub,
+        v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", cb, "double[]")
+      defineCodeGen(ctx, ev, (v, c) =>
+        s"graft.functions.SignatureExpressions.pqEncodeResEval($ref, $m, $ks, $dsub, $v, $c)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncodeRes =
+      copy(left = l, right = r)
+  }
+
+  /** `pq_adc_table_res(vec, cent)` → array<double>: residual ADC table
+    * for one probed list (cent = that list's unit centroid). */
+  case class PqAdcTableRes(left: Expression, right: Expression,
+      cb: Array[Double], m: Int, ks: Int) extends BinaryExpression {
+    private def dsub: Int = cb.length / (m * ks)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any, c: Any): Any =
+      pqTableResEval(cb, m, ks, dsub,
+        v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", cb, "double[]")
+      defineCodeGen(ctx, ev, (v, c) =>
+        s"graft.functions.SignatureExpressions.pqTableResEval($ref, $m, $ks, $dsub, $v, $c)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcTableRes =
+      copy(left = l, right = r)
+  }
+
   /** `bloom_any_contains(array<long>)` → boolean. The Bloom filter
     * rides the expression itself (serialized once with the task binary,
     * surfaced to generated code via `addReferenceObj`) — a broadcast-
@@ -594,4 +660,14 @@ object SignatureExpressions {
 
   def pq_adc(table: Column, codes: Column, ks: Int): Column =
     bridge.toColumn(PqAdc(bridge.toExpression(table), bridge.toExpression(codes), ks))
+
+  def pq_encode_res(vec: Column, cent: Column, cb: Array[Double],
+      m: Int, ks: Int): Column =
+    bridge.toColumn(PqEncodeRes(bridge.toExpression(vec),
+      bridge.toExpression(cent), cb, m, ks))
+
+  def pq_adc_table_res(vec: Column, cent: Column, cb: Array[Double],
+      m: Int, ks: Int): Column =
+    bridge.toColumn(PqAdcTableRes(bridge.toExpression(vec),
+      bridge.toExpression(cent), cb, m, ks))
 }

@@ -208,13 +208,31 @@ object Similarity {
     * score by asymmetric distance (the round-to-6 cross-layout
     * determinism contract lives here and ONLY here), rank through the
     * B33 bounded heap. `cands` carries (query_id, neighbor_id, tbl,
-    * codes). */
-  private def adcRank(cands: DataFrame, ks: Int, k: Int): DataFrame = {
+    * codes).
+    *
+    * `refine > 0` adds the standard exact re-rank stage (FAISS
+    * `RefineFlat` shape): ADC keeps the top `refine × k` candidates per
+    * query, their FULL vectors are fetched by key join (refine·k rows
+    * per query — query-proportional, the corpus itself still only ever
+    * shipped codes), and exact cosine picks the final k. Quantization
+    * error then only costs recall when a true neighbor falls outside
+    * the ADC top-refine·k, not whenever ADC misorders the boundary. */
+  private def adcRank(cands: DataFrame, ks: Int, k: Int, refine: Int = 0,
+      corpusVecs: DataFrame = null, queryVecs: DataFrame = null): DataFrame = {
     import graft.functions.SignatureExpressions._
     val scored = cands.filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", round(pq_adc(col("tbl"), col("codes"), ks), 6))
       .withColumn("score", -col("adc_dist"))
-    rankTopK(scored, k, orderCol = "score", outCol = "adc_dist")
+    if (refine <= 0) rankTopK(scored, k, orderCol = "score", outCol = "adc_dist")
+    else {
+      val pre = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+          Seq(col("score").desc, col("neighbor_id")), refine * k)
+        .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
+      val re = pre.join(corpusVecs, Seq("neighbor_id"))
+        .join(broadcast(queryVecs), Seq("query_id"))
+        .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
+      rankTopK(re, k, orderCol = "score", outCol = "adc_dist")
+    }
   }
 
   /** Deterministic k-means centroids for IVF lists: init = the k rows
@@ -406,6 +424,38 @@ object Similarity {
       when(element_at(col("v"), i + 1) > 0,
         lit(1 << (signDims - 1 - i))).otherwise(lit(0)))
       .reduce(_ + _)
+    semanticDedupByCell(v, idCol, bucketExpr, threshold, maxBucket)
+  }
+
+  /** Semantic dedup over TRAINED k-means cells — the actual SemDeDup
+    * structure (Abbas et al. 2023 cluster the embedding space with
+    * k-means and dedup within clusters). `cents` is a pinned
+    * [[kmeansCentroids]] result (train once on a bounded sample, serve
+    * every corpus pass — and a PINNED literal is what lets an external
+    * oracle replay the assignment exactly). Cell assignment is the
+    * codegen'd [[nearestCentroid]] argmax with sims rounded to 4
+    * decimals first, so the argmax replays identically in engines whose
+    * last-ulp cosine may differ; ties break to the smallest cell id.
+    * Scales past the sign-pattern variant: k chooses the cell count
+    * directly (production SemDeDup wants ~10^5 cells; signDims caps at
+    * 2^30 structurally but saturates maxBucket long before), and cell
+    * geometry follows the data rather than axis signs. */
+  def semanticDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cents: Seq[Seq[Double]],
+      maxBucket: Int = 100000): DataFrame = {
+    require(cents.nonEmpty, "semanticDedupKMeans needs centroids")
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val sims = array(cents.map(cv =>
+      round(cosine(col("v"), typedLit(cv)), 4)): _*)
+    semanticDedupByCell(v, idCol,
+      array_position(sims, array_max(sims)).cast("long"), threshold, maxBucket)
+  }
+
+  /** Shared SemDeDup body: within-cell threshold edges (occupancy-
+    * capped), O(log n) star CC, keep each component's smallest id with
+    * its size. `v` carries (id, v); `bucketExpr` is the cell id. */
+  private def semanticDedupByCell(v: DataFrame, idCol: String,
+      bucketExpr: Column, threshold: Double, maxBucket: Int): DataFrame = {
     val b = v.withColumn("bucket", bucketExpr)
     // the r12 minhash single-window shape: occupancy window on the
     // LEFT side only; saturated buckets keep just their hub there
@@ -450,18 +500,48 @@ object Similarity {
     * k·dim doubles of driver metadata, reusable across queries. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 32, ks: Int = 32, iters: Int = 2,
-      sampleCap: Long = 100000L): Array[Double] = {
+      sampleCap: Long = 100000L,
+      residualCents: Option[Seq[Seq[Double]]] = None): Array[Double] = {
     def normalize(v: Seq[Double]): Array[Double] = {
       val a = v.toArray
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n > 0) a.map(_ / n) else a
+    }
+    // Residual mode (IVF-PQ, Jégou et al. 2011 §IV): train the
+    // sub-codebooks on `normalize(v) − nearestUnitCentroid(v)` instead
+    // of the vector itself. Residuals are an order of magnitude smaller
+    // than the vectors, so the same ks sub-centroids quantize them far
+    // more finely — the recall lift that justifies the per-(query,
+    // probed-list) ADC table cost. Assignment here (max dot over unit
+    // centroids, first-index tie-break) matches [[nearestCentroid]]'s
+    // cosine argmax exactly, so train-time and encode-time residuals
+    // agree.
+    val centArr: Array[Array[Double]] =
+      residualCents.map(_.map(_.toArray).toArray).getOrElse(Array.empty)
+    def prep(v: Seq[Double]): Array[Double] = {
+      val x = normalize(v)
+      if (centArr.isEmpty) x
+      else {
+        var best = 0; var bestS = Double.NegativeInfinity; var j = 0
+        while (j < centArr.length) {
+          val cv = centArr(j)
+          var d = 0.0; var i = 0
+          while (i < x.length) { d += x(i) * cv(i); i += 1 }
+          if (d > bestS) { bestS = d; best = j }
+          j += 1
+        }
+        val r = x.clone()
+        var i = 0
+        while (i < r.length) { r(i) -= centArr(best)(i); i += 1 }
+        r
+      }
     }
     val rows = corpus.select(xxhash64(col(idCol)).as("__h"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val (n, init) = rows.rdd
       .treeAggregate((0L, Vector.empty[(Long, Array[Double])]))(
         { case ((cnt, acc), row) =>
-          val t = (row.getLong(0), normalize(row.getSeq[Double](1)))
+          val t = (row.getLong(0), prep(row.getSeq[Double](1)))
           (cnt + 1, (acc :+ t).sortBy(_._1).take(ks)) },
         { case ((c1, a1), (c2, a2)) =>
           (c1 + c2, (a1 ++ a2).sortBy(_._1).take(ks)) })
@@ -498,7 +578,7 @@ object Similarity {
         new Array[Long](m * ks))
       val (sums, counts) = train.select(col("__v")).rdd.treeAggregate(zero())(
         { case ((sm, cnt), row) =>
-          val x = normalize(row.getSeq[Double](0))
+          val x = prep(row.getSeq[Double](0))
           var s = 0
           while (s < m) {
             var best = 0
@@ -562,7 +642,7 @@ object Similarity {
     * a pre-trained `codebook` in production — train once, serve many. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 32, ks: Int = 32,
-      codebook: Option[Array[Double]] = None): DataFrame = {
+      codebook: Option[Array[Double]] = None, refine: Int = 0): DataFrame = {
     import graft.functions.SignatureExpressions._
     val cb = codebook.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, ks))
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -575,7 +655,7 @@ object Similarity {
       pq_adc_table(col("v_q"), cb, m, ks).as("tbl"))
     // bounded broadcast: one m x ks float ADC table per query —
     // |queries|-proportional (ANN contract: |queries| << |corpus|)
-    adcRank(enc.crossJoin(broadcast(qt)), ks, k)
+    adcRank(enc.crossJoin(broadcast(qt)), ks, k, refine, c, q)
   }
 
   // ----------------------------------------------------------- C7+C30
@@ -591,10 +671,21 @@ object Similarity {
     *    m codes) — centroid assignment and PQ encoding fused, so the
     *    probed-list join shuffles m bytes of codes per row, not dim
     *    floats (the 25×+ wire shrink that makes the 100 TB scan fit);
-    *  - codes are NON-residual (encode v, not v − centroid), so one
-    *    codebook serves every list and each query needs a single ADC
-    *    table regardless of how many lists it probes — residual
-    *    encoding would force an ADC table per (query, probed list);
+    *  - codes are NON-residual by default (encode v, not v − centroid),
+    *    so one codebook serves every list and each query needs a single
+    *    ADC table regardless of how many lists it probes. `residual =
+    *    true` switches to residual encoding (one ADC table per (query,
+    *    probed list) — still query-proportional): the standard win on
+    *    CLUSTERED corpora, but measured WORSE on near-isotropic
+    *    embeddings (tools/AnnTune: 0.55 → 0.46 at sf0.1), where
+    *    centroids are weak and residuals are as large as the vectors —
+    *    choose per corpus geometry;
+    *  - `refine = R > 0` adds the exact re-rank stage (FAISS RefineFlat
+    *    shape): ADC keeps top R·k per query, full vectors are fetched
+    *    for just those R·k rows, exact cosine picks the final k —
+    *    measured recall@10 0.55 → 0.75 at sf0.1 for nprobe=8/refine=3,
+    *    nearly saturating the routing bound, at query-proportional
+    *    extra cost;
     *  - both the centroid table and the codebook accept pre-trained
     *    inputs (`centroids`, `codebook`) — train once on a bounded
     *    hash-sample, serve many queries, the [[kmeansCentroids]] /
@@ -608,27 +699,63 @@ object Similarity {
       m: Int = 32, ks: Int = 32, kmeansIters: Int = 2,
       centroids: Option[DataFrame] = None,
       codebook: Option[Array[Double]] = None,
-      sampleCap: Long = 100000L): DataFrame = {
+      sampleCap: Long = 100000L, residual: Boolean = false,
+      refine: Int = 0): DataFrame = {
     import graft.functions.SignatureExpressions._
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v_c"))
     val centsDf = centroids.getOrElse(kmeansCentroids(c, nLists, kmeansIters, sampleCap))
     val cents = collectCentroids(centsDf)
-    val cb = codebook.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, ks, sampleCap = sampleCap))
-    // corpus: route + encode in one pass; only (id, centroid_id, codes)
-    // ever leaves the scan
-    val enc = c.select(col("neighbor_id"),
-      nearestCentroid(col("v_c"), cents).as("centroid_id"),
-      pq_encode(col("v_c"), cb, m, ks).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
-    // per-query probe lists (the shared ivfTopK projection), each
-    // carrying the query's ONE ADC table
-    val probes = q
-      .withColumn("tbl", pq_adc_table(col("v_q"), cb, m, ks))
-      .withColumn("pr", explode(probeIdsCol(cents, nprobe)))
-      .select(col("query_id"), col("tbl"),
-        col("pr.cid").cast("long").as("centroid_id"))
-    // bounded broadcast: nprobe rows per query, each one ADC table —
-    // |queries| x nprobe x (m x ks floats), query-proportional
-    adcRank(enc.join(broadcast(probes), Seq("centroid_id")), ks, k)
+    if (residual) {
+      // RESIDUAL IVF-PQ (Jégou et al. 2011 §IV, the FAISS default):
+      // encode v − c(v) in the unit-normalized space against a
+      // residual-trained codebook. Residual magnitudes ≪ vector
+      // magnitudes, so quantization error drops sharply (measured
+      // recall@10 lift documented at the sim_ivfpq_recall gate). The
+      // cost is one ADC table per (query, probed list) instead of one
+      // per query — still |queries| × nprobe × (m × ks) broadcast
+      // floats, query-proportional, never corpus-sized.
+      val centsN: Seq[Seq[Double]] = cents.map { cv =>
+        val n = math.sqrt(cv.map(x => x * x).sum)
+        if (n > 0) cv.map(_ / n) else cv
+      }
+      val centsLit = typedLit(centsN.map(_.toIndexedSeq).toIndexedSeq)
+      val cb = codebook.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, ks,
+        sampleCap = sampleCap, residualCents = Some(centsN)))
+      val enc = c
+        .withColumn("centroid_id", nearestCentroid(col("v_c"), cents))
+        .select(col("neighbor_id"), col("centroid_id"),
+          pq_encode_res(col("v_c"),
+            element_at(centsLit, col("centroid_id").cast("int")),
+            cb, m, ks).as("codes"))
+      val probes = q
+        .withColumn("pr", explode(probeIdsCol(cents, nprobe)))
+        .withColumn("centroid_id", col("pr.cid").cast("long"))
+        .select(col("query_id"), col("centroid_id"),
+          pq_adc_table_res(col("v_q"),
+            element_at(centsLit, col("centroid_id").cast("int")),
+            cb, m, ks).as("tbl"))
+      adcRank(enc.join(broadcast(probes), Seq("centroid_id")), ks, k,
+        refine, c, q)
+    } else {
+      val cb = codebook.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, ks, sampleCap = sampleCap))
+      // corpus: route + encode in one pass; only (id, centroid_id, codes)
+      // ever leaves the scan
+      val enc = c.select(col("neighbor_id"),
+        nearestCentroid(col("v_c"), cents).as("centroid_id"),
+        pq_encode(col("v_c"), cb, m, ks).as("codes"))
+      // per-query probe lists (the shared ivfTopK projection), each
+      // carrying the query's ONE ADC table (non-residual codes: one
+      // codebook serves every list, so one table per query suffices)
+      val probes = q
+        .withColumn("tbl", pq_adc_table(col("v_q"), cb, m, ks))
+        .withColumn("pr", explode(probeIdsCol(cents, nprobe)))
+        .select(col("query_id"), col("tbl"),
+          col("pr.cid").cast("long").as("centroid_id"))
+      // bounded broadcast: nprobe rows per query, each one ADC table —
+      // |queries| x nprobe x (m x ks floats), query-proportional
+      adcRank(enc.join(broadcast(probes), Seq("centroid_id")), ks, k,
+        refine, c, q)
+    }
   }
 }

@@ -655,24 +655,33 @@ object Pipeline {
     // approximate top-k against the exact top-k in-plan and emits one
     // row with a recall-floor boolean the oracle expects to be true.
     // Both paths are deterministic functions of the data (seeded
-    // hyperplanes, exact-decimal k-means), so the boolean is stable;
-    // floors leave >25% margin under measured recall (lsh 0.62-0.69,
-    // ivf 0.52-0.58 across sf0.01/sf0.1).
-    "sim_lsh_recall" -> recallGate("sim_lsh_recall", 0.45,
+    // hyperplanes, exact-decimal k-means), so the boolean is stable.
+    // All floors ≥ 0.50 with every measured recall ≥ 0.62
+    // (lsh 0.62/0.69 across sf0.01/sf0.1; per-path numbers below).
+    "sim_lsh_recall" -> recallGate("sim_lsh_recall", 0.50,
       (emb, q) => Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)),
-    "sim_ivf_recall" -> recallGate("sim_ivf_recall", 0.40,
-      (emb, q) => Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10)),
-    // C30: product quantization (measured recall@10 0.64/0.61 at
-    // sf0.01/sf0.1 with m=32, ks=32 — the floor leaves >35% margin)
-    "sim_pq_recall" -> recallGate("sim_pq_recall", 0.40,
-      (emb, q) => Similarity.pqTopK(emb, q, "vec_id", "embedding", 10)),
-    // C7+C30 composed: IVF routing over PQ codes — the production
-    // IVF-PQ shape. Routing loss multiplies quantization error, so
-    // nprobe=8 restores margin: measured recall@10 0.588/0.549 at
-    // sf0.01/sf0.1 (tools/PqRecall) — the 0.40 floor keeps >27%.
-    "sim_ivfpq_recall" -> recallGate("sim_ivfpq_recall", 0.40,
-      (emb, q) => Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10,
+    // C7b: multi-probe IVF — nprobe=8 of 16 lists (measured recall@10
+    // 0.80/0.78 at sf0.01/sf0.1, tools/AnnTune); the 0.50 floor keeps
+    // >35% margin.
+    "sim_ivf_recall" -> recallGate("sim_ivf_recall", 0.50,
+      (emb, q) => Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10,
         nLists = 16, nprobe = 8)),
+    // C30: product quantization with the exact re-rank stage (FAISS
+    // RefineFlat shape): ADC keeps top-3k, exact cosine picks the
+    // final k — measured recall@10 0.96/0.91 at sf0.01/sf0.1
+    // (tools/AnnTune); the 0.70 floor keeps >20% margin.
+    "sim_pq_recall" -> recallGate("sim_pq_recall", 0.70,
+      (emb, q) => Similarity.pqTopK(emb, q, "vec_id", "embedding", 10,
+        refine = 3)),
+    // C7+C30 composed: IVF routing over PQ codes + exact re-rank —
+    // refine=3 nearly saturates the nprobe=8 routing bound (measured
+    // 0.80/0.75 vs IVF-flat's 0.80/0.78, tools/AnnTune; residual
+    // encoding measured WORSE on this near-isotropic corpus — mode
+    // kept for clustered data, documented at Similarity.ivfPqTopK).
+    // The 0.50 floor keeps >33% margin.
+    "sim_ivfpq_recall" -> recallGate("sim_ivfpq_recall", 0.50,
+      (emb, q) => Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10,
+        nLists = 16, nprobe = 8, refine = 3)),
 
     // C24: deterministic exact-k-per-group sampling (portable md5
     // order — selection reproducible across engines; rides TopKPerKey).
@@ -1169,7 +1178,7 @@ object Pipeline {
     "sim_ivf" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nLists = 16, nprobe = 4)
+          k = 5, nLists = 16, nprobe = 8)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -1189,7 +1198,7 @@ object Pipeline {
     "sim_ivfpq" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
-          "embedding", k = 5, nLists = 16, nprobe = 8)
+          "embedding", k = 5, nLists = 16, nprobe = 8, refine = 3)
         .orderBy(col("query_id"), col("rnk"))
     }),
 

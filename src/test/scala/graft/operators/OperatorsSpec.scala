@@ -175,6 +175,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"unexpected cross join:\n$plan")
   }
 
+  test("IVF-PQ refine recovers quantization-tied neighbors; residual mode cluster-safe") {
+    // planted-cluster corpus + a near-identical duplicate of the query's
+    // cluster base: plain PQ collapses intra-cluster distances to ties
+    // (the PQ spec needs k=60 to surface the planted dup), while the
+    // exact re-rank stage must put it in the top-10 directly
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    def jitter(base: Array[Double], eps: Double) =
+      base.map(x => x + eps * rnd.nextGaussian())
+    val bases = (0 until 6).map { c =>
+      Array.tabulate(dim)(j => if (j % 6 == c) 1.0 else 0.05 * ((j + c) % 3))
+    }
+    val rows = (0 until 300).map(i => (i.toLong, jitter(bases(i % 6), 0.02).toSeq)) ++
+      Seq((1000L, bases(0).toSeq)) // exact cluster base: cosine argmax for vec 0
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0L)
+    // refine must cover the ~51-member tied cluster (quantization makes
+    // every member's ADC distance identical, so the candidate cut is by
+    // id tie-break): refine·k = 60 ≥ 51 guarantees the dup is fetched,
+    // then exact cosine ranks it #1 — the re-rank contract under the
+    // worst case (total ADC ties)
+    val refined = Similarity.ivfPqTopK(df, q, "vec_id", "embedding", 10,
+        nLists = 6, nprobe = 2, m = 16, ks = 16, refine = 6)
+      .collect()
+    assert(refined.length == 10)
+    assert(refined.map(_.getLong(2)).contains(1000L),
+      s"exact re-rank must surface the planted near-dup in top-10: " +
+        s"${refined.map(_.getLong(2)).toSeq}")
+    assert(refined.map(_.getLong(2)).forall(id => id == 1000L || id % 6 == 0))
+    // residual mode: cluster-safe on clustered data, deterministic
+    val res1 = Similarity.ivfPqTopK(df, q, "vec_id", "embedding", 10,
+        nLists = 6, nprobe = 2, m = 16, ks = 16, residual = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(res1.length == 10)
+    assert(res1.map(_._2).forall(id => id == 1000L || id % 6 == 0),
+      s"residual IVF-PQ neighbors must stay in the query's cluster: $res1")
+    val res2 = Similarity.ivfPqTopK(df, q, "vec_id", "embedding", 10,
+        nLists = 6, nprobe = 2, m = 16, ks = 16, residual = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(res1 == res2, "residual path must be deterministic across runs")
+  }
+
   test("connected components resolve transitive duplicate clusters (C16)") {
     // path 1-2-3-4 (diameter 3), disjoint pair 10-11, singleton edge 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
