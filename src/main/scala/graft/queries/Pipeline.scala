@@ -1092,6 +1092,54 @@ object Pipeline {
         |WHERE cc.id IS NULL OR cc.cluster_id = v.vec_id
         |ORDER BY v.vec_id""".stripMargin)),
 
+    // C37 over TRAINED cells — the actual SemDeDup structure (Abbas et
+    // al. 2023): cells are the deterministic kmeansCentroids result,
+    // trained once on the sf0.01 embeddings and PINNED
+    // (functions.PinnedCentroids, the train-once-serve-many
+    // discipline); assignment = argmax of round-4 cosines against the
+    // literal with smallest-cell tie-break. The oracle replays the
+    // SAME literal: cell assignment, within-cell threshold edges, CC,
+    // and the kept set are all recomputed in SQL — fully hash-gated at
+    // every SF, including SFs the centroids were never trained on.
+    "dedup_semantic_kmeans" -> ((
+      (s: SparkSession, d: String) => {
+        Similarity.semanticDedupKMeans(t(s, d, "embeddings"), "vec_id",
+            "embedding", threshold = 0.3,
+            cents = graft.functions.PinnedCentroids.cells16)
+          .orderBy(col("vec_id"))
+      }, {
+        val sims = graft.functions.PinnedCentroids.sqlLists
+          .map(l => s"round(list_cosine_similarity(embedding, $l), 4)")
+          .mkString(",\n        |      ")
+        s"""WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, embedding,
+        |    list_position(sims, list_max(sims)) AS bucket
+        |  FROM (
+        |    SELECT vec_id, embedding, [
+        |      $sims
+        |    ] AS sims FROM v)),
+        |e AS (
+        |  SELECT a.vec_id AS ida, b2.vec_id AS idb
+        |  FROM b a JOIN b b2
+        |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding, b2.embedding), 4) >= 0.3),
+        |und AS (SELECT ida AS src, idb AS dst FROM e
+        |        UNION ALL SELECT idb, ida FROM e),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM und
+        |  UNION
+        |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.id),
+        |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id)
+        |SELECT v.vec_id, CAST(COALESCE(s.n, 1) AS BIGINT) AS n_members
+        |FROM v
+        |LEFT JOIN cc ON cc.id = v.vec_id
+        |LEFT JOIN sizes s ON s.cluster_id = cc.cluster_id
+        |WHERE cc.id IS NULL OR cc.cluster_id = v.vec_id
+        |ORDER BY v.vec_id""".stripMargin
+      })),
+
     // The synthetic embeddings carry NO pair above 0.8, which left this
     // gate verifying an empty answer (r12 finding). Planted EXACT
     // duplicates (every 9th vector re-appended under a shifted id) make

@@ -217,6 +217,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res1 == res2, "residual path must be deterministic across runs")
   }
 
+  test("semantic dedup over trained cells beats sign buckets on planted clusters (C37)") {
+    // 4 tight direction clusters whose FIRST 4 dims are near-zero noise
+    // with random signs: the sign-pattern bucketing scatters each
+    // cluster across up to 16 cells (within-cluster dups in different
+    // cells are structural misses), while k-means cells trained on the
+    // data recover the true clusters and see every within-cluster pair
+    val rnd = new scala.util.Random(17)
+    val dim = 64
+    val bases = (0 until 4).map { c =>
+      Array.tabulate(dim)(j =>
+        if (j < 4) 0.0 else if (j % 4 == c) 1.0 else 0.02 * ((j + c) % 3))
+    }
+    val rows = (0 until 160).map { i =>
+      val v = bases(i % 4).map(x => x + 0.01 * rnd.nextGaussian())
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val c = df.select(col("vec_id").as("neighbor_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v_c"))
+    val cents = Similarity.kmeansCentroids(c, nLists = 4).orderBy("centroid_id")
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("v_cent").toIndexedSeq)
+      .toIndexedSeq
+    val keptKmeans = Similarity.semanticDedupKMeans(df, "vec_id", "embedding",
+      threshold = 0.9, cents).collect()
+    val keptSign = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.9, signDims = 4).collect()
+    // every within-cluster pair is a >0.9 near-dup, so perfect cells
+    // keep exactly one representative per cluster
+    assert(keptKmeans.length == 4,
+      s"trained cells must collapse each planted cluster: " +
+        s"${keptKmeans.map(_.getLong(0)).toSeq}")
+    assert(keptKmeans.map(_.getLong(1)).sum == 160L) // sizes cover the corpus
+    // the sign-pattern variant structurally misses cross-cell dups here
+    assert(keptSign.length > keptKmeans.length,
+      s"sign buckets should under-dedup this geometry: " +
+        s"sign=${keptSign.length} kmeans=${keptKmeans.length}")
+  }
+
   test("connected components resolve transitive duplicate clusters (C16)") {
     // path 1-2-3-4 (diameter 3), disjoint pair 10-11, singleton edge 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
