@@ -82,6 +82,78 @@ object LwesQueries {
     if (rows > 0 && secs > 0) streamThroughput(tag) = (rows, secs)
   }
 
+  /** Planted-family corpus for the keep-best gates — base docs ×4 ids,
+    * a copy for every 3rd, a "extra tail words" variant for every 5th —
+    * written as 6 contiguous-id waves with strictly increasing mtimes
+    * (one wave per file). Shared by `lwes_stream_keepbest` and
+    * `lwes_stream_keepbest_reconciled`. */
+  private def keepbestJournal(s: SparkSession, d: String): String =
+    cached(s"skeepbest|$d") { dir =>
+      val base = t(s, d, "documents")
+      val corpus = base
+        .select((col("doc_id") * 4).as("doc_id"), col("text"), col("lang"),
+          col("n_chars"))
+        .unionAll(base.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select((col("doc_id") * 4 + 1).as("doc_id"), col("text"),
+            col("lang"), col("n_chars")))
+        .unionAll(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") * 4 + 2).as("doc_id"),
+            concat(col("text"), lit(" extra tail words")).as("text"),
+            col("lang"), col("n_chars")))
+      val docs = corpus
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id")).collect()
+      // 6 contiguous doc_id ranges, strictly increasing mtimes ->
+      // one wave per file; families are id-adjacent so (almost)
+      // always co-wave
+      val chunk = (docs.length + 5) / 6
+      docs.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+        val before = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty).map(_.getName).toSet
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+            docs.head.schema)
+          .write.format("lwes").option("eventName", "Doc::K")
+          .mode("append").save(dir)
+        new java.io.File(dir).listFiles()
+          .filterNot(f => before.contains(f.getName) ||
+            f.getName.startsWith(".") || f.getName.startsWith("_"))
+          .foreach(bumpMtime(_, 1700000000000L + i * 60000L))
+      }
+    }
+
+  /** Drain the keep-best-at-ingest stream over `src` (one wave per
+    * micro-batch) into a fresh sink dir; returns the sink. */
+  private def runKeepBestStream(s: SparkSession, src: String,
+      tag: String): String = {
+    import s.implicits._
+    val dst = tmpDir(s"$tag-dst")
+    val ckpt = tmpDir(s"$tag-ckpt")
+    val q = withFewShufflePartitions(s) {
+      val in = s.readStream.format("lwes")
+        .schema("doc_id long, text string, lang string, n_chars long")
+        .option("eventName", "Doc::K")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .withColumn("quality", length(col("text")).cast("double"))
+        .as[graft.streaming.StreamOps.QNearDocRow]
+      graft.streaming.StreamOps.nearDupKeepBestVerdicts(s, in)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.BandVerdict],
+           _: Long) =>
+            graft.streaming.StreamOps.keepUncollided(b.toDF())
+              .write.format("lwes").option("eventName", "Ned::K")
+              .mode("append").save(dst)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    logStateMetrics(tag, q)
+    dst
+  }
+
   /** events table → journal dir, one event type per event_type value,
     * header fields derived from the row. */
   private def eventsJournal(s: SparkSession, d: String, types: Seq[String]): String =
@@ -1020,64 +1092,8 @@ object LwesQueries {
     // same 6-way chunking the journal writer used.
     "lwes_stream_keepbest" -> ((
       (s: SparkSession, d: String) => {
-        import s.implicits._
-        val src = cached(s"skeepbest|$d") { dir =>
-          val base = t(s, d, "documents")
-          val corpus = base
-            .select((col("doc_id") * 4).as("doc_id"), col("text"), col("lang"),
-              col("n_chars"))
-            .unionAll(base.filter(pmod(col("doc_id"), lit(3)) === 0)
-              .select((col("doc_id") * 4 + 1).as("doc_id"), col("text"),
-                col("lang"), col("n_chars")))
-            .unionAll(base.filter(pmod(col("doc_id"), lit(5)) === 0)
-              .select((col("doc_id") * 4 + 2).as("doc_id"),
-                concat(col("text"), lit(" extra tail words")).as("text"),
-                col("lang"), col("n_chars")))
-          val docs = corpus
-            .select(col("doc_id"), col("text"), col("lang"),
-              col("n_chars").cast("long").as("n_chars"))
-            .orderBy(col("doc_id")).collect()
-          // 6 contiguous doc_id ranges, strictly increasing mtimes ->
-          // one wave per file; families are id-adjacent so (almost)
-          // always co-wave
-          val chunk = (docs.length + 5) / 6
-          docs.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
-            val before = Option(new java.io.File(dir).listFiles())
-              .getOrElse(Array.empty).map(_.getName).toSet
-            s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
-                docs.head.schema)
-              .write.format("lwes").option("eventName", "Doc::K")
-              .mode("append").save(dir)
-            new java.io.File(dir).listFiles()
-              .filterNot(f => before.contains(f.getName) ||
-                f.getName.startsWith(".") || f.getName.startsWith("_"))
-              .foreach(bumpMtime(_, 1700000000000L + i * 60000L))
-          }
-        }
-        val dst = tmpDir("skeepbest-dst")
-        val ckpt = tmpDir("skeepbest-ckpt")
-        val q = withFewShufflePartitions(s) {
-          val in = s.readStream.format("lwes")
-            .schema("doc_id long, text string, lang string, n_chars long")
-            .option("eventName", "Doc::K")
-            .option("maxFilesPerTrigger", "1").load(src)
-            .withColumn("quality", length(col("text")).cast("double"))
-            .as[graft.streaming.StreamOps.QNearDocRow]
-          graft.streaming.StreamOps.nearDupKeepBestVerdicts(s, in)
-            .writeStream
-            .foreachBatch {
-              (b: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.BandVerdict],
-               _: Long) =>
-                graft.streaming.StreamOps.keepUncollided(b.toDF())
-                  .write.format("lwes").option("eventName", "Ned::K")
-                  .mode("append").save(dst)
-            }
-            .option("checkpointLocation", ckpt)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-        }
-        q.awaitTermination()
-        logStateMetrics("lwes_stream_keepbest", q)
+        val dst = runKeepBestStream(s, keepbestJournal(s, d),
+          "lwes_stream_keepbest")
         s.read.format("lwes")
           .schema("doc_id long, text_md5 string, lang string, n_chars long")
           .option("eventName", "Ned::K").load(dst)
@@ -1132,6 +1148,136 @@ object LwesQueries {
         |  CAST(c.n_chars AS BIGINT) AS n_chars
         |FROM corpus c LEFT JOIN coll ON c.doc_id = coll.doc_id
         |WHERE coll.doc_id IS NULL
+        |ORDER BY c.doc_id""".stripMargin)),
+
+    // C35 → C34 closed: the streamed keep-best set is PROVISIONAL (an
+    // append stream cannot retract an emitted winner, so a later
+    // better copy loses cross-wave, and dropped chain links can split
+    // families) — this gate runs the stream AND the compensating
+    // end-of-day batch pass (StreamOps.reconcileKeepBest over the
+    // day's full ingest journal: banded-hamming pairs → star CC →
+    // C34's ORDER-INDEPENDENT (quality desc, id asc) argmax) and pins
+    // the settled set TOGETHER WITH the exact compensation delta:
+    // every corpus doc that is provisional-and-settled ('confirmed'),
+    // settled-only ('added' — the late better copies the stream had
+    // to drop), or provisional-only ('retracted' — the superseded
+    // early winners). The oracle replays BOTH definitions — the
+    // wave-greedy stream AND the order-independent argmax over a
+    // recursive-CTE component closure — so stream + reconcile ≡ pure
+    // batch is checked end to end, not asserted.
+    "lwes_stream_keepbest_reconciled" -> ((
+      (s: SparkSession, d: String) => {
+        val src = keepbestJournal(s, d)
+        val dst = runKeepBestStream(s, src, "lwes_stream_keepbest_reconciled")
+        val provisional = s.read.format("lwes")
+          .schema("doc_id long, text_md5 string, lang string, n_chars long")
+          .option("eventName", "Ned::K").load(dst)
+          .select(col("doc_id"), lit(true).as("__prov"))
+        val corpus = s.read.format("lwes")
+          .schema("doc_id long, text string, lang string, n_chars long")
+          .option("eventName", "Doc::K").load(src)
+        val settled = graft.streaming.StreamOps.reconcileKeepBest(corpus,
+            "doc_id", "text", length(col("text")).cast("double"))
+          .select(col("doc_id"), lit(true).as("__set"))
+        corpus
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("lang"), col("n_chars"))
+          .join(settled, Seq("doc_id"), "left_outer")
+          .join(provisional, Seq("doc_id"), "left_outer")
+          .withColumn("status",
+            when(col("__set").isNotNull && col("__prov").isNotNull, "confirmed")
+              .when(col("__set").isNotNull, "added")
+              .when(col("__prov").isNotNull, "retracted"))
+          .filter(col("status").isNotNull)
+          .select(col("doc_id"), col("text_md5"), col("lang"),
+            col("n_chars"), col("status"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id * 4 AS doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 1, text, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 2, text || ' extra tail words', lang, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |keyed AS (
+        |  SELECT doc_id, length(text) AS q,
+        |    (row_number() OVER (ORDER BY doc_id) - 1)
+        |      // CAST(ceil((SELECT count(*) FROM corpus) / 6.0) AS BIGINT)
+        |      AS wave
+        |  FROM corpus),
+        |tokh AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |        FROM corpus)),
+        |bitsum AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM tokh CROSS JOIN (SELECT unnest(range(48)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS sg
+        |  FROM bitsum GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b AS band,
+        |    CAST(floor(sg / power(2, 12 * b)) AS BIGINT) % 4096 AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |coll AS (
+        |  SELECT DISTINCT b2.doc_id
+        |  FROM bands b1 JOIN bands b2
+        |    ON b1.band = b2.band AND b1.bval = b2.bval
+        |   AND b1.doc_id <> b2.doc_id
+        |  JOIN keyed k1 ON k1.doc_id = b1.doc_id
+        |  JOIN keyed k2 ON k2.doc_id = b2.doc_id
+        |  JOIN sig s1 ON s1.doc_id = b1.doc_id
+        |  JOIN sig s2 ON s2.doc_id = b2.doc_id
+        |  WHERE (k1.wave < k2.wave OR (k1.wave = k2.wave AND
+        |         (k1.q > k2.q OR (k1.q = k2.q AND k1.doc_id < k2.doc_id))))
+        |    AND bit_count(xor(s1.sg, s2.sg)) <= 3),
+        |edges AS (
+        |  SELECT DISTINCT b1.doc_id AS ida, b2.doc_id AS idb
+        |  FROM bands b1 JOIN bands b2
+        |    ON b1.band = b2.band AND b1.bval = b2.bval
+        |   AND b1.doc_id < b2.doc_id
+        |  JOIN sig s1 ON s1.doc_id = b1.doc_id
+        |  JOIN sig s2 ON s2.doc_id = b2.doc_id
+        |  WHERE bit_count(xor(s1.sg, s2.sg)) <= 3),
+        |und AS (SELECT ida AS src, idb AS dst FROM edges
+        |        UNION ALL SELECT idb, ida FROM edges),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM und
+        |  UNION
+        |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.id),
+        |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT c.id AS doc_id,
+        |      row_number() OVER (PARTITION BY c.cluster_id
+        |        ORDER BY k.q DESC, c.id) AS rn
+        |    FROM cc c JOIN keyed k ON k.doc_id = c.id)
+        |  WHERE rn = 1),
+        |settled AS (
+        |  SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM cc)
+        |  UNION ALL
+        |  SELECT doc_id FROM winners),
+        |surv AS (
+        |  SELECT c.doc_id FROM corpus c
+        |  LEFT JOIN coll ON c.doc_id = coll.doc_id
+        |  WHERE coll.doc_id IS NULL)
+        |SELECT c.doc_id, md5(c.text) AS text_md5, c.lang,
+        |  CAST(c.n_chars AS BIGINT) AS n_chars,
+        |  CASE WHEN st.doc_id IS NOT NULL AND sv.doc_id IS NOT NULL
+        |         THEN 'confirmed'
+        |       WHEN st.doc_id IS NOT NULL THEN 'added'
+        |       ELSE 'retracted' END AS status
+        |FROM corpus c
+        |LEFT JOIN settled st ON st.doc_id = c.doc_id
+        |LEFT JOIN surv sv ON sv.doc_id = c.doc_id
+        |WHERE st.doc_id IS NOT NULL OR sv.doc_id IS NOT NULL
         |ORDER BY c.doc_id""".stripMargin)),
 
     // C13/C29 composed onto the journal stream: decontamination AT

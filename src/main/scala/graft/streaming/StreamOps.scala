@@ -287,6 +287,34 @@ object StreamOps {
       .drop("__c")
   }
 
+  /** End-of-day batch reconciliation for [[nearDupKeepBestVerdicts]]
+    * (the C35 → C34 compensation pass). The streamed kept set is
+    * PROVISIONAL by construction: an append stream cannot retract an
+    * already-emitted winner, so a later, better copy of an old family
+    * loses cross-wave, and dropped chain links mean the survivors alone
+    * cannot even reconstruct family components (a kept A and kept C may
+    * connect only through a dropped B). This job therefore recomputes
+    * the SETTLED answer from the day's full ingest journal — which the
+    * stream already has on disk — with the batch chain: portable-simhash
+    * banded hamming pairs (identical collision contract to the stream's
+    * verification), O(log n) star CC, and C34's order-independent
+    * (quality desc, id asc) argmax per component. Idempotent: re-running
+    * it over the same journal yields the same settled set. At 100 TB
+    * this is the standard lambda shape — the stream gives low-latency
+    * provisional hygiene, this pass settles the day. */
+  def reconcileKeepBest(corpus: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      quality: org.apache.spark.sql.Column,
+      maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val pairs = Dedup.simhashPairs(corpus, textCol, idCol,
+        maxHamming = maxHamming, portable = true)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(pairs)
+      .withColumnRenamed("id", idCol)
+    Dedup.keepBestPerCluster(corpus, cc, idCol, quality)
+  }
+
   /** [[dedupFirstSeen]] with BOUNDED state: each key's seen-bit expires
     * `ttlMs` of processing time after its last arrival, after which the
     * key is eligible to be emitted again — the documented recipe for
