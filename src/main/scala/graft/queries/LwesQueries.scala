@@ -82,6 +82,28 @@ object LwesQueries {
     if (rows > 0 && secs > 0) streamThroughput(tag) = (rows, secs)
   }
 
+  /** Every [[graft.sources.lwes.LwesScan]] in a physical plan,
+    * descending through AQE wrappers (adaptive root, query stages) and
+    * subqueries — needed because a DPP-filtered scan sits inside a
+    * QueryStageExec whose `children` is empty. */
+  private def lwesScansIn(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[graft.sources.lwes.LwesScan] = {
+    val self = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        lwesScansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        lwesScansIn(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case s: graft.sources.lwes.LwesScan => Seq(s)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    self ++ plan.children.flatMap(lwesScansIn) ++
+      plan.subqueries.flatMap(lwesScansIn)
+  }
+
   /** Planted-family corpus for the keep-best gates — base docs ×4 ids,
     * a copy for every 3rd, a "extra tail words" variant for every 5th —
     * written as 6 contiguous-id waves with strictly increasing mtimes
@@ -740,6 +762,53 @@ object LwesQueries {
         |  min(epoch_ns(ts) // 1000000) AS first_ms,
         |  max(epoch_ns(ts) // 1000000) AS last_ms
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // A17's SupportsRuntimeFiltering promoted from spec-only to the
+    // hard gate: a fact-dim broadcast join whose only partition
+    // predicate lives on the DIM side (length(event_type)=5 over the
+    // parquet dim) must runtime-prune whole `event_type=` journal
+    // directories from the lwes fact scan — journal DPP, the 100 TB
+    // "scan one dt= hour, not the year" mechanism. The join executes
+    // INSIDE the gate so the in-plan require() can check the scan's
+    // partition-pruned count (static partition filters are absent, so
+    // a nonzero count is attributable to the runtime filter alone);
+    // the aggregate then hash-matches the oracle's semi-filtered
+    // replay, proving pruning dropped exactly the non-matching
+    // partitions and nothing else.
+    "lwes_dpp" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"dpp|$d") { dir =>
+          events(s, d)
+            .withColumn("ReceiptTime", expr("ts div 1000000"))
+            .select("event_id", "user_id", "event_type", "value", "ReceiptTime")
+            .write.format("lwes").option("eventName", "Ev::P")
+            .option("partitionBy", "event_type").mode("append").save(dir)
+        }
+        val fact = s.read.format("lwes")
+          .schema("event_id long, user_id long, event_type string, value double")
+          .option("eventName", "Ev::P").load(dir)
+        val dim = t(s, d, "events")
+          .select(col("event_type")).distinct()
+          .filter(length(col("event_type")) === 5)
+        val joined = fact.join(broadcast(dim), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+        val rows = joined.collect()
+        val pruned = lwesScansIn(joined.queryExecution.executedPlan)
+          .map(_.partitionPrunedFileCount)
+        require(pruned.exists(_ > 0),
+          s"dynamic partition pruning never reached the journal scan " +
+            s"(pruned counts: $pruned)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), joined.schema)
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE length(event_type) = 5
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // A9 promoted to the hard gate: read the journal with NO schema —
     // inference must surface every attribute with usable types (doubles

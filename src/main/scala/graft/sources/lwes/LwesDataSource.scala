@@ -698,6 +698,14 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * number as the framesPruned driver metric). */
   def prunedFrameCount: Long = { plannedPartitions; prunedFrames }
 
+  @volatile private var partitionPruned = 0L
+
+  /** Files dropped by partition-value filters — static pushed equality
+    * /IN filters plus RUNTIME (DPP) filters delivered via [[filter]].
+    * With no static partition predicate in the query, a nonzero value
+    * proves dynamic partition pruning reached the journal scan. */
+  def partitionPrunedFileCount: Long = { plannedPartitions; partitionPruned }
+
   /** Runtime (dynamic partition) pruning: joins on a path-derived
     * partition column hand the build side's values back to the scan
     * AFTER planning, and whole files drop out — the DSv2 counterpart
@@ -751,13 +759,15 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           keep
         }
       prunedFiles = (listed.size - files.size).toLong
-      val fileSlices = files.iterator.map { f =>
+      val allSlices = files.iterator.map { f =>
         LwesInputPartition(f.getPath.toString, f.getLen,
           LwesDataSource.partitionValues(f.getPath, roots),
           LwesDataSource.hostsOf(f))
-      }.filter(p => (partitionFilters ++ runtimeFilters)
+      }.toArray
+      val fileSlices = allSlices.filter(p =>
+        (partitionFilters ++ runtimeFilters)
           .forall(matches(p.partitionValues, _)))
-        .toArray
+      partitionPruned = (allSlices.length - fileSlices.length).toLong
       val (maxBytes, openCost, parallelism) =
         try {
           val sc = org.apache.spark.sql.SparkSession.active.sparkContext

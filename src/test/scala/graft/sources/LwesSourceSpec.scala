@@ -37,6 +37,57 @@ class LwesSourceSpec extends AnyFunSuite {
       w.close()
     }
 
+  test("dynamic partition pruning reaches the journal scan (A17 DPP)") {
+    import spark.implicits._
+    val dir = tmp()
+    // fact: 5 event_type= partitions; dim: a filtered parquet table so
+    // the only partition predicate lives on the DIM side of the join
+    (0 until 500).map(i => (i.toLong, Seq("alpha", "beta", "gamma", "delta",
+        "omega")(i % 5), i * 0.5))
+      .toDF("id", "etype", "v").coalesce(1)
+      .write.format("lwes").option("eventName", "Dp::E")
+      .option("partitionBy", "etype").mode("append").save(dir)
+    val dimPq = tmp() + "/dim.parquet"
+    // the dim must look worth pruning on to Spark's DPP benefit
+    // heuristic: a real table with a genuinely selective predicate
+    (0 until 100).map(i => (i.toLong, Seq("alpha", "beta", "gamma", "delta",
+        "omega")(i % 5)))
+      .toDF("dim_id", "etype").write.parquet(dimPq)
+    val fact = spark.read.format("lwes")
+      .schema("id long, etype string, v double")
+      .option("eventName", "Dp::E").load(dir)
+    val dim = spark.read.parquet(dimPq)
+      .filter(col("etype").isin("alpha", "omega"))
+      .select(col("etype")).distinct()
+    val joined = fact.join(broadcast(dim), Seq("etype"))
+      .groupBy(col("etype")).agg(count(lit(1)).as("n"))
+      .orderBy("etype")
+    val rows = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("alpha", 100L), ("omega", 100L)))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.sources.lwes.LwesScan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case s: graft.sources.lwes.LwesScan => Seq(s)
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(scans) ++ p.subqueries.flatMap(scans)
+    }
+    val pruned = scans(joined.queryExecution.executedPlan)
+      .map(_.partitionPrunedFileCount)
+    // 3 of 5 partition files must be runtime-pruned (no static
+    // partition predicate exists in the query, so the count is
+    // attributable to the DPP filter alone)
+    assert(pruned.exists(_ == 3L), s"filesPruned by DPP: $pruned")
+  }
+
   test("small files bin-pack into shared tasks; large corpora don't explode task count") {
     val dir = tmp()
     val nFiles = 40
