@@ -929,8 +929,7 @@ object H264 {
   }
 
   /** Full-pel 16x16 luma motion compensation with edge clamping
-    * (8.4.2.2.1 integer case; sub-pel luma — the 6-tap filter — stays
-    * the documented out-of-subset boundary). `dx`,`dy` in full pels. */
+    * (8.4.2.2.1 integer case). `dx`,`dy` in full pels. */
   private[operators] def mcLuma16(refY: Array[Byte], w: Int, h: Int,
       mx: Int, my: Int, dx: Int, dy: Int): Array[Int] = {
     val out = new Array[Int](256)
@@ -941,6 +940,81 @@ object H264 {
       while (c < 16) {
         val sx = math.max(0, math.min(w - 1, mx * 16 + c + dx))
         out(r * 16 + c) = refY(sy * w + sx) & 0xFF
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** QUARTER-pel 16x16 luma motion compensation (8.4.2.2.1, full
+    * fractional grid): half-pel positions from the 6-tap
+    * {1,−5,20,20,−5,1} filter — b/h from one application (+16 >> 5),
+    * the center j from the filter over the UNCLIPPED intermediate
+    * half values (+512 >> 10; row-then-column order equals the spec's
+    * column-then-row because the separable integer sums are exact) —
+    * and quarter positions as the Table 8-12 rounding averages of
+    * their two nearest integer/half neighbors. Samples are
+    * edge-clamped per tap (frame-boundary extension). `mvx`,`mvy` in
+    * quarter pels; delegates to [[mcLuma16]] on the integer grid. */
+  private[operators] def mcLuma16Qpel(refY: Array[Byte], w: Int, h: Int,
+      mx: Int, my: Int, mvx: Int, mvy: Int): Array[Int] = {
+    val xI = mvx >> 2
+    val yI = mvy >> 2
+    val xF = mvx & 3
+    val yF = mvy & 3
+    if (xF == 0 && yF == 0) return mcLuma16(refY, w, h, mx, my, xI, yI)
+    @inline def s(x: Int, y: Int): Int = {
+      val cx = math.max(0, math.min(w - 1, x))
+      val cy = math.max(0, math.min(h - 1, y))
+      refY(cy * w + cx) & 0xFF
+    }
+    @inline def clip(v: Int): Int = math.max(0, math.min(255, v))
+    // unclipped full-precision half-pel intermediates
+    @inline def bRaw(x: Int, y: Int): Int = // between (x,y) and (x+1,y)
+      s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) + 20 * s(x + 1, y) -
+        5 * s(x + 2, y) + s(x + 3, y)
+    @inline def hRaw(x: Int, y: Int): Int = // between (x,y) and (x,y+1)
+      s(x, y - 2) - 5 * s(x, y - 1) + 20 * s(x, y) + 20 * s(x, y + 1) -
+        5 * s(x, y + 2) + s(x, y + 3)
+    @inline def bPix(x: Int, y: Int): Int = clip((bRaw(x, y) + 16) >> 5)
+    @inline def hPix(x: Int, y: Int): Int = clip((hRaw(x, y) + 16) >> 5)
+    @inline def jPix(x: Int, y: Int): Int = {
+      val j1 = bRaw(x, y - 2) - 5 * bRaw(x, y - 1) + 20 * bRaw(x, y) +
+        20 * bRaw(x, y + 1) - 5 * bRaw(x, y + 2) + bRaw(x, y + 3)
+      clip((j1 + 512) >> 10)
+    }
+    val out = new Array[Int](256)
+    var r = 0
+    while (r < 16) {
+      val y0 = my * 16 + r + yI
+      var c = 0
+      while (c < 16) {
+        val x0 = mx * 16 + c + xI
+        // Table 8-12 sample grid around (x0, y0):
+        //   G a b c H
+        //   d e f g
+        //   h i j k m
+        //   n p q r
+        //   M     s
+        val v = (xF, yF) match {
+          case (2, 0) => bPix(x0, y0)
+          case (0, 2) => hPix(x0, y0)
+          case (2, 2) => jPix(x0, y0)
+          case (1, 0) => (s(x0, y0) + bPix(x0, y0) + 1) >> 1
+          case (3, 0) => (bPix(x0, y0) + s(x0 + 1, y0) + 1) >> 1
+          case (0, 1) => (s(x0, y0) + hPix(x0, y0) + 1) >> 1
+          case (0, 3) => (hPix(x0, y0) + s(x0, y0 + 1) + 1) >> 1
+          case (2, 1) => (bPix(x0, y0) + jPix(x0, y0) + 1) >> 1
+          case (2, 3) => (jPix(x0, y0) + bPix(x0, y0 + 1) + 1) >> 1
+          case (1, 2) => (hPix(x0, y0) + jPix(x0, y0) + 1) >> 1
+          case (3, 2) => (jPix(x0, y0) + hPix(x0 + 1, y0) + 1) >> 1
+          case (1, 1) => (bPix(x0, y0) + hPix(x0, y0) + 1) >> 1
+          case (3, 1) => (bPix(x0, y0) + hPix(x0 + 1, y0) + 1) >> 1
+          case (1, 3) => (hPix(x0, y0) + bPix(x0, y0 + 1) + 1) >> 1
+          case _ => (hPix(x0 + 1, y0) + bPix(x0, y0 + 1) + 1) >> 1 // (3,3)
+        }
+        out(r * 16 + c) = v
         c += 1
       }
       r += 1
@@ -1087,15 +1161,18 @@ object H264 {
     * 8.4.1.3 median predictor, inter me(v) cbp, 16-coefficient luma
     * residual blocks, eighth-pel bilinear chroma MC) with P_Skip runs
     * where the 8.4.1.1 skip vector already predicts the block exactly.
-    * Sub-pel LUMA motion (the 6-tap filter) and CABAC stay the
-    * documented out-of-subset boundaries.
+    * With `subpelSearch` the motion search refines the full-pel SAD
+    * winner on the half- then quarter-pel grid against the decoder's
+    * own 6-tap interpolation (8.4.2.2.1); CABAC stays the documented
+    * out-of-subset boundary.
     *
     * Returns the bitstream AND the reconstruction computed through the
     * decoder-shared helpers ([[predIntra4x4]]/[[recon4x4]]/
-    * [[mcLuma16]]/[[mcChroma8]]/[[reconChroma8x8]]), so `decodeNals`
+    * [[mcLuma16Qpel]]/[[mcChroma8]]/[[reconChroma8x8]]), so `decodeNals`
     * output must equal it BIT-EXACTLY. */
   def encodeCavlcI4P(frames: IndexedSeq[Plane], qp: Int,
-      searchRange: Int = 4): (Encoded, IndexedSeq[Plane]) = {
+      searchRange: Int = 4,
+      subpelSearch: Boolean = false): (Encoded, IndexedSeq[Plane]) = {
     require(frames.nonEmpty && qp >= 10 && qp <= 51, "qp in [10,51]")
     val w = frames.head.width
     val h = frames.head.height
@@ -1356,10 +1433,50 @@ object H264 {
           }
           dy += 1
         }
-        val mvx = bestDx * 4
-        val mvy = bestDy * 4
+        var mvx = bestDx * 4
+        var mvy = bestDy * 4
+        if (subpelSearch) {
+          // ---- sub-pel refinement: a half-pel ring around the
+          // full-pel winner, then a quarter-pel ring around the
+          // half-pel winner — each candidate scored by SAD against its
+          // 6-tap interpolated prediction (the same mcLuma16Qpel the
+          // decoder runs, so the closed loop stays exact). Strict-<
+          // with row-major candidate order keeps selection
+          // deterministic; bestSad already holds the full-pel
+          // winner's complete SAD.
+          def sadAt(qx: Int, qy: Int): Int = {
+            val p = mcLuma16Qpel(ref.y, w, h, mx, my, qx, qy)
+            var sad = 0
+            var i = 0
+            while (i < 256) {
+              sad += math.abs(
+                (src.y((my * 16 + i / 16) * w + mx * 16 + i % 16) & 0xFF) - p(i))
+              i += 1
+            }
+            sad
+          }
+          var best = bestSad
+          var step = 2
+          while (step >= 1) {
+            val cx = mvx
+            val cy = mvy
+            var dy = -step
+            while (dy <= step) {
+              var dx = -step
+              while (dx <= step) {
+                if (dx != 0 || dy != 0) {
+                  val s2 = sadAt(cx + dx, cy + dy)
+                  if (s2 < best) { best = s2; mvx = cx + dx; mvy = cy + dy }
+                }
+                dx += step
+              }
+              dy += step
+            }
+            step -= 1
+          }
+        }
         // ---- residuals against the MC prediction
-        val predL = mcLuma16(ref.y, w, h, mx, my, bestDx, bestDy)
+        val predL = mcLuma16Qpel(ref.y, w, h, mx, my, mvx, mvy)
         val lumaLv = new Array[Array[Int]](16)
         var blk = 0
         while (blk < 16) {
@@ -1549,7 +1666,8 @@ object H264 {
     * block edges (whether it actually does depends on content and QP
     * — the flag is deliberately conservative). */
   final case class Decoded(width: Int, height: Int,
-      frames: IndexedSeq[Plane], filterExact: Boolean = true)
+      frames: IndexedSeq[Plane], filterExact: Boolean = true,
+      subpelMbs: Int = 0)
 
   /** Decode a sequence of NAL units (without start codes / length
     * prefixes). None when any slice uses coding tools outside the
@@ -1560,6 +1678,7 @@ object H264 {
     var pps: Option[Pps] = None
     var ref: Plane = null
     var filterExact = true
+    var subpelMbs = 0
     val frames = IndexedSeq.newBuilder[Plane]
     try {
       nals.foreach { nal =>
@@ -1576,10 +1695,11 @@ object H264 {
           case 5 | 1 =>
             val s = sps.getOrElse(return None)
             val p = pps.getOrElse(return None)
-            val (out, sliceExact) =
+            val (out, sliceExact, sliceSubpel) =
               decodeSlice(rbsp, s, p, isIdr = nalType == 5, ref)
                 .getOrElse(return None)
             if (!sliceExact) filterExact = false
+            subpelMbs += sliceSubpel
             ref = out
             frames += out
           case 6 | 9 | 10 | 11 | 12 => // SEI / AU delimiter / end: ignore
@@ -1590,7 +1710,7 @@ object H264 {
     val fs = frames.result()
     sps match {
       case Some(s) if fs.nonEmpty =>
-        Some(Decoded(s.width, s.height, fs, filterExact))
+        Some(Decoded(s.width, s.height, fs, filterExact, subpelMbs))
       case _ => None
     }
   }
@@ -1944,8 +2064,9 @@ object H264 {
     * path (entropy-decoded luma DC, inverse Hadamard, dequant, 4x4
     * IDCT, pixel-wise DC prediction). Anything else → None. */
   private def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps, isIdr: Boolean,
-      ref: Plane): Option[(Plane, Boolean)] = {
+      ref: Plane): Option[(Plane, Boolean, Int)] = {
     val r = new BitReader(rbsp)
+    var subpelMbCount = 0 // inter MBs whose MV has a fractional component
     if (r.ue() != 0) return None // first_mb_in_slice: single-slice only
     val sliceType = r.ue() % 5 // 5..9 are the "all slices" aliases
     val isI = sliceType == 2
@@ -2218,17 +2339,18 @@ object H264 {
     }
 
     /** Motion-compensate + store one inter MB from `ref` at quarter-pel
-      * MV (mvx, mvy); luma must be full-pel (sub-pel luma = 6-tap
-      * interpolation, the documented out-of-subset boundary). Residual
+      * MV (mvx, mvy); sub-pel luma runs the full 6-tap interpolation
+      * grid ([[mcLuma16Qpel]] — the r13 upgrade that retired this
+      * decoder's last checked inter-prediction boundary). Residual
       * arrays may be null (P_Skip / cbp 0). */
     def reconInterMb(mb: Int, mvx: Int, mvy: Int,
         lumaLv: Array[Array[Int]],
         ch: (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]])): Boolean = {
       if (ref == null) return false
-      if ((mvx & 3) != 0 || (mvy & 3) != 0) return false // sub-pel luma
+      if ((mvx & 3) != 0 || (mvy & 3) != 0) subpelMbCount += 1
       val mx = mb % sps.widthMbs
       val my = mb / sps.widthMbs
-      val predL = mcLuma16(ref.y, w, h, mx, my, mvx >> 2, mvy >> 2)
+      val predL = mcLuma16Qpel(ref.y, w, h, mx, my, mvx, mvy)
       var blk = 0
       while (blk < 16) {
         val px0 = mx * 16 + LumaBlkX(blk) * 4
@@ -2467,7 +2589,7 @@ object H264 {
         mb += 1
       }
     }
-    Some((Plane(w, h, y, cb, cr), !filterOn))
+    Some((Plane(w, h, y, cb, cr), !filterOn, subpelMbCount))
   }
 
   // ----------------------------------------------------- MP4 (avcC)

@@ -562,6 +562,49 @@ object Multimodal {
     def h264I4pQp(n: Int): Int = 20 + n % 9 // 20..28: fidelity bound holds
     def h264I4pFrameCount(n: Int): Int = 2 + n % 3 // 2..4: always ≥1 P frame
 
+    /** Triangle wave: 0..p, period 2p — piecewise-LINEAR, which is the
+      * signal class the 6-tap half-pel filter reconstructs almost
+      * exactly, so a half-pel-shifted source makes sub-pel motion
+      * vectors genuinely win the SAD search. */
+    private def tri(t: Int, p: Int): Int = {
+      val m = java.lang.Math.floorMod(t, 2 * p)
+      math.abs(m - p)
+    }
+
+    /** Smooth pixel with HALF-PEL global drift for the sub-pel MC
+      * stream: the pattern lives on a double-resolution grid and frame
+      * k samples it at (x + k/2, y + k/2) — consecutive frames are
+      * exactly (0.5, 0.5) pels apart, so every P macroblock's best
+      * vector is fractional. `c`: 0 luma, 1 Cb, 2 Cr. */
+    def h264SubpelPix(n: Int, k: Int, x: Int, y: Int, c: Int): Int = {
+      val u = 2 * x + k
+      val v = 2 * y + k
+      val base = tri(u * 2 + n % 7, 40) * 3 + tri(v * 2 + n % 11, 56) * 2 +
+        tri(u + v, 24)
+      math.min(255, 8 + base + c * 5)
+    }
+
+    /** H.264 with SUB-PEL luma motion in MP4: the Intra_4x4 IDR plus
+      * P frames whose motion search refines onto the half/quarter-pel
+      * grid ([[H264.encodeCavlcI4P]] with `subpelSearch`, 8.4.2.2.1
+      * 6-tap interpolation shared with the decoder). The source drifts
+      * (0.5, 0.5) pels per frame, so fractional vectors genuinely win. */
+    def makeMp4AvcSubpel(text: String): (Array[Byte], IndexedSeq[H264.Plane], Int) = {
+      val n = textLen(text)
+      val (w, h) = (H264W, H264H)
+      val frames = (0 until h264I4pFrameCount(n)).map { k =>
+        H264.Plane(w, h,
+          Array.tabulate(w * h)(i => h264SubpelPix(n, k, i % w, i / w, 0).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264SubpelPix(n, k, i % (w / 2), i / (w / 2), 1).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264SubpelPix(n, k, i % (w / 2), i / (w / 2), 2).toByte))
+      }
+      val qp = h264I4pQp(n)
+      val (enc, expected) = H264.encodeCavlcI4P(frames, qp, subpelSearch = true)
+      (muxAvcMp4(enc, w, h), expected, qp)
+    }
+
     /** REAL Intra_4x4 + inter H.264 in MP4 — the GOP shape of actual
       * baseline footage: an Intra_4x4 IDR (per-block 9-mode prediction)
       * followed by P_L0_16x16/P_Skip motion-predicted frames
@@ -895,6 +938,53 @@ object Multimodal {
         }
       }.toDF("doc_id", "n_frames", "width", "height", "qp", "exact",
         "fidelity_ok")
+  }
+
+  /** Sub-pel motion audit (the C12 boundary retired in r13): per doc,
+    * generate the half-pel-drifting stream ([[MediaGen.makeMp4AvcSubpel]]),
+    * decode it, and emit
+    *  - `exact`: decoded planes equal the encoder's independent
+    *    reconstruction bit-for-bit — the 6-tap interpolation grid,
+    *    quarter-pel MV coding, and refinement search all agree between
+    *    encoder and decoder;
+    *  - `used_subpel`: the stream really carries fractional vectors
+    *    (decoder-counted inter MBs with a fractional MV component > 0)
+    *    — the non-vacuity guard, without which a full-pel fallback
+    *    would pass `exact` trivially;
+    *  - `fidelity_ok`: frame 0 tracks the closed-form source.
+    * The oracle replays n_frames/dims/qp from `length(text)` and pins
+    * all three booleans true. One mapPartitions projection. */
+  def h264SubpelAudit(spark: SparkSession, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val n = MediaGen.textLen(text)
+          val (mp4, expected, qp) = MediaGen.makeMp4AvcSubpel(text)
+          val dec = H264.decodeMp4(mp4).getOrElse(
+            throw new IllegalStateException(
+              s"generated sub-pel H.264 stream failed to decode for doc $id"))
+          val exact = dec.frames.length == expected.length &&
+            dec.frames.zip(expected).forall { case (g, e) =>
+              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
+                g.cr.sameElements(e.cr)
+            }
+          val y0 = dec.frames.head.y
+          var sad = 0L
+          var i = 0
+          while (i < y0.length) {
+            sad += math.abs((y0(i) & 0xFF) -
+              MediaGen.h264SubpelPix(n, 0, i % dec.width, i / dec.width, 0))
+            i += 1
+          }
+          val fidelityOk = sad.toDouble / y0.length < 6.0
+          (id, dec.frames.length, dec.width, dec.height, qp, exact,
+            dec.subpelMbs > 0, fidelityOk)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "qp", "exact",
+        "used_subpel", "fidelity_ok")
   }
 
   /** Attach an opaque binary media column + typed metadata to a table

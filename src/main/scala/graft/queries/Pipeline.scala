@@ -917,6 +917,28 @@ object Pipeline {
         |  true AS exact, true AS fidelity_ok
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // C12 (sub-pel motion): half/quarter-pel luma MC — the last
+    // verifiable inter-prediction boundary, retired. The source drifts
+    // (0.5, 0.5) pels per frame (piecewise-linear texture, the class
+    // the 6-tap filter reconstructs), the encoder refines onto the
+    // fractional grid, and the decoder runs the full 8.4.2.2.1
+    // interpolation. `exact` pins encoder/decoder bit-agreement,
+    // `used_subpel` pins non-vacuity (fractional vectors genuinely in
+    // the stream — decoder-counted), `fidelity_ok` tracks the
+    // closed-form source; the oracle replays the geometry and expects
+    // all three true.
+    "mm_h264_subpel" -> ((
+      (s: SparkSession, d: String) => {
+        Multimodal.h264SubpelAudit(s, t(s, d, "documents"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(2 + length(text) % 3 AS INT) AS n_frames,
+        |  CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        |  CAST(20 + length(text) % 9 AS INT) AS qp,
+        |  true AS exact, true AS used_subpel, true AS fidelity_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // C33: Misra-Gries heavy hitters — sketch candidates (one
     // treeAggregate, bounded summary, no raw-term shuffle) + exact
     // broadcast recount; the no-false-negative guarantee at

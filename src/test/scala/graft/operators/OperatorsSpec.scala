@@ -255,6 +255,67 @@ class OperatorsSpec extends AnyFunSuite {
         s"sign=${keptSign.length} kmeans=${keptKmeans.length}")
   }
 
+  test("quarter-pel luma interpolation matches hand-computed 6-tap outputs (C12)") {
+    // HAND-COMPUTED closed-form expectations (not a re-implementation):
+    // for the pinned 6x6 sample grid below with G at grid[2][2],
+    //   b_raw = 12−5·7+20·200+20·90−5·11+3·1? — evaluated by hand:
+    //   row y=0: 1·90 −5·2 +20·120 +20·45 −5·210 +1·13 = 2343
+    //     → b = (2343+16)>>5 = 73
+    //   col x=0: 1·200 −5·33 +20·120 +20·19 −5·140 +1·66 = 2181
+    //     → h = (2181+16)>>5 = 68
+    //   j1 (6-tap over the six per-row b_raw values) = 39655
+    //     → j = (39655+512)>>10 = 39
+    //   a = (G+b+1)>>1 = (120+73+1)>>1 = 97
+    //   d = (G+h+1)>>1 = (120+68+1)>>1 = 94
+    //   e = (b+h+1)>>1 = (73+68+1)>>1 = 71
+    val grid = Array(
+      Array(12, 7, 200, 90, 11, 3),
+      Array(5, 60, 33, 250, 17, 8),
+      Array(90, 2, 120, 45, 210, 13),
+      Array(30, 77, 19, 88, 64, 21),
+      Array(11, 9, 140, 70, 23, 99),
+      Array(44, 31, 66, 180, 55, 6))
+    val w = 32; val h = 32
+    val refY = Array.fill[Byte](w * h)(50)
+    for (r <- 0 until 6; c <- 0 until 6)
+      refY((8 + r) * w + 8 + c) = grid(r)(c).toByte // G at (10, 10)
+    def at(mvx: Int, mvy: Int): Int =
+      H264.mcLuma16Qpel(refY, w, h, 0, 0, mvx, mvy)(10 * 16 + 10)
+    assert(at(2, 0) == 73, "half-pel b")
+    assert(at(0, 2) == 68, "half-pel h")
+    assert(at(2, 2) == 39, "center j")
+    assert(at(1, 0) == 97, "quarter a")
+    assert(at(0, 1) == 94, "quarter d")
+    assert(at(1, 1) == 71, "quarter e")
+    // linear-ramp exactness: the 6-tap filter reproduces a linear
+    // signal, so half-pel samples sit exactly between neighbors
+    val ramp = Array.tabulate[Byte](w * h)(i => (10 * (i % w) % 250).toByte)
+    val half = H264.mcLuma16Qpel(ramp, w, h, 0, 0, 2, 0)
+    for (c <- 4 to 10)
+      assert(half(5 * 16 + c) == 10 * c + 5, s"ramp half-pel at col $c")
+    // integer-grid delegation is bit-identical to the full-pel path
+    val a1 = H264.mcLuma16Qpel(refY, w, h, 0, 0, 4, 8)
+    val a2 = H264.mcLuma16(refY, w, h, 0, 0, 1, 2)
+    assert(a1.sameElements(a2))
+  }
+
+  test("sub-pel encode/decode round-trip: bit-exact and genuinely fractional (C12)") {
+    val (mp4, expected, _) =
+      Multimodal.MediaGen.makeMp4AvcSubpel("the quick brown fox jumps over it")
+    val dec = H264.decodeMp4(mp4).get
+    assert(dec.subpelMbs > 0,
+      "the drifting source must make the encoder choose fractional vectors")
+    assert(dec.frames.length == expected.length)
+    dec.frames.zip(expected).foreach { case (g, e) =>
+      assert(g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
+        g.cr.sameElements(e.cr), "decode must equal encoder recon bit-exactly")
+    }
+    // a full-pel-only stream reports zero sub-pel MBs (counter sanity)
+    val (mp4Full, _, _) =
+      Multimodal.MediaGen.makeMp4AvcI4P("the quick brown fox jumps over it")
+    assert(H264.decodeMp4(mp4Full).get.subpelMbs == 0)
+  }
+
   test("connected components resolve transitive duplicate clusters (C16)") {
     // path 1-2-3-4 (diameter 3), disjoint pair 10-11, singleton edge 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
