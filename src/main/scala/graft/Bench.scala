@@ -134,7 +134,41 @@ object Bench {
     val annJson = graft.queries.Pipeline.annRecall.toSeq
       .sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"streaming":$streamJson,"ann_recall":$annJson,"iters_per_query":$iters,$loadJson,"sf":${jstr(sfDir)}}"""
+    // Pinned numeric baseline (VERDICT r12 task 6): when
+    // BASELINE_BENCH.json exists (committed quiet-box per-query mins),
+    // emit each query's current/baseline ratio plus the >1.5x movers —
+    // so "within 2x of baseline" is a mechanical diff in the round
+    // artifact, not round-history archaeology. Sub-0.3s baseline keys
+    // are skipped in the mover lists (spread noise dominates there,
+    // the documented §6 signature). A missing/corrupt file simply
+    // omits the block.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_BENCH.json")
+    val vsBaselineJson: Option[String] = try {
+      val fl = new java.io.File(baselinePath)
+      if (!fl.exists()) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val q = om.readTree(fl).get("queries")
+        if (q == null) None
+        else {
+          val ratios = results.toSeq.sortBy(_._1).flatMap { case (k, cur) =>
+            val b = Option(q.get(k)).map(_.asDouble(-1.0)).getOrElse(-1.0)
+            if (cur > 0 && b > 0) Some((k, cur / b, b)) else None
+          }
+          val ratioJson = ratios.map { case (k, r, _) =>
+            s"\"" + k + "\":" + f(r)
+          }.mkString("{", ",", "}")
+          val slower = ratios.filter { case (_, r, b) => r > 1.5 && b >= 0.3 }
+            .map(_._1)
+          val faster = ratios.filter { case (_, r, b) => r < 0.67 && b >= 0.3 }
+            .map(_._1)
+          def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+          Some(s""""vs_baseline":{"ratios":$ratioJson,"slower_1_5x":${arr(slower)},"faster_1_5x":${arr(faster)}}""")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val vsBaseline = vsBaselineJson.map("," + _).getOrElse("")
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"streaming":$streamJson,"ann_recall":$annJson,"iters_per_query":$iters,$loadJson$vsBaseline,"sf":${jstr(sfDir)}}"""
     // Stdout tail capture can truncate the front of a very long single
     // line (BENCH_r03 parsed null that way) — persist to a file too, so
     // round-over-round comparison never depends on stdout buffer length.

@@ -964,55 +964,113 @@ object H264 {
     val xF = mvx & 3
     val yF = mvy & 3
     if (xF == 0 && yF == 0) return mcLuma16(refY, w, h, mx, my, xI, yI)
-    @inline def s(x: Int, y: Int): Int = {
-      val cx = math.max(0, math.min(w - 1, x))
-      val cy = math.max(0, math.min(h - 1, y))
-      refY(cy * w + cx) & 0xFF
-    }
+    // Windowed separable evaluation (this is the encoder search's hot
+    // loop — 16 candidate interpolations per MB): one 22×22 clamped
+    // sample window, then each intermediate plane computed ONCE per
+    // block instead of 6-36 clamped loads per output pixel. Identical
+    // arithmetic to the per-pixel formulation (exact integer sums in a
+    // different order), pinned by the hand-computed spec values.
+    val baseX = mx * 16 + xI
+    val baseY = my * 16 + yI
     @inline def clip(v: Int): Int = math.max(0, math.min(255, v))
-    // unclipped full-precision half-pel intermediates
-    @inline def bRaw(x: Int, y: Int): Int = // between (x,y) and (x+1,y)
-      s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) + 20 * s(x + 1, y) -
-        5 * s(x + 2, y) + s(x + 3, y)
-    @inline def hRaw(x: Int, y: Int): Int = // between (x,y) and (x,y+1)
-      s(x, y - 2) - 5 * s(x, y - 1) + 20 * s(x, y) + 20 * s(x, y + 1) -
-        5 * s(x, y + 2) + s(x, y + 3)
-    @inline def bPix(x: Int, y: Int): Int = clip((bRaw(x, y) + 16) >> 5)
-    @inline def hPix(x: Int, y: Int): Int = clip((hRaw(x, y) + 16) >> 5)
-    @inline def jPix(x: Int, y: Int): Int = {
-      val j1 = bRaw(x, y - 2) - 5 * bRaw(x, y - 1) + 20 * bRaw(x, y) +
-        20 * bRaw(x, y + 1) - 5 * bRaw(x, y + 2) + bRaw(x, y + 3)
-      clip((j1 + 512) >> 10)
-    }
-    val out = new Array[Int](256)
+    // win(r)(c) = clamped sample at (baseX + c - 2, baseY + r - 2)
+    val win = new Array[Int](22 * 22)
     var r = 0
+    while (r < 22) {
+      val sy = math.max(0, math.min(h - 1, baseY + r - 2))
+      val rowOff = sy * w
+      var c = 0
+      while (c < 22) {
+        val sx = math.max(0, math.min(w - 1, baseX + c - 2))
+        win(r * 22 + c) = refY(rowOff + sx) & 0xFF
+        c += 1
+      }
+      r += 1
+    }
+    // bArr(r)(c) = unclipped bRaw(x0+c, y0+r-2): horizontal 6-tap, for
+    // output cols 0..16 and sample rows -2..19
+    val needB = xF != 0 || yF != 0 // bArr also feeds jArr; cheap, always on
+    val bArr = if (needB) new Array[Int](22 * 17) else null
+    if (needB) {
+      r = 0
+      while (r < 22) {
+        var c = 0
+        while (c < 17) {
+          val o = r * 22 + c
+          bArr(r * 17 + c) = win(o) - 5 * win(o + 1) + 20 * win(o + 2) +
+            20 * win(o + 3) - 5 * win(o + 4) + win(o + 5)
+          c += 1
+        }
+        r += 1
+      }
+    }
+    // hArr(r)(c) = unclipped hRaw(x0+c, y0+r): vertical 6-tap, for
+    // output rows 0..16 and cols 0..16
+    val needH = yF != 0
+    val hArr = if (needH) new Array[Int](17 * 17) else null
+    if (needH) {
+      r = 0
+      while (r < 17) {
+        var c = 0
+        while (c < 17) {
+          val o = r * 22 + c + 2
+          hArr(r * 17 + c) = win(o) - 5 * win(o + 22) + 20 * win(o + 44) +
+            20 * win(o + 66) - 5 * win(o + 88) + win(o + 110)
+          c += 1
+        }
+        r += 1
+      }
+    }
+    // jArr(r)(c) = clipped center j(x0+c, y0+r): vertical 6-tap over
+    // the unclipped bRaw rows
+    val needJ = (xF == 2 && yF != 0) || (yF == 2 && xF != 0)
+    val jArr = if (needJ) new Array[Int](17 * 17) else null
+    if (needJ) {
+      r = 0
+      while (r < 17) {
+        var c = 0
+        while (c < 17) {
+          val o = r * 17 + c
+          val j1 = bArr(o) - 5 * bArr(o + 17) + 20 * bArr(o + 34) +
+            20 * bArr(o + 51) - 5 * bArr(o + 68) + bArr(o + 85)
+          jArr(r * 17 + c) = clip((j1 + 512) >> 10)
+          c += 1
+        }
+        r += 1
+      }
+    }
+    @inline def g(r: Int, c: Int): Int = win((r + 2) * 22 + c + 2)
+    @inline def bP(r: Int, c: Int): Int = clip((bArr((r + 2) * 17 + c) + 16) >> 5)
+    @inline def hP(r: Int, c: Int): Int = clip((hArr(r * 17 + c) + 16) >> 5)
+    @inline def jP(r: Int, c: Int): Int = jArr(r * 17 + c)
+    val out = new Array[Int](256)
+    val frac = (yF << 2) | xF
+    r = 0
     while (r < 16) {
-      val y0 = my * 16 + r + yI
       var c = 0
       while (c < 16) {
-        val x0 = mx * 16 + c + xI
         // Table 8-12 sample grid around (x0, y0):
         //   G a b c H
         //   d e f g
         //   h i j k m
         //   n p q r
         //   M     s
-        val v = (xF, yF) match {
-          case (2, 0) => bPix(x0, y0)
-          case (0, 2) => hPix(x0, y0)
-          case (2, 2) => jPix(x0, y0)
-          case (1, 0) => (s(x0, y0) + bPix(x0, y0) + 1) >> 1
-          case (3, 0) => (bPix(x0, y0) + s(x0 + 1, y0) + 1) >> 1
-          case (0, 1) => (s(x0, y0) + hPix(x0, y0) + 1) >> 1
-          case (0, 3) => (hPix(x0, y0) + s(x0, y0 + 1) + 1) >> 1
-          case (2, 1) => (bPix(x0, y0) + jPix(x0, y0) + 1) >> 1
-          case (2, 3) => (jPix(x0, y0) + bPix(x0, y0 + 1) + 1) >> 1
-          case (1, 2) => (hPix(x0, y0) + jPix(x0, y0) + 1) >> 1
-          case (3, 2) => (jPix(x0, y0) + hPix(x0 + 1, y0) + 1) >> 1
-          case (1, 1) => (bPix(x0, y0) + hPix(x0, y0) + 1) >> 1
-          case (3, 1) => (bPix(x0, y0) + hPix(x0 + 1, y0) + 1) >> 1
-          case (1, 3) => (hPix(x0, y0) + bPix(x0, y0 + 1) + 1) >> 1
-          case _ => (hPix(x0 + 1, y0) + bPix(x0, y0 + 1) + 1) >> 1 // (3,3)
+        val v = frac match {
+          case 0x2 => bP(r, c) // (2,0)
+          case 0x8 => hP(r, c) // (0,2)
+          case 0xA => jP(r, c) // (2,2)
+          case 0x1 => (g(r, c) + bP(r, c) + 1) >> 1 // (1,0) a
+          case 0x3 => (bP(r, c) + g(r, c + 1) + 1) >> 1 // (3,0) c
+          case 0x4 => (g(r, c) + hP(r, c) + 1) >> 1 // (0,1) d
+          case 0xC => (hP(r, c) + g(r + 1, c) + 1) >> 1 // (0,3) n
+          case 0x6 => (bP(r, c) + jP(r, c) + 1) >> 1 // (2,1) f
+          case 0xE => (jP(r, c) + bP(r + 1, c) + 1) >> 1 // (2,3) q
+          case 0x9 => (hP(r, c) + jP(r, c) + 1) >> 1 // (1,2) i
+          case 0xB => (jP(r, c) + hP(r, c + 1) + 1) >> 1 // (3,2) k
+          case 0x5 => (bP(r, c) + hP(r, c) + 1) >> 1 // (1,1) e
+          case 0x7 => (bP(r, c) + hP(r, c + 1) + 1) >> 1 // (3,1) g
+          case 0xD => (hP(r, c) + bP(r + 1, c) + 1) >> 1 // (1,3) p
+          case _ => (hP(r, c + 1) + bP(r + 1, c) + 1) >> 1 // (3,3) r
         }
         out(r * 16 + c) = v
         c += 1
