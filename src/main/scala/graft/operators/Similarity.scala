@@ -228,7 +228,11 @@ object Similarity {
       val pre = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
           Seq(col("score").desc, col("neighbor_id")), refine * k)
         .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
-      val re = pre.join(corpusVecs, Seq("neighbor_id"))
+      // the CANDIDATE side broadcasts (refine·k rows per query —
+      // query-proportional), so the corpus vector fetch streams the big
+      // side exactly once; without the hint small-SF stats can invert
+      // the build side, which would broadcast the corpus at scale
+      val re = broadcast(pre).join(corpusVecs, Seq("neighbor_id"))
         .join(broadcast(queryVecs), Seq("query_id"))
         .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
       rankTopK(re, k, orderCol = "score", outCol = "adc_dist")
