@@ -55,7 +55,8 @@ object Compact {
     * a maintenance window allows; at 100 TB you point it at the
     * partitions behind the small-files alert, not the whole table. */
   def compactPartitioned(spark: SparkSession, dir: String, targetFiles: Int,
-      compression: String = "gzip", minAgeMs: Long = 0L): (Int, Int) = {
+      compression: String = "gzip", minAgeMs: Long = 0L,
+      frameBytes: Option[Int] = None): (Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(p)
@@ -63,15 +64,21 @@ object Compact {
       .sortBy(_.getPath.getName)
     parts.foldLeft((0, 0)) { case ((b, a), s) =>
       val (pb, pa) = compact(spark, s.getPath.toString, targetFiles,
-        compression, minAgeMs)
+        compression, minAgeMs, frameBytes)
       (b + pb, a + pa)
     }
   }
 
   /** Rewrite `dir`'s top-level journals into `targetFiles` files.
     * Returns (filesBefore, filesAfter). */
+  /** `compression = "split-zstd"` compacts INTO the splittable `.zsj`
+    * container (A22) — the one pass that fixes the directory's two
+    * scale problems together: file count drops to `targetFiles` AND
+    * each compacted file scans as many tasks. `frameBytes` overrides
+    * the writer's raw bytes per zstd frame (split granularity). */
   def compact(spark: SparkSession, dir: String, targetFiles: Int,
-      compression: String = "gzip", minAgeMs: Long = 0L): (Int, Int) = {
+      compression: String = "gzip", minAgeMs: Long = 0L,
+      frameBytes: Option[Int] = None): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
@@ -164,10 +171,12 @@ object Compact {
       .option(LwesOptions.EventNameColumn, NameCol)
       .load(goodPaths.toIndexedSeq: _*)
     val tmp = new Path(p, s".compact-${java.util.UUID.randomUUID()}")
-    df.coalesce(math.max(targetFiles, 1))
+    val writer0 = df.coalesce(math.max(targetFiles, 1))
       .write.format("lwes")
       .option(LwesOptions.EventNameColumn, NameCol)
       .option(LwesOptions.Compression, compression)
+    frameBytes.fold(writer0)(fb =>
+        writer0.option(LwesOptions.SplitFrameBytes, fb.toString))
       .mode("append").save(tmp.toString)
     // promote first (fresh names cannot collide), delete originals
     // after; skip hidden leftovers (a task attempt killed before its

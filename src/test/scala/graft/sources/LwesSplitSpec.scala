@@ -166,6 +166,35 @@ class LwesSplitSpec extends AnyFunSuite {
     assert(df.count() == 500L)
   }
 
+  test("compaction into a split journal fixes small-files AND splittability") {
+    // 8 tiny gzip journals -> ONE .zsj via Compact with
+    // compression=split-zstd: the result is a single file that still
+    // scans as many tasks — the two classic journal scale problems
+    // (file-count explosion, unsplittable files) solved in one pass
+    val dir = tmp()
+    import spark.implicits._
+    (0 until 8).foreach { p =>
+      (0 until 250).map(i => ((p * 250 + i).toLong, T0 + i * 1000L, s"pl-$i"))
+        .toDF("id", "ReceiptTime", "tag").coalesce(1)
+        .write.format("lwes").option("eventName", "Sp::E")
+        .mode("append").save(dir)
+    }
+    val nBefore = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(nBefore == 8)
+    val (b, a) = graft.sources.lwes.Compact.compact(spark, dir, 1,
+      compression = "split-zstd", frameBytes = Some(2048))
+    assert(b == 8 && a == 1, s"compacted $b -> $a")
+    assert(onlyFile(dir).getName.endsWith(".zsj"))
+    val df = spark.read.format("lwes")
+      .schema("id long, ReceiptTime long, tag string")
+      .option("eventName", "Sp::E")
+      .option(LwesOptions.SplitTargetBytes, "2048").load(dir)
+    assert(df.rdd.getNumPartitions > 1,
+      "one compacted .zsj must still scan as many tasks")
+    assert(df.select("id").distinct().count() == 2000L)
+  }
+
   test("an empty split journal reads zero rows") {
     val dir = tmp()
     val path = new java.io.File(dir, "empty.zsj")
