@@ -26,9 +26,12 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
   private val ext = compression match {
     case "gzip" => "journal.gz"
     case "zstd" | "zst" => "journal.zst"
+    // capture straight into the splittable container (A22): rotated
+    // files scan as many tasks without a compaction pass in between
+    case "split-zstd" => s"journal.${SplitJournal.Extension}"
     case "none" => "journal"
     case other => throw new IllegalArgumentException(
-      s"unsupported capture compression '$other' (gzip|zstd|none)")
+      s"unsupported capture compression '$other' (gzip|zstd|split-zstd|none)")
   }
 
   new File(dir).mkdirs()
@@ -52,7 +55,7 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
 
   @volatile private var running = true
   private var seq = 0
-  private var cur: JournalWriter = null
+  private var cur: JournalRecordWriter = null
   private var curTmp: File = null
   private var curBytes = 0L
   private var curOpenedAt = 0L
@@ -73,12 +76,12 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
     // detection, so the codec is chosen explicitly here
     curTmp = new File(dir, s".capture-$seq.$ext.tmp")
     val fos = new java.io.FileOutputStream(curTmp)
-    val os: java.io.OutputStream = compression match {
-      case "gzip" => new java.util.zip.GZIPOutputStream(fos, 1 << 16)
-      case "zstd" | "zst" => new com.github.luben.zstd.ZstdOutputStream(fos)
-      case _ => fos
+    cur = compression match {
+      case "gzip" => new JournalWriter(new java.util.zip.GZIPOutputStream(fos, 1 << 16))
+      case "zstd" | "zst" => new JournalWriter(new com.github.luben.zstd.ZstdOutputStream(fos))
+      case "split-zstd" => new SplitJournalWriter(fos)
+      case _ => new JournalWriter(fos)
     }
-    cur = new JournalWriter(os)
     curBytes = 0L
     curOpenedAt = now
   }

@@ -93,6 +93,47 @@ class UdpJournallerSpec extends AnyFunSuite {
     } finally j.close()
   }
 
+  test("split-zstd capture lands splittable journals readable by the source") {
+    val dir = Files.createTempDirectory("udp-split").toString
+    val j = new UdpJournaller(dir, port = 0, siteId = 3,
+      rotateBytes = 1L << 20, rotateMs = 60000L,
+      compression = "split-zstd").start()
+    val sender = new DatagramSocket()
+    val target = InetAddress.getLoopbackAddress
+    val n = 150
+    (0 until n).foreach { i =>
+      val payload = LwesCodec.serialize(
+        LwesEvent("Cap::S").setInt64("id", i.toLong))
+      sender.send(new DatagramPacket(payload, payload.length, target, j.boundPort))
+      if (i % 20 == 19) Thread.sleep(2)
+    }
+    val deadline = System.currentTimeMillis() + 10000
+    while (j.received < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(j.received == n, s"journaller received ${j.received}/$n")
+    j.close()
+    sender.close()
+    val files = new java.io.File(dir).listFiles()
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".journal.zsj")))
+    // a valid split container: footer index parses and covers every record
+    val f = files.head
+    val pth = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+    val hfs = pth.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = hfs.open(pth)
+    val frames =
+      try SplitJournal.readFooter(in, f.length()).get
+      finally in.close()
+    assert(frames.map(_.records.toLong).sum == n.toLong)
+    // receipt-time bounds stamped per frame at capture time
+    assert(frames.forall(fr => fr.minReceipt > 0 && fr.minReceipt <= fr.maxReceipt))
+    val rows = spark.read.format("lwes")
+      .schema("id long, SiteID int")
+      .option("eventName", "Cap::S").load(dir).collect()
+    assert(rows.length == n)
+    assert(rows.map(_.getLong(0)).toSet == (0 until n).map(_.toLong).toSet)
+    assert(rows.forall(_.getInt(1) == 3))
+  }
+
   test("datagrams are journaled with receipt headers and read back by the source") {
     val dir = Files.createTempDirectory("udp-journal").toString
     // tiny rotateBytes forces several rotations mid-capture

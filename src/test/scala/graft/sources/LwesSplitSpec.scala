@@ -195,6 +195,36 @@ class LwesSplitSpec extends AnyFunSuite {
     assert(df.select("id").distinct().count() == 2000L)
   }
 
+  test("the streaming sink lands split journals under epoch commit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dst = tmp()
+    val ckpt = tmp()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("id", "tag")
+      .writeStream.format("lwes").option("eventName", "Sk::E")
+      .option(LwesOptions.Compression, "split-zstd")
+      .option(LwesOptions.SplitFrameBytes, "4096")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start(dst)
+    try {
+      mem.addData((0L until 300L).map(i => (i, s"t-$i")): _*)
+      q.processAllAvailable()
+      mem.addData((300L until 500L).map(i => (i, s"t-$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val visible = new java.io.File(dst).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(visible.nonEmpty && visible.forall(_.getName.endsWith(".zsj")),
+      s"epoch files must be .zsj: ${visible.map(_.getName).toSeq}")
+    val rows = spark.read.format("lwes")
+      .schema("id long, tag string").option("eventName", "Sk::E").load(dst)
+      .collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getLong(0)).toSet == (0L until 500L).toSet)
+  }
+
   test("an empty split journal reads zero rows") {
     val dir = tmp()
     val path = new java.io.File(dir, "empty.zsj")
