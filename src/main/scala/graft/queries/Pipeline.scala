@@ -658,8 +658,14 @@ object Pipeline {
     // hyperplanes, exact-decimal k-means), so the boolean is stable.
     // All floors ≥ 0.50 with every measured recall ≥ 0.62
     // (lsh 0.62/0.69 across sf0.01/sf0.1; per-path numbers below).
-    "sim_lsh_recall" -> recallGate("sim_lsh_recall", 0.50,
-      (emb, q) => Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)),
+    // C7: multi-table LSH at 4 planes x 12 tables (measured recall@10
+    // 0.76/0.83 at sf0.01/sf0.1, tools/AnnTune; was 0.62/0.69 at the
+    // 8-table default). At 100 TB the plane count scales with the
+    // corpus (m ~ log2(n / target bucket occupancy)) so the occupancy
+    // cap never saturates; the table count buys recall back.
+    "sim_lsh_recall" -> recallGate("sim_lsh_recall", 0.60,
+      (emb, q) => Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
+        nPlanes = 4, nTables = 12)),
     // C7b: multi-probe IVF — nprobe=8 of 16 lists (measured recall@10
     // 0.80/0.78 at sf0.01/sf0.1, tools/AnnTune); the 0.50 floor keeps
     // >35% margin.
@@ -1240,7 +1246,7 @@ object Pipeline {
     "sim_lsh" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5)
+          k = 5, nPlanes = 4, nTables = 12)
         .orderBy(col("query_id"), col("rnk"))
     }),
 

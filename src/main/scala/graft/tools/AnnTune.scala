@@ -36,6 +36,10 @@ object AnnTune {
         Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10, nLists = 16,
           nprobe = 6, kmeansIters = it))
       recallOf("LSH 4x8", Similarity.lshTopK(emb, q, "vec_id", "embedding", 10))
+      recallOf("LSH 4x12", Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
+        nPlanes = 4, nTables = 12))
+      recallOf("LSH 3x12", Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
+        nPlanes = 3, nTables = 12))
       recallOf("PQ 32/32", Similarity.pqTopK(emb, q, "vec_id", "embedding", 10))
       recallOf("IVFPQ 16/8", Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10,
         nLists = 16, nprobe = 8))
