@@ -215,14 +215,22 @@ final class JournalWriter(raw: OutputStream) extends JournalRecordWriter {
 }
 
 object JournalWriter {
-  def create(path: String): JournalWriter = {
+  /** Open a journal writer for a local file, container by extension:
+    * `.zsj` selects the splittable [[SplitJournalWriter]] (the
+    * extension IS the split-container contract — a plain zstd stream
+    * under that name would silently never split), everything else the
+    * sequential [[JournalWriter]] with gzip/zstd by extension. */
+  def create(path: String): JournalRecordWriter = {
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     val fos = new java.io.FileOutputStream(f)
-    val os: OutputStream =
-      if (Journal.isGzip(path)) new GZIPOutputStream(fos, 1 << 16)
-      else if (Journal.isZstd(path)) new com.github.luben.zstd.ZstdOutputStream(fos)
-      else fos
-    new JournalWriter(os)
+    if (SplitJournal.isSplit(path)) new SplitJournalWriter(fos)
+    else {
+      val os: OutputStream =
+        if (Journal.isGzip(path)) new GZIPOutputStream(fos, 1 << 16)
+        else if (Journal.isZstd(path)) new com.github.luben.zstd.ZstdOutputStream(fos)
+        else fos
+      new JournalWriter(os)
+    }
   }
 }

@@ -155,12 +155,15 @@ final class SplitJournalWriter(raw: OutputStream,
   }
 
   private def flushFrame(): Unit = if (recs > 0) {
-    val compressed = Zstd.compress(
-      java.util.Arrays.copyOfRange(buf, 0, bufLen), SplitJournal.CompressionLevel)
-    out.write(compressed)
-    frames += SplitJournal.FrameMeta(offset, compressed.length, bufLen,
-      recs, minRt, maxRt)
-    offset += compressed.length
+    // offset/length one-shot API: compresses buf[0, bufLen) in place —
+    // no per-frame copy of up to frameRawBytes on the write hot path
+    val bound = Zstd.compressBound(bufLen.toLong).toInt
+    val dst = new Array[Byte](bound)
+    val n = Zstd.compressByteArray(dst, 0, bound, buf, 0, bufLen,
+      SplitJournal.CompressionLevel).toInt
+    out.write(dst, 0, n)
+    frames += SplitJournal.FrameMeta(offset, n, bufLen, recs, minRt, maxRt)
+    offset += n
     bufLen = 0; recs = 0; minRt = Long.MaxValue; maxRt = Long.MinValue
   }
 

@@ -45,12 +45,22 @@ object TextAnalysis {
     * the collected table is maxVocab rows regardless of corpus size,
     * and training cost is independent of document count. */
   def trainBpeMerges(df: DataFrame, textCol: String = "text",
-      numMerges: Int = 160, maxVocab: Int = 65536): IndexedSeq[(String, String)] = {
+      numMerges: Int = 160, maxVocab: Int = 65536,
+      requireUncapped: Boolean = false): IndexedSeq[(String, String)] = {
     val wf = df.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w")).limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // `requireUncapped`: callers whose CONTRACT assumes the trainer saw
+    // every distinct word (the gate whose oracle replays training over
+    // the full vocabulary) fail loudly when the cap may have truncated.
+    // Derived from the trainer's own collected vocab — no extra scan; a
+    // full collection of exactly maxVocab rows is indistinguishable
+    // from a truncated one, so it conservatively aborts too.
+    if (requireUncapped) require(wf.length < maxVocab,
+      s"trainBpeMerges: vocabulary reached the maxVocab=$maxVocab cap; " +
+        "a full-vocabulary replay would diverge")
     graft.functions.Bpe.train(wf, numMerges)
   }
 

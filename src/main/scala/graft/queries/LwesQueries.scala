@@ -82,28 +82,6 @@ object LwesQueries {
     if (rows > 0 && secs > 0) streamThroughput(tag) = (rows, secs)
   }
 
-  /** Every [[graft.sources.lwes.LwesScan]] in a physical plan,
-    * descending through AQE wrappers (adaptive root, query stages) and
-    * subqueries — needed because a DPP-filtered scan sits inside a
-    * QueryStageExec whose `children` is empty. */
-  private def lwesScansIn(plan: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[graft.sources.lwes.LwesScan] = {
-    val self = plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        lwesScansIn(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        lwesScansIn(q.plan)
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case s: graft.sources.lwes.LwesScan => Seq(s)
-          case _ => Nil
-        }
-      case _ => Nil
-    }
-    self ++ plan.children.flatMap(lwesScansIn) ++
-      plan.subqueries.flatMap(lwesScansIn)
-  }
-
   /** Planted-family corpus for the keep-best gates — base docs ×4 ids,
     * a copy for every 3rd, a "extra tail words" variant for every 5th —
     * written as 6 contiguous-id waves with strictly increasing mtimes
@@ -797,7 +775,8 @@ object LwesQueries {
             countDistinct(col("user_id")).as("n_users"))
           .orderBy(col("event_type"))
         val rows = joined.collect()
-        val pruned = lwesScansIn(joined.queryExecution.executedPlan)
+        val pruned = graft.sources.lwes.LwesScan
+          .scansIn(joined.queryExecution.executedPlan)
           .map(_.partitionPrunedFileCount)
         require(pruned.exists(_ > 0),
           s"dynamic partition pruning never reached the journal scan " +

@@ -110,18 +110,13 @@ object Pipeline {
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
         // The oracle replays training over ALL distinct words, while
-        // trainBpeMerges keeps the top-65536 by (f desc, w). The gate
-        // is only equivalent below the cap — assert that here so a
-        // future SF bump fails loudly instead of hash-diverging. (The
-        // (f desc, w) tie-break also assumes ASCII-ish tokens, where
-        // UTF-16 and UTF-8 orderings coincide.)
-        val nDistinct = docs
-          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-          .filter(length(col("w")) > 0).agg(countDistinct(col("w"))).head.getLong(0)
-        require(nDistinct < 65536L,
-          s"text_tokens_bpe_trained: $nDistinct distinct words reaches the " +
-            "trainer's maxVocab cap; oracle would diverge")
-        val merges = TextAnalysis.trainBpeMerges(docs)
+        // trainBpeMerges keeps the top-65536 by (f desc, w): the gate
+        // is only equivalent below the cap, so the trainer itself
+        // asserts its vocab stayed uncapped (derived from its own
+        // collection — no extra corpus scan in the timed gate body).
+        // The (f desc, w) tie-break also assumes ASCII-ish tokens,
+        // where UTF-16 and UTF-8 orderings coincide.
+        val merges = TextAnalysis.trainBpeMerges(docs, requireUncapped = true)
         TextAnalysis.tokenCounts(docs, bpeMerges = Some(merges))
           .select(col("doc_id"), col("n_bpe").as("n_bpe_trained"),
             md5(lit(merges.map { case (l, r) => s"$l $r" }.mkString("\n")))

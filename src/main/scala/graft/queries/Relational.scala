@@ -19,7 +19,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The NTZ branch below re-interprets naive timestamps as UTC; pin
     // the session tz HERE so the contract is enforced at the boundary
-    // rather than by every entrypoint remembering to set it.
+    // rather than by every entrypoint remembering to set it. This IS a
+    // session-level side effect (subsequent timestamp display/casts in
+    // the same session run UTC) — deliberate: every query pack and
+    // every oracle in this library defines ts arithmetic under UTC,
+    // and all shipped entrypoints already set it; a non-UTC caller's
+    // events-derived answers would be wrong either way.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = t(spark, dir, "events")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

@@ -781,11 +781,13 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // independent tasks, removing the reference's parallelism =
       // file-count ceiling (JournalInputFormat.java:58-60). Footers are
       // read only for oversized .zsj files, so small-file planning cost
-      // is unchanged. Frame runs are atomic units for the bin packer.
-      val totalBytes = fileSlices.map(_.length + openCost).sum
-      val defaultSplit = math.min(maxBytes,
-        math.max(openCost, totalBytes / math.max(parallelism, 1)))
+      // is unchanged. Frame runs are atomic units for the bin packer,
+      // which reuses the SAME maxSplit the expansion targeted (one
+      // formula, computed here) so the two stages cannot drift.
+      val defaultSplit = LwesScan.maxSplitBytes(
+        fileSlices.map(_.length), maxBytes, openCost, parallelism)
       val target = math.max(splitTargetBytes.getOrElse(defaultSplit), 1L)
+      prunedFrames = 0L // fresh count per (re-)plan: runtime filters replan
       val slices = fileSlices.flatMap { s =>
         if (graft.lwes.SplitJournal.isSplit(s.path) && s.length > target)
           expandSplit(s, target, conf)
@@ -889,6 +891,27 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
 }
 
 object LwesScan {
+  /** Every [[LwesScan]] in a physical plan, descending through AQE
+    * wrappers (adaptive root, query stages — whose `children` is
+    * empty) and subqueries. The one traversal shared by gates and
+    * specs that assert on a scan's post-execution state (e.g. the
+    * runtime-pruned file count under DPP). */
+  def scansIn(plan: org.apache.spark.sql.execution.SparkPlan): Seq[LwesScan] = {
+    val self = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case s: LwesScan => Seq(s)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    self ++ plan.children.flatMap(scansIn) ++ plan.subqueries.flatMap(scansIn)
+  }
+
   /** Bin-pack small files into shared tasks, Spark's own FilePartition
     * policy (maxSplitBytes = min(files.maxPartitionBytes,
     * max(openCostInBytes, totalBytes / defaultParallelism))): a
@@ -908,11 +931,20 @@ object LwesScan {
     * 10^3+ files/host. maxSplit stays GLOBAL (total bytes over total
     * cores), so a skewed host distribution cannot inflate per-task
     * work. */
+  /** Spark's own FileSourceScanExec maxSplitBytes policy — ONE
+    * definition, shared by the bin packer and the split-journal
+    * expansion target. */
+  private[lwes] def maxSplitBytes(lengths: Seq[Long], maxBytes: Long,
+      openCost: Long, parallelism: Int): Long = {
+    val totalBytes = lengths.map(_ + openCost).sum
+    math.min(maxBytes,
+      math.max(openCost, totalBytes / math.max(parallelism, 1)))
+  }
+
   private[lwes] def packPartitions(slices: Array[LwesInputPartition],
       maxBytes: Long, openCost: Long, parallelism: Int): Array[InputPartition] = {
-    val totalBytes = slices.map(_.length + openCost).sum
-    val maxSplit = math.min(maxBytes,
-      math.max(openCost, totalBytes / math.max(parallelism, 1)))
+    val maxSplit = maxSplitBytes(slices.toSeq.map(_.length), maxBytes,
+      openCost, parallelism)
     val bins = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     slices.groupBy(_.locations.headOption.getOrElse(""))
       .toSeq.sortBy(_._1).foreach { case (_, group) =>

@@ -64,23 +64,8 @@ class LwesSourceSpec extends AnyFunSuite {
       .orderBy("etype")
     val rows = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("alpha", 100L), ("omega", 100L)))
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[graft.sources.lwes.LwesScan] = {
-      val self = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scans(q.plan)
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan match {
-            case s: graft.sources.lwes.LwesScan => Seq(s)
-            case _ => Nil
-          }
-        case _ => Nil
-      }
-      self ++ p.children.flatMap(scans) ++ p.subqueries.flatMap(scans)
-    }
-    val pruned = scans(joined.queryExecution.executedPlan)
+    val pruned = graft.sources.lwes.LwesScan
+      .scansIn(joined.queryExecution.executedPlan)
       .map(_.partitionPrunedFileCount)
     // 3 of 5 partition files must be runtime-pruned (no static
     // partition predicate exists in the query, so the count is
