@@ -140,6 +140,21 @@ object LwesDataSource {
     case _ => Nil
   }
 
+  /** Hosts holding bytes of the RANGE [start, end) of a file, ranked
+    * by overlapping bytes — locality for split-journal frame runs,
+    * which usually live inside one HDFS block each. Empty when the
+    * filesystem reports no locations. */
+  def hostsForRange(f: FileStatus, start: Long, end: Long): Seq[String] =
+    f match {
+      case lf: org.apache.hadoop.fs.LocatedFileStatus =>
+        rankHosts(lf.getBlockLocations.iterator.flatMap { b =>
+          val o = math.max(start, b.getOffset)
+          val e = math.min(end, b.getOffset + b.getLength)
+          if (e > o) b.getHosts.iterator.map(_ -> (e - o)) else Iterator.empty
+        })
+      case _ => Nil
+    }
+
   /** Hosts ranked by total bytes held (desc, name tiebreak) — shared by
     * the single-file and bin-level preferred-location derivations. */
   private[lwes] def rankHosts(weighted: Iterator[(String, Long)]): Seq[String] = {
@@ -760,13 +775,14 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
         }
       prunedFiles = (listed.size - files.size).toLong
       val allSlices = files.iterator.map { f =>
-        LwesInputPartition(f.getPath.toString, f.getLen,
+        (f, LwesInputPartition(f.getPath.toString, f.getLen,
           LwesDataSource.partitionValues(f.getPath, roots),
-          LwesDataSource.hostsOf(f))
+          LwesDataSource.hostsOf(f)))
       }.toArray
-      val fileSlices = allSlices.filter(p =>
+      val fileSlices = allSlices.filter { case (_, p) =>
         (partitionFilters ++ runtimeFilters)
-          .forall(matches(p.partitionValues, _)))
+          .forall(matches(p.partitionValues, _))
+      }
       partitionPruned = (allSlices.length - fileSlices.length).toLong
       val (maxBytes, openCost, parallelism) =
         try {
@@ -785,12 +801,12 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // which reuses the SAME maxSplit the expansion targeted (one
       // formula, computed here) so the two stages cannot drift.
       val defaultSplit = LwesScan.maxSplitBytes(
-        fileSlices.map(_.length), maxBytes, openCost, parallelism)
+        fileSlices.map(_._2.length), maxBytes, openCost, parallelism)
       val target = math.max(splitTargetBytes.getOrElse(defaultSplit), 1L)
       prunedFrames = 0L // fresh count per (re-)plan: runtime filters replan
-      val slices = fileSlices.flatMap { s =>
+      val slices = fileSlices.flatMap { case (f, s) =>
         if (graft.lwes.SplitJournal.isSplit(s.path) && s.length > target)
-          expandSplit(s, target, conf)
+          expandSplit(f, s, target, conf)
         else Seq(s)
       }
       p = LwesScan.packPartitions(slices,
@@ -808,8 +824,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * compressed bytes (breaking on pruning gaps — a run must be one
     * seekable byte span). Any footer problem falls back to the unsplit
     * whole-file read, which is always correct. */
-  private def expandSplit(s: LwesInputPartition, target: Long,
-      conf: Configuration): Seq[LwesInputPartition] = {
+  private def expandSplit(f: FileStatus, s: LwesInputPartition,
+      target: Long, conf: Configuration): Seq[LwesInputPartition] = {
     try {
       val path = new Path(s.path)
       val fs = path.getFileSystem(conf)
@@ -841,7 +857,11 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           }
           if (runStart >= 0) runs += ((runStart, runEnd))
           runs.toSeq.map { case (start, end) =>
-            s.copy(length = end - start, range = Some((start, end)))
+            // range-accurate locality: rank hosts by the BYTES of each
+            // HDFS block overlapping this run, not the whole file — a
+            // 4 MB frame run usually lives in one block on one host
+            s.copy(length = end - start, range = Some((start, end)),
+              locations = LwesDataSource.hostsForRange(f, start, end))
           }
       }
     } catch {

@@ -43,6 +43,31 @@ class LwesLocalitySpec extends AnyFunSuite {
       new Path("/journals/j1.gz"))) == Nil)
   }
 
+  test("frame-run ranges rank hosts by overlapping block bytes") {
+    import org.apache.hadoop.fs.{BlockLocation, FileStatus, LocatedFileStatus, Path}
+    // 2-block file: block0 on A+B, block1 on B+C
+    val blocks = Array(
+      new BlockLocation(Array("hostA:9866", "hostB:9866"),
+        Array("hostA", "hostB"), 0L, 1000L),
+      new BlockLocation(Array("hostB:9866", "hostC:9866"),
+        Array("hostB", "hostC"), 1000L, 1000L))
+    val st = new LocatedFileStatus(new FileStatus(2000L, false, 2,
+      1000L, 0L, new Path("/journals/big.zsj")), blocks)
+    // a run fully inside block0 prefers its hosts only
+    assert(LwesDataSource.hostsForRange(st, 100L, 900L).toSet ==
+      Set("hostA", "hostB"))
+    // a run fully inside block1
+    assert(LwesDataSource.hostsForRange(st, 1100L, 1900L).toSet ==
+      Set("hostB", "hostC"))
+    // a straddling run ranks the host covering MORE of it first:
+    // [800, 1900) = 200 bytes of block0 + 900 of block1 → B(1100), C(900), A(200)
+    assert(LwesDataSource.hostsForRange(st, 800L, 1900L) ==
+      Seq("hostB", "hostC", "hostA"))
+    // an un-located status yields no preference
+    assert(LwesDataSource.hostsForRange(new FileStatus(1L, false, 1, 1L, 0L,
+      new Path("/j.zsj")), 0L, 1L) == Nil)
+  }
+
   test("local-FS reads stay behavior-neutral (no locations, same results)") {
     val dir = Files.createTempDirectory("lwes-loc").toString
     (0 until 3).foreach { f =>
