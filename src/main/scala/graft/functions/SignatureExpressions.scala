@@ -599,6 +599,115 @@ object SignatureExpressions {
       copy(left = l, right = r)
   }
 
+  /** Cosines of `v` against every centroid row, in [[CosineSim]]'s
+    * exact arithmetic (sequential accumulation, max(denom, 1e-12));
+    * `roundTo >= 0` applies Spark Round (HALF_UP via
+    * BigDecimal.valueOf) to each — the semanticDedup replay contract. */
+  private def cellSims(cents: Array[Array[Double]], roundTo: Int,
+      v: ArrayData): Array[Double] = {
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      val d = v.getDouble(i); x(i) = d; nv += d * d; i += 1
+    }
+    val normV = math.sqrt(nv)
+    val sims = new Array[Double](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0.0; var nc = 0.0; var t = 0
+      while (t < n) { dot += x(t) * c(t); nc += c(t) * c(t); t += 1 }
+      var sim = dot / math.max(normV * math.sqrt(nc), 1e-12)
+      if (roundTo >= 0)
+        sim = java.math.BigDecimal.valueOf(sim)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+      sims(j) = sim
+      j += 1
+    }
+    sims
+  }
+
+  def nearestCellEval(cents: Array[Array[Double]], roundTo: Int,
+      v: ArrayData): Long = {
+    val sims = cellSims(cents, roundTo, v)
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var j = 0
+    while (j < sims.length) {
+      if (sims(j) > bestS) { bestS = sims(j); best = j }
+      j += 1
+    }
+    (best + 1).toLong
+  }
+
+  def probeCellsEval(cents: Array[Array[Double]], nprobe: Int,
+      v: ArrayData): ArrayData = {
+    val sims = cellSims(cents, -1, v)
+    val k = sims.length
+    val taken = new Array[Boolean](k)
+    val out = new Array[Int](math.min(nprobe, k))
+    var r = 0
+    while (r < out.length) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        // (sim desc, cid asc): strict > keeps the smallest id on ties,
+        // matching the literal path's struct(-sim, cid) ascending sort
+        if (!taken(j) && (best < 0 ||
+            java.lang.Double.compare(sims(j), bestS) > 0)) {
+          bestS = sims(j); best = j
+        }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best + 1
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** `nearest_cell(array<double>)` → long: 1-based argmax-cosine cell
+    * id against an embedded centroid matrix — O(k·dim) in a tight
+    * loop. The LARGE-k assignment path: the unrolled k-cosine literal
+    * projection is faster to plan for small k but generates O(k)
+    * codegen, which collapses at the production SemDeDup/IVF cell
+    * counts (10^4-10^5). `roundTo` mirrors the literal path's
+    * per-cosine rounding when the caller's contract rounds. */
+  case class NearestCell(child: Expression, cents: Array[Array[Double]],
+      roundTo: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        nearestCellEval(cents, roundTo, input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cells", cents, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.nearestCellEval($ref, $roundTo, $c)")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCell =
+      copy(child = c)
+  }
+
+  /** `probe_cells(array<double>)` → array<int>: the `nprobe` nearest
+    * cell ids (1-based), similarity-desc with smallest-id tie-break —
+    * the large-k probe-list path. */
+  case class ProbeCells(child: Expression, cents: Array[Array[Double]],
+      nprobe: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      probeCellsEval(cents, nprobe, input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cells", cents, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.probeCellsEval($ref, $nprobe, $c)")
+    }
+    override protected def withNewChildInternal(c: Expression): ProbeCells =
+      copy(child = c)
+  }
+
   /** `bloom_any_contains(array<long>)` → boolean. The Bloom filter
     * rides the expression itself (serialized once with the task binary,
     * surfaced to generated code via `addReferenceObj`) — a broadcast-
@@ -665,6 +774,13 @@ object SignatureExpressions {
       m: Int, ks: Int): Column =
     bridge.toColumn(PqEncodeRes(bridge.toExpression(vec),
       bridge.toExpression(cent), cb, m, ks))
+
+  def nearest_cell(vec: Column, cents: Array[Array[Double]],
+      roundTo: Int = -1): Column =
+    bridge.toColumn(NearestCell(bridge.toExpression(vec), cents, roundTo))
+
+  def probe_cells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    bridge.toColumn(ProbeCells(bridge.toExpression(vec), cents, nprobe))
 
   def pq_adc_table_res(vec: Column, cent: Column, cb: Array[Double],
       m: Int, ks: Int): Column =

@@ -180,10 +180,22 @@ object Similarity {
     * would drop the whole projection out of whole-stage codegen. Ties
     * break to the smallest centroid_id (array_position returns the
     * first match). */
-  private def nearestCentroid(v: Column, cents: Seq[Seq[Double]]): Column = {
-    val sims = array(cents.map(cv => cosine(v, typedLit(cv))): _*)
-    array_position(sims, array_max(sims)).cast("long")
-  }
+  private def nearestCentroid(v: Column, cents: Seq[Seq[Double]]): Column =
+    if (cents.length <= UnrollCellLimit) {
+      val sims = array(cents.map(cv => cosine(v, typedLit(cv))): _*)
+      array_position(sims, array_max(sims)).cast("long")
+    } else
+      // large-k path: tight-loop argmax expression — the unrolled
+      // literal generates O(k) code and collapses at production cell
+      // counts (10^4-10^5 IVF lists / SemDeDup cells); identical
+      // arithmetic and tie-break, spec-pinned equal
+      graft.functions.SignatureExpressions.nearest_cell(v,
+        cents.map(_.toArray).toArray)
+
+  /** Above this cell count, centroid assignment/probing switches from
+    * the unrolled per-centroid literal projection (fastest to plan and
+    * fully inlined for small k) to the tight-loop expressions. */
+  private val UnrollCellLimit = 64
 
   /** Materialize a (centroid_id, v_cent) table to the driver in id
     * order — bounded: k rows of dim doubles, index metadata not data. */
@@ -197,12 +209,18 @@ object Similarity {
     * centroid literal (no crossJoin, no window), ready to explode to
     * (query, centroid) rows. 1-based ids to match [[nearestCentroid]]. */
   private def probeIdsCol(cents: Seq[Seq[Double]], nprobe: Int): Column =
-    slice(
-      array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
-        struct((-cosine(col("v_q"), typedLit(cv))).as("ns"),
-          lit(i + 1).as("cid"))
-      }: _*)),
-      1, nprobe)
+    if (cents.length <= UnrollCellLimit)
+      transform(
+        slice(
+          array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
+            struct((-cosine(col("v_q"), typedLit(cv))).as("ns"),
+              lit(i + 1).as("cid"))
+          }: _*)),
+          1, nprobe),
+        s => s.getField("cid"))
+    else
+      graft.functions.SignatureExpressions.probe_cells(col("v_q"),
+        cents.map(_.toArray).toArray, nprobe)
 
   /** Shared ADC scoring epilogue for the PQ family: drop self-pairs,
     * score by asymmetric distance (the round-to-6 cross-layout
@@ -359,7 +377,7 @@ object Similarity {
     val assigned = c.withColumn("centroid_id", nearestCentroid(col("v_c"), cents))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v_q"))
     val probes = q.withColumn("pr", explode(probeIdsCol(cents, nprobe)))
-      .select(col("query_id"), col("v_q"), col("pr.cid").cast("long").as("centroid_id"))
+      .select(col("query_id"), col("v_q"), col("pr").cast("long").as("centroid_id"))
     // bounded broadcast: nprobe rows per query (probe lists), so size
     // is |queries| x nprobe — query-proportional, never corpus-sized
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
@@ -449,10 +467,17 @@ object Similarity {
       maxBucket: Int = 100000): DataFrame = {
     require(cents.nonEmpty, "semanticDedupKMeans needs centroids")
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val sims = array(cents.map(cv =>
-      round(cosine(col("v"), typedLit(cv)), 4)): _*)
-    semanticDedupByCell(v, idCol,
-      array_position(sims, array_max(sims)).cast("long"), threshold, maxBucket)
+    val cell =
+      if (cents.length <= UnrollCellLimit) {
+        val sims = array(cents.map(cv =>
+          round(cosine(col("v"), typedLit(cv)), 4)): _*)
+        array_position(sims, array_max(sims)).cast("long")
+      } else
+        // production SemDeDup cell counts (~10^5): tight-loop argmax
+        // with the SAME round-4 HALF_UP per-cosine contract
+        graft.functions.SignatureExpressions.nearest_cell(col("v"),
+          cents.map(_.toArray).toArray, roundTo = 4)
+    semanticDedupByCell(v, idCol, cell, threshold, maxBucket)
   }
 
   /** Shared SemDeDup body: within-cell threshold edges (occupancy-
@@ -734,7 +759,7 @@ object Similarity {
             cb, m, ks).as("codes"))
       val probes = q
         .withColumn("pr", explode(probeIdsCol(cents, nprobe)))
-        .withColumn("centroid_id", col("pr.cid").cast("long"))
+        .withColumn("centroid_id", col("pr").cast("long"))
         .select(col("query_id"), col("centroid_id"),
           pq_adc_table_res(col("v_q"),
             element_at(centsLit, col("centroid_id").cast("int")),
@@ -755,7 +780,7 @@ object Similarity {
         .withColumn("tbl", pq_adc_table(col("v_q"), cb, m, ks))
         .withColumn("pr", explode(probeIdsCol(cents, nprobe)))
         .select(col("query_id"), col("tbl"),
-          col("pr.cid").cast("long").as("centroid_id"))
+          col("pr").cast("long").as("centroid_id"))
       // bounded broadcast: nprobe rows per query, each one ADC table —
       // |queries| x nprobe x (m x ks floats), query-proportional
       adcRank(enc.join(broadcast(probes), Seq("centroid_id")), ks, k,

@@ -316,6 +316,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(H264.decodeMp4(mp4Full).get.subpelMbs == 0)
   }
 
+  test("large-k cell expressions equal the unrolled literal path bit-for-bit") {
+    import graft.functions.SignatureExpressions._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val k = 20
+    val cents: Seq[Seq[Double]] =
+      (0 until k).map(_ => Seq.fill(dim)(rnd.nextGaussian()))
+    val centsArr = cents.map(_.toArray).toArray
+    val df = (0 until 300).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    def litArgmax(roundTo: Int) = {
+      val sims = array(cents.map { cv =>
+        val c = cosine_sim(col("v"), typedLit(cv))
+        if (roundTo >= 0) round(c, roundTo) else c
+      }: _*)
+      array_position(sims, array_max(sims)).cast("long")
+    }
+    // raw and rounded argmax agree row-for-row with the literal plan
+    for (rt <- Seq(-1, 4)) {
+      val cmp = df.select(col("id"), litArgmax(rt).as("lit"),
+          nearest_cell(col("v"), centsArr, rt).as("expr"))
+        .filter(col("lit") =!= col("expr")).count()
+      assert(cmp == 0L, s"argmax divergence at roundTo=$rt")
+    }
+    // probe lists: literal struct(-sim, cid) ascending sort vs the
+    // tight-loop selection — identical id sequences
+    val litProbes = transform(
+      slice(array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct((-cosine_sim(col("v"), typedLit(cv))).as("ns"),
+          lit(i + 1).as("cid"))
+      }: _*)), 1, 5),
+      s => s.getField("cid"))
+    val diff = df.select(col("id"), litProbes.as("lit"),
+        probe_cells(col("v"), centsArr, 5).as("expr"))
+      .filter(not(col("lit") === col("expr"))).count()
+    assert(diff == 0L, "probe-list divergence")
+  }
+
   test("connected components resolve transitive duplicate clusters (C16)") {
     // path 1-2-3-4 (diameter 3), disjoint pair 10-11, singleton edge 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
