@@ -741,6 +741,62 @@ object LwesQueries {
         |  max(epoch_ns(ts) // 1000000) AS last_ms
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // A22's FRAME-level time pruning promoted to the hard gate: one
+    // receipt-ordered split journal (records sorted before the write,
+    // so each zstd frame carries a tight disjoint ReceiptTime range),
+    // read under a pushed middle-half window with a small split
+    // target. The in-gate require checks frames were actually skipped
+    // from the footer bounds alone (the whole FILE overlaps the
+    // window, so file-level tag pruning cannot explain it), and the
+    // aggregate hash against the oracle's windowed replay proves the
+    // pruning was exact — sub-file pruning at the granularity parquet
+    // gets from row-group stats.
+    "lwes_frame_prune" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"fprune|$d") { dir =>
+          events(s, d)
+            .withColumn("ReceiptTime", expr("ts div 1000000"))
+            .select("event_id", "user_id", "value", "ReceiptTime")
+            .repartition(1).sortWithinPartitions(col("ReceiptTime"))
+            .write.format("lwes").option("eventName", "Fp::E")
+            .option(graft.sources.lwes.LwesOptions.Compression, "split-zstd")
+            .option(graft.sources.lwes.LwesOptions.SplitFrameBytes, "32768")
+            .mode("append").save(dir)
+        }
+        val b = events(s, d)
+          .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).head
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        val df = s.read.format("lwes")
+          .schema("event_id long, user_id long, value double, ReceiptTime long")
+          .option("eventName", "Fp::E")
+          .option(graft.sources.lwes.LwesOptions.SplitTargetBytes, "32768")
+          .load(dir)
+          .filter(col("ReceiptTime") >= lo && col("ReceiptTime") <= hi)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("ReceiptTime")).as("first_ms"),
+            max(col("ReceiptTime")).as("last_ms"))
+        val rows = df.collect()
+        val framesPruned = graft.sources.lwes.LwesScan
+          .scansIn(df.queryExecution.executedPlan)
+          .map(_.prunedFrameCount)
+        require(framesPruned.exists(_ > 0),
+          s"no split-journal frames pruned by the ReceiptTime window " +
+            s"(counts: $framesPruned)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """WITH b AS (SELECT min(epoch_ns(ts) // 1000000) AS mn,
+        |             max(epoch_ns(ts) // 1000000) AS mx FROM events)
+        |SELECT count(*) AS n, round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(epoch_ns(ts) // 1000000) AS first_ms,
+        |  max(epoch_ns(ts) // 1000000) AS last_ms
+        |FROM events, b
+        |WHERE epoch_ns(ts) // 1000000
+        |  BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin)),
+
     // A17's SupportsRuntimeFiltering promoted from spec-only to the
     // hard gate: a fact-dim broadcast join whose only partition
     // predicate lives on the DIM side (length(event_type)=5 over the
