@@ -138,10 +138,10 @@ object Bench {
     // BASELINE_BENCH.json exists (committed quiet-box per-query mins),
     // emit each query's current/baseline ratio plus the >1.5x movers —
     // so "within 2x of baseline" is a mechanical diff in the round
-    // artifact, not round-history archaeology. Sub-0.3s baseline keys
-    // are skipped in the mover lists (spread noise dominates there,
-    // the documented §6 signature). A missing/corrupt file simply
-    // omits the block.
+    // artifact, not round-history archaeology. Keys where BOTH current
+    // and baseline are sub-0.3s are skipped in the mover lists (spread
+    // noise dominates there, the documented §6 signature). A
+    // missing/corrupt file simply omits the block.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_BENCH.json")
     val vsBaselineJson: Option[String] = try {
       val fl = new java.io.File(baselinePath)
@@ -158,9 +158,13 @@ object Bench {
           val ratioJson = ratios.map { case (k, r, _) =>
             s"\"" + k + "\":" + f(r)
           }.mkString("{", ",", "}")
-          val slower = ratios.filter { case (_, r, b) => r > 1.5 && b >= 0.3 }
+          // Noise floor on max(cur, base), not base alone: a 0.12s
+          // baseline key that grows to 0.8s is exactly what the mover
+          // list exists to surface (r13 verdict: text_chunks 6.7x was
+          // hidden by the base-only floor).
+          val slower = ratios.filter { case (_, r, b) => r > 1.5 && math.max(r * b, b) >= 0.3 }
             .map(_._1)
-          val faster = ratios.filter { case (_, r, b) => r < 0.67 && b >= 0.3 }
+          val faster = ratios.filter { case (_, r, b) => r < 0.67 && math.max(r * b, b) >= 0.3 }
             .map(_._1)
           def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
           Some(s""""vs_baseline":{"ratios":$ratioJson,"slower_1_5x":${arr(slower)},"faster_1_5x":${arr(faster)}}""")

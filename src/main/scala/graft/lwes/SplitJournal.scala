@@ -126,6 +126,12 @@ final class SplitJournalWriter(raw: OutputStream,
     frameRawBytes: Int = 4 << 20) extends JournalRecordWriter {
   require(frameRawBytes >= Journal.HeaderLength,
     s"frameRawBytes=$frameRawBytes too small")
+  // Ceiling keeps every downstream Int size computation (initial buffer
+  // +64K slack, doubling growth, compressBound) overflow-free; a frame
+  // over 1 GiB raw would also defeat the container's whole point
+  // (bounded-memory splittable scan units).
+  require(frameRawBytes <= (1 << 30),
+    s"frameRawBytes=$frameRawBytes exceeds 1 GiB frame ceiling")
 
   private val out = new BufferedOutputStream(raw, 1 << 16)
   private val headerBuf = ByteBuffer.allocate(Journal.HeaderLength)
@@ -142,8 +148,13 @@ final class SplitJournalWriter(raw: OutputStream,
       ip: Array[Byte], port: Int, site: Int): Unit = {
     Journal.encodeHeader(headerBuf, len, time, ip, port, site)
     val need = bufLen + Journal.HeaderLength + len
-    if (need > buf.length)
-      buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+    if (need > buf.length) {
+      // Long-domain doubling so buf.length*2 can't wrap negative near
+      // Int.MaxValue (the 1 GiB frameRawBytes ceiling makes `need`
+      // itself safe: at most one record past the frame threshold).
+      val doubled = math.min((Int.MaxValue - 16).toLong, buf.length.toLong * 2)
+      buf = java.util.Arrays.copyOf(buf, math.max(need.toLong, doubled).toInt)
+    }
     System.arraycopy(headerBuf.array(), 0, buf, bufLen, Journal.HeaderLength)
     bufLen += Journal.HeaderLength
     System.arraycopy(payload, off, buf, bufLen, len)
@@ -153,6 +164,16 @@ final class SplitJournalWriter(raw: OutputStream,
     if (time > maxRt) maxRt = time
     if (bufLen >= frameRawBytes) flushFrame()
   }
+
+  /** Close the open frame (if any) and push its bytes through to the
+    * underlying stream. For capture daemons this bounds the crash-loss
+    * window by TIME, not just by `frameRawBytes`: a footerless torn
+    * file is still one valid multi-frame zstd stream, so every frame
+    * flushed here is salvageable by the unsplit read path even when
+    * the process dies before close() writes the footer index. Frequent
+    * calls trade compression ratio for durability — callers pick the
+    * cadence. */
+  def flushOpenFrame(): Unit = { flushFrame(); out.flush() }
 
   private def flushFrame(): Unit = if (recs > 0) {
     // offset/length one-shot API: compresses buf[0, bufLen) in place —

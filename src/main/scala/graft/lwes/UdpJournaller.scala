@@ -20,14 +20,21 @@ import java.net.{DatagramPacket, DatagramSocket, SocketTimeoutException}
   */
 final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
     rotateBytes: Long = 64L << 20, rotateMs: Long = 60000L,
-    compression: String = "gzip", multicastGroup: Option[String] = None)
+    compression: String = "gzip", multicastGroup: Option[String] = None,
+    frameFlushMs: Long = 1000L)
     extends AutoCloseable {
 
   private val ext = compression match {
     case "gzip" => "journal.gz"
     case "zstd" | "zst" => "journal.zst"
     // capture straight into the splittable container (A22): rotated
-    // files scan as many tasks without a compaction pass in between
+    // files scan as many tasks without a compaction pass in between.
+    // Tradeoff vs the stream codecs: records buffer in the open frame
+    // (up to the writer's frameRawBytes) before touching disk, so the
+    // capture loop force-flushes the open frame every `frameFlushMs`
+    // to keep the crash-loss window time-bounded — smaller frames cost
+    // some compression ratio but a dead daemon loses ≤ frameFlushMs of
+    // traffic instead of a whole 4 MiB frame.
     case "split-zstd" => s"journal.${SplitJournal.Extension}"
     case "none" => "journal"
     case other => throw new IllegalArgumentException(
@@ -59,6 +66,7 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
   private var curTmp: File = null
   private var curBytes = 0L
   private var curOpenedAt = 0L
+  private var lastFrameFlush = 0L
   @volatile private var receivedCount = 0L
   @volatile private var lastError: Option[Throwable] = None
 
@@ -84,6 +92,18 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
     }
     curBytes = 0L
     curOpenedAt = now
+    lastFrameFlush = now
+  }
+
+  /** Time-bound the split-zstd crash-loss window: the open frame holds
+    * received-but-unwritten datagrams, so force it to disk every
+    * `frameFlushMs` (no-op for the stream codecs, whose own buffers are
+    * ≤64 KiB and flushed by rotation). */
+  private def maybeFlushFrame(now: Long): Unit = cur match {
+    case w: SplitJournalWriter if now - lastFrameFlush >= frameFlushMs =>
+      w.flushOpenFrame()
+      lastFrameFlush = now
+    case _ =>
   }
 
   private def rotate(): Unit = if (cur != null) {
@@ -120,12 +140,14 @@ final class UdpJournaller(dir: String, port: Int = 0, siteId: Int = 0,
         curBytes += pkt.getLength + Journal.HeaderLength
         receivedCount += 1
         if (curBytes >= rotateBytes || now - curOpenedAt >= rotateMs) rotate()
+        else maybeFlushFrame(now)
       } catch {
         case _: SocketTimeoutException =>
           // no traffic: age-based rotation still has to fire, or a slow
           // trickle would pin events invisible in the hidden file
-          if (cur != null && System.currentTimeMillis() - curOpenedAt >= rotateMs)
-            rotate()
+          val now = System.currentTimeMillis()
+          if (cur != null && now - curOpenedAt >= rotateMs) rotate()
+          else maybeFlushFrame(now)
         case _: java.net.SocketException if !running => // closed by close()
         case scala.util.control.NonFatal(e) if running =>
           // disk-full IOException, a failed promote from rotate(), … —

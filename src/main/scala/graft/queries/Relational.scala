@@ -13,31 +13,35 @@ object Tables {
     * parquet layout. Old layouts store nanosecond INT64 (read verbatim via
     * `nanosAsLong`); current driver testdata stores `timestamp[us]`, which
     * arrives as TIMESTAMP/TIMESTAMP_NTZ and is normalized here to epoch
-    * nanos under the UTC session timezone. Every downstream `ts div N`
-    * site depends on this one boundary. */
+    * nanos, reinterpreting naive NTZ values as UTC via timezone-free
+    * field arithmetic (no session-timezone dependence or mutation).
+    * Every downstream `ts div N` site depends on this one boundary. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ branch below re-interprets naive timestamps as UTC; pin
-    // the session tz HERE so the contract is enforced at the boundary
-    // rather than by every entrypoint remembering to set it. This IS a
-    // session-level side effect (subsequent timestamp display/casts in
-    // the same session run UTC) — deliberate: every query pack and
-    // every oracle in this library defines ts arithmetic under UTC,
-    // and all shipped entrypoints already set it; a non-UTC caller's
-    // events-derived answers would be wrong either way.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = t(spark, dir, "events")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType => df
       case TimestampType =>
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case TimestampNTZType =>
-        // NTZ carries no instant; session tz is UTC in every entrypoint,
-        // so the cast re-interprets the naive value as UTC — matching
+        // NTZ carries no instant; reinterpret the naive value as UTC.
+        // Done with timezone-FREE field arithmetic (days-since-epoch +
+        // time-of-day micros, all extracted straight from the naive
+        // value) rather than a cast to TimestampType, so the result is
+        // identical under ANY caller session timezone and no session
+        // config needs mutating (a cast would silently follow
+        // spark.sql.session.timeZone at execution time). Matches
         // DuckDB's epoch_ns(ts) on the same naive timestamp.
-        df.withColumn("ts",
-          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        val dayMicros =
+          unix_date(col("ts").cast(DateType)).cast(LongType) * lit(86400000000L)
+        val todMicros =
+          hour(col("ts")).cast(LongType) * lit(3600000000L) +
+            minute(col("ts")).cast(LongType) * lit(60000000L) +
+            // extract(SECOND) is decimal(8,6) seconds incl. the micros
+            // fraction; ×1e6 in decimal is exact before the long cast
+            (expr("extract(SECOND FROM ts)") * lit(1000000)).cast(LongType)
+        df.withColumn("ts", (dayMicros + todMicros) * lit(1000L))
       case other =>
         throw new IllegalStateException(s"events.ts unsupported type: $other")
     }

@@ -804,6 +804,9 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
         fileSlices.map(_._2.length), maxBytes, openCost, parallelism)
       val target = math.max(splitTargetBytes.getOrElse(defaultSplit), 1L)
       prunedFrames = 0L // fresh count per (re-)plan: runtime filters replan
+      val oversized = fileSlices.filter { case (_, s) =>
+        graft.lwes.SplitJournal.isSplit(s.path) && s.length > target }
+      prefetchFooters(oversized, conf)
       val slices = fileSlices.flatMap { case (f, s) =>
         if (graft.lwes.SplitJournal.isSplit(s.path) && s.length > target)
           expandSplit(f, s, target, conf)
@@ -818,6 +821,61 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
 
   @volatile private var prunedFrames = 0L
 
+  /** Parsed `.zsj` footer indexes for this scan, keyed by
+    * (path, length, mtime) so an overwritten file re-reads. Runtime
+    * (DPP) filters REPLAN the scan, and without this every replan
+    * repeated every footer tail read serially on the driver — at
+    * journal-directory scale (10^4+ files) that is thousands of
+    * round-trips per replan. `None` = unreadable/failed footer (the
+    * unsplit fallback is always correct, so a transient read error is
+    * safe to pin for the scan's lifetime). */
+  private val footerCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Option[Vector[graft.lwes.SplitJournal.FrameMeta]]]()
+
+  private def footerKey(f: FileStatus, s: LwesInputPartition) =
+    (s.path, s.length, f.getModificationTime)
+
+  private def readFooterOf(s: LwesInputPartition, conf: Configuration)
+      : Option[Vector[graft.lwes.SplitJournal.FrameMeta]] =
+    try {
+      val path = new Path(s.path)
+      val in = path.getFileSystem(conf).open(path)
+      try graft.lwes.SplitJournal.readFooter(in, s.length)
+      finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"failed to read split-journal footer of ${s.path} " +
+          s"(${e.getMessage}); will read it unsplit")
+        None
+    }
+
+  /** Fill the footer cache for every oversized `.zsj` in the plan with
+    * a bounded driver-side thread pool: object-store tail reads are
+    * latency-bound, so 16-way overlap turns thousands of serial
+    * round-trips into a short parallel wave. Cache hits (DPP replans,
+    * unchanged files) skip IO entirely. */
+  private def prefetchFooters(targets: Seq[(FileStatus, LwesInputPartition)],
+      conf: Configuration): Unit = {
+    val missing = targets.filter { case (f, s) =>
+      !footerCache.containsKey(footerKey(f, s)) }
+    if (missing.isEmpty) return
+    if (missing.size == 1) {
+      val (f, s) = missing.head
+      footerCache.put(footerKey(f, s), readFooterOf(s, conf))
+      return
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, missing.size))
+    try {
+      missing.map { case (f, s) =>
+        pool.submit(new java.lang.Runnable {
+          override def run(): Unit =
+            footerCache.put(footerKey(f, s), readFooterOf(s, conf))
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
   /** Frame runs for one oversized split journal: read the footer index,
     * drop frames whose EXACT ReceiptTime bounds miss the pushed window,
     * and group the survivors into contiguous runs of ≤ `target`
@@ -827,12 +885,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
   private def expandSplit(f: FileStatus, s: LwesInputPartition,
       target: Long, conf: Configuration): Seq[LwesInputPartition] = {
     try {
-      val path = new Path(s.path)
-      val fs = path.getFileSystem(conf)
-      val in = fs.open(path)
-      val footer =
-        try graft.lwes.SplitJournal.readFooter(in, s.length)
-        finally in.close()
+      val footer = footerCache.computeIfAbsent(footerKey(f, s),
+        _ => readFooterOf(s, conf)) // prefetch miss (new file mid-scan)
       footer match {
         case None =>
           logWarning(s"split journal ${s.path} has no readable footer " +

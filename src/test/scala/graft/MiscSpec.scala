@@ -506,6 +506,16 @@ class MiscSpec extends AnyFunSuite {
     val h1 = hourly(d1)
     assert(h1.map(_._1) == expect.map(_._1) && h1.map(_._2) == nanos.sorted,
       "nano-INT64 layout preserves full nanos")
+    // r13 ADVICE: events() must not mutate the session timezone, and the
+    // NTZ-as-UTC reinterpretation must be timezone-FREE — identical
+    // answers when the caller's session runs a non-UTC zone.
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      assert(hourly(d3) == expect, "TIMESTAMP_NTZ layout under non-UTC session tz")
+      assert(hourly(d2) == expect, "TIMESTAMP layout under non-UTC session tz")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York",
+        "Tables.events must not mutate spark.sql.session.timeZone")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("bz2-compressed journals read via Hadoop codec detection") {

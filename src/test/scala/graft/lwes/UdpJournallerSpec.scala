@@ -134,6 +134,44 @@ class UdpJournallerSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(1) == 3))
   }
 
+  test("split-zstd capture flushes the open frame on the frameFlushMs timer") {
+    // r13 ADVICE: with split-zstd the open frame used to hold up to
+    // frameRawBytes (4 MiB) in memory — a crash lost it all. The loop
+    // now force-flushes every frameFlushMs, so received bytes reach the
+    // (hidden, in-flight) file within the flush window even with no
+    // rotation and no further traffic.
+    val dir = Files.createTempDirectory("udp-flush").toString
+    val j = new UdpJournaller(dir, port = 0, siteId = 4,
+      rotateBytes = 64L << 20, rotateMs = 600000L, // rotation never fires
+      compression = "split-zstd", frameFlushMs = 200L).start()
+    val sender = new DatagramSocket()
+    val target = InetAddress.getLoopbackAddress
+    val n = 30
+    (0 until n).foreach { i =>
+      val payload = LwesCodec.serialize(
+        LwesEvent("Cap::F").setInt64("id", i.toLong))
+      sender.send(new DatagramPacket(payload, payload.length, target, j.boundPort))
+    }
+    sender.close()
+    val deadline = System.currentTimeMillis() + 5000
+    while (j.received < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(j.received == n, s"journaller received ${j.received}/$n")
+    def tmpLen: Long = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(".capture-")).map(_.length()).sum
+    // the timer fires on the 200ms SoTimeout tick; give it a few ticks
+    val flushDeadline = System.currentTimeMillis() + 3000
+    while (tmpLen == 0 && System.currentTimeMillis() < flushDeadline)
+      Thread.sleep(50)
+    assert(tmpLen > 0,
+      "open frame must reach disk within the flush window without rotation")
+    j.close()
+    // and the flush cadence must not corrupt the container
+    val df = spark.read.format("lwes").schema("id long")
+      .option("eventName", "Cap::F").load(dir)
+    assert(df.count() == n)
+  }
+
   test("datagrams are journaled with receipt headers and read back by the source") {
     val dir = Files.createTempDirectory("udp-journal").toString
     // tiny rotateBytes forces several rotations mid-capture

@@ -225,6 +225,43 @@ class LwesSplitSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == (0L until 500L).toSet)
   }
 
+  test("flushOpenFrame makes pre-crash records salvageable (r13 ADVICE)") {
+    // Capture daemons buffer the open frame in memory; flushOpenFrame
+    // pushes it to disk as a closed zstd frame. Simulate a crash by
+    // never calling close() (no footer): the flushed records must still
+    // read back through the unsplit sequential fallback.
+    val dir = tmp()
+    val f = new java.io.File(dir, "j.journal.zsj")
+    val fos = new java.io.FileOutputStream(f)
+    // frame threshold far above what we write: nothing auto-flushes
+    val w = new SplitJournalWriter(fos, frameRawBytes = 8 << 20)
+    (0 until 25).foreach { i =>
+      w.write(graft.lwes.LwesEvent("Sp::E").setInt64("id", i.toLong)
+        .setInt64(graft.lwes.LwesEvent.ReceiptTime, T0 + i))
+    }
+    w.flushOpenFrame()
+    fos.getFD.sync()
+    assert(f.length() > 0, "flushed frame must reach the file")
+    // writer intentionally abandoned (crash): no close(), no footer
+    val df = spark.read.format("lwes").schema("id long")
+      .option("eventName", "Sp::E").load(dir)
+    assert(df.count() == 25, "flushed pre-crash records must be readable")
+  }
+
+  test("frameRawBytes beyond the 1 GiB ceiling fails loudly (r13 ADVICE)") {
+    // near-Int.MaxValue frame sizes used to overflow the buffer-size
+    // arithmetic into NegativeArraySizeException at WRITE time; now the
+    // constructor rejects them with a named contract.
+    val e = intercept[IllegalArgumentException] {
+      new SplitJournalWriter(new java.io.ByteArrayOutputStream(),
+        frameRawBytes = Int.MaxValue - 10)
+    }
+    assert(e.getMessage.contains("ceiling"))
+    // the ceiling itself is accepted
+    new SplitJournalWriter(new java.io.ByteArrayOutputStream(),
+      frameRawBytes = 1 << 30).close()
+  }
+
   test("an empty split journal reads zero rows") {
     val dir = tmp()
     val path = new java.io.File(dir, "empty.zsj")
