@@ -38,14 +38,27 @@ object LwesCodec {
     n
   }
 
-  private def valueSize(a: LwesAttr): Int = a.token match {
+  private[graft] def scalarFixedSize(token: Byte): Int = token match {
     case LwesType.UInt16 | LwesType.Int16 => 2
-    case LwesType.UInt32 | LwesType.Int32 => 4
-    case LwesType.Int64 | LwesType.UInt64 => 8
-    case LwesType.Bool => 1
+    case LwesType.UInt32 | LwesType.Int32 | LwesType.Float => 4
+    case LwesType.Int64 | LwesType.UInt64 | LwesType.Double => 8
+    case LwesType.Bool | LwesType.ByteT => 1
     case LwesType.IpAddr => 4
+    case _ => -1 // variable (string) or unknown
+  }
+
+  private def valueSize(a: LwesAttr): Int = a.token match {
     case LwesType.Str => 2 + a.value.asInstanceOf[String].getBytes(UTF_8).length
-    case t => throw new IllegalArgumentException(s"bad token $t")
+    case LwesType.StrArray =>
+      2 + a.value.asInstanceOf[Array[String]]
+        .map(s => 2 + s.getBytes(UTF_8).length).sum
+    case t if LwesType.isArray(t) =>
+      val n = java.lang.reflect.Array.getLength(a.value)
+      2 + n * scalarFixedSize(LwesType.elementOf(t))
+    case t =>
+      val n = scalarFixedSize(t)
+      if (n < 0) throw new IllegalArgumentException(s"bad token $t")
+      n
   }
 
   def serialize(ev: LwesEvent): Array[Byte] = {
@@ -60,26 +73,44 @@ object LwesCodec {
       val keyB = a.key.getBytes(UTF_8)
       require(keyB.length <= 255, s"attr key too long: ${a.key}")
       buf.put(keyB.length.toByte).put(keyB).put(a.token)
-      a.token match {
-        case LwesType.UInt16 => buf.putShort(a.value.asInstanceOf[Int].toShort)
-        case LwesType.Int16 => buf.putShort(a.value.asInstanceOf[Short])
-        case LwesType.UInt32 => buf.putInt(a.value.asInstanceOf[Long].toInt)
-        case LwesType.Int32 => buf.putInt(a.value.asInstanceOf[Int])
-        case LwesType.Int64 | LwesType.UInt64 => buf.putLong(a.value.asInstanceOf[Long])
-        case LwesType.Bool => buf.put(if (a.value.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
-        case LwesType.IpAddr =>
-          val ip = a.value.asInstanceOf[Array[Byte]]
-          // reversed byte order on the wire
-          buf.put(ip(3)).put(ip(2)).put(ip(1)).put(ip(0))
-        case LwesType.Str =>
-          val s = a.value.asInstanceOf[String].getBytes(UTF_8)
-          require(s.length <= 65535, "string attr too long")
-          buf.putShort(s.length.toShort).put(s)
-      }
+      writeValue(buf, a.token, a.value)
       i += 1
     }
     buf.array()
   }
+
+  private def writeValue(buf: ByteBuffer, token: Byte, value: Any): Unit =
+    token match {
+      case LwesType.UInt16 => buf.putShort(value.asInstanceOf[Int].toShort)
+      case LwesType.Int16 => buf.putShort(value.asInstanceOf[Short])
+      case LwesType.UInt32 => buf.putInt(value.asInstanceOf[Long].toInt)
+      case LwesType.Int32 => buf.putInt(value.asInstanceOf[Int])
+      case LwesType.Int64 | LwesType.UInt64 => buf.putLong(value.asInstanceOf[Long])
+      case LwesType.Bool => buf.put(if (value.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+      case LwesType.ByteT => buf.put(value.asInstanceOf[Byte])
+      case LwesType.Float => buf.putFloat(value.asInstanceOf[Float])
+      case LwesType.Double => buf.putDouble(value.asInstanceOf[Double])
+      case LwesType.IpAddr =>
+        val ip = value.asInstanceOf[Array[Byte]]
+        // reversed byte order on the wire
+        buf.put(ip(3)).put(ip(2)).put(ip(1)).put(ip(0))
+      case LwesType.Str =>
+        val s = value.asInstanceOf[String].getBytes(UTF_8)
+        require(s.length <= 65535, "string attr too long")
+        buf.putShort(s.length.toShort).put(s)
+      // arrays: uint16 element count, then elements in scalar encodings
+      case t if LwesType.isArray(t) =>
+        val et = LwesType.elementOf(t)
+        val n = java.lang.reflect.Array.getLength(value)
+        require(n <= 65535, "array attr too long")
+        buf.putShort(n.toShort)
+        var j = 0
+        while (j < n) {
+          writeValue(buf, et, java.lang.reflect.Array.get(value, j))
+          j += 1
+        }
+      case t => throw new IllegalArgumentException(s"bad token $t")
+    }
 
   // ----------------------------------------------------------------- read
 
@@ -110,25 +141,7 @@ object LwesCodec {
       val key = new String(keyB, UTF_8)
       val token = buf.get()
       if (wanted == null || wanted(key)) {
-        val value: Any = token match {
-          case LwesType.UInt16 => buf.getShort() & 0xffff
-          case LwesType.Int16 => buf.getShort()
-          case LwesType.UInt32 => buf.getInt().toLong & 0xffffffffL
-          case LwesType.Int32 => buf.getInt()
-          case LwesType.Int64 | LwesType.UInt64 => buf.getLong()
-          case LwesType.Bool => buf.get() != 0
-          case LwesType.IpAddr =>
-            val d = buf.get(); val c = buf.get(); val b = buf.get(); val a = buf.get()
-            Array(a, b, c, d) // un-reverse to network order
-          case LwesType.Str =>
-            val len = buf.getShort() & 0xffff
-            val sb = new Array[Byte](len)
-            buf.get(sb)
-            new String(sb, UTF_8)
-          case t => throw new IllegalArgumentException(
-            s"unknown LWES type token 0x${"%02x".format(t)} for key $key")
-        }
-        ev.attrs += LwesAttr(key, token, value)
+        ev.attrs += LwesAttr(key, token, readValue(buf, token, key))
       } else {
         skipValue(buf, token, key)
       }
@@ -137,16 +150,76 @@ object LwesCodec {
     ev
   }
 
-  private def skipValue(buf: ByteBuffer, token: Byte, key: String): Unit = {
-    val n = token match {
-      case LwesType.UInt16 | LwesType.Int16 => 2
-      case LwesType.UInt32 | LwesType.Int32 => 4
-      case LwesType.Int64 | LwesType.UInt64 => 8
-      case LwesType.Bool => 1
-      case LwesType.IpAddr => 4
-      case LwesType.Str => buf.getShort() & 0xffff
+  /** Decode one value of `token` from `buf` (shared with the columnar
+    * reader's modern-token slow path so the two cannot drift). */
+  private[graft] def readValue(buf: ByteBuffer, token: Byte, key: String): Any =
+    token match {
+      case LwesType.UInt16 => buf.getShort() & 0xffff
+      case LwesType.Int16 => buf.getShort()
+      case LwesType.UInt32 => buf.getInt().toLong & 0xffffffffL
+      case LwesType.Int32 => buf.getInt()
+      case LwesType.Int64 | LwesType.UInt64 => buf.getLong()
+      case LwesType.Bool => buf.get() != 0
+      case LwesType.ByteT => buf.get()
+      case LwesType.Float => buf.getFloat()
+      case LwesType.Double => buf.getDouble()
+      case LwesType.IpAddr =>
+        val d = buf.get(); val c = buf.get(); val b = buf.get(); val a = buf.get()
+        Array(a, b, c, d) // un-reverse to network order
+      case LwesType.Str =>
+        val len = buf.getShort() & 0xffff
+        val sb = new Array[Byte](len)
+        buf.get(sb)
+        new String(sb, UTF_8)
+      // arrays land as the primitive array types LwesEvent's setters
+      // take, so serialize(deserialize(x)) is byte-stable
+      case LwesType.UInt16Array => fillArray(buf, new Array[Int](arrLen(buf)))(_ => buf.getShort() & 0xffff)
+      case LwesType.Int16Array => fillArray(buf, new Array[Short](arrLen(buf)))(_ => buf.getShort())
+      case LwesType.UInt32Array => fillArray(buf, new Array[Long](arrLen(buf)))(_ => buf.getInt().toLong & 0xffffffffL)
+      case LwesType.Int32Array => fillArray(buf, new Array[Int](arrLen(buf)))(_ => buf.getInt())
+      case LwesType.Int64Array | LwesType.UInt64Array => fillArray(buf, new Array[Long](arrLen(buf)))(_ => buf.getLong())
+      case LwesType.BoolArray => fillArray(buf, new Array[Boolean](arrLen(buf)))(_ => buf.get() != 0)
+      case LwesType.ByteArray => fillArray(buf, new Array[Byte](arrLen(buf)))(_ => buf.get())
+      case LwesType.FloatArray => fillArray(buf, new Array[Float](arrLen(buf)))(_ => buf.getFloat())
+      case LwesType.DoubleArray => fillArray(buf, new Array[Double](arrLen(buf)))(_ => buf.getDouble())
+      case LwesType.StrArray =>
+        fillArray(buf, new Array[String](arrLen(buf)))(_ =>
+          readValue(buf, LwesType.Str, key).asInstanceOf[String])
+      case LwesType.IpAddrArray =>
+        fillArray(buf, new Array[Array[Byte]](arrLen(buf)))(_ =>
+          readValue(buf, LwesType.IpAddr, key).asInstanceOf[Array[Byte]])
       case t => throw new IllegalArgumentException(
         s"unknown LWES type token 0x${"%02x".format(t)} for key $key")
+    }
+
+  @inline private def arrLen(buf: ByteBuffer): Int = buf.getShort() & 0xffff
+
+  @inline private def fillArray[A](buf: ByteBuffer, arr: Array[A])(read: Int => A): Array[A] = {
+    var i = 0
+    while (i < arr.length) { arr(i) = read(i); i += 1 }
+    arr
+  }
+
+  private def skipValue(buf: ByteBuffer, token: Byte, key: String): Unit = {
+    val n = token match {
+      case LwesType.Str => buf.getShort() & 0xffff
+      case LwesType.StrArray =>
+        val count = buf.getShort() & 0xffff
+        var total = 0
+        var j = 0
+        while (j < count) {
+          val l = buf.getShort() & 0xffff
+          buf.position(buf.position() + l)
+          j += 1
+        }
+        total
+      case t if LwesType.isArray(t) =>
+        (buf.getShort() & 0xffff) * scalarFixedSize(LwesType.elementOf(t))
+      case t =>
+        val sz = scalarFixedSize(t)
+        if (sz < 0) throw new IllegalArgumentException(
+          s"unknown LWES type token 0x${"%02x".format(t)} for key $key")
+        sz
     }
     buf.position(buf.position() + n)
   }

@@ -20,11 +20,46 @@ object LwesType {
   val Int64: Byte = 0x07
   val UInt64: Byte = 0x08
   val Bool: Byte = 0x09
+  // Modern lwes scalar tokens (public lwes-java TypeID; the reference
+  // SerDe predates them — EventSerDe.java:240-301 handles only the 9
+  // classic tokens above, so emitters using these are unreadable there).
+  val ByteT: Byte = 0x0a
+  val Float: Byte = 0x0b
+  val Double: Byte = 0x0c
+  // Modern lwes array tokens: element token | 0x80. Wire layout is a
+  // uint16 element count followed by the elements in their scalar
+  // encodings (strings uint16-length-prefixed, ipaddr 4B reversed).
+  // Nullable-array tokens (0x8d+) are a CHECKED boundary: they surface
+  // as unknown-token record corruption, never as silent misreads.
+  val ArrayBit: Byte = 0x80.toByte
+  val UInt16Array: Byte = (UInt16 | 0x80).toByte
+  val Int16Array: Byte = (Int16 | 0x80).toByte
+  val UInt32Array: Byte = (UInt32 | 0x80).toByte
+  val Int32Array: Byte = (Int32 | 0x80).toByte
+  val StrArray: Byte = (Str | 0x80).toByte
+  val IpAddrArray: Byte = (IpAddr | 0x80).toByte
+  val Int64Array: Byte = (Int64 | 0x80).toByte
+  val UInt64Array: Byte = (UInt64 | 0x80).toByte
+  val BoolArray: Byte = (Bool | 0x80).toByte
+  val ByteArray: Byte = (ByteT | 0x80).toByte
+  val FloatArray: Byte = (Float | 0x80).toByte
+  val DoubleArray: Byte = (Double | 0x80).toByte
+
+  /** The highest scalar token an array token may wrap (0x0c = double). */
+  private val MaxElement: Byte = Double
+
+  def isArray(token: Byte): Boolean =
+    (token & 0x80) != 0 && (token & 0x7f) >= UInt16 && (token & 0x7f) <= MaxElement
+
+  /** Element token of an array token (caller checks isArray). */
+  def elementOf(token: Byte): Byte = (token & 0x7f).toByte
 
   def name(token: Byte): String = token match {
     case UInt16 => "uint16"; case Int16 => "int16"; case UInt32 => "uint32"
     case Int32 => "int32"; case Str => "string"; case IpAddr => "ipaddr"
     case Int64 => "int64"; case UInt64 => "uint64"; case Bool => "boolean"
+    case ByteT => "byte"; case Float => "float"; case Double => "double"
+    case t if isArray(t) => name(elementOf(t)) + "[]"
     case t => s"unknown(0x${"%02x".format(t)})"
   }
 }
@@ -78,6 +113,24 @@ final class LwesEvent(var name: String) {
   def setInt64(key: String, v: Long): LwesEvent = set(key, LwesType.Int64, v)
   def setUInt64(key: String, v: Long): LwesEvent = set(key, LwesType.UInt64, v)
   def setBool(key: String, v: Boolean): LwesEvent = set(key, LwesType.Bool, v)
+  def setByte(key: String, v: Byte): LwesEvent = set(key, LwesType.ByteT, v)
+  def setFloat(key: String, v: Float): LwesEvent = set(key, LwesType.Float, v)
+  def setDouble(key: String, v: Double): LwesEvent = set(key, LwesType.Double, v)
+  def setInt16Array(key: String, v: Array[Short]): LwesEvent = set(key, LwesType.Int16Array, v)
+  def setUInt16Array(key: String, v: Array[Int]): LwesEvent = set(key, LwesType.UInt16Array, v)
+  def setInt32Array(key: String, v: Array[Int]): LwesEvent = set(key, LwesType.Int32Array, v)
+  def setUInt32Array(key: String, v: Array[Long]): LwesEvent = set(key, LwesType.UInt32Array, v)
+  def setInt64Array(key: String, v: Array[Long]): LwesEvent = set(key, LwesType.Int64Array, v)
+  def setUInt64Array(key: String, v: Array[Long]): LwesEvent = set(key, LwesType.UInt64Array, v)
+  def setStringArray(key: String, v: Array[String]): LwesEvent = set(key, LwesType.StrArray, v)
+  def setBoolArray(key: String, v: Array[Boolean]): LwesEvent = set(key, LwesType.BoolArray, v)
+  def setByteArray(key: String, v: Array[Byte]): LwesEvent = set(key, LwesType.ByteArray, v)
+  def setFloatArray(key: String, v: Array[Float]): LwesEvent = set(key, LwesType.FloatArray, v)
+  def setDoubleArray(key: String, v: Array[Double]): LwesEvent = set(key, LwesType.DoubleArray, v)
+  def setIpAddrArray(key: String, v: Array[Array[Byte]]): LwesEvent = {
+    v.foreach(ip => require(ip.length == 4, "IPv4 only"))
+    set(key, LwesType.IpAddrArray, v)
+  }
 
   override def toString: String =
     s"$name{${attrs.map(a => s"${a.key}=${a.value}").mkString(", ")}}"

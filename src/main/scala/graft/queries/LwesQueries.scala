@@ -607,6 +607,49 @@ object LwesQueries {
         |  round(avg(p_retailprice), 4) AS avg_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // Modern lwes ARRAY-typed attributes (lwes-java array tokens,
+    // element|0x80): beyond the reference's surface entirely — its
+    // SerDe decodes only the 9 classic scalars (EventSerDe.java:
+    // 240-301), so journals from modern emitters are unreadable there.
+    // Arrays are constructed deterministically from `orders` scalars,
+    // ride the wire as real array tokens inside a split-zstd journal,
+    // and come back through the row reader (array schemas bypass the
+    // vectorized path by design); the oracle replays the same
+    // arithmetic scalar-wise on the source parquet, so a mis-encoded
+    // count, element value, or element ORDER hash-mismatches.
+    "lwes_array_types" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"arrt|$d") { dir =>
+          t(s, d, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"),
+            array(col("o_orderkey") % 7, col("o_orderkey") % 11,
+              col("o_orderkey") % 13).as("nums"),
+            split(col("o_orderpriority"), "-").as("tags"),
+            array(col("o_totalprice"), col("o_totalprice") * 2).as("vals"))
+            .write.format("lwes").option("eventName", "Arr::O")
+            .option("compression", "split-zstd").mode("append").save(dir)
+        }
+        s.read.format("lwes")
+          .schema("o_orderkey long, o_orderstatus string, " +
+            "nums array<bigint>, tags array<string>, vals array<double>")
+          .option("eventName", "Arr::O").load(dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("aggregate(nums, 0L, (a, x) -> a + x)")).as("sum_nums"),
+            sum(size(col("tags"))).as("n_tags"),
+            round(sum(expr("aggregate(vals, CAST(0 AS DOUBLE), (a, x) -> a + x)")), 2)
+              .as("sum_vals"),
+            max(expr("element_at(tags, 1)")).as("first_tag"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey % 7 + o_orderkey % 11 + o_orderkey % 13) AS BIGINT)
+        |    AS sum_nums,
+        |  CAST(sum(len(string_split(o_orderpriority, '-'))) AS BIGINT) AS n_tags,
+        |  round(sum(o_totalprice * 3), 2) AS sum_vals,
+        |  max(string_split(o_orderpriority, '-')[1]) AS first_tag
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // The reference's actual user interface is SQL DDL (README:49
     // `CREATE EXTERNAL TABLE ... ROW FORMAT SERDE
     // 'org.lwes.hadoop.hive.EventSerDe'`); Spark parity is

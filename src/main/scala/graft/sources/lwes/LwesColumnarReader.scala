@@ -160,6 +160,41 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
   private def parseLong(b: Array[Byte], off: Int, len: Int): Option[Long] =
     new String(b, strOff(off), strLen(len), UTF_8).toLongOption
 
+  /** Modern lwes tokens (float/double scalars, array tokens) carry
+    * values the long-decoding fast paths can't represent; route them
+    * through the ROW PATH's own decode + conversion
+    * ([[graft.lwes.LwesCodec.readValue]] → [[LwesOptions.toCatalyst]])
+    * so parity holds by construction. These tokens never appear in
+    * classic journals, so the fast paths stay allocation-free. */
+  @inline private def needsSlow(t: Byte): Boolean =
+    t == LwesType.Float || t == LwesType.Double || LwesType.isArray(t)
+
+  private def putModern(vec: OnHeapColumnVector, r: Int, t: Byte,
+      b: Array[Byte], off: Int, len: Int,
+      dt: org.apache.spark.sql.types.DataType): Unit = {
+    val v =
+      try graft.lwes.LwesCodec.readValue(java.nio.ByteBuffer.wrap(b, off, len), t, "")
+      catch { case scala.util.control.NonFatal(_) => null }
+    val cat =
+      if (v == null) null
+      else LwesOptions.toCatalyst(graft.lwes.LwesAttr("", t, v), dt)
+    cat match {
+      case null => vec.putNull(r)
+      case x: java.lang.Boolean => vec.putBoolean(r, x)
+      case x: java.lang.Short => vec.putShort(r, x)
+      case x: java.lang.Integer => vec.putInt(r, x)
+      case x: java.lang.Long => vec.putLong(r, x)
+      case x: java.lang.Float => vec.putFloat(r, x)
+      case x: java.lang.Double => vec.putDouble(r, x)
+      case x: UTF8String =>
+        val rb = x.getBytes; vec.putByteArray(r, rb, 0, rb.length)
+      case x: Array[Byte] => vec.putByteArray(r, x, 0, x.length)
+      case x: Decimal =>
+        vec.putDecimal(r, x, dt.asInstanceOf[DecimalType].precision)
+      case _ => vec.putNull(r) // ArrayData cannot occur (arrays → row reader)
+    }
+  }
+
   private val writers: Array[ColWriter] = schema.fields.zipWithIndex.map {
     case (f, i) =>
       val vec = vectors(i)
@@ -171,6 +206,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         case ShortType => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
             t match {
+              case tk if needsSlow(tk) =>
+                putModern(vec, r, tk, b, off, len, f.dataType)
               case LwesType.Str => parseLong(b, off, len) match {
                 case Some(x) => vec.putShort(r, x.toShort)
                 case None => vec.putNull(r)
@@ -182,6 +219,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         case IntegerType => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
             t match {
+              case tk if needsSlow(tk) =>
+                putModern(vec, r, tk, b, off, len, f.dataType)
               case LwesType.Str => parseLong(b, off, len) match {
                 case Some(x) => vec.putInt(r, x.toInt)
                 case None => vec.putNull(r)
@@ -193,6 +232,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         case LongType => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
             t match {
+              case tk if needsSlow(tk) =>
+                putModern(vec, r, tk, b, off, len, f.dataType)
               case LwesType.Str => parseLong(b, off, len) match {
                 case Some(x) => vec.putLong(r, x)
                 case None => vec.putNull(r)
@@ -204,6 +245,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         case FloatType => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
             t match {
+              case tk if needsSlow(tk) =>
+                putModern(vec, r, tk, b, off, len, f.dataType)
               case LwesType.Str =>
                 try vec.putFloat(r,
                   java.lang.Float.parseFloat(new String(b, strOff(off), strLen(len), UTF_8)))
@@ -216,6 +259,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         case DoubleType => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
             t match {
+              case tk if needsSlow(tk) =>
+                putModern(vec, r, tk, b, off, len, f.dataType)
               case LwesType.Str =>
                 try vec.putDouble(r,
                   java.lang.Double.parseDouble(new String(b, strOff(off), strLen(len), UTF_8)))
@@ -227,6 +272,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         case StringType => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
             t match {
+              case tk if needsSlow(tk) =>
+                putModern(vec, r, tk, b, off, len, f.dataType)
               case LwesType.Str => putUtf8(vec, r, b, strOff(off), strLen(len))
               case LwesType.IpAddr =>
                 // wire holds d.c.b.a; render a.b.c.d (pure ASCII)
@@ -246,6 +293,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         case BinaryType => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
             t match {
+              case tk if needsSlow(tk) =>
+                putModern(vec, r, tk, b, off, len, f.dataType)
               case LwesType.Str => putUtf8(vec, r, b, strOff(off), strLen(len))
               case LwesType.IpAddr =>
                 val rb = Array(b(off + 3), b(off + 2), b(off + 1), b(off))
@@ -255,6 +304,7 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         }
         case dt: DecimalType => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit = {
+            if (needsSlow(t)) { putModern(vec, r, t, b, off, len, f.dataType); return }
             val bd: java.math.BigDecimal = t match {
               case LwesType.UInt64 =>
                 new java.math.BigDecimal(java.lang.Long.toUnsignedString(lv))
@@ -303,6 +353,10 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int =
       token match {
         case LwesType.Str | LwesType.IpAddr => -1 // conversion-dependent
+        // float/double/array tokens never reach decodeLong — deferring
+        // (Spark re-applies all residual filters) is the only sound call
+        case t if t == LwesType.Float || t == LwesType.Double ||
+            graft.lwes.LwesType.isArray(t) => -1
         case _ =>
           val x = trunc(lv)
           val r = op match {
@@ -523,7 +577,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
           ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
           ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
       case LwesType.Bool => if (b(off) != 0) 1L else 0L
-      case _ => 0L
+      case LwesType.ByteT => b(off).toLong // signed, row-path asLong parity
+      case _ => 0L // float/double/arrays: writers take the slow path
     }
 
   /** Clear row `r`'s null bits after a partially-written (corrupt)
@@ -617,6 +672,30 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
             if (valOff + 2 > end)
               throw new IllegalArgumentException("string length overruns record")
             2 + u16(b, valOff)
+          // modern lwes tokens: scalar byte/float/double + array tokens
+          // must LENGTH-SKIP correctly even when no column wants them,
+          // or one array attr would corrupt every scalar projection of
+          // the record
+          case LwesType.ByteT => 1
+          case LwesType.Float => 4
+          case LwesType.Double => 8
+          case LwesType.StrArray =>
+            if (valOff + 2 > end)
+              throw new IllegalArgumentException("array length overruns record")
+            var p = valOff + 2
+            var k = u16(b, valOff)
+            while (k > 0) {
+              if (p + 2 > end)
+                throw new IllegalArgumentException("string array overruns record")
+              p += 2 + u16(b, p)
+              k -= 1
+            }
+            p - valOff
+          case t if graft.lwes.LwesType.isArray(t) =>
+            if (valOff + 2 > end)
+              throw new IllegalArgumentException("array length overruns record")
+            2 + u16(b, valOff) *
+              graft.lwes.LwesCodec.scalarFixedSize(graft.lwes.LwesType.elementOf(t))
           case t => throw new IllegalArgumentException(
             s"unknown LWES type token 0x${"%02x".format(t)}")
         }

@@ -585,7 +585,13 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     new LwesScan(readSchema,
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
         pushedLimit, ncol,
-        columnar = options.getBoolean(LwesOptions.Vectorized, true),
+        // array/decimal-free schemas take the vectorized batch path;
+        // array columns (modern lwes array tokens) use the row reader —
+        // OnHeapColumnVector array fills are not wired up, and array
+        // attrs are rare enough that the scalar hot loop stays the
+        // optimized one
+        columnar = options.getBoolean(LwesOptions.Vectorized, true) &&
+          !readSchema.fields.exists(_.dataType.isInstanceOf[ArrayType]),
         attrFilters = attrFilters.toSeq
           .filter(f => f.references.forall(readSchema.fieldNames.contains))),
       roots, partitionFilters,

@@ -180,6 +180,20 @@ object LwesOptions {
             val d = Decimal(scala.math.BigDecimal(bd))
             if (d.changePrecision(dt.precision, dt.scale)) d else null
           }
+        case ArrayType(et, _) =>
+          if (!LwesType.isArray(a.token)) null
+          else {
+            val n = java.lang.reflect.Array.getLength(a.value)
+            val out = new Array[Any](n)
+            val elemToken = LwesType.elementOf(a.token)
+            var j = 0
+            while (j < n) {
+              out(j) = toCatalyst(
+                LwesAttr(a.key, elemToken, java.lang.reflect.Array.get(a.value, j)), et)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+          }
         case _ => null
       }
     } catch {
@@ -191,7 +205,10 @@ object LwesOptions {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
     case b: Boolean => Some(if (b) 1L else 0L)
+    case f: Float => Some(f.toLong)
+    case d: Double => Some(d.toLong)
     case s: String => s.toLongOption
     case _ => None
   }
@@ -200,11 +217,23 @@ object LwesOptions {
     case i: Int => Some(i.toDouble)
     case l: Long => Some(l.toDouble)
     case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
     case s: String => s.toDoubleOption
     case _ => None
   }
 
   def asString(a: LwesAttr): String = a.value match {
+    case b: Array[Byte] if a.token == LwesType.IpAddr => LwesEvent.ipToString(b)
+    case arr if LwesType.isArray(a.token) =>
+      val n = java.lang.reflect.Array.getLength(arr)
+      val et = LwesType.elementOf(a.token)
+      (0 until n).map { j =>
+        val e = java.lang.reflect.Array.get(arr, j)
+        if (et == LwesType.IpAddr) LwesEvent.ipToString(e.asInstanceOf[Array[Byte]])
+        else String.valueOf(e)
+      }.mkString("[", ",", "]")
     case b: Array[Byte] => LwesEvent.ipToString(b)
     case v => v.toString
   }
@@ -234,12 +263,38 @@ object LwesOptions {
       case FloatType => ev.setString(attr, v.asInstanceOf[Float].toString)
       case DoubleType => ev.setString(attr, v.asInstanceOf[Double].toString)
       case StringType => ev.setString(attr, v.toString)
-      case BinaryType => // opaque payloads ride as ipaddr only if 4B, else skip
-        val b = v.asInstanceOf[Array[Byte]]
-        if (b.length == 4) ev.setIpAddr(attr, b)
+      case BinaryType =>
+        // opaque payloads ride the modern byte-array token (previously
+        // only 4-byte values survived, coerced to ipaddr; everything
+        // else was silently dropped)
+        ev.setByteArray(attr, v.asInstanceOf[Array[Byte]])
       case _: DecimalType => // unsigned round-trip back to uint64 raw bits
         ev.setUInt64(attr,
           v.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger.longValue())
+      // array columns ride the modern lwes array tokens (0x81+). NOTE:
+      // scalar float/double keep the reference's float-as-string parity
+      // above, but array elements use the NATIVE float/double wire
+      // encodings — the reference predates arrays entirely, so there is
+      // no parity to preserve and the binary encoding is 2-4x smaller.
+      case ArrayType(et, _) =>
+        val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require((0 until ad.numElements()).forall(!ad.isNullAt(_)),
+          s"LWES array attr '$attr' cannot carry NULL elements " +
+            "(no nullable-array wire token in scope)")
+        et match {
+          case ShortType => ev.setInt16Array(attr, ad.toShortArray())
+          case IntegerType => ev.setInt32Array(attr, ad.toIntArray())
+          case LongType => ev.setInt64Array(attr, ad.toLongArray())
+          case FloatType => ev.setFloatArray(attr, ad.toFloatArray())
+          case DoubleType => ev.setDoubleArray(attr, ad.toDoubleArray())
+          case BooleanType => ev.setBoolArray(attr, ad.toBooleanArray())
+          case ByteType => ev.setByteArray(attr, ad.toByteArray())
+          case StringType => ev.setStringArray(attr,
+            (0 until ad.numElements())
+              .map(j => ad.getUTF8String(j).toString).toArray)
+          case other => throw new IllegalArgumentException(
+            s"LWES cannot carry array element type $other")
+        }
       case other =>
         throw new IllegalArgumentException(
           s"LWES cannot carry Spark type $other (reference EventSerDe.java:443-447)")
@@ -263,11 +318,18 @@ object LwesOptions {
     token match {
       case LwesType.Bool => BooleanType
       case LwesType.Int16 => ShortType
+      case LwesType.ByteT => ShortType // byte upcast, EventSerDe parity
       case LwesType.UInt16 | LwesType.Int32 => IntegerType
       case LwesType.UInt64 if uint64AsDecimal => DecimalType(20, 0)
       case LwesType.UInt32 | LwesType.Int64 | LwesType.UInt64 => LongType
+      case LwesType.Float => FloatType
+      case LwesType.Double => DoubleType
       case LwesType.Str => StringType
       case LwesType.IpAddr => StringType
+      case LwesType.ByteArray => BinaryType // byte[] ≙ Spark binary
+      case t if LwesType.isArray(t) =>
+        ArrayType(sparkTypeFor(LwesType.elementOf(t), uint64AsDecimal),
+          containsNull = false)
       case _ => StringType
     }
 
@@ -280,6 +342,9 @@ object LwesOptions {
     // decimal(20,0) (unsigned uint64) absorbs any signed integral width
     case (d: DecimalType, ShortType | IntegerType | LongType) => d
     case (ShortType | IntegerType | LongType, d: DecimalType) => d
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+    case (ArrayType(x, nx), ArrayType(y, ny)) =>
+      ArrayType(widen(x, y), nx || ny)
     case _ => StringType
   }
 }

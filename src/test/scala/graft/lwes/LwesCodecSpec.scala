@@ -5,7 +5,7 @@ import scala.util.Random
 
 class LwesCodecSpec extends AnyFunSuite {
 
-  private def randAttr(rnd: Random, key: String): LwesAttr = rnd.nextInt(9) match {
+  private def randAttr(rnd: Random, key: String): LwesAttr = rnd.nextInt(16) match {
     case 0 => LwesAttr(key, LwesType.UInt16, rnd.nextInt(65536))
     case 1 => LwesAttr(key, LwesType.Int16, rnd.nextInt().toShort)
     case 2 => LwesAttr(key, LwesType.UInt32, rnd.nextLong() & 0xffffffffL)
@@ -15,8 +15,20 @@ class LwesCodecSpec extends AnyFunSuite {
     case 6 => LwesAttr(key, LwesType.Bool, rnd.nextBoolean())
     case 7 => LwesAttr(key, LwesType.IpAddr,
       Array.fill(4)(rnd.nextInt(256).toByte))
-    case _ => LwesAttr(key, LwesType.Str,
+    case 8 => LwesAttr(key, LwesType.Str,
       rnd.alphanumeric.take(rnd.nextInt(200)).mkString)
+    // modern lwes tokens (scalar byte/float/double + arrays)
+    case 9 => LwesAttr(key, LwesType.ByteT, rnd.nextInt().toByte)
+    case 10 => LwesAttr(key, LwesType.Float, rnd.nextFloat())
+    case 11 => LwesAttr(key, LwesType.Double, rnd.nextDouble())
+    case 12 => LwesAttr(key, LwesType.Int32Array,
+      Array.fill(rnd.nextInt(10))(rnd.nextInt()))
+    case 13 => LwesAttr(key, LwesType.Int64Array,
+      Array.fill(rnd.nextInt(10))(rnd.nextLong()))
+    case 14 => LwesAttr(key, LwesType.DoubleArray,
+      Array.fill(rnd.nextInt(10))(rnd.nextDouble()))
+    case _ => LwesAttr(key, LwesType.StrArray,
+      Array.fill(rnd.nextInt(6))(rnd.alphanumeric.take(rnd.nextInt(30)).mkString))
   }
 
   private def randEvent(rnd: Random): LwesEvent = {
@@ -36,7 +48,10 @@ class LwesCodecSpec extends AnyFunSuite {
       assert(x.key == y.key)
       assert(x.token == y.token)
       (x.value, y.value) match {
-        case (u: Array[Byte], v: Array[Byte]) => assert(u.sameElements(v))
+        case (u: Array[Array[Byte]], v: Array[Array[Byte]]) =>
+          assert(u.length == v.length)
+          u.zip(v).foreach { case (p, q) => assert(p.sameElements(q)) }
+        case (u: Array[_], v: Array[_]) => assert(u.toSeq == v.toSeq)
         case (u, v) => assert(u == v)
       }
     }
@@ -96,5 +111,53 @@ class LwesCodecSpec extends AnyFunSuite {
   test("eventName peeks without full parse") {
     val bytes = LwesCodec.serialize(LwesEvent("My::Event").setInt32("x", 5))
     assert(LwesCodec.eventName(bytes, 0) == "My::Event")
+  }
+
+  test("modern scalar and array tokens round-trip exactly (lwes-java TypeID)") {
+    val ev = LwesEvent("Modern::E")
+      .setByte("by", -5: Byte)
+      .setFloat("f", 3.25f)
+      .setDouble("d", -2.5e-3)
+      .setInt16Array("a16", Array[Short](1, -2, 32767))
+      .setUInt16Array("au16", Array(0, 65535))
+      .setInt32Array("a32", Array(Int.MinValue, 0, Int.MaxValue))
+      .setUInt32Array("au32", Array(0L, 4294967295L))
+      .setInt64Array("a64", Array(Long.MinValue, Long.MaxValue))
+      .setUInt64Array("au64", Array(-1L, 7L))
+      .setStringArray("as", Array("a", "", "héllo"))
+      .setBoolArray("ab", Array(true, false, true))
+      .setByteArray("aby", Array[Byte](1, -2, 3))
+      .setFloatArray("af", Array(1.5f, -0.25f))
+      .setDoubleArray("ad", Array(math.Pi, -0.0))
+      .setIpAddrArray("aip", Array(Array[Byte](10, 0, 0, 1), Array[Byte](127, 0, 0, 1)))
+    val bytes = LwesCodec.serialize(ev)
+    assertSameEvent(ev, LwesCodec.deserialize(bytes))
+    assert(LwesCodec.serialize(LwesCodec.deserialize(bytes)).sameElements(bytes))
+    // wire shape: array token = element token | 0x80, uint16 count prefix
+    assert(LwesType.isArray(LwesType.Int32Array))
+    assert(LwesType.elementOf(LwesType.Int32Array) == LwesType.Int32)
+  }
+
+  test("projected parse length-skips unwanted ARRAY attrs") {
+    val ev = LwesEvent("E")
+      .setInt32("a", 1)
+      .setInt64Array("big", Array.fill(500)(7L))
+      .setStringArray("strs", Array.fill(20)("x" * 50))
+      .setInt64("c", 9L)
+    val bytes = LwesCodec.serialize(ev)
+    val proj = LwesCodec.deserialize(bytes, 0, bytes.length, Set("a", "c"))
+    assert(proj.attrs.map(_.key) == Seq("a", "c"))
+    assert(proj.get("c").get.value == 9L)
+  }
+
+  test("nullable-array tokens (0x8d+) are a checked boundary: unknown token") {
+    // splice token 0x8d into a valid record: the parser must refuse it
+    // loudly (record-level corruption), never misread it
+    val bytes = LwesCodec.serialize(LwesEvent("E").setInt32("ab", 1))
+    val idx = bytes.length - 5 // token byte sits before the 4-byte int32
+    assert(bytes(idx) == LwesType.Int32)
+    bytes(idx) = 0x8d.toByte
+    val e = intercept[IllegalArgumentException](LwesCodec.deserialize(bytes))
+    assert(e.getMessage.contains("unknown LWES type token"))
   }
 }

@@ -119,6 +119,51 @@ class LwesSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("array-typed attributes: write parity, read, inference, columnar skip (modern lwes tokens)") {
+    import spark.implicits._
+    val dir = tmp()
+    (0 until 60).map { i =>
+      (i.toLong, Seq(i, i + 1), Seq(s"t$i", "x"), Seq(i * 0.5, i * 1.5),
+        Array[Byte](i.toByte, (i + 1).toByte, 7))
+    }.toDF("id", "nums", "tags", "vals", "blob").coalesce(1)
+      .write.format("lwes").option("eventName", "Arr::E").mode("append").save(dir)
+    // row-path read with explicit array schema
+    val back = spark.read.format("lwes")
+      .schema("id long, nums array<int>, tags array<string>, vals array<double>, blob binary")
+      .option("eventName", "Arr::E").load(dir)
+      .orderBy("id").collect()
+    assert(back.length == 60)
+    val r5 = back(5)
+    assert(r5.getLong(0) == 5L)
+    assert(r5.getSeq[Int](1) == Seq(5, 6))
+    assert(r5.getSeq[String](2) == Seq("t5", "x"))
+    assert(r5.getSeq[Double](3) == Seq(2.5, 7.5))
+    assert(r5.getAs[Array[Byte]](4).toSeq == Seq[Byte](5, 6, 7))
+    // schema inference discovers the array element types (A9 extended)
+    val inferred = spark.read.format("lwes")
+      .option("eventName", "Arr::E").load(dir).schema
+    assert(inferred("nums").dataType == ArrayType(IntegerType, containsNull = false))
+    assert(inferred("tags").dataType == ArrayType(StringType, containsNull = false))
+    assert(inferred("vals").dataType == ArrayType(DoubleType, containsNull = false))
+    assert(inferred("blob").dataType == BinaryType) // byte[] ≙ binary
+    // a scalar-only projection of the SAME journal takes the vectorized
+    // path (schema has no arrays) and must length-skip the array attrs
+    val scalarDf = spark.read.format("lwes").schema("id long")
+      .option("eventName", "Arr::E").load(dir)
+    val scan = scalarDf.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(scan.supportsColumnar, "scalar projection must stay columnar")
+    assert(scalarDf.agg(sum("id")).collect().head.getLong(0) == (0 until 60).map(_.toLong).sum)
+    // and the array-projecting scan automatically drops to the row reader
+    val arrScan = spark.read.format("lwes")
+      .schema("id long, nums array<int>").option("eventName", "Arr::E").load(dir)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+      }.head
+    assert(!arrScan.supportsColumnar, "array schema must use the row reader")
+  }
+
   test("write via DataFrame then read back round-trips (A3, A10)") {
     import spark.implicits._
     val dir = tmp()
