@@ -55,7 +55,7 @@ object Compact {
     * a maintenance window allows; at 100 TB you point it at the
     * partitions behind the small-files alert, not the whole table. */
   def compactPartitioned(spark: SparkSession, dir: String, targetFiles: Int,
-      compression: String = "gzip", minAgeMs: Long = 0L,
+      compression: String = LwesWriteConfig.SplitZstd, minAgeMs: Long = 0L,
       frameBytes: Option[Int] = None): (Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -71,13 +71,14 @@ object Compact {
 
   /** Rewrite `dir`'s top-level journals into `targetFiles` files.
     * Returns (filesBefore, filesAfter). */
-  /** `compression = "split-zstd"` compacts INTO the splittable `.zsj`
-    * container (A22) — the one pass that fixes the directory's two
-    * scale problems together: file count drops to `targetFiles` AND
-    * each compacted file scans as many tasks. `frameBytes` overrides
-    * the writer's raw bytes per zstd frame (split granularity). */
+  /** Compaction lands in the splittable `.zsj` container by DEFAULT
+    * (A22) — the one pass that fixes the directory's two scale
+    * problems together: file count drops to `targetFiles` AND each
+    * compacted file scans as many tasks. `frameBytes` overrides the
+    * writer's raw bytes per zstd frame (split granularity); classic
+    * codecs stay available via `compression=` for lwes-java interop. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int,
-      compression: String = "gzip", minAgeMs: Long = 0L,
+      compression: String = LwesWriteConfig.SplitZstd, minAgeMs: Long = 0L,
       frameBytes: Option[Int] = None): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)

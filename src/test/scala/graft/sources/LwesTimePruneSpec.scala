@@ -55,7 +55,7 @@ class LwesTimePruneSpec extends AnyFunSuite {
     val names = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted
     assert(names.length == 3)
-    val Tag = """.*\.t(\d+)-(\d+)\.gz$""".r
+    val Tag = """.*\.t(\d+)-(\d+)\.zsj$""".r // default container is .zsj (r14)
     val bounds = names.toSeq.map { case Tag(mn, mx) => (mn.toLong, mx.toLong) }
     assert(bounds.sorted == (0 until 3).map(h =>
       (T0 + h * Hour, T0 + h * Hour + 4000L)))
