@@ -204,6 +204,47 @@ object Events {
         |  count(*) AS n
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // Testdata-contract canary (r13 verdict task 8): the r11 close lost
+    // 12 gate keys to a silent driver-side change of events.ts's
+    // physical parquet type. This key pins the contract end-to-end:
+    // (1) the physical type must be one Tables.events can normalize,
+    // (2) the normalized epoch range must be plausible (catches UNIT
+    // drift — seconds/millis stored where micros/nanos are expected —
+    // which type checks alone cannot see), and (3) count + min/max + a
+    // modular checksum of every row's epoch-micros must hash-match
+    // DuckDB's independent read of the same file. Any violation of
+    // (1)/(2) fails fast with an explicit "testdata schema drift"
+    // message instead of 12 confusing downstream hash mismatches.
+    "q_events_canary" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+        val physical = Tables.t(s, d, "events").schema("ts").dataType
+        if (!Set[org.apache.spark.sql.types.DataType](
+              LongType, TimestampType, TimestampNTZType).contains(physical))
+          throw new IllegalStateException(
+            s"testdata schema drift: events.ts physical type is $physical; " +
+              "expected LONG (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ — " +
+              "update Tables.events before trusting any events-table gate")
+        val stats = events(s, d)
+          .withColumn("tus", expr("ts div 1000"))
+          .agg(count(lit(1)).as("n"),
+            min(col("tus")).as("min_us"), max(col("tus")).as("max_us"),
+            sum(col("tus") % lit(1000000007L)).as("ck"))
+        val r = stats.head()
+        val (lo, hi) = (946684800000000L, 4102444800000000L) // 2000..2100 UTC
+        if (r.getLong(1) < lo || r.getLong(2) >= hi)
+          throw new IllegalStateException(
+            s"testdata schema drift: events.ts normalizes to epoch-micros " +
+              s"range [${r.getLong(1)}, ${r.getLong(2)}], outside " +
+              s"[$lo, $hi) (2000-01-01..2100-01-01 UTC) — likely a unit " +
+              "change (seconds/millis) in the driver-generated parquet")
+        stats
+      },
+      """SELECT count(*) AS n,
+        |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+        |  CAST(sum(epoch_us(ts) % 1000000007) AS BIGINT) AS ck
+        |FROM events""".stripMargin))
   )
 }
