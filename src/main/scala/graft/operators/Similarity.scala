@@ -439,7 +439,7 @@ object Similarity {
     * count. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.3, signDims: Int = 4,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = SemDedupMaxBucket): DataFrame = {
     require(signDims >= 1 && signDims <= 30, "signDims in [1,30]")
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val bucketExpr = (0 until signDims).map(i =>
@@ -461,10 +461,22 @@ object Similarity {
     * Scales past the sign-pattern variant: k chooses the cell count
     * directly (production SemDeDup wants ~10^5 cells; signDims caps at
     * 2^30 structurally but saturates maxBucket long before), and cell
-    * geometry follows the data rather than axis signs. */
+    * geometry follows the data rather than axis signs.
+    *
+    * COST LAW (measured, docs/SCALE_STRESS.md): within-cell pairing is
+    * all-pairs, so total edge work is Θ(k · occ²) = Θ(n²/k) at mean
+    * occupancy occ = n/k. Holding k fixed while the corpus grows is
+    * therefore QUADRATIC — the r14 10×→100× stress run showed exactly
+    * that (184× time for 100× data at a fixed 16 cells). Linearity
+    * requires the SemDeDup discipline of scaling the cell count with
+    * the corpus: k ≈ n / targetOcc (see [[suggestedCells]]) keeps
+    * occupancy — and hence per-cell work — constant, making the total
+    * Θ(n · occ). `maxBucket` is the BACKSTOP for degenerate cells
+    * (near-identical mass the training couldn't split), not the
+    * primary control: a saturated cell degrades to hub-star edges. */
   def semanticDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, cents: Seq[Seq[Double]],
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = SemDedupMaxBucket): DataFrame = {
     require(cents.nonEmpty, "semanticDedupKMeans needs centroids")
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val cell =
@@ -479,6 +491,22 @@ object Similarity {
           cents.map(_.toArray).toArray, roundTo = 4)
     semanticDedupByCell(v, idCol, cell, threshold, maxBucket)
   }
+
+  /** Default occupancy cap for the SemDeDup variants. Within-cell work
+    * is quadratic in occupancy, so the cap bounds a DEGENERATE cell's
+    * cost at ~maxBucket²/2 comparisons (8192 → ~34M cosines, seconds on
+    * one executor) before it degrades to linear hub-star edges. The
+    * previous 100000 default put the knee at ~5×10⁹ comparisons per
+    * cell — hours of work the cap was supposed to prevent; the r14
+    * scale-stress run is what surfaced it. Correctly-parameterized
+    * corpora (occ ≈ 200–1000 via [[suggestedCells]]) never reach it. */
+  val SemDedupMaxBucket: Int = 8192
+
+  /** The SemDeDup parameter law: cells for corpus size `n` at a target
+    * mean occupancy (default 500). Keeps within-cell all-pairs work
+    * linear in n; see the cost law at [[semanticDedupKMeans]]. */
+  def suggestedCells(n: Long, targetOcc: Int = 500): Int =
+    math.max(16L, math.min(1L << 20, n / math.max(1, targetOcc))).toInt
 
   /** Shared SemDeDup body: within-cell threshold edges (occupancy-
     * capped), O(log n) star CC, keep each component's smallest id with
