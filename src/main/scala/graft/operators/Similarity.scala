@@ -280,14 +280,27 @@ object Similarity {
     // data. Selection (not summation), so partition order can't change
     // the result (modulo astronomically-unlikely 64-bit hash ties,
     // matching the previous orderBy(hash).limit(k) semantics).
-    val (n, init) = c
+    // The per-partition fold is a bounded MAX-heap on the hash: a full
+    // heap rejects most rows with one root compare, O(log k) only on
+    // accept — the earlier sort-per-row formulation was O(k log k) per
+    // ROW, which at production cell counts (k ≈ 10^5, the r14
+    // scale-stress parameter law) would have made init selection
+    // dominate training. Same selected set, same ascending-hash order.
+    val heapOrd = Ordering.by[(Long, IndexedSeq[Double]), Long](_._1)
+    def push(heap: scala.collection.mutable.PriorityQueue[(Long, IndexedSeq[Double])],
+        t: (Long, IndexedSeq[Double])): Unit =
+      if (heap.size < nLists) heap.enqueue(t)
+      else if (t._1 < heap.head._1) { heap.dequeue(); heap.enqueue(t) }
+    val (n, initHeap) = c
       .select(xxhash64(col("neighbor_id")).as("__h"), col("v_c"))
-      .rdd.treeAggregate((0L, Vector.empty[(Long, IndexedSeq[Double])]))(
-        { case ((cnt, acc), row) =>
-          val t = (row.getLong(0), row.getSeq[Double](1).toIndexedSeq)
-          (cnt + 1, (acc :+ t).sortBy(_._1).take(nLists)) },
-        { case ((c1, a1), (c2, a2)) =>
-          (c1 + c2, (a1 ++ a2).sortBy(_._1).take(nLists)) })
+      .rdd.treeAggregate(
+        (0L, scala.collection.mutable.PriorityQueue.empty[(Long, IndexedSeq[Double])](heapOrd)))(
+        { case ((cnt, heap), row) =>
+          push(heap, (row.getLong(0), row.getSeq[Double](1).toIndexedSeq))
+          (cnt + 1, heap) },
+        { case ((c1, h1), (c2, h2)) =>
+          h2.foreach(push(h1, _)); (c1 + c2, h1) })
+    val init = initHeap.toIndexedSeq.sortBy(_._1)
     val train =
       if (n > sampleCap) {
         // per-mille hash bucket keeps ~sampleCap rows; deterministic
