@@ -368,6 +368,92 @@ object Similarity {
       .toDF("centroid_id", "v_cent")
   }
 
+  /** Two-level k-means for PRODUCTION cell counts. Flat Lloyd training
+    * costs O(sample · k · dim · iters) — at the k ≈ 10⁵ the SemDeDup
+    * parameter law itself demands ([[suggestedCells]]), that is ~10¹⁴
+    * multiplies on a 10⁵-row sample: the trainer, not the dedup,
+    * becomes the bottleneck. The standard escape is hierarchical
+    * training: √k coarse cells trained flat, then each coarse cell's
+    * sample rows trained LOCALLY into √k sub-centroids — total cost
+    * O(sample · √k · dim · iters), a √k-fold cut (~316× at k = 10⁵).
+    *
+    * Scale shape: the corpus never moves — only the capped hash-sample
+    * is assigned and grouped, and each `mapGroups` group holds
+    * ~sample/√k rows and emits √k centroids (driver sees k·dim doubles
+    * of metadata, as with the flat trainer). Determinism: the coarse
+    * level reuses [[kmeansCentroids]] (bit-stable); local training
+    * sorts each group by id-hash before a sequential double fold, so
+    * FP addition order — and hence every centroid — is fixed under any
+    * partitioning. Cells with fewer points than their sub-centroid
+    * budget emit one centroid per point, so the result can total
+    * slightly under `nLists` on skewed samples; callers treat `nLists`
+    * as a target, not a contract (every consumer takes the centroid
+    * TABLE). */
+  def kmeansCentroidsHierarchical(c: DataFrame, nLists: Int,
+      iters: Int = 2, sampleCap: Long = 100000L): DataFrame = {
+    require(nLists >= 4, "hierarchical training needs nLists >= 4")
+    val k1 = math.max(2, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(nLists.toDouble / k1).toInt)
+    val coarse = collectCentroids(kmeansCentroids(c, k1, iters, sampleCap))
+    val n = c.count()
+    val train =
+      if (n > sampleCap) {
+        val keepPerMillion = math.max(1L, sampleCap * 1000000L / n)
+        c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L)) < keepPerMillion)
+      } else c
+    val spark = c.sparkSession
+    import spark.implicits._
+    val sub = train
+      .select(nearestCentroid(col("v_c"), coarse).cast("int").as("__cell"),
+        xxhash64(col("neighbor_id")).as("__h"), col("v_c"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+        localLloyd(rows.map(_._2), k2, iters).zipWithIndex.map {
+          case (v, j) => ((cell - 1).toLong * k2 + j + 1, v.toSeq) }
+      }
+    sub.toDF("centroid_id", "v_cent")
+  }
+
+  /** In-memory Lloyd over ONE coarse cell's sample rows (already
+    * hash-sorted by the caller): init from the first k distinct-enough
+    * points, cosine argmax with first-index tie-break (mirroring
+    * [[nearestCentroid]]'s direction), empty clusters keep their
+    * previous centroid. Sequential folds over the fixed row order keep
+    * the result deterministic. */
+  private def localLloyd(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    if (points.isEmpty) return Array.empty
+    val kk = math.min(k, points.length)
+    val dims = points(0).length
+    var cents = Array.tabulate(kk)(j => points(j).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.ofDim[Double](kk, dims)
+      val counts = new Array[Long](kk)
+      points.foreach { p =>
+        var best = 0; var bestSim = Double.NegativeInfinity; var j = 0
+        while (j < kk) {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < dims) {
+            dot += p(i) * cents(j)(i); na += p(i) * p(i)
+            nb += cents(j)(i) * cents(j)(i); i += 1
+          }
+          val sim = dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+          if (sim > bestSim) { bestSim = sim; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(kk)(j =>
+        if (counts(j) == 0L) cents(j)
+        else Array.tabulate(dims)(i => sums(j)(i) / counts(j)))
+    }
+    cents
+  }
+
   /** IVF-flat ANN: k-means centroid vectors partition the corpus into
     * inverted lists (assignment = nearest centroid); each query probes
     * its `nprobe` closest lists and exact-ranks within them.

@@ -196,6 +196,52 @@ object ScaleStress {
           threshold = 0.95, cents).count()
       },
 
+      // C37 with the O(sample·√k·dim) two-level trainer — same dedup,
+      // same parameter law; the delta vs semantic_dedup_kmeans is the
+      // trainer. At production k ≈ 10⁵ the flat trainer is ~√k ≈ 316×
+      // more training FLOPs; here the corpora are small enough that
+      // both fit, so this op mainly proves the hierarchical path stays
+      // linear and correct end-to-end at 100×.
+      "semantic_dedup_hier" -> { dir: String =>
+        val e = emb(dir)
+        val c = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("v_c"))
+        val k = Similarity.suggestedCells(e.count())
+        val cents = Similarity.kmeansCentroidsHierarchical(c, nLists = k)
+          .orderBy(col("centroid_id")).collect()
+          .map(_.getAs[scala.collection.Seq[Double]]("v_cent").toIndexedSeq)
+          .toIndexedSeq
+        Similarity.semanticDedupKMeans(e, "vec_id", "embedding",
+          threshold = 0.95, cents).count()
+      },
+
+      // A-surface planning at FILE-COUNT scale (the ADVICE footer
+      // concern): events spread over rows/5000 journals (20 → 2000
+      // files across 1×..100×), then one full scan — wall time covers
+      // listing, parallel footer fetch + cache, bin-packing, and the
+      // read itself. Superlinear driver-side planning would surface
+      // here long before 10⁶-file production layouts.
+      "journal_plan_manyfiles" -> { dir: String =>
+        val ev = Tables.events(spark, dir)
+          .withColumn("ReceiptTime", expr("ts div 1000000"))
+          .select("event_id", "user_id", "event_type", "value", "ReceiptTime")
+        val nFiles = math.max(4L, ev.count() / 5000L).toInt
+        val out = s"$root/manyfiles/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(out), true)
+        ev.repartition(nFiles)
+          .write.format("lwes").option("eventName", "Many::E")
+          .mode("append").save(out)
+        val n = spark.read.format("lwes")
+          .schema("event_id long, user_id long, event_type string, " +
+            "value double, ReceiptTime long")
+          .option("eventName", "Many::E").load(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)), countDistinct(col("user_id")))
+          .count()
+        n
+      },
+
       // C30/C7: residual IVF-PQ with refine, FIXED ~40-query load.
       "ivfpq_refine_topk" -> { dir: String =>
         val e = emb(dir)
