@@ -242,6 +242,44 @@ object ScaleStress {
         n
       },
 
+      // C32 at scale: journal-sourced stateful dedup drain through the
+      // lwes sink. 8 source journals at maxFilesPerTrigger=2 give 4
+      // micro-batches at EVERY scale, so batch size — and the
+      // flatMapGroupsWithState key space (≈ one key per distinct doc)
+      // — grows with the corpus: 5k → 500k state keys across 1×..100×.
+      // Measures the drain's per-row cost staying flat as state grows.
+      "stream_dedup_drain" -> { dir: String =>
+        import spark.implicits._
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val src = s"$root/streamsrc/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        fs.delete(new org.apache.hadoop.fs.Path(src), true)
+        docs(dir).select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("lang"), col("n_chars").cast("long").as("n_chars"))
+          .repartition(8)
+          .write.format("lwes").option("eventName", "SS::D")
+          .mode("append").save(src)
+        val dst = java.nio.file.Files.createTempDirectory("ss-drain-dst").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("ss-drain-ck").toString
+        val in = spark.readStream.format("lwes")
+          .schema("doc_id long, text_md5 string, lang string, n_chars long")
+          .option("eventName", "SS::D")
+          .option("maxFilesPerTrigger", "2").load(src)
+          .as[graft.streaming.StreamOps.DocRow]
+        val q = graft.streaming.StreamOps.dedupFirstSeen(spark, in)
+          .toDF()
+          .writeStream.format("lwes")
+          .option("eventName", "SS::O")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+        spark.read.format("lwes")
+          .schema("doc_id long, text_md5 string, lang string, n_chars long")
+          .option("eventName", "SS::O").load(dst).count()
+      },
+
       // C30/C7: residual IVF-PQ with refine, FIXED ~40-query load.
       "ivfpq_refine_topk" -> { dir: String =>
         val e = emb(dir)
