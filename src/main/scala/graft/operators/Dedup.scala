@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default occupancy cap for LSH/band bucket pair generation.
+    * Within-bucket pairing is quadratic in occupancy, so the cap bounds
+    * a DEGENERATE bucket (a boilerplate mega-family collapsing into one
+    * band value) at ~cap²/2 comparisons (~34M at 8192 — seconds on one
+    * executor) before it degrades to linear hub-star edges. The r14
+    * scale-stress audit showed the previous 100000 default put that
+    * knee at ~5×10⁹ comparisons — hours of work the cap was supposed
+    * to prevent (same defect class as Similarity.SemDedupMaxBucket,
+    * fixed the same round). Healthy buckets never approach it. */
+  val SaturationCap: Int = 8192
+
   // --------------------------------------------------------------- C1
 
   /** Exact dedup: keep the row with the smallest `tieBreaker` per
@@ -61,7 +72,7 @@ object Dedup {
     * re-verifies edges independently downstream. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, w: Int = 3, threshold: Double = 0.5,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = SaturationCap): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val sigs = minhashSignatures(df, textCol, idCol, k, w).cache()
     val cand = minhashCandidates(sigs, idCol, k, bands, maxBucket)
@@ -153,9 +164,20 @@ object Dedup {
     * set at `maxHamming <= 3` EXACTLY the brute-force hamming-ball pair
     * set — in `portable = true` mode (48-bit md5-derived signature,
     * [[simhashPortable]]) that set is replayable in SQL, which is what
-    * the dedup_simhash oracle gate does. */
+    * the dedup_simhash oracle gate does.
+    *
+    * `maxBucket` is the same saturation backstop as [[minhashPairs]]'s
+    * (this path had NONE until r14 — a boilerplate mega-family of
+    * near-identical texts collapses into one (band, value) bucket and
+    * went full all-pairs): a saturated bucket keeps only its min-id
+    * hub on the probe side, emitting linear star edges. For a TRUE
+    * duplicate family the hub is within `maxHamming` of every member
+    * (near-identical signatures), so the family stays one component;
+    * the exactness guarantee above holds verbatim for every bucket
+    * under the cap, which at gate/corpus scales is all of them. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 6, portable: Boolean = false): DataFrame = {
+      maxHamming: Int = 6, portable: Boolean = false,
+      maxBucket: Int = SaturationCap): DataFrame = {
     val (sig, bits) =
       if (portable) (simhashPortable(col(textCol)), 48)
       else (simhash(col(textCol)), 64)
@@ -166,8 +188,13 @@ object Dedup {
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), bandBits * i).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "bval")))
-    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band"), col("bval"))
+    val bw = Window.partitionBy(col("band"), col("bval"))
+    val a = banded
+      .withColumn("__occ", count(lit(1)).over(bw))
+      .withColumn("__hub", min(col("id")).over(bw))
+      .filter(col("__occ") <= maxBucket || col("id") === col("__hub"))
+      .select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("band"), col("bval"))
     val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
       col("band"), col("bval"))
     a.join(b, Seq("band", "bval"))

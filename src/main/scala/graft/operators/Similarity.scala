@@ -495,7 +495,7 @@ object Similarity {
     * at 1 regardless of the bucket tuning. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 6, nTables: Int = 8,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = SemDedupMaxBucket): DataFrame = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val b = capBuckets(
       v.select(col("id"),

@@ -1630,4 +1630,24 @@ class OperatorsSpec extends AnyFunSuite {
       Sampling.sampleKPerGroup(withRnk, "lang", "doc_id", 3)
     }
   }
+
+  test("simhashPairs saturated buckets degrade to hub-star, keep the family connected (r14)") {
+    // one mega-family: 100 identical texts collapse into ONE (band,
+    // value) bucket per band — pre-r14 this went full all-pairs
+    val fam = (0L until 100L).map(i => (i, base)).toDF("doc_id", "text")
+    val starred = Dedup.simhashPairs(fam, "text", "doc_id",
+      maxHamming = 3, maxBucket = 10).collect()
+    // saturated: probe side keeps only the min-id hub -> exactly the
+    // 99 (hub, member) edges, every member at hamming 0 from the hub
+    assert(starred.length == 99)
+    assert(starred.forall(r => r.getLong(0) == 0L && r.getLong(2) == 0L))
+    val cc = Dedup.connectedComponentsStar(
+      Dedup.simhashPairs(fam, "text", "doc_id", maxHamming = 3,
+        maxBucket = 10).select("id_a", "id_b")).collect()
+    assert(cc.length == 100 && cc.map(_.getLong(1)).distinct.sameElements(Array(0L)))
+    // under the cap the exact pigeonhole pair set is unchanged
+    val allPairs = Dedup.simhashPairs(fam, "text", "doc_id",
+      maxHamming = 3, maxBucket = 1000).count()
+    assert(allPairs == 100L * 99 / 2)
+  }
 }
