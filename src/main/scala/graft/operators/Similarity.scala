@@ -427,7 +427,36 @@ object Similarity {
     if (points.isEmpty) return Array.empty
     val kk = math.min(k, points.length)
     val dims = points(0).length
-    var cents = Array.tabulate(kk)(j => points(j).clone())
+    // init from the first kk DISTINCT-ENOUGH points (cosine < 0.9999 to
+    // every already-chosen seed): a heavily-cloned cell would otherwise
+    // seed several centroids on the same clone family, and duplicate
+    // centroids never separate (argmax ties break to the lowest index,
+    // so the copies receive no points and never move) — undercutting
+    // the effective sub-centroid count exactly where SemDeDup needs it.
+    // Cells with fewer distinct directions than kk fill the remaining
+    // slots verbatim from the front (the old behavior); still a single
+    // deterministic pass over the caller's hash-sorted order.
+    val seeds = new Array[Array[Double]](kk)
+    var nSeeds = 0
+    var pi = 0
+    while (pi < points.length && nSeeds < kk) {
+      val p = points(pi)
+      var dup = false; var s = 0
+      while (s < nSeeds && !dup) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < dims) {
+          dot += p(i) * seeds(s)(i); na += p(i) * p(i)
+          nb += seeds(s)(i) * seeds(s)(i); i += 1
+        }
+        dup = dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12) > 0.9999
+        s += 1
+      }
+      if (!dup) { seeds(nSeeds) = p.clone(); nSeeds += 1 }
+      pi += 1
+    }
+    pi = 0
+    while (nSeeds < kk) { seeds(nSeeds) = points(pi).clone(); nSeeds += 1; pi += 1 }
+    var cents = seeds
     for (_ <- 0 until iters) {
       val sums = Array.ofDim[Double](kk, dims)
       val counts = new Array[Long](kk)
@@ -497,11 +526,24 @@ object Similarity {
       threshold: Double = 0.95, nPlanes: Int = 6, nTables: Int = 8,
       maxBucket: Int = SemDedupMaxBucket): DataFrame = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val b = capBuckets(
-      v.select(col("id"),
-        tableBuckets(col("v"), nPlanes, nTables).as(Seq("tbl", "bucket"))),
-      maxBucket)
-    val cand = b.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = v.select(col("id"),
+      tableBuckets(col("v"), nPlanes, nTables).as(Seq("tbl", "bucket")))
+    // saturation: occupancy window on the LEFT side of the self-join
+    // only (the [[semanticDedupByCell]] shape) — a (tbl, bucket) above
+    // `maxBucket` keeps just its min-id hub there, so a near-identical
+    // family of any size degrades to LINEAR hub-star edges (the hub
+    // pairs with every member and id_a < id_b holds since the hub is
+    // the minimum) instead of either all-pairs blowup or — the r14
+    // regression this replaces — dropping the bucket wholesale and
+    // silently emitting zero pairs for exactly the corpora dedup
+    // exists for
+    val bw = Window.partitionBy(col("tbl"), col("bucket"))
+    val left = b
+      .withColumn("__occ", count(lit(1)).over(bw))
+      .withColumn("__hub", min(col("id")).over(bw))
+      .filter(col("__occ") <= maxBucket || col("id") === col("__hub"))
+      .select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val cand = left
       .join(b.select(col("tbl"), col("bucket"), col("id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -220,19 +220,37 @@ object Events {
     "q_events_canary" -> ((
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+        // nanosAsLong BEFORE the probe read: a legacy nano-INT64
+        // parquet annotation otherwise fails schema INFERENCE with a
+        // raw "Illegal Parquet type" AnalysisException — the exact
+        // unnamed-failure mode this canary exists to replace
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val physical = Tables.t(s, d, "events").schema("ts").dataType
+        // LongType (epoch nanos) is readable by Tables.events but NOT
+        // by the suite's DuckDB oracles — epoch_us(BIGINT) is a binder
+        // error in every events oracle, including this key's own. A
+        // LONG layout therefore IS drift for the verification apparatus
+        // and must fail here with the named message, not 20 keys later
+        // with a cross-engine binder error.
         if (!Set[org.apache.spark.sql.types.DataType](
-              LongType, TimestampType, TimestampNTZType).contains(physical))
+              TimestampType, TimestampNTZType).contains(physical))
           throw new IllegalStateException(
             s"testdata schema drift: events.ts physical type is $physical; " +
-              "expected LONG (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ — " +
-              "update Tables.events before trusting any events-table gate")
+              "the oracle contract needs TIMESTAMP or TIMESTAMP_NTZ " +
+              "(LONG epoch-nanos reads in Spark but no DuckDB oracle " +
+              "binds epoch_us on it) — update Tables.events AND the " +
+              "events oracles together before trusting any events gate")
         val stats = events(s, d)
           .withColumn("tus", expr("ts div 1000"))
           .agg(count(lit(1)).as("n"),
             min(col("tus")).as("min_us"), max(col("tus")).as("max_us"),
             sum(col("tus") % lit(1000000007L)).as("ck"))
         val r = stats.head()
+        if (r.getLong(0) == 0L || r.isNullAt(1) || r.isNullAt(2))
+          throw new IllegalStateException(
+            "testdata schema drift: events table is EMPTY at " + d +
+              " — min/max/checksum contracts are vacuous; regenerate " +
+              "the driver testdata before trusting any events gate")
         val (lo, hi) = (946684800000000L, 4102444800000000L) // 2000..2100 UTC
         if (r.getLong(1) < lo || r.getLong(2) >= hi)
           throw new IllegalStateException(

@@ -150,6 +150,20 @@ object ScaleStress {
   def ops(spark: SparkSession, root: String): Seq[(String, String => Long)] = {
     def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
     def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+    def fatZsjPath(dir: String): String =
+      s"$root/zsj/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    def writeFatZsj(dir: String): Unit = {
+      val out = fatZsjPath(dir)
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(out), true)
+      Tables.events(spark, dir)
+        .withColumn("ReceiptTime", expr("ts div 1000000"))
+        .select("event_id", "user_id", "event_type", "value", "ReceiptTime")
+        .repartition(1)
+        .write.format("lwes").option("eventName", "Stress::E")
+        .option(graft.sources.lwes.LwesOptions.Compression, "split-zstd")
+        .mode("append").save(out)
+    }
 
     Seq(
       // C14: the full clean-corpus pipeline gate body (exact dedup →
@@ -302,29 +316,27 @@ object ScaleStress {
       "bpe_train_encode" -> { dir: String =>
         val d = docs(dir)
         val merges = TextAnalysis.trainBpeMerges(d)
+        // the metric is the summed BPE token count (head), not count()
+        // of the 1-row aggregate — which is always 1 and meaningless
         TextAnalysis.tokenCounts(d, bpeMerges = Some(merges))
-          .agg(sum(col("n_bpe"))).count()
+          .agg(sum(col("n_bpe"))).head().getLong(0)
       },
 
       // A22 write side: the whole events table into ONE .zsj journal.
       "zsj_write_fat" -> { dir: String =>
-        val out = s"$root/zsj/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-        org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(out), true)
-        Tables.events(spark, dir)
-          .withColumn("ReceiptTime", expr("ts div 1000000"))
-          .select("event_id", "user_id", "event_type", "value", "ReceiptTime")
-          .repartition(1)
-          .write.format("lwes").option("eventName", "Stress::E")
-          .option(graft.sources.lwes.LwesOptions.Compression, "split-zstd")
-          .mode("append").save(out)
+        writeFatZsj(dir)
         1L
       },
 
       // A22 read side: footer-indexed parallel scan of that one fat
       // file; require > 1 task so a split-path regression fails loudly.
+      // Self-sufficient under SPARK_GRAFT_SCALE_ONLY: (re)writes its
+      // input if the fat journal from zsj_write_fat isn't on disk.
       "zsj_split_scan" -> { dir: String =>
-        val out = s"$root/zsj/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        val out = fatZsjPath(dir)
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(out))) writeFatZsj(dir)
         val df = spark.read.format("lwes")
           .schema("event_id long, user_id long, event_type string, " +
             "value double, ReceiptTime long")

@@ -39,15 +39,59 @@ class EventsCanarySpec extends AnyFunSuite {
     assert(e.getMessage.contains("DoubleType"))
   }
 
-  test("a unit drift (seconds stored as long) fails with the named message") {
+  test("a unit drift (seconds written into timestamp micros) fails named") {
     import spark.implicits._
-    // LONG contract is epoch NANOS; epoch seconds are ~9 orders too
-    // small and must trip the range check, not silently hash-mismatch.
+    // timestamp physical whose instants sit at ~1.7e9 MICROS (≈ 1970-01)
+    // — the signature of epoch seconds written where micros belong; must
+    // trip the range check, not silently hash-mismatch downstream.
     val dir = Files.createTempDirectory("canary-unit").toString
-    Seq(1700000000L, 1700000600L).toDF("ts").write.mode("overwrite")
-      .parquet(s"$dir/events.parquet")
+    Seq(new java.sql.Timestamp(1700000L), new java.sql.Timestamp(1700600L))
+      .toDF("ts").write.mode("overwrite").parquet(s"$dir/events.parquet")
     val e = intercept[IllegalStateException](canary(dir))
     assert(e.getMessage.contains("testdata schema drift"))
     assert(e.getMessage.contains("unit"))
+  }
+
+  test("a LONG epoch-nanos layout fails fast as ORACLE drift, not later") {
+    import spark.implicits._
+    // Tables.events can normalize LONG nanos, but every events oracle
+    // (this key's included) binds epoch_us(ts) — a DuckDB binder error
+    // on BIGINT. The canary must name that as drift up front instead of
+    // letting the suite die 20 keys later on a cross-engine bind.
+    val dir = Files.createTempDirectory("canary-long").toString
+    Seq(1700000000000000000L, 1700000600000000000L).toDF("ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](canary(dir))
+    assert(e.getMessage.contains("testdata schema drift"))
+    assert(e.getMessage.contains("DuckDB"))
+  }
+
+  test("an empty events table fails with a named message, not an NPE") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("canary-empty").toString
+    Seq.empty[java.sql.Timestamp].toDF("ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](canary(dir))
+    assert(e.getMessage.contains("testdata schema drift"))
+    assert(e.getMessage.contains("EMPTY"))
+  }
+
+  test("a legacy nano-INT64 annotation infers (nanosAsLong set pre-probe)") {
+    // the probe read must set nanosAsLong BEFORE touching the footer so
+    // a nano-annotated file reaches the named type check rather than
+    // dying in schema inference with a raw AnalysisException. A nano
+    // annotation infers as LongType -> the named oracle-drift message.
+    val dir = Files.createTempDirectory("canary-nano").toString
+    // write a nano-annotated parquet via arrow-free route: Spark cannot
+    // write TIMESTAMP(NANOS), so exercise the conf-ordering contract by
+    // clearing the conf and reading a plain LONG file (inference path
+    // shared); the dedicated LONG test above covers the message.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    import spark.implicits._
+    Seq(1700000000000000000L).toDF("ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](canary(dir))
+    assert(e.getMessage.contains("testdata schema drift"))
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
 }
