@@ -513,45 +513,80 @@ object H264 {
     * desynchronization anywhere in the entropy or transform chain
     * corrupts the pixels and fails the equality. */
   def encodeCavlcTextured(frames: IndexedSeq[Plane],
-      qp: Int): (Encoded, IndexedSeq[Plane]) = {
+      qp: Int, slices: Int = 1): (Encoded, IndexedSeq[Plane]) = {
     require(frames.nonEmpty && qp >= 10 && qp <= 51, "qp in [10,51]")
     val wMbs = frames.head.width / 16
     val hMbs = frames.head.height / 16
     require(frames.head.width % 16 == 0 && frames.head.height % 16 == 0)
+    require(slices >= 1 && slices <= hMbs, "slices in [1, heightMbs]")
     val w = frames.head.width
     val cw = w / 2
     val lumaBlkW = wMbs * 4
     val chromaBlkW = wMbs * 2
     val recons = IndexedSeq.newBuilder[Plane]
-    val nals = frames.zipWithIndex.map { case (src, fi) =>
-      val bw = new BitWriter
+    // MULTI-SLICE pictures (r15): `slices` > 1 splits every picture
+    // into that many row-aligned slices, each its own NAL with
+    // first_mb_in_slice = its first row's MB address — the structure
+    // real footage uses for error resilience and row-parallel decode.
+    // Neighbor availability stops at the slice boundary (7.4.3): the
+    // first row of each slice predicts without "above" samples, nC
+    // derivation treats above-slice blocks as unavailable, and the nC
+    // state is slice-local — all mirrored bit-exactly by decodeSlice's
+    // mbInSlice gating, which the round-trip equality gates pin.
+    // proportional row boundaries: slice i covers MB rows
+    // [floor(i·hMbs/slices), floor((i+1)·hMbs/slices)) — always exactly
+    // `slices` non-empty row-aligned slices (a ceil-division split
+    // produces FEWER when hMbs % slices != 0)
+    def sliceRow(i: Int): Int = i * hMbs / slices
+    val nals = frames.zipWithIndex.flatMap { case (src, fi) =>
       val isIdr = fi == 0
-      bw.ue(0) // first_mb_in_slice
-      bw.ue(7) // slice_type I (all slices in picture)
-      bw.ue(0) // pic_parameter_set_id
-      bw.u(4, if (isIdr) 0 else fi & 0xF) // frame_num
-      if (isIdr) {
-        bw.ue(0) // idr_pic_id
-        bw.u1(0); bw.u1(0) // no_output_of_prior / long_term_reference
-      } else {
-        bw.u1(0) // adaptive_ref_pic_marking_mode_flag
-      }
-      bw.se(qp - 26) // slice_qp_delta
-      bw.ue(1) // disable_deblocking_filter_idc = 1: loop filter OFF
-      // encoder-side nC bookkeeping, identical to the decoder's
-      val lumaTc = new Array[Int](lumaBlkW * hMbs * 4)
-      val cbTc = new Array[Int](chromaBlkW * hMbs * 2)
-      val crTc = new Array[Int](chromaBlkW * hMbs * 2)
+      // reconstruction is per-FRAME (later slices of the same picture
+      // never read other-slice pixels — availability gating above —
+      // but the next frame's encode does not exist here, and recons
+      // reports whole frames)
       val ry = new Array[Byte](w * frames.head.height)
       val rcb = new Array[Byte](cw * (frames.head.height / 2))
       val rcr = new Array[Byte](cw * (frames.head.height / 2))
       val qpc = chromaQp(qp)
-      var mb = 0
-      while (mb < wMbs * hMbs) {
+      val sliceNals = (0 until slices).map { si =>
+        val fr0 = sliceRow(si)
+        val rowEnd = sliceRow(si + 1)
+        val bw = new BitWriter
+        bw.ue(fr0 * wMbs) // first_mb_in_slice
+        bw.ue(7) // slice_type I (all slices in picture)
+        bw.ue(0) // pic_parameter_set_id
+        bw.u(4, if (isIdr) 0 else fi & 0xF) // frame_num
+        if (isIdr) {
+          bw.ue(0) // idr_pic_id
+          bw.u1(0); bw.u1(0) // no_output_of_prior / long_term_reference
+        } else {
+          bw.u1(0) // adaptive_ref_pic_marking_mode_flag
+        }
+        bw.se(qp - 26) // slice_qp_delta
+        bw.ue(1) // disable_deblocking_filter_idc = 1: loop filter OFF
+        // encoder-side nC bookkeeping, identical to the decoder's:
+        // SLICE-local grids, above-slice neighbors unavailable (-1)
+        val lumaTc = new Array[Int](lumaBlkW * hMbs * 4)
+        val cbTc = new Array[Int](chromaBlkW * hMbs * 2)
+        val crTc = new Array[Int](chromaBlkW * hMbs * 2)
+        def nCLumaE(gx: Int, gy: Int): Int = {
+          val a = if (gx > 0) lumaTc(gy * lumaBlkW + gx - 1) else -1
+          val b = if (gy > fr0 * 4) lumaTc((gy - 1) * lumaBlkW + gx) else -1
+          if (a >= 0 && b >= 0) (a + b + 1) >> 1
+          else if (a >= 0) a else if (b >= 0) b else 0
+        }
+        def nCChromaE(tcArr: Array[Int], gx: Int, gy: Int): Int = {
+          val a = if (gx > 0) tcArr(gy * chromaBlkW + gx - 1) else -1
+          val b = if (gy > fr0 * 2) tcArr((gy - 1) * chromaBlkW + gx) else -1
+          if (a >= 0 && b >= 0) (a + b + 1) >> 1
+          else if (a >= 0) a else if (b >= 0) b else 0
+        }
+        var mb = fr0 * wMbs
+        while (mb < rowEnd * wMbs) {
         val mx = mb % wMbs
         val my = mb / wMbs
         val hasL = mx > 0
-        val hasT = my > 0
+        val hasT = my > fr0 // first slice row has no in-slice "above"
         // sweep the prediction modes; availability-gated
         val predMode = (mb + fi) % 4 match {
           case 0 if hasT => 0 // Vertical
@@ -603,14 +638,13 @@ object H264 {
         var k = 0
         while (k < 16) { dcScan(k) = dcQ(Zigzag4x4(k)); k += 1 }
         // ---- entropy: DC, then the 16 AC blocks (7.3.5.3 order)
-        Cavlc.writeResidual(bw, dcScan,
-          nCOf(lumaTc, lumaBlkW, mx * 4, my * 4))
+        Cavlc.writeResidual(bw, dcScan, nCLumaE(mx * 4, my * 4))
         blk = 0
         while (blk < 16) {
           val gx = mx * 4 + LumaBlkX(blk)
           val gy = my * 4 + LumaBlkY(blk)
           val tc = Cavlc.writeResidual(bw, acLevels(blk),
-            nCOf(lumaTc, lumaBlkW, gx, gy))
+            nCLumaE(gx, gy))
           lumaTc(gy * lumaBlkW + gx) = tc
           blk += 1
         }
@@ -626,7 +660,7 @@ object H264 {
           val gx = mx * 2 + cblk % 2
           val gy = my * 2 + cblk / 2
           cbTc(gy * chromaBlkW + gx) = Cavlc.writeResidual(bw,
-            cbData._2(cblk), nCOf(cbTc, chromaBlkW, gx, gy))
+            cbData._2(cblk), nCChromaE(cbTc, gx, gy))
           cblk += 1
         }
         cblk = 0
@@ -634,7 +668,7 @@ object H264 {
           val gx = mx * 2 + cblk % 2
           val gy = my * 2 + cblk / 2
           crTc(gy * chromaBlkW + gx) = Cavlc.writeResidual(bw,
-            crData._2(cblk), nCOf(crTc, chromaBlkW, gx, gy))
+            crData._2(cblk), nCChromaE(crTc, gx, gy))
           cblk += 1
         }
         // ---- reconstruction through the DECODER-shared helpers
@@ -652,10 +686,12 @@ object H264 {
         reconChromaInto(rcb, cbData, mx, my, cw, qpc)
         reconChromaInto(rcr, crData, mx, my, cw, qpc)
         mb += 1
+        }
+        bw.rbspTrailing()
+        (Array[Byte]((3 << 5 | (if (isIdr) 5 else 1)).toByte)) ++ escape(bw.toBytes)
       }
-      bw.rbspTrailing()
       recons += Plane(w, frames.head.height, ry, rcb, rcr)
-      (Array[Byte]((3 << 5 | (if (isIdr) 5 else 1)).toByte)) ++ escape(bw.toBytes)
+      sliceNals
     }
     (Encoded(encodeSps(wMbs, hMbs), encodePps(), nals, wMbs, hMbs),
       recons.result())
@@ -711,13 +747,20 @@ object H264 {
     * in (MB raster, intra-MB z) decode order; when absent, prediction
     * substitutes p[3,-1] (8.3.1.2). */
   private[operators] def i4TrAvailable(mx: Int, my: Int, blkZ: Int,
-      wMbs: Int): Boolean = {
+      wMbs: Int): Boolean = i4TrAvailableSl(mx, my, blkZ, wMbs, 0)
+
+  /** [[i4TrAvailable]] slice-gated: the above-right neighbor must also
+    * live in the CURRENT slice (MB address >= `firstMb`) — 7.4.3
+    * neighbor availability for multi-slice pictures. */
+  private[operators] def i4TrAvailableSl(mx: Int, my: Int, blkZ: Int,
+      wMbs: Int, firstMb: Int): Boolean = {
     val gx = mx * 4 + LumaBlkX(blkZ)
     val gy = my * 4 + LumaBlkY(blkZ)
     val tx = gx + 1
     val ty = gy - 1
     if (ty < 0 || tx >= wMbs * 4) return false
     val tmb = (ty / 4) * wMbs + tx / 4
+    if (tmb < firstMb) return false
     val cmb = my * wMbs + mx
     if (tmb != cmb) tmb < cmb
     else ZIdxOf((ty % 4) * 4 + tx % 4) < blkZ
@@ -1737,6 +1780,8 @@ object H264 {
     var ref: Plane = null
     var filterExact = true
     var subpelMbs = 0
+    // partial multi-slice picture: (plane so far, MBs decoded so far)
+    var partial: Option[(Plane, Int)] = None
     val frames = IndexedSeq.newBuilder[Plane]
     try {
       nals.foreach { nal =>
@@ -1753,18 +1798,24 @@ object H264 {
           case 5 | 1 =>
             val s = sps.getOrElse(return None)
             val p = pps.getOrElse(return None)
-            val (out, sliceExact, sliceSubpel) =
-              decodeSlice(rbsp, s, p, isIdr = nalType == 5, ref)
+            val (out, mbs, sliceExact, sliceSubpel) =
+              decodeSlice(rbsp, s, p, isIdr = nalType == 5, ref, partial)
                 .getOrElse(return None)
             if (!sliceExact) filterExact = false
             subpelMbs += sliceSubpel
-            ref = out
-            frames += out
+            if (mbs == s.widthMbs * s.heightMbs) {
+              // picture complete (single-slice, or the last slice of a
+              // multi-slice picture): emit and make it the reference
+              partial = None
+              ref = out
+              frames += out
+            } else partial = Some((out, mbs))
           case 6 | 9 | 10 | 11 | 12 => // SEI / AU delimiter / end: ignore
           case _ => return None
         }
       }
     } catch { case _: Exception => return None }
+    if (partial.isDefined) return None // stream ends mid-picture: torn
     val fs = frames.result()
     sps match {
       case Some(s) if fs.nonEmpty =>
@@ -2116,21 +2167,40 @@ object H264 {
     out
   }
 
-  /** Decode one slice into a full frame plane. P_Skip macroblocks copy
-    * from `ref` (zero motion, the inter-frame path); I_PCM macroblocks
-    * read raw samples; I_16x16_2_0_0 macroblocks take the real CAVLC
-    * path (entropy-decoded luma DC, inverse Hadamard, dequant, 4x4
-    * IDCT, pixel-wise DC prediction). Anything else → None. */
+  /** Decode one slice into (a possibly still-partial) frame plane.
+    * P_Skip macroblocks copy from `ref` (zero motion, the inter-frame
+    * path); I_PCM macroblocks read raw samples; I_16x16_2_0_0
+    * macroblocks take the real CAVLC path (entropy-decoded luma DC,
+    * inverse Hadamard, dequant, 4x4 IDCT, pixel-wise DC prediction).
+    * Anything else → None.
+    *
+    * MULTI-SLICE pictures (r15): an I picture may arrive as several
+    * contiguous-raster slices — `cont` carries the partial picture a
+    * previous slice built (plane + macroblocks decoded so far), and
+    * `first_mb_in_slice` must equal that count (no FMO: slice groups
+    * were already rejected at PPS parse). Per 7.4.3/8.3, neighbors in
+    * a DIFFERENT slice are unavailable for intra prediction, Intra_4x4
+    * mode prediction, and CAVLC nC derivation — enforced here by
+    * slice-local grids plus `mbInSlice` gating on every availability
+    * check. Multi-slice P pictures remain a CHECKED boundary (the MV
+    * prediction unavailability model is not wired across slices) and
+    * reject with None rather than misdecoding.
+    *
+    * Returns (plane, mbsDecoded, filterExact, subpelMbs); the caller
+    * emits the frame when mbsDecoded reaches the picture's MB count. */
   private def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps, isIdr: Boolean,
-      ref: Plane): Option[(Plane, Boolean, Int)] = {
+      ref: Plane, cont: Option[(Plane, Int)] = None)
+      : Option[(Plane, Int, Boolean, Int)] = {
     val r = new BitReader(rbsp)
     var subpelMbCount = 0 // inter MBs whose MV has a fractional component
-    if (r.ue() != 0) return None // first_mb_in_slice: single-slice only
+    val firstMb = r.ue()
+    if (firstMb != cont.map(_._2).getOrElse(0)) return None // contiguity
     val sliceType = r.ue() % 5 // 5..9 are the "all slices" aliases
     val isI = sliceType == 2
     val isP = sliceType == 0
     if (!isI && !isP) return None // B/SP/SI: out of subset
     if (isIdr && !isI) return None
+    if (firstMb != 0 && isP) return None // multi-slice P: checked boundary
     r.ue() // pic_parameter_set_id
     r.u(sps.log2MaxFrameNum) // frame_num
     if (isIdr) r.ue() // idr_pic_id
@@ -2153,12 +2223,24 @@ object H264 {
       filterOn = idc != 1
       if (idc != 1) { r.se(); r.se() } // alpha/beta offsets: consume
     }
-    // macroblock layer
+    // macroblock layer — the pixel planes continue a partial picture
+    // when this is a continuation slice; everything grid-shaped below
+    // is SLICE-local (different-slice neighbors are unavailable)
     val (w, h) = (sps.width, sps.height)
-    val y = new Array[Byte](w * h)
-    val cb = new Array[Byte]((w / 2) * (h / 2))
-    val cr = new Array[Byte]((w / 2) * (h / 2))
+    val (y, cb, cr) = cont match {
+      case Some((p, _)) => (p.y, p.cb, p.cr)
+      case None => (new Array[Byte](w * h),
+        new Array[Byte]((w / 2) * (h / 2)),
+        new Array[Byte]((w / 2) * (h / 2)))
+    }
     val nMbs = sps.widthMbs * sps.heightMbs
+    // 7.4.3 neighbor availability, slice-gated: a raster-contiguous
+    // slice contains exactly the MBs >= firstMb decoded so far
+    def mbInSlice(m: Int): Boolean = m >= firstMb
+    def hasLOf(mb: Int): Boolean =
+      mb % sps.widthMbs > 0 && mbInSlice(mb - 1)
+    def hasTOf(mb: Int): Boolean =
+      mb >= sps.widthMbs && mbInSlice(mb - sps.widthMbs)
     def copyMbFromRef(mb: Int): Unit = {
       if (ref == null) throw new IllegalArgumentException("skip without ref")
       val (mx, my) = (mb % sps.widthMbs, mb / sps.widthMbs)
@@ -2212,6 +2294,26 @@ object H264 {
     val lumaTc = new Array[Int](lumaBlkW * sps.heightMbs * 4)
     val cbTc = new Array[Int](chromaBlkW * sps.heightMbs * 2)
     val crTc = new Array[Int](chromaBlkW * sps.heightMbs * 2)
+    // slice-gated nC (9.2.1): a neighbor 4x4 block in another slice is
+    // UNAVAILABLE (-1), not TotalCoeff-0 — the grids are slice-local
+    // (fresh per decodeSlice call) so in-slice positions are always
+    // written before read, and the MB-of-block check rules the rest out
+    def nCLuma(gx: Int, gy: Int): Int = {
+      val a = if (gx > 0 && mbInSlice((gy >> 2) * sps.widthMbs + ((gx - 1) >> 2)))
+        lumaTc(gy * lumaBlkW + gx - 1) else -1
+      val b = if (gy > 0 && mbInSlice(((gy - 1) >> 2) * sps.widthMbs + (gx >> 2)))
+        lumaTc((gy - 1) * lumaBlkW + gx) else -1
+      if (a >= 0 && b >= 0) (a + b + 1) >> 1
+      else if (a >= 0) a else if (b >= 0) b else 0
+    }
+    def nCChroma(tcArr: Array[Int], gx: Int, gy: Int): Int = {
+      val a = if (gx > 0 && mbInSlice((gy >> 1) * sps.widthMbs + ((gx - 1) >> 1)))
+        tcArr(gy * chromaBlkW + gx - 1) else -1
+      val b = if (gy > 0 && mbInSlice(((gy - 1) >> 1) * sps.widthMbs + (gx >> 1)))
+        tcArr((gy - 1) * chromaBlkW + gx) else -1
+      if (a >= 0 && b >= 0) (a + b + 1) >> 1
+      else if (a >= 0) a else if (b >= 0) b else 0
+    }
     def fillMbTotals(mb: Int, v: Int): Unit = {
       val mx = mb % sps.widthMbs
       val my = mb / sps.widthMbs
@@ -2261,7 +2363,7 @@ object H264 {
           while (blk < 4) {
             val gx = mx * 2 + blk % 2
             val gy = my * 2 + blk / 2
-            val lv = Cavlc.readResidual(r, nCOf(tcArr, chromaBlkW, gx, gy), 15)
+            val lv = Cavlc.readResidual(r, nCChroma(tcArr, gx, gy), 15)
             arr(blk) = lv
             tcArr(gy * chromaBlkW + gx) = lv.count(_ != 0)
             blk += 1
@@ -2310,24 +2412,28 @@ object H264 {
     def decodeIntra4Mb(mb: Int): Boolean = {
       val mx = mb % sps.widthMbs
       val my = mb / sps.widthMbs
+      val hasL = hasLOf(mb)
+      val hasT = hasTOf(mb)
       val modes = new Array[Int](16)
       var b = 0
       while (b < 16) {
         val gx = mx * 4 + LumaBlkX(b)
         val gy = my * 4 + LumaBlkY(b)
+        // i4Grid is slice-local (-1 = unavailable/not-I4x4), so the
+        // mode predictor is slice-gated for free; the sample
+        // availability flags gate on the neighbor MB's slice
         val pm = predI4Mode(i4Grid, lumaBlkW, gx, gy)
         val mode =
           if (r.u1() == 1) pm
           else { val rem = r.u(3); if (rem < pm) rem else rem + 1 }
-        if (!i4ModeValid(mode, gx > 0, gy > 0)) return false
+        if (!i4ModeValid(mode, LumaBlkX(b) > 0 || hasL,
+            LumaBlkY(b) > 0 || hasT)) return false
         modes(b) = mode
         i4Grid(gy * lumaBlkW + gx) = mode
         b += 1
       }
       val chromaPredMode = r.ue()
       if (chromaPredMode > 3) return false
-      val hasL = mx > 0
-      val hasT = my > 0
       val okC = chromaPredMode match {
         case 1 => hasL
         case 2 => hasT
@@ -2355,7 +2461,7 @@ object H264 {
             val blk = i8 * 4 + j
             val gx = mx * 4 + LumaBlkX(blk)
             val gy = my * 4 + LumaBlkY(blk)
-            val lv = Cavlc.readResidual(r, nCOf(lumaTc, lumaBlkW, gx, gy), 16)
+            val lv = Cavlc.readResidual(r, nCLuma(gx, gy), 16)
             lumaLv(blk) = lv
             lumaTc(gy * lumaBlkW + gx) = lv.count(_ != 0)
             j += 1
@@ -2371,8 +2477,9 @@ object H264 {
         val py0 = my * 16 + LumaBlkY(blk) * 4
         val gx = mx * 4 + LumaBlkX(blk)
         val gy = my * 4 + LumaBlkY(blk)
-        val pred = predIntra4x4(modes(blk), gx > 0, gy > 0,
-          i4TrAvailable(mx, my, blk, sps.widthMbs),
+        val pred = predIntra4x4(modes(blk),
+          LumaBlkX(blk) > 0 || hasL, LumaBlkY(blk) > 0 || hasT,
+          i4TrAvailableSl(mx, my, blk, sps.widthMbs, firstMb),
           (dx, dy) => y((py0 + dy) * w + px0 + dx) & 0xFF)
         val out = recon4x4(pred, lumaLv(blk), qpy)
         var rr = 0
@@ -2481,7 +2588,7 @@ object H264 {
             val blk = i8 * 4 + j
             val gx = mx * 4 + LumaBlkX(blk)
             val gy = my * 4 + LumaBlkY(blk)
-            val lv = Cavlc.readResidual(r, nCOf(lumaTc, lumaBlkW, gx, gy), 16)
+            val lv = Cavlc.readResidual(r, nCLuma(gx, gy), 16)
             lumaLv(blk) = lv
             lumaTc(gy * lumaBlkW + gx) = lv.count(_ != 0)
             j += 1
@@ -2510,8 +2617,8 @@ object H264 {
       if (dq < -26 || dq > 25) return false
       qpy = (qpy + dq + 52) % 52
       val (mx, my) = (mb % sps.widthMbs, mb / sps.widthMbs)
-      val hasL = mx > 0
-      val hasT = my > 0
+      val hasL = hasLOf(mb)
+      val hasT = hasTOf(mb)
       val ok = predMode match {
         case 0 => hasT
         case 1 => hasL
@@ -2527,7 +2634,7 @@ object H264 {
       if (!ok || !okC) return false
       // ---- entropy decode (7.3.5.3 residual order)
       val dcLevels = Cavlc.readResidual(r,
-        nCOf(lumaTc, lumaBlkW, mx * 4, my * 4), 16)
+        nCLuma(mx * 4, my * 4), 16)
       val acLevels: Array[Array[Int]] =
         if (cbpLuma != 0) {
           val arr = new Array[Array[Int]](16)
@@ -2535,7 +2642,7 @@ object H264 {
           while (blk < 16) {
             val gx = mx * 4 + LumaBlkX(blk)
             val gy = my * 4 + LumaBlkY(blk)
-            val lv = Cavlc.readResidual(r, nCOf(lumaTc, lumaBlkW, gx, gy), 15)
+            val lv = Cavlc.readResidual(r, nCLuma(gx, gy), 15)
             arr(blk) = lv
             lumaTc(gy * lumaBlkW + gx) = lv.count(_ != 0)
             blk += 1
@@ -2557,7 +2664,7 @@ object H264 {
           while (blk < 4) {
             val gx = mx * 2 + blk % 2
             val gy = my * 2 + blk / 2
-            val lv = Cavlc.readResidual(r, nCOf(tcArr, chromaBlkW, gx, gy), 15)
+            val lv = Cavlc.readResidual(r, nCChroma(tcArr, gx, gy), 15)
             arr(blk) = lv
             tcArr(gy * chromaBlkW + gx) = lv.count(_ != 0)
             blk += 1
@@ -2604,8 +2711,9 @@ object H264 {
       true
     }
 
-    var mb = 0
-    while (mb < nMbs) {
+    var mb = firstMb
+    var sliceEnd = false
+    while (mb < nMbs && !sliceEnd) {
       if (isP) {
         val skip = r.ue() // mb_skip_run
         if (mb + skip > nMbs) return None
@@ -2645,9 +2753,13 @@ object H264 {
           if (!decodeIntra16Mb(mb, mbType)) return None
         } else return None // unknown: out of subset
         mb += 1
+        // an I slice legitimately ends before the picture does —
+        // multi-slice; the next slice NAL continues at this address
+        if (mb < nMbs && !r.moreRbspData()) sliceEnd = true
       }
     }
-    Some((Plane(w, h, y, cb, cr), !filterOn, subpelMbCount))
+    if (mb == firstMb) return None // a slice with zero macroblocks
+    Some((Plane(w, h, y, cb, cr), mb, !filterOn, subpelMbCount))
   }
 
   // ----------------------------------------------------- MP4 (avcC)

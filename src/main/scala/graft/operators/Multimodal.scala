@@ -549,6 +549,29 @@ object Multimodal {
       (muxAvcMp4(enc, w, h), expected, qp)
     }
 
+    /** MULTI-SLICE textured stream (r15): a TALLER picture (32x64,
+      * 4 MB rows) encoded as 2..4 row-aligned I slices per frame —
+      * the error-resilience/row-parallel structure real footage uses.
+      * Exercises first_mb_in_slice > 0, per-slice nC state, and the
+      * slice-boundary availability gating on both sides of the codec;
+      * returns (mp4 bytes, expected planes, qp, slices). */
+    def makeMp4AvcSliced(text: String): (Array[Byte], IndexedSeq[H264.Plane], Int, Int) = {
+      val n = textLen(text)
+      val (w, h) = (32, 64) // hMbs = 4: room for up to 4 slices
+      val slices = 2 + n % 3 // 2..4
+      val frames = (0 until (1 + n % 2)).map { k =>
+        H264.Plane(w, h,
+          Array.tabulate(w * h)(i => h264TexPix(n, k, i % w, i / w, 0).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264TexPix(n, k, i % (w / 2), i / (w / 2), 1).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264TexPix(n, k, i % (w / 2), i / (w / 2), 2).toByte))
+      }
+      val qp = h264TexQp(n)
+      val (enc, expected) = H264.encodeCavlcTextured(frames, qp, slices)
+      (muxAvcMp4(enc, w, h), expected, qp, slices)
+    }
+
     /** Textured pixel with GLOBAL MOTION for the Intra_4x4/P-frame
       * stream: frame k shows the frame-0 pattern shifted by (2k, k),
       * so the full-pel search finds real vectors and residual blocks
@@ -888,6 +911,54 @@ object Multimodal {
         }
       }.toDF("doc_id", "n_frames", "width", "height", "qp", "exact",
         "fidelity_ok")
+  }
+
+  /** C12 multi-slice gate (r15): per doc, build a 32x64 textured H.264
+    * mp4 whose every picture is 2..4 row-aligned I SLICES
+    * ([[MediaGen.makeMp4AvcSliced]]), decode it through the mux/demux
+    * + bitstream chain, and pin
+    *
+    *  - `exact`: decoded planes equal the encoder's independent
+    *    reconstruction BIT-FOR-BIT — any desync in first_mb_in_slice
+    *    handling, per-slice nC state, or the slice-boundary
+    *    availability gating corrupts pixels and flips this false;
+    *  - `n_slices`: replayed closed-form by the oracle, so the gate
+    *    cannot silently degrade to single-slice streams;
+    *  - `fidelity_ok`: frame-0 luma MAD vs the closed-form source < 6
+    *    (qp ≤ 28 calibration) — guards against a vacuous match.
+    *
+    * Scale shape: one mapPartitions projection, no shuffle. */
+  def h264SlicedAudit(spark: SparkSession, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val n = MediaGen.textLen(text)
+          val (mp4, expected, qp, slices) = MediaGen.makeMp4AvcSliced(text)
+          val dec = H264.decodeMp4(mp4).getOrElse(
+            throw new IllegalStateException(
+              s"generated multi-slice H.264 stream failed to decode for doc $id"))
+          val exact = dec.frames.length == expected.length &&
+            dec.frames.zip(expected).forall { case (g, e) =>
+              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
+                g.cr.sameElements(e.cr)
+            }
+          val y0 = dec.frames.head.y
+          var sad = 0L
+          var i = 0
+          while (i < y0.length) {
+            sad += math.abs((y0(i) & 0xFF) -
+              MediaGen.h264TexPix(n, 0, i % dec.width, i / dec.width, 0))
+            i += 1
+          }
+          val fidelityOk = sad.toDouble / y0.length < 6.0
+          (id, dec.frames.length, dec.width, dec.height, qp, slices,
+            exact, fidelityOk)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "qp", "n_slices",
+        "exact", "fidelity_ok")
   }
 
   /** C12 Intra_4x4/inter gate: per doc, build a MOVING-SCENE H.264 mp4

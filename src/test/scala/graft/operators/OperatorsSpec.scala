@@ -601,17 +601,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.95), pairs.mkString(";"))
   }
 
-  test("embeddingNearDup occupancy cap bounds a degenerate all-identical corpus") {
+  test("embeddingNearDup occupancy cap degrades to hub-star, never drops") {
     // 400 identical vectors: every row lands in the SAME (tbl, bucket)
     // in all 8 tables — uncapped, the candidate self-join is 400² per
-    // table. With the cap below the bucket size the overflowing buckets
-    // are skipped and the query completes with an empty (not quadratic)
-    // candidate set.
+    // table. With the cap below the bucket size the saturated bucket
+    // keeps only its min-id HUB on the left side of the join, so the
+    // family degrades to exactly the 399 linear hub edges (r15; the
+    // previous capBuckets behavior dropped the bucket wholesale and
+    // emitted ZERO pairs for exactly the corpora dedup exists for) —
+    // and the family stays one connected component through the hub.
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val df = (0L until 400L).map(i => (i, v)).toDF("vec_id", "embedding")
     val capped = Similarity.embeddingNearDup(df, "vec_id", "embedding",
-      threshold = 0.95, maxBucket = 100)
-    assert(capped.count() == 0)
+      threshold = 0.95, maxBucket = 100).collect()
+    assert(capped.length == 399, s"expected 399 hub edges, got ${capped.length}")
+    assert(capped.forall(_.getLong(0) == 0L)) // id_a is always the hub
+    assert(capped.map(_.getLong(1)).sorted.toSeq == (1L until 400L))
     // raising the cap above the corpus size restores the full pair set
     val uncapped = Similarity.embeddingNearDup(df, "vec_id", "embedding",
       threshold = 0.95, maxBucket = 1000)
@@ -1146,6 +1151,58 @@ class OperatorsSpec extends AnyFunSuite {
       mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
       H264.decodeNals(Seq(enc1.sps, enc1.pps, mutated))
     }
+  }
+
+  test("H.264 MULTI-SLICE pictures encode/decode pixel-exact (C12 r15)") {
+    def textured(wPix: Int, hPix: Int, nFrames: Int): IndexedSeq[H264.Plane] =
+      (0 until nFrames).map { f =>
+        def pix(x: Int, y: Int, c: Int): Byte = {
+          val h = (x * 31 + y * 17 + f * 101 + c * 59) * 2654435761L
+          ((x * 2 + y + ((h >>> 33) % 97)).toInt & 0xFF).toByte
+        }
+        H264.Plane(wPix, hPix,
+          Array.tabulate(wPix * hPix)(i => pix(i % wPix, i / wPix, 0)),
+          Array.tabulate(wPix / 2 * (hPix / 2))(i => pix(i % (wPix / 2), i / (wPix / 2), 1)),
+          Array.tabulate(wPix / 2 * (hPix / 2))(i => pix(i % (wPix / 2), i / (wPix / 2), 2)))
+      }
+    for {
+      (wPix, hPix, nF) <- Seq((32, 64, 2), (48, 48, 1), (64, 96, 3))
+      slices <- Seq(2, 3)
+      qp <- Seq(20, 28, 36)
+      if slices <= hPix / 16
+    } {
+      val frames = textured(wPix, hPix, nF)
+      val (enc, expected) = H264.encodeCavlcTextured(frames, qp, slices)
+      // each picture must genuinely be `slices` NALs
+      assert(enc.frameNals.length == slices * nF)
+      val dec = H264.decodeNals(Seq(enc.sps, enc.pps) ++ enc.frameNals)
+      assert(dec.isDefined, s"decode failed ${wPix}x$hPix slices=$slices qp=$qp")
+      val got = dec.get.frames
+      assert(got.length == nF, s"frame count: ${got.length} != $nF")
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g.y.sameElements(e.y),
+          s"luma mismatch frame $i ${wPix}x$hPix slices=$slices qp=$qp")
+        assert(g.cb.sameElements(e.cb), s"cb mismatch frame $i slices=$slices")
+        assert(g.cr.sameElements(e.cr), s"cr mismatch frame $i slices=$slices")
+      }
+      // sliced and unsliced encodes agree at the PIXEL level only via
+      // their own reconstructions (slice boundaries change prediction);
+      // both must track the source at low QP
+      if (qp <= 28) {
+        val src = frames.head.y.map(_ & 0xFF)
+        val rec = got.head.y.map(_ & 0xFF)
+        val mad = src.zip(rec).map { case (a, b) => math.abs(a - b) }.sum /
+          src.length.toDouble
+        assert(mad < 6.0, s"mean abs err $mad slices=$slices qp=$qp")
+      }
+    }
+    // torn multi-slice picture (stream ends mid-picture) → clean None
+    val (encT, _) = H264.encodeCavlcTextured(textured(32, 64, 1), 28, slices = 4)
+    assert(H264.decodeNals(
+      Seq(encT.sps, encT.pps) ++ encT.frameNals.dropRight(1)).isEmpty)
+    // non-contiguous slices (gap) → clean None
+    assert(H264.decodeNals(
+      Seq(encT.sps, encT.pps, encT.frameNals.head, encT.frameNals.last)).isEmpty)
   }
 
   test("H.264 Intra_4x4 + P-frame encode/decode is pixel-exact (C12)") {
