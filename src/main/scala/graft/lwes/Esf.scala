@@ -1,0 +1,203 @@
+package graft.lwes
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+
+/** One attribute declaration from an ESF event template.
+  *
+  * `token` is the LWES wire token the declared type maps to (array
+  * declarations carry the array token). `required`/`nullable` are the
+  * modern ESF qualifiers; `arrayLen` is the declared max element count
+  * (schema-irrelevant, kept for write-side validation); `default` is
+  * the raw default-value literal, recorded verbatim.
+  */
+final case class EsfAttr(name: String, typeName: String, token: Byte,
+    required: Boolean, nullable: Boolean, arrayLen: Option[Int],
+    default: Option[String])
+
+/** A parsed `.esf` template database — the lwes ecosystem's schema
+  * declaration (lwes.org Event Specification Format; lwes-java
+  * `EventTemplateDB`). The reference deployment got its schema from
+  * Hive DDL instead (reference README:41-59); real lwes deployments
+  * keep `.esf` files, and this is the Spark-side consumer for them:
+  * `spark.read.format("lwes").option("esf", path)` derives the
+  * DataFrame schema from the template, and the write path validates
+  * rows against it.
+  *
+  * `MetaEventInfo` is the standard meta-template whose attributes are
+  * shared by every event (the lwes-java semantics); [[attrsFor]]
+  * returns an event's own declarations first, then unshadowed meta
+  * attributes, both in declaration order.
+  */
+final case class EsfTemplateDb(events: ListMap[String, Seq[EsfAttr]])
+    extends Serializable {
+
+  def meta: Seq[EsfAttr] = events.getOrElse(Esf.MetaEvent, Nil)
+
+  /** Event names declared by the template (meta excluded). */
+  def eventNames: Seq[String] =
+    events.keys.filterNot(_ == Esf.MetaEvent).toSeq
+
+  /** Declared + unshadowed meta attributes for one event, in
+    * declaration order; None when the template doesn't declare it. */
+  def attrsFor(event: String): Option[Seq[EsfAttr]] =
+    events.get(event).map { own =>
+      val shadowed = own.map(_.name).toSet
+      own ++ meta.filterNot(a => shadowed(a.name))
+    }
+
+  def attrMapFor(event: String): Option[Map[String, EsfAttr]] =
+    attrsFor(event).map(_.map(a => a.name -> a).toMap)
+}
+
+/** Parser for the public ESF grammar:
+  *
+  * {{{
+  * # comment to end of line
+  * EventName
+  * {
+  *   type attrName;                # classic declaration
+  *   type listName[20];            # array with max length
+  *   required type attrName;       # modern qualifiers
+  *   nullable type listName[5];
+  *   type attrName = <literal>;    # default value
+  * }
+  * }}}
+  *
+  * Types: `uint16 int16 uint32 int32 int64 uint64 boolean string
+  * ip_addr byte float double` (the lwes-java TypeID names; `ipaddr` is
+  * accepted as an alias). Parse errors carry line numbers and the
+  * offending token — a template typo should read as a template typo.
+  */
+object Esf {
+
+  val MetaEvent = "MetaEventInfo"
+
+  /** Declared-type name → scalar wire token. */
+  val TypeTokens: Map[String, Byte] = Map(
+    "uint16" -> LwesType.UInt16, "int16" -> LwesType.Int16,
+    "uint32" -> LwesType.UInt32, "int32" -> LwesType.Int32,
+    "string" -> LwesType.Str, "ip_addr" -> LwesType.IpAddr,
+    "ipaddr" -> LwesType.IpAddr, "int64" -> LwesType.Int64,
+    "uint64" -> LwesType.UInt64, "boolean" -> LwesType.Bool,
+    "byte" -> LwesType.ByteT, "float" -> LwesType.Float,
+    "double" -> LwesType.Double)
+
+  private val Qualifiers = Set("required", "optional", "nullable")
+
+  private final case class Tok(text: String, line: Int)
+
+  private def tokenize(text: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var line = 1
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\n') { line += 1; i += 1 }
+      else if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < n && text.charAt(i) != '\n') i += 1 }
+      else if (c == '{' || c == '}' || c == ';' || c == '[' || c == ']' ||
+          c == '=') { out += Tok(c.toString, line); i += 1 }
+      else if (c == '"') {
+        val sb = new StringBuilder("\"")
+        i += 1
+        while (i < n && text.charAt(i) != '"') {
+          if (text.charAt(i) == '\n') line += 1
+          sb += text.charAt(i); i += 1
+        }
+        if (i >= n) throw new IllegalArgumentException(
+          s"esf parse error: unterminated string literal at line $line")
+        sb += '"'; i += 1
+        out += Tok(sb.toString, line)
+      } else {
+        val start = i
+        while (i < n && !text.charAt(i).isWhitespace &&
+            !"{};[]=#\"".contains(text.charAt(i))) i += 1
+        out += Tok(text.substring(start, i), line)
+      }
+    }
+    out.result()
+  }
+
+  def parse(text: String): EsfTemplateDb = {
+    val toks = tokenize(text)
+    var i = 0
+    def err(msg: String, at: Int): Nothing = {
+      val where = if (at < toks.length) s"'${toks(at).text}' at line ${toks(at).line}"
+        else "end of input"
+      throw new IllegalArgumentException(s"esf parse error: $msg, got $where")
+    }
+    def expect(t: String): Unit =
+      if (i < toks.length && toks(i).text == t) i += 1
+      else err(s"expected '$t'", i)
+    val events = mutable.LinkedHashMap[String, Vector[EsfAttr]]()
+    while (i < toks.length) {
+      val evName = toks(i).text
+      if (!evName.headOption.exists(c => c.isLetter || c == '_'))
+        err("expected an event name", i)
+      i += 1
+      expect("{")
+      val attrs = Vector.newBuilder[EsfAttr]
+      while (i < toks.length && toks(i).text != "}") {
+        var required = false
+        var nullable = false
+        while (i < toks.length && Qualifiers(toks(i).text)) {
+          toks(i).text match {
+            case "required" => required = true
+            case "nullable" => nullable = true
+            case _ => // "optional" is the default
+          }
+          i += 1
+        }
+        val typeName = if (i < toks.length) toks(i).text else err("expected a type", i)
+        val scalarTok = TypeTokens.getOrElse(typeName.toLowerCase,
+          err(s"unknown esf type '$typeName' (expected one of " +
+            s"${TypeTokens.keys.toSeq.sorted.mkString(", ")})", i))
+        i += 1
+        val attrName = if (i < toks.length) toks(i).text else err("expected an attribute name", i)
+        if (!attrName.headOption.exists(c => c.isLetter || c == '_'))
+          err("expected an attribute name", i)
+        i += 1
+        var arrayLen: Option[Int] = None
+        if (i < toks.length && toks(i).text == "[") {
+          i += 1
+          val lenTok = if (i < toks.length) toks(i).text else err("expected an array length", i)
+          arrayLen = Some(lenTok.toIntOption.getOrElse(
+            err("expected an integer array length", i)))
+          i += 1
+          expect("]")
+        }
+        var default: Option[String] = None
+        if (i < toks.length && toks(i).text == "=") {
+          i += 1
+          default = Some(if (i < toks.length) toks(i).text else err("expected a default value", i))
+          i += 1
+        }
+        expect(";")
+        val token = if (arrayLen.isDefined)
+          (scalarTok | LwesType.ArrayBit).toByte else scalarTok
+        attrs += EsfAttr(attrName, typeName.toLowerCase, token,
+          required, nullable, arrayLen, default)
+      }
+      expect("}")
+      val built = attrs.result()
+      // a repeated event block extends the earlier one (lwes-java
+      // re-registration semantics: last declaration of an attr wins)
+      val prev = events.getOrElse(evName, Vector.empty)
+      val replaced = built.map(_.name).toSet
+      events(evName) = prev.filterNot(a => replaced(a.name)) ++ built
+    }
+    EsfTemplateDb(ListMap.from(events))
+  }
+
+  /** Parse a template from a (possibly remote) file. */
+  def load(path: String, conf: org.apache.hadoop.conf.Configuration): EsfTemplateDb = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try parse(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+}

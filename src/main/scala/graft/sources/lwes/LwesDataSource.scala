@@ -314,59 +314,75 @@ object LwesDataSource {
     else new JournalReader(in, nameFilter, wanted)
   }
 
-  /** Sample journals → schema. Header attrs are always present
-    * (the journal layer injects them, DatagramPacketInputStream.java:75-78). */
+  /** Sample journals → schema; or, with `.option("esf", path)`, derive
+    * the schema from the ESF event template ([[graft.lwes.Esf]]) with
+    * NO sampling pass — the template is authoritative, works on empty
+    * directories, and is how real lwes deployments declare schemas
+    * (the reference needed Hive DDL instead, README:41-59). Header
+    * attrs are always present either way (the journal layer injects
+    * them, DatagramPacketInputStream.java:75-78). */
   def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = hadoopConf()
     val roots = paths(options)
-    val files = listFiles(roots, conf)
-    require(files.nonEmpty, s"no LWES journal files under ${roots.mkString(",")}")
-    val maxEvents = options.getInt(LwesOptions.InferMaxEvents, 1000)
-    val maxFiles = options.getInt(LwesOptions.InferMaxFiles, 8)
     val eventName = Option(options.get(LwesOptions.EventName))
     val (attrFor, eventFor) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
     val u64Dec = "decimal".equalsIgnoreCase(options.getOrDefault(LwesOptions.Uint64As, "long"))
+    val esfDb = Option(options.get(LwesOptions.Esf))
+      .map(p => graft.lwes.Esf.load(p, conf))
+    lazy val listed = listFiles(roots, conf)
 
-    val nameFilter: String => Boolean =
-      if (eventName.isDefined) n => n == eventName.get
-      else if (eventFor.nonEmpty) eventFor.values.toSet
-      else null
+    val fields: Seq[StructField] = esfDb match {
+      case Some(db) => esfFields(db, eventName, attrFor, eventFor, u64Dec)
+      case None =>
+        val files = listed
+        require(files.nonEmpty, s"no LWES journal files under ${roots.mkString(",")}")
+        val maxEvents = options.getInt(LwesOptions.InferMaxEvents, 1000)
+        val maxFiles = options.getInt(LwesOptions.InferMaxFiles, 8)
 
-    // attr -> widened type, preserving first-seen order
-    val seen = mutable.LinkedHashMap[String, DataType]()
-    var n = 0
-    files.take(maxFiles).foreach { f =>
-      if (n < maxEvents) {
-        val r = openReader(f.getPath.toString, conf, nameFilter, null)
-        try {
-          val it = r.iterator
-          while (it.hasNext && n < maxEvents) {
-            val ev = it.next()
-            ev.attrs.foreach { a =>
-              val t = LwesOptions.sparkTypeFor(a.token, u64Dec)
-              seen.updateWith(a.key) {
-                case Some(prev) => Some(LwesOptions.widen(prev, t))
-                case None => Some(t)
+        val nameFilter: String => Boolean =
+          if (eventName.isDefined) n => n == eventName.get
+          else if (eventFor.nonEmpty) eventFor.values.toSet
+          else null
+
+        // attr -> widened type, preserving first-seen order
+        val seen = mutable.LinkedHashMap[String, DataType]()
+        var n = 0
+        files.take(maxFiles).foreach { f =>
+          if (n < maxEvents) {
+            val r = openReader(f.getPath.toString, conf, nameFilter, null)
+            try {
+              val it = r.iterator
+              while (it.hasNext && n < maxEvents) {
+                val ev = it.next()
+                ev.attrs.foreach { a =>
+                  val t = LwesOptions.sparkTypeFor(a.token, u64Dec)
+                  seen.updateWith(a.key) {
+                    case Some(prev) => Some(LwesOptions.widen(prev, t))
+                    case None => Some(t)
+                  }
+                }
+                n += 1
               }
-            }
-            n += 1
+            } finally r.close()
           }
-        } finally r.close()
-      }
+        }
+        if (attrFor.nonEmpty) {
+          // mapped columns only, named per mapping
+          attrFor.toSeq.map { case (col, attr) =>
+            StructField(col, seen.getOrElse(attr, StringType), nullable = true)
+          }
+        } else {
+          seen.toSeq.map { case (k, t) => StructField(k, t, nullable = true) }
+        }
     }
 
-    val fields: Seq[StructField] =
-      if (attrFor.nonEmpty) {
-        // mapped columns only, named per mapping
-        attrFor.toSeq.map { case (col, attr) =>
-          StructField(col, seen.getOrElse(attr, StringType), nullable = true)
-        }
-      } else {
-        seen.toSeq.map { case (k, t) => StructField(k, t, nullable = true) }
-      }
-
-    // path-derived partition columns (A14)
-    val pcols = files.headOption.map(f =>
+    // path-derived partition columns (A14); with an ESF template an
+    // empty/absent directory is legal — then there are none to derive
+    val pfile =
+      if (esfDb.isDefined)
+        try listed.headOption catch { case _: Exception => None }
+      else listed.headOption
+    val pcols = pfile.map(f =>
       partitionValues(f.getPath, roots).keys.toSeq.sorted).getOrElse(Nil)
       .filterNot(c => fields.exists(_.name == c))
       .map(c => StructField(c, StringType, nullable = true))
@@ -378,6 +394,46 @@ object LwesDataSource {
       .map(c => StructField(c, StringType, nullable = false))
 
     StructType(fields ++ pcols ++ ncol)
+  }
+
+  /** Template-derived fields: the requested event's declarations (meta
+    * merged), a mapping's looked-up targets, or — with neither — the
+    * widened union of every declared event, all in declaration order. */
+  private def esfFields(db: graft.lwes.EsfTemplateDb,
+      eventName: Option[String], attrFor: Map[String, String],
+      eventFor: Map[String, String], u64Dec: Boolean): Seq[StructField] = {
+    def attrsOf(event: String): Seq[graft.lwes.EsfAttr] =
+      db.attrsFor(event).getOrElse(throw new IllegalArgumentException(
+        s"esf: event '$event' is not declared in the template " +
+          s"(declared events: ${db.eventNames.mkString(", ")})"))
+    def typeOf(a: graft.lwes.EsfAttr): DataType =
+      LwesOptions.sparkTypeFor(a.token, u64Dec)
+    if (attrFor.nonEmpty)
+      attrFor.toSeq.map { case (col, attr) =>
+        val declared = eventFor.get(col).orElse(eventName) match {
+          case Some(e) => attrsOf(e).find(_.name == attr)
+          case None => db.eventNames.iterator
+            .flatMap(e => attrsOf(e).find(_.name == attr)).nextOption()
+        }
+        val a = declared.getOrElse(throw new IllegalArgumentException(
+          s"esf: mapped attribute '$attr' (column '$col') is not declared " +
+            s"in the template"))
+        StructField(col, typeOf(a), nullable = true)
+      }
+    else eventName match {
+      case Some(e) =>
+        attrsOf(e).map(a => StructField(a.name, typeOf(a), nullable = true))
+      case None =>
+        val seen = mutable.LinkedHashMap[String, DataType]()
+        db.eventNames.foreach(e => attrsOf(e).foreach { a =>
+          val t = typeOf(a)
+          seen.updateWith(a.name) {
+            case Some(prev) => Some(LwesOptions.widen(prev, t))
+            case None => Some(t)
+          }
+        })
+        seen.toSeq.map { case (k, t) => StructField(k, t, nullable = true) }
+    }
   }
 }
 
@@ -992,6 +1048,28 @@ object LwesScan {
     self ++ plan.children.flatMap(scansIn) ++ plan.subqueries.flatMap(scansIn)
   }
 
+  /** Post-execution sum of one custom scan metric (by name) across
+    * every lwes scan in the plan — the driver-side view of the task
+    * metrics (eventsParsed/eventsSkipped/rowsFiltered/...), for gates
+    * and specs that assert the parser actually did the pushed work
+    * (e.g. a nonzero rowsFiltered under attribute-predicate
+    * pushdown). */
+  def scanMetricSum(plan: org.apache.spark.sql.execution.SparkPlan,
+      name: String): Long = {
+    val self = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanMetricSum(a.executedPlan, name)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scanMetricSum(q.plan, name)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[LwesScan] =>
+        b.metrics.get(name).map(_.value).getOrElse(0L)
+      case _ => 0L
+    }
+    self + plan.children.map(scanMetricSum(_, name)).sum +
+      plan.subqueries.map(scanMetricSum(_, name)).sum
+  }
+
   /** Bin-pack small files into shared tasks, Spark's own FilePartition
     * policy (maxSplitBytes = min(files.maxPartitionBytes,
     * max(openCostInBytes, totalBytes / defaultParallelism))): a
@@ -1392,6 +1470,47 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
   private var current: InternalRow = _
   private var corrupt = false
   private var emitted = 0
+  private var filtered = 0L
+
+  // Pushed attribute predicates, evaluated on each event BEFORE the
+  // full row materializes (the row-path counterpart of the columnar
+  // reader's in-parse short-circuit — this path still parses the
+  // event, but a non-matching record never shapes, allocates, or
+  // crosses into the query). Only definite failures drop a record;
+  // Spark re-applies every filter as residual, so deferred shapes
+  // cost nothing but a pass-through.
+  private val rowFilters: Array[(Int, Any => Boolean)] = {
+    def idx(a: String): Option[Int] =
+      if (schema.fieldNames.contains(a)) Some(schema.fieldIndex(a)) else None
+    def num(a: String, p: Long => Boolean): Option[(Int, Any => Boolean)] =
+      idx(a).map(i => (i, (x: Any) => x != null &&
+        p(x.asInstanceOf[Number].longValue())))
+    config.attrFilters.toArray.flatMap {
+      case EqualTo(a, v: String) =>
+        val lit = UTF8String.fromString(v)
+        idx(a).map(i => (i, (x: Any) => x != null &&
+          x.asInstanceOf[UTF8String].equals(lit)))
+      case EqualTo(a, v: Number) => num(a, _ == v.longValue())
+      case GreaterThan(a, v: Number) => num(a, _ > v.longValue())
+      case GreaterThanOrEqual(a, v: Number) => num(a, _ >= v.longValue())
+      case LessThan(a, v: Number) => num(a, _ < v.longValue())
+      case LessThanOrEqual(a, v: Number) => num(a, _ <= v.longValue())
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        idx(a).map(i => (i, (x: Any) => x != null))
+      case _ => None
+    }
+  }
+
+  /** False when a pushed predicate definitely rejects this event. */
+  private def passesRowFilters(ev: graft.lwes.LwesEvent): Boolean = {
+    var j = 0
+    while (j < rowFilters.length) {
+      val (i, p) = rowFilters(j)
+      if (!p(shape.valueFor(i, ev, partition.partitionValues))) return false
+      j += 1
+    }
+    true
+  }
 
   // Construction already reads (magic-byte sniff + decompressor
   // buffering): a file torn inside its first compressed block throws
@@ -1440,17 +1559,23 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
 
   override def next(): Boolean = {
     if (config.limit >= 0 && emitted >= config.limit) return false
-    val ev = nextEvent()
-    if (ev == null) return false
-    val row = new GenericInternalRow(nCols)
-    var i = 0
-    while (i < nCols) {
-      row.update(i, shape.valueFor(i, ev, partition.partitionValues))
-      i += 1
+    while (true) {
+      val ev = nextEvent()
+      if (ev == null) return false
+      if (rowFilters.isEmpty || passesRowFilters(ev)) {
+        val row = new GenericInternalRow(nCols)
+        var i = 0
+        while (i < nCols) {
+          row.update(i, shape.valueFor(i, ev, partition.partitionValues))
+          i += 1
+        }
+        current = row
+        emitted += 1
+        return true
+      }
+      filtered += 1
     }
-    current = row
-    emitted += 1
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = current
@@ -1462,5 +1587,6 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
       LwesTaskMetric("eventsSkipped", skipped),
       LwesTaskMetric("tornFiles", if (corrupt) 1L else 0L),
       LwesTaskMetric("corruptRecords",
-        if (reader != null) reader.corruptRecords else 0L))
+        if (reader != null) reader.corruptRecords else 0L),
+      LwesTaskMetric("rowsFiltered", filtered))
 }

@@ -112,6 +112,18 @@ object LwesOptions {
   // files.maxPartitionBytes/openCostInBytes/defaultParallelism).
   val SplitFrameBytes = "frameBytes"
   val SplitTargetBytes = "splitTargetBytes"
+  // ESF event-template file (lwes.org Event Specification Format —
+  // graft.lwes.Esf). Read side: the DataFrame schema comes from the
+  // template (no sampling pass, works on empty directories) — the
+  // Spark parity for how real lwes deployments declare schemas, where
+  // the reference needed Hive DDL (README:41-59). Write side: rows are
+  // VALIDATED against the template — out-of-template attributes,
+  // incompatible column types, undeclared event names (eventNameColumn
+  // writes), and null required attributes all fail with a named
+  // EsfValidationException — and attribute values are encoded with the
+  // template's DECLARED wire types (a template `float` writes the
+  // native float token, not the classic float-as-string fallback).
+  val Esf = "esf"
 
   /** Parse `mapping` option: `col:Attr` / `col:Event::Name::Field`. */
   def parseMapping(mapping: String): (Map[String, String], Map[String, String]) = {
@@ -298,6 +310,113 @@ object LwesOptions {
       case other =>
         throw new IllegalArgumentException(
           s"LWES cannot carry Spark type $other (reference EventSerDe.java:443-447)")
+    }
+  }
+
+  /** Can a Spark column of type `dt` be written as template token
+    * `token`? The allowance set mirrors [[setAttrAs]] exactly —
+    * anything `true` here encodes without loss of the declared type's
+    * wire representation (integral widths may NARROW on the wire when
+    * the template says so, matching lwes-java EventTemplateDB's
+    * coerce-to-template behavior). */
+  def esfWriteCompatible(dt: DataType, token: Byte): Boolean = (token, dt) match {
+    case (LwesType.Bool, BooleanType) => true
+    case (LwesType.ByteT, ByteType) => true
+    case (LwesType.Int16, ByteType | ShortType) => true
+    case (LwesType.UInt16, ByteType | ShortType | IntegerType) => true
+    case (LwesType.Int32, ByteType | ShortType | IntegerType) => true
+    case (LwesType.UInt32, ByteType | ShortType | IntegerType | LongType) => true
+    case (LwesType.Int64, ByteType | ShortType | IntegerType | LongType) => true
+    case (LwesType.UInt64, ByteType | ShortType | IntegerType | LongType) => true
+    case (LwesType.UInt64, _: DecimalType) => true
+    case (LwesType.Float, FloatType) => true
+    case (LwesType.Double, FloatType | DoubleType) => true
+    // template `string` keeps the classic float/double-as-string parity
+    case (LwesType.Str, StringType | FloatType | DoubleType) => true
+    case (LwesType.IpAddr, StringType) => true
+    case (LwesType.ByteArray, BinaryType) => true
+    case (t, ArrayType(et, _)) if LwesType.isArray(t) =>
+      esfWriteCompatible(et, LwesType.elementOf(t))
+    case _ => false
+  }
+
+  /** Write `v` as the TEMPLATE-declared wire token (ESF write path):
+    * the declared type wins over [[setAttr]]'s column-type-driven
+    * choice, so a template `float` gets the native float token and a
+    * template `uint16` narrows an int column to the uint16 encoding.
+    * Callers guarantee [[esfWriteCompatible]] held for (dt, token). */
+  def setAttrAs(ev: LwesEvent, attr: String, token: Byte, dt: DataType,
+      v: Any): Unit = {
+    if (v == null) return
+    token match {
+      case LwesType.Bool => ev.setBool(attr, v.asInstanceOf[Boolean])
+      case LwesType.ByteT => ev.setByte(attr, v.asInstanceOf[Byte])
+      case LwesType.Int16 => ev.setInt16(attr, numAsLong(v).toShort)
+      case LwesType.UInt16 => ev.setUInt16(attr, numAsLong(v).toInt & 0xffff)
+      case LwesType.Int32 => ev.setInt32(attr, numAsLong(v).toInt)
+      case LwesType.UInt32 => ev.setUInt32(attr, numAsLong(v) & 0xffffffffL)
+      case LwesType.Int64 => ev.setInt64(attr, numAsLong(v))
+      case LwesType.UInt64 => v match {
+        case d: Decimal =>
+          ev.setUInt64(attr, d.toJavaBigDecimal.toBigInteger.longValue())
+        case other => ev.setUInt64(attr, numAsLong(other))
+      }
+      case LwesType.Float => ev.setFloat(attr, v.asInstanceOf[Float])
+      case LwesType.Double => v match {
+        case f: Float => ev.setDouble(attr, f.toDouble)
+        case d: Double => ev.setDouble(attr, d)
+        case other => throw new IllegalArgumentException(s"not a double: $other")
+      }
+      case LwesType.Str => ev.setString(attr, v.toString)
+      case LwesType.IpAddr => ev.setIpAddr(attr, LwesEvent.parseIp(v.toString))
+      case LwesType.ByteArray => v match {
+        case b: Array[Byte] => ev.setByteArray(attr, b)
+        case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+          ev.setByteArray(attr, ad.toByteArray())
+        case other => throw new IllegalArgumentException(s"not bytes: $other")
+      }
+      case t if LwesType.isArray(t) =>
+        val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require((0 until ad.numElements()).forall(!ad.isNullAt(_)),
+          s"LWES array attr '$attr' cannot carry NULL elements " +
+            "(no nullable-array wire token in scope)")
+        val et = LwesType.elementOf(t)
+        val n = ad.numElements()
+        et match {
+          case LwesType.Int16 =>
+            ev.setInt16Array(attr, Array.tabulate(n)(j =>
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType)).toShort))
+          case LwesType.UInt16 =>
+            ev.setUInt16Array(attr, Array.tabulate(n)(j =>
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType)).toInt & 0xffff))
+          case LwesType.Int32 =>
+            ev.setInt32Array(attr, Array.tabulate(n)(j =>
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType)).toInt))
+          case LwesType.UInt32 =>
+            ev.setUInt32Array(attr, Array.tabulate(n)(j =>
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType)) & 0xffffffffL))
+          case LwesType.Int64 =>
+            ev.setInt64Array(attr, Array.tabulate(n)(j =>
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType))))
+          case LwesType.UInt64 =>
+            ev.setUInt64Array(attr, Array.tabulate(n)(j =>
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType))))
+          case LwesType.Float => ev.setFloatArray(attr, ad.toFloatArray())
+          case LwesType.Double => dt.asInstanceOf[ArrayType].elementType match {
+            case FloatType =>
+              ev.setDoubleArray(attr, ad.toFloatArray().map(_.toDouble))
+            case _ => ev.setDoubleArray(attr, ad.toDoubleArray())
+          }
+          case LwesType.Bool => ev.setBoolArray(attr, ad.toBooleanArray())
+          case LwesType.Str => ev.setStringArray(attr,
+            (0 until n).map(j => ad.getUTF8String(j).toString).toArray)
+          case LwesType.IpAddr => ev.setIpAddrArray(attr,
+            (0 until n).map(j => LwesEvent.parseIp(ad.getUTF8String(j).toString)).toArray)
+          case other => throw new IllegalArgumentException(
+            s"esf: unsupported array element token $other for '$attr'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"esf: unsupported template token $other for '$attr'")
     }
   }
 

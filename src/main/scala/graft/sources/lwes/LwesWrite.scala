@@ -47,7 +47,8 @@ final case class LwesCommitMessage(path: String, count: Long,
   * itself is not written as an attribute. */
 private[lwes] final case class LwesWriteConfig(path: String, eventName: String,
     attrFor: Map[String, String], compression: String, partitionBy: Seq[String],
-    eventNameCol: Option[String] = None, frameBytes: Int = 4 << 20)
+    eventNameCol: Option[String] = None, frameBytes: Int = 4 << 20,
+    esf: Option[graft.lwes.EsfTemplateDb] = None)
 
 private[lwes] object LwesWriteConfig {
   /** `split-zstd` writes the splittable `.zsj` container
@@ -77,7 +78,11 @@ private[lwes] object LwesWriteConfig {
       Option(options.get("partitionBy")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
       Option(options.get(LwesOptions.EventNameColumn)),
-      frameBytes = options.getInt(LwesOptions.SplitFrameBytes, 4 << 20))
+      frameBytes = options.getInt(LwesOptions.SplitFrameBytes, 4 << 20),
+      // parsed once on the driver (apply runs in the write factories);
+      // the DB rides the serialized config to every task
+      esf = Option(options.get(LwesOptions.Esf))
+        .map(graft.lwes.Esf.load(_, LwesDataSource.hadoopConf())))
   }
 
   /** Codec for a journal write; read-side detection is by extension, so
@@ -121,6 +126,7 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val wc = LwesWriteConfig(options)
+    LwesBatchWrite.esfFailFast(wc, schema)
     val conf = LwesDataSource.hadoopConf()
     val p = new Path(wc.path)
     val fs = p.getFileSystem(conf)
@@ -131,6 +137,22 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+object LwesBatchWrite {
+  /** Driver-side ESF fail-fast: a template violation with a STATIC
+    * event name should abort before any task launches (dynamic
+    * eventNameColumn writes validate per encountered name in the
+    * tasks — the name isn't known until the rows arrive). */
+  private[lwes] def esfFailFast(wc: LwesWriteConfig, schema: StructType): Unit =
+    wc.esf.foreach { db =>
+      if (wc.eventNameCol.isEmpty) {
+        val attrs = schema.fields.map(f => wc.attrFor.getOrElse(f.name, f.name))
+        val skip = schema.fields.indices
+          .map(i => wc.partitionBy.contains(schema.fields(i).name)).toArray
+        EsfValidation.tokensFor(db, wc.eventName, schema, attrs, skip)
+      }
+    }
 }
 
 /** Streaming journal sink (`df.writeStream.format("lwes")`): one journal
@@ -160,6 +182,7 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     val wc = LwesWriteConfig(options)
+    LwesBatchWrite.esfFailFast(wc, schema)
     val conf = LwesDataSource.hadoopConf()
     val p = new Path(wc.path)
     p.getFileSystem(conf).mkdirs(p)
@@ -323,6 +346,23 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
   private val isPartCol: Array[Boolean] =
     schema.fields.indices.map(i => partIdx.contains(i) || i == nameIdx).toArray
 
+  // ESF template validation: static event name → validated once here
+  // (the factories already failed fast on the driver); eventNameColumn
+  // writes validate each event NAME on first encounter and cache the
+  // per-field token/required arrays — per row it's one hash probe
+  private val esfStatic: Option[(Array[Byte], Array[Boolean])] =
+    wc.esf.filter(_ => nameIdx < 0)
+      .map(db => EsfValidation.tokensFor(db, wc.eventName, schema, attrs, isPartCol))
+  private val esfByEvent =
+    scala.collection.mutable.HashMap[String, (Array[Byte], Array[Boolean])]()
+  private def esfFor(name: String): (Array[Byte], Array[Boolean]) =
+    esfStatic.getOrElse(esfByEvent.getOrElseUpdate(name,
+      // LENIENT for multi-event writes: the schema is the union of
+      // every event's columns, NULL meaning "unset" — only a non-null
+      // value in an undeclared field is a violation (checked per row)
+      EsfValidation.tokensFor(wc.esf.get, name, schema, attrs, isPartCol,
+        strict = false)))
+
   // column carrying the receipt time (post-mapping): when present, the
   // final file name is tagged `.t<min>-<max>.` with the EXACT receipt
   // bounds of the records written — the scan prunes whole files from a
@@ -367,15 +407,29 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
       if (nameIdx >= 0 && !row.isNullAt(nameIdx)) row.getUTF8String(nameIdx).toString
       else wc.eventName
     val ev = LwesEvent(name)
+    val esf = if (wc.esf.isEmpty) null else esfFor(name)
     var i = 0
     while (i < schema.length) {
-      if (!isPartCol(i) && !row.isNullAt(i)) {
-        val dt = schema.fields(i).dataType
-        val v = row.get(i, dt) match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-          case other => other
+      if (!isPartCol(i)) {
+        if (row.isNullAt(i)) {
+          if (esf != null && esf._2(i))
+            throw new EsfValidationException(
+              s"esf validation: required attribute '${attrs(i)}' of event " +
+                s"'$name' is NULL (column '${schema.fields(i).name}')")
+        } else {
+          if (esf != null && esf._1(i) == EsfValidation.Undeclared)
+            throw new EsfValidationException(
+              s"esf validation: attribute '${attrs(i)}' (column " +
+                s"'${schema.fields(i).name}') is not declared for event " +
+                s"'$name' but carries a non-null value")
+          val dt = schema.fields(i).dataType
+          val v = row.get(i, dt) match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case other => other
+          }
+          if (esf == null) LwesOptions.setAttr(ev, attrs(i), dt, v)
+          else LwesOptions.setAttrAs(ev, attrs(i), esf._1(i), dt, v)
         }
-        LwesOptions.setAttr(ev, attrs(i), dt, v)
       }
       i += 1
     }

@@ -1,0 +1,203 @@
+package graft.sources
+
+import graft.lwes.{Esf, LwesType}
+import graft.sources.lwes.EsfValidationException
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** ESF event-template support: the public Event Specification Format
+  * grammar parses (comments, qualifiers, defaults, arrays, meta
+  * merging), `.option("esf", path)` derives the READ schema with no
+  * sampling pass, and the WRITE path rejects template violations with
+  * named [[EsfValidationException]]s instead of generic cast errors.
+  */
+class EsfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val template =
+    """# a comment
+      |MetaEventInfo
+      |{
+      |  uint64 ReceiptTime;
+      |  ip_addr SenderIP;
+      |  uint16 SenderPort;
+      |  uint16 SiteID;
+      |}
+      |
+      |User::Login   # trailing comment
+      |{
+      |  required string username;
+      |  int64 ts = 0;
+      |  uint16 attempts;
+      |  float score;
+      |  double balance;
+      |  int32 codes[8];
+      |  nullable string tags[4];
+      |}
+      |
+      |User::Logout
+      |{
+      |  required string username;
+      |  int64 duration;
+      |}
+      |""".stripMargin
+
+  private def esfFile(): String = {
+    val dir = Files.createTempDirectory("esf").toString
+    Files.writeString(Paths.get(dir, "t.esf"), template)
+    s"$dir/t.esf"
+  }
+
+  test("grammar: events, qualifiers, defaults, arrays, meta merging") {
+    val db = Esf.parse(template)
+    assert(db.eventNames == Seq("User::Login", "User::Logout"))
+    val login = db.attrMapFor("User::Login").get
+    assert(login("username").required)
+    assert(login("ts").default.contains("0"))
+    assert(login("attempts").token == LwesType.UInt16)
+    assert(login("score").token == LwesType.Float)
+    assert(login("codes").token == LwesType.Int32Array)
+    assert(login("codes").arrayLen.contains(8))
+    assert(login("tags").nullable && login("tags").token == LwesType.StrArray)
+    // meta attrs merged after the event's own, in declaration order
+    assert(db.attrsFor("User::Logout").get.map(_.name) ==
+      Seq("username", "duration", "ReceiptTime", "SenderIP", "SenderPort", "SiteID"))
+  }
+
+  test("grammar: parse errors are named with line numbers") {
+    val e1 = intercept[IllegalArgumentException](
+      Esf.parse("Ev {\n  int95 x;\n}"))
+    assert(e1.getMessage.contains("unknown esf type 'int95'"))
+    val e2 = intercept[IllegalArgumentException](
+      Esf.parse("Ev {\n  int32 x\n}"))
+    assert(e2.getMessage.contains("expected ';'") &&
+      e2.getMessage.contains("line 3"))
+  }
+
+  test("esf-driven read schema matches the template, no sampling pass") {
+    val dir = Files.createTempDirectory("esf-read").toString // EMPTY dir
+    val df = spark.read.format("lwes")
+      .option("eventName", "User::Login")
+      .option("esf", esfFile()).load(dir)
+    val s = df.schema
+    assert(s.fieldNames.take(7).toSeq ==
+      Seq("username", "ts", "attempts", "score", "balance", "codes", "tags"))
+    assert(s("username").dataType == StringType)
+    assert(s("attempts").dataType == IntegerType)
+    assert(s("score").dataType == FloatType)
+    assert(s("balance").dataType == DoubleType)
+    assert(s("codes").dataType == ArrayType(IntegerType, containsNull = false))
+    // meta-merged header columns present too
+    assert(s.fieldNames.contains("ReceiptTime") && s.fieldNames.contains("SenderIP"))
+    assert(df.count() == 0) // empty dir reads as an empty table
+  }
+
+  test("template-typed write round-trips with native float/double tokens") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-rt").toString
+    Seq(("ann", 3L, 2, 1.5f, 2.25, Seq(1, 2)),
+        ("bob", 4L, 7, -0.5f, 9.75, Seq(3)))
+      .toDF("username", "ts", "attempts", "score", "balance", "codes")
+      .write.format("lwes").option("eventName", "User::Login")
+      .option("esf", esfFile()).mode("append").save(dir)
+    val back = spark.read.format("lwes")
+      .option("eventName", "User::Login").option("esf", esfFile()).load(dir)
+      .select("username", "attempts", "score", "balance", "codes")
+      .orderBy("username").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("ann", "bob"))
+    assert(back(0).getInt(1) == 2 && back(1).getInt(1) == 7)
+    assert(back(0).getFloat(2) == 1.5f) // native float token, not a string
+    assert(back(0).getDouble(3) == 2.25)
+    assert(back(0).getSeq[Int](4) == Seq(1, 2))
+  }
+
+  test("write: out-of-template attribute fails with a named error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-bad").toString
+    val e = intercept[Exception] {
+      Seq(("ann", 1L)).toDF("username", "not_in_template")
+        .write.format("lwes").option("eventName", "User::Login")
+        .option("esf", esfFile()).mode("append").save(dir)
+    }
+    val msg = rootMessage(e)
+    assert(msg.contains("esf validation") && msg.contains("not_in_template"))
+  }
+
+  test("write: incompatible column type fails with a named error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-bad2").toString
+    val e = intercept[Exception] {
+      Seq(("ann", "not-a-long")).toDF("username", "ts")
+        .write.format("lwes").option("eventName", "User::Login")
+        .option("esf", esfFile()).mode("append").save(dir)
+    }
+    val msg = rootMessage(e)
+    assert(msg.contains("esf validation") && msg.contains("'ts'") &&
+      msg.contains("int64"))
+  }
+
+  test("write: undeclared event name fails with a named error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-bad3").toString
+    val e = intercept[Exception] {
+      Seq(("ann", 1L)).toDF("username", "ts")
+        .write.format("lwes").option("eventName", "User::Unknown")
+        .option("esf", esfFile()).mode("append").save(dir)
+    }
+    val msg = rootMessage(e)
+    assert(msg.contains("esf validation") && msg.contains("User::Unknown"))
+  }
+
+  test("write: NULL required attribute fails with a named error") {
+    val dir = Files.createTempDirectory("esf-bad4").toString
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(null: String, 1L)),
+      StructType(Seq(StructField("username", StringType, nullable = true),
+        StructField("ts", LongType, nullable = false))))
+    val e = intercept[Exception] {
+      df.write.format("lwes").option("eventName", "User::Login")
+        .option("esf", esfFile()).mode("append").save(dir)
+    }
+    val msg = rootMessage(e)
+    assert(msg.contains("esf validation") && msg.contains("required") &&
+      msg.contains("username"))
+  }
+
+  test("write: eventNameColumn rows validate per encountered event") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-dyn").toString
+    // heterogeneous journal: the DF schema is the UNION of both events'
+    // columns; a NULL column is an unset attribute, so rows pass as
+    // long as their NON-null values are declared for their event
+    Seq(("ann", Some(1L), None: Option[Long], "User::Login"),
+        ("bob", None: Option[Long], Some(2L), "User::Logout"))
+      .toDF("username", "ts", "duration", "ev")
+      .write.format("lwes").option("eventNameColumn", "ev")
+      .option("esf", esfFile()).mode("append").save(dir)
+    // ...but ts is only declared on Login, so a Logout row carrying a
+    // non-null ts must fail — per-name lenient validation, still named
+    val e = intercept[Exception] {
+      Seq(("eve", Some(9L), None: Option[Long], "User::Logout"))
+        .toDF("username", "ts", "duration", "ev")
+        .write.format("lwes").option("eventNameColumn", "ev")
+        .option("esf", esfFile()).mode("append").save(dir)
+    }
+    assert(rootMessage(e).contains("esf validation"))
+  }
+
+  private def rootMessage(e: Throwable): String = {
+    var t: Throwable = e
+    val sb = new StringBuilder
+    while (t != null) { sb.append(Option(t.getMessage).getOrElse("")); t = t.getCause }
+    sb.toString
+  }
+}

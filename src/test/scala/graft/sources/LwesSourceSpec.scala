@@ -264,14 +264,24 @@ class LwesSourceSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThan(score,800)") &&
       plan.contains("EqualTo(page,/p/3)"),
       s"attr predicates missing from pushed filters:\n$plan")
-    // identical results: vectorized in-parse evaluation vs row path
-    // (which relies on Spark's residual filter alone)
+    // identical results: vectorized in-parse evaluation vs the row
+    // path's pre-materialization evaluation (r15 — both drop
+    // non-matching records inside the scan now)
     def got(vec: Boolean) = read(vec).filter(
         col("score") > 800 && col("page") === "/p/3" && col("cost") < 224.0)
       .orderBy("id").collect()
     val a = got(true)
     val b = got(false)
     assert(a.sameElements(b))
+    // the ROW reader's rejection is visible in the scan metric too —
+    // the filter work happened in the parser, not in Spark's residual
+    val rq = read(vec = false)
+      .filter(col("score") > 800 && col("page") === "/p/3" && col("cost") < 224.0)
+      .agg(count(lit(1)))
+    rq.collect()
+    val nf = graft.sources.lwes.LwesScan
+      .scanMetricSum(rq.queryExecution.executedPlan, "rowsFiltered")
+    assert(nf > 0, s"row-path rowsFiltered = $nf, expected > 0")
     assert(a.map(_.getLong(0)).toSeq ==
       (801 until 900).filter(i => i % 10 == 3 && i * 0.25 < 224.0).map(_.toLong))
     // header-injected column predicates only fire AFTER the header
