@@ -181,9 +181,29 @@ object Dedup {
     val (sig, bits) =
       if (portable) (simhashPortable(col(textCol)), 48)
       else (simhash(col(textCol)), 64)
+    simhashPairsOfSigs(df.select(col(idCol).as("id"), sig.as("sh")),
+      bits, maxHamming, maxBucket)
+  }
+
+  /** [[simhashPairs]] fed from PRE-COMPUTED signatures — the reuse path
+    * when an upstream pass (e.g. the C35 ingest stream) already paid
+    * the shingle+simhash compute and persisted (id, sig): the banded
+    * hamming join then runs off a NARROW (id, long) scan instead of
+    * re-hashing every document's text. `bits` must match the producer
+    * (48 = [[simhashPortable]], 64 = [[simhash]]); same saturation
+    * window and pair contract as the from-text operator. */
+  def simhashPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 6, bits: Int = 48,
+      maxBucket: Int = SaturationCap): DataFrame =
+    simhashPairsOfSigs(
+      sigs.select(col(idCol).as("id"), col(sigCol).as("sh")),
+      bits, maxHamming, maxBucket)
+
+  private def simhashPairsOfSigs(sigRows: DataFrame, bits: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     val bandBits = bits / 4
     val mask = (1L << bandBits) - 1
-    val banded = df.select(col(idCol).as("id"), sig.as("sh"))
+    val banded = sigRows
       .select(col("id"), col("sh"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), bandBits * i).bitwiseAND(lit(mask))): _*))

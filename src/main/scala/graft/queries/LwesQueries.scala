@@ -141,9 +141,20 @@ object LwesQueries {
         .foreachBatch {
           (b: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.BandVerdict],
            _: Long) =>
-            graft.streaming.StreamOps.keepUncollided(b.toDF())
-              .write.format("lwes").option("eventName", "Ned::K")
-              .mode("append").save(dst)
+            // persisted: two sinks off one stateful micro-batch must
+            // not re-execute the flatMapGroupsWithState plan
+            val df = b.toDF().persist()
+            try {
+              graft.streaming.StreamOps.keepUncollided(df)
+                .write.format("lwes").option("eventName", "Ned::K")
+                .mode("append").save(dst)
+              // the signature journal: reconcileKeepBest reads THESE
+              // instead of re-hashing the day's text (heterogeneous
+              // journal, A6 — same dir, second event type)
+              graft.streaming.StreamOps.docSigs(df)
+                .write.format("lwes").option("eventName", "Sig::K")
+                .mode("append").save(dst)
+            } finally df.unpersist()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -211,17 +222,27 @@ object LwesQueries {
     // mid-payload (skip remaining attributes, never materialize), with
     // Spark's residual filter re-applying everything so deferred shapes
     // stay correct. The aggregate hash proves the in-parse evaluation
-    // drops exactly the rows the oracle's WHERE drops.
+    // drops exactly the rows the oracle's WHERE drops, and the in-gate
+    // require on the scan's rowsFiltered metric (r15) proves the drop
+    // happened IN THE PARSER, not in Spark's residual Filter — the
+    // metric only counts records the byte-level evaluation rejected.
     "lwes_attr_pushdown" -> ((
       (s: SparkSession, d: String) => {
         val dir = eventsJournal(s, d, Seq("click", "view"))
-        s.read.format("lwes")
+        val df = s.read.format("lwes")
           .schema("event_id long, user_id long, value double")
           .option("eventName", "Ev::click").load(dir)
           .filter(col("user_id") <= 25 && col("event_id") > 100)
           .agg(count(lit(1)).as("n"),
             round(sum(col("value")), 2).as("total_value"),
             max(col("event_id")).as("max_event"))
+        val rows = df.collect()
+        val nFiltered = graft.sources.lwes.LwesScan
+          .scanMetricSum(df.queryExecution.executedPlan, "rowsFiltered")
+        require(nFiltered > 0,
+          s"pushed attribute predicates never rejected a record inside " +
+            s"the parse (rowsFiltered = $nFiltered)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
       },
       """SELECT count(*) AS n, round(sum(value), 2) AS total_value,
         |  max(event_id) AS max_event
@@ -1323,8 +1344,17 @@ object LwesQueries {
         val corpus = s.read.format("lwes")
           .schema("doc_id long, text string, lang string, n_chars long")
           .option("eventName", "Doc::K").load(src)
+        // the stream persisted every doc's 48-bit signature beside its
+        // kept set (Sig::K) — the reconcile's pair stage reads THAT
+        // narrow journal instead of re-shingling the day's text, so
+        // the full-text corpus parses once (quality + output), not
+        // twice (r15; measured parse-work delta in SURVEY §14)
+        val sigs = s.read.format("lwes")
+          .schema("doc_id long, sig long")
+          .option("eventName", "Sig::K").load(dst)
         val settled = graft.streaming.StreamOps.reconcileKeepBest(corpus,
-            "doc_id", "text", length(col("text")).cast("double"))
+            "doc_id", "text", length(col("text")).cast("double"),
+            sigs = Some(sigs))
           .select(col("doc_id"), lit(true).as("__set"))
         corpus
           .select(col("doc_id"), md5(col("text")).as("text_md5"),
@@ -1501,6 +1531,75 @@ object LwesQueries {
         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
         |  (doc_id IN (SELECT doc_id FROM cont)) AS contaminated,
         |  true AS bloom_caught
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ESF event-template support (r15): the schema comes from a public
+    // Event Specification Format file — how real lwes deployments
+    // declare schemas (the reference needed Hive DDL, README:41-59).
+    // The WRITE validates against the template and encodes with the
+    // DECLARED wire types (native double/float tokens, uint16
+    // narrowing, int64 arrays); the READ derives its schema from the
+    // same template with no explicit schema and no sampling pass, and
+    // MetaEventInfo merging adds the header columns. Hash-gated vs the
+    // oracle's replay of the same derivation from orders.
+    "lwes_esf_schema" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"esf|$d") { dir =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, ".orders.esf"), OrdersEsf)
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderpriority"),
+              col("o_totalprice").as("price_d"),
+              col("o_totalprice").cast("float").as("price_f"),
+              (col("o_custkey") % 1000).cast("int").as("cust_mod"),
+              array(col("o_orderkey"), col("o_custkey")).as("keys"))
+            .write.format("lwes").option("eventName", "Order::Esf")
+            .option(graft.sources.lwes.LwesOptions.Esf, s"$dir/.orders.esf")
+            .mode("append").save(dir)
+        }
+        s.read.format("lwes").option("eventName", "Order::Esf")
+          .option(graft.sources.lwes.LwesOptions.Esf, s"$dir/.orders.esf")
+          .load(dir)
+          .agg(count(lit(1)).as("n"),
+            max(col("o_orderkey")).as("max_key"),
+            countDistinct(col("o_orderpriority")).as("n_prio"),
+            round(sum(col("price_d")), 2).as("total_price"),
+            round(max(col("price_f")).cast("double"), 2).as("max_price_f"),
+            sum(col("cust_mod")).as("sum_cust_mod"),
+            sum(element_at(col("keys"), 2)).as("sum_k2"))
+      },
+      """SELECT count(*) AS n, max(o_orderkey) AS max_key,
+        |  count(DISTINCT o_orderpriority) AS n_prio,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  round(CAST(max(CAST(o_totalprice AS REAL)) AS DOUBLE), 2) AS max_price_f,
+        |  CAST(sum(o_custkey % 1000) AS BIGINT) AS sum_cust_mod,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_k2
+        |FROM orders""".stripMargin))
   )
+
+  /** The `.esf` fixture for `lwes_esf_schema` — the public ESF grammar:
+    * comments, MetaEventInfo merging, qualifiers, defaults, scalar +
+    * array declarations (graft.lwes.Esf). */
+  private val OrdersEsf: String =
+    """# Order events derived from the TPC-H orders table
+      |MetaEventInfo
+      |{
+      |  uint64 ReceiptTime;
+      |  ip_addr SenderIP;
+      |  uint16 SenderPort;
+      |  uint16 SiteID;
+      |}
+      |
+      |Order::Esf
+      |{
+      |  required int64 o_orderkey;   # primary key, never null
+      |  int64 o_custkey;
+      |  string o_orderpriority = "1-URGENT";
+      |  double price_d;
+      |  float price_f;
+      |  uint16 cust_mod;
+      |  int64 keys[2];
+      |}
+      |""".stripMargin
 }

@@ -157,7 +157,7 @@ object StreamOps {
   final case class BandedDoc(doc_id: Long, band: Int, bval: Long, sig: Long,
       text_md5: String, lang: String, n_chars: Long, quality: Double)
   final case class BandVerdict(doc_id: Long, text_md5: String, lang: String,
-      n_chars: Long, collided: Boolean)
+      n_chars: Long, collided: Boolean, sig: Long)
   // per-(band,value) bucket state: the full 48-bit signatures of every
   // distinct arrival that carried this band value (capped)
   final case class BandSigs(sigs: List[Long])
@@ -267,7 +267,7 @@ object StreamOps {
                 stored = r.sig :: stored; n += 1
               }
               BandVerdict(r.doc_id, r.text_md5, r.lang, r.n_chars,
-                collided = hit)
+                collided = hit, sig = r.sig)
             }
             state.update(BandSigs(stored))
             ttlMs.foreach(state.setTimeoutDuration) // renew the lease
@@ -281,10 +281,21 @@ object StreamOps {
     * `foreachBatch` — one batch-local shuffle of 4 narrow rows per doc. */
   def keepUncollided(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // sig rides the verdict rows for the signature-journal side sink
+    // ([[docSigs]]) but is NOT part of the kept-doc output contract
     batch.groupBy(col("doc_id"), col("text_md5"), col("lang"), col("n_chars"))
       .agg(max(col("collided")).as("__c"))
       .filter(!col("__c"))
       .drop("__c")
+  }
+
+  /** One (doc_id, sig) row per document of a verdict micro-batch —
+    * the signature journal a keep-best ingest should persist beside
+    * its kept docs, so [[reconcileKeepBest]] can skip re-hashing the
+    * day's text (the stream already paid that compute once). */
+  def docSigs(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    batch.select(col("doc_id"), col("sig")).distinct()
   }
 
   /** End-of-day batch reconciliation for [[nearDupKeepBestVerdicts]]
@@ -305,11 +316,26 @@ object StreamOps {
   def reconcileKeepBest(corpus: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       quality: org.apache.spark.sql.Column,
-      maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+      maxHamming: Int = 3,
+      sigs: Option[org.apache.spark.sql.DataFrame] = None,
+      sigCol: String = "sig"): org.apache.spark.sql.DataFrame = {
     import graft.operators.Dedup
-    val pairs = Dedup.simhashPairs(corpus, textCol, idCol,
+    // `sigs` (an (idCol, sigCol) table of the stream's own portable
+    // 48-bit signatures — persist [[docSigs]] per micro-batch) feeds
+    // the pair stage from a NARROW scan instead of re-shingling the
+    // full day's text: the signature compute already ran at ingest,
+    // and the corpus journal then parses ONCE (for quality + output)
+    // rather than twice. Contract: `sigs` must cover the corpus (it
+    // comes from the same committed ingest epochs); a missing row can
+    // only lose edges, never invent them, and the settled set stays a
+    // superset-safe reconcile (identical when coverage holds — the
+    // gate hash-pins that equivalence against the from-text oracle).
+    val pairs = (sigs match {
+      case Some(sg) => Dedup.simhashPairsFromSigs(sg, idCol, sigCol,
+        maxHamming = maxHamming, bits = 48)
+      case None => Dedup.simhashPairs(corpus, textCol, idCol,
         maxHamming = maxHamming, portable = true)
-      .select("id_a", "id_b")
+    }).select("id_a", "id_b")
     val cc = Dedup.connectedComponentsStar(pairs)
       .withColumnRenamed("id", idCol)
     Dedup.keepBestPerCluster(corpus, cc, idCol, quality)
