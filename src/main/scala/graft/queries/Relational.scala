@@ -67,12 +67,11 @@ object Relational {
     * stable across runs and partitionings; a broken sketch — off by
     * orders — hash-mismatches the gate. The necessary-condition-oracle
     * pattern from the round-3 brief. */
-  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
   /** name -> (query fn, oracle SQL). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
 
-    // B13: HLL estimate-quality gate (see rowsOnly scaladoc above).
+    // B13: HLL estimate-quality gate (see scaladoc above).
     "q_approx_distinct" -> ((
       (s: SparkSession, d: String) => {
         t(s, d, "lineitem")
