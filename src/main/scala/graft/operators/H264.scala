@@ -930,15 +930,22 @@ object H264 {
     * ref). SHARED by decoder and encoder — they must agree exactly or
     * every mvd in the stream lands on the wrong vector. */
   private[operators] def mvPred16x16(mvx: Array[Int], mvy: Array[Int],
-      inter: Array[Boolean], decoded: Int, wMbs: Int, mb: Int): (Int, Int) = {
+      inter: Array[Boolean], decoded: Int, wMbs: Int, mb: Int,
+      firstMb: Int = 0): (Int, Int) = {
+    // `firstMb` slice-gates neighbor availability (7.4.3): an MB of a
+    // previous slice is UNAVAILABLE — which 8.4.1.3 treats exactly
+    // like an intra neighbor (mv 0, no ref match), so the shared
+    // median logic below needs only the address gating
     val mx = mb % wMbs
     val my = mb / wMbs
-    val aMb = if (mx > 0) mb - 1 else -1
-    val bMb = if (my > 0) mb - wMbs else -1
+    val aMb = if (mx > 0 && mb - 1 >= firstMb) mb - 1 else -1
+    val bMb = if (my > 0 && mb - wMbs >= firstMb) mb - wMbs else -1
     val cMb = {
-      val cRaw = if (my > 0 && mx < wMbs - 1) mb - wMbs + 1 else -1
+      val cRaw = if (my > 0 && mx < wMbs - 1 && mb - wMbs + 1 >= firstMb)
+        mb - wMbs + 1 else -1
       if (cRaw >= 0) cRaw
-      else if (my > 0 && mx > 0) mb - wMbs - 1 // D substitution
+      else if (my > 0 && mx > 0 && mb - wMbs - 1 >= firstMb)
+        mb - wMbs - 1 // D substitution
       else -1
     }
     @inline def avail(n: Int): Boolean = n >= 0 && n < decoded
@@ -960,15 +967,18 @@ object H264 {
   /** P_Skip motion vector (8.4.1.1): zero when the left/above context
     * says "static edge", else the 16x16 median prediction. SHARED. */
   private[operators] def skipMv(mvx: Array[Int], mvy: Array[Int],
-      inter: Array[Boolean], decoded: Int, wMbs: Int, mb: Int): (Int, Int) = {
+      inter: Array[Boolean], decoded: Int, wMbs: Int, mb: Int,
+      firstMb: Int = 0): (Int, Int) = {
     val mx = mb % wMbs
     val my = mb / wMbs
-    val aMb = if (mx > 0) mb - 1 else -1
-    val bMb = if (my > 0) mb - wMbs else -1
+    // 8.4.1.1: the skip vector is ZERO when either A or B is
+    // unavailable — including unavailable-because-other-slice
+    val aMb = if (mx > 0 && mb - 1 >= firstMb) mb - 1 else -1
+    val bMb = if (my > 0 && mb - wMbs >= firstMb) mb - wMbs else -1
     @inline def zeroish(n: Int): Boolean =
       inter(n) && mvx(n) == 0 && mvy(n) == 0
     if (aMb < 0 || bMb < 0 || zeroish(aMb) || zeroish(bMb)) (0, 0)
-    else mvPred16x16(mvx, mvy, inter, decoded, wMbs, mb)
+    else mvPred16x16(mvx, mvy, inter, decoded, wMbs, mb, firstMb)
   }
 
   /** Full-pel 16x16 luma motion compensation with edge clamping
@@ -1273,7 +1283,8 @@ object H264 {
     * output must equal it BIT-EXACTLY. */
   def encodeCavlcI4P(frames: IndexedSeq[Plane], qp: Int,
       searchRange: Int = 4,
-      subpelSearch: Boolean = false): (Encoded, IndexedSeq[Plane]) = {
+      subpelSearch: Boolean = false,
+      slices: Int = 1): (Encoded, IndexedSeq[Plane]) = {
     require(frames.nonEmpty && qp >= 10 && qp <= 51, "qp in [10,51]")
     val w = frames.head.width
     val h = frames.head.height
@@ -1286,12 +1297,26 @@ object H264 {
     val chromaBlkW = wMbs * 2
     val nMbs = wMbs * hMbs
     val qpc = chromaQp(qp)
+    require(slices >= 1 && slices <= hMbs, "slices in [1, heightMbs]")
     val recons = IndexedSeq.newBuilder[Plane]
     var ref: Plane = null
-    val nals = frames.zipWithIndex.map { case (src, fi) =>
-      val bw = new BitWriter
+    // MULTI-SLICE pictures (r15): proportional row-aligned boundaries,
+    // the encodeCavlcTextured scheme; EVERY picture in the GOP slices —
+    // I keyframes AND motion-predicted P frames (skip runs, MV
+    // prediction, and the 8.4.1.1 zero rule all gate on the slice's
+    // first MB, mirrored bit-exactly by decodeSlice)
+    def sliceRow(i: Int): Int = i * hMbs / slices
+    val nals = frames.zipWithIndex.flatMap { case (src, fi) =>
       val isIdr = fi == 0
-      bw.ue(0) // first_mb_in_slice
+      val ry = new Array[Byte](w * h)
+      val rcb = new Array[Byte](cw * chh)
+      val rcr = new Array[Byte](cw * chh)
+      val sliceNals = (0 until slices).map { si =>
+      val fr0 = sliceRow(si)
+      val rowEnd = sliceRow(si + 1)
+      val firstMb = fr0 * wMbs
+      val bw = new BitWriter
+      bw.ue(firstMb) // first_mb_in_slice
       bw.ue(if (isIdr) 7 else 5) // slice_type: I / P ("all slices")
       bw.ue(0) // pic_parameter_set_id
       bw.u(4, fi & 0xF) // frame_num
@@ -1305,7 +1330,8 @@ object H264 {
       }
       bw.se(qp - 26) // slice_qp_delta
       bw.ue(1) // disable_deblocking_filter_idc = 1: loop filter OFF
-      // encoder-side bookkeeping, identical to the decoder's
+      // encoder-side bookkeeping, identical to the decoder's:
+      // SLICE-local state, above-slice neighbors unavailable
       val lumaTc = new Array[Int](lumaBlkW * hMbs * 4)
       val cbTc = new Array[Int](chromaBlkW * hMbs * 2)
       val crTc = new Array[Int](chromaBlkW * hMbs * 2)
@@ -1314,10 +1340,19 @@ object H264 {
       val mvXArr = new Array[Int](nMbs)
       val mvYArr = new Array[Int](nMbs)
       val interArr = new Array[Boolean](nMbs)
-      val ry = new Array[Byte](w * h)
-      val rcb = new Array[Byte](cw * chh)
-      val rcr = new Array[Byte](cw * chh)
       var skipRun = 0
+      def nCLumaE(gx: Int, gy: Int): Int = {
+        val a = if (gx > 0) lumaTc(gy * lumaBlkW + gx - 1) else -1
+        val b = if (gy > fr0 * 4) lumaTc((gy - 1) * lumaBlkW + gx) else -1
+        if (a >= 0 && b >= 0) (a + b + 1) >> 1
+        else if (a >= 0) a else if (b >= 0) b else 0
+      }
+      def nCChromaE(tcArr: Array[Int], gx: Int, gy: Int): Int = {
+        val a = if (gx > 0) tcArr(gy * chromaBlkW + gx - 1) else -1
+        val b = if (gy > fr0 * 2) tcArr((gy - 1) * chromaBlkW + gx) else -1
+        if (a >= 0 && b >= 0) (a + b + 1) >> 1
+        else if (a >= 0) a else if (b >= 0) b else 0
+      }
 
       def writeChromaEntropy(cbpChroma: Int, mx: Int, my: Int,
           cbData: (Array[Int], Array[Array[Int]], Array[Int]),
@@ -1332,7 +1367,7 @@ object H264 {
             val gx = mx * 2 + cblk % 2
             val gy = my * 2 + cblk / 2
             cbTc(gy * chromaBlkW + gx) = Cavlc.writeResidual(bw,
-              cbData._2(cblk), nCOf(cbTc, chromaBlkW, gx, gy))
+              cbData._2(cblk), nCChromaE(cbTc, gx, gy))
             cblk += 1
           }
           cblk = 0
@@ -1340,7 +1375,7 @@ object H264 {
             val gx = mx * 2 + cblk % 2
             val gy = my * 2 + cblk / 2
             crTc(gy * chromaBlkW + gx) = Cavlc.writeResidual(bw,
-              crData._2(cblk), nCOf(crTc, chromaBlkW, gx, gy))
+              crData._2(cblk), nCChromaE(crTc, gx, gy))
             cblk += 1
           }
         }
@@ -1382,7 +1417,7 @@ object H264 {
               val gy = my * 4 + LumaBlkY(blk)
               val lv = if (lumaLv(blk) == null) zeros else lumaLv(blk)
               lumaTc(gy * lumaBlkW + gx) =
-                Cavlc.writeResidual(bw, lv, nCOf(lumaTc, lumaBlkW, gx, gy))
+                Cavlc.writeResidual(bw, lv, nCLumaE(gx, gy))
               j += 1
             }
           }
@@ -1394,7 +1429,7 @@ object H264 {
         val mx = mb % wMbs
         val my = mb / wMbs
         val hasL = mx > 0
-        val hasT = my > 0
+        val hasT = my > fr0 // first slice row has no in-slice "above"
         // ---- pass 1: per-block mode choice (min SAD, lowest index on
         // ties — deterministic), quant, closed-loop recon in z-order
         val modes = new Array[Int](16)
@@ -1405,14 +1440,14 @@ object H264 {
           val py0 = my * 16 + LumaBlkY(blk) * 4
           val gx = mx * 4 + LumaBlkX(blk)
           val gy = my * 4 + LumaBlkY(blk)
-          val bTr = i4TrAvailable(mx, my, blk, wMbs)
+          val bTr = i4TrAvailableSl(mx, my, blk, wMbs, firstMb)
           val fetch = (dx: Int, dy: Int) => ry((py0 + dy) * w + px0 + dx) & 0xFF
           var bestMode = -1
           var bestSad = Int.MaxValue
           var m = 0
           while (m < 9) {
-            if (i4ModeValid(m, gx > 0, gy > 0)) {
-              val pr = predIntra4x4(m, gx > 0, gy > 0, bTr, fetch)
+            if (i4ModeValid(m, gx > 0, gy > fr0 * 4)) {
+              val pr = predIntra4x4(m, gx > 0, gy > fr0 * 4, bTr, fetch)
               var sad = 0
               var i = 0
               while (i < 16) {
@@ -1424,7 +1459,7 @@ object H264 {
             }
             m += 1
           }
-          val pred = predIntra4x4(bestMode, gx > 0, gy > 0, bTr, fetch)
+          val pred = predIntra4x4(bestMode, gx > 0, gy > fr0 * 4, bTr, fetch)
           val res = new Array[Int](16)
           var i = 0
           while (i < 16) {
@@ -1609,7 +1644,8 @@ object H264 {
         val cbpChroma = chromaCbpOf(cbData, crData)
         val cbp = (cbpChroma << 4) | cbpLuma
         // ---- P_Skip when the skip vector predicts this MB exactly
-        val (skx, sky) = skipMv(mvXArr, mvYArr, interArr, mb, wMbs, mb)
+        val (skx, sky) = skipMv(mvXArr, mvYArr, interArr, mb, wMbs, mb,
+          firstMb)
         if (cbp == 0 && skx == mvx && sky == mvy) {
           skipRun += 1
           mvXArr(mb) = mvx; mvYArr(mb) = mvy; interArr(mb) = true
@@ -1617,7 +1653,8 @@ object H264 {
           bw.ue(skipRun) // mb_skip_run
           skipRun = 0
           bw.ue(0) // mb_type P_L0_16x16
-          val (px, py) = mvPred16x16(mvXArr, mvYArr, interArr, mb, wMbs, mb)
+          val (px, py) = mvPred16x16(mvXArr, mvYArr, interArr, mb, wMbs,
+            mb, firstMb)
           bw.se(mvx - px)
           bw.se(mvy - py)
           bw.ue(InterCbpCode(cbp))
@@ -1659,17 +1696,19 @@ object H264 {
         reconChromaAs(cbpChroma, mx, my, cbData, crData)
       }
 
-      var mb = 0
-      while (mb < nMbs) {
+      var mb = firstMb
+      while (mb < rowEnd * wMbs) {
         if (isIdr) encodeI4Mb(mb, 0)
         else encodePMb(mb)
         mb += 1
       }
       if (!isIdr && skipRun > 0) bw.ue(skipRun) // trailing skip run
       bw.rbspTrailing()
+      (Array[Byte]((3 << 5 | (if (isIdr) 5 else 1)).toByte)) ++ escape(bw.toBytes)
+      }
       recons += Plane(w, h, ry, rcb, rcr)
       ref = Plane(w, h, ry, rcb, rcr)
-      (Array[Byte]((3 << 5 | (if (isIdr) 5 else 1)).toByte)) ++ escape(bw.toBytes)
+      sliceNals
     }
     (Encoded(encodeSps(wMbs, hMbs), encodePps(), nals, wMbs, hMbs),
       recons.result())
@@ -2182,9 +2221,11 @@ object H264 {
     * a DIFFERENT slice are unavailable for intra prediction, Intra_4x4
     * mode prediction, and CAVLC nC derivation — enforced here by
     * slice-local grids plus `mbInSlice` gating on every availability
-    * check. Multi-slice P pictures remain a CHECKED boundary (the MV
-    * prediction unavailability model is not wired across slices) and
-    * reject with None rather than misdecoding.
+    * check. P pictures slice the same way (r15): the MV median
+    * predictor and the 8.4.1.1 skip-vector rule gate on `firstMb` —
+    * 8.4.1.3 treats an unavailable neighbor exactly like an intra one
+    * (mv 0, no ref match), and the skip vector is ZERO when A or B
+    * lies in another slice.
     *
     * Returns (plane, mbsDecoded, filterExact, subpelMbs); the caller
     * emits the frame when mbsDecoded reaches the picture's MB count. */
@@ -2200,7 +2241,6 @@ object H264 {
     val isP = sliceType == 0
     if (!isI && !isP) return None // B/SP/SI: out of subset
     if (isIdr && !isI) return None
-    if (firstMb != 0 && isP) return None // multi-slice P: checked boundary
     r.ue() // pic_parameter_set_id
     r.u(sps.log2MaxFrameNum) // frame_num
     if (isIdr) r.ue() // idr_pic_id
@@ -2563,7 +2603,8 @@ object H264 {
       // num_ref_idx_l0_active is 1 in-subset: no ref_idx_l0 field
       val mvdx = r.se()
       val mvdy = r.se()
-      val (px, py) = mvPred16x16(mvXArr, mvYArr, interArr, mb, sps.widthMbs, mb)
+      val (px, py) = mvPred16x16(mvXArr, mvYArr, interArr, mb,
+        sps.widthMbs, mb, firstMb)
       val mvx = px + mvdx
       val mvy = py + mvdy
       val cbpCode = r.ue()
@@ -2721,7 +2762,8 @@ object H264 {
         while (k < skip) {
           // P_Skip: motion-compensate at the 8.4.1.1-derived vector
           // (zero-MV skips reduce to the old copy-from-ref behavior)
-          val (sx, sy) = skipMv(mvXArr, mvYArr, interArr, mb, sps.widthMbs, mb)
+          val (sx, sy) = skipMv(mvXArr, mvYArr, interArr, mb, sps.widthMbs,
+            mb, firstMb)
           if (sx == 0 && sy == 0) {
             copyMbFromRef(mb)
             mvXArr(mb) = 0; mvYArr(mb) = 0; interArr(mb) = true
@@ -2730,7 +2772,8 @@ object H264 {
           k += 1
         }
         if (mb < nMbs) {
-          if (!r.moreRbspData()) return None // slice ended mid-picture
+          if (!r.moreRbspData()) sliceEnd = true // slice ends; next NAL continues
+          else {
           val mbType = r.ue()
           if (mbType == 0) { // P_L0_16x16
             if (!decodeInter16Mb(mb)) return None
@@ -2743,6 +2786,7 @@ object H264 {
             fillMbTotals(mb, 16)
           } else return None // P_8x8 etc: out of subset
           mb += 1
+          }
         }
       } else {
         val mbType = r.ue()

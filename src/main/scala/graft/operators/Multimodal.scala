@@ -650,6 +650,29 @@ object Multimodal {
       (muxAvcMp4(enc, w, h), expected, qp)
     }
 
+    /** MULTI-SLICE moving-scene GOP (r15): the [[makeMp4AvcI4P]] stream
+      * family — Intra_4x4 IDR + motion-predicted P frames — on a
+      * taller 32x64 picture with 2..4 row-aligned slices per PICTURE
+      * (P frames included: MV prediction and the 8.4.1.1 skip-zero
+      * rule gate on the slice boundary). Returns (mp4, expected
+      * planes, qp, slices). */
+    def makeMp4AvcI4PSliced(text: String): (Array[Byte], IndexedSeq[H264.Plane], Int, Int) = {
+      val n = textLen(text)
+      val (w, h) = (32, 64)
+      val slices = 2 + n % 3
+      val frames = (0 until h264I4pFrameCount(n)).map { k =>
+        H264.Plane(w, h,
+          Array.tabulate(w * h)(i => h264I4pPix(n, k, i % w, i / w, 0).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264I4pPix(n, k, i % (w / 2), i / (w / 2), 1).toByte),
+          Array.tabulate(w / 2 * (h / 2))(i =>
+            h264I4pPix(n, k, i % (w / 2), i / (w / 2), 2).toByte))
+      }
+      val qp = h264I4pQp(n)
+      val (enc, expected) = H264.encodeCavlcI4P(frames, qp, slices = slices)
+      (muxAvcMp4(enc, w, h), expected, qp, slices)
+    }
+
     /** Mux an encoded AVC elementary stream into ISO-BMFF: ftyp, mdat
       * (length-prefixed NALs), moov with an avc1+avcC sample table. */
     private def muxAvcMp4(enc: H264.Encoded, w: Int, h: Int): Array[Byte] = {
@@ -951,6 +974,46 @@ object Multimodal {
           while (i < y0.length) {
             sad += math.abs((y0(i) & 0xFF) -
               MediaGen.h264TexPix(n, 0, i % dec.width, i / dec.width, 0))
+            i += 1
+          }
+          val fidelityOk = sad.toDouble / y0.length < 6.0
+          (id, dec.frames.length, dec.width, dec.height, qp, slices,
+            exact, fidelityOk)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "qp", "n_slices",
+        "exact", "fidelity_ok")
+  }
+
+  /** C12 multi-slice P gate (r15): the moving-scene GOP with every
+    * picture — IDR and P — as 2..4 row-aligned slices
+    * ([[MediaGen.makeMp4AvcI4PSliced]]): `exact` pins encoder/decoder
+    * bit-agreement across slice-gated MV prediction, skip-vector
+    * zeroing, and intra availability; `n_slices` is oracle-replayed so
+    * the gate cannot degrade to single-slice; `fidelity_ok` tracks the
+    * closed-form moving source. */
+  def h264SlicedI4PAudit(spark: SparkSession, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val n = MediaGen.textLen(text)
+          val (mp4, expected, qp, slices) = MediaGen.makeMp4AvcI4PSliced(text)
+          val dec = H264.decodeMp4(mp4).getOrElse(
+            throw new IllegalStateException(
+              s"generated multi-slice I4P H.264 stream failed to decode for doc $id"))
+          val exact = dec.frames.length == expected.length &&
+            dec.frames.zip(expected).forall { case (g, e) =>
+              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
+                g.cr.sameElements(e.cr)
+            }
+          val y0 = dec.frames.head.y
+          var sad = 0L
+          var i = 0
+          while (i < y0.length) {
+            sad += math.abs((y0(i) & 0xFF) -
+              MediaGen.h264I4pPix(n, 0, i % dec.width, i / dec.width, 0))
             i += 1
           }
           val fidelityOk = sad.toDouble / y0.length < 6.0

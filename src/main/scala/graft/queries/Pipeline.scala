@@ -968,6 +968,23 @@ object Pipeline {
         |  true AS exact, true AS fidelity_ok
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // C12 (multi-slice P, r15): the moving-scene GOP with EVERY picture
+    // (IDR and motion-predicted P) as 2..4 row-aligned slices — MV
+    // prediction, skip-vector zeroing, and intra availability all gate
+    // on the slice boundary, bit-exactly on both codec sides.
+    "mm_h264_multislice_p" -> ((
+      (s: SparkSession, d: String) => {
+        Multimodal.h264SlicedI4PAudit(s, t(s, d, "documents"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(2 + length(text) % 3 AS INT) AS n_frames,
+        |  CAST(32 AS INT) AS width, CAST(64 AS INT) AS height,
+        |  CAST(20 + length(text) % 9 AS INT) AS qp,
+        |  CAST(2 + length(text) % 3 AS INT) AS n_slices,
+        |  true AS exact, true AS fidelity_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // C12 (Intra_4x4/inter): moving-scene H.264 — Intra_4x4 IDR +
     // motion-predicted P_L0_16x16/P_Skip frames, the GOP shape of real
     // baseline footage. The decoded planes must equal the encoder's

@@ -1196,6 +1196,36 @@ class OperatorsSpec extends AnyFunSuite {
         assert(mad < 6.0, s"mean abs err $mad slices=$slices qp=$qp")
       }
     }
+    // multi-slice GOP (r15): Intra_4x4 IDR + motion-predicted P frames,
+    // every picture sliced — MV prediction and the skip-vector zero
+    // rule gate on the slice boundary on both codec sides
+    def moving(wPix: Int, hPix: Int, nFrames: Int): IndexedSeq[H264.Plane] =
+      (0 until nFrames).map { f =>
+        def pix(x: Int, y: Int, c: Int): Byte = {
+          val sx = x + 2 * f; val sy = y + f
+          val hh = (sx * 31 + sy * 17 + c * 59) * 2654435761L
+          ((sx * 2 + sy + ((hh >>> 33) % 97)).toInt & 0xFF).toByte
+        }
+        H264.Plane(wPix, hPix,
+          Array.tabulate(wPix * hPix)(i => pix(i % wPix, i / wPix, 0)),
+          Array.tabulate(wPix / 2 * (hPix / 2))(i => pix(i % (wPix / 2), i / (wPix / 2), 1)),
+          Array.tabulate(wPix / 2 * (hPix / 2))(i => pix(i % (wPix / 2), i / (wPix / 2), 2)))
+      }
+    for (slices <- Seq(2, 3); subpel <- Seq(false, true)) {
+      val fr = moving(32, 64, 3)
+      val (encP, expP) = H264.encodeCavlcI4P(fr, qp = 24,
+        searchRange = 4, subpelSearch = subpel, slices = slices)
+      assert(encP.frameNals.length == slices * 3)
+      val decP = H264.decodeNals(Seq(encP.sps, encP.pps) ++ encP.frameNals)
+      assert(decP.isDefined, s"I4P multi-slice decode failed slices=$slices subpel=$subpel")
+      decP.get.frames.zip(expP).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g.y.sameElements(e.y),
+          s"I4P luma mismatch frame $i slices=$slices subpel=$subpel")
+        assert(g.cb.sameElements(e.cb) && g.cr.sameElements(e.cr),
+          s"I4P chroma mismatch frame $i slices=$slices")
+      }
+    }
+
     // torn multi-slice picture (stream ends mid-picture) → clean None
     val (encT, _) = H264.encodeCavlcTextured(textured(32, 64, 1), 28, slices = 4)
     assert(H264.decodeNals(
