@@ -194,6 +194,24 @@ class EsfSpec extends AnyFunSuite {
     assert(rootMessage(e).contains("esf validation"))
   }
 
+  test("SQL DDL: CREATE TABLE USING lwes OPTIONS(esf ...) drives the catalog") {
+    val dir = Files.createTempDirectory("esf-sql").toString
+    val esf = esfFile().replace("\\", "\\\\")
+    spark.sql(s"""CREATE TABLE esf_logins USING lwes
+      OPTIONS (path '$dir', eventName 'User::Login', esf '$esf')""")
+    try {
+      // schema comes from the template through the catalog
+      val cols = spark.table("esf_logins").schema.fieldNames.take(3).toSeq
+      assert(cols == Seq("username", "ts", "attempts"))
+      spark.sql("INSERT INTO esf_logins (username, ts, attempts) " +
+        "VALUES ('zoe', 5, 2)")
+      val r = spark.sql(
+        "SELECT username, ts, attempts FROM esf_logins").collect()
+      assert(r.map(x => (x.getString(0), x.getLong(1), x.getInt(2))).toSeq ==
+        Seq(("zoe", 5L, 2)))
+    } finally spark.sql("DROP TABLE esf_logins")
+  }
+
   private def rootMessage(e: Throwable): String = {
     var t: Throwable = e
     val sb = new StringBuilder
