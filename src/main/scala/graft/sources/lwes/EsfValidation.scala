@@ -32,19 +32,20 @@ object EsfValidation {
   val Undeclared: Byte = 0
 
   /** Validate `schema` against the template for one event name and
-    * return (per-field template token, per-field required flag);
-    * `skip(i)` marks partition/event-name columns that never become
-    * attributes. Throws [[EsfValidationException]] with the exact
-    * violation. */
+    * return (per-field template token, per-field required flag,
+    * per-field declared max array length or -1); `skip(i)` marks
+    * partition/event-name columns that never become attributes.
+    * Throws [[EsfValidationException]] with the exact violation. */
   def tokensFor(db: EsfTemplateDb, event: String, schema: StructType,
       attrs: Array[String], skip: Array[Boolean],
-      strict: Boolean = true): (Array[Byte], Array[Boolean]) = {
+      strict: Boolean = true): (Array[Byte], Array[Boolean], Array[Int]) = {
     val m = db.attrMapFor(event).getOrElse(
       throw new EsfValidationException(
         s"esf validation: event '$event' is not declared in the template " +
           s"(declared events: ${db.eventNames.mkString(", ")})"))
     val toks = new Array[Byte](schema.length)
     val req = new Array[Boolean](schema.length)
+    val maxLen = Array.fill(schema.length)(-1)
     var i = 0
     while (i < schema.length) {
       if (!skip(i)) {
@@ -66,6 +67,7 @@ object EsfValidation {
                   s"(attribute '$attr' of event '$event')")
             toks(i) = a.token
             req(i) = a.required
+            maxLen(i) = a.arrayLen.getOrElse(-1)
         }
       }
       i += 1
@@ -79,6 +81,6 @@ object EsfValidation {
           s"esf validation: required attribute '${a.name}' of event " +
             s"'$event' has no column in the written DataFrame")
     }
-    (toks, req)
+    (toks, req, maxLen)
   }
 }

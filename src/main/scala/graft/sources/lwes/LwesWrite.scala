@@ -350,12 +350,12 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
   // (the factories already failed fast on the driver); eventNameColumn
   // writes validate each event NAME on first encounter and cache the
   // per-field token/required arrays — per row it's one hash probe
-  private val esfStatic: Option[(Array[Byte], Array[Boolean])] =
+  private val esfStatic: Option[(Array[Byte], Array[Boolean], Array[Int])] =
     wc.esf.filter(_ => nameIdx < 0)
       .map(db => EsfValidation.tokensFor(db, wc.eventName, schema, attrs, isPartCol))
   private val esfByEvent =
-    scala.collection.mutable.HashMap[String, (Array[Byte], Array[Boolean])]()
-  private def esfFor(name: String): (Array[Byte], Array[Boolean]) =
+    scala.collection.mutable.HashMap[String, (Array[Byte], Array[Boolean], Array[Int])]()
+  private def esfFor(name: String): (Array[Byte], Array[Boolean], Array[Int]) =
     esfStatic.getOrElse(esfByEvent.getOrElseUpdate(name,
       // LENIENT for multi-event writes: the schema is the union of
       // every event's columns, NULL meaning "unset" — only a non-null
@@ -428,7 +428,26 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
             case other => other
           }
           if (esf == null) LwesOptions.setAttr(ev, attrs(i), dt, v)
-          else LwesOptions.setAttrAs(ev, attrs(i), esf._1(i), dt, v)
+          else {
+            // declared max array length (lwes-java EventTemplateDB
+            // size validation): an oversized array is a template
+            // violation, named, not a silent truncation
+            val cap = esf._3(i)
+            if (cap >= 0) {
+              val len = v match {
+                case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+                  ad.numElements()
+                case b: Array[Byte] => b.length
+                case _ => -1
+              }
+              if (len > cap)
+                throw new EsfValidationException(
+                  s"esf validation: attribute '${attrs(i)}' of event " +
+                    s"'$name' carries $len elements, over the declared " +
+                    s"max $cap (column '${schema.fields(i).name}')")
+            }
+            LwesOptions.setAttrAs(ev, attrs(i), esf._1(i), dt, v)
+          }
         }
       }
       i += 1

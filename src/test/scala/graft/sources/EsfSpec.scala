@@ -194,6 +194,47 @@ class EsfSpec extends AnyFunSuite {
     assert(rootMessage(e).contains("esf validation"))
   }
 
+  test("write: an array over its declared max length fails with a named error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-bad5").toString
+    // codes is declared int32 codes[8]
+    val e = intercept[Exception] {
+      Seq(("ann", (1 to 9).toList)).toDF("username", "codes")
+        .write.format("lwes").option("eventName", "User::Login")
+        .option("esf", esfFile()).mode("append").save(dir)
+    }
+    val msg = rootMessage(e)
+    assert(msg.contains("esf validation") && msg.contains("9 elements") &&
+      msg.contains("max 8"))
+    // at the cap is fine
+    Seq(("ann", (1 to 8).toList)).toDF("username", "codes")
+      .write.format("lwes").option("eventName", "User::Login")
+      .option("esf", esfFile()).mode("append").save(dir)
+  }
+
+  test("streaming read: esf supplies the schema for readStream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-stream").toString
+    Seq(("ann", 3L), ("bob", 4L)).toDF("username", "ts")
+      .write.format("lwes").option("eventName", "User::Login")
+      .option("esf", esfFile()).mode("append").save(dir)
+    val out = Files.createTempDirectory("esf-stream-out").toString
+    val ckpt = Files.createTempDirectory("esf-stream-ckpt").toString
+    val q = spark.readStream.format("lwes")
+      .option("eventName", "User::Login")
+      .option("esf", esfFile()) // no .schema(...) — the template drives it
+      .load(dir)
+      .select("username", "ts")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val r = spark.read.parquet(out).orderBy("username").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("ann", 3L), ("bob", 4L)))
+  }
+
   test("SQL DDL: CREATE TABLE USING lwes OPTIONS(esf ...) drives the catalog") {
     val dir = Files.createTempDirectory("esf-sql").toString
     val esf = esfFile().replace("\\", "\\\\")
