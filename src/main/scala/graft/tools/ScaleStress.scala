@@ -189,6 +189,20 @@ object ScaleStress {
           "doc_id", "text", col("n_chars").cast("double")).count()
       },
 
+      // C35 settle path, r15 shape: the pair stage fed from the
+      // stream's persisted signature journal (here computed batch-side
+      // with the same kernel) — the full-text corpus parses once, and
+      // this op measures that the sig-fed chain scales like the
+      // from-text one minus the re-shingle.
+      "reconcile_from_sigs" -> { dir: String =>
+        val d = docs(dir)
+        val sigs = d.select(col("doc_id"),
+          Dedup.simhashPortable(col("text")).as("sig"))
+        graft.streaming.StreamOps.reconcileKeepBest(d,
+          "doc_id", "text", col("n_chars").cast("double"),
+          sigs = Some(sigs)).count()
+      },
+
       // C37: Lloyd training (treeAggregate) + within-cell dedup. The
       // cell count follows the SemDeDup parameter law (k ≈ n/occ, see
       // Similarity.suggestedCells): the first run of this audit held
