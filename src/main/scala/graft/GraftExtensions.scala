@@ -36,5 +36,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("lwes_event_name"),
       new ExpressionInfo(classOf[LwesExpressions.LwesEventNameExpr].getName, "lwes_event_name"),
       (exprs: Seq[Expression]) => LwesExpressions.LwesEventNameExpr(exprs.head)))
+
+    // The signature kernels behind the dedup/similarity operators
+    // (r15): pure-SQL users can build the same pipelines the Scala
+    // operators build — `simhash_portable(text_tokens)`, banded
+    // minhash joins, hyperplane buckets, exact cosine re-ranks —
+    // without touching the Scala API. All codegen'd expressions; the
+    // numeric parameters must be foldable integer literals.
+    import graft.functions.{SignatureExpressions => SE}
+    def intLit(ex: Expression): Int = ex.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected foldable integer literal, got $other")
+    }
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[SE.ShingleHashes].getName, "shingle_hashes"),
+      (ex: Seq[Expression]) => SE.ShingleHashes(ex.head, intLit(ex(1)))))
+    e.injectFunction((FunctionIdentifier("minhashes"),
+      new ExpressionInfo(classOf[SE.MinHashes].getName, "minhashes"),
+      (ex: Seq[Expression]) => SE.MinHashes(ex.head, intLit(ex(1)))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SE.SimHash64].getName, "simhash64"),
+      (ex: Seq[Expression]) => SE.SimHash64(ex.head)))
+    e.injectFunction((FunctionIdentifier("simhash_portable"),
+      new ExpressionInfo(classOf[SE.SimHashPortable48].getName, "simhash_portable"),
+      (ex: Seq[Expression]) => SE.SimHashPortable48(ex.head)))
+    e.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[SE.HyperplaneBucket].getName, "hyperplane_bucket"),
+      (ex: Seq[Expression]) => SE.HyperplaneBucket(ex.head, intLit(ex(1)))))
+    e.injectFunction((FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[SE.HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (ex: Seq[Expression]) =>
+        SE.HyperplaneBuckets(ex.head, intLit(ex(1)), intLit(ex(2)))))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[SE.CosineSim].getName, "cosine_sim"),
+      (ex: Seq[Expression]) => SE.CosineSim(ex.head, ex(1))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[SE.NfcNormalize].getName, "nfc_normalize"),
+      (ex: Seq[Expression]) => SE.NfcNormalize(ex.head)))
+    e.injectFunction((FunctionIdentifier("nfc_casefold"),
+      new ExpressionInfo(classOf[SE.NfcCasefold].getName, "nfc_casefold"),
+      (ex: Seq[Expression]) => SE.NfcCasefold(ex.head)))
   }
 }

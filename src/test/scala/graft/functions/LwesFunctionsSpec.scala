@@ -10,6 +10,7 @@ class LwesFunctionsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -52,5 +53,37 @@ class LwesFunctionsSpec extends AnyFunSuite {
     val r = df.select(from_lwes($"bin", "id long").as("e"),
       lwes_event_name($"bin").as("en")).head
     assert(r.isNullAt(0) || r.getStruct(0).isNullAt(0))
+  }
+
+  test("signature kernels are pure-SQL functions via GraftExtensions") {
+    // SQL results must equal the Scala-API kernels bit-for-bit
+    val sqlRow = spark.sql(
+      """SELECT simhash_portable(split('quick brown fox jumps', ' ')) AS sp,
+        |  simhash64(split('quick brown fox jumps', ' ')) AS s64,
+        |  minhashes(shingle_hashes(split('a b c d e f g', ' '), 3), 16) AS mh,
+        |  hyperplane_bucket(array(1.0d, -2.0d, 3.0d, 0.5d), 8) AS hb,
+        |  round(cosine_sim(array(1.0d, 2.0d, 3.0d), array(3.0d, 2.0d, 1.0d)), 4) AS cs,
+        |  nfc_casefold('Stra\u00dfe AB') AS nc,
+        |  nfc_normalize('e\u0301') AS nn""".stripMargin).head()
+    import graft.functions.SignatureExpressions._
+    val api = spark.range(1).select(
+      simhash_portable48(split(lit("quick brown fox jumps"), " ")).as("sp"),
+      simhash64(split(lit("quick brown fox jumps"), " ")).as("s64"),
+      minhashes(shingle_hashes(split(lit("a b c d e f g"), " "), 3), 16).as("mh"),
+      hyperplane_bucket(array(lit(1.0d), lit(-2.0d), lit(3.0d), lit(0.5d)), 8).as("hb"),
+      round(cosine_sim(array(lit(1.0d), lit(2.0d), lit(3.0d)),
+        array(lit(3.0d), lit(2.0d), lit(1.0d))), 4).as("cs"),
+      nfc_casefold(lit("Stra\u00dfe AB")).as("nc"),
+      nfc_normalize(lit("e\u0301")).as("nn")).head()
+    assert(sqlRow.getLong(0) == api.getLong(0))
+    assert(sqlRow.getLong(1) == api.getLong(1))
+    assert(sqlRow.getSeq[Long](2) == api.getSeq[Long](2))
+    assert(sqlRow.getAs[Number](3).longValue == api.getAs[Number](3).longValue)
+    assert(sqlRow.getDouble(4) == api.getDouble(4))
+    // simple (not full) case folding: the kernel lowercases per char,
+    // so U+00DF stays — what matters here is SQL == Scala-API parity
+    assert(sqlRow.getString(5) == api.getString(5) &&
+      sqlRow.getString(5) == "stra\u00dfe ab")
+    assert(sqlRow.getString(6) == api.getString(6))
   }
 }
