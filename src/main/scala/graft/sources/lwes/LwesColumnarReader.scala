@@ -191,8 +191,44 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       case x: Array[Byte] => vec.putByteArray(r, x, 0, x.length)
       case x: Decimal =>
         vec.putDecimal(r, x, dt.asInstanceOf[DecimalType].precision)
-      case _ => vec.putNull(r) // ArrayData cannot occur (arrays → row reader)
+      case x: org.apache.spark.sql.catalyst.util.ArrayData =>
+        // vectorized ARRAY fill (r15): elements append to the child
+        // vector, the row records (start, count) — offsets are explicit
+        // per row, so a later rolled-back record leaves only dead
+        // child space, never a corrupt offset
+        val at = dt.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        val child = vec.arrayData()
+        val start = child.getElementsAppended
+        val n = appendElems(child, x, at.elementType)
+        if (n < 0) vec.putNull(r) else vec.putArray(r, start, n)
+      case _ => vec.putNull(r)
     }
+  }
+
+  /** Append one wire array's elements to an array column's child
+    * vector; -1 = element type outside the vectorized set (the scan
+    * builder routes those schemas to the row reader — this is the
+    * defensive backstop). Wire arrays carry no null elements. */
+  private def appendElems(
+      child: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      x: org.apache.spark.sql.catalyst.util.ArrayData,
+      et: org.apache.spark.sql.types.DataType): Int = {
+    val n = x.numElements()
+    var j = 0
+    et match {
+      case ShortType => while (j < n) { child.appendShort(x.getShort(j)); j += 1 }
+      case IntegerType => while (j < n) { child.appendInt(x.getInt(j)); j += 1 }
+      case LongType => while (j < n) { child.appendLong(x.getLong(j)); j += 1 }
+      case FloatType => while (j < n) { child.appendFloat(x.getFloat(j)); j += 1 }
+      case DoubleType => while (j < n) { child.appendDouble(x.getDouble(j)); j += 1 }
+      case BooleanType => while (j < n) { child.appendBoolean(x.getBoolean(j)); j += 1 }
+      case StringType => while (j < n) {
+        val b = x.getUTF8String(j).getBytes
+        child.appendByteArray(b, 0, b.length); j += 1
+      }
+      case _ => return -1
+    }
+    n
   }
 
   private val writers: Array[ColWriter] = schema.fields.zipWithIndex.map {
@@ -321,6 +357,13 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
               else vec.putNull(r)
             }
           }
+        }
+        case _: org.apache.spark.sql.types.ArrayType => new ColWriter {
+          // all array tokens (and mismatched scalars → null) route
+          // through the row path's decode + conversion, then the
+          // vectorized ArrayData fill above — parity by construction
+          def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
+            putModern(vec, r, t, b, off, len, f.dataType)
         }
         case _ => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =

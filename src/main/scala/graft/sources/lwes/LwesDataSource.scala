@@ -641,13 +641,21 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     new LwesScan(readSchema,
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
         pushedLimit, ncol,
-        // array/decimal-free schemas take the vectorized batch path;
-        // array columns (modern lwes array tokens) use the row reader —
-        // OnHeapColumnVector array fills are not wired up, and array
-        // attrs are rare enough that the scalar hot loop stays the
-        // optimized one
+        // the vectorized batch path covers scalar columns AND array
+        // columns over the primitive/string element set (r15:
+        // elements append to the child vector, rows record explicit
+        // (start, count) offsets); only decimal-element arrays —
+        // uint64As=decimal + uint64[] attrs — fall back to the row
+        // reader (WritableColumnVector has no append for decimals)
         columnar = options.getBoolean(LwesOptions.Vectorized, true) &&
-          !readSchema.fields.exists(_.dataType.isInstanceOf[ArrayType]),
+          readSchema.fields.forall(_.dataType match {
+            case ArrayType(et, _) => et match {
+              case ShortType | IntegerType | LongType | FloatType |
+                  DoubleType | BooleanType | StringType => true
+              case _ => false
+            }
+            case _ => true
+          }),
         attrFilters = attrFilters.toSeq
           .filter(f => f.references.forall(readSchema.fieldNames.contains))),
       roots, partitionFilters,

@@ -119,10 +119,12 @@ class LwesSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("array-typed attributes: write parity, read, inference, columnar skip (modern lwes tokens)") {
+  test("array-typed attributes: write parity, read, inference, columnar (modern lwes tokens)") {
     import spark.implicits._
     val dir = tmp()
-    (0 until 60).map { i =>
+    // 5000 rows: the vectorized read crosses the 4096-row batch
+    // boundary, exercising vector reset() with array child vectors
+    (0 until 5000).map { i =>
       (i.toLong, Seq(i, i + 1), Seq(s"t$i", "x"), Seq(i * 0.5, i * 1.5),
         Array[Byte](i.toByte, (i + 1).toByte, 7))
     }.toDF("id", "nums", "tags", "vals", "blob").coalesce(1)
@@ -132,7 +134,7 @@ class LwesSourceSpec extends AnyFunSuite {
       .schema("id long, nums array<int>, tags array<string>, vals array<double>, blob binary")
       .option("eventName", "Arr::E").load(dir)
       .orderBy("id").collect()
-    assert(back.length == 60)
+    assert(back.length == 5000)
     val r5 = back(5)
     assert(r5.getLong(0) == 5L)
     assert(r5.getSeq[Int](1) == Seq(5, 6))
@@ -154,14 +156,33 @@ class LwesSourceSpec extends AnyFunSuite {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }.head
     assert(scan.supportsColumnar, "scalar projection must stay columnar")
-    assert(scalarDf.agg(sum("id")).collect().head.getLong(0) == (0 until 60).map(_.toLong).sum)
-    // and the array-projecting scan automatically drops to the row reader
-    val arrScan = spark.read.format("lwes")
-      .schema("id long, nums array<int>").option("eventName", "Arr::E").load(dir)
+    assert(scalarDf.agg(sum("id")).collect().head.getLong(0) == (0 until 5000).map(_.toLong).sum)
+    // array-projecting scans are vectorized too (r15: elements append
+    // to the child vector, explicit per-row offsets) and must be
+    // BIT-IDENTICAL to the row reader across every array column
+    val arrDf = spark.read.format("lwes")
+      .schema("id long, nums array<int>, tags array<string>, vals array<double>, blob binary")
+      .option("eventName", "Arr::E").load(dir)
+    val arrScan = arrDf.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(arrScan.supportsColumnar, "array schemas take the vectorized path (r15)")
+    val colRows = arrDf.orderBy("id").collect()
+    assert(colRows.length == 5000)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Int](1), r.getSeq[String](2),
+        r.getSeq[Double](3), r.getAs[Array[Byte]](4).toSeq)
+    assert(colRows.map(canon).toSeq == back.map(canon).toSeq,
+      "columnar array read must equal the row-path read bit-for-bit")
+    // only decimal-element arrays still fall back to the row reader
+    // (no WritableColumnVector append for decimals)
+    val decScan = spark.read.format("lwes")
+      .schema("id long, nums array<decimal(20,0)>")
+      .option("eventName", "Arr::E").load(dir)
       .queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
       }.head
-    assert(!arrScan.supportsColumnar, "array schema must use the row reader")
+    assert(!decScan.supportsColumnar, "decimal-element arrays use the row reader")
   }
 
   test("write via DataFrame then read back round-trips (A3, A10)") {
