@@ -76,7 +76,7 @@ object ScanThroughput {
 
     val full = "id long, user long, score int, page string, cost double, " +
       "flag boolean, site int"
-    def bench(tag: String)(run: => Unit): Unit = {
+    def bench(tag: String, events: Int = nEvents)(run: => Unit): Unit = {
       run // warm (JIT + page cache)
       val runs = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
@@ -84,7 +84,7 @@ object ScanThroughput {
         (System.nanoTime() - t0) / 1e9
       }
       val best = runs.min
-      println(f"$tag%-28s ${nEvents / best / 1e6}%6.2f M events/s  (best $best%.2f s)")
+      println(f"$tag%-28s ${events / best / 1e6}%6.2f M events/s  (best $best%.2f s)")
     }
     Seq(true, false).foreach { vec =>
       val mode = if (vec) "columnar" else "row"
@@ -114,6 +114,36 @@ object ScanThroughput {
       bench(s"$mode attr predicate")(read(full)
         .filter(col("user") === 12345L)
         .agg(sum("id"), count(lit(1))).collect())
+    }
+
+    // array-typed attributes (r15 vectorized-array fill): a second
+    // journal whose events carry int64[4] + string[2] arrays — both
+    // output paths, aggregates forcing the array columns through the
+    // parser (size + element_at so pruning can't drop them)
+    if (!seqMode) {
+      val adir = Files.createTempDirectory("lwes-tp-arr").toString
+      val aEvents = math.max(nEvents / 5, 100000)
+      val aPerFile = aEvents / nFiles
+      java.util.stream.IntStream.range(0, nFiles).parallel().forEach { f =>
+        val w = JournalWriter.create(s"$adir/a$f.journal$ext")
+        (0 until aPerFile).foreach { i =>
+          val id = f.toLong * aPerFile + i
+          w.write(LwesEvent("Tp::Arr")
+            .setInt64("id", id)
+            .setInt64Array("ks", Array(id, id + 1, id % 97, id % 13))
+            .setStringArray("ts", Array(s"t${id % 50}", "x")))
+        }
+        w.close()
+      }
+      Seq(true, false).foreach { vec =>
+        val mode = if (vec) "columnar" else "row"
+        bench(s"$mode array 3-col agg", aEvents)(
+          spark.read.format("lwes")
+            .schema("id long, ks array<long>, ts array<string>")
+            .option("vectorized", vec.toString).load(adir)
+            .agg(sum("id"), sum(element_at(col("ks"), 2)),
+              sum(size(col("ts")))).collect())
+      }
     }
     spark.stop()
   }
