@@ -44,12 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // without touching the Scala API. All codegen'd expressions; the
     // numeric parameters must be foldable integer literals.
     import graft.functions.{SignatureExpressions => SE}
-    def intLit(ex: Expression): Int = ex.eval(null) match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case s: Short => s.toInt
-      case other => throw new IllegalArgumentException(
-        s"expected foldable integer literal, got $other")
+    def intLit(ex: Expression): Int = {
+      if (!ex.foldable) throw new IllegalArgumentException(
+        s"expected a foldable integer literal, got the non-foldable $ex")
+      ex.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => throw new IllegalArgumentException(
+          s"expected an integer literal, got $other (${ex.dataType.simpleString})")
+      }
     }
     e.injectFunction((FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[SE.ShingleHashes].getName, "shingle_hashes"),

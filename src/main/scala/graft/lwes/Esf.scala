@@ -163,8 +163,9 @@ object Esf {
         if (i < toks.length && toks(i).text == "[") {
           i += 1
           val lenTok = if (i < toks.length) toks(i).text else err("expected an array length", i)
-          arrayLen = Some(lenTok.toIntOption.getOrElse(
-            err("expected an integer array length", i)))
+          arrayLen = Some(lenTok.toIntOption
+            .filter(n => n >= 1 && n <= 65535)
+            .getOrElse(err("expected an array length in [1, 65535]", i)))
           i += 1
           expect("]")
         }

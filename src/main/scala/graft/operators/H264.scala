@@ -746,12 +746,9 @@ object H264 {
     * p[4..7,-1] samples): available iff inside the frame AND earlier
     * in (MB raster, intra-MB z) decode order; when absent, prediction
     * substitutes p[3,-1] (8.3.1.2). */
-  private[operators] def i4TrAvailable(mx: Int, my: Int, blkZ: Int,
-      wMbs: Int): Boolean = i4TrAvailableSl(mx, my, blkZ, wMbs, 0)
-
-  /** [[i4TrAvailable]] slice-gated: the above-right neighbor must also
-    * live in the CURRENT slice (MB address >= `firstMb`) — 7.4.3
-    * neighbor availability for multi-slice pictures. */
+  /** Slice-gated above-right availability: the neighbor must also
+    * live in the CURRENT slice (MB address >= `firstMb`, 0 for
+    * single-slice pictures) — 7.4.3 neighbor availability. */
   private[operators] def i4TrAvailableSl(mx: Int, my: Int, blkZ: Int,
       wMbs: Int, firstMb: Int): Boolean = {
     val gx = mx * 4 + LumaBlkX(blkZ)
@@ -1168,15 +1165,6 @@ object H264 {
   /** The 9.2.1 nC neighbor rule, SHARED by decoder and encoder (their
     * bookkeeping arrays must agree bit-for-bit or the stream
     * desynchronizes). */
-  private def nCOf(tcArr: Array[Int], blkW: Int, gx: Int, gy: Int): Int = {
-    val a = if (gx > 0) tcArr(gy * blkW + gx - 1) else -1
-    val b = if (gy > 0) tcArr((gy - 1) * blkW + gx) else -1
-    if (a >= 0 && b >= 0) (a + b + 1) >> 1
-    else if (a >= 0) a
-    else if (b >= 0) b
-    else 0
-  }
-
   /** Transform + quantize one chroma 8x8 of the current MB: returns
     * (DC levels raster-scan, per-4x4 AC levels, prediction) against
     * the reconstructed plane — the prediction rides along so
@@ -2953,4 +2941,25 @@ object H264 {
     fromMp4(bytes).flatMap { m =>
       decodeNals(Seq(m.sps, m.pps) ++ m.samples)
     }
+
+  /** Group a flat slice-NAL sequence into PICTURES (access units): a
+    * slice whose header starts at macroblock 0 begins a new picture.
+    * The muxer needs this — an ISO-BMFF sample is one access unit, so
+    * a multi-slice picture's NALs must share a sample or stts/stsz
+    * report slices-times-frames samples and inflated duration. */
+  private[operators] def groupPictures(
+      nals: Seq[Array[Byte]]): Seq[Seq[Array[Byte]]] = {
+    val out = Seq.newBuilder[Seq[Array[Byte]]]
+    var cur = Vector.empty[Array[Byte]]
+    nals.foreach { nal =>
+      val firstMb =
+        try new BitReader(
+          unescape(java.util.Arrays.copyOfRange(nal, 1, nal.length))).ue()
+        catch { case _: Exception => 0 }
+      if (firstMb == 0 && cur.nonEmpty) { out += cur; cur = Vector.empty }
+      cur = cur :+ nal
+    }
+    if (cur.nonEmpty) out += cur
+    out.result()
+  }
 }

@@ -676,7 +676,11 @@ object Multimodal {
     /** Mux an encoded AVC elementary stream into ISO-BMFF: ftyp, mdat
       * (length-prefixed NALs), moov with an avc1+avcC sample table. */
     private def muxAvcMp4(enc: H264.Encoded, w: Int, h: Int): Array[Byte] = {
-      val nFrames = enc.frameNals.length
+      // one SAMPLE per access unit: a multi-slice picture's NALs share
+      // a sample (each length-prefixed inside it), so stts/stsz report
+      // true frame counts and duration whatever the slice structure
+      val pictures = H264.groupPictures(enc.frameNals)
+      val nFrames = pictures.length
       def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
         val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
         bb.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1")).put(payload)
@@ -687,9 +691,10 @@ object Multimodal {
         fields.foreach(bb.putInt)
         bb.array()
       }
-      val sampleBytes = enc.frameNals.map { nal =>
-        java.nio.ByteBuffer.allocate(4 + nal.length).putInt(nal.length)
-          .put(nal).array()
+      val sampleBytes = pictures.map { pic =>
+        val bb = java.nio.ByteBuffer.allocate(pic.map(_.length + 4).sum)
+        pic.foreach(nal => bb.putInt(nal.length).put(nal))
+        bb.array()
       }
       val mdatPayload = sampleBytes.toArray.flatten
       val ftyp = box("ftyp",

@@ -1509,12 +1509,24 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
     }
   }
 
-  /** False when a pushed predicate definitely rejects this event. */
-  private def passesRowFilters(ev: graft.lwes.LwesEvent): Boolean = {
+  private val isFilterCol: Array[Boolean] = {
+    val m = new Array[Boolean](nCols)
+    rowFilters.foreach { case (i, _) => m(i) = true }
+    m
+  }
+
+  /** Evaluates the pushed predicates, STASHING each probed column's
+    * value into `row` as it goes — a passing event reuses them instead
+    * of re-running the attr decode (the probe IS the materialization
+    * for those columns). False = definite rejection. */
+  private def passesRowFilters(ev: graft.lwes.LwesEvent,
+      row: GenericInternalRow): Boolean = {
     var j = 0
     while (j < rowFilters.length) {
       val (i, p) = rowFilters(j)
-      if (!p(shape.valueFor(i, ev, partition.partitionValues))) return false
+      val v = shape.valueFor(i, ev, partition.partitionValues)
+      if (!p(v)) return false
+      row.update(i, v)
       j += 1
     }
     true
@@ -1570,11 +1582,12 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
     while (true) {
       val ev = nextEvent()
       if (ev == null) return false
-      if (rowFilters.isEmpty || passesRowFilters(ev)) {
-        val row = new GenericInternalRow(nCols)
+      val row = new GenericInternalRow(nCols)
+      if (rowFilters.isEmpty || passesRowFilters(ev, row)) {
         var i = 0
         while (i < nCols) {
-          row.update(i, shape.valueFor(i, ev, partition.partitionValues))
+          if (!isFilterCol(i))
+            row.update(i, shape.valueFor(i, ev, partition.partitionValues))
           i += 1
         }
         current = row

@@ -38,15 +38,15 @@ object ReconcileDelta {
       .schema("doc_id long, sig long")
       .option("eventName", "Sig::K").load(dir)
     def measure(tag: String, sigsOpt: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      // wall + survivor count only: the chain runs several actions
+      // (CC rounds, the final count), so no single plan's scan metric
+      // covers it — pairParse below carries the metric-exact numbers
       val t0 = System.nanoTime()
       val settled = graft.streaming.StreamOps.reconcileKeepBest(corpus,
         "doc_id", "text", length(col("text")).cast("double"), sigs = sigsOpt)
       val n = settled.count()
       val secs = (System.nanoTime() - t0) / 1e9
-      val parsed = graft.sources.lwes.LwesScan
-        .scanMetricSum(settled.queryExecution.executedPlan, "eventsParsed")
-      println(f"[reconcile-delta] $tag%-10s survivors=$n%d " +
-        f"eventsParsed=$parsed%d wall=$secs%.2fs")
+      println(f"[reconcile-delta] $tag%-10s survivors=$n%d wall=$secs%.2fs")
     }
     measure("from-text", None)
     measure("from-sigs", Some(sigs))

@@ -8,6 +8,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
@@ -1225,6 +1226,17 @@ class OperatorsSpec extends AnyFunSuite {
           s"I4P chroma mismatch frame $i slices=$slices")
       }
     }
+
+    // container metadata under multi-slice: an ISO-BMFF SAMPLE is one
+    // access unit, so the muxed mp4's stts sample count must equal the
+    // FRAME count (not slices x frames — the bug the r15 review caught)
+    val (mp4ms, expMs, _, slicesMs) =
+      graft.operators.Multimodal.MediaGen.makeMp4AvcSliced("sliced sample count check")
+    assert(slicesMs >= 2)
+    val metaMs = graft.operators.Multimodal.MediaCodec.decodeMp4(mp4ms).get
+    assert(metaMs.nSamples == expMs.length,
+      s"stts samples ${metaMs.nSamples} != frames ${expMs.length}")
+    assert(H264.decodeMp4(mp4ms).get.frames.length == expMs.length)
 
     // torn multi-slice picture (stream ends mid-picture) → clean None
     val (encT, _) = H264.encodeCavlcTextured(textured(32, 64, 1), 28, slices = 4)
