@@ -19,7 +19,16 @@ class LwesFuzzSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val types: Seq[DataType] = Seq(BooleanType, ShortType, IntegerType,
-    LongType, FloatType, DoubleType, StringType)
+    LongType, FloatType, DoubleType, StringType,
+    // modern array tokens (r15: vectorized on both paths; wire arrays
+    // carry no null elements, including the empty array)
+    ArrayType(ShortType, containsNull = false),
+    ArrayType(IntegerType, containsNull = false),
+    ArrayType(LongType, containsNull = false),
+    ArrayType(FloatType, containsNull = false),
+    ArrayType(DoubleType, containsNull = false),
+    ArrayType(BooleanType, containsNull = false),
+    ArrayType(StringType, containsNull = false))
 
   private def randValue(rnd: Random, dt: DataType): Any = {
     if (rnd.nextInt(6) == 0) return null
@@ -46,6 +55,10 @@ class LwesFuzzSpec extends AnyFunSuite {
         case 1 => "héllo wörld 世界 😀"
         case _ => rnd.alphanumeric.take(rnd.nextInt(50)).mkString
       }
+      case ArrayType(et, _) =>
+        // element values are never null on the wire; empty arrays legal
+        Seq.fill(rnd.nextInt(9))(
+          Iterator.continually(randValue(rnd, et)).filter(_ != null).next())
       case _ => null
     }
   }
@@ -68,13 +81,20 @@ class LwesFuzzSpec extends AnyFunSuite {
       df.write.format("lwes").option("eventName", s"Fuzz::T$trial")
         .option("compression", comp)
         .mode("append").save(dir)
-      val back = spark.read.format("lwes").schema(full)
-        .option("eventName", s"Fuzz::T$trial").load(dir)
       val exp = df.collect().map(r => r.toSeq.map(normalize)).sortBy(_.toString)
-      val got = back.collect().map(r => r.toSeq.map(normalize)).sortBy(_.toString)
-      assert(got.length == exp.length, s"trial $trial: row count")
-      exp.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
-        assert(e == g, s"trial $trial row $i: expected $e got $g (schema $full, comp=$comp)")
+      // BOTH output paths must reproduce the source exactly — the
+      // vectorized reader (arrays included since r15) and the row
+      // reader are fuzz-pinned against each other here
+      Seq(true, false).foreach { vec =>
+        val back = spark.read.format("lwes").schema(full)
+          .option("vectorized", vec.toString)
+          .option("eventName", s"Fuzz::T$trial").load(dir)
+        val got = back.collect().map(r => r.toSeq.map(normalize)).sortBy(_.toString)
+        assert(got.length == exp.length, s"trial $trial vec=$vec: row count")
+        exp.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+          assert(e == g,
+            s"trial $trial vec=$vec row $i: expected $e got $g (schema $full, comp=$comp)")
+        }
       }
     }
   }
@@ -144,10 +164,12 @@ class LwesFuzzSpec extends AnyFunSuite {
   }
 
   /** -0.0 serializes as "-0.0" and parses back to -0.0; normalize NaN
-    * boxing only (equality of boxed Float/Double NaN differs). */
+    * boxing only (equality of boxed Float/Double NaN differs) and
+    * collection types (Row.getSeq shapes vary per reader path). */
   private def normalize(v: Any): Any = v match {
     case f: Float if f.isNaN => "NaN"
     case d: Double if d.isNaN => "NaN"
+    case s: scala.collection.Seq[_] => s.map(normalize).toList
     case other => other
   }
 }
