@@ -1031,7 +1031,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     new LwesMicroBatchStream(config.copy(columnar = false), roots,
       maxFilesPerTrigger, checkpointLocation, maxBytesPerTrigger,
       timeLo = timeLo, timeHi = timeHi, timeSlackMs = timeSlackMs,
-      timeExactOnly = timeExactOnly)
+      timeExactOnly = timeExactOnly, splitTargetBytes = splitTargetBytes)
 }
 
 object LwesScan {
@@ -1156,7 +1156,8 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     maxFilesPerTrigger: Option[Int] = None, checkpointLocation: String,
     maxBytesPerTrigger: Option[Long] = None,
     timeLo: Long = Long.MinValue, timeHi: Long = Long.MaxValue,
-    timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false)
+    timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false,
+    splitTargetBytes: Option[Long] = None)
     extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
     with streaming.SupportsTriggerAvailableNow
     with streaming.ReportsSourceMetrics
@@ -1325,7 +1326,57 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     (s until e).flatMap { id =>
       if (id < batches.size && batches(id).nonEmpty) batches(id)
       else readBatchLog(id)
-    }.map(p => p: InputPartition).toArray
+    }.flatMap(expandStreamSplit).map(p => p: InputPartition).toArray
+  }
+
+  /** Frame-run splitting for STREAMING micro-batches (r15): one fat
+    * `.zsj` journal admitted into a batch previously decoded as a
+    * single task — the exact parallelism = file-count ceiling the
+    * splittable container removes on the batch side. Oversized split
+    * journals expand into footer-indexed byte-range partitions here
+    * too. Offsets and the batch logs stay FILE-grained (exactly-once
+    * is unchanged: any partition of the same byte span reads the same
+    * records), and a replay re-derives splits from the immutable
+    * footer, so retries with different conf simply repartition the
+    * same data. Admission is complete-files-only (rename-visible), so
+    * the footer is always final by the time a file is admitted; any
+    * footer problem falls back to the whole-file read. */
+  private val streamSplitTarget: Long =
+    math.max(splitTargetBytes.getOrElse(128L << 20), 1L)
+  private def expandStreamSplit(p: LwesInputPartition): Seq[LwesInputPartition] = {
+    if (!graft.lwes.SplitJournal.isSplit(p.path) ||
+        p.length <= streamSplitTarget) return Seq(p)
+    try {
+      val path = new Path(p.path)
+      val in = path.getFileSystem(conf).open(path)
+      val footer =
+        try graft.lwes.SplitJournal.readFooter(in, p.length)
+        finally in.close()
+      footer match {
+        case None => Seq(p)
+        case Some(frames) =>
+          val runs = mutable.ArrayBuffer.empty[(Long, Long)]
+          var runStart = -1L
+          var runEnd = -1L
+          frames.foreach { fr =>
+            if (runStart < 0 ||
+                (runEnd - runStart) + fr.compressedLen > streamSplitTarget) {
+              if (runStart >= 0) runs += ((runStart, runEnd))
+              runStart = fr.offset
+            }
+            runEnd = fr.offset + fr.compressedLen
+          }
+          if (runStart >= 0) runs += ((runStart, runEnd))
+          runs.toSeq.map { case (start, end) =>
+            p.copy(length = end - start, range = Some((start, end)))
+          }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"failed to split streaming journal ${p.path} " +
+          s"(${e.getMessage}); reading it unsplit")
+        Seq(p)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

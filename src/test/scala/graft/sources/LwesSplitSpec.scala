@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.Files
 
 import graft.lwes.{JournalReader, SplitJournal, SplitJournalWriter}
-import graft.sources.lwes.{LwesOptions, LwesScan}
+import graft.sources.lwes.{LwesInputPartition, LwesMicroBatchStream, LwesOptions, LwesReadConfig, LwesScan}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -111,6 +111,42 @@ class LwesSplitSpec extends AnyFunSuite {
     val b = unsplit.orderBy("id").collect().toSeq
     assert(a == b)
     assert(a.length == 2000)
+  }
+
+  test("a STREAMING micro-batch splits one fat .zsj into many partitions (r15)") {
+    val dir = tmp()
+    writeSplit(dir, 2000)
+    // plan-level: the micro-batch stream expands the fat journal into
+    // footer-indexed byte-range partitions
+    val ckpt = Files.createTempDirectory("split-stream-ckpt").toString
+    val stream = new LwesMicroBatchStream(
+      LwesReadConfig(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id long, ReceiptTime long, tag string"),
+        Map.empty, Map.empty, Set("Sp::E"), Nil, -1, None, columnar = false),
+      Seq(dir), checkpointLocation = ckpt,
+      splitTargetBytes = Some(4096L))
+    val end = stream.latestOffset()
+    val parts = stream.planInputPartitions(stream.initialOffset(), end)
+    assert(parts.length > 1,
+      s"streaming planned ${parts.length} partition(s) for one fat .zsj")
+    assert(parts.forall(_.asInstanceOf[LwesInputPartition].range.isDefined))
+    // end-to-end: an AvailableNow drain over the same journal returns
+    // every row exactly once through the split partitions
+    val ckpt2 = Files.createTempDirectory("split-stream-ckpt2").toString
+    val out = Files.createTempDirectory("split-stream-out").toString
+    val q = spark.readStream.format("lwes")
+      .schema("id long, ReceiptTime long, tag string")
+      .option("eventName", "Sp::E")
+      .option(LwesOptions.SplitTargetBytes, "4096")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.read.parquet(out).select("id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == (0L until 2000L), s"got ${ids.length} rows")
   }
 
   test("pushed ReceiptTime range prunes whole frames exactly") {
