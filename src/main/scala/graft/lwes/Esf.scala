@@ -178,8 +178,10 @@ object Esf {
         expect(";")
         val token = if (arrayLen.isDefined)
           (scalarTok | LwesType.ArrayBit).toByte else scalarTok
-        attrs += EsfAttr(attrName, typeName.toLowerCase, token,
+        val attr = EsfAttr(attrName, typeName.toLowerCase, token,
           required, nullable, arrayLen, default)
+        typedDefault(attr) // malformed default fails HERE, at load time
+        attrs += attr
       }
       expect("}")
       val built = attrs.result()
@@ -190,6 +192,83 @@ object Esf {
       events(evName) = prev.filterNot(a => replaced(a.name)) ++ built
     }
     EsfTemplateDb(ListMap.from(events))
+  }
+
+  /** Typed default of an attribute declaration, as the [[LwesAttr]] a
+    * wire-present value of the declared type would parse to — so
+    * default materialization rides the exact conversion path real
+    * values take (lwes-java EventTemplateDB semantics: a declared
+    * default applies to UNSET attributes; the read path materializes
+    * it in place of NULL, the write path encodes it for unset
+    * columns). Array defaults are comma-separated inside one literal
+    * (`int32 dims[4] = 1,2,3;` / `string tags[4] = "a,b";`).
+    * A malformed literal is a TEMPLATE error, named with the
+    * attribute, raised at parse/load time — not on the first row. */
+  def typedDefault(a: EsfAttr): Option[LwesAttr] = a.default.map { raw =>
+    def bad(why: String): Nothing = throw new IllegalArgumentException(
+      s"esf: malformed default for ${a.typeName}" +
+        s"${if (a.arrayLen.isDefined) "[]" else ""} attribute " +
+        s"'${a.name}': '$raw' ($why)")
+    def unquote(s: String): String =
+      if (s.length >= 2 && s.head == '"' && s.last == '"')
+        s.substring(1, s.length - 1) else s
+    def longIn(s: String, lo: Long, hi: Long): Long = {
+      val v = s.toLongOption.getOrElse(bad(s"'$s' is not an integer"))
+      if (v < lo || v > hi) bad(s"$v is out of range [$lo, $hi]")
+      v
+    }
+    def scalar(token: Byte, s: String): Any = token match {
+      case LwesType.UInt16 => longIn(s, 0L, 0xffffL).toInt
+      case LwesType.Int16 => longIn(s, Short.MinValue, Short.MaxValue).toShort
+      case LwesType.UInt32 => longIn(s, 0L, 0xffffffffL)
+      case LwesType.Int32 => longIn(s, Int.MinValue, Int.MaxValue).toInt
+      case LwesType.Int64 => longIn(s, Long.MinValue, Long.MaxValue)
+      case LwesType.UInt64 => // unsigned literal, raw-bits value
+        try java.lang.Long.parseUnsignedLong(s)
+        catch { case _: NumberFormatException =>
+          bad(s"'$s' is not an unsigned integer") }
+      case LwesType.Bool => s.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case _ => bad(s"'$s' is not true/false")
+      }
+      case LwesType.ByteT => longIn(s, Byte.MinValue, Byte.MaxValue).toByte
+      case LwesType.Float =>
+        s.toFloatOption.getOrElse(bad(s"'$s' is not a float"))
+      case LwesType.Double =>
+        s.toDoubleOption.getOrElse(bad(s"'$s' is not a double"))
+      case LwesType.Str => unquote(s)
+      case LwesType.IpAddr =>
+        try LwesEvent.parseIp(unquote(s))
+        catch { case _: IllegalArgumentException | _: NumberFormatException =>
+          bad(s"'$s' is not a dotted-quad IPv4 address") }
+      case t => bad(s"type token 0x${"%02x".format(t)} takes no default")
+    }
+    val value: Any =
+      if (!LwesType.isArray(a.token)) scalar(a.token, raw)
+      else {
+        val et = LwesType.elementOf(a.token)
+        val parts = unquote(raw).split(',')
+        a.arrayLen.filter(_ < parts.length).foreach(cap =>
+          bad(s"${parts.length} elements over the declared max $cap"))
+        et match {
+          case LwesType.UInt16 => parts.map(scalar(et, _).asInstanceOf[Int])
+          case LwesType.Int16 => parts.map(scalar(et, _).asInstanceOf[Short])
+          case LwesType.UInt32 => parts.map(scalar(et, _).asInstanceOf[Long])
+          case LwesType.Int32 => parts.map(scalar(et, _).asInstanceOf[Int])
+          case LwesType.Int64 | LwesType.UInt64 =>
+            parts.map(scalar(et, _).asInstanceOf[Long])
+          case LwesType.Bool => parts.map(scalar(et, _).asInstanceOf[Boolean])
+          case LwesType.ByteT => parts.map(scalar(et, _).asInstanceOf[Byte])
+          case LwesType.Float => parts.map(scalar(et, _).asInstanceOf[Float])
+          case LwesType.Double => parts.map(scalar(et, _).asInstanceOf[Double])
+          case LwesType.Str => parts
+          case LwesType.IpAddr =>
+            parts.map(scalar(et, _).asInstanceOf[Array[Byte]])
+          case t => bad(s"array of token 0x${"%02x".format(t)} takes no default")
+        }
+      }
+    LwesAttr(a.name, a.token, value)
   }
 
   /** Parse a template from a (possibly remote) file. */

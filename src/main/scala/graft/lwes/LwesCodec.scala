@@ -61,6 +61,15 @@ object LwesCodec {
       n
   }
 
+  /** Wire encoding of one attribute VALUE alone (no key/token prefix).
+    * Pre-encodes ESF defaults so the vectorized reader materializes
+    * them through the same typed writers wire-present values take. */
+  private[graft] def encodeValue(a: LwesAttr): Array[Byte] = {
+    val buf = ByteBuffer.allocate(valueSize(a))
+    writeValue(buf, a.token, a.value)
+    buf.array()
+  }
+
   def serialize(ev: LwesEvent): Array[Byte] = {
     val buf = ByteBuffer.allocate(serializedSize(ev)) // big-endian default
     val nameB = ev.name.getBytes(UTF_8)

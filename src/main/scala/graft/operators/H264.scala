@@ -2947,7 +2947,7 @@ object H264 {
     * The muxer needs this — an ISO-BMFF sample is one access unit, so
     * a multi-slice picture's NALs must share a sample or stts/stsz
     * report slices-times-frames samples and inflated duration. */
-  private[operators] def groupPictures(
+  private[graft] def groupPictures(
       nals: Seq[Array[Byte]]): Seq[Seq[Array[Byte]]] = {
     val out = Seq.newBuilder[Seq[Array[Byte]]]
     var cur = Vector.empty[Array[Byte]]

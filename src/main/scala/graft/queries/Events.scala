@@ -224,8 +224,17 @@ object Events {
         // parquet annotation otherwise fails schema INFERENCE with a
         // raw "Illegal Parquet type" AnalysisException — the exact
         // unnamed-failure mode this canary exists to replace
+        // ... and RESTORED after it: the legacy flag must not leak a
+        // nano-INT64-as-LONG read behavior into every later query on
+        // the shared session
+        val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val physical = Tables.t(s, d, "events").schema("ts").dataType
+        val physical =
+          try Tables.t(s, d, "events").schema("ts").dataType
+          finally prevNanos match {
+            case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+            case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          }
         // LongType (epoch nanos) is readable by Tables.events but NOT
         // by the suite's DuckDB oracles — epoch_us(BIGINT) is a binder
         // error in every events oracle, including this key's own. A

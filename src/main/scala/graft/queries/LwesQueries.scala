@@ -249,6 +249,45 @@ object LwesQueries {
         |FROM events
         |WHERE event_type = 'click' AND user_id <= 25 AND event_id > 100""".stripMargin)),
 
+    // A11 breadth (r16): string ranges, LIKE-prefix, and IN are pushed
+    // into the parse too — the filters a `props LIKE 'x%'`-era journal
+    // query actually issues. Same two-sided proof as lwes_attr_pushdown:
+    // the aggregate hash pins WHAT survives, the in-gate rowsFiltered
+    // require pins WHERE the rejection happened (byte-level, in-parse,
+    // before materialization — not in Spark's residual Filter).
+    "lwes_attr_pushdown_str" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"map|$d") { dir =>
+          t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .write.format("lwes").option("eventName", "Order::Created").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("priority string, total double, okey long")
+          .option("eventName", "Order::Created")
+          .option("mapping", "priority:o_orderpriority, total:o_totalprice, okey:o_orderkey")
+          .load(dir)
+          .filter(col("priority").isin("1-URGENT", "2-HIGH", "3-MEDIUM") &&
+            col("priority") >= "1-U" && col("priority") < "3" &&
+            col("priority").startsWith("1-"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("total")), 2).as("total_price"),
+            max(col("okey")).as("max_key"))
+        val rows = df.collect()
+        val nFiltered = graft.sources.lwes.LwesScan
+          .scanMetricSum(df.queryExecution.executedPlan, "rowsFiltered")
+        require(nFiltered > 0,
+          s"pushed string predicates never rejected a record inside " +
+            s"the parse (rowsFiltered = $nFiltered)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |  AND o_orderpriority >= '1-U' AND o_orderpriority < '3'
+        |  AND o_orderpriority LIKE '1-%'""".stripMargin)),
+
     // A5: attribute→column renaming via the mapping option.
     "lwes_col_mapping" -> ((
       (s: SparkSession, d: String) => {
@@ -1575,6 +1614,56 @@ object LwesQueries {
         |  round(CAST(max(CAST(o_totalprice AS REAL)) AS DOUBLE), 2) AS max_price_f,
         |  CAST(sum(o_custkey % 1000) AS BIGINT) AS sum_cust_mod,
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_k2
+        |FROM orders""".stripMargin)),
+
+    // ESF DEFAULT VALUES (r16, closes A24): lwes-java EventTemplateDB
+    // applies a declared default to UNSET attributes. The journal here
+    // is written WITHOUT the template (null priority/bucket → attr
+    // unset on the wire; retries/score/flagged/dims/tags have no
+    // column at all); the read declares the template, so every missing
+    // attribute must materialize its declared default — scalar and
+    // array, through both reader paths (this key rides the default
+    // vectorized scan; EsfSpec pins row-path parity). The oracle
+    // replays the exact fill from orders.
+    "lwes_esf_defaults" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"esfdfl|$d") { dir =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, ".defaults.esf"), DefaultsEsf)
+          t(s, d, "orders")
+            .select(col("o_orderkey"),
+              when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+                .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+              when(col("o_orderkey") % 7 === 0, lit(null).cast("int"))
+                .otherwise((col("o_custkey") % 5).cast("int")).as("bucket"))
+            .write.format("lwes").option("eventName", "Order::Dft")
+            .mode("append").save(dir) // NO template on the write side
+        }
+        s.read.format("lwes").option("eventName", "Order::Dft")
+          .option(graft.sources.lwes.LwesOptions.Esf, s"$dir/.defaults.esf")
+          .load(dir)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+              .otherwise(0L)).as("n_urgent"),
+            sum(col("retries")).as("sum_retries"),
+            round(sum(col("score")), 2).as("sum_score"),
+            sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+            sum(col("bucket").cast("long")).as("sum_bucket"),
+            sum(element_at(col("dims"), 3)).as("sum_dim3"),
+            max(concat_ws(",", col("tags"))).as("tags_cat"),
+            max(col("host")).as("host"))
+      },
+      """SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 OR o_orderpriority = '1-URGENT'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(0 AS BIGINT) AS sum_retries,
+        |  round(count(*) * 1.5, 2) AS sum_score,
+        |  CAST(0 AS BIGINT) AS n_flagged,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 7
+        |                ELSE o_custkey % 5 END) AS BIGINT) AS sum_bucket,
+        |  CAST(count(*) * 3 AS BIGINT) AS sum_dim3,
+        |  'a,b' AS tags_cat,
+        |  '10.0.0.1' AS host
         |FROM orders""".stripMargin))
   )
 
@@ -1600,6 +1689,25 @@ object LwesQueries {
       |  float price_f;
       |  uint16 cust_mod;
       |  int64 keys[2];
+      |}
+      |""".stripMargin
+
+  /** The `.esf` fixture for `lwes_esf_defaults` — every declared-type
+    * family carries a default: string, int64, double, boolean, uint16,
+    * int64 array, string array, ip_addr (graft.lwes.Esf.typedDefault). */
+  private val DefaultsEsf: String =
+    """# defaults applied to unset attributes (lwes-java EventTemplateDB)
+      |Order::Dft
+      |{
+      |  required int64 o_orderkey;
+      |  string o_orderpriority = "1-URGENT";
+      |  uint16 bucket = 7;
+      |  int64 retries = 0;
+      |  double score = 1.5;
+      |  boolean flagged = false;
+      |  int64 dims[4] = 1,2,3;
+      |  string tags[4] = "a,b";
+      |  ip_addr host = "10.0.0.1";
       |}
       |""".stripMargin
 }

@@ -1127,6 +1127,65 @@ object Pipeline {
         |  round(max(j), 4) AS max_jaccard
         |FROM jp WHERE j >= 0.3""".stripMargin)),
 
+    // C2 in PURE SQL (r16): the same minhash→band→bucket→verify chain
+    // as dedup_minhash, built entirely from the SQL-registered
+    // signature kernels (GraftExtensions: shingle_hashes/minhashes) +
+    // vanilla Spark SQL — how the reference's HiveQL-only users lived.
+    // Saturation (occ/hub), banding (xxhash64 over 4-slice), and
+    // verification replicate Dedup.minhashPairs line for line; the
+    // oracle is the SAME exact-jaccard pair set, so a hash match
+    // proves the SQL composition ≡ the Scala operator.
+    "dedup_minhash_sql" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "documents").createOrReplaceTempView("graft_minhash_sql_docs")
+        s.sql(
+          """WITH sh AS (
+            |  SELECT doc_id,
+            |    shingle_hashes(split(lower(trim(text)), '\\s+'), 3) AS shingles
+            |  FROM graft_minhash_sql_docs),
+            |sigs AS (
+            |  SELECT doc_id, minhashes(shingles, 32) AS mh FROM sh),
+            |banded AS (
+            |  SELECT doc_id AS id, band,
+            |    xxhash64(concat_ws(',',
+            |      transform(slice(mh, band * 4 + 1, 4),
+            |        m -> cast(m AS string)))) AS sig
+            |  FROM sigs LATERAL VIEW explode(sequence(0, 7)) AS band),
+            |probe AS (
+            |  SELECT id, band, sig FROM (
+            |    SELECT id, band, sig,
+            |      count(1) OVER (PARTITION BY band, sig) AS occ,
+            |      min(id)  OVER (PARTITION BY band, sig) AS hub
+            |    FROM banded)
+            |  WHERE occ <= 8192 OR id = hub),
+            |cand AS (
+            |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            |  FROM probe l JOIN banded r
+            |    ON l.band = r.band AND l.sig = r.sig AND l.id < r.id),
+            |verified AS (
+            |  SELECT id_a, id_b,
+            |    round(cast(size(array_intersect(sa.shingles, sb.shingles)) AS double)
+            |      / cast(greatest(size(array_union(sa.shingles, sb.shingles)), 1)
+            |             AS double), 4) AS jaccard
+            |  FROM cand
+            |  JOIN sh sa ON sa.doc_id = id_a
+            |  JOIN sh sb ON sb.doc_id = id_b)
+            |SELECT cast(count(1) AS BIGINT) AS n_pairs,
+            |  cast(round(sum(cast(jaccard AS DECIMAL(18,4))), 4) AS DOUBLE)
+            |    AS sum_jaccard,
+            |  round(max(jaccard), 4) AS max_jaccard
+            |FROM verified WHERE jaccard >= 0.3""".stripMargin)
+      },
+      s"""WITH $duckShingles,
+        |$duckShingleInter,
+        |jp AS (
+        |  SELECT round(i::DOUBLE / greatest(sa.n + sb.n - i, 1), 4) AS j
+        |  FROM inter JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(round(sum(CAST(j AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_jaccard,
+        |  round(max(j), 4) AS max_jaccard
+        |FROM jp WHERE j >= 0.3""".stripMargin)),
+
     // C2+C16 composed: the production dedup chain — MinHash-LSH pair
     // discovery, connected components, keep the cluster representative
     // (min doc_id), report survivor stats. Oracle: recursive-CTE

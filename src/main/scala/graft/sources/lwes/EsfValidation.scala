@@ -31,14 +31,23 @@ object EsfValidation {
     * a violation. */
   val Undeclared: Byte = 0
 
+  /** One event's validated write plan: per-field template token,
+    * required flag, declared max array length (-1 = scalar), typed
+    * default (null = none), plus `extraDefaults` — declared attributes
+    * carrying a default but having NO column in the DataFrame, encoded
+    * for every written row (lwes-java EventTemplateDB default
+    * semantics: an unset attribute with a declared default gets it). */
+  final case class EsfWritePlan(tokens: Array[Byte], required: Array[Boolean],
+      maxLen: Array[Int], defaults: Array[graft.lwes.LwesAttr],
+      extraDefaults: Seq[graft.lwes.LwesAttr])
+
   /** Validate `schema` against the template for one event name and
-    * return (per-field template token, per-field required flag,
-    * per-field declared max array length or -1); `skip(i)` marks
-    * partition/event-name columns that never become attributes.
+    * return its [[EsfWritePlan]]; `skip(i)` marks partition/event-name
+    * columns that never become attributes.
     * Throws [[EsfValidationException]] with the exact violation. */
   def tokensFor(db: EsfTemplateDb, event: String, schema: StructType,
       attrs: Array[String], skip: Array[Boolean],
-      strict: Boolean = true): (Array[Byte], Array[Boolean], Array[Int]) = {
+      strict: Boolean = true): EsfWritePlan = {
     val m = db.attrMapFor(event).getOrElse(
       throw new EsfValidationException(
         s"esf validation: event '$event' is not declared in the template " +
@@ -46,6 +55,7 @@ object EsfValidation {
     val toks = new Array[Byte](schema.length)
     val req = new Array[Boolean](schema.length)
     val maxLen = Array.fill(schema.length)(-1)
+    val dfl = new Array[graft.lwes.LwesAttr](schema.length)
     var i = 0
     while (i < schema.length) {
       if (!skip(i)) {
@@ -68,19 +78,28 @@ object EsfValidation {
             toks(i) = a.token
             req(i) = a.required
             maxLen(i) = a.arrayLen.getOrElse(-1)
+            dfl(i) = graft.lwes.Esf.typedDefault(a).orNull
         }
       }
       i += 1
     }
     // every required template attribute needs a column (header attrs
-    // are stamped by the journal layer itself)
+    // are stamped by the journal layer itself; a declared default
+    // satisfies the requirement — the default is what gets written)
     val written = schema.indices.filterNot(skip).map(attrs(_)).toSet
     m.values.foreach { a =>
-      if (a.required && !written.contains(a.name) && !HeaderAttrs(a.name))
+      if (a.required && !written.contains(a.name) && !HeaderAttrs(a.name) &&
+          a.default.isEmpty)
         throw new EsfValidationException(
           s"esf validation: required attribute '${a.name}' of event " +
             s"'$event' has no column in the written DataFrame")
     }
-    (toks, req, maxLen)
+    // declared defaults with no column: encoded for every row, in
+    // declaration order (header attrs stay the journal layer's)
+    val extras = db.attrsFor(event).get
+      .filter(a => a.default.isDefined && !written.contains(a.name) &&
+        !HeaderAttrs(a.name))
+      .flatMap(graft.lwes.Esf.typedDefault)
+    EsfWritePlan(toks, req, maxLen, dfl, extras)
   }
 }

@@ -226,6 +226,25 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         val b = x.getUTF8String(j).getBytes
         child.appendByteArray(b, 0, b.length); j += 1
       }
+      // decimal elements (uint64As=decimal + uint64[] attrs — the last
+      // r15 row-reader fallback): append with the same width split
+      // WritableColumnVector.putDecimal uses, so reads land on the
+      // int/long/byte[] representation getDecimal expects
+      case dt: DecimalType => while (j < n) {
+        x.get(j, dt) match {
+          case d: Decimal =>
+            if (dt.precision <= Decimal.MAX_INT_DIGITS)
+              child.appendInt(d.toUnscaledLong.toInt)
+            else if (dt.precision <= Decimal.MAX_LONG_DIGITS)
+              child.appendLong(d.toUnscaledLong)
+            else {
+              val ub = d.toJavaBigDecimal.unscaledValue.toByteArray
+              child.appendByteArray(ub, 0, ub.length)
+            }
+          case _ => child.appendNull() // row-path null-element parity
+        }
+        j += 1
+      }
       case _ => return -1
     }
     n
@@ -428,6 +447,83 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     }
   }
 
+  @inline private def allAscii(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var i = off
+    val end = off + len
+    while (i < end) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  /** `col LIKE 'x%'` (r16 pushdown breadth): matching prefix BYTES are
+    * conclusive (the literal's bytes are complete UTF-8 sequences, so
+    * byte-equality survives decoding); a miss is conclusive only on an
+    * all-ASCII wire value (malformed UTF-8 decodes to replacement
+    * chars that could still match). */
+  private final class StrStartsWithEarly(lit: Array[Byte]) extends EarlyCheck {
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int = {
+      if (token != LwesType.Str) return -1
+      val so = off + 2
+      val sl = len - 2
+      if (sl >= lit.length) {
+        var i = 0
+        while (i < lit.length && b(so + i) == lit(i)) i += 1
+        if (i == lit.length) return 1
+      }
+      if (allAscii(b, so, sl)) 0 else -1
+    }
+  }
+
+  /** String range compare (r16): an all-ASCII wire value decodes to
+    * exactly its bytes, so the unsigned byte-lexicographic compare IS
+    * UTF8String.compareTo; anything else defers to the residual. */
+  private final class StrCmpEarly(op: Int, lit: Array[Byte]) extends EarlyCheck {
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int = {
+      if (token != LwesType.Str) return -1
+      val so = off + 2
+      val sl = len - 2
+      if (!allAscii(b, so, sl)) return -1
+      var i = 0
+      val n = math.min(sl, lit.length)
+      var cmp = 0
+      while (i < n && cmp == 0) {
+        cmp = (b(so + i) & 0xff) - (lit(i) & 0xff); i += 1
+      }
+      if (cmp == 0) cmp = sl - lit.length
+      val r = op match {
+        case OpGt => cmp > 0
+        case OpGe => cmp >= 0
+        case OpLt => cmp < 0
+        case _ => cmp <= 0
+      }
+      if (r) 1 else 0
+    }
+  }
+
+  private final class StrInEarly(lits: Array[Array[Byte]]) extends EarlyCheck {
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int = {
+      if (token != LwesType.Str) return -1
+      val so = off + 2
+      val sl = len - 2
+      var i = 0
+      while (i < lits.length) {
+        if (regionEquals(b, so, sl, lits(i))) return 1
+        i += 1
+      }
+      if (allAscii(b, so, sl)) 0 else -1
+    }
+  }
+
+  private final class NumInEarly(set: Set[Long], trunc: Long => Long)
+      extends EarlyCheck {
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int =
+      token match {
+        case LwesType.Str | LwesType.IpAddr => -1
+        case t if t == LwesType.Float || t == LwesType.Double ||
+            graft.lwes.LwesType.isArray(t) => -1
+        case _ => if (set.contains(trunc(lv))) 1 else 0
+      }
+  }
+
   private val (earlyChecks, postChecks): (Array[Array[EarlyCheck]],
       Array[Int => Boolean]) = {
     import org.apache.spark.sql.sources._
@@ -463,6 +559,21 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       early(c) ::= new NumEarly(op, lit, truncOf(c))
       post += numPost(c, op, lit)
     }
+    def strCmp(a: String, op: Int, v: String): Unit = {
+      val c = schema.fieldIndex(a)
+      val lit = UTF8String.fromString(v)
+      early(c) ::= new StrCmpEarly(op, lit.getBytes)
+      val vec = vectors(c)
+      post += (r => !vec.isNullAt(r) && {
+        val cmp = vec.getUTF8String(r).compareTo(lit)
+        op match {
+          case OpGt => cmp > 0
+          case OpGe => cmp >= 0
+          case OpLt => cmp < 0
+          case _ => cmp <= 0
+        }
+      })
+    }
     config.attrFilters.foreach {
       case EqualTo(a, v: String) =>
         val c = schema.fieldIndex(a)
@@ -472,10 +583,40 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         val vec = vectors(c)
         post += (r => !vec.isNullAt(r) && vec.getUTF8String(r).equals(lit))
       case EqualTo(a, v) => num(a, OpEq, v)
+      case GreaterThan(a, v: String) => strCmp(a, OpGt, v)
+      case GreaterThanOrEqual(a, v: String) => strCmp(a, OpGe, v)
+      case LessThan(a, v: String) => strCmp(a, OpLt, v)
+      case LessThanOrEqual(a, v: String) => strCmp(a, OpLe, v)
       case GreaterThan(a, v) => num(a, OpGt, v)
       case GreaterThanOrEqual(a, v) => num(a, OpGe, v)
       case LessThan(a, v) => num(a, OpLt, v)
       case LessThanOrEqual(a, v) => num(a, OpLe, v)
+      case StringStartsWith(a, v) =>
+        val c = schema.fieldIndex(a)
+        val lit = UTF8String.fromString(v)
+        early(c) ::= new StrStartsWithEarly(lit.getBytes)
+        val vec = vectors(c)
+        post += (r => !vec.isNullAt(r) && vec.getUTF8String(r).startsWith(lit))
+      case In(a, vs) =>
+        val c = schema.fieldIndex(a)
+        schema.fields(c).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            val lits = vs.map(x => UTF8String.fromString(x.asInstanceOf[String]))
+            early(c) ::= new StrInEarly(lits.map(_.getBytes))
+            val set = lits.toSet
+            val vec = vectors(c)
+            post += (r => !vec.isNullAt(r) && set.contains(vec.getUTF8String(r)))
+          case _ =>
+            val set = vs.map(litLong).toSet
+            early(c) ::= new NumInEarly(set, truncOf(c))
+            val vec = vectors(c)
+            val get: Int => Long = schema.fields(c).dataType match {
+              case ShortType => r => vec.getShort(r).toLong
+              case IntegerType => r => vec.getInt(r).toLong
+              case _ => r => vec.getLong(r)
+            }
+            post += (r => !vec.isNullAt(r) && set.contains(get(r)))
+        }
       case IsNotNull(a) =>
         val vec = vectors(schema.fieldIndex(a))
         post += (r => !vec.isNullAt(r))
@@ -535,6 +676,33 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       k = tabKeys(idx)
     }
     null
+  }
+
+  // -------------------------------------------------- ESF defaults (A24)
+  /** One declared default, pre-encoded as WIRE bytes: a record missing
+    * the attribute routes the default through the SAME typed writer a
+    * wire-present value of the declared type takes — toCatalyst parity
+    * by construction, zero per-row conversion work. */
+  private final class DefaultCell(val token: Byte, val bytes: Array[Byte],
+      val lv: Long)
+  private val (defaultEventNames: Array[Array[Byte]],
+      defaultEventStrs: Array[String],
+      defaultCells: Array[Array[DefaultCell]]) = {
+    val events = config.esfDefaults.keys.toArray.sorted
+    val cells = events.map { e =>
+      val byAttr = config.esfDefaults(e)
+      Array.tabulate(nCols) { c =>
+        val name = schema.fieldNames(c)
+        if (!isAttrCol(c)) null
+        else if (config.eventFor.get(name).exists(g => g.nonEmpty && g != e))
+          null // column mapped to a different event type
+        else byAttr.get(config.attrOf(name)).map { d =>
+          val enc = graft.lwes.LwesCodec.encodeValue(d)
+          new DefaultCell(d.token, enc, decodeLong(d.token, enc, 0))
+        }.orNull
+      }
+    }
+    (events.map(_.getBytes(UTF_8)), events, cells)
   }
 
   // ------------------------------------------------------ record parse
@@ -808,10 +976,25 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         stamps(c) = stamp
         p += 1
       }
-      // ---- null-fill untouched columns
+      // ---- null-fill untouched columns (a declared ESF default
+      // materializes instead of NULL — A24 defaults, row-path parity)
+      var fills: Array[DefaultCell] = null
+      if (defaultEventNames.length > 0) {
+        var e = 0
+        while (e < defaultEventNames.length && fills == null) {
+          if (nameMatches(b, b0 + 1, nameLen, defaultEventNames(e),
+              defaultEventStrs(e))) fills = defaultCells(e)
+          e += 1
+        }
+      }
       var c = 0
       while (c < nCols) {
-        if (stamps(c) != stamp) vectors(c).putNull(r)
+        if (stamps(c) != stamp) {
+          val d = if (fills == null) null else fills(c)
+          if (d != null)
+            writers(c).write(r, d.token, d.bytes, 0, d.bytes.length, d.lv)
+          else vectors(c).putNull(r)
+        }
         c += 1
       }
       // ---- pushed-predicate post checks on the finished row (what

@@ -600,14 +600,26 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
           _: java.lang.Long => true
       case _ => false
     }
+    def strCol(a: String): Boolean = colType(a).contains(StringType)
     attrFilters = filters.filter {
-      case EqualTo(a, v: String) =>
-        attrCols(a) && colType(a).contains(StringType) && v != null
+      case EqualTo(a, v: String) => attrCols(a) && strCol(a) && v != null
       case EqualTo(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
+      // r16 pushdown breadth: string ranges, LIKE-prefix, and IN — the
+      // filters a `props LIKE 'x%'`-era journal query actually pushes
+      case GreaterThan(a, v: String) => attrCols(a) && strCol(a) && v != null
+      case GreaterThanOrEqual(a, v: String) => attrCols(a) && strCol(a) && v != null
+      case LessThan(a, v: String) => attrCols(a) && strCol(a) && v != null
+      case LessThanOrEqual(a, v: String) => attrCols(a) && strCol(a) && v != null
       case GreaterThan(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
       case GreaterThanOrEqual(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
       case LessThan(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
       case LessThanOrEqual(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
+      case org.apache.spark.sql.sources.StringStartsWith(a, v) =>
+        attrCols(a) && strCol(a) && v != null
+      case In(a, vs) =>
+        attrCols(a) && vs != null && vs.nonEmpty && (
+          (strCol(a) && vs.forall(_.isInstanceOf[String])) ||
+          (integralCol(a) && vs.forall(integralLit)))
       case org.apache.spark.sql.sources.IsNotNull(a) =>
         attrCols(a) && colType(a).isDefined
       case _ => false
@@ -642,22 +654,32 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
         pushedLimit, ncol,
         // the vectorized batch path covers scalar columns AND array
-        // columns over the primitive/string element set (r15:
-        // elements append to the child vector, rows record explicit
-        // (start, count) offsets); only decimal-element arrays —
-        // uint64As=decimal + uint64[] attrs — fall back to the row
-        // reader (WritableColumnVector has no append for decimals)
+        // columns over every element type the source can PRODUCE —
+        // r15: primitive/string elements (append to the child vector,
+        // rows record explicit (start, count) offsets); r16: decimal
+        // elements (uint64As=decimal + uint64[] attrs, appended with
+        // putDecimal's own width split). Only user-declared NESTED
+        // element shapes (array-of-array/map — junk for a 1-D wire
+        // array either way) still route to the row reader, so no
+        // source-derivable schema drags a mixed scan off the fast path
         columnar = options.getBoolean(LwesOptions.Vectorized, true) &&
           readSchema.fields.forall(_.dataType match {
             case ArrayType(et, _) => et match {
               case ShortType | IntegerType | LongType | FloatType |
-                  DoubleType | BooleanType | StringType => true
+                  DoubleType | BooleanType | StringType |
+                  _: DecimalType => true
               case _ => false
             }
             case _ => true
           }),
         attrFilters = attrFilters.toSeq
-          .filter(f => f.references.forall(readSchema.fieldNames.contains))),
+          .filter(f => f.references.forall(readSchema.fieldNames.contains)),
+        esfDefaults = Option(options.get(LwesOptions.Esf)).map { p =>
+          val db = graft.lwes.Esf.load(p, LwesDataSource.hadoopConf())
+          db.eventNames.map(e => e -> db.attrsFor(e).get
+            .flatMap(a => graft.lwes.Esf.typedDefault(a).map(a.name -> _))
+            .toMap).filter(_._2.nonEmpty).toMap
+        }.getOrElse(Map.empty)),
       roots, partitionFilters,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
@@ -1359,7 +1381,11 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
           var runStart = -1L
           var runEnd = -1L
           frames.foreach { fr =>
-            if (runStart < 0 ||
+            // same run-break conditions as the batch-side expandSplit —
+            // including the contiguity break: the streaming path never
+            // prunes frames today, but a run spanning a gap would decode
+            // garbage the day frame-level pruning lands here
+            if (runStart < 0 || fr.offset != runEnd ||
                 (runEnd - runStart) + fr.compressedLen > streamSplitTarget) {
               if (runStart >= 0) runs += ((runStart, runEnd))
               runStart = fr.offset
@@ -1492,6 +1518,20 @@ private[lwes] final class ColumnShape(config: LwesReadConfig) extends Serializab
   private val nameColIdx: Int =
     config.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
 
+  /** ESF defaults per event as PRE-CONVERTED per-column Catalyst
+    * values — a missing attribute materializes its declared default
+    * through [[LwesOptions.toCatalyst]] exactly as a wire-present
+    * value of the declared type would (A24). */
+  private val defaultsByEvent: Map[String, Array[Any]] =
+    config.esfDefaults.map { case (event, byAttr) =>
+      event -> Array.tabulate[Any](schema.length) { i =>
+        if (i == nameColIdx || isPartition(i)) null
+        else if (requiredEvent(i).nonEmpty && requiredEvent(i) != event) null
+        else byAttr.get(attrNames(i))
+          .map(d => LwesOptions.toCatalyst(d, schema.fields(i).dataType)).orNull
+      }
+    }
+
   /** Catalyst value of column `i` for `ev` (null = SQL NULL). */
   def valueFor(i: Int, ev: LwesEvent,
       partitionValues: Map[String, String]): Any =
@@ -1501,8 +1541,15 @@ private[lwes] final class ColumnShape(config: LwesReadConfig) extends Serializab
         .map(UTF8String.fromString).orNull
     else if (requiredEvent(i).nonEmpty && requiredEvent(i) != ev.name)
       null // column mapped to a different event type
-    else ev.get(attrNames(i))
-      .map(a => LwesOptions.toCatalyst(a, schema.fields(i).dataType)).orNull
+    else ev.get(attrNames(i)) match {
+      case Some(a) => LwesOptions.toCatalyst(a, schema.fields(i).dataType)
+      case None =>
+        if (defaultsByEvent.isEmpty) null
+        else defaultsByEvent.get(ev.name) match {
+          case Some(d) => d(i)
+          case None => null
+        }
+    }
 }
 
 class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
@@ -1550,10 +1597,44 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
         idx(a).map(i => (i, (x: Any) => x != null &&
           x.asInstanceOf[UTF8String].equals(lit)))
       case EqualTo(a, v: Number) => num(a, _ == v.longValue())
+      case GreaterThan(a, v: String) =>
+        val lit = UTF8String.fromString(v)
+        idx(a).map(i => (i, (x: Any) => x != null &&
+          x.asInstanceOf[UTF8String].compareTo(lit) > 0))
+      case GreaterThanOrEqual(a, v: String) =>
+        val lit = UTF8String.fromString(v)
+        idx(a).map(i => (i, (x: Any) => x != null &&
+          x.asInstanceOf[UTF8String].compareTo(lit) >= 0))
+      case LessThan(a, v: String) =>
+        val lit = UTF8String.fromString(v)
+        idx(a).map(i => (i, (x: Any) => x != null &&
+          x.asInstanceOf[UTF8String].compareTo(lit) < 0))
+      case LessThanOrEqual(a, v: String) =>
+        val lit = UTF8String.fromString(v)
+        idx(a).map(i => (i, (x: Any) => x != null &&
+          x.asInstanceOf[UTF8String].compareTo(lit) <= 0))
       case GreaterThan(a, v: Number) => num(a, _ > v.longValue())
       case GreaterThanOrEqual(a, v: Number) => num(a, _ >= v.longValue())
       case LessThan(a, v: Number) => num(a, _ < v.longValue())
       case LessThanOrEqual(a, v: Number) => num(a, _ <= v.longValue())
+      case org.apache.spark.sql.sources.StringStartsWith(a, v) =>
+        val lit = UTF8String.fromString(v)
+        idx(a).map(i => (i, (x: Any) => x != null &&
+          x.asInstanceOf[UTF8String].startsWith(lit)))
+      case org.apache.spark.sql.sources.In(a, vs) =>
+        idx(a).map { i =>
+          schema.fields(i).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              val set = vs.map(x =>
+                UTF8String.fromString(x.asInstanceOf[String])).toSet
+              (i, (x: Any) => x != null &&
+                set.contains(x.asInstanceOf[UTF8String]))
+            case _ =>
+              val set = vs.map(_.asInstanceOf[Number].longValue()).toSet
+              (i, (x: Any) => x != null &&
+                set.contains(x.asInstanceOf[Number].longValue()))
+          }
+        }
       case org.apache.spark.sql.sources.IsNotNull(a) =>
         idx(a).map(i => (i, (x: Any) => x != null))
       case _ => None

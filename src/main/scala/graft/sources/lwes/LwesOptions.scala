@@ -34,7 +34,12 @@ final case class LwesReadConfig(
     // vectorized parse so non-matching records short-circuit before row
     // materialization (A4's name-skip generalized to values); Spark
     // re-applies them, so evaluation may be partial but never wrong
-    attrFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    attrFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    // ESF template defaults (event -> attr -> typed default): a record
+    // missing the attribute materializes the declared default instead
+    // of NULL (lwes-java EventTemplateDB semantics) — both readers
+    // route the default through the same conversion a wire value takes
+    esfDefaults: Map[String, Map[String, graft.lwes.LwesAttr]] = Map.empty)
   extends Serializable {
 
   /** Attributes the deserializer must materialize. */
@@ -335,8 +340,16 @@ object LwesOptions {
     case (LwesType.Str, StringType | FloatType | DoubleType) => true
     case (LwesType.IpAddr, StringType) => true
     case (LwesType.ByteArray, BinaryType) => true
+    // ARRAY ELEMENTS do not inherit the scalar Str float/double-as-string
+    // allowance: setAttrAs's string-array branch reads elements with
+    // getUTF8String, which on a numeric UnsafeArrayData reinterprets the
+    // float bits as an offset word — garbage strings after validation
+    // passed. Elements of a declared string[] must BE strings.
     case (t, ArrayType(et, _)) if LwesType.isArray(t) =>
-      esfWriteCompatible(et, LwesType.elementOf(t))
+      LwesType.elementOf(t) match {
+        case LwesType.Str | LwesType.IpAddr => et == StringType
+        case e => esfWriteCompatible(et, e)
+      }
     case _ => false
   }
 
@@ -345,16 +358,40 @@ object LwesOptions {
     * choice, so a template `float` gets the native float token and a
     * template `uint16` narrows an int column to the uint16 encoding.
     * Callers guarantee [[esfWriteCompatible]] held for (dt, token). */
+  /** Integral narrowing to a declared template width RANGE-CHECKS
+    * instead of bit-masking: the ESF write contract is "rows are
+    * VALIDATED against the template", and an int 70000 silently landing
+    * as uint16 4464 is corruption, not coercion. uint64 stays raw-bits
+    * (any long is a valid unsigned representation — reference parity). */
+  private def narrowChecked(attr: String, token: Byte, v: Long): Long = {
+    val (lo, hi) = token match {
+      case LwesType.Int16 => (Short.MinValue.toLong, Short.MaxValue.toLong)
+      case LwesType.UInt16 => (0L, 0xffffL)
+      case LwesType.Int32 => (Int.MinValue.toLong, Int.MaxValue.toLong)
+      case LwesType.UInt32 => (0L, 0xffffffffL)
+      case _ => (Long.MinValue, Long.MaxValue)
+    }
+    if (v < lo || v > hi)
+      throw new EsfValidationException(
+        s"esf validation: value $v of attribute '$attr' is out of range " +
+          s"for declared type ${graft.lwes.LwesType.name(token)} [$lo, $hi]")
+    v
+  }
+
   def setAttrAs(ev: LwesEvent, attr: String, token: Byte, dt: DataType,
       v: Any): Unit = {
     if (v == null) return
     token match {
       case LwesType.Bool => ev.setBool(attr, v.asInstanceOf[Boolean])
       case LwesType.ByteT => ev.setByte(attr, v.asInstanceOf[Byte])
-      case LwesType.Int16 => ev.setInt16(attr, numAsLong(v).toShort)
-      case LwesType.UInt16 => ev.setUInt16(attr, numAsLong(v).toInt & 0xffff)
-      case LwesType.Int32 => ev.setInt32(attr, numAsLong(v).toInt)
-      case LwesType.UInt32 => ev.setUInt32(attr, numAsLong(v) & 0xffffffffL)
+      case LwesType.Int16 =>
+        ev.setInt16(attr, narrowChecked(attr, token, numAsLong(v)).toShort)
+      case LwesType.UInt16 =>
+        ev.setUInt16(attr, narrowChecked(attr, token, numAsLong(v)).toInt)
+      case LwesType.Int32 =>
+        ev.setInt32(attr, narrowChecked(attr, token, numAsLong(v)).toInt)
+      case LwesType.UInt32 =>
+        ev.setUInt32(attr, narrowChecked(attr, token, numAsLong(v)))
       case LwesType.Int64 => ev.setInt64(attr, numAsLong(v))
       case LwesType.UInt64 => v match {
         case d: Decimal =>
@@ -377,24 +414,27 @@ object LwesOptions {
       }
       case t if LwesType.isArray(t) =>
         val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        require((0 until ad.numElements()).forall(!ad.isNullAt(_)),
-          s"LWES array attr '$attr' cannot carry NULL elements " +
-            "(no nullable-array wire token in scope)")
+        // named like every other template violation (the ESF path
+        // promises EsfValidationException, not a generic require)
+        if (!(0 until ad.numElements()).forall(!ad.isNullAt(_)))
+          throw new EsfValidationException(
+            s"esf validation: array attribute '$attr' carries a NULL " +
+              "element (no nullable-array wire token in scope)")
         val et = LwesType.elementOf(t)
         val n = ad.numElements()
         et match {
           case LwesType.Int16 =>
-            ev.setInt16Array(attr, Array.tabulate(n)(j =>
-              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType)).toShort))
+            ev.setInt16Array(attr, Array.tabulate(n)(j => narrowChecked(attr, et,
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType))).toShort))
           case LwesType.UInt16 =>
-            ev.setUInt16Array(attr, Array.tabulate(n)(j =>
-              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType)).toInt & 0xffff))
+            ev.setUInt16Array(attr, Array.tabulate(n)(j => narrowChecked(attr, et,
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType))).toInt))
           case LwesType.Int32 =>
-            ev.setInt32Array(attr, Array.tabulate(n)(j =>
-              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType)).toInt))
+            ev.setInt32Array(attr, Array.tabulate(n)(j => narrowChecked(attr, et,
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType))).toInt))
           case LwesType.UInt32 =>
-            ev.setUInt32Array(attr, Array.tabulate(n)(j =>
-              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType)) & 0xffffffffL))
+            ev.setUInt32Array(attr, Array.tabulate(n)(j => narrowChecked(attr, et,
+              numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType)))))
           case LwesType.Int64 =>
             ev.setInt64Array(attr, Array.tabulate(n)(j =>
               numAsLong(ad.get(j, dt.asInstanceOf[ArrayType].elementType))))
@@ -424,9 +464,13 @@ object LwesOptions {
     case i: Int => i.toLong
     case l: Long => l
     case s: Short => s.toLong
+    case b: Byte => b.toLong
     case s: UTF8String => s.toString.toLong
     case s: String => s.toLong
     case d: Double => d.toLong
+    // uint64-declared decimal columns/elements: unsigned raw-bits
+    // round-trip, same as setAttr's scalar DecimalType branch
+    case d: Decimal => d.toJavaBigDecimal.toBigInteger.longValue()
     case _ => throw new IllegalArgumentException(s"not numeric: $v")
   }
 

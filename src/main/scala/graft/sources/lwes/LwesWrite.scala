@@ -350,12 +350,12 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
   // (the factories already failed fast on the driver); eventNameColumn
   // writes validate each event NAME on first encounter and cache the
   // per-field token/required arrays — per row it's one hash probe
-  private val esfStatic: Option[(Array[Byte], Array[Boolean], Array[Int])] =
+  private val esfStatic: Option[EsfValidation.EsfWritePlan] =
     wc.esf.filter(_ => nameIdx < 0)
       .map(db => EsfValidation.tokensFor(db, wc.eventName, schema, attrs, isPartCol))
   private val esfByEvent =
-    scala.collection.mutable.HashMap[String, (Array[Byte], Array[Boolean], Array[Int])]()
-  private def esfFor(name: String): (Array[Byte], Array[Boolean], Array[Int]) =
+    scala.collection.mutable.HashMap[String, EsfValidation.EsfWritePlan]()
+  private def esfFor(name: String): EsfValidation.EsfWritePlan =
     esfStatic.getOrElse(esfByEvent.getOrElseUpdate(name,
       // LENIENT for multi-event writes: the schema is the union of
       // every event's columns, NULL meaning "unset" — only a non-null
@@ -412,12 +412,18 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
     while (i < schema.length) {
       if (!isPartCol(i)) {
         if (row.isNullAt(i)) {
-          if (esf != null && esf._2(i))
+          // a NULL column with a declared template default encodes the
+          // default (lwes-java EventTemplateDB semantics — this also
+          // satisfies `required`); without one, required stays fatal
+          if (esf != null && esf.defaults(i) != null) {
+            val d = esf.defaults(i)
+            ev.set(d.key, d.token, d.value)
+          } else if (esf != null && esf.required(i))
             throw new EsfValidationException(
               s"esf validation: required attribute '${attrs(i)}' of event " +
                 s"'$name' is NULL (column '${schema.fields(i).name}')")
         } else {
-          if (esf != null && esf._1(i) == EsfValidation.Undeclared)
+          if (esf != null && esf.tokens(i) == EsfValidation.Undeclared)
             throw new EsfValidationException(
               s"esf validation: attribute '${attrs(i)}' (column " +
                 s"'${schema.fields(i).name}') is not declared for event " +
@@ -432,7 +438,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
             // declared max array length (lwes-java EventTemplateDB
             // size validation): an oversized array is a template
             // violation, named, not a silent truncation
-            val cap = esf._3(i)
+            val cap = esf.maxLen(i)
             if (cap >= 0) {
               val len = v match {
                 case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
@@ -446,11 +452,16 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
                     s"'$name' carries $len elements, over the declared " +
                     s"max $cap (column '${schema.fields(i).name}')")
             }
-            LwesOptions.setAttrAs(ev, attrs(i), esf._1(i), dt, v)
+            LwesOptions.setAttrAs(ev, attrs(i), esf.tokens(i), dt, v)
           }
         }
       }
       i += 1
+    }
+    // declared defaults with no DataFrame column at all: encoded for
+    // every row (the template promises the attribute a value)
+    if (esf != null) esf.extraDefaults.foreach { d =>
+      if (!ev.isSet(d.key)) ev.set(d.key, d.token, d.value)
     }
     val subdir = partIdx.map { i =>
       val v = if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"

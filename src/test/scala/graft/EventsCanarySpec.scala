@@ -77,7 +77,7 @@ class EventsCanarySpec extends AnyFunSuite {
     assert(e.getMessage.contains("EMPTY"))
   }
 
-  test("a legacy nano-INT64 annotation infers (nanosAsLong set pre-probe)") {
+  test("a legacy nano-INT64 annotation infers (nanosAsLong set pre-probe, restored after)") {
     // the probe read must set nanosAsLong BEFORE touching the footer so
     // a nano-annotated file reaches the named type check rather than
     // dying in schema inference with a raw AnalysisException. A nano
@@ -93,6 +93,9 @@ class EventsCanarySpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val e = intercept[IllegalStateException](canary(dir))
     assert(e.getMessage.contains("testdata schema drift"))
-    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // ...and RESTORED afterwards (r16): the legacy read behavior must
+    // not leak into every later query on the shared session (getOption
+    // surfaces the registered default "false" here, never "true")
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true")
   }
 }

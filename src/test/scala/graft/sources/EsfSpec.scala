@@ -213,6 +213,101 @@ class EsfSpec extends AnyFunSuite {
       .option("esf", esfFile()).mode("append").save(dir)
   }
 
+  private val defaultsTemplate =
+    """Deft::Ev
+      |{
+      |  required int64 id;
+      |  string prio = "low";
+      |  int64 retries = 0;
+      |  double score = 1.5;
+      |  boolean flagged = false;
+      |  uint16 bucket = 7;
+      |  int32 dims[4] = 1,2,3;
+      |  string tags[4] = "a,b";
+      |  ip_addr host = "10.0.0.1";
+      |}
+      |""".stripMargin
+
+  private def defaultsEsfFile(): String = {
+    val dir = Files.createTempDirectory("esf-dfl").toString
+    Files.writeString(Paths.get(dir, "d.esf"), defaultsTemplate)
+    s"$dir/d.esf"
+  }
+
+  test("defaults: missing attributes materialize declared defaults on read, both paths") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-dfl-read").toString
+    // written WITHOUT the template: null prio/bucket → attr unset on
+    // the wire; retries/score/flagged/dims/tags/host have no column
+    Seq((1L, Some("high"), Some(2)), (2L, None, Some(5)), (3L, Some("mid"), None))
+      .toDF("id", "prio", "bucket")
+      .write.format("lwes").option("eventName", "Deft::Ev")
+      .mode("append").save(dir)
+    for (vectorized <- Seq("true", "false")) {
+      val rows = spark.read.format("lwes")
+        .option("eventName", "Deft::Ev")
+        .option("vectorized", vectorized)
+        .option("esf", defaultsEsfFile()).load(dir)
+        .select("id", "prio", "retries", "score", "flagged", "bucket",
+          "dims", "tags", "host")
+        .orderBy("id").collect()
+      assert(rows.map(_.getString(1)).toSeq == Seq("high", "low", "mid"),
+        s"vectorized=$vectorized")
+      assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 0L, 0L))
+      assert(rows.map(_.getDouble(3)).toSeq == Seq(1.5, 1.5, 1.5))
+      assert(rows.map(_.getBoolean(4)).toSeq == Seq(false, false, false))
+      assert(rows.map(_.getInt(5)).toSeq == Seq(2, 5, 7)) // present values win
+      assert(rows.map(_.getSeq[Int](6)).toSeq ==
+        Seq(Seq(1, 2, 3), Seq(1, 2, 3), Seq(1, 2, 3)))
+      assert(rows.map(_.getSeq[String](7)).toSeq ==
+        Seq(Seq("a", "b"), Seq("a", "b"), Seq("a", "b")))
+      assert(rows.map(_.getString(8)).toSeq ==
+        Seq("10.0.0.1", "10.0.0.1", "10.0.0.1"))
+    }
+  }
+
+  test("defaults: the write path encodes declared defaults for unset attributes") {
+    val dir = Files.createTempDirectory("esf-dfl-write").toString
+    // one row with prio NULL (unset column), no other default-bearing
+    // columns at all — the template supplies every value on the WIRE
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(7L, null: String)),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("prio", StringType, nullable = true))))
+    df.write.format("lwes").option("eventName", "Deft::Ev")
+      .option("esf", defaultsEsfFile()).mode("append").save(dir)
+    // read back WITHOUT the template: the defaults must be real wire
+    // attributes, not a read-side fill
+    val r = spark.read.format("lwes").option("eventName", "Deft::Ev")
+      .load(dir)
+      .select("id", "prio", "retries", "score", "flagged", "bucket",
+        "dims", "tags")
+      .head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getString(1) == "low")
+    assert(r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 1.5)
+    assert(!r.getBoolean(4))
+    assert(r.getInt(5) == 7)
+    assert(r.getSeq[Int](6) == Seq(1, 2, 3))
+    assert(r.getSeq[String](7) == Seq("a", "b"))
+  }
+
+  test("defaults: a malformed default literal fails at template load, named") {
+    val e1 = intercept[IllegalArgumentException](
+      Esf.parse("Ev {\n  int64 x = abc;\n}"))
+    assert(e1.getMessage.contains("malformed default") &&
+      e1.getMessage.contains("'x'"))
+    val e2 = intercept[IllegalArgumentException](
+      Esf.parse("Ev {\n  uint16 y = 70000;\n}"))
+    assert(e2.getMessage.contains("malformed default") &&
+      e2.getMessage.contains("out of range"))
+    val e3 = intercept[IllegalArgumentException](
+      Esf.parse("Ev {\n  int32 z[2] = 1,2,3;\n}"))
+    assert(e3.getMessage.contains("malformed default") &&
+      e3.getMessage.contains("over the declared max"))
+  }
+
   test("streaming read: esf supplies the schema for readStream") {
     import spark.implicits._
     val dir = Files.createTempDirectory("esf-stream").toString
@@ -234,6 +329,33 @@ class EsfSpec extends AnyFunSuite {
     val r = spark.read.parquet(out).orderBy("username").collect()
     assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
       Seq(("ann", 3L), ("bob", 4L)))
+  }
+
+  test("streaming read: esf declares the schema over an EMPTY directory, then tails") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-stream-empty").toString
+    // declare-then-tail: the A24 no-sampling property composed with the
+    // A13 streaming source — the stream exists BEFORE any journal does
+    val stream = spark.readStream.format("lwes")
+      .option("eventName", "User::Login")
+      .option("esf", esfFile())
+      .load(dir) // EMPTY directory — sampling would have failed here
+    assert(stream.schema.fieldNames.take(2).toSeq == Seq("username", "ts"))
+    // journals land only AFTER the stream was declared
+    Seq(("cat", 8L), ("dog", 9L)).toDF("username", "ts")
+      .write.format("lwes").option("eventName", "User::Login")
+      .option("esf", esfFile()).mode("append").save(dir)
+    val out = Files.createTempDirectory("esf-stream-empty-out").toString
+    val ckpt = Files.createTempDirectory("esf-stream-empty-ckpt").toString
+    val q = stream.select("username", "ts")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val r = spark.read.parquet(out).orderBy("username").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("cat", 8L), ("dog", 9L)))
   }
 
   test("SQL DDL: CREATE TABLE USING lwes OPTIONS(esf ...) drives the catalog") {

@@ -175,15 +175,22 @@ class LwesSourceSpec extends AnyFunSuite {
         r.getSeq[Double](3), r.getAs[Array[Byte]](4).toSeq)
     assert(colRows.map(canon).toSeq == back.map(canon).toSeq,
       "columnar array read must equal the row-path read bit-for-bit")
-    // only decimal-element arrays still fall back to the row reader
-    // (no WritableColumnVector append for decimals)
-    val decScan = spark.read.format("lwes")
+    // decimal-element arrays are vectorized too since r16 (appended
+    // with putDecimal's own width split) — no schema shape the source
+    // can produce drags a mixed scan onto the row reader anymore
+    val decDf = spark.read.format("lwes")
       .schema("id long, nums array<decimal(20,0)>")
       .option("eventName", "Arr::E").load(dir)
-      .queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
-      }.head
-    assert(!decScan.supportsColumnar, "decimal-element arrays use the row reader")
+    val decScan = decDf.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(decScan.supportsColumnar, "decimal-element arrays are vectorized (r16)")
+    val decRow = spark.read.format("lwes")
+      .schema("id long, nums array<decimal(20,0)>")
+      .option("eventName", "Arr::E").option("vectorized", "false").load(dir)
+    assert(decDf.orderBy("id").collect()
+      .sameElements(decRow.orderBy("id").collect()),
+      "columnar decimal-array read must equal the row-path read bit-for-bit")
   }
 
   test("write via DataFrame then read back round-trips (A3, A10)") {
@@ -326,6 +333,38 @@ class LwesSourceSpec extends AnyFunSuite {
       .load(dir2).filter(col("opt") >= 20).orderBy("id").collect()
     assert(got2(true).sameElements(got2(false)))
     assert(got2(true).map(_.getLong(0)).toSeq == Seq(20L, 25L, 30L, 35L, 40L, 45L))
+  }
+
+  test("pushed string ranges, LIKE-prefix, and IN short-circuit the parse (r16)") {
+    val dir = tmp()
+    writeMixedJournal(dir, 900)
+    def read(vec: Boolean) = spark.read.format("lwes")
+      .schema("id long, page string, score int, cost double")
+      .option("vectorized", vec.toString).load(dir)
+    def flt(df: org.apache.spark.sql.DataFrame) = df.filter(
+      col("page").startsWith("/p/") &&
+        col("page") >= "/p/3" && col("page") <= "/p/7" &&
+        col("page").isin("/p/4", "/p/6", "/p/9") &&
+        col("score").isin(84, 126, 446, 555))
+    // the new shapes land in the scan's pushed set
+    val plan = flt(read(vec = true)).queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(page,/p/)") &&
+      plan.contains("In(page") && plan.contains("In(score") &&
+      plan.contains("GreaterThanOrEqual(page,/p/3)"),
+      s"string/In predicates missing from pushed filters:\n$plan")
+    // identical results across both reader paths
+    val a = flt(read(vec = true)).orderBy("id").collect()
+    val b = flt(read(vec = false)).orderBy("id").collect()
+    assert(a.sameElements(b))
+    assert(a.map(_.getLong(0)).toSeq == Seq(84L, 126L, 446L))
+    // and the rejection happened IN the parser on both paths
+    for (vec <- Seq(true, false)) {
+      val q = flt(read(vec)).agg(count(lit(1)))
+      q.collect()
+      val nf = graft.sources.lwes.LwesScan
+        .scanMetricSum(q.queryExecution.executedPlan, "rowsFiltered")
+      assert(nf > 0, s"vectorized=$vec rowsFiltered = $nf, expected > 0")
+    }
   }
 
   test("partitioned dt= layout yields partition column (A14)") {

@@ -249,6 +249,40 @@ class LwesColumnarSpec extends AnyFunSuite {
         .count())
   }
 
+  test("decimal-element arrays are vectorized and match the row path (r16)") {
+    val dir = Files.createTempDirectory("lwes-col-decarr").toString
+    val w = JournalWriter.create(s"$dir/j.journal.gz")
+    (0 until 5000).foreach { i => // crosses the 4096-row batch boundary
+      val ev = LwesEvent("Dec::Arr")
+        .setInt64("id", i.toLong)
+        .setUInt64("u64", -1L - i)
+        .setUInt64Array("us", Array(i.toLong, -1L - i, Long.MinValue + i))
+        .setInt32Array("is", Array(i, i + 1))
+      if (i % 7 != 0) ev.setUInt64Array("opt_us", Array(-2L - i))
+      w.write(ev)
+    }
+    w.close()
+    val ddl = "id long, u64 decimal(20,0), us array<decimal(20,0)>, " +
+      "is array<int>, opt_us array<decimal(20,0)>"
+    def read(v: Boolean) = spark.read.format("lwes").schema(ddl)
+      .option("uint64As", "decimal").option("vectorized", v.toString).load(dir)
+    // the uint64As=decimal + uint64[] schema STAYS on the columnar path
+    // (the exact mixed-schema shape that used to fall back to rows)
+    val plan = read(v = true).queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"decimal-element arrays must ride the vectorized scan:\n$plan")
+    val a = read(v = true).orderBy("id").collect()
+    val b = read(v = false).orderBy("id").collect()
+    assert(a.length == 5000 && a.sameElements(b))
+    // unsigned-exact element values, 2^63..2^64-1 range included
+    val r = a(3)
+    assert(r.getSeq[java.math.BigDecimal](2).map(_.toString) == Seq(
+      "3", (BigInt(2).pow(64) - 4).toString,
+      (BigInt(2).pow(63) + 3).toString))
+    assert(a(0).isNullAt(4) && a(1).getSeq[java.math.BigDecimal](4).head
+      .toString == (BigInt(2).pow(64) - 3).toString)
+  }
+
   test("columnar batches cross the 4096-row boundary intact") {
     val dir = Files.createTempDirectory("lwes-col3").toString
     writeJournal(dir, 1, 9000) // one file -> one reader, 3 batches
