@@ -144,6 +144,35 @@ object ScanThroughput {
             .agg(sum("id"), sum(element_at(col("ks"), 2)),
               sum(size(col("ts")))).collect())
       }
+      // r16: uint64As=decimal + uint64[] — the last schema shape that
+      // used to drag a MIXED scan onto the row reader. One journal with
+      // a uint64 scalar AND a uint64 array; the whole-schema aggregate
+      // shows the mixed scan's throughput on each path (pre-r16 the
+      // "columnar" line here WAS the row path)
+      val ddir = Files.createTempDirectory("lwes-tp-dec").toString
+      val dEvents = math.max(nEvents / 5, 100000)
+      val dPerFile = dEvents / nFiles
+      java.util.stream.IntStream.range(0, nFiles).parallel().forEach { f =>
+        val w = JournalWriter.create(s"$ddir/d$f.journal$ext")
+        (0 until dPerFile).foreach { i =>
+          val id = f.toLong * dPerFile + i
+          w.write(LwesEvent("Tp::Dec")
+            .setInt64("id", id)
+            .setUInt64("u", -1L - id)
+            .setUInt64Array("us", Array(id, -1L - id)))
+        }
+        w.close()
+      }
+      Seq(true, false).foreach { vec =>
+        val mode = if (vec) "columnar" else "row"
+        bench(s"$mode decimal-arr mixed agg", dEvents)(
+          spark.read.format("lwes")
+            .schema("id long, u decimal(20,0), us array<decimal(20,0)>")
+            .option("uint64As", "decimal")
+            .option("vectorized", vec.toString).load(ddir)
+            .agg(sum("id"), max("u"), sum(element_at(col("us"), 1)))
+            .collect())
+      }
     }
     spark.stop()
   }
