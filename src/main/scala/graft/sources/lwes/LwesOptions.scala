@@ -309,6 +309,12 @@ object LwesOptions {
           case StringType => ev.setStringArray(attr,
             (0 until ad.numElements())
               .map(j => ad.getUTF8String(j).toString).toArray)
+          // decimal elements round-trip back to uint64[] raw bits —
+          // the write-side mirror of the uint64As=decimal read (a
+          // decimal array READ from a journal was unwritable until r16)
+          case edt: DecimalType => ev.setUInt64Array(attr,
+            Array.tabulate(ad.numElements())(j => ad.get(j, edt)
+              .asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger.longValue()))
           case other => throw new IllegalArgumentException(
             s"LWES cannot carry array element type $other")
         }

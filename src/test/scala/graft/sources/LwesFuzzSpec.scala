@@ -28,7 +28,12 @@ class LwesFuzzSpec extends AnyFunSuite {
     ArrayType(FloatType, containsNull = false),
     ArrayType(DoubleType, containsNull = false),
     ArrayType(BooleanType, containsNull = false),
-    ArrayType(StringType, containsNull = false))
+    ArrayType(StringType, containsNull = false),
+    // uint64-as-decimal, both shapes (r16): scalars round-trip through
+    // the uint64 raw-bits write, decimal ARRAYS through the r16
+    // setAttr uint64[] mirror of the uint64As=decimal read
+    DecimalType(20, 0),
+    ArrayType(DecimalType(20, 0), containsNull = false))
 
   private def randValue(rnd: Random, dt: DataType): Any = {
     if (rnd.nextInt(6) == 0) return null
@@ -50,6 +55,8 @@ class LwesFuzzSpec extends AnyFunSuite {
         case 1 => -0.0
         case _ => rnd.nextDouble() * 1e12 - 5e11
       }
+      case _: DecimalType => // full unsigned-64 range, 2^63.. included
+        new java.math.BigDecimal(new java.math.BigInteger(64, rnd.self))
       case StringType => rnd.nextInt(5) match {
         case 0 => ""
         case 1 => "héllo wörld 世界 😀"
