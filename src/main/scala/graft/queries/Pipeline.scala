@@ -1134,7 +1134,12 @@ object Pipeline {
     // Saturation (occ/hub), banding (xxhash64 over 4-slice), and
     // verification replicate Dedup.minhashPairs line for line; the
     // oracle is the SAME exact-jaccard pair set, so a hash match
-    // proves the SQL composition ≡ the Scala operator.
+    // proves the SQL composition ≡ the Scala operator. Plan note: SQL
+    // has no `.cache()`, so the documents scan repeats 4× (banded
+    // probe/build + both verify sides) — at 100 TB a SQL user
+    // materializes the `sh` CTE as a table first (CREATE TABLE sigs
+    // AS SELECT doc_id, shingle_hashes(...) ...), which is exactly
+    // what the Scala operator's cached signature frame does.
     "dedup_minhash_sql" -> ((
       (s: SparkSession, d: String) => {
         t(s, d, "documents").createOrReplaceTempView("graft_minhash_sql_docs")

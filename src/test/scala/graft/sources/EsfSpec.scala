@@ -293,6 +293,36 @@ class EsfSpec extends AnyFunSuite {
     assert(r.getSeq[String](7) == Seq("a", "b"))
   }
 
+  test("defaults: per-EVENT defaults apply in a multi-event union read, both paths") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-dfl-multi").toString
+    val esfDir = Files.createTempDirectory("esf-dfl-multi-t").toString
+    // the same attribute name carries DIFFERENT defaults per event —
+    // each record must fill ITS OWN event's default, never a sibling's
+    Files.writeString(Paths.get(esfDir, "m.esf"),
+      """Ev::A { required int64 id; string src = "a-side"; int64 w = 10; }
+        |Ev::B { required int64 id; string src = "b-side"; }
+        |""".stripMargin)
+    val esf = s"$esfDir/m.esf"
+    Seq((1L, "Ev::A"), (2L, "Ev::B"), (3L, "Ev::A"))
+      .toDF("id", "ev")
+      .write.format("lwes").option("eventNameColumn", "ev")
+      .mode("append").save(dir) // no template: src/w unset on the wire
+    for (vectorized <- Seq("true", "false")) {
+      val rows = spark.read.format("lwes")
+        .option("esf", esf) // union schema over both declared events
+        .option("eventNameColumn", "ev")
+        .option("vectorized", vectorized)
+        .load(dir)
+        .select("id", "src", "w", "ev").orderBy("id").collect()
+      assert(rows.map(_.getString(1)).toSeq ==
+        Seq("a-side", "b-side", "a-side"), s"vectorized=$vectorized")
+      // w is declared (with a default) only on Ev::A: B rows stay NULL
+      assert(rows.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq ==
+        Seq(10L, -1L, 10L), s"vectorized=$vectorized")
+    }
+  }
+
   test("defaults: a malformed default literal fails at template load, named") {
     val e1 = intercept[IllegalArgumentException](
       Esf.parse("Ev {\n  int64 x = abc;\n}"))
