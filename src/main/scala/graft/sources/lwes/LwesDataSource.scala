@@ -1245,6 +1245,8 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
   // log each heuristically-pruned path once, not per trigger
   private val heuristicPruneLogged = mutable.HashSet[String]()
   @volatile private var admissionPruned = 0L
+  // .zsj frames dropped by the admission window at plan time (r16)
+  private val streamFramesPruned = new java.util.concurrent.atomic.AtomicLong()
 
   /** Unseen files overlapping the ReceiptTime admission window, oldest
     * first (stable tiebreak on path). Pruned files are NOT marked seen:
@@ -1326,6 +1328,7 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     m.put("backlogFiles", backlogFiles.toString)
     m.put("backlogBytes", backlogBytes.toString)
     m.put("filesPruned", admissionPruned.toString)
+    m.put("splitFramesPruned", streamFramesPruned.get.toString)
     m
   }
 
@@ -1377,14 +1380,28 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
       footer match {
         case None => Seq(p)
         case Some(frames) =>
+          // frame-level ReceiptTime pruning (r16): a bounded backfill
+          // (receiptTimeMin/Max) over a fat .zsj journal decodes only
+          // the frames whose EXACT footer bounds can overlap the
+          // admission window — the streaming counterpart of the batch
+          // planner's pruning. Bounds-less frames (min > max) keep.
+          // Only exact footer bounds are used (no mtime heuristics at
+          // frame level), so a prune never loses an in-window record;
+          // the admission window is part of the query's definition, so
+          // replays under an unchanged option set re-derive the same
+          // frames from the immutable footer.
+          val kept =
+            if (timeLo == Long.MinValue && timeHi == Long.MaxValue) frames
+            else frames.filter(fr => fr.minReceipt > fr.maxReceipt ||
+              (fr.maxReceipt >= timeLo && fr.minReceipt <= timeHi))
+          streamFramesPruned.addAndGet((frames.size - kept.size).toLong)
           val runs = mutable.ArrayBuffer.empty[(Long, Long)]
           var runStart = -1L
           var runEnd = -1L
-          frames.foreach { fr =>
+          kept.foreach { fr =>
             // same run-break conditions as the batch-side expandSplit —
-            // including the contiguity break: the streaming path never
-            // prunes frames today, but a run spanning a gap would decode
-            // garbage the day frame-level pruning lands here
+            // the contiguity break keeps a run from spanning a pruning
+            // gap (it would decode garbage bytes as frames)
             if (runStart < 0 || fr.offset != runEnd ||
                 (runEnd - runStart) + fr.compressedLen > streamSplitTarget) {
               if (runStart >= 0) runs += ((runStart, runEnd))

@@ -87,6 +87,10 @@ object LwesOptions {
   // counterpart of the batch scan's pushed-range pruning, needed
   // because a fresh stream has no pushed filters at admission time.
   // Honors the same timePrune mode (exact|true|false) and slack.
+  // Inside an admitted fat `.zsj` journal, the window additionally
+  // prunes whole FRAMES by their exact footer bounds at plan time
+  // (r16) — no mtime heuristics at frame level, so an in-window
+  // record is never lost; `splitFramesPruned` source metric counts.
   val ReceiptTimeMin = "receiptTimeMin"
   val ReceiptTimeMax = "receiptTimeMax"
   // vectorized scan output (default true): events land in ColumnarBatch

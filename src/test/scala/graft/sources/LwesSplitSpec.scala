@@ -149,6 +149,52 @@ class LwesSplitSpec extends AnyFunSuite {
     assert(ids.sorted.toSeq == (0L until 2000L), s"got ${ids.length} rows")
   }
 
+  test("a streaming backfill window prunes whole .zsj frames at plan time (r16)") {
+    val dir = tmp()
+    writeSplit(dir, 2000)
+    val lo = T0 + 500 * 1000L
+    val hi = T0 + 700 * 1000L
+    // plan-level: the admission window drops frames whose EXACT footer
+    // bounds cannot overlap it, so the batch reads a byte subset
+    val ckpt = Files.createTempDirectory("split-stream-prune-ckpt").toString
+    val stream = new LwesMicroBatchStream(
+      LwesReadConfig(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id long, ReceiptTime long, tag string"),
+        Map.empty, Map.empty, Set("Sp::E"), Nil, -1, None, columnar = false),
+      Seq(dir), checkpointLocation = ckpt,
+      timeLo = lo, timeHi = hi,
+      splitTargetBytes = Some(4096L))
+    val end = stream.latestOffset()
+    val parts = stream.planInputPartitions(stream.initialOffset(), end)
+      .map(_.asInstanceOf[LwesInputPartition])
+    val windowBytes = parts.map(_.length).sum
+    val fullBytes = onlyFile(dir).length
+    assert(parts.nonEmpty && windowBytes < fullBytes / 2,
+      s"windowed stream plan reads $windowBytes of $fullBytes bytes")
+    assert(stream.metrics(java.util.Optional.empty())
+      .get("splitFramesPruned").toLong > 0)
+    // end-to-end: the windowed drain returns every in-window row
+    // exactly once — frame pruning loses NOTHING inside the window
+    val ckpt2 = Files.createTempDirectory("split-stream-prune-ckpt2").toString
+    val out = Files.createTempDirectory("split-stream-prune-out").toString
+    val q = spark.readStream.format("lwes")
+      .schema("id long, ReceiptTime long, tag string")
+      .option("eventName", "Sp::E")
+      .option(LwesOptions.ReceiptTimeMin, lo.toString)
+      .option(LwesOptions.ReceiptTimeMax, hi.toString)
+      .option(LwesOptions.SplitTargetBytes, "4096")
+      .load(dir)
+      .filter(col("ReceiptTime") >= lo && col("ReceiptTime") <= hi)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.read.parquet(out).select("id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == (500L to 700L), s"got ${ids.length} rows")
+  }
+
   test("pushed ReceiptTime range prunes whole frames exactly") {
     val dir = tmp()
     writeSplit(dir, 2000)
