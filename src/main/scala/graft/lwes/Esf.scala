@@ -223,10 +223,13 @@ object Esf {
       case LwesType.UInt32 => longIn(s, 0L, 0xffffffffL)
       case LwesType.Int32 => longIn(s, Int.MinValue, Int.MaxValue).toInt
       case LwesType.Int64 => longIn(s, Long.MinValue, Long.MaxValue)
-      case LwesType.UInt64 => // unsigned literal, raw-bits value
+      case LwesType.UInt64 =>
+        // unsigned literal, raw-bits value; a negative literal is the
+        // raw-bits representation too (`uint64 mask = -1;` = 2^64-1 —
+        // the same any-long-is-valid-bits contract the write path has)
         try java.lang.Long.parseUnsignedLong(s)
         catch { case _: NumberFormatException =>
-          bad(s"'$s' is not an unsigned integer") }
+          s.toLongOption.getOrElse(bad(s"'$s' is not an unsigned integer")) }
       case LwesType.Bool => s.toLowerCase match {
         case "true" => true
         case "false" => false
@@ -271,13 +274,25 @@ object Esf {
     LwesAttr(a.name, a.token, value)
   }
 
-  /** Parse a template from a (possibly remote) file. */
+  // (path, mtime, length) -> parsed db: schema inference and the scan
+  // builder both load the template per query — on a remote store the
+  // second fetch is a wasted round-trip, so identical file states hit
+  // the memo. Bounded: templates are few; cleared if it ever balloons.
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), EsfTemplateDb]()
+
+  /** Parse a template from a (possibly remote) file; memoized on the
+    * file's (path, modification time, length). */
   def load(path: String, conf: org.apache.hadoop.conf.Configuration): EsfTemplateDb = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    try parse(new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally in.close()
+    val st = fs.getFileStatus(p)
+    if (loadCache.size > 64) loadCache.clear()
+    loadCache.computeIfAbsent((path, st.getModificationTime, st.getLen), _ => {
+      val in = fs.open(p)
+      try parse(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    })
   }
 }

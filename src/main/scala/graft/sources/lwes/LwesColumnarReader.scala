@@ -441,9 +441,7 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       // only when the wire is ASCII (malformed UTF-8 round-trips to
       // replacement chars that might still match)
       if (regionEquals(b, so, sl, lit)) return 1
-      var i = so
-      while (i < so + sl) { if (b(i) < 0) return -1; i += 1 }
-      0
+      if (allAscii(b, so, sl)) 0 else -1
     }
   }
 
@@ -535,13 +533,19 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       case IntegerType => l => l.toInt.toLong
       case _ => identity
     }
-    def numPost(c: Int, op: Int, lit: Long): Int => Boolean = {
+    // integral vector read-back at the column's own width — shared by
+    // every numeric post-check so a new width is wired exactly once
+    def numGet(c: Int): Int => Long = {
       val vec = vectors(c)
-      val get: Int => Long = schema.fields(c).dataType match {
+      schema.fields(c).dataType match {
         case ShortType => r => vec.getShort(r).toLong
         case IntegerType => r => vec.getInt(r).toLong
         case _ => r => vec.getLong(r)
       }
+    }
+    def numPost(c: Int, op: Int, lit: Long): Int => Boolean = {
+      val vec = vectors(c)
+      val get = numGet(c)
       r => !vec.isNullAt(r) && {
         val x = get(r)
         op match {
@@ -610,11 +614,7 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
             val set = vs.map(litLong).toSet
             early(c) ::= new NumInEarly(set, truncOf(c))
             val vec = vectors(c)
-            val get: Int => Long = schema.fields(c).dataType match {
-              case ShortType => r => vec.getShort(r).toLong
-              case IntegerType => r => vec.getInt(r).toLong
-              case _ => r => vec.getLong(r)
-            }
+            val get = numGet(c)
             post += (r => !vec.isNullAt(r) && set.contains(get(r)))
         }
       case IsNotNull(a) =>

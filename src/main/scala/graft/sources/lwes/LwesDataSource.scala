@@ -58,6 +58,37 @@ object LwesDataSource {
   def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
+  /** Shared `.zsj` split planning for the batch AND streaming planners
+    * (one implementation so their semantics cannot drift — the r16
+    * streaming port of the batch logic is exactly the divergence this
+    * prevents recurring): drop frames whose EXACT footer receipt
+    * bounds cannot overlap [timeLo, timeHi] (bounds-less `min > max`
+    * frames always keep), then coalesce survivors into contiguous byte
+    * runs of ≤ `target` compressed bytes, breaking on pruning gaps (a
+    * run must be one seekable span — spanning a gap would decode
+    * garbage bytes as frames). Returns (runs as (start, end) byte
+    * ranges, pruned frame count). */
+  private[lwes] def planFrameRuns(frames: Seq[graft.lwes.SplitJournal.FrameMeta],
+      timeLo: Long, timeHi: Long, target: Long): (Seq[(Long, Long)], Int) = {
+    val kept =
+      if (timeLo == Long.MinValue && timeHi == Long.MaxValue) frames
+      else frames.filter(f => f.minReceipt > f.maxReceipt ||
+        (f.maxReceipt >= timeLo && f.minReceipt <= timeHi))
+    val runs = mutable.ArrayBuffer.empty[(Long, Long)]
+    var runStart = -1L
+    var runEnd = -1L
+    kept.foreach { f =>
+      if (runStart < 0 || f.offset != runEnd ||
+          (runEnd - runStart) + f.compressedLen > target) {
+        if (runStart >= 0) runs += ((runStart, runEnd))
+        runStart = f.offset
+      }
+      runEnd = f.offset + f.compressedLen
+    }
+    if (runStart >= 0) runs += ((runStart, runEnd))
+    (runs.toSeq, frames.size - kept.size)
+  }
+
   /** All journal files under the given roots (recursive, skips hidden).
     *
     * Files named by the streaming sink (`part-q<qid>-e<epoch>-*`) are
@@ -676,9 +707,14 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
           .filter(f => f.references.forall(readSchema.fieldNames.contains)),
         esfDefaults = Option(options.get(LwesOptions.Esf)).map { p =>
           val db = graft.lwes.Esf.load(p, LwesDataSource.hadoopConf())
-          db.eventNames.map(e => e -> db.attrsFor(e).get
-            .flatMap(a => graft.lwes.Esf.typedDefault(a).map(a.name -> _))
-            .toMap).filter(_._2.nonEmpty).toMap
+          db.eventNames
+            // only events this scan can admit: the columnar fill scans
+            // the default-event list per record, so a wide template
+            // must not tax an eventName-filtered read
+            .filter(e => eventNames.isEmpty || eventNames(e))
+            .map(e => e -> db.attrsFor(e).get
+              .flatMap(a => graft.lwes.Esf.typedDefault(a).map(a.name -> _))
+              .toMap).filter(_._2.nonEmpty).toMap
         }.getOrElse(Map.empty)),
       roots, partitionFilters,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
@@ -985,24 +1021,10 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
             "index; reading it unsplit")
           Seq(s)
         case Some(frames) =>
-          val kept =
-            if (timeLo == Long.MinValue && timeHi == Long.MaxValue) frames
-            else frames.filter(f => f.minReceipt > f.maxReceipt ||
-              (f.maxReceipt >= timeLo && f.minReceipt <= timeHi))
-          prunedFrames += (frames.size - kept.size).toLong
-          val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          var runStart = -1L
-          var runEnd = -1L
-          kept.foreach { f =>
-            if (runStart < 0 || f.offset != runEnd ||
-                (runEnd - runStart) + f.compressedLen > target) {
-              if (runStart >= 0) runs += ((runStart, runEnd))
-              runStart = f.offset
-            }
-            runEnd = f.offset + f.compressedLen
-          }
-          if (runStart >= 0) runs += ((runStart, runEnd))
-          runs.toSeq.map { case (start, end) =>
+          val (runs, pruned) = LwesDataSource.planFrameRuns(
+            frames, timeLo, timeHi, target)
+          prunedFrames += pruned.toLong
+          runs.map { case (start, end) =>
             // range-accurate locality: rank hosts by the BYTES of each
             // HDFS block overlapping this run, not the whole file — a
             // 4 MB frame run usually lives in one block on one host
@@ -1384,33 +1406,16 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
           // (receiptTimeMin/Max) over a fat .zsj journal decodes only
           // the frames whose EXACT footer bounds can overlap the
           // admission window — the streaming counterpart of the batch
-          // planner's pruning. Bounds-less frames (min > max) keep.
-          // Only exact footer bounds are used (no mtime heuristics at
-          // frame level), so a prune never loses an in-window record;
+          // planner's pruning, via the SAME planFrameRuns helper so
+          // the two planners cannot drift. No mtime heuristics at
+          // frame level, so a prune never loses an in-window record;
           // the admission window is part of the query's definition, so
           // replays under an unchanged option set re-derive the same
           // frames from the immutable footer.
-          val kept =
-            if (timeLo == Long.MinValue && timeHi == Long.MaxValue) frames
-            else frames.filter(fr => fr.minReceipt > fr.maxReceipt ||
-              (fr.maxReceipt >= timeLo && fr.minReceipt <= timeHi))
-          streamFramesPruned.addAndGet((frames.size - kept.size).toLong)
-          val runs = mutable.ArrayBuffer.empty[(Long, Long)]
-          var runStart = -1L
-          var runEnd = -1L
-          kept.foreach { fr =>
-            // same run-break conditions as the batch-side expandSplit —
-            // the contiguity break keeps a run from spanning a pruning
-            // gap (it would decode garbage bytes as frames)
-            if (runStart < 0 || fr.offset != runEnd ||
-                (runEnd - runStart) + fr.compressedLen > streamSplitTarget) {
-              if (runStart >= 0) runs += ((runStart, runEnd))
-              runStart = fr.offset
-            }
-            runEnd = fr.offset + fr.compressedLen
-          }
-          if (runStart >= 0) runs += ((runStart, runEnd))
-          runs.toSeq.map { case (start, end) =>
+          val (runs, pruned) = LwesDataSource.planFrameRuns(
+            frames, timeLo, timeHi, streamSplitTarget)
+          streamFramesPruned.addAndGet(pruned.toLong)
+          runs.map { case (start, end) =>
             p.copy(length = end - start, range = Some((start, end)))
           }
       }

@@ -289,7 +289,9 @@ object LwesOptions {
         // only 4-byte values survived, coerced to ipaddr; everything
         // else was silently dropped)
         ev.setByteArray(attr, v.asInstanceOf[Array[Byte]])
-      case _: DecimalType => // unsigned round-trip back to uint64 raw bits
+      // unsigned round-trip back to uint64 raw bits — scale-0 shapes
+      // only (r16): a fractional decimal would silently truncate
+      case d: DecimalType if d.scale == 0 =>
         ev.setUInt64(attr,
           v.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger.longValue())
       // array columns ride the modern lwes array tokens (0x81+). NOTE:
@@ -313,10 +315,12 @@ object LwesOptions {
           case StringType => ev.setStringArray(attr,
             (0 until ad.numElements())
               .map(j => ad.getUTF8String(j).toString).toArray)
-          // decimal elements round-trip back to uint64[] raw bits —
-          // the write-side mirror of the uint64As=decimal read (a
-          // decimal array READ from a journal was unwritable until r16)
-          case edt: DecimalType => ev.setUInt64Array(attr,
+          // scale-0 decimal elements round-trip back to uint64[] raw
+          // bits — the write-side mirror of the uint64As=decimal read
+          // (a decimal array READ from a journal was unwritable until
+          // r16). Fractional decimal types stay REJECTED below: a
+          // silent toBigInteger would truncate 1.23 to wire 1.
+          case edt: DecimalType if edt.scale == 0 => ev.setUInt64Array(attr,
             Array.tabulate(ad.numElements())(j => ad.get(j, edt)
               .asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger.longValue()))
           case other => throw new IllegalArgumentException(
@@ -343,7 +347,9 @@ object LwesOptions {
     case (LwesType.UInt32, ByteType | ShortType | IntegerType | LongType) => true
     case (LwesType.Int64, ByteType | ShortType | IntegerType | LongType) => true
     case (LwesType.UInt64, ByteType | ShortType | IntegerType | LongType) => true
-    case (LwesType.UInt64, _: DecimalType) => true
+    // scale-0 only: a fractional decimal cannot encode as uint64 raw
+    // bits without silent truncation (named rejection instead)
+    case (LwesType.UInt64, d: DecimalType) => d.scale == 0
     case (LwesType.Float, FloatType) => true
     case (LwesType.Double, FloatType | DoubleType) => true
     // template `string` keeps the classic float/double-as-string parity

@@ -338,6 +338,40 @@ class EsfSpec extends AnyFunSuite {
       e3.getMessage.contains("over the declared max"))
   }
 
+  test("write: an out-of-range value for a declared narrow width fails named") {
+    import spark.implicits._
+    val tdir = Files.createTempDirectory("esf-range").toString
+    Files.writeString(Paths.get(tdir, "r.esf"),
+      "Rng::Ev { required int64 id; uint16 port; uint16 ports[4]; }")
+    val esf = s"$tdir/r.esf"
+    // scalar: int 70000 into declared uint16 is a template violation,
+    // NOT a silent '& 0xffff' wrap to 4464
+    val dir1 = Files.createTempDirectory("esf-range-w1").toString
+    val e1 = intercept[Exception] {
+      Seq((1L, 70000)).toDF("id", "port")
+        .write.format("lwes").option("eventName", "Rng::Ev")
+        .option("esf", esf).mode("append").save(dir1)
+    }
+    assert(rootMessage(e1).contains("out of range") &&
+      rootMessage(e1).contains("port") && rootMessage(e1).contains("uint16"))
+    // array element: same check per element
+    val e2 = intercept[Exception] {
+      Seq((1L, Seq(1, 99999))).toDF("id", "ports")
+        .write.format("lwes").option("eventName", "Rng::Ev")
+        .option("esf", esf).mode("append").save(dir1)
+    }
+    assert(rootMessage(e2).contains("out of range") &&
+      rootMessage(e2).contains("ports"))
+    // boundary values pass and round-trip exactly
+    val dir2 = Files.createTempDirectory("esf-range-w2").toString
+    Seq((1L, 65535, Seq(0, 65535))).toDF("id", "port", "ports")
+      .write.format("lwes").option("eventName", "Rng::Ev")
+      .option("esf", esf).mode("append").save(dir2)
+    val r = spark.read.format("lwes").option("eventName", "Rng::Ev")
+      .option("esf", esf).load(dir2).select("port", "ports").head()
+    assert(r.getInt(0) == 65535 && r.getSeq[Int](1) == Seq(0, 65535))
+  }
+
   test("streaming read: esf supplies the schema for readStream") {
     import spark.implicits._
     val dir = Files.createTempDirectory("esf-stream").toString
