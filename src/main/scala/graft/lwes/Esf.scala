@@ -172,8 +172,14 @@ object Esf {
         var default: Option[String] = None
         if (i < toks.length && toks(i).text == "=") {
           i += 1
-          default = Some(if (i < toks.length) toks(i).text else err("expected a default value", i))
-          i += 1
+          // the literal runs to the ';' — tokens concatenate, so a
+          // spaced array literal (`= 1, 2, 3;`) reads naturally
+          val sb = new StringBuilder
+          while (i < toks.length && toks(i).text != ";") {
+            sb ++= toks(i).text; i += 1
+          }
+          if (sb.isEmpty) err("expected a default value", i)
+          default = Some(sb.toString)
         }
         expect(";")
         val token = if (arrayLen.isDefined)
@@ -247,11 +253,25 @@ object Esf {
           bad(s"'$s' is not a dotted-quad IPv4 address") }
       case t => bad(s"type token 0x${"%02x".format(t)} takes no default")
     }
+    // split an array literal on TOP-LEVEL commas only: `"a","b"` is two
+    // elements, `"a,b"` is ONE string containing a comma
+    def splitTop(s: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inQuote = false
+      s.foreach { c =>
+        if (c == '"') { inQuote = !inQuote; sb += c }
+        else if (c == ',' && !inQuote) { out += sb.toString; sb.clear() }
+        else sb += c
+      }
+      out += sb.toString
+      out.toArray
+    }
     val value: Any =
       if (!LwesType.isArray(a.token)) scalar(a.token, raw)
       else {
         val et = LwesType.elementOf(a.token)
-        val parts = unquote(raw).split(',')
+        val parts = splitTop(raw)
         a.arrayLen.filter(_ < parts.length).foreach(cap =>
           bad(s"${parts.length} elements over the declared max $cap"))
         et match {
@@ -265,7 +285,7 @@ object Esf {
           case LwesType.ByteT => parts.map(scalar(et, _).asInstanceOf[Byte])
           case LwesType.Float => parts.map(scalar(et, _).asInstanceOf[Float])
           case LwesType.Double => parts.map(scalar(et, _).asInstanceOf[Double])
-          case LwesType.Str => parts
+          case LwesType.Str => parts.map(unquote)
           case LwesType.IpAddr =>
             parts.map(scalar(et, _).asInstanceOf[Array[Byte]])
           case t => bad(s"array of token 0x${"%02x".format(t)} takes no default")

@@ -1706,7 +1706,7 @@ object LwesQueries {
       |  double score = 1.5;
       |  boolean flagged = false;
       |  int64 dims[4] = 1,2,3;
-      |  string tags[4] = "a,b";
+      |  string tags[4] = "a","b";
       |  ip_addr host = "10.0.0.1";
       |}
       |""".stripMargin

@@ -223,7 +223,7 @@ class EsfSpec extends AnyFunSuite {
       |  boolean flagged = false;
       |  uint16 bucket = 7;
       |  int32 dims[4] = 1,2,3;
-      |  string tags[4] = "a,b";
+      |  string tags[4] = "a","b";
       |  ip_addr host = "10.0.0.1";
       |}
       |""".stripMargin
@@ -321,6 +321,26 @@ class EsfSpec extends AnyFunSuite {
       assert(rows.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq ==
         Seq(10L, -1L, 10L), s"vectorized=$vectorized")
     }
+  }
+
+  test("defaults: literal forms — spaced arrays, quoted commas, raw-bits uint64") {
+    import graft.lwes.{LwesAttr, LwesType}
+    def dflt(tpl: String, attr: String): LwesAttr = {
+      val db = Esf.parse(tpl)
+      Esf.typedDefault(db.attrMapFor(db.eventNames.head).get(attr)).get
+    }
+    // a spaced array literal reads naturally (tokens run to the ';')
+    assert(dflt("Ev { int64 dims[4] = 1, 2, 3; }", "dims")
+      .value.asInstanceOf[Array[Long]].toSeq == Seq(1L, 2L, 3L))
+    // per-element quoting: "a","b" is two elements; "a,b" is ONE
+    // string containing a comma
+    assert(dflt("""Ev { string t[4] = "a","b"; }""", "t")
+      .value.asInstanceOf[Array[String]].toSeq == Seq("a", "b"))
+    assert(dflt("""Ev { string t[4] = "a,b"; }""", "t")
+      .value.asInstanceOf[Array[String]].toSeq == Seq("a,b"))
+    // negative uint64 literal = raw-bits (the write path's contract)
+    assert(dflt("Ev { uint64 mask = -1; }", "mask").value == -1L)
+    assert(dflt("Ev { uint64 big = 18446744073709551615; }", "big").value == -1L)
   }
 
   test("defaults: a malformed default literal fails at template load, named") {
