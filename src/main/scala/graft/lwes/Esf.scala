@@ -172,10 +172,16 @@ object Esf {
         var default: Option[String] = None
         if (i < toks.length && toks(i).text == "=") {
           i += 1
-          // the literal runs to the ';' — tokens concatenate, so a
-          // spaced array literal (`= 1, 2, 3;`) reads naturally
+          // the literal may span tokens so a spaced array literal
+          // (`= 1, 2, 3;`) reads naturally — but ONLY comma-linked
+          // continuations are consumed: after `string s = "x"` a
+          // missing semicolon must fail the expect(";") below as a
+          // named parse error, never swallow the next declaration
+          // (or a sibling event block) into the literal
           val sb = new StringBuilder
-          while (i < toks.length && toks(i).text != ";") {
+          while (i < toks.length && toks(i).text != ";" &&
+              toks(i).text != "{" && toks(i).text != "}" &&
+              (sb.isEmpty || sb.last == ',' || toks(i).text.startsWith(","))) {
             sb ++= toks(i).text; i += 1
           }
           if (sb.isEmpty) err("expected a default value", i)
@@ -301,18 +307,27 @@ object Esf {
   private val loadCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), EsfTemplateDb]()
 
-  /** Parse a template from a (possibly remote) file; memoized on the
-    * file's (path, modification time, length). */
+  /** Parse a template from a (possibly remote) file. REMOTE stores are
+    * memoized on (path, modification time, length) — inference and the
+    * scan builder both load per query, and the second fetch is a
+    * wasted round-trip. Local files always re-read: the load is cheap
+    * and an interactive edit-test loop must never see a stale parse
+    * through a same-length same-mtime-tick edit. */
   def load(path: String, conf: org.apache.hadoop.conf.Configuration): EsfTemplateDb = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val st = fs.getFileStatus(p)
-    if (loadCache.size > 64) loadCache.clear()
-    loadCache.computeIfAbsent((path, st.getModificationTime, st.getLen), _ => {
+    def read(): EsfTemplateDb = {
       val in = fs.open(p)
       try parse(new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8))
       finally in.close()
-    })
+    }
+    if (fs.getScheme == "file") read()
+    else {
+      val st = fs.getFileStatus(p)
+      if (loadCache.size > 64) loadCache.clear()
+      loadCache.computeIfAbsent((path, st.getModificationTime, st.getLen),
+        _ => read())
+    }
   }
 }

@@ -1215,27 +1215,45 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
   // persisted logs on restart so `seen` survives driver failover.
   private val batches = mutable.ArrayBuffer[Seq[LwesInputPartition]]()
   private val seen = mutable.HashSet[String]()
+  // per-batch admission window, pinned when the batch is PLANNED and
+  // persisted in its log (r16): a checkpoint replay must prune frames
+  // against the window the batch was admitted under, not whatever
+  // receiptTimeMin/Max the restarted query carries — otherwise a
+  // narrowed window silently drops rows from a replayed batch
+  // (exactly-once broken). Legacy logs without the header replay
+  // unbounded, the pre-r16 read-everything behavior.
+  private val batchWindows = mutable.HashMap[Int, (Long, Long)]()
   locally {
     if (fs.exists(logDir)) {
       val ids = fs.listStatus(logDir).flatMap(s => s.getPath.getName.toIntOption)
         .sorted
       ids.foreach { id =>
         while (batches.size <= id) batches += Nil
-        batches(id) = readBatchLog(id)
-        batches(id).foreach(p => seen += p.path)
+        val (parts, window) = readBatchLog(id)
+        batches(id) = parts
+        batchWindows(id) = window
+        parts.foreach(p => seen += p.path)
       }
     }
   }
 
-  private def readBatchLog(id: Int): Seq[LwesInputPartition] = {
+  private def readBatchLog(id: Int): (Seq[LwesInputPartition], (Long, Long)) = {
     val in = fs.open(new Path(logDir, id.toString))
     try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty)
-        .map { line =>
-          val Array(len, path) = line.split("\t", 2)
-          LwesInputPartition(path, len.toLong,
-            LwesDataSource.partitionValues(new Path(path), roots))
+      var window = (Long.MinValue, Long.MaxValue)
+      val parts = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).flatMap { line =>
+          if (line.startsWith("#w\t")) {
+            val Array(_, lo, hi) = line.split("\t", 3)
+            window = (lo.toLong, hi.toLong)
+            None
+          } else {
+            val Array(len, path) = line.split("\t", 2)
+            Some(LwesInputPartition(path, len.toLong,
+              LwesDataSource.partitionValues(new Path(path), roots)))
+          }
         }.toVector
+      (parts, window)
     } finally in.close()
   }
 
@@ -1243,7 +1261,8 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     fs.mkdirs(logDir)
     val tmp = new Path(logDir, s".$id.tmp")
     val out = fs.create(tmp, true)
-    try out.write(parts.map(p => s"${p.length}\t${p.path}\n").mkString.getBytes("UTF-8"))
+    try out.write((s"#w\t$timeLo\t$timeHi\n" +
+      parts.map(p => s"${p.length}\t${p.path}\n").mkString).getBytes("UTF-8"))
     finally out.close()
     val dest = new Path(logDir, id.toString)
     if (!fs.rename(tmp, dest) && !fs.exists(dest))
@@ -1331,6 +1350,7 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
       val id = batches.size
       writeBatchLog(id, parts)
       batches += parts
+      batchWindows(id) = (timeLo, timeHi)
       parts.foreach(p => seen += p.path)
       logInfo(s"lwes stream batch $id: ${parts.size} new files")
     }
@@ -1370,10 +1390,22 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     // Replays after restart may reference batches not yet re-loaded in
     // this instance (e.g. offsets written by a previous run whose logs
     // exist but post-date our rebuild) — read them straight off the log.
-    (s until e).flatMap { id =>
-      if (id < batches.size && batches(id).nonEmpty) batches(id)
-      else readBatchLog(id)
-    }.flatMap(expandStreamSplit).map(p => p: InputPartition).toArray
+    var pruned = 0L
+    val parts = (s until e).flatMap { id =>
+      val (ps, window) =
+        if (id < batches.size && batches(id).nonEmpty)
+          (batches(id), batchWindows.getOrElse(id, (Long.MinValue, Long.MaxValue)))
+        else readBatchLog(id)
+      ps.flatMap { p =>
+        val (expanded, n) = expandStreamSplit(p, window)
+        pruned += n
+        expanded
+      }
+    }
+    // snapshot semantics, like filesPruned: frames the LATEST plan
+    // skipped (accumulating across replans would double-count replays)
+    streamFramesPruned.set(pruned)
+    parts.map(p => p: InputPartition).toArray
   }
 
   /** Frame-run splitting for STREAMING micro-batches (r15): one fat
@@ -1390,17 +1422,29 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     * footer problem falls back to the whole-file read. */
   private val streamSplitTarget: Long =
     math.max(splitTargetBytes.getOrElse(128L << 20), 1L)
-  private def expandStreamSplit(p: LwesInputPartition): Seq[LwesInputPartition] = {
+  // footer cache: admitted files are complete (rename-visible) so
+  // their footers are immutable — a checkpoint replay or replan must
+  // not re-pay a driver-side tail-read round-trip per fat file
+  private val streamFooterCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[Vector[graft.lwes.SplitJournal.FrameMeta]]]()
+
+  /** Expand one admitted fat `.zsj` into frame-run partitions under
+    * `window` — the ReceiptTime admission window the file's BATCH was
+    * planned with (pinned in the batch log, so replays prune
+    * identically whatever options the restarted query carries).
+    * Returns (partitions, frames pruned by the window). */
+  private def expandStreamSplit(p: LwesInputPartition,
+      window: (Long, Long)): (Seq[LwesInputPartition], Int) = {
     if (!graft.lwes.SplitJournal.isSplit(p.path) ||
-        p.length <= streamSplitTarget) return Seq(p)
+        p.length <= streamSplitTarget) return (Seq(p), 0)
     try {
-      val path = new Path(p.path)
-      val in = path.getFileSystem(conf).open(path)
-      val footer =
+      val footer = streamFooterCache.computeIfAbsent((p.path, p.length), _ => {
+        val in = new Path(p.path).getFileSystem(conf).open(new Path(p.path))
         try graft.lwes.SplitJournal.readFooter(in, p.length)
         finally in.close()
+      })
       footer match {
-        case None => Seq(p)
+        case None => (Seq(p), 0)
         case Some(frames) =>
           // frame-level ReceiptTime pruning (r16): a bounded backfill
           // (receiptTimeMin/Max) over a fat .zsj journal decodes only
@@ -1408,22 +1452,18 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
           // admission window — the streaming counterpart of the batch
           // planner's pruning, via the SAME planFrameRuns helper so
           // the two planners cannot drift. No mtime heuristics at
-          // frame level, so a prune never loses an in-window record;
-          // the admission window is part of the query's definition, so
-          // replays under an unchanged option set re-derive the same
-          // frames from the immutable footer.
+          // frame level, so a prune never loses an in-window record.
           val (runs, pruned) = LwesDataSource.planFrameRuns(
-            frames, timeLo, timeHi, streamSplitTarget)
-          streamFramesPruned.addAndGet(pruned.toLong)
-          runs.map { case (start, end) =>
+            frames, window._1, window._2, streamSplitTarget)
+          (runs.map { case (start, end) =>
             p.copy(length = end - start, range = Some((start, end)))
-          }
+          }, pruned)
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         logWarning(s"failed to split streaming journal ${p.path} " +
           s"(${e.getMessage}); reading it unsplit")
-        Seq(p)
+        (Seq(p), 0)
     }
   }
 

@@ -292,8 +292,7 @@ object LwesOptions {
       // unsigned round-trip back to uint64 raw bits — scale-0 shapes
       // only (r16): a fractional decimal would silently truncate
       case d: DecimalType if d.scale == 0 =>
-        ev.setUInt64(attr,
-          v.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger.longValue())
+        ev.setUInt64(attr, u64RawBits(attr, v.asInstanceOf[Decimal]))
       // array columns ride the modern lwes array tokens (0x81+). NOTE:
       // scalar float/double keep the reference's float-as-string parity
       // above, but array elements use the NATIVE float/double wire
@@ -321,8 +320,8 @@ object LwesOptions {
           // r16). Fractional decimal types stay REJECTED below: a
           // silent toBigInteger would truncate 1.23 to wire 1.
           case edt: DecimalType if edt.scale == 0 => ev.setUInt64Array(attr,
-            Array.tabulate(ad.numElements())(j => ad.get(j, edt)
-              .asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger.longValue()))
+            Array.tabulate(ad.numElements())(j =>
+              u64RawBits(attr, ad.get(j, edt).asInstanceOf[Decimal])))
           case other => throw new IllegalArgumentException(
             s"LWES cannot carry array element type $other")
         }
@@ -410,8 +409,7 @@ object LwesOptions {
         ev.setUInt32(attr, narrowChecked(attr, token, numAsLong(v)))
       case LwesType.Int64 => ev.setInt64(attr, numAsLong(v))
       case LwesType.UInt64 => v match {
-        case d: Decimal =>
-          ev.setUInt64(attr, d.toJavaBigDecimal.toBigInteger.longValue())
+        case d: Decimal => ev.setUInt64(attr, u64RawBits(attr, d))
         case other => ev.setUInt64(attr, numAsLong(other))
       }
       case LwesType.Float => ev.setFloat(attr, v.asInstanceOf[Float])
@@ -476,6 +474,20 @@ object LwesOptions {
     }
   }
 
+  /** Decimal → uint64 raw bits, range-CHECKED: decimal(20,0) holds up
+    * to 10^20-1 but uint64 tops out at 2^64-1, and a silent
+    * `longValue()` wrap on the overflow (or on a negative value) is
+    * data corruption — named rejection instead, like every other
+    * declared-width violation. Values in [2^63, 2^64) land as the
+    * negative raw-bits long, the documented unsigned round-trip. */
+  private def u64RawBits(attr: String, d: Decimal): Long = {
+    val bi = d.toJavaBigDecimal.toBigInteger
+    if (bi.signum < 0 || bi.bitLength > 64)
+      throw new IllegalArgumentException(
+        s"value $bi of attr '$attr' is out of uint64 range [0, 2^64)")
+    bi.longValue()
+  }
+
   private def numAsLong(v: Any): Long = v match {
     case i: Int => i.toLong
     case l: Long => l
@@ -485,8 +497,8 @@ object LwesOptions {
     case s: String => s.toLong
     case d: Double => d.toLong
     // uint64-declared decimal columns/elements: unsigned raw-bits
-    // round-trip, same as setAttr's scalar DecimalType branch
-    case d: Decimal => d.toJavaBigDecimal.toBigInteger.longValue()
+    // round-trip, range-checked like the plain write path
+    case d: Decimal => u64RawBits("<esf-declared>", d)
     case _ => throw new IllegalArgumentException(s"not numeric: $v")
   }
 

@@ -341,6 +341,18 @@ class EsfSpec extends AnyFunSuite {
     // negative uint64 literal = raw-bits (the write path's contract)
     assert(dflt("Ev { uint64 mask = -1; }", "mask").value == -1L)
     assert(dflt("Ev { uint64 big = 18446744073709551615; }", "big").value == -1L)
+    // a missing semicolon after a default must FAIL the parse — the
+    // literal scan never swallows the next declaration or event block
+    val e1 = intercept[IllegalArgumentException](
+      Esf.parse("Ev {\n  string s = \"x\"\n  int64 b;\n}"))
+    assert(e1.getMessage.contains("expected ';'"))
+    val e2 = intercept[IllegalArgumentException](
+      Esf.parse("Ev { string s = \"x\" }\nEv2 { required int64 id; }"))
+    assert(e2.getMessage.contains("expected ';'"))
+    // spaced garbage is not a literal either ('1 2' is not 12)
+    val e3 = intercept[IllegalArgumentException](
+      Esf.parse("Ev {\n  int64 x = 1 2;\n}"))
+    assert(e3.getMessage.contains("expected ';'"))
   }
 
   test("defaults: a malformed default literal fails at template load, named") {

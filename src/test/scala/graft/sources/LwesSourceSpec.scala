@@ -546,5 +546,21 @@ class LwesSourceSpec extends AnyFunSuite {
     assert(back.orderBy("id").select("ctr").collect()
       .map(_.getDecimal(0).toBigInteger.toString).toSeq
       == Seq("18446744073709551615", "9223372036854775808", "42"))
+    // out-of-uint64-range decimals fail NAMED, never wrap (r16):
+    // decimal(20,0) holds 10^20-1 but the wire tops out at 2^64-1
+    import spark.implicits._
+    val dir3 = tmp()
+    val over = spark.sql(
+      "SELECT 1L AS id, CAST('20000000000000000000' AS DECIMAL(20,0)) AS ctr")
+    val e = intercept[Exception] {
+      over.write.format("lwes").option("eventName", "U::E")
+        .mode("append").save(dir3)
+    }
+    def root(t: Throwable): String = {
+      var x: Throwable = t; val sb = new StringBuilder
+      while (x != null) { sb.append(Option(x.getMessage).getOrElse("")); x = x.getCause }
+      sb.toString
+    }
+    assert(root(e).contains("out of uint64 range"))
   }
 }

@@ -195,6 +195,33 @@ class LwesSplitSpec extends AnyFunSuite {
     assert(ids.sorted.toSeq == (500L to 700L), s"got ${ids.length} rows")
   }
 
+  test("a checkpoint replay prunes frames by the LOGGED window, not the restart's (r16)") {
+    val dir = tmp()
+    writeSplit(dir, 2000)
+    def mkStream(ckpt: String, lo: Long, hi: Long) = new LwesMicroBatchStream(
+      LwesReadConfig(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id long, ReceiptTime long, tag string"),
+        Map.empty, Map.empty, Set("Sp::E"), Nil, -1, None, columnar = false),
+      Seq(dir), checkpointLocation = ckpt,
+      timeLo = lo, timeHi = hi, splitTargetBytes = Some(4096L))
+    def spans(parts: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      parts.map(_.asInstanceOf[LwesInputPartition].range.get).sortBy(_._1).toSeq
+    val ckpt = Files.createTempDirectory("split-replay-ckpt").toString
+    // original run: wide window [500s, 1500s] plans + logs batch 0
+    val s1 = mkStream(ckpt, T0 + 500 * 1000L, T0 + 1500 * 1000L)
+    val end = s1.latestOffset()
+    val original = spans(s1.planInputPartitions(s1.initialOffset(), end))
+    assert(original.nonEmpty)
+    // restart with a NARROWER window: the replay of batch 0 must
+    // re-derive the ORIGINAL byte spans from the logged window —
+    // otherwise rows the first run admitted are silently lost
+    val s2 = mkStream(ckpt, T0 + 900 * 1000L, T0 + 1000 * 1000L)
+    val replayed = spans(s2.planInputPartitions(s2.initialOffset(), end))
+    assert(replayed == original,
+      s"replay re-pruned with the restart's window: $replayed vs $original")
+  }
+
   test("pushed ReceiptTime range prunes whole frames exactly") {
     val dir = tmp()
     writeSplit(dir, 2000)

@@ -138,6 +138,7 @@ class LwesStreamingSpec extends AnyFunSuite {
       }
       val admitted = logDir.listFiles().filterNot(_.getName.startsWith("."))
         .flatMap(f => scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty))
+        .filterNot(_.startsWith("#")) // r16: per-batch window header line
       assert(admitted.length == 2, s"expected 2 admitted files: ${admitted.toSeq}")
       // source metrics surfaced the pruned count (5 of 7 listed files)
       assert(q.recentProgress.exists(p =>
