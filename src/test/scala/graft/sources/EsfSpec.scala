@@ -323,6 +323,31 @@ class EsfSpec extends AnyFunSuite {
     }
   }
 
+  test("defaults: pushed predicates see the materialized default, both paths") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-dfl-pred").toString
+    // retries is NEVER on the wire (no column) — its value exists only
+    // through the template default, so a pushed filter on it decides
+    // row survival from the materialized default alone
+    Seq(1L, 2L, 3L).toDF("id").withColumnRenamed("id", "id")
+      .write.format("lwes").option("eventName", "Deft::Ev")
+      .mode("append").save(dir)
+    for (vectorized <- Seq("true", "false")) {
+      def read() = spark.read.format("lwes")
+        .option("eventName", "Deft::Ev")
+        .option("vectorized", vectorized)
+        .option("esf", defaultsEsfFile()).load(dir)
+      assert(read().filter(col("retries") === 0L).count() == 3,
+        s"vectorized=$vectorized: default-matching predicate kept rows")
+      assert(read().filter(col("retries") === 1L).count() == 0,
+        s"vectorized=$vectorized: default-missing predicate dropped rows")
+      assert(read().filter(col("prio") === "low").count() == 3,
+        s"vectorized=$vectorized: string default predicate")
+      assert(read().filter(col("prio").startsWith("hi")).count() == 0,
+        s"vectorized=$vectorized: string prefix vs default")
+    }
+  }
+
   test("defaults: literal forms — spaced arrays, quoted commas, raw-bits uint64") {
     import graft.lwes.{LwesAttr, LwesType}
     def dflt(tpl: String, attr: String): LwesAttr = {
