@@ -348,6 +348,31 @@ class EsfSpec extends AnyFunSuite {
     }
   }
 
+  test("defaults: the STREAMING reader materializes declared defaults too") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("esf-dfl-stream").toString
+    Seq((1L, Some("high")), (2L, None: Option[String]))
+      .toDF("id", "prio")
+      .write.format("lwes").option("eventName", "Deft::Ev")
+      .mode("append").save(dir) // no template: prio unset on row 2
+    val out = Files.createTempDirectory("esf-dfl-stream-out").toString
+    val ckpt = Files.createTempDirectory("esf-dfl-stream-ckpt").toString
+    val q = spark.readStream.format("lwes")
+      .option("eventName", "Deft::Ev")
+      .option("esf", defaultsEsfFile())
+      .load(dir)
+      .select("id", "prio", "retries", "score")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val r = spark.read.parquet(out).orderBy("id").collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("high", "low")) // default fill
+    assert(r.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(1.5, 1.5))
+  }
+
   test("defaults: literal forms — spaced arrays, quoted commas, raw-bits uint64") {
     import graft.lwes.{LwesAttr, LwesType}
     def dflt(tpl: String, attr: String): LwesAttr = {
