@@ -339,7 +339,10 @@ object LwesOptions {
     * coerce-to-template behavior). */
   def esfWriteCompatible(dt: DataType, token: Byte): Boolean = (token, dt) match {
     case (LwesType.Bool, BooleanType) => true
-    case (LwesType.ByteT, ByteType) => true
+    // ShortType included: the template-derived READ schema for `byte`
+    // is ShortType (classic byte-upcast parity), so the schema a user
+    // reads must be writable back — values range-check to [-128, 127]
+    case (LwesType.ByteT, ByteType | ShortType) => true
     case (LwesType.Int16, ByteType | ShortType) => true
     case (LwesType.UInt16, ByteType | ShortType | IntegerType) => true
     case (LwesType.Int32, ByteType | ShortType | IntegerType) => true
@@ -380,6 +383,7 @@ object LwesOptions {
     * (any long is a valid unsigned representation — reference parity). */
   private def narrowChecked(attr: String, token: Byte, v: Long): Long = {
     val (lo, hi) = token match {
+      case LwesType.ByteT => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
       case LwesType.Int16 => (Short.MinValue.toLong, Short.MaxValue.toLong)
       case LwesType.UInt16 => (0L, 0xffffL)
       case LwesType.Int32 => (Int.MinValue.toLong, Int.MaxValue.toLong)
@@ -398,7 +402,8 @@ object LwesOptions {
     if (v == null) return
     token match {
       case LwesType.Bool => ev.setBool(attr, v.asInstanceOf[Boolean])
-      case LwesType.ByteT => ev.setByte(attr, v.asInstanceOf[Byte])
+      case LwesType.ByteT =>
+        ev.setByte(attr, narrowChecked(attr, token, numAsLong(v)).toByte)
       case LwesType.Int16 =>
         ev.setInt16(attr, narrowChecked(attr, token, numAsLong(v)).toShort)
       case LwesType.UInt16 =>

@@ -420,6 +420,34 @@ class EsfSpec extends AnyFunSuite {
       e3.getMessage.contains("over the declared max"))
   }
 
+  test("a template byte attr round-trips through its OWN derived schema") {
+    import spark.implicits._
+    val tdir = Files.createTempDirectory("esf-byte").toString
+    Files.writeString(Paths.get(tdir, "b.esf"),
+      "B::Ev { required int64 id; byte level; }")
+    val esf = s"$tdir/b.esf"
+    val dir = Files.createTempDirectory("esf-byte-w").toString
+    // the derived read schema upcasts byte to ShortType (classic
+    // parity) — that schema must be WRITABLE back against the template
+    val schema = spark.read.format("lwes").option("eventName", "B::Ev")
+      .option("esf", esf).load(dir).schema
+    assert(schema("level").dataType == ShortType)
+    Seq((1L, 127.toShort), (2L, (-128).toShort)).toDF("id", "level")
+      .write.format("lwes").option("eventName", "B::Ev")
+      .option("esf", esf).mode("append").save(dir)
+    val back = spark.read.format("lwes").option("eventName", "B::Ev")
+      .option("esf", esf).load(dir).orderBy("id").collect()
+    assert(back.map(_.getShort(1)).toSeq == Seq(127.toShort, (-128).toShort))
+    // ...and a short outside [-128, 127] fails named, never truncates
+    val e = intercept[Exception] {
+      Seq((3L, 300.toShort)).toDF("id", "level")
+        .write.format("lwes").option("eventName", "B::Ev")
+        .option("esf", esf).mode("append").save(dir)
+    }
+    assert(rootMessage(e).contains("out of range") &&
+      rootMessage(e).contains("level"))
+  }
+
   test("write: an out-of-range value for a declared narrow width fails named") {
     import spark.implicits._
     val tdir = Files.createTempDirectory("esf-range").toString

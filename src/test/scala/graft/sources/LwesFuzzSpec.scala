@@ -173,6 +173,109 @@ class LwesFuzzSpec extends AnyFunSuite {
   /** -0.0 serializes as "-0.0" and parses back to -0.0; normalize NaN
     * boxing only (equality of boxed Float/Double NaN differs) and
     * collection types (Row.getSeq shapes vary per reader path). */
+  test("random ESF templates: derived schema writes back, defaults fill, both paths") {
+    val rnd = new Random(816)
+    val types = Seq("uint16", "int16", "uint32", "int32", "int64", "uint64",
+      "boolean", "string", "byte", "float", "double", "ip_addr")
+    def ip(): String =
+      s"10.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(254)}"
+    // (spark-typed value, template literal) per declared type — values
+    // stay in the declared range so validation passes
+    def value(t: String): Any = t match {
+      case "uint16" => rnd.nextInt(65536)
+      case "int16" => rnd.nextInt(65536).toShort
+      case "uint32" => rnd.self.nextLong(1L << 32)
+      case "int32" => rnd.nextInt()
+      case "int64" => rnd.nextLong()
+      case "uint64" => rnd.nextLong() // raw bits, any long
+      case "boolean" => rnd.nextBoolean()
+      case "string" => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
+      case "byte" => (rnd.nextInt(256) - 128).toShort // ShortType column
+      case "float" => (rnd.nextInt(1000) / 4.0).toFloat
+      case "double" => rnd.nextInt(100000) / 8.0
+      case "ip_addr" => ip()
+    }
+    def literal(t: String, v: Any): String = t match {
+      case "string" => "\"" + v + "\""
+      case "ip_addr" => "\"" + v + "\""
+      case _ => v.toString
+    }
+    (0 until 10).foreach { trial =>
+      val nAttrs = 1 + rnd.nextInt(6)
+      val attrs = (0 until nAttrs).map { i =>
+        val t = types(rnd.nextInt(types.length))
+        // byte[] maps to BinaryType (one blob), not ArrayType — keep
+        // the fuzz's per-element model to true element arrays
+        val isArr = rnd.nextInt(10) < 3 && t != "byte"
+        val dflt: Option[Any] =
+          if (rnd.nextInt(10) < 4)
+            Some(if (isArr) Seq.fill(1 + rnd.nextInt(3))(value(t)) else value(t))
+          else None
+        (s"a$i", t, isArr, dflt)
+      }
+      val tpl = s"Fz::T$trial {  # trial $trial\n  required int64 rid;\n" +
+        attrs.map {
+        case (n, t, isArr, d) =>
+          val decl = s"  $t $n${if (isArr) "[4]" else ""}"
+          val dl = d.map {
+            case xs: Seq[_] =>
+              " = " + xs.map(x => literal(t, x)).mkString(", ")
+            case x => " = " + literal(t, x)
+          }.getOrElse("")
+          s"$decl$dl;"
+      }.mkString("\n") + "\n}\n"
+      val tdir = Files.createTempDirectory(s"esf-fuzz$trial").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tdir, "f.esf"), tpl)
+      val esf = s"$tdir/f.esf"
+      val dir = Files.createTempDirectory(s"esf-fuzz-w$trial").toString
+      // derived schema off an EMPTY dir (no sampling possible)
+      val schema = spark.read.format("lwes").option("eventName", s"Fz::T$trial")
+        .option("esf", esf).load(dir).schema
+      // rows typed per the DERIVED schema; ~40% of cells null so both
+      // the write-side default fill and plain unset are exercised
+      val nRows = 3 + rnd.nextInt(12)
+      val data = (0 until nRows).map { _ =>
+        attrs.map { case (_, t, isArr, _) =>
+          if (rnd.nextInt(10) < 4) null
+          else if (isArr) Seq.fill(rnd.nextInt(4))(value(t))
+          else value(t)
+        }
+      }
+      val rows = data.zipWithIndex.map { case (vs, r) =>
+        Row.fromSeq(r.toLong +: vs)
+      }
+      val full = StructType(
+        StructField("rid", LongType, nullable = false) +:
+          attrs.map { case (n, _, _, _) =>
+            schema(n).copy(nullable = true) })
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), full)
+        .write.format("lwes").option("eventName", s"Fz::T$trial")
+        .option("esf", esf).mode("append").save(dir)
+      // expected: value if set, else the default, else null — per cell
+      val expected = data.map(vs => vs.zip(attrs).map {
+        case (v, (_, _, _, dflt)) => if (v != null) v else dflt.orNull
+      })
+      for (vec <- Seq(true, false)) {
+        val got = spark.read.format("lwes").option("eventName", s"Fz::T$trial")
+          .option("esf", esf).option("vectorized", vec.toString)
+          .schema(full).load(dir)
+          .orderBy("rid").collect()
+        assert(got.length == nRows, s"trial $trial vec=$vec rows")
+        got.zipWithIndex.foreach { case (row, r) =>
+          attrs.indices.foreach { i =>
+            val g = normalize(row.get(i + 1))
+            val e = normalize(expected(r)(i))
+            assert(g == e,
+              s"trial $trial vec=$vec row $r attr ${attrs(i)._1} " +
+                s"(${attrs(i)._2}${if (attrs(i)._3) "[]" else ""}): " +
+                s"expected $e got $g\ntemplate:\n$tpl")
+          }
+        }
+      }
+    }
+  }
+
   private def normalize(v: Any): Any = v match {
     case f: Float if f.isNaN => "NaN"
     case d: Double if d.isNaN => "NaN"
