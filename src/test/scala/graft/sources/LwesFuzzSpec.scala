@@ -70,8 +70,13 @@ class LwesFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // fixed seeds keep CI deterministic; GRAFT_FUZZ_SEED shifts both
+  // fuzzes for exploratory local sweeps (failures print the seed)
+  private val seedShift: Long =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0L)
+
   test("20 random schemas round-trip exactly through the journal format") {
-    val rnd = new Random(4242)
+    val rnd = new Random(4242 + seedShift)
     (0 until 20).foreach { trial =>
       val nCols = 1 + rnd.nextInt(8)
       val schema = StructType((0 until nCols).map(i =>
@@ -100,7 +105,8 @@ class LwesFuzzSpec extends AnyFunSuite {
         assert(got.length == exp.length, s"trial $trial vec=$vec: row count")
         exp.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
           assert(e == g,
-            s"trial $trial vec=$vec row $i: expected $e got $g (schema $full, comp=$comp)")
+            s"trial $trial vec=$vec row $i (seedShift=$seedShift): " +
+              s"expected $e got $g (schema $full, comp=$comp)")
         }
       }
     }
@@ -174,7 +180,7 @@ class LwesFuzzSpec extends AnyFunSuite {
     * boxing only (equality of boxed Float/Double NaN differs) and
     * collection types (Row.getSeq shapes vary per reader path). */
   test("random ESF templates: derived schema writes back, defaults fill, both paths") {
-    val rnd = new Random(816)
+    val rnd = new Random(816 + seedShift)
     val types = Seq("uint16", "int16", "uint32", "int32", "int64", "uint64",
       "boolean", "string", "byte", "float", "double", "ip_addr")
     def ip(): String =
@@ -267,7 +273,8 @@ class LwesFuzzSpec extends AnyFunSuite {
             val g = normalize(row.get(i + 1))
             val e = normalize(expected(r)(i))
             assert(g == e,
-              s"trial $trial vec=$vec row $r attr ${attrs(i)._1} " +
+              s"trial $trial vec=$vec row $r (seedShift=$seedShift) " +
+                s"attr ${attrs(i)._1} " +
                 s"(${attrs(i)._2}${if (attrs(i)._3) "[]" else ""}): " +
                 s"expected $e got $g\ntemplate:\n$tpl")
           }
