@@ -366,6 +366,10 @@ object LwesOptions {
     case (t, ArrayType(et, _)) if LwesType.isArray(t) =>
       LwesType.elementOf(t) match {
         case LwesType.Str | LwesType.IpAddr => et == StringType
+        // the scalar byte-as-ShortType allowance must NOT leak here:
+        // setAttrAs writes a declared byte[] via ad.toByteArray(),
+        // which reads raw bytes — a short-element array would corrupt
+        case LwesType.ByteT => et == ByteType
         case e => esfWriteCompatible(et, e)
       }
     case _ => false

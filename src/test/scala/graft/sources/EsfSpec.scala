@@ -329,14 +329,15 @@ class EsfSpec extends AnyFunSuite {
     // retries is NEVER on the wire (no column) — its value exists only
     // through the template default, so a pushed filter on it decides
     // row survival from the materialized default alone
-    Seq(1L, 2L, 3L).toDF("id").withColumnRenamed("id", "id")
+    Seq(1L, 2L, 3L).toDF("id")
       .write.format("lwes").option("eventName", "Deft::Ev")
       .mode("append").save(dir)
+    val esf = defaultsEsfFile()
     for (vectorized <- Seq("true", "false")) {
       def read() = spark.read.format("lwes")
         .option("eventName", "Deft::Ev")
         .option("vectorized", vectorized)
-        .option("esf", defaultsEsfFile()).load(dir)
+        .option("esf", esf).load(dir)
       assert(read().filter(col("retries") === 0L).count() == 3,
         s"vectorized=$vectorized: default-matching predicate kept rows")
       assert(read().filter(col("retries") === 1L).count() == 0,
@@ -446,6 +447,32 @@ class EsfSpec extends AnyFunSuite {
     }
     assert(rootMessage(e).contains("out of range") &&
       rootMessage(e).contains("level"))
+  }
+
+  test("a declared byte[] rejects array<smallint> columns named (no raw-byte reinterpretation)") {
+    import spark.implicits._
+    val tdir = Files.createTempDirectory("esf-bytearr").toString
+    Files.writeString(Paths.get(tdir, "ba.esf"),
+      "BA::Ev { required int64 id; byte tags[4]; }")
+    val esf = s"$tdir/ba.esf"
+    val dir = Files.createTempDirectory("esf-bytearr-w").toString
+    // the SCALAR byte-as-ShortType allowance must not leak into the
+    // array recursion: setAttrAs writes byte[] via toByteArray(), which
+    // reads raw bytes — a short-element array would silently corrupt
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1.toShort, 2.toShort))).toDF("id", "tags")
+        .write.format("lwes").option("eventName", "BA::Ev")
+        .option("esf", esf).mode("append").save(dir)
+    }
+    assert(rootMessage(e).contains("esf validation") &&
+      rootMessage(e).contains("byte[]"))
+    // the tinyint-element shape is the declared one and round-trips
+    Seq((1L, Array[Byte](1, 2))).toDF("id", "tags")
+      .write.format("lwes").option("eventName", "BA::Ev")
+      .option("esf", esf).mode("append").save(dir)
+    val r = spark.read.format("lwes").schema("id long, tags binary")
+      .option("eventName", "BA::Ev").load(dir).head()
+    assert(r.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2))
   }
 
   test("write: an out-of-range value for a declared narrow width fails named") {

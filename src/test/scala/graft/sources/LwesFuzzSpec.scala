@@ -73,7 +73,7 @@ class LwesFuzzSpec extends AnyFunSuite {
   // fixed seeds keep CI deterministic; GRAFT_FUZZ_SEED shifts both
   // fuzzes for exploratory local sweeps (failures print the seed)
   private val seedShift: Long =
-    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0L)
+    sys.env.get("GRAFT_FUZZ_SEED").flatMap(_.toLongOption).getOrElse(0L)
 
   test("20 random schemas round-trip exactly through the journal format") {
     val rnd = new Random(4242 + seedShift)
@@ -176,9 +176,6 @@ class LwesFuzzSpec extends AnyFunSuite {
     assert(back.toSeq == expected)
   }
 
-  /** -0.0 serializes as "-0.0" and parses back to -0.0; normalize NaN
-    * boxing only (equality of boxed Float/Double NaN differs) and
-    * collection types (Row.getSeq shapes vary per reader path). */
   test("random ESF templates: derived schema writes back, defaults fill, both paths") {
     val rnd = new Random(816 + seedShift)
     val types = Seq("uint16", "int16", "uint32", "int32", "int64", "uint64",
@@ -283,6 +280,9 @@ class LwesFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** -0.0 serializes as "-0.0" and parses back to -0.0; normalize NaN
+    * boxing only (equality of boxed Float/Double NaN differs) and
+    * collection types (Row.getSeq shapes vary per reader path). */
   private def normalize(v: Any): Any = v match {
     case f: Float if f.isNaN => "NaN"
     case d: Double if d.isNaN => "NaN"
