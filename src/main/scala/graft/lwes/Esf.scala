@@ -188,11 +188,31 @@ object Esf {
           default = Some(sb.toString)
         }
         expect(";")
-        val token = if (arrayLen.isDefined)
-          (scalarTok | LwesType.ArrayBit).toByte else scalarTok
+        val declLine = if (i > 0 && i <= toks.length) toks(i - 1).line else 0
+        // `nullable` is an ARRAY qualifier (it selects the N_*_ARRAY
+        // wire tokens, which have no scalar counterpart — an unset
+        // scalar attribute is simply absent); on a scalar declaration
+        // it would silently do nothing, so it fails the load, named
+        if (nullable && arrayLen.isEmpty)
+          throw new IllegalArgumentException(
+            s"esf parse error: qualifier 'nullable' on scalar attribute " +
+              s"'$attrName' at line $declLine (nullable applies to array " +
+              "declarations only; an optional scalar is just left unset)")
+        val token =
+          if (arrayLen.isEmpty) scalarTok
+          else if (nullable) LwesType.nullableOf((scalarTok | LwesType.ArrayBit).toByte)
+          else (scalarTok | LwesType.ArrayBit).toByte
         val attr = EsfAttr(attrName, typeName.toLowerCase, token,
           required, nullable, arrayLen, default)
-        typedDefault(attr) // malformed default fails HERE, at load time
+        // malformed default fails HERE, at load time — named with the
+        // declaration's line like every other parse error
+        try typedDefault(attr)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"esf parse error: ${e.getMessage.stripPrefix("esf: ")} " +
+                s"at line $declLine")
+        }
         attrs += attr
       }
       expect("}")
@@ -274,7 +294,19 @@ object Esf {
       out.toArray
     }
     val value: Any =
-      if (!LwesType.isArray(a.token)) scalar(a.token, raw)
+      if (LwesType.isNullableArray(a.token)) {
+        // nullable-array default: elements parse like the classic array
+        // literal, plus a bare `null` element marks a hole
+        // (`nullable int32 dims[4] = 1, null, 3;`)
+        val et = LwesType.elementOfNullable(a.token)
+        val parts = splitTop(raw)
+        a.arrayLen.filter(_ < parts.length).foreach(cap =>
+          bad(s"${parts.length} elements over the declared max $cap"))
+        parts.map[AnyRef](p =>
+          if (p.trim.equalsIgnoreCase("null")) null
+          else scalar(et, p).asInstanceOf[AnyRef])
+      }
+      else if (!LwesType.isArray(a.token)) scalar(a.token, raw)
       else {
         val et = LwesType.elementOf(a.token)
         val parts = splitTop(raw)

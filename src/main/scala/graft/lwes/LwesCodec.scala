@@ -55,6 +55,19 @@ object LwesCodec {
     case t if LwesType.isArray(t) =>
       val n = java.lang.reflect.Array.getLength(a.value)
       2 + n * scalarFixedSize(LwesType.elementOf(t))
+    case t if LwesType.isNullableArray(t) =>
+      val v = a.value.asInstanceOf[Array[AnyRef]]
+      val et = LwesType.elementOfNullable(t)
+      var sz = 2 + 2 + (v.length + 7) / 8 // count + bitset byte count + bitset
+      var j = 0
+      while (j < v.length) {
+        if (v(j) != null) sz += (et match {
+          case LwesType.Str => 2 + v(j).asInstanceOf[String].getBytes(UTF_8).length
+          case e => scalarFixedSize(e)
+        })
+        j += 1
+      }
+      sz
     case t =>
       val n = scalarFixedSize(t)
       if (n < 0) throw new IllegalArgumentException(s"bad token $t")
@@ -116,6 +129,28 @@ object LwesCodec {
         var j = 0
         while (j < n) {
           writeValue(buf, et, java.lang.reflect.Array.get(value, j))
+          j += 1
+        }
+      // nullable arrays: uint16 TOTAL count, uint16 bitset byte count,
+      // presence bitset (bit i LSB-first = element i present), then the
+      // PRESENT elements only in their scalar encodings
+      case t if LwesType.isNullableArray(t) =>
+        val et = LwesType.elementOfNullable(t)
+        val v = value.asInstanceOf[Array[AnyRef]]
+        require(v.length <= 65535, "array attr too long")
+        buf.putShort(v.length.toShort)
+        val nb = (v.length + 7) / 8
+        buf.putShort(nb.toShort)
+        val bits = new Array[Byte](nb)
+        var j = 0
+        while (j < v.length) {
+          if (v(j) != null) bits(j >> 3) = (bits(j >> 3) | (1 << (j & 7))).toByte
+          j += 1
+        }
+        buf.put(bits)
+        j = 0
+        while (j < v.length) {
+          if (v(j) != null) writeValue(buf, et, v(j))
           j += 1
         }
       case t => throw new IllegalArgumentException(s"bad token $t")
@@ -197,9 +232,37 @@ object LwesCodec {
       case LwesType.IpAddrArray =>
         fillArray(buf, new Array[Array[Byte]](arrLen(buf)))(_ =>
           readValue(buf, LwesType.IpAddr, key).asInstanceOf[Array[Byte]])
+      // nullable arrays land as boxed object arrays with null holes —
+      // element boxing matches the scalar readers, so serialize(
+      // deserialize(x)) stays byte-stable (token + null positions kept)
+      case t if LwesType.isNullableArray(t) =>
+        val et = LwesType.elementOfNullable(t)
+        val n = arrLen(buf)
+        val bits = readBitSet(buf, n, key)
+        val out = new Array[AnyRef](n)
+        var j = 0
+        while (j < n) {
+          if ((bits(j >> 3) & (1 << (j & 7))) != 0)
+            out(j) = readValue(buf, et, key).asInstanceOf[AnyRef]
+          j += 1
+        }
+        out
       case t => throw new IllegalArgumentException(
         s"unknown LWES type token 0x${"%02x".format(t)} for key $key")
     }
+
+  /** Presence bitset of a nullable array: uint16 byte count + bytes,
+    * bit i (LSB-first per byte) = element i present. A bitset too short
+    * for `n` elements is corruption (named, record-resync'd upstream);
+    * extra trailing bytes are tolerated and ignored. */
+  private def readBitSet(buf: ByteBuffer, n: Int, key: String): Array[Byte] = {
+    val nb = buf.getShort() & 0xffff
+    if (nb < (n + 7) / 8) throw new IllegalArgumentException(
+      s"nullable array bitset of $nb bytes cannot cover $n elements for key $key")
+    val bits = new Array[Byte](nb)
+    buf.get(bits)
+    bits
+  }
 
   @inline private def arrLen(buf: ByteBuffer): Int = buf.getShort() & 0xffff
 
@@ -224,6 +287,25 @@ object LwesCodec {
         total
       case t if LwesType.isArray(t) =>
         (buf.getShort() & 0xffff) * scalarFixedSize(LwesType.elementOf(t))
+      case t if LwesType.isNullableArray(t) =>
+        val cnt = buf.getShort() & 0xffff
+        val bits = readBitSet(buf, cnt, key)
+        val et = LwesType.elementOfNullable(t)
+        var present = 0
+        var j = 0
+        while (j < cnt) {
+          if ((bits(j >> 3) & (1 << (j & 7))) != 0) present += 1
+          j += 1
+        }
+        if (et == LwesType.Str) {
+          var k = present
+          while (k > 0) {
+            val l = buf.getShort() & 0xffff
+            buf.position(buf.position() + l)
+            k -= 1
+          }
+          0
+        } else present * scalarFixedSize(et)
       case t =>
         val sz = scalarFixedSize(t)
         if (sz < 0) throw new IllegalArgumentException(

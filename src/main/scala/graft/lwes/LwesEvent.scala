@@ -29,8 +29,6 @@ object LwesType {
   // Modern lwes array tokens: element token | 0x80. Wire layout is a
   // uint16 element count followed by the elements in their scalar
   // encodings (strings uint16-length-prefixed, ipaddr 4B reversed).
-  // Nullable-array tokens (0x8d+) are a CHECKED boundary: they surface
-  // as unknown-token record corruption, never as silent misreads.
   val ArrayBit: Byte = 0x80.toByte
   val UInt16Array: Byte = (UInt16 | 0x80).toByte
   val Int16Array: Byte = (Int16 | 0x80).toByte
@@ -44,6 +42,28 @@ object LwesType {
   val ByteArray: Byte = (ByteT | 0x80).toByte
   val FloatArray: Byte = (Float | 0x80).toByte
   val DoubleArray: Byte = (Double | 0x80).toByte
+  // Nullable-array tokens (N_*_ARRAY): the classic array token shifted
+  // up by 0x0c, so they run contiguously 0x8d (nullable uint16[]) ..
+  // 0x98 (nullable double[]). Wire layout is a uint16 TOTAL element
+  // count, a uint16 bitset byte count, the bitset (bit i, LSB-first
+  // within each byte, = element i is PRESENT), then only the present
+  // elements in their scalar encodings. Verified by round-trip + both-
+  // path parity + fuzz (the A23 epistemic standard — no conformant
+  // emitter is reachable offline); tokens beyond this range keep the
+  // checked unknown-token resync boundary, never a silent misread.
+  private val NullableShift = 0x0c
+  val NUInt16Array: Byte = nullableOf(UInt16Array)
+  val NInt16Array: Byte = nullableOf(Int16Array)
+  val NUInt32Array: Byte = nullableOf(UInt32Array)
+  val NInt32Array: Byte = nullableOf(Int32Array)
+  val NStrArray: Byte = nullableOf(StrArray)
+  val NIpAddrArray: Byte = nullableOf(IpAddrArray)
+  val NInt64Array: Byte = nullableOf(Int64Array)
+  val NUInt64Array: Byte = nullableOf(UInt64Array)
+  val NBoolArray: Byte = nullableOf(BoolArray)
+  val NByteArray: Byte = nullableOf(ByteArray)
+  val NFloatArray: Byte = nullableOf(FloatArray)
+  val NDoubleArray: Byte = nullableOf(DoubleArray)
 
   /** The highest scalar token an array token may wrap (0x0c = double). */
   private val MaxElement: Byte = Double
@@ -51,8 +71,22 @@ object LwesType {
   def isArray(token: Byte): Boolean =
     (token & 0x80) != 0 && (token & 0x7f) >= UInt16 && (token & 0x7f) <= MaxElement
 
+  def isNullableArray(token: Byte): Boolean = {
+    val t = token & 0xff
+    t >= (NUInt16Array & 0xff) && t <= (NDoubleArray & 0xff)
+  }
+
+  /** Nullable-array token for a classic array token. */
+  def nullableOf(arrayToken: Byte): Byte =
+    ((arrayToken & 0xff) + NullableShift).toByte
+
   /** Element token of an array token (caller checks isArray). */
   def elementOf(token: Byte): Byte = (token & 0x7f).toByte
+
+  /** Element token of a nullable-array token (caller checks
+    * isNullableArray). */
+  def elementOfNullable(token: Byte): Byte =
+    ((token & 0xff) - NullableShift - 0x80).toByte
 
   def name(token: Byte): String = token match {
     case UInt16 => "uint16"; case Int16 => "int16"; case UInt32 => "uint32"
@@ -60,6 +94,7 @@ object LwesType {
     case Int64 => "int64"; case UInt64 => "uint64"; case Bool => "boolean"
     case ByteT => "byte"; case Float => "float"; case Double => "double"
     case t if isArray(t) => name(elementOf(t)) + "[]"
+    case t if isNullableArray(t) => "nullable " + name(elementOfNullable(t)) + "[]"
     case t => s"unknown(0x${"%02x".format(t)})"
   }
 }
@@ -130,6 +165,20 @@ final class LwesEvent(var name: String) {
   def setIpAddrArray(key: String, v: Array[Array[Byte]]): LwesEvent = {
     v.foreach(ip => require(ip.length == 4, "IPv4 only"))
     set(key, LwesType.IpAddrArray, v)
+  }
+
+  /** Nullable array (N_*_ARRAY wire tokens): `v` holds the BOXED scalar
+    * representations the element token's reader produces (UInt16→Int,
+    * Int16→Short, …, Str→String, IpAddr→Array[Byte](4)) with null for
+    * absent elements. `elemToken` is the SCALAR element token. */
+  def setNullableArray(key: String, elemToken: Byte, v: Array[AnyRef]): LwesEvent = {
+    val t = LwesType.nullableOf((elemToken | LwesType.ArrayBit).toByte)
+    require(LwesType.isNullableArray(t),
+      s"no nullable-array token for element ${LwesType.name(elemToken)}")
+    if (elemToken == LwesType.IpAddr)
+      v.foreach(ip => require(ip == null ||
+        ip.asInstanceOf[Array[Byte]].length == 4, "IPv4 only"))
+    set(key, t, v)
   }
 
   override def toString: String =

@@ -710,6 +710,72 @@ object LwesQueries {
         |  max(string_split(o_orderpriority, '-')[1]) AS first_tag
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Nullable-array wire tokens (lwes-java N_*_ARRAY, 0x8d..0x98 —
+    // element arrays whose wire value carries a presence bitset and
+    // only the present elements): arrays built with DETERMINISTIC null
+    // holes ride the N_ tokens inside a split-zstd journal and come
+    // back through the vectorized reader; the oracle replays the hole
+    // positions scalar-wise on the source parquet, so a misplaced
+    // bitset bit, a dropped hole, or a shifted element hash-mismatches.
+    // Null-hole aggregation runs per element (coalesce inside the
+    // lambda / size-of-filter), so VALUES and POSITIONS are both pinned.
+    "lwes_nullable_arrays" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"nularr|$d") { dir =>
+          t(s, d, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"),
+            array(
+              when(col("o_orderkey") % 3 === 0, lit(null))
+                .otherwise(col("o_orderkey") % 7),
+              col("o_orderkey") % 11,
+              when(col("o_orderkey") % 5 === 0, lit(null))
+                .otherwise(col("o_orderkey") % 13)).as("nums"),
+            array(
+              when(col("o_orderkey") % 2 === 0, lit(null))
+                .otherwise(substring(col("o_orderpriority"), 1, 1)),
+              col("o_orderstatus")).as("tags"),
+            array(
+              col("o_totalprice"),
+              when(col("o_orderkey") % 4 === 0, lit(null))
+                .otherwise(col("o_totalprice") * 2)).as("vals"))
+            .write.format("lwes").option("eventName", "NArr::O")
+            .option("compression", "split-zstd").mode("append").save(dir)
+        }
+        s.read.format("lwes")
+          .schema("o_orderkey long, o_orderstatus string, " +
+            "nums array<bigint>, tags array<string>, vals array<double>")
+          .option("eventName", "NArr::O").load(dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("aggregate(nums, 0L, (a, x) -> a + coalesce(x, 0L))"))
+              .as("sum_nums"),
+            sum(expr("size(filter(nums, x -> x IS NULL))")).as("n_null_nums"),
+            sum(expr("size(filter(tags, x -> x IS NOT NULL))")).as("n_tags"),
+            round(sum(expr("aggregate(vals, CAST(0 AS DOUBLE), " +
+              "(a, x) -> a + coalesce(x, CAST(0 AS DOUBLE)))")), 2)
+              .as("sum_vals"),
+            max(expr("element_at(tags, 1)")).as("first_tag"),
+            max(expr("element_at(tags, 2)")).as("last_tag"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE o_orderkey % 7 END
+        |    + o_orderkey % 11
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE o_orderkey % 13 END)
+        |    AS BIGINT) AS sum_nums,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_nums,
+        |  CAST(sum(1 + CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_tags,
+        |  round(sum(o_totalprice +
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE o_totalprice * 2 END), 2)
+        |    AS sum_vals,
+        |  max(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |    ELSE substr(o_orderpriority, 1, 1) END) AS first_tag,
+        |  max(o_orderstatus) AS last_tag
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // The reference's actual user interface is SQL DDL (README:49
     // `CREATE EXTERNAL TABLE ... ROW FORMAT SERDE
     // 'org.lwes.hadoop.hive.EventSerDe'`); Spark parity is

@@ -820,6 +820,65 @@ object Pipeline {
         |WHERE bit_count(xor(a.sg, b.sg)) <= 3
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // C3 in PURE SQL (r17, the dedup_minhash_sql pattern extended to
+    // the simhash chain): signature via the SQL-registered
+    // simhash_portable kernel, then vanilla-SQL 4×12-bit banding with
+    // the occ/hub saturation window, bucket-confined self-join, and
+    // bit_count hamming verify — replicating Dedup.simhashPairs
+    // (portable, maxHamming=3) line for line. The oracle is the SAME
+    // exact hamming-ball pair set as dedup_simhash, so a hash match
+    // proves SQL composition ≡ Scala operator ≡ brute force. Plan
+    // note: like the minhash SQL gate, the `sigs` CTE is re-scanned by
+    // both join sides — a 100 TB SQL user materializes it first
+    // (CREATE TABLE sigs AS ...), which is what the Scala operator's
+    // narrow signature frame does.
+    "dedup_simhash_sql" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "documents").createOrReplaceTempView("graft_simhash_sql_docs")
+        s.sql(
+          """WITH sigs AS (
+            |  SELECT doc_id AS id,
+            |    simhash_portable(split(lower(trim(text)), '\\s+')) AS sh
+            |  FROM graft_simhash_sql_docs),
+            |banded AS (
+            |  SELECT id, sh, band,
+            |    shiftrightunsigned(sh, band * 12) & 4095 AS bval
+            |  FROM sigs LATERAL VIEW explode(sequence(0, 3)) AS band),
+            |probe AS (
+            |  SELECT id, sh, band, bval FROM (
+            |    SELECT id, sh, band, bval,
+            |      count(1) OVER (PARTITION BY band, bval) AS occ,
+            |      min(id)  OVER (PARTITION BY band, bval) AS hub
+            |    FROM banded)
+            |  WHERE occ <= 8192 OR id = hub)
+            |SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+            |  cast(bit_count(l.sh ^ r.sh) AS BIGINT) AS hamming
+            |FROM probe l JOIN banded r
+            |  ON l.band = r.band AND l.bval = r.bval AND l.id < r.id
+            |WHERE bit_count(l.sh ^ r.sh) <= 3
+            |ORDER BY id_a, id_b""".stripMargin)
+      },
+      """WITH tokh AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |        FROM documents)),
+        |bitsum AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM tokh CROSS JOIN (SELECT unnest(range(48)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS sg
+        |  FROM bitsum GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sg, b.sg)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // C11: per-document fingerprints, portable-hash mode (md5-derived
     // shingle hash — promoted from rows-only in round 4; the xxhash64
     // rolling kernel stays the operator default for Spark-only use).

@@ -167,7 +167,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     * so parity holds by construction. These tokens never appear in
     * classic journals, so the fast paths stay allocation-free. */
   @inline private def needsSlow(t: Byte): Boolean =
-    t == LwesType.Float || t == LwesType.Double || LwesType.isArray(t)
+    t == LwesType.Float || t == LwesType.Double || LwesType.isArray(t) ||
+      LwesType.isNullableArray(t)
 
   private def putModern(vec: OnHeapColumnVector, r: Int, t: Byte,
       b: Array[Byte], off: Int, len: Int,
@@ -208,23 +209,31 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
   /** Append one wire array's elements to an array column's child
     * vector; -1 = element type outside the vectorized set (the scan
     * builder routes those schemas to the row reader — this is the
-    * defensive backstop). Wire arrays carry no null elements. */
+    * defensive backstop). Classic wire arrays carry no null elements;
+    * nullable arrays (N_*_ARRAY) and unconvertible elements land as
+    * child nulls — the per-element isNullAt check is a predictable
+    * branch that costs all-present arrays nothing measurable. */
   private def appendElems(
       child: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
       x: org.apache.spark.sql.catalyst.util.ArrayData,
       et: org.apache.spark.sql.types.DataType): Int = {
     val n = x.numElements()
     var j = 0
+    @inline def nn(put: => Unit): Unit =
+      if (x.isNullAt(j)) child.appendNull() else put
     et match {
-      case ShortType => while (j < n) { child.appendShort(x.getShort(j)); j += 1 }
-      case IntegerType => while (j < n) { child.appendInt(x.getInt(j)); j += 1 }
-      case LongType => while (j < n) { child.appendLong(x.getLong(j)); j += 1 }
-      case FloatType => while (j < n) { child.appendFloat(x.getFloat(j)); j += 1 }
-      case DoubleType => while (j < n) { child.appendDouble(x.getDouble(j)); j += 1 }
-      case BooleanType => while (j < n) { child.appendBoolean(x.getBoolean(j)); j += 1 }
+      case ShortType => while (j < n) { nn(child.appendShort(x.getShort(j))); j += 1 }
+      case IntegerType => while (j < n) { nn(child.appendInt(x.getInt(j))); j += 1 }
+      case LongType => while (j < n) { nn(child.appendLong(x.getLong(j))); j += 1 }
+      case FloatType => while (j < n) { nn(child.appendFloat(x.getFloat(j))); j += 1 }
+      case DoubleType => while (j < n) { nn(child.appendDouble(x.getDouble(j))); j += 1 }
+      case BooleanType => while (j < n) { nn(child.appendBoolean(x.getBoolean(j))); j += 1 }
       case StringType => while (j < n) {
-        val b = x.getUTF8String(j).getBytes
-        child.appendByteArray(b, 0, b.length); j += 1
+        nn {
+          val b = x.getUTF8String(j).getBytes
+          child.appendByteArray(b, 0, b.length)
+        }
+        j += 1
       }
       // decimal elements (uint64As=decimal + uint64[] attrs — the last
       // r15 row-reader fallback): append with the same width split
@@ -418,7 +427,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         // float/double/array tokens never reach decodeLong — deferring
         // (Spark re-applies all residual filters) is the only sound call
         case t if t == LwesType.Float || t == LwesType.Double ||
-            graft.lwes.LwesType.isArray(t) => -1
+            graft.lwes.LwesType.isArray(t) ||
+            graft.lwes.LwesType.isNullableArray(t) => -1
         case _ =>
           val x = trunc(lv)
           val r = op match {
@@ -517,7 +527,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       token match {
         case LwesType.Str | LwesType.IpAddr => -1
         case t if t == LwesType.Float || t == LwesType.Double ||
-            graft.lwes.LwesType.isArray(t) => -1
+            graft.lwes.LwesType.isArray(t) ||
+            graft.lwes.LwesType.isNullableArray(t) => -1
         case _ => if (set.contains(trunc(lv))) 1 else 0
       }
   }
@@ -907,6 +918,43 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
               throw new IllegalArgumentException("array length overruns record")
             2 + u16(b, valOff) *
               graft.lwes.LwesCodec.scalarFixedSize(graft.lwes.LwesType.elementOf(t))
+          // nullable arrays: count, bitset byte count, bitset, then only
+          // the PRESENT elements — the skip walks the bitset so an
+          // unwanted nullable attr costs no decode
+          case t if graft.lwes.LwesType.isNullableArray(t) =>
+            if (valOff + 4 > end)
+              throw new IllegalArgumentException("nullable array overruns record")
+            val cnt = u16(b, valOff)
+            val nb = u16(b, valOff + 2)
+            if (nb < (cnt + 7) / 8)
+              throw new IllegalArgumentException(
+                s"nullable array bitset of $nb bytes cannot cover $cnt elements")
+            val bitsOff = valOff + 4
+            var p = bitsOff + nb
+            if (p > end)
+              throw new IllegalArgumentException("nullable array bitset overruns record")
+            val et = graft.lwes.LwesType.elementOfNullable(t)
+            if (et == LwesType.Str) {
+              var j = 0
+              while (j < cnt) {
+                if ((b(bitsOff + (j >> 3)) & (1 << (j & 7))) != 0) {
+                  if (p + 2 > end)
+                    throw new IllegalArgumentException(
+                      "nullable string array overruns record")
+                  p += 2 + u16(b, p)
+                }
+                j += 1
+              }
+            } else {
+              var present = 0
+              var j = 0
+              while (j < cnt) {
+                if ((b(bitsOff + (j >> 3)) & (1 << (j & 7))) != 0) present += 1
+                j += 1
+              }
+              p += present * graft.lwes.LwesCodec.scalarFixedSize(et)
+            }
+            p - valOff
           case t => throw new IllegalArgumentException(
             s"unknown LWES type token 0x${"%02x".format(t)}")
         }

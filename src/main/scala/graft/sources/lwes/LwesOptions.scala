@@ -202,15 +202,20 @@ object LwesOptions {
             if (d.changePrecision(dt.precision, dt.scale)) d else null
           }
         case ArrayType(et, _) =>
-          if (!LwesType.isArray(a.token)) null
+          if (!LwesType.isArray(a.token) && !LwesType.isNullableArray(a.token)) null
           else {
             val n = java.lang.reflect.Array.getLength(a.value)
             val out = new Array[Any](n)
-            val elemToken = LwesType.elementOf(a.token)
+            val elemToken =
+              if (LwesType.isArray(a.token)) LwesType.elementOf(a.token)
+              else LwesType.elementOfNullable(a.token)
             var j = 0
             while (j < n) {
-              out(j) = toCatalyst(
-                LwesAttr(a.key, elemToken, java.lang.reflect.Array.get(a.value, j)), et)
+              // nullable-array holes stay null (classic arrays never
+              // carry null elements, so the check costs them nothing)
+              val e = java.lang.reflect.Array.get(a.value, j)
+              out(j) = if (e == null) null
+                else toCatalyst(LwesAttr(a.key, elemToken, e), et)
               j += 1
             }
             new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -247,12 +252,14 @@ object LwesOptions {
 
   def asString(a: LwesAttr): String = a.value match {
     case b: Array[Byte] if a.token == LwesType.IpAddr => LwesEvent.ipToString(b)
-    case arr if LwesType.isArray(a.token) =>
+    case arr if LwesType.isArray(a.token) || LwesType.isNullableArray(a.token) =>
       val n = java.lang.reflect.Array.getLength(arr)
-      val et = LwesType.elementOf(a.token)
+      val et = if (LwesType.isArray(a.token)) LwesType.elementOf(a.token)
+        else LwesType.elementOfNullable(a.token)
       (0 until n).map { j =>
         val e = java.lang.reflect.Array.get(arr, j)
-        if (et == LwesType.IpAddr) LwesEvent.ipToString(e.asInstanceOf[Array[Byte]])
+        if (e == null) "null" // nullable-array hole
+        else if (et == LwesType.IpAddr) LwesEvent.ipToString(e.asInstanceOf[Array[Byte]])
         else String.valueOf(e)
       }.mkString("[", ",", "]")
     case b: Array[Byte] => LwesEvent.ipToString(b)
@@ -292,7 +299,7 @@ object LwesOptions {
       // unsigned round-trip back to uint64 raw bits — scale-0 shapes
       // only (r16): a fractional decimal would silently truncate
       case d: DecimalType if d.scale == 0 =>
-        ev.setUInt64(attr, u64RawBits(attr, v.asInstanceOf[Decimal]))
+        ev.setUInt64(attr, u64RawBits(attr, v.asInstanceOf[Decimal], esf = false))
       // array columns ride the modern lwes array tokens (0x81+). NOTE:
       // scalar float/double keep the reference's float-as-string parity
       // above, but array elements use the NATIVE float/double wire
@@ -300,9 +307,14 @@ object LwesOptions {
       // no parity to preserve and the binary encoding is 2-4x smaller.
       case ArrayType(et, _) =>
         val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        require((0 until ad.numElements()).forall(!ad.isNullAt(_)),
-          s"LWES array attr '$attr' cannot carry NULL elements " +
-            "(no nullable-array wire token in scope)")
+        // an array VALUE carrying null elements rides the nullable-array
+        // wire tokens (N_*_ARRAY); all-present values keep the compact
+        // classic tokens — per value, so a containsNull=true schema
+        // whose data never holds nulls pays no bitset overhead
+        if (!(0 until ad.numElements()).forall(!ad.isNullAt(_))) {
+          setNullableAttr(ev, attr, et, ad)
+          return
+        }
         et match {
           case ShortType => ev.setInt16Array(attr, ad.toShortArray())
           case IntegerType => ev.setInt32Array(attr, ad.toIntArray())
@@ -321,13 +333,40 @@ object LwesOptions {
           // silent toBigInteger would truncate 1.23 to wire 1.
           case edt: DecimalType if edt.scale == 0 => ev.setUInt64Array(attr,
             Array.tabulate(ad.numElements())(j =>
-              u64RawBits(attr, ad.get(j, edt).asInstanceOf[Decimal])))
+              u64RawBits(attr, ad.get(j, edt).asInstanceOf[Decimal], esf = false)))
           case other => throw new IllegalArgumentException(
             s"LWES cannot carry array element type $other")
         }
       case other =>
         throw new IllegalArgumentException(
           s"LWES cannot carry Spark type $other (reference EventSerDe.java:443-447)")
+    }
+  }
+
+  /** Write an array value that carries null elements as a nullable
+    * array (N_*_ARRAY): element tokens mirror [[setAttr]]'s classic
+    * choices, elements box to the representations the element token's
+    * reader produces, null holes stay null. */
+  private def setNullableAttr(ev: LwesEvent, attr: String, et: DataType,
+      ad: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val n = ad.numElements()
+    def boxed(elemToken: Byte)(get: Int => AnyRef): Unit =
+      ev.setNullableArray(attr, elemToken,
+        Array.tabulate(n)(j => if (ad.isNullAt(j)) null else get(j)))
+    et match {
+      case ShortType => boxed(LwesType.Int16)(j => java.lang.Short.valueOf(ad.getShort(j)))
+      case IntegerType => boxed(LwesType.Int32)(j => java.lang.Integer.valueOf(ad.getInt(j)))
+      case LongType => boxed(LwesType.Int64)(j => java.lang.Long.valueOf(ad.getLong(j)))
+      case FloatType => boxed(LwesType.Float)(j => java.lang.Float.valueOf(ad.getFloat(j)))
+      case DoubleType => boxed(LwesType.Double)(j => java.lang.Double.valueOf(ad.getDouble(j)))
+      case BooleanType => boxed(LwesType.Bool)(j => java.lang.Boolean.valueOf(ad.getBoolean(j)))
+      case ByteType => boxed(LwesType.ByteT)(j => java.lang.Byte.valueOf(ad.getByte(j)))
+      case StringType => boxed(LwesType.Str)(j => ad.getUTF8String(j).toString)
+      case edt: DecimalType if edt.scale == 0 =>
+        boxed(LwesType.UInt64)(j => java.lang.Long.valueOf(
+          u64RawBits(attr, ad.get(j, edt).asInstanceOf[Decimal], esf = false)))
+      case other => throw new IllegalArgumentException(
+        s"LWES cannot carry array element type $other")
     }
   }
 
@@ -370,6 +409,17 @@ object LwesOptions {
         // setAttrAs writes a declared byte[] via ad.toByteArray(),
         // which reads raw bytes — a short-element array would corrupt
         case LwesType.ByteT => et == ByteType
+        case e => esfWriteCompatible(et, e)
+      }
+    // `nullable`-declared arrays accept the same element shapes as
+    // their classic counterparts; byte elements additionally accept
+    // ShortType (the template-derived read schema for byte is
+    // ShortType) because the nullable path converts PER ELEMENT with a
+    // range check, never via the raw toByteArray() reinterpretation
+    case (t, ArrayType(et, _)) if LwesType.isNullableArray(t) =>
+      LwesType.elementOfNullable(t) match {
+        case LwesType.Str | LwesType.IpAddr => et == StringType
+        case LwesType.ByteT => et == ByteType || et == ShortType
         case e => esfWriteCompatible(et, e)
       }
     case _ => false
@@ -418,7 +468,7 @@ object LwesOptions {
         ev.setUInt32(attr, narrowChecked(attr, token, numAsLong(v)))
       case LwesType.Int64 => ev.setInt64(attr, numAsLong(v))
       case LwesType.UInt64 => v match {
-        case d: Decimal => ev.setUInt64(attr, u64RawBits(attr, d))
+        case d: Decimal => ev.setUInt64(attr, u64RawBits(attr, d, esf = true))
         case other => ev.setUInt64(attr, numAsLong(other))
       }
       case LwesType.Float => ev.setFloat(attr, v.asInstanceOf[Float])
@@ -435,14 +485,54 @@ object LwesOptions {
           ev.setByteArray(attr, ad.toByteArray())
         case other => throw new IllegalArgumentException(s"not bytes: $other")
       }
+      // `nullable`-declared arrays: null elements legal, always encoded
+      // with the N_*_ARRAY token (the declared type wins, like every
+      // other template-declared encoding), elements range-checked to
+      // the declared width like the classic branch below
+      case t if LwesType.isNullableArray(t) =>
+        val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val et = LwesType.elementOfNullable(t)
+        val edt = dt.asInstanceOf[ArrayType].elementType
+        val n = ad.numElements()
+        def boxedN(get: Int => AnyRef): Array[AnyRef] =
+          Array.tabulate(n)(j => if (ad.isNullAt(j)) null else get(j))
+        val arr: Array[AnyRef] = et match {
+          case LwesType.Int16 => boxedN(j => java.lang.Short.valueOf(
+            narrowChecked(attr, et, numAsLong(ad.get(j, edt))).toShort))
+          case LwesType.UInt16 => boxedN(j => java.lang.Integer.valueOf(
+            narrowChecked(attr, et, numAsLong(ad.get(j, edt))).toInt))
+          case LwesType.Int32 => boxedN(j => java.lang.Integer.valueOf(
+            narrowChecked(attr, et, numAsLong(ad.get(j, edt))).toInt))
+          case LwesType.UInt32 => boxedN(j => java.lang.Long.valueOf(
+            narrowChecked(attr, et, numAsLong(ad.get(j, edt)))))
+          case LwesType.Int64 | LwesType.UInt64 =>
+            boxedN(j => java.lang.Long.valueOf(numAsLong(ad.get(j, edt))))
+          case LwesType.ByteT => boxedN(j => java.lang.Byte.valueOf(
+            narrowChecked(attr, et, numAsLong(ad.get(j, edt))).toByte))
+          case LwesType.Float =>
+            boxedN(j => java.lang.Float.valueOf(ad.getFloat(j)))
+          case LwesType.Double => edt match {
+            case FloatType => boxedN(j => java.lang.Double.valueOf(ad.getFloat(j).toDouble))
+            case _ => boxedN(j => java.lang.Double.valueOf(ad.getDouble(j)))
+          }
+          case LwesType.Bool =>
+            boxedN(j => java.lang.Boolean.valueOf(ad.getBoolean(j)))
+          case LwesType.Str => boxedN(j => ad.getUTF8String(j).toString)
+          case LwesType.IpAddr =>
+            boxedN(j => LwesEvent.parseIp(ad.getUTF8String(j).toString))
+          case other => throw new EsfValidationException(
+            s"esf: unsupported nullable array element token $other for '$attr'")
+        }
+        ev.setNullableArray(attr, et, arr)
       case t if LwesType.isArray(t) =>
         val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         // named like every other template violation (the ESF path
-        // promises EsfValidationException, not a generic require)
+        // promises EsfValidationException, not a generic require) —
+        // only a `nullable`-declared array may carry null elements
         if (!(0 until ad.numElements()).forall(!ad.isNullAt(_)))
           throw new EsfValidationException(
             s"esf validation: array attribute '$attr' carries a NULL " +
-              "element (no nullable-array wire token in scope)")
+              "element but is not declared `nullable` in the template")
         val et = LwesType.elementOf(t)
         val n = ad.numElements()
         et match {
@@ -488,12 +578,17 @@ object LwesOptions {
     * `longValue()` wrap on the overflow (or on a negative value) is
     * data corruption — named rejection instead, like every other
     * declared-width violation. Values in [2^63, 2^64) land as the
-    * negative raw-bits long, the documented unsigned round-trip. */
-  private def u64RawBits(attr: String, d: Decimal): Long = {
+    * negative raw-bits long, the documented unsigned round-trip.
+    * `esf = true` (template-declared writes) names the rejection
+    * [[EsfValidationException]] — the ESF path's contract — while the
+    * plain write path keeps the generic IllegalArgumentException. */
+  private def u64RawBits(attr: String, d: Decimal, esf: Boolean): Long = {
     val bi = d.toJavaBigDecimal.toBigInteger
-    if (bi.signum < 0 || bi.bitLength > 64)
-      throw new IllegalArgumentException(
-        s"value $bi of attr '$attr' is out of uint64 range [0, 2^64)")
+    if (bi.signum < 0 || bi.bitLength > 64) {
+      val msg = s"value $bi of attr '$attr' is out of uint64 range [0, 2^64)"
+      if (esf) throw new EsfValidationException(s"esf validation: $msg")
+      else throw new IllegalArgumentException(msg)
+    }
     bi.longValue()
   }
 
@@ -507,7 +602,7 @@ object LwesOptions {
     case d: Double => d.toLong
     // uint64-declared decimal columns/elements: unsigned raw-bits
     // round-trip, range-checked like the plain write path
-    case d: Decimal => u64RawBits("<esf-declared>", d)
+    case d: Decimal => u64RawBits("<esf-declared>", d, esf = true)
     case _ => throw new IllegalArgumentException(s"not numeric: $v")
   }
 
@@ -530,6 +625,9 @@ object LwesOptions {
       case t if LwesType.isArray(t) =>
         ArrayType(sparkTypeFor(LwesType.elementOf(t), uint64AsDecimal),
           containsNull = false)
+      case t if LwesType.isNullableArray(t) =>
+        ArrayType(sparkTypeFor(LwesType.elementOfNullable(t), uint64AsDecimal),
+          containsNull = true)
       case _ => StringType
     }
 

@@ -5,7 +5,7 @@ import scala.util.Random
 
 class LwesCodecSpec extends AnyFunSuite {
 
-  private def randAttr(rnd: Random, key: String): LwesAttr = rnd.nextInt(16) match {
+  private def randAttr(rnd: Random, key: String): LwesAttr = rnd.nextInt(19) match {
     case 0 => LwesAttr(key, LwesType.UInt16, rnd.nextInt(65536))
     case 1 => LwesAttr(key, LwesType.Int16, rnd.nextInt().toShort)
     case 2 => LwesAttr(key, LwesType.UInt32, rnd.nextLong() & 0xffffffffL)
@@ -27,8 +27,19 @@ class LwesCodecSpec extends AnyFunSuite {
       Array.fill(rnd.nextInt(10))(rnd.nextLong()))
     case 14 => LwesAttr(key, LwesType.DoubleArray,
       Array.fill(rnd.nextInt(10))(rnd.nextDouble()))
-    case _ => LwesAttr(key, LwesType.StrArray,
+    case 15 => LwesAttr(key, LwesType.StrArray,
       Array.fill(rnd.nextInt(6))(rnd.alphanumeric.take(rnd.nextInt(30)).mkString))
+    // nullable arrays (N_*_ARRAY): ~1/3 null holes
+    case 16 => LwesAttr(key, LwesType.NInt32Array,
+      Array.fill[AnyRef](rnd.nextInt(10))(
+        if (rnd.nextInt(3) == 0) null else java.lang.Integer.valueOf(rnd.nextInt())))
+    case 17 => LwesAttr(key, LwesType.NStrArray,
+      Array.fill[AnyRef](rnd.nextInt(8))(
+        if (rnd.nextInt(3) == 0) null
+        else rnd.alphanumeric.take(rnd.nextInt(30)).mkString))
+    case _ => LwesAttr(key, LwesType.NDoubleArray,
+      Array.fill[AnyRef](rnd.nextInt(10))(
+        if (rnd.nextInt(3) == 0) null else java.lang.Double.valueOf(rnd.nextDouble())))
   }
 
   private def randEvent(rnd: Random): LwesEvent = {
@@ -150,14 +161,117 @@ class LwesCodecSpec extends AnyFunSuite {
     assert(proj.get("c").get.value == 9L)
   }
 
-  test("nullable-array tokens (0x8d+) are a checked boundary: unknown token") {
-    // splice token 0x8d into a valid record: the parser must refuse it
-    // loudly (record-level corruption), never misread it
+  test("tokens beyond the nullable-array range (0x99+) stay a checked boundary") {
+    // splice token 0x99 (one past nullable double[]) into a valid
+    // record: the parser must refuse it loudly (record-level
+    // corruption), never misread it
     val bytes = LwesCodec.serialize(LwesEvent("E").setInt32("ab", 1))
     val idx = bytes.length - 5 // token byte sits before the 4-byte int32
     assert(bytes(idx) == LwesType.Int32)
-    bytes(idx) = 0x8d.toByte
+    bytes(idx) = 0x99.toByte
     val e = intercept[IllegalArgumentException](LwesCodec.deserialize(bytes))
     assert(e.getMessage.contains("unknown LWES type token"))
+  }
+
+  test("nullable-array tokens run 0x8d..0x98 in classic array order") {
+    assert(LwesType.NUInt16Array == 0x8d.toByte)
+    assert(LwesType.NInt16Array == 0x8e.toByte)
+    assert(LwesType.NUInt32Array == 0x8f.toByte)
+    assert(LwesType.NInt32Array == 0x90.toByte)
+    assert(LwesType.NStrArray == 0x91.toByte)
+    assert(LwesType.NIpAddrArray == 0x92.toByte)
+    assert(LwesType.NInt64Array == 0x93.toByte)
+    assert(LwesType.NUInt64Array == 0x94.toByte)
+    assert(LwesType.NBoolArray == 0x95.toByte)
+    assert(LwesType.NByteArray == 0x96.toByte)
+    assert(LwesType.NFloatArray == 0x97.toByte)
+    assert(LwesType.NDoubleArray == 0x98.toByte)
+    (0x8d to 0x98).foreach(t => assert(LwesType.isNullableArray(t.toByte)))
+    assert(!LwesType.isNullableArray(0x8c.toByte)) // double[] is classic
+    assert(!LwesType.isNullableArray(0x99.toByte))
+    assert(LwesType.elementOfNullable(LwesType.NStrArray) == LwesType.Str)
+    assert(LwesType.name(LwesType.NInt32Array) == "nullable int32[]")
+  }
+
+  test("nullable arrays round-trip every element type with null holes") {
+    def box[A](xs: Seq[Any]): Array[AnyRef] =
+      xs.map(_.asInstanceOf[AnyRef]).toArray
+    val ev = LwesEvent("N::E")
+      .setNullableArray("u16", LwesType.UInt16, box(Seq(1, null, 65535)))
+      .setNullableArray("i16", LwesType.Int16, box(Seq(null, (-5).toShort)))
+      .setNullableArray("u32", LwesType.UInt32, box(Seq(4294967295L, null)))
+      .setNullableArray("i32", LwesType.Int32, box(Seq(null, null, 7)))
+      .setNullableArray("i64", LwesType.Int64, box(Seq(Long.MinValue, null)))
+      .setNullableArray("u64", LwesType.UInt64, box(Seq(null, -1L)))
+      .setNullableArray("b", LwesType.Bool, box(Seq(true, null, false)))
+      .setNullableArray("by", LwesType.ByteT, box(Seq(null, 9.toByte)))
+      .setNullableArray("f", LwesType.Float, box(Seq(1.5f, null)))
+      .setNullableArray("d", LwesType.Double, box(Seq(null, 2.25)))
+      .setNullableArray("s", LwesType.Str, box(Seq("a", null, "héllo", "")))
+      .setNullableArray("ip", LwesType.IpAddr,
+        box(Seq(Array[Byte](10, 0, 0, 1), null)))
+      // degenerate shapes: empty, all-null, 9-element (2 bitset bytes)
+      .setNullableArray("empty", LwesType.Int32, box(Seq.empty))
+      .setNullableArray("allnull", LwesType.Str, box(Seq(null, null, null)))
+      .setNullableArray("nine", LwesType.Int32,
+        box(Seq(1, null, 3, null, 5, null, 7, null, 9)))
+    val bytes = LwesCodec.serialize(ev)
+    val back = LwesCodec.deserialize(bytes)
+    assert(back.get("u16").get.value.asInstanceOf[Array[AnyRef]].toSeq ==
+      Seq(1, null, 65535))
+    assert(back.get("s").get.value.asInstanceOf[Array[AnyRef]].toSeq ==
+      Seq("a", null, "héllo", ""))
+    assert(back.get("allnull").get.value.asInstanceOf[Array[AnyRef]].toSeq ==
+      Seq(null, null, null))
+    assert(back.get("nine").get.value.asInstanceOf[Array[AnyRef]].toSeq ==
+      Seq(1, null, 3, null, 5, null, 7, null, 9))
+    val ip = back.get("ip").get.value.asInstanceOf[Array[AnyRef]]
+    assert(ip(0).asInstanceOf[Array[Byte]].toSeq == Seq(10, 0, 0, 1) &&
+      ip(1) == null)
+    // byte-stable re-serialization (token + null positions preserved)
+    assert(LwesCodec.serialize(back).sameElements(bytes))
+  }
+
+  test("nullable-array wire layout: count, bitset byte count, LSB-first bitset") {
+    val ev = LwesEvent("E").setNullableArray("abc", LwesType.Int32,
+      Array[AnyRef](java.lang.Integer.valueOf(7), null,
+        java.lang.Integer.valueOf(9)))
+    val bytes = LwesCodec.serialize(ev)
+    // payload: 1B nameLen, "E", u16 attrCount, 1B keyLen, "abc", token,
+    // then the value
+    val v = 1 + 1 + 2 + 1 + 3
+    assert(bytes(v) == LwesType.NInt32Array)
+    assert(((bytes(v + 1) & 0xff) << 8 | (bytes(v + 2) & 0xff)) == 3) // count
+    assert(((bytes(v + 3) & 0xff) << 8 | (bytes(v + 4) & 0xff)) == 1) // bitset bytes
+    assert((bytes(v + 5) & 0xff) == 0x05) // bits 0 and 2 set, LSB-first
+    // elements: only the two present int32s follow
+    assert(bytes.length == v + 6 + 8)
+  }
+
+  test("projected parse length-skips unwanted NULLABLE array attrs") {
+    val ev = LwesEvent("E")
+      .setInt32("a", 1)
+      .setNullableArray("holes", LwesType.Int64,
+        Array.tabulate[AnyRef](300)(i =>
+          if (i % 3 == 0) null else java.lang.Long.valueOf(i.toLong)))
+      .setNullableArray("strs", LwesType.Str,
+        Array.tabulate[AnyRef](20)(i => if (i % 2 == 0) null else "x" * 40))
+      .setInt64("c", 9L)
+    val bytes = LwesCodec.serialize(ev)
+    val proj = LwesCodec.deserialize(bytes, 0, bytes.length, Set("a", "c"))
+    assert(proj.attrs.map(_.key) == Seq("a", "c"))
+    assert(proj.get("c").get.value == 9L)
+  }
+
+  test("a nullable array whose bitset is too short is record corruption, named") {
+    val ev = LwesEvent("E").setNullableArray("ab", LwesType.Int32,
+      Array.tabulate[AnyRef](9)(i => java.lang.Integer.valueOf(i)))
+    val bytes = LwesCodec.serialize(ev)
+    // shrink the declared bitset byte count below ceil(9/8)=2
+    val v = 1 + 1 + 2 + 1 + 2 // nameLen,"E",count,keyLen,"ab"
+    assert(bytes(v) == LwesType.NInt32Array)
+    bytes(v + 4) = 1 // bitset byte count 2 -> 1
+    val e = intercept[IllegalArgumentException](LwesCodec.deserialize(bytes))
+    assert(e.getMessage.contains("bitset"))
   }
 }

@@ -68,7 +68,9 @@ class EsfSpec extends AnyFunSuite {
     assert(login("score").token == LwesType.Float)
     assert(login("codes").token == LwesType.Int32Array)
     assert(login("codes").arrayLen.contains(8))
-    assert(login("tags").nullable && login("tags").token == LwesType.StrArray)
+    // nullable qualifier honored (r17): the declared token IS the
+    // N_*_ARRAY wire token, not a silently-dropped annotation
+    assert(login("tags").nullable && login("tags").token == LwesType.NStrArray)
     // meta attrs merged after the event's own, in declaration order
     assert(db.attrsFor("User::Logout").get.map(_.name) ==
       Seq("username", "duration", "ReceiptTime", "SenderIP", "SenderPort", "SiteID"))

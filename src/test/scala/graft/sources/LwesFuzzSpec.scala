@@ -33,7 +33,16 @@ class LwesFuzzSpec extends AnyFunSuite {
     // the uint64 raw-bits write, decimal ARRAYS through the r16
     // setAttr uint64[] mirror of the uint64As=decimal read
     DecimalType(20, 0),
-    ArrayType(DecimalType(20, 0), containsNull = false))
+    ArrayType(DecimalType(20, 0), containsNull = false),
+    // nullable-array wire tokens (r17): containsNull=true columns mix
+    // null-holed values (N_*_ARRAY on the wire) with all-present ones
+    // (classic tokens) row by row — both shapes fuzz both reader paths
+    ArrayType(IntegerType, containsNull = true),
+    ArrayType(LongType, containsNull = true),
+    ArrayType(DoubleType, containsNull = true),
+    ArrayType(StringType, containsNull = true),
+    ArrayType(BooleanType, containsNull = true),
+    ArrayType(DecimalType(20, 0), containsNull = true))
 
   private def randValue(rnd: Random, dt: DataType): Any = {
     if (rnd.nextInt(6) == 0) return null
@@ -62,10 +71,12 @@ class LwesFuzzSpec extends AnyFunSuite {
         case 1 => "héllo wörld 世界 😀"
         case _ => rnd.alphanumeric.take(rnd.nextInt(50)).mkString
       }
-      case ArrayType(et, _) =>
-        // element values are never null on the wire; empty arrays legal
+      case ArrayType(et, cn) =>
+        // classic arrays carry no null elements; containsNull columns
+        // hole ~1/4 of theirs (empty arrays legal either way)
         Seq.fill(rnd.nextInt(9))(
-          Iterator.continually(randValue(rnd, et)).filter(_ != null).next())
+          if (cn && rnd.nextInt(4) == 0) null
+          else Iterator.continually(randValue(rnd, et)).filter(_ != null).next())
       case _ => null
     }
   }
@@ -210,19 +221,26 @@ class LwesFuzzSpec extends AnyFunSuite {
         // byte[] maps to BinaryType (one blob), not ArrayType — keep
         // the fuzz's per-element model to true element arrays
         val isArr = rnd.nextInt(10) < 3 && t != "byte"
+        // r17: a third of array declarations take the `nullable`
+        // qualifier (N_*_ARRAY wire tokens); their defaults and row
+        // values may carry null holes
+        val isNul = isArr && rnd.nextInt(3) == 0
         val dflt: Option[Any] =
           if (rnd.nextInt(10) < 4)
-            Some(if (isArr) Seq.fill(1 + rnd.nextInt(3))(value(t)) else value(t))
+            Some(if (isArr) Seq.fill(1 + rnd.nextInt(3))(
+              if (isNul && rnd.nextInt(4) == 0) null else value(t))
+            else value(t))
           else None
-        (s"a$i", t, isArr, dflt)
+        (s"a$i", t, isArr, isNul, dflt)
       }
       val tpl = s"Fz::T$trial {  # trial $trial\n  required int64 rid;\n" +
         attrs.map {
-        case (n, t, isArr, d) =>
-          val decl = s"  $t $n${if (isArr) "[4]" else ""}"
+        case (n, t, isArr, isNul, d) =>
+          val decl = s"  ${if (isNul) "nullable " else ""}$t $n${if (isArr) "[4]" else ""}"
           val dl = d.map {
             case xs: Seq[_] =>
-              " = " + xs.map(x => literal(t, x)).mkString(", ")
+              " = " + xs.map(x =>
+                if (x == null) "null" else literal(t, x)).mkString(", ")
             case x => " = " + literal(t, x)
           }.getOrElse("")
           s"$decl$dl;"
@@ -239,9 +257,10 @@ class LwesFuzzSpec extends AnyFunSuite {
       // the write-side default fill and plain unset are exercised
       val nRows = 3 + rnd.nextInt(12)
       val data = (0 until nRows).map { _ =>
-        attrs.map { case (_, t, isArr, _) =>
+        attrs.map { case (_, t, isArr, isNul, _) =>
           if (rnd.nextInt(10) < 4) null
-          else if (isArr) Seq.fill(rnd.nextInt(4))(value(t))
+          else if (isArr) Seq.fill(rnd.nextInt(4))(
+            if (isNul && rnd.nextInt(4) == 0) null else value(t))
           else value(t)
         }
       }
@@ -250,14 +269,14 @@ class LwesFuzzSpec extends AnyFunSuite {
       }
       val full = StructType(
         StructField("rid", LongType, nullable = false) +:
-          attrs.map { case (n, _, _, _) =>
+          attrs.map { case (n, _, _, _, _) =>
             schema(n).copy(nullable = true) })
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), full)
         .write.format("lwes").option("eventName", s"Fz::T$trial")
         .option("esf", esf).mode("append").save(dir)
       // expected: value if set, else the default, else null — per cell
       val expected = data.map(vs => vs.zip(attrs).map {
-        case (v, (_, _, _, dflt)) => if (v != null) v else dflt.orNull
+        case (v, (_, _, _, _, dflt)) => if (v != null) v else dflt.orNull
       })
       for (vec <- Seq(true, false)) {
         val got = spark.read.format("lwes").option("eventName", s"Fz::T$trial")
@@ -272,7 +291,8 @@ class LwesFuzzSpec extends AnyFunSuite {
             assert(g == e,
               s"trial $trial vec=$vec row $r (seedShift=$seedShift) " +
                 s"attr ${attrs(i)._1} " +
-                s"(${attrs(i)._2}${if (attrs(i)._3) "[]" else ""}): " +
+                s"(${if (attrs(i)._4) "nullable " else ""}" +
+                s"${attrs(i)._2}${if (attrs(i)._3) "[]" else ""}): " +
                 s"expected $e got $g\ntemplate:\n$tpl")
           }
         }
