@@ -178,13 +178,22 @@ object LwesDataSource {
   def hostsForRange(f: FileStatus, start: Long, end: Long): Seq[String] =
     f match {
       case lf: org.apache.hadoop.fs.LocatedFileStatus =>
-        rankHosts(lf.getBlockLocations.iterator.flatMap { b =>
-          val o = math.max(start, b.getOffset)
-          val e = math.min(end, b.getOffset + b.getLength)
-          if (e > o) b.getHosts.iterator.map(_ -> (e - o)) else Iterator.empty
-        })
+        hostsForBlocks(lf.getBlockLocations.iterator, start, end)
       case _ => Nil
     }
+
+  /** Range-host ranking from raw block locations — shared by the batch
+    * planner's LocatedFileStatus path above and the STREAMING split
+    * expansion (which re-fetches block locations once per fat file,
+    * since admission-time FileStatus objects don't survive into the
+    * micro-batch plan). */
+  def hostsForBlocks(blocks: Iterator[org.apache.hadoop.fs.BlockLocation],
+      start: Long, end: Long): Seq[String] =
+    rankHosts(blocks.flatMap { b =>
+      val o = math.max(start, b.getOffset)
+      val e = math.min(end, b.getOffset + b.getLength)
+      if (e > o) b.getHosts.iterator.map(_ -> (e - o)) else Iterator.empty
+    })
 
   /** Hosts ranked by total bytes held (desc, name tiebreak) — shared by
     * the single-file and bin-level preferred-location derivations. */
@@ -1345,8 +1354,15 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     backlogFiles = (fresh.size - admitted.size).toLong
     backlogBytes = fresh.drop(admitted.size).map(_.getLen).sum
     if (admitted.nonEmpty) {
+      // block hosts ride along on distributed stores (the listing
+      // already returned LocatedFileStatus there — r17; previously
+      // streaming partitions always scheduled without locality). A
+      // checkpoint REPLAY loses them (the batch log pins path+length
+      // only), which is the right trade: replays are rare and
+      // locality is a hint, never correctness.
       val parts = admitted.map(f => LwesInputPartition(f.getPath.toString,
-        f.getLen, LwesDataSource.partitionValues(f.getPath, roots)))
+        f.getLen, LwesDataSource.partitionValues(f.getPath, roots),
+        LwesDataSource.hostsOf(f)))
       val id = batches.size
       writeBatchLog(id, parts)
       batches += parts
@@ -1427,6 +1443,11 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
   // not re-pay a driver-side tail-read round-trip per fat file
   private val streamFooterCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Option[Vector[graft.lwes.SplitJournal.FrameMeta]]]()
+  // block locations per admitted fat file (same immutability argument
+  // as the footer cache): fetched once, only on stores whose listing
+  // produced hosts at admission — local/object stores skip the RPC
+  private val streamBlockCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Array[org.apache.hadoop.fs.BlockLocation]]()
 
   /** Expand one admitted fat `.zsj` into frame-run partitions under
     * `window` — the ReceiptTime admission window the file's BATCH was
@@ -1455,8 +1476,28 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
           // frame level, so a prune never loses an in-window record.
           val (runs, pruned) = LwesDataSource.planFrameRuns(
             frames, window._1, window._2, streamSplitTarget)
+          // range-accurate locality (r17, batch-planner parity): rank
+          // hosts by the blocks each frame run overlaps; one cached
+          // getFileBlockLocations per fat file, and only where
+          // admission saw hosts at all. Falls back to the whole-file
+          // hosts (still better than nothing) on any lookup problem.
+          val blocks: Array[org.apache.hadoop.fs.BlockLocation] =
+            if (p.locations.isEmpty) Array.empty
+            else streamBlockCache.computeIfAbsent((p.path, p.length), _ =>
+              try {
+                val path = new Path(p.path)
+                path.getFileSystem(conf).getFileBlockLocations(path, 0, p.length)
+              } catch { case scala.util.control.NonFatal(_) =>
+                Array.empty[org.apache.hadoop.fs.BlockLocation] })
           (runs.map { case (start, end) =>
-            p.copy(length = end - start, range = Some((start, end)))
+            val rangeHosts =
+              if (blocks.isEmpty) p.locations
+              else {
+                val h = LwesDataSource.hostsForBlocks(blocks.iterator, start, end)
+                if (h.nonEmpty) h else p.locations
+              }
+            p.copy(length = end - start, range = Some((start, end)),
+              locations = rangeHosts)
           }, pruned)
       }
     } catch {

@@ -203,6 +203,41 @@ object ScaleStress {
           sigs = Some(sigs)).count()
       },
 
+      // C35 settle-path EQUIVALENCE at scale (r17 verdict task 5): runs
+      // BOTH reconcile chains and fails unless the survivor sets are
+      // IDENTICAL — the r15 "identical survivors" claim, promoted from
+      // a 1×/10× observation to a measured requirement at whatever
+      // mult this audit runs (100× for the r17 addendum). Also prints
+      // the two quantities the verdict flagged as the ones that could
+      // bend at 100×: banded-bucket max occupancy (vs the 8192
+      // saturation cap) and the verified pair count; star-CC round
+      // growth is covered by its own convergence guard (throws at 25).
+      "reconcile_equiv" -> { dir: String =>
+        val d = docs(dir)
+        val sigs = d.select(col("doc_id"),
+          Dedup.simhashPortable(col("text")).as("sig"))
+        val occ = sigs.select(
+            posexplode(array((0 until 4).map(i =>
+              shiftrightunsigned(col("sig"), 12 * i)
+                .bitwiseAND(lit(0xfffL))): _*)).as(Seq("band", "bval")))
+          .groupBy(col("band"), col("bval")).count()
+          .agg(max(col("count"))).head().getLong(0)
+        val pairs = Dedup.simhashPairsFromSigs(sigs, "doc_id", "sig",
+          maxHamming = 3, bits = 48).count()
+        println(s"[scale-stress] reconcile_equiv max band occupancy = " +
+          s"$occ (saturation cap 8192), verified pairs = $pairs")
+        val fromText = graft.streaming.StreamOps.reconcileKeepBest(
+          d, "doc_id", "text", col("n_chars").cast("double"))
+        val fromSigs = graft.streaming.StreamOps.reconcileKeepBest(
+          d, "doc_id", "text", col("n_chars").cast("double"),
+          sigs = Some(sigs))
+        val a = fromText.select("doc_id")
+        val b = fromSigs.select("doc_id")
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        require(diff == 0, s"reconcile survivor sets diverge by $diff docs")
+        fromText.count()
+      },
+
       // C37: Lloyd training (treeAggregate) + within-cell dedup. The
       // cell count follows the SemDeDup parameter law (k ≈ n/occ, see
       // Similarity.suggestedCells): the first run of this audit held

@@ -149,6 +149,30 @@ class LwesSplitSpec extends AnyFunSuite {
     assert(ids.sorted.toSeq == (0L until 2000L), s"got ${ids.length} rows")
   }
 
+  test("frame-run locality ranks hosts by overlapping block bytes (r17)") {
+    import org.apache.hadoop.fs.BlockLocation
+    // 3 × 128 MiB blocks on rotating host pairs
+    val M = 1L << 20
+    val blocks = Array(
+      new BlockLocation(Array("h1:50010", "h2:50010"), Array("h1", "h2"), 0, 128 * M),
+      new BlockLocation(Array("h2:50010", "h3:50010"), Array("h2", "h3"), 128 * M, 128 * M),
+      new BlockLocation(Array("h3:50010", "h1:50010"), Array("h3", "h1"), 256 * M, 128 * M))
+    // a run inside block 0 prefers its hosts only
+    assert(graft.sources.lwes.LwesDataSource
+      .hostsForBlocks(blocks.iterator, 4 * M, 8 * M).toSet == Set("h1", "h2"))
+    // a run straddling blocks 1|2 ranks the host on BOTH (h3) first
+    val straddle = graft.sources.lwes.LwesDataSource
+      .hostsForBlocks(blocks.iterator, 200 * M, 300 * M)
+    assert(straddle.head == "h3", s"got $straddle")
+    // outside the file: nothing
+    assert(graft.sources.lwes.LwesDataSource
+      .hostsForBlocks(blocks.iterator, 400 * M, 500 * M).isEmpty)
+    // local filesystems: streaming partitions legitimately carry no
+    // hosts (the r15/r16 streaming-split tests above run the whole
+    // expansion with locations=Nil — this pins that the r17 locality
+    // path stays dormant there instead of erroring)
+  }
+
   test("a streaming backfill window prunes whole .zsj frames at plan time (r16)") {
     val dir = tmp()
     writeSplit(dir, 2000)
