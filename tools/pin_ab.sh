@@ -37,6 +37,12 @@ if [ ! -d "$WT/target/scala-2.13/classes/graft" ]; then
   echo "compiling pin tree $SHORT ..." | tee -a "$OUT/log.txt"
   (cd "$WT" && sbt -batch compile) >> "$OUT/log.txt" 2>&1 || exit 1
 fi
+# sbt compile does NOT copy src/main/resources — without the
+# DataSourceRegister service file every format("lwes") key reads -1
+# in the pin tree (the §6 gotcha that bit the r15 A/B)
+if [ -d "$WT/src/main/resources" ]; then
+  cp -r "$WT/src/main/resources/." "$WT/target/scala-2.13/classes/" || exit 1
+fi
 # HEAD classes must be current too
 if [ "${PIN_AB_SKIP_HEAD_COMPILE:-}" != "1" ]; then
   (cd "$REPO" && sbt -batch compile) >> "$OUT/log.txt" 2>&1 || exit 1
