@@ -211,7 +211,7 @@ object Esf {
           case e: IllegalArgumentException =>
             throw new IllegalArgumentException(
               s"esf parse error: ${e.getMessage.stripPrefix("esf: ")} " +
-                s"at line $declLine")
+                s"at line $declLine", e) // cause kept for the deep frames
         }
         attrs += attr
       }

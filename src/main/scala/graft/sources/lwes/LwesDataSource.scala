@@ -1445,7 +1445,10 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     (String, Long), Option[Vector[graft.lwes.SplitJournal.FrameMeta]]]()
   // block locations per admitted fat file (same immutability argument
   // as the footer cache): fetched once, only on stores whose listing
-  // produced hosts at admission — local/object stores skip the RPC
+  // produced hosts at admission — local/object stores skip the RPC.
+  // Bounded (a long-running stream admits files forever), and a FAILED
+  // lookup is NOT cached — locality should come back with the store,
+  // unlike a torn footer which is a property of the immutable file
   private val streamBlockCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Array[org.apache.hadoop.fs.BlockLocation]]()
 
@@ -1459,6 +1462,9 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     if (!graft.lwes.SplitJournal.isSplit(p.path) ||
         p.length <= streamSplitTarget) return (Seq(p), 0)
     try {
+      // bounded like the block cache: a long-running stream admits fat
+      // files forever, and each entry holds a frame index
+      if (streamFooterCache.size > 4096) streamFooterCache.clear()
       val footer = streamFooterCache.computeIfAbsent((p.path, p.length), _ => {
         val in = new Path(p.path).getFileSystem(conf).open(new Path(p.path))
         try graft.lwes.SplitJournal.readFooter(in, p.length)
@@ -1483,12 +1489,26 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
           // hosts (still better than nothing) on any lookup problem.
           val blocks: Array[org.apache.hadoop.fs.BlockLocation] =
             if (p.locations.isEmpty) Array.empty
-            else streamBlockCache.computeIfAbsent((p.path, p.length), _ =>
-              try {
-                val path = new Path(p.path)
-                path.getFileSystem(conf).getFileBlockLocations(path, 0, p.length)
-              } catch { case scala.util.control.NonFatal(_) =>
-                Array.empty[org.apache.hadoop.fs.BlockLocation] })
+            else {
+              val key = (p.path, p.length)
+              val cached = streamBlockCache.get(key)
+              if (cached != null) cached
+              else {
+                val fetched =
+                  try {
+                    val path = new Path(p.path)
+                    path.getFileSystem(conf)
+                      .getFileBlockLocations(path, 0, p.length)
+                  } catch { case scala.util.control.NonFatal(_) =>
+                    null // transient lookup failure: retry next replan
+                  }
+                if (fetched != null) {
+                  if (streamBlockCache.size > 4096) streamBlockCache.clear()
+                  streamBlockCache.put(key, fetched)
+                  fetched
+                } else Array.empty
+              }
+            }
           (runs.map { case (start, end) =>
             val rangeHosts =
               if (blocks.isEmpty) p.locations

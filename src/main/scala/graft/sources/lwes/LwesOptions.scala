@@ -305,13 +305,21 @@ object LwesOptions {
       // above, but array elements use the NATIVE float/double wire
       // encodings — the reference predates arrays entirely, so there is
       // no parity to preserve and the binary encoding is 2-4x smaller.
-      case ArrayType(et, _) =>
+      case ArrayType(et, cn) =>
         val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         // an array VALUE carrying null elements rides the nullable-array
         // wire tokens (N_*_ARRAY); all-present values keep the compact
         // classic tokens — per value, so a containsNull=true schema
-        // whose data never holds nulls pays no bitset overhead
-        if (!(0 until ad.numElements()).forall(!ad.isNullAt(_))) {
+        // whose data never holds nulls pays no bitset overhead. That
+        // per-value split is safe because both shapes read back as the
+        // SAME Spark type for every element type except byte — the
+        // classic byte[] token is a BLOB (BinaryType on read) while
+        // NByteArray is element-wise (array<short>), so byte columns
+        // switch on the SCHEMA's containsNull instead: one consistent
+        // wire shape per column, never a per-row type fork that
+        // inference would have to widen to StringType
+        if (!(0 until ad.numElements()).forall(!ad.isNullAt(_)) ||
+            (cn && et == ByteType)) {
           setNullableAttr(ev, attr, et, ad)
           return
         }
@@ -322,6 +330,13 @@ object LwesOptions {
           case FloatType => ev.setFloatArray(attr, ad.toFloatArray())
           case DoubleType => ev.setDoubleArray(attr, ad.toDoubleArray())
           case BooleanType => ev.setBoolArray(attr, ad.toBooleanArray())
+          // all-present byte arrays ride the classic blob token (lwes
+          // treats byte[] as one opaque value — reads back BinaryType);
+          // byte arrays WITH null elements take the element-wise
+          // NByteArray path above instead (reads back array<short> via
+          // the byte-upcast rule) — the only shape where the null/no-
+          // null split changes the read-side Spark type, because the
+          // classic format simply has no element-wise byte token
           case ByteType => ev.setByteArray(attr, ad.toByteArray())
           case StringType => ev.setStringArray(attr,
             (0 until ad.numElements())

@@ -144,6 +144,45 @@ object ScanThroughput {
             .agg(sum("id"), sum(element_at(col("ks"), 2)),
               sum(size(col("ts")))).collect())
       }
+      // r17: NULLABLE arrays (N_*_ARRAY) — same shape as the classic
+      // array scenario but every event carries null holes, so the
+      // bitset decode/skip sits on the hot path; a third of the rows
+      // also carry an UNPROJECTED fat nullable attr, which prices the
+      // bitset length-skip exactly where pruning pays it
+      val ndir = Files.createTempDirectory("lwes-tp-nul").toString
+      val nEvts = math.max(nEvents / 5, 100000)
+      val nPerFile = nEvts / nFiles
+      java.util.stream.IntStream.range(0, nFiles).parallel().forEach { f =>
+        val w = JournalWriter.create(s"$ndir/n$f.journal$ext")
+        (0 until nPerFile).foreach { i =>
+          val id = f.toLong * nPerFile + i
+          val ev = LwesEvent("Tp::Nul")
+            .setInt64("id", id)
+            .setNullableArray("ks", graft.lwes.LwesType.Int64,
+              Array[AnyRef](java.lang.Long.valueOf(id),
+                if (id % 3 == 0) null else java.lang.Long.valueOf(id + 1),
+                java.lang.Long.valueOf(id % 97),
+                if (id % 5 == 0) null else java.lang.Long.valueOf(id % 13)))
+            .setNullableArray("ts", graft.lwes.LwesType.Str,
+              Array[AnyRef](s"t${id % 50}", if (id % 2 == 0) null else "x"))
+          if (id % 3 == 0)
+            ev.setNullableArray("fat", graft.lwes.LwesType.Int32,
+              Array.tabulate[AnyRef](64)(j =>
+                if (j % 4 == 0) null else java.lang.Integer.valueOf(j)))
+          w.write(ev)
+        }
+        w.close()
+      }
+      Seq(true, false).foreach { vec =>
+        val mode = if (vec) "columnar" else "row"
+        bench(s"$mode nullable-arr 3-col agg", nEvts)(
+          spark.read.format("lwes")
+            .schema("id long, ks array<long>, ts array<string>")
+            .option("vectorized", vec.toString).load(ndir)
+            .agg(sum("id"), sum(element_at(col("ks"), 1)),
+              sum(size(col("ts")))).collect())
+      }
+
       // r16: uint64As=decimal + uint64[] — the last schema shape that
       // used to drag a MIXED scan onto the row reader. One journal with
       // a uint64 scalar AND a uint64 array; the whole-schema aggregate

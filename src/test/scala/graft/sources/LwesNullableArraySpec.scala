@@ -136,6 +136,49 @@ class LwesNullableArraySpec extends AnyFunSuite {
     }
   }
 
+  test("array<byte> columns take ONE wire shape per column, driven by containsNull") {
+    // byte is the one element type where the classic token (a blob,
+    // BinaryType on read) and the nullable token (element-wise,
+    // array<short> on read) disagree on the read-side Spark type — so
+    // the write switches on the SCHEMA, not per value: a
+    // containsNull=true column emits NByteArray for every row (holed
+    // or not) and inference sees one consistent array<short> column
+    // instead of a BinaryType/array mix widened to StringType
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("bs", ArrayType(ByteType, containsNull = true))))
+    val rows = Seq(
+      Row(1L, Seq(1.toByte, null, 3.toByte)),
+      Row(2L, Seq(4.toByte, 5.toByte))) // all-present row, same token
+    val dir = Files.createTempDirectory("narr-bytecol").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.format("lwes").option("eventName", "BC::E")
+      .mode("append").save(dir)
+    val inferred = spark.read.format("lwes").option("eventName", "BC::E")
+      .load(dir).schema
+    assert(inferred("bs").dataType == ArrayType(ShortType, containsNull = true),
+      s"got ${inferred("bs").dataType}")
+    for (vec <- Seq("true", "false")) {
+      val got = spark.read.format("lwes").schema("id long, bs array<short>")
+        .option("vectorized", vec).option("eventName", "BC::E").load(dir)
+        .orderBy("id").collect()
+      assert(got(0).getSeq[Any](1) == Seq(1.toShort, null, 3.toShort), s"vec=$vec")
+      assert(got(1).getSeq[Any](1) == Seq(4.toShort, 5.toShort), s"vec=$vec")
+    }
+    // a containsNull=false byte column keeps the classic blob shape
+    val schema2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("bs", ArrayType(ByteType, containsNull = false))))
+    val dir2 = Files.createTempDirectory("narr-bytecol2").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L, Seq(7.toByte, 8.toByte))), 1),
+        schema2)
+      .write.format("lwes").option("eventName", "BC::F").mode("append").save(dir2)
+    val inf2 = spark.read.format("lwes").option("eventName", "BC::F")
+      .load(dir2).schema
+    assert(inf2("bs").dataType == BinaryType, s"got ${inf2("bs").dataType}")
+  }
+
   // ------------------------------------------------------------- ESF
 
   private val template =

@@ -43,9 +43,14 @@ fi
 if [ -d "$WT/src/main/resources" ]; then
   cp -r "$WT/src/main/resources/." "$WT/target/scala-2.13/classes/" || exit 1
 fi
-# HEAD classes must be current too
+# HEAD classes must be current too — including the resources copy: a
+# fresh/cleaned HEAD target has the same missing-service-file problem
+# as a bare worktree, and would burn every head run on lwes keys
 if [ "${PIN_AB_SKIP_HEAD_COMPILE:-}" != "1" ]; then
   (cd "$REPO" && sbt -batch compile) >> "$OUT/log.txt" 2>&1 || exit 1
+fi
+if [ -d "$REPO/src/main/resources" ]; then
+  cp -r "$REPO/src/main/resources/." "$REPO/target/scala-2.13/classes/" || exit 1
 fi
 
 ADD_OPENS=""
