@@ -150,6 +150,9 @@ object Esf {
           }
           i += 1
         }
+        // line of the TYPE token = the declaration's own line (the
+        // terminating ';' can sit lines later under a spaced default)
+        val declLine = if (i < toks.length) toks(i).line else 0
         val typeName = if (i < toks.length) toks(i).text else err("expected a type", i)
         val scalarTok = TypeTokens.getOrElse(typeName.toLowerCase,
           err(s"unknown esf type '$typeName' (expected one of " +
@@ -188,7 +191,6 @@ object Esf {
           default = Some(sb.toString)
         }
         expect(";")
-        val declLine = if (i > 0 && i <= toks.length) toks(i - 1).line else 0
         // `nullable` is an ARRAY qualifier (it selects the N_*_ARRAY
         // wire tokens, which have no scalar counterpart — an unset
         // scalar attribute is simply absent); on a scalar declaration
@@ -210,7 +212,8 @@ object Esf {
         catch {
           case e: IllegalArgumentException =>
             throw new IllegalArgumentException(
-              s"esf parse error: ${e.getMessage.stripPrefix("esf: ")} " +
+              s"esf parse error: ${Option(e.getMessage).getOrElse(e.toString)
+                .stripPrefix("esf: ")} " +
                 s"at line $declLine", e) // cause kept for the deep frames
         }
         attrs += attr

@@ -234,7 +234,10 @@ object LwesCodec {
           readValue(buf, LwesType.IpAddr, key).asInstanceOf[Array[Byte]])
       // nullable arrays land as boxed object arrays with null holes —
       // element boxing matches the scalar readers, so serialize(
-      // deserialize(x)) stays byte-stable (token + null positions kept)
+      // deserialize(x)) stays byte-stable for values THIS codec wrote
+      // (token + null positions kept; a foreign non-minimal bitset —
+      // extra trailing bytes, garbage bits above the element count —
+      // is tolerated on read but re-serializes normalized)
       case t if LwesType.isNullableArray(t) =>
         val et = LwesType.elementOfNullable(t)
         val n = arrLen(buf)

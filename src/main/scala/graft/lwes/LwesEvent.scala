@@ -88,6 +88,12 @@ object LwesType {
   def elementOfNullable(token: Byte): Byte =
     ((token & 0xff) - NullableShift - 0x80).toByte
 
+  /** Element token of EITHER array family (caller checks isArray ||
+    * isNullableArray) — the one place the two token ranges map to
+    * their element, so conversion/display call sites cannot drift. */
+  def elementTokenOf(token: Byte): Byte =
+    if (isArray(token)) elementOf(token) else elementOfNullable(token)
+
   def name(token: Byte): String = token match {
     case UInt16 => "uint16"; case Int16 => "int16"; case UInt32 => "uint32"
     case Int32 => "int32"; case Str => "string"; case IpAddr => "ipaddr"

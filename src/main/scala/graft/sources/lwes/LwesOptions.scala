@@ -206,9 +206,7 @@ object LwesOptions {
           else {
             val n = java.lang.reflect.Array.getLength(a.value)
             val out = new Array[Any](n)
-            val elemToken =
-              if (LwesType.isArray(a.token)) LwesType.elementOf(a.token)
-              else LwesType.elementOfNullable(a.token)
+            val elemToken = LwesType.elementTokenOf(a.token)
             var j = 0
             while (j < n) {
               // nullable-array holes stay null (classic arrays never
@@ -254,8 +252,7 @@ object LwesOptions {
     case b: Array[Byte] if a.token == LwesType.IpAddr => LwesEvent.ipToString(b)
     case arr if LwesType.isArray(a.token) || LwesType.isNullableArray(a.token) =>
       val n = java.lang.reflect.Array.getLength(arr)
-      val et = if (LwesType.isArray(a.token)) LwesType.elementOf(a.token)
-        else LwesType.elementOfNullable(a.token)
+      val et = LwesType.elementTokenOf(a.token)
       (0 until n).map { j =>
         val e = java.lang.reflect.Array.get(arr, j)
         if (e == null) "null" // nullable-array hole
@@ -318,8 +315,18 @@ object LwesOptions {
         // switch on the SCHEMA's containsNull instead: one consistent
         // wire shape per column, never a per-row type fork that
         // inference would have to widen to StringType
-        if (!(0 until ad.numElements()).forall(!ad.isNullAt(_)) ||
-            (cn && et == ByteType)) {
+        val hasNulls = !(0 until ad.numElements()).forall(!ad.isNullAt(_))
+        // a containsNull=false byte column whose DATA still carries a
+        // null (Catalyst does not validate containsNull) must fail
+        // loudly — routing it to the nullable token would fork the
+        // column's wire shape per row, the exact thing the
+        // schema-driven rule exists to prevent
+        if (hasNulls && et == ByteType && !cn)
+          throw new IllegalArgumentException(
+            s"LWES array<byte> attr '$attr' declared containsNull=false " +
+              "carries a NULL element; declare the column " +
+              "array<byte> containsNull=true to write the nullable token")
+        if (hasNulls || (cn && et == ByteType)) {
           setNullableAttr(ev, attr, et, ad)
           return
         }

@@ -263,6 +263,28 @@ class LwesCodecSpec extends AnyFunSuite {
     assert(proj.get("c").get.value == 9L)
   }
 
+  test("a foreign non-minimal bitset reads correctly and re-serializes normalized") {
+    // emitters may pad the bitset (extra trailing bytes, garbage bits
+    // above the element count); reads must honor only bits < count
+    val ev = LwesEvent("E").setNullableArray("ab", LwesType.Int32,
+      Array[AnyRef](java.lang.Integer.valueOf(7), null,
+        java.lang.Integer.valueOf(9)))
+    val bytes = LwesCodec.serialize(ev)
+    val v = 1 + 1 + 2 + 1 + 2 // nameLen,"E",count,keyLen,"ab"
+    // rebuild with a 3-byte bitset: [0x05 | garbage-high-bits, 0xff, 0xff]
+    val fat = new Array[Byte](bytes.length + 2)
+    System.arraycopy(bytes, 0, fat, 0, v + 3) // ..token,count
+    fat(v + 3) = 0; fat(v + 4) = 3 // bitset byte count 3
+    fat(v + 5) = (0x05 | 0xf8).toByte // bits 0,2 set + garbage above count
+    fat(v + 6) = 0xff.toByte; fat(v + 7) = 0xff.toByte
+    System.arraycopy(bytes, v + 6, fat, v + 8, bytes.length - (v + 6))
+    val back = LwesCodec.deserialize(fat)
+    assert(back.get("ab").get.value.asInstanceOf[Array[AnyRef]].toSeq ==
+      Seq(7, null, 9))
+    // normalized on re-serialization: minimal bitset, clean high bits
+    assert(LwesCodec.serialize(back).sameElements(bytes))
+  }
+
   test("a nullable array whose bitset is too short is record corruption, named") {
     val ev = LwesEvent("E").setNullableArray("ab", LwesType.Int32,
       Array.tabulate[AnyRef](9)(i => java.lang.Integer.valueOf(i)))

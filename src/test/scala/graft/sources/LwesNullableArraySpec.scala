@@ -177,6 +177,27 @@ class LwesNullableArraySpec extends AnyFunSuite {
     val inf2 = spark.read.format("lwes").option("eventName", "BC::F")
       .load(dir2).schema
     assert(inf2("bs").dataType == BinaryType, s"got ${inf2("bs").dataType}")
+    // ...and a containsNull=false byte column whose DATA still smuggles
+    // a null fails LOUDLY instead of forking the column's wire shape
+    // per row — Spark 4's own NOT_NULL assertion usually fires first
+    // at row conversion; the writer keeps its own named backstop for
+    // InternalRow paths that bypass that validation
+    val dir3 = Files.createTempDirectory("narr-bytecol3").toString
+    val e = intercept[Exception] {
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(1L, Seq(7.toByte, null))), 1),
+          schema2)
+        .write.format("lwes").option("eventName", "BC::G")
+        .mode("append").save(dir3)
+    }
+    val m = rootMessage(e)
+    assert(m.contains("containsNull") || m.contains("NOT_NULL"), m)
+  }
+
+  test("esf: multi-line default errors name the DECLARATION's line") {
+    val e = intercept[IllegalArgumentException](
+      Esf.parse("Ev\n{\n  int32 xs[4] =\n    1,\n    null;\n}"))
+    assert(e.getMessage.contains("line 3"), e.getMessage)
   }
 
   // ------------------------------------------------------------- ESF
