@@ -64,6 +64,23 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(" ")
       catch { case scala.util.control.NonFatal(_) => "unavailable" }
     val loadStart = loadavg()
+    // r18 (VERDICT r17 task 3): two consecutive rounds of driver-run
+    // forensics proved ambient load, not plan changes, drove the
+    // headline ratio (r16 1.58x, r17 1.39x apparent — both collapse on
+    // best-of-round evidence). Stamp the contamination verdict INTO the
+    // artifact so no reader has to reconstruct it from iteration
+    // spreads. 3.0 on the 32-core box ≈ 10% steal — above that,
+    // per-query mins stop being plan measurements.
+    val loadLimit = sys.env.getOrElse("SPARK_GRAFT_LOAD_LIMIT", "3.0").toDouble
+    val loadContaminated =
+      try loadStart.split("\\s+").head.toDouble > loadLimit
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (loadContaminated)
+      System.err.println(
+        s"BENCH: WARNING loadavg $loadStart exceeds $loadLimit at start — " +
+          "timings will be load-contaminated; artifact is flagged " +
+          "load_contaminated:true. Re-run on a quiet box before " +
+          "re-pinning baselines or adjudicating regressions.")
     val raw = selected.map { case (name, fn) =>
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
@@ -118,7 +135,7 @@ object Bench {
         case c => c.toString
       } + "\""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-out.json")
-    val loadJson = s""""loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)}"""
+    val loadJson = s""""loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"load_contaminated":$loadContaminated"""
     // Streaming gates also record a drain rate (input rows ÷ summed
     // micro-batch time) — wall-clock timing alone hides whether a
     // streaming regression is in the drain or in the batch read-back.

@@ -58,7 +58,7 @@ object LwesCodec {
     case t if LwesType.isNullableArray(t) =>
       val v = a.value.asInstanceOf[Array[AnyRef]]
       val et = LwesType.elementOfNullable(t)
-      var sz = 2 + 2 + (v.length + 7) / 8 // count + bitset byte count + bitset
+      var sz = 2 + 2 + (v.length + 7) / 8 // count + bitset bit count + bitset
       var j = 0
       while (j < v.length) {
         if (v(j) != null) sz += (et match {
@@ -131,16 +131,19 @@ object LwesCodec {
           writeValue(buf, et, java.lang.reflect.Array.get(value, j))
           j += 1
         }
-      // nullable arrays: uint16 TOTAL count, uint16 bitset byte count,
-      // presence bitset (bit i LSB-first = element i present), then the
-      // PRESENT elements only in their scalar encodings
+      // nullable arrays: uint16 TOTAL count, uint16 bitset size in
+      // BITS (== count; lwes-java serializeBitSet writes the capacity
+      // and deserializeBitSet derives ceil(size/8) bytes), the
+      // ceil(count/8) presence-bitset bytes (bit i LSB-first =
+      // element i present), then the PRESENT elements only in their
+      // scalar encodings
       case t if LwesType.isNullableArray(t) =>
         val et = LwesType.elementOfNullable(t)
         val v = value.asInstanceOf[Array[AnyRef]]
         require(v.length <= 65535, "array attr too long")
         buf.putShort(v.length.toShort)
         val nb = (v.length + 7) / 8
-        buf.putShort(nb.toShort)
+        buf.putShort(v.length.toShort) // bitset capacity in bits
         val bits = new Array[Byte](nb)
         var j = 0
         while (j < v.length) {
@@ -235,9 +238,11 @@ object LwesCodec {
       // nullable arrays land as boxed object arrays with null holes —
       // element boxing matches the scalar readers, so serialize(
       // deserialize(x)) stays byte-stable for values THIS codec wrote
-      // (token + null positions kept; a foreign non-minimal bitset —
-      // extra trailing bytes, garbage bits above the element count —
-      // is tolerated on read but re-serializes normalized)
+      // (token + null positions kept; garbage bits ABOVE the element
+      // count inside the final bitset byte are tolerated on read —
+      // lwes-java writes zeros there — and re-serialize normalized;
+      // a bitset whose declared bit count disagrees with the element
+      // count is named corruption, see readBitSet)
       case t if LwesType.isNullableArray(t) =>
         val et = LwesType.elementOfNullable(t)
         val n = arrLen(buf)
@@ -254,15 +259,20 @@ object LwesCodec {
         s"unknown LWES type token 0x${"%02x".format(t)} for key $key")
     }
 
-  /** Presence bitset of a nullable array: uint16 byte count + bytes,
-    * bit i (LSB-first per byte) = element i present. A bitset too short
-    * for `n` elements is corruption (named, record-resync'd upstream);
-    * extra trailing bytes are tolerated and ignored. */
+  /** Presence bitset of a nullable array: uint16 size in BITS, then
+    * the ceil(size/8) bytes, bit i (LSB-first per byte) = element i
+    * present — the lwes-java serializeBitSet/deserializeBitSet
+    * convention (capacity header, derived byte length). The declared
+    * size must equal the element count EXACTLY: every known emitter
+    * writes capacity == array length, so any mismatch — including a
+    * byte-count header the way graft <= r17 wrote it — is named
+    * record corruption (resync'd upstream), never a silent misread
+    * that would swallow element payload as bitset bytes. */
   private def readBitSet(buf: ByteBuffer, n: Int, key: String): Array[Byte] = {
-    val nb = buf.getShort() & 0xffff
-    if (nb < (n + 7) / 8) throw new IllegalArgumentException(
-      s"nullable array bitset of $nb bytes cannot cover $n elements for key $key")
-    val bits = new Array[Byte](nb)
+    val nbits = buf.getShort() & 0xffff
+    if (nbits != n) throw new IllegalArgumentException(
+      s"nullable array bitset declares $nbits bits for $n elements for key $key")
+    val bits = new Array[Byte]((n + 7) / 8)
     buf.get(bits)
     bits
   }

@@ -45,12 +45,21 @@ object LwesType {
   // Nullable-array tokens (N_*_ARRAY): the classic array token shifted
   // up by 0x0c, so they run contiguously 0x8d (nullable uint16[]) ..
   // 0x98 (nullable double[]). Wire layout is a uint16 TOTAL element
-  // count, a uint16 bitset byte count, the bitset (bit i, LSB-first
-  // within each byte, = element i is PRESENT), then only the present
-  // elements in their scalar encodings. Verified by round-trip + both-
-  // path parity + fuzz (the A23 epistemic standard — no conformant
-  // emitter is reachable offline); tokens beyond this range keep the
-  // checked unknown-token resync boundary, never a silent misread.
+  // count, a uint16 presence-bitset size in BITS (== the count: the
+  // lwes-java Serializer.serializeBitSet / Deserializer
+  // .deserializeBitSet convention — the header carries the capacity
+  // and the reader derives ceil(size/8) bytes), the ceil(count/8)
+  // bitset bytes (bit i, LSB-first within each byte, = element i is
+  // PRESENT), then only the present elements in their scalar
+  // encodings. r18: the bit-count header replaced a graft-specific
+  // byte-count guess after advisory review; the reader requires the
+  // header to equal the element count EXACTLY, so a journal written
+  // under any other convention (including graft <= r17) fails as
+  // named record corruption and resyncs — never a silent misread.
+  // Verified by round-trip + both-path parity + fuzz (the A23
+  // epistemic standard — no conformant emitter is reachable offline);
+  // tokens beyond this range keep the checked unknown-token resync
+  // boundary.
   private val NullableShift = 0x0c
   val NUInt16Array: Byte = nullableOf(UInt16Array)
   val NInt16Array: Byte = nullableOf(Int16Array)

@@ -33,13 +33,18 @@ package graft.operators
   * decoder does not implement. Foreign streams that leave the filter
   * ON still decode to the exact transform/prediction reconstruction,
   * with [[Decoded.filterExact]] = false reporting that a player would
-  * additionally smooth block edges — surfaced, never silent. What the
-  * decoder does NOT implement is CABAC entropy coding,
-  * Intra_4x4/inter residual macroblocks, and multi-slice pictures —
-  * such streams are rejected (`None`) so callers fall back to the
-  * documented stand-in. The subset boundary is checked, never
-  * guessed: any syntax element outside it aborts the decode rather
-  * than misdecoding.
+  * additionally smooth block edges — surfaced, never silent. The subset
+  * has since widened (r10-r15, each with its own pixel-equality
+  * gate): Intra_4x4 luma prediction with residuals, P-slice
+  * P_L0_16x16 inter macroblocks with quarter-pel motion compensation
+  * (6-tap half-pel + bilinear quarter-pel) and inter residuals, and
+  * multi-slice pictures (first_mb_in_slice resume, mixed I+P) all
+  * decode. What the decoder does NOT implement is CABAC entropy
+  * coding (entropy_coding_mode_flag=1) — normative-table-defined and
+  * unverifiable offline — such streams are rejected (`None`) so
+  * callers fall back to the documented stand-in. The subset boundary
+  * is checked, never guessed: any syntax element outside it aborts
+  * the decode rather than misdecoding.
   */
 object H264 {
 

@@ -918,17 +918,20 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
               throw new IllegalArgumentException("array length overruns record")
             2 + u16(b, valOff) *
               graft.lwes.LwesCodec.scalarFixedSize(graft.lwes.LwesType.elementOf(t))
-          // nullable arrays: count, bitset byte count, bitset, then only
-          // the PRESENT elements — the skip walks the bitset so an
-          // unwanted nullable attr costs no decode
+          // nullable arrays: count, bitset size in BITS (== count, the
+          // lwes-java convention; mismatch = named corruption, mirrors
+          // LwesCodec.readBitSet), ceil(count/8) bitset bytes, then
+          // only the PRESENT elements — the skip walks the bitset so
+          // an unwanted nullable attr costs no decode
           case t if graft.lwes.LwesType.isNullableArray(t) =>
             if (valOff + 4 > end)
               throw new IllegalArgumentException("nullable array overruns record")
             val cnt = u16(b, valOff)
-            val nb = u16(b, valOff + 2)
-            if (nb < (cnt + 7) / 8)
+            val nbits = u16(b, valOff + 2)
+            if (nbits != cnt)
               throw new IllegalArgumentException(
-                s"nullable array bitset of $nb bytes cannot cover $cnt elements")
+                s"nullable array bitset declares $nbits bits for $cnt elements")
+            val nb = (cnt + 7) / 8
             val bitsOff = valOff + 4
             var p = bitsOff + nb
             if (p > end)

@@ -316,16 +316,18 @@ object LwesOptions {
         // wire shape per column, never a per-row type fork that
         // inference would have to widen to StringType
         val hasNulls = !(0 until ad.numElements()).forall(!ad.isNullAt(_))
-        // a containsNull=false byte column whose DATA still carries a
-        // null (Catalyst does not validate containsNull) must fail
-        // loudly — routing it to the nullable token would fork the
-        // column's wire shape per row, the exact thing the
-        // schema-driven rule exists to prevent
-        if (hasNulls && et == ByteType && !cn)
+        // a containsNull=false column whose DATA still carries a null
+        // (Catalyst does not validate containsNull) must fail loudly
+        // for EVERY element type (r18, advisory): silently switching
+        // to the nullable wire token would read back null elements
+        // under a schema that promises none — codegen downstream may
+        // assume containsNull=false holds — and for byte it would
+        // additionally fork the column's wire shape per row
+        if (hasNulls && !cn)
           throw new IllegalArgumentException(
-            s"LWES array<byte> attr '$attr' declared containsNull=false " +
-              "carries a NULL element; declare the column " +
-              "array<byte> containsNull=true to write the nullable token")
+            s"LWES array attr '$attr' declared containsNull=false " +
+              "carries a NULL element; declare the column with " +
+              "containsNull=true to write the nullable token")
         if (hasNulls || (cn && et == ByteType)) {
           setNullableAttr(ev, attr, et, ad)
           return

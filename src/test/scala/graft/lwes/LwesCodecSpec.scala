@@ -232,7 +232,7 @@ class LwesCodecSpec extends AnyFunSuite {
     assert(LwesCodec.serialize(back).sameElements(bytes))
   }
 
-  test("nullable-array wire layout: count, bitset byte count, LSB-first bitset") {
+  test("nullable-array wire layout: count, bitset BIT count, LSB-first bitset") {
     val ev = LwesEvent("E").setNullableArray("abc", LwesType.Int32,
       Array[AnyRef](java.lang.Integer.valueOf(7), null,
         java.lang.Integer.valueOf(9)))
@@ -242,7 +242,9 @@ class LwesCodecSpec extends AnyFunSuite {
     val v = 1 + 1 + 2 + 1 + 3
     assert(bytes(v) == LwesType.NInt32Array)
     assert(((bytes(v + 1) & 0xff) << 8 | (bytes(v + 2) & 0xff)) == 3) // count
-    assert(((bytes(v + 3) & 0xff) << 8 | (bytes(v + 4) & 0xff)) == 1) // bitset bytes
+    // second u16 = bitset capacity in BITS (lwes-java serializeBitSet
+    // convention), the reader derives ceil(3/8)=1 byte from it
+    assert(((bytes(v + 3) & 0xff) << 8 | (bytes(v + 4) & 0xff)) == 3)
     assert((bytes(v + 5) & 0xff) == 0x05) // bits 0 and 2 set, LSB-first
     // elements: only the two present int32s follow
     assert(bytes.length == v + 6 + 8)
@@ -263,37 +265,37 @@ class LwesCodecSpec extends AnyFunSuite {
     assert(proj.get("c").get.value == 9L)
   }
 
-  test("a foreign non-minimal bitset reads correctly and re-serializes normalized") {
-    // emitters may pad the bitset (extra trailing bytes, garbage bits
-    // above the element count); reads must honor only bits < count
+  test("garbage bits above the count in the final bitset byte are tolerated") {
+    // lwes-java writes zeros above the capacity; a sloppy emitter might
+    // not — reads must honor only bits < count, re-serialize normalized
     val ev = LwesEvent("E").setNullableArray("ab", LwesType.Int32,
       Array[AnyRef](java.lang.Integer.valueOf(7), null,
         java.lang.Integer.valueOf(9)))
     val bytes = LwesCodec.serialize(ev)
     val v = 1 + 1 + 2 + 1 + 2 // nameLen,"E",count,keyLen,"ab"
-    // rebuild with a 3-byte bitset: [0x05 | garbage-high-bits, 0xff, 0xff]
-    val fat = new Array[Byte](bytes.length + 2)
-    System.arraycopy(bytes, 0, fat, 0, v + 3) // ..token,count
-    fat(v + 3) = 0; fat(v + 4) = 3 // bitset byte count 3
-    fat(v + 5) = (0x05 | 0xf8).toByte // bits 0,2 set + garbage above count
-    fat(v + 6) = 0xff.toByte; fat(v + 7) = 0xff.toByte
-    System.arraycopy(bytes, v + 6, fat, v + 8, bytes.length - (v + 6))
-    val back = LwesCodec.deserialize(fat)
+    val dirty = bytes.clone()
+    dirty(v + 5) = (0x05 | 0xf8).toByte // bits 0,2 set + garbage above count
+    val back = LwesCodec.deserialize(dirty)
     assert(back.get("ab").get.value.asInstanceOf[Array[AnyRef]].toSeq ==
       Seq(7, null, 9))
-    // normalized on re-serialization: minimal bitset, clean high bits
+    // normalized on re-serialization: clean high bits
     assert(LwesCodec.serialize(back).sameElements(bytes))
   }
 
-  test("a nullable array whose bitset is too short is record corruption, named") {
+  test("a bitset bit-count header that disagrees with the element count is named corruption") {
     val ev = LwesEvent("E").setNullableArray("ab", LwesType.Int32,
       Array.tabulate[AnyRef](9)(i => java.lang.Integer.valueOf(i)))
     val bytes = LwesCodec.serialize(ev)
-    // shrink the declared bitset byte count below ceil(9/8)=2
     val v = 1 + 1 + 2 + 1 + 2 // nameLen,"E",count,keyLen,"ab"
     assert(bytes(v) == LwesType.NInt32Array)
-    bytes(v + 4) = 1 // bitset byte count 2 -> 1
+    // a graft<=r17-style BYTE-count header (ceil(9/8)=2 != 9) must fail
+    // loudly, never silently swallow element payload as bitset bytes
+    bytes(v + 4) = 2
     val e = intercept[IllegalArgumentException](LwesCodec.deserialize(bytes))
     assert(e.getMessage.contains("bitset"))
+    // same strictness for an oversized declaration
+    bytes(v + 4) = 16
+    val e2 = intercept[IllegalArgumentException](LwesCodec.deserialize(bytes))
+    assert(e2.getMessage.contains("bitset"))
   }
 }
