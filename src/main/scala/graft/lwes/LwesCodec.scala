@@ -1,7 +1,8 @@
 package graft.lwes
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.charset.Charset
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 
 /** Binary codec for the classic LWES event wire format.
   *
@@ -17,6 +18,25 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Strings are uint16-length-prefixed UTF-8. IPADDR is 4 bytes stored
   * reversed on the wire (classic LWES quirk).
   *
+  * '''String encoding (`enc`, r18)''': classic lwes-java events may
+  * carry a reserved int16 attribute named `enc` marking the charset of
+  * string VALUES — 0 = ISO-8859-1, 1 = UTF-8 (lwes-java
+  * Event.ENCODING / ISO_8859_1 / UTF_8 constants; the default is
+  * UTF-8, and lwes-java serializes the encoding attribute FIRST so
+  * readers know it before any string value). This codec honors it on
+  * both directions: reads decode string scalars/array elements with
+  * the declared charset (an `enc` that arrives AFTER the first
+  * attribute restarts the record's parse with the right charset — a
+  * rare foreign shape, never silent mojibake), an out-of-range `enc`
+  * is named record corruption, and [[serialize]] encodes string
+  * values ISO-8859-1 whenever the event itself carries `enc` = 0
+  * (unmappable characters fail loudly), so deserialize∘serialize
+  * stays byte-stable for Latin-1 journals. Event NAMES and attribute
+  * KEYS stay UTF-8 — lwes-java restricts both to ASCII identifiers,
+  * where the charsets agree. The reference ignores `enc` entirely (no
+  * encoding handling anywhere in EventSerDe.java), so this is
+  * beyond-reference coverage of the public lwes-java behavior.
+  *
   * Unlike the reference (which always materializes every attribute —
   * EventSerDe.java:199-215 walks a fully-parsed org.lwes.Event), this
   * codec supports '''projected parsing''': skip attribute values that
@@ -27,12 +47,47 @@ object LwesCodec {
 
   // ---------------------------------------------------------------- write
 
+  /** The reserved lwes-java string-encoding attribute (Event.ENCODING):
+    * int16, 0 = ISO-8859-1, 1 = UTF-8 (the default when absent). */
+  val EncAttr = "enc"
+  val EncIso88591: Short = 0
+  val EncUtf8: Short = 1
+
+  /** Charset the event's own `enc` attribute declares for its string
+    * values (UTF-8 when absent — lwes-java DEFAULT_ENCODING). */
+  private def charsetOf(ev: LwesEvent): Charset =
+    ev.get(EncAttr) match {
+      case Some(a) if a.token == LwesType.Int16 &&
+        a.value == EncIso88591 => ISO_8859_1
+      case _ => UTF_8
+    }
+
+  /** Encode a string VALUE with the event charset; ISO-8859-1 fails
+    * loudly on unmappable characters (String.getBytes would silently
+    * write '?'). */
+  private def strBytes(s: String, cs: Charset): Array[Byte] =
+    if (cs eq UTF_8) s.getBytes(UTF_8)
+    else {
+      val out = new Array[Byte](s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c > 0xff) throw new IllegalArgumentException(
+          f"string value not representable in ISO-8859-1 (char U+${c.toInt}%04X " +
+            s"at index $i) — drop the enc=0 attribute to write UTF-8")
+        out(i) = c.toByte
+        i += 1
+      }
+      out
+    }
+
   def serializedSize(ev: LwesEvent): Int = {
+    val cs = charsetOf(ev)
     var n = 1 + ev.name.getBytes(UTF_8).length + 2
     var i = 0
     while (i < ev.attrs.length) {
       val a = ev.attrs(i)
-      n += 1 + a.key.getBytes(UTF_8).length + 1 + valueSize(a)
+      n += 1 + a.key.getBytes(UTF_8).length + 1 + valueSize(a, cs)
       i += 1
     }
     n
@@ -47,11 +102,11 @@ object LwesCodec {
     case _ => -1 // variable (string) or unknown
   }
 
-  private def valueSize(a: LwesAttr): Int = a.token match {
-    case LwesType.Str => 2 + a.value.asInstanceOf[String].getBytes(UTF_8).length
+  private def valueSize(a: LwesAttr, cs: Charset = UTF_8): Int = a.token match {
+    case LwesType.Str => 2 + strBytes(a.value.asInstanceOf[String], cs).length
     case LwesType.StrArray =>
       2 + a.value.asInstanceOf[Array[String]]
-        .map(s => 2 + s.getBytes(UTF_8).length).sum
+        .map(s => 2 + strBytes(s, cs).length).sum
     case t if LwesType.isArray(t) =>
       val n = java.lang.reflect.Array.getLength(a.value)
       2 + n * scalarFixedSize(LwesType.elementOf(t))
@@ -62,7 +117,7 @@ object LwesCodec {
       var j = 0
       while (j < v.length) {
         if (v(j) != null) sz += (et match {
-          case LwesType.Str => 2 + v(j).asInstanceOf[String].getBytes(UTF_8).length
+          case LwesType.Str => 2 + strBytes(v(j).asInstanceOf[String], cs).length
           case e => scalarFixedSize(e)
         })
         j += 1
@@ -84,6 +139,7 @@ object LwesCodec {
   }
 
   def serialize(ev: LwesEvent): Array[Byte] = {
+    val cs = charsetOf(ev)
     val buf = ByteBuffer.allocate(serializedSize(ev)) // big-endian default
     val nameB = ev.name.getBytes(UTF_8)
     require(nameB.length <= 255, s"event name too long: ${ev.name}")
@@ -95,13 +151,14 @@ object LwesCodec {
       val keyB = a.key.getBytes(UTF_8)
       require(keyB.length <= 255, s"attr key too long: ${a.key}")
       buf.put(keyB.length.toByte).put(keyB).put(a.token)
-      writeValue(buf, a.token, a.value)
+      writeValue(buf, a.token, a.value, cs)
       i += 1
     }
     buf.array()
   }
 
-  private def writeValue(buf: ByteBuffer, token: Byte, value: Any): Unit =
+  private def writeValue(buf: ByteBuffer, token: Byte, value: Any,
+      cs: Charset = UTF_8): Unit =
     token match {
       case LwesType.UInt16 => buf.putShort(value.asInstanceOf[Int].toShort)
       case LwesType.Int16 => buf.putShort(value.asInstanceOf[Short])
@@ -117,7 +174,7 @@ object LwesCodec {
         // reversed byte order on the wire
         buf.put(ip(3)).put(ip(2)).put(ip(1)).put(ip(0))
       case LwesType.Str =>
-        val s = value.asInstanceOf[String].getBytes(UTF_8)
+        val s = strBytes(value.asInstanceOf[String], cs)
         require(s.length <= 65535, "string attr too long")
         buf.putShort(s.length.toShort).put(s)
       // arrays: uint16 element count, then elements in scalar encodings
@@ -128,7 +185,7 @@ object LwesCodec {
         buf.putShort(n.toShort)
         var j = 0
         while (j < n) {
-          writeValue(buf, et, java.lang.reflect.Array.get(value, j))
+          writeValue(buf, et, java.lang.reflect.Array.get(value, j), cs)
           j += 1
         }
       // nullable arrays: uint16 TOTAL count, uint16 bitset size in
@@ -153,7 +210,7 @@ object LwesCodec {
         buf.put(bits)
         j = 0
         while (j < v.length) {
-          if (v(j) != null) writeValue(buf, et, v(j))
+          if (v(j) != null) writeValue(buf, et, v(j), cs)
           j += 1
         }
       case t => throw new IllegalArgumentException(s"bad token $t")
@@ -173,7 +230,12 @@ object LwesCodec {
   /** Parse an event; when `wanted` is non-null only attributes whose key
     * passes are materialized, the rest are length-skipped. */
   def deserialize(bytes: Array[Byte], offset: Int, length: Int,
-      wanted: String => Boolean): LwesEvent = {
+      wanted: String => Boolean): LwesEvent =
+    deserialize(bytes, offset, length, wanted, UTF_8)
+
+  private def deserialize(bytes: Array[Byte], offset: Int, length: Int,
+      wanted: String => Boolean, cs0: Charset): LwesEvent = {
+    var cs = cs0
     val buf = ByteBuffer.wrap(bytes, offset, length)
     val nameLen = buf.get() & 0xff
     val nameB = new Array[Byte](nameLen)
@@ -187,8 +249,23 @@ object LwesCodec {
       buf.get(keyB)
       val key = new String(keyB, UTF_8)
       val token = buf.get()
+      // the reserved lwes-java string-encoding attribute: honored for
+      // every string value of the record, whether or not projected
+      if (token == LwesType.Int16 && key == EncAttr && buf.remaining() >= 2) {
+        val e = buf.getShort(buf.position())
+        if (e != EncIso88591 && e != EncUtf8)
+          throw new IllegalArgumentException(
+            s"unsupported enc value $e (0=ISO-8859-1, 1=UTF-8)")
+        if (e == EncIso88591 && (cs eq UTF_8)) {
+          // lwes-java serializes enc FIRST; a foreign record declaring
+          // ISO-8859-1 after other attributes restarts the parse so
+          // earlier string values are never silently mis-decoded
+          if (i == 0) cs = ISO_8859_1
+          else return deserialize(bytes, offset, length, wanted, ISO_8859_1)
+        }
+      }
       if (wanted == null || wanted(key)) {
-        ev.attrs += LwesAttr(key, token, readValue(buf, token, key))
+        ev.attrs += LwesAttr(key, token, readValue(buf, token, key, cs))
       } else {
         skipValue(buf, token, key)
       }
@@ -198,8 +275,10 @@ object LwesCodec {
   }
 
   /** Decode one value of `token` from `buf` (shared with the columnar
-    * reader's modern-token slow path so the two cannot drift). */
-  private[graft] def readValue(buf: ByteBuffer, token: Byte, key: String): Any =
+    * reader's modern-token slow path so the two cannot drift). `cs` is
+    * the record's declared string charset (`enc` attribute). */
+  private[graft] def readValue(buf: ByteBuffer, token: Byte, key: String,
+      cs: Charset = UTF_8): Any =
     token match {
       case LwesType.UInt16 => buf.getShort() & 0xffff
       case LwesType.Int16 => buf.getShort()
@@ -217,7 +296,7 @@ object LwesCodec {
         val len = buf.getShort() & 0xffff
         val sb = new Array[Byte](len)
         buf.get(sb)
-        new String(sb, UTF_8)
+        new String(sb, cs)
       // arrays land as the primitive array types LwesEvent's setters
       // take, so serialize(deserialize(x)) is byte-stable
       case LwesType.UInt16Array => fillArray(buf, new Array[Int](arrLen(buf)))(_ => buf.getShort() & 0xffff)
@@ -231,7 +310,7 @@ object LwesCodec {
       case LwesType.DoubleArray => fillArray(buf, new Array[Double](arrLen(buf)))(_ => buf.getDouble())
       case LwesType.StrArray =>
         fillArray(buf, new Array[String](arrLen(buf)))(_ =>
-          readValue(buf, LwesType.Str, key).asInstanceOf[String])
+          readValue(buf, LwesType.Str, key, cs).asInstanceOf[String])
       case LwesType.IpAddrArray =>
         fillArray(buf, new Array[Array[Byte]](arrLen(buf)))(_ =>
           readValue(buf, LwesType.IpAddr, key).asInstanceOf[Array[Byte]])
@@ -251,7 +330,7 @@ object LwesCodec {
         var j = 0
         while (j < n) {
           if ((bits(j >> 3) & (1 << (j & 7))) != 0)
-            out(j) = readValue(buf, et, key).asInstanceOf[AnyRef]
+            out(j) = readValue(buf, et, key, cs).asInstanceOf[AnyRef]
           j += 1
         }
         out

@@ -776,6 +776,49 @@ object LwesQueries {
         |  max(o_orderstatus) AS last_tag
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // `enc` string-encoding (r18, beyond-reference): the journal is
+    // WRITTEN ISO-8859-1 — `stringEncoding` stamps the reserved
+    // lwes-java `enc` int16 attribute (= 0) first on every event and
+    // the codec Latin-1-encodes string values — and the readers see
+    // enc=0 and decode back to identical strings (the reference
+    // ignores `enc` entirely, so a Latin-1 journal through EventSerDe
+    // is silent mojibake). The oracle replays the accent-injection on
+    // the parquet source, so ONE mis-decoded byte hash-mismatches; the
+    // enc_lo/enc_hi columns pin that every record carried enc=0.
+    "lwes_enc_latin1" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"enc|$d") { dir =>
+          t(s, d, "orders").select(
+            col("o_orderkey"), col("o_orderstatus"),
+            translate(
+              concat_ws("/", col("o_orderpriority"),
+                (col("o_orderkey") % 100).cast("string")),
+              "AEIOU", "ÁÉÍÖÜ").as("cmt"))
+            .write.format("lwes").option("eventName", "Enc::O")
+            .option("stringEncoding", "ISO-8859-1")
+            .mode("append").save(dir)
+        }
+        s.read.format("lwes")
+          .schema("o_orderkey long, o_orderstatus string, cmt string, enc smallint")
+          .option("eventName", "Enc::O").load(dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("cmt"))).as("sum_len"),
+            max(col("cmt")).as("max_cmt"),
+            min(col("enc")).as("enc_lo"),
+            max(col("enc")).as("enc_hi"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(length(translate(
+        |    concat_ws('/', o_orderpriority, CAST(o_orderkey % 100 AS VARCHAR)),
+        |    'AEIOU', 'ÁÉÍÖÜ'))) AS BIGINT) AS sum_len,
+        |  max(translate(
+        |    concat_ws('/', o_orderpriority, CAST(o_orderkey % 100 AS VARCHAR)),
+        |    'AEIOU', 'ÁÉÍÖÜ')) AS max_cmt,
+        |  CAST(0 AS SMALLINT) AS enc_lo, CAST(0 AS SMALLINT) AS enc_hi
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // The reference's actual user interface is SQL DDL (README:49
     // `CREATE EXTERNAL TABLE ... ROW FORMAT SERDE
     // 'org.lwes.hadoop.hive.EventSerDe'`); Spark parity is

@@ -154,6 +154,31 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     }
   }
 
+  /** Current record's `enc` charset flag (set by the walk, reset per
+    * record): true = string VALUES on the wire are ISO-8859-1 and must
+    * transcode to UTF-8 on materialization. ASCII is identical in both
+    * charsets, so the fast path is untouched — and the early string
+    * predicates stay sound, because they only reject on all-ASCII wire
+    * values (non-ASCII defers to the post/residual check, which sees
+    * the transcoded value). */
+  private var curLatin1 = false
+
+  /** String-value write honoring the record charset. */
+  private def putStr(vec: OnHeapColumnVector, r: Int,
+      b: Array[Byte], off: Int, len: Int): Unit =
+    if (!curLatin1) putUtf8(vec, r, b, off, len)
+    else {
+      var i = off
+      val end = off + len
+      while (i < end && b(i) >= 0) i += 1
+      if (i == end) vec.putByteArray(r, b, off, len)
+      else {
+        val rb = new String(b, off, len,
+          java.nio.charset.StandardCharsets.ISO_8859_1).getBytes(UTF_8)
+        vec.putByteArray(r, rb, 0, rb.length)
+      }
+    }
+
   @inline private def strOff(off: Int): Int = off + 2 // skip uint16 length
   @inline private def strLen(len: Int): Int = len - 2
 
@@ -174,7 +199,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
       b: Array[Byte], off: Int, len: Int,
       dt: org.apache.spark.sql.types.DataType): Unit = {
     val v =
-      try graft.lwes.LwesCodec.readValue(java.nio.ByteBuffer.wrap(b, off, len), t, "")
+      try graft.lwes.LwesCodec.readValue(java.nio.ByteBuffer.wrap(b, off, len), t, "",
+        if (curLatin1) java.nio.charset.StandardCharsets.ISO_8859_1 else UTF_8)
       catch { case scala.util.control.NonFatal(_) => null }
     val cat =
       if (v == null) null
@@ -338,7 +364,7 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
             t match {
               case tk if needsSlow(tk) =>
                 putModern(vec, r, tk, b, off, len, f.dataType)
-              case LwesType.Str => putUtf8(vec, r, b, strOff(off), strLen(len))
+              case LwesType.Str => putStr(vec, r, b, strOff(off), strLen(len))
               case LwesType.IpAddr =>
                 // wire holds d.c.b.a; render a.b.c.d (pure ASCII)
                 val s = new java.lang.StringBuilder(15)
@@ -359,7 +385,7 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
             t match {
               case tk if needsSlow(tk) =>
                 putModern(vec, r, tk, b, off, len, f.dataType)
-              case LwesType.Str => putUtf8(vec, r, b, strOff(off), strLen(len))
+              case LwesType.Str => putStr(vec, r, b, strOff(off), strLen(len))
               case LwesType.IpAddr =>
                 val rb = Array(b(off + 3), b(off + 2), b(off + 1), b(off))
                 vec.putByteArray(r, rb, 0, rb.length)
@@ -851,7 +877,9 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     * semantics — journals resync per record, SEQ stops the file like
     * the row path). */
   private def parsePayload(b: Array[Byte], b0: Int, len: Int, r: Int,
-      hasHeader: Boolean, time: Long, port: Int, site: Int): Int = {
+      hasHeader: Boolean, time: Long, port: Int, site: Int,
+      forceLatin1: Boolean = false): Int = {
+    curLatin1 = forceLatin1
     try {
       if (len < 3) throw new IllegalArgumentException(s"event of $len bytes")
       val end = b0 + len
@@ -963,6 +991,26 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         }
         if (valOff + valLen > end)
           throw new IllegalArgumentException("attr value overruns record")
+        // reserved lwes-java string-encoding attribute (`enc` int16):
+        // honored whether or not projected; lwes-java serializes it
+        // FIRST, so a foreign record declaring ISO-8859-1 later
+        // restarts the walk (row r's writes simply overwrite) rather
+        // than leave earlier string columns mis-decoded
+        if (keyLen == 3 && token == LwesType.Int16 &&
+            b(keyOff) == 'e' && b(keyOff + 1) == 'n' && b(keyOff + 2) == 'c') {
+          val e = ((b(valOff) & 0xff) << 8) | (b(valOff + 1) & 0xff)
+          if (e != 0 && e != 1)
+            throw new IllegalArgumentException(
+              s"unsupported enc value $e (0=ISO-8859-1, 1=UTF-8)")
+          if (e == 0 && !curLatin1) {
+            if (i == 0) curLatin1 = true
+            else {
+              cleanupRow(r)
+              return parsePayload(b, b0, len, r, hasHeader, time, port, site,
+                forceLatin1 = true)
+            }
+          }
+        }
         val cols = lookup(b, keyOff, keyLen)
         if (cols != null) {
           val lv = decodeLong(token, b, valOff)
@@ -995,6 +1043,9 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         off = valOff + valLen
         i += 1
       }
+      // wire attributes are done: ESF default cells below are
+      // pre-encoded UTF-8 template bytes, never record-charset data
+      curLatin1 = false
       // ---- header-derived columns replace payload copies (journal
       // frames only — SEQ records have no header to inject)
       if (hasHeader) {

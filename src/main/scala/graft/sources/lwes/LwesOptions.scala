@@ -133,6 +133,17 @@ object LwesOptions {
   // template's DECLARED wire types (a template `float` writes the
   // native float token, not the classic float-as-string fallback).
   val Esf = "esf"
+  // WRITE-side string charset: "UTF-8" (default) or "ISO-8859-1". The
+  // latter stamps the reserved lwes-java `enc` int16 attribute (= 0)
+  // FIRST on every event — [[graft.lwes.LwesCodec.serialize]] sees it
+  // and encodes string values Latin-1, failing loudly on unmappable
+  // characters — matching what a classic ISO-8859-1 lwes-java emitter
+  // puts on the wire. Reads need no option: both reader paths honor a
+  // record's own `enc` attribute (r18). Note a plain int16 DATA column
+  // mapped to attribute `enc` drives the codec identically by
+  // construction (the attribute IS the signal), so the option refuses
+  // a schema that also maps `enc` rather than fight over the value.
+  val StringEncoding = "stringEncoding"
 
   /** Parse `mapping` option: `col:Attr` / `col:Event::Name::Field`. */
   def parseMapping(mapping: String): (Map[String, String], Map[String, String]) = {

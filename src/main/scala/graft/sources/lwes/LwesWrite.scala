@@ -48,7 +48,8 @@ final case class LwesCommitMessage(path: String, count: Long,
 private[lwes] final case class LwesWriteConfig(path: String, eventName: String,
     attrFor: Map[String, String], compression: String, partitionBy: Seq[String],
     eventNameCol: Option[String] = None, frameBytes: Int = 4 << 20,
-    esf: Option[graft.lwes.EsfTemplateDb] = None)
+    esf: Option[graft.lwes.EsfTemplateDb] = None,
+    latin1: Boolean = false)
 
 private[lwes] object LwesWriteConfig {
   /** `split-zstd` writes the splittable `.zsj` container
@@ -82,7 +83,14 @@ private[lwes] object LwesWriteConfig {
       // parsed once on the driver (apply runs in the write factories);
       // the DB rides the serialized config to every task
       esf = Option(options.get(LwesOptions.Esf))
-        .map(graft.lwes.Esf.load(_, LwesDataSource.hadoopConf())))
+        .map(graft.lwes.Esf.load(_, LwesDataSource.hadoopConf())),
+      latin1 = Option(options.get(LwesOptions.StringEncoding)) match {
+        case None => false
+        case Some(e) if e.equalsIgnoreCase("UTF-8") => false
+        case Some(e) if e.equalsIgnoreCase("ISO-8859-1") => true
+        case Some(e) => throw new IllegalArgumentException(
+          s"unsupported ${LwesOptions.StringEncoding} '$e' (UTF-8|ISO-8859-1)")
+      })
   }
 
   /** Codec for a journal write; read-side detection is by extension, so
@@ -341,6 +349,14 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
   private val fs = new Path(dir).getFileSystem(conf)
   private val attrs: Array[String] =
     schema.fields.map(f => wc.attrFor.getOrElse(f.name, f.name))
+  // stringEncoding=ISO-8859-1 stamps the reserved `enc` attribute on
+  // every event; a data column also mapped to `enc` would then fight
+  // over the value — refuse, named, rather than write either silently
+  if (wc.latin1 && attrs.contains(graft.lwes.LwesCodec.EncAttr))
+    throw new IllegalArgumentException(
+      s"${LwesOptions.StringEncoding}=ISO-8859-1 conflicts with a column " +
+        s"mapped to the reserved attribute '${graft.lwes.LwesCodec.EncAttr}' — " +
+        "drop the option and let the data column drive the codec instead")
   private val partIdx: Array[Int] = wc.partitionBy.map(schema.fieldIndex).toArray
   private val nameIdx: Int = wc.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
   private val isPartCol: Array[Boolean] =
@@ -407,6 +423,10 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
       if (nameIdx >= 0 && !row.isNullAt(nameIdx)) row.getUTF8String(nameIdx).toString
       else wc.eventName
     val ev = LwesEvent(name)
+    // FIRST attribute, the lwes-java serialization order — readers
+    // learn the charset before any string value
+    if (wc.latin1)
+      ev.setInt16(graft.lwes.LwesCodec.EncAttr, graft.lwes.LwesCodec.EncIso88591)
     val esf = if (wc.esf.isEmpty) null else esfFor(name)
     var i = 0
     while (i < schema.length) {
