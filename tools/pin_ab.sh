@@ -15,15 +15,19 @@
 #   4. summarizes head-over-pin median-of-mins → FLAT / REGRESSED and
 #      the conservative re-pin value (min across all converged runs).
 #
-# Usage: tools/pin_ab.sh KEY PIN_COMMIT [PAIRS=3] [ITERS=15] [OUT=tmp-pinab-KEY]
+# Usage: tools/pin_ab.sh KEY[,KEY...] PIN_COMMIT [PAIRS=3] [ITERS=15] [OUT=tmp-pinab-KEY]
 # Output: $OUT/summary.json (+ per-run jsons and log.txt).
+# Multi-key (r18): a comma list runs ALL keys in each interleaved
+# invocation (one session startup amortized across the disputes) and
+# summary.json nests a per-key verdict under "keys". Record results in
+# docs/AB_INDEX.md.
 set -u
 KEY=${1:?usage: pin_ab.sh KEY PIN_COMMIT [PAIRS] [ITERS] [OUT]}
 PIN=${2:?need the pin commit}
 PAIRS=${3:-3}
 ITERS=${4:-15}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
-OUT=${5:-$REPO/tmp-pinab-$KEY}
+OUT=${5:-$REPO/tmp-pinab-$(echo "$KEY" | tr , _)}
 SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 mkdir -p "$OUT"
 

@@ -1,22 +1,25 @@
 #!/usr/bin/env python3
 """Summarize a pin_ab.sh run into summary.json (AB_R16_RETENTION shape).
 
-Reads $OUT/{head,pin}_pN.json (graft.Bench one-key outputs), extracts
-per-run min + iteration list + loadavg, computes head-over-pin
-median-of-mins, and calls it:
+Reads $OUT/{head,pin}_pN.json (graft.Bench outputs), extracts per-run
+min + iteration list + loadavg PER KEY (KEY may be a comma-separated
+list — one interleaved A/B adjudicates them all, r18), computes
+head-over-pin median-of-mins, and calls each key:
   <= 1.15  FLAT       (pin fluke / ambient — re-pin to min over all runs)
   <= 1.35  AMBIGUOUS  (rerun with more pairs/iters or on a quieter box)
   >  1.35  REGRESSED  (real — bisect between pin commit and HEAD)
 
-Usage: pin_ab_summarize.py OUT_DIR KEY PIN_SHORT PAIRS
+summary.json: single-key runs keep the flat AB_R16_RETENTION shape;
+multi-key runs nest one such object per key under "keys".
+
+Usage: pin_ab_summarize.py OUT_DIR KEY[,KEY...] PIN_SHORT PAIRS
 """
 import json
 import statistics
 import sys
 
 
-def main():
-    out, key, pin_short, pairs = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+def summarize_key(out, key, pin_short, pairs):
     runs = {}
     mins = {"head": [], "pin": []}
     for side in ("head", "pin"):
@@ -38,27 +41,47 @@ def main():
             if q >= 0:
                 mins[side].append(q)
     if not mins["head"] or not mins["pin"]:
-        summary = {"key": key, "error": "missing runs", "runs": runs}
+        return {"key": key, "error": "missing runs", "runs": runs}
+    ratio = statistics.median(mins["head"]) / statistics.median(mins["pin"])
+    verdict = ("FLAT" if ratio <= 1.15
+               else "AMBIGUOUS" if ratio <= 1.35 else "REGRESSED")
+    return {
+        "key": key,
+        "pin_commit": pin_short,
+        "method": (f"interleaved A/B, HEAD vs {pin_short} worktree, "
+                   f"direct-java graft.Bench, SPARK_GRAFT_BENCH_ONLY={key}, "
+                   f"{pairs} pairs (tools/pin_ab.sh)"),
+        "head_mins": mins["head"],
+        "pin_mins": mins["pin"],
+        "head_over_pin_median_of_mins": round(ratio, 3),
+        "verdict": verdict,
+        "conservative_repin": round(min(mins["head"] + mins["pin"]), 4),
+        "runs": runs,
+    }
+
+
+def main():
+    out, keys, pin_short, pairs = (
+        sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]))
+    key_list = [k.strip() for k in keys.split(",") if k.strip()]
+    if len(key_list) == 1:
+        summary = summarize_key(out, key_list[0], pin_short, pairs)
     else:
-        ratio = statistics.median(mins["head"]) / statistics.median(mins["pin"])
-        verdict = ("FLAT" if ratio <= 1.15
-                   else "AMBIGUOUS" if ratio <= 1.35 else "REGRESSED")
         summary = {
-            "key": key,
+            "keys": {k: summarize_key(out, k, pin_short, pairs)
+                     for k in key_list},
             "pin_commit": pin_short,
-            "method": (f"interleaved one-key A/B, HEAD vs {pin_short} worktree, "
-                       f"direct-java graft.Bench, SPARK_GRAFT_BENCH_ONLY={key}, "
-                       f"{pairs} pairs (tools/pin_ab.sh)"),
-            "head_mins": mins["head"],
-            "pin_mins": mins["pin"],
-            "head_over_pin_median_of_mins": round(ratio, 3),
-            "verdict": verdict,
-            "conservative_repin": round(min(mins["head"] + mins["pin"]), 4),
-            "runs": runs,
         }
     with open(f"{out}/summary.json", "w") as f:
         json.dump(summary, f, indent=1)
-    print(json.dumps({k: v for k, v in summary.items() if k != "runs"}, indent=1))
+
+    def strip(d):
+        return {k: v for k, v in d.items() if k != "runs"}
+    if "keys" in summary:
+        print(json.dumps({**summary, "keys": {
+            k: strip(v) for k, v in summary["keys"].items()}}, indent=1))
+    else:
+        print(json.dumps(strip(summary), indent=1))
 
 
 if __name__ == "__main__":
