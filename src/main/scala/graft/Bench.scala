@@ -71,7 +71,10 @@ object Bench {
     // artifact so no reader has to reconstruct it from iteration
     // spreads. 3.0 on the 32-core box ≈ 10% steal — above that,
     // per-query mins stop being plan measurements.
-    val loadLimit = sys.env.getOrElse("SPARK_GRAFT_LOAD_LIMIT", "3.0").toDouble
+    // toDoubleOption, not toDouble: a typo'd env var must not abort a
+    // full interleaved bench pair at startup
+    val loadLimit = sys.env.get("SPARK_GRAFT_LOAD_LIMIT")
+      .flatMap(_.toDoubleOption).getOrElse(3.0)
     val loadContaminated =
       try loadStart.split("\\s+").head.toDouble > loadLimit
       catch { case scala.util.control.NonFatal(_) => false }

@@ -54,11 +54,19 @@ object LwesCodec {
   val EncUtf8: Short = 1
 
   /** Charset the event's own `enc` attribute declares for its string
-    * values (UTF-8 when absent — lwes-java DEFAULT_ENCODING). */
+    * values (UTF-8 when absent — lwes-java DEFAULT_ENCODING). An
+    * out-of-range value fails the WRITE loudly: both readers reject it
+    * as record corruption, so serializing it would produce a journal
+    * whose records silently vanish on read. */
   private def charsetOf(ev: LwesEvent): Charset =
     ev.get(EncAttr) match {
-      case Some(a) if a.token == LwesType.Int16 &&
-        a.value == EncIso88591 => ISO_8859_1
+      case Some(a) if a.token == LwesType.Int16 =>
+        a.value match {
+          case EncIso88591 => ISO_8859_1
+          case EncUtf8 => UTF_8
+          case other => throw new IllegalArgumentException(
+            s"unsupported enc value $other (0=ISO-8859-1, 1=UTF-8)")
+        }
       case _ => UTF_8
     }
 
@@ -81,8 +89,9 @@ object LwesCodec {
       out
     }
 
-  def serializedSize(ev: LwesEvent): Int = {
-    val cs = charsetOf(ev)
+  def serializedSize(ev: LwesEvent): Int = serializedSize(ev, charsetOf(ev))
+
+  private def serializedSize(ev: LwesEvent, cs: Charset): Int = {
     var n = 1 + ev.name.getBytes(UTF_8).length + 2
     var i = 0
     while (i < ev.attrs.length) {
@@ -140,7 +149,7 @@ object LwesCodec {
 
   def serialize(ev: LwesEvent): Array[Byte] = {
     val cs = charsetOf(ev)
-    val buf = ByteBuffer.allocate(serializedSize(ev)) // big-endian default
+    val buf = ByteBuffer.allocate(serializedSize(ev, cs)) // big-endian default
     val nameB = ev.name.getBytes(UTF_8)
     require(nameB.length <= 255, s"event name too long: ${ev.name}")
     buf.put(nameB.length.toByte).put(nameB)

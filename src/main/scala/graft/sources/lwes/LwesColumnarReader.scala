@@ -139,20 +139,26 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     def write(r: Int, token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit
   }
 
-  /** UTF-8 parity write: ASCII goes straight from the wire; anything
-    * else takes the row path's String round-trip so malformed sequences
-    * produce identical replacement bytes. */
-  private def putUtf8(vec: OnHeapColumnVector, r: Int,
-      b: Array[Byte], off: Int, len: Int): Unit = {
+  /** Charset-parity write: ASCII goes straight from the wire (the
+    * charsets agree there); anything else takes the row path's String
+    * round-trip in `cs` so malformed sequences produce identical
+    * replacement bytes (UTF-8) / Latin-1 transcodes to UTF-8. */
+  private def putDecoded(vec: OnHeapColumnVector, r: Int,
+      b: Array[Byte], off: Int, len: Int,
+      cs: java.nio.charset.Charset): Unit = {
     var i = off
     val end = off + len
     while (i < end && b(i) >= 0) i += 1
     if (i == end) vec.putByteArray(r, b, off, len)
     else {
-      val rb = new String(b, off, len, UTF_8).getBytes(UTF_8)
+      val rb = new String(b, off, len, cs).getBytes(UTF_8)
       vec.putByteArray(r, rb, 0, rb.length)
     }
   }
+
+  private def putUtf8(vec: OnHeapColumnVector, r: Int,
+      b: Array[Byte], off: Int, len: Int): Unit =
+    putDecoded(vec, r, b, off, len, UTF_8)
 
   /** Current record's `enc` charset flag (set by the walk, reset per
     * record): true = string VALUES on the wire are ISO-8859-1 and must
@@ -166,18 +172,8 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
   /** String-value write honoring the record charset. */
   private def putStr(vec: OnHeapColumnVector, r: Int,
       b: Array[Byte], off: Int, len: Int): Unit =
-    if (!curLatin1) putUtf8(vec, r, b, off, len)
-    else {
-      var i = off
-      val end = off + len
-      while (i < end && b(i) >= 0) i += 1
-      if (i == end) vec.putByteArray(r, b, off, len)
-      else {
-        val rb = new String(b, off, len,
-          java.nio.charset.StandardCharsets.ISO_8859_1).getBytes(UTF_8)
-        vec.putByteArray(r, rb, 0, rb.length)
-      }
-    }
+    putDecoded(vec, r, b, off, len,
+      if (curLatin1) java.nio.charset.StandardCharsets.ISO_8859_1 else UTF_8)
 
   @inline private def strOff(off: Int): Int = off + 2 // skip uint16 length
   @inline private def strLen(len: Int): Int = len - 2
@@ -998,7 +994,7 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         // than leave earlier string columns mis-decoded
         if (keyLen == 3 && token == LwesType.Int16 &&
             b(keyOff) == 'e' && b(keyOff + 1) == 'n' && b(keyOff + 2) == 'c') {
-          val e = ((b(valOff) & 0xff) << 8) | (b(valOff + 1) & 0xff)
+          val e = u16(b, valOff)
           if (e != 0 && e != 1)
             throw new IllegalArgumentException(
               s"unsupported enc value $e (0=ISO-8859-1, 1=UTF-8)")

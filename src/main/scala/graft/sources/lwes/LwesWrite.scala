@@ -134,6 +134,7 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val wc = LwesWriteConfig(options)
+    LwesBatchWrite.encConflictFailFast(wc, schema)
     LwesBatchWrite.esfFailFast(wc, schema)
     val conf = LwesDataSource.hadoopConf()
     val p = new Path(wc.path)
@@ -148,6 +149,19 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
 }
 
 object LwesBatchWrite {
+  /** Driver-side fail-fast for `stringEncoding=ISO-8859-1` combined
+    * with a data column mapped to the reserved `enc` attribute: the
+    * two would fight over the attribute's value, and failing in the
+    * task constructor would cost task retries before surfacing. */
+  private[lwes] def encConflictFailFast(wc: LwesWriteConfig,
+      schema: StructType): Unit =
+    if (wc.latin1 && schema.fields.exists(f =>
+        wc.attrFor.getOrElse(f.name, f.name) == graft.lwes.LwesCodec.EncAttr))
+      throw new IllegalArgumentException(
+        s"${LwesOptions.StringEncoding}=ISO-8859-1 conflicts with a column " +
+          s"mapped to the reserved attribute '${graft.lwes.LwesCodec.EncAttr}' — " +
+          "drop the option and let the data column drive the codec instead")
+
   /** Driver-side ESF fail-fast: a template violation with a STATIC
     * event name should abort before any task launches (dynamic
     * eventNameColumn writes validate per encountered name in the
@@ -190,6 +204,7 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     val wc = LwesWriteConfig(options)
+    LwesBatchWrite.encConflictFailFast(wc, schema)
     LwesBatchWrite.esfFailFast(wc, schema)
     val conf = LwesDataSource.hadoopConf()
     val p = new Path(wc.path)
@@ -349,14 +364,6 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
   private val fs = new Path(dir).getFileSystem(conf)
   private val attrs: Array[String] =
     schema.fields.map(f => wc.attrFor.getOrElse(f.name, f.name))
-  // stringEncoding=ISO-8859-1 stamps the reserved `enc` attribute on
-  // every event; a data column also mapped to `enc` would then fight
-  // over the value — refuse, named, rather than write either silently
-  if (wc.latin1 && attrs.contains(graft.lwes.LwesCodec.EncAttr))
-    throw new IllegalArgumentException(
-      s"${LwesOptions.StringEncoding}=ISO-8859-1 conflicts with a column " +
-        s"mapped to the reserved attribute '${graft.lwes.LwesCodec.EncAttr}' — " +
-        "drop the option and let the data column drive the codec instead")
   private val partIdx: Array[Int] = wc.partitionBy.map(schema.fieldIndex).toArray
   private val nameIdx: Int = wc.eventNameCol.map(schema.fieldIndex).getOrElse(-1)
   private val isPartCol: Array[Boolean] =

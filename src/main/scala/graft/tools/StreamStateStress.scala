@@ -56,6 +56,10 @@ object StreamStateStress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // peaks are read from recentProgress, which retains only this
+      // many updates — keep it above any plausible wave count so early
+      // micro-batches can never silently fall out of the max
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -54,9 +54,17 @@ class LwesEncodingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ISO-8859-1"), e.getMessage)
   }
 
-  test("codec: an out-of-range enc value is named record corruption") {
+  test("codec: an out-of-range enc value is rejected on BOTH directions") {
+    // write side: serializing it would produce a journal whose records
+    // silently vanish on read (both readers treat it as corruption)
     val ev = LwesEvent("E").setInt16(LwesCodec.EncAttr, 7).setString("s", "x")
-    val bytes = LwesCodec.serialize(ev) // enc=7 encodes UTF-8 (unknown ≠ ISO)
+    val we = intercept[IllegalArgumentException](LwesCodec.serialize(ev))
+    assert(we.getMessage.contains("enc"), we.getMessage)
+    // read side: hand-built foreign record with enc=7 is named corruption
+    val buf = ByteBuffer.allocate(32)
+    buf.put(1.toByte).put('E'.toByte).putShort(1)
+    buf.put(3.toByte).put("enc".getBytes("UTF-8")).put(LwesType.Int16).putShort(7)
+    val bytes = java.util.Arrays.copyOf(buf.array(), buf.position())
     val e = intercept[IllegalArgumentException](LwesCodec.deserialize(bytes))
     assert(e.getMessage.contains("enc"), e.getMessage)
   }

@@ -248,7 +248,11 @@ class LwesNullableArraySpec extends AnyFunSuite {
       .option("compression", "gzip")
       .option("esf", esf).mode("append").save(dir)
     // wire check: parse the journal raw and assert the tokens
-    val f = Files.list(Paths.get(dir)).filter(_.toString.contains("part-"))
+    // hidden .part-*.crc checksum twins also contain "part-" — JVM-wide
+    // Files.list ordering is arbitrary, so exclude them explicitly
+    val f = Files.list(Paths.get(dir))
+      .filter(p => p.getFileName.toString.contains("part-") &&
+        !p.getFileName.toString.startsWith("."))
       .findFirst().get().toString
     val r = graft.lwes.JournalReader.open(f)
     val toks = scala.collection.mutable.Set[Byte]()

@@ -19,7 +19,7 @@ import statistics
 import sys
 
 
-def summarize_key(out, key, pin_short, pairs):
+def summarize_key(out, key, pin_short, pairs, bench_only):
     runs = {}
     mins = {"head": [], "pin": []}
     for side in ("head", "pin"):
@@ -49,7 +49,7 @@ def summarize_key(out, key, pin_short, pairs):
         "key": key,
         "pin_commit": pin_short,
         "method": (f"interleaved A/B, HEAD vs {pin_short} worktree, "
-                   f"direct-java graft.Bench, SPARK_GRAFT_BENCH_ONLY={key}, "
+                   f"direct-java graft.Bench, SPARK_GRAFT_BENCH_ONLY={bench_only}, "
                    f"{pairs} pairs (tools/pin_ab.sh)"),
         "head_mins": mins["head"],
         "pin_mins": mins["pin"],
@@ -64,11 +64,14 @@ def main():
     out, keys, pin_short, pairs = (
         sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]))
     key_list = [k.strip() for k in keys.split(",") if k.strip()]
+    # provenance must record what the bench ACTUALLY ran: the full
+    # comma list, not the single key being summarized (a multi-key
+    # session has different warm-up/interleaving than a one-key run)
     if len(key_list) == 1:
-        summary = summarize_key(out, key_list[0], pin_short, pairs)
+        summary = summarize_key(out, key_list[0], pin_short, pairs, keys)
     else:
         summary = {
-            "keys": {k: summarize_key(out, k, pin_short, pairs)
+            "keys": {k: summarize_key(out, k, pin_short, pairs, keys)
                      for k in key_list},
             "pin_commit": pin_short,
         }
