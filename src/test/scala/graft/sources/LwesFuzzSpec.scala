@@ -44,7 +44,11 @@ class LwesFuzzSpec extends AnyFunSuite {
     ArrayType(BooleanType, containsNull = true),
     ArrayType(DecimalType(20, 0), containsNull = true))
 
-  private def randValue(rnd: Random, dt: DataType): Any = {
+  // `latin1` trials write with stringEncoding=ISO-8859-1, so generated
+  // strings stay inside the Latin-1 repertoire (chars <= 0xFF) — high
+  // bytes included, which is the interesting part: they round-trip as
+  // ONE wire byte and transcode back through the enc=0 read path
+  private def randValue(rnd: Random, dt: DataType, latin1: Boolean = false): Any = {
     if (rnd.nextInt(6) == 0) return null
     dt match {
       case BooleanType => rnd.nextBoolean()
@@ -68,7 +72,10 @@ class LwesFuzzSpec extends AnyFunSuite {
         new java.math.BigDecimal(new java.math.BigInteger(64, rnd.self))
       case StringType => rnd.nextInt(5) match {
         case 0 => ""
-        case 1 => "héllo wörld 世界 😀"
+        case 1 => if (latin1) "héllo wörld À§ÿñ ±Ç" else "héllo wörld 世界 😀"
+        case 2 if latin1 =>
+          // random Latin-1 high-byte soup (0xA0..0xFF printable range)
+          Seq.fill(rnd.nextInt(20))((0xa0 + rnd.nextInt(0x60)).toChar).mkString
         case _ => rnd.alphanumeric.take(rnd.nextInt(50)).mkString
       }
       case ArrayType(et, cn) =>
@@ -76,7 +83,7 @@ class LwesFuzzSpec extends AnyFunSuite {
         // hole ~1/4 of theirs (empty arrays legal either way)
         Seq.fill(rnd.nextInt(9))(
           if (cn && rnd.nextInt(4) == 0) null
-          else Iterator.continually(randValue(rnd, et)).filter(_ != null).next())
+          else Iterator.continually(randValue(rnd, et, latin1)).filter(_ != null).next())
       case _ => null
     }
   }
@@ -93,16 +100,22 @@ class LwesFuzzSpec extends AnyFunSuite {
       val schema = StructType((0 until nCols).map(i =>
         StructField(s"c$i", types(rnd.nextInt(types.length)), nullable = true)))
       val nRows = 1 + rnd.nextInt(200)
+      // every 3rd trial writes ISO-8859-1 (the reserved `enc` attr,
+      // r18): string values fuzz the Latin-1 high-byte range and both
+      // readers must transcode them back identically
+      val latin1 = trial % 3 == 0
       val rows = (0 until nRows).map { r =>
-        Row.fromSeq(Seq(r.toLong) ++ schema.fields.map(f => randValue(rnd, f.dataType)))
+        Row.fromSeq(Seq(r.toLong) ++ schema.fields.map(f =>
+          randValue(rnd, f.dataType, latin1)))
       }
       val full = StructType(StructField("rid", LongType, nullable = false) +: schema.fields)
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 3), full)
       val dir = Files.createTempDirectory(s"fuzz$trial").toString
       val comp = Seq("gzip", "none", "deflate", "zstd")(rnd.nextInt(4))
-      df.write.format("lwes").option("eventName", s"Fuzz::T$trial")
+      val w0 = df.write.format("lwes").option("eventName", s"Fuzz::T$trial")
         .option("compression", comp)
+      (if (latin1) w0.option("stringEncoding", "ISO-8859-1") else w0)
         .mode("append").save(dir)
       val exp = df.collect().map(r => r.toSeq.map(normalize)).sortBy(_.toString)
       // BOTH output paths must reproduce the source exactly — the
