@@ -46,6 +46,23 @@ class LwesEncodingSpec extends AnyFunSuite {
     assert(utf.sliding(2).exists(p => (p(0) & 0xff) == 0xc3 && (p(1) & 0xff) == 0xa9))
   }
 
+  test("codec: enc=0 + null-holed NULLABLE string arrays round-trip byte-stably") {
+    // the two r18 wire features composed: Latin-1 string elements
+    // inside N_STRING_ARRAY presence-bitset values
+    val ev = LwesEvent("E")
+      .setInt16(LwesCodec.EncAttr, LwesCodec.EncIso88591)
+      .setNullableArray("ns", LwesType.Str,
+        Array[AnyRef](Latin, null, "", null, "Ç à ñ"))
+    val bytes = LwesCodec.serialize(ev)
+    val back = LwesCodec.deserialize(bytes)
+    assert(back.get("ns").get.value.asInstanceOf[Array[AnyRef]].toSeq ==
+      Seq(Latin, null, "", null, "Ç à ñ"))
+    assert(LwesCodec.serialize(back).sameElements(bytes))
+    // present elements really are Latin-1 on the wire: é and Ç as one byte
+    assert(bytes.count(b => (b & 0xff) == 0xe9) == 1)
+    assert(bytes.count(b => (b & 0xff) == 0xc7) == 1)
+  }
+
   test("codec: enc=0 with a character above 0xFF fails loudly on write") {
     val ev = LwesEvent("E")
       .setInt16(LwesCodec.EncAttr, LwesCodec.EncIso88591)
