@@ -184,6 +184,36 @@ class LwesEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("stringEncoding composes with ESF template writes and template reads") {
+    // the enc attribute is writer-stamped, not a column, so template
+    // validation neither sees nor rejects it; the template-derived
+    // read schema omits it and the charset is still honored
+    val esf = Files.createTempDirectory("enc-esf")
+      .resolve("t.esf").toString
+    Files.writeString(java.nio.file.Paths.get(esf),
+      "Enc::T\n{\n  required int64 id;\n  string s;\n  string tags[4];\n}\n")
+    val dir = Files.createTempDirectory("enc-esf-j").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("tags", ArrayType(StringType, containsNull = false))))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(1L, Latin, Seq(Latin, "x")), Row(2L, "plain", Seq("y"))), 1),
+        schema)
+      .write.format("lwes").option("eventName", "Enc::T")
+      .option("esf", esf).option("stringEncoding", "ISO-8859-1")
+      .mode("append").save(dir)
+    for (vec <- Seq("true", "false")) {
+      val got = spark.read.format("lwes").option("esf", esf)
+        .option("eventName", "Enc::T").option("vectorized", vec)
+        .load(dir).orderBy("id").collect()
+      val si = got(0).fieldIndex("s")
+      assert(got(0).getString(si) == Latin, s"vec=$vec")
+      assert(got(0).getSeq[String](got(0).fieldIndex("tags")) == Seq(Latin, "x"),
+        s"vec=$vec")
+    }
+  }
+
   test("writer refuses stringEncoding=ISO-8859-1 combined with an enc data column") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("enc", ShortType)))
     val e = intercept[Exception] {
