@@ -288,6 +288,41 @@ object LwesQueries {
         |  AND o_orderpriority >= '1-U' AND o_orderpriority < '3'
         |  AND o_orderpriority LIKE '1-%'""".stripMargin)),
 
+    // A11 breadth (r18): LIKE '%x%' / LIKE '%x' push as
+    // StringContains / StringEndsWith and evaluate inside the parse
+    // (byte substring/suffix probes with the all-ASCII conclusive-
+    // reject rule) — the ONLY pushed predicates here, so the in-gate
+    // rowsFiltered require proves THESE shapes reject in-parse, not a
+    // neighbouring equality.
+    "lwes_attr_pushdown_substr" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"map|$d") { dir =>
+          t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .write.format("lwes").option("eventName", "Order::Created").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("priority string, total double, okey long")
+          .option("eventName", "Order::Created")
+          .option("mapping", "priority:o_orderpriority, total:o_totalprice, okey:o_orderkey")
+          .load(dir)
+          .filter(col("priority").contains("URG") && col("priority").endsWith("T"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("total")), 2).as("total_price"),
+            max(col("okey")).as("max_key"))
+        val rows = df.collect()
+        val nFiltered = graft.sources.lwes.LwesScan
+          .scanMetricSum(df.queryExecution.executedPlan, "rowsFiltered")
+        require(nFiltered > 0,
+          s"pushed substring/suffix predicates never rejected a record " +
+            s"inside the parse (rowsFiltered = $nFiltered)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderpriority LIKE '%URG%' AND o_orderpriority LIKE '%T'""".stripMargin)),
+
     // A5: attribute→column renaming via the mapping option.
     "lwes_col_mapping" -> ((
       (s: SparkSession, d: String) => {

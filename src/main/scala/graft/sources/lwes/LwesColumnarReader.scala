@@ -529,6 +529,47 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     }
   }
 
+  /** `col LIKE '%x'` (r18): a byte-level suffix match passes through
+    * to the post-check (early results other than 0 never skip it, so
+    * a transcoding corner can only defer, never mis-keep); a miss is
+    * conclusive only on an all-ASCII wire value, where decoding is
+    * the identity under every supported charset. */
+  private final class StrEndsWithEarly(lit: Array[Byte]) extends EarlyCheck {
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int = {
+      if (token != LwesType.Str) return -1
+      val so = off + 2
+      val sl = len - 2
+      if (sl >= lit.length) {
+        var i = 0
+        val base = so + sl - lit.length
+        while (i < lit.length && b(base + i) == lit(i)) i += 1
+        if (i == lit.length) return 1
+      }
+      if (allAscii(b, so, sl)) 0 else -1
+    }
+  }
+
+  /** `col LIKE '%x%'` (r18): naive byte search — pushed literals are
+    * short and the scan is the hot loop, so no preprocessing tables;
+    * same conclusive-reject rule as the other string probes. */
+  private final class StrContainsEarly(lit: Array[Byte]) extends EarlyCheck {
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int = {
+      if (token != LwesType.Str) return -1
+      val so = off + 2
+      val sl = len - 2
+      if (lit.length == 0) return 1
+      var s = 0
+      val last = sl - lit.length
+      while (s <= last) {
+        var i = 0
+        while (i < lit.length && b(so + s + i) == lit(i)) i += 1
+        if (i == lit.length) return 1
+        s += 1
+      }
+      if (allAscii(b, so, sl)) 0 else -1
+    }
+  }
+
   private final class StrInEarly(lits: Array[Array[Byte]]) extends EarlyCheck {
     def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int = {
       if (token != LwesType.Str) return -1
@@ -634,6 +675,18 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         early(c) ::= new StrStartsWithEarly(lit.getBytes)
         val vec = vectors(c)
         post += (r => !vec.isNullAt(r) && vec.getUTF8String(r).startsWith(lit))
+      case StringEndsWith(a, v) =>
+        val c = schema.fieldIndex(a)
+        val lit = UTF8String.fromString(v)
+        early(c) ::= new StrEndsWithEarly(lit.getBytes)
+        val vec = vectors(c)
+        post += (r => !vec.isNullAt(r) && vec.getUTF8String(r).endsWith(lit))
+      case StringContains(a, v) =>
+        val c = schema.fieldIndex(a)
+        val lit = UTF8String.fromString(v)
+        early(c) ::= new StrContainsEarly(lit.getBytes)
+        val vec = vectors(c)
+        post += (r => !vec.isNullAt(r) && vec.getUTF8String(r).contains(lit))
       case In(a, vs) =>
         val c = schema.fieldIndex(a)
         schema.fields(c).dataType match {

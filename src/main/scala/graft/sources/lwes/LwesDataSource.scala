@@ -656,6 +656,12 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       case LessThanOrEqual(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
       case org.apache.spark.sql.sources.StringStartsWith(a, v) =>
         attrCols(a) && strCol(a) && v != null
+      // r18 breadth: LIKE '%x' / LIKE '%x%' push too — suffix/substring
+      // probes over raw wire bytes, same deferral rules as the others
+      case org.apache.spark.sql.sources.StringEndsWith(a, v) =>
+        attrCols(a) && strCol(a) && v != null
+      case org.apache.spark.sql.sources.StringContains(a, v) =>
+        attrCols(a) && strCol(a) && v != null
       case In(a, vs) =>
         attrCols(a) && vs != null && vs.nonEmpty && (
           (strCol(a) && vs.forall(_.isInstanceOf[String])) ||
@@ -1744,6 +1750,14 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
         val lit = UTF8String.fromString(v)
         idx(a).map(i => (i, (x: Any) => x != null &&
           x.asInstanceOf[UTF8String].startsWith(lit)))
+      case org.apache.spark.sql.sources.StringEndsWith(a, v) =>
+        val lit = UTF8String.fromString(v)
+        idx(a).map(i => (i, (x: Any) => x != null &&
+          x.asInstanceOf[UTF8String].endsWith(lit)))
+      case org.apache.spark.sql.sources.StringContains(a, v) =>
+        val lit = UTF8String.fromString(v)
+        idx(a).map(i => (i, (x: Any) => x != null &&
+          x.asInstanceOf[UTF8String].contains(lit)))
       case org.apache.spark.sql.sources.In(a, vs) =>
         idx(a).map { i =>
           schema.fields(i).dataType match {

@@ -367,6 +367,33 @@ class LwesSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed LIKE '%x%' / LIKE '%x' short-circuit the parse (r18)") {
+    val dir = tmp()
+    writeMixedJournal(dir, 900)
+    def read(vec: Boolean) = spark.read.format("lwes")
+      .schema("id long, page string, score int, cost double")
+      .option("vectorized", vec.toString).load(dir)
+    def flt(df: org.apache.spark.sql.DataFrame) = df.filter(
+      col("page").contains("p/4") && col("page").endsWith("/4"))
+    val plan = flt(read(vec = true)).queryExecution.executedPlan.toString
+    assert(plan.contains("StringContains(page,p/4)") &&
+      plan.contains("StringEndsWith(page,/4)"),
+      s"contains/endsWith missing from pushed filters:\n$plan")
+    val a = flt(read(vec = true)).orderBy("id").collect()
+    val b = flt(read(vec = false)).orderBy("id").collect()
+    assert(a.sameElements(b))
+    // pages are /p/0../p/9 — only /p/4 survives both probes
+    assert(a.nonEmpty && a.map(_.getLong(0)).forall(_ % 10 == 4))
+    assert(a.length == 90, s"expected 90 /p/4 rows, got ${a.length}")
+    for (vec <- Seq(true, false)) {
+      val q = flt(read(vec)).agg(count(lit(1)))
+      q.collect()
+      val nf = graft.sources.lwes.LwesScan
+        .scanMetricSum(q.queryExecution.executedPlan, "rowsFiltered")
+      assert(nf > 0, s"vectorized=$vec rowsFiltered = $nf, expected > 0")
+    }
+  }
+
   test("partitioned dt= layout yields partition column (A14)") {
     val dir = tmp()
     writeMixedJournal(s"$dir/dt=2026-01-01", 60)
