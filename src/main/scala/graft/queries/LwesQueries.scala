@@ -323,6 +323,64 @@ object LwesQueries {
         |FROM orders
         |WHERE o_orderpriority LIKE '%URG%' AND o_orderpriority LIKE '%T'""".stripMargin)),
 
+    // A26 (r18): unfiltered COUNT(*) pushes into the scan and is
+    // answered from the `.zsj` footer record counts alone — the in-gate
+    // requires prove the plan took the footer path (description says
+    // footerOnly) AND that not one event was parsed for it.
+    "lwes_agg_count" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"map|$d") { dir =>
+          t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .write.format("lwes").option("eventName", "Order::Created").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long")
+          .option("mapping", "okey:o_orderkey")
+          .load(dir)
+          .agg(count(lit(1)).as("n"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("agg=[CountStar] footerOnly"),
+          s"COUNT(*) was not pushed onto the footer path:\n$plan")
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        require(nParsed == 0,
+          s"footer-answered count still parsed $nParsed events")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      "SELECT count(*) AS n FROM orders")),
+
+    // A26 (r18): MIN/MAX/COUNT(col) push as a PARTIAL aggregation —
+    // one partial row per partition inside the scan (the eventName
+    // filter keeps this on the streamed fold, exercising the non-footer
+    // path); Spark's final merge must reproduce the unpushed answer.
+    "lwes_agg_minmax" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"map|$d") { dir =>
+          t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .write.format("lwes").option("eventName", "Order::Created").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("priority string, total double, okey long")
+          .option("eventName", "Order::Created")
+          .option("mapping", "priority:o_orderpriority, total:o_totalprice, okey:o_orderkey")
+          .load(dir)
+          .agg(min(col("okey")).as("min_key"), max(col("okey")).as("max_key"),
+            min(col("priority")).as("min_pri"), max(col("priority")).as("max_pri"),
+            max(col("total")).as("max_total"),
+            count(col("priority")).as("n_pri"))
+        val rows = df.collect()
+        require(df.queryExecution.executedPlan.toString.contains("agg=["),
+          "MIN/MAX/COUNT(col) aggregation was not pushed into the scan")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_orderpriority) AS min_pri, max(o_orderpriority) AS max_pri,
+        |  max(o_totalprice) AS max_total, count(o_orderpriority) AS n_pri
+        |FROM orders""".stripMargin)),
+
     // A5: attribute→column renaming via the mapping option.
     "lwes_col_mapping" -> ((
       (s: SparkSession, d: String) => {

@@ -1,0 +1,211 @@
+package graft.sources.lwes
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Reader factory for scans with a pushed aggregation (A26): every
+  * partition collapses to ONE partial row. Always row-based — there is
+  * nothing to vectorize in a single output row. */
+class LwesAggReaderFactory(config: LwesReadConfig, spec: LwesAggSpec,
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition match {
+      case p: LwesInputPartition => Seq(p)
+      case m: LwesFilesPartition => m.files
+    }
+    new LwesAggPartitionReader(files, config, spec, bconf.value.value)
+  }
+}
+
+/** Computes the pushed partial aggregation over one partition's files.
+  *
+  * Two paths, chosen PER FILE:
+  *   - **Footer**: when `spec.footerOnly` and the file is a `.zsj`
+  *     split journal with a valid footer index, COUNT(*) sums the
+  *     per-frame record counts and MIN/MAX over a LongType ReceiptTime
+  *     column merges the per-frame exact receipt bounds — the file is
+  *     never opened past its footer tail, no frame decompresses, no
+  *     record parses (`eventsParsed` stays 0 — the gate's proof). A
+  *     frame whose bounds read min > max carried no receipt times and
+  *     contributes records to the count but nothing to min/max (those
+  *     records' receipt column is NULL, which min/max ignore).
+  *   - **Stream**: everything else (gzip journals, torn/footerless
+  *     `.zsj`, event-name-filtered or time-windowed scans, attribute
+  *     aggregates) drains a plain [[LwesPartitionReader]] projected to
+  *     just the aggregated columns and folds rows into accumulators —
+  *     identical admission semantics to an unpushed scan (torn-tail
+  *     tolerance, resync, ESF defaults), so pushdown can never change
+  *     a result, only where the fold runs.
+  *
+  * MIN/MAX comparisons replicate Spark's total order per type (NaN
+  * greatest via `java.lang.Double.compare`, unsigned byte-wise UTF8
+  * strings), so the partial rows merge to exactly what the unpushed
+  * Aggregate would have produced.
+  *
+  * The reference has no counterpart — counting a journal there parses
+  * every event through the SerDe (EventSerDe.java:184-216).
+  */
+class LwesAggPartitionReader(files: Seq[LwesInputPartition],
+    config: LwesReadConfig, spec: LwesAggSpec, conf: Configuration)
+    extends PartitionReader[InternalRow] with org.apache.spark.internal.Logging {
+
+  private val funcs = spec.funcs.toArray
+  private val n = funcs.length
+  // stream-path column index per func (-1 = none, e.g. COUNT(*))
+  private val colIdx: Array[Int] = funcs.map(_.col
+    .map(config.schema.fieldIndex).getOrElse(-1))
+  private val colType: Array[DataType] = funcs.map(_.col
+    .map(c => config.schema(c).dataType).orNull)
+
+  /** Spark-total-order comparator for the supported atomic types. */
+  private def cmp(dt: DataType): (Any, Any) => Int = dt match {
+    case ByteType => (a, b) =>
+      java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
+    case ShortType => (a, b) =>
+      java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+    case IntegerType | DateType => (a, b) =>
+      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType | TimestampType => (a, b) =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case FloatType => (a, b) =>
+      java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType => (a, b) =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case BooleanType => (a, b) =>
+      java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case StringType => (a, b) =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case _: DecimalType => (a, b) =>
+      a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .compareTo(b.asInstanceOf[org.apache.spark.sql.types.Decimal])
+    case other => throw new IllegalStateException(
+      s"unsupported pushed-aggregate type $other") // builder filtered these
+  }
+  private val comparators: Array[(Any, Any) => Int] =
+    Array.tabulate(n)(i => if (colType(i) != null) cmp(colType(i)) else null)
+
+  // accumulators: counts as Long, min/max as the running value (null =
+  // no non-null input yet)
+  private val counts = new Array[Long](n)
+  private val values = new Array[Any](n)
+
+  private val metricAcc = scala.collection.mutable.Map.empty[String, Long]
+    .withDefaultValue(0L)
+  private var done = false
+  private var row: InternalRow = _
+
+  private def mergeMin(i: Int, v: Any): Unit =
+    if (v != null && (values(i) == null || comparators(i)(v, values(i)) < 0))
+      values(i) = v
+  private def mergeMax(i: Int, v: Any): Unit =
+    if (v != null && (values(i) == null || comparators(i)(v, values(i)) > 0))
+      values(i) = v
+
+  /** Footer path: fold the frame index entries overlapping this slice.
+    * Frame runs from split planning tile exact frame boundaries, so
+    * offset-containment is exact membership. */
+  private def foldFooter(frames: Vector[graft.lwes.SplitJournal.FrameMeta],
+      range: Option[(Long, Long)]): Unit = {
+    val inRange = range match {
+      case Some((s, e)) =>
+        frames.filter(f => f.offset >= s && f.offset + f.compressedLen <= e)
+      case None => frames
+    }
+    inRange.foreach { f =>
+      var i = 0
+      while (i < n) {
+        funcs(i) match {
+          case LwesAggFunc.CountStar => counts(i) += f.records
+          case LwesAggFunc.MinCol(_, true) =>
+            if (f.minReceipt <= f.maxReceipt) mergeMin(i, f.minReceipt)
+          case LwesAggFunc.MaxCol(_, true) =>
+            if (f.minReceipt <= f.maxReceipt) mergeMax(i, f.maxReceipt)
+          case other => throw new IllegalStateException(
+            s"$other on the footer path") // footerOnly excluded these
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Try the footer index; Some(()) = answered, None = stream instead. */
+  private def tryFooter(slice: LwesInputPartition): Option[Unit] = {
+    if (!spec.footerOnly || !graft.lwes.SplitJournal.isSplit(slice.path))
+      return None
+    try {
+      val path = new Path(slice.path)
+      val fs = path.getFileSystem(conf)
+      val fileLen = slice.range match {
+        case Some(_) => fs.getFileStatus(path).getLen // slice len ≠ file len
+        case None => slice.length
+      }
+      val in = fs.open(path)
+      val footer = try graft.lwes.SplitJournal.readFooter(in, fileLen)
+      finally in.close()
+      footer.map(frames => foldFooter(frames, slice.range))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"failed to read split-journal footer of ${slice.path} " +
+          s"for pushed aggregation (${e.getMessage}); streaming it")
+        None
+    }
+  }
+
+  private def streamFile(slice: LwesInputPartition): Unit = {
+    val r = new LwesPartitionReader(slice, config, conf)
+    try {
+      while (r.next()) {
+        val rec = r.get()
+        var i = 0
+        while (i < n) {
+          funcs(i) match {
+            case LwesAggFunc.CountStar => counts(i) += 1
+            case LwesAggFunc.CountCol(_) =>
+              if (!rec.isNullAt(colIdx(i))) counts(i) += 1
+            case _: LwesAggFunc.MinCol =>
+              mergeMin(i, if (rec.isNullAt(colIdx(i))) null
+                else rec.get(colIdx(i), colType(i)))
+            case _: LwesAggFunc.MaxCol =>
+              mergeMax(i, if (rec.isNullAt(colIdx(i))) null
+                else rec.get(colIdx(i), colType(i)))
+          }
+          i += 1
+        }
+      }
+      r.currentMetricsValues().foreach(m => metricAcc(m.name()) += m.value())
+    } finally r.close()
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    files.foreach { slice =>
+      if (tryFooter(slice).isEmpty) streamFile(slice)
+    }
+    val out = new GenericInternalRow(n)
+    var i = 0
+    while (i < n) {
+      funcs(i) match {
+        case LwesAggFunc.CountStar | _: LwesAggFunc.CountCol =>
+          out.update(i, counts(i))
+        case _ => out.update(i, values(i))
+      }
+      i += 1
+    }
+    row = out
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    metricAcc.toArray.map { case (k, v) => LwesTaskMetric(k, v) }
+}

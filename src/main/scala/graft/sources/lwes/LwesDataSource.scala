@@ -497,11 +497,13 @@ class LwesTable(schema: StructType, options: CaseInsensitiveStringMap)
 
 class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var readSchema: StructType = fullSchema
   private var partitionFilters: Array[Filter] = Array.empty
   private var pushedLimit: Int = -1
+  private var aggSpec: Option[LwesAggSpec] = None
 
   /** LIMIT n stops each partition's parse after n events (the global
     * limit still applies on top). Safe with the eventName filter
@@ -511,11 +513,76 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     false // partial: Spark keeps the global Limit node
   }
 
-  override def pruneColumns(required: StructType): Unit = {
-    // keep full-schema field order & types; required may reorder
+  override def pruneColumns(required: StructType): Unit = if (aggSpec.isEmpty) {
+    // keep full-schema field order & types; required may reorder.
+    // Skipped entirely once an aggregation pushed: the scan's output IS
+    // the aggregate schema, and Spark's own pruning rule defers to it.
     val keep = required.fieldNames.toSet
     val pruned = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
     readSchema = if (pruned.isEmpty) StructType(fullSchema.fields.take(1)) else pruned
+  }
+
+  /** A26: COUNT(*)/COUNT(col)/MIN/MAX with no grouping push into the
+    * scan as a PARTIAL aggregation — each partition emits one partial
+    * row and Spark plans the final merge, so the push is correct under
+    * any partitioning. Spark only offers an aggregation when every
+    * data filter was FULLY pushed; this source keeps every attribute
+    * filter residual, so aggregates arrive here exactly for unfiltered
+    * scans — the "how many events / what time span" journal queries
+    * that otherwise materialize billions of rows to count them. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (!options.getBoolean(LwesOptions.AggPushdown, true)) return false
+    if (agg.groupByExpressions.nonEmpty) return false
+    if (agg.aggregateExpressions.isEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val fieldByName = fullSchema.fields.map(f => f.name -> f).toMap
+    def orderable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | BooleanType | StringType | DateType |
+          TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    // MIN/MAX over a LongType receipt-time column is footer-answerable
+    // (exact per-frame bounds); any other column streams.
+    def receiptLong(c: String): Boolean =
+      receiptCols.contains(c) && fieldByName(c).dataType == LongType
+    import org.apache.spark.sql.connector.expressions.aggregate.{
+      Count, CountStar, Max, Min}
+    val funcs: Array[Option[(LwesAggFunc, StructField)]] =
+      agg.aggregateExpressions.map {
+        case _: CountStar => Some((LwesAggFunc.CountStar,
+          StructField("count_star", LongType, nullable = false)))
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).filter(fieldByName.contains).map(n =>
+            (LwesAggFunc.CountCol(n),
+              StructField(s"count_$n", LongType, nullable = false)))
+        case m: Min =>
+          colOf(m.column).filter(n => fieldByName.contains(n) &&
+            orderable(fieldByName(n).dataType)).map(n =>
+            (LwesAggFunc.MinCol(n, receiptLong(n)),
+              StructField(s"min_$n", fieldByName(n).dataType)))
+        case m: Max =>
+          colOf(m.column).filter(n => fieldByName.contains(n) &&
+            orderable(fieldByName(n).dataType)).map(n =>
+            (LwesAggFunc.MaxCol(n, receiptLong(n)),
+              StructField(s"max_$n", fieldByName(n).dataType)))
+        case _ => None // SUM/AVG/distinct/UDAF: decline, Spark keeps the plan
+      }
+    if (funcs.exists(_.isEmpty)) return false
+    val picked = funcs.map(_.get)
+    // footerOnly is finalized in build() (event-name filter and the
+    // explicit receipt-time admission window also gate it)
+    aggSpec = Some(LwesAggSpec(picked.map(_._1).toSeq,
+      StructType(picked.map(_._2)), footerOnly = picked.forall(_._1.footerable)))
+    true
   }
 
   // one listing per scan build — at journal scale (10^4-10^6 files)
@@ -681,9 +748,18 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     val (attrFor, eventFor) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
     val eventNames: Set[String] =
       eventName.map(Set(_)).getOrElse(eventFor.values.toSet)
-    val pcols = samplePartitionCols.toSeq.filter(readSchema.fieldNames.contains)
+    // with an aggregation pushed, the partitions' readers materialize
+    // only the aggregated columns (possibly none — pure COUNT(*) walks
+    // record boundaries without decoding a single attribute)
+    val dataSchema = aggSpec match {
+      case Some(spec) =>
+        val refd = spec.funcs.flatMap(_.col).toSet
+        StructType(fullSchema.fields.filter(f => refd.contains(f.name)))
+      case None => readSchema
+    }
+    val pcols = samplePartitionCols.toSeq.filter(dataSchema.fieldNames.contains)
     val ncol = Option(options.get(LwesOptions.EventNameColumn))
-      .filter(readSchema.fieldNames.contains)
+      .filter(dataSchema.fieldNames.contains)
     // explicit admission window (streaming backfills; also honored by
     // batch scans) tightens whatever the pushed filters derived
     val optLo =
@@ -696,9 +772,15 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
         Option(options.get(LwesOptions.ReceiptTimeMax)).map(_.toLong)
           .getOrElse(Long.MaxValue)
       else Long.MaxValue
-    new LwesScan(readSchema,
-      LwesReadConfig(readSchema, attrFor, eventFor, eventNames, pcols,
-        pushedLimit, ncol,
+    // footerOnly survives only when nothing record-level gates
+    // admission: an event-name filter or an explicit receipt-time
+    // admission window forces the streaming count
+    val finalAgg = aggSpec.map(s => s.copy(footerOnly = s.footerOnly &&
+      eventNames.isEmpty && optLo == Long.MinValue && optHi == Long.MaxValue &&
+      timeLo == Long.MinValue && timeHi == Long.MaxValue))
+    new LwesScan(finalAgg.map(_.schema).getOrElse(readSchema),
+      LwesReadConfig(dataSchema, attrFor, eventFor, eventNames, pcols,
+        if (finalAgg.isDefined) -1 else pushedLimit, ncol,
         // the vectorized batch path covers scalar columns AND array
         // columns over every element type the source can PRODUCE —
         // r15: primitive/string elements (append to the child vector,
@@ -708,8 +790,9 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
         // element shapes (array-of-array/map — junk for a 1-D wire
         // array either way) still route to the row reader, so no
         // source-derivable schema drags a mixed scan off the fast path
-        columnar = options.getBoolean(LwesOptions.Vectorized, true) &&
-          readSchema.fields.forall(_.dataType match {
+        columnar = finalAgg.isEmpty &&
+          options.getBoolean(LwesOptions.Vectorized, true) &&
+          dataSchema.fields.forall(_.dataType match {
             case ArrayType(et, _) => et match {
               case ShortType | IntegerType | LongType | FloatType |
                   DoubleType | BooleanType | StringType |
@@ -719,7 +802,7 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
             case _ => true
           }),
         attrFilters = attrFilters.toSeq
-          .filter(f => f.references.forall(readSchema.fieldNames.contains)),
+          .filter(f => f.references.forall(dataSchema.fieldNames.contains)),
         esfDefaults = Option(options.get(LwesOptions.Esf)).map { p =>
           val db = graft.lwes.Esf.load(p, LwesDataSource.hadoopConf())
           db.eventNames
@@ -739,7 +822,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       timeSlackMs = options.getLong(LwesOptions.TimePruneSlackMs, 3600000L),
       timeExactOnly = pruneMode == "exact",
       splitTargetBytes =
-        Option(options.get(LwesOptions.SplitTargetBytes)).map(_.toLong))
+        Option(options.get(LwesOptions.SplitTargetBytes)).map(_.toLong),
+      aggSpec = finalAgg)
   }
 }
 
@@ -821,7 +905,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     maxBytesPerTrigger: Option[Long] = None,
     timeLo: Long = Long.MinValue, timeHi: Long = Long.MaxValue,
     timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false,
-    splitTargetBytes: Option[Long] = None)
+    splitTargetBytes: Option[Long] = None,
+    aggSpec: Option[LwesAggSpec] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = schema
@@ -829,8 +914,10 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
   override def description(): String =
     s"LwesScan(events=${config.eventNames.mkString("|")}, " +
       s"cols=${schema.fieldNames.mkString(",")}" +
-      (if (config.attrFilters.isEmpty) ")"
-       else s", pushed=[${config.attrFilters.mkString(", ")}])")
+      (if (config.attrFilters.isEmpty) ""
+       else s", pushed=[${config.attrFilters.mkString(", ")}]") +
+      aggSpec.map(s => s", agg=[${s.funcs.mkString(", ")}]" +
+        (if (s.footerOnly) " footerOnly" else "")).getOrElse("") + ")"
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new EventsParsedMetric, new EventsSkippedMetric,
@@ -1079,11 +1166,18 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     case _ => true
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LwesPartitionReaderFactory(config,
+  override def createReaderFactory(): PartitionReaderFactory = aggSpec match {
+    case Some(spec) => new LwesAggReaderFactory(config, spec,
       SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()))
+    case None => new LwesPartitionReaderFactory(config,
+      SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()))
+  }
 
-  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream = {
+    // Spark never pushes aggregations into a streaming relation; guard
+    // the assumption so a future planner change fails loudly instead of
+    // streaming partial rows under a batch-agg schema.
+    require(aggSpec.isEmpty, "aggregate pushdown is batch-only")
     // streaming stays row-based: micro-batches are admission-bounded and
     // small, so vectorization buys little and widens the stateful-op
     // surface under test
@@ -1091,6 +1185,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       maxFilesPerTrigger, checkpointLocation, maxBytesPerTrigger,
       timeLo = timeLo, timeHi = timeHi, timeSlackMs = timeSlackMs,
       timeExactOnly = timeExactOnly, splitTargetBytes = splitTargetBytes)
+  }
 }
 
 object LwesScan {

@@ -50,6 +50,51 @@ final case class LwesReadConfig(
   def attrOf(col: String): String = attrFor.getOrElse(col, col)
 }
 
+/** One aggregate function pushed into the scan (A26). `col` names a
+  * column of the read schema; `footerable` marks functions whose value
+  * the `.zsj` footer index answers exactly without decompressing any
+  * frame — COUNT(*) (per-frame record counts) and MIN/MAX over a
+  * LongType ReceiptTime header column (per-frame exact receipt bounds,
+  * tight by construction: the writer computes them from the records). */
+sealed trait LwesAggFunc extends Serializable {
+  def col: Option[String]
+  def footerable: Boolean
+}
+object LwesAggFunc {
+  case object CountStar extends LwesAggFunc {
+    val col: Option[String] = None
+    val footerable = true
+  }
+  /** COUNT(col): non-null values — never footer-answerable (the footer
+    * does not know how many records omit an attribute). */
+  final case class CountCol(c: String) extends LwesAggFunc {
+    def col: Option[String] = Some(c)
+    val footerable = false
+  }
+  final case class MinCol(c: String, fromReceipt: Boolean) extends LwesAggFunc {
+    def col: Option[String] = Some(c)
+    def footerable: Boolean = fromReceipt
+  }
+  final case class MaxCol(c: String, fromReceipt: Boolean) extends LwesAggFunc {
+    def col: Option[String] = Some(c)
+    def footerable: Boolean = fromReceipt
+  }
+}
+
+/** Aggregation pushed into an [[LwesScan]] (A26): the scan emits ONE
+  * partial row per partition (Spark plans the final merge — partial
+  * pushdown, always correct under re-aggregation). `schema` is the
+  * scan's output schema, one field per function in order; `inner` is
+  * the attribute projection the stream path must materialize (empty for
+  * pure COUNT(*)). `footerOnly` = every function is footer-answerable
+  * AND nothing record-level gates admission (no event-name filter, no
+  * receipt-time window), so a `.zsj` partition may be answered from its
+  * footer index alone — zero decompression, zero parsing. Files without
+  * a usable footer (gzip journals, torn `.zsj`) always fall back to the
+  * streaming count, so the fast path never changes results. */
+final case class LwesAggSpec(funcs: Seq[LwesAggFunc], schema: StructType,
+    footerOnly: Boolean) extends Serializable
+
 object LwesOptions {
   val EventName = "eventName"
   // read: add a string column carrying each event's wire type;
@@ -97,6 +142,12 @@ object LwesOptions {
   // vectors instead of one GenericInternalRow each, feeding ColumnarToRow
   // codegen from flat arrays; batch scans only (streaming stays row-based)
   val Vectorized = "vectorized"
+  // aggregate pushdown (default true): unfiltered COUNT/MIN/MAX queries
+  // collapse to one partial row per partition inside the scan; COUNT(*)
+  // over `.zsj` journals is answered from footer record counts without
+  // decompressing a single frame (A26). Escape hatch only — partial
+  // pushdown is always correct under Spark's final re-aggregation.
+  val AggPushdown = "aggPushdown"
   // STREAMING SINK auto-compaction: with `autoCompactTarget` set, every
   // `autoCompactEveryEpochs`-th epoch commit (default 10) runs [[Compact]]
   // over the sink directory after the manifest lands, rewriting the

@@ -1,0 +1,215 @@
+package graft.sources
+
+import graft.lwes.{JournalWriter, LwesEvent, SplitJournalWriter}
+import graft.sources.lwes.LwesScan
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** A26 — aggregate pushdown: COUNT(*)/COUNT(col)/MIN/MAX collapse to
+  * one partial row per partition inside the scan; COUNT(*) (and MIN/MAX
+  * over a LongType ReceiptTime column) over `.zsj` journals is answered
+  * from the footer index without decompressing a frame. */
+class LwesAggPushdownSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("lwes-agg").toString
+
+  private val T0 = 1700000000000L
+
+  /** n events over `parts` .zsj journals; every 5th event omits `score`
+    * (NULL), every 4th carries no receipt time. */
+  private def writeZsj(dir: String, n: Int, parts: Int = 3,
+      frameRawBytes: Int = 4 << 20): Unit =
+    (0 until parts).foreach { p =>
+      val w = new SplitJournalWriter(
+        new java.io.FileOutputStream(s"$dir/part-$p.journal.zsj"), frameRawBytes)
+      (p until n by parts).foreach { i =>
+        val e = LwesEvent(if (i % 3 == 0) "Ad::Click" else "Ad::View")
+          .setInt64("id", i.toLong)
+          .setString("page", s"/p/${i % 10}")
+        if (i % 5 != 0) e.setInt32("score", i)
+        if (i % 4 != 0) e.setInt64(LwesEvent.ReceiptTime, T0 + i)
+        w.write(e)
+      }
+      w.close()
+    }
+
+  private def rd(dir: String, extra: (String, String)*): DataFrame = {
+    val base = spark.read.format("lwes")
+      .schema("id long, page string, score int")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+  }
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def parsed(df: DataFrame): Long =
+    LwesScan.scanMetricSum(df.queryExecution.executedPlan, "eventsParsed")
+
+  test("COUNT(*) over .zsj is answered from footers: zero events parsed") {
+    val dir = tmp()
+    writeZsj(dir, 900)
+    val q = rd(dir).agg(count(lit(1)).as("n"))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(900L))
+    assert(plan(q).contains("agg=[CountStar] footerOnly"), plan(q))
+    assert(parsed(q) == 0L, "footer path must not parse a single event")
+  }
+
+  test("COUNT(*) over gzip journals pushes but streams") {
+    val dir = tmp()
+    val w = JournalWriter.create(s"$dir/j.gz")
+    (0 until 123).foreach(i =>
+      w.write(LwesEvent("G::E").setInt64("id", i.toLong)))
+    w.close()
+    val q = rd(dir).agg(count(lit(1)).as("n"))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(123L))
+    assert(plan(q).contains("agg=[CountStar]"), plan(q))
+    assert(parsed(q) == 123L) // no footer to consult — streamed count
+  }
+
+  test("MIN/MAX/COUNT(col) parity with the unpushed plan, nulls ignored") {
+    val dir = tmp()
+    writeZsj(dir, 900)
+    def agg(df: DataFrame) = df.agg(
+      min(col("id")).as("mn_id"), max(col("id")).as("mx_id"),
+      min(col("page")).as("mn_pg"), max(col("page")).as("mx_pg"),
+      count(col("score")).as("n_score"), count(lit(1)).as("n"))
+    val pushed = agg(rd(dir))
+    val plain = agg(rd(dir, graft.sources.lwes.LwesOptions.AggPushdown -> "false"))
+    assert(plan(pushed).contains("agg=[MinCol(id,false)"), plan(pushed))
+    assert(!plan(plain).contains("agg=["), plan(plain))
+    assert(pushed.collect().toSeq == plain.collect().toSeq)
+    // 900 events, every 5th missing score -> 720 non-null
+    assert(pushed.collect()(0).getLong(4) == 720L)
+  }
+
+  test("MIN/MAX over a LongType receipt column rides the footer bounds") {
+    val dir = tmp()
+    // every record carries a receipt here: a journal header always has
+    // one (unset stamps 0), so holes would legitimately pull min to 0
+    // on BOTH paths — that equivalence is asserted below either way
+    (0 until 3).foreach { p =>
+      val w = new SplitJournalWriter(
+        new java.io.FileOutputStream(s"$dir/r-$p.journal.zsj"), 4 << 20)
+      (p until 900 by 3).foreach(i => w.write(LwesEvent("Ad::View")
+        .setInt64("id", i.toLong)
+        .setInt64(LwesEvent.ReceiptTime, T0 + i)))
+      w.close()
+    }
+    def r = spark.read.format("lwes")
+      .schema("rt long").option("mapping", s"rt:${LwesEvent.ReceiptTime}")
+      .load(dir)
+    val q = r.agg(min(col("rt")).as("mn"), max(col("rt")).as("mx"),
+      count(lit(1)).as("n"))
+    val rows = q.collect()
+    assert(plan(q).contains("footerOnly"), plan(q))
+    assert(parsed(q) == 0L, "receipt bounds come from the footer index")
+    val expect = spark.read.format("lwes")
+      .schema("rt long").option("mapping", s"rt:${LwesEvent.ReceiptTime}")
+      .option(graft.sources.lwes.LwesOptions.AggPushdown, "false").load(dir)
+      .agg(min(col("rt")), max(col("rt")), count(lit(1))).collect()
+    assert(rows.toSeq == expect.toSeq)
+    assert(rows(0).getLong(0) == T0 && rows(0).getLong(1) == T0 + 899)
+  }
+
+  test("a residual data filter blocks aggregate pushdown") {
+    val dir = tmp()
+    writeZsj(dir, 900)
+    val q = rd(dir).filter(col("score") > 100).agg(count(lit(1)).as("n"))
+    assert(!plan(q).contains("agg=["), plan(q))
+    val expect = rd(dir, graft.sources.lwes.LwesOptions.AggPushdown -> "false")
+      .filter(col("score") > 100).agg(count(lit(1))).collect()
+    assert(q.collect().toSeq == expect.toSeq)
+  }
+
+  test("eventName filter keeps the push but forces the streamed count") {
+    val dir = tmp()
+    writeZsj(dir, 900)
+    val q = rd(dir, "eventName" -> "Ad::Click").agg(count(lit(1)).as("n"))
+    assert(plan(q).contains("agg=[CountStar]") &&
+      !plan(q).contains("footerOnly"), plan(q))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(300L)) // i % 3 == 0
+    assert(parsed(q) == 300L)
+  }
+
+  test("range-sliced fat .zsj partitions fold disjoint footer spans") {
+    val dir = tmp()
+    // one fat multi-frame journal, tiny frames + tiny split target ->
+    // several range slices over the same file; each slice must count
+    // exactly the frames it owns (no double-count, no gap)
+    writeZsj(dir, 4000, parts = 1, frameRawBytes = 2048)
+    val q = spark.read.format("lwes")
+      .schema("id long, page string, score int")
+      .option("splitTargetBytes", "4096").load(dir)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    // min(id) is not footer-answerable -> whole query streams; check
+    // the pure-count shape separately for the footer proof
+    val c = spark.read.format("lwes")
+      .schema("id long").option("splitTargetBytes", "4096").load(dir)
+      .agg(count(lit(1)).as("n"))
+    assert(c.queryExecution.executedPlan.toString.contains("footerOnly"))
+    assert(c.collect().map(_.getLong(0)).toSeq == Seq(4000L))
+    assert(parsed(c) == 0L)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((4000L, 0L)))
+  }
+
+  test("footerless .zsj falls back to the streamed count") {
+    val dir = tmp()
+    val fos = new java.io.FileOutputStream(s"$dir/torn.journal.zsj")
+    val w = new SplitJournalWriter(fos, frameRawBytes = 8 << 20)
+    (0 until 50).foreach(i =>
+      w.write(LwesEvent("Sp::E").setInt64("id", i.toLong)))
+    w.flushOpenFrame()
+    fos.close() // abandoned: no close(), no footer
+    val q = spark.read.format("lwes").schema("id long").load(dir)
+      .agg(count(lit(1)).as("n"))
+    assert(plan(q).contains("footerOnly"), plan(q)) // planned for footers...
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(50L))
+    assert(parsed(q) == 50L) // ...but this file had none: streamed
+  }
+
+  test("a receipt-time admission window disables the footer shortcut") {
+    val dir = tmp()
+    writeZsj(dir, 900)
+    def windowed(push: Boolean) = spark.read.format("lwes")
+      .schema("id long")
+      .option("receiptTimeMin", (T0 + 100).toString)
+      .option("receiptTimeMax", (T0 + 500).toString)
+      .option(graft.sources.lwes.LwesOptions.AggPushdown, push.toString)
+      .load(dir).agg(count(lit(1)).as("n"))
+    val q = windowed(push = true)
+    assert(plan(q).contains("agg=[CountStar]") &&
+      !plan(q).contains("footerOnly"), plan(q))
+    // window admission is file/frame-granular either way: pushed and
+    // unpushed counts must agree exactly
+    assert(q.collect().toSeq == windowed(push = false).collect().toSeq)
+  }
+
+  test("empty directory aggregates to count 0 / NULL min") {
+    val dir = tmp()
+    val q = rd(dir).agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("SUM and grouped aggregates are declined, results stay correct") {
+    val dir = tmp()
+    writeZsj(dir, 300)
+    val s = rd(dir).agg(sum(col("id")).as("s"))
+    assert(!plan(s).contains("agg=["), plan(s))
+    assert(s.collect()(0).getLong(0) == (0 until 300).map(_.toLong).sum)
+    val g = rd(dir).groupBy(col("page")).agg(count(lit(1)).as("n"))
+    assert(!plan(g).contains("agg=["), plan(g))
+    assert(g.collect().map(_.getLong(1)).sum == 300L)
+  }
+}
