@@ -381,6 +381,55 @@ object LwesQueries {
         |  max(o_totalprice) AS max_total, count(o_orderpriority) AS n_pri
         |FROM orders""".stripMargin)),
 
+    // A27 (r18): attribute zone-map sidecars. Four journals with
+    // DISJOINT o_orderkey quartile ranges; a pushed okey <= max/4
+    // predicate must drop the three upper-range FILES at plan time
+    // from their sidecar stats alone — the in-gate require reads the
+    // scan's statsPrunedFileCount, which the residual Filter cannot
+    // influence. The oracle replays the same predicate over parquet.
+    "lwes_stats_prune" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"statsq|$d") { dir =>
+          val orders = t(s, d, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+          (0L until 4L).foreach { q =>
+            // orderkeys are 0-based in the testdata: the first range's
+            // lower bound must admit key 0
+            val lo = if (q == 0) -1L else mx * q / 4
+            orders.filter(col("o_orderkey") > lit(lo) &&
+                col("o_orderkey") <= lit(mx * (q + 1) / 4))
+              .repartition(1)
+              .write.format("lwes").option("eventName", "Order::Stats")
+              .mode("append").save(dir)
+          }
+        }
+        val mx = t(s, d, "orders")
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        val df = s.read.format("lwes")
+          .schema("okey long, total double, priority string")
+          .option("eventName", "Order::Stats")
+          .option("mapping",
+            "okey:o_orderkey, total:o_totalprice, priority:o_orderpriority")
+          .load(dir)
+          .filter(col("okey") <= lit(mx / 4))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("total")), 2).as("total_price"),
+            max(col("priority")).as("max_pri"))
+        val rows = df.collect()
+        val pruned = graft.sources.lwes.LwesScan
+          .scansIn(df.queryExecution.executedPlan)
+          .map(_.statsPrunedFileCount)
+        require(pruned.exists(_ >= 3),
+          s"zone-map sidecars pruned no files (statsPruned per scan: " +
+            s"${pruned.mkString(",")}; expected >= 3 of 4)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+        |  max(o_orderpriority) AS max_pri
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin)),
+
     // A5: attribute→column renaming via the mapping option.
     "lwes_col_mapping" -> ((
       (s: SparkSession, d: String) => {

@@ -188,10 +188,21 @@ object Compact {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
       .zipWithIndex.foreach { case (s, i) =>
         val ext = s.getPath.getName.substring(s.getPath.getName.lastIndexOf('.'))
-        if (!fs.rename(s.getPath, new Path(p, f"compact-$tag-$i%05d$ext")))
+        val dest = new Path(p, f"compact-$tag-$i%05d$ext")
+        if (!fs.rename(s.getPath, dest))
           throw new java.io.IOException(s"promote ${s.getPath} failed")
+        // carry the A27 zone-map sidecar across the rename (it pins
+        // only the journal's byte length, which a rename preserves);
+        // the brief sidecar-less window just reads as "no stats"
+        val sc = LwesStats.sidecarPath(s.getPath)
+        if (fs.exists(sc)) fs.rename(sc, LwesStats.sidecarPath(dest))
       }
-    goodBefore.foreach(s => fs.delete(s.getPath, false))
+    goodBefore.foreach { s =>
+      fs.delete(s.getPath, false)
+      // reap the replaced journal's sidecar too — stale (length-pinned)
+      // but no reason to litter
+      fs.delete(LwesStats.sidecarPath(s.getPath), false)
+    }
     fs.delete(tmp, true)
     // "after" counts every visible top-level journal (the fresh
     // compact-* files post-date the stability horizon by construction)

@@ -823,7 +823,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       timeExactOnly = pruneMode == "exact",
       splitTargetBytes =
         Option(options.get(LwesOptions.SplitTargetBytes)).map(_.toLong),
-      aggSpec = finalAgg)
+      aggSpec = finalAgg,
+      statsPrune = options.getBoolean(LwesOptions.StatsPrune, true))
   }
 }
 
@@ -893,6 +894,12 @@ private[lwes] class RowsFilteredMetric
   override def description(): String =
     "records dropped by pushed attribute predicates during parse"
 }
+private[lwes] class StatsPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesPrunedByStats"
+  override def description(): String =
+    "journals skipped by attribute zone-map sidecars"
+}
 private[lwes] final case class LwesTaskMetric(metricName: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = metricName
@@ -906,7 +913,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     timeLo: Long = Long.MinValue, timeHi: Long = Long.MaxValue,
     timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false,
     splitTargetBytes: Option[Long] = None,
-    aggSpec: Option[LwesAggSpec] = None)
+    aggSpec: Option[LwesAggSpec] = None,
+    statsPrune: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = schema
@@ -922,7 +930,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new EventsParsedMetric, new EventsSkippedMetric,
       new TornFilesMetric, new CorruptRecordsMetric, new FilesPrunedMetric,
-      new FramesPrunedMetric, new RowsFilteredMetric)
+      new FramesPrunedMetric, new RowsFilteredMetric, new StatsPrunedMetric)
 
   /** Driver-side planning metrics: files/split-frames the ReceiptTime
     * bounds skipped (visible in the SQL UI next to the task metrics). */
@@ -930,7 +938,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
     plannedPartitions // ensure planning ran
     Array(LwesTaskMetric("filesPruned", prunedFileCount),
-      LwesTaskMetric("framesPruned", prunedFrames))
+      LwesTaskMetric("framesPruned", prunedFrames),
+      LwesTaskMetric("filesPrunedByStats", statsPruned))
   }
 
   @volatile private var prunedFiles = 0L
@@ -1009,11 +1018,31 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           LwesDataSource.partitionValues(f.getPath, roots),
           LwesDataSource.hostsOf(f)))
       }.toArray
-      val fileSlices = allSlices.filter { case (_, p) =>
+      val partSlices = allSlices.filter { case (_, p) =>
         (partitionFilters ++ runtimeFilters)
           .forall(matches(p.partitionValues, _))
       }
-      partitionPruned = (allSlices.length - fileSlices.length).toLong
+      partitionPruned = (allSlices.length - partSlices.length).toLong
+      // A27 zone-map pruning: pushed attribute predicates vs per-file
+      // sidecar stats, AFTER the free prunes (names, partitions) so
+      // the sidecar read wave only covers surviving candidates. ESF
+      // read defaults disable it (a default can satisfy what the wire
+      // values cannot); a missing/stale sidecar keeps its file.
+      val statsEligible = statsPrune && config.attrFilters.nonEmpty &&
+        config.esfDefaults.isEmpty
+      val fileSlices = if (!statsEligible) partSlices else {
+        prefetchStats(partSlices, conf)
+        val typeOf = (c: String) =>
+          config.schema.fields.find(_.name == c).map(_.dataType)
+        partSlices.filter { case (f, s) =>
+          statsCache.getOrDefault(statsKey(f, s), None) match {
+            case Some(st) =>
+              !LwesStats.canSkip(st, config.attrFilters, config.attrOf, typeOf)
+            case None => true
+          }
+        }
+      }
+      statsPruned = (partSlices.length - fileSlices.length).toLong
       val (maxBytes, openCost, parallelism) =
         try {
           val sc = org.apache.spark.sql.SparkSession.active.sparkContext
@@ -1050,6 +1079,67 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
   }
 
   @volatile private var prunedFrames = 0L
+  @volatile private var statsPruned = 0L
+
+  /** Files dropped by attribute zone-map sidecars (A27) — same number
+    * as the `filesPrunedByStats` driver metric. Nonzero proves the drop
+    * happened at PLAN time from sidecar stats alone, since the residual
+    * Filter above the scan cannot remove files. */
+  def statsPrunedFileCount: Long = { plannedPartitions; statsPruned }
+
+  /** Sidecar stats cache, (path, len, mtime)-keyed like the footer
+    * cache and for the same reason: DPP replans must not repeat the
+    * driver-side read wave. None = absent/stale/unparseable (kept). */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Option[LwesStats.FileStats]]()
+
+  private def statsKey(f: FileStatus, s: LwesInputPartition) =
+    (s.path, s.length, f.getModificationTime)
+
+  private def readSidecarOf(s: LwesInputPartition, conf: Configuration)
+      : Option[LwesStats.FileStats] =
+    try {
+      val p = LwesStats.sidecarPath(new Path(s.path))
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      if (len > (1 << 20)) return None // not one of ours
+      val in = fs.open(p)
+      val bytes = new Array[Byte](len.toInt)
+      try in.readFully(0, bytes) finally in.close()
+      LwesStats.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        .filter(_.fileLen == s.length) // stale (rewritten file): ignore
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"failed to read stats sidecar of ${s.path} " +
+          s"(${e.getMessage}); file kept")
+        None
+    }
+
+  /** Bounded-pool sidecar prefetch (the footer-prefetch pattern): the
+    * per-file reads are latency-bound tail requests, so 16-way overlap
+    * keeps planning a short wave even at journal-directory scale. */
+  private def prefetchStats(targets: Seq[(FileStatus, LwesInputPartition)],
+      conf: Configuration): Unit = {
+    val missing = targets.filter { case (f, s) =>
+      !statsCache.containsKey(statsKey(f, s)) }
+    if (missing.isEmpty) return
+    if (missing.size == 1) {
+      val (f, s) = missing.head
+      statsCache.put(statsKey(f, s), readSidecarOf(s, conf))
+      return
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, missing.size))
+    try {
+      missing.map { case (f, s) =>
+        pool.submit(new java.lang.Runnable {
+          override def run(): Unit =
+            statsCache.put(statsKey(f, s), readSidecarOf(s, conf))
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+  }
 
   /** Parsed `.zsj` footer indexes for this scan, keyed by
     * (path, length, mtime) so an overwritten file re-reads. Runtime

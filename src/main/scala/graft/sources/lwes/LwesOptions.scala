@@ -142,6 +142,15 @@ object LwesOptions {
   // vectors instead of one GenericInternalRow each, feeding ColumnarToRow
   // codegen from flat arrays; batch scans only (streaming stays row-based)
   val Vectorized = "vectorized"
+  // attribute zone maps (A27). Write side (`writeStats`, default true):
+  // batch writes drop a hidden `.<journal>.stats` sidecar with per-attr
+  // record counts and integral/ASCII-string min/max. Read side
+  // (`statsPrune`, default true): pushed attribute predicates drop
+  // whole files whose sidecar proves no record can match — before any
+  // open or decompress. Sound by construction (see LwesStats); missing
+  // /stale/foreign sidecars simply keep the file.
+  val WriteStats = "writeStats"
+  val StatsPrune = "statsPrune"
   // aggregate pushdown (default true): unfiltered COUNT/MIN/MAX queries
   // collapse to one partial row per partition inside the scan; COUNT(*)
   // over `.zsj` journals is answered from footer record counts without

@@ -1,0 +1,329 @@
+package graft.sources.lwes
+
+import graft.lwes.{LwesEvent, LwesType}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Per-file attribute ZONE MAPS (A27): the batch writer drops a tiny
+  * hidden sidecar (`.<journal>.stats`) beside every journal recording,
+  * per attribute, the record count and the min/max over a sound value
+  * class — integral-as-long or ASCII string bytes. A pushed attribute
+  * predicate then prunes WHOLE FILES at plan time, before any open or
+  * decompress: the journal-format counterpart of a parquet footer's
+  * column statistics, and (with the `.t` receipt tags, A21) the second
+  * half of "filters never decompress what they cannot match".
+  *
+  * Soundness contract — a file is dropped only when the pushed
+  * CONJUNCTION is provably unsatisfiable for every record:
+  *   - All prunable filter shapes are null-rejecting, and a record
+  *     missing the attribute reads as NULL, so a file whose sidecar is
+  *     COMPLETE and lacks the attribute entirely satisfies nothing.
+  *   - Integral stats are min/max over the reader's own long
+  *     interpretation (uint64 = raw-bits wrap, matching the read
+  *     conversion); pruning additionally requires the stats range to
+  *     fit the column's type exactly, so narrowing reads cannot reorder
+  *     values around the bounds.
+  *   - String stats prune only when every observed value was pure
+  *     ASCII, where wire bytes = UTF-8 bytes = the read-back value
+  *     under EVERY supported charset (the A11 early-reject rule), and
+  *     comparisons are unsigned byte-wise — exactly `UTF8String`'s
+  *     total order. Over-long maxima record "+inf" (a truncated prefix
+  *     under-estimates a max; minima truncate soundly).
+  *   - Header-derived pseudo-attributes (ReceiptTime, SenderIP, ...)
+  *     never prune here: the journal layer materializes 0-defaults for
+  *     them, so "attribute absent" does NOT read back as NULL.
+  *   - ESF read defaults disable stats pruning wholesale (a default can
+  *     satisfy a predicate the file's wire values cannot).
+  *   - The sidecar pins the journal's byte length; a mismatch (foreign
+  *     file, rewrite, torn copy) makes it stale and ignored.
+  * A missing/stale/unparseable sidecar, a mixed-type attribute, or any
+  * unhandled filter shape simply keeps the file — pruning is an
+  * optimization, never a semantic.
+  *
+  * The reference has no counterpart: its only scan-narrowing device is
+  * directory partitioning (README `PARTITIONED BY(dt STRING)`).
+  */
+object LwesStats {
+  val Magic = "gstats1"
+  /** Attribute cap: past it the sidecar is marked incomplete (absent
+    * entries stop proving absence). 128 covers any sane event family. */
+  val MaxAttrs = 128
+  /** String bound cap, bytes. */
+  val MaxStrBytes = 64
+
+  /** Header pseudo-attributes (journal layer stamps 0-defaults — absent
+    * never means NULL, so missing-attr pruning is unsound for them). */
+  private val headerAttrs: Set[String] = Set(LwesEvent.ReceiptTime,
+    LwesEvent.SenderIp, LwesEvent.SenderPort, LwesEvent.SiteId)
+
+  def sidecarPath(journal: Path): Path =
+    new Path(journal.getParent, s".${journal.getName}.stats")
+
+  /** Value-class kinds: 'l' integral (long interpretation), 's' ASCII
+    * string, 'x' present-but-unprunable (floats, arrays, mixed, ...). */
+  final case class AttrStats(kind: Char, count: Long,
+      minL: Long, maxL: Long,
+      minS: Array[Byte], maxS: Array[Byte], maxSInf: Boolean, ascii: Boolean)
+
+  final case class FileStats(fileLen: Long, records: Long,
+      complete: Boolean, attrs: Map[String, AttrStats])
+
+  // ---------------------------------------------------------- tracker
+
+  private final class Mut {
+    var kind: Char = 0
+    var count = 0L
+    var minL = Long.MaxValue
+    var maxL = Long.MinValue
+    var minS: Array[Byte] = null
+    var maxS: Array[Byte] = null
+    var maxSInf = false
+    var ascii = true
+  }
+
+  /** Write-side accumulator; one per open journal. Not thread-safe
+    * (a DataWriter is single-threaded). */
+  final class Tracker {
+    private val m = scala.collection.mutable.LinkedHashMap.empty[String, Mut]
+    private var records = 0L
+    private var complete = true
+
+    def observe(ev: LwesEvent): Unit = {
+      records += 1
+      var i = 0
+      val attrs = ev.attrs
+      while (i < attrs.length) {
+        val a = attrs(i)
+        val s = m.getOrElse(a.key, {
+          if (m.size >= MaxAttrs) { complete = false; null }
+          else { val x = new Mut; m.update(a.key, x); x }
+        })
+        if (s != null) {
+          s.count += 1
+          val k = classOf(a.token)
+          if (s.kind == 0) s.kind = k
+          else if (s.kind != k) s.kind = 'x' // mixed: unprunable
+          if (s.kind == 'l') {
+            val v = longOf(a.token, a.value)
+            if (v < s.minL) s.minL = v
+            if (v > s.maxL) s.maxL = v
+          } else if (s.kind == 's') {
+            val str = a.value.asInstanceOf[String]
+            if (s.ascii) {
+              var j = 0
+              while (j < str.length && str.charAt(j) < 0x80) j += 1
+              if (j < str.length) s.ascii = false
+            }
+            val b = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            if (s.minS == null || cmpB(b, s.minS) < 0)
+              s.minS = if (b.length <= MaxStrBytes) b
+                else java.util.Arrays.copyOf(b, MaxStrBytes) // prefix ≤ value: sound lower bound
+            if (!s.maxSInf && (s.maxS == null || cmpB(b, s.maxS) > 0)) {
+              if (b.length <= MaxStrBytes) s.maxS = b
+              else { s.maxS = null; s.maxSInf = true } // truncation would UNDER-state a max
+            }
+          }
+        }
+        i += 1
+      }
+    }
+
+    def serialize(fileLen: Long): String = {
+      val sb = new StringBuilder
+      sb.append(s"$Magic len=$fileLen records=$records complete=")
+        .append(if (complete) "1" else "0").append('\n')
+      val b64 = java.util.Base64.getEncoder
+      m.foreach { case (name, s) =>
+        val enc = java.net.URLEncoder.encode(name, "UTF-8")
+        s.kind match {
+          case 'l' => sb.append(s"a=$enc k=l n=${s.count} mn=${s.minL} mx=${s.maxL}\n")
+          case 's' =>
+            val mn = if (s.minS == null) "" else b64.encodeToString(s.minS)
+            val mx = if (s.maxS == null) "" else b64.encodeToString(s.maxS)
+            sb.append(s"a=$enc k=s n=${s.count} smn=$mn smx=$mx " +
+              s"sinf=${if (s.maxSInf) 1 else 0} ascii=${if (s.ascii) 1 else 0}\n")
+          case _ => sb.append(s"a=$enc k=x n=${s.count}\n")
+        }
+      }
+      sb.toString
+    }
+  }
+
+  private def classOf(token: Byte): Char = token match {
+    case LwesType.UInt16 | LwesType.Int16 | LwesType.UInt32 |
+        LwesType.Int32 | LwesType.Int64 | LwesType.UInt64 => 'l'
+    case LwesType.Str => 's'
+    case _ => 'x'
+  }
+
+  /** The reader's own long interpretation of an integral attr value
+    * (uint64 stays raw-bits, exactly what a LongType column reads). */
+  private def longOf(token: Byte, v: Any): Long = token match {
+    case LwesType.UInt16 => v.asInstanceOf[Int].toLong
+    case LwesType.Int16 => v.asInstanceOf[Short].toLong
+    case LwesType.UInt32 | LwesType.Int64 | LwesType.UInt64 =>
+      v.asInstanceOf[Long]
+    case LwesType.Int32 => v.asInstanceOf[Int].toLong
+    case other => throw new IllegalStateException(s"not integral: $other")
+  }
+
+  private def cmpB(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  // ----------------------------------------------------------- parser
+
+  /** Strict parse; anything unexpected → None (file is kept). */
+  def parse(text: String): Option[FileStats] = try {
+    val lines = text.linesIterator.toArray
+    if (lines.isEmpty) return None
+    val head = kv(lines(0).stripPrefix(Magic + " "))
+    if (!lines(0).startsWith(Magic + " ")) return None
+    val b64 = java.util.Base64.getDecoder
+    val attrs = lines.iterator.drop(1).filter(_.nonEmpty).map { ln =>
+      val f = kv(ln)
+      val name = java.net.URLDecoder.decode(f("a"), "UTF-8")
+      val st = f("k") match {
+        case "l" => AttrStats('l', f("n").toLong, f("mn").toLong,
+          f("mx").toLong, null, null, maxSInf = false, ascii = false)
+        case "s" => AttrStats('s', f("n").toLong, 0L, 0L,
+          if (f("smn").isEmpty) null else b64.decode(f("smn")),
+          if (f("smx").isEmpty) null else b64.decode(f("smx")),
+          maxSInf = f("sinf") == "1", ascii = f("ascii") == "1")
+        case _ => AttrStats('x', f("n").toLong, 0L, 0L, null, null,
+          maxSInf = false, ascii = false)
+      }
+      name -> st
+    }.toMap
+    Some(FileStats(head("len").toLong, head("records").toLong,
+      head("complete") == "1", attrs))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def kv(line: String): Map[String, String] =
+    line.split(' ').iterator.filter(_.contains('=')).map { t =>
+      val i = t.indexOf('=')
+      t.substring(0, i) -> t.substring(i + 1)
+    }.toMap
+
+  // ----------------------------------------------------------- pruner
+
+  private def typeRange(dt: DataType): Option[(Long, Long)] = dt match {
+    case ByteType => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
+    case ShortType => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
+    case IntegerType => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+    case LongType => Some((Long.MinValue, Long.MaxValue))
+    case _ => None
+  }
+
+  /** Smallest byte string strictly above every string with prefix `p`
+    * (None when `p` is all-0xff — no upper bound). */
+  private def prefixSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val r = java.util.Arrays.copyOf(p, i + 1)
+      r(i) = (r(i) + 1).toByte
+      Some(r)
+    }
+  }
+
+  /** True ⇔ `stats` proves NO record of the file can satisfy every
+    * pushed filter (they are conjuncts, so one impossible filter
+    * suffices). `attrOf` maps column → wire attribute; `typeOf` gives
+    * the column's read type. */
+  def canSkip(stats: FileStats, filters: Seq[Filter],
+      attrOf: String => String, typeOf: String => Option[DataType]): Boolean =
+    filters.exists(f => unsatisfiable(stats, f, attrOf, typeOf))
+
+  private def unsatisfiable(stats: FileStats, filter: Filter,
+      attrOf: String => String, typeOf: String => Option[DataType]): Boolean = {
+    def col(f: Filter): Option[String] = f match {
+      case EqualTo(a, _) => Some(a)
+      case GreaterThan(a, _) => Some(a)
+      case GreaterThanOrEqual(a, _) => Some(a)
+      case LessThan(a, _) => Some(a)
+      case LessThanOrEqual(a, _) => Some(a)
+      case In(a, _) => Some(a)
+      case IsNotNull(a) => Some(a)
+      case StringStartsWith(a, _) => Some(a)
+      case _ => None // unknown shape: never prune on it
+    }
+    val c = col(filter).getOrElse(return false)
+    val attr = attrOf(c)
+    if (headerAttrs.contains(attr)) return false
+    stats.attrs.get(attr) match {
+      case None =>
+        // every prunable shape is null-rejecting; a complete sidecar
+        // without the attr means every record reads NULL there
+        stats.complete
+      case Some(e) =>
+        typeOf(c) match {
+          case Some(StringType) if e.kind == 's' && e.ascii =>
+            stringUnsat(e, filter)
+          case Some(dt) if e.kind == 'l' =>
+            typeRange(dt) match {
+              case Some((lo, hi)) if e.minL >= lo && e.maxL <= hi =>
+                longUnsat(e, filter)
+              case _ => false // narrowing read could reorder: keep
+            }
+          case _ => false // class mismatch / unprunable kind
+        }
+    }
+  }
+
+  private def longUnsat(e: AttrStats, filter: Filter): Boolean = {
+    def lv(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    filter match {
+      case EqualTo(_, v) => lv(v).exists(x => x < e.minL || x > e.maxL)
+      case GreaterThan(_, v) => lv(v).exists(x => e.maxL <= x)
+      case GreaterThanOrEqual(_, v) => lv(v).exists(x => e.maxL < x)
+      case LessThan(_, v) => lv(v).exists(x => e.minL >= x)
+      case LessThanOrEqual(_, v) => lv(v).exists(x => e.minL > x)
+      case In(_, vs) if vs.nonEmpty =>
+        vs.forall(v => lv(v).exists(x => x < e.minL || x > e.maxL))
+      case _ => false
+    }
+  }
+
+  private def stringUnsat(e: AttrStats, filter: Filter): Boolean = {
+    if (e.minS == null) return false // no value observed (kind-s via mix)
+    def bytes(v: Any): Option[Array[Byte]] = v match {
+      case s: String =>
+        Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+    def belowMin(b: Array[Byte]): Boolean = cmpB(b, e.minS) < 0
+    def aboveMax(b: Array[Byte]): Boolean = !e.maxSInf && cmpB(b, e.maxS) > 0
+    filter match {
+      case EqualTo(_, v) => bytes(v).exists(b => belowMin(b) || aboveMax(b))
+      case GreaterThan(_, v) =>
+        bytes(v).exists(b => !e.maxSInf && cmpB(e.maxS, b) <= 0)
+      case GreaterThanOrEqual(_, v) =>
+        bytes(v).exists(b => !e.maxSInf && cmpB(e.maxS, b) < 0)
+      case LessThan(_, v) => bytes(v).exists(b => cmpB(e.minS, b) >= 0)
+      case LessThanOrEqual(_, v) => bytes(v).exists(b => cmpB(e.minS, b) > 0)
+      case In(_, vs) if vs.nonEmpty =>
+        vs.forall(v => bytes(v).exists(b => belowMin(b) || aboveMax(b)))
+      case StringStartsWith(_, v) =>
+        bytes(v).exists { p =>
+          val allBelow = !e.maxSInf && cmpB(e.maxS, p) < 0 // max < prefix
+          val allAbove = prefixSuccessor(p) // min ≥ smallest-above-prefix
+            .exists(succ => cmpB(e.minS, succ) >= 0)
+          allBelow || allAbove
+        }
+      case _ => false
+    }
+  }
+}

@@ -49,7 +49,8 @@ private[lwes] final case class LwesWriteConfig(path: String, eventName: String,
     attrFor: Map[String, String], compression: String, partitionBy: Seq[String],
     eventNameCol: Option[String] = None, frameBytes: Int = 4 << 20,
     esf: Option[graft.lwes.EsfTemplateDb] = None,
-    latin1: Boolean = false)
+    latin1: Boolean = false,
+    writeStats: Boolean = true)
 
 private[lwes] object LwesWriteConfig {
   /** `split-zstd` writes the splittable `.zsj` container
@@ -90,7 +91,8 @@ private[lwes] object LwesWriteConfig {
         case Some(e) if e.equalsIgnoreCase("ISO-8859-1") => true
         case Some(e) => throw new IllegalArgumentException(
           s"unsupported ${LwesOptions.StringEncoding} '$e' (UTF-8|ISO-8859-1)")
-      })
+      },
+      writeStats = options.getBoolean(LwesOptions.WriteStats, true))
   }
 
   /** Codec for a journal write; read-side detection is by extension, so
@@ -400,6 +402,11 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
     * the receipt-time bounds of everything written into it. */
   private final class OpenJournal(val w: graft.lwes.JournalRecordWriter,
       val tmp: Path, val dest: Path) {
+    /** A27 zone-map accumulator (batch writes; the streaming path's
+      * hidden-pending/driver-promotion dance doesn't carry sidecars —
+      * its files meet stats at compaction or not at all). */
+    val stats: LwesStats.Tracker =
+      if (wc.writeStats && !stableNames) new LwesStats.Tracker else null
     var tMin: Long = Long.MaxValue
     var tMax: Long = Long.MinValue
     /** Destination with the exact receipt-bounds tag (when tracked). */
@@ -497,6 +504,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
     }.mkString("/")
     val oj = journalFor(subdir)
     oj.w.write(ev)
+    if (oj.stats != null) oj.stats.observe(ev)
     if (rtIdx >= 0) {
       // track what the journal layer actually stamps (unset attr → 0),
       // so the name tag is exact for every record in the file
@@ -532,6 +540,16 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
       open.values.foreach { oj =>
         oj.w.close()
         val dest = oj.taggedDest
+        // sidecar FIRST (hidden name — invisible to listings either
+        // way), then the journal rename: a visible journal always has
+        // its stats, and an orphan sidecar is inert
+        if (oj.stats != null) {
+          val len = fs.getFileStatus(oj.tmp).getLen
+          val sc = fs.create(LwesStats.sidecarPath(dest), true)
+          try sc.write(oj.stats.serialize(len)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally sc.close()
+        }
         if (!fs.rename(oj.tmp, dest))
           throw new java.io.IOException(s"rename ${oj.tmp} -> $dest failed")
       }
