@@ -381,6 +381,47 @@ object LwesQueries {
         |  max(o_totalprice) AS max_total, count(o_orderpriority) AS n_pri
         |FROM orders""".stripMargin)),
 
+    // A26×A27 (r18): pushed aggregates answered from zone-map sidecars.
+    // GZIP journals (no footer index exists), a sparse string attribute
+    // (every 7th record omits it), COUNT(*)/COUNT(col)/MIN/MAX — the
+    // in-gate requires prove every file was answered from its sidecar
+    // with ZERO events parsed, i.e. the "how many / what span" query
+    // never opened a journal.
+    "lwes_agg_stats" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"aggstats|$d") { dir =>
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              when(col("o_orderkey") % 7 =!= 0, col("o_orderpriority"))
+                .as("o_orderpriority"))
+            .write.format("lwes").option("eventName", "Order::Created")
+            .option("compression", "gzip").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, priority string, total double")
+          .option("mapping",
+            "okey:o_orderkey, priority:o_orderpriority, total:o_totalprice")
+          .load(dir)
+          .agg(count(lit(1)).as("n"), count(col("priority")).as("n_pri"),
+            min(col("okey")).as("min_key"), max(col("okey")).as("max_key"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("agg=["),
+          s"aggregation was not pushed into the scan:\n$plan")
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        val nFromStats = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "filesAggFromStats")
+        require(nParsed == 0 && nFromStats >= 1,
+          s"sidecar-answered aggregate parsed $nParsed events " +
+            s"(filesAggFromStats=$nFromStats)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderpriority END) AS n_pri,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders""".stripMargin)),
+
     // A27 (r18): attribute zone-map sidecars. Four journals with
     // DISJOINT o_orderkey quartile ranges; a pushed okey <= max/4
     // predicate must drop the three upper-range FILES at plan time

@@ -25,7 +25,13 @@ class LwesAggReaderFactory(config: LwesReadConfig, spec: LwesAggSpec,
 
 /** Computes the pushed partial aggregation over one partition's files.
   *
-  * Two paths, chosen PER FILE:
+  * Three paths, chosen PER FILE:
+  *   - **Zone maps** (A26×A27): an ungated scan (no event-name filter,
+  *     no receipt window, no ESF defaults) over a whole-file slice with
+  *     a fresh sidecar whose stats answer EVERY pushed function exactly
+  *     ([[LwesStats.answerAggregates]]) never opens the journal at all
+  *     — any codec, attribute MIN/MAX/COUNT(col) included. Counted by
+  *     the `filesAggFromStats` metric; `eventsParsed` stays 0.
   *   - **Footer**: when `spec.footerOnly` and the file is a `.zsj`
   *     split journal with a valid footer index, COUNT(*) sums the
   *     per-frame record counts and MIN/MAX over a LongType ReceiptTime
@@ -35,13 +41,13 @@ class LwesAggReaderFactory(config: LwesReadConfig, spec: LwesAggSpec,
   *     frame whose bounds read min > max carried no receipt times and
   *     contributes records to the count but nothing to min/max (those
   *     records' receipt column is NULL, which min/max ignore).
-  *   - **Stream**: everything else (gzip journals, torn/footerless
-  *     `.zsj`, event-name-filtered or time-windowed scans, attribute
-  *     aggregates) drains a plain [[LwesPartitionReader]] projected to
-  *     just the aggregated columns and folds rows into accumulators —
-  *     identical admission semantics to an unpushed scan (torn-tail
-  *     tolerance, resync, ESF defaults), so pushdown can never change
-  *     a result, only where the fold runs.
+  *   - **Stream**: everything else (sidecar-less gzip journals,
+  *     torn/footerless `.zsj`, event-name-filtered or time-windowed
+  *     scans, float/string attribute bounds) drains a plain
+  *     [[LwesPartitionReader]] projected to just the aggregated columns
+  *     and folds rows into accumulators — identical admission semantics
+  *     to an unpushed scan (torn-tail tolerance, resync, ESF defaults),
+  *     so pushdown can never change a result, only where the fold runs.
   *
   * MIN/MAX comparisons replicate Spark's total order per type (NaN
   * greatest via `java.lang.Double.compare`, unsigned byte-wise UTF8
@@ -106,6 +112,58 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   private def mergeMax(i: Int, v: Any): Unit =
     if (v != null && (values(i) == null || comparators(i)(v, values(i)) > 0))
       values(i) = v
+
+  // A27 sidecar answering is sound only when the whole file is
+  // admitted as-is: no record-level gate may drop or reshape records
+  // the sidecar counted. (Spark offers aggregates only with zero data
+  // filters pushed; the attrFilters guard is belt-and-braces.)
+  private val sidecarEligible = spec.ungated &&
+    config.eventNames.isEmpty && config.esfDefaults.isEmpty &&
+    config.attrFilters.isEmpty
+  // columns not backed by a wire attribute: the sidecar cannot speak
+  // for them (partition values / the event-name column are never null)
+  private val nonAttrCols: Set[String] =
+    config.partitionCols.toSet ++ config.eventNameCol
+  private val typeOf: String => Option[DataType] =
+    c => config.schema.fields.find(_.name == c).map(_.dataType)
+
+  /** Box a sidecar long bound as the read type's JVM value, so the
+    * merged accumulator compares under the same comparator the stream
+    * path uses. The type-fit rule in [[LwesStats.answerAggregates]]
+    * guarantees the narrowing casts are value-preserving. */
+  private def boxBound(dt: DataType, v: Long): Any = dt match {
+    case ByteType => java.lang.Byte.valueOf(v.toByte)
+    case ShortType => java.lang.Short.valueOf(v.toShort)
+    case IntegerType => java.lang.Integer.valueOf(v.toInt)
+    case LongType => java.lang.Long.valueOf(v)
+    case other => throw new IllegalStateException(
+      s"non-integral sidecar bound type $other") // answerAggregates filtered
+  }
+
+  /** Zone-map path: answer every pushed function from the file's
+    * sidecar without opening the journal. Some(()) = answered. */
+  private def trySidecar(slice: LwesInputPartition): Option[Unit] = {
+    if (!sidecarEligible || slice.range.nonEmpty) return None
+    LwesStats.read(new Path(slice.path), conf, slice.length)
+      .flatMap(st => LwesStats.answerAggregates(
+        st, spec.funcs, config.attrOf, typeOf, nonAttrCols))
+      .map { answers =>
+        var i = 0
+        answers.foreach { a =>
+          (a, funcs(i)) match {
+            case (LwesStats.CountAnswer(c), _) => counts(i) += c
+            case (LwesStats.BoundAnswer(Some(v)), _: LwesAggFunc.MinCol) =>
+              mergeMin(i, boxBound(colType(i), v))
+            case (LwesStats.BoundAnswer(Some(v)), _: LwesAggFunc.MaxCol) =>
+              mergeMax(i, boxBound(colType(i), v))
+            case (LwesStats.BoundAnswer(None), _) => () // all-NULL file
+            case (a, f) => throw new IllegalStateException(s"$a for $f")
+          }
+          i += 1
+        }
+        metricAcc("filesAggFromStats") += 1
+      }
+  }
 
   /** Footer path: fold the frame index entries overlapping this slice.
     * Frame runs from split planning tile exact frame boundaries, so
@@ -185,7 +243,12 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   override def next(): Boolean = {
     if (done) return false
     files.foreach { slice =>
-      if (tryFooter(slice).isEmpty) streamFile(slice)
+      // footer first: on footerOnly scans both fast paths are exact and
+      // zero-parse, and the footer needs no sidecar freshness check;
+      // zone maps then catch what footers cannot (gzip/plain journals,
+      // attribute MIN/MAX/COUNT) before the streaming fold
+      if (tryFooter(slice).isEmpty && trySidecar(slice).isEmpty)
+        streamFile(slice)
     }
     val out = new GenericInternalRow(n)
     var i = 0

@@ -772,12 +772,15 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
         Option(options.get(LwesOptions.ReceiptTimeMax)).map(_.toLong)
           .getOrElse(Long.MaxValue)
       else Long.MaxValue
-    // footerOnly survives only when nothing record-level gates
-    // admission: an event-name filter or an explicit receipt-time
-    // admission window forces the streaming count
-    val finalAgg = aggSpec.map(s => s.copy(footerOnly = s.footerOnly &&
-      eventNames.isEmpty && optLo == Long.MinValue && optHi == Long.MaxValue &&
-      timeLo == Long.MinValue && timeHi == Long.MaxValue))
+    // the whole-file fast paths (footer index, zone-map sidecars)
+    // survive only when nothing record-level gates admission: an
+    // event-name filter or an explicit receipt-time admission window
+    // forces the streaming fold
+    val aggUngated = eventNames.isEmpty &&
+      optLo == Long.MinValue && optHi == Long.MaxValue &&
+      timeLo == Long.MinValue && timeHi == Long.MaxValue
+    val finalAgg = aggSpec.map(s => s.copy(
+      footerOnly = s.footerOnly && aggUngated, ungated = aggUngated))
     new LwesScan(finalAgg.map(_.schema).getOrElse(readSchema),
       LwesReadConfig(dataSchema, attrFor, eventFor, eventNames, pcols,
         if (finalAgg.isDefined) -1 else pushedLimit, ncol,
@@ -900,6 +903,12 @@ private[lwes] class StatsPrunedMetric
   override def description(): String =
     "journals skipped by attribute zone-map sidecars"
 }
+private[lwes] class StatsAggFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesAggFromStats"
+  override def description(): String =
+    "journals whose pushed aggregation was answered from zone-map sidecars"
+}
 private[lwes] final case class LwesTaskMetric(metricName: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = metricName
@@ -930,7 +939,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new EventsParsedMetric, new EventsSkippedMetric,
       new TornFilesMetric, new CorruptRecordsMetric, new FilesPrunedMetric,
-      new FramesPrunedMetric, new RowsFilteredMetric, new StatsPrunedMetric)
+      new FramesPrunedMetric, new RowsFilteredMetric, new StatsPrunedMetric,
+      new StatsAggFilesMetric)
 
   /** Driver-side planning metrics: files/split-frames the ReceiptTime
     * bounds skipped (visible in the SQL UI next to the task metrics). */
@@ -1098,23 +1108,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
 
   private def readSidecarOf(s: LwesInputPartition, conf: Configuration)
       : Option[LwesStats.FileStats] =
-    try {
-      val p = LwesStats.sidecarPath(new Path(s.path))
-      val fs = p.getFileSystem(conf)
-      val len = fs.getFileStatus(p).getLen
-      if (len > (1 << 20)) return None // not one of ours
-      val in = fs.open(p)
-      val bytes = new Array[Byte](len.toInt)
-      try in.readFully(0, bytes) finally in.close()
-      LwesStats.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-        .filter(_.fileLen == s.length) // stale (rewritten file): ignore
-    } catch {
-      case _: java.io.FileNotFoundException => None
-      case scala.util.control.NonFatal(e) =>
-        logWarning(s"failed to read stats sidecar of ${s.path} " +
-          s"(${e.getMessage}); file kept")
-        None
-    }
+    LwesStats.read(new Path(s.path), conf, s.length)
 
   /** Bounded-pool sidecar prefetch (the footer-prefetch pattern): the
     * per-file reads are latency-bound tail requests, so 16-way overlap

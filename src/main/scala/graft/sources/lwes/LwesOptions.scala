@@ -91,9 +91,16 @@ object LwesAggFunc {
   * receipt-time window), so a `.zsj` partition may be answered from its
   * footer index alone — zero decompression, zero parsing. Files without
   * a usable footer (gzip journals, torn `.zsj`) always fall back to the
-  * streaming count, so the fast path never changes results. */
+  * streaming count, so the fast path never changes results.
+  *
+  * `ungated` = nothing record-level gates admission (no event-name
+  * filter, no receipt-time window; finalized in `build()`): the
+  * precondition BOTH whole-file fast paths share — `footerOnly` adds
+  * "every function is footer-answerable" on top, and the A27 zone-map
+  * answer path (per-file, any codec, attribute MIN/MAX/COUNT too)
+  * checks exactness per sidecar instead. */
 final case class LwesAggSpec(funcs: Seq[LwesAggFunc], schema: StructType,
-    footerOnly: Boolean) extends Serializable
+    footerOnly: Boolean, ungated: Boolean = true) extends Serializable
 
 object LwesOptions {
   val EventName = "eventName"
@@ -143,12 +150,15 @@ object LwesOptions {
   // codegen from flat arrays; batch scans only (streaming stays row-based)
   val Vectorized = "vectorized"
   // attribute zone maps (A27). Write side (`writeStats`, default true):
-  // batch writes drop a hidden `.<journal>.stats` sidecar with per-attr
-  // record counts and integral/ASCII-string min/max. Read side
-  // (`statsPrune`, default true): pushed attribute predicates drop
-  // whole files whose sidecar proves no record can match — before any
-  // open or decompress. Sound by construction (see LwesStats); missing
-  // /stale/foreign sidecars simply keep the file.
+  // batch AND streaming writes drop a hidden `.<journal>.stats` sidecar
+  // with per-attr record counts and integral/ASCII-string min/max (the
+  // streaming sink promotes/reaps it with the pending journal at epoch
+  // commit). Read side (`statsPrune`, default true): pushed attribute
+  // predicates drop whole files whose sidecar proves no record can
+  // match — before any open or decompress; ungated pushed AGGREGATES
+  // are answered per file from the sidecar alone (A26×A27). Sound by
+  // construction (see LwesStats); missing/stale/foreign sidecars simply
+  // keep the file / stream the fold.
   val WriteStats = "writeStats"
   val StatsPrune = "statsPrune"
   // aggregate pushdown (default true): unfiltered COUNT/MIN/MAX queries

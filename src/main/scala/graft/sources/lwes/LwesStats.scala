@@ -60,6 +60,24 @@ object LwesStats {
   def sidecarPath(journal: Path): Path =
     new Path(journal.getParent, s".${journal.getName}.stats")
 
+  /** Read + parse the sidecar of `journal`, requiring its recorded
+    * journal length to equal `journalLen` (stale sidecars — rewrites,
+    * torn copies, foreign files — read as absent). None never fails a
+    * scan: no sidecar just means no shortcut. */
+  def read(journal: Path, conf: org.apache.hadoop.conf.Configuration,
+      journalLen: Long): Option[FileStats] =
+    try {
+      val p = sidecarPath(journal)
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      if (len > (1 << 20)) return None // not one of ours
+      val in = fs.open(p)
+      val bytes = new Array[Byte](len.toInt)
+      try in.readFully(0, bytes) finally in.close()
+      parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        .filter(_.fileLen == journalLen)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Value-class kinds: 'l' integral (long interpretation), 's' ASCII
     * string, 'x' present-but-unprunable (floats, arrays, mixed, ...). */
   final case class AttrStats(kind: Char, count: Long,
@@ -325,5 +343,76 @@ object LwesStats {
         }
       case _ => false
     }
+  }
+
+  // ------------------------------------------- aggregate answers (A26)
+
+  /** One pushed aggregate's exact per-file value from the sidecar. */
+  sealed trait AggAnswer extends Serializable
+  /** COUNT(*) / COUNT(col) contribution. */
+  final case class CountAnswer(n: Long) extends AggAnswer
+  /** MIN/MAX contribution as the reader's long; None = every record
+    * reads NULL there (min/max ignore the file). */
+  final case class BoundAnswer(v: Option[Long]) extends AggAnswer
+
+  /** Exact answers for a pushed aggregation from one file's sidecar —
+    * the A26×A27 synergy: what the `.zsj` footer fast path does for
+    * COUNT(*) and receipt bounds, zone maps do for EVERY journal codec
+    * and for attribute MIN/MAX/COUNT(col). Some(answers) only when
+    * every function is PROVABLY exact for this file:
+    *   - COUNT(*): the sidecar's record count (always exact — the
+    *     tracker observes every event written).
+    *   - COUNT(col): the attribute's observed count, exact for tracked
+    *     attrs even in incomplete sidecars, but only when the value
+    *     class matches the read type so present-on-wire = non-null in
+    *     the column (integral stats fitting an integral read type, or
+    *     string stats under StringType); an attr absent from a COMPLETE
+    *     sidecar counts 0.
+    *   - MIN/MAX: integral stats whose range FITS the read type (the
+    *     pruning rule — narrowing conversions may not reorder values
+    *     around the bounds); absent-from-complete contributes all-NULL.
+    *     String bounds are pruning bounds, not necessarily exact values
+    *     (truncation, +inf maxima), so string MIN/MAX always streams.
+    * `nonAttrCols` names columns not backed by a wire attribute
+    * (partition values, the event-name column) and header pseudo-attrs
+    * are rejected here too — their null semantics differ from "attr
+    * absent". The CALLER gates record-level admission (event-name
+    * filters, receipt windows, ESF defaults, ranged slices): this
+    * function assumes the whole file is admitted as-is. */
+  def answerAggregates(stats: FileStats, funcs: Seq[LwesAggFunc],
+      attrOf: String => String, typeOf: String => Option[DataType],
+      nonAttrCols: Set[String]): Option[Seq[AggAnswer]] = {
+    def integralFits(e: AttrStats, c: String): Boolean =
+      e.kind == 'l' && typeOf(c).flatMap(typeRange).exists {
+        case (lo, hi) => e.minL >= lo && e.maxL <= hi
+      }
+    def attrAnswerable(c: String): Boolean =
+      !nonAttrCols.contains(c) && !headerAttrs.contains(attrOf(c))
+    val answers = funcs.map {
+      case LwesAggFunc.CountStar => Some(CountAnswer(stats.records))
+      case LwesAggFunc.CountCol(c) if attrAnswerable(c) =>
+        stats.attrs.get(attrOf(c)) match {
+          case Some(e) if integralFits(e, c) => Some(CountAnswer(e.count))
+          case Some(e) if e.kind == 's' &&
+              typeOf(c).contains(StringType) => Some(CountAnswer(e.count))
+          case Some(_) => None // class/type mismatch: conversion may null
+          case None if stats.complete => Some(CountAnswer(0L))
+          case None => None
+        }
+      case LwesAggFunc.MinCol(c, _) if attrAnswerable(c) =>
+        stats.attrs.get(attrOf(c)) match {
+          case Some(e) if integralFits(e, c) => Some(BoundAnswer(Some(e.minL)))
+          case None if stats.complete => Some(BoundAnswer(None))
+          case _ => None
+        }
+      case LwesAggFunc.MaxCol(c, _) if attrAnswerable(c) =>
+        stats.attrs.get(attrOf(c)) match {
+          case Some(e) if integralFits(e, c) => Some(BoundAnswer(Some(e.maxL)))
+          case None if stats.complete => Some(BoundAnswer(None))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (answers.exists(_.isEmpty)) None else Some(answers.map(_.get))
   }
 }

@@ -225,7 +225,10 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
       case LwesCommitMessage(_, _, files) => files }.flatten
     if (fs.exists(manifest)) {
       // a previous attempt committed this whole epoch — drop the replay
-      pairs.foreach { case (p, _) => fs.delete(new Path(p), false) }
+      pairs.foreach { case (p, _) =>
+        fs.delete(new Path(p), false)
+        fs.delete(LwesStats.sidecarPath(new Path(p)), false)
+      }
       return
     }
     // clear leftovers of a crashed mid-promote attempt: its visible set
@@ -239,10 +242,23 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
         logWarning(s"lwes sink: removing stale epoch file ${s.getPath} " +
           s"from an uncommitted attempt of epoch $epochId")
         fs.delete(s.getPath, false)
+        // a stale file's sidecar must go with it: a later same-named
+        // same-length promotion from a different layout would otherwise
+        // inherit stats describing different records
+        fs.delete(LwesStats.sidecarPath(s.getPath), false)
       }
     }
     pairs.foreach { case (pnd, fin) =>
       val f = new Path(fin)
+      // sidecar first (best-effort — stats are an optimization, the
+      // stream must never fail over them; the length pin makes any
+      // mismatch a lost rename could leave inert)
+      val scPnd = LwesStats.sidecarPath(new Path(pnd))
+      if (fs.exists(scPnd)) {
+        val scFin = LwesStats.sidecarPath(f)
+        fs.delete(scFin, false) // crashed earlier attempt's copy
+        if (!fs.rename(scPnd, scFin)) fs.delete(scPnd, false)
+      }
       if (!fs.rename(new Path(pnd), f))
         throw new java.io.IOException(s"promote $pnd -> $fin failed")
     }
@@ -402,11 +418,12 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
     * the receipt-time bounds of everything written into it. */
   private final class OpenJournal(val w: graft.lwes.JournalRecordWriter,
       val tmp: Path, val dest: Path) {
-    /** A27 zone-map accumulator (batch writes; the streaming path's
-      * hidden-pending/driver-promotion dance doesn't carry sidecars —
-      * its files meet stats at compaction or not at all). */
+    /** A27 zone-map accumulator. Batch writes drop the sidecar at task
+      * commit; streaming writes park it beside the hidden pending
+      * journal and the driver's epoch commit promotes both (or reaps
+      * both when the epoch is a replay/stale attempt). */
     val stats: LwesStats.Tracker =
-      if (wc.writeStats && !stableNames) new LwesStats.Tracker else null
+      if (wc.writeStats) new LwesStats.Tracker else null
     var tMin: Long = Long.MaxValue
     var tMax: Long = Long.MinValue
     /** Destination with the exact receipt-bounds tag (when tracked). */
@@ -531,6 +548,17 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
         val dest = oj.taggedDest
         val pending = new Path(dest.getParent, s".pending-${dest.getName}")
         fs.delete(pending, false) // stale same-task attempt
+        // park the zone-map sidecar beside the pending journal (its
+        // name is epoch-stable like the journal's, and `..pending-*`
+        // never matches the epoch-file patterns) — the driver promotes
+        // or reaps the two together
+        if (oj.stats != null) {
+          val len = fs.getFileStatus(oj.tmp).getLen
+          val sc = fs.create(LwesStats.sidecarPath(pending), true)
+          try sc.write(oj.stats.serialize(len)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally sc.close()
+        }
         if (!fs.rename(oj.tmp, pending))
           throw new java.io.IOException(s"rename ${oj.tmp} -> $pending failed")
         (pending.toString, dest.toString)

@@ -1,0 +1,182 @@
+package graft.sources
+
+import graft.sources.lwes.{LwesOptions, LwesScan, LwesStats}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** A26×A27 — pushed aggregates answered from zone-map sidecars: an
+  * ungated COUNT(*)/COUNT(col)/integral-MIN/MAX over journals written
+  * by the batch writer never opens a journal at all, for ANY codec
+  * (the footer fast path covered only `.zsj` COUNT/receipt-bounds).
+  * Every test asserts the path taken (`eventsParsed`,
+  * `filesAggFromStats`) AND result parity with the unpushed plan —
+  * the shortcut must be invisible to answers. */
+class LwesAggStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("lwes-aggst").toString
+
+  /** Three gzip journals via the DSv2 writer (so each gets a sidecar):
+    * ids [0,100) [100,200) [200,300), every 5th record omits `page`. */
+  private def writeGz(dir: String): Unit = {
+    import spark.implicits._
+    (0 until 3).foreach { p =>
+      (p * 100 until p * 100 + 100)
+        .map(i => (i.toLong, if (i % 5 == 0) null else s"pg/${i % 10}", i * 1.5))
+        .toDF("id", "page", "cost").repartition(1)
+        .write.format("lwes").option("eventName", "Ag::E")
+        .option("compression", "gzip").mode("append").save(dir)
+    }
+  }
+
+  private def rd(dir: String, extra: (String, String)*): DataFrame = {
+    val base = spark.read.format("lwes")
+      .schema("id long, page string, cost double")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+  }
+
+  private def metric(df: DataFrame, name: String): Long =
+    LwesScan.scanMetricSum(df.queryExecution.executedPlan, name)
+
+  /** Run `agg` pushed and unpushed; assert identical answers, return
+    * the pushed frame post-execution for metric asserts. */
+  private def checkParity(dir: String, agg: DataFrame => DataFrame,
+      extra: (String, String)*): DataFrame = {
+    val pushed = agg(rd(dir, extra: _*))
+    val rows = pushed.collect().toSeq
+    val plain = agg(rd(dir, (extra :+
+      (LwesOptions.AggPushdown -> "false")): _*)).collect().toSeq
+    assert(rows == plain, s"pushed $rows != unpushed $plain")
+    pushed
+  }
+
+  test("COUNT(*)/COUNT(col)/MIN/MAX answered from sidecars: no journal opened") {
+    val dir = tmp()
+    writeGz(dir)
+    val q = checkParity(dir, _.agg(count(lit(1)).as("n"),
+      count(col("page")).as("n_pg"),
+      min(col("id")).as("mn"), max(col("id")).as("mx")))
+    assert(metric(q, "eventsParsed") == 0L,
+      "sidecar-answered aggregate parsed events")
+    assert(metric(q, "filesAggFromStats") == 3L)
+    val r = q.collect().head
+    assert(r.getLong(0) == 300L && r.getLong(1) == 240L &&
+      r.getLong(2) == 0L && r.getLong(3) == 299L)
+  }
+
+  test("a float bound is not sidecar-exact: the whole file streams") {
+    val dir = tmp()
+    writeGz(dir)
+    val q = checkParity(dir, _.agg(count(lit(1)).as("n"),
+      max(col("cost")).as("mx_cost")))
+    assert(metric(q, "eventsParsed") == 300L)
+    assert(metric(q, "filesAggFromStats") == 0L)
+  }
+
+  test("an event-name filter gates records: sidecars stand down") {
+    val dir = tmp()
+    writeGz(dir)
+    val q = checkParity(dir, _.agg(count(lit(1)).as("n"),
+      min(col("id")).as("mn")), LwesOptions.EventName -> "Ag::E")
+    assert(metric(q, "eventsParsed") == 300L)
+    assert(metric(q, "filesAggFromStats") == 0L)
+    assert(q.collect().head.getLong(0) == 300L)
+  }
+
+  test("missing and corrupt sidecars fall back per file") {
+    val dir = tmp()
+    writeGz(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val journals = fs.listStatus(new Path(dir))
+      .filter(s => !s.getPath.getName.startsWith(".")).map(_.getPath).sortBy(_.getName)
+    fs.delete(LwesStats.sidecarPath(journals(0)), false)
+    val out = fs.create(LwesStats.sidecarPath(journals(1)), true)
+    out.write("not a stats file".getBytes("UTF-8")); out.close()
+    val q = checkParity(dir, _.agg(count(lit(1)).as("n"),
+      max(col("id")).as("mx")))
+    assert(metric(q, "filesAggFromStats") == 1L)
+    assert(metric(q, "eventsParsed") == 200L) // two files streamed
+    assert(q.collect().head.getLong(0) == 300L)
+  }
+
+  test("columns not backed by a wire attribute never answer from sidecars") {
+    // the event-name column (and partition columns, same guard) is
+    // never NULL, but no sidecar entry exists for it — a complete
+    // sidecar would wrongly count 0 without the nonAttrCols guard
+    val dir = tmp()
+    writeGz(dir)
+    val q = spark.read.format("lwes")
+      .schema("id long, etype string")
+      .option(LwesOptions.EventNameColumn, "etype")
+      .load(dir)
+      .agg(count(col("etype")).as("n_et"), count(lit(1)).as("n"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 300L && r.getLong(1) == 300L)
+    assert(metric(q, "eventsParsed") == 300L)
+    assert(metric(q, "filesAggFromStats") == 0L)
+  }
+
+  test("streaming-sink journals carry sidecars through epoch promotion") {
+    val src = tmp(); val dst = tmp(); val ckpt = tmp()
+    writeGz(src) // DSv2-written gzip source journals
+    val q = spark.readStream.format("lwes")
+      .schema("id long, page string").load(src)
+      .writeStream.format("lwes")
+      .option("eventName", "Ag::S")
+      .option("compression", "gzip")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start(dst)
+    try q.processAllAvailable() finally q.stop()
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val visible = fs.listStatus(new Path(dst))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+    assert(visible.nonEmpty)
+    visible.foreach { s =>
+      assert(fs.exists(LwesStats.sidecarPath(s.getPath)),
+        s"promoted journal ${s.getPath.getName} lacks its sidecar")
+    }
+    // attribute bounds are NOT footer-answerable: zero parses proves
+    // the sidecars (not `.zsj` footers) answered
+    val agg = spark.read.format("lwes").schema("id long, page string")
+      .load(dst)
+      .agg(count(lit(1)).as("n"), count(col("page")).as("n_pg"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val r = agg.collect().head
+    assert(r.getLong(0) == 300L && r.getLong(1) == 240L &&
+      r.getLong(2) == 0L && r.getLong(3) == 299L)
+    assert(metric(agg, "eventsParsed") == 0L)
+    assert(metric(agg, "filesAggFromStats") == visible.length.toLong)
+    // and pushed predicates prune the streamed files at plan time
+    val pruned = spark.read.format("lwes").schema("id long, page string")
+      .load(dst).filter(col("id") < 0)
+    assert(pruned.collect().isEmpty)
+    assert(LwesScan.scansIn(pruned.queryExecution.executedPlan)
+      .map(_.statsPrunedFileCount).sum == visible.length.toLong)
+  }
+
+  test("attr absent from a COMPLETE sidecar answers COUNT 0 / all-NULL bounds") {
+    val dir = tmp()
+    writeGz(dir)
+    val q = spark.read.format("lwes")
+      .schema("id long, nope long")
+      .load(dir)
+      .agg(count(col("nope")).as("n_nope"), min(col("nope")).as("mn_nope"),
+        count(lit(1)).as("n"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.getLong(2) == 300L)
+    assert(metric(q, "eventsParsed") == 0L,
+      "absence proof should not require opening journals")
+    assert(metric(q, "filesAggFromStats") == 3L)
+  }
+}
