@@ -26,12 +26,14 @@ class LwesAggReaderFactory(config: LwesReadConfig, spec: LwesAggSpec,
 /** Computes the pushed partial aggregation over one partition's files.
   *
   * Three paths, chosen PER FILE:
-  *   - **Zone maps** (A26×A27): an ungated scan (no event-name filter,
-  *     no receipt window, no ESF defaults) over a whole-file slice with
-  *     a fresh sidecar whose stats answer EVERY pushed function exactly
-  *     ([[LwesStats.answerAggregates]]) never opens the journal at all
-  *     — any codec, attribute MIN/MAX/COUNT(col) included. Counted by
-  *     the `filesAggFromStats` metric; `eventsParsed` stays 0.
+  *   - **File metadata** (A26×A27): an ungated scan (no event-name
+  *     filter, no receipt window, no ESF defaults) over a whole-file
+  *     slice whose zone-map sidecar — plus, for ReceiptTime-backed
+  *     MIN/MAX, the writer's exact `.t` name tag — answers EVERY pushed
+  *     function exactly ([[LwesStats.answerAggregates]]) never opens
+  *     the journal at all: any codec, attribute MIN/MAX/COUNT(col)
+  *     included. Counted by the `filesAggFromStats` metric;
+  *     `eventsParsed` stays 0.
   *   - **Footer**: when `spec.footerOnly` and the file is a `.zsj`
   *     split journal with a valid footer index, COUNT(*) sums the
   *     per-frame record counts and MIN/MAX over a LongType ReceiptTime
@@ -140,13 +142,21 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       s"non-integral sidecar bound type $other") // answerAggregates filtered
   }
 
-  /** Zone-map path: answer every pushed function from the file's
-    * sidecar without opening the journal. Some(()) = answered. */
+  /** Metadata path: answer every pushed function from the file's
+    * zone-map sidecar and/or exact `.t` receipt name tag without
+    * opening the journal. Some(()) = answered. The sidecar GET is
+    * skipped when the functions are receipt-bounds-only. */
   private def trySidecar(slice: LwesInputPartition): Option[Unit] = {
     if (!sidecarEligible || slice.range.nonEmpty) return None
-    LwesStats.read(new Path(slice.path), conf, slice.length)
-      .flatMap(st => LwesStats.answerAggregates(
-        st, spec.funcs, config.attrOf, typeOf, nonAttrCols))
+    val tag = LwesDataSource.exactTagBounds(new Path(slice.path).getName)
+    val needStats = spec.funcs.exists {
+      case LwesAggFunc.MinCol(_, true) | LwesAggFunc.MaxCol(_, true) => false
+      case _ => true
+    }
+    val st = if (needStats) LwesStats.read(new Path(slice.path), conf,
+      slice.length) else None
+    LwesStats.answerAggregates(
+        st, tag, spec.funcs, config.attrOf, typeOf, nonAttrCols)
       .map { answers =>
         var i = 0
         answers.foreach { a =>

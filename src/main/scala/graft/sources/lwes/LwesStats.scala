@@ -355,11 +355,18 @@ object LwesStats {
     * reads NULL there (min/max ignore the file). */
   final case class BoundAnswer(v: Option[Long]) extends AggAnswer
 
-  /** Exact answers for a pushed aggregation from one file's sidecar —
+  /** Exact answers for a pushed aggregation from one file's metadata —
     * the A26×A27 synergy: what the `.zsj` footer fast path does for
-    * COUNT(*) and receipt bounds, zone maps do for EVERY journal codec
-    * and for attribute MIN/MAX/COUNT(col). Some(answers) only when
-    * every function is PROVABLY exact for this file:
+    * COUNT(*) and receipt bounds, zone maps + name tags do for EVERY
+    * journal codec and for attribute MIN/MAX/COUNT(col). Some(answers)
+    * only when every function is PROVABLY exact for this file:
+    *   - MIN/MAX over a ReceiptTime-backed column (`fromReceipt`): the
+    *     writer's EXACT `.t<min>-<max>.` name tag when present
+    *     (`receiptBounds`) — the tag tracks the STAMPED header value
+    *     (unset attr → 0), which is exactly what the column reads back,
+    *     so tag bounds are the column's true min/max (never NULL: the
+    *     journal layer materializes 0-defaults). Same name-tag trust
+    *     contract as A21 pruning.
     *   - COUNT(*): the sidecar's record count (always exact — the
     *     tracker observes every event written).
     *   - COUNT(col): the attribute's observed count, exact for tracked
@@ -379,7 +386,8 @@ object LwesStats {
     * absent". The CALLER gates record-level admission (event-name
     * filters, receipt windows, ESF defaults, ranged slices): this
     * function assumes the whole file is admitted as-is. */
-  def answerAggregates(stats: FileStats, funcs: Seq[LwesAggFunc],
+  def answerAggregates(stats: Option[FileStats],
+      receiptBounds: Option[(Long, Long)], funcs: Seq[LwesAggFunc],
       attrOf: String => String, typeOf: String => Option[DataType],
       nonAttrCols: Set[String]): Option[Seq[AggAnswer]] = {
     def integralFits(e: AttrStats, c: String): Boolean =
@@ -388,27 +396,42 @@ object LwesStats {
       }
     def attrAnswerable(c: String): Boolean =
       !nonAttrCols.contains(c) && !headerAttrs.contains(attrOf(c))
+    def attrEntry(c: String): Option[Either[AttrStats, Unit]] =
+      stats.flatMap { st =>
+        st.attrs.get(attrOf(c)) match {
+          case Some(e) => Some(Left(e))
+          case None if st.complete => Some(Right(())) // proven absent
+          case None => None
+        }
+      }
     val answers = funcs.map {
-      case LwesAggFunc.CountStar => Some(CountAnswer(stats.records))
+      // receipt bounds come from the name tag, never the sidecar: a
+      // record whose event omitted the attr still reads the stamped
+      // header 0-default, which the tag tracks and attr stats do not
+      case LwesAggFunc.MinCol(_, true) =>
+        receiptBounds.map(b => BoundAnswer(Some(b._1)))
+      case LwesAggFunc.MaxCol(_, true) =>
+        receiptBounds.map(b => BoundAnswer(Some(b._2)))
+      case LwesAggFunc.CountStar => stats.map(st => CountAnswer(st.records))
       case LwesAggFunc.CountCol(c) if attrAnswerable(c) =>
-        stats.attrs.get(attrOf(c)) match {
-          case Some(e) if integralFits(e, c) => Some(CountAnswer(e.count))
-          case Some(e) if e.kind == 's' &&
+        attrEntry(c) match {
+          case Some(Left(e)) if integralFits(e, c) => Some(CountAnswer(e.count))
+          case Some(Left(e)) if e.kind == 's' &&
               typeOf(c).contains(StringType) => Some(CountAnswer(e.count))
-          case Some(_) => None // class/type mismatch: conversion may null
-          case None if stats.complete => Some(CountAnswer(0L))
+          case Some(Left(_)) => None // class/type mismatch: conversion may null
+          case Some(Right(())) => Some(CountAnswer(0L))
           case None => None
         }
       case LwesAggFunc.MinCol(c, _) if attrAnswerable(c) =>
-        stats.attrs.get(attrOf(c)) match {
-          case Some(e) if integralFits(e, c) => Some(BoundAnswer(Some(e.minL)))
-          case None if stats.complete => Some(BoundAnswer(None))
+        attrEntry(c) match {
+          case Some(Left(e)) if integralFits(e, c) => Some(BoundAnswer(Some(e.minL)))
+          case Some(Right(())) => Some(BoundAnswer(None))
           case _ => None
         }
       case LwesAggFunc.MaxCol(c, _) if attrAnswerable(c) =>
-        stats.attrs.get(attrOf(c)) match {
-          case Some(e) if integralFits(e, c) => Some(BoundAnswer(Some(e.maxL)))
-          case None if stats.complete => Some(BoundAnswer(None))
+        attrEntry(c) match {
+          case Some(Left(e)) if integralFits(e, c) => Some(BoundAnswer(Some(e.maxL)))
+          case Some(Right(())) => Some(BoundAnswer(None))
           case _ => None
         }
       case _ => None

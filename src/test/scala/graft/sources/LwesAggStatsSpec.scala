@@ -126,6 +126,55 @@ class LwesAggStatsSpec extends AnyFunSuite {
     assert(metric(q, "filesAggFromStats") == 0L)
   }
 
+  test("receipt MIN/MAX answered from exact .t name tags, any codec") {
+    val dir = tmp()
+    import spark.implicits._
+    (0 until 3).foreach { p =>
+      (p * 100 until p * 100 + 100)
+        .map(i => (i.toLong, 1700000000000L + i * 1000L))
+        .toDF("id", "ReceiptTime").repartition(1)
+        .write.format("lwes").option("eventName", "Tg::E")
+        .option("compression", "gzip").mode("append").save(dir)
+    }
+    def agg(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+      min(col("ReceiptTime")).as("mn_rt"), max(col("ReceiptTime")).as("mx_rt"))
+    val rdT = (extra: Seq[(String, String)]) => extra.foldLeft(
+      spark.read.format("lwes").schema("id long, ReceiptTime long")) {
+        case (r, (k, v)) => r.option(k, v) }.load(dir)
+    val pushed = agg(rdT(Nil))
+    val rows = pushed.collect().toSeq
+    assert(rows == agg(rdT(Seq(LwesOptions.AggPushdown -> "false")))
+      .collect().toSeq)
+    val r = rows.head
+    assert(r.getLong(1) == 1700000000000L &&
+      r.getLong(2) == 1700000000000L + 299000L)
+    assert(metric(pushed, "eventsParsed") == 0L,
+      "tag+sidecar-answered aggregate opened a journal")
+    assert(metric(pushed, "filesAggFromStats") == 3L)
+  }
+
+  test("a NULL receipt stamps 0 in the header: tag bounds stay exact") {
+    val dir = tmp()
+    import spark.implicits._
+    (0 until 100)
+      .map(i => (i.toLong,
+        if (i % 9 == 0) None else Some(1700000000000L + i * 1000L)))
+      .toDF("id", "ReceiptTime").repartition(1)
+      .write.format("lwes").option("eventName", "Tg::N")
+      .option("compression", "gzip").mode("append").save(dir)
+    def agg(df: DataFrame) = df.agg(
+      min(col("ReceiptTime")).as("mn_rt"), max(col("ReceiptTime")).as("mx_rt"))
+    val pushed = agg(spark.read.format("lwes")
+      .schema("id long, ReceiptTime long").load(dir))
+    val plain = agg(spark.read.format("lwes")
+      .schema("id long, ReceiptTime long")
+      .option(LwesOptions.AggPushdown, "false").load(dir))
+    val (a, b) = (pushed.collect().toSeq, plain.collect().toSeq)
+    assert(a == b, s"pushed $a != unpushed $b")
+    assert(a.head.getLong(0) == 0L) // the stamped 0-default IS the min
+    assert(metric(pushed, "eventsParsed") == 0L)
+  }
+
   test("streaming-sink journals carry sidecars through epoch promotion") {
     val src = tmp(); val dst = tmp(); val ckpt = tmp()
     writeGz(src) // DSv2-written gzip source journals
