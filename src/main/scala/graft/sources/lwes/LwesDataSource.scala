@@ -827,7 +827,9 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       splitTargetBytes =
         Option(options.get(LwesOptions.SplitTargetBytes)).map(_.toLong),
       aggSpec = finalAgg,
-      statsPrune = options.getBoolean(LwesOptions.StatsPrune, true))
+      statsPrune = options.getBoolean(LwesOptions.StatsPrune, true),
+      statsPruneMaxFiles =
+        options.getLong(LwesOptions.StatsPruneMaxFiles, 8192L))
   }
 }
 
@@ -923,7 +925,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false,
     splitTargetBytes: Option[Long] = None,
     aggSpec: Option[LwesAggSpec] = None,
-    statsPrune: Boolean = true)
+    statsPrune: Boolean = true,
+    statsPruneMaxFiles: Long = 8192L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = schema
@@ -1040,7 +1043,18 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // values cannot); a missing/stale sidecar keeps its file.
       val statsEligible = statsPrune && config.attrFilters.nonEmpty &&
         config.esfDefaults.isEmpty
-      val fileSlices = if (!statsEligible) partSlices else {
+      val fileSlices = if (!statsEligible) partSlices
+      else if (partSlices.length > statsPruneMaxFiles) {
+        // past the cap the driver-side GET wave would dominate planning
+        // (10^5 tiny reads through one node): defer to the executors,
+        // where each task skims its own files' sidecars before opening
+        // them — same files skipped, the wave distributed
+        execStatsPrune = true
+        logInfo(s"zone-map pruning deferred to executors: " +
+          s"${partSlices.length} candidate files exceed " +
+          s"${LwesOptions.StatsPruneMaxFiles}=$statsPruneMaxFiles")
+        partSlices
+      } else {
         prefetchStats(partSlices, conf)
         val typeOf = (c: String) =>
           config.schema.fields.find(_.name == c).map(_.dataType)
@@ -1090,6 +1104,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
 
   @volatile private var prunedFrames = 0L
   @volatile private var statsPruned = 0L
+  @volatile private var execStatsPrune = false
 
   /** Files dropped by attribute zone-map sidecars (A27) — same number
     * as the `filesPrunedByStats` driver metric. Nonzero proves the drop
@@ -1253,8 +1268,11 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
   override def createReaderFactory(): PartitionReaderFactory = aggSpec match {
     case Some(spec) => new LwesAggReaderFactory(config, spec,
       SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()))
-    case None => new LwesPartitionReaderFactory(config,
-      SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()))
+    case None =>
+      plannedPartitions // decides driver-vs-executor zone-map placement
+      new LwesPartitionReaderFactory(config,
+        SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()),
+        execStatsPrune = execStatsPrune)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream = {
@@ -1746,15 +1764,58 @@ object LwesStreamOffset {
 }
 
 class LwesPartitionReaderFactory(config: LwesReadConfig,
-    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    execStatsPrune: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    partition match {
-      case p: LwesInputPartition =>
-        new LwesPartitionReader(p, config, bconf.value.value)
-      case m: LwesFilesPartition =>
-        new LwesMultiFileReader(m.files, config, bconf.value.value)
+
+  /** Executor-side zone-map skim (the over-cap placement of A27's
+    * prune, see [[LwesOptions.StatsPruneMaxFiles]]): drop this task's
+    * whole-file slices whose sidecar proves no record can match the
+    * pushed predicates, before opening them. Same soundness rules as
+    * the plan-time prune ([[LwesStats.canSkip]]); ranged slices and
+    * missing/stale sidecars are kept. Returns (kept, dropped). */
+  private def statsSkim(files: Seq[LwesInputPartition])
+      : (Seq[LwesInputPartition], Long) = {
+    if (!execStatsPrune) return (files, 0L)
+    val conf = bconf.value.value
+    val typeOf = (c: String) =>
+      config.schema.fields.find(_.name == c).map(_.dataType)
+    val kept = files.filter { s =>
+      s.range.nonEmpty ||
+        !LwesStats.read(new org.apache.hadoop.fs.Path(s.path), conf, s.length)
+          .exists(st => LwesStats.canSkip(
+            st, config.attrFilters, config.attrOf, typeOf))
     }
+    (kept, (files.size - kept.size).toLong)
+  }
+
+  /** Adds the task's skim count to the delegate's metrics under the
+    * same `filesPrunedByStats` name the plan-time prune reports. */
+  private final class SkimMetricReader[T](inner: PartitionReader[T],
+      dropped: Long) extends PartitionReader[T] {
+    override def next(): Boolean = inner.next()
+    override def get(): T = inner.get()
+    override def close(): Unit = inner.close()
+    override def currentMetricsValues():
+        Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      inner.currentMetricsValues() :+
+        LwesTaskMetric("filesPrunedByStats", dropped)
+  }
+
+  private def wrap[T](r: PartitionReader[T], dropped: Long): PartitionReader[T] =
+    if (dropped == 0L) r else new SkimMetricReader(r, dropped)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition match {
+      case p: LwesInputPartition => Seq(p)
+      case m: LwesFilesPartition => m.files
+    }
+    val (kept, dropped) = statsSkim(files)
+    wrap(kept match {
+      case Seq(one) => new LwesPartitionReader(one, config, bconf.value.value)
+      case many => new LwesMultiFileReader(many, config, bconf.value.value)
+    }, dropped)
+  }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     config.columnar
@@ -1765,7 +1826,8 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
       case p: LwesInputPartition => Seq(p)
       case m: LwesFilesPartition => m.files
     }
-    new LwesColumnarBatchReader(files, config, bconf.value.value)
+    val (kept, dropped) = statsSkim(files)
+    wrap(new LwesColumnarBatchReader(kept, config, bconf.value.value), dropped)
   }
 }
 

@@ -161,6 +161,14 @@ object LwesOptions {
   // keep the file / stream the fold.
   val WriteStats = "writeStats"
   val StatsPrune = "statsPrune"
+  // zone-map prune placement cap (default 8192): up to this many
+  // surviving candidate files the DRIVER reads sidecars (16-way wave)
+  // and eliminates whole tasks at plan time; past it the wave would
+  // stretch planning (10^5 tiny GETs on one node), so planning skips it
+  // and each EXECUTOR task skims its own files' sidecars before opening
+  // them instead — same files skipped, the GET wave distributed, at the
+  // cost of scheduling tasks that may turn out empty
+  val StatsPruneMaxFiles = "statsPruneMaxFiles"
   // aggregate pushdown (default true): unfiltered COUNT/MIN/MAX queries
   // collapse to one partial row per partition inside the scan; COUNT(*)
   // over `.zsj` journals is answered from footer record counts without

@@ -199,4 +199,34 @@ class LwesStatsPruneSpec extends AnyFunSuite {
     assert(q.collect().length == 100)
     parity(dir, _.filter(col("id") < 100))
   }
+
+  test("over the placement cap, pruning defers to executor-side skims") {
+    val dir = tmp()
+    writeRanged(dir)
+    // cap 0 < 3 candidates: the driver plans every file (no sidecar
+    // wave, statsPrunedFileCount stays 0) and each task skims its own
+    // files — same files skipped, reported under the same metric name
+    def q(vec: String) = rd(dir,
+      LwesOptions.StatsPruneMaxFiles -> "0", "vectorized" -> vec)
+      .filter(col("id") < 0)
+    Seq("true", "false").foreach { vec =>
+      val df = q(vec)
+      assert(df.collect().isEmpty)
+      assert(LwesScan.scansIn(df.queryExecution.executedPlan)
+        .map(_.statsPrunedFileCount).sum == 0L,
+        "over the cap the DRIVER must not have pruned")
+      assert(LwesScan.scanMetricSum(df.queryExecution.executedPlan,
+        "filesPrunedByStats") == 3L, s"executor skim (vectorized=$vec)")
+      assert(LwesScan.scanMetricSum(df.queryExecution.executedPlan,
+        "eventsParsed") == 0L)
+    }
+    // partial skims keep surviving files readable: answers match the
+    // plan-time-pruned and the unpruned reads exactly
+    val capped = rd(dir, LwesOptions.StatsPruneMaxFiles -> "0")
+      .filter(col("id") < 100).orderBy("id").collect()
+    val planned = rd(dir).filter(col("id") < 100).orderBy("id").collect()
+    val plain = rd(dir, LwesOptions.StatsPrune -> "false")
+      .filter(col("id") < 100).orderBy("id").collect()
+    assert(capped.sameElements(planned) && capped.sameElements(plain))
+  }
 }
