@@ -20,8 +20,7 @@ object EsfValidation {
   /** Header attributes the journal layer injects itself — a template
     * may declare them required (MetaEventInfo conventionally does)
     * without the DataFrame having to carry the column. */
-  private val HeaderAttrs = Set(LwesEvent.ReceiptTime, LwesEvent.SenderIp,
-    LwesEvent.SenderPort, LwesEvent.SiteId)
+  private def HeaderAttrs = LwesEvent.HeaderAttrs
 
   /** Field token meaning "not declared for this event" — a STRICT
     * validation throws for it up front; a LENIENT one (multi-event

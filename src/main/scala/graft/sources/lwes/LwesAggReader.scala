@@ -153,6 +153,7 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       case LwesAggFunc.MinCol(_, true) | LwesAggFunc.MaxCol(_, true) => false
       case _ => true
     }
+    if (needStats && !slice.hasStats) return None // listing proved bare
     val st = if (needStats) LwesStats.read(new Path(slice.path), conf,
       slice.length) else None
     LwesStats.answerAggregates(

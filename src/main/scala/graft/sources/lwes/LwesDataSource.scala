@@ -107,7 +107,21 @@ object LwesDataSource {
     * RawLocalFileSystem's located listing stats every entry eagerly
     * (shelling out for permissions), which races fatally with files
     * being rotated/compacted away mid-listing. */
-  def listFiles(roots: Seq[String], conf: Configuration): Seq[FileStatus] = {
+  def listFiles(roots: Seq[String], conf: Configuration): Seq[FileStatus] =
+    listFiles(roots, conf, null)
+
+  /** As above; when `sidecarsSeen` is non-null, the walk also records
+    * the full path of every hidden `.stats` zone-map sidecar it passes
+    * — existence knowledge the listing produces for free, so planning
+    * never issues a sidecar GET for a file the listing already proved
+    * bare (a journal dir written by a foreign emitter or with
+    * `writeStats=false` pays ZERO extra requests for `statsPrune`).
+    * Explicit single-file roots don't walk their parent, so their
+    * sidecars go unrecorded — absent-from-set is only meaningful for
+    * walked files, which is why the flag rides the partition
+    * ([[LwesInputPartition.hasStats]]) rather than being re-derived. */
+  def listFiles(roots: Seq[String], conf: Configuration,
+      sidecarsSeen: mutable.Set[String]): Seq[FileStatus] = {
     val out = mutable.ArrayBuffer[FileStatus]()
     val explicit = mutable.ArrayBuffer[FileStatus]()
     val committedEpochs = mutable.HashSet[String]()
@@ -138,6 +152,8 @@ object LwesDataSource {
               if (s.isDirectory) walk(s.getPath)
               else out += s
             case _ =>
+              if (sidecarsSeen != null && s.isFile && n.endsWith(".stats"))
+                sidecarsSeen += s.getPath.toString
           }
         }
       } else if (!isHidden(p.getName)) out += st
@@ -149,6 +165,13 @@ object LwesDataSource {
         if (!isHidden(p.getName)) {
           if (isLocal(fs)) explicit += fs.getFileStatus(p)
           else entries(fs, p).foreach(explicit += _)
+          // explicit roots skip the directory walk, so probe their
+          // sidecar here — one exists() per explicit root keeps
+          // absence-from-set meaningful for every listed file
+          if (sidecarsSeen != null) {
+            val sc = LwesStats.sidecarPath(fs.getFileStatus(p).getPath)
+            if (fs.exists(sc)) sidecarsSeen += sc.toString
+          }
         }
       } else walk(p)
     }
@@ -835,7 +858,13 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
 
 final case class LwesInputPartition(path: String, length: Long,
     partitionValues: Map[String, String], locations: Seq[String] = Nil,
-    range: Option[(Long, Long)] = None)
+    range: Option[(Long, Long)] = None,
+    // the batch listing saw a `.stats` zone-map sidecar beside this
+    // file (A27): false skips every sidecar GET for it, on the driver
+    // and in executor skims. Defaults TRUE (= unknown; one GET decides)
+    // for paths that never flow through the batch listing — streaming
+    // admission and tools construct partitions directly
+    hasStats: Boolean = true)
     extends InputPartition {
   /** Block hosts from the listing (HDFS/YARN locality; empty on
     * local/object stores, where Spark schedules anywhere). */
@@ -1002,7 +1031,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     var p = cachedPartitions
     if (p == null) {
       val conf = LwesDataSource.hadoopConf()
-      val listed = LwesDataSource.listFiles(roots, conf)
+      val sidecarsSeen = scala.collection.mutable.HashSet[String]()
+      val listed = LwesDataSource.listFiles(roots, conf, sidecarsSeen)
       // ReceiptTime-range pruning: drop whole files whose name-tag/mtime
       // bounds cannot overlap the pushed [timeLo, timeHi] window —
       // BEFORE any open/decompress. Exact-tagged files prune exactly;
@@ -1029,7 +1059,12 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       val allSlices = files.iterator.map { f =>
         (f, LwesInputPartition(f.getPath.toString, f.getLen,
           LwesDataSource.partitionValues(f.getPath, roots),
-          LwesDataSource.hostsOf(f)))
+          LwesDataSource.hostsOf(f),
+          // existence knowledge from the listing: a file the listing
+          // proved bare never costs a sidecar GET, on the driver or in
+          // a task skim
+          hasStats = sidecarsSeen.contains(
+            LwesStats.sidecarPath(f.getPath).toString)))
       }.toArray
       val partSlices = allSlices.filter { case (_, p) =>
         (partitionFilters ++ runtimeFilters)
@@ -1043,27 +1078,35 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // values cannot); a missing/stale sidecar keeps its file.
       val statsEligible = statsPrune && config.attrFilters.nonEmpty &&
         config.esfDefaults.isEmpty
-      val fileSlices = if (!statsEligible) partSlices
-      else if (partSlices.length > statsPruneMaxFiles) {
+      execStatsPrune = false // fresh per (re-)plan: a DPP replan may
+      // shrink the candidate set back under the cap, and a sticky flag
+      // would make every task re-issue sidecar GETs the driver already
+      // answered
+      // only files the listing saw a sidecar BESIDE can prune — the
+      // wave, the cap, and the GETs all scope to them, so a bare
+      // directory (foreign emitter, writeStats=false) pays nothing
+      lazy val statsCandidates = partSlices.filter(_._2.hasStats)
+      val fileSlices = if (!statsEligible || statsCandidates.isEmpty) partSlices
+      else if (statsCandidates.length > statsPruneMaxFiles) {
         // past the cap the driver-side GET wave would dominate planning
         // (10^5 tiny reads through one node): defer to the executors,
         // where each task skims its own files' sidecars before opening
         // them — same files skipped, the wave distributed
         execStatsPrune = true
         logInfo(s"zone-map pruning deferred to executors: " +
-          s"${partSlices.length} candidate files exceed " +
+          s"${statsCandidates.length} sidecar-carrying candidates exceed " +
           s"${LwesOptions.StatsPruneMaxFiles}=$statsPruneMaxFiles")
         partSlices
       } else {
-        prefetchStats(partSlices, conf)
+        prefetchStats(statsCandidates, conf)
         val typeOf = (c: String) =>
           config.schema.fields.find(_.name == c).map(_.dataType)
         partSlices.filter { case (f, s) =>
-          statsCache.getOrDefault(statsKey(f, s), None) match {
+          !s.hasStats || (statsCache.getOrDefault(statsKey(f, s), None) match {
             case Some(st) =>
               !LwesStats.canSkip(st, config.attrFilters, config.attrOf, typeOf)
             case None => true
-          }
+          })
         }
       }
       statsPruned = (partSlices.length - fileSlices.length).toLong
@@ -1129,13 +1172,24 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * per-file reads are latency-bound tail requests, so 16-way overlap
     * keeps planning a short wave even at journal-directory scale. */
   private def prefetchStats(targets: Seq[(FileStatus, LwesInputPartition)],
-      conf: Configuration): Unit = {
-    val missing = targets.filter { case (f, s) =>
-      !statsCache.containsKey(statsKey(f, s)) }
+      conf: Configuration): Unit =
+    prefetchInto(targets, statsCache, statsKey, readSidecarOf(_, conf))
+
+  /** The bounded-pool driver prefetch shared by the footer and sidecar
+    * caches: per-file metadata reads are latency-bound tail requests,
+    * so 16-way overlap keeps planning a short wave even at
+    * journal-directory scale. One implementation — a pool-sizing or
+    * error-handling fix must not be able to miss a copy. */
+  private def prefetchInto[V](
+      targets: Seq[(FileStatus, LwesInputPartition)],
+      cache: java.util.concurrent.ConcurrentHashMap[(String, Long, Long), V],
+      key: (FileStatus, LwesInputPartition) => (String, Long, Long),
+      read: LwesInputPartition => V): Unit = {
+    val missing = targets.filter { case (f, s) => !cache.containsKey(key(f, s)) }
     if (missing.isEmpty) return
     if (missing.size == 1) {
       val (f, s) = missing.head
-      statsCache.put(statsKey(f, s), readSidecarOf(s, conf))
+      cache.put(key(f, s), read(s))
       return
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -1143,8 +1197,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     try {
       missing.map { case (f, s) =>
         pool.submit(new java.lang.Runnable {
-          override def run(): Unit =
-            statsCache.put(statsKey(f, s), readSidecarOf(s, conf))
+          override def run(): Unit = cache.put(key(f, s), read(s))
         })
       }.foreach(_.get())
     } finally pool.shutdown()
@@ -1184,26 +1237,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * round-trips into a short parallel wave. Cache hits (DPP replans,
     * unchanged files) skip IO entirely. */
   private def prefetchFooters(targets: Seq[(FileStatus, LwesInputPartition)],
-      conf: Configuration): Unit = {
-    val missing = targets.filter { case (f, s) =>
-      !footerCache.containsKey(footerKey(f, s)) }
-    if (missing.isEmpty) return
-    if (missing.size == 1) {
-      val (f, s) = missing.head
-      footerCache.put(footerKey(f, s), readFooterOf(s, conf))
-      return
-    }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, missing.size))
-    try {
-      missing.map { case (f, s) =>
-        pool.submit(new java.lang.Runnable {
-          override def run(): Unit =
-            footerCache.put(footerKey(f, s), readFooterOf(s, conf))
-        })
-      }.foreach(_.get())
-    } finally pool.shutdown()
-  }
+      conf: Configuration): Unit =
+    prefetchInto(targets, footerCache, footerKey, readFooterOf(_, conf))
 
   /** Frame runs for one oversized split journal: read the footer index,
     * drop frames whose EXACT ReceiptTime bounds miss the pushed window,
@@ -1781,7 +1816,7 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
     val typeOf = (c: String) =>
       config.schema.fields.find(_.name == c).map(_.dataType)
     val kept = files.filter { s =>
-      s.range.nonEmpty ||
+      s.range.nonEmpty || !s.hasStats ||
         !LwesStats.read(new org.apache.hadoop.fs.Path(s.path), conf, s.length)
           .exists(st => LwesStats.canSkip(
             st, config.attrFilters, config.attrOf, typeOf))

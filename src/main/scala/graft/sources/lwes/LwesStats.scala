@@ -53,9 +53,11 @@ object LwesStats {
   val MaxStrBytes = 64
 
   /** Header pseudo-attributes (journal layer stamps 0-defaults — absent
-    * never means NULL, so missing-attr pruning is unsound for them). */
-  private val headerAttrs: Set[String] = Set(LwesEvent.ReceiptTime,
-    LwesEvent.SenderIp, LwesEvent.SenderPort, LwesEvent.SiteId)
+    * never means NULL, so missing-attr pruning is unsound for them).
+    * The one definition in [[LwesEvent.HeaderAttrs]], NOT a copy: a new
+    * header pseudo-attr added there must disable pruning here too, or
+    * complete-sidecar absence proofs silently drop its rows. */
+  private def headerAttrs: Set[String] = LwesEvent.HeaderAttrs
 
   def sidecarPath(journal: Path): Path =
     new Path(journal.getParent, s".${journal.getName}.stats")

@@ -548,6 +548,10 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
         val dest = oj.taggedDest
         val pending = new Path(dest.getParent, s".pending-${dest.getName}")
         fs.delete(pending, false) // stale same-task attempt
+        // the stale attempt's sidecar goes too — if THIS attempt writes
+        // none (writeStats flipped off between attempts), promotion must
+        // not pair the replayed journal with the old attempt's stats
+        fs.delete(LwesStats.sidecarPath(pending), false)
         // park the zone-map sidecar beside the pending journal (its
         // name is epoch-stable like the journal's, and `..pending-*`
         // never matches the epoch-file patterns) — the driver promotes
@@ -589,6 +593,19 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
     open.values.foreach { oj =>
       try oj.w.close() catch { case _: Throwable => }
       fs.delete(oj.tmp, false)
+      // a commit that failed between the sidecar write and the journal
+      // rename leaves an orphan sidecar under the would-be final (or
+      // pending) name — inert (hidden, length-pinned) but litter; spare
+      // journals that DID land before the failure (their sidecar is live)
+      try {
+        val dest = oj.taggedDest
+        if (!fs.exists(dest)) fs.delete(LwesStats.sidecarPath(dest), false)
+        if (stableNames) {
+          val pending = new Path(dest.getParent, s".pending-${dest.getName}")
+          if (!fs.exists(pending))
+            fs.delete(LwesStats.sidecarPath(pending), false)
+        }
+      } catch { case _: Throwable => }
     }
   }
 

@@ -200,6 +200,38 @@ class LwesStatsPruneSpec extends AnyFunSuite {
     parity(dir, _.filter(col("id") < 100))
   }
 
+  test("the listing proves sidecar absence: bare dirs never pay a GET") {
+    import graft.sources.lwes.LwesInputPartition
+    def flags(dir: String): Seq[Boolean] = {
+      val df = rd(dir).filter(col("id") < 0)
+      df.collect()
+      LwesScan.scansIn(df.queryExecution.executedPlan)
+        .flatMap(_.planInputPartitions().toSeq).flatMap {
+          case p: LwesInputPartition => Seq(p)
+          case m: graft.sources.lwes.LwesFilesPartition => m.files
+        }.map(_.hasStats)
+    }
+    // raw-writer journals (no sidecars): every planned partition knows
+    // from the LISTING that no sidecar exists — statsPrune costs zero
+    // extra requests on foreign/bare directories
+    val bare = tmp()
+    (0 until 3).foreach { i =>
+      val w = graft.lwes.JournalWriter.create(s"$bare/j$i.gz")
+      w.write(graft.lwes.LwesEvent("St::E").setInt64("id", i.toLong)
+        .setString("page", "x").setDouble("cost", 1.0))
+      w.close()
+    }
+    val bf = flags(bare)
+    assert(bf.nonEmpty && bf.forall(_ == false), s"bare-dir flags: $bf")
+    // DSv2-written journals: flags are true and files actually prune
+    val rich = tmp()
+    writeRanged(rich)
+    val q = rd(rich).filter(col("id") < 0)
+    assert(q.collect().isEmpty)
+    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+      .map(_.statsPrunedFileCount).sum == 3L)
+  }
+
   test("over the placement cap, pruning defers to executor-side skims") {
     val dir = tmp()
     writeRanged(dir)
