@@ -3,10 +3,12 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Subquery-shaped relational surface (SURVEY.md §2 B22-B28) — the
-  * correlated/scalar/quantified-subquery query shapes Hive users ran
-  * through the reference SerDe (TPC-H Q2/Q8/Q15/Q17/Q18/Q19/Q21/Q22
-  * adapted to the testdata schema, which has no partsupp/receiptdate).
+/** Subquery-shaped relational surface (SURVEY.md §2 B22-B28, B37-B39)
+  * — the correlated/scalar/quantified-subquery query shapes Hive users
+  * ran through the reference SerDe (TPC-H
+  * Q2/Q8/Q11/Q15/Q16/Q17/Q18/Q19/Q20/Q21/Q22 adapted to the testdata
+  * schema, which has no partsupp/receiptdate — with B37-B39 the 22
+  * TPC-H query shapes are all represented across B1-B39).
   *
   * The DuckDB oracles are written with genuine correlated subqueries /
   * EXISTS / scalar subqueries; the Spark side expresses the same
@@ -252,6 +254,124 @@ object Subqueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c.c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // B37 (Q11 shape): grouped aggregate HAVING against a SCALED global
+    // scalar over the same fact — "important" parts whose revenue from
+    // a 3-nation supplier group exceeds 2x the average per-part share.
+    // TPC-H's fixed FRACTION scales with SF (partsupp grows), so the
+    // threshold derives from the part count instead: total * 2.0 /
+    // count(part). Determinism: the per-part and total sums are exact
+    // decimal(18,6); both engines cast the same decimals to double
+    // (identical IEEE rounding), *2.0 is an exponent shift, and the
+    // division double/int64 is one IEEE op — the strict > cannot flip.
+    "q11_important_parts" -> ((
+      (s: SparkSession, d: String) => {
+        val nat3 = t(s, d, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        // rev is referenced twice (per-part rows + global total); the
+        // eager localCheckpoint materializes the 3-nation aggregate once
+        // (the q15 pattern) instead of re-scanning lineitem
+        val rev = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat3), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(revDec).as("__v"))
+          .localCheckpoint()
+        val tot = rev.agg(sum(col("__v")).cast("double").as("__tot"))
+        val cnt = t(s, d, "part").agg(count(lit(1)).as("__cnt"))
+        rev.crossJoin(broadcast(tot)).crossJoin(broadcast(cnt))
+          .filter(col("__v").cast("double") > col("__tot") * lit(2.0) / col("__cnt"))
+          .select(col("l_partkey").as("partkey"),
+            round(col("__v"), 2).cast("double").as("value"))
+          .orderBy(col("value").desc, col("partkey"))
+      },
+      """WITH rev AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS partkey, CAST(round(v, 2) AS DOUBLE) AS value
+        |FROM rev
+        |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) FROM rev) * 2.0 /
+        |      (SELECT count(*) FROM part)
+        |ORDER BY value DESC, partkey""".stripMargin)),
+
+    // B38 (Q16 shape): COUNT(DISTINCT) under a NOT-IN exclusion
+    // subquery + IN-list/negated-prefix dim filters — supplier variety
+    // per (brand, type, size), excluding negative-balance suppliers.
+    // The NOT IN set (s_suppkey) is non-null by construction, so the
+    // Spark anti-join is exactly NOT IN (no three-valued-logic gap).
+    "q16_supplier_variety" -> ((
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "part").filter(
+          col("p_brand") =!= "Brand#13" &&
+            !col("p_type").startsWith("PROMO") &&
+            col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        val excl = t(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        t(s, d, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // B39 (Q20 shape): nested IN subqueries with a correlated scalar
+    // threshold — suppliers in a nation group who shipped more than a
+    // quarter of some red part's late-window volume. The Spark side
+    // decorrelates to a two-level aggregate + per-part window sum (the
+    // q21 pattern: no countDistinct blow-up, no re-scan for the
+    // correlated total — the partition-window sum IS the per-part
+    // denominator). 0.25 is dyadic and l_quantity integral, so both
+    // sides of the strict > are exact doubles.
+    "q20_excess_shippers" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val red = t(s, d, "part")
+          .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+        val windowLines = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+          .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+        val perSuppPart = windowLines
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("__qs"))
+        val withPartTotal = perSuppPart.withColumn("__pt",
+          sum(col("__qs")).over(Window.partitionBy(col("l_partkey"))))
+        val excess = withPartTotal
+          .filter(col("__qs") > lit(0.25) * col("__pt"))
+          .select(col("l_suppkey")).distinct()
+        t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11", "NATION_19"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), round(col("s_acctbal"), 2).as("acctbal"))
+          .orderBy(col("s_name"))
+      },
+      """SELECT s_name, round(s_acctbal, 2) AS acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3','NATION_7','NATION_11','NATION_19')
+        |  AND s_suppkey IN (
+        |    SELECT l1.l_suppkey FROM lineitem l1
+        |    WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND l1.l_shipdate >= TIMESTAMP '2001-06-01'
+        |    GROUP BY l1.l_suppkey, l1.l_partkey
+        |    HAVING sum(l1.l_quantity) > 0.25 * (
+        |      SELECT sum(l2.l_quantity) FROM lineitem l2
+        |      WHERE l2.l_partkey = l1.l_partkey
+        |        AND l2.l_shipdate >= TIMESTAMP '2001-06-01'))
+        |ORDER BY s_name""".stripMargin))
   )
 }
