@@ -1083,6 +1083,46 @@ object LwesQueries {
         |WHERE epoch_ns(ts) // 1000000
         |  BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin)),
 
+    // A28: TOP-N pushdown — "latest k events" over a range-layout
+    // journal directory opens only the files the bound cannot exclude.
+    // Receipts derive 1:1 from the unique event_id so the top-k is
+    // deterministic; the in-gate require proves >= 6 of the 8
+    // disjoint-range files dropped AT PLAN TIME from name tags +
+    // sidecar counts (the global Sort+Limit above the scan keeps rows,
+    // never files), and the oracle replays the same top-k from parquet
+    // so a bound that over-pruned mismatches immediately.
+    "lwes_topn_latest" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"topn|$d") { dir =>
+          events(s, d)
+            .withColumn("ReceiptTime", lit(1700000000000L) + col("event_id"))
+            .select("event_id", "user_id", "value", "ReceiptTime")
+            .repartitionByRange(8, col("ReceiptTime"))
+            .write.format("lwes").option("eventName", "Tk::E")
+            .mode("append").save(dir)
+        }
+        // no eventName option: a record-level admission gate would void
+        // the count-based bound, so build() only keeps the push on
+        // gate-free scans (the directory is single-event-type anyway)
+        val df = s.read.format("lwes")
+          .schema("event_id long, user_id long, value double, ReceiptTime long")
+          .load(dir)
+          .orderBy(col("ReceiptTime").desc).limit(100)
+        val rows = df.collect()
+        val pruned = graft.sources.lwes.LwesScan
+          .scansIn(df.queryExecution.executedPlan)
+          .map(_.topNPrunedFileCount)
+        require(pruned.exists(_ >= 6),
+          s"top-N pushdown never pruned the journal scan " +
+            s"(pruned counts: $pruned)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+          .orderBy(col("ReceiptTime").desc)
+      },
+      """SELECT event_id, user_id, value,
+        |  1700000000000 + event_id AS ReceiptTime
+        |FROM events
+        |ORDER BY ReceiptTime DESC LIMIT 100""".stripMargin)),
+
     // A22: SPLITTABLE journal read. The whole events table is written as
     // ONE `.zsj` split journal (zstd frames at record boundaries + a
     // footer frame index, graft.lwes.SplitJournal) and read back with a

@@ -521,12 +521,43 @@ class LwesTable(schema: StructType, options: CaseInsensitiveStringMap)
 class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownTopN {
 
   private var readSchema: StructType = fullSchema
   private var partitionFilters: Array[Filter] = Array.empty
   private var pushedLimit: Int = -1
   private var aggSpec: Option[LwesAggSpec] = None
+  private var topNSpec: Option[LwesTopN] = None
+
+  /** A28: `ORDER BY <receipt col> [DESC] LIMIT k` with nothing between
+    * the Sort and the relation (Spark only offers top-N then — every
+    * residual Filter blocks the pattern, and this source keeps ALL data
+    * filters residual) prunes provably-outranked journals at plan time
+    * via name tags + sidecar counts ([[LwesScan]]). PARTIAL push: Spark
+    * keeps the global Sort+Limit, so a conservative prune is the only
+    * effect; the per-partition row limit is NOT applied (journal order
+    * is not receipt order, so an early stop could drop top-k rows). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (!options.getBoolean(LwesOptions.TopNPrune, true)) return false
+    if (limit <= 0 || orders.length != 1 || aggSpec.nonEmpty) return false
+    val col = orders(0).expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    col.filter(n => receiptCols.contains(n) &&
+        fullSchema.fields.exists(f => f.name == n && f.dataType == LongType))
+      .map { _ =>
+        topNSpec = Some(LwesTopN(orders(0).direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING,
+          limit))
+        true
+      }.getOrElse(false)
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** LIMIT n stops each partition's parse after n events (the global
     * limit still applies on top). Safe with the eventName filter
@@ -804,9 +835,22 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       timeLo == Long.MinValue && timeHi == Long.MaxValue
     val finalAgg = aggSpec.map(s => s.copy(
       footerOnly = s.footerOnly && aggUngated, ungated = aggUngated))
+    // A28 soundness gate: the count-based bound needs "every sidecar-
+    // counted record is a result row". Spark's pushdown already
+    // guarantees no data filter sits above the scan; event-name
+    // filters, admission windows, and ESF templates are option-level
+    // gates Spark cannot see, so they clear the spec here (ESF read
+    // defaults don't drop rows, but template validation paths are
+    // conservatively excluded with them).
+    val finalTopN = topNSpec.filter(_ => eventNames.isEmpty &&
+      optLo == Long.MinValue && optHi == Long.MaxValue &&
+      timeLo == Long.MinValue && timeHi == Long.MaxValue &&
+      Option(options.get(LwesOptions.Esf)).isEmpty)
     new LwesScan(finalAgg.map(_.schema).getOrElse(readSchema),
       LwesReadConfig(dataSchema, attrFor, eventFor, eventNames, pcols,
-        if (finalAgg.isDefined) -1 else pushedLimit, ncol,
+        // a pushed top-N must NOT early-stop partitions (journal order
+        // is not receipt order), so it clears the row limit too
+        if (finalAgg.isDefined || finalTopN.isDefined) -1 else pushedLimit, ncol,
         // the vectorized batch path covers scalar columns AND array
         // columns over every element type the source can PRODUCE —
         // r15: primitive/string elements (append to the child vector,
@@ -852,7 +896,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       aggSpec = finalAgg,
       statsPrune = options.getBoolean(LwesOptions.StatsPrune, true),
       statsPruneMaxFiles =
-        options.getLong(LwesOptions.StatsPruneMaxFiles, 8192L))
+        options.getLong(LwesOptions.StatsPruneMaxFiles, 8192L),
+      topN = finalTopN)
   }
 }
 
@@ -940,6 +985,12 @@ private[lwes] class StatsAggFilesMetric
   override def description(): String =
     "journals whose pushed aggregation was answered from zone-map sidecars"
 }
+private[lwes] class TopNPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesPrunedByTopN"
+  override def description(): String =
+    "journals skipped by the pushed top-N receipt bound"
+}
 private[lwes] final case class LwesTaskMetric(metricName: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = metricName
@@ -955,7 +1006,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     splitTargetBytes: Option[Long] = None,
     aggSpec: Option[LwesAggSpec] = None,
     statsPrune: Boolean = true,
-    statsPruneMaxFiles: Long = 8192L)
+    statsPruneMaxFiles: Long = 8192L,
+    topN: Option[LwesTopN] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = schema
@@ -966,13 +1018,16 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       (if (config.attrFilters.isEmpty) ""
        else s", pushed=[${config.attrFilters.mkString(", ")}]") +
       aggSpec.map(s => s", agg=[${s.funcs.mkString(", ")}]" +
-        (if (s.footerOnly) " footerOnly" else "")).getOrElse("") + ")"
+        (if (s.footerOnly) " footerOnly" else "")).getOrElse("") +
+      topN.map(t =>
+        s", topN=[receipt ${if (t.desc) "desc" else "asc"} k=${t.k}]")
+        .getOrElse("") + ")"
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new EventsParsedMetric, new EventsSkippedMetric,
       new TornFilesMetric, new CorruptRecordsMetric, new FilesPrunedMetric,
       new FramesPrunedMetric, new RowsFilteredMetric, new StatsPrunedMetric,
-      new StatsAggFilesMetric)
+      new StatsAggFilesMetric, new TopNPrunedMetric)
 
   /** Driver-side planning metrics: files/split-frames the ReceiptTime
     * bounds skipped (visible in the SQL UI next to the task metrics). */
@@ -981,7 +1036,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     plannedPartitions // ensure planning ran
     Array(LwesTaskMetric("filesPruned", prunedFileCount),
       LwesTaskMetric("framesPruned", prunedFrames),
-      LwesTaskMetric("filesPrunedByStats", statsPruned))
+      LwesTaskMetric("filesPrunedByStats", statsPruned),
+      LwesTaskMetric("filesPrunedByTopN", topNPruned))
   }
 
   @volatile private var prunedFiles = 0L
@@ -1110,6 +1166,38 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
         }
       }
       statsPruned = (partSlices.length - fileSlices.length).toLong
+      // A28 top-N pruning: lower-bound the k-th result value from the
+      // newest exact-tagged files' sidecar record counts, then drop
+      // every file whose exact tag range sits strictly outside the
+      // bound — "latest k events" over a deep journal directory opens
+      // the newest few files. EXACT tags only, on both sides: the
+      // bound rows must provably exist and a pruned file must provably
+      // hold nothing but outranked rows (no mtime heuristics here —
+      // unlike timePrune there is no user-declared layout contract to
+      // lean on). Untagged/bare files are always kept.
+      topNPruned = 0L // fresh per (re-)plan, like the other counters
+      var topNLo = Long.MinValue
+      var topNHi = Long.MaxValue
+      val topNSlices = topN match {
+        case Some(spec) if fileSlices.nonEmpty =>
+          topNBound(fileSlices, spec, conf) match {
+            case Some(b) =>
+              // the bound doubles as a receipt window for frame-level
+              // pruning inside oversized split journals (footer bounds
+              // are exact, so the same argument holds per frame)
+              if (spec.desc) topNLo = b else topNHi = b
+              val kept = fileSlices.filter { case (_, s) =>
+                LwesDataSource.exactTagBounds(new Path(s.path).getName) match {
+                  case Some((mn, mx)) => if (spec.desc) mx >= b else mn <= b
+                  case None => true
+                }
+              }
+              topNPruned = (fileSlices.length - kept.length).toLong
+              kept
+            case None => fileSlices
+          }
+        case _ => fileSlices
+      }
       val (maxBytes, openCost, parallelism) =
         try {
           val sc = org.apache.spark.sql.SparkSession.active.sparkContext
@@ -1127,15 +1215,17 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // which reuses the SAME maxSplit the expansion targeted (one
       // formula, computed here) so the two stages cannot drift.
       val defaultSplit = LwesScan.maxSplitBytes(
-        fileSlices.map(_._2.length), maxBytes, openCost, parallelism)
+        topNSlices.map(_._2.length), maxBytes, openCost, parallelism)
       val target = math.max(splitTargetBytes.getOrElse(defaultSplit), 1L)
       prunedFrames = 0L // fresh count per (re-)plan: runtime filters replan
-      val oversized = fileSlices.filter { case (_, s) =>
+      val oversized = topNSlices.filter { case (_, s) =>
         graft.lwes.SplitJournal.isSplit(s.path) && s.length > target }
       prefetchFooters(oversized, conf)
-      val slices = fileSlices.flatMap { case (f, s) =>
+      val (frameLo, frameHi) =
+        (math.max(timeLo, topNLo), math.min(timeHi, topNHi))
+      val slices = topNSlices.flatMap { case (f, s) =>
         if (graft.lwes.SplitJournal.isSplit(s.path) && s.length > target)
-          expandSplit(f, s, target, conf)
+          expandSplit(f, s, target, conf, frameLo, frameHi)
         else Seq(s)
       }
       p = LwesScan.packPartitions(slices,
@@ -1154,6 +1244,75 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * happened at PLAN time from sidecar stats alone, since the residual
     * Filter above the scan cannot remove files. */
   def statsPrunedFileCount: Long = { plannedPartitions; statsPruned }
+
+  @volatile private var topNPruned = 0L
+
+  /** Files dropped by the pushed top-N receipt bound (A28) — same
+    * number as the `filesPrunedByTopN` driver metric. Nonzero proves
+    * the drop happened at PLAN time from name tags + sidecar counts
+    * alone (the global Sort+Limit above the scan keeps rows, never
+    * files). */
+  def topNPrunedFileCount: Long = { plannedPartitions; topNPruned }
+
+  /** A28 bound walk: a greedy lower bound on the k-th result value
+    * (described for DESC; ASC mirrors everywhere with tag/frame MAX
+    * ascending). Each exact-tagged, sidecar-carrying file yields
+    * guaranteed-count UNITS `(bound, count)` — "count result rows with
+    * receipt >= bound": the whole file's sidecar record count at its
+    * tag min, or (for the newest few `.zsj` files) one unit per footer
+    * frame at the frame's exact min, which is what lets "latest k"
+    * over ONE fat journal bound inside the file and decompress only
+    * tail frames. Consume units best-bound-first until the counts
+    * reach k: every counted row's receipt >= its own unit's bound >=
+    * the last bound consumed, so at least k result rows — hence the
+    * k-th-largest — sit at or above it, and any file/frame whose max
+    * is strictly below holds only outranked rows. Files with
+    * unreadable/stale sidecars (or sentinel frame bounds) contribute
+    * no units and are never pruned. Bounded: at most
+    * [[LwesScan.TopNStatsWalkCap]] sidecar reads (one 16-way wave,
+    * newest-first) and [[LwesScan.TopNFooterRefine]] footer reads; if
+    * the counts never reach k, no bound, no prune. */
+  private def topNBound(
+      slices: Array[(FileStatus, LwesInputPartition)],
+      spec: LwesTopN, conf: Configuration): Option[Long] = {
+    val tagged = slices.flatMap { case (f, s) =>
+      if (!s.hasStats) None
+      else LwesDataSource.exactTagBounds(new Path(s.path).getName)
+        .map { case (mn, mx) => (f, s, mn, mx) }
+    }
+    val walk = (if (spec.desc) tagged.sortBy(-_._3) else tagged.sortBy(_._4))
+      .take(LwesScan.TopNStatsWalkCap)
+    prefetchStats(walk.map(t => (t._1, t._2)).toSeq, conf)
+    val units = mutable.ArrayBuffer.empty[(Long, Long)] // (bound, count)
+    walk.zipWithIndex.foreach { case ((f, s, mn, mx), idx) =>
+      val framed =
+        idx < LwesScan.TopNFooterRefine &&
+          graft.lwes.SplitJournal.isSplit(s.path) &&
+          (footerCache.computeIfAbsent(footerKey(f, s),
+            _ => readFooterOf(s, conf)) match {
+            case Some(frames) =>
+              frames.foreach { fr =>
+                if (fr.minReceipt <= fr.maxReceipt && fr.records > 0)
+                  units += ((if (spec.desc) fr.minReceipt else fr.maxReceipt,
+                    fr.records.toLong))
+              }
+              true
+            case None => false
+          })
+      if (!framed)
+        statsCache.getOrDefault(statsKey(f, s), None)
+          .foreach(st => units += ((if (spec.desc) mn else mx, st.records)))
+    }
+    val best = if (spec.desc) units.sortBy(-_._1) else units.sortBy(_._1)
+    var acc = 0L
+    var i = 0
+    while (i < best.length) {
+      acc += best(i)._2
+      if (acc >= spec.k) return Some(best(i)._1)
+      i += 1
+    }
+    None
+  }
 
   /** Sidecar stats cache, (path, len, mtime)-keyed like the footer
     * cache and for the same reason: DPP replans must not repeat the
@@ -1247,7 +1406,9 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * seekable byte span). Any footer problem falls back to the unsplit
     * whole-file read, which is always correct. */
   private def expandSplit(f: FileStatus, s: LwesInputPartition,
-      target: Long, conf: Configuration): Seq[LwesInputPartition] = {
+      target: Long, conf: Configuration,
+      fLo: Long = Long.MinValue, fHi: Long = Long.MaxValue)
+      : Seq[LwesInputPartition] = {
     try {
       val footer = footerCache.computeIfAbsent(footerKey(f, s),
         _ => readFooterOf(s, conf)) // prefetch miss (new file mid-scan)
@@ -1257,8 +1418,11 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
             "index; reading it unsplit")
           Seq(s)
         case Some(frames) =>
+          // the window is the pushed receipt range tightened by the A28
+          // top-N bound (framesPruned then counts both — exact footer
+          // bounds either way)
           val (runs, pruned) = LwesDataSource.planFrameRuns(
-            frames, timeLo, timeHi, target)
+            frames, math.max(timeLo, fLo), math.min(timeHi, fHi), target)
           prunedFrames += pruned.toLong
           runs.map { case (start, end) =>
             // range-accurate locality: rank hosts by the BYTES of each
@@ -1326,6 +1490,20 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
 }
 
 object LwesScan {
+  /** A28 bound-walk cap: at most this many sidecar reads back the
+    * top-N bound (newest-first, one 16-way wave). "Latest k" finds its
+    * k rows in the first file or two of a healthy journal directory;
+    * if k outruns the cap's worth of counts, planning just keeps every
+    * file — the prune is an optimization with no correctness debt. */
+  val TopNStatsWalkCap = 256
+
+  /** How many of the newest walked `.zsj` files refine their A28 bound
+    * unit per footer FRAME instead of per file — one footer tail read
+    * each, shared with split planning via the footer cache. One fat
+    * journal is the case that needs it; a handful covers a mixed
+    * directory without turning the bound walk into a footer wave. */
+  val TopNFooterRefine = 8
+
   /** Every [[LwesScan]] in a physical plan, descending through AQE
     * wrappers (adaptive root, query stages — whose `children` is
     * empty) and subqueries. The one traversal shared by gates and

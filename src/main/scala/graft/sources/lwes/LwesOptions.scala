@@ -102,6 +102,20 @@ object LwesAggFunc {
 final case class LwesAggSpec(funcs: Seq[LwesAggFunc], schema: StructType,
     footerOnly: Boolean, ungated: Boolean = true) extends Serializable
 
+/** Pushed `ORDER BY <receipt col> [DESC] LIMIT k` (A28). PARTIAL push —
+  * Spark always keeps the global Sort+Limit, so the scan's only
+  * obligation is to KEEP every file that could contribute a top-k row;
+  * pruning the provably-outranked rest is the optimization, never the
+  * semantics. Only accepted for a single-column sort on a LongType
+  * receipt-time column of a gate-free scan (no pushed/residual filters
+  * — Spark's pushdown only offers top-N when Sort+Limit sit directly
+  * over the relation — and `build()` clears the spec under event-name
+  * filters, admission windows, or ESF templates), so every record a
+  * zone-map sidecar counts is a result row. Null ordering is
+  * irrelevant: the receipt header is stamped on every record (0
+  * default), so the column never holds NULL. */
+final case class LwesTopN(desc: Boolean, k: Int) extends Serializable
+
 object LwesOptions {
   val EventName = "eventName"
   // read: add a string column carrying each event's wire type;
@@ -175,6 +189,17 @@ object LwesOptions {
   // decompressing a single frame (A26). Escape hatch only — partial
   // pushdown is always correct under Spark's final re-aggregation.
   val AggPushdown = "aggPushdown"
+  // top-N pushdown (default true): an unfiltered `ORDER BY <receipt
+  // col> [DESC] LIMIT k` prunes whole journals at plan time — the
+  // k-th result value is lower-bounded by walking exact `.t<min>-<max>.`
+  // name tags newest-first and summing zone-map sidecar record counts
+  // until >= k, after which any file whose tag range sits strictly
+  // outside the bound cannot contribute (A28; "latest k events" over a
+  // year of journals opens the newest few files instead of the year).
+  // Untagged or sidecar-less files are never pruned and never feed the
+  // bound; Spark keeps the global Sort+Limit, so pruning is the only
+  // effect. Escape hatch only.
+  val TopNPrune = "topNPrune"
   // STREAMING SINK auto-compaction: with `autoCompactTarget` set, every
   // `autoCompactEveryEpochs`-th epoch commit (default 10) runs [[Compact]]
   // over the sink directory after the manifest lands, rewriting the

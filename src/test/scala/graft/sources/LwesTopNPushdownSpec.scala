@@ -1,0 +1,205 @@
+package graft.sources
+
+import graft.sources.lwes.{LwesOptions, LwesScan}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** A28 — top-N pushdown: an unfiltered `ORDER BY <receipt> [DESC]
+  * LIMIT k` prunes whole journals (exact name tags + sidecar counts)
+  * and, inside fat `.zsj` files, whole frames (exact footer bounds) at
+  * plan time. PARTIAL push: Spark keeps the global Sort+Limit, so
+  * every test asserts BOTH the prune count and value parity with the
+  * unpruned plan — pruning must be invisible to answers. */
+class LwesTopNPushdownSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("lwes-topn").toString
+
+  /** One journal per (base, n): receipts [base, base+n). */
+  private def writeRanged(dir: String, ranges: Seq[(Long, Int)],
+      extra: (String, String)*): Unit = {
+    import spark.implicits._
+    ranges.foreach { case (base, n) =>
+      val w = (0 until n).map(i => base + i).toDF("ReceiptTime")
+        .select(col("ReceiptTime"), (col("ReceiptTime") % 97).as("user_id"))
+        .repartition(1)
+        .write.format("lwes").option("eventName", "Tn::E").mode("append")
+      extra.foldLeft(w) { case (x, (k, v)) => x.option(k, v) }.save(dir)
+    }
+  }
+
+  private def rd(dir: String, extra: (String, String)*): DataFrame = {
+    val base = spark.read.format("lwes")
+      .schema("ReceiptTime long, user_id long")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+  }
+
+  private def topNOf(df: DataFrame): (Array[Long], Long) = {
+    val vals = df.collect().map(_.getLong(0))
+    val pruned = LwesScan.scansIn(df.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum
+    (vals, pruned)
+  }
+
+  /** Value-multiset parity (ties make row identity ambiguous, values
+    * never) between the pruned plan and topNPrune=false. */
+  private def parity(dir: String, k: Int, desc: Boolean,
+      extra: (String, String)*): (Long, Array[Long]) = {
+    def q(opts: (String, String)*) = {
+      val d = rd(dir, opts: _*)
+      (if (desc) d.orderBy(col("ReceiptTime").desc)
+       else d.orderBy(col("ReceiptTime"))).limit(k)
+    }
+    val (a, pruned) = topNOf(q(extra: _*))
+    val (b, _) = topNOf(q(extra :+ (LwesOptions.TopNPrune -> "false"): _*))
+    assert(a.sorted.sameElements(b.sorted),
+      s"pruned and unpruned top-$k values diverged")
+    (pruned, a)
+  }
+
+  test("desc top-k prunes every file the newest file outranks") {
+    val dir = tmp()
+    writeRanged(dir, Seq((0L, 100), (1000L, 100), (2000L, 100), (3000L, 100)))
+    val (pruned, vals) = parity(dir, 50, desc = true)
+    assert(pruned == 3L, s"expected 3 files pruned, got $pruned")
+    assert(vals.max == 3099L && vals.min == 3050L)
+    val d = rd(dir).orderBy(col("ReceiptTime").desc).limit(50)
+    d.collect()
+    assert(d.queryExecution.executedPlan.toString.contains("topN=[receipt desc k=50]"))
+  }
+
+  test("asc top-k mirrors with tag-max bounds") {
+    val dir = tmp()
+    writeRanged(dir, Seq((0L, 100), (1000L, 100), (2000L, 100)))
+    val (pruned, vals) = parity(dir, 30, desc = false)
+    assert(pruned == 2L)
+    assert(vals.min == 0L && vals.max == 29L)
+  }
+
+  test("overlapping ranges keep every file the bound cannot exclude") {
+    val dir = tmp()
+    // A [0,100), B [150,250), C [220,320): k=150 needs rows from BOTH
+    // C and B (70 values >= 250, so the 150th largest sits inside B's
+    // overlap band) — any sound bound lands in (99, 250), pruning
+    // exactly A however precisely the frame units refine it
+    writeRanged(dir, Seq((0L, 100), (150L, 100), (220L, 100)))
+    val (pruned, vals) = parity(dir, 150, desc = true)
+    assert(pruned == 1L, s"expected exactly the outranked file pruned, got $pruned")
+    assert(vals.length == 150 && vals.max == 319L)
+  }
+
+  test("ties at the bound cannot break the value multiset") {
+    val dir = tmp()
+    // A: 100 rows all receipt=100; B: [100,200); C: [0,100) — k=100
+    // desc bounds at 100, prunes only C (max 99); the single value-100
+    // slot in the top-100 may come from A or B, values identical
+    import spark.implicits._
+    Seq.fill(100)(100L).toDF("ReceiptTime")
+      .select(col("ReceiptTime"), (col("ReceiptTime") % 97).as("user_id"))
+      .repartition(1).write.format("lwes").option("eventName", "Tn::E")
+      .mode("append").save(dir)
+    writeRanged(dir, Seq((100L, 100), (0L, 100)))
+    val (pruned, vals) = parity(dir, 100, desc = true)
+    assert(pruned == 1L)
+    // values >= 101 number exactly 99 (B's tail), so the top-100
+    // closes with exactly one of the many tied 100s — whichever row
+    // won, the value multiset is fixed
+    assert(vals.count(_ == 100L) == 1)
+  }
+
+  test("no sidecars -> no bound, no prune, same answer") {
+    val dir = tmp()
+    writeRanged(dir, Seq((0L, 100), (1000L, 100)),
+      LwesOptions.WriteStats -> "false")
+    val (pruned, vals) = parity(dir, 10, desc = true)
+    assert(pruned == 0L)
+    assert(vals.max == 1099L)
+  }
+
+  test("untagged files are never pruned and never feed the bound") {
+    val dir = tmp()
+    writeRanged(dir, Seq((0L, 100), (1000L, 100), (2000L, 100)))
+    // strip the tag from the NEWEST file (its sidecar is orphaned too)
+    val f = new java.io.File(dir).listFiles()
+      .filter(f => !f.getName.startsWith(".") && f.getName.contains(".t2000-"))
+      .head
+    assert(f.renameTo(new java.io.File(dir, "foreign-journal.zsj")))
+    val (pruned, vals) = parity(dir, 150, desc = true)
+    // bound now comes from the [1000,1100) file: 100 rows < 150 with
+    // the [0,100) file's counts -> bound 0 -> nothing prunes
+    assert(pruned == 0L)
+    assert(vals.max == 2099L)
+  }
+
+  test("a residual filter blocks the push entirely") {
+    val dir = tmp()
+    writeRanged(dir, Seq((0L, 100), (1000L, 100), (2000L, 100)))
+    val d = rd(dir).filter(col("user_id") >= 0)
+      .orderBy(col("ReceiptTime").desc).limit(10)
+    val vals = d.collect().map(_.getLong(0))
+    assert(vals.max == 2099L && vals.length == 10)
+    val scans = LwesScan.scansIn(d.queryExecution.executedPlan)
+    assert(scans.map(_.topNPrunedFileCount).sum == 0L)
+    assert(!d.queryExecution.executedPlan.toString.contains("topN=["))
+  }
+
+  test("an event-name filter clears the push in build()") {
+    val dir = tmp()
+    writeRanged(dir, Seq((0L, 100), (1000L, 100)))
+    val d = rd(dir, "eventName" -> "Tn::E")
+      .orderBy(col("ReceiptTime").desc).limit(10)
+    assert(d.collect().map(_.getLong(0)).max == 1099L)
+    assert(LwesScan.scansIn(d.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 0L)
+  }
+
+  test("k beyond the directory keeps everything") {
+    val dir = tmp()
+    writeRanged(dir, Seq((0L, 50), (1000L, 50)))
+    val (pruned, vals) = parity(dir, 1000, desc = true)
+    assert(pruned == 0L && vals.length == 100)
+  }
+
+  test("topNPrune=false is a true escape hatch") {
+    val dir = tmp()
+    writeRanged(dir, Seq((0L, 100), (1000L, 100)))
+    val d = rd(dir, LwesOptions.TopNPrune -> "false")
+      .orderBy(col("ReceiptTime").desc).limit(10)
+    d.collect()
+    assert(!d.queryExecution.executedPlan.toString.contains("topN=["))
+    assert(LwesScan.scansIn(d.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 0L)
+  }
+
+  test("one fat split journal bounds per footer frame and prunes to the tail") {
+    import spark.implicits._
+    val dir = tmp()
+    (0 until 20000).map(i => 1700000000000L + i).toDF("ReceiptTime")
+      .select(col("ReceiptTime"), (col("ReceiptTime") % 97).as("user_id"))
+      .orderBy("ReceiptTime").coalesce(1)
+      .write.format("lwes").option("eventName", "Tn::F")
+      .option(LwesOptions.Compression, "split-zstd")
+      .option(LwesOptions.SplitFrameBytes, "16384")
+      .mode("append").save(dir)
+    def q(opts: (String, String)*) =
+      rd(dir, (opts :+ (LwesOptions.SplitTargetBytes -> "16384")): _*)
+        .orderBy(col("ReceiptTime").desc).limit(25)
+    val d = q()
+    val vals = d.collect().map(_.getLong(0))
+    assert(vals.max == 1700000019999L && vals.min == 1700000019975L)
+    val scans = LwesScan.scansIn(d.queryExecution.executedPlan)
+    assert(scans.map(_.prunedFrameCount).sum > 50L,
+      "expected the top-N bound to prune most frames of the fat journal")
+    val u = q(LwesOptions.TopNPrune -> "false")
+    assert(u.collect().map(_.getLong(0)).sorted.sameElements(vals.sorted))
+  }
+}
