@@ -842,7 +842,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     // gates Spark cannot see, so they clear the spec here (ESF read
     // defaults don't drop rows, but template validation paths are
     // conservatively excluded with them).
-    val finalTopN = topNSpec.filter(_ => eventNames.isEmpty &&
+    val finalTopN = topNSpec.filter(_ => aggSpec.isEmpty &&
+      eventNames.isEmpty &&
       optLo == Long.MinValue && optHi == Long.MaxValue &&
       timeLo == Long.MinValue && timeHi == Long.MaxValue &&
       Option(options.get(LwesOptions.Esf)).isEmpty)
