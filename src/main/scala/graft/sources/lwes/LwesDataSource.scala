@@ -1187,11 +1187,13 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
               // pruning inside oversized split journals (footer bounds
               // are exact, so the same argument holds per frame)
               if (spec.desc) topNLo = b else topNHi = b
-              val kept = fileSlices.filter { case (_, s) =>
-                LwesDataSource.exactTagBounds(new Path(s.path).getName) match {
-                  case Some((mn, mx)) => if (spec.desc) mx >= b else mn <= b
-                  case None => true
-                }
+              // ONE definition of "exact-tag overlap keep": the same
+              // helper the receipt-window prune uses, in exact-only
+              // mode (untagged files kept, no mtime heuristics)
+              val kept = fileSlices.filter { case (f, s) =>
+                LwesDataSource.timeOverlap(new Path(s.path).getName,
+                  f.getModificationTime, topNLo, topNHi,
+                  timeSlackMs, exactOnly = true)._1
               }
               topNPruned = (fileSlices.length - kept.length).toLong
               kept
@@ -1269,10 +1271,12 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * k-th-largest — sit at or above it, and any file/frame whose max
     * is strictly below holds only outranked rows. Files with
     * unreadable/stale sidecars (or sentinel frame bounds) contribute
-    * no units and are never pruned. Bounded: at most
-    * [[LwesScan.TopNStatsWalkCap]] sidecar reads (one 16-way wave,
-    * newest-first) and [[LwesScan.TopNFooterRefine]] footer reads; if
-    * the counts never reach k, no bound, no prune. */
+    * no units and are never pruned. Bounded AND lazy: the walk reads
+    * sidecars in 16-file newest-first waves and stops at the first
+    * wave whose counts reach k — the common "latest k" pays one or two
+    * sidecar reads — capped at [[LwesScan.TopNStatsWalkCap]] sidecars
+    * and [[LwesScan.TopNFooterRefine]] footer tails; if the counts
+    * never reach k, no bound, no prune. */
   private def topNBound(
       slices: Array[(FileStatus, LwesInputPartition)],
       spec: LwesTopN, conf: Configuration): Option[Long] = {
@@ -1281,36 +1285,67 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       else LwesDataSource.exactTagBounds(new Path(s.path).getName)
         .map { case (mn, mx) => (f, s, mn, mx) }
     }
-    val walk = (if (spec.desc) tagged.sortBy(-_._3) else tagged.sortBy(_._4))
+    val walk = (if (spec.desc) tagged.sortBy(_._3)(Ordering[Long].reverse)
+                else tagged.sortBy(_._4))
       .take(LwesScan.TopNStatsWalkCap)
-    prefetchStats(walk.map(t => (t._1, t._2)).toSeq, conf)
+    // Collect units CHUNK by chunk, newest-first, stopping as soon as
+    // the counts reach k: "latest k" then costs a sidecar read or two,
+    // not a 256-file wave (the documented cost shape). The early stop
+    // loses no bound quality: walk order is by best file bound, so
+    // every unit a later chunk could add has a bound <= every unit
+    // already collected via its file (footer refinement only applies
+    // inside the FIRST chunk, TopNFooterRefine < chunk size) — it can
+    // never enter the greedy best-first prefix that sets the bound.
     val units = mutable.ArrayBuffer.empty[(Long, Long)] // (bound, count)
-    walk.zipWithIndex.foreach { case ((f, s, mn, mx), idx) =>
-      val framed =
-        idx < LwesScan.TopNFooterRefine &&
-          graft.lwes.SplitJournal.isSplit(s.path) &&
-          (footerCache.computeIfAbsent(footerKey(f, s),
-            _ => readFooterOf(s, conf)) match {
-            case Some(frames) =>
-              frames.foreach { fr =>
-                if (fr.minReceipt <= fr.maxReceipt && fr.records > 0)
-                  units += ((if (spec.desc) fr.minReceipt else fr.maxReceipt,
-                    fr.records.toLong))
-              }
-              true
-            case None => false
-          })
-      if (!framed)
-        statsCache.getOrDefault(statsKey(f, s), None)
-          .foreach(st => units += ((if (spec.desc) mn else mx, st.records)))
-    }
-    val best = if (spec.desc) units.sortBy(-_._1) else units.sortBy(_._1)
     var acc = 0L
     var i = 0
-    while (i < best.length) {
-      acc += best(i)._2
-      if (acc >= spec.k) return Some(best(i)._1)
-      i += 1
+    while (i < walk.length && acc < spec.k) {
+      val chunk = walk.slice(i, math.min(i + 16, walk.length))
+      // sidecar wave only for files whose unit comes from the sidecar
+      // (footer-refined files read the footer instead; if that read
+      // fails, the per-file computeIfAbsent below falls back)
+      prefetchStats(chunk.zipWithIndex.collect {
+        case ((f, s, _, _), j)
+            if !(i + j < LwesScan.TopNFooterRefine &&
+              graft.lwes.SplitJournal.isSplit(s.path)) => (f, s)
+      }.toSeq, conf)
+      chunk.zipWithIndex.foreach { case ((f, s, mn, mx), j) =>
+        val framed =
+          i + j < LwesScan.TopNFooterRefine &&
+            graft.lwes.SplitJournal.isSplit(s.path) &&
+            (footerCache.computeIfAbsent(footerKey(f, s),
+              _ => readFooterOf(s, conf)) match {
+              case Some(frames) =>
+                frames.foreach { fr =>
+                  if (fr.minReceipt <= fr.maxReceipt && fr.records > 0) {
+                    units += ((if (spec.desc) fr.minReceipt else fr.maxReceipt,
+                      fr.records.toLong))
+                    acc += fr.records
+                  }
+                }
+                true
+              case None => false
+            })
+        if (!framed)
+          statsCache.computeIfAbsent(statsKey(f, s), _ => readSidecarOf(s, conf))
+            .foreach { st =>
+              units += ((if (spec.desc) mn else mx, st.records))
+              acc += st.records
+            }
+      }
+      i += chunk.length
+    }
+    if (acc < spec.k) return None
+    // Long.MinValue-safe ordering (sortBy(-_) would misplace it and
+    // break the greedy invariant on a foreign-metadata receipt)
+    val best = if (spec.desc) units.sortBy(_._1)(Ordering[Long].reverse)
+               else units.sortBy(_._1)
+    var taken = 0L
+    var b = 0
+    while (b < best.length) {
+      taken += best(b)._2
+      if (taken >= spec.k) return Some(best(b)._1)
+      b += 1
     }
     None
   }

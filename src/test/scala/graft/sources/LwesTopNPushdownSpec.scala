@@ -180,6 +180,39 @@ class LwesTopNPushdownSpec extends AnyFunSuite {
       .map(_.topNPrunedFileCount).sum == 0L)
   }
 
+  test("a Long.MinValue foreign-metadata receipt cannot corrupt the bound order") {
+    import spark.implicits._
+    val dir = tmp()
+    // evil: 60 records stamped ReceiptTime = Long.MinValue inside a
+    // split journal, RENAMED to carry a tag claiming [1000,2000] with
+    // its sidecar copied alongside — foreign-inconsistent metadata
+    // whose footer contributes (Long.MinValue, 60) units. A sort keyed
+    // on -bound would place that unit FIRST (negation overflow),
+    // consume it, close k=100 on the [1000,1050) file's units, bound
+    // at ~1000, and prune the [900,960) file that holds HALF the true
+    // top-100 — returning MinValue rows instead. The fixed ordering
+    // consumes it LAST, yields bound Long.MinValue, prunes nothing.
+    Seq.fill(60)(Long.MinValue).toDF("ReceiptTime")
+      .select(col("ReceiptTime"), lit(1L).as("user_id"))
+      .repartition(1).write.format("lwes").option("eventName", "Tn::E")
+      .option(LwesOptions.Compression, "split-zstd")
+      .mode("append").save(dir)
+    val written = new java.io.File(dir).listFiles()
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(written.length == 1)
+    val evil = new java.io.File(dir, "evil.t1000-2000.zsj")
+    val sidecar = new java.io.File(dir, "." + written.head.getName + ".stats")
+    assert(sidecar.exists())
+    assert(sidecar.renameTo(new java.io.File(dir, ".evil.t1000-2000.zsj.stats")))
+    assert(written.head.renameTo(evil))
+    writeRanged(dir, Seq((1000L, 50), (900L, 60) /* true top-100 tail */))
+    val (pruned, vals) = parity(dir, 100, desc = true)
+    assert(pruned == 0L,
+      s"the MinValue unit must force an unbounded walk, not a prune ($pruned)")
+    assert(vals.min == 910L && !vals.contains(Long.MinValue),
+      "the [900,960) file lost top-k rows to the corrupted bound")
+  }
+
   test("one fat split journal bounds per footer frame and prunes to the tail") {
     import spark.implicits._
     val dir = tmp()
