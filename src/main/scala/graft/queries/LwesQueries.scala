@@ -1123,6 +1123,70 @@ object LwesQueries {
         |FROM events
         |ORDER BY ReceiptTime DESC LIMIT 100""".stripMargin)),
 
+    // A29: STORAGE-PARTITIONED JOIN — two journal tables partitioned
+    // by event_type join (and aggregate on the key) with ZERO hash
+    // exchanges: the scans report KeyGroupedPartitioning and every
+    // task carries its key row, so Spark co-locates by partition
+    // VALUE instead of shuffling 2x the corpus. The in-gate require
+    // pins the plan shape (SortMergeJoin present, broadcast disabled,
+    // no hash exchange anywhere — the only exchange is the final
+    // range sort); the oracle replays the join from parquet so a
+    // mis-aligned key grouping that dropped or duplicated rows
+    // mismatches immediately. Confs are set and RESTORED around the
+    // gate (a leaked broadcast threshold would distort every later
+    // bench key).
+    "lwes_spj_join" -> ((
+      (s: SparkSession, d: String) => {
+        val dirA = cached(s"spja|$d") { dir =>
+          events(s, d)
+            .select("event_id", "user_id", "value", "event_type")
+            .write.format("lwes").option("eventName", "Sp::A")
+            .option("partitionBy", "event_type").mode("append").save(dir)
+        }
+        val dirB = cached(s"spjb|$d") { dir =>
+          events(s, d)
+            .select("event_id", "user_id", "event_type")
+            .write.format("lwes").option("eventName", "Sp::B")
+            .option("partitionBy", "event_type").mode("append").save(dir)
+        }
+        val spjConf = "spark.sql.sources.v2.bucketing.enabled"
+        val abjConf = "spark.sql.autoBroadcastJoinThreshold"
+        val (spj0, abj0) = (s.conf.get(spjConf, "false"), s.conf.get(abjConf))
+        s.conf.set(spjConf, "true"); s.conf.set(abjConf, "-1")
+        try {
+          val a = s.read.format("lwes")
+            .schema("event_id long, user_id long, value double, event_type string")
+            .option("eventName", "Sp::A").load(dirA)
+          val b = s.read.format("lwes")
+            .schema("event_id long, user_id long, event_type string")
+            .option("eventName", "Sp::B").load(dirB)
+            .groupBy(col("event_type"))
+            .agg(countDistinct(col("user_id")).as("n_users"))
+          val df = a.join(b, Seq("event_type"))
+            .groupBy(col("event_type"), col("n_users"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("value")), 2).as("total_value"))
+            .orderBy(col("event_type"))
+          val rows = df.collect()
+          val plan = df.queryExecution.executedPlan.toString
+          require(plan.contains("SortMergeJoin") &&
+            !plan.contains("BroadcastHashJoin") &&
+            !plan.contains("Exchange hashpartitioning"),
+            "storage-partitioned join shuffled or broadcast instead of " +
+              "co-locating by partition value")
+          s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+            .orderBy(col("event_type"))
+        } finally { s.conf.set(spjConf, spj0); s.conf.set(abjConf, abj0) }
+      },
+      """WITH b AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, CAST(b.n_users AS BIGINT) AS n_users,
+        |  count(*) AS n, round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type, b.n_users
+        |ORDER BY e.event_type""".stripMargin)),
+
     // A22: SPLITTABLE journal read. The whole events table is written as
     // ONE `.zsj` split journal (zstd frames at record boundaries + a
     // footer frame index, graft.lwes.SplitJournal) and read back with a

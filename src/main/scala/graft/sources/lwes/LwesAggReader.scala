@@ -15,10 +15,7 @@ class LwesAggReaderFactory(config: LwesReadConfig, spec: LwesAggSpec,
     bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition match {
-      case p: LwesInputPartition => Seq(p)
-      case m: LwesFilesPartition => m.files
-    }
+    val files = LwesScan.partitionFiles(partition)
     new LwesAggPartitionReader(files, config, spec, bconf.value.value)
   }
 }

@@ -898,7 +898,14 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       statsPrune = options.getBoolean(LwesOptions.StatsPrune, true),
       statsPruneMaxFiles =
         options.getLong(LwesOptions.StatsPruneMaxFiles, 8192L),
-      topN = finalTopN)
+      topN = finalTopN,
+      spjPartitioning =
+        Option(options.get(LwesOptions.SpjPartitioning))
+          .map(_.toLowerCase).getOrElse("auto") match {
+          case m @ ("auto" | "true" | "false") => m
+          case other => throw new IllegalArgumentException(
+            s"${LwesOptions.SpjPartitioning}=$other is not one of auto/true/false")
+        })
   }
 }
 
@@ -929,6 +936,23 @@ final case class LwesFilesPartition(files: Seq[LwesInputPartition])
   override def preferredLocations(): Array[String] =
     LwesDataSource.rankHosts(files.iterator.flatMap(f =>
       f.locations.iterator.map(_ -> f.length))).toArray
+}
+
+/** A29: key-carrying wrapper for storage-partitioned joins — wraps a
+  * planned partition (single slice or packed bin, always files of ONE
+  * partition-value tuple) with its path-derived key values so Spark's
+  * KeyGroupedPartitioning machinery can co-locate two journal tables
+  * without a shuffle. Key columns are path partition columns, which
+  * read back as strings ([[ColumnShape.valueFor]]), so the key row is
+  * UTF8String-typed to match. Reader factories unwrap via
+  * [[LwesScan.partitionFiles]]. */
+final case class LwesKeyedPartition(inner: InputPartition,
+    keyVals: Seq[String]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(keyVals.map(v =>
+      if (v == null) null else UTF8String.fromString(v): Any).toArray)
 }
 
 /** DSv2 custom scan metrics, surfaced per-scan in the SQL UI. At
@@ -1008,9 +1032,11 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     aggSpec: Option[LwesAggSpec] = None,
     statsPrune: Boolean = true,
     statsPruneMaxFiles: Long = 8192L,
-    topN: Option[LwesTopN] = None)
+    topN: Option[LwesTopN] = None,
+    spjPartitioning: String = "auto")
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with org.apache.spark.internal.Logging {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -1231,11 +1257,65 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           expandSplit(f, s, target, conf, frameLo, frameHi)
         else Seq(s)
       }
-      p = LwesScan.packPartitions(slices,
+      // A29 key-grouped planning: with storage-partitioned joins
+      // active, bins pack WITHIN one partition-value tuple (never
+      // across — a task must hold exactly one key) and each planned
+      // partition carries its key row. Groups sort by key for a
+      // deterministic plan; Spark aligns the two join sides by VALUE.
+      plannedSpj = spjActive && aggSpec.isEmpty && slices.nonEmpty
+      p = if (plannedSpj) {
+        val keyCols = spjKeyCols
+        slices.groupBy(s => keyCols.map(c => s.partitionValues.getOrElse(c, null)))
+          .toArray
+          .sortBy(_._1.map(String.valueOf).mkString(" "))
+          .flatMap { case (kv, group) =>
+            LwesScan.packPartitions(group,
+              math.min(maxBytes, target), openCost, parallelism)
+              .map(ip => LwesKeyedPartition(ip, kv))
+          }
+      } else LwesScan.packPartitions(slices,
         math.min(maxBytes, target), openCost, parallelism)
       cachedPartitions = p
     }
     p
+  }
+
+  @volatile private var plannedSpj = false
+
+  private def spjKeyCols: Seq[String] = config.partitionCols.sorted
+
+  /** A29: whether this plan reports/packs key-grouped partitions.
+    * "auto" defers to Spark's own SPJ master switch so the report and
+    * the engine's expectations can never disagree; "true" forces the
+    * key-grouped layout (Spark ignores the report while the switch is
+    * off — only the packing shape changes); partition-less layouts and
+    * pushed-aggregate scans never key-group. */
+  private def spjActive: Boolean =
+    config.partitionCols.nonEmpty && (spjPartitioning match {
+      case "false" => false
+      case "true" => true
+      case _ =>
+        try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+          "spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+        catch { case scala.util.control.NonFatal(_) => false }
+    })
+
+  /** Reported to Spark's storage-partitioned-join planner: identity
+    * transforms over the path partition columns when key-grouped
+    * planning ran, else unknown. Two journal tables with the same
+    * partition layout then sort-merge join — and aggregate on the
+    * key — with ZERO exchanges (gate `lwes_spj_join`). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val parts = plannedPartitions
+    if (plannedSpj)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        spjKeyCols.map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(c)).toArray[
+          org.apache.spark.sql.connector.expressions.Expression],
+        parts.length)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(parts.length)
   }
 
   @volatile private var prunedFrames = 0L
@@ -1481,10 +1561,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * shuffling the fact side (without this, DSv2 assumes
     * defaultSizeInBytes = "huge" and never broadcasts). */
   override def estimateStatistics(): Statistics = {
-    val bytes = plannedPartitions.map {
-      case s: LwesInputPartition => s.length
-      case m: LwesFilesPartition => m.files.map(_.length).sum
-    }.sum
+    val bytes = plannedPartitions.map(
+      LwesScan.partitionFiles(_).map(_.length).sum).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L) * 4)
@@ -1539,6 +1617,17 @@ object LwesScan {
     * journal is the case that needs it; a handful covers a mixed
     * directory without turning the bound walk into a footer wave. */
   val TopNFooterRefine = 8
+
+  /** The file slices inside any planned batch partition shape — the
+    * ONE unwrapping every reader factory shares, so a new partition
+    * wrapper (A29 keys) cannot be missed by one of them. */
+  def partitionFiles(p: InputPartition): Seq[LwesInputPartition] = p match {
+    case s: LwesInputPartition => Seq(s)
+    case m: LwesFilesPartition => m.files
+    case k: LwesKeyedPartition => partitionFiles(k.inner)
+    case other => throw new IllegalArgumentException(
+      s"not an lwes batch partition: ${other.getClass.getName}")
+  }
 
   /** Every [[LwesScan]] in a physical plan, descending through AQE
     * wrappers (adaptive root, query stages — whose `children` is
@@ -2055,10 +2144,7 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
     if (dropped == 0L) r else new SkimMetricReader(r, dropped)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition match {
-      case p: LwesInputPartition => Seq(p)
-      case m: LwesFilesPartition => m.files
-    }
+    val files = LwesScan.partitionFiles(partition)
     val (kept, dropped) = statsSkim(files)
     wrap(kept match {
       case Seq(one) => new LwesPartitionReader(one, config, bconf.value.value)
@@ -2071,10 +2157,7 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
 
   override def createColumnarReader(partition: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val files = partition match {
-      case p: LwesInputPartition => Seq(p)
-      case m: LwesFilesPartition => m.files
-    }
+    val files = LwesScan.partitionFiles(partition)
     val (kept, dropped) = statsSkim(files)
     wrap(new LwesColumnarBatchReader(kept, config, bconf.value.value), dropped)
   }

@@ -200,6 +200,18 @@ object LwesOptions {
   // bound; Spark keeps the global Sort+Limit, so pruning is the only
   // effect. Escape hatch only.
   val TopNPrune = "topNPrune"
+  // storage-partitioned joins (A29). "auto" (default): when Spark's
+  // `spark.sql.sources.v2.bucketing.enabled` is on, a partitioned
+  // journal layout reports KeyGroupedPartitioning over its path
+  // partition columns and every planned task carries its partition-key
+  // row — two journal tables partitioned the same way then join (and
+  // group-by on the key) with ZERO shuffle, the DSv2 counterpart of
+  // bucketed joins. "true" forces the key-grouped planning regardless
+  // of the conf (Spark simply ignores the report when the conf is
+  // off); "false" opts out. Key-grouped planning packs file bins
+  // WITHIN one partition value (never across), so an off-mode scan
+  // keeps the tighter cross-key packing.
+  val SpjPartitioning = "spjPartitioning"
   // STREAMING SINK auto-compaction: with `autoCompactTarget` set, every
   // `autoCompactEveryEpochs`-th epoch commit (default 10) runs [[Compact]]
   // over the sink directory after the manifest lands, rewriting the
