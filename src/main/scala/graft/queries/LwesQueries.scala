@@ -1344,6 +1344,68 @@ object LwesQueries {
         |FROM events WHERE length(event_type) = 5
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // A30: runtime zone-map skipping — journal DPP generalized past
+    // partition columns. The fact journal is range-laid-out by ship
+    // day (16 contiguous-day files, the natural time-ordered journal
+    // shape at 100 TB); the only narrowing predicate lives on the DIM
+    // side and is inexpressible as a pushed v1 filter (year/month of
+    // the order date), so the fact scan's first plan pushes nothing
+    // prunable. The broadcast join's runtime IN-filter on the ship-day
+    // column must then drop whole fact files via their A27 sidecar
+    // min/max — the in-plan require() pins it (the layout has no
+    // partition columns, so a nonzero stats-prune count is
+    // attributable to the runtime filter alone), and the aggregate
+    // hash-matches the oracle's semi-join replay, proving the skip
+    // dropped exactly the provably-non-matching files and nothing
+    // else.
+    "lwes_runtime_skip" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"rskip|$d") { dir =>
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"),
+              datediff(col("l_shipdate"), lit("1970-01-01"))
+                .cast("long").as("ship_day"),
+              col("l_extendedprice"))
+            .repartitionByRange(16, col("ship_day"))
+            .sortWithinPartitions("ship_day")
+            .write.format("lwes").option("eventName", "Rt::L")
+            .mode("append").save(dir)
+        }
+        val fact = s.read.format("lwes")
+          .schema("l_orderkey long, ship_day long, l_extendedprice double")
+          .option("eventName", "Rt::L").load(dir)
+        val dim = t(s, d, "orders")
+          .filter(year(col("o_orderdate")) === 1996 &&
+            month(col("o_orderdate")) === 3)
+          .select(datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").as("ship_day")).distinct()
+        val joined = fact.join(broadcast(dim), Seq("ship_day"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("rev"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            min(col("ship_day")).as("first_day"),
+            max(col("ship_day")).as("last_day"))
+        val rows = joined.collect()
+        val scans = graft.sources.lwes.LwesScan
+          .scansIn(joined.queryExecution.executedPlan)
+        val pruned = scans.map(_.statsPrunedFileCount)
+        require(pruned.exists(_ > 0),
+          s"runtime join filters never zone-map-pruned the journal " +
+            s"scan (stats-pruned counts: $pruned)")
+        require(scans.map(_.partitionPrunedFileCount).sum == 0,
+          "layout has no partition columns; the prune must be " +
+            "stats-attributed")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), joined.schema)
+      },
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS rev,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  min(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS first_day,
+        |  max(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS last_day
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) IN (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 3)""".stripMargin)),
+
     // A9 promoted to the hard gate: read the journal with NO schema —
     // inference must surface every attribute with usable types (doubles
     // ride the wire as LWES strings, reference parity, so the query

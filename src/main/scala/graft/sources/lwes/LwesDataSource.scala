@@ -1092,14 +1092,48 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * difference between scanning one dt= hour and scanning a year. */
   private var runtimeFilters: Array[Filter] = Array.empty
 
+  /** A30 runtime zone-map skipping: runtime join filters on NON-partition
+    * columns, applied to per-file sidecar min/max (plan-time prune or
+    * executor skim) and to the in-parse row filter. Sound on both counts:
+    * the filters originate from an equi-join's build side, so a record
+    * failing them cannot survive the join — dropping its file (when the
+    * sidecar proves NO record can match) or the record itself only
+    * removes work the join would discard. */
+  @volatile private var runtimeStatsFilters: Array[Filter] = Array.empty
+
+  /** Columns whose runtime filters the zone-map machinery can act on:
+    * data attributes of a sidecar value class (integral/string), not
+    * path-derived, not header-backed, not the event-name column. A29
+    * aggregate-pushdown scans sit directly above their aggregate — no
+    * join below it can exist — so they advertise none. */
+  private def statsFilterable(c: String): Boolean =
+    aggSpec.isEmpty && statsPrune && config.esfDefaults.isEmpty &&
+      !config.partitionCols.contains(c) && !config.eventNameCol.contains(c) &&
+      !LwesEvent.HeaderAttrs.contains(config.attrOf(c)) &&
+      (config.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(ByteType | ShortType | IntegerType | LongType |
+                  StringType) => true
+        case _ => false
+      })
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    config.partitionCols.map(
-      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+    (config.partitionCols ++
+      config.schema.fieldNames.filter(statsFilterable)).distinct
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeFilters = filters.filter {
       case EqualTo(a, _) => config.partitionCols.contains(a)
       case In(a, _) => config.partitionCols.contains(a)
+      case _ => false
+    }
+    // join-key shapes only (DPP builds IN/= from the build side's
+    // values); other shapes never arrive but would also never be wrong
+    // to ignore — runtime filters are advisory, the join re-checks
+    runtimeStatsFilters = filters.filter {
+      case EqualTo(a, _) => statsFilterable(a)
+      case In(a, _) => statsFilterable(a)
       case _ => false
     }
     cachedPartitions = null // re-plan with the runtime filters applied
@@ -1159,7 +1193,11 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // the sidecar read wave only covers surviving candidates. ESF
       // read defaults disable it (a default can satisfy what the wire
       // values cannot); a missing/stale sidecar keeps its file.
-      val statsEligible = statsPrune && config.attrFilters.nonEmpty &&
+      // static pushed predicates plus A30 runtime join filters — one
+      // prune, one soundness rule (canSkip: skip only when the sidecar
+      // PROVES no record can match)
+      val pruneFilters = config.attrFilters ++ runtimeStatsFilters
+      val statsEligible = statsPrune && pruneFilters.nonEmpty &&
         config.esfDefaults.isEmpty
       execStatsPrune = false // fresh per (re-)plan: a DPP replan may
       // shrink the candidate set back under the cap, and a sticky flag
@@ -1187,7 +1225,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
         partSlices.filter { case (f, s) =>
           !s.hasStats || (statsCache.getOrDefault(statsKey(f, s), None) match {
             case Some(st) =>
-              !LwesStats.canSkip(st, config.attrFilters, config.attrOf, typeOf)
+              !LwesStats.canSkip(st, pruneFilters, config.attrOf, typeOf)
             case None => true
           })
         }
@@ -1275,10 +1313,17 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           }
       } else LwesScan.packPartitions(slices,
         math.min(maxBytes, target), openCost, parallelism)
+      // publish this (re-)plan's truth to any already-created reader
+      // factory BEFORE the partitions become visible (A30)
+      runtimeState.execStatsPrune = execStatsPrune
+      runtimeState.extraFilters = runtimeStatsFilters.toSeq
       cachedPartitions = p
     }
     p
   }
+
+  /** Shared with the reader factory; see [[LwesScanRuntimeState]]. */
+  private val runtimeState = new LwesScanRuntimeState
 
   @volatile private var plannedSpj = false
 
@@ -1583,9 +1628,15 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()))
     case None =>
       plannedPartitions // decides driver-vs-executor zone-map placement
+      // The factory gets the shared runtime STATE, not a snapshot:
+      // Spark creates it at plan time (supportColumnarReads), but A30
+      // runtime filters arrive and replan AFTER that — the state
+      // carries the post-replan skim placement and extra filters
+      // across the gap, snapshotted when tasks serialize (which
+      // strictly follows runtime filtering).
       new LwesPartitionReaderFactory(config,
         SerializableHadoopConf.broadcast(LwesDataSource.hadoopConf()),
-        execStatsPrune = execStatsPrune)
+        runtimeState)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream = {
@@ -2101,10 +2152,31 @@ object LwesStreamOffset {
   }
 }
 
+/** Plan-state an [[LwesScan]] shares with its reader factory. Spark
+  * creates the factory at PLAN time (it asks `supportColumnarReads`
+  * before any runtime filter executes), but A30 runtime join filters
+  * arrive and REPLAN the scan after that — this holder carries the
+  * post-replan truth (skim placement, extra filters) across the gap.
+  * Tasks serialize a consistent snapshot: runtime filtering strictly
+  * precedes input-RDD construction, which precedes task dispatch. */
+final class LwesScanRuntimeState extends Serializable {
+  @volatile var execStatsPrune: Boolean = false
+  @volatile var extraFilters: Seq[Filter] = Nil
+}
+
 class LwesPartitionReaderFactory(config: LwesReadConfig,
     bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
-    execStatsPrune: Boolean = false)
+    state: LwesScanRuntimeState = new LwesScanRuntimeState)
     extends PartitionReaderFactory {
+
+  /** The read config the tasks actually run: A30 runtime join filters
+    * join the pushed predicates, so the executor skim prunes files by
+    * them and the in-parse row filter short-circuits records the join
+    * would discard anyway (partial-but-never-wrong, like every pushed
+    * filter). */
+  private def effConfig: LwesReadConfig =
+    if (state.extraFilters.isEmpty) config
+    else config.copy(attrFilters = config.attrFilters ++ state.extraFilters)
 
   /** Executor-side zone-map skim (the over-cap placement of A27's
     * prune, see [[LwesOptions.StatsPruneMaxFiles]]): drop this task's
@@ -2112,17 +2184,17 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
     * pushed predicates, before opening them. Same soundness rules as
     * the plan-time prune ([[LwesStats.canSkip]]); ranged slices and
     * missing/stale sidecars are kept. Returns (kept, dropped). */
-  private def statsSkim(files: Seq[LwesInputPartition])
-      : (Seq[LwesInputPartition], Long) = {
-    if (!execStatsPrune) return (files, 0L)
+  private def statsSkim(files: Seq[LwesInputPartition],
+      cfg: LwesReadConfig): (Seq[LwesInputPartition], Long) = {
+    if (!state.execStatsPrune) return (files, 0L)
     val conf = bconf.value.value
     val typeOf = (c: String) =>
-      config.schema.fields.find(_.name == c).map(_.dataType)
+      cfg.schema.fields.find(_.name == c).map(_.dataType)
     val kept = files.filter { s =>
       s.range.nonEmpty || !s.hasStats ||
         !LwesStats.read(new org.apache.hadoop.fs.Path(s.path), conf, s.length)
           .exists(st => LwesStats.canSkip(
-            st, config.attrFilters, config.attrOf, typeOf))
+            st, cfg.attrFilters, cfg.attrOf, typeOf))
     }
     (kept, (files.size - kept.size).toLong)
   }
@@ -2144,11 +2216,12 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
     if (dropped == 0L) r else new SkimMetricReader(r, dropped)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val cfg = effConfig
     val files = LwesScan.partitionFiles(partition)
-    val (kept, dropped) = statsSkim(files)
+    val (kept, dropped) = statsSkim(files, cfg)
     wrap(kept match {
-      case Seq(one) => new LwesPartitionReader(one, config, bconf.value.value)
-      case many => new LwesMultiFileReader(many, config, bconf.value.value)
+      case Seq(one) => new LwesPartitionReader(one, cfg, bconf.value.value)
+      case many => new LwesMultiFileReader(many, cfg, bconf.value.value)
     }, dropped)
   }
 
@@ -2157,9 +2230,10 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
 
   override def createColumnarReader(partition: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val cfg = effConfig
     val files = LwesScan.partitionFiles(partition)
-    val (kept, dropped) = statsSkim(files)
-    wrap(new LwesColumnarBatchReader(kept, config, bconf.value.value), dropped)
+    val (kept, dropped) = statsSkim(files, cfg)
+    wrap(new LwesColumnarBatchReader(kept, cfg, bconf.value.value), dropped)
   }
 }
 
