@@ -32,10 +32,25 @@ import com.github.luben.zstd.Zstd
   * the file tail alone; the per-frame receipt bounds give EXACT
   * frame-level time pruning (the sub-file analogue of the writer's
   * `.t<min>-<max>.` file-name tag).
+  *
+  * Version 2 ("GSJ2", written only when a frame carries per-frame
+  * attribute zone-map stats — A31) appends one opaque UTF-8 blob per
+  * frame after the fixed entries:
+  * {{{
+  * "GSJ2" | int32 frameCount
+  * | frameCount × fixed entries (exactly as GSJ1)
+  * | frameCount × { int32 statsLen (0 = none) | statsLen UTF-8 bytes }
+  * | int32 footerDataLen | "GSJ2"
+  * }}}
+  * The container stays stats-agnostic: the blob's format belongs to
+  * the source layer (the per-file sidecar text, `LwesStats`). Readers
+  * accept both versions; stats-less writes keep emitting GSJ1
+  * byte-for-byte.
   */
 object SplitJournal {
   val Extension = "zsj"
   private val Magic = Array[Byte]('G', 'S', 'J', '1')
+  private val Magic2 = Array[Byte]('G', 'S', 'J', '2')
   /** Any value in 0x184D2A50-5F is a legal zstd skippable-frame magic. */
   private val SkippableMagic = 0x184D2A50
   private val EntryBytes = 8 + 4 + 4 + 4 + 8 + 8
@@ -44,29 +59,41 @@ object SplitJournal {
   private[lwes] val CompressionLevel = 3
 
   /** One zstd frame of whole records: byte position in the file,
-    * compressed/raw sizes, record count, and exact ReceiptTime bounds
-    * (min > max ⟺ no record carried a receipt time). */
+    * compressed/raw sizes, record count, exact ReceiptTime bounds
+    * (min > max ⟺ no record carried a receipt time), and the optional
+    * per-frame zone-map stats blob (GSJ2; null = none — the container
+    * treats it as opaque text owned by the source layer). */
   final case class FrameMeta(offset: Long, compressedLen: Int, rawLen: Int,
-      records: Int, minReceipt: Long, maxReceipt: Long)
+      records: Int, minReceipt: Long, maxReceipt: Long,
+      stats: String = null)
 
   def isSplit(path: String): Boolean = path.endsWith("." + Extension)
 
-  /** The footer as file bytes: skippable-frame header + footer data. */
+  /** The footer as file bytes: skippable-frame header + footer data.
+    * GSJ1 unless any frame carries stats (byte-stable legacy output). */
   private[lwes] def footerBytes(frames: Seq[FrameMeta]): Array[Byte] = {
-    val dataLen = FixedFooterBytes + frames.length * EntryBytes
+    val v2 = frames.exists(_.stats != null)
+    val blobs: Seq[Array[Byte]] =
+      if (!v2) Nil
+      else frames.map(f => if (f.stats == null) Array.emptyByteArray
+        else f.stats.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dataLen = FixedFooterBytes + frames.length * EntryBytes +
+      (if (v2) frames.length * 4 + blobs.iterator.map(_.length).sum else 0)
+    val magic = if (v2) Magic2 else Magic
     val bb = ByteBuffer.allocate(8 + dataLen)
     bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(SkippableMagic)
     bb.putInt(dataLen)
     bb.order(java.nio.ByteOrder.BIG_ENDIAN)
-    bb.put(Magic)
+    bb.put(magic)
     bb.putInt(frames.length)
     frames.foreach { f =>
       bb.putLong(f.offset); bb.putInt(f.compressedLen); bb.putInt(f.rawLen)
       bb.putInt(f.records); bb.putLong(f.minReceipt); bb.putLong(f.maxReceipt)
     }
+    if (v2) blobs.foreach { b => bb.putInt(b.length); bb.put(b) }
     bb.putInt(dataLen)
-    bb.put(Magic)
+    bb.put(magic)
     bb.array()
   }
 
@@ -82,7 +109,10 @@ object SplitJournal {
     in.readFully(fileLen - 8, tail)
     val tb = ByteBuffer.wrap(tail)
     val dataLen = tb.getInt()
-    if (!(tail(4) == Magic(0) && tail(5) == Magic(1) &&
+    val v2 =
+      tail(4) == Magic2(0) && tail(5) == Magic2(1) &&
+        tail(6) == Magic2(2) && tail(7) == Magic2(3)
+    if (!v2 && !(tail(4) == Magic(0) && tail(5) == Magic(1) &&
         tail(6) == Magic(2) && tail(7) == Magic(3))) return None
     if (dataLen < FixedFooterBytes || dataLen > fileLen - 8) return None
     val dataStart = fileLen - dataLen
@@ -97,10 +127,12 @@ object SplitJournal {
     bb.order(java.nio.ByteOrder.BIG_ENDIAN)
     val lead = new Array[Byte](4)
     bb.get(lead)
-    if (!java.util.Arrays.equals(lead, Magic)) return None
+    if (!java.util.Arrays.equals(lead, if (v2) Magic2 else Magic)) return None
     val n = bb.getInt()
-    if (n < 0 || dataLen != FixedFooterBytes + n * EntryBytes) return None
-    val frames = Vector.newBuilder[FrameMeta]
+    if (n < 0) return None
+    if (!v2 && dataLen != FixedFooterBytes + n * EntryBytes) return None
+    if (v2 && dataLen < FixedFooterBytes + n * (EntryBytes + 4)) return None
+    val fixed = new Array[FrameMeta](n)
     var expectOffset = 0L
     var i = 0
     while (i < n) {
@@ -109,11 +141,27 @@ object SplitJournal {
       if (f.offset != expectOffset || f.compressedLen <= 0 || f.rawLen < 0)
         return None
       expectOffset = f.offset + f.compressedLen
-      frames += f
+      fixed(i) = f
       i += 1
     }
     if (expectOffset != dataStart - 8) return None // chain must tile the data region
-    Some(frames.result())
+    if (v2) {
+      // per-frame zone-map blobs; lengths must tile the rest exactly
+      i = 0
+      while (i < n) {
+        val len = bb.getInt()
+        if (len < 0 || len > bb.remaining() - 8 - (n - 1 - i) * 4) return None
+        if (len > 0) {
+          val b = new Array[Byte](len)
+          bb.get(b)
+          fixed(i) = fixed(i).copy(stats =
+            new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        }
+        i += 1
+      }
+      if (bb.remaining() != 8) return None // only (len, magic) may remain
+    }
+    Some(fixed.toVector)
   }
 }
 
@@ -123,7 +171,15 @@ object SplitJournal {
   * [[JournalWriter]] (shared [[Journal.encodeHeader]]), so readers are
   * container-agnostic. */
 final class SplitJournalWriter(raw: OutputStream,
-    frameRawBytes: Int = 4 << 20) extends JournalRecordWriter {
+    frameRawBytes: Int = 4 << 20,
+    /** A31 hook: called once per closed frame with the frame's RAW byte
+      * length, returning that frame's zone-map stats text (or null) —
+      * the caller segments its own per-frame accumulator here, since
+      * only this writer knows where frame boundaries fall. Fires after
+      * every record of the frame was handed to `writeRecord` and before
+      * the next frame's first record, so an observe-before-write caller
+      * sees exactly the frame's records. */
+    frameStats: Int => String = null) extends JournalRecordWriter {
   require(frameRawBytes >= Journal.HeaderLength,
     s"frameRawBytes=$frameRawBytes too small")
   // Ceiling keeps every downstream Int size computation (initial buffer
@@ -183,7 +239,8 @@ final class SplitJournalWriter(raw: OutputStream,
     val n = Zstd.compressByteArray(dst, 0, bound, buf, 0, bufLen,
       SplitJournal.CompressionLevel).toInt
     out.write(dst, 0, n)
-    frames += SplitJournal.FrameMeta(offset, n, bufLen, recs, minRt, maxRt)
+    frames += SplitJournal.FrameMeta(offset, n, bufLen, recs, minRt, maxRt,
+      stats = if (frameStats == null) null else frameStats(bufLen))
     offset += n
     bufLen = 0; recs = 0; minRt = Long.MaxValue; maxRt = Long.MinValue
   }

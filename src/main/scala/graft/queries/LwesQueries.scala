@@ -1296,6 +1296,54 @@ object LwesQueries {
         |WHERE epoch_ns(ts) // 1000000
         |  BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin)),
 
+    // A31: per-FRAME zone maps — the A27 prune taken INSIDE one fat
+    // `.zsj`. The whole lineitem table is ONE key-sorted split journal
+    // (GSJ2 footer carries per-frame attr stats); a pushed range
+    // predicate on the sort key must drop the frames whose stats prove
+    // them empty for it, at plan time, with zero extra IO (the footer
+    // was being read for split planning anyway). The in-plan require()
+    // pins the frame-level stats prune — a count neither the residual
+    // Filter nor the receipt-window prune can influence — and the
+    // aggregate hash-matches the oracle's replay of the same predicate
+    // on parquet, proving pruned frames held nothing the answer needed.
+    "lwes_frame_skip" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"fskip|$d") { dir =>
+          t(s, d, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_quantity")
+            .repartition(1).sortWithinPartitions("l_orderkey")
+            .write.format("lwes").option("eventName", "Fk::L")
+            .option(graft.sources.lwes.LwesOptions.Compression, "split-zstd")
+            .option(graft.sources.lwes.LwesOptions.SplitFrameBytes, "32768")
+            .mode("append").save(dir)
+        }
+        val cut = t(s, d, "lineitem")
+          .agg(max(col("l_orderkey"))).head.getLong(0) / 8
+        val df = s.read.format("lwes")
+          .schema("l_orderkey long, l_extendedprice double, l_quantity double")
+          .option("eventName", "Fk::L")
+          .option(graft.sources.lwes.LwesOptions.SplitTargetBytes, "32768")
+          .load(dir)
+          .filter(col("l_orderkey") <= cut)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("rev"),
+            round(sum(col("l_quantity")), 2).as("qty"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+        val rows = df.collect()
+        val pruned = graft.sources.lwes.LwesScan
+          .scansIn(df.queryExecution.executedPlan)
+          .map(_.statsPrunedFrameCount)
+        require(pruned.exists(_ > 0),
+          s"no frames pruned by per-frame zone-map stats " +
+            s"(counts: $pruned)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """WITH b AS (SELECT max(l_orderkey) // 8 AS cut FROM lineitem)
+        |SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS rev,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem, b WHERE l_orderkey <= cut""".stripMargin)),
+
     // A17's SupportsRuntimeFiltering promoted from spec-only to the
     // hard gate: a fact-dim broadcast join whose only partition
     // predicate lives on the DIM side (length(event_type)=5 over the

@@ -66,14 +66,21 @@ object LwesDataSource {
     * frames always keep), then coalesce survivors into contiguous byte
     * runs of ≤ `target` compressed bytes, breaking on pruning gaps (a
     * run must be one seekable span — spanning a gap would decode
-    * garbage bytes as frames). Returns (runs as (start, end) byte
-    * ranges, pruned frame count). */
+    * garbage bytes as frames). A31: frames can additionally drop by
+    * their GSJ2 per-frame zone-map stats via `statsKeep` (null = keep
+    * all); the two prune counts report separately so gates can
+    * attribute each. Returns (runs as (start, end) byte ranges,
+    * time-pruned frame count, stats-pruned frame count). */
   private[lwes] def planFrameRuns(frames: Seq[graft.lwes.SplitJournal.FrameMeta],
-      timeLo: Long, timeHi: Long, target: Long): (Seq[(Long, Long)], Int) = {
-    val kept =
+      timeLo: Long, timeHi: Long, target: Long,
+      statsKeep: graft.lwes.SplitJournal.FrameMeta => Boolean = null)
+      : (Seq[(Long, Long)], Int, Int) = {
+    val timeKept =
       if (timeLo == Long.MinValue && timeHi == Long.MaxValue) frames
       else frames.filter(f => f.minReceipt > f.maxReceipt ||
         (f.maxReceipt >= timeLo && f.minReceipt <= timeHi))
+    val kept =
+      if (statsKeep == null) timeKept else timeKept.filter(statsKeep)
     val runs = mutable.ArrayBuffer.empty[(Long, Long)]
     var runStart = -1L
     var runEnd = -1L
@@ -86,7 +93,25 @@ object LwesDataSource {
       runEnd = f.offset + f.compressedLen
     }
     if (runStart >= 0) runs += ((runStart, runEnd))
-    (runs.toSeq, frames.size - kept.size)
+    (runs.toSeq, frames.size - timeKept.size, timeKept.size - kept.size)
+  }
+
+  /** A31 frame-keep predicate from per-frame zone-map stats: a frame
+    * drops only when its GSJ2 blob parses, its record count and raw
+    * length MATCH the footer's fixed entry (a mismatched blob is
+    * foreign/corrupt and keeps the frame), and [[LwesStats.canSkip]]
+    * proves no record can satisfy the pushed conjunction. Stats-less
+    * frames (GSJ1, hook disabled) always keep. */
+  private[lwes] def frameStatsKeep(filters: Seq[Filter],
+      attrOf: String => String, typeOf: String => Option[DataType])
+      : graft.lwes.SplitJournal.FrameMeta => Boolean = { f =>
+    f.stats == null || {
+      LwesStats.parse(f.stats) match {
+        case Some(st) if st.records == f.records && st.fileLen == f.rawLen =>
+          !LwesStats.canSkip(st, filters, attrOf, typeOf)
+        case _ => true
+      }
+    }
   }
 
   /** All journal files under the given roots (recursive, skips hidden).
@@ -1004,6 +1029,12 @@ private[lwes] class StatsPrunedMetric
   override def description(): String =
     "journals skipped by attribute zone-map sidecars"
 }
+private[lwes] class FrameStatsPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "framesPrunedByStats"
+  override def description(): String =
+    "split-journal frames skipped by per-frame zone-map stats"
+}
 private[lwes] class StatsAggFilesMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "filesAggFromStats"
@@ -1054,7 +1085,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     Array(new EventsParsedMetric, new EventsSkippedMetric,
       new TornFilesMetric, new CorruptRecordsMetric, new FilesPrunedMetric,
       new FramesPrunedMetric, new RowsFilteredMetric, new StatsPrunedMetric,
-      new StatsAggFilesMetric, new TopNPrunedMetric)
+      new FrameStatsPrunedMetric, new StatsAggFilesMetric,
+      new TopNPrunedMetric)
 
   /** Driver-side planning metrics: files/split-frames the ReceiptTime
     * bounds skipped (visible in the SQL UI next to the task metrics). */
@@ -1064,6 +1096,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     Array(LwesTaskMetric("filesPruned", prunedFileCount),
       LwesTaskMetric("framesPruned", prunedFrames),
       LwesTaskMetric("filesPrunedByStats", statsPruned),
+      LwesTaskMetric("framesPrunedByStats", statsPrunedFrames),
       LwesTaskMetric("filesPrunedByTopN", topNPruned))
   }
 
@@ -1076,6 +1109,13 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
   /** Split-journal frames skipped by exact ReceiptTime bounds (same
     * number as the framesPruned driver metric). */
   def prunedFrameCount: Long = { plannedPartitions; prunedFrames }
+
+  @volatile private var statsPrunedFrames = 0L
+
+  /** Frames dropped by per-frame zone-map stats (A31) — same number as
+    * the `framesPrunedByStats` driver metric. Counted separately from
+    * the receipt-window prune so gates can attribute each. */
+  def statsPrunedFrameCount: Long = { plannedPartitions; statsPrunedFrames }
 
   @volatile private var partitionPruned = 0L
 
@@ -1285,14 +1325,23 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
         topNSlices.map(_._2.length), maxBytes, openCost, parallelism)
       val target = math.max(splitTargetBytes.getOrElse(defaultSplit), 1L)
       prunedFrames = 0L // fresh count per (re-)plan: runtime filters replan
+      statsPrunedFrames = 0L
       val oversized = topNSlices.filter { case (_, s) =>
         graft.lwes.SplitJournal.isSplit(s.path) && s.length > target }
       prefetchFooters(oversized, conf)
       val (frameLo, frameHi) =
         (math.max(timeLo, topNLo), math.min(timeHi, topNHi))
+      // A31: prune frames INSIDE oversized `.zsj` files by their GSJ2
+      // per-frame zone-map stats — same filters (static + runtime) and
+      // eligibility guards as the file-level prune, zero extra IO (the
+      // footer was being read for split planning anyway)
+      val frameKeep =
+        if (!statsEligible) null
+        else LwesDataSource.frameStatsKeep(pruneFilters, config.attrOf,
+          c => config.schema.fields.find(_.name == c).map(_.dataType))
       val slices = topNSlices.flatMap { case (f, s) =>
         if (graft.lwes.SplitJournal.isSplit(s.path) && s.length > target)
-          expandSplit(f, s, target, conf, frameLo, frameHi)
+          expandSplit(f, s, target, conf, frameLo, frameHi, frameKeep)
         else Seq(s)
       }
       // A29 key-grouped planning: with storage-partitioned joins
@@ -1568,7 +1617,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * whole-file read, which is always correct. */
   private def expandSplit(f: FileStatus, s: LwesInputPartition,
       target: Long, conf: Configuration,
-      fLo: Long = Long.MinValue, fHi: Long = Long.MaxValue)
+      fLo: Long = Long.MinValue, fHi: Long = Long.MaxValue,
+      frameKeep: graft.lwes.SplitJournal.FrameMeta => Boolean = null)
       : Seq[LwesInputPartition] = {
     try {
       val footer = footerCache.computeIfAbsent(footerKey(f, s),
@@ -1581,10 +1631,15 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
         case Some(frames) =>
           // the window is the pushed receipt range tightened by the A28
           // top-N bound (framesPruned then counts both — exact footer
-          // bounds either way)
-          val (runs, pruned) = LwesDataSource.planFrameRuns(
-            frames, math.max(timeLo, fLo), math.min(timeHi, fHi), target)
+          // bounds either way); A31 prunes the time-survivors by their
+          // per-frame zone-map stats under the SAME filters (static
+          // pushed + runtime join) and soundness guards as the
+          // file-level prune
+          val (runs, pruned, statsDropped) = LwesDataSource.planFrameRuns(
+            frames, math.max(timeLo, fLo), math.min(timeHi, fHi), target,
+            statsKeep = frameKeep)
           prunedFrames += pruned.toLong
+          statsPrunedFrames += statsDropped.toLong
           runs.map { case (start, end) =>
             // range-accurate locality: rank hosts by the BYTES of each
             // HDFS block overlapping this run, not the whole file — a
@@ -1650,7 +1705,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     new LwesMicroBatchStream(config.copy(columnar = false), roots,
       maxFilesPerTrigger, checkpointLocation, maxBytesPerTrigger,
       timeLo = timeLo, timeHi = timeHi, timeSlackMs = timeSlackMs,
-      timeExactOnly = timeExactOnly, splitTargetBytes = splitTargetBytes)
+      timeExactOnly = timeExactOnly, splitTargetBytes = splitTargetBytes,
+      statsPrune = statsPrune)
   }
 }
 
@@ -1802,7 +1858,8 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
     maxBytesPerTrigger: Option[Long] = None,
     timeLo: Long = Long.MinValue, timeHi: Long = Long.MaxValue,
     timeSlackMs: Long = 3600000L, timeExactOnly: Boolean = false,
-    splitTargetBytes: Option[Long] = None)
+    splitTargetBytes: Option[Long] = None,
+    statsPrune: Boolean = true)
     extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
     with streaming.SupportsTriggerAvailableNow
     with streaming.ReportsSourceMetrics
@@ -2072,8 +2129,19 @@ class LwesMicroBatchStream(config: LwesReadConfig, roots: Seq[String],
           // planner's pruning, via the SAME planFrameRuns helper so
           // the two planners cannot drift. No mtime heuristics at
           // frame level, so a prune never loses an in-window record.
-          val (runs, pruned) = LwesDataSource.planFrameRuns(
-            frames, window._1, window._2, streamSplitTarget)
+          // A31 applies in micro-batches too: static pushed attribute
+          // filters prune frames by their GSJ2 stats under the batch
+          // planner's exact eligibility guards (runtime join filters
+          // do not exist in streaming)
+          val frameKeep =
+            if (!statsPrune || config.attrFilters.isEmpty ||
+                config.esfDefaults.nonEmpty) null
+            else LwesDataSource.frameStatsKeep(config.attrFilters,
+              config.attrOf,
+              c => config.schema.fields.find(_.name == c).map(_.dataType))
+          val (runs, prunedT, prunedS) = LwesDataSource.planFrameRuns(
+            frames, window._1, window._2, streamSplitTarget, frameKeep)
+          val pruned = prunedT + prunedS
           // range-accurate locality (r17, batch-planner parity): rank
           // hosts by the blocks each frame run overlaps; one cached
           // getFileBlockLocations per fat file, and only where

@@ -371,14 +371,10 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
     * a single committer per partition. */
   private val stableNames = prefix != null
   private val namePrefix = if (prefix == null) "part" else prefix
-  private val (ext, newJournal): (String, java.io.OutputStream => graft.lwes.JournalRecordWriter) =
-    if (wc.compression == LwesWriteConfig.SplitZstd)
-      (graft.lwes.SplitJournal.Extension,
-        raw => new graft.lwes.SplitJournalWriter(raw, wc.frameBytes))
-    else {
-      val (e, wrap) = LwesWriteConfig.streamCodecFor(wc.compression, conf)
-      (e, raw => new JournalWriter(wrap(raw)))
-    }
+  private val split = wc.compression == LwesWriteConfig.SplitZstd
+  private val ext: String =
+    if (split) graft.lwes.SplitJournal.Extension
+    else LwesWriteConfig.streamCodecFor(wc.compression, conf)._1
   private val fs = new Path(dir).getFileSystem(conf)
   private val attrs: Array[String] =
     schema.fields.map(f => wc.attrFor.getOrElse(f.name, f.name))
@@ -416,7 +412,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
 
   /** One open journal: writer, staging path, untagged destination, and
     * the receipt-time bounds of everything written into it. */
-  private final class OpenJournal(val w: graft.lwes.JournalRecordWriter,
+  private final class OpenJournal(raw: java.io.OutputStream,
       val tmp: Path, val dest: Path) {
     /** A27 zone-map accumulator. Batch writes drop the sidecar at task
       * commit; streaming writes park it beside the hidden pending
@@ -424,6 +420,29 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
       * both when the epoch is a replay/stale attempt). */
     val stats: LwesStats.Tracker =
       if (wc.writeStats) new LwesStats.Tracker else null
+    /** A31 per-FRAME zone-map accumulator (split journals only): the
+      * writer's flush hook serializes it into the GSJ2 footer and swaps
+      * in a fresh tracker for the next frame. `record()` observes
+      * BEFORE handing the event to the writer, so a flush triggered by
+      * the current record still covers it. */
+    private var frameStats: LwesStats.Tracker =
+      if (split && wc.writeStats) new LwesStats.Tracker else null
+    val w: graft.lwes.JournalRecordWriter =
+      if (split) new graft.lwes.SplitJournalWriter(raw, wc.frameBytes,
+        frameStats = if (frameStats == null) null
+        else (rawLen: Int) => {
+          val text = frameStats.serialize(rawLen.toLong)
+          frameStats = new LwesStats.Tracker
+          text
+        })
+      else new JournalWriter(
+        LwesWriteConfig.streamCodecFor(wc.compression, conf)._2(raw))
+    /** Observe-then-write, in that order (see `frameStats`). */
+    def record(ev: graft.lwes.LwesEvent): Unit = {
+      if (stats != null) stats.observe(ev)
+      if (frameStats != null) frameStats.observe(ev)
+      w.write(ev)
+    }
     var tMin: Long = Long.MaxValue
     var tMax: Long = Long.MinValue
     /** Destination with the exact receipt-bounds tag (when tracked). */
@@ -446,7 +465,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
         if (stableNames) f"$namePrefix-$partitionId%05d.$ext"
         else f"$namePrefix-$partitionId%05d-$taskId.$ext")
       val raw = fs.create(tmp, true)
-      new OpenJournal(newJournal(raw), tmp, dest)
+      new OpenJournal(raw, tmp, dest)
     })
 
   override def write(row: InternalRow): Unit = {
@@ -520,8 +539,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
       s"${schema.fields(i).name}=$v"
     }.mkString("/")
     val oj = journalFor(subdir)
-    oj.w.write(ev)
-    if (oj.stats != null) oj.stats.observe(ev)
+    oj.record(ev)
     if (rtIdx >= 0) {
       // track what the journal layer actually stamps (unset attr → 0),
       // so the name tag is exact for every record in the file
