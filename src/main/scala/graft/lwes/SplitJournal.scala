@@ -129,9 +129,14 @@ object SplitJournal {
     bb.get(lead)
     if (!java.util.Arrays.equals(lead, if (v2) Magic2 else Magic)) return None
     val n = bb.getInt()
+    // Long-domain bounds BEFORE the n-sized allocation: a corrupt tail
+    // must fall back to the unsplit read (None), never OOM the planner
+    // via an Int-overflowed size check
     if (n < 0) return None
-    if (!v2 && dataLen != FixedFooterBytes + n * EntryBytes) return None
-    if (v2 && dataLen < FixedFooterBytes + n * (EntryBytes + 4)) return None
+    if (!v2 && dataLen.toLong != FixedFooterBytes.toLong + n.toLong * EntryBytes)
+      return None
+    if (v2 && dataLen.toLong <
+        FixedFooterBytes.toLong + n.toLong * (EntryBytes + 4)) return None
     val fixed = new Array[FrameMeta](n)
     var expectOffset = 0L
     var i = 0
