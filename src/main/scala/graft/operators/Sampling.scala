@@ -148,4 +148,36 @@ object Sampling {
       .withColumn("smp_rank", col("rnk").cast("long"))
       .drop("rnk")
   }
+
+  // -------------------------------------------------------------- C39
+
+  /** Leakage-safe splits: near-duplicate documents must land in the
+    * SAME split — a val/test doc with a train-side near-dup leaks
+    * training data into evaluation through its cluster. Assignment
+    * therefore hashes the duplicate-cluster REPRESENTATIVE (the min-id
+    * member of the near-dup component; documents with no near-dup hash
+    * their own key), so a whole cluster inherits ONE verdict,
+    * engine-portably (md5 — replayable in SQL, like [[assignSplits]]).
+    * `pairs` is any symmetric near-dup pair set (`id_a`, `id_b`) —
+    * MinHash, SimHash, and embedding near-dup all produce one.
+    *
+    * Scale shape: the pair set and its connected components are the
+    * (already bucket-confined) dedup machinery's output; this adds one
+    * hash join of the corpus against the CC label map (|map| ≤ |docs
+    * with a near-dup| ≪ corpus, so AQE broadcasts it in the common
+    * case) and a per-row md5 projection. Adds `split_key` (the
+    * representative — kept so audits can PROVE no cluster straddles
+    * splits) and `split`. */
+  def leakageSafeSplits(df: DataFrame, keyCol: String, pairs: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(!df.columns.contains("split_key"),
+      "input already has a split_key column — rename it first")
+    val cc = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "__cc_id")
+    val withRep = df
+      .join(cc, df(keyCol) === col("__cc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), df(keyCol)))
+      .drop("__cc_id", "cluster_id")
+    assignSplits(withRep, "split_key", splits, portable = true)
+  }
 }

@@ -619,6 +619,66 @@ object Pipeline {
         |      FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin)),
 
+    // C39: LEAKAGE-SAFE splits — C17's portable split hashed on the
+    // near-dup CLUSTER representative (C16's min-id star label) instead
+    // of the document, so no val/test document can have a train-side
+    // near-duplicate. The in-gate requires prove both directions: the
+    // NAIVE per-doc split WOULD have straddled ≥1 cluster on this very
+    // corpus (the hazard is real, not hypothetical), and the
+    // cluster-keyed split straddles none. The oracle replays shingles →
+    // banded-minhash candidates → exact-Jaccard verify → recursive-CTE
+    // closure → min-label representative → md5 split, end to end.
+    "text_splits_safe" -> ((
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+          k = 32, bands = 8, w = 3, threshold = 0.5)
+        val sp = Seq("train" -> 96, "val" -> 2, "test" -> 2)
+        val df = graft.operators.Sampling
+          .leakageSafeSplits(docs, "doc_id", pairs, sp)
+          .select(col("doc_id"), col("split_key"), col("split"))
+          .localCheckpoint() // two aggregates + the require read it
+        val naiveStraddle = graft.operators.Sampling
+          .assignSplits(df.select(col("doc_id"), col("split_key")),
+            "doc_id", sp, portable = true)
+          .groupBy(col("split_key"))
+          .agg(countDistinct(col("split")).as("ns"))
+          .filter(col("ns") > 1).count()
+        require(naiveStraddle > 0,
+          "corpus has no naively-straddling cluster — the gate proves " +
+            "nothing here")
+        val straddle = df.groupBy(col("split_key"))
+          .agg(countDistinct(col("split")).as("ns"))
+          .filter(col("ns") > 1).count()
+        require(straddle == 0, s"$straddle clusters straddle splits")
+        df.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("split_key")).as("n_groups"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy(col("split"))
+      },
+      s"""WITH RECURSIVE $duckShingles,
+        |$duckShingleInter,
+        |ver AS (
+        |  SELECT ida, idb FROM inter
+        |  JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
+        |  WHERE round(i::DOUBLE / greatest(sa.n + sb.n - i, 1), 4) >= 0.5),
+        |und AS (SELECT ida AS src, idb AS dst FROM ver
+        |        UNION ALL SELECT idb, ida FROM ver),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM und
+        |  UNION
+        |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.id),
+        |rep AS (SELECT id, min(label) AS rep FROM reach GROUP BY id),
+        |sp AS (
+        |  SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS skey,
+        |    CAST(('0x' || substr(md5(CAST(COALESCE(r.rep, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents d LEFT JOIN rep r ON r.id = d.doc_id)
+        |SELECT CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT skey) AS n_groups,
+        |  min(doc_id) AS min_doc
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
+
     // C22: training-shard assignment by running token budget — the
     // sequence-packing layout a data loader consumes. Per-shard stats
     // (cumulative sums stay ≪ 2^53, so the floor-division is exact in

@@ -446,6 +446,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nullSplit == emptyKeyBucketSplit)
   }
 
+  test("leakageSafeSplits: a near-dup cluster lands whole in ONE split (C39)") {
+    val docs = (0L until 400L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // planted cluster {5, 7, 350} via a chain — representative is 5
+    val pairs = Seq((5L, 7L), (7L, 350L)).toDF("id_a", "id_b")
+    val sp = Seq("train" -> 50, "val" -> 25, "test" -> 25)
+    val out = Sampling.leakageSafeSplits(docs, "doc_id", pairs, sp)
+    assert(out.count() == 400L, "coverage must be exactly the corpus")
+    val cluster = out.filter(col("doc_id").isin(5L, 7L, 350L))
+      .select("split_key", "split").collect()
+    assert(cluster.length == 3 && cluster.forall(_.getLong(0) == 5L))
+    assert(cluster.map(_.getString(1)).distinct.length == 1,
+      "cluster members must share one split")
+    // the cluster's split is the representative's own-key split
+    val repSplit = Sampling.assignSplits(Seq(5L).toDF("doc_id"),
+      "doc_id", sp, portable = true).select("split").head.getString(0)
+    assert(cluster.head.getString(1) == repSplit)
+    // with 25/25 val/test odds this 3-chain straddles naively — the
+    // operator is provably not a per-doc hash in disguise
+    val naive = Sampling.assignSplits(docs, "doc_id", sp, portable = true)
+      .filter(col("doc_id").isin(5L, 7L, 350L))
+      .select("split").distinct().count()
+    assert(naive > 1, "planted chain should straddle under per-doc hashing")
+    // singletons keep their per-doc assignment exactly
+    val single = out.filter(col("doc_id") === 9L)
+      .select("split_key", "split").head
+    assert(single.getLong(0) == 9L)
+    val ownSplit = Sampling.assignSplits(Seq(9L).toDF("doc_id"),
+      "doc_id", sp, portable = true).select("split").head.getString(0)
+    assert(single.getString(1) == ownSplit)
+  }
+
   test("tfidf: rare terms outweigh common ones, counts exact (C25)") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),
