@@ -1184,12 +1184,29 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
   // journal scale each recursive listing is thousands of LIST calls).
   // Invalidated only when runtime filters arrive.
   @volatile private var cachedPartitions: Array[InputPartition] = _
+
+  /** ONE listing per SCAN, not per plan: a runtime-filter replan
+    * reuses the first plan's (files, sidecar names) — cheaper (DPP
+    * always replans, and a recursive listing is thousands of LIST
+    * calls at journal scale) and REQUIRED under storage-partitioned
+    * joins, where a raced concurrent append must not surface a
+    * partition value the first plan never reported (Spark rejects new
+    * values after runtime filtering). */
+  @volatile private var cachedListing: (Seq[FileStatus], Set[String]) = _
+
   private def plannedPartitions: Array[InputPartition] = {
     var p = cachedPartitions
     if (p == null) {
       val conf = LwesDataSource.hadoopConf()
-      val sidecarsSeen = scala.collection.mutable.HashSet[String]()
-      val listed = LwesDataSource.listFiles(roots, conf, sidecarsSeen)
+      val (listed, sidecarsSeen) = {
+        var l = cachedListing
+        if (l == null) {
+          val seen = scala.collection.mutable.HashSet[String]()
+          l = (LwesDataSource.listFiles(roots, conf, seen), seen.toSet)
+          cachedListing = l
+        }
+        l
+      }
       // ReceiptTime-range pruning: drop whole files whose name-tag/mtime
       // bounds cannot overlap the pushed [timeLo, timeHi] window —
       // BEFORE any open/decompress. Exact-tagged files prune exactly;
