@@ -135,4 +135,47 @@ class LwesSpjSpec extends AnyFunSuite {
     assert(on.map(_.toString).sameElements(off.map(_.toString)))
     assert(on.length == 3, "the dropped key must vanish from the inner join")
   }
+
+  test("DPP under SPJ: runtime pruning drops whole key groups, answers exact") {
+    // A17 x A29: a dim-side-only predicate runtime-prunes whole
+    // `etype=` key groups from a scan that is REPORTING key-grouped
+    // partitioning (SPJ conf on, every partition keyed). Spark permits
+    // a SUBSET of the reported partition values post-filter; the
+    // one-listing-per-scan cache guarantees a replan can never surface
+    // a NEW value (which Spark rejects). Spark 4.1 plans the fact-fact
+    // join with shuffles here (it does not see key-grouping through
+    // the interposed BroadcastHashJoin) — the pin is coexistence and
+    // exactness, not plan shape. Values must match the conf-off replay.
+    def q(): DataFrame = {
+      val (a, b) = writeDirs(nTypes = 4)
+      // the build side needs a SELECTIVE filter for DPP to engage, on a
+      // NON-key column so nothing propagates statically to the fact
+      // scan — and NOT over a LocalRelation, which constant-folds the
+      // Filter away before the DPP rule can see it
+      val dim = spark.range(4)
+        .select(concat(lit("t"), col("id")).as("etype"),
+          (col("id") % 2).as("keep"))
+        .filter(col("keep") === 1).select("etype")
+      def rd(dir: String, ev: String, ddl: String) = spark.read
+        .format("lwes").schema(ddl).option("eventName", ev).load(dir)
+      val fa = rd(a, "Sp::A", "id long, user_id long, value double, etype string")
+        .join(broadcast(dim), Seq("etype"))
+      val fb = rd(b, "Sp::B", "id long, user_id long, etype string")
+        .groupBy(col("etype")).agg(countDistinct(col("user_id")).as("nu"))
+      fa.join(fb, Seq("etype"))
+        .groupBy(col("etype"), col("nu"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("tv"))
+        .orderBy(col("etype"))
+    }
+    val (onRows, pruned) = withSpj(on = true) {
+      val d = q()
+      val rows = d.collect()
+      (rows, LwesScan.scansIn(d.queryExecution.executedPlan)
+        .map(_.partitionPrunedFileCount).sum)
+    }
+    assert(pruned > 0, "dynamic pruning never reached the key-grouped scan")
+    val offRows = withSpj(on = false) { q().collect() }
+    assert(onRows.map(_.toString).sameElements(offRows.map(_.toString)))
+    assert(onRows.length == 2, "only the dim's two keys survive")
+  }
 }
