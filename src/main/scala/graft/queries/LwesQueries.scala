@@ -422,6 +422,59 @@ object LwesQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders""".stripMargin)),
 
+    // A26×A31 (r18 late): pushed ATTRIBUTE aggregates over ONE fat
+    // `.zsj` answered from per-frame GSJ2 zone-map stats. Range slices
+    // of a split journal can never use the whole-file sidecar (the
+    // slice is not the file), and `.zsj` footers alone answer only
+    // COUNT(*)/receipt bounds — per-frame stats close exactly that
+    // gap: every slice folds its frames' blobs, zero frames
+    // decompressed. The in-gate requires pin the path (eventsParsed
+    // == 0, framesAggFromStats >= 1, filesAggFromStats == 0 so the
+    // answer is attributable to FRAME stats alone); the oracle replays
+    // the aggregates over parquet.
+    "lwes_agg_frame_stats" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"aggframes|$d") { dir =>
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              when(col("o_orderkey") % 7 =!= 0, col("o_orderpriority"))
+                .as("o_orderpriority"))
+            .repartition(1).sortWithinPartitions("o_orderkey")
+            .write.format("lwes").option("eventName", "Order::Fz")
+            .option(graft.sources.lwes.LwesOptions.Compression, "split-zstd")
+            .option(graft.sources.lwes.LwesOptions.SplitFrameBytes, "32768")
+            .mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, ckey long, priority string")
+          .option("mapping",
+            "okey:o_orderkey, ckey:o_custkey, priority:o_orderpriority")
+          .option(graft.sources.lwes.LwesOptions.SplitTargetBytes, "32768")
+          .load(dir)
+          .agg(count(lit(1)).as("n"), count(col("priority")).as("n_pri"),
+            min(col("okey")).as("min_key"), max(col("okey")).as("max_key"),
+            min(col("ckey")).as("min_cust"), max(col("ckey")).as("max_cust"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("agg=["),
+          s"aggregation was not pushed into the scan:\n$plan")
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        val nFrames = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "framesAggFromStats")
+        val nFiles = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "filesAggFromStats")
+        require(nParsed == 0 && nFrames >= 1 && nFiles == 0,
+          s"frame-stats aggregate parsed $nParsed events " +
+            s"(framesAggFromStats=$nFrames, filesAggFromStats=$nFiles)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderpriority END) AS n_pri,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM orders""".stripMargin)),
+
     // A27 (r18): attribute zone-map sidecars. Four journals with
     // DISJOINT o_orderkey quartile ranges; a pushed okey <= max/4
     // predicate must drop the three upper-range FILES at plan time

@@ -139,6 +139,25 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       s"non-integral sidecar bound type $other") // answerAggregates filtered
   }
 
+  /** Fold one metadata answer set (per file or per frame) into the
+    * accumulators — ONE merge rule for the sidecar and frame-stats
+    * paths, so their semantics cannot drift. */
+  private def mergeAnswers(answers: Seq[LwesStats.AggAnswer]): Unit = {
+    var i = 0
+    answers.foreach { a =>
+      (a, funcs(i)) match {
+        case (LwesStats.CountAnswer(c), _) => counts(i) += c
+        case (LwesStats.BoundAnswer(Some(v)), _: LwesAggFunc.MinCol) =>
+          mergeMin(i, boxBound(colType(i), v))
+        case (LwesStats.BoundAnswer(Some(v)), _: LwesAggFunc.MaxCol) =>
+          mergeMax(i, boxBound(colType(i), v))
+        case (LwesStats.BoundAnswer(None), _) => () // all-NULL file/frame
+        case (a, f) => throw new IllegalStateException(s"$a for $f")
+      }
+      i += 1
+    }
+  }
+
   /** Metadata path: answer every pushed function from the file's
     * zone-map sidecar and/or exact `.t` receipt name tag without
     * opening the journal. Some(()) = answered. The sidecar GET is
@@ -156,21 +175,65 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
     LwesStats.answerAggregates(
         st, tag, spec.funcs, config.attrOf, typeOf, nonAttrCols)
       .map { answers =>
-        var i = 0
-        answers.foreach { a =>
-          (a, funcs(i)) match {
-            case (LwesStats.CountAnswer(c), _) => counts(i) += c
-            case (LwesStats.BoundAnswer(Some(v)), _: LwesAggFunc.MinCol) =>
-              mergeMin(i, boxBound(colType(i), v))
-            case (LwesStats.BoundAnswer(Some(v)), _: LwesAggFunc.MaxCol) =>
-              mergeMax(i, boxBound(colType(i), v))
-            case (LwesStats.BoundAnswer(None), _) => () // all-NULL file
-            case (a, f) => throw new IllegalStateException(s"$a for $f")
-          }
-          i += 1
-        }
+        mergeAnswers(answers)
         metricAcc("filesAggFromStats") += 1
       }
+  }
+
+  /** A26×A31 frame-stats path: a RANGE slice of a fat `.zsj` (or a
+    * whole split file whose sidecar could not answer) folds per-frame
+    * GSJ2 zone-map blobs instead of decompressing frames — attribute
+    * MIN/MAX/COUNT(col) included, the slice-grained generalization of
+    * the sidecar path. All-or-nothing per slice: every overlapped
+    * frame must carry a blob that parses, MATCHES its fixed entry
+    * (record count, raw length), and answers every function, else the
+    * whole slice streams (merging nothing first keeps the fallback
+    * exact — no double counting). Receipt-backed MIN/MAX use the
+    * frame's exact footer bounds: the same stamped-value trust the
+    * whole-file `.t` tag carries, at frame grain. */
+  private def tryFrameStats(slice: LwesInputPartition): Option[Unit] = {
+    if (!sidecarEligible || !graft.lwes.SplitJournal.isSplit(slice.path))
+      return None
+    try {
+      val path = new Path(slice.path)
+      val fs = path.getFileSystem(conf)
+      val fileLen = slice.range match {
+        case Some(_) => fs.getFileStatus(path).getLen // slice len ≠ file len
+        case None => slice.length
+      }
+      val in = fs.open(path)
+      val footer = try graft.lwes.SplitJournal.readFooter(in, fileLen)
+      finally in.close()
+      footer.flatMap { frames =>
+        val inRange = slice.range match {
+          case Some((s, e)) =>
+            frames.filter(f => f.offset >= s && f.offset + f.compressedLen <= e)
+          case None => frames
+        }
+        val perFrame = inRange.map { f =>
+          if (f.stats == null) None
+          else LwesStats.parse(f.stats)
+            .filter(st => st.records == f.records && st.fileLen == f.rawLen)
+            .flatMap { st =>
+              val rb = if (f.minReceipt <= f.maxReceipt)
+                Some((f.minReceipt, f.maxReceipt)) else None
+              LwesStats.answerAggregates(Some(st), rb, spec.funcs,
+                config.attrOf, typeOf, nonAttrCols)
+            }
+        }
+        if (perFrame.exists(_.isEmpty)) None
+        else {
+          perFrame.foreach(a => mergeAnswers(a.get))
+          metricAcc("framesAggFromStats") += inRange.length.toLong
+          Some(())
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"failed to answer aggregates from frame stats of " +
+          s"${slice.path} (${e.getMessage}); streaming it")
+        None
+    }
   }
 
   /** Footer path: fold the frame index entries overlapping this slice.
@@ -253,9 +316,12 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
     files.foreach { slice =>
       // footer first: on footerOnly scans both fast paths are exact and
       // zero-parse, and the footer needs no sidecar freshness check;
-      // zone maps then catch what footers cannot (gzip/plain journals,
-      // attribute MIN/MAX/COUNT) before the streaming fold
-      if (tryFooter(slice).isEmpty && trySidecar(slice).isEmpty)
+      // whole-file zone maps then catch what footers cannot (gzip/plain
+      // journals, attribute MIN/MAX/COUNT); per-FRAME stats (A31) catch
+      // what those cannot (range slices of fat `.zsj`, sidecar-less
+      // split files) — everything else streams
+      if (tryFooter(slice).isEmpty && trySidecar(slice).isEmpty &&
+          tryFrameStats(slice).isEmpty)
         streamFile(slice)
     }
     val out = new GenericInternalRow(n)

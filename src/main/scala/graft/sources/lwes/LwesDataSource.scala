@@ -1041,6 +1041,13 @@ private[lwes] class StatsAggFilesMetric
   override def description(): String =
     "journals whose pushed aggregation was answered from zone-map sidecars"
 }
+private[lwes] class StatsAggFramesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "framesAggFromStats"
+  override def description(): String =
+    "split-journal frames whose pushed aggregation was answered from " +
+      "per-frame zone-map stats"
+}
 private[lwes] class TopNPrunedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "filesPrunedByTopN"
@@ -1086,7 +1093,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       new TornFilesMetric, new CorruptRecordsMetric, new FilesPrunedMetric,
       new FramesPrunedMetric, new RowsFilteredMetric, new StatsPrunedMetric,
       new FrameStatsPrunedMetric, new StatsAggFilesMetric,
-      new TopNPrunedMetric)
+      new StatsAggFramesMetric, new TopNPrunedMetric)
 
   /** Driver-side planning metrics: files/split-frames the ReceiptTime
     * bounds skipped (visible in the SQL UI next to the task metrics). */

@@ -228,4 +228,86 @@ class LwesAggStatsSpec extends AnyFunSuite {
       "absence proof should not require opening journals")
     assert(metric(q, "filesAggFromStats") == 3L)
   }
+
+  // ------------------------------------------------- A26×A31 (frames)
+
+  /** One fat id-sorted `.zsj`, small frames, read with a small split
+    * target so the scan plans many RANGE slices — the shape the
+    * whole-file sidecar path cannot answer. */
+  private def writeFatSplit(dir: String): Unit = {
+    spark.range(6000)
+      .select(col("id"), (col("id") % 7).cast("double").as("cost"),
+        when(col("id") % 5 === 0, lit(null)).otherwise(col("id") % 10)
+          .cast("long").as("grp"))
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("lwes").option("eventName", "Ag::F")
+      .option(LwesOptions.Compression, "split-zstd")
+      .option(LwesOptions.SplitFrameBytes, "8192")
+      .mode("append").save(dir)
+  }
+
+  private def rdFat(dir: String, extra: (String, String)*): DataFrame = {
+    // no eventName option: a name filter gates records, which stands
+    // the metadata paths down by design (frame stats cannot prove
+    // which records carry which event type)
+    val base = spark.read.format("lwes")
+      .schema("id long, cost double, grp long")
+      .option(LwesOptions.SplitTargetBytes, "8192")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+  }
+
+  test("range slices of a fat .zsj answer attr aggregates from frame stats") {
+    val dir = tmp()
+    writeFatSplit(dir)
+    def agg(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+      count(col("grp")).as("n_grp"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"),
+      min(col("grp")).as("mn_g"), max(col("grp")).as("mx_g"))
+    val pushed = agg(rdFat(dir))
+    val rows = pushed.collect().toSeq
+    val plain = agg(rdFat(dir, LwesOptions.AggPushdown -> "false"))
+      .collect().toSeq
+    assert(rows == plain, s"pushed $rows != unpushed $plain")
+    assert(metric(pushed, "eventsParsed") == 0L,
+      "frame-stats-answered aggregate parsed events")
+    assert(metric(pushed, "framesAggFromStats") > 1L,
+      "expected multiple frames answered from GSJ2 stats")
+    assert(metric(pushed, "filesAggFromStats") == 0L,
+      "range slices must not take the whole-file sidecar path")
+    val r = rows.head
+    assert(r.getLong(0) == 6000L && r.getLong(1) == 4800L &&
+      r.getLong(2) == 0L && r.getLong(3) == 5999L &&
+      r.getLong(4) == 1L && r.getLong(5) == 9L)
+  }
+
+  test("stats-less GSJ1 fat files stream their slices, same answer") {
+    val dir = tmp()
+    spark.range(6000)
+      .select(col("id"), (col("id") % 7).cast("double").as("cost"),
+        (col("id") % 10).as("grp"))
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("lwes").option("eventName", "Ag::F")
+      .option(LwesOptions.Compression, "split-zstd")
+      .option(LwesOptions.SplitFrameBytes, "8192")
+      .option(LwesOptions.WriteStats, "false")
+      .mode("append").save(dir)
+    val q = rdFat(dir).agg(min(col("grp")).as("mn"), max(col("id")).as("mx"),
+      count(lit(1)).as("n"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 5999L && r.getLong(2) == 6000L)
+    assert(metric(q, "framesAggFromStats") == 0L)
+    assert(metric(q, "eventsParsed") == 6000L, "GSJ1 slices must stream")
+  }
+
+  test("float attribute bounds keep streaming even with frame stats present") {
+    val dir = tmp()
+    writeFatSplit(dir)
+    // `cost` rides the wire as a double: kind 'x', never answerable —
+    // the all-or-nothing rule must stream rather than half-answer
+    val q = rdFat(dir).agg(min(col("cost")).as("mn"), count(lit(1)).as("n"))
+    val r = q.collect().head
+    assert(r.getDouble(0) == 0.0 && r.getLong(1) == 6000L)
+    assert(metric(q, "framesAggFromStats") == 0L)
+    assert(metric(q, "eventsParsed") == 6000L)
+  }
 }
