@@ -170,14 +170,22 @@ object Sampling {
     * splits) and `split`. */
   def leakageSafeSplits(df: DataFrame, keyCol: String, pairs: DataFrame,
       splits: Seq[(String, Int)]): DataFrame = {
-    require(!df.columns.contains("split_key"),
-      "input already has a split_key column — rename it first")
-    val cc = Dedup.connectedComponents(pairs)
-      .withColumnRenamed("id", "__cc_id")
+    // reserved-name collisions fail loudly; note the input may freely
+    // carry a `cluster_id` (the dedup machinery's own output shape) —
+    // the label map's columns are renamed before the join
+    Seq("split_key", "__cc_id", "__cc_rep").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column — rename it first")
+    }
+    // star CC, not label propagation: a deep near-dup CHAIN (a-b-c-...
+    // incremental edits) has diameter ≈ cluster size, and this operator
+    // exists for exactly the corpora where such chains occur
+    val cc = Dedup.connectedComponentsStar(pairs)
+      .select(col("id").as("__cc_id"), col("cluster_id").as("__cc_rep"))
     val withRep = df
       .join(cc, df(keyCol) === col("__cc_id"), "left")
-      .withColumn("split_key", coalesce(col("cluster_id"), df(keyCol)))
-      .drop("__cc_id", "cluster_id")
+      .withColumn("split_key", coalesce(col("__cc_rep"), df(keyCol)))
+      .drop("__cc_id", "__cc_rep")
     assignSplits(withRep, "split_key", splits, portable = true)
   }
 }

@@ -194,58 +194,77 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   private def tryFrameStats(slice: LwesInputPartition): Option[Unit] = {
     if (!sidecarEligible || !graft.lwes.SplitJournal.isSplit(slice.path))
       return None
-    try {
-      val path = new Path(slice.path)
-      val fs = path.getFileSystem(conf)
-      val fileLen = slice.range match {
-        case Some(_) => fs.getFileStatus(path).getLen // slice len ≠ file len
-        case None => slice.length
+    framesOf(slice).flatMap { frames =>
+      val inRange = framesIn(frames, slice.range)
+      // answer EVERY frame first, merge after: a frame that cannot
+      // answer falls the whole slice back to streaming with nothing
+      // half-merged, and the merge itself sits behind no catch — an
+      // invariant break there fails the task loudly instead of
+      // double-counting through a stream fallback
+      val perFrame = inRange.map { f =>
+        if (f.stats == null) None
+        else LwesStats.parse(f.stats)
+          .filter(st => st.records == f.records && st.fileLen == f.rawLen)
+          .flatMap { st =>
+            val rb = if (f.minReceipt <= f.maxReceipt)
+              Some((f.minReceipt, f.maxReceipt)) else None
+            LwesStats.answerAggregates(Some(st), rb, spec.funcs,
+              config.attrOf, typeOf, nonAttrCols)
+          }
       }
-      val in = fs.open(path)
-      val footer = try graft.lwes.SplitJournal.readFooter(in, fileLen)
-      finally in.close()
-      footer.flatMap { frames =>
-        val inRange = slice.range match {
-          case Some((s, e)) =>
-            frames.filter(f => f.offset >= s && f.offset + f.compressedLen <= e)
-          case None => frames
-        }
-        val perFrame = inRange.map { f =>
-          if (f.stats == null) None
-          else LwesStats.parse(f.stats)
-            .filter(st => st.records == f.records && st.fileLen == f.rawLen)
-            .flatMap { st =>
-              val rb = if (f.minReceipt <= f.maxReceipt)
-                Some((f.minReceipt, f.maxReceipt)) else None
-              LwesStats.answerAggregates(Some(st), rb, spec.funcs,
-                config.attrOf, typeOf, nonAttrCols)
-            }
-        }
-        if (perFrame.exists(_.isEmpty)) None
-        else {
-          perFrame.foreach(a => mergeAnswers(a.get))
-          metricAcc("framesAggFromStats") += inRange.length.toLong
-          Some(())
-        }
+      if (perFrame.exists(_.isEmpty)) None
+      else {
+        perFrame.foreach(a => mergeAnswers(a.get))
+        metricAcc("framesAggFromStats") += inRange.length.toLong
+        Some(())
       }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        logWarning(s"failed to answer aggregates from frame stats of " +
-          s"${slice.path} (${e.getMessage}); streaming it")
-        None
     }
   }
 
-  /** Footer path: fold the frame index entries overlapping this slice.
-    * Frame runs from split planning tile exact frame boundaries, so
-    * offset-containment is exact membership. */
-  private def foldFooter(frames: Vector[graft.lwes.SplitJournal.FrameMeta],
-      range: Option[(Long, Long)]): Unit = {
-    val inRange = range match {
+  /** Per-reader footer memo: one partition's slices are often ranges
+    * of the SAME fat file, so the footer tail read happens once per
+    * distinct file, not once per slice. None (unreadable) is pinned —
+    * a torn footer is a property of the immutable file. The memo also
+    * bounds the IO inside one try so NO merge can sit behind a catch
+    * (a swallowed mid-merge failure would re-stream already-merged
+    * frames and double-count). */
+  private val footerMemo = scala.collection.mutable.Map.empty[
+    String, Option[Vector[graft.lwes.SplitJournal.FrameMeta]]]
+
+  private def framesOf(slice: LwesInputPartition)
+      : Option[Vector[graft.lwes.SplitJournal.FrameMeta]] =
+    footerMemo.getOrElseUpdate(slice.path,
+      try {
+        val path = new Path(slice.path)
+        val fs = path.getFileSystem(conf)
+        val fileLen = slice.range match {
+          case Some(_) => fs.getFileStatus(path).getLen // slice len ≠ file len
+          case None => slice.length
+        }
+        val in = fs.open(path)
+        try graft.lwes.SplitJournal.readFooter(in, fileLen)
+        finally in.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"failed to read split-journal footer of ${slice.path} " +
+            s"for pushed aggregation (${e.getMessage}); streaming it")
+          None
+      })
+
+  /** The frames a slice covers — ONE membership rule for the footer
+    * and frame-stats paths. Frame runs from split planning tile exact
+    * frame boundaries, so offset-containment is exact membership. */
+  private def framesIn(frames: Vector[graft.lwes.SplitJournal.FrameMeta],
+      range: Option[(Long, Long)]): Vector[graft.lwes.SplitJournal.FrameMeta] =
+    range match {
       case Some((s, e)) =>
         frames.filter(f => f.offset >= s && f.offset + f.compressedLen <= e)
       case None => frames
     }
+
+  /** Footer path: fold this slice's frame index entries. */
+  private def foldFooter(
+      inRange: Vector[graft.lwes.SplitJournal.FrameMeta]): Unit = {
     inRange.foreach { f =>
       var i = 0
       while (i < n) {
@@ -267,23 +286,7 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   private def tryFooter(slice: LwesInputPartition): Option[Unit] = {
     if (!spec.footerOnly || !graft.lwes.SplitJournal.isSplit(slice.path))
       return None
-    try {
-      val path = new Path(slice.path)
-      val fs = path.getFileSystem(conf)
-      val fileLen = slice.range match {
-        case Some(_) => fs.getFileStatus(path).getLen // slice len ≠ file len
-        case None => slice.length
-      }
-      val in = fs.open(path)
-      val footer = try graft.lwes.SplitJournal.readFooter(in, fileLen)
-      finally in.close()
-      footer.map(frames => foldFooter(frames, slice.range))
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        logWarning(s"failed to read split-journal footer of ${slice.path} " +
-          s"for pushed aggregation (${e.getMessage}); streaming it")
-        None
-    }
+    framesOf(slice).map(frames => foldFooter(framesIn(frames, slice.range)))
   }
 
   private def streamFile(slice: LwesInputPartition): Unit = {
