@@ -1378,7 +1378,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
         val keyCols = spjKeyCols
         slices.groupBy(s => keyCols.map(c => s.partitionValues.getOrElse(c, null)))
           .toArray
-          .sortBy(_._1.map(String.valueOf).mkString(" "))
+          .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
           .flatMap { case (kv, group) =>
             LwesScan.packPartitions(group,
               math.min(maxBytes, target), openCost, parallelism)
