@@ -475,6 +475,93 @@ object LwesQueries {
         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
         |FROM orders""".stripMargin)),
 
+    // A32 (r19): GROUPED aggregate pushdown — `GROUP BY <partition
+    // col>` with COUNT(*)/COUNT(col)/MIN/MAX answered per file from
+    // the A27 zone-map sidecars (gzip journals: no footer exists), the
+    // single most common warehouse shape over a dt-partitioned journal
+    // store. Partial push: the scan emits one partial row per group
+    // per partition and Spark plans the final merge. The in-gate
+    // requires prove zero events parsed and every file answered from
+    // its sidecar; a sparse attribute (every 7th record omits
+    // o_custkey) pins COUNT(col) exactness.
+    "lwes_agg_grouped" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"agggrp|$d") { dir =>
+          t(s, d, "orders")
+            .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+            .select(col("o_orderkey"),
+              when(col("o_orderkey") % 7 =!= 0, col("o_custkey"))
+                .as("o_custkey"),
+              col("prio"))
+            .write.format("lwes").option("eventName", "Order::Gp")
+            .option("compression", "gzip")
+            .option("partitionBy", "prio").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, ckey long, prio string")
+          .option("mapping", "okey:o_orderkey, ckey:o_custkey")
+          .load(dir)
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"), count(col("ckey")).as("n_cust"),
+            min(col("okey")).as("min_key"), max(col("okey")).as("max_key"))
+          .orderBy(col("prio"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("groupBy=[prio]"),
+          s"grouped aggregation was not pushed into the scan:\n$plan")
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        val nFromStats = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "filesAggFromStats")
+        require(nParsed == 0 && nFromStats >= 5,
+          s"grouped sidecar aggregate parsed $nParsed events " +
+            s"(filesAggFromStats=$nFromStats)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT substr(o_orderpriority, 1, 1) AS prio, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END) AS n_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // A32 (r19): `GROUP BY <event-name column>` + COUNT(*) answered
+    // from the sidecar's per-name record counts — "events per type"
+    // over a multi-event journal store with zero opens. The r19 sidecar
+    // records per-event-name counts (nc=1 header; old sidecars read
+    // incomplete and stream), and the reader trusts them only when they
+    // reconcile with the file's record total.
+    "lwes_agg_grouped_name" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"agggrpnm|$d") { dir =>
+          t(s, d, "orders")
+            .withColumn("ev", when(col("o_orderkey") % 2 === 0,
+              "Order::Even").otherwise("Order::Odd"))
+            .select(col("o_orderkey"), col("ev"))
+            .write.format("lwes").option("eventNameColumn", "ev")
+            .option("compression", "gzip").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes").schema("okey long, ev string")
+          .option("eventNameColumn", "ev")
+          .option("mapping", "okey:o_orderkey")
+          .load(dir)
+          .groupBy(col("ev")).agg(count(lit(1)).as("n"))
+          .orderBy(col("ev"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("groupBy=[ev]"),
+          s"name-grouped aggregation was not pushed into the scan:\n$plan")
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        val nFromStats = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "filesAggFromStats")
+        require(nParsed == 0 && nFromStats >= 1,
+          s"per-name count parsed $nParsed events " +
+            s"(filesAggFromStats=$nFromStats)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'Order::Even'
+        |    ELSE 'Order::Odd' END AS ev, count(*) AS n
+        |FROM orders GROUP BY ev ORDER BY ev""".stripMargin)),
+
     // A27 (r18): attribute zone-map sidecars. Four journals with
     // DISJOINT o_orderkey quartile ranges; a pushed okey <= max/4
     // predicate must drop the three upper-range FILES at plan time

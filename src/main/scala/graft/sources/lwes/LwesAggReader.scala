@@ -8,9 +8,10 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Reader factory for scans with a pushed aggregation (A26): every
-  * partition collapses to ONE partial row. Always row-based — there is
-  * nothing to vectorize in a single output row. */
+/** Reader factory for scans with a pushed aggregation (A26/A32): every
+  * partition collapses to one partial row per group (one row total when
+  * ungrouped). Always row-based — there is nothing to vectorize in a
+  * handful of output rows. */
 class LwesAggReaderFactory(config: LwesReadConfig, spec: LwesAggSpec,
     bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
@@ -21,6 +22,15 @@ class LwesAggReaderFactory(config: LwesReadConfig, spec: LwesAggSpec,
 }
 
 /** Computes the pushed partial aggregation over one partition's files.
+  *
+  * A32 grouping: with pushed GROUP BY columns (per-file-constant
+  * partition columns and/or the event-name column) the accumulators
+  * are kept per group key and one partial row per group emits; a
+  * grouped aggregate over zero admitted records emits zero rows (an
+  * ungrouped one still emits its single all-NULL/0 row). All three
+  * metadata paths survive a partition-col-only grouping unchanged —
+  * the file's key is a constant — and a name-col grouping answers
+  * all-COUNT(*) pushes from the sidecar's per-name counts.
   *
   * Three paths, chosen PER FILE:
   *   - **File metadata** (A26×A27): an ungated scan (no event-name
@@ -95,22 +105,55 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   private val comparators: Array[(Any, Any) => Int] =
     Array.tabulate(n)(i => if (colType(i) != null) cmp(colType(i)) else null)
 
-  // accumulators: counts as Long, min/max as the running value (null =
-  // no non-null input yet)
-  private val counts = new Array[Long](n)
-  private val values = new Array[Any](n)
+  // ---- A32 grouping state ------------------------------------------
+  private val g = spec.groupCols.length
+  // stream-path row index of each group column (group cols always ride
+  // in the data schema — build() adds them)
+  private val groupIdx: Array[Int] =
+    spec.groupCols.map(config.schema.fieldIndex).toArray
+  private val groupIsName: Array[Boolean] =
+    spec.groupCols.map(c => config.eventNameCol.contains(c)).toArray
+  // every group column is a per-file constant (partition column): the
+  // whole-file/frame metadata paths stay valid — the file's key is one
+  // group. A name-col grouping forfeits them (footers and frame blobs
+  // do not split by name) except the sidecar per-name COUNT(*) path.
+  private val metadataGroupable = !groupIsName.exists(identity)
+
+  /** Per-group accumulators: counts as Long, min/max as the running
+    * value (null = no non-null input yet). */
+  private final class Acc {
+    val counts = new Array[Long](n)
+    val values = new Array[Any](n)
+  }
+  // group key -> accumulators; insertion-ordered for deterministic
+  // emit. Key elements are UTF8String or null (group cols are all
+  // StringType: partition values and event names).
+  private val groups =
+    scala.collection.mutable.LinkedHashMap.empty[List[Any], Acc]
+  private def accFor(key: List[Any]): Acc =
+    groups.getOrElseUpdate(key, new Acc)
+  // an UNgrouped aggregate emits exactly one row even over zero input
+  if (g == 0) accFor(Nil)
+
+  /** The one group key a metadata-answered file contributes to — its
+    * partition values (only called when `metadataGroupable`). */
+  private def sliceKey(slice: LwesInputPartition): List[Any] =
+    spec.groupCols.iterator.map(c =>
+      slice.partitionValues.get(c).map(UTF8String.fromString).orNull).toList
 
   private val metricAcc = scala.collection.mutable.Map.empty[String, Long]
     .withDefaultValue(0L)
-  private var done = false
+  private var emit: Iterator[InternalRow] = _
   private var row: InternalRow = _
 
-  private def mergeMin(i: Int, v: Any): Unit =
-    if (v != null && (values(i) == null || comparators(i)(v, values(i)) < 0))
-      values(i) = v
-  private def mergeMax(i: Int, v: Any): Unit =
-    if (v != null && (values(i) == null || comparators(i)(v, values(i)) > 0))
-      values(i) = v
+  private def mergeMin(acc: Acc, i: Int, v: Any): Unit =
+    if (v != null && (acc.values(i) == null ||
+        comparators(i)(v, acc.values(i)) < 0))
+      acc.values(i) = v
+  private def mergeMax(acc: Acc, i: Int, v: Any): Unit =
+    if (v != null && (acc.values(i) == null ||
+        comparators(i)(v, acc.values(i)) > 0))
+      acc.values(i) = v
 
   // A27 sidecar answering is sound only when the whole file is
   // admitted as-is: no record-level gate may drop or reshape records
@@ -139,18 +182,18 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       s"non-integral sidecar bound type $other") // answerAggregates filtered
   }
 
-  /** Fold one metadata answer set (per file or per frame) into the
-    * accumulators — ONE merge rule for the sidecar and frame-stats
-    * paths, so their semantics cannot drift. */
-  private def mergeAnswers(answers: Seq[LwesStats.AggAnswer]): Unit = {
+  /** Fold one metadata answer set (per file or per frame) into one
+    * group's accumulators — ONE merge rule for the sidecar and
+    * frame-stats paths, so their semantics cannot drift. */
+  private def mergeAnswers(acc: Acc, answers: Seq[LwesStats.AggAnswer]): Unit = {
     var i = 0
     answers.foreach { a =>
       (a, funcs(i)) match {
-        case (LwesStats.CountAnswer(c), _) => counts(i) += c
+        case (LwesStats.CountAnswer(c), _) => acc.counts(i) += c
         case (LwesStats.BoundAnswer(Some(v)), _: LwesAggFunc.MinCol) =>
-          mergeMin(i, boxBound(colType(i), v))
+          mergeMin(acc, i, boxBound(colType(i), v))
         case (LwesStats.BoundAnswer(Some(v)), _: LwesAggFunc.MaxCol) =>
-          mergeMax(i, boxBound(colType(i), v))
+          mergeMax(acc, i, boxBound(colType(i), v))
         case (LwesStats.BoundAnswer(None), _) => () // all-NULL file/frame
         case (a, f) => throw new IllegalStateException(s"$a for $f")
       }
@@ -161,21 +204,61 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   /** Metadata path: answer every pushed function from the file's
     * zone-map sidecar and/or exact `.t` receipt name tag without
     * opening the journal. Some(()) = answered. The sidecar GET is
-    * skipped when the functions are receipt-bounds-only. */
+    * skipped when the functions are receipt-bounds-only — except under
+    * a grouping, where the record count decides whether the file's
+    * group EXISTS (GROUP BY over zero rows emits zero groups, so an
+    * empty journal must contribute nothing — not a null-bound group). */
   private def trySidecar(slice: LwesInputPartition): Option[Unit] = {
     if (!sidecarEligible || slice.range.nonEmpty) return None
+    if (!metadataGroupable) return tryNameSidecar(slice)
     val tag = LwesDataSource.exactTagBounds(new Path(slice.path).getName)
-    val needStats = spec.funcs.exists {
+    val needStats = g > 0 || spec.funcs.exists {
       case LwesAggFunc.MinCol(_, true) | LwesAggFunc.MaxCol(_, true) => false
       case _ => true
     }
     if (needStats && !slice.hasStats) return None // listing proved bare
-    val st = if (needStats) LwesStats.read(new Path(slice.path), conf,
-      slice.length) else None
+    val st = if (needStats) {
+      val s = LwesStats.read(new Path(slice.path), conf, slice.length)
+      if (s.isEmpty) return None // unreadable/stale: stream instead
+      s
+    } else None
+    if (g > 0 && st.exists(_.records == 0L)) {
+      // answered: an empty file contributes no group
+      metricAcc("filesAggFromStats") += 1
+      return Some(())
+    }
     LwesStats.answerAggregates(
         st, tag, spec.funcs, config.attrOf, typeOf, nonAttrCols)
       .map { answers =>
-        mergeAnswers(answers)
+        mergeAnswers(if (g == 0) accFor(Nil) else accFor(sliceKey(slice)),
+          answers)
+        metricAcc("filesAggFromStats") += 1
+      }
+  }
+
+  /** A32 name-grouped sidecar path: a grouping that includes the
+    * event-name column can still answer COUNT(*) per group from the
+    * sidecar's per-name record counts — "events per type (per day)"
+    * with zero opens. Exact only when every function is COUNT(*), the
+    * name counts are complete, and they reconcile with the record
+    * total (belt-and-braces against a hand-edited sidecar). */
+  private def tryNameSidecar(slice: LwesInputPartition): Option[Unit] = {
+    if (slice.range.nonEmpty || !slice.hasStats) return None
+    if (!funcs.forall(_ == LwesAggFunc.CountStar)) return None
+    LwesStats.read(new Path(slice.path), conf, slice.length)
+      .filter(st => st.namesComplete && st.names.values.sum == st.records)
+      .map { st =>
+        st.names.foreach { case (nm, cnt) =>
+          if (cnt > 0) {
+            val key = spec.groupCols.iterator.zipWithIndex.map { case (c, i) =>
+              if (groupIsName(i)) UTF8String.fromString(nm)
+              else slice.partitionValues.get(c).map(UTF8String.fromString).orNull
+            }.toList
+            val acc = accFor(key)
+            var i = 0
+            while (i < n) { acc.counts(i) += cnt; i += 1 }
+          }
+        }
         metricAcc("filesAggFromStats") += 1
       }
   }
@@ -192,7 +275,8 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
     * frame's exact footer bounds: the same stamped-value trust the
     * whole-file `.t` tag carries, at frame grain. */
   private def tryFrameStats(slice: LwesInputPartition): Option[Unit] = {
-    if (!sidecarEligible || !graft.lwes.SplitJournal.isSplit(slice.path))
+    if (!sidecarEligible || !metadataGroupable ||
+        !graft.lwes.SplitJournal.isSplit(slice.path))
       return None
     framesOf(slice).flatMap { frames =>
       val inRange = framesIn(frames, slice.range)
@@ -214,7 +298,12 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       }
       if (perFrame.exists(_.isEmpty)) None
       else {
-        perFrame.foreach(a => mergeAnswers(a.get))
+        // under a grouping, a zero-record frame must not CREATE the
+        // file's group (GROUP BY over zero rows emits zero groups)
+        lazy val acc = if (g == 0) accFor(Nil) else accFor(sliceKey(slice))
+        perFrame.zip(inRange).foreach { case (a, f) =>
+          if (g == 0 || f.records > 0) mergeAnswers(acc, a.get)
+        }
         metricAcc("framesAggFromStats") += inRange.length.toLong
         Some(())
       }
@@ -262,22 +351,28 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       case None => frames
     }
 
-  /** Footer path: fold this slice's frame index entries. */
-  private def foldFooter(
+  /** Footer path: fold this slice's frame index entries into the
+    * slice's one group (footerOnly implies every group column is a
+    * partition column — per-file constant). Zero-record frames never
+    * create a group. */
+  private def foldFooter(slice: LwesInputPartition,
       inRange: Vector[graft.lwes.SplitJournal.FrameMeta]): Unit = {
+    lazy val acc = if (g == 0) accFor(Nil) else accFor(sliceKey(slice))
     inRange.foreach { f =>
-      var i = 0
-      while (i < n) {
-        funcs(i) match {
-          case LwesAggFunc.CountStar => counts(i) += f.records
-          case LwesAggFunc.MinCol(_, true) =>
-            if (f.minReceipt <= f.maxReceipt) mergeMin(i, f.minReceipt)
-          case LwesAggFunc.MaxCol(_, true) =>
-            if (f.minReceipt <= f.maxReceipt) mergeMax(i, f.maxReceipt)
-          case other => throw new IllegalStateException(
-            s"$other on the footer path") // footerOnly excluded these
+      if (g == 0 || f.records > 0) {
+        var i = 0
+        while (i < n) {
+          funcs(i) match {
+            case LwesAggFunc.CountStar => acc.counts(i) += f.records
+            case LwesAggFunc.MinCol(_, true) =>
+              if (f.minReceipt <= f.maxReceipt) mergeMin(acc, i, f.minReceipt)
+            case LwesAggFunc.MaxCol(_, true) =>
+              if (f.minReceipt <= f.maxReceipt) mergeMax(acc, i, f.maxReceipt)
+            case other => throw new IllegalStateException(
+              s"$other on the footer path") // footerOnly excluded these
+          }
+          i += 1
         }
-        i += 1
       }
     }
   }
@@ -286,25 +381,39 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   private def tryFooter(slice: LwesInputPartition): Option[Unit] = {
     if (!spec.footerOnly || !graft.lwes.SplitJournal.isSplit(slice.path))
       return None
-    framesOf(slice).map(frames => foldFooter(framesIn(frames, slice.range)))
+    framesOf(slice).map(frames =>
+      foldFooter(slice, framesIn(frames, slice.range)))
   }
 
   private def streamFile(slice: LwesInputPartition): Unit = {
     val r = new LwesPartitionReader(slice, config, conf)
+    // per-file fast path: when every group column is a partition
+    // column, the file's group key is one constant resolved on the
+    // first record — no per-record key building (the row reader
+    // materializes fresh values per record, so the per-record keys a
+    // name-col grouping builds below are safe to retain)
+    var lazyAcc: Acc = if (g == 0) accFor(Nil) else null
     try {
       while (r.next()) {
         val rec = r.get()
+        val acc: Acc =
+          if (g == 0) lazyAcc
+          else if (metadataGroupable) {
+            if (lazyAcc == null) lazyAcc = accFor(sliceKey(slice))
+            lazyAcc
+          } else accFor(groupIdx.iterator.map(ix =>
+            if (rec.isNullAt(ix)) null else rec.getUTF8String(ix)).toList)
         var i = 0
         while (i < n) {
           funcs(i) match {
-            case LwesAggFunc.CountStar => counts(i) += 1
+            case LwesAggFunc.CountStar => acc.counts(i) += 1
             case LwesAggFunc.CountCol(_) =>
-              if (!rec.isNullAt(colIdx(i))) counts(i) += 1
+              if (!rec.isNullAt(colIdx(i))) acc.counts(i) += 1
             case _: LwesAggFunc.MinCol =>
-              mergeMin(i, if (rec.isNullAt(colIdx(i))) null
+              mergeMin(acc, i, if (rec.isNullAt(colIdx(i))) null
                 else rec.get(colIdx(i), colType(i)))
             case _: LwesAggFunc.MaxCol =>
-              mergeMax(i, if (rec.isNullAt(colIdx(i))) null
+              mergeMax(acc, i, if (rec.isNullAt(colIdx(i))) null
                 else rec.get(colIdx(i), colType(i)))
           }
           i += 1
@@ -315,31 +424,35 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   }
 
   override def next(): Boolean = {
-    if (done) return false
-    files.foreach { slice =>
-      // footer first: on footerOnly scans both fast paths are exact and
-      // zero-parse, and the footer needs no sidecar freshness check;
-      // whole-file zone maps then catch what footers cannot (gzip/plain
-      // journals, attribute MIN/MAX/COUNT); per-FRAME stats (A31) catch
-      // what those cannot (range slices of fat `.zsj`, sidecar-less
-      // split files) — everything else streams
-      if (tryFooter(slice).isEmpty && trySidecar(slice).isEmpty &&
-          tryFrameStats(slice).isEmpty)
-        streamFile(slice)
-    }
-    val out = new GenericInternalRow(n)
-    var i = 0
-    while (i < n) {
-      funcs(i) match {
-        case LwesAggFunc.CountStar | _: LwesAggFunc.CountCol =>
-          out.update(i, counts(i))
-        case _ => out.update(i, values(i))
+    if (emit == null) {
+      files.foreach { slice =>
+        // footer first: on footerOnly scans both fast paths are exact and
+        // zero-parse, and the footer needs no sidecar freshness check;
+        // whole-file zone maps then catch what footers cannot (gzip/plain
+        // journals, attribute MIN/MAX/COUNT); per-FRAME stats (A31) catch
+        // what those cannot (range slices of fat `.zsj`, sidecar-less
+        // split files) — everything else streams
+        if (tryFooter(slice).isEmpty && trySidecar(slice).isEmpty &&
+            tryFrameStats(slice).isEmpty)
+          streamFile(slice)
       }
-      i += 1
+      emit = groups.iterator.map { case (key, acc) =>
+        val out = new GenericInternalRow(g + n)
+        var i = 0
+        key.foreach { kv => out.update(i, kv); i += 1 }
+        var j = 0
+        while (j < n) {
+          funcs(j) match {
+            case LwesAggFunc.CountStar | _: LwesAggFunc.CountCol =>
+              out.update(i, acc.counts(j))
+            case _ => out.update(i, acc.values(j))
+          }
+          i += 1; j += 1
+        }
+        out
+      }
     }
-    row = out
-    done = true
-    true
+    if (emit.hasNext) { row = emit.next(); true } else false
   }
 
   override def get(): InternalRow = row

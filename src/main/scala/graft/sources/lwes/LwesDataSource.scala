@@ -601,19 +601,27 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     readSchema = if (pruned.isEmpty) StructType(fullSchema.fields.take(1)) else pruned
   }
 
-  /** A26: COUNT(*)/COUNT(col)/MIN/MAX with no grouping push into the
-    * scan as a PARTIAL aggregation — each partition emits one partial
-    * row and Spark plans the final merge, so the push is correct under
-    * any partitioning. Spark only offers an aggregation when every
-    * data filter was FULLY pushed; this source keeps every attribute
-    * filter residual, so aggregates arrive here exactly for unfiltered
-    * scans — the "how many events / what time span" journal queries
-    * that otherwise materialize billions of rows to count them. */
+  /** A26: COUNT(*)/COUNT(col)/MIN/MAX push into the scan as a PARTIAL
+    * aggregation — each partition emits partial rows and Spark plans
+    * the final merge, so the push is correct under any partitioning.
+    * Spark only offers an aggregation when every data filter was FULLY
+    * pushed; this source keeps every attribute filter residual, so
+    * aggregates arrive here exactly for unfiltered scans — the "how
+    * many events / what time span" journal queries that otherwise
+    * materialize billions of rows to count them.
+    *
+    * A32 (r19) extends the push to GROUPED aggregations whose every
+    * group-by column is per-file-constant (a path-derived partition
+    * column) or the event-name column — the `GROUP BY dt` /
+    * `GROUP BY event` warehouse shapes. The scan emits one partial row
+    * per group per partition (group columns first, Spark's layout for
+    * a grouped pushdown); partition-col groupings keep all three
+    * metadata fast paths, so "events per day over a year of journals"
+    * reads sidecars and footers, not frames. */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     if (!options.getBoolean(LwesOptions.AggPushdown, true)) return false
-    if (agg.groupByExpressions.nonEmpty) return false
     if (agg.aggregateExpressions.isEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -657,10 +665,26 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       }
     if (funcs.exists(_.isEmpty)) return false
     val picked = funcs.map(_.get)
+    // A32 group-by admission: single-name refs to partition columns or
+    // the event-name column (both StringType by construction — path
+    // values and names have no other type). Anything else declines and
+    // Spark keeps the whole aggregate above an ordinary scan.
+    val ncolOpt = Option(options.get(LwesOptions.EventNameColumn))
+    val groupNames: Array[Option[String]] = agg.groupByExpressions.map(colOf)
+    if (groupNames.exists(_.isEmpty)) return false
+    val gcols = groupNames.map(_.get)
+    if (gcols.distinct.length != gcols.length) return false
+    if (!gcols.forall(c => fieldByName.get(c).exists(_.dataType == StringType) &&
+        (samplePartitionCols.contains(c) || ncolOpt.contains(c)))) return false
+    val groupFields = gcols.map(c => fieldByName(c))
     // footerOnly is finalized in build() (event-name filter and the
-    // explicit receipt-time admission window also gate it)
+    // explicit receipt-time admission window also gate it); a name-col
+    // grouping clears it — footers know record counts, not name splits
     aggSpec = Some(LwesAggSpec(picked.map(_._1).toSeq,
-      StructType(picked.map(_._2)), footerOnly = picked.forall(_._1.footerable)))
+      StructType(groupFields ++ picked.map(_._2)),
+      footerOnly = picked.forall(_._1.footerable) &&
+        gcols.forall(samplePartitionCols.contains),
+      groupCols = gcols.toSeq))
     true
   }
 
@@ -832,7 +856,9 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     // record boundaries without decoding a single attribute)
     val dataSchema = aggSpec match {
       case Some(spec) =>
-        val refd = spec.funcs.flatMap(_.col).toSet
+        // group columns ride along so the streaming fold can read each
+        // record's group key (partition cols / event name) off the row
+        val refd = spec.funcs.flatMap(_.col).toSet ++ spec.groupCols
         StructType(fullSchema.fields.filter(f => refd.contains(f.name)))
       case None => readSchema
     }
@@ -1083,6 +1109,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       (if (config.attrFilters.isEmpty) ""
        else s", pushed=[${config.attrFilters.mkString(", ")}]") +
       aggSpec.map(s => s", agg=[${s.funcs.mkString(", ")}]" +
+        (if (s.groupCols.nonEmpty)
+          s" groupBy=[${s.groupCols.mkString(",")}]" else "") +
         (if (s.footerOnly) " footerOnly" else "")).getOrElse("") +
       topN.map(t =>
         s", topN=[receipt ${if (t.desc) "desc" else "asc"} k=${t.k}]")

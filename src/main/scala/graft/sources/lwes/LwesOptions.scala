@@ -100,7 +100,15 @@ object LwesAggFunc {
   * answer path (per-file, any codec, attribute MIN/MAX/COUNT too)
   * checks exactness per sidecar instead. */
 final case class LwesAggSpec(funcs: Seq[LwesAggFunc], schema: StructType,
-    footerOnly: Boolean, ungated: Boolean = true) extends Serializable
+    footerOnly: Boolean, ungated: Boolean = true,
+    // A32 (r19): pushed GROUP BY columns — each is per-file-constant
+    // (a path-derived partition column) or the event-name column, all
+    // StringType; `schema` lists them FIRST (Spark's expected layout
+    // for a pushed grouped aggregation), then one field per function.
+    // Partition-col-only groupings keep every metadata fast path (the
+    // file's key is a constant); a name-col grouping answers COUNT(*)
+    // from the sidecar's per-name counts and streams everything else.
+    groupCols: Seq[String] = Nil) extends Serializable
 
 /** Pushed `ORDER BY <receipt col> [DESC] LIMIT k` (A28). PARTIAL push —
   * Spark always keeps the global Sort+Limit, so the scan's only

@@ -51,6 +51,9 @@ object LwesStats {
   val MaxAttrs = 128
   /** String bound cap, bytes. */
   val MaxStrBytes = 64
+  /** Event-name cap: past it per-name counts stop (namesComplete=false,
+    * name-grouped aggregates stream). 64 covers any sane journal. */
+  val MaxNames = 64
 
   /** Header pseudo-attributes (journal layer stamps 0-defaults — absent
     * never means NULL, so missing-attr pruning is unsound for them).
@@ -86,8 +89,15 @@ object LwesStats {
       minL: Long, maxL: Long,
       minS: Array[Byte], maxS: Array[Byte], maxSInf: Boolean, ascii: Boolean)
 
+  /** `names` = per-event-name record counts (r19, A32: lets
+    * `GROUP BY <event-name column>` + COUNT(*) answer from the sidecar
+    * alone); trusted only when `namesComplete` — an old-format sidecar
+    * (no `nc=` header) or one whose journal exceeded [[MaxNames]]
+    * distinct event types reads incomplete and name-grouped aggregates
+    * stream instead. */
   final case class FileStats(fileLen: Long, records: Long,
-      complete: Boolean, attrs: Map[String, AttrStats])
+      complete: Boolean, attrs: Map[String, AttrStats],
+      names: Map[String, Long] = Map.empty, namesComplete: Boolean = false)
 
   // ---------------------------------------------------------- tracker
 
@@ -108,9 +118,16 @@ object LwesStats {
     private val m = scala.collection.mutable.LinkedHashMap.empty[String, Mut]
     private var records = 0L
     private var complete = true
+    private val names = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    private var namesComplete = true
 
     def observe(ev: LwesEvent): Unit = {
       records += 1
+      if (namesComplete) {
+        val prev = names.getOrElse(ev.name, 0L)
+        if (prev == 0L && names.size >= MaxNames) { names.clear(); namesComplete = false }
+        else names.update(ev.name, prev + 1)
+      }
       var i = 0
       val attrs = ev.attrs
       while (i < attrs.length) {
@@ -152,7 +169,11 @@ object LwesStats {
     def serialize(fileLen: Long): String = {
       val sb = new StringBuilder
       sb.append(s"$Magic len=$fileLen records=$records complete=")
-        .append(if (complete) "1" else "0").append('\n')
+        .append(if (complete) "1" else "0")
+        .append(" nc=").append(if (namesComplete) "1" else "0").append('\n')
+      if (namesComplete) names.foreach { case (nm, cnt) =>
+        sb.append(s"e=${java.net.URLEncoder.encode(nm, "UTF-8")} n=$cnt\n")
+      }
       val b64 = java.util.Base64.getEncoder
       m.foreach { case (name, s) =>
         val enc = java.net.URLEncoder.encode(name, "UTF-8")
@@ -208,7 +229,13 @@ object LwesStats {
     val head = kv(lines(0).stripPrefix(Magic + " "))
     if (!lines(0).startsWith(Magic + " ")) return None
     val b64 = java.util.Base64.getDecoder
-    val attrs = lines.iterator.drop(1).filter(_.nonEmpty).map { ln =>
+    val (nameLines, attrLines) =
+      lines.iterator.drop(1).filter(_.nonEmpty).toSeq.partition(_.startsWith("e="))
+    val names = nameLines.map { ln =>
+      val f = kv(ln)
+      java.net.URLDecoder.decode(f("e"), "UTF-8") -> f("n").toLong
+    }.toMap
+    val attrs = attrLines.iterator.map { ln =>
       val f = kv(ln)
       val name = java.net.URLDecoder.decode(f("a"), "UTF-8")
       val st = f("k") match {
@@ -224,7 +251,9 @@ object LwesStats {
       name -> st
     }.toMap
     Some(FileStats(head("len").toLong, head("records").toLong,
-      head("complete") == "1", attrs))
+      head("complete") == "1", attrs, names,
+      // absent nc = pre-r19 sidecar: per-name counts unknown
+      namesComplete = head.get("nc").contains("1")))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   private def kv(line: String): Map[String, String] =

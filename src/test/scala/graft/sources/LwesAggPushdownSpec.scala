@@ -208,8 +208,120 @@ class LwesAggPushdownSpec extends AnyFunSuite {
     val s = rd(dir).agg(sum(col("id")).as("s"))
     assert(!plan(s).contains("agg=["), plan(s))
     assert(s.collect()(0).getLong(0) == (0 until 300).map(_.toLong).sum)
+    // page is a data attribute, not per-file-constant: grouping on it
+    // must decline the push and stay correct through the ordinary scan
     val g = rd(dir).groupBy(col("page")).agg(count(lit(1)).as("n"))
     assert(!plan(g).contains("agg=["), plan(g))
     assert(g.collect().map(_.getLong(1)).sum == 300L)
+  }
+
+  // ------------------------------------------------- A32 grouped push
+
+  /** Partitioned `.zsj` corpus via the DataFrame writer (sidecars and
+    * footers included): 600 rows, dt in {0,1,2}, every 5th score NULL. */
+  private def writePartitioned(dir: String): Unit =
+    spark.range(600).select(
+        col("id"),
+        concat(lit("/p/"), col("id") % 10).as("page"),
+        when(col("id") % 5 =!= 0, (col("id") % 100).cast("int")).as("score"),
+        (col("id") % 3).cast("string").as("dt"))
+      .write.format("lwes").option("eventName", "T::E")
+      .option("partitionBy", "dt").mode("append").save(dir)
+
+  private def rdp(dir: String, extra: (String, String)*): DataFrame = {
+    val base = spark.read.format("lwes")
+      .schema("id long, page string, score int, dt string")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+  }
+
+  test("GROUP BY partition col + COUNT(*) rides the footer path: zero parsed") {
+    val dir = tmp()
+    writePartitioned(dir)
+    val q = rdp(dir).groupBy(col("dt")).agg(count(lit(1)).as("n"))
+    val rows = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("0" -> 200L, "1" -> 200L, "2" -> 200L))
+    assert(plan(q).contains("groupBy=[dt]") && plan(q).contains("footerOnly"),
+      plan(q))
+    assert(parsed(q) == 0L, "grouped footer count must not parse events")
+  }
+
+  test("GROUP BY partition col + MIN/MAX/COUNT(col) answers from sidecars") {
+    val dir = tmp()
+    writePartitioned(dir)
+    val q = rdp(dir).groupBy(col("dt")).agg(
+      count(lit(1)).as("n"), count(col("score")).as("ns"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val got = q.collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = rdp(dir, graft.sources.lwes.LwesOptions.AggPushdown -> "false")
+      .groupBy(col("dt")).agg(
+        count(lit(1)), count(col("score")), min(col("id")), max(col("id")))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    assert(plan(q).contains("groupBy=[dt]"), plan(q))
+    assert(parsed(q) == 0L, "grouped sidecar answers must not parse events")
+    assert(LwesScan.scanMetricSum(q.queryExecution.executedPlan,
+      "filesAggFromStats") >= 3L)
+  }
+
+  test("GROUP BY event-name col + COUNT(*) answers from per-name sidecar counts") {
+    val dir = tmp()
+    val src = spark.range(500).select(col("id"),
+      when(col("id") % 3 === 0, "Ad::Click").otherwise("Ad::View").as("ev"))
+    src.write.format("lwes").option("eventNameColumn", "ev")
+      .option("compression", "gzip").mode("append").save(dir)
+    val q = spark.read.format("lwes").schema("id long, ev string")
+      .option("eventNameColumn", "ev").load(dir)
+      .groupBy(col("ev")).agg(count(lit(1)).as("n"))
+    val rows = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("Ad::Click" -> 167L, "Ad::View" -> 333L))
+    assert(plan(q).contains("groupBy=[ev]"), plan(q))
+    assert(parsed(q) == 0L, "per-name counts must come from the sidecar")
+    assert(LwesScan.scanMetricSum(q.queryExecution.executedPlan,
+      "filesAggFromStats") >= 1L)
+  }
+
+  test("GROUP BY event-name col with MIN streams but pushes, exact results") {
+    val dir = tmp()
+    val src = spark.range(200).select(col("id"),
+      when(col("id") % 3 === 0, "Ad::Click").otherwise("Ad::View").as("ev"))
+    src.write.format("lwes").option("eventNameColumn", "ev")
+      .mode("append").save(dir)
+    val q = spark.read.format("lwes").schema("id long, ev string")
+      .option("eventNameColumn", "ev").load(dir)
+      .groupBy(col("ev")).agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+        count(lit(1)).as("n"))
+    val rows = q.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map("Ad::Click" -> ((0L, 198L, 67L)),
+      "Ad::View" -> ((1L, 199L, 133L))))
+    assert(plan(q).contains("groupBy=[ev]"), plan(q))
+    assert(parsed(q) == 200L) // MIN per name is not in any metadata: streams
+  }
+
+  test("grouped aggregate over an empty directory emits zero groups") {
+    val dir = tmp()
+    // listing-derived partition cols are absent in an empty dir, so
+    // group on the event-name column (always admissible)
+    val q = spark.read.format("lwes").schema("id long, ev string")
+      .option("eventNameColumn", "ev").load(dir)
+      .groupBy(col("ev")).agg(count(lit(1)).as("n"))
+    assert(q.collect().isEmpty)
+  }
+
+  test("stats-less partitioned journals stream the grouped answer exactly") {
+    val dir = tmp()
+    spark.range(300).select(col("id"), (col("id") % 2).cast("string").as("dt"))
+      .write.format("lwes").option("eventName", "T::E")
+      .option("partitionBy", "dt").option("writeStats", "false")
+      .option("compression", "gzip").mode("append").save(dir)
+    val q = spark.read.format("lwes").schema("id long, dt string").load(dir)
+      .groupBy(col("dt")).agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    val rows = q.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map("0" -> ((150L, 0L)), "1" -> ((150L, 1L))))
+    assert(plan(q).contains("groupBy=[dt]"), plan(q))
+    assert(parsed(q) == 300L) // no sidecar, no footer: streamed fold
   }
 }

@@ -112,8 +112,13 @@ class LwesSpjSpec extends AnyFunSuite {
   test("key-grouped planning wraps every partition with its key") {
     val (a, _) = writeDirs()
     withSpj(on = true) {
+      // aggPushdown off: a pushed GROUP BY partition-col COUNT (A32)
+      // would answer this from metadata and re-plan around the keyed
+      // partitioning; this test pins the SPJ path that non-pushable
+      // aggregates (SUM, AVG) still ride
       val d = spark.read.format("lwes")
-        .schema("id long, etype string").option("eventName", "Sp::A").load(a)
+        .schema("id long, etype string").option("eventName", "Sp::A")
+        .option(graft.sources.lwes.LwesOptions.AggPushdown, "false").load(a)
         .groupBy(col("etype")).agg(count(lit(1)).as("n")).orderBy(col("etype"))
       d.collect()
       assert(!d.queryExecution.executedPlan.toString
