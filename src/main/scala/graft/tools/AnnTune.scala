@@ -22,19 +22,33 @@ object AnnTune {
       val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id")).cache()
       exact.count()
-      def recallOf(name: String, a: org.apache.spark.sql.DataFrame): Unit = {
+      def recallOf(name: String, a: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
         val approx = a.select(col("query_id").as("aq"), col("neighbor_id").as("an"))
         val r = exact.join(approx,
             col("query_id") === col("aq") && col("neighbor_id") === col("an"),
             "left_outer")
           .agg(count(col("an")).cast("double") / count(lit(1))).head.getDouble(0)
-        println(f"== $sf $name recall@10 = $r%.4f")
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"== $sf $name recall@10 = $r%.4f wall = $secs%.2f s")
       }
       for (np <- Seq(4, 6, 8)) recallOf(s"IVF np=$np it=2",
         Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10, nLists = 16, nprobe = np))
       for (it <- Seq(4)) recallOf(s"IVF np=6 it=$it",
         Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10, nLists = 16,
           nprobe = 6, kmeansIters = it))
+      // r19: finer partitioning at the SAME scan fraction — 64 lists
+      // probe 32 scans the same ~50% of the corpus as 16/8 but routes
+      // far better on this isotropic testdata (routing-bound simulation
+      // in docs/ANN_TUNE.md)
+      for ((nl, np) <- Seq((16, 10), (16, 12), (32, 16), (64, 24), (64, 32)))
+        recallOf(s"IVF nl=$nl np=$np it=2",
+          Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10,
+            nLists = nl, nprobe = np))
+      for ((nl, np, rf) <- Seq((64, 32, 3), (64, 32, 5), (32, 16, 5), (16, 8, 5)))
+        recallOf(s"IVFPQ nl=$nl np=$np refine=$rf",
+          Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 10,
+            nLists = nl, nprobe = np, refine = rf))
       recallOf("LSH 4x8", Similarity.lshTopK(emb, q, "vec_id", "embedding", 10))
       recallOf("LSH 4x12", Similarity.lshTopK(emb, q, "vec_id", "embedding", 10,
         nPlanes = 4, nTables = 12))
