@@ -228,6 +228,180 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     }
   }
 
+  // ------------------------------------------------- r19 fast array fill
+
+  /** Direct wire→child-vector array fill: decodes classic and nullable
+    * array tokens straight into the array column's child vector — no
+    * ByteBuffer, no boxed element array, no GenericArrayData, ONE
+    * capacity reservation per array instead of one amortized check per
+    * element. Covers the conversions a journal schema actually uses:
+    * every integral/bool wire element to Short/Int/Long/Float/Double
+    * columns (the same truncating-long / widening-double rules
+    * [[LwesOptions.toCatalyst]] applies, bit-for-bit), float/double
+    * wire elements likewise, bool→Boolean, and string elements with
+    * the record-charset handling of the scalar path (ASCII verbatim,
+    * otherwise decode+re-encode). Returns false when the (token,
+    * element type) pair is outside that set or the bytes are
+    * malformed — the caller falls back to the shared slow path
+    * (LwesCodec.readValue → toCatalyst), so parity and corruption
+    * semantics are unchanged by construction; a partial fast fill
+    * leaves only dead child space (offsets are written per row, and
+    * `addElementsAppended` only runs on success). */
+  private def putArrayFast(vec: OnHeapColumnVector, r: Int, t: Byte,
+      b: Array[Byte], off: Int, len: Int,
+      et: org.apache.spark.sql.types.DataType): Boolean = {
+    val nullable = LwesType.isNullableArray(t)
+    if (!nullable && !LwesType.isArray(t)) return false
+    val elem = if (nullable) LwesType.elementOfNullable(t) else LwesType.elementOf(t)
+    val end = off + len
+    var p = off
+    if (p + 2 > end) return false
+    @inline def be16u(q: Int): Int = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff)
+    @inline def be32(q: Int): Int =
+      ((b(q) & 0xff) << 24) | ((b(q + 1) & 0xff) << 16) |
+        ((b(q + 2) & 0xff) << 8) | (b(q + 3) & 0xff)
+    @inline def be64(q: Int): Long =
+      ((be32(q).toLong) << 32) | (be32(q + 4).toLong & 0xffffffffL)
+    val n = be16u(p); p += 2
+    var bits: Array[Byte] = null
+    var bitsOff = 0
+    if (nullable) {
+      if (p + 2 > end) return false
+      if (be16u(p) != n) return false // bitset mismatch: slow path names it
+      p += 2
+      val nbytes = (n + 7) / 8
+      if (p + nbytes > end) return false
+      bits = b; bitsOff = p; p += nbytes
+    }
+    @inline def present(j: Int): Boolean =
+      bits == null || (bits(bitsOff + (j >> 3)) & (1 << (j & 7))) != 0
+    // element decoders: integral/bool wire values as the long
+    // interpretation toCatalyst's asLong uses; float/double as double
+    val width = elem match {
+      case LwesType.ByteT | LwesType.Bool => 1
+      case LwesType.Int16 | LwesType.UInt16 => 2
+      case LwesType.Int32 | LwesType.UInt32 | LwesType.Float => 4
+      case LwesType.Int64 | LwesType.UInt64 | LwesType.Double => 8
+      case LwesType.Str => -1
+      case _ => return false // IpAddr etc: slow path
+    }
+    val longSourced = elem match {
+      case LwesType.ByteT | LwesType.Bool | LwesType.Int16 | LwesType.UInt16 |
+          LwesType.Int32 | LwesType.UInt32 | LwesType.Int64 | LwesType.UInt64 => true
+      case _ => false
+    }
+    @inline def longAt(q: Int): Long = elem match {
+      case LwesType.ByteT => b(q).toLong
+      case LwesType.Bool => if (b(q) != 0) 1L else 0L
+      case LwesType.Int16 => be16u(q).toShort.toLong
+      case LwesType.UInt16 => be16u(q).toLong
+      case LwesType.Int32 => be32(q).toLong
+      case LwesType.UInt32 => be32(q).toLong & 0xffffffffL
+      case _ => be64(q) // Int64 | UInt64 (raw bits — the LongType read)
+    }
+    @inline def dblAt(q: Int): Double = elem match {
+      case LwesType.Float => java.lang.Float.intBitsToFloat(be32(q)).toDouble
+      case _ => java.lang.Double.longBitsToDouble(be64(q))
+    }
+    val child = vec.arrayData()
+    val start = child.getElementsAppended
+    import org.apache.spark.sql.types._
+    et match {
+      case ShortType | IntegerType | LongType | FloatType | DoubleType =>
+        if (width < 0) return false // string wire → numeric col: slow path
+        // count present elements to bound-check the packed payload once
+        var np = n
+        if (nullable) {
+          np = 0; var j = 0
+          while (j < n) { if (present(j)) np += 1; j += 1 }
+        }
+        if (p + np.toLong * width > end) return false
+        child.reserve(start + n)
+        var j = 0
+        while (j < n) {
+          if (!present(j)) child.putNull(start + j)
+          else {
+            if (longSourced) {
+              val lv = longAt(p)
+              et match {
+                case ShortType => child.putShort(start + j, lv.toShort)
+                case IntegerType => child.putInt(start + j, lv.toInt)
+                case LongType => child.putLong(start + j, lv)
+                case FloatType => child.putFloat(start + j, lv.toDouble.toFloat)
+                case _ => child.putDouble(start + j, lv.toDouble)
+              }
+            } else {
+              val dv = dblAt(p)
+              et match {
+                // float/double wire → integral col mirrors asLong's
+                // .toLong truncation (exact: float widens to double
+                // losslessly before the truncating cast)
+                case ShortType => child.putShort(start + j, dv.toLong.toShort)
+                case IntegerType => child.putInt(start + j, dv.toLong.toInt)
+                case LongType => child.putLong(start + j, dv.toLong)
+                case FloatType => child.putFloat(start + j, dv.toFloat)
+                case _ => child.putDouble(start + j, dv)
+              }
+            }
+            p += width
+          }
+          j += 1
+        }
+        child.addElementsAppended(n)
+        vec.putArray(r, start, n)
+        true
+      case BooleanType =>
+        if (elem != LwesType.Bool) return false // numeric→bool is null-y: slow path
+        var np = n
+        if (nullable) {
+          np = 0; var j = 0
+          while (j < n) { if (present(j)) np += 1; j += 1 }
+        }
+        if (p + np > end) return false
+        child.reserve(start + n)
+        var j = 0
+        while (j < n) {
+          if (!present(j)) child.putNull(start + j)
+          else { child.putBoolean(start + j, b(p) != 0); p += 1 }
+          j += 1
+        }
+        child.addElementsAppended(n)
+        vec.putArray(r, start, n)
+        true
+      case StringType =>
+        if (elem != LwesType.Str) return false
+        child.reserve(start + n)
+        val cs = if (curLatin1)
+          java.nio.charset.StandardCharsets.ISO_8859_1 else UTF_8
+        var j = 0
+        while (j < n) {
+          if (!present(j)) child.putNull(start + j)
+          else {
+            if (p + 2 > end) return false
+            val slen = be16u(p); p += 2
+            if (p + slen > end) return false
+            // scalar putDecoded rule: all-ASCII bytes are identical in
+            // every supported charset — land verbatim; otherwise decode
+            // with the record charset and re-encode as UTF-8
+            var q = p
+            val se = p + slen
+            while (q < se && b(q) >= 0) q += 1
+            if (q == se) child.putByteArray(start + j, b, p, slen)
+            else {
+              val rb = new String(b, p, slen, cs).getBytes(UTF_8)
+              child.putByteArray(start + j, rb, 0, rb.length)
+            }
+            p = se
+          }
+          j += 1
+        }
+        child.addElementsAppended(n)
+        vec.putArray(r, start, n)
+        true
+      case _ => false // decimal elements etc: slow path
+    }
+  }
+
   /** Append one wire array's elements to an array column's child
     * vector; -1 = element type outside the vectorized set (the scan
     * builder routes those schemas to the row reader — this is the
@@ -408,12 +582,15 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
             }
           }
         }
-        case _: org.apache.spark.sql.types.ArrayType => new ColWriter {
-          // all array tokens (and mismatched scalars → null) route
-          // through the row path's decode + conversion, then the
-          // vectorized ArrayData fill above — parity by construction
+        case at: org.apache.spark.sql.types.ArrayType => new ColWriter {
+          // r19: common (token, element type) pairs decode straight
+          // into the child vector; everything else (and mismatched
+          // scalars → null) routes through the row path's decode +
+          // conversion, then the vectorized ArrayData fill above —
+          // parity by construction
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =
-            putModern(vec, r, t, b, off, len, f.dataType)
+            if (!putArrayFast(vec, r, t, b, off, len, at.elementType))
+              putModern(vec, r, t, b, off, len, f.dataType)
         }
         case _ => new ColWriter {
           def write(r: Int, t: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Unit =

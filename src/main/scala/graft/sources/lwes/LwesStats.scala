@@ -65,12 +65,133 @@ object LwesStats {
   def sidecarPath(journal: Path): Path =
     new Path(journal.getParent, s".${journal.getName}.stats")
 
-  /** Read + parse the sidecar of `journal`, requiring its recorded
-    * journal length to equal `journalLen` (stale sidecars — rewrites,
+  // ------------------------------------------- per-directory manifest
+
+  /** r19 (verdict task 4): one hidden manifest per directory holding
+    * every journal's sidecar text — at 10^5–10^6 journals the per-file
+    * sidecar GET wave (driver prefetch or task skims) collapses to one
+    * read per DIRECTORY. The manifest is an ACCELERATOR, never truth:
+    * per-file sidecars stay canonical, an entry's own `len=` pin marks
+    * it stale exactly like a sidecar's (journals are immutable — only
+    * a replaced/rewritten file can mismatch, and it falls back to its
+    * per-file sidecar), and a journal missing from the manifest falls
+    * back too. Built by [[writeManifest]] (merge-on-compact calls it;
+    * so can any maintenance job). */
+  val ManifestName = ".graft.stats.manifest"
+
+  def manifestPath(dir: Path): Path = new Path(dir, ManifestName)
+
+  /** Consolidate every `.<journal>.stats` sidecar in `dir` into the
+    * directory manifest (hidden temp + rename, so readers never see a
+    * partial file). Returns the number of entries written. */
+  def writeManifest(dir: Path,
+      conf: org.apache.hadoop.conf.Configuration): Int = {
+    val fs = dir.getFileSystem(conf)
+    val sidecars = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith(".") && n.endsWith(".stats")
+    }
+    val sb = new StringBuilder
+    var count = 0
+    sidecars.sortBy(_.getPath.getName).foreach { st =>
+      val n = st.getPath.getName
+      val journal = n.substring(1, n.length - ".stats".length)
+      val len = st.getLen
+      if (len <= (1 << 20)) {
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(st.getPath)
+        try in.readFully(0, bytes) finally in.close()
+        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        // one guard line per entry; sidecar text is line-oriented and
+        // never starts a line with '>' (magic/a=/e= only)
+        sb.append("> ").append(java.net.URLEncoder.encode(journal, "UTF-8"))
+          .append('\n').append(text)
+        if (!text.endsWith("\n")) sb.append('\n')
+        count += 1
+      }
+    }
+    val tmp = new Path(dir, s".$ManifestName.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, manifestPath(dir))) {
+      fs.delete(manifestPath(dir), false)
+      if (!fs.rename(tmp, manifestPath(dir)))
+        throw new java.io.IOException(s"cannot publish ${manifestPath(dir)}")
+    }
+    count
+  }
+
+  /** Per-JVM manifest cache: directory path → journal name → sidecar
+    * text. Loaded once per directory per process (a scan's lifetime —
+    * a manifest published mid-process is only a missed acceleration,
+    * never a correctness issue, because entries carry the same len pin
+    * sidecars do). Bounded: past 4096 directories the cache clears
+    * (pathological layouts fall back to per-file GETs, they don't OOM
+    * the executor). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private[sources] def clearManifestCacheForTesting(): Unit = manifestCache.clear()
+
+  private def manifestEntries(dir: Path,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, String] = {
+    if (manifestCache.size > 4096) manifestCache.clear()
+    manifestCache.computeIfAbsent(dir.toString, _ =>
+      try {
+        val p = manifestPath(dir)
+        val fs = p.getFileSystem(conf)
+        val len = fs.getFileStatus(p).getLen
+        if (len > (64L << 20)) Map.empty
+        else {
+          val bytes = new Array[Byte](len.toInt)
+          val in = fs.open(p)
+          try in.readFully(0, bytes) finally in.close()
+          parseManifest(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty })
+  }
+
+  private[sources] def parseManifest(text: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var name: String = null
+    val body = new StringBuilder
+    def flush(): Unit = if (name != null) {
+      out += name -> body.toString; body.clear()
+    }
+    text.linesIterator.foreach { ln =>
+      if (ln.startsWith("> ")) {
+        flush()
+        name = java.net.URLDecoder.decode(ln.substring(2), "UTF-8")
+      } else if (name != null) body.append(ln).append('\n')
+    }
+    flush()
+    out.result()
+  }
+
+  /** Read + parse the stats of `journal`, requiring the recorded
+    * journal length to equal `journalLen` (stale entries — rewrites,
     * torn copies, foreign files — read as absent). None never fails a
-    * scan: no sidecar just means no shortcut. */
+    * scan: no stats just means no shortcut.
+    *
+    * `manifestHint` = the listing saw a directory manifest beside this
+    * journal: consult it first (one read per directory per JVM instead
+    * of one GET per file); a missing or len-stale manifest entry falls
+    * back to the per-file sidecar GET — unless `sidecarHint` is false
+    * (the listing proved the file bare), which skips the doomed GET. */
   def read(journal: Path, conf: org.apache.hadoop.conf.Configuration,
-      journalLen: Long): Option[FileStats] =
+      journalLen: Long, manifestHint: Boolean = false,
+      sidecarHint: Boolean = true): Option[FileStats] = {
+    if (manifestHint) {
+      manifestEntries(journal.getParent, conf).get(journal.getName) match {
+        case Some(text) =>
+          val st = parse(text).filter(_.fileLen == journalLen)
+          if (st.isDefined) return st // stale/unparsable: per-file fallback
+        case None => // not in manifest: per-file fallback
+      }
+    }
+    if (!sidecarHint) return None
     try {
       val p = sidecarPath(journal)
       val fs = p.getFileSystem(conf)
@@ -82,6 +203,7 @@ object LwesStats {
       parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
         .filter(_.fileLen == journalLen)
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Value-class kinds: 'l' integral (long interpretation), 's' ASCII
     * string, 'x' present-but-unprunable (floats, arrays, mixed, ...). */

@@ -71,6 +71,46 @@ class LwesNullableArraySpec extends AnyFunSuite {
     }
   }
 
+  test("widened element reads: both paths agree on every integral/float combo") {
+    // r19 fast array fill regression net: wire element tokens read into
+    // WIDER (and narrower) column element types must produce identical
+    // values on the direct child-vector path and the row path — the
+    // conversions mirror toCatalyst's truncating-long / widening-double
+    // rules, so parity is the contract
+    val dir = Files.createTempDirectory("narr-widen").toString
+    val w = graft.lwes.JournalWriter.create(s"$dir/w.journal.gz")
+    (0 until 64).foreach { i =>
+      w.write(LwesEvent("W::E")
+        .setInt64("id", i.toLong)
+        .setInt16Array("s16", Array((i - 32).toShort, Short.MinValue, Short.MaxValue))
+        .setUInt16Array("u16", Array(i, 65535, 0))
+        .setInt32Array("i32", Array(i - 32, Int.MinValue, Int.MaxValue))
+        .setUInt32Array("u32", Array(i.toLong, 0xffffffffL, 0L))
+        .setUInt64Array("u64", Array(-1L, i.toLong)) // raw-bits long read
+        .setFloatArray("f32", Array(i / 3.0f, Float.MinPositiveValue))
+        .setDoubleArray("f64", Array(i / 7.0, -0.0)))
+    }
+    w.close()
+    // widenings (s16→long, u16→long, i32→long, f32→double), identity
+    // reads, and a narrowing (i32→int is identity; s16→int widens)
+    val schema = "id long, s16 array<long>, u16 array<long>, " +
+      "i32 array<long>, u32 array<long>, u64 array<long>, " +
+      "f32 array<double>, f64 array<double>"
+    val both = Seq("true", "false").map { vec =>
+      spark.read.format("lwes").schema(schema)
+        .option("vectorized", vec).option("eventName", "W::E").load(dir)
+        .orderBy("id").collect().map(_.toString).toSeq
+    }
+    assert(both(0) == both(1))
+    assert(both(0).length == 64)
+    // spot-check raw-bits uint64 and exact widen
+    val r0 = spark.read.format("lwes").schema(schema)
+      .option("eventName", "W::E").load(dir)
+      .orderBy("id").head()
+    assert(r0.getSeq[Long](5).head == -1L)
+    assert(r0.getSeq[Long](1) == Seq(-32L, Short.MinValue.toLong, Short.MaxValue.toLong))
+  }
+
   test("emitter-shaped journal: raw nullable tokens read, infer, and prune") {
     val dir = Files.createTempDirectory("narr-raw").toString
     val w = graft.lwes.JournalWriter.create(s"$dir/j.journal.gz")
