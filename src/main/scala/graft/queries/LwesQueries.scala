@@ -611,6 +611,63 @@ object LwesQueries {
         |FROM orders
         |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin)),
 
+    // A33 (r19): per-directory stats MANIFEST. Same disjoint-quartile
+    // corpus as lwes_stats_prune, but the per-file sidecars are folded
+    // into ONE hidden directory manifest and then DELETED — pruning
+    // and answers must survive on the manifest alone (the 10^6-file
+    // path: one read per directory instead of one GET per journal;
+    // tools/ListingScale measured it at 1M files). The in-gate require
+    // pins the plan-time prune through the manifest.
+    "lwes_stats_manifest" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"statsmani|$d") { dir =>
+          val orders = t(s, d, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+          (0L until 4L).foreach { q =>
+            val lo = if (q == 0) -1L else mx * q / 4
+            orders.filter(col("o_orderkey") > lit(lo) &&
+                col("o_orderkey") <= lit(mx * (q + 1) / 4))
+              .repartition(1)
+              .write.format("lwes").option("eventName", "Order::Mani")
+              .mode("append").save(dir)
+          }
+          val hconf = s.sessionState.newHadoopConf()
+          val n = graft.sources.lwes.LwesStats.writeManifest(
+            new org.apache.hadoop.fs.Path(dir), hconf)
+          require(n >= 4, s"manifest consolidated only $n sidecars")
+          new java.io.File(dir).listFiles()
+            .filter(f => f.getName.startsWith(".") &&
+              (f.getName.endsWith(".stats") || f.getName.endsWith(".stats.crc")))
+            .foreach(f => require(f.delete(), s"cannot delete $f"))
+        }
+        val mx = t(s, d, "orders")
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        val df = s.read.format("lwes")
+          .schema("okey long, total double, priority string")
+          .option("eventName", "Order::Mani")
+          .option("mapping",
+            "okey:o_orderkey, total:o_totalprice, priority:o_orderpriority")
+          .load(dir)
+          .filter(col("okey") <= lit(mx / 4))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("total")), 2).as("total_price"),
+            max(col("priority")).as("max_pri"))
+        val rows = df.collect()
+        val pruned = graft.sources.lwes.LwesScan
+          .scansIn(df.queryExecution.executedPlan)
+          .map(_.statsPrunedFileCount)
+        require(pruned.exists(_ >= 3),
+          s"manifest-backed zone maps pruned no files (statsPruned per " +
+            s"scan: ${pruned.mkString(",")}; expected >= 3 of 4; per-file " +
+            "sidecars are deleted, so a prune here PROVES the manifest path)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+        |  max(o_orderpriority) AS max_pri
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin)),
+
     // A5: attribute→column renaming via the mapping option.
     "lwes_col_mapping" -> ((
       (s: SparkSession, d: String) => {

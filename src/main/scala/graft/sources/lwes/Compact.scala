@@ -39,7 +39,7 @@ import org.apache.spark.sql.SparkSession
   * re-ingest all compacted rows. Quiesce tailing readers (or point
   * them elsewhere) before compacting; batch readers are unaffected.
   */
-object Compact {
+object Compact extends org.apache.spark.internal.Logging {
 
   private val NameCol = "__compact_event_type"
   private val EpochFileName = """part-(q[0-9a-fA-F]+-e\d+)-\d+\.[^/]+""".r
@@ -204,6 +204,15 @@ object Compact {
       fs.delete(LwesStats.sidecarPath(s.getPath), false)
     }
     fs.delete(tmp, true)
+    // merge-on-compact (r19): fold the directory's surviving sidecars
+    // into the per-directory stats manifest, so the next scan's stats
+    // wave is ONE read instead of one GET per journal. Best-effort —
+    // a failed manifest write leaves the per-file sidecars canonical.
+    try LwesStats.writeManifest(p, conf)
+    catch { case scala.util.control.NonFatal(e) =>
+      logWarning(s"stats manifest write for $dir failed (${e.getMessage}); " +
+        "per-file sidecars remain canonical")
+    }
     // "after" counts every visible top-level journal (the fresh
     // compact-* files post-date the stability horizon by construction)
     (before.length, fs.listStatus(p).count(s => s.isFile &&

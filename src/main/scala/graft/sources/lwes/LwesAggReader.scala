@@ -216,9 +216,11 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       case LwesAggFunc.MinCol(_, true) | LwesAggFunc.MaxCol(_, true) => false
       case _ => true
     }
-    if (needStats && !slice.hasStats) return None // listing proved bare
+    if (needStats && !slice.hasStats && !slice.hasManifest)
+      return None // listing proved bare
     val st = if (needStats) {
-      val s = LwesStats.read(new Path(slice.path), conf, slice.length)
+      val s = LwesStats.read(new Path(slice.path), conf, slice.length,
+        manifestHint = slice.hasManifest, sidecarHint = slice.hasStats)
       if (s.isEmpty) return None // unreadable/stale: stream instead
       s
     } else None
@@ -243,9 +245,11 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
     * name counts are complete, and they reconcile with the record
     * total (belt-and-braces against a hand-edited sidecar). */
   private def tryNameSidecar(slice: LwesInputPartition): Option[Unit] = {
-    if (slice.range.nonEmpty || !slice.hasStats) return None
+    if (slice.range.nonEmpty || (!slice.hasStats && !slice.hasManifest))
+      return None
     if (!funcs.forall(_ == LwesAggFunc.CountStar)) return None
-    LwesStats.read(new Path(slice.path), conf, slice.length)
+    LwesStats.read(new Path(slice.path), conf, slice.length,
+        manifestHint = slice.hasManifest, sidecarHint = slice.hasStats)
       .filter(st => st.namesComplete && st.names.values.sum == st.records)
       .map { st =>
         st.names.foreach { case (nm, cnt) =>

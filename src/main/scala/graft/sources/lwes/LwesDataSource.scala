@@ -177,7 +177,10 @@ object LwesDataSource {
               if (s.isDirectory) walk(s.getPath)
               else out += s
             case _ =>
-              if (sidecarsSeen != null && s.isFile && n.endsWith(".stats"))
+              // one set for both stats-metadata kinds: per-file
+              // sidecars and the r19 per-directory manifest
+              if (sidecarsSeen != null && s.isFile &&
+                  (n.endsWith(".stats") || n == LwesStats.ManifestName))
                 sidecarsSeen += s.getPath.toString
           }
         }
@@ -191,11 +194,15 @@ object LwesDataSource {
           if (isLocal(fs)) explicit += fs.getFileStatus(p)
           else entries(fs, p).foreach(explicit += _)
           // explicit roots skip the directory walk, so probe their
-          // sidecar here — one exists() per explicit root keeps
-          // absence-from-set meaningful for every listed file
+          // sidecar (and directory manifest) here — one exists() per
+          // explicit root keeps absence-from-set meaningful for every
+          // listed file
           if (sidecarsSeen != null) {
-            val sc = LwesStats.sidecarPath(fs.getFileStatus(p).getPath)
+            val fp = fs.getFileStatus(p).getPath
+            val sc = LwesStats.sidecarPath(fp)
             if (fs.exists(sc)) sidecarsSeen += sc.toString
+            val mf = LwesStats.manifestPath(fp.getParent)
+            if (fs.exists(mf)) sidecarsSeen += mf.toString
           }
         }
       } else walk(p)
@@ -968,7 +975,11 @@ final case class LwesInputPartition(path: String, length: Long,
     // and in executor skims. Defaults TRUE (= unknown; one GET decides)
     // for paths that never flow through the batch listing — streaming
     // admission and tools construct partitions directly
-    hasStats: Boolean = true)
+    hasStats: Boolean = true,
+    // the batch listing saw a per-directory stats manifest in this
+    // file's directory (r19): stats reads consult it first — one read
+    // per directory per JVM instead of one sidecar GET per file
+    hasManifest: Boolean = false)
     extends InputPartition {
   /** Block hosts from the listing (HDFS/YARN locality; empty on
     * local/object stores, where Spark schedules anywhere). */
@@ -1273,7 +1284,9 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           // proved bare never costs a sidecar GET, on the driver or in
           // a task skim
           hasStats = sidecarsSeen.contains(
-            LwesStats.sidecarPath(f.getPath).toString)))
+            LwesStats.sidecarPath(f.getPath).toString),
+          hasManifest = sidecarsSeen.contains(
+            LwesStats.manifestPath(f.getPath.getParent).toString)))
       }.toArray
       val partSlices = allSlices.filter { case (_, p) =>
         (partitionFilters ++ runtimeFilters)
@@ -1295,19 +1308,27 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // shrink the candidate set back under the cap, and a sticky flag
       // would make every task re-issue sidecar GETs the driver already
       // answered
-      // only files the listing saw a sidecar BESIDE can prune — the
-      // wave, the cap, and the GETs all scope to them, so a bare
-      // directory (foreign emitter, writeStats=false) pays nothing
-      lazy val statsCandidates = partSlices.filter(_._2.hasStats)
+      // only files the listing saw a sidecar BESIDE (or a directory
+      // manifest covering them) can prune — the wave, the cap, and the
+      // GETs all scope to them, so a bare directory (foreign emitter,
+      // writeStats=false) pays nothing
+      lazy val statsCandidates =
+        partSlices.filter(p => p._2.hasStats || p._2.hasManifest)
+      // the placement cap bounds the DRIVER-side GET wave, so it counts
+      // only candidates whose stats need a per-file GET — a
+      // manifest-covered candidate costs one read per DIRECTORY (r19),
+      // so a million manifest-covered journals still prune at plan time
+      lazy val uncoveredCandidates =
+        statsCandidates.count(p => !p._2.hasManifest)
       val fileSlices = if (!statsEligible || statsCandidates.isEmpty) partSlices
-      else if (statsCandidates.length > statsPruneMaxFiles) {
+      else if (uncoveredCandidates > statsPruneMaxFiles) {
         // past the cap the driver-side GET wave would dominate planning
         // (10^5 tiny reads through one node): defer to the executors,
         // where each task skims its own files' sidecars before opening
         // them — same files skipped, the wave distributed
         execStatsPrune = true
         logInfo(s"zone-map pruning deferred to executors: " +
-          s"${statsCandidates.length} sidecar-carrying candidates exceed " +
+          s"$uncoveredCandidates manifest-less sidecar candidates exceed " +
           s"${LwesOptions.StatsPruneMaxFiles}=$statsPruneMaxFiles")
         partSlices
       } else {
@@ -1315,7 +1336,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
         val typeOf = (c: String) =>
           config.schema.fields.find(_.name == c).map(_.dataType)
         partSlices.filter { case (f, s) =>
-          !s.hasStats || (statsCache.getOrDefault(statsKey(f, s), None) match {
+          (!s.hasStats && !s.hasManifest) ||
+          (statsCache.getOrDefault(statsKey(f, s), None) match {
             case Some(st) =>
               !LwesStats.canSkip(st, pruneFilters, config.attrOf, typeOf)
             case None => true
@@ -1587,7 +1609,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
 
   private def readSidecarOf(s: LwesInputPartition, conf: Configuration)
       : Option[LwesStats.FileStats] =
-    LwesStats.read(new Path(s.path), conf, s.length)
+    LwesStats.read(new Path(s.path), conf, s.length,
+      manifestHint = s.hasManifest, sidecarHint = s.hasStats)
 
   /** Bounded-pool sidecar prefetch (the footer-prefetch pattern): the
     * per-file reads are latency-bound tail requests, so 16-way overlap
@@ -2311,8 +2334,9 @@ class LwesPartitionReaderFactory(config: LwesReadConfig,
     val typeOf = (c: String) =>
       cfg.schema.fields.find(_.name == c).map(_.dataType)
     val kept = files.filter { s =>
-      s.range.nonEmpty || !s.hasStats ||
-        !LwesStats.read(new org.apache.hadoop.fs.Path(s.path), conf, s.length)
+      s.range.nonEmpty || (!s.hasStats && !s.hasManifest) ||
+        !LwesStats.read(new org.apache.hadoop.fs.Path(s.path), conf, s.length,
+            manifestHint = s.hasManifest, sidecarHint = s.hasStats)
           .exists(st => LwesStats.canSkip(
             st, cfg.attrFilters, cfg.attrOf, typeOf))
     }

@@ -418,6 +418,47 @@ class MiscSpec extends AnyFunSuite {
       Seq(1L, 2L, 11L, 12L, 21L, 22L))
   }
 
+  test("giant unsplittable gzip: Compact restores parallelism, preserves structure") {
+    // the giant-journal remediation (r19, tools/GiantJournalBench has
+    // the measured numbers): ONE multi-event gzip journal in a
+    // partitioned layout is one task by format law; a Compact pass to
+    // `.zsj` multiplies tasks while preserving event types, per-event
+    // values, and the partition layout exactly
+    val dir = Files.createTempDirectory("lwes-giant-compact").toString
+    Seq("a", "b").foreach { dt =>
+      new java.io.File(s"$dir/dt=$dt").mkdirs()
+      val w = graft.lwes.JournalWriter.create(s"$dir/dt=$dt/big.journal.gz")
+      (0 until 60000).foreach { i =>
+        w.write(graft.lwes.LwesEvent(if (i % 3 == 0) "G::A" else "G::B")
+          .setInt64("id", i.toLong).setString("page", s"/p/${i % 7}"))
+      }
+      w.close()
+    }
+    // a tiny test corpus needs a tiny split target to show the slicing
+    // (gzip files ignore it — unsplittable by format law either way)
+    def readAll = spark.read.format("lwes")
+      .schema("id long, page string, ev string, dt string")
+      .option("eventNameColumn", "ev")
+      .option(graft.sources.lwes.LwesOptions.SplitTargetBytes, "65536")
+      .load(dir)
+    val beforeRows = readAll
+      .groupBy(col("dt"), col("ev")).agg(count(lit(1)).as("n"),
+        sum(col("id")).as("s"))
+      .orderBy(col("dt"), col("ev")).collect().map(_.toString).toSeq
+    assert(readAll.rdd.getNumPartitions == 2, "one task per gzip journal")
+    val (nb, na) = graft.sources.lwes.Compact.compactPartitioned(
+      spark, dir, targetFiles = 4, frameBytes = Some(64 << 10))
+    assert(nb == 2 && na >= 2, s"($nb, $na)")
+    val afterRows = readAll
+      .groupBy(col("dt"), col("ev")).agg(count(lit(1)).as("n"),
+        sum(col("id")).as("s"))
+      .orderBy(col("dt"), col("ev")).collect().map(_.toString).toSeq
+    assert(afterRows == beforeRows,
+      "compaction changed per-partition per-event-type content")
+    assert(readAll.rdd.getNumPartitions > 2,
+      "compacted .zsj should scan as more tasks than the gzip originals")
+  }
+
   test("compaction skips torn journals and never deletes them") {
     // compaction deletes its inputs, so a torn file must be excluded
     // from the rewrite AND the delete — rewriting its salvageable

@@ -195,9 +195,93 @@ class LwesStatsPruneSpec extends AnyFunSuite {
       .exists(f => f.getName.startsWith(".compact-") &&
         f.getName.endsWith(".stats")),
       "compacted journal should keep a zone-map sidecar")
+    // r19 merge-on-compact: the directory manifest exists and covers
+    // the compacted journal
+    assert(new java.io.File(dir, LwesStats.ManifestName).isFile,
+      "compaction should publish the per-directory stats manifest")
     val q = rd(dir).filter(col("id") < 100)
     assert(q.collect().length == 100)
     parity(dir, _.filter(col("id") < 100))
+  }
+
+  test("manifest-only directory: pruning and aggregates survive sidecar loss") {
+    // the r19 manifest is primary: consolidate, then DELETE every
+    // per-file sidecar — plan-time pruning and the A26 sidecar-answered
+    // aggregate must keep working through the manifest alone (one read
+    // per directory instead of a GET per file)
+    val dir = tmp()
+    writeRanged(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val n = LwesStats.writeManifest(new org.apache.hadoop.fs.Path(dir), hconf)
+    assert(n == 3, s"manifest entries: $n")
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".") && f.getName.endsWith(".stats"))
+      .foreach(f => assert(f.delete()))
+    LwesStats.clearManifestCacheForTesting()
+    // plan-time prune through the manifest
+    assert(prunedOf(rd(dir).filter(col("id") < 100)) == 2L)
+    parity(dir, _.filter(col("id") < 100))
+    // pushed aggregate answered from manifest entries, zero parses
+    // (no eventName option: a name filter gates record admission and
+    // correctly forces the streamed fold — A26 contract)
+    val agg = spark.read.format("lwes")
+      .schema("id long, page string, cost double").load(dir)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+      max(col("id")).as("mx"))
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 300L && r.getLong(1) == 0L && r.getLong(2) == 299L)
+    val plan = agg.queryExecution.executedPlan
+    assert(LwesScan.scanMetricSum(plan, "eventsParsed") == 0L,
+      "manifest-backed aggregate should parse nothing")
+    assert(LwesScan.scanMetricSum(plan, "filesAggFromStats") == 3L)
+  }
+
+  test("stale manifest entry falls back to the per-file sidecar") {
+    val dir = tmp()
+    writeRanged(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    LwesStats.writeManifest(new org.apache.hadoop.fs.Path(dir), hconf)
+    // REPLACE one journal with different content (new length + fresh
+    // sidecar) without rebuilding the manifest: its manifest entry is
+    // now length-stale and must be ignored in favor of the sidecar.
+    // Pick the [200,300) file so the id<100 expectations below stay
+    // deterministic regardless of listing order.
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .find { f =>
+        LwesStats.read(new org.apache.hadoop.fs.Path(f.getPath), hconf,
+            f.length())
+          .exists(st => st.attrs.get("id").exists(_.minL >= 200))
+      }.get
+    import spark.implicits._
+    val sub = java.nio.file.Files.createTempDirectory("re").toString
+    (1000 until 1150).map(i => (i.toLong, s"q/${i % 10}", i * 1.5))
+      .toDF("id", "page", "cost").repartition(1)
+      .write.format("lwes").option("eventName", "St::E")
+      .mode("append").save(sub)
+    val fresh = new java.io.File(sub).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).head
+    assert(victim.delete())
+    new java.io.File(dir, s".${victim.getName}.stats").delete()
+    // RawLocalFileSystem keeps .crc twins; stale ones would fail reads
+    // of the replaced content with a checksum error
+    new java.io.File(dir, s".${victim.getName}.crc").delete()
+    new java.io.File(dir, s"..${victim.getName}.stats.crc").delete()
+    java.nio.file.Files.copy(fresh.toPath,
+      new java.io.File(dir, victim.getName).toPath)
+    java.nio.file.Files.copy(
+      new java.io.File(sub, s".${fresh.getName}.stats").toPath,
+      new java.io.File(dir, s".${victim.getName}.stats").toPath)
+    LwesStats.clearManifestCacheForTesting()
+    // the replaced file's range is [1000,1150): an id<100 scan must
+    // still prune it — via its FRESH per-file sidecar, not the stale
+    // manifest entry (which, were it trusted, describes the old range
+    // and would KEEP the file for ids < 100)
+    val got = rd(dir).filter(col("id") < 100).collect()
+    assert(got.length == 100)
+    assert(prunedOf(rd(dir).filter(col("id") < 100)) == 2L)
+    // and a full count must see the new content exactly
+    assert(rd(dir).count() == 350L)
   }
 
   test("the listing proves sidecar absence: bare dirs never pay a GET") {
