@@ -523,6 +523,53 @@ object LwesQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin)),
 
+    // A26/A32 (r19): integral SUM pushdown answered from the sidecar's
+    // exact sm= sums — `GROUP BY dt, SUM(x)` (the revenue-per-day
+    // dashboard shape) with zero events parsed. The sparse column pins
+    // null-skipping exactness; sums are overflow-guarded on the write
+    // side and accumulate with Spark's exact ANSI semantics on merge.
+    "lwes_agg_sum" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"agggrp|$d") { dir =>
+          t(s, d, "orders")
+            .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+            .select(col("o_orderkey"),
+              when(col("o_orderkey") % 7 =!= 0, col("o_custkey"))
+                .as("o_custkey"),
+              col("prio"))
+            .write.format("lwes").option("eventName", "Order::Gp")
+            .option("compression", "gzip")
+            .option("partitionBy", "prio").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, ckey long, prio string")
+          .option("mapping", "okey:o_orderkey, ckey:o_custkey")
+          .load(dir)
+          .groupBy(col("prio"))
+          .agg(sum(col("okey")).as("sum_key"), sum(col("ckey")).as("sum_cust"),
+            count(lit(1)).as("n"))
+          .orderBy(col("prio"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("SumCol") &&
+            plan.toString.contains("groupBy=[prio]"),
+          s"grouped SUM was not pushed into the scan:\n$plan")
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        val nFromStats = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "filesAggFromStats")
+        require(nParsed == 0 && nFromStats >= 5,
+          s"sidecar-answered SUM parsed $nParsed events " +
+            s"(filesAggFromStats=$nFromStats)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT substr(o_orderpriority, 1, 1) AS prio,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END) AS BIGINT)
+        |    AS sum_cust,
+        |  count(*) AS n
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin)),
+
     // A32 (r19): `GROUP BY <event-name column>` + COUNT(*) answered
     // from the sidecar's per-name record counts — "events per type"
     // over a multi-event journal store with zero opens. The r19 sidecar

@@ -120,10 +120,23 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   private val metadataGroupable = !groupIsName.exists(identity)
 
   /** Per-group accumulators: counts as Long, min/max as the running
-    * value (null = no non-null input yet). */
+    * value (null = no non-null input yet), sums as overflow-checked
+    * longs (sumSeen distinguishes 0 from NULL-over-nothing). */
   private final class Acc {
     val counts = new Array[Long](n)
     val values = new Array[Any](n)
+    val sums = new Array[Long](n)
+    val sumSeen = new Array[Boolean](n)
+  }
+
+  /** SUM accumulation with Spark's exact overflow semantics: ANSI
+    * throws (the task fails loudly, as the unpushed Aggregate would),
+    * non-ANSI wraps. Sidecar sums are overflow-guarded exact, so only
+    * the COMBINATION here can overflow — same as merging partials. */
+  private def addSum(acc: Acc, i: Int, v: Long): Unit = {
+    acc.sums(i) = if (spec.ansi) Math.addExact(acc.sums(i), v)
+                  else acc.sums(i) + v
+    acc.sumSeen(i) = true
   }
   // group key -> accumulators; insertion-ordered for deterministic
   // emit. Key elements are UTF8String or null (group cols are all
@@ -195,6 +208,9 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
         case (LwesStats.BoundAnswer(Some(v)), _: LwesAggFunc.MaxCol) =>
           mergeMax(acc, i, boxBound(colType(i), v))
         case (LwesStats.BoundAnswer(None), _) => () // all-NULL file/frame
+        case (LwesStats.SumAnswer(Some(v)), _: LwesAggFunc.SumCol) =>
+          addSum(acc, i, v)
+        case (LwesStats.SumAnswer(None), _) => () // all-NULL file/frame
         case (a, f) => throw new IllegalStateException(s"$a for $f")
       }
       i += 1
@@ -413,6 +429,10 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
             case LwesAggFunc.CountStar => acc.counts(i) += 1
             case LwesAggFunc.CountCol(_) =>
               if (!rec.isNullAt(colIdx(i))) acc.counts(i) += 1
+            case _: LwesAggFunc.SumCol =>
+              if (!rec.isNullAt(colIdx(i)))
+                addSum(acc, i, rec.get(colIdx(i), colType(i))
+                  .asInstanceOf[Number].longValue())
             case _: LwesAggFunc.MinCol =>
               mergeMin(acc, i, if (rec.isNullAt(colIdx(i))) null
                 else rec.get(colIdx(i), colType(i)))
@@ -449,6 +469,8 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
           funcs(j) match {
             case LwesAggFunc.CountStar | _: LwesAggFunc.CountCol =>
               out.update(i, acc.counts(j))
+            case _: LwesAggFunc.SumCol =>
+              out.update(i, if (acc.sumSeen(j)) acc.sums(j) else null)
             case _ => out.update(i, acc.values(j))
           }
           i += 1; j += 1

@@ -649,7 +649,13 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     def receiptLong(c: String): Boolean =
       receiptCols.contains(c) && fieldByName(c).dataType == LongType
     import org.apache.spark.sql.connector.expressions.aggregate.{
-      Count, CountStar, Max, Min}
+      Count, CountStar, Max, Min, Sum}
+    // SUM pushes only for integral columns (exact long arithmetic;
+    // Spark's sum of short/int/long is LongType) — float/double/decimal
+    // sums are accumulation-order-dependent, so they stay unpushed
+    def integralSum(c: String): Boolean = fieldByName.get(c).exists(f =>
+      f.dataType == ShortType || f.dataType == IntegerType ||
+        f.dataType == LongType)
     val funcs: Array[Option[(LwesAggFunc, StructField)]] =
       agg.aggregateExpressions.map {
         case _: CountStar => Some((LwesAggFunc.CountStar,
@@ -658,6 +664,10 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
           colOf(c.column).filter(fieldByName.contains).map(n =>
             (LwesAggFunc.CountCol(n),
               StructField(s"count_$n", LongType, nullable = false)))
+        case s: Sum if !s.isDistinct =>
+          colOf(s.column).filter(integralSum).map(n =>
+            (LwesAggFunc.SumCol(n),
+              StructField(s"sum_$n", LongType, nullable = true)))
         case m: Min =>
           colOf(m.column).filter(n => fieldByName.contains(n) &&
             orderable(fieldByName(n).dataType)).map(n =>
@@ -691,7 +701,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       StructType(groupFields ++ picked.map(_._2)),
       footerOnly = picked.forall(_._1.footerable) &&
         gcols.forall(samplePartitionCols.contains),
-      groupCols = gcols.toSeq))
+      groupCols = gcols.toSeq,
+      ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
     true
   }
 

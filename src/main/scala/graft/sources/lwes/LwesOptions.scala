@@ -79,6 +79,16 @@ object LwesAggFunc {
     def col: Option[String] = Some(c)
     def footerable: Boolean = fromReceipt
   }
+  /** SUM(col) over an INTEGRAL column (r19): partial result is the
+    * exact long sum (Spark's sum of short/int/long is LongType).
+    * Never footer-answerable; the A27 sidecar's `sm=` field answers it
+    * per file under the MIN/MAX type-fit rule. Float/double/decimal
+    * sums are declined at push time — their value depends on
+    * accumulation order, which a metadata answer cannot reproduce. */
+  final case class SumCol(c: String) extends LwesAggFunc {
+    def col: Option[String] = Some(c)
+    val footerable = false
+  }
 }
 
 /** Aggregation pushed into an [[LwesScan]] (A26): the scan emits ONE
@@ -108,7 +118,12 @@ final case class LwesAggSpec(funcs: Seq[LwesAggFunc], schema: StructType,
     // Partition-col-only groupings keep every metadata fast path (the
     // file's key is a constant); a name-col grouping answers COUNT(*)
     // from the sidecar's per-name counts and streams everything else.
-    groupCols: Seq[String] = Nil) extends Serializable
+    groupCols: Seq[String] = Nil,
+    // session ANSI flag captured at plan time (r19): a pushed SUM's
+    // accumulator overflows EXACTLY like Spark's would — throwing under
+    // ANSI, wrapping without — so pushdown cannot change overflow
+    // semantics (sidecar sums are always overflow-guarded exact)
+    ansi: Boolean = true) extends Serializable
 
 /** Pushed `ORDER BY <receipt col> [DESC] LIMIT k` (A28). PARTIAL push —
   * Spark always keeps the global Sort+Limit, so the scan's only

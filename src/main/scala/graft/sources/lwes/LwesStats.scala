@@ -206,10 +206,14 @@ object LwesStats {
   }
 
   /** Value-class kinds: 'l' integral (long interpretation), 's' ASCII
-    * string, 'x' present-but-unprunable (floats, arrays, mixed, ...). */
+    * string, 'x' present-but-unprunable (floats, arrays, mixed, ...).
+    * `sum` (r19): the exact long sum of an integral attribute's values
+    * — absent when the tracker's overflow guard tripped or the sidecar
+    * predates r19, in which case pushed SUMs stream. */
   final case class AttrStats(kind: Char, count: Long,
       minL: Long, maxL: Long,
-      minS: Array[Byte], maxS: Array[Byte], maxSInf: Boolean, ascii: Boolean)
+      minS: Array[Byte], maxS: Array[Byte], maxSInf: Boolean, ascii: Boolean,
+      sum: Option[Long] = None)
 
   /** `names` = per-event-name record counts (r19, A32: lets
     * `GROUP BY <event-name column>` + COUNT(*) answer from the sidecar
@@ -232,6 +236,8 @@ object LwesStats {
     var maxS: Array[Byte] = null
     var maxSInf = false
     var ascii = true
+    var sum = 0L
+    var sumValid = true // overflow guard: a wrapped sum is never written
   }
 
   /** Write-side accumulator; one per open journal. Not thread-safe
@@ -267,6 +273,9 @@ object LwesStats {
             val v = longOf(a.token, a.value)
             if (v < s.minL) s.minL = v
             if (v > s.maxL) s.maxL = v
+            if (s.sumValid)
+              try s.sum = Math.addExact(s.sum, v)
+              catch { case _: ArithmeticException => s.sumValid = false }
           } else if (s.kind == 's') {
             val str = a.value.asInstanceOf[String]
             if (s.ascii) {
@@ -300,7 +309,8 @@ object LwesStats {
       m.foreach { case (name, s) =>
         val enc = java.net.URLEncoder.encode(name, "UTF-8")
         s.kind match {
-          case 'l' => sb.append(s"a=$enc k=l n=${s.count} mn=${s.minL} mx=${s.maxL}\n")
+          case 'l' => sb.append(s"a=$enc k=l n=${s.count} mn=${s.minL} mx=${s.maxL}" +
+            (if (s.sumValid) s" sm=${s.sum}" else "") + "\n")
           case 's' =>
             val mn = if (s.minS == null) "" else b64.encodeToString(s.minS)
             val mx = if (s.maxS == null) "" else b64.encodeToString(s.maxS)
@@ -362,7 +372,8 @@ object LwesStats {
       val name = java.net.URLDecoder.decode(f("a"), "UTF-8")
       val st = f("k") match {
         case "l" => AttrStats('l', f("n").toLong, f("mn").toLong,
-          f("mx").toLong, null, null, maxSInf = false, ascii = false)
+          f("mx").toLong, null, null, maxSInf = false, ascii = false,
+          sum = f.get("sm").map(_.toLong))
         case "s" => AttrStats('s', f("n").toLong, 0L, 0L,
           if (f("smn").isEmpty) null else b64.decode(f("smn")),
           if (f("smx").isEmpty) null else b64.decode(f("smx")),
@@ -507,6 +518,9 @@ object LwesStats {
   /** MIN/MAX contribution as the reader's long; None = every record
     * reads NULL there (min/max ignore the file). */
   final case class BoundAnswer(v: Option[Long]) extends AggAnswer
+  /** SUM contribution (r19): the file's exact long sum; None = every
+    * record reads NULL there (SUM over nothing is NULL). */
+  final case class SumAnswer(v: Option[Long]) extends AggAnswer
 
   /** Exact answers for a pushed aggregation from one file's metadata —
     * the A26×A27 synergy: what the `.zsj` footer fast path does for
@@ -585,6 +599,17 @@ object LwesStats {
         attrEntry(c) match {
           case Some(Left(e)) if integralFits(e, c) => Some(BoundAnswer(Some(e.maxL)))
           case Some(Right(())) => Some(BoundAnswer(None))
+          case _ => None
+        }
+      // SUM (r19): exact under the same type-fit rule MIN/MAX use —
+      // a narrowing read would truncate per VALUE, and a sum of
+      // truncations is not a truncated sum. Tracked attrs without an
+      // `sm=` (pre-r19 sidecars, overflow-guarded trackers) stream.
+      case LwesAggFunc.SumCol(c) if attrAnswerable(c) =>
+        attrEntry(c) match {
+          case Some(Left(e)) if integralFits(e, c) && e.sum.isDefined =>
+            Some(SumAnswer(e.sum))
+          case Some(Right(())) => Some(SumAnswer(None))
           case _ => None
         }
       case _ => None

@@ -202,12 +202,18 @@ class LwesAggPushdownSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.isNullAt(1))
   }
 
-  test("SUM and grouped aggregates are declined, results stay correct") {
+  test("non-pushable aggregates are declined, results stay correct") {
     val dir = tmp()
     writeZsj(dir, 300)
-    val s = rd(dir).agg(sum(col("id")).as("s"))
+    // r19: integral SUM pushes (see the SUM rows); double SUM, AVG and
+    // DISTINCT stay declined — order-dependent or non-decomposable
+    val s = rd(dir).agg(sum(col("id").cast("double")).as("s"),
+      avg(col("score")).as("a"))
     assert(!plan(s).contains("agg=["), plan(s))
-    assert(s.collect()(0).getLong(0) == (0 until 300).map(_.toLong).sum)
+    assert(s.collect()(0).getDouble(0) == (0 until 300).map(_.toDouble).sum)
+    val cd = rd(dir).agg(countDistinct(col("page")).as("n"))
+    assert(!plan(cd).contains("agg=["), plan(cd))
+    assert(cd.collect()(0).getLong(0) == 10L)
     // page is a data attribute, not per-file-constant: grouping on it
     // must decline the push and stay correct through the ordinary scan
     val g = rd(dir).groupBy(col("page")).agg(count(lit(1)).as("n"))
@@ -298,6 +304,81 @@ class LwesAggPushdownSpec extends AnyFunSuite {
       "Ad::View" -> ((1L, 199L, 133L))))
     assert(plan(q).contains("groupBy=[ev]"), plan(q))
     assert(parsed(q) == 200L) // MIN per name is not in any metadata: streams
+  }
+
+  test("SUM over integral columns pushes and answers from sidecars, zero parses") {
+    // r19: SUM(int/long) joins COUNT/MIN/MAX on the metadata path —
+    // the sidecar's sm= field carries the exact per-file sum
+    val dir = tmp()
+    spark.range(400).select(col("id"),
+        when(col("id") % 5 =!= 0, (col("id") % 100).cast("int")).as("score"))
+      .write.format("lwes").option("eventName", "S::E")
+      .option("compression", "gzip").mode("append").save(dir)
+    val q = spark.read.format("lwes").schema("id long, score int").load(dir)
+      .agg(sum(col("id")).as("s"), sum(col("score")).as("ss"),
+        count(lit(1)).as("n"))
+    val r = q.collect()(0)
+    val want = spark.read.format("lwes").schema("id long, score int")
+      .option(graft.sources.lwes.LwesOptions.AggPushdown, "false").load(dir)
+      .agg(sum(col("id")), sum(col("score")), count(lit(1))).collect()(0)
+    assert(r.getLong(0) == want.getLong(0) && r.getLong(1) == want.getLong(1)
+      && r.getLong(2) == want.getLong(2))
+    assert(plan(q).contains("SumCol"), plan(q))
+    assert(parsed(q) == 0L, "sidecar-answered SUM must not parse events")
+    // double sums must NOT push (accumulation-order-dependent)
+    val d = spark.read.format("lwes").schema("id long, score int").load(dir)
+      .agg(sum(col("id").cast("double")).as("sd"))
+    assert(!plan(d).contains("agg=["), plan(d))
+  }
+
+  test("grouped SUM and NULL-over-nothing semantics, sidecar and stream parity") {
+    val dir = tmp()
+    writePartitioned(dir) // dt in {0,1,2}; every 5th score NULL
+    def q(push: Boolean) = rdp(dir,
+        graft.sources.lwes.LwesOptions.AggPushdown -> push.toString)
+      .groupBy(col("dt"))
+      .agg(sum(col("score")).as("s"), sum(col("id")).as("si"))
+    val got = q(true).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = q(false).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(parsed(q(true)) == 0L)
+    // all-NULL column: SUM over nothing is NULL, and an absent attr in
+    // a COMPLETE sidecar must answer that WITHOUT opening the file
+    val dir2 = tmp()
+    spark.range(50).select(col("id"), lit(null).cast("int").as("hole"))
+      .write.format("lwes").option("eventName", "S::H")
+      .option("compression", "gzip").mode("append").save(dir2)
+    val h = spark.read.format("lwes").schema("id long, hole int").load(dir2)
+      .agg(sum(col("hole")).as("s"), count(lit(1)).as("n"))
+    val hr = h.collect()(0)
+    assert(hr.isNullAt(0) && hr.getLong(1) == 50L)
+    assert(parsed(h) == 0L)
+  }
+
+  test("pre-r19 sidecars (no sm=) stream the SUM exactly") {
+    val dir = tmp()
+    spark.range(200).select(col("id"))
+      .write.format("lwes").option("eventName", "S::O")
+      .option("compression", "gzip").mode("append").save(dir)
+    // strip sm= from every sidecar, keeping the rest valid — the r18
+    // format; lengths are re-pinned by rewriting in place
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".") && f.getName.endsWith(".stats"))
+      .foreach { f =>
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        java.nio.file.Files.write(f.toPath,
+          text.replaceAll(" sm=-?\\d+", "").getBytes("UTF-8"))
+        new java.io.File(f.getParent, s".${f.getName}.crc").delete()
+      }
+    val q = spark.read.format("lwes").schema("id long").load(dir)
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
+    val r = q.collect()(0)
+    assert(r.getLong(0) == (0 until 200).map(_.toLong).sum && r.getLong(1) == 200L)
+    assert(plan(q).contains("SumCol"), plan(q))
+    assert(parsed(q) == 200L, // count could come from stats; the SUM forces the stream
+      "an smless sidecar must stream the sum")
   }
 
   test("grouped aggregate over an empty directory emits zero groups") {
