@@ -206,6 +206,10 @@ object LwesOptions {
   // them instead — same files skipped, the GET wave distributed, at the
   // cost of scheduling tasks that may turn out empty
   val StatsPruneMaxFiles = "statsPruneMaxFiles"
+  /** Batch commits refresh the per-directory stats manifest (A33) from
+    * the just-written sidecars — one read + one write per directory,
+    * no listing. Default true; `false` leaves manifests to Compact. */
+  val StatsManifest = "statsManifest"
   // aggregate pushdown (default true): unfiltered COUNT/MIN/MAX queries
   // collapse to one partial row per partition inside the scan; COUNT(*)
   // over `.zsj` journals is answered from footer record counts without

@@ -122,6 +122,48 @@ object LwesStats {
     count
   }
 
+  /** Merge `entries` (journal name → sidecar text) into `dir`'s
+    * manifest WITHOUT listing the directory: one read of the existing
+    * manifest + one atomic write — the r19 batch-commit refresh, so
+    * manifests exist from the first write, not only after compaction.
+    * New entries override old ones (a replaced journal's fresh stats
+    * win). Concurrent committers can lose each other's update — the
+    * manifest is an accelerator with per-file fallback, never truth.
+    * Oversized manifests (> 64 MB) skip the refresh rather than make
+    * every commit rewrite them. Updates the JVM cache in place. */
+  def mergeIntoManifest(dir: Path, entries: Map[String, String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (entries.isEmpty) return
+    val p = manifestPath(dir)
+    val fs = p.getFileSystem(conf)
+    val existing: Map[String, String] =
+      try {
+        val len = fs.getFileStatus(p).getLen
+        if (len > (64L << 20)) return // oversized: compaction's job
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        parseManifest(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val merged = existing ++ entries
+    val sb = new StringBuilder
+    merged.toSeq.sortBy(_._1).foreach { case (name, text) =>
+      sb.append("> ").append(java.net.URLEncoder.encode(name, "UTF-8"))
+        .append('\n').append(text)
+      if (!text.endsWith("\n")) sb.append('\n')
+    }
+    val tmp = new Path(dir, s".$ManifestName.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"cannot publish $p")
+    }
+    manifestCache.put(dir.toString, merged)
+  }
+
   /** Per-JVM manifest cache: directory path → journal name → sidecar
     * text. Loaded once per directory per process (a scan's lifetime —
     * a manifest published mid-process is only a missed acceleration,

@@ -35,9 +35,13 @@ class LwesWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap
 }
 
 /** `files`: streaming only — (hidden pending path, final path) per
-  * journal the task parked; the driver's epoch commit promotes them. */
+  * journal the task parked; the driver's epoch commit promotes them.
+  * `stats`: batch only — (final journal path, sidecar text) per
+  * journal, so the driver commit can refresh each directory's stats
+  * manifest without listing anything (r19). */
 final case class LwesCommitMessage(path: String, count: Long,
-    files: Seq[(String, String)] = Nil)
+    files: Seq[(String, String)] = Nil,
+    stats: Seq[(String, String)] = Nil)
     extends WriterCommitMessage
 
 /** Write-side options shared by the batch and streaming paths.
@@ -146,11 +150,32 @@ class LwesBatchWrite(schema: StructType, options: CaseInsensitiveStringMap,
     new LwesDataWriterFactory(wc, schema, SerializableHadoopConf.broadcast(conf))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  /** r19: refresh each written directory's stats manifest from the
+    * sidecar texts the tasks carried up — one read + one atomic write
+    * per directory, no listing, so manifest coverage starts at the
+    * FIRST write instead of the first compaction. Best-effort: a
+    * failed refresh leaves per-file sidecars canonical. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (!options.getBoolean(LwesOptions.StatsManifest, true)) return
+    val conf = LwesDataSource.hadoopConf()
+    messages.collect { case m: LwesCommitMessage => m.stats }.flatten
+      .groupBy { case (path, _) => new Path(path).getParent }
+      .foreach { case (dir, entries) =>
+        try LwesStats.mergeIntoManifest(dir,
+          entries.map { case (p, t) => new Path(p).getName -> t }.toMap, conf)
+        catch { case scala.util.control.NonFatal(e) =>
+          LwesBatchWrite.logManifestSkip(dir.toString, e)
+        }
+      }
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-object LwesBatchWrite {
+object LwesBatchWrite extends org.apache.spark.internal.Logging {
+  private[lwes] def logManifestSkip(dir: String, e: Throwable): Unit =
+    logWarning(s"stats manifest refresh for $dir failed " +
+      s"(${e.getMessage}); per-file sidecars remain canonical")
+
   /** Driver-side fail-fast for `stringEncoding=ISO-8859-1` combined
     * with a data column mapped to the reserved `enc` attribute: the
     * two would fight over the attribute's value, and failing in the
@@ -222,7 +247,7 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
     val token = s"${LwesStreamingWrite.queryTag(queryId)}-e$epochId"
     val manifest = new Path(root, s"_epoch-$token.manifest")
     val pairs = messages.toSeq.collect {
-      case LwesCommitMessage(_, _, files) => files }.flatten
+      case m: LwesCommitMessage => m.files }.flatten
     if (fs.exists(manifest)) {
       // a previous attempt committed this whole epoch — drop the replay
       pairs.foreach { case (p, _) =>
@@ -311,7 +336,7 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
     val conf = LwesDataSource.hadoopConf()
     val root = new Path(LwesWriteConfig(options).path)
     val fs = root.getFileSystem(conf)
-    messages.toSeq.collect { case LwesCommitMessage(_, _, files) => files }
+    messages.toSeq.collect { case m: LwesCommitMessage => m.files }
       .flatten.foreach { case (p, _) => fs.delete(new Path(p), false) }
   }
 }
@@ -587,6 +612,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
       }
       LwesCommitMessage(dir, count, files)
     } else {
+      val statsEntries = Seq.newBuilder[(String, String)]
       open.values.foreach { oj =>
         oj.w.close()
         val dest = oj.taggedDest
@@ -595,15 +621,18 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
         // its stats, and an orphan sidecar is inert
         if (oj.stats != null) {
           val len = fs.getFileStatus(oj.tmp).getLen
+          val text = oj.stats.serialize(len)
           val sc = fs.create(LwesStats.sidecarPath(dest), true)
-          try sc.write(oj.stats.serialize(len)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          try sc.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally sc.close()
+          // carried to the driver commit for the manifest refresh —
+          // the text is a few hundred bytes per journal
+          statsEntries += ((dest.toString, text))
         }
         if (!fs.rename(oj.tmp, dest))
           throw new java.io.IOException(s"rename ${oj.tmp} -> $dest failed")
       }
-      LwesCommitMessage(dir, count)
+      LwesCommitMessage(dir, count, stats = statsEntries.result())
     }
   }
 

@@ -361,6 +361,7 @@ class LwesAggPushdownSpec extends AnyFunSuite {
     val dir = tmp()
     spark.range(200).select(col("id"))
       .write.format("lwes").option("eventName", "S::O")
+      .option(graft.sources.lwes.LwesOptions.StatsManifest, "false")
       .option("compression", "gzip").mode("append").save(dir)
     // strip sm= from every sidecar, keeping the rest valid — the r18
     // format; lengths are re-pinned by rewriting in place

@@ -95,7 +95,13 @@ class LwesAggStatsSpec extends AnyFunSuite {
 
   test("missing and corrupt sidecars fall back per file") {
     val dir = tmp()
+    // manifest off: with the r19 commit-published manifest, losing a
+    // sidecar no longer loses the stats — this row pins the per-file
+    // fallback in isolation
     writeGz(dir)
+    val mf = new java.io.File(dir, LwesStats.ManifestName)
+    assert(mf.delete(), "commit should have published a manifest")
+    new java.io.File(dir, s".${LwesStats.ManifestName}.crc").delete()
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val journals = fs.listStatus(new Path(dir))
       .filter(s => !s.getPath.getName.startsWith(".")).map(_.getPath).sortBy(_.getName)

@@ -77,6 +77,13 @@ class LwesRuntimeSkipSpec extends AnyFunSuite {
   test("over the placement cap, runtime skipping defers to executor skims") {
     val dir = tmp()
     writeFact(dir)
+    // manifest off for this row: a manifest-covered candidate prunes
+    // at plan time at any cap (r19) — the over-cap skim placement only
+    // exists for manifest-less sidecar directories
+    val mf = new java.io.File(dir, graft.sources.lwes.LwesStats.ManifestName)
+    assert(mf.delete(), "batch commit should have published a manifest")
+    new java.io.File(dir,
+      s".${graft.sources.lwes.LwesStats.ManifestName}.crc").delete()
     Seq("true", "false").foreach { vec =>
       val q = joined(fact(dir,
         LwesOptions.StatsPruneMaxFiles -> "0", "vectorized" -> vec))

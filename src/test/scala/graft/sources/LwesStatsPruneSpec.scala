@@ -24,13 +24,17 @@ class LwesStatsPruneSpec extends AnyFunSuite {
   private def tmp(): String = Files.createTempDirectory("lwes-stats").toString
 
   /** Three disjoint-range files: ids [0,100), [100,200), [200,300);
-    * pages "a..", "m..", "z.." respectively. */
-  private def writeRanged(dir: String): Unit = {
+    * pages "a..", "m..", "z.." respectively. `manifest = false` writes
+    * sidecars only — for rows that test the per-file path in isolation
+    * (with the default commit-published manifest, losing a sidecar no
+    * longer loses the stats). */
+  private def writeRanged(dir: String, manifest: Boolean = true): Unit = {
     import spark.implicits._
     Seq(("a", 0), ("m", 100), ("z", 200)).foreach { case (p, base) =>
       (base until base + 100).map(i => (i.toLong, s"$p/${i % 10}", i * 1.5))
         .toDF("id", "page", "cost").repartition(1)
         .write.format("lwes").option("eventName", "St::E")
+        .option(LwesOptions.StatsManifest, manifest.toString)
         .mode("append").save(dir)
     }
   }
@@ -105,7 +109,7 @@ class LwesStatsPruneSpec extends AnyFunSuite {
 
   test("deleted or corrupted sidecars keep their files (no pruning)") {
     val dir = tmp()
-    writeRanged(dir)
+    writeRanged(dir, manifest = false) // isolate the per-file path
     val d = new java.io.File(dir)
     val sidecars = d.listFiles().filter(_.getName.endsWith(".stats"))
     assert(sidecars.length == 3, "expected one sidecar per journal")
@@ -236,6 +240,30 @@ class LwesStatsPruneSpec extends AnyFunSuite {
     assert(LwesScan.scanMetricSum(plan, "filesAggFromStats") == 3L)
   }
 
+  test("batch commits publish the manifest incrementally: no writeManifest call") {
+    // r19: each append's driver commit merges its sidecar texts into
+    // the directory manifest (one read + one write, no listing), so
+    // coverage starts at the FIRST write — prove it by deleting every
+    // per-file sidecar and pruning through the commit-built manifest
+    val dir = tmp()
+    writeRanged(dir) // three separate appends = three commit merges
+    assert(new java.io.File(dir, LwesStats.ManifestName).isFile,
+      "batch commit should publish the stats manifest")
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".") && f.getName.endsWith(".stats"))
+      .foreach(f => assert(f.delete()))
+    LwesStats.clearManifestCacheForTesting()
+    assert(prunedOf(rd(dir).filter(col("id") < 100)) == 2L)
+    parity(dir, _.filter(col("id") < 100))
+    // opting out leaves no manifest behind
+    val off = tmp()
+    import spark.implicits._
+    (0 until 10).map(i => (i.toLong, "x", 1.0)).toDF("id", "page", "cost")
+      .write.format("lwes").option("eventName", "St::E")
+      .option(LwesOptions.StatsManifest, "false").mode("append").save(off)
+    assert(!new java.io.File(off, LwesStats.ManifestName).exists)
+  }
+
   test("stale manifest entry falls back to the per-file sidecar") {
     val dir = tmp()
     writeRanged(dir)
@@ -318,7 +346,10 @@ class LwesStatsPruneSpec extends AnyFunSuite {
 
   test("over the placement cap, pruning defers to executor-side skims") {
     val dir = tmp()
-    writeRanged(dir)
+    // manifest off: a manifest-covered candidate never defers (its
+    // plan-time cost is one read per dir) — this row pins the
+    // manifest-LESS over-cap placement
+    writeRanged(dir, manifest = false)
     // cap 0 < 3 candidates: the driver plans every file (no sidecar
     // wave, statsPrunedFileCount stays 0) and each task skims its own
     // files — same files skipped, reported under the same metric name
