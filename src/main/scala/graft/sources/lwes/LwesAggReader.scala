@@ -154,6 +154,14 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
     spec.groupCols.iterator.map(c =>
       slice.partitionValues.get(c).map(UTF8String.fromString).orNull).toList
 
+  /** Group key for one event name of a name-grouped file/frame:
+    * partition values from the slice, `nm` in the name positions. */
+  private def nameKey(slice: LwesInputPartition, nm: String): List[Any] =
+    spec.groupCols.iterator.zipWithIndex.map { case (c, i) =>
+      if (groupIsName(i)) UTF8String.fromString(nm)
+      else slice.partitionValues.get(c).map(UTF8String.fromString).orNull
+    }.toList
+
   private val metricAcc = scala.collection.mutable.Map.empty[String, Long]
     .withDefaultValue(0L)
   private var emit: Iterator[InternalRow] = _
@@ -268,20 +276,22 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
         manifestHint = slice.hasManifest, sidecarHint = slice.hasStats)
       .filter(st => st.namesComplete && st.names.values.sum == st.records)
       .map { st =>
-        st.names.foreach { case (nm, cnt) =>
-          if (cnt > 0) {
-            val key = spec.groupCols.iterator.zipWithIndex.map { case (c, i) =>
-              if (groupIsName(i)) UTF8String.fromString(nm)
-              else slice.partitionValues.get(c).map(UTF8String.fromString).orNull
-            }.toList
-            val acc = accFor(key)
-            var i = 0
-            while (i < n) { acc.counts(i) += cnt; i += 1 }
-          }
-        }
+        mergeNameCounts(slice, st.names)
         metricAcc("filesAggFromStats") += 1
       }
   }
+
+  /** Fold one file's/frame's per-name record counts into the grouped
+    * accumulators (all-COUNT(*) pushes only). */
+  private def mergeNameCounts(slice: LwesInputPartition,
+      names: Map[String, Long]): Unit =
+    names.foreach { case (nm, cnt) =>
+      if (cnt > 0) {
+        val acc = accFor(nameKey(slice, nm))
+        var i = 0
+        while (i < n) { acc.counts(i) += cnt; i += 1 }
+      }
+    }
 
   /** A26×A31 frame-stats path: a RANGE slice of a fat `.zsj` (or a
     * whole split file whose sidecar could not answer) folds per-frame
@@ -295,9 +305,9 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
     * frame's exact footer bounds: the same stamped-value trust the
     * whole-file `.t` tag carries, at frame grain. */
   private def tryFrameStats(slice: LwesInputPartition): Option[Unit] = {
-    if (!sidecarEligible || !metadataGroupable ||
-        !graft.lwes.SplitJournal.isSplit(slice.path))
+    if (!sidecarEligible || !graft.lwes.SplitJournal.isSplit(slice.path))
       return None
+    if (!metadataGroupable) return tryNameFrameStats(slice)
     framesOf(slice).flatMap { frames =>
       val inRange = framesIn(frames, slice.range)
       // answer EVERY frame first, merge after: a frame that cannot
@@ -324,6 +334,32 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
         perFrame.zip(inRange).foreach { case (a, f) =>
           if (g == 0 || f.records > 0) mergeAnswers(acc, a.get)
         }
+        metricAcc("framesAggFromStats") += inRange.length.toLong
+        Some(())
+      }
+    }
+  }
+
+  /** A32×A31 name-grouped frame path: GSJ2 frame blobs carry per-name
+    * counts (r19), so a name-grouped all-COUNT(*) push over range
+    * slices of a fat `.zsj` folds them per frame — "events per type"
+    * over one year-long journal with zero decompression. Same
+    * all-or-nothing and blob-integrity rules as the typed frame path,
+    * plus the per-name reconcile check. */
+  private def tryNameFrameStats(slice: LwesInputPartition): Option[Unit] = {
+    if (!funcs.forall(_ == LwesAggFunc.CountStar)) return None
+    framesOf(slice).flatMap { frames =>
+      val inRange = framesIn(frames, slice.range)
+      val perFrame = inRange.map { f =>
+        if (f.stats == null) None
+        else LwesStats.parse(f.stats)
+          .filter(st => st.records == f.records && st.fileLen == f.rawLen &&
+            st.namesComplete && st.names.values.sum == st.records)
+          .map(_.names)
+      }
+      if (perFrame.exists(_.isEmpty)) None
+      else {
+        perFrame.foreach(nm => mergeNameCounts(slice, nm.get))
         metricAcc("framesAggFromStats") += inRange.length.toLong
         Some(())
       }

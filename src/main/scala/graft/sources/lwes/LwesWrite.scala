@@ -293,6 +293,23 @@ class LwesStreamingWrite(schema: StructType, options: CaseInsensitiveStringMap,
     finally out.close()
     if (!fs.rename(tmp, manifest) && !fs.exists(manifest))
       throw new java.io.IOException(s"cannot write epoch manifest $manifest")
+    // r19: after the epoch is fully visible, fold this epoch's sidecar
+    // texts into the per-directory STATS manifests (A33) — streamed
+    // corpora get manifest coverage at ingest, like batch writes. A
+    // replayed epoch returns above before reaching here; a crash
+    // between the epoch manifest and this refresh only costs the
+    // acceleration (per-file sidecars are canonical).
+    if (options.getBoolean(LwesOptions.StatsManifest, true)) {
+      messages.collect { case m: LwesCommitMessage => m.stats }.flatten
+        .groupBy { case (path, _) => new Path(path).getParent }
+        .foreach { case (dir, entries) =>
+          try LwesStats.mergeIntoManifest(dir,
+            entries.map { case (p, t) => new Path(p).getName -> t }.toMap, conf)
+          catch { case scala.util.control.NonFatal(e) =>
+            LwesBatchWrite.logManifestSkip(dir.toString, e)
+          }
+        }
+    }
     maybeAutoCompact(epochId)
   }
 
@@ -586,6 +603,7 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
       // LwesStreamingWrite.commit).
       // tagged names stay epoch-stable: a replayed epoch rewrites the
       // same rows, so the receipt bounds (and thus the name) recur
+      val statsEntries = Seq.newBuilder[(String, String)]
       val files = open.values.toSeq.map { oj =>
         oj.w.close()
         val dest = oj.taggedDest
@@ -601,16 +619,18 @@ class LwesDataWriter(wc: LwesWriteConfig, schema: StructType,
         // or reaps the two together
         if (oj.stats != null) {
           val len = fs.getFileStatus(oj.tmp).getLen
+          val text = oj.stats.serialize(len)
           val sc = fs.create(LwesStats.sidecarPath(pending), true)
-          try sc.write(oj.stats.serialize(len)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          try sc.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally sc.close()
+          // carried for the post-promotion manifest refresh (r19)
+          statsEntries += ((dest.toString, text))
         }
         if (!fs.rename(oj.tmp, pending))
           throw new java.io.IOException(s"rename ${oj.tmp} -> $pending failed")
         (pending.toString, dest.toString)
       }
-      LwesCommitMessage(dir, count, files)
+      LwesCommitMessage(dir, count, files, statsEntries.result())
     } else {
       val statsEntries = Seq.newBuilder[(String, String)]
       open.values.foreach { oj =>

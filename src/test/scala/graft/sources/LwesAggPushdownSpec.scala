@@ -382,6 +382,29 @@ class LwesAggPushdownSpec extends AnyFunSuite {
       "an smless sidecar must stream the sum")
   }
 
+  test("name-grouped COUNT over fat .zsj range slices folds per-frame name counts") {
+    // A32xA31 (r19): GSJ2 frame blobs carry per-name counts, so
+    // GROUP BY event-name + COUNT(*) over range slices of ONE fat
+    // journal decompresses nothing
+    val dir = tmp()
+    spark.range(3000).select(col("id"),
+        when(col("id") % 3 === 0, "Ad::Click").otherwise("Ad::View").as("ev"))
+      .repartition(1)
+      .write.format("lwes").option("eventNameColumn", "ev")
+      .option(graft.sources.lwes.LwesOptions.SplitFrameBytes, "8192")
+      .mode("append").save(dir)
+    val q = spark.read.format("lwes").schema("id long, ev string")
+      .option("eventNameColumn", "ev")
+      .option(graft.sources.lwes.LwesOptions.SplitTargetBytes, "8192")
+      .load(dir)
+      .groupBy(col("ev")).agg(count(lit(1)).as("n"))
+    val rows = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("Ad::Click" -> 1000L, "Ad::View" -> 2000L))
+    assert(parsed(q) == 0L, "per-frame name counts must answer the push")
+    assert(LwesScan.scanMetricSum(q.queryExecution.executedPlan,
+      "framesAggFromStats") >= 1L, plan(q))
+  }
+
   test("grouped aggregate over an empty directory emits zero groups") {
     val dir = tmp()
     // listing-derived partition cols are absent in an empty dir, so

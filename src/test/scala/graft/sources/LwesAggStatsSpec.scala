@@ -218,6 +218,18 @@ class LwesAggStatsSpec extends AnyFunSuite {
     assert(pruned.collect().isEmpty)
     assert(LwesScan.scansIn(pruned.queryExecution.executedPlan)
       .map(_.statsPrunedFileCount).sum == visible.length.toLong)
+    // r19: the epoch commit also refreshed the directory STATS manifest
+    // — prove it answers alone by deleting every per-file sidecar
+    assert(new java.io.File(dst, LwesStats.ManifestName).isFile,
+      "epoch commit should publish the stats manifest")
+    visible.foreach(s => fs.delete(LwesStats.sidecarPath(s.getPath), false))
+    LwesStats.clearManifestCacheForTesting()
+    val viaManifest = spark.read.format("lwes").schema("id long, page string")
+      .load(dst).agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    val vr = viaManifest.collect().head
+    assert(vr.getLong(0) == 300L && vr.getLong(1) == 299L)
+    assert(metric(viaManifest, "eventsParsed") == 0L,
+      "manifest entries from the epoch commit should answer alone")
   }
 
   test("attr absent from a COMPLETE sidecar answers COUNT 0 / all-NULL bounds") {
