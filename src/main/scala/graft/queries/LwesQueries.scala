@@ -523,6 +523,52 @@ object LwesQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin)),
 
+    // A26×A27 (r19): STRING MIN/MAX answered from exact sidecar bounds
+    // — the tracker's stored UTF-8 bytes are the column's read-back
+    // values when untruncated (minExact / non-inf max), so "first/last
+    // value" queries over string attributes never open a journal. The
+    // sparse attribute pins null-skipping; the in-gate requires prove
+    // zero parses with every file answered from its sidecar.
+    "lwes_agg_str_bounds" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"aggstats|$d") { dir =>
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              when(col("o_orderkey") % 7 =!= 0, col("o_orderpriority"))
+                .as("o_orderpriority"))
+            .write.format("lwes").option("eventName", "Order::Created")
+            .option("compression", "gzip").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, priority string, total double")
+          .option("mapping",
+            "okey:o_orderkey, priority:o_orderpriority, total:o_totalprice")
+          .load(dir)
+          .agg(min(col("priority")).as("min_pri"),
+            max(col("priority")).as("max_pri"),
+            count(col("priority")).as("n_pri"), count(lit(1)).as("n"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("agg=["),
+          s"string-bounds aggregation was not pushed into the scan:\n$plan")
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        val nFromStats = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "filesAggFromStats")
+        require(nParsed == 0 && nFromStats >= 1,
+          s"string bounds parsed $nParsed events " +
+            s"(filesAggFromStats=$nFromStats)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT min(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderpriority END)
+        |    AS min_pri,
+        |  max(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderpriority END)
+        |    AS max_pri,
+        |  count(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderpriority END)
+        |    AS n_pri,
+        |  count(*) AS n
+        |FROM orders""".stripMargin)),
+
     // A26/A32 (r19): integral SUM pushdown answered from the sidecar's
     // exact sm= sums — `GROUP BY dt, SUM(x)` (the revenue-per-day
     // dashboard shape) with zero events parsed. The sparse column pins

@@ -219,6 +219,10 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
         case (LwesStats.SumAnswer(Some(v)), _: LwesAggFunc.SumCol) =>
           addSum(acc, i, v)
         case (LwesStats.SumAnswer(None), _) => () // all-NULL file/frame
+        case (LwesStats.StrBoundAnswer(b), _: LwesAggFunc.MinCol) =>
+          mergeMin(acc, i, UTF8String.fromBytes(b.clone()))
+        case (LwesStats.StrBoundAnswer(b), _: LwesAggFunc.MaxCol) =>
+          mergeMax(acc, i, UTF8String.fromBytes(b.clone()))
         case (a, f) => throw new IllegalStateException(s"$a for $f")
       }
       i += 1

@@ -251,11 +251,15 @@ object LwesStats {
     * string, 'x' present-but-unprunable (floats, arrays, mixed, ...).
     * `sum` (r19): the exact long sum of an integral attribute's values
     * — absent when the tracker's overflow guard tripped or the sidecar
-    * predates r19, in which case pushed SUMs stream. */
+    * predates r19, in which case pushed SUMs stream. `minExact` (r19):
+    * `minS` is a full observed VALUE, not a truncated prefix — with
+    * `!maxSInf`, string MIN/MAX become metadata-answerable (the stored
+    * UTF-8 bytes are the column's read-back bytes, and the tracker's
+    * byte-wise order IS UTF8String's order). */
   final case class AttrStats(kind: Char, count: Long,
       minL: Long, maxL: Long,
       minS: Array[Byte], maxS: Array[Byte], maxSInf: Boolean, ascii: Boolean,
-      sum: Option[Long] = None)
+      sum: Option[Long] = None, minExact: Boolean = false)
 
   /** `names` = per-event-name record counts (r19, A32: lets
     * `GROUP BY <event-name column>` + COUNT(*) answer from the sidecar
@@ -280,6 +284,7 @@ object LwesStats {
     var ascii = true
     var sum = 0L
     var sumValid = true // overflow guard: a wrapped sum is never written
+    var minExact = false // stored minS is a full observed value (r19)
   }
 
   /** Write-side accumulator; one per open journal. Not thread-safe
@@ -326,9 +331,13 @@ object LwesStats {
               if (j < str.length) s.ascii = false
             }
             val b = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            if (s.minS == null || cmpB(b, s.minS) < 0)
-              s.minS = if (b.length <= MaxStrBytes) b
-                else java.util.Arrays.copyOf(b, MaxStrBytes) // prefix ≤ value: sound lower bound
+            if (s.minS == null || cmpB(b, s.minS) < 0) {
+              if (b.length <= MaxStrBytes) { s.minS = b; s.minExact = true }
+              else { // prefix ≤ value: sound lower bound, but not a VALUE
+                s.minS = java.util.Arrays.copyOf(b, MaxStrBytes)
+                s.minExact = false
+              }
+            }
             if (!s.maxSInf && (s.maxS == null || cmpB(b, s.maxS) > 0)) {
               if (b.length <= MaxStrBytes) s.maxS = b
               else { s.maxS = null; s.maxSInf = true } // truncation would UNDER-state a max
@@ -357,7 +366,8 @@ object LwesStats {
             val mn = if (s.minS == null) "" else b64.encodeToString(s.minS)
             val mx = if (s.maxS == null) "" else b64.encodeToString(s.maxS)
             sb.append(s"a=$enc k=s n=${s.count} smn=$mn smx=$mx " +
-              s"sinf=${if (s.maxSInf) 1 else 0} ascii=${if (s.ascii) 1 else 0}\n")
+              s"sinf=${if (s.maxSInf) 1 else 0} ascii=${if (s.ascii) 1 else 0} " +
+              s"mne=${if (s.minExact) 1 else 0}\n")
           case _ => sb.append(s"a=$enc k=x n=${s.count}\n")
         }
       }
@@ -419,7 +429,9 @@ object LwesStats {
         case "s" => AttrStats('s', f("n").toLong, 0L, 0L,
           if (f("smn").isEmpty) null else b64.decode(f("smn")),
           if (f("smx").isEmpty) null else b64.decode(f("smx")),
-          maxSInf = f("sinf") == "1", ascii = f("ascii") == "1")
+          maxSInf = f("sinf") == "1", ascii = f("ascii") == "1",
+          // absent mne = pre-r19 sidecar: exactness unknown, stream
+          minExact = f.get("mne").contains("1"))
         case _ => AttrStats('x', f("n").toLong, 0L, 0L, null, null,
           maxSInf = false, ascii = false)
       }
@@ -563,6 +575,9 @@ object LwesStats {
   /** SUM contribution (r19): the file's exact long sum; None = every
     * record reads NULL there (SUM over nothing is NULL). */
   final case class SumAnswer(v: Option[Long]) extends AggAnswer
+  /** String MIN/MAX contribution (r19): the exact observed bound as
+    * UTF-8 bytes (the column's read-back representation). */
+  final case class StrBoundAnswer(v: Array[Byte]) extends AggAnswer
 
   /** Exact answers for a pushed aggregation from one file's metadata —
     * the A26×A27 synergy: what the `.zsj` footer fast path does for
@@ -587,8 +602,9 @@ object LwesStats {
     *   - MIN/MAX: integral stats whose range FITS the read type (the
     *     pruning rule — narrowing conversions may not reorder values
     *     around the bounds); absent-from-complete contributes all-NULL.
-    *     String bounds are pruning bounds, not necessarily exact values
-    *     (truncation, +inf maxima), so string MIN/MAX always streams.
+    *     String bounds answer (r19) when they are exact VALUES — an
+    *     untruncated min (`minExact`) / a non-inf max — as the stored
+    *     UTF-8 bytes; truncated/inf bounds and pre-r19 sidecars stream.
     * `nonAttrCols` names columns not backed by a wire attribute
     * (partition values, the event-name column) and header pseudo-attrs
     * are rejected here too — their null semantics differ from "attr
@@ -634,12 +650,24 @@ object LwesStats {
       case LwesAggFunc.MinCol(c, _) if attrAnswerable(c) =>
         attrEntry(c) match {
           case Some(Left(e)) if integralFits(e, c) => Some(BoundAnswer(Some(e.minL)))
+          // string bounds answer only when EXACT values (r19): minExact
+          // marks an untruncated min; the stored UTF-8 bytes are the
+          // column's read-back bytes under every charset (the tracker
+          // observes decoded values), and byte-wise order = UTF8String
+          // order — no ascii requirement, unlike predicate pruning
+          // (which compares against literals encoded elsewhere)
+          case Some(Left(e)) if e.kind == 's' &&
+              typeOf(c).contains(StringType) && e.minExact && e.minS != null =>
+            Some(StrBoundAnswer(e.minS))
           case Some(Right(())) => Some(BoundAnswer(None))
           case _ => None
         }
       case LwesAggFunc.MaxCol(c, _) if attrAnswerable(c) =>
         attrEntry(c) match {
           case Some(Left(e)) if integralFits(e, c) => Some(BoundAnswer(Some(e.maxL)))
+          case Some(Left(e)) if e.kind == 's' &&
+              typeOf(c).contains(StringType) && !e.maxSInf && e.maxS != null =>
+            Some(StrBoundAnswer(e.maxS))
           case Some(Right(())) => Some(BoundAnswer(None))
           case _ => None
         }

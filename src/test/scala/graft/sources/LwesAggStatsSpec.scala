@@ -93,6 +93,54 @@ class LwesAggStatsSpec extends AnyFunSuite {
     assert(q.collect().head.getLong(0) == 300L)
   }
 
+  test("string MIN/MAX answer from exact sidecar bounds, zero parses (r19)") {
+    val dir = tmp()
+    writeGz(dir) // sparse `page` strings, all well under the 64-byte cap
+    val q = checkParity(dir, _.agg(min(col("page")).as("mn"),
+      max(col("page")).as("mx"), count(col("page")).as("n")))
+    val r = q.collect().head
+    assert(r.getString(0) == "pg/1" && r.getString(1) == "pg/9")
+    assert(metric(q, "eventsParsed") == 0L,
+      "exact string bounds should answer without opening a journal")
+    assert(metric(q, "filesAggFromStats") == 3L)
+    // non-ASCII values answer too: the tracker stores decoded UTF-8
+    // bytes, which ARE the column's read-back bytes in UTF8String order
+    val dir2 = tmp()
+    import spark.implicits._
+    Seq("añil", "zèbre", "apple").toDF("page")
+      .repartition(1).write.format("lwes").option("eventName", "Ag::U")
+      .option("compression", "gzip").mode("append").save(dir2)
+    val u = checkParity(dir2,
+      _.agg(min(col("page")).as("mn"), max(col("page")).as("mx")))
+    val ur = u.collect().head
+    assert(ur.getString(0) == "apple" && ur.getString(1) == "zèbre")
+    assert(metric(u, "eventsParsed") == 0L)
+  }
+
+  test("over-cap string maxima stream; truncated minima stream too") {
+    val dir = tmp()
+    import spark.implicits._
+    val long = "z" * 100 // over MaxStrBytes: max records +inf, min stays short
+    Seq("aa", long, "mm").toDF("page")
+      .repartition(1).write.format("lwes").option("eventName", "Ag::L")
+      .option("compression", "gzip").mode("append").save(dir)
+    val q = checkParity(dir,
+      _.agg(min(col("page")).as("mn"), max(col("page")).as("mx")))
+    val r = q.collect().head
+    assert(r.getString(0) == "aa" && r.getString(1) == long)
+    // the MAX is +inf in the sidecar, so the whole file streams (the
+    // all-or-nothing rule: every pushed function must answer)
+    assert(metric(q, "eventsParsed") == 3L)
+    // a corpus whose MINIMUM is over-long streams as well (minExact=0)
+    val dir3 = tmp()
+    Seq("z" * 100, "z" * 90).toDF("page")
+      .repartition(1).write.format("lwes").option("eventName", "Ag::M")
+      .option("compression", "gzip").mode("append").save(dir3)
+    val m = checkParity(dir3, _.agg(min(col("page")).as("mn")))
+    assert(m.collect().head.getString(0) == "z" * 90)
+    assert(metric(m, "eventsParsed") == 2L)
+  }
+
   test("missing and corrupt sidecars fall back per file") {
     val dir = tmp()
     // manifest off: with the r19 commit-published manifest, losing a
