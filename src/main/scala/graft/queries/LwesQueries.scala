@@ -1413,6 +1413,45 @@ object LwesQueries {
         |FROM events
         |ORDER BY ReceiptTime DESC LIMIT 100""".stripMargin)),
 
+    // A28 (r19): ATTRIBUTE top-N — `ORDER BY <integral attr> DESC
+    // LIMIT k` bounds the k-th best value from sidecar zone maps
+    // (count-based greedy over per-file min/max; NULLS LAST required)
+    // and prunes provably-outranked journals at plan time: "top
+    // spenders" over a value-clustered corpus opens the high-value
+    // files. The in-gate require pins the prune; deterministic
+    // tie-break (orderkey) keeps the row set oracle-exact.
+    "lwes_topn_attr" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"topnattr|$d") { dir =>
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              (col("o_totalprice") * 100).cast("long").as("cents"))
+            .repartitionByRange(8, col("cents"))
+            .write.format("lwes").option("eventName", "Tk::V")
+            .option("compression", "gzip").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, ckey long, cents long")
+          .option("mapping", "okey:o_orderkey, ckey:o_custkey")
+          .load(dir)
+          .orderBy(col("cents").desc, col("okey")).limit(50)
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("topN=[cents desc k=50]"),
+          s"attribute top-N was not pushed:\n$plan")
+        val pruned = graft.sources.lwes.LwesScan.scansIn(plan)
+          .map(_.topNPrunedFileCount)
+        require(pruned.exists(_ >= 6),
+          s"attribute top-N never pruned the journal scan " +
+            s"(pruned counts: $pruned; expected >= 6 of 8)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+          .orderBy(col("cents").desc, col("okey"))
+      },
+      """SELECT o_orderkey AS okey, o_custkey AS ckey,
+        |  CAST(o_totalprice * 100 AS BIGINT) AS cents
+        |FROM orders
+        |ORDER BY cents DESC, okey LIMIT 50""".stripMargin)),
+
     // A29: STORAGE-PARTITIONED JOIN — two journal tables partitioned
     // by event_type join (and aggregate on the key) with ZERO hash
     // exchanges: the scans report KeyGroupedPartitioning and every

@@ -573,20 +573,42 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     if (!options.getBoolean(LwesOptions.TopNPrune, true)) return false
-    if (limit <= 0 || orders.length != 1 || aggSpec.nonEmpty) return false
+    if (limit <= 0 || orders.isEmpty || aggSpec.nonEmpty) return false
+    // secondary sort keys are tie-breaks: they permute rows WITHIN a
+    // leading-key tie, so the leading key's k-th-best bound (and the
+    // file prune it justifies) is unchanged — accept any suffix
     val col = orders(0).expression() match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
           if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
       case _ => None
     }
-    col.filter(n => receiptCols.contains(n) &&
-        fullSchema.fields.exists(f => f.name == n && f.dataType == LongType))
-      .map { _ =>
-        topNSpec = Some(LwesTopN(orders(0).direction() ==
-          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING,
-          limit))
+    val desc = orders(0).direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+    col match {
+      case Some(n) if orders.length == 1 && receiptCols.contains(n) &&
+          fullSchema.fields.exists(f => f.name == n && f.dataType == LongType) =>
+        topNSpec = Some(LwesTopN(desc, limit))
         true
-      }.getOrElse(false)
+      // r19: integral data-attribute columns bound from sidecar zone
+      // maps — NULLS LAST required (k non-null bound rows outrank
+      // every NULL), header/partition/name columns excluded (their
+      // null semantics differ from "attr absent")
+      case Some(n) if orders(0).nullOrdering() ==
+            org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST &&
+          !samplePartitionCols.contains(n) &&
+          !Option(options.get(LwesOptions.EventNameColumn)).contains(n) &&
+          !receiptCols.contains(n) &&
+          !graft.lwes.LwesEvent.HeaderAttrs.contains(
+            LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
+              ._1.getOrElse(n, n)) &&
+          fullSchema.fields.exists(f => f.name == n && (f.dataType match {
+            case ShortType | IntegerType | LongType => true
+            case _ => false
+          })) =>
+        topNSpec = Some(LwesTopN(desc, limit, col = Some(n)))
+        true
+      case _ => false
+    }
   }
 
   override def isPartiallyPushed(): Boolean = true
@@ -1135,7 +1157,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           s" groupBy=[${s.groupCols.mkString(",")}]" else "") +
         (if (s.footerOnly) " footerOnly" else "")).getOrElse("") +
       topN.map(t =>
-        s", topN=[receipt ${if (t.desc) "desc" else "asc"} k=${t.k}]")
+        s", topN=[${t.col.getOrElse("receipt")} " +
+          s"${if (t.desc) "desc" else "asc"} k=${t.k}]")
         .getOrElse("") + ")"
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -1369,6 +1392,11 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       var topNLo = Long.MinValue
       var topNHi = Long.MaxValue
       val topNSlices = topN match {
+        // r19: attribute top-N — bound and prune from sidecar zone
+        // maps (file grain; the receipt path below also prunes frames)
+        case Some(spec) if fileSlices.nonEmpty && spec.col.isDefined =>
+          if (statsPrune) attrTopNPrune(fileSlices, spec, conf)
+          else fileSlices
         case Some(spec) if fileSlices.nonEmpty =>
           topNBound(fileSlices, spec, conf) match {
             case Some(b) =>
@@ -1536,6 +1564,70 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * sidecar reads — capped at [[LwesScan.TopNStatsWalkCap]] sidecars
     * and [[LwesScan.TopNFooterRefine]] footer tails; if the counts
     * never reach k, no bound, no prune. */
+  /** A28 attribute top-N (r19): bound the k-th best value of an
+    * integral data-attribute column from sidecar zone maps, then drop
+    * files that provably hold only outranked rows. Every sidecar entry
+    * guarantees `count` non-null rows at-or-better-than its weak bound
+    * (min for DESC, max for ASC); consuming units best-first until the
+    * counts reach k yields a bound B with ≥ k rows at-or-better — so a
+    * file whose best possible value (max for DESC / min for ASC) is
+    * strictly outside B, or whose COMPLETE sidecar lacks the attribute
+    * (all rows NULL, and the push required NULLS LAST), holds nothing
+    * the global Sort+Limit can keep. Integral type-fit rule throughout
+    * (narrowing reads could reorder around bounds); files without
+    * readable stats contribute no units and are never pruned; past the
+    * `statsPruneMaxFiles` cap of stats-covered candidates the prune is
+    * skipped wholesale (unlike filters there is no sound per-task skim
+    * — the BOUND needs a global view). */
+  private def attrTopNPrune(
+      slices: Array[(FileStatus, LwesInputPartition)],
+      spec: LwesTopN, conf: Configuration)
+      : Array[(FileStatus, LwesInputPartition)] = {
+    val c = spec.col.get
+    val attr = config.attrOf(c)
+    val dt = config.schema.fields.find(_.name == c).map(_.dataType)
+      .getOrElse(return slices)
+    val cands = slices.filter(p => p._2.hasStats || p._2.hasManifest)
+    if (cands.isEmpty || cands.length > statsPruneMaxFiles) return slices
+    prefetchStats(cands.toSeq, conf)
+    def statsOf(f: FileStatus, s: LwesInputPartition) =
+      statsCache.getOrDefault(statsKey(f, s), None)
+    val units = mutable.ArrayBuffer.empty[(Long, Long)] // (weak bound, count)
+    cands.foreach { case (f, s) =>
+      statsOf(f, s).foreach { st =>
+        st.attrs.get(attr).foreach { e =>
+          if (LwesStats.integralFits(e, dt) && e.count > 0)
+            units += ((if (spec.desc) e.minL else e.maxL, e.count))
+        }
+      }
+    }
+    val best = if (spec.desc) units.sortBy(_._1)(Ordering[Long].reverse)
+               else units.sortBy(_._1)
+    var taken = 0L
+    var bound = 0L
+    var found = false
+    var i = 0
+    while (i < best.length && !found) {
+      taken += best(i)._2
+      if (taken >= spec.k) { bound = best(i)._1; found = true }
+      i += 1
+    }
+    if (!found) return slices // fewer than k provable rows: no prune
+    val kept = slices.filter { case (f, s) =>
+      (!s.hasStats && !s.hasManifest) || (statsOf(f, s) match {
+        case Some(st) => st.attrs.get(attr) match {
+          case Some(e) if LwesStats.integralFits(e, dt) =>
+            if (spec.desc) e.maxL >= bound else e.minL <= bound
+          case Some(_) => true // class/type mismatch: keep
+          case None => !st.complete // complete+absent = all NULL = outranked
+        }
+        case None => true // unreadable/stale: keep
+      })
+    }
+    topNPruned = (slices.length - kept.length).toLong
+    kept
+  }
+
   private def topNBound(
       slices: Array[(FileStatus, LwesInputPartition)],
       spec: LwesTopN, conf: Configuration): Option[Long] = {

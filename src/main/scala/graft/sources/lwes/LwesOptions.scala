@@ -125,19 +125,30 @@ final case class LwesAggSpec(funcs: Seq[LwesAggFunc], schema: StructType,
     // semantics (sidecar sums are always overflow-guarded exact)
     ansi: Boolean = true) extends Serializable
 
-/** Pushed `ORDER BY <receipt col> [DESC] LIMIT k` (A28). PARTIAL push —
-  * Spark always keeps the global Sort+Limit, so the scan's only
-  * obligation is to KEEP every file that could contribute a top-k row;
-  * pruning the provably-outranked rest is the optimization, never the
-  * semantics. Only accepted for a single-column sort on a LongType
-  * receipt-time column of a gate-free scan (no pushed/residual filters
-  * — Spark's pushdown only offers top-N when Sort+Limit sit directly
-  * over the relation — and `build()` clears the spec under event-name
-  * filters, admission windows, or ESF templates), so every record a
-  * zone-map sidecar counts is a result row. Null ordering is
-  * irrelevant: the receipt header is stamped on every record (0
-  * default), so the column never holds NULL. */
-final case class LwesTopN(desc: Boolean, k: Int) extends Serializable
+/** Pushed `ORDER BY <col> [DESC] LIMIT k` (A28). PARTIAL push — Spark
+  * always keeps the global Sort+Limit, so the scan's only obligation
+  * is to KEEP every file that could contribute a top-k row; pruning
+  * the provably-outranked rest is the optimization, never the
+  * semantics. Accepted for a single-column sort on a gate-free scan
+  * (no pushed/residual filters — Spark's pushdown only offers top-N
+  * when Sort+Limit sit directly over the relation — and `build()`
+  * clears the spec under event-name filters, admission windows, or
+  * ESF templates), so every record the metadata counts is a result
+  * row. Two column classes:
+  *   - `col = None`: a LongType ReceiptTime header column — bounds
+  *     from exact `.t` name tags + `.zsj` footer frame bounds (the
+  *     r18 path; null ordering is irrelevant, the header is stamped
+  *     on every record);
+  *   - `col = Some(c)` (r19): an INTEGRAL data-attribute column —
+  *     bounds from the A27 sidecar min/max + non-null counts, under
+  *     the integral type-fit rule. Requires NULLS LAST (Spark's
+  *     default for DESC): the k bound-counted rows are non-null, so
+  *     every NULL row — and every row in a file whose max (desc) /
+  *     min (asc) sits strictly outside the bound — is provably
+  *     outranked. File-grain only (no frame pruning: the receipt
+  *     window machinery is tag-specific). */
+final case class LwesTopN(desc: Boolean, k: Int,
+    col: Option[String] = None) extends Serializable
 
 object LwesOptions {
   val EventName = "eventName"

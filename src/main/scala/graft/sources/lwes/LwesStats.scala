@@ -451,6 +451,15 @@ object LwesStats {
 
   // ----------------------------------------------------------- pruner
 
+  /** The MIN/MAX/SUM type-fit rule, shared with the A28 attribute
+    * top-N bound: integral stats speak for a column only when their
+    * range FITS the read type (narrowing reads could reorder values
+    * around the bounds). */
+  def integralFits(e: AttrStats, dt: DataType): Boolean =
+    e.kind == 'l' && typeRange(dt).exists {
+      case (lo, hi) => e.minL >= lo && e.maxL <= hi
+    }
+
   private def typeRange(dt: DataType): Option[(Long, Long)] = dt match {
     case ByteType => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
     case ShortType => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
@@ -616,9 +625,7 @@ object LwesStats {
       attrOf: String => String, typeOf: String => Option[DataType],
       nonAttrCols: Set[String]): Option[Seq[AggAnswer]] = {
     def integralFits(e: AttrStats, c: String): Boolean =
-      e.kind == 'l' && typeOf(c).flatMap(typeRange).exists {
-        case (lo, hi) => e.minL >= lo && e.maxL <= hi
-      }
+      typeOf(c).exists(LwesStats.integralFits(e, _))
     def attrAnswerable(c: String): Boolean =
       !nonAttrCols.contains(c) && !headerAttrs.contains(attrOf(c))
     def attrEntry(c: String): Option[Either[AttrStats, Unit]] =

@@ -235,4 +235,92 @@ class LwesTopNPushdownSpec extends AnyFunSuite {
     val u = q(LwesOptions.TopNPrune -> "false")
     assert(u.collect().map(_.getLong(0)).sorted.sameElements(vals.sorted))
   }
+
+  // ------------------------------------------- r19 attribute top-N
+
+  /** Disjoint score-range journals via the DSv2 writer (sidecars +
+    * commit-published manifest): scores [base, base+100) per file. */
+  private def writeScored(dir: String): Unit = {
+    import spark.implicits._
+    Seq(0L, 100L, 200L, 300L).foreach { base =>
+      (base until base + 100).map(i => (i, if (i % 10 == 0) null else i * 3))
+        .map { case (i, s) => (i, s.asInstanceOf[java.lang.Long]) }
+        .toDF("id", "score")
+        .repartition(1)
+        .write.format("lwes").option("eventName", "Ts::E")
+        .option("compression", "gzip").mode("append").save(dir)
+    }
+  }
+
+  private def rdScored(dir: String, extra: (String, String)*): DataFrame = {
+    val base = spark.read.format("lwes").schema("id long, score long")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+  }
+
+  test("attr desc top-k bounds from sidecar min/max and prunes low files") {
+    val dir = tmp()
+    writeScored(dir)
+    val q = rdScored(dir).orderBy(col("score").desc).limit(5)
+    val vals = q.collect().map(r => r.getLong(1))
+    val want = rdScored(dir, LwesOptions.TopNPrune -> "false")
+      .orderBy(col("score").desc).limit(5).collect().map(_.getLong(1))
+    assert(vals.sorted.sameElements(want.sorted))
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("topN=[score desc k=5]"), plan.toString)
+    assert(LwesScan.scansIn(plan).map(_.topNPrunedFileCount).sum == 3L,
+      "three lower-score files should prune")
+  }
+
+  test("attr asc NULLS LAST pushes and prunes; default asc (nulls first) declines") {
+    val dir = tmp()
+    writeScored(dir)
+    val q = rdScored(dir).orderBy(col("score").asc_nulls_last).limit(5)
+    val vals = q.collect().map(r => r.getLong(1))
+    val want = rdScored(dir, LwesOptions.TopNPrune -> "false")
+      .orderBy(col("score").asc_nulls_last).limit(5).collect().map(_.getLong(1))
+    assert(vals.sorted.sameElements(want.sorted))
+    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 3L)
+    // default ASC = NULLS FIRST: null rows belong in the top-k, the
+    // count-based bound is unsound, the push must decline
+    val nf = rdScored(dir).orderBy(col("score")).limit(5)
+    val nfRows = nf.collect()
+    assert(nfRows.count(_.isNullAt(1)) == 5, "nulls-first top-5 is all NULL")
+    assert(!nf.queryExecution.executedPlan.toString.contains("topN=["),
+      nf.queryExecution.executedPlan.toString)
+  }
+
+  test("attr top-k: value parity when nulls pad an underfilled result") {
+    // only 4 non-null in a tiny corpus, k=6: nulls enter a NULLS LAST
+    // result tail; bound never reaches k from 4 provable rows -> no
+    // prune, exact answers either way
+    val dir = tmp()
+    import spark.implicits._
+    Seq((1L, java.lang.Long.valueOf(5L)), (2L, java.lang.Long.valueOf(9L)),
+        (3L, null.asInstanceOf[java.lang.Long]),
+        (4L, java.lang.Long.valueOf(1L)), (5L, java.lang.Long.valueOf(7L)),
+        (6L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "score").repartition(1)
+      .write.format("lwes").option("eventName", "Ts::U")
+      .option("compression", "gzip").mode("append").save(dir)
+    val q = spark.read.format("lwes").schema("id long, score long")
+      .option("eventName", "Ts::U").load(dir)
+      .orderBy(col("score").desc).limit(6)
+    val got = q.collect().map(r => if (r.isNullAt(1)) -1L else r.getLong(1))
+    assert(got.count(_ == -1L) == 2 && got.filter(_ >= 0).sorted
+      .sameElements(Array(1L, 5L, 7L, 9L)))
+  }
+
+  test("attr top-k over a string column declines (no byte-order bound)") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq((1L, "aa"), (2L, "zz")).toDF("id", "tag").repartition(1)
+      .write.format("lwes").option("eventName", "Ts::S")
+      .option("compression", "gzip").mode("append").save(dir)
+    val q = spark.read.format("lwes").schema("id long, tag string")
+      .option("eventName", "Ts::S").load(dir)
+      .orderBy(col("tag").desc).limit(1)
+    assert(q.collect().map(_.getString(1)).sameElements(Array("zz")))
+    assert(!q.queryExecution.executedPlan.toString.contains("topN=["))
+  }
 }
