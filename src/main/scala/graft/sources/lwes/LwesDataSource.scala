@@ -1391,12 +1391,19 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       topNPruned = 0L // fresh per (re-)plan, like the other counters
       var topNLo = Long.MinValue
       var topNHi = Long.MaxValue
+      // r19 attribute top-N: the k-th-best bound also materializes as
+      // a synthesized predicate that rides the A31 frame prune and the
+      // task-side row filter/skim (sound to apply EXACTLY — see
+      // attrTopNPrune)
+      var topNAttrFilter: Option[Filter] = None
       val topNSlices = topN match {
-        // r19: attribute top-N — bound and prune from sidecar zone
-        // maps (file grain; the receipt path below also prunes frames)
+        // r19: attribute top-N — bound and prune from sidecar zone maps
         case Some(spec) if fileSlices.nonEmpty && spec.col.isDefined =>
-          if (statsPrune) attrTopNPrune(fileSlices, spec, conf)
-          else fileSlices
+          if (statsPrune) {
+            val (kept, flt) = attrTopNPrune(fileSlices, spec, conf)
+            topNAttrFilter = flt
+            kept
+          } else fileSlices
         case Some(spec) if fileSlices.nonEmpty =>
           topNBound(fileSlices, spec, conf) match {
             case Some(b) =>
@@ -1448,9 +1455,11 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // per-frame zone-map stats — same filters (static + runtime) and
       // eligibility guards as the file-level prune, zero extra IO (the
       // footer was being read for split planning anyway)
+      val frameFilters = pruneFilters ++ topNAttrFilter
       val frameKeep =
-        if (!statsEligible) null
-        else LwesDataSource.frameStatsKeep(pruneFilters, config.attrOf,
+        if (frameFilters.isEmpty || !statsPrune || config.esfDefaults.nonEmpty)
+          null
+        else LwesDataSource.frameStatsKeep(frameFilters, config.attrOf,
           c => config.schema.fields.find(_.name == c).map(_.dataType))
       val slices = topNSlices.flatMap { case (f, s) =>
         if (graft.lwes.SplitJournal.isSplit(s.path) && s.length > target)
@@ -1478,7 +1487,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // publish this (re-)plan's truth to any already-created reader
       // factory BEFORE the partitions become visible (A30)
       runtimeState.execStatsPrune = execStatsPrune
-      runtimeState.extraFilters = runtimeStatsFilters.toSeq
+      runtimeState.extraFilters = runtimeStatsFilters.toSeq ++ topNAttrFilter
       cachedPartitions = p
     }
     p
@@ -1582,24 +1591,62 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
   private def attrTopNPrune(
       slices: Array[(FileStatus, LwesInputPartition)],
       spec: LwesTopN, conf: Configuration)
-      : Array[(FileStatus, LwesInputPartition)] = {
+      : (Array[(FileStatus, LwesInputPartition)], Option[Filter]) = {
     val c = spec.col.get
     val attr = config.attrOf(c)
     val dt = config.schema.fields.find(_.name == c).map(_.dataType)
-      .getOrElse(return slices)
+      .getOrElse(return (slices, None))
     val cands = slices.filter(p => p._2.hasStats || p._2.hasManifest)
-    if (cands.isEmpty || cands.length > statsPruneMaxFiles) return slices
+    if (cands.isEmpty || cands.length > statsPruneMaxFiles)
+      return (slices, None)
     prefetchStats(cands.toSeq, conf)
     def statsOf(f: FileStatus, s: LwesInputPartition) =
       statsCache.getOrDefault(statsKey(f, s), None)
     val units = mutable.ArrayBuffer.empty[(Long, Long)] // (weak bound, count)
-    cands.foreach { case (f, s) =>
-      statsOf(f, s).foreach { st =>
-        st.attrs.get(attr).foreach { e =>
-          if (LwesStats.integralFits(e, dt) && e.count > 0)
-            units += ((if (spec.desc) e.minL else e.maxL, e.count))
-        }
-      }
+    // frame refinement: a fat `.zsj` file's whole-file unit is weak
+    // (its min spans the whole file — over ONE fat journal the bound
+    // would be the corpus min and nothing prunes). Its GSJ2 frame
+    // blobs carry the same stats per FRAME, so the best split
+    // candidates (by whole-file bound) refine to per-frame units —
+    // footer tails are cheap and mostly paid by split planning anyway.
+    // Capped at TopNFooterRefine footers like the receipt path.
+    val fileUnits = cands.flatMap { case (f, s) =>
+      statsOf(f, s).flatMap(_.attrs.get(attr))
+        .filter(e => LwesStats.integralFits(e, dt) && e.count > 0)
+        .map(e => (f, s, if (spec.desc) e.minL else e.maxL,
+          if (spec.desc) e.maxL else e.minL, e.count))
+    }
+    val refine = fileUnits
+      .filter { case (_, s, _, _, _) => graft.lwes.SplitJournal.isSplit(s.path) }
+      .sortBy { case (_, _, _, best, _) => best }(
+        if (spec.desc) Ordering[Long].reverse else Ordering[Long])
+      .take(LwesScan.TopNFooterRefine)
+      .map { case (f, s, _, _, _) => (f, s) }.toSet
+    fileUnits.foreach { case (f, s, weak, _, count) =>
+      val framed = refine.contains((f, s)) &&
+        (footerCache.computeIfAbsent(footerKey(f, s),
+          _ => readFooterOf(s, conf)) match {
+          case Some(frames) =>
+            val perFrame = frames.map { fr =>
+              if (fr.stats == null) None
+              else LwesStats.parse(fr.stats)
+                .filter(st => st.records == fr.records && st.fileLen == fr.rawLen)
+                .flatMap(_.attrs.get(attr))
+                .filter(e => LwesStats.integralFits(e, dt))
+            }
+            // all-or-nothing per file: a blobless/lying frame falls the
+            // whole file back to its (sound) whole-file unit
+            if (perFrame.exists(_.isEmpty)) false
+            else {
+              perFrame.flatten.foreach { e =>
+                if (e.count > 0)
+                  units += ((if (spec.desc) e.minL else e.maxL, e.count))
+              }
+              true
+            }
+          case None => false
+        })
+      if (!framed) units += ((weak, count))
     }
     val best = if (spec.desc) units.sortBy(_._1)(Ordering[Long].reverse)
                else units.sortBy(_._1)
@@ -1612,7 +1659,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       if (taken >= spec.k) { bound = best(i)._1; found = true }
       i += 1
     }
-    if (!found) return slices // fewer than k provable rows: no prune
+    if (!found) return (slices, None) // fewer than k provable rows
     val kept = slices.filter { case (f, s) =>
       (!s.hasStats && !s.hasManifest) || (statsOf(f, s) match {
         case Some(st) => st.attrs.get(attr) match {
@@ -1625,7 +1672,20 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       })
     }
     topNPruned = (slices.length - kept.length).toLong
-    kept
+    // synthesize the bound as a pushed-filter-shaped predicate: rows
+    // strictly outside it — and NULL rows — are provably outranked by
+    // the k bound-counted rows, so applying it EXACTLY (A31 frame
+    // prune, in-parse row filter, executor skims) is sound even though
+    // Spark never re-applies it. Boxed to the column's own type so the
+    // reader-side evaluators compare like-for-like.
+    val lit: Any = dt match {
+      case ShortType => java.lang.Short.valueOf(bound.toShort)
+      case IntegerType => java.lang.Integer.valueOf(bound.toInt)
+      case _ => java.lang.Long.valueOf(bound)
+    }
+    val flt: Filter =
+      if (spec.desc) GreaterThanOrEqual(c, lit) else LessThanOrEqual(c, lit)
+    (kept, Some(flt))
   }
 
   private def topNBound(

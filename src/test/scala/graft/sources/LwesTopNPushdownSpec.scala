@@ -323,4 +323,31 @@ class LwesTopNPushdownSpec extends AnyFunSuite {
     assert(q.collect().map(_.getString(1)).sameElements(Array("zz")))
     assert(!q.queryExecution.executedPlan.toString.contains("topN=["))
   }
+
+  test("attr top-k over one fat .zsj prunes low-score frames via the bound filter") {
+    // the synthesized `score >= B` predicate rides the A31 frame prune:
+    // a key-sorted fat journal decompresses only its high-score frames
+    val dir = tmp()
+    import spark.implicits._
+    (0L until 30000L).map(i => (i, i * 7))
+      .toDF("id", "score").repartition(1).sortWithinPartitions("score")
+      .write.format("lwes").option("eventName", "Ts::F")
+      .option(LwesOptions.SplitFrameBytes, "16384")
+      .mode("append").save(dir)
+    def q(opts: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, score long")
+        .option(LwesOptions.SplitTargetBytes, "16384")
+      opts.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+        .orderBy(col("score").desc).limit(20)
+    }
+    val pruned = q()
+    val got = pruned.collect().map(_.getLong(1))
+    val want = q(LwesOptions.TopNPrune -> "false").collect().map(_.getLong(1))
+    assert(got.sorted.sameElements(want.sorted))
+    val plan = pruned.queryExecution.executedPlan
+    assert(LwesScan.scansIn(plan).map(_.statsPrunedFrameCount).sum > 0L,
+      "the bound filter should drop low-score frames")
+    assert(LwesScan.scanMetricSum(plan, "eventsParsed") < 30000L,
+      "pruned frames must not be parsed")
+  }
 }
