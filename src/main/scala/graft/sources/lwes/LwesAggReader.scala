@@ -132,10 +132,16 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
   /** SUM accumulation with Spark's exact overflow semantics: ANSI
     * throws (the task fails loudly, as the unpushed Aggregate would),
     * non-ANSI wraps. Sidecar sums are overflow-guarded exact, so only
-    * the COMBINATION here can overflow — same as merging partials. */
+    * the COMBINATION here can overflow — same as merging partials.
+    * ANSI overflow goes through Spark's own `MathUtils.addExact` so the
+    * user sees the SparkArithmeticException (ARITHMETIC_OVERFLOW error
+    * class + the ansi-bypass suggestion) the unpushed Aggregate raises,
+    * not a bare java.lang.ArithmeticException. */
   private def addSum(acc: Acc, i: Int, v: Long): Unit = {
-    acc.sums(i) = if (spec.ansi) Math.addExact(acc.sums(i), v)
-                  else acc.sums(i) + v
+    acc.sums(i) =
+      if (spec.ansi)
+        org.apache.spark.sql.catalyst.util.MathUtils.addExact(acc.sums(i), v)
+      else acc.sums(i) + v
     acc.sumSeen(i) = true
   }
   // group key -> accumulators; insertion-ordered for deterministic

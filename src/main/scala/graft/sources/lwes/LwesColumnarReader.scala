@@ -309,6 +309,12 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     et match {
       case ShortType | IntegerType | LongType | FloatType | DoubleType =>
         if (width < 0) return false // string wire → numeric col: slow path
+        // bool wire elements read NULL in float/double columns on the
+        // row path (toCatalyst's asDouble has no Boolean case, matching
+        // the scalar writers) — route to the slow path so the fast fill
+        // cannot emit 0.0/1.0 where the row reader emits null
+        if (elem == LwesType.Bool && (et == FloatType || et == DoubleType))
+          return false
         // count present elements to bound-check the packed payload once
         var np = n
         if (nullable) {

@@ -1597,7 +1597,13 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     val dt = config.schema.fields.find(_.name == c).map(_.dataType)
       .getOrElse(return (slices, None))
     val cands = slices.filter(p => p._2.hasStats || p._2.hasManifest)
-    if (cands.isEmpty || cands.length > statsPruneMaxFiles)
+    // the cap bounds the DRIVER-side per-file GET wave, so (like the
+    // filter prune's uncoveredCandidates) it counts only candidates
+    // whose stats need their own GET — manifest-covered files cost one
+    // read per DIRECTORY, so a million manifest-covered journals still
+    // bound-and-prune at plan time
+    if (cands.isEmpty ||
+        cands.count(!_._2.hasManifest) > statsPruneMaxFiles)
       return (slices, None)
     prefetchStats(cands.toSeq, conf)
     def statsOf(f: FileStatus, s: LwesInputPartition) =

@@ -45,6 +45,15 @@ import org.apache.spark.sql.types._
   * directory partitioning (README `PARTITIONED BY(dt STRING)`).
   */
 object LwesStats {
+  /** Format-version skew contract: the magic is NOT bumped when new
+    * line kinds / fields are ADDED (r19 `nc=`/`e=`/`sm=`/`mne=`, r20
+    * `k=d`/`u8=`), because parse() is strict per SIDECAR — an older
+    * reader that trips on an unknown line discards the whole sidecar
+    * (NonFatal → None) and streams the file. That is the intended
+    * degradation during a rolling upgrade: old readers lose the
+    * SHORTCUT for newly written files, never correctness. Only a
+    * change that would make an old reader mis-PARSE an existing field
+    * (reordered keys, changed units) requires a new magic. */
   val Magic = "gstats1"
   /** Attribute cap: past it the sidecar is marked incomplete (absent
     * entries stop proving absence). 128 covers any sane event family. */
@@ -179,20 +188,30 @@ object LwesStats {
   private def manifestEntries(dir: Path,
       conf: org.apache.hadoop.conf.Configuration): Map[String, String] = {
     if (manifestCache.size > 4096) manifestCache.clear()
-    manifestCache.computeIfAbsent(dir.toString, _ =>
-      try {
-        val p = manifestPath(dir)
-        val fs = p.getFileSystem(conf)
-        val len = fs.getFileStatus(p).getLen
-        if (len > (64L << 20)) Map.empty
-        else {
-          val bytes = new Array[Byte](len.toInt)
-          val in = fs.open(p)
-          try in.readFully(0, bytes) finally in.close()
-          parseManifest(
-            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-        }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty })
+    val cached = manifestCache.get(dir.toString)
+    if (cached != null) return cached
+    // read OUTSIDE the cache insert: a failed read (transient IO error,
+    // or a reader racing the delete+rename publish window in
+    // writeManifest) must NOT pin Map.empty for the JVM's lifetime —
+    // in manifest-only directories (per-file sidecars deleted) that
+    // would disable stats answering and pruning for every later scan
+    // in this process. Failures return empty for THIS call and retry
+    // on the next scan; only successful parses are cached.
+    try {
+      val p = manifestPath(dir)
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      if (len > (64L << 20)) Map.empty // oversized: per-file fallback, uncached
+      else {
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        val parsed = parseManifest(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        manifestCache.put(dir.toString, parsed)
+        parsed
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
   private[sources] def parseManifest(text: String): Map[String, String] = {

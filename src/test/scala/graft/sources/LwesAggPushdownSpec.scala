@@ -331,6 +331,35 @@ class LwesAggPushdownSpec extends AnyFunSuite {
     assert(!plan(d).contains("agg=["), plan(d))
   }
 
+  test("pushed ANSI SUM overflow surfaces Spark's ARITHMETIC_OVERFLOW error") {
+    // two files whose per-file sums are sidecar-exact but whose
+    // COMBINATION overflows a long: the pushed merge must raise the
+    // same SparkArithmeticException (error class + ansi-bypass
+    // suggestion) the unpushed Aggregate would, not a bare
+    // java.lang.ArithmeticException
+    val dir = tmp()
+    (0 until 2).foreach { p =>
+      val w = JournalWriter.create(s"$dir/part-$p.gz")
+      (0 until 3).foreach(_ =>
+        w.write(LwesEvent("Ov::E").setInt64("v", Long.MaxValue / 4)))
+      w.close()
+    }
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val q = spark.read.format("lwes").schema("v long").load(dir)
+        .agg(sum(col("v")).as("s"))
+      val e = intercept[Exception](q.collect())
+      // local mode may surface the task failure unwrapped
+      val cause = if (e.isInstanceOf[org.apache.spark.SparkThrowable]) e
+                  else e.getCause
+      assert(cause.isInstanceOf[org.apache.spark.SparkThrowable],
+        s"expected a SparkThrowable (SparkArithmeticException), got $e")
+      assert(cause.asInstanceOf[org.apache.spark.SparkThrowable]
+        .getCondition == "ARITHMETIC_OVERFLOW", cause.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("grouped SUM and NULL-over-nothing semantics, sidecar and stream parity") {
     val dir = tmp()
     writePartitioned(dir) // dt in {0,1,2}; every 5th score NULL

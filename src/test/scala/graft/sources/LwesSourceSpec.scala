@@ -193,6 +193,49 @@ class LwesSourceSpec extends AnyFunSuite {
       "columnar decimal-array read must equal the row-path read bit-for-bit")
   }
 
+  test("bool array elements read into float/double columns: vectorized = row path (NULL)") {
+    import spark.implicits._
+    val dir = tmp()
+    // classic bool arrays AND nullable bool arrays (holes) on the wire
+    (0 until 200).map { i =>
+      (i.toLong, Seq(i % 2 == 0, i % 3 == 0),
+        Seq(Some(i % 2 == 0), if (i % 5 == 0) None else Some(true)))
+    }.toDF("id", "flags", "nflags").coalesce(1)
+      .write.format("lwes").option("eventName", "BoolArr::E")
+      .mode("append").save(dir)
+    // scalar Bool -> double is NULL on both readers (toCatalyst's
+    // asDouble has no Boolean case; the columnar ColWriter mirrors it);
+    // the ARRAY element conversion must agree on both paths too
+    def read(vectorized: Boolean) = spark.read.format("lwes")
+      .schema("id long, flags array<double>, nflags array<float>")
+      .option("eventName", "BoolArr::E")
+      .option("vectorized", vectorized.toString).load(dir)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getSeq[Any](1)).map(_.toList),
+        Option(r.getSeq[Any](2)).map(_.toList)))
+      .toSeq
+    val col = read(vectorized = true)
+    val row = read(vectorized = false)
+    assert(col == row,
+      "bool-array -> float/double column must be identical on the " +
+        "vectorized and row paths")
+    // and the agreed-on semantics is NULL elements, like the scalar read
+    assert(col.head._2.get.forall(_ == null))
+    assert(col.head._3.get.forall(_ == null))
+    // bool -> integral element reads keep the asLong 1/0 semantics on
+    // both paths (regression guard for the fix's scope)
+    def readInts(vectorized: Boolean) = spark.read.format("lwes")
+      .schema("id long, flags array<int>")
+      .option("eventName", "BoolArr::E")
+      .option("vectorized", vectorized.toString).load(dir)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).toList)).toSeq
+    val ci = readInts(vectorized = true)
+    assert(ci == readInts(vectorized = false))
+    assert(ci.head._2 == List(1, 0) || ci.head._2 == List(1, 1))
+  }
+
   test("write via DataFrame then read back round-trips (A3, A10)") {
     import spark.implicits._
     val dir = tmp()

@@ -240,6 +240,43 @@ class LwesStatsPruneSpec extends AnyFunSuite {
     assert(LwesScan.scanMetricSum(plan, "filesAggFromStats") == 3L)
   }
 
+  test("a failed manifest read is not cached: the next scan retries") {
+    // regression (r20 advisory): manifestEntries used to pin Map.empty
+    // in the JVM-lifetime cache on ANY read failure — a transient IO
+    // error (or racing the delete+rename publish window) permanently
+    // disabled stats answering for the directory; in manifest-only
+    // dirs that meant streaming every scan for the process lifetime
+    val dir = tmp()
+    writeRanged(dir)
+    val hpath = new org.apache.hadoop.fs.Path(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    assert(LwesStats.writeManifest(hpath, hconf) == 3)
+    // go manifest-only
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".") && f.getName.endsWith(".stats"))
+      .foreach(f => assert(f.delete()))
+    val journal = new java.io.File(dir).listFiles()
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .head
+    val mf = new java.io.File(dir, LwesStats.ManifestName)
+    val mfBytes = java.nio.file.Files.readAllBytes(mf.toPath)
+    assert(mf.delete())
+    LwesStats.clearManifestCacheForTesting()
+    // read while the manifest is GONE (the publish window): no stats —
+    // and, critically, no poisoned cache entry
+    val during = LwesStats.read(
+      new org.apache.hadoop.fs.Path(journal.getPath), hconf,
+      journal.length(), manifestHint = true, sidecarHint = false)
+    assert(during.isEmpty)
+    // manifest republished: the SAME JVM must see it on the next read
+    java.nio.file.Files.write(mf.toPath, mfBytes)
+    val after = LwesStats.read(
+      new org.apache.hadoop.fs.Path(journal.getPath), hconf,
+      journal.length(), manifestHint = true, sidecarHint = false)
+    assert(after.isDefined,
+      "a failed manifest read must not poison the cache for the JVM")
+  }
+
   test("batch commits publish the manifest incrementally: no writeManifest call") {
     // r19: each append's driver commit merges its sidecar texts into
     // the directory manifest (one read + one write, no listing), so

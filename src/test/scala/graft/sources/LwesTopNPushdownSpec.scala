@@ -290,6 +290,27 @@ class LwesTopNPushdownSpec extends AnyFunSuite {
       nf.queryExecution.executedPlan.toString)
   }
 
+  test("attr top-k: manifest-covered files do not count against the GET cap") {
+    // regression (r20 advisory): the cap bounds the DRIVER-side
+    // per-file sidecar GET wave, but manifest-covered candidates cost
+    // one read per DIRECTORY — counting them used to silently disable
+    // the attribute top-N prune at exactly the 10^5-file scale the A33
+    // manifest exists for. 4 manifest-covered files, cap 1: still prunes.
+    val dir = tmp()
+    writeScored(dir) // batch commits publish the directory manifest
+    assert(new java.io.File(dir, graft.sources.lwes.LwesStats.ManifestName)
+      .exists(), "precondition: the directory manifest must exist")
+    val q = rdScored(dir, LwesOptions.StatsPruneMaxFiles -> "1")
+      .orderBy(col("score").desc).limit(5)
+    val vals = q.collect().map(_.getLong(1))
+    val want = rdScored(dir, LwesOptions.TopNPrune -> "false")
+      .orderBy(col("score").desc).limit(5).collect().map(_.getLong(1))
+    assert(vals.sorted.sameElements(want.sorted))
+    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 3L,
+      "manifest-covered candidates must not trip the per-file GET cap")
+  }
+
   test("attr top-k: value parity when nulls pad an underfilled result") {
     // only 4 non-null in a tiny corpus, k=6: nulls enter a NULLS LAST
     // result tail; bound never reaches k from 4 provable rows -> no
