@@ -381,20 +381,33 @@ object LwesQueries {
         |  max(o_totalprice) AS max_total, count(o_orderpriority) AS n_pri
         |FROM orders""".stripMargin)),
 
-    // A26×A27 (r18): pushed aggregates answered from zone-map sidecars.
-    // GZIP journals (no footer index exists), a sparse string attribute
-    // (every 7th record omits it), COUNT(*)/COUNT(col)/MIN/MAX — the
-    // in-gate requires prove every file was answered from its sidecar
-    // with ZERO events parsed, i.e. the "how many / what span" query
-    // never opened a journal.
+    // A26×A27 (r18; float bounds r20): pushed aggregates answered from
+    // zone-map sidecars. GZIP journals (no footer index exists), a
+    // sparse string attribute (every 7th record omits it), a NATIVE
+    // double attribute (via an ESF template — the default writer keeps
+    // the reference's float-as-string parity, which is metadata-blind),
+    // COUNT(*)/COUNT(col)/MIN/MAX incl. double MIN/MAX — the in-gate
+    // requires prove every file was answered from its sidecar with
+    // ZERO events parsed, i.e. the "how many / what span" query never
+    // opened a journal.
     "lwes_agg_stats" -> ((
       (s: SparkSession, d: String) => {
-        val dir = cached(s"aggstats|$d") { dir =>
+        val dir = cached(s"aggstats2|$d") { dir =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, ".aggstats.esf"),
+            """Order::Created
+              |{
+              |  required int64 o_orderkey;
+              |  double o_totalprice;
+              |  string o_orderpriority;
+              |}
+              |""".stripMargin)
           t(s, d, "orders")
             .select(col("o_orderkey"), col("o_totalprice"),
               when(col("o_orderkey") % 7 =!= 0, col("o_orderpriority"))
                 .as("o_orderpriority"))
             .write.format("lwes").option("eventName", "Order::Created")
+            .option(graft.sources.lwes.LwesOptions.Esf, s"$dir/.aggstats.esf")
             .option("compression", "gzip").mode("append").save(dir)
         }
         val df = s.read.format("lwes")
@@ -403,7 +416,8 @@ object LwesQueries {
             "okey:o_orderkey, priority:o_orderpriority, total:o_totalprice")
           .load(dir)
           .agg(count(lit(1)).as("n"), count(col("priority")).as("n_pri"),
-            min(col("okey")).as("min_key"), max(col("okey")).as("max_key"))
+            min(col("okey")).as("min_key"), max(col("okey")).as("max_key"),
+            min(col("total")).as("min_total"), max(col("total")).as("max_total"))
         val rows = df.collect()
         val plan = df.queryExecution.executedPlan
         require(plan.toString.contains("agg=["),
@@ -419,7 +433,8 @@ object LwesQueries {
       },
       """SELECT count(*) AS n,
         |  count(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderpriority END) AS n_pri,
-        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
         |FROM orders""".stripMargin)),
 
     // A26×A31 (r18 late): pushed ATTRIBUTE aggregates over ONE fat
@@ -703,6 +718,120 @@ object LwesQueries {
         |  max(o_orderpriority) AS max_pri
         |FROM orders
         |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin)),
+
+    // A27 (r20): FLOAT/DOUBLE zone maps. Four journals with DISJOINT
+    // o_totalprice quartile ranges, written through an ESF template so
+    // the wire carries NATIVE double tokens (the default writer keeps
+    // the reference's float-as-string parity, which is metadata-blind);
+    // a pushed total <= q1-cut predicate must drop the three
+    // upper-range FILES at plan time from their kind-'d' sidecar
+    // bounds alone — IEEE-754-bit-exact, kept under Spark's own
+    // floating total order (NaN greatest, ±0.0 equal). The oracle
+    // replays the same predicate over parquet.
+    "lwes_stats_prune_float" -> ((
+      (s: SparkSession, d: String) => {
+        // cut = max/4: dividing a double by 4 is an exponent shift
+        // (exact), so Spark and the DuckDB oracle derive the IDENTICAL
+        // boundary — no approximate-quantile drift can shear the edge
+        val mx = t(s, d, "orders")
+          .agg(max(col("o_totalprice"))).head().getDouble(0)
+        val cut = mx / 4
+        val dir = cached(s"statsf|$d") { dir =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, ".statsf.esf"),
+            """Order::Fp
+              |{
+              |  required int64 o_orderkey;
+              |  double o_totalprice;
+              |}
+              |""".stripMargin)
+          val orders = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+          val parts = Seq(
+            col("o_totalprice") <= mx / 4,
+            col("o_totalprice") > mx / 4 && col("o_totalprice") <= mx / 2,
+            col("o_totalprice") > mx / 2 && col("o_totalprice") <= 3 * mx / 4,
+            col("o_totalprice") > 3 * mx / 4)
+          parts.foreach { p =>
+            orders.filter(p).repartition(1)
+              .write.format("lwes").option("eventName", "Order::Fp")
+              .option(graft.sources.lwes.LwesOptions.Esf, s"$dir/.statsf.esf")
+              .mode("append").save(dir)
+          }
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, total double")
+          .option("eventName", "Order::Fp")
+          .option("mapping", "okey:o_orderkey, total:o_totalprice")
+          .load(dir)
+          .filter(col("total") <= lit(cut))
+          .agg(count(lit(1)).as("n"), max(col("okey")).as("max_key"),
+            min(col("total")).as("min_total"), max(col("total")).as("max_total"))
+        val rows = df.collect()
+        val pruned = graft.sources.lwes.LwesScan
+          .scansIn(df.queryExecution.executedPlan)
+          .map(_.statsPrunedFileCount)
+        require(pruned.exists(_ >= 3),
+          s"float zone maps pruned no files (statsPruned per scan: " +
+            s"${pruned.mkString(",")}; expected >= 3 of 4)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT count(*) AS n, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
+        |FROM orders
+        |WHERE o_totalprice <= (SELECT max(o_totalprice) / 4 FROM orders)""".stripMargin)),
+
+    // A27 (r20): NON-ASCII string zone maps. Three journals keyed by a
+    // non-ASCII tag prefix ('ä-' / 'ö-' / 'ü-'); a pushed prefix
+    // predicate must drop the two other files at plan time. Sound
+    // because the records are UTF-8 (the default charset): the sidecar
+    // stores the decoded values' exact UTF-8 bytes, which ARE the
+    // read-back bytes, and UTF-8 byte order = code-point order =
+    // UTF8String's comparison order (the r19 ASCII-only guard lifted
+    // where provably safe; Latin-1 journals keep it). The oracle
+    // replays the same derived tag + prefix filter over parquet —
+    // DuckDB's default collation is binary UTF-8, the same order.
+    "lwes_stats_prune_utf8" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"statsu8|$d") { dir =>
+          val orders = t(s, d, "orders").select(col("o_orderkey"),
+            element_at(array(lit("ä"), lit("ö"), lit("ü")),
+              (pmod(col("o_orderkey"), lit(3)) + 1).cast("int"))
+              .as("pfx"))
+            .select(col("o_orderkey"),
+              concat(col("pfx"), lit("-"),
+                col("o_orderkey").cast("string")).as("tag"))
+          (0 until 3).foreach { q =>
+            orders.filter(pmod(col("o_orderkey"), lit(3)) === q)
+              .select("o_orderkey", "tag").repartition(1)
+              .write.format("lwes").option("eventName", "Order::U8")
+              .mode("append").save(dir)
+          }
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, tag string")
+          .option("eventName", "Order::U8")
+          .option("mapping", "okey:o_orderkey, tag:tag")
+          .load(dir)
+          .filter(col("tag").startsWith("ö"))
+          .agg(count(lit(1)).as("n"), max(col("okey")).as("max_key"),
+            min(col("tag")).as("min_tag"), max(col("tag")).as("max_tag"))
+        val rows = df.collect()
+        val pruned = graft.sources.lwes.LwesScan
+          .scansIn(df.queryExecution.executedPlan)
+          .map(_.statsPrunedFileCount)
+        require(pruned.exists(_ >= 2),
+          s"non-ASCII zone maps pruned no files (statsPruned per scan: " +
+            s"${pruned.mkString(",")}; expected >= 2 of 3)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """WITH tagged AS (
+        |  SELECT o_orderkey,
+        |    (CASE o_orderkey % 3 WHEN 0 THEN 'ä' WHEN 1 THEN 'ö'
+        |          ELSE 'ü' END) || '-' || CAST(o_orderkey AS VARCHAR) AS tag
+        |  FROM orders)
+        |SELECT count(*) AS n, max(o_orderkey) AS max_key,
+        |  min(tag) AS min_tag, max(tag) AS max_tag
+        |FROM tagged WHERE starts_with(tag, 'ö')""".stripMargin)),
 
     // A33 (r19): per-directory stats MANIFEST. Same disjoint-quartile
     // corpus as lwes_stats_prune, but the per-file sidecars are folded

@@ -88,10 +88,14 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case LongType | TimestampType => (a, b) =>
       java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    // SQLOrderingUtil, not java.lang compare: Spark's MIN/MAX treat
+    // -0.0 and 0.0 as EQUAL (first-seen wins), while NaN stays greatest
     case FloatType => (a, b) =>
-      java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+      org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareFloats(a.asInstanceOf[Float], b.asInstanceOf[Float])
     case DoubleType => (a, b) =>
-      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case BooleanType => (a, b) =>
       java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
     case StringType => (a, b) =>
@@ -209,6 +213,13 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       s"non-integral sidecar bound type $other") // answerAggregates filtered
   }
 
+  private def boxDbl(dt: DataType, v: Double): Any = dt match {
+    case FloatType => java.lang.Float.valueOf(v.toFloat)
+    case DoubleType => java.lang.Double.valueOf(v)
+    case other => throw new IllegalStateException(
+      s"non-floating sidecar bound type $other") // answerAggregates filtered
+  }
+
   /** Fold one metadata answer set (per file or per frame) into one
     * group's accumulators — ONE merge rule for the sidecar and
     * frame-stats paths, so their semantics cannot drift. */
@@ -229,6 +240,12 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
           mergeMin(acc, i, UTF8String.fromBytes(b.clone()))
         case (LwesStats.StrBoundAnswer(b), _: LwesAggFunc.MaxCol) =>
           mergeMax(acc, i, UTF8String.fromBytes(b.clone()))
+        // float/double bounds (r20): box to the column's own type —
+        // toFloat is exact under answerAggregates' allFloat fit rule
+        case (LwesStats.DblBoundAnswer(v), _: LwesAggFunc.MinCol) =>
+          mergeMin(acc, i, boxDbl(colType(i), v))
+        case (LwesStats.DblBoundAnswer(v), _: LwesAggFunc.MaxCol) =>
+          mergeMax(acc, i, boxDbl(colType(i), v))
         case (a, f) => throw new IllegalStateException(s"$a for $f")
       }
       i += 1

@@ -767,6 +767,49 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
     }
   }
 
+  /** Float/double comparisons (r20): FLOAT/DOUBLE wire tokens decode
+    * in place (4/8 BE bytes) and compare under Spark's exact order
+    * (compareDoubles: NaN greatest, ±0.0 equal). Integral tokens also
+    * evaluate — their double widening is the read conversion — but
+    * only when exact (|v| ≤ 2^53); string tokens (float-from-string
+    * journals) and arrays defer to the residual. */
+  private final class DblEarly(op: Int, lit: Double,
+      toFloat: Boolean) extends EarlyCheck {
+    @inline private def be32(b: Array[Byte], q: Int): Int =
+      ((b(q) & 0xff) << 24) | ((b(q + 1) & 0xff) << 16) |
+        ((b(q + 2) & 0xff) << 8) | (b(q + 3) & 0xff)
+    def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int = {
+      val x0 = token match {
+        case LwesType.Float =>
+          java.lang.Float.intBitsToFloat(be32(b, off)).toDouble
+        case LwesType.Double =>
+          java.lang.Double.longBitsToDouble(
+            (be32(b, off).toLong << 32) |
+              (be32(b, off + 4).toLong & 0xffffffffL))
+        case LwesType.Str | LwesType.IpAddr => return -1
+        case t if graft.lwes.LwesType.isArray(t) ||
+            graft.lwes.LwesType.isNullableArray(t) => return -1
+        case _ =>
+          if (lv > (1L << 53) || lv < -(1L << 53)) return -1 // inexact widen
+          lv.toDouble
+      }
+      // a FloatType column narrows the read value (asDouble(..).toFloat)
+      // BEFORE Spark compares it — mirror that, or an integral/double
+      // value just above a float rounding boundary mis-rejects
+      val x = if (toFloat) x0.toFloat.toDouble else x0
+      val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(x, lit)
+      val r = op match {
+        case OpEq => cmp == 0
+        case OpGt => cmp > 0
+        case OpGe => cmp >= 0
+        case OpLt => cmp < 0
+        case _ => cmp <= 0
+      }
+      if (r) 1 else 0
+    }
+  }
+
   private final class NumInEarly(set: Set[Long], trunc: Long => Long)
       extends EarlyCheck {
     def eval(token: Byte, b: Array[Byte], off: Int, len: Int, lv: Long): Int =
@@ -835,6 +878,40 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         }
       })
     }
+    // r20 float/double predicates: the generic num() path would
+    // truncate the literal AND getLong a float vector — these get
+    // their own early decode + typed post read, both under Spark's
+    // exact floating order
+    def isDblLit(v: Any): Boolean = v match {
+      case _: java.lang.Float | _: java.lang.Double => true
+      case _ => false
+    }
+    def dblGet(c: Int): Int => Double = {
+      val vec = vectors(c)
+      schema.fields(c).dataType match {
+        case FloatType => r => vec.getFloat(r).toDouble
+        case _ => r => vec.getDouble(r)
+      }
+    }
+    def dblCmp(a: String, op: Int, v: Any): Unit = {
+      val c = schema.fieldIndex(a)
+      val lit = v.asInstanceOf[Number].doubleValue()
+      early(c) ::= new DblEarly(op, lit,
+        toFloat = schema.fields(c).dataType == FloatType)
+      val vec = vectors(c)
+      val get = dblGet(c)
+      post += (r => !vec.isNullAt(r) && {
+        val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(get(r), lit)
+        op match {
+          case OpEq => cmp == 0
+          case OpGt => cmp > 0
+          case OpGe => cmp >= 0
+          case OpLt => cmp < 0
+          case _ => cmp <= 0
+        }
+      })
+    }
     config.attrFilters.foreach {
       case EqualTo(a, v: String) =>
         val c = schema.fieldIndex(a)
@@ -843,11 +920,16 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
         if (litB.forall(_ >= 0)) early(c) ::= new StrEqEarly(litB)
         val vec = vectors(c)
         post += (r => !vec.isNullAt(r) && vec.getUTF8String(r).equals(lit))
+      case EqualTo(a, v) if isDblLit(v) => dblCmp(a, OpEq, v)
       case EqualTo(a, v) => num(a, OpEq, v)
       case GreaterThan(a, v: String) => strCmp(a, OpGt, v)
       case GreaterThanOrEqual(a, v: String) => strCmp(a, OpGe, v)
       case LessThan(a, v: String) => strCmp(a, OpLt, v)
       case LessThanOrEqual(a, v: String) => strCmp(a, OpLe, v)
+      case GreaterThan(a, v) if isDblLit(v) => dblCmp(a, OpGt, v)
+      case GreaterThanOrEqual(a, v) if isDblLit(v) => dblCmp(a, OpGe, v)
+      case LessThan(a, v) if isDblLit(v) => dblCmp(a, OpLt, v)
+      case LessThanOrEqual(a, v) if isDblLit(v) => dblCmp(a, OpLe, v)
       case GreaterThan(a, v) => num(a, OpGt, v)
       case GreaterThanOrEqual(a, v) => num(a, OpGe, v)
       case LessThan(a, v) => num(a, OpLt, v)
@@ -879,6 +961,18 @@ class LwesColumnarBatchReader(files: Seq[LwesInputPartition],
             val set = lits.toSet
             val vec = vectors(c)
             post += (r => !vec.isNullAt(r) && set.contains(vec.getUTF8String(r)))
+          case FloatType | DoubleType =>
+            // membership = any-EqualTo under compareDoubles (±0.0 equal,
+            // NaN matches NaN); early checks AND within a column, so IN
+            // rides post-only (a disjunction can't early-reject per lit)
+            val lits = vs.map(_.asInstanceOf[Number].doubleValue())
+            val vec = vectors(c)
+            val get = dblGet(c)
+            post += (r => !vec.isNullAt(r) && {
+              val x = get(r)
+              lits.exists(l => org.apache.spark.sql.catalyst.util
+                .SQLOrderingUtil.compareDoubles(x, l) == 0)
+            })
           case _ =>
             val set = vs.map(litLong).toSet
             early(c) ::= new NumInEarly(set, truncOf(c))

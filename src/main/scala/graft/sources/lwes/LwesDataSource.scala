@@ -851,19 +851,37 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       case _ => false
     }
     def strCol(a: String): Boolean = colType(a).contains(StringType)
+    // r20: float/double comparisons push too — they feed the zone-map
+    // file prune (kind-'d' sidecars), runtime skipping, frame pruning,
+    // and the in-parse short-circuit; like everything here they stay
+    // residual, so deferred shapes (float-from-string journals) only
+    // cost a pass-through
+    def dblCol(a: String): Boolean = colType(a).exists {
+      case FloatType | DoubleType => true
+      case _ => false
+    }
+    def dblLit(v: Any): Boolean = v match {
+      case _: java.lang.Float | _: java.lang.Double => true
+      case _ => false
+    }
     attrFilters = filters.filter {
       case EqualTo(a, v: String) => attrCols(a) && strCol(a) && v != null
-      case EqualTo(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
+      case EqualTo(a, v) => attrCols(a) &&
+        ((integralCol(a) && integralLit(v)) || (dblCol(a) && dblLit(v)))
       // r16 pushdown breadth: string ranges, LIKE-prefix, and IN — the
       // filters a `props LIKE 'x%'`-era journal query actually pushes
       case GreaterThan(a, v: String) => attrCols(a) && strCol(a) && v != null
       case GreaterThanOrEqual(a, v: String) => attrCols(a) && strCol(a) && v != null
       case LessThan(a, v: String) => attrCols(a) && strCol(a) && v != null
       case LessThanOrEqual(a, v: String) => attrCols(a) && strCol(a) && v != null
-      case GreaterThan(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
-      case GreaterThanOrEqual(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
-      case LessThan(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
-      case LessThanOrEqual(a, v) => attrCols(a) && integralCol(a) && integralLit(v)
+      case GreaterThan(a, v) => attrCols(a) &&
+        ((integralCol(a) && integralLit(v)) || (dblCol(a) && dblLit(v)))
+      case GreaterThanOrEqual(a, v) => attrCols(a) &&
+        ((integralCol(a) && integralLit(v)) || (dblCol(a) && dblLit(v)))
+      case LessThan(a, v) => attrCols(a) &&
+        ((integralCol(a) && integralLit(v)) || (dblCol(a) && dblLit(v)))
+      case LessThanOrEqual(a, v) => attrCols(a) &&
+        ((integralCol(a) && integralLit(v)) || (dblCol(a) && dblLit(v)))
       case org.apache.spark.sql.sources.StringStartsWith(a, v) =>
         attrCols(a) && strCol(a) && v != null
       // r18 breadth: LIKE '%x' / LIKE '%x%' push too — suffix/substring
@@ -875,7 +893,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       case In(a, vs) =>
         attrCols(a) && vs != null && vs.nonEmpty && (
           (strCol(a) && vs.forall(_.isInstanceOf[String])) ||
-          (integralCol(a) && vs.forall(integralLit)))
+          (integralCol(a) && vs.forall(integralLit)) ||
+          (dblCol(a) && vs.forall(dblLit)))
       case org.apache.spark.sql.sources.IsNotNull(a) =>
         attrCols(a) && colType(a).isDefined
       case _ => false
@@ -2680,11 +2699,29 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
     def num(a: String, p: Long => Boolean): Option[(Int, Any => Boolean)] =
       idx(a).map(i => (i, (x: Any) => x != null &&
         p(x.asInstanceOf[Number].longValue())))
+    // float/double predicates evaluate under Spark's exact comparison
+    // order (compareDoubles: NaN greatest, ±0.0 equal) — the Number
+    // catch-alls below would TRUNCATE, which is unsound for ranges
+    // (e.g. 2.7 > 2.3 but trunc 2 > 2 is false). Float column values
+    // widen to double exactly, so one double comparator serves both.
+    def dblLitOf(v: Any): Option[Double] = v match {
+      case d: java.lang.Double => Some(d.doubleValue())
+      case f: java.lang.Float => Some(f.doubleValue())
+      case _ => None
+    }
+    def dbl(a: String, v: Any, p: Int => Boolean): Option[(Int, Any => Boolean)] =
+      dblLitOf(v).flatMap { lit =>
+        idx(a).map(i => (i, (x: Any) => x != null &&
+          p(org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+            .compareDoubles(x.asInstanceOf[Number].doubleValue(), lit))))
+      }
     config.attrFilters.toArray.flatMap {
       case EqualTo(a, v: String) =>
         val lit = UTF8String.fromString(v)
         idx(a).map(i => (i, (x: Any) => x != null &&
           x.asInstanceOf[UTF8String].equals(lit)))
+      case EqualTo(a, v @ (_: java.lang.Float | _: java.lang.Double)) =>
+        dbl(a, v, _ == 0)
       case EqualTo(a, v: Number) => num(a, _ == v.longValue())
       case GreaterThan(a, v: String) =>
         val lit = UTF8String.fromString(v)
@@ -2702,6 +2739,14 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
         val lit = UTF8String.fromString(v)
         idx(a).map(i => (i, (x: Any) => x != null &&
           x.asInstanceOf[UTF8String].compareTo(lit) <= 0))
+      case GreaterThan(a, v @ (_: java.lang.Float | _: java.lang.Double)) =>
+        dbl(a, v, _ > 0)
+      case GreaterThanOrEqual(a, v @ (_: java.lang.Float | _: java.lang.Double)) =>
+        dbl(a, v, _ >= 0)
+      case LessThan(a, v @ (_: java.lang.Float | _: java.lang.Double)) =>
+        dbl(a, v, _ < 0)
+      case LessThanOrEqual(a, v @ (_: java.lang.Float | _: java.lang.Double)) =>
+        dbl(a, v, _ <= 0)
       case GreaterThan(a, v: Number) => num(a, _ > v.longValue())
       case GreaterThanOrEqual(a, v: Number) => num(a, _ >= v.longValue())
       case LessThan(a, v: Number) => num(a, _ < v.longValue())
@@ -2726,6 +2771,17 @@ class LwesPartitionReader(partition: LwesInputPartition, config: LwesReadConfig,
                 UTF8String.fromString(x.asInstanceOf[String])).toSet
               (i, (x: Any) => x != null &&
                 set.contains(x.asInstanceOf[UTF8String]))
+            case org.apache.spark.sql.types.FloatType |
+                org.apache.spark.sql.types.DoubleType =>
+              // membership under compareDoubles: ±0.0 literals match
+              // either sign, NaN literals match NaN rows (Spark's
+              // EqualTo semantics for floats)
+              val lits = vs.map(_.asInstanceOf[Number].doubleValue())
+              (i, (x: Any) => x != null && {
+                val xv = x.asInstanceOf[Number].doubleValue()
+                lits.exists(l => org.apache.spark.sql.catalyst.util
+                  .SQLOrderingUtil.compareDoubles(xv, l) == 0)
+              })
             case _ =>
               val set = vs.map(_.asInstanceOf[Number].longValue()).toSet
               (i, (x: Any) => x != null &&

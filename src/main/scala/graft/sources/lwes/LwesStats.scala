@@ -267,18 +267,39 @@ object LwesStats {
   }
 
   /** Value-class kinds: 'l' integral (long interpretation), 's' ASCII
-    * string, 'x' present-but-unprunable (floats, arrays, mixed, ...).
+    * string, 'd' float/double (r20), 'x' present-but-unprunable
+    * (arrays, mixed, ...).
     * `sum` (r19): the exact long sum of an integral attribute's values
     * — absent when the tracker's overflow guard tripped or the sidecar
     * predates r19, in which case pushed SUMs stream. `minExact` (r19):
     * `minS` is a full observed VALUE, not a truncated prefix — with
     * `!maxSInf`, string MIN/MAX become metadata-answerable (the stored
     * UTF-8 bytes are the column's read-back bytes, and the tracker's
-    * byte-wise order IS UTF8String's order). */
+    * byte-wise order IS UTF8String's order).
+    * `minD`/`maxD` (r20): bounds under Spark's EXACT floating total
+    * order — `SQLOrderingUtil.compareDoubles`, i.e. NaN greatest and
+    * ±0.0 EQUAL — which is the order Spark's comparison operators AND
+    * its MIN/MAX aggregates evaluate with, so bounds computed with it
+    * prune and answer exactly (a file of all-NaN values has NaN
+    * bounds; `col > 5` keeps it because NaN > 5 is TRUE in Spark).
+    * `allFloat` marks that every observed value arrived on a FLOAT
+    * wire token: the float→double widening is exact, so the stats may
+    * also speak for a FloatType column (a DOUBLE wire value read into
+    * a FloatType column rounds, which can collapse values across a
+    * pushed literal — those keep their files, the integral
+    * narrowing rule's floating twin).
+    * `utf8` (r20): every non-ASCII observed string value rode a record
+    * whose charset round-trips it exactly (UTF-8; the codec REJECTS
+    * Latin-1-unmappable chars, but the guard keeps Latin-1 journals
+    * conservative) — with it, string predicate pruning extends beyond
+    * ASCII: stored bytes = read-back bytes = the literal's UTF-8, all
+    * compared in UTF8String's byte order. */
   final case class AttrStats(kind: Char, count: Long,
       minL: Long, maxL: Long,
       minS: Array[Byte], maxS: Array[Byte], maxSInf: Boolean, ascii: Boolean,
-      sum: Option[Long] = None, minExact: Boolean = false)
+      sum: Option[Long] = None, minExact: Boolean = false,
+      minD: Double = 0.0, maxD: Double = 0.0, allFloat: Boolean = false,
+      utf8: Boolean = false)
 
   /** `names` = per-event-name record counts (r19, A32: lets
     * `GROUP BY <event-name column>` + COUNT(*) answer from the sidecar
@@ -304,7 +325,19 @@ object LwesStats {
     var sum = 0L
     var sumValid = true // overflow guard: a wrapped sum is never written
     var minExact = false // stored minS is a full observed value (r19)
+    var minD = 0.0 // float/double bounds under compareDoubles (r20)
+    var maxD = 0.0
+    var seenD = false
+    var allFloat = true // every value rode a FLOAT wire token
+    var utf8 = true // every non-ASCII value rode a UTF-8 record
   }
+
+  /** Spark's EXACT floating total order (NaN greatest, -0.0 == 0.0):
+    * the order its comparison operators, sorts, and MIN/MAX evaluate
+    * with — bounds kept under any OTHER order (IEEE, Double.compare)
+    * would mis-prune NaN or ±0.0 edge rows. */
+  @inline private def cmpD(a: Double, b: Double): Int =
+    org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(a, b)
 
   /** Write-side accumulator; one per open journal. Not thread-safe
     * (a DataWriter is single-threaded). */
@@ -321,6 +354,14 @@ object LwesStats {
         val prev = names.getOrElse(ev.name, 0L)
         if (prev == 0L && names.size >= MaxNames) { names.clear(); namesComplete = false }
         else names.update(ev.name, prev + 1)
+      }
+      // record charset: UTF-8 round-trips every value exactly, so
+      // non-ASCII bounds stay prunable; a Latin-1 record keeps the
+      // conservative ASCII-only guard for the attrs it touches
+      val recUtf8 = ev.get(graft.lwes.LwesCodec.EncAttr) match {
+        case Some(a) if a.token == LwesType.Int16 =>
+          a.value != graft.lwes.LwesCodec.EncIso88591
+        case _ => true // absent = UTF-8 (lwes-java DEFAULT_ENCODING)
       }
       var i = 0
       val attrs = ev.attrs
@@ -342,12 +383,36 @@ object LwesStats {
             if (s.sumValid)
               try s.sum = Math.addExact(s.sum, v)
               catch { case _: ArithmeticException => s.sumValid = false }
+          } else if (s.kind == 'd') {
+            // float widens to double EXACTLY; bounds under Spark's own
+            // floating total order (NaN greatest, ±0.0 equal)
+            val v = a.value match {
+              case f: java.lang.Float => f.doubleValue()
+              case d: java.lang.Double => s.allFloat = false; d.doubleValue()
+              case other => throw new IllegalStateException(s"not fp: $other")
+            }
+            if (!s.seenD) { s.minD = v; s.maxD = v; s.seenD = true }
+            else {
+              if (cmpD(v, s.minD) < 0) s.minD = v
+              if (cmpD(v, s.maxD) > 0) s.maxD = v
+            }
           } else if (s.kind == 's') {
             val str = a.value.asInstanceOf[String]
             if (s.ascii) {
               var j = 0
               while (j < str.length && str.charAt(j) < 0x80) j += 1
-              if (j < str.length) s.ascii = false
+              if (j < str.length) {
+                s.ascii = false
+                // bounds of a non-ASCII value are read-back-exact only
+                // when the record charset round-trips it (UTF-8)
+                if (!recUtf8) s.utf8 = false
+              }
+            } else if (!recUtf8) {
+              // already non-ASCII overall: a Latin-1 record clears the
+              // flag only if THIS value is non-ASCII too
+              var j = 0
+              while (j < str.length && str.charAt(j) < 0x80) j += 1
+              if (j < str.length) s.utf8 = false
             }
             val b = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             if (s.minS == null || cmpB(b, s.minS) < 0) {
@@ -386,7 +451,16 @@ object LwesStats {
             val mx = if (s.maxS == null) "" else b64.encodeToString(s.maxS)
             sb.append(s"a=$enc k=s n=${s.count} smn=$mn smx=$mx " +
               s"sinf=${if (s.maxSInf) 1 else 0} ascii=${if (s.ascii) 1 else 0} " +
-              s"mne=${if (s.minExact) 1 else 0}\n")
+              s"mne=${if (s.minExact) 1 else 0} " +
+              s"u8=${if (s.utf8) 1 else 0}\n")
+          // float/double bounds as raw IEEE-754 bits: decimal text
+          // round-trips are lossy exactly at the bound values pruning
+          // compares against (r20)
+          case 'd' if s.seenD =>
+            sb.append(s"a=$enc k=d n=${s.count} " +
+              s"dmn=${java.lang.Double.doubleToRawLongBits(s.minD)} " +
+              s"dmx=${java.lang.Double.doubleToRawLongBits(s.maxD)} " +
+              s"af=${if (s.allFloat) 1 else 0}\n")
           case _ => sb.append(s"a=$enc k=x n=${s.count}\n")
         }
       }
@@ -398,6 +472,7 @@ object LwesStats {
     case LwesType.UInt16 | LwesType.Int16 | LwesType.UInt32 |
         LwesType.Int32 | LwesType.Int64 | LwesType.UInt64 => 'l'
     case LwesType.Str => 's'
+    case LwesType.Float | LwesType.Double => 'd'
     case _ => 'x'
   }
 
@@ -450,7 +525,14 @@ object LwesStats {
           if (f("smx").isEmpty) null else b64.decode(f("smx")),
           maxSInf = f("sinf") == "1", ascii = f("ascii") == "1",
           // absent mne = pre-r19 sidecar: exactness unknown, stream
-          minExact = f.get("mne").contains("1"))
+          minExact = f.get("mne").contains("1"),
+          // absent u8 = pre-r20 sidecar: charset unknown, ASCII-only
+          utf8 = f.get("u8").contains("1"))
+        case "d" => AttrStats('d', f("n").toLong, 0L, 0L, null, null,
+          maxSInf = false, ascii = false,
+          minD = java.lang.Double.longBitsToDouble(f("dmn").toLong),
+          maxD = java.lang.Double.longBitsToDouble(f("dmx").toLong),
+          allFloat = f("af") == "1")
         case _ => AttrStats('x', f("n").toLong, 0L, 0L, null, null,
           maxSInf = false, ascii = false)
       }
@@ -478,6 +560,23 @@ object LwesStats {
     e.kind == 'l' && typeRange(dt).exists {
       case (lo, hi) => e.minL >= lo && e.maxL <= hi
     }
+
+  /** The floating twin (r20): 'd' stats speak for a DoubleType column
+    * always (float widens to double exactly) and for a FloatType
+    * column only when every observed value was a FLOAT wire token — a
+    * double narrowed by the FloatType read rounds, which can collapse
+    * values across the bounds. */
+  def dblFits(e: AttrStats, dt: DataType): Boolean =
+    e.kind == 'd' &&
+      (dt == DoubleType || (dt == FloatType && e.allFloat))
+
+  /** String stats speak for predicate pruning when the stored bounds
+    * provably equal read-back bytes AND literal comparison is sound:
+    * all-ASCII values (identity under every charset, pre-r20 rule) or
+    * the r20 `u8` proof that every non-ASCII value rode a UTF-8
+    * record (UTF-8 byte order = code-point order = UTF8String order). */
+  def strPrunable(e: AttrStats): Boolean =
+    e.kind == 's' && (e.ascii || e.utf8)
 
   private def typeRange(dt: DataType): Option[(Long, Long)] = dt match {
     case ByteType => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
@@ -531,7 +630,7 @@ object LwesStats {
         stats.complete
       case Some(e) =>
         typeOf(c) match {
-          case Some(StringType) if e.kind == 's' && e.ascii =>
+          case Some(StringType) if strPrunable(e) =>
             stringUnsat(e, filter)
           case Some(dt) if e.kind == 'l' =>
             typeRange(dt) match {
@@ -539,6 +638,8 @@ object LwesStats {
                 longUnsat(e, filter)
               case _ => false // narrowing read could reorder: keep
             }
+          case Some(dt @ (FloatType | DoubleType)) if dblFits(e, dt) =>
+            dblUnsat(e, filter)
           case _ => false // class mismatch / unprunable kind
         }
     }
@@ -557,6 +658,34 @@ object LwesStats {
       case LessThanOrEqual(_, v) => lv(v).exists(x => e.minL > x)
       case In(_, vs) if vs.nonEmpty =>
         vs.forall(v => lv(v).exists(x => x < e.minL || x > e.maxL))
+      case _ => false
+    }
+  }
+
+  /** Float/double unsatisfiability under Spark's exact comparison
+    * order (cmpD): the SAME order the row-level predicates evaluate
+    * with, so NaN bounds (greatest) and ±0.0 (equal) prune exactly —
+    * e.g. `col = 0.0` keeps a file whose only value is -0.0, and
+    * `col > 5.0` keeps an all-NaN file (NaN > 5.0 is TRUE in Spark).
+    * Only Float/Double literals prune: an integral literal would have
+    * been cast by Spark before pushdown, and a raw long widened here
+    * could round across the bounds. */
+  private def dblUnsat(e: AttrStats, filter: Filter): Boolean = {
+    def dv(v: Any): Option[Double] = v match {
+      case d: java.lang.Double => Some(d.doubleValue())
+      case f: java.lang.Float => Some(f.doubleValue())
+      case _ => None
+    }
+    filter match {
+      case EqualTo(_, v) =>
+        dv(v).exists(x => cmpD(x, e.minD) < 0 || cmpD(x, e.maxD) > 0)
+      case GreaterThan(_, v) => dv(v).exists(x => cmpD(e.maxD, x) <= 0)
+      case GreaterThanOrEqual(_, v) => dv(v).exists(x => cmpD(e.maxD, x) < 0)
+      case LessThan(_, v) => dv(v).exists(x => cmpD(e.minD, x) >= 0)
+      case LessThanOrEqual(_, v) => dv(v).exists(x => cmpD(e.minD, x) > 0)
+      case In(_, vs) if vs.nonEmpty =>
+        vs.forall(v => dv(v).exists(x =>
+          cmpD(x, e.minD) < 0 || cmpD(x, e.maxD) > 0))
       case _ => false
     }
   }
@@ -606,6 +735,10 @@ object LwesStats {
   /** String MIN/MAX contribution (r19): the exact observed bound as
     * UTF-8 bytes (the column's read-back representation). */
   final case class StrBoundAnswer(v: Array[Byte]) extends AggAnswer
+  /** Float/double MIN/MAX contribution (r20): the exact bound under
+    * Spark's floating total order, as a double (FloatType columns box
+    * back via toFloat, exact under the allFloat fit rule). */
+  final case class DblBoundAnswer(v: Double) extends AggAnswer
 
   /** Exact answers for a pushed aggregation from one file's metadata —
     * the A26×A27 synergy: what the `.zsj` footer fast path does for
@@ -669,6 +802,11 @@ object LwesStats {
           case Some(Left(e)) if integralFits(e, c) => Some(CountAnswer(e.count))
           case Some(Left(e)) if e.kind == 's' &&
               typeOf(c).contains(StringType) => Some(CountAnswer(e.count))
+          // float/double wire → Float/Double column never nulls (both
+          // conversions are total), so the observed count is the
+          // non-null count — no allFloat requirement for COUNT
+          case Some(Left(e)) if e.kind == 'd' && typeOf(c).exists(t =>
+              t == FloatType || t == DoubleType) => Some(CountAnswer(e.count))
           case Some(Left(_)) => None // class/type mismatch: conversion may null
           case Some(Right(())) => Some(CountAnswer(0L))
           case None => None
@@ -685,6 +823,12 @@ object LwesStats {
           case Some(Left(e)) if e.kind == 's' &&
               typeOf(c).contains(StringType) && e.minExact && e.minS != null =>
             Some(StrBoundAnswer(e.minS))
+          // float/double MIN (r20): bounds are kept under Spark's own
+          // MIN/MAX evaluation order (compareDoubles), so the stored
+          // bound IS what the unpushed Min would produce; the dblFits
+          // rule bars narrowing (double wire → FloatType) reads
+          case Some(Left(e)) if typeOf(c).exists(dblFits(e, _)) =>
+            Some(DblBoundAnswer(e.minD))
           case Some(Right(())) => Some(BoundAnswer(None))
           case _ => None
         }
@@ -694,6 +838,8 @@ object LwesStats {
           case Some(Left(e)) if e.kind == 's' &&
               typeOf(c).contains(StringType) && !e.maxSInf && e.maxS != null =>
             Some(StrBoundAnswer(e.maxS))
+          case Some(Left(e)) if typeOf(c).exists(dblFits(e, _)) =>
+            Some(DblBoundAnswer(e.maxD))
           case Some(Right(())) => Some(BoundAnswer(None))
           case _ => None
         }

@@ -74,13 +74,62 @@ class LwesAggStatsSpec extends AnyFunSuite {
       r.getLong(2) == 0L && r.getLong(3) == 299L)
   }
 
-  test("a float bound is not sidecar-exact: the whole file streams") {
+  test("float-FROM-STRING bounds are not sidecar-exact: the whole file streams") {
+    // the default writer keeps the reference's float-as-string parity:
+    // the wire attr is a STRING ('s' stats) read as DoubleType — a
+    // class mismatch, so the r20 'd' fast path correctly stands down
     val dir = tmp()
     writeGz(dir)
     val q = checkParity(dir, _.agg(count(lit(1)).as("n"),
       max(col("cost")).as("mx_cost")))
     assert(metric(q, "eventsParsed") == 300L)
     assert(metric(q, "filesAggFromStats") == 0L)
+  }
+
+  test("declared-type float/double MIN/MAX answer from kind-d sidecars (r20)") {
+    import spark.implicits._
+    val dir = tmp()
+    // native double/float wire tokens via an ESF template (no defaults)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".fp.esf"),
+      "Fp::A\n{\n  required int64 id;\n  double m;\n  float f;\n}\n")
+    (0 until 3).foreach { p =>
+      (p * 100 until p * 100 + 100)
+        .map(i => (i.toLong, i * 1.5, (i * 0.25).toFloat))
+        .toDF("id", "m", "f").repartition(1)
+        .write.format("lwes").option("eventName", "Fp::A")
+        .option(LwesOptions.Esf, s"$dir/.fp.esf")
+        .option("compression", "gzip").mode("append").save(dir)
+    }
+    def r(extra: (String, String)*) = {
+      val base = spark.read.format("lwes")
+        .schema("id long, m double, f float").option("eventName", "Fp::A")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir)
+    }
+    def agg(d: DataFrame) = d.agg(count(lit(1)).as("n"),
+      min(col("m")).as("mn_m"), max(col("m")).as("mx_m"),
+      min(col("f")).as("mn_f"), max(col("f")).as("mx_f"),
+      count(col("m")).as("n_m"))
+    // eventName option gates records — drop it for the ungated scan
+    val pushed = agg(spark.read.format("lwes")
+      .schema("id long, m double, f float").load(dir))
+    val want = agg(r(LwesOptions.AggPushdown -> "false"))
+    val a = pushed.collect()(0)
+    val b = want.collect()(0)
+    assert(a == b, s"pushed $a vs unpushed $b")
+    assert(a.getDouble(1) == 0.0 && a.getDouble(2) == 299 * 1.5)
+    assert(a.getFloat(3) == 0.0f && a.getFloat(4) == (299 * 0.25).toFloat)
+    assert(LwesScan.scanMetricSum(pushed.queryExecution.executedPlan,
+      "eventsParsed") == 0L, "kind-d sidecar answers must not parse")
+    assert(LwesScan.scanMetricSum(pushed.queryExecution.executedPlan,
+      "filesAggFromStats") == 3L)
+    // double wire read as a FLOAT column narrows: MIN/MAX must stream
+    val narrowed = spark.read.format("lwes").schema("id long, m float")
+      .load(dir).agg(min(col("m")).as("mn"))
+    narrowed.collect()
+    assert(LwesScan.scanMetricSum(narrowed.queryExecution.executedPlan,
+      "eventsParsed") == 300L,
+      "double wire -> FloatType MIN must stream (no allFloat)")
   }
 
   test("an event-name filter gates records: sidecars stand down") {

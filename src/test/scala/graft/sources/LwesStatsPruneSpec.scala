@@ -82,6 +82,123 @@ class LwesStatsPruneSpec extends AnyFunSuite {
     parity(dir, _.filter(col("page").startsWith("z/")))
   }
 
+  /** Three files with disjoint DOUBLE wire ranges (via an ESF template
+    * declaring native float/double tokens — the default writer keeps
+    * the reference's float-as-string parity, which stats 's'-class):
+    * m in [0,100), [100,200), [200,300); f = m as float. */
+  private def writeFpRanged(dir: String): Unit = {
+    import spark.implicits._
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".fp.esf"),
+      "Fp::E\n{\n  required int64 id;\n  double m;\n  float f;\n}\n")
+    Seq(0, 100, 200).foreach { base =>
+      (base until base + 100)
+        .map(i => (i.toLong, i.toDouble + 0.5, (i.toFloat + 0.5f)))
+        .toDF("id", "m", "f").repartition(1)
+        .write.format("lwes").option("eventName", "Fp::E")
+        .option(LwesOptions.Esf, s"$dir/.fp.esf")
+        .mode("append").save(dir)
+    }
+  }
+
+  private def rdFp(dir: String, extra: (String, String)*): DataFrame = {
+    // read WITHOUT the template: declared-type wire tokens need no ESF
+    // on the read side, and template defaults would disable pruning
+    val base = spark.read.format("lwes")
+      .schema("id long, m double, f float")
+      .option("eventName", "Fp::E")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+  }
+
+  private def fpPruned(df: DataFrame): Long = {
+    df.collect()
+    LwesScan.scansIn(df.queryExecution.executedPlan)
+      .map(_.statsPrunedFileCount).sum
+  }
+
+  private def fpParity(dir: String, f: DataFrame => DataFrame): Unit = {
+    val a = f(rdFp(dir)).orderBy("id").collect()
+    val b = f(rdFp(dir, LwesOptions.StatsPrune -> "false")).orderBy("id").collect()
+    assert(a.sameElements(b), "pruned and unpruned answers diverged")
+  }
+
+  test("float/double range predicates prune whole files (kind-d sidecars, r20)") {
+    val dir = tmp()
+    writeFpRanged(dir)
+    assert(fpPruned(rdFp(dir).filter(col("m") < 100.0)) == 2L)
+    assert(fpPruned(rdFp(dir).filter(col("m") >= 250.0)) == 2L)
+    assert(fpPruned(rdFp(dir).filter(col("m") === 150.5)) == 2L)
+    assert(fpPruned(rdFp(dir).filter(col("m").isin(5.5, 7.5))) == 2L)
+    // FloatType column over FLOAT wire values (allFloat) prunes too
+    assert(fpPruned(rdFp(dir).filter(col("f") < 100.0f)) == 2L)
+    fpParity(dir, _.filter(col("m") < 100.0))
+    fpParity(dir, _.filter(col("m") === 150.5))
+    fpParity(dir, _.filter(col("f") < 100.0f))
+  }
+
+  test("float zone maps: NaN is greatest and ±0.0 are equal (Spark order)") {
+    import spark.implicits._
+    val dir = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".fp.esf"),
+      "Fp::N\n{\n  required int64 id;\n  double m;\n}\n")
+    def write(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "m").repartition(1)
+        .write.format("lwes").option("eventName", "Fp::N")
+        .option(LwesOptions.Esf, s"$dir/.fp.esf").mode("append").save(dir)
+    write(Seq((1L, 1.0), (2L, Double.NaN))) // NaN file: bounds [1, NaN]
+    write(Seq((3L, -0.0)))                  // negative-zero file
+    write(Seq((4L, -50.0), (5L, -10.0)))    // plainly negative file
+    def r(extra: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, m double")
+        .option("eventName", "Fp::N")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir)
+    }
+    // m > 1e9 matches ONLY the NaN row (NaN > x is TRUE in Spark's
+    // order): the NaN file must survive pruning, the other two drop
+    val gtHuge = r().filter(col("m") > 1e9)
+    assert(gtHuge.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(LwesScan.scansIn(gtHuge.queryExecution.executedPlan)
+      .map(_.statsPrunedFileCount).sum == 2L,
+      "NaN bounds must keep their file for a > predicate")
+    // m = 0.0 matches the -0.0 row (±0.0 EQUAL in Spark comparisons):
+    // the -0.0 file must survive an EqualTo(0.0) prune
+    val eqZero = r().filter(col("m") === 0.0)
+    assert(eqZero.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val eqZeroUnpruned = r(LwesOptions.StatsPrune -> "false")
+      .filter(col("m") === 0.0).collect().map(_.getLong(0)).toSeq
+    assert(eqZeroUnpruned == Seq(3L))
+    // and the all-negative file is prunable under it
+    assert(LwesScan.scansIn(eqZero.queryExecution.executedPlan)
+      .map(_.statsPrunedFileCount).sum >= 1L)
+  }
+
+  test("double wire values keep FloatType-column predicates unpruned (no allFloat)") {
+    import spark.implicits._
+    val dir = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".fp.esf"),
+      "Fp::W\n{\n  required int64 id;\n  double m;\n}\n")
+    (0 until 50).map(i => (i.toLong, i.toDouble)).toDF("id", "m")
+      .repartition(1).write.format("lwes").option("eventName", "Fp::W")
+      .option(LwesOptions.Esf, s"$dir/.fp.esf").mode("append").save(dir)
+    // reading the DOUBLE wire attr as a FLOAT column narrows per value:
+    // stats must refuse to prune (allFloat=false), like the integral
+    // narrowing rule
+    val q = spark.read.format("lwes").schema("id long, m float")
+      .option("eventName", "Fp::W").load(dir).filter(col("m") > 100.0f)
+    assert(q.collect().isEmpty)
+    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+      .map(_.statsPrunedFileCount).sum == 0L,
+      "double wire -> FloatType column must not prune")
+    // the same attr read at its own width DOES prune
+    val q2 = spark.read.format("lwes").schema("id long, m double")
+      .option("eventName", "Fp::W").load(dir).filter(col("m") > 100.0)
+    assert(q2.collect().isEmpty)
+    assert(LwesScan.scansIn(q2.queryExecution.executedPlan)
+      .map(_.statsPrunedFileCount).sum == 1L)
+  }
+
   test("a COMPLETE sidecar lacking the attribute prunes the file") {
     import spark.implicits._
     val dir = tmp()
@@ -139,19 +256,43 @@ class LwesStatsPruneSpec extends AnyFunSuite {
       .filter(col("id") < 100)) == 0L)
   }
 
-  test("non-ASCII string values disable string pruning for the attr") {
+  test("non-ASCII strings prune on UTF-8 records, stay guarded on Latin-1 (r20 u8)") {
     import spark.implicits._
+    // UTF-8 journal (the default charset): stored UTF-8 bounds ARE the
+    // read-back bytes, so non-ASCII values prune since r20 (the r19
+    // ASCII-only guard lifted where it is provably sound)
     val dir = tmp()
     (0 until 50).map(i => (i.toLong, if (i == 0) "café" else s"b$i"))
       .toDF("id", "page").repartition(1)
       .write.format("lwes").option("eventName", "St::E").mode("append").save(dir)
-    val q = spark.read.format("lwes").schema("id long, page string")
-      .option("eventName", "St::E").load(dir)
-      .filter(col("page") === "zzz") // outside [b.., café] byte-range either way
-    assert(q.collect().isEmpty)
-    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+    def q(d: String, enc: Option[String], lit: String) = {
+      val base = spark.read.format("lwes").schema("id long, page string")
+        .option("eventName", "St::E")
+      enc.foldLeft(base)((b, e) => b.option(LwesOptions.StringEncoding, e))
+        .load(d).filter(col("page") === lit)
+    }
+    val utf = q(dir, None, "zzz") // above every stored byte-bound
+    assert(utf.collect().isEmpty)
+    assert(LwesScan.scansIn(utf.queryExecution.executedPlan)
+      .map(_.statsPrunedFileCount).sum == 1L,
+      "non-ASCII UTF-8 values must prune since r20 (u8 flag)")
+    // literal BETWEEN the bounds must keep the file (and match rows)
+    val mid = q(dir, None, "café")
+    assert(mid.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // Latin-1 journal: the conservative ASCII-only guard stays — the
+    // same non-ASCII corpus written with stringEncoding=ISO-8859-1
+    // must NOT prune
+    val dirL = tmp()
+    (0 until 50).map(i => (i.toLong, if (i == 0) "café" else s"b$i"))
+      .toDF("id", "page").repartition(1)
+      .write.format("lwes").option("eventName", "St::E")
+      .option(LwesOptions.StringEncoding, "ISO-8859-1")
+      .mode("append").save(dirL)
+    val lat = q(dirL, None, "zzz")
+    assert(lat.collect().isEmpty)
+    assert(LwesScan.scansIn(lat.queryExecution.executedPlan)
       .map(_.statsPrunedFileCount).sum == 0L,
-      "a non-ASCII value must mark the attr unprunable")
+      "a non-ASCII value in a Latin-1 record must keep the guard")
   }
 
   test("ESF read defaults disable zone-map pruning (defaults satisfy predicates)") {
