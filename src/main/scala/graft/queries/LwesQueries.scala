@@ -1581,6 +1581,48 @@ object LwesQueries {
         |FROM orders
         |ORDER BY cents DESC, okey LIMIT 50""".stripMargin)),
 
+    // A28 (r20): STRING-attribute top-N — `ORDER BY <string attr> DESC
+    // LIMIT k` bounds the k-th best value from the exact sidecar
+    // string bounds (byte order = UTF8String order; bounds are
+    // read-back-exact because the tracker stores decoded values'
+    // UTF-8 bytes) and prunes provably-outranked journals at plan
+    // time. The sortable tag embeds the orderkey, so rows are unique
+    // and the result is oracle-exact without a tie-break column.
+    "lwes_topn_attr_str" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"topnstr|$d") { dir =>
+          t(s, d, "orders")
+            .select(col("o_orderkey"),
+              concat(lpad((col("o_totalprice") * 100).cast("long")
+                  .cast("string"), 12, "0"), lit("-"),
+                col("o_orderkey").cast("string")).as("tag"))
+            .repartitionByRange(8, col("tag"))
+            .write.format("lwes").option("eventName", "Tk::S")
+            .option("compression", "gzip").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, tag string")
+          .option("mapping", "okey:o_orderkey")
+          .load(dir)
+          .orderBy(col("tag").desc).limit(50)
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("topN=[tag desc k=50]"),
+          s"string-attribute top-N was not pushed:\n$plan")
+        val pruned = graft.sources.lwes.LwesScan.scansIn(plan)
+          .map(_.topNPrunedFileCount)
+        require(pruned.exists(_ >= 6),
+          s"string-attribute top-N never pruned the journal scan " +
+            s"(pruned counts: $pruned; expected >= 6 of 8)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+          .orderBy(col("tag").desc)
+      },
+      """SELECT o_orderkey AS okey,
+        |  lpad(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 12, '0')
+        |    || '-' || CAST(o_orderkey AS VARCHAR) AS tag
+        |FROM orders
+        |ORDER BY tag DESC LIMIT 50""".stripMargin)),
+
     // A29: STORAGE-PARTITIONED JOIN — two journal tables partitioned
     // by event_type join (and aggregate on the key) with ZERO hash
     // exchanges: the scans report KeyGroupedPartitioning and every

@@ -592,7 +592,9 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       // r19: integral data-attribute columns bound from sidecar zone
       // maps — NULLS LAST required (k non-null bound rows outrank
       // every NULL), header/partition/name columns excluded (their
-      // null semantics differ from "attr absent")
+      // null semantics differ from "attr absent"). r20: StringType
+      // joins via the exact sidecar string bounds (byte order =
+      // UTF8String's comparison order).
       case Some(n) if orders(0).nullOrdering() ==
             org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST &&
           !samplePartitionCols.contains(n) &&
@@ -602,7 +604,7 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
             LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
               ._1.getOrElse(n, n)) &&
           fullSchema.fields.exists(f => f.name == n && (f.dataType match {
-            case ShortType | IntegerType | LongType => true
+            case ShortType | IntegerType | LongType | StringType => true
             case _ => false
           })) =>
         topNSpec = Some(LwesTopN(desc, limit, col = Some(n)))
@@ -1615,6 +1617,7 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     val attr = config.attrOf(c)
     val dt = config.schema.fields.find(_.name == c).map(_.dataType)
       .getOrElse(return (slices, None))
+    if (dt == StringType) return attrTopNPruneStr(slices, spec, conf, attr)
     val cands = slices.filter(p => p._2.hasStats || p._2.hasManifest)
     // the cap bounds the DRIVER-side per-file GET wave, so (like the
     // filter prune's uncoveredCandidates) it counts only candidates
@@ -1712,6 +1715,131 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       if (spec.desc) GreaterThanOrEqual(c, lit) else LessThanOrEqual(c, lit)
     (kept, Some(flt))
   }
+
+  /** A28 string-attribute top-N (r20): the integral bound-and-count
+    * prune generalized to StringType via the exact sidecar string
+    * bounds, ENTIRELY in read-back byte space — the tracker stores the
+    * decoded values' UTF-8 bytes, which are the column's read-back
+    * bytes, and unsigned byte order IS UTF8String's comparison order,
+    * so no charset guard applies (the r19 StrBoundAnswer trust).
+    * Unit soundness per file/frame:
+    *   - DESC: every one of `count` non-null rows reads >= the stored
+    *     min — sound even for a TRUNCATED min (a prefix only
+    *     understates), it just weakens the bound;
+    *   - ASC: rows read <= the stored max, which is never truncated
+    *     (over-long maxima record +inf and contribute no unit).
+    * Prune: a file whose best possible value (exact max for DESC /
+    * stored min for ASC — minS <= true min always) is strictly outside
+    * the bound holds only outranked rows; complete-sidecar-absent =
+    * all NULL = outranked under the required NULLS LAST. The bound
+    * additionally rides as a synthesized string predicate (frame
+    * prune, in-parse filter, executor skims) when its bytes round-trip
+    * through String exactly — a truncated bound that split a
+    * multi-byte sequence would not, and then only the file prune
+    * applies. Same manifest-aware GET cap as the integral path. */
+  private def attrTopNPruneStr(
+      slices: Array[(FileStatus, LwesInputPartition)],
+      spec: LwesTopN, conf: Configuration, attr: String)
+      : (Array[(FileStatus, LwesInputPartition)], Option[Filter]) = {
+    val c = spec.col.get
+    val cands = slices.filter(p => p._2.hasStats || p._2.hasManifest)
+    if (cands.isEmpty ||
+        cands.count(!_._2.hasManifest) > statsPruneMaxFiles)
+      return (slices, None)
+    prefetchStats(cands.toSeq, conf)
+    def statsOf(f: FileStatus, s: LwesInputPartition) =
+      statsCache.getOrDefault(statsKey(f, s), None)
+    import LwesStats.cmpB
+    // (weak bound bytes, count): DESC units bound by min, ASC by max
+    def unitOf(e: LwesStats.AttrStats): Option[(Array[Byte], Long)] =
+      if (e.kind != 's' || e.count <= 0) None
+      else if (spec.desc) Option(e.minS).map((_, e.count))
+      else if (!e.maxSInf && e.maxS != null) Some((e.maxS, e.count))
+      else None
+    val units = mutable.ArrayBuffer.empty[(Array[Byte], Long)]
+    val fileUnits = cands.flatMap { case (f, s) =>
+      statsOf(f, s).flatMap(_.attrs.get(attr)).flatMap(unitOf)
+        .map { case (b, n) => (f, s, b, n) }
+    }
+    // frame refinement for fat .zsj candidates, best-file-bound first
+    val refine = fileUnits
+      .filter { case (_, s, _, _) => graft.lwes.SplitJournal.isSplit(s.path) }
+      .sortBy { case (f, s, _, _) =>
+        statsOf(f, s).flatMap(_.attrs.get(attr)) match {
+          // best possible value: exact max (DESC) / min (ASC)
+          case Some(e) if spec.desc && !e.maxSInf && e.maxS != null => e.maxS
+          case Some(e) if !spec.desc && e.minS != null => e.minS
+          case _ => Array.emptyByteArray
+        }
+      }(if (spec.desc) byteOrdering.reverse else byteOrdering)
+      .take(LwesScan.TopNFooterRefine)
+      .map { case (f, s, _, _) => (f, s) }.toSet
+    fileUnits.foreach { case (f, s, weak, count) =>
+      val framed = refine.contains((f, s)) &&
+        (footerCache.computeIfAbsent(footerKey(f, s),
+          _ => readFooterOf(s, conf)) match {
+          case Some(frames) =>
+            val perFrame = frames.map { fr =>
+              if (fr.stats == null) None
+              else LwesStats.parse(fr.stats)
+                .filter(st => st.records == fr.records && st.fileLen == fr.rawLen)
+                .map(_.attrs.get(attr))
+            }
+            // all-or-nothing per file, like the integral path; a frame
+            // legitimately MISSING the attr contributes no unit
+            if (perFrame.exists(_.isEmpty)) false
+            else {
+              perFrame.flatten.foreach(_.flatMap(unitOf).foreach(units += _))
+              true
+            }
+          case None => false
+        })
+      if (!framed) units += ((weak, count))
+    }
+    val best = units.sortBy(_._1)(
+      if (spec.desc) byteOrdering.reverse else byteOrdering)
+    var taken = 0L
+    var bound: Array[Byte] = null
+    var i = 0
+    while (i < best.length && bound == null) {
+      taken += best(i)._2
+      if (taken >= spec.k) bound = best(i)._1
+      i += 1
+    }
+    if (bound == null) return (slices, None) // fewer than k provable rows
+    val kept = slices.filter { case (f, s) =>
+      (!s.hasStats && !s.hasManifest) || (statsOf(f, s) match {
+        case Some(st) => st.attrs.get(attr) match {
+          case Some(e) if e.kind == 's' =>
+            if (spec.desc)
+              // best = exact max; inf/absent max keeps the file
+              e.maxSInf || e.maxS == null || cmpB(e.maxS, bound) >= 0
+            else
+              // best = stored min (<= true min, so a strict miss is sound)
+              e.minS == null || cmpB(e.minS, bound) <= 0
+          case Some(_) => true // class/type mismatch: keep
+          case None => !st.complete // complete+absent = all NULL = outranked
+        }
+        case None => true // unreadable/stale: keep
+      })
+    }
+    topNPruned = (slices.length - kept.length).toLong
+    // synthesize the bound predicate only when its bytes survive the
+    // String round-trip exactly (a truncated bound can split a
+    // multi-byte sequence; the literal would then differ from the
+    // bound actually proven)
+    val litStr = new String(bound, java.nio.charset.StandardCharsets.UTF_8)
+    val flt: Option[Filter] =
+      if (!java.util.Arrays.equals(
+          litStr.getBytes(java.nio.charset.StandardCharsets.UTF_8), bound))
+        None
+      else if (spec.desc) Some(GreaterThanOrEqual(c, litStr))
+      else Some(LessThanOrEqual(c, litStr))
+    (kept, flt)
+  }
+
+  private val byteOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => LwesStats.cmpB(a, b)
 
   private def topNBound(
       slices: Array[(FileStatus, LwesInputPartition)],

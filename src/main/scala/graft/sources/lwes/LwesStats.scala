@@ -487,7 +487,7 @@ object LwesStats {
     case other => throw new IllegalStateException(s"not integral: $other")
   }
 
-  private def cmpB(a: Array[Byte], b: Array[Byte]): Int = {
+  private[sources] def cmpB(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {

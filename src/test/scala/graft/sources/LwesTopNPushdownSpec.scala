@@ -332,17 +332,92 @@ class LwesTopNPushdownSpec extends AnyFunSuite {
       .sameElements(Array(1L, 5L, 7L, 9L)))
   }
 
-  test("attr top-k over a string column declines (no byte-order bound)") {
-    val dir = tmp()
+  /** Four files with disjoint tag prefixes a../g../m../t.., every 10th
+    * tag NULL; 100 rows each. */
+  private def writeTagged(dir: String, prefixes: Seq[String]
+      = Seq("a", "g", "m", "t")): Unit = {
     import spark.implicits._
-    Seq((1L, "aa"), (2L, "zz")).toDF("id", "tag").repartition(1)
+    prefixes.zipWithIndex.foreach { case (p, q) =>
+      (0 until 100).map { i =>
+        val id = q * 100 + i
+        (id.toLong, if (i % 10 == 0) null else f"$p${i % 100}%02d")
+      }.toDF("id", "tag").repartition(1)
+        .write.format("lwes").option("eventName", "Ts::S")
+        .option("compression", "gzip").mode("append").save(dir)
+    }
+  }
+
+  private def rdTagged(dir: String, extra: (String, String)*): DataFrame = {
+    // no eventName option: a name gate clears the top-N spec in build()
+    val base = spark.read.format("lwes").schema("id long, tag string")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+  }
+
+  test("string attr desc top-k bounds from exact sidecar bounds and prunes (r20)") {
+    val dir = tmp()
+    writeTagged(dir)
+    val q = rdTagged(dir).orderBy(col("tag").desc).limit(5)
+    val vals = q.collect().map(_.getString(1))
+    val want = rdTagged(dir, LwesOptions.TopNPrune -> "false")
+      .orderBy(col("tag").desc).limit(5).collect().map(_.getString(1))
+    assert(vals.sorted.sameElements(want.sorted))
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("topN=[tag desc k=5]"), plan.toString)
+    assert(LwesScan.scansIn(plan).map(_.topNPrunedFileCount).sum == 3L,
+      "three lower-range string files should prune")
+  }
+
+  test("string attr asc NULLS LAST prunes; nulls-first declines (r20)") {
+    val dir = tmp()
+    writeTagged(dir)
+    val q = rdTagged(dir).orderBy(col("tag").asc_nulls_last).limit(5)
+    val vals = q.collect().map(_.getString(1))
+    val want = rdTagged(dir, LwesOptions.TopNPrune -> "false")
+      .orderBy(col("tag").asc_nulls_last).limit(5).collect().map(_.getString(1))
+    assert(vals.sorted.sameElements(want.sorted))
+    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 3L)
+    val nf = rdTagged(dir).orderBy(col("tag")).limit(5)
+    assert(nf.collect().count(_.isNullAt(1)) == 5)
+    assert(!nf.queryExecution.executedPlan.toString.contains("topN=["),
+      nf.queryExecution.executedPlan.toString)
+  }
+
+  test("string attr top-k: non-ASCII values bound and prune in byte space") {
+    val dir = tmp()
+    writeTagged(dir, Seq("ä", "ö", "ü", "ÿ")) // 2-byte UTF-8 prefixes
+    val q = rdTagged(dir).orderBy(col("tag").desc).limit(5)
+    val vals = q.collect().map(_.getString(1))
+    val want = rdTagged(dir, LwesOptions.TopNPrune -> "false")
+      .orderBy(col("tag").desc).limit(5).collect().map(_.getString(1))
+    assert(vals.sorted.sameElements(want.sorted))
+    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 3L,
+      "non-ASCII string bounds live in read-back byte space: must prune")
+  }
+
+  test("string attr top-k: over-cap values (inf max) contribute no ASC unit") {
+    import spark.implicits._
+    val dir = tmp()
+    // values longer than MaxStrBytes (64): maxima record +inf, minima
+    // truncate — ASC has no sound per-file unit, so no bound, no prune,
+    // and answers must stay exact
+    val long1 = "b" * 80
+    val long2 = "c" * 80
+    Seq((1L, long1), (2L, long2)).toDF("id", "tag").repartition(1)
       .write.format("lwes").option("eventName", "Ts::S")
       .option("compression", "gzip").mode("append").save(dir)
-    val q = spark.read.format("lwes").schema("id long, tag string")
-      .option("eventName", "Ts::S").load(dir)
-      .orderBy(col("tag").desc).limit(1)
-    assert(q.collect().map(_.getString(1)).sameElements(Array("zz")))
-    assert(!q.queryExecution.executedPlan.toString.contains("topN=["))
+    Seq((3L, "a" + "z" * 80)).toDF("id", "tag").repartition(1)
+      .write.format("lwes").option("eventName", "Ts::S")
+      .option("compression", "gzip").mode("append").save(dir)
+    val q = rdTagged(dir).orderBy(col("tag").asc_nulls_last).limit(1)
+    assert(q.collect().map(_.getString(1)).sameElements(Array("a" + "z" * 80)))
+    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 0L,
+      "inf maxima must contribute no ASC units and prune nothing")
+    // DESC still bounds from (possibly truncated) minima — parity check
+    val d = rdTagged(dir).orderBy(col("tag").desc).limit(1)
+    assert(d.collect().map(_.getString(1)).sameElements(Array(long2)))
   }
 
   test("attr top-k over one fat .zsj prunes low-score frames via the bound filter") {
