@@ -102,10 +102,60 @@ object Bench {
     def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     // a failed iteration must not report its (fast) failure time as
     // sustained throughput: min over successes only, -1 if none
-    val results = raw.map { case (name, times) =>
+    val firstResults = raw.map { case (name, times) =>
       val good = times.filter(_._1).map(_._2)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
+    // Pinned per-query baselines, parsed EARLY: they drive both the r20
+    // load-noise self-defense below and the vs_baseline block.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_BENCH.json")
+    val basePins: Map[String, Double] = try {
+      val fl = new java.io.File(baselinePath)
+      if (!fl.exists()) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val q = om.readTree(fl).get("queries")
+        if (q == null) Map.empty
+        else {
+          val it = q.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
+          b.result()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // r20 load-noise self-defense (SURVEY §6 bench contract): a key
+    // whose min exceeds 3x its pin on a SHARED box is far more often a
+    // load spike that straddled all its iterations than a plan change
+    // (r19's driver run flagged 10x phantoms that two quiet runs
+    // dissolved). Re-measure such keys once more in the SAME JVM after
+    // the suite — the spike has usually passed — report BOTH readings
+    // under "remeasured", and let the confirmed min stand as the key's
+    // value, so the mover lists only flag regressions that survive a
+    // second look. Sub-0.3s keys skip (spread noise dominates there).
+    val suspects = firstResults.toSeq.filter { case (k, v) =>
+      basePins.get(k).exists(b => v > 0 && b > 0 && v > 3 * b &&
+        math.max(v, b) >= 0.3)
+    }
+    val remeasured: Seq[(String, Double, Double)] = suspects.map { case (k, first) =>
+      val fn = selected(k)
+      val again = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (ok, elapsed)
+      }.filter(_._1).map(_._2)
+      (k, first, if (again.nonEmpty) again.min else first)
+    }
+    val results = firstResults ++ remeasured.map { case (k, first, again) =>
+      k -> math.min(first, again)
+    }
+    val remeasureJson = remeasured.sortBy(_._1).map { case (k, first, again) =>
+      s"\"" + k + "\":{\"first\":" + f(first) + ",\"remeasure\":" + f(again) +
+        ",\"confirmed\":" + (again > 3 * basePins.getOrElse(k, 0.0)) + "}"
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     // Per-iteration times + relative spread, so an environmental outlier
@@ -160,39 +210,33 @@ object Bench {
     // so "within 2x of baseline" is a mechanical diff in the round
     // artifact, not round-history archaeology. Keys where BOTH current
     // and baseline are sub-0.3s are skipped in the mover lists (spread
-    // noise dominates there, the documented §6 signature). A
-    // missing/corrupt file simply omits the block.
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_BENCH.json")
-    val vsBaselineJson: Option[String] = try {
-      val fl = new java.io.File(baselinePath)
-      if (!fl.exists()) None
+    // noise dominates there, the documented §6 signature). Ratios use
+    // the POST-remeasure values, so the mover lists only name keys
+    // whose slowdown survived the second look. A missing/corrupt file
+    // simply omits the block.
+    val vsBaselineJson: Option[String] =
+      if (basePins.isEmpty) None
       else {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val q = om.readTree(fl).get("queries")
-        if (q == null) None
-        else {
-          val ratios = results.toSeq.sortBy(_._1).flatMap { case (k, cur) =>
-            val b = Option(q.get(k)).map(_.asDouble(-1.0)).getOrElse(-1.0)
-            if (cur > 0 && b > 0) Some((k, cur / b, b)) else None
-          }
-          val ratioJson = ratios.map { case (k, r, _) =>
-            s"\"" + k + "\":" + f(r)
-          }.mkString("{", ",", "}")
-          // Noise floor on max(cur, base), not base alone: a 0.12s
-          // baseline key that grows to 0.8s is exactly what the mover
-          // list exists to surface (r13 verdict: text_chunks 6.7x was
-          // hidden by the base-only floor).
-          val slower = ratios.filter { case (_, r, b) => r > 1.5 && math.max(r * b, b) >= 0.3 }
-            .map(_._1)
-          val faster = ratios.filter { case (_, r, b) => r < 0.67 && math.max(r * b, b) >= 0.3 }
-            .map(_._1)
-          def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
-          Some(s""""vs_baseline":{"ratios":$ratioJson,"slower_1_5x":${arr(slower)},"faster_1_5x":${arr(faster)}}""")
+        val ratios = results.toSeq.sortBy(_._1).flatMap { case (k, cur) =>
+          val b = basePins.getOrElse(k, -1.0)
+          if (cur > 0 && b > 0) Some((k, cur / b, b)) else None
         }
+        val ratioJson = ratios.map { case (k, r, _) =>
+          s"\"" + k + "\":" + f(r)
+        }.mkString("{", ",", "}")
+        // Noise floor on max(cur, base), not base alone: a 0.12s
+        // baseline key that grows to 0.8s is exactly what the mover
+        // list exists to surface (r13 verdict: text_chunks 6.7x was
+        // hidden by the base-only floor).
+        val slower = ratios.filter { case (_, r, b) => r > 1.5 && math.max(r * b, b) >= 0.3 }
+          .map(_._1)
+        val faster = ratios.filter { case (_, r, b) => r < 0.67 && math.max(r * b, b) >= 0.3 }
+          .map(_._1)
+        def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+        Some(s""""vs_baseline":{"ratios":$ratioJson,"slower_1_5x":${arr(slower)},"faster_1_5x":${arr(faster)}}""")
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
     val vsBaseline = vsBaselineJson.map("," + _).getOrElse("")
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"streaming":$streamJson,"ann_recall":$annJson,"iters_per_query":$iters,$loadJson$vsBaseline,"sf":${jstr(sfDir)}}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread":$spreadJson,"streaming":$streamJson,"ann_recall":$annJson,"remeasured":$remeasureJson,"iters_per_query":$iters,$loadJson$vsBaseline,"sf":${jstr(sfDir)}}"""
     // Stdout tail capture can truncate the front of a very long single
     // line (BENCH_r03 parsed null that way) — persist to a file too, so
     // round-over-round comparison never depends on stdout buffer length.

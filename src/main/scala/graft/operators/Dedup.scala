@@ -249,14 +249,15 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
-  /** Duplicate-cluster resolution: connected components over a verified
-    * near-dup edge set, by iterative min-label propagation — each
-    * iteration is one distributed join+aggregate; the driver only reads
-    * a convergence count. Converges in O(component diameter) rounds
-    * (near-dup clusters are shallow); at 100 TB swap the plain cache
-    * for checkpoints every few rounds to cut lineage, or move to the
-    * small-star/large-star variant for deep graphs. Returns
-    * (id, cluster_id = min reachable id). */
+  /** Duplicate-cluster resolution by iterative min-label propagation —
+    * the EXPLICITLY-CHOSEN shallow-graph fast path: each iteration is
+    * one distributed join+aggregate, converging in O(component
+    * diameter) rounds, which beats the star variant's constant factors
+    * when clusters are provably shallow (verified near-dup families).
+    * DEFAULT to [[connectedComponentsStar]] (O(log n) rounds,
+    * diameter-independent) — every gate does since r20; this variant
+    * fails LOUD (never wrong) past maxIter. Returns
+    * (id, cluster_id = min reachable id), same contract as the star. */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 30): DataFrame = {
     // localCheckpoint: materializes AND truncates the logical lineage —

@@ -491,7 +491,7 @@ object Pipeline {
           w = 3, maxDf = 20, minShared = 5)
         val edges = Dedup.ngramJaccard(cand, docs, "text", "doc_id", w = 3)
           .filter(col("jaccard") >= 0.5)
-        Dedup.connectedComponents(edges)
+        Dedup.connectedComponentsStar(edges)
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy(col("doc_id"))
       },
@@ -511,7 +511,7 @@ object Pipeline {
           w = 3, maxDf = 20, minShared = 5)
         val edges = Dedup.ngramJaccard(cand, docs, "text", "doc_id", w = 3)
           .filter(col("jaccard") >= 0.5)
-        val clusters = Dedup.connectedComponents(edges)
+        val clusters = Dedup.connectedComponentsStar(edges)
           .select(col("id").as("doc_id"), col("cluster_id"))
         Dedup.keepBestPerCluster(docs, clusters, "doc_id", col("n_chars"))
           .select(col("doc_id"), col("lang"),
@@ -1327,7 +1327,7 @@ object Pipeline {
         val docs = t(s, d, "documents")
         val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
           k = 32, bands = 8, w = 3, threshold = 0.5)
-        val cc = Dedup.connectedComponents(pairs)
+        val cc = Dedup.connectedComponentsStar(pairs)
         val removed = cc.filter(col("id") =!= col("cluster_id"))
           .select(col("id").as("__rm"))
         docs.join(removed, docs("doc_id") === col("__rm"), "left_anti")
