@@ -465,6 +465,9 @@ object LwesQueries {
           .option("mapping",
             "okey:o_orderkey, ckey:o_custkey, priority:o_orderpriority")
           .option(graft.sources.lwes.LwesOptions.SplitTargetBytes, "32768")
+          // this gate pins the FRAME-grain (range-slice) metadata path;
+          // r20 complete mode would answer from the whole-file sidecar
+          .option(graft.sources.lwes.LwesOptions.CompleteAggPushdown, "false")
           .load(dir)
           .agg(count(lit(1)).as("n"), count(col("priority")).as("n_pri"),
             min(col("okey")).as("min_key"), max(col("okey")).as("max_key"),

@@ -653,7 +653,25 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     if (!options.getBoolean(LwesOptions.AggPushdown, true)) return false
-    if (agg.aggregateExpressions.isEmpty) return false
+    admitAggregation(agg) match {
+      case Some(spec) =>
+        // completeOk was decided by the supportCompletePushDown call
+        // Spark makes immediately before this one (same Aggregation)
+        aggSpec = Some(spec.copy(complete = completeOk))
+        true
+      case None => false
+    }
+  }
+
+  /** Shape admission shared by [[pushAggregation]] and
+    * [[supportCompletePushDown]]: translate the offered aggregation
+    * into an [[LwesAggSpec]] when every function and group column is
+    * one this source can fold exactly; None declines (Spark keeps its
+    * own Aggregate above an ordinary scan). Pure — sets no state. */
+  private def admitAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[LwesAggSpec] = {
+    if (agg.aggregateExpressions.isEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -704,7 +722,7 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
               StructField(s"max_$n", fieldByName(n).dataType)))
         case _ => None // SUM/AVG/distinct/UDAF: decline, Spark keeps the plan
       }
-    if (funcs.exists(_.isEmpty)) return false
+    if (funcs.exists(_.isEmpty)) return None
     val picked = funcs.map(_.get)
     // A32 group-by admission: single-name refs to partition columns or
     // the event-name column (both StringType by construction — path
@@ -712,22 +730,97 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     // Spark keeps the whole aggregate above an ordinary scan.
     val ncolOpt = Option(options.get(LwesOptions.EventNameColumn))
     val groupNames: Array[Option[String]] = agg.groupByExpressions.map(colOf)
-    if (groupNames.exists(_.isEmpty)) return false
+    if (groupNames.exists(_.isEmpty)) return None
     val gcols = groupNames.map(_.get)
-    if (gcols.distinct.length != gcols.length) return false
+    if (gcols.distinct.length != gcols.length) return None
     if (!gcols.forall(c => fieldByName.get(c).exists(_.dataType == StringType) &&
-        (samplePartitionCols.contains(c) || ncolOpt.contains(c)))) return false
+        (samplePartitionCols.contains(c) || ncolOpt.contains(c)))) return None
     val groupFields = gcols.map(c => fieldByName(c))
     // footerOnly is finalized in build() (event-name filter and the
     // explicit receipt-time admission window also gate it); a name-col
     // grouping clears it — footers know record counts, not name splits
-    aggSpec = Some(LwesAggSpec(picked.map(_._1).toSeq,
+    Some(LwesAggSpec(picked.map(_._1).toSeq,
       StructType(groupFields ++ picked.map(_._2)),
       footerOnly = picked.forall(_._1.footerable) &&
         gcols.forall(samplePartitionCols.contains),
       groupCols = gcols.toSeq,
       ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
-    true
+  }
+
+  @volatile private var completeOk = false
+
+  /** r20 COMPLETE aggregate pushdown: when a driver-side probe proves
+    * EVERY listed file answers every pushed function from metadata
+    * alone (sidecar/manifest zone maps + exact `.t` receipt tags, the
+    * same per-file rules [[LwesAggPartitionReader.trySidecar]]
+    * enforces), report complete support — Spark then plans NO final
+    * merge and the scan emits ONE metadata-only partition whose rows
+    * ARE the answer: a count/min/max/sum dashboard over a year of
+    * journals becomes a sidecar wave with zero exchanges. Declines
+    * (falling back to the r19 partial push, which is never wrong, only
+    * one exchange heavier) when any option-level record gate exists,
+    * any file lacks readable covering stats, or the manifest-less
+    * candidate count exceeds the driver GET-wave cap. The probe's
+    * stats reads are one GET per directory for manifest-covered files
+    * — the same IO the plan itself will do. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    completeOk = false
+    if (!options.getBoolean(LwesOptions.AggPushdown, true)) return false
+    if (!options.getBoolean(LwesOptions.CompleteAggPushdown, true)) return false
+    val spec = admitAggregation(agg).getOrElse(return false)
+    // option-level record gates: any of these forces streamed folds
+    // somewhere, and a streamed fold in ONE partition is a serialized
+    // full scan — exactly what complete mode must never risk
+    val (attrFor, eventFor) = LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
+    val eventNames: Set[String] = Option(options.get(LwesOptions.EventName))
+      .map(Set(_)).getOrElse(eventFor.values.toSet)
+    if (eventNames.nonEmpty) return false
+    if (Option(options.get(LwesOptions.Esf)).nonEmpty) return false
+    if (Option(options.get(LwesOptions.ReceiptTimeMin)).nonEmpty ||
+        Option(options.get(LwesOptions.ReceiptTimeMax)).nonEmpty) return false
+    if (attrFilters.nonEmpty || timeLo != Long.MinValue ||
+        timeHi != Long.MaxValue) return false
+    val conf = LwesDataSource.hadoopConf()
+    val seen = mutable.HashSet[String]()
+    val files = LwesDataSource.listFiles(roots, conf, seen)
+    val withMeta = files.map { f =>
+      (f,
+        seen.contains(LwesStats.sidecarPath(f.getPath).toString),
+        seen.contains(LwesStats.manifestPath(f.getPath.getParent).toString))
+    }
+    // a bare file can never metadata-answer; cap the per-file GET wave
+    // on manifest-LESS candidates (manifest-covered stats are one read
+    // per directory, the A33 contract)
+    if (withMeta.exists { case (_, st, mf) => !st && !mf }) return false
+    if (withMeta.count { case (_, _, mf) => !mf } >
+        options.getLong(LwesOptions.StatsPruneMaxFiles, 8192L)) return false
+    val typeOf: String => Option[DataType] =
+      c => fullSchema.fields.find(_.name == c).map(_.dataType)
+    val attrOf: String => String = c => attrFor.getOrElse(c, c)
+    val nonAttrCols: Set[String] = samplePartitionCols ++
+      Option(options.get(LwesOptions.EventNameColumn)).toSet
+    val nameGrouped = Option(options.get(LwesOptions.EventNameColumn))
+      .exists(spec.groupCols.contains)
+    val ok = withMeta.forall { case (f, hasStats, hasManifest) =>
+      val st = LwesStats.read(f.getPath, conf, f.getLen,
+        manifestHint = hasManifest, sidecarHint = hasStats)
+      if (st.isEmpty) false // unreadable/stale: that file would stream
+      else if (nameGrouped)
+        // name-grouped: only all-COUNT(*) answers, from per-name counts
+        spec.funcs.forall(_ == LwesAggFunc.CountStar) &&
+          st.exists(x => x.namesComplete && x.names.values.sum == x.records)
+      else if (spec.groupCols.nonEmpty && st.exists(_.records == 0L))
+        true // empty file contributes no group — answered
+      else {
+        val tag = LwesDataSource.exactTagBounds(f.getPath.getName)
+        LwesStats.answerAggregates(st, tag, spec.funcs, attrOf, typeOf,
+          nonAttrCols).isDefined
+      }
+    }
+    completeOk = ok
+    ok
   }
 
   // one listing per scan build — at journal scale (10^4-10^6 files)
@@ -946,7 +1039,13 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       optLo == Long.MinValue && optHi == Long.MaxValue &&
       timeLo == Long.MinValue && timeHi == Long.MaxValue
     val finalAgg = aggSpec.map(s => s.copy(
-      footerOnly = s.footerOnly && aggUngated, ungated = aggUngated))
+      footerOnly = s.footerOnly && aggUngated, ungated = aggUngated,
+      // belt-and-braces: complete mode is only ever claimed after the
+      // probe, which already declines every gated shape — but a gate
+      // appearing here anyway must fall back to the partial push, not
+      // serialize a streamed fold through one task
+      complete = s.complete && aggUngated &&
+        Option(options.get(LwesOptions.Esf)).isEmpty))
     // A28 soundness gate: the count-based bound needs "every sidecar-
     // counted record is a result row". Spark's pushdown already
     // guarantees no data filter sits above the scan; event-name
@@ -1176,7 +1275,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       aggSpec.map(s => s", agg=[${s.funcs.mkString(", ")}]" +
         (if (s.groupCols.nonEmpty)
           s" groupBy=[${s.groupCols.mkString(",")}]" else "") +
-        (if (s.footerOnly) " footerOnly" else "")).getOrElse("") +
+        (if (s.footerOnly) " footerOnly" else "") +
+        (if (s.complete) " complete" else "")).getOrElse("") +
       topN.map(t =>
         s", topN=[${t.col.getOrElse("receipt")} " +
           s"${if (t.desc) "desc" else "asc"} k=${t.k}]")
@@ -1482,8 +1582,15 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
           null
         else LwesDataSource.frameStatsKeep(frameFilters, config.attrOf,
           c => config.schema.fields.find(_.name == c).map(_.dataType))
+      // r20 complete-mode planning: every file is metadata-answerable
+      // (the push-time probe proved it), so split expansion buys
+      // nothing — whole files, ONE partition, whose per-group rows are
+      // the final answer (complete pushdown plans no merge, so a
+      // multi-partition layout would emit duplicate groups)
+      val aggComplete = aggSpec.exists(_.complete)
       val slices = topNSlices.flatMap { case (f, s) =>
-        if (graft.lwes.SplitJournal.isSplit(s.path) && s.length > target)
+        if (!aggComplete && graft.lwes.SplitJournal.isSplit(s.path) &&
+            s.length > target)
           expandSplit(f, s, target, conf, frameLo, frameHi, frameKeep)
         else Seq(s)
       }
@@ -1493,7 +1600,11 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       // partition carries its key row. Groups sort by key for a
       // deterministic plan; Spark aligns the two join sides by VALUE.
       plannedSpj = spjActive && aggSpec.isEmpty && slices.nonEmpty
-      p = if (plannedSpj) {
+      p = if (aggComplete)
+        // exactly one partition, even over zero files: an ungrouped
+        // complete aggregate must still emit its single count-0 row
+        Array[InputPartition](LwesFilesPartition(slices.toSeq))
+      else if (plannedSpj) {
         val keyCols = spjKeyCols
         slices.groupBy(s => keyCols.map(c => s.partitionValues.getOrElse(c, null)))
           .toArray

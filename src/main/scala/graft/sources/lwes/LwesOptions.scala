@@ -111,6 +111,14 @@ object LwesAggFunc {
   * checks exactness per sidecar instead. */
 final case class LwesAggSpec(funcs: Seq[LwesAggFunc], schema: StructType,
     footerOnly: Boolean, ungated: Boolean = true,
+    // r20: COMPLETE pushdown — a plan-time probe proved every listed
+    // file metadata-answerable, Spark plans no final merge, and the
+    // scan emits ONE partition whose per-group rows ARE the final
+    // answer. Correctness does not depend on the probe (a file that
+    // somehow streams still folds exactly, just in one task); the
+    // probe is what makes the single partition a metadata wave rather
+    // than a serialized full scan.
+    complete: Boolean = false,
     // A32 (r19): pushed GROUP BY columns — each is per-file-constant
     // (a path-derived partition column) or the event-name column, all
     // StringType; `schema` lists them FIRST (Spark's expected layout
@@ -227,6 +235,12 @@ object LwesOptions {
   // decompressing a single frame (A26). Escape hatch only — partial
   // pushdown is always correct under Spark's final re-aggregation.
   val AggPushdown = "aggPushdown"
+  // r20: COMPLETE aggregate pushdown — when a plan-time probe proves
+  // every listed file answers every pushed function from metadata
+  // alone, the scan reports supportCompletePushDown and Spark plans NO
+  // partial-merge exchange at all (single metadata-only partition).
+  // "false" keeps the always-partial r19 behavior.
+  val CompleteAggPushdown = "completeAggPushdown"
   // top-N pushdown (default true): an unfiltered `ORDER BY <receipt
   // col> [DESC] LIMIT k` prunes whole journals at plan time — the
   // k-th result value is lower-bounded by walking exact `.t<min>-<max>.`

@@ -331,6 +331,73 @@ class LwesAggPushdownSpec extends AnyFunSuite {
     assert(!plan(d).contains("agg=["), plan(d))
   }
 
+  test("complete pushdown: metadata-proven aggregates plan NO merge stage (r20)") {
+    import spark.implicits._
+    val dir = tmp()
+    // three sidecar'd gzip journals: the push-time probe proves every
+    // file answers COUNT/MIN/MAX/SUM from its sidecar, so Spark plans
+    // the scan's single partition as the FINAL answer — no
+    // HashAggregate, no Exchange anywhere in the physical plan
+    (0 until 3).foreach { p =>
+      (p * 100 until p * 100 + 100)
+        .map(i => (i.toLong, if (i % 5 == 0) null else s"pg/${i % 10}"))
+        .map { case (i, s) => (i, s) }.toDF("id", "page").repartition(1)
+        .write.format("lwes").option("eventName", "Cp::E")
+        .option("compression", "gzip").mode("append").save(dir)
+    }
+    def agg(d: DataFrame) = d.agg(count(lit(1)).as("n"),
+      count(col("page")).as("np"), min(col("id")).as("mn"),
+      max(col("id")).as("mx"), sum(col("id")).as("sm"))
+    val q = agg(spark.read.format("lwes").schema("id long, page string").load(dir))
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains(" complete"), s"complete mode not claimed:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must plan no aggregate node:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"complete pushdown must plan no exchange:\n$plan")
+    val want = agg(spark.read.format("lwes").schema("id long, page string")
+      .option(graft.sources.lwes.LwesOptions.AggPushdown, "false").load(dir))
+      .collect()
+    assert(rows.sameElements(want), s"${rows.toSeq} vs ${want.toSeq}")
+    assert(LwesScan.scanMetricSum(q.queryExecution.executedPlan,
+      "eventsParsed") == 0L)
+    // grouped by a partition column: one partition still emits one row
+    // per group, no merge
+    val dirP = tmp()
+    (0 until 300).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "dt")
+      .repartition(1).write.format("lwes").option("eventName", "Cp::P")
+      .option("partitionBy", "dt").mode("append").save(dirP)
+    val g = spark.read.format("lwes").schema("id long, dt string").load(dirP)
+      .groupBy(col("dt")).agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    val gRows = g.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains(" complete") && !gPlan.contains("HashAggregate") &&
+      !gPlan.contains("Exchange"), gPlan)
+    assert(gRows.map(_._1).toSeq == Seq("d0", "d1", "d2"))
+    assert(gRows.map(_._2).sum == 300L)
+    // a file WITHOUT covering stats anywhere in the listing declines
+    // complete mode (partial push survives, answers unchanged)
+    val w = graft.lwes.JournalWriter.create(s"$dir/bare.gz")
+    w.write(graft.lwes.LwesEvent("Cp::E").setInt64("id", 999L)); w.close()
+    val q2 = agg(spark.read.format("lwes").schema("id long, page string").load(dir))
+    val r2 = q2.collect()
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(!p2.contains(" complete"),
+      s"a bare journal must decline complete mode:\n$p2")
+    assert(p2.contains("agg=["), "partial push must survive the decline")
+    assert(r2(0).getLong(0) == 301L && r2(0).getLong(3) == 999L)
+    // empty directory, ungrouped: complete mode still emits the one
+    // count-0 row
+    val dirE = tmp()
+    val e = spark.read.format("lwes").schema("id long").load(dirE)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    val eRows = e.collect()
+    assert(eRows.length == 1 && eRows(0).getLong(0) == 0L && eRows(0).isNullAt(1),
+      eRows.toSeq.toString)
+  }
+
   test("pushed ANSI SUM overflow surfaces Spark's ARITHMETIC_OVERFLOW error") {
     // two files whose per-file sums are sidecar-exact but whose
     // COMBINATION overflows a long: the pushed merge must raise the
@@ -425,6 +492,9 @@ class LwesAggPushdownSpec extends AnyFunSuite {
     val q = spark.read.format("lwes").schema("id long, ev string")
       .option("eventNameColumn", "ev")
       .option(graft.sources.lwes.LwesOptions.SplitTargetBytes, "8192")
+      // this test pins the FRAME-grain name-count path; complete mode
+      // would answer from the whole-file sidecar instead
+      .option(graft.sources.lwes.LwesOptions.CompleteAggPushdown, "false")
       .load(dir)
       .groupBy(col("ev")).agg(count(lit(1)).as("n"))
     val rows = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap

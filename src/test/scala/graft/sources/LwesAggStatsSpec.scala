@@ -368,6 +368,9 @@ class LwesAggStatsSpec extends AnyFunSuite {
     val base = spark.read.format("lwes")
       .schema("id long, cost double, grp long")
       .option(LwesOptions.SplitTargetBytes, "8192")
+      // these tests pin the FRAME-grain (range-slice) paths; complete
+      // mode would answer from whole-file sidecars in one partition
+      .option(LwesOptions.CompleteAggPushdown, "false")
     extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
   }
 
