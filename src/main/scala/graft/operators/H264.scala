@@ -102,6 +102,14 @@ object H264 {
     /** more_rbsp_data(): true while bits beyond the trailing stop-bit
       * pattern remain. */
     def moreRbspData(): Boolean = bitsLeft > 0 && pos < lastSetBit
+
+    /** CABAC slice-data alignment: consume cabac_alignment_one_bit
+      * until byte-aligned; false when any alignment bit is not 1
+      * (malformed stream). */
+    def alignOnesToByte(): Boolean = {
+      while ((pos & 7) != 0) if (u1() != 1) return false
+      true
+    }
   }
 
   /** MSB-first bit writer producing an RBSP payload. */
@@ -126,6 +134,8 @@ object H264 {
     }
     def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
     def byteAlignZero(): Unit = while (nBits != 0) u1(0)
+    /** cabac_alignment_one_bit padding before CABAC slice data. */
+    def byteAlignOne(): Unit = while (nBits != 0) u1(1)
     def writeByteAligned(v: Int): Unit = {
       require(nBits == 0, "not aligned")
       out.write(v & 0xFF)
@@ -211,11 +221,11 @@ object H264 {
     (Array[Byte]((3 << 5 | 7).toByte)) ++ escape(w.toBytes) // nal_ref_idc=3, type=7
   }
 
-  private def encodePps(): Array[Byte] = {
+  private def encodePps(cabac: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(0) // pic_parameter_set_id
     w.ue(0) // seq_parameter_set_id
-    w.u1(0) // entropy_coding_mode_flag (CAVLC)
+    w.u1(if (cabac) 1 else 0) // entropy_coding_mode_flag
     w.u1(0) // bottom_field_pic_order_in_frame_present_flag
     w.ue(0) // num_slice_groups_minus1
     w.ue(0) // num_ref_idx_l0_default_active_minus1
@@ -700,6 +710,399 @@ object H264 {
     }
     (Encoded(encodeSps(wMbs, hMbs), encodePps(), nals, wMbs, hMbs),
       recons.result())
+  }
+
+  // --------------------------------------- CABAC Intra_16x16 (r20)
+
+  /** condTermA + 2·condTermB for coded_block_flag: `get` returns the
+    * neighbor block's cbf, or -1 when the neighbor lies outside the
+    * frame — unavailable neighbors of an INTRA macroblock count 1
+    * (9.3.3.1.1.9). */
+  @inline private def cbfInc(left: Int, above: Int): Int =
+    (if (left < 0) 1 else left) + 2 * (if (above < 0) 1 else above)
+
+  /** Encode frames as FULL-CABAC Intra_16x16 pictures: the same
+    * prediction sweep, transforms, quantization, and reconstruction as
+    * [[encodeCavlcTextured]], entropy-coded through the [[Cabac]]
+    * engine (context-coded mb_type / chroma mode / qp_delta /
+    * coded_block_flags / significance maps / UEG0 levels, bypass
+    * signs, per-MB end_of_slice terminate, flush). Emits the CABAC
+    * PPS and the [[CabacSeiUuid]] marker SEI — see [[Cabac]]'s
+    * honesty boundary. Single slice per picture, I-only. Returns the
+    * bitstream and the decoder-exact reconstruction. */
+  def encodeCabacTextured(frames: IndexedSeq[Plane],
+      qp: Int): (Encoded, IndexedSeq[Plane]) = {
+    require(frames.nonEmpty && qp >= 10 && qp <= 51, "qp in [10,51]")
+    val wMbs = frames.head.width / 16
+    val hMbs = frames.head.height / 16
+    require(frames.head.width % 16 == 0 && frames.head.height % 16 == 0)
+    val w = frames.head.width
+    val cw = w / 2
+    val qpc = chromaQp(qp)
+    val recons = IndexedSeq.newBuilder[Plane]
+    val nals = frames.zipWithIndex.map { case (src, fi) =>
+      val isIdr = fi == 0
+      val ry = new Array[Byte](w * frames.head.height)
+      val rcb = new Array[Byte](cw * (frames.head.height / 2))
+      val rcr = new Array[Byte](cw * (frames.head.height / 2))
+      val bw = new BitWriter
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(7) // slice_type I (all slices in picture)
+      bw.ue(0) // pic_parameter_set_id
+      bw.u(4, if (isIdr) 0 else fi & 0xF) // frame_num
+      if (isIdr) {
+        bw.ue(0) // idr_pic_id
+        bw.u1(0); bw.u1(0) // no_output_of_prior / long_term_reference
+      } else {
+        bw.u1(0) // adaptive_ref_pic_marking_mode_flag
+      }
+      bw.se(qp - 26) // slice_qp_delta
+      bw.ue(1) // disable_deblocking_filter_idc = 1: loop filter OFF
+      bw.byteAlignOne() // cabac_alignment_one_bit
+      val ctxs = Cabac.initCtxs()
+      val e = new Cabac.Encoder(bw)
+      // cbf grids (slice == picture here); -1 marks outside-frame
+      val dcCbf = new Array[Int](wMbs * hMbs)
+      val acCbf = new Array[Int](wMbs * 4 * hMbs * 4)
+      val cbDc = new Array[Int](wMbs * hMbs)
+      val crDc = new Array[Int](wMbs * hMbs)
+      val cbAc = new Array[Int](wMbs * 2 * hMbs * 2)
+      val crAc = new Array[Int](wMbs * 2 * hMbs * 2)
+      val chromaModeGrid = new Array[Int](wMbs * hMbs)
+      def mbN(arr: Array[Int], mx: Int, my: Int): Int =
+        if (mx < 0 || my < 0) -1 else arr(my * wMbs + mx)
+      def blkN(arr: Array[Int], gw: Int, gx: Int, gy: Int): Int =
+        if (gx < 0 || gy < 0) -1 else arr(gy * gw + gx)
+      var mb = 0
+      val nMbs = wMbs * hMbs
+      while (mb < nMbs) {
+        val mx = mb % wMbs
+        val my = mb / wMbs
+        val hasL = mx > 0
+        val hasT = my > 0
+        val predMode = (mb + fi) % 4 match {
+          case 0 if hasT => 0
+          case 1 if hasL => 1
+          case 3 if hasL && hasT => 3
+          case _ => 2
+        }
+        val chromaMode = predMode match {
+          case 0 => 2; case 1 => 1; case 3 => 3; case _ => 0
+        }
+        // ---- mb_type: I_16x16, cbp luma 15 chroma 2 (Table 9-36 shape)
+        val mtInc = (if (hasL) 1 else 0) + (if (hasT) 1 else 0)
+        e.decision(ctxs(Cabac.CtxMbTypeI + mtInc), 1) // not I_4x4
+        e.terminate(0) // not I_PCM
+        e.decision(ctxs(Cabac.CtxMbTypeI + 3), 1) // cbp luma 15
+        e.decision(ctxs(Cabac.CtxMbTypeI + 4), 1) // cbp chroma != 0
+        e.decision(ctxs(Cabac.CtxMbTypeI + 5), 1) // cbp chroma == 2
+        e.decision(ctxs(Cabac.CtxMbTypeI + 6), (predMode >> 1) & 1)
+        e.decision(ctxs(Cabac.CtxMbTypeI + 7), predMode & 1)
+        // ---- intra_chroma_pred_mode (TU cMax 3)
+        val cpInc = (if (hasL && chromaModeGrid((my) * wMbs + mx - 1) != 0) 1 else 0) +
+          (if (hasT && chromaModeGrid((my - 1) * wMbs + mx) != 0) 1 else 0)
+        e.decision(ctxs(Cabac.CtxChromaPred + cpInc),
+          if (chromaMode != 0) 1 else 0)
+        if (chromaMode != 0) {
+          e.decision(ctxs(Cabac.CtxChromaPred + 3),
+            if (chromaMode >= 2) 1 else 0)
+          if (chromaMode >= 2)
+            e.decision(ctxs(Cabac.CtxChromaPred + 3),
+              if (chromaMode == 3) 1 else 0)
+        }
+        chromaModeGrid(mb) = chromaMode
+        // ---- mb_qp_delta = 0 (bin 0; prev delta always 0 here)
+        e.decision(ctxs(Cabac.CtxMbQpDelta), 0)
+        // ---- transforms (identical to the CAVLC encoder)
+        val predL = predIntra16x16(predMode, hasL, hasT,
+          (px, py) => ry((my * 16 + py) * w + mx * 16 + px) & 0xFF)
+        val dcRaster = new Array[Int](16)
+        val acLevels = new Array[Array[Int]](16)
+        var blk = 0
+        while (blk < 16) {
+          val res = new Array[Int](16)
+          val bx = LumaBlkX(blk) * 4
+          val by = LumaBlkY(blk) * 4
+          var rr = 0
+          while (rr < 4) {
+            var cc = 0
+            while (cc < 4) {
+              val p = (by + rr) * 16 + bx + cc
+              res(rr * 4 + cc) =
+                (src.y((my * 16 + by + rr) * w + mx * 16 + bx + cc) & 0xFF) -
+                  predL(p)
+              cc += 1
+            }
+            rr += 1
+          }
+          val wt = fdct4x4(res)
+          dcRaster(LumaBlkY(blk) * 4 + LumaBlkX(blk)) = wt(0)
+          val ac = new Array[Int](15)
+          var k = 1
+          while (k < 16) {
+            ac(k - 1) = quantAc(wt(Zigzag4x4(k)), Zigzag4x4(k), qp)
+            k += 1
+          }
+          acLevels(blk) = ac
+          blk += 1
+        }
+        val dcQ = fhadamard4x4(dcRaster).map(quantDc(_, qp))
+        val dcScan = new Array[Int](16)
+        var k = 0
+        while (k < 16) { dcScan(k) = dcQ(Zigzag4x4(k)); k += 1 }
+        // ---- residuals: luma DC (cat0), 16 luma AC (cat1), chroma
+        // DC cb/cr (cat3), 4+4 chroma AC (cat4) — 7.3.5.3 order
+        dcCbf(mb) = if (Cabac.writeResidual(e, ctxs, 0, dcScan,
+          cbfInc(mbN(dcCbf, mx - 1, my), mbN(dcCbf, mx, my - 1))) > 0) 1 else 0
+        blk = 0
+        while (blk < 16) {
+          val gx = mx * 4 + LumaBlkX(blk)
+          val gy = my * 4 + LumaBlkY(blk)
+          val t = Cabac.writeResidual(e, ctxs, 1, acLevels(blk),
+            cbfInc(blkN(acCbf, wMbs * 4, gx - 1, gy),
+              blkN(acCbf, wMbs * 4, gx, gy - 1)))
+          acCbf(gy * wMbs * 4 + gx) = if (t > 0) 1 else 0
+          blk += 1
+        }
+        val cbData = encodeChromaPlane(src.cb, rcb, mx, my, cw, chromaMode,
+          hasL, hasT, qpc)
+        val crData = encodeChromaPlane(src.cr, rcr, mx, my, cw, chromaMode,
+          hasL, hasT, qpc)
+        cbDc(mb) = if (Cabac.writeResidual(e, ctxs, 3, cbData._1,
+          cbfInc(mbN(cbDc, mx - 1, my), mbN(cbDc, mx, my - 1))) > 0) 1 else 0
+        crDc(mb) = if (Cabac.writeResidual(e, ctxs, 3, crData._1,
+          cbfInc(mbN(crDc, mx - 1, my), mbN(crDc, mx, my - 1))) > 0) 1 else 0
+        var cblk = 0
+        while (cblk < 4) {
+          val gx = mx * 2 + cblk % 2
+          val gy = my * 2 + cblk / 2
+          val t = Cabac.writeResidual(e, ctxs, 4, cbData._2(cblk),
+            cbfInc(blkN(cbAc, wMbs * 2, gx - 1, gy),
+              blkN(cbAc, wMbs * 2, gx, gy - 1)))
+          cbAc(gy * wMbs * 2 + gx) = if (t > 0) 1 else 0
+          cblk += 1
+        }
+        cblk = 0
+        while (cblk < 4) {
+          val gx = mx * 2 + cblk % 2
+          val gy = my * 2 + cblk / 2
+          val t = Cabac.writeResidual(e, ctxs, 4, crData._2(cblk),
+            cbfInc(blkN(crAc, wMbs * 2, gx - 1, gy),
+              blkN(crAc, wMbs * 2, gx, gy - 1)))
+          crAc(gy * wMbs * 2 + gx) = if (t > 0) 1 else 0
+          cblk += 1
+        }
+        // ---- reconstruction through the decoder-shared helpers
+        val lumaOut = reconI16x16Luma(predL, dcScan, acLevels, qp)
+        var row = 0
+        while (row < 16) {
+          var cc = 0
+          while (cc < 16) {
+            ry((my * 16 + row) * w + mx * 16 + cc) =
+              lumaOut(row * 16 + cc).toByte
+            cc += 1
+          }
+          row += 1
+        }
+        reconChromaInto(rcb, cbData, mx, my, cw, qpc)
+        reconChromaInto(rcr, crData, mx, my, cw, qpc)
+        // ---- end_of_slice_flag
+        if (mb == nMbs - 1) { e.terminate(1); e.flushTerminate() }
+        else e.terminate(0)
+        mb += 1
+      }
+      bw.byteAlignZero() // cabac trailing alignment after the stop bit
+      recons += Plane(w, frames.head.height, ry, rcb, rcr)
+      (Array[Byte]((3 << 5 | (if (isIdr) 5 else 1)).toByte)) ++ escape(bw.toBytes)
+    }
+    (Encoded(encodeSps(wMbs, hMbs), encodePps(cabac = true),
+      encodeCabacSei() +: nals, wMbs, hMbs), recons.result())
+  }
+
+  /** Decode one single-slice CABAC I picture (Intra_16x16 subset, any
+    * CBP; marker-gated by the caller). Returns (plane, filterExact). */
+  private def decodeCabacISlice(rbsp: Array[Byte], sps: Sps, pps: Pps,
+      isIdr: Boolean): Option[(Plane, Boolean)] = {
+    val r = new BitReader(rbsp)
+    try {
+      if (r.ue() != 0) return None // multi-slice CABAC: out of subset
+      val sliceType = r.ue()
+      if (sliceType % 5 != 2) return None // I slices only
+      if (r.ue() != 0) return None // pic_parameter_set_id
+      r.u(sps.log2MaxFrameNum) // frame_num
+      if (isIdr) { r.ue(); r.u1(); r.u1() }
+      else r.u1() // adaptive_ref_pic_marking_mode_flag (nal_ref_idc>0)
+      val qpy = pps.initQp + r.se()
+      if (qpy < 0 || qpy > 51) return None
+      var filterExact = false
+      if (pps.deblockPresent) {
+        val idc = r.ue()
+        filterExact = idc == 1
+        if (idc != 1) r.se() // alpha offset (beta follows)
+        if (idc != 1) r.se()
+      }
+      if (!r.alignOnesToByte()) return None
+      val d = new Cabac.Decoder(r)
+      val ctxs = Cabac.initCtxs()
+      val wMbs = sps.widthMbs
+      val hMbs = sps.heightMbs
+      val w = sps.width
+      val cw = w / 2
+      val qpc = chromaQp(qpy)
+      val ry = new Array[Byte](w * sps.height)
+      val rcb = new Array[Byte](cw * (sps.height / 2))
+      val rcr = new Array[Byte](cw * (sps.height / 2))
+      val dcCbf = new Array[Int](wMbs * hMbs)
+      val acCbf = new Array[Int](wMbs * 4 * hMbs * 4)
+      val cbDc = new Array[Int](wMbs * hMbs)
+      val crDc = new Array[Int](wMbs * hMbs)
+      val cbAc = new Array[Int](wMbs * 2 * hMbs * 2)
+      val crAc = new Array[Int](wMbs * 2 * hMbs * 2)
+      val chromaModeGrid = new Array[Int](wMbs * hMbs)
+      def mbN(arr: Array[Int], mx: Int, my: Int): Int =
+        if (mx < 0 || my < 0) -1 else arr(my * wMbs + mx)
+      def blkN(arr: Array[Int], gw: Int, gx: Int, gy: Int): Int =
+        if (gx < 0 || gy < 0) -1 else arr(gy * gw + gx)
+      val nMbs = wMbs * hMbs
+      var mb = 0
+      var ended = false
+      while (mb < nMbs && !ended) {
+        val mx = mb % wMbs
+        val my = mb / wMbs
+        val hasL = mx > 0
+        val hasT = my > 0
+        // ---- mb_type
+        val mtInc = (if (hasL) 1 else 0) + (if (hasT) 1 else 0)
+        if (d.decision(ctxs(Cabac.CtxMbTypeI + mtInc)) == 0)
+          return None // I_4x4 under CABAC: out of subset
+        if (d.terminate() == 1) return None // I_PCM: out of subset
+        val cbpL = if (d.decision(ctxs(Cabac.CtxMbTypeI + 3)) == 1) 15 else 0
+        val cbpC =
+          if (d.decision(ctxs(Cabac.CtxMbTypeI + 4)) == 0) 0
+          else if (d.decision(ctxs(Cabac.CtxMbTypeI + 5)) == 1) 2 else 1
+        val predMode = (d.decision(ctxs(Cabac.CtxMbTypeI + 6)) << 1) |
+          d.decision(ctxs(Cabac.CtxMbTypeI + 7))
+        // ---- intra_chroma_pred_mode
+        val cpInc = (if (hasL && chromaModeGrid(my * wMbs + mx - 1) != 0) 1 else 0) +
+          (if (hasT && chromaModeGrid((my - 1) * wMbs + mx) != 0) 1 else 0)
+        val chromaMode =
+          if (d.decision(ctxs(Cabac.CtxChromaPred + cpInc)) == 0) 0
+          else if (d.decision(ctxs(Cabac.CtxChromaPred + 3)) == 0) 1
+          else if (d.decision(ctxs(Cabac.CtxChromaPred + 3)) == 0) 2
+          else 3
+        chromaModeGrid(mb) = chromaMode
+        // ---- mb_qp_delta (unary; only 0 stays in the subset — a
+        // nonzero delta would shift qp mid-slice, which the recon
+        // helpers support, but our streams never emit it; decode it
+        // anyway for completeness)
+        var qpDeltaK = 0
+        if (d.decision(ctxs(Cabac.CtxMbQpDelta)) == 1) {
+          qpDeltaK = 1
+          var more = d.decision(ctxs(Cabac.CtxMbQpDelta + 2)) == 1
+          while (more) {
+            qpDeltaK += 1
+            if (qpDeltaK > 52) return None
+            more = d.decision(ctxs(Cabac.CtxMbQpDelta + 3)) == 1
+          }
+        }
+        if (qpDeltaK != 0) return None // out of subset (never emitted)
+        // ---- residuals
+        val dcScan =
+          Cabac.readResidual(d, ctxs, 0, 16,
+            cbfInc(mbN(dcCbf, mx - 1, my), mbN(dcCbf, mx, my - 1)))
+        dcCbf(mb) = if (dcScan._2 > 0) 1 else 0
+        val acLevels = new Array[Array[Int]](16)
+        if (cbpL == 15) {
+          var blk = 0
+          while (blk < 16) {
+            val gx = mx * 4 + LumaBlkX(blk)
+            val gy = my * 4 + LumaBlkY(blk)
+            val res = Cabac.readResidual(d, ctxs, 1, 15,
+              cbfInc(blkN(acCbf, wMbs * 4, gx - 1, gy),
+                blkN(acCbf, wMbs * 4, gx, gy - 1)))
+            acLevels(blk) = res._1
+            acCbf(gy * wMbs * 4 + gx) = if (res._2 > 0) 1 else 0
+            blk += 1
+          }
+        }
+        var cbDcScan: Array[Int] = null
+        var crDcScan: Array[Int] = null
+        val cbAcL = new Array[Array[Int]](4)
+        val crAcL = new Array[Array[Int]](4)
+        if (cbpC > 0) {
+          val c0 = Cabac.readResidual(d, ctxs, 3, 4,
+            cbfInc(mbN(cbDc, mx - 1, my), mbN(cbDc, mx, my - 1)))
+          cbDcScan = c0._1
+          cbDc(mb) = if (c0._2 > 0) 1 else 0
+          val c1 = Cabac.readResidual(d, ctxs, 3, 4,
+            cbfInc(mbN(crDc, mx - 1, my), mbN(crDc, mx, my - 1)))
+          crDcScan = c1._1
+          crDc(mb) = if (c1._2 > 0) 1 else 0
+        }
+        if (cbpC == 2) {
+          var cblk = 0
+          while (cblk < 4) {
+            val gx = mx * 2 + cblk % 2
+            val gy = my * 2 + cblk / 2
+            val res = Cabac.readResidual(d, ctxs, 4, 15,
+              cbfInc(blkN(cbAc, wMbs * 2, gx - 1, gy),
+                blkN(cbAc, wMbs * 2, gx, gy - 1)))
+            cbAcL(cblk) = res._1
+            cbAc(gy * wMbs * 2 + gx) = if (res._2 > 0) 1 else 0
+            cblk += 1
+          }
+          cblk = 0
+          while (cblk < 4) {
+            val gx = mx * 2 + cblk % 2
+            val gy = my * 2 + cblk / 2
+            val res = Cabac.readResidual(d, ctxs, 4, 15,
+              cbfInc(blkN(crAc, wMbs * 2, gx - 1, gy),
+                blkN(crAc, wMbs * 2, gx, gy - 1)))
+            crAcL(cblk) = res._1
+            crAc(gy * wMbs * 2 + gx) = if (res._2 > 0) 1 else 0
+            cblk += 1
+          }
+        }
+        // ---- reconstruction (decoder-shared helpers)
+        val predL = predIntra16x16(predMode, hasL, hasT,
+          (px, py) => ry((my * 16 + py) * w + mx * 16 + px) & 0xFF)
+        val lumaOut = reconI16x16Luma(predL, dcScan._1,
+          if (cbpL == 15) acLevels else null, qpy)
+        var row = 0
+        while (row < 16) {
+          var cc = 0
+          while (cc < 16) {
+            ry((my * 16 + row) * w + mx * 16 + cc) =
+              lumaOut(row * 16 + cc).toByte
+            cc += 1
+          }
+          row += 1
+        }
+        val predCb = predChroma8x8(chromaMode, hasL, hasT,
+          (px, py) => rcb((my * 8 + py) * cw + mx * 8 + px) & 0xFF)
+        val predCr = predChroma8x8(chromaMode, hasL, hasT,
+          (px, py) => rcr((my * 8 + py) * cw + mx * 8 + px) & 0xFF)
+        val cbOut = reconChroma8x8(predCb, cbDcScan,
+          if (cbpC == 2) cbAcL else null, qpc)
+        val crOut = reconChroma8x8(predCr, crDcScan,
+          if (cbpC == 2) crAcL else null, qpc)
+        row = 0
+        while (row < 8) {
+          var cc = 0
+          while (cc < 8) {
+            rcb((my * 8 + row) * cw + mx * 8 + cc) = cbOut(row * 8 + cc).toByte
+            rcr((my * 8 + row) * cw + mx * 8 + cc) = crOut(row * 8 + cc).toByte
+            cc += 1
+          }
+          row += 1
+        }
+        // ---- end_of_slice_flag
+        if (d.terminate() == 1) ended = true
+        mb += 1
+      }
+      if (mb != nMbs || !ended) return None // torn / early end
+      Some((Plane(w, sps.height, ry, rcb, rcr), filterExact))
+    } catch { case _: Exception => None }
   }
 
   // ------------------------- Intra_4x4 / inter shared machinery
@@ -1761,16 +2164,21 @@ object H264 {
     } catch { case _: Exception => None }
   }
 
-  final case class Pps(initQp: Int, deblockPresent: Boolean)
+  final case class Pps(initQp: Int, deblockPresent: Boolean,
+      cabac: Boolean = false)
 
-  /** Parse a PPS RBSP; None when outside the subset (CABAC, slice
-    * groups, more than one active ref). Captures pic_init_qp (the
-    * CAVLC residual path dequantizes with SliceQPY derived from it). */
+  /** Parse a PPS RBSP; None when outside the subset (slice groups,
+    * more than one active ref). Captures pic_init_qp (the CAVLC
+    * residual path dequantizes with SliceQPY derived from it) and the
+    * entropy mode — CABAC slices additionally require the
+    * [[CabacSeiUuid]] self-identification marker (see [[Cabac]]'s
+    * honesty boundary); unmarked CABAC streams keep the pre-r20
+    * checked fallback (None). */
   private def parsePps(rbsp: Array[Byte]): Option[Pps] = {
     try {
       val r = new BitReader(rbsp)
       if (r.ue() != 0 || r.ue() != 0) return None // pps/sps ids
-      if (r.u1() != 0) return None // CABAC: out of subset
+      val cabac = r.u1() == 1 // entropy_coding_mode_flag
       r.u1() // bottom_field_pic_order_in_frame_present
       if (r.ue() != 0) return None // slice groups: out of subset
       r.ue() // num_ref_idx_l0_default_active_minus1
@@ -1785,8 +2193,39 @@ object H264 {
       val deblockPresent = r.u1() == 1
       r.u1() // constrained_intra_pred_flag (no effect on this subset)
       if (r.u1() != 0) return None // redundant slices: out of subset
-      Some(Pps(initQp, deblockPresent))
+      Some(Pps(initQp, deblockPresent, cabac))
     } catch { case _: Exception => None }
+  }
+
+  /** 16-byte UUID of the SEI user_data_unregistered marker our CABAC
+    * encoder stamps — the decoder decodes CABAC slices ONLY under it
+    * (see [[Cabac]]'s honesty boundary on context initialization). */
+  private[operators] val CabacSeiUuid: Array[Byte] =
+    "graft-cabac-ctx1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** SEI NAL (type 6) carrying the [[CabacSeiUuid]] marker. */
+  private def encodeCabacSei(): Array[Byte] = {
+    val payload = CabacSeiUuid
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(5) // payloadType user_data_unregistered
+    bos.write(payload.length) // payloadSize (< 255, no 0xFF extension)
+    bos.write(payload, 0, payload.length)
+    bos.write(0x80) // rbsp trailing stop bit
+    (Array[Byte]((0 << 5 | 6).toByte)) ++ escape(bos.toByteArray)
+  }
+
+  /** Does an SEI RBSP carry the [[CabacSeiUuid]] marker? Byte-scan —
+    * SEI messages are byte-aligned and the UUID is plain bytes. */
+  private def seiHasCabacMarker(rbsp: Array[Byte]): Boolean = {
+    val u = CabacSeiUuid
+    var i = 0
+    while (i + u.length <= rbsp.length) {
+      var j = 0
+      while (j < u.length && rbsp(i + j) == u(j)) j += 1
+      if (j == u.length) return true
+      i += 1
+    }
+    false
   }
 
   /** `filterExact`: true when decoded pixels are bit-identical to a
@@ -1812,6 +2251,7 @@ object H264 {
     var ref: Plane = null
     var filterExact = true
     var subpelMbs = 0
+    var cabacMarked = false
     // partial multi-slice picture: (plane so far, MBs decoded so far)
     var partial: Option[(Plane, Int)] = None
     val frames = IndexedSeq.newBuilder[Plane]
@@ -1830,19 +2270,36 @@ object H264 {
           case 5 | 1 =>
             val s = sps.getOrElse(return None)
             val p = pps.getOrElse(return None)
-            val (out, mbs, sliceExact, sliceSubpel) =
-              decodeSlice(rbsp, s, p, isIdr = nalType == 5, ref, partial)
-                .getOrElse(return None)
-            if (!sliceExact) filterExact = false
-            subpelMbs += sliceSubpel
-            if (mbs == s.widthMbs * s.heightMbs) {
-              // picture complete (single-slice, or the last slice of a
-              // multi-slice picture): emit and make it the reference
+            if (p.cabac) {
+              // CABAC slices decode only under the self-identification
+              // marker (context init is not spec-table-verified — see
+              // Cabac's honesty boundary); foreign CABAC keeps the
+              // checked fallback instead of silently-wrong pixels
+              if (!cabacMarked) return None
+              val (out, sliceExact) =
+                decodeCabacISlice(rbsp, s, p, isIdr = nalType == 5)
+                  .getOrElse(return None)
+              if (!sliceExact) filterExact = false
               partial = None
               ref = out
               frames += out
-            } else partial = Some((out, mbs))
-          case 6 | 9 | 10 | 11 | 12 => // SEI / AU delimiter / end: ignore
+            } else {
+              val (out, mbs, sliceExact, sliceSubpel) =
+                decodeSlice(rbsp, s, p, isIdr = nalType == 5, ref, partial)
+                  .getOrElse(return None)
+              if (!sliceExact) filterExact = false
+              subpelMbs += sliceSubpel
+              if (mbs == s.widthMbs * s.heightMbs) {
+                // picture complete (single-slice, or the last slice of a
+                // multi-slice picture): emit and make it the reference
+                partial = None
+                ref = out
+                frames += out
+              } else partial = Some((out, mbs))
+            }
+          case 6 =>
+            if (seiHasCabacMarker(rbsp)) cabacMarked = true
+          case 9 | 10 | 11 | 12 => // AU delimiter / end: ignore
           case _ => return None
         }
       }
@@ -2957,8 +3414,14 @@ object H264 {
     val out = Seq.newBuilder[Seq[Array[Byte]]]
     var cur = Vector.empty[Array[Byte]]
     nals.foreach { nal =>
+      // only SLICE NALs (types 1/5) can start a picture — an SEI's
+      // first payload bits are not a slice header, so parsing them as
+      // first_mb_in_slice would split pictures at random (r20, the
+      // CABAC marker SEI rides inside the first picture's sample)
+      val isSlice = nal.nonEmpty && ((nal(0) & 0x1F) == 1 || (nal(0) & 0x1F) == 5)
       val firstMb =
-        try new BitReader(
+        if (!isSlice) -1
+        else try new BitReader(
           unescape(java.util.Arrays.copyOfRange(nal, 1, nal.length))).ue()
         catch { case _: Exception => 0 }
       if (firstMb == 0 && cur.nonEmpty) { out += cur; cur = Vector.empty }

@@ -481,6 +481,51 @@ object Multimodal {
         "fidelity_ok")
   }
 
+  /** C12 CABAC gate (r20): per doc, build a textured CABAC H.264 mp4
+    * ([[MediaGen.makeMp4AvcCabac]]) and decode it back through the
+    * mux/demux + CABAC bitstream chain; pin `exact` (decoded planes
+    * equal the encoder's independent reconstruction BIT-FOR-BIT — any
+    * desync anywhere in the arithmetic engine, context modeling,
+    * binarizations, or transform chain corrupts pixels) and
+    * `fidelity_ok` (frame-0 luma MAD vs the closed-form source < 6,
+    * the same quant-calibration bound as the CAVLC gate). Scale shape:
+    * one mapPartitions projection, no shuffle. */
+  def h264CabacAudit(spark: SparkSession, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val n = MediaGen.textLen(text)
+          val (mp4, expected, qp) = MediaGen.makeMp4AvcCabac(text)
+          val dec = H264.decodeMp4(mp4).getOrElse(
+            throw new IllegalStateException(
+              s"generated CABAC H.264 stream failed to decode for doc $id"))
+          if (!dec.filterExact)
+            throw new IllegalStateException(
+              s"generated CABAC stream for doc $id did not disable the " +
+                "loop filter")
+          val exact = dec.frames.length == expected.length &&
+            dec.frames.zip(expected).forall { case (g, e) =>
+              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
+                g.cr.sameElements(e.cr)
+            }
+          val y0 = dec.frames.head.y
+          var sad = 0L
+          var i = 0
+          while (i < y0.length) {
+            sad += math.abs((y0(i) & 0xFF) -
+              MediaGen.h264TexPix(n, 0, i % dec.width, i / dec.width, 0))
+            i += 1
+          }
+          val fidelityOk = sad.toDouble / y0.length < 6.0
+          (id, dec.frames.length, dec.width, dec.height, qp, exact, fidelityOk)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "qp", "exact",
+        "fidelity_ok")
+  }
+
   /** C12 multi-slice gate (r15): per doc, build a 32x64 textured H.264
     * mp4 whose every picture is 2..4 row-aligned I SLICES
     * ([[MediaGen.makeMp4AvcSliced]]), decode it through the mux/demux

@@ -1077,6 +1077,31 @@ object Pipeline {
         |  true AS exact, true AS fidelity_ok
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // C12 (CABAC, r20): the textured stream entropy-coded through the
+    // real CABAC machinery — arithmetic decision/bypass/terminate
+    // engine, context-coded mb_type / chroma mode / coded_block_flags
+    // / significance maps / UEG0 levels — decoded back to pixel
+    // equality with the encoder's independent reconstruction. Context
+    // INIT values are self-consistent rather than spec-table-verified
+    // (no reference copy offline), so the decoder only accepts CABAC
+    // under the encoder's SEI marker; foreign CABAC keeps the checked
+    // fallback (Cabac.scala's documented boundary). The oracle replays
+    // the stream geometry closed-form and pins both booleans.
+    "mm_h264_cabac" -> ((
+      (s: SparkSession, d: String) => {
+        // deterministic half-sample, like mm_h264_multislice: the
+        // (frames x qp) lattice (27 combos) is covered many times over
+        Multimodal.h264CabacAudit(s,
+            t(s, d, "documents").filter(col("doc_id") % 2 === 1))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(1 + length(text) % 3 AS INT) AS n_frames,
+        |  CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        |  CAST(20 + length(text) % 9 AS INT) AS qp,
+        |  true AS exact, true AS fidelity_ok
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
+
     // C12 (multi-slice, r15): every picture arrives as 2..4 row-aligned
     // I slices (first_mb_in_slice > 0, per-slice nC state, 7.4.3
     // slice-boundary availability) — encoder and decoder must agree

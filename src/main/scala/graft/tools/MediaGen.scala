@@ -205,6 +205,28 @@ object MediaGen {
     (muxAvcMp4(enc, w, h), expected, qp)
   }
 
+  /** REAL CABAC H.264 in MP4 (r20): the same textured 32×32 frames as
+    * [[makeMp4AvcTextured]], entropy-coded through the CABAC engine
+    * ([[H264.encodeCabacTextured]]: context-coded mb_type/cbf/
+    * significance/levels, bypass signs, terminate, flush) at a per-doc
+    * QP. The stream carries the CABAC PPS + the marker SEI; returns
+    * the mp4, the decoder-exact expected reconstruction, and the QP. */
+  def makeMp4AvcCabac(text: String): (Array[Byte], IndexedSeq[H264.Plane], Int) = {
+    val n = textLen(text)
+    val (w, h) = (H264W, H264H)
+    val frames = (0 until h264TexFrameCount(n)).map { k =>
+      H264.Plane(w, h,
+        Array.tabulate(w * h)(i => h264TexPix(n, k, i % w, i / w, 0).toByte),
+        Array.tabulate(w / 2 * (h / 2))(i =>
+          h264TexPix(n, k, i % (w / 2), i / (w / 2), 1).toByte),
+        Array.tabulate(w / 2 * (h / 2))(i =>
+          h264TexPix(n, k, i % (w / 2), i / (w / 2), 2).toByte))
+    }
+    val qp = h264TexQp(n)
+    val (enc, expected) = H264.encodeCabacTextured(frames, qp)
+    (muxAvcMp4(enc, w, h), expected, qp)
+  }
+
   /** MULTI-SLICE textured stream (r15): a TALLER picture (32x64,
     * 4 MB rows) encoded as 2..4 row-aligned I slices per frame —
     * the error-resilience/row-parallel structure real footage uses.
