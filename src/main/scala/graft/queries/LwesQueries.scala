@@ -634,6 +634,57 @@ object LwesQueries {
         |  count(*) AS n
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin)),
 
+    // A26 (r20): COMPLETE aggregate pushdown — when the push-time probe
+    // proves EVERY file answers every pushed COUNT/MIN/MAX/SUM from its
+    // sidecar (or the directory manifest), the scan reports
+    // supportCompletePushDown and Spark plans NO aggregate node and NO
+    // exchange: the metadata-only partition's rows ARE the final
+    // answer. The in-gate requires pin the single-stage plan itself
+    // (complete mode claimed, no HashAggregate, no Exchange, zero
+    // events parsed); the oracle replays the same dashboard on parquet.
+    "lwes_agg_complete" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"agggrp|$d") { dir =>
+          t(s, d, "orders")
+            .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+            .select(col("o_orderkey"),
+              when(col("o_orderkey") % 7 =!= 0, col("o_custkey"))
+                .as("o_custkey"),
+              col("prio"))
+            .write.format("lwes").option("eventName", "Order::Gp")
+            .option("compression", "gzip")
+            .option("partitionBy", "prio").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, ckey long, prio string")
+          .option("mapping", "okey:o_orderkey, ckey:o_custkey")
+          .load(dir)
+          .agg(count(lit(1)).as("n"), count(col("ckey")).as("nc"),
+            min(col("okey")).as("mn"), max(col("okey")).as("mx"),
+            sum(col("okey")).as("sk"), sum(col("ckey")).as("sc"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        val ps = plan.toString
+        require(ps.contains(" complete"),
+          s"complete pushdown mode was not claimed:\n$ps")
+        require(!ps.contains("HashAggregate") && !ps.contains("SortAggregate"),
+          s"complete pushdown must plan no aggregate node:\n$ps")
+        require(!ps.contains("Exchange"),
+          s"complete pushdown must plan no exchange:\n$ps")
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        require(nParsed == 0,
+          s"metadata-complete aggregate parsed $nParsed events")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END) AS nc,
+        |  min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sk,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END) AS BIGINT)
+        |    AS sc
+        |FROM orders""".stripMargin)),
+
     // A32 (r19): `GROUP BY <event-name column>` + COUNT(*) answered
     // from the sidecar's per-name record counts — "events per type"
     // over a multi-event journal store with zero opens. The r19 sidecar
