@@ -1635,6 +1635,53 @@ object LwesQueries {
         |FROM orders
         |ORDER BY cents DESC, okey LIMIT 50""".stripMargin)),
 
+    // A28 (r20): FLOAT/DOUBLE-attribute top-N — `ORDER BY <double
+    // attr> DESC LIMIT k`, the pipeline's "top k by quality score"
+    // shape. The journals carry NATIVE double wire tokens (ESF
+    // template; the default writer keeps the reference's
+    // float-as-string parity, which is metadata-blind), so the
+    // kind-'d' sidecar bounds — kept under Spark's floating total
+    // order, which is also its SORT order — feed the same greedy
+    // bound-and-count prune. okey is a tie-break (accepted: it
+    // permutes within leading-key ties, never the bound).
+    "lwes_topn_attr_dbl" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"topndbl|$d") { dir =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, ".topnd.esf"),
+            """Tk::D
+              |{
+              |  required int64 o_orderkey;
+              |  double o_totalprice;
+              |}
+              |""".stripMargin)
+          t(s, d, "orders").select("o_orderkey", "o_totalprice")
+            .repartitionByRange(8, col("o_totalprice"))
+            .write.format("lwes").option("eventName", "Tk::D")
+            .option(graft.sources.lwes.LwesOptions.Esf, s"$dir/.topnd.esf")
+            .mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, total double")
+          .option("mapping", "okey:o_orderkey, total:o_totalprice")
+          .load(dir)
+          .orderBy(col("total").desc, col("okey")).limit(50)
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("topN=[total desc k=50]"),
+          s"double-attribute top-N was not pushed:\n$plan")
+        val pruned = graft.sources.lwes.LwesScan.scansIn(plan)
+          .map(_.topNPrunedFileCount)
+        require(pruned.exists(_ >= 6),
+          s"double-attribute top-N never pruned the journal scan " +
+            s"(pruned counts: $pruned; expected >= 6 of 8)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+          .orderBy(col("total").desc, col("okey"))
+      },
+      """SELECT o_orderkey AS okey, o_totalprice AS total
+        |FROM orders
+        |ORDER BY total DESC, okey LIMIT 50""".stripMargin)),
+
     // A28 (r20): STRING-attribute top-N — `ORDER BY <string attr> DESC
     // LIMIT k` bounds the k-th best value from the exact sidecar
     // string bounds (byte order = UTF8String order; bounds are

@@ -594,7 +594,9 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       // every NULL), header/partition/name columns excluded (their
       // null semantics differ from "attr absent"). r20: StringType
       // joins via the exact sidecar string bounds (byte order =
-      // UTF8String's comparison order).
+      // UTF8String's comparison order) and Float/DoubleType via the
+      // kind-'d' bounds (Spark's floating total order — NaN greatest,
+      // ±0.0 equal — which is also its SORT order for these types).
       case Some(n) if orders(0).nullOrdering() ==
             org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST &&
           !samplePartitionCols.contains(n) &&
@@ -604,7 +606,8 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
             LwesOptions.parseMapping(options.get(LwesOptions.Mapping))
               ._1.getOrElse(n, n)) &&
           fullSchema.fields.exists(f => f.name == n && (f.dataType match {
-            case ShortType | IntegerType | LongType | StringType => true
+            case ShortType | IntegerType | LongType | StringType |
+                FloatType | DoubleType => true
             case _ => false
           })) =>
         topNSpec = Some(LwesTopN(desc, limit, col = Some(n)))
@@ -1729,6 +1732,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     val dt = config.schema.fields.find(_.name == c).map(_.dataType)
       .getOrElse(return (slices, None))
     if (dt == StringType) return attrTopNPruneStr(slices, spec, conf, attr)
+    if (dt == FloatType || dt == DoubleType)
+      return attrTopNPruneDbl(slices, spec, conf, attr, dt)
     val cands = slices.filter(p => p._2.hasStats || p._2.hasManifest)
     // the cap bounds the DRIVER-side per-file GET wave, so (like the
     // filter prune's uncoveredCandidates) it counts only candidates
@@ -1826,6 +1831,118 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
       if (spec.desc) GreaterThanOrEqual(c, lit) else LessThanOrEqual(c, lit)
     (kept, Some(flt))
   }
+
+  /** A28 float/double-attribute top-N (r20, the kind-'d' twin of the
+    * integral path): `ORDER BY <float/double attr> [DESC] LIMIT k` —
+    * the pipeline's "top k by quality score" shape — bounds the k-th
+    * best value from the sidecar `dmn`/`dmx` bounds, which are kept
+    * under Spark's floating TOTAL order (compareDoubles: NaN greatest,
+    * ±0.0 equal). That order is also Spark's SORT order for these
+    * types, so the greedy bound-and-count argument transfers verbatim:
+    * every one of a unit's `count` non-null rows reads >= its stored
+    * min (DESC) / <= its stored max (ASC) under the order the Sort
+    * node itself uses. The `dblFits` rule guards FloatType reads (a
+    * double wire value narrowed to float rounds, which can collapse
+    * values across the bounds — only allFloat sidecars speak).
+    * NULLS LAST required like the sibling paths; NaN is a VALUE
+    * (greatest), never a null, on both the tracker and reader sides.
+    * The bound rides as a synthesized float/double predicate (frame
+    * prune, in-parse row filter, executor skims), whose reader-side
+    * evaluators compare under the same compareDoubles order — boxed to
+    * the column's own type (exact for FloatType: allFloat-proven
+    * bounds are float-representable). Same manifest-aware GET cap. */
+  private def attrTopNPruneDbl(
+      slices: Array[(FileStatus, LwesInputPartition)],
+      spec: LwesTopN, conf: Configuration, attr: String, dt: DataType)
+      : (Array[(FileStatus, LwesInputPartition)], Option[Filter]) = {
+    val c = spec.col.get
+    val cands = slices.filter(p => p._2.hasStats || p._2.hasManifest)
+    if (cands.isEmpty ||
+        cands.count(!_._2.hasManifest) > statsPruneMaxFiles)
+      return (slices, None)
+    prefetchStats(cands.toSeq, conf)
+    def statsOf(f: FileStatus, s: LwesInputPartition) =
+      statsCache.getOrDefault(statsKey(f, s), None)
+    import LwesStats.dblFits
+    val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+    val units = mutable.ArrayBuffer.empty[(Double, Long)] // (weak bound, count)
+    val fileUnits = cands.flatMap { case (f, s) =>
+      statsOf(f, s).flatMap(_.attrs.get(attr))
+        .filter(e => dblFits(e, dt) && e.count > 0)
+        .map(e => (f, s, if (spec.desc) e.minD else e.maxD,
+          if (spec.desc) e.maxD else e.minD, e.count))
+    }
+    val refine = fileUnits
+      .filter { case (_, s, _, _, _) => graft.lwes.SplitJournal.isSplit(s.path) }
+      .sortBy { case (_, _, _, best, _) => best }(
+        if (spec.desc) dblOrdering.reverse else dblOrdering)
+      .take(LwesScan.TopNFooterRefine)
+      .map { case (f, s, _, _, _) => (f, s) }.toSet
+    fileUnits.foreach { case (f, s, weak, _, count) =>
+      val framed = refine.contains((f, s)) &&
+        (footerCache.computeIfAbsent(footerKey(f, s),
+          _ => readFooterOf(s, conf)) match {
+          case Some(frames) =>
+            val perFrame = frames.map { fr =>
+              if (fr.stats == null) None
+              else LwesStats.parse(fr.stats)
+                .filter(st => st.records == fr.records && st.fileLen == fr.rawLen)
+                .flatMap(_.attrs.get(attr))
+                .filter(e => dblFits(e, dt))
+            }
+            // all-or-nothing per file: a blobless/lying frame falls the
+            // whole file back to its (sound) whole-file unit
+            if (perFrame.exists(_.isEmpty)) false
+            else {
+              perFrame.flatten.foreach { e =>
+                if (e.count > 0)
+                  units += ((if (spec.desc) e.minD else e.maxD, e.count))
+              }
+              true
+            }
+          case None => false
+        })
+      if (!framed) units += ((weak, count))
+    }
+    val best = units.sortBy(_._1)(
+      if (spec.desc) dblOrdering.reverse else dblOrdering)
+    var taken = 0L
+    var bound = 0.0
+    var found = false
+    var i = 0
+    while (i < best.length && !found) {
+      taken += best(i)._2
+      if (taken >= spec.k) { bound = best(i)._1; found = true }
+      i += 1
+    }
+    if (!found) return (slices, None) // fewer than k provable rows
+    val kept = slices.filter { case (f, s) =>
+      (!s.hasStats && !s.hasManifest) || (statsOf(f, s) match {
+        case Some(st) => st.attrs.get(attr) match {
+          case Some(e) if dblFits(e, dt) =>
+            if (spec.desc) cmp.compareDoubles(e.maxD, bound) >= 0
+            else cmp.compareDoubles(e.minD, bound) <= 0
+          case Some(_) => true // class/type mismatch: keep
+          case None => !st.complete // complete+absent = all NULL = outranked
+        }
+        case None => true // unreadable/stale: keep
+      })
+    }
+    topNPruned = (slices.length - kept.length).toLong
+    // the bound as a pushed-filter-shaped predicate (A31 frame prune,
+    // in-parse row filter, executor skims — all compareDoubles-ordered)
+    val lit: Any = dt match {
+      case FloatType => java.lang.Float.valueOf(bound.toFloat)
+      case _ => java.lang.Double.valueOf(bound)
+    }
+    val flt: Filter =
+      if (spec.desc) GreaterThanOrEqual(c, lit) else LessThanOrEqual(c, lit)
+    (kept, Some(flt))
+  }
+
+  private val dblOrdering: Ordering[Double] =
+    (a: Double, b: Double) => org.apache.spark.sql.catalyst.util
+      .SQLOrderingUtil.compareDoubles(a, b)
 
   /** A28 string-attribute top-N (r20): the integral bound-and-count
     * prune generalized to StringType via the exact sidecar string

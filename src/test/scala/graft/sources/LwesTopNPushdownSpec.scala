@@ -257,6 +257,117 @@ class LwesTopNPushdownSpec extends AnyFunSuite {
     extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
   }
 
+  /** Four ESF-native-double journals with disjoint score ranges
+    * (kind-'d' sidecars; every 10th score NULL). */
+  private def writeFpScored(dir: String, esfType: String = "double"): Unit = {
+    import spark.implicits._
+    Files.writeString(java.nio.file.Paths.get(dir, ".fps.esf"),
+      s"Fs::E\n{\n  required int64 id;\n  $esfType score;\n}\n")
+    Seq(0L, 100L, 200L, 300L).foreach { base =>
+      val df = (base until base + 100)
+        .map(i => (i, if (i % 10 == 0) null else (i * 1.5).asInstanceOf[Any]))
+        .map { case (i, s) => (i, s.asInstanceOf[java.lang.Double]) }
+        .toDF("id", "score")
+      // the ESF writer refuses narrowing: a float-declared attr needs
+      // a FloatType column (i*1.5 at these magnitudes is float-exact)
+      (if (esfType == "float") df.withColumn("score", col("score").cast("float"))
+       else df)
+        .repartition(1)
+        .write.format("lwes").option("eventName", "Fs::E")
+        .option(LwesOptions.Esf, s"$dir/.fps.esf").mode("append").save(dir)
+    }
+  }
+
+  private def rdFpScored(dir: String, st: String,
+      extra: (String, String)*): DataFrame = {
+    // no eventName filter: build() clears the top-N push under any
+    // record gate, and these journals are single-event anyway
+    val base = spark.read.format("lwes").schema(s"id long, score $st")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+  }
+
+  test("double attr top-k bounds from kind-d sidecars and prunes (r20)") {
+    val dir = tmp()
+    writeFpScored(dir)
+    val q = rdFpScored(dir, "double").orderBy(col("score").desc).limit(5)
+    val vals = q.collect().map(_.getDouble(1))
+    val want = rdFpScored(dir, "double", LwesOptions.TopNPrune -> "false")
+      .orderBy(col("score").desc).limit(5).collect().map(_.getDouble(1))
+    assert(vals.sorted.sameElements(want.sorted))
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("topN=[score desc k=5]"), plan.toString)
+    assert(LwesScan.scansIn(plan).map(_.topNPrunedFileCount).sum == 3L,
+      "three lower-score files should prune")
+    // ASC NULLS LAST prunes the three high files; default asc (nulls
+    // first) must decline — null rows belong in the top-k
+    val asc = rdFpScored(dir, "double").orderBy(col("score").asc_nulls_last).limit(5)
+    val ascVals = asc.collect().map(_.getDouble(1))
+    val ascWant = rdFpScored(dir, "double", LwesOptions.TopNPrune -> "false")
+      .orderBy(col("score").asc_nulls_last).limit(5).collect()
+      .map(_.getDouble(1))
+    assert(ascVals.sorted.sameElements(ascWant.sorted))
+    assert(LwesScan.scansIn(asc.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 3L)
+    val nf = rdFpScored(dir, "double").orderBy(col("score")).limit(5)
+    assert(nf.collect().count(_.isNullAt(1)) == 5, "nulls-first top-5 is NULL")
+    assert(!nf.queryExecution.executedPlan.toString.contains("topN=["))
+  }
+
+  test("double attr top-k: NaN ranks greatest; bound predicate keeps NaN rows") {
+    import spark.implicits._
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, ".fpn.esf"),
+      "Fn::E\n{\n  required int64 id;\n  double score;\n}\n")
+    def write(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "score").repartition(1)
+        .write.format("lwes").option("eventName", "Fn::E")
+        .option(LwesOptions.Esf, s"$dir/.fpn.esf").mode("append").save(dir)
+    write(Seq((1L, 1.0), (2L, Double.NaN))) // bounds [1.0, NaN]
+    write(Seq((3L, -50.0), (4L, -10.0)))    // provably outranked
+    write(Seq((5L, 5.0), (6L, 8.0)))
+    def r(extra: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, score double")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir)
+    }
+    val q = r().orderBy(col("score").desc).limit(2)
+    val ids = q.collect().map(_.getLong(0))
+    // NaN is the GREATEST value in Spark's sort: top-2 desc = NaN, 8.0
+    assert(ids.toSeq == Seq(2L, 6L), ids.toSeq.toString)
+    // bound = 1.0 (the NaN file's min over 2 rows): only the negative
+    // file is provably outranked; the synthesized >= 1.0 in-parse
+    // filter must KEEP the NaN row (NaN >= x under compareDoubles)
+    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 1L)
+    val want = r(LwesOptions.TopNPrune -> "false")
+      .orderBy(col("score").desc).limit(2).collect().map(_.getLong(0))
+    assert(ids.sameElements(want))
+  }
+
+  test("FloatType top-k: double wire declines (no allFloat); float wire prunes") {
+    val dir = tmp()
+    writeFpScored(dir) // double wire tokens
+    // FloatType read over double wire: dblFits=false, no provable
+    // units — push stays (plan shape), prune must NOT fire
+    val q = rdFpScored(dir, "float").orderBy(col("score").desc).limit(5)
+    val vals = q.collect().map(_.getFloat(1))
+    assert(LwesScan.scansIn(q.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 0L,
+      "double wire must not feed a FloatType bound")
+    val want = rdFpScored(dir, "float", LwesOptions.TopNPrune -> "false")
+      .orderBy(col("score").desc).limit(5).collect().map(_.getFloat(1))
+    assert(vals.sorted.sameElements(want.sorted))
+    // FLOAT wire tokens (allFloat sidecars): the same read prunes
+    val dirF = tmp()
+    writeFpScored(dirF, esfType = "float")
+    val qf = rdFpScored(dirF, "float").orderBy(col("score").desc).limit(5)
+    val fVals = qf.collect().map(_.getFloat(1))
+    val fWant = rdFpScored(dirF, "float", LwesOptions.TopNPrune -> "false")
+      .orderBy(col("score").desc).limit(5).collect().map(_.getFloat(1))
+    assert(fVals.sorted.sameElements(fWant.sorted))
+    assert(LwesScan.scansIn(qf.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 3L)
+  }
+
   test("attr desc top-k bounds from sidecar min/max and prunes low files") {
     val dir = tmp()
     writeScored(dir)
