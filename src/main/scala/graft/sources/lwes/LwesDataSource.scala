@@ -786,8 +786,7 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     if (attrFilters.nonEmpty || timeLo != Long.MinValue ||
         timeHi != Long.MaxValue) return false
     val conf = LwesDataSource.hadoopConf()
-    val seen = mutable.HashSet[String]()
-    val files = LwesDataSource.listFiles(roots, conf, seen)
+    val (files, seen) = builderListing
     val withMeta = files.map { f =>
       (f,
         seen.contains(LwesStats.sidecarPath(f.getPath).toString),
@@ -829,9 +828,20 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
   // one listing per scan build — at journal scale (10^4-10^6 files)
   // re-listing per pushdown call would dominate planning time
   private lazy val roots: Seq[String] = LwesDataSource.paths(options)
-  private lazy val samplePartitionCols: Set[String] = {
+  /** ONE listing snapshot per scan build: the complete-agg probe, the
+    * partition-column sample, and the scan's partition planning (via
+    * [[LwesScan]]'s `preListing`) all need the file walk — repeating
+    * it per consumer multiplied planning wall by 3-4x at 10^4+ files
+    * (measured: each walk ~0.45 s at 20k local files; on an object
+    * store each is a full LIST wave). Snapshot semantics are what
+    * planning gives anyway — every new query builds a new builder. */
+  private lazy val builderListing: (Seq[FileStatus], Set[String]) = {
     val conf = LwesDataSource.hadoopConf()
-    LwesDataSource.listFiles(roots, conf).headOption
+    val seen = mutable.HashSet[String]()
+    (LwesDataSource.listFiles(roots, conf, seen), seen.toSet)
+  }
+  private lazy val samplePartitionCols: Set[String] = {
+    builderListing._1.headOption
       .map(f => LwesDataSource.partitionValues(f.getPath, roots).keySet)
       .getOrElse(Set.empty)
   }
@@ -1119,7 +1129,11 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
           case m @ ("auto" | "true" | "false") => m
           case other => throw new IllegalArgumentException(
             s"${LwesOptions.SpjPartitioning}=$other is not one of auto/true/false")
-        })
+        },
+      // batch partition planning reuses the builder's walk (the
+      // streaming path lists per micro-batch on its own and never
+      // touches this snapshot)
+      preListing = builderListing)
   }
 }
 
@@ -1264,7 +1278,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     statsPrune: Boolean = true,
     statsPruneMaxFiles: Long = 8192L,
     topN: Option[LwesTopN] = None,
-    spjPartitioning: String = "auto")
+    spjPartitioning: String = "auto",
+    preListing: (Seq[FileStatus], Set[String]) = null)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with org.apache.spark.internal.Logging {
@@ -1396,7 +1411,13 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * joins, where a raced concurrent append must not surface a
     * partition value the first plan never reported (Spark rejects new
     * values after runtime filtering). */
-  @volatile private var cachedListing: (Seq[FileStatus], Set[String]) = _
+  // seeded from the builder's snapshot when one exists: pushdown
+  // probes, the partition-column sample, and partition planning then
+  // share ONE file walk per query (at 10^4-10^6 files the walk
+  // dominates planning wall, and planning semantics are snapshot
+  // semantics either way)
+  @volatile private var cachedListing: (Seq[FileStatus], Set[String]) =
+    preListing
 
   private def plannedPartitions: Array[InputPartition] = {
     var p = cachedPartitions

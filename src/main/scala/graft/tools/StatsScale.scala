@@ -92,6 +92,47 @@ object StatsScale {
     println(f"[stats-scale] files=$nFiles per_file=$perFile ratios vs full " +
       f"parse: plan-time ${fullSec / planSec}%.2fx, " +
       f"exec-skim ${fullSec / execSec}%.2fx")
+
+    // A26 COMPLETE pushdown at directory scale (r20): consolidate the
+    // sidecars into ONE directory manifest, then run the ungrouped
+    // count/min/max/sum dashboard. The push-time probe counts only
+    // manifest-LESS candidates against the GET cap, so at any file
+    // count the proof costs one manifest read per directory — and the
+    // plan is a single metadata-only partition: no aggregate node, no
+    // exchange, zero events parsed.
+    LwesStats.writeManifest(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.conf.Configuration())
+    import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+    def dash(extra: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long")
+      extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"), sum(col("id")).as("sm"))
+    }
+    def runDash(tag: String, extra: (String, String)*) = {
+      val t = System.nanoTime()
+      val df = dash(extra: _*)
+      val row = df.collect()(0)
+      val sec = (System.nanoTime() - t) / 1e9
+      val ps = df.queryExecution.executedPlan.toString
+      val parsed = LwesScan.scanMetricSum(df.queryExecution.executedPlan,
+        "eventsParsed")
+      println(f"[stats-scale] dash:$tag%-10s wall=$sec%6.2f s " +
+        f"eventsParsed=$parsed complete=${ps.contains(" complete")} " +
+        f"n=${row.getLong(0)}")
+      (row, ps, parsed, sec)
+    }
+    val (cRow, cPlan, cParsed, cSec) = runDash("complete")
+    val (fRow, _, _, fDashSec) =
+      runDash("unpushed", LwesOptions.AggPushdown -> "false")
+    assert(cPlan.contains(" complete") && !cPlan.contains("HashAggregate") &&
+      !cPlan.contains("Exchange"),
+      s"complete dashboard did not plan single-stage:\n$cPlan")
+    assert(cParsed == 0L, s"complete dashboard parsed $cParsed events")
+    assert(cRow == fRow, s"$cRow vs $fRow")
+    println(f"[stats-scale] dashboard: complete-push $cSec%.2f s vs " +
+      f"full parse $fDashSec%.2f s = ${fDashSec / cSec}%.1fx " +
+      f"(one manifest read, one metadata partition)")
     spark.stop()
   }
 }

@@ -557,4 +557,36 @@ class LwesTopNPushdownSpec extends AnyFunSuite {
     assert(LwesScan.scanMetricSum(plan, "eventsParsed") < 30000L,
       "pruned frames must not be parsed")
   }
+
+  test("double attr top-k over one fat .zsj prunes low-score frames (r20)") {
+    // the kind-'d' twin: per-frame zone-map blobs carry dmn/dmx, the
+    // footer refinement narrows the whole-file unit to frame units,
+    // and the synthesized compareDoubles-ordered `score >= B`
+    // predicate rides the A31 frame prune
+    val dir = tmp()
+    import spark.implicits._
+    Files.writeString(java.nio.file.Paths.get(dir, ".fatd.esf"),
+      "Fd::F\n{\n  required int64 id;\n  double score;\n}\n")
+    (0L until 30000L).map(i => (i, i * 0.75))
+      .toDF("id", "score").repartition(1).sortWithinPartitions("score")
+      .write.format("lwes").option("eventName", "Fd::F")
+      .option(LwesOptions.Esf, s"$dir/.fatd.esf")
+      .option(LwesOptions.SplitFrameBytes, "16384")
+      .mode("append").save(dir)
+    def q(opts: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, score double")
+        .option(LwesOptions.SplitTargetBytes, "16384")
+      opts.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load(dir)
+        .orderBy(col("score").desc).limit(20)
+    }
+    val pruned = q()
+    val got = pruned.collect().map(_.getDouble(1))
+    val want = q(LwesOptions.TopNPrune -> "false").collect().map(_.getDouble(1))
+    assert(got.sorted.sameElements(want.sorted))
+    val plan = pruned.queryExecution.executedPlan
+    assert(LwesScan.scansIn(plan).map(_.statsPrunedFrameCount).sum > 0L,
+      "the bound filter should drop low-score frames")
+    assert(LwesScan.scanMetricSum(plan, "eventsParsed") < 30000L,
+      "pruned frames must not be parsed")
+  }
 }
