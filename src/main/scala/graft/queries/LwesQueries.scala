@@ -634,6 +634,51 @@ object LwesQueries {
         |  count(*) AS n
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin)),
 
+    // A26 (r20): MIN/MAX/COUNT over a PARTITION column answered from
+    // the LISTING alone — "earliest/latest day ingested, rows per
+    // store" over a partitioned journal layout with zero opens. Every
+    // record in a file reads the file's own path-derived value, so the
+    // listing's partition map plus the sidecar record count answer the
+    // bounds exactly; the in-gate requires pin zero parses AND the
+    // single-stage complete plan.
+    "lwes_agg_pcol" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"agggrp|$d") { dir =>
+          t(s, d, "orders")
+            .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+            .select(col("o_orderkey"),
+              when(col("o_orderkey") % 7 =!= 0, col("o_custkey"))
+                .as("o_custkey"),
+              col("prio"))
+            .write.format("lwes").option("eventName", "Order::Gp")
+            .option("compression", "gzip")
+            .option("partitionBy", "prio").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, ckey long, prio string")
+          .option("mapping", "okey:o_orderkey, ckey:o_custkey")
+          .load(dir)
+          .agg(min(col("prio")).as("mn_pri"), max(col("prio")).as("mx_pri"),
+            count(col("prio")).as("n_pri"), count(lit(1)).as("n"),
+            max(col("okey")).as("mx_key"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        val ps = plan.toString
+        require(ps.contains(" complete") && !ps.contains("HashAggregate") &&
+            !ps.contains("Exchange"),
+          s"partition-column dashboard did not plan single-stage:\n$ps")
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        require(nParsed == 0,
+          s"listing-answered partition-column aggregate parsed $nParsed events")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT min(substr(o_orderpriority, 1, 1)) AS mn_pri,
+        |  max(substr(o_orderpriority, 1, 1)) AS mx_pri,
+        |  count(substr(o_orderpriority, 1, 1)) AS n_pri,
+        |  count(*) AS n, max(o_orderkey) AS mx_key
+        |FROM orders""".stripMargin)),
+
     // A26 (r20): COMPLETE aggregate pushdown — when the push-time probe
     // proves EVERY file answers every pushed COUNT/MIN/MAX/SUM from its
     // sidecar (or the directory manifest), the scan reports

@@ -281,13 +281,21 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
       return Some(())
     }
     LwesStats.answerAggregates(
-        st, tag, spec.funcs, config.attrOf, typeOf, nonAttrCols)
+        st, tag, spec.funcs, config.attrOf, typeOf, nonAttrCols,
+        partitionValueOf(slice))
       .map { answers =>
         mergeAnswers(if (g == 0) accFor(Nil) else accFor(sliceKey(slice)),
           answers)
         metricAcc("filesAggFromStats") += 1
       }
   }
+
+  /** r20: MIN/MAX/COUNT over a partition column answer from the file's
+    * own path-derived value (see [[LwesStats.answerAggregates]]). */
+  private def partitionValueOf(slice: LwesInputPartition)
+      : String => Option[Option[String]] =
+    c => if (config.partitionCols.contains(c))
+      Some(slice.partitionValues.get(c)) else None
 
   /** A32 name-grouped sidecar path: a grouping that includes the
     * event-name column can still answer COUNT(*) per group from the
@@ -350,7 +358,8 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
             val rb = if (f.minReceipt <= f.maxReceipt)
               Some((f.minReceipt, f.maxReceipt)) else None
             LwesStats.answerAggregates(Some(st), rb, spec.funcs,
-              config.attrOf, typeOf, nonAttrCols)
+              config.attrOf, typeOf, nonAttrCols,
+              partitionValueOf(slice)) // frames share the file's path
           }
       }
       if (perFrame.exists(_.isEmpty)) None

@@ -817,8 +817,11 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
         true // empty file contributes no group — answered
       else {
         val tag = LwesDataSource.exactTagBounds(f.getPath.getName)
+        val pvals = LwesDataSource.partitionValues(f.getPath, roots)
         LwesStats.answerAggregates(st, tag, spec.funcs, attrOf, typeOf,
-          nonAttrCols).isDefined
+          nonAttrCols,
+          c => if (samplePartitionCols.contains(c)) Some(pvals.get(c))
+               else None).isDefined
       }
     }
     completeOk = ok

@@ -775,11 +775,36 @@ object LwesStats {
   def answerAggregates(stats: Option[FileStats],
       receiptBounds: Option[(Long, Long)], funcs: Seq[LwesAggFunc],
       attrOf: String => String, typeOf: String => Option[DataType],
-      nonAttrCols: Set[String]): Option[Seq[AggAnswer]] = {
+      nonAttrCols: Set[String],
+      partitionValue: String => Option[Option[String]] = _ => None)
+      : Option[Seq[AggAnswer]] = {
     def integralFits(e: AttrStats, c: String): Boolean =
       typeOf(c).exists(LwesStats.integralFits(e, _))
     def attrAnswerable(c: String): Boolean =
       !nonAttrCols.contains(c) && !headerAttrs.contains(attrOf(c))
+    // r20: MIN/MAX/COUNT over a PARTITION column answered from the
+    // listing alone — every record in the file reads the file's own
+    // path-derived value (`valueFor` materializes partition cols as
+    // UTF8String unconditionally, so the StringType guard is also a
+    // correctness guard), a file whose path lacks the key reads NULL
+    // for every row, and a zero-record file contributes nothing. The
+    // record count still comes from stats: bounds without a count
+    // could claim a value for an empty file.
+    //   partitionValue(c): None = not a partition column;
+    //   Some(None) = partition column absent from this file's path;
+    //   Some(Some(v)) = the file's value.
+    def pcolBound(c: String): Option[AggAnswer] =
+      stats.flatMap { st =>
+        partitionValue(c).flatMap { pv =>
+          if (!typeOf(c).contains(StringType)) None
+          else pv match {
+            case Some(v) if st.records > 0 =>
+              Some(StrBoundAnswer(
+                v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            case _ => Some(BoundAnswer(None)) // all-NULL or empty file
+          }
+        }
+      }
     def attrEntry(c: String): Option[Either[AttrStats, Unit]] =
       stats.flatMap { st =>
         st.attrs.get(attrOf(c)) match {
@@ -797,6 +822,15 @@ object LwesStats {
       case LwesAggFunc.MaxCol(_, true) =>
         receiptBounds.map(b => BoundAnswer(Some(b._2)))
       case LwesAggFunc.CountStar => stats.map(st => CountAnswer(st.records))
+      case LwesAggFunc.CountCol(c) if partitionValue(c).isDefined =>
+        for {
+          st <- stats; pv <- partitionValue(c)
+          if typeOf(c).contains(StringType)
+        } yield CountAnswer(if (pv.isDefined) st.records else 0L)
+      case LwesAggFunc.MinCol(c, false) if partitionValue(c).isDefined =>
+        pcolBound(c)
+      case LwesAggFunc.MaxCol(c, false) if partitionValue(c).isDefined =>
+        pcolBound(c)
       case LwesAggFunc.CountCol(c) if attrAnswerable(c) =>
         attrEntry(c) match {
           case Some(Left(e)) if integralFits(e, c) => Some(CountAnswer(e.count))

@@ -428,4 +428,66 @@ class LwesAggStatsSpec extends AnyFunSuite {
     assert(metric(q, "framesAggFromStats") == 0L)
     assert(metric(q, "eventsParsed") == 6000L)
   }
+
+  test("MIN/MAX/COUNT over a partition column answer from the listing (r20)") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq("d0", "d1", "d2").zipWithIndex.foreach { case (d, p) =>
+      (p * 100 until p * 100 + 100).map(i => (i.toLong, d))
+        .toDF("id", "dt").repartition(1)
+        .write.format("lwes").option("eventName", "Pc::E")
+        .option("compression", "gzip")
+        .option("partitionBy", "dt").mode("append").save(dir)
+    }
+    def r(extra: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, dt string")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir)
+    }
+    def agg(d: DataFrame) = d.agg(min(col("dt")).as("mn"),
+      max(col("dt")).as("mx"), count(col("dt")).as("nd"),
+      count(lit(1)).as("n"), max(col("id")).as("mxid"))
+    val q = agg(r())
+    val rows = q.collect().toSeq
+    assert(rows == agg(r(LwesOptions.AggPushdown -> "false")).collect().toSeq)
+    val row = rows.head
+    assert(row.getString(0) == "d0" && row.getString(1) == "d2" &&
+      row.getLong(2) == 300L && row.getLong(3) == 300L &&
+      row.getLong(4) == 299L)
+    assert(metric(q, "eventsParsed") == 0L,
+      "partition-column aggregate parsed events")
+    assert(metric(q, "filesAggFromStats") == 3L)
+    // and the complete probe accepts the shape: single-stage plan
+    val ps = q.queryExecution.executedPlan.toString
+    assert(ps.contains(" complete") && !ps.contains("HashAggregate") &&
+      !ps.contains("Exchange"), ps)
+  }
+
+  test("a file missing a partition key reads NULL: bounds/counts agree (r20)") {
+    import spark.implicits._
+    val dir = tmp()
+    // dt=dX everywhere; hr= only under d0 — d1's file has no hr key,
+    // so its rows read hr = NULL on BOTH the row path and the
+    // metadata path (COUNT excludes them, MIN/MAX ignore them)
+    (0 until 100).map(i => (i.toLong, "d0", "h1")).toDF("id", "dt", "hr")
+      .repartition(1).write.format("lwes").option("eventName", "Pm::E")
+      .option("partitionBy", "dt,hr").mode("append").save(dir)
+    (100 until 200).map(i => (i.toLong, "d1")).toDF("id", "dt")
+      .repartition(1).write.format("lwes").option("eventName", "Pm::E")
+      .option("partitionBy", "dt").mode("append").save(dir)
+    def r(extra: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, dt string, hr string")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir)
+    }
+    def agg(d: DataFrame) = d.agg(count(col("hr")).as("nh"),
+      min(col("hr")).as("mnh"), max(col("hr")).as("mxh"),
+      min(col("dt")).as("mnd"), count(lit(1)).as("n"))
+    val q = agg(r())
+    val rows = q.collect().toSeq
+    assert(rows == agg(r(LwesOptions.AggPushdown -> "false")).collect().toSeq)
+    val row = rows.head
+    assert(row.getLong(0) == 100L && row.getString(1) == "h1" &&
+      row.getString(2) == "h1" && row.getString(3) == "d0" &&
+      row.getLong(4) == 200L)
+    assert(metric(q, "eventsParsed") == 0L)
+  }
 }
