@@ -769,6 +769,43 @@ object LwesQueries {
         |    ELSE 'Order::Odd' END AS ev, count(*) AS n
         |FROM orders GROUP BY ev ORDER BY ev""".stripMargin)),
 
+    // A26 (r20): MIN/MAX/COUNT over the EVENT-NAME column answered
+    // from the sidecar's per-name counts (trusted under the A32 rule:
+    // namesComplete AND the counts reconcile with the record total) —
+    // "which event types does this store hold" with zero opens. The
+    // name column is never NULL, so COUNT(name) = records.
+    "lwes_agg_name_bounds" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"agggrpnm|$d") { dir =>
+          t(s, d, "orders")
+            .withColumn("ev", when(col("o_orderkey") % 2 === 0,
+              "Order::Even").otherwise("Order::Odd"))
+            .select(col("o_orderkey"), col("ev"))
+            .write.format("lwes").option("eventNameColumn", "ev")
+            .option("compression", "gzip").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes").schema("okey long, ev string")
+          .option("eventNameColumn", "ev")
+          .option("mapping", "okey:o_orderkey")
+          .load(dir)
+          .agg(min(col("ev")).as("mn_ev"), max(col("ev")).as("mx_ev"),
+            count(col("ev")).as("n_ev"), count(lit(1)).as("n"))
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        val nParsed = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "eventsParsed")
+        val nFromStats = graft.sources.lwes.LwesScan
+          .scanMetricSum(plan, "filesAggFromStats")
+        require(nParsed == 0 && nFromStats >= 1,
+          s"name-count bounds parsed $nParsed events " +
+            s"(filesAggFromStats=$nFromStats)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      },
+      """SELECT min(ev) AS mn_ev, max(ev) AS mx_ev, count(ev) AS n_ev,
+        |  count(*) AS n
+        |FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'Order::Even'
+        |    ELSE 'Order::Odd' END AS ev FROM orders)""".stripMargin)),
+
     // A27 (r18): attribute zone-map sidecars. Four journals with
     // DISJOINT o_orderkey quartile ranges; a pushed okey <= max/4
     // predicate must drop the three upper-range FILES at plan time
@@ -1726,6 +1763,46 @@ object LwesQueries {
       """SELECT o_orderkey AS okey, o_totalprice AS total
         |FROM orders
         |ORDER BY total DESC, okey LIMIT 50""".stripMargin)),
+
+    // A28 (r20): PARTITION-COLUMN top-N — `ORDER BY <partition col>
+    // DESC LIMIT k` opens only the newest partition(s): every file
+    // carries ONE path-derived value, so the listing is the zone map
+    // and the prune is exact per file; sidecar record counts feed the
+    // k-bound. The okey tie-break permutes within the boundary
+    // partition only, whose files all survive.
+    "lwes_topn_pcol" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = cached(s"agggrp|$d") { dir =>
+          t(s, d, "orders")
+            .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+            .select(col("o_orderkey"),
+              when(col("o_orderkey") % 7 =!= 0, col("o_custkey"))
+                .as("o_custkey"),
+              col("prio"))
+            .write.format("lwes").option("eventName", "Order::Gp")
+            .option("compression", "gzip")
+            .option("partitionBy", "prio").mode("append").save(dir)
+        }
+        val df = s.read.format("lwes")
+          .schema("okey long, prio string")
+          .option("mapping", "okey:o_orderkey")
+          .load(dir)
+          .orderBy(col("prio").desc, col("okey")).limit(50)
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan
+        require(plan.toString.contains("topN=[prio desc k=50]"),
+          s"partition-column top-N was not pushed:\n$plan")
+        val pruned = graft.sources.lwes.LwesScan.scansIn(plan)
+          .map(_.topNPrunedFileCount)
+        require(pruned.exists(_ >= 4),
+          s"partition-column top-N never pruned the journal scan " +
+            s"(pruned counts: $pruned; expected every non-max prio dropped)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+          .orderBy(col("prio").desc, col("okey"))
+      },
+      """SELECT o_orderkey AS okey, substr(o_orderpriority, 1, 1) AS prio
+        |FROM orders
+        |ORDER BY prio DESC, okey LIMIT 50""".stripMargin)),
 
     // A28 (r20): STRING-attribute top-N — `ORDER BY <string attr> DESC
     // LIMIT k` bounds the k-th best value from the exact sidecar

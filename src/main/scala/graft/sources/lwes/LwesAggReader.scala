@@ -282,7 +282,7 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
     }
     LwesStats.answerAggregates(
         st, tag, spec.funcs, config.attrOf, typeOf, nonAttrCols,
-        partitionValueOf(slice))
+        partitionValueOf(slice), config.eventNameCol.contains)
       .map { answers =>
         mergeAnswers(if (g == 0) accFor(Nil) else accFor(sliceKey(slice)),
           answers)
@@ -359,7 +359,8 @@ class LwesAggPartitionReader(files: Seq[LwesInputPartition],
               Some((f.minReceipt, f.maxReceipt)) else None
             LwesStats.answerAggregates(Some(st), rb, spec.funcs,
               config.attrOf, typeOf, nonAttrCols,
-              partitionValueOf(slice)) // frames share the file's path
+              partitionValueOf(slice), // frames share the file's path
+              config.eventNameCol.contains)
           }
       }
       if (perFrame.exists(_.isEmpty)) None

@@ -597,6 +597,18 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       // UTF8String's comparison order) and Float/DoubleType via the
       // kind-'d' bounds (Spark's floating total order — NaN greatest,
       // ±0.0 equal — which is also its SORT order for these types).
+      // r20: PARTITION columns — every file carries ONE path-derived
+      // value, so the listing itself is the zone map: the k-bound
+      // comes from (value, sidecar record count) units and the prune
+      // is exact per file (no bound-straddling rows exist). "ORDER BY
+      // day DESC LIMIT k" over a year opens only the newest day.
+      case Some(n) if orders(0).nullOrdering() ==
+            org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST &&
+          samplePartitionCols.contains(n) &&
+          fullSchema.fields.exists(f =>
+            f.name == n && f.dataType == StringType) =>
+        topNSpec = Some(LwesTopN(desc, limit, col = Some(n)))
+        true
       case Some(n) if orders(0).nullOrdering() ==
             org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST &&
           !samplePartitionCols.contains(n) &&
@@ -821,7 +833,9 @@ class LwesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
         LwesStats.answerAggregates(st, tag, spec.funcs, attrOf, typeOf,
           nonAttrCols,
           c => if (samplePartitionCols.contains(c)) Some(pvals.get(c))
-               else None).isDefined
+               else None,
+          c => Option(options.get(LwesOptions.EventNameColumn))
+            .contains(c)).isDefined
       }
     }
     completeOk = ok
@@ -1755,6 +1769,8 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     val attr = config.attrOf(c)
     val dt = config.schema.fields.find(_.name == c).map(_.dataType)
       .getOrElse(return (slices, None))
+    if (config.partitionCols.contains(c))
+      return attrTopNPrunePcol(slices, spec, conf)
     if (dt == StringType) return attrTopNPruneStr(slices, spec, conf, attr)
     if (dt == FloatType || dt == DoubleType)
       return attrTopNPruneDbl(slices, spec, conf, attr, dt)
@@ -1854,6 +1870,58 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     val flt: Filter =
       if (spec.desc) GreaterThanOrEqual(c, lit) else LessThanOrEqual(c, lit)
     (kept, Some(flt))
+  }
+
+  /** A28 partition-column top-N (r20): every file carries exactly ONE
+    * path-derived value for the column, so the prune is EXACT per file
+    * — a file either holds only result-eligible rows (value inside the
+    * bound) or only outranked ones (value strictly outside, or all
+    * NULL because its path lacks the key — outranked under the
+    * required NULLS LAST). The k-bound still needs record COUNTS, so
+    * only sidecar/manifest-covered files feed it (same GET cap); the
+    * PRUNE side needs no stats at all — the path decides. No
+    * synthesized row filter: there are no bound-straddling rows. */
+  private def attrTopNPrunePcol(
+      slices: Array[(FileStatus, LwesInputPartition)],
+      spec: LwesTopN, conf: Configuration)
+      : (Array[(FileStatus, LwesInputPartition)], Option[Filter]) = {
+    val c = spec.col.get
+    val cands = slices.filter(p =>
+      (p._2.hasStats || p._2.hasManifest) &&
+        p._2.partitionValues.contains(c))
+    if (cands.isEmpty ||
+        cands.count(!_._2.hasManifest) > statsPruneMaxFiles)
+      return (slices, None)
+    prefetchStats(cands.toSeq, conf)
+    def statsOf(f: FileStatus, s: LwesInputPartition) =
+      statsCache.getOrDefault(statsKey(f, s), None)
+    import LwesStats.cmpB
+    val units: Array[(Array[Byte], Long)] = cands.flatMap { case (f, s) =>
+      statsOf(f, s).filter(_.records > 0).map(st =>
+        (s.partitionValues(c).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8), st.records))
+    }
+    val best = units.sortBy(_._1)(
+      if (spec.desc) byteOrdering.reverse else byteOrdering)
+    var taken = 0L
+    var bound: Array[Byte] = null
+    var i = 0
+    while (i < best.length && bound == null) {
+      taken += best(i)._2
+      if (taken >= spec.k) bound = best(i)._1
+      i += 1
+    }
+    if (bound == null) return (slices, None) // fewer than k provable rows
+    val kept = slices.filter { case (_, s) =>
+      s.partitionValues.get(c) match {
+        case Some(v) =>
+          val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (spec.desc) cmpB(b, bound) >= 0 else cmpB(b, bound) <= 0
+        case None => false // path lacks the key: all rows NULL, outranked
+      }
+    }
+    topNPruned = (slices.length - kept.length).toLong
+    (kept, None)
   }
 
   /** A28 float/double-attribute top-N (r20, the kind-'d' twin of the

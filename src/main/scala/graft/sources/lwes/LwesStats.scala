@@ -776,7 +776,8 @@ object LwesStats {
       receiptBounds: Option[(Long, Long)], funcs: Seq[LwesAggFunc],
       attrOf: String => String, typeOf: String => Option[DataType],
       nonAttrCols: Set[String],
-      partitionValue: String => Option[Option[String]] = _ => None)
+      partitionValue: String => Option[Option[String]] = _ => None,
+      isNameCol: String => Boolean = _ => false)
       : Option[Seq[AggAnswer]] = {
     def integralFits(e: AttrStats, c: String): Boolean =
       typeOf(c).exists(LwesStats.integralFits(e, _))
@@ -805,6 +806,28 @@ object LwesStats {
           }
         }
       }
+    // r20: MIN/MAX over the EVENT-NAME column from the sidecar's
+    // per-name counts — trusted under the A32 rule (namesComplete AND
+    // the counts reconcile with the record total), the same contract
+    // grouped-by-name COUNT(*) answers ride. The column materializes
+    // `ev.name` as UTF8String and the tracker observed the identical
+    // strings, so byte order = read-back order. The name column is
+    // never NULL, hence COUNT(name) = records.
+    def nameBound(c: String, wantMax: Boolean): Option[AggAnswer] =
+      stats.flatMap { st =>
+        if (!typeOf(c).contains(StringType)) None
+        else if (st.records == 0L) Some(BoundAnswer(None))
+        else if (st.namesComplete && st.names.nonEmpty &&
+            st.names.values.sum == st.records) {
+          // compare UTF-8 BYTES, not Strings: java.lang.String order is
+          // UTF-16 code-unit order, which disagrees with UTF8String's
+          // byte order on supplementary characters
+          val bs = st.names.keysIterator
+            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Some(StrBoundAnswer(bs.reduce((a, b) =>
+            if ((cmpB(a, b) > 0) == wantMax) a else b)))
+        } else None // capped/old-format name stats: stream
+      }
     def attrEntry(c: String): Option[Either[AttrStats, Unit]] =
       stats.flatMap { st =>
         st.attrs.get(attrOf(c)) match {
@@ -831,6 +854,14 @@ object LwesStats {
         pcolBound(c)
       case LwesAggFunc.MaxCol(c, false) if partitionValue(c).isDefined =>
         pcolBound(c)
+      case LwesAggFunc.CountCol(c) if isNameCol(c) =>
+        // the event-name column is never NULL
+        if (!typeOf(c).contains(StringType)) None
+        else stats.map(st => CountAnswer(st.records))
+      case LwesAggFunc.MinCol(c, false) if isNameCol(c) =>
+        nameBound(c, wantMax = false)
+      case LwesAggFunc.MaxCol(c, false) if isNameCol(c) =>
+        nameBound(c, wantMax = true)
       case LwesAggFunc.CountCol(c) if attrAnswerable(c) =>
         attrEntry(c) match {
           case Some(Left(e)) if integralFits(e, c) => Some(CountAnswer(e.count))

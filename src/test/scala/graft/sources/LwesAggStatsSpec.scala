@@ -212,10 +212,13 @@ class LwesAggStatsSpec extends AnyFunSuite {
     assert(q.collect().head.getLong(0) == 300L)
   }
 
-  test("columns not backed by a wire attribute never answer from sidecars") {
-    // the event-name column (and partition columns, same guard) is
-    // never NULL, but no sidecar entry exists for it — a complete
-    // sidecar would wrongly count 0 without the nonAttrCols guard
+  test("columns not backed by a wire attribute never answer from ATTR stats") {
+    // the event-name column (and partition columns) has no sidecar
+    // ATTR entry — a complete sidecar would wrongly count 0 without
+    // the nonAttrCols guard. r20: both now answer through their OWN
+    // metadata (record/name counts, path values) instead of streaming
+    // — the guard's job is unchanged (attr stats stay silent), the
+    // path just got cheaper and the answer identical.
     val dir = tmp()
     writeGz(dir)
     val q = spark.read.format("lwes")
@@ -225,8 +228,9 @@ class LwesAggStatsSpec extends AnyFunSuite {
       .agg(count(col("etype")).as("n_et"), count(lit(1)).as("n"))
     val r = q.collect().head
     assert(r.getLong(0) == 300L && r.getLong(1) == 300L)
-    assert(metric(q, "eventsParsed") == 300L)
-    assert(metric(q, "filesAggFromStats") == 0L)
+    assert(metric(q, "eventsParsed") == 0L,
+      "the name column's COUNT answers from record counts (r20)")
+    assert(metric(q, "filesAggFromStats") == 3L)
   }
 
   test("receipt MIN/MAX answered from exact .t name tags, any codec") {
@@ -489,5 +493,47 @@ class LwesAggStatsSpec extends AnyFunSuite {
       row.getString(2) == "h1" && row.getString(3) == "d0" &&
       row.getLong(4) == 200L)
     assert(metric(q, "eventsParsed") == 0L)
+  }
+
+  test("MIN/MAX/COUNT over the event-name column answer from name counts (r20)") {
+    import spark.implicits._
+    val dir = tmp()
+    (0 until 300).map(i => (i.toLong, s"Ev::T${i % 5}")).toDF("id", "ev")
+      .repartition(1).write.format("lwes").option("eventNameColumn", "ev")
+      .option("compression", "gzip").mode("append").save(dir)
+    def r(extra: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, ev string")
+        .option("eventNameColumn", "ev")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir)
+    }
+    def agg(d: DataFrame) = d.agg(min(col("ev")).as("mn"),
+      max(col("ev")).as("mx"), count(col("ev")).as("ne"),
+      count(lit(1)).as("n"))
+    val q = agg(r())
+    val rows = q.collect().toSeq
+    assert(rows == agg(r(LwesOptions.AggPushdown -> "false")).collect().toSeq)
+    val row = rows.head
+    assert(row.getString(0) == "Ev::T0" && row.getString(1) == "Ev::T4" &&
+      row.getLong(2) == 300L && row.getLong(3) == 300L)
+    assert(metric(q, "eventsParsed") == 0L,
+      "name-count-answered aggregate parsed events")
+    // a journal past the MaxNames cap (namesComplete=false) streams —
+    // same answer, never a wrong bound from capped counts
+    val dir2 = tmp()
+    (0 until 200).map(i => (i.toLong, s"Ev::N$i")).toDF("id", "ev")
+      .repartition(1).write.format("lwes").option("eventNameColumn", "ev")
+      .option("compression", "gzip").mode("append").save(dir2)
+    def r2(extra: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, ev string")
+        .option("eventNameColumn", "ev")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir2)
+    }
+    val q2 = agg(r2())
+    val rows2 = q2.collect().toSeq
+    assert(rows2 == agg(r2(LwesOptions.AggPushdown -> "false")).collect().toSeq)
+    assert(rows2.head.getString(0) == "Ev::N0" &&
+      rows2.head.getString(1) == "Ev::N99")
+    assert(metric(q2, "eventsParsed") > 0L,
+      "capped name stats must stream, not answer")
   }
 }

@@ -368,6 +368,66 @@ class LwesTopNPushdownSpec extends AnyFunSuite {
       .map(_.topNPrunedFileCount).sum == 3L)
   }
 
+  test("partition-column top-k prunes whole partitions from the listing (r20)") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq("d0", "d1", "d2", "d3").zipWithIndex.foreach { case (d, p) =>
+      (p * 100 until p * 100 + 100).map(i => (i.toLong, d))
+        .toDF("id", "dt").repartition(1)
+        .write.format("lwes").option("eventName", "Pt::E")
+        .option("partitionBy", "dt").mode("append").save(dir)
+    }
+    def r(extra: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, dt string")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir)
+    }
+    // desc top-50: only the newest partition (d3) can hold results
+    val q = r().orderBy(col("dt").desc, col("id")).limit(50)
+    val vals = q.collect().map(r => (r.getString(1), r.getLong(0)))
+    val want = r(LwesOptions.TopNPrune -> "false")
+      .orderBy(col("dt").desc, col("id")).limit(50).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(vals.sameElements(want))
+    assert(vals.forall(_._1 == "d3") && vals.map(_._2).min == 300L)
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("topN=[dt desc k=50]"), plan.toString)
+    assert(LwesScan.scansIn(plan).map(_.topNPrunedFileCount).sum == 3L)
+    // asc NULLS LAST mirrors
+    val asc = r().orderBy(col("dt").asc_nulls_last, col("id")).limit(50)
+    val ascVals = asc.collect().map(_.getString(1))
+    assert(ascVals.forall(_ == "d0"))
+    assert(LwesScan.scansIn(asc.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 3L)
+    // a keyless file (all-NULL rows) is outranked and pruned too
+    (1000 until 1100).map(i => (i.toLong, "x")).toDF("id", "pad")
+      .drop("pad").repartition(1)
+      .write.format("lwes").option("eventName", "Pt::E")
+      .mode("append").save(dir)
+    val q2 = r().orderBy(col("dt").desc, col("id")).limit(50)
+    val v2 = q2.collect().map(r => (r.getString(1), r.getLong(0)))
+    val w2 = r(LwesOptions.TopNPrune -> "false")
+      .orderBy(col("dt").desc, col("id")).limit(50).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(v2.sameElements(w2))
+    assert(LwesScan.scansIn(q2.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 4L,
+      "the keyless all-NULL file must prune under NULLS LAST")
+    // stats-less files feed no bound: no prune, same answer
+    val dirB = tmp()
+    Seq("d0", "d1").zipWithIndex.foreach { case (d, p) =>
+      (p * 100 until p * 100 + 100).map(i => (i.toLong, d))
+        .toDF("id", "dt").repartition(1)
+        .write.format("lwes").option("eventName", "Pt::E")
+        .option("partitionBy", "dt")
+        .option(LwesOptions.WriteStats, "false").mode("append").save(dirB)
+    }
+    val qb = spark.read.format("lwes").schema("id long, dt string").load(dirB)
+      .orderBy(col("dt").desc, col("id")).limit(10)
+    assert(qb.collect().map(_.getString(1)).forall(_ == "d1"))
+    assert(LwesScan.scansIn(qb.queryExecution.executedPlan)
+      .map(_.topNPrunedFileCount).sum == 0L)
+  }
+
   test("attr desc top-k bounds from sidecar min/max and prunes low files") {
     val dir = tmp()
     writeScored(dir)
