@@ -495,6 +495,33 @@ class LwesAggStatsSpec extends AnyFunSuite {
     assert(metric(q, "eventsParsed") == 0L)
   }
 
+  test("GROUP BY partition col + bounds of ANOTHER partition col (r20)") {
+    import spark.implicits._
+    val dir = tmp()
+    // two-level layout: dt={d0,d1} x hr={h0,h1}, 50 rows per leaf
+    for (d <- Seq("d0", "d1"); h <- Seq("h0", "h1"))
+      (0 until 50).map(i => (i.toLong, d, h)).toDF("id", "dt", "hr")
+        .repartition(1).write.format("lwes").option("eventName", "Pg::E")
+        .option("partitionBy", "dt,hr").mode("append").save(dir)
+    def r(extra: (String, String)*) = {
+      val base = spark.read.format("lwes")
+        .schema("id long, dt string, hr string")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir)
+    }
+    def agg(d: DataFrame) = d.groupBy(col("dt"))
+      .agg(min(col("hr")).as("mnh"), max(col("hr")).as("mxh"),
+        count(col("hr")).as("nh"), count(lit(1)).as("n"))
+      .orderBy(col("dt"))
+    val q = agg(r())
+    val rows = q.collect().toSeq
+    assert(rows == agg(r(LwesOptions.AggPushdown -> "false")).collect().toSeq)
+    assert(rows.map(x => (x.getString(0), x.getString(1), x.getString(2),
+      x.getLong(3), x.getLong(4))) ==
+      Seq(("d0", "h0", "h1", 100L, 100L), ("d1", "h0", "h1", 100L, 100L)))
+    assert(metric(q, "eventsParsed") == 0L,
+      "grouped partition-bound aggregate parsed events")
+  }
+
   test("MIN/MAX/COUNT over the event-name column answer from name counts (r20)") {
     import spark.implicits._
     val dir = tmp()
