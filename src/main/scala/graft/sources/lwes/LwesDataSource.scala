@@ -1878,9 +1878,12 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     * bound) or only outranked ones (value strictly outside, or all
     * NULL because its path lacks the key — outranked under the
     * required NULLS LAST). The k-bound still needs record COUNTS, so
-    * only sidecar/manifest-covered files feed it (same GET cap); the
-    * PRUNE side needs no stats at all — the path decides. No
-    * synthesized row filter: there are no bound-straddling rows. */
+    * only sidecar/manifest-covered files feed it — read lazily,
+    * best-value-first in 16-file waves with an early stop at k and a
+    * `TopNStatsWalkCap` ceiling, so "latest partition's k" costs a
+    * sidecar read or two; the PRUNE side needs no stats at all — the
+    * path decides. No synthesized row filter: there are no
+    * bound-straddling rows. */
   private def attrTopNPrunePcol(
       slices: Array[(FileStatus, LwesInputPartition)],
       spec: LwesTopN, conf: Configuration)
@@ -1889,27 +1892,40 @@ class LwesScan(schema: StructType, val config: LwesReadConfig,
     val cands = slices.filter(p =>
       (p._2.hasStats || p._2.hasManifest) &&
         p._2.partitionValues.contains(c))
-    if (cands.isEmpty ||
-        cands.count(!_._2.hasManifest) > statsPruneMaxFiles)
-      return (slices, None)
-    prefetchStats(cands.toSeq, conf)
+    if (cands.isEmpty) return (slices, None)
     def statsOf(f: FileStatus, s: LwesInputPartition) =
       statsCache.getOrDefault(statsKey(f, s), None)
     import LwesStats.cmpB
-    val units: Array[(Array[Byte], Long)] = cands.flatMap { case (f, s) =>
-      statsOf(f, s).filter(_.records > 0).map(st =>
-        (s.partitionValues(c).getBytes(
-          java.nio.charset.StandardCharsets.UTF_8), st.records))
-    }
-    val best = units.sortBy(_._1)(
-      if (spec.desc) byteOrdering.reverse else byteOrdering)
+    // walk candidates BEST VALUE FIRST in 16-file sidecar waves and
+    // stop as soon as counts reach k (the topNBound chunked-early-stop
+    // pattern): a file's value IS its unit's bound, so every unread
+    // unit bounds <= everything already collected and can never enter
+    // the greedy prefix — "latest partition's k" costs one or two
+    // sidecar reads, not a directory-wide GET wave. The walk cap
+    // bounds the driver-side reads on adversarial layouts (thousands
+    // of one-record partitions); manifest-covered files cost one read
+    // per directory either way.
+    val walk = cands
+      .map { case (f, s) => (f, s, s.partitionValues(c).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)) }
+      .sortBy(_._3)(if (spec.desc) byteOrdering.reverse else byteOrdering)
+      .take(LwesScan.TopNStatsWalkCap)
     var taken = 0L
     var bound: Array[Byte] = null
     var i = 0
-    while (i < best.length && bound == null) {
-      taken += best(i)._2
-      if (taken >= spec.k) bound = best(i)._1
-      i += 1
+    while (i < walk.length && bound == null) {
+      val chunk = walk.slice(i, math.min(i + 16, walk.length))
+      prefetchStats(chunk.map { case (f, s, _) => (f, s) }.toSeq, conf)
+      var j = 0
+      while (j < chunk.length && bound == null) {
+        val (f, s, v) = chunk(j)
+        statsOf(f, s).filter(_.records > 0).foreach { st =>
+          taken += st.records
+          if (taken >= spec.k) bound = v
+        }
+        j += 1
+      }
+      i += chunk.length
     }
     if (bound == null) return (slices, None) // fewer than k provable rows
     val kept = slices.filter { case (_, s) =>

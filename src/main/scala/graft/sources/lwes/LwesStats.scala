@@ -818,12 +818,16 @@ object LwesStats {
         if (!typeOf(c).contains(StringType)) None
         else if (st.records == 0L) Some(BoundAnswer(None))
         else if (st.namesComplete && st.names.nonEmpty &&
-            st.names.values.sum == st.records) {
+            st.names.values.sum == st.records &&
+            st.names.valuesIterator.exists(_ > 0)) {
           // compare UTF-8 BYTES, not Strings: java.lang.String order is
           // UTF-16 code-unit order, which disagrees with UTF8String's
-          // byte order on supplementary characters
-          val bs = st.names.keysIterator
-            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // byte order on supplementary characters. Zero-count name
+          // entries are excluded — a hand-edited sidecar could list a
+          // name no record reads (mergeNameCounts guards the same way
+          // so a zero-count name cannot create a group).
+          val bs = st.names.iterator.filter(_._2 > 0)
+            .map(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           Some(StrBoundAnswer(bs.reduce((a, b) =>
             if ((cmpB(a, b) > 0) == wantMax) a else b)))
         } else None // capped/old-format name stats: stream

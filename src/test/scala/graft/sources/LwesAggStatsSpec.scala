@@ -562,5 +562,36 @@ class LwesAggStatsSpec extends AnyFunSuite {
       rows2.head.getString(1) == "Ev::N99")
     assert(metric(q2, "eventsParsed") > 0L,
       "capped name stats must stream, not answer")
+    // a hand-edited sidecar listing a ZERO-count name passes the
+    // reconcile (the zero adds nothing to the sum) but must not
+    // surface a value no record reads — zero-count entries are
+    // excluded from the bounds, like mergeNameCounts excludes them
+    // from groups
+    val dir3 = tmp()
+    (0 until 100).map(i => (i.toLong, s"Ev::Z${i % 2}")).toDF("id", "ev")
+      .repartition(1).write.format("lwes").option("eventNameColumn", "ev")
+      .mode("append").save(dir3)
+    val side = new java.io.File(dir3).listFiles()
+      .find(_.getName.endsWith(".stats")).get
+    val text = new String(java.nio.file.Files.readAllBytes(side.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val edited = text.replaceFirst("(?m)^e=", "e=Aaa n=0\ne=")
+    java.nio.file.Files.write(side.toPath,
+      edited.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the batch commit also published a directory manifest, which
+    // would shadow the edited sidecar — remove it so the read
+    // consults the per-file sidecar
+    new java.io.File(dir3, LwesStats.ManifestName).delete()
+    def r3(extra: (String, String)*) = {
+      val base = spark.read.format("lwes").schema("id long, ev string")
+        .option("eventNameColumn", "ev")
+      extra.foldLeft(base) { case (x, (k, v)) => x.option(k, v) }.load(dir3)
+    }
+    val q3 = r3().agg(min(col("ev")).as("mn"), max(col("ev")).as("mx"))
+    val r3row = q3.collect().head
+    assert(r3row.getString(0) == "Ev::Z0" && r3row.getString(1) == "Ev::Z1",
+      s"zero-count phantom name leaked into bounds: $r3row")
+    assert(metric(q3, "eventsParsed") == 0L,
+      "the edited sidecar must still answer (guard, not parse failure)")
   }
 }
