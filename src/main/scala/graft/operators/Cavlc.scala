@@ -140,16 +140,26 @@ private[operators] object Cavlc {
       "00001", "000001", "0000001", "00000001", "000000001", "0000000001",
       "00000000001"))
 
-  // ------------------------------------------------- VLC decode maps
-  // (bitLength, bitValue) -> symbol; reading proceeds one bit at a time
-  // so prefix-freeness (spec-checked in CavlcSpec) guarantees a unique
-  // hit within 16 bits.
-  private def buildMap(rows: IndexedSeq[(String, Int)]): Map[(Int, Int), Int] =
-    rows.map { case (bits, sym) =>
-      ((bits.length, Integer.parseInt(bits, 2)), sym)
-    }.toMap
+  // ----------------------------------------------- VLC decode tables
+  // dec(len)(value) -> symbol (-1 = no code of this length/value);
+  // reading proceeds one bit at a time so prefix-freeness (spec-checked
+  // in CavlcSpec) guarantees a unique hit within maxLen bits. Flat int
+  // arrays replace the earlier (len,value)->symbol HashMaps: the
+  // per-bit tuple allocation + boxed lookup was a measured hotspot of
+  // every CAVLC decode gate. ~1 MB of static tables total.
+  private final class VlcTable(rows: IndexedSeq[(String, Int)]) {
+    val maxLen: Int = rows.iterator.map(_._1.length).max
+    val dec: Array[Array[Int]] = Array.tabulate(maxLen + 1) { l =>
+      if (l == 0) null else Array.fill(1 << l)(-1)
+    }
+    rows.foreach { case (bits, sym) =>
+      dec(bits.length)(Integer.parseInt(bits, 2)) = sym
+    }
+  }
+  private def buildMap(rows: IndexedSeq[(String, Int)]): VlcTable =
+    new VlcTable(rows)
 
-  private val coeffTokenMaps: Array[Map[(Int, Int), Int]] =
+  private val coeffTokenMaps: Array[VlcTable] =
     (CoeffTokenVlc.map { ctx =>
       buildMap(for {
         tc <- 0 until ctx.length
@@ -160,15 +170,33 @@ private[operators] object Cavlc {
       t1 <- 0 until CoeffTokenChromaDc(tc).length
     } yield (CoeffTokenChromaDc(tc)(t1), tc << 2 | t1))
 
-  private val totalZerosMaps: Array[Map[(Int, Int), Int]] =
+  private val totalZerosMaps: Array[VlcTable] =
     TotalZeros4x4.map(row => buildMap(row.zipWithIndex.map {
       case (b, i) => (b, i) }.toIndexedSeq))
-  private val totalZerosChromaMaps: Array[Map[(Int, Int), Int]] =
+  private val totalZerosChromaMaps: Array[VlcTable] =
     TotalZerosChromaDc.map(row => buildMap(row.zipWithIndex.map {
       case (b, i) => (b, i) }.toIndexedSeq))
-  private val runBeforeMaps: Array[Map[(Int, Int), Int]] =
+  private val runBeforeMaps: Array[VlcTable] =
     RunBefore.map(row => buildMap(row.zipWithIndex.map {
       case (b, i) => (b, i) }.toIndexedSeq))
+
+  // ----------------------------------------------- VLC encode tables
+  // (len << 20 | value) per symbol, precomputed once — the write path
+  // previously re-parsed the bit-string literals per symbol written.
+  private def encCode(bits: String): Int =
+    bits.length << 20 | Integer.parseInt(bits, 2)
+  private val coeffTokenEnc: Array[Array[Array[Int]]] =
+    CoeffTokenVlc.map(_.map(_.map(encCode)))
+  private val coeffTokenChromaDcEnc: Array[Array[Int]] =
+    CoeffTokenChromaDc.map(_.map(encCode))
+  private val totalZeros4x4Enc: Array[Array[Int]] =
+    TotalZeros4x4.map(_.map(encCode))
+  private val totalZerosChromaDcEnc: Array[Array[Int]] =
+    TotalZerosChromaDc.map(_.map(encCode))
+  private val runBeforeEnc: Array[Array[Int]] =
+    RunBefore.map(_.map(encCode))
+  @inline private def writeCode(w: BitWriter, code: Int): Unit =
+    w.u(code >>> 20, code & 0xFFFFF)
 
   /** Expose the raw rows for the spec's prefix-freeness audit. */
   private[operators] def tableRows: Seq[(String, Seq[String])] =
@@ -182,16 +210,16 @@ private[operators] object Cavlc {
     RunBefore.zipWithIndex.map { case (row, i) =>
       (s"run_before zl${i + 1}", row.toSeq) }
 
-  private def readVlc(r: BitReader, m: Map[(Int, Int), Int], what: String): Int = {
+  private def readVlc(r: BitReader, m: VlcTable, what: String): Int = {
     var len = 0
     var v = 0
-    while (len < 17) {
+    val maxLen = m.maxLen
+    val dec = m.dec
+    while (len < maxLen) {
       v = (v << 1) | r.u1()
       len += 1
-      m.get((len, v)) match {
-        case Some(sym) => return sym
-        case None =>
-      }
+      val sym = dec(len)(v)
+      if (sym >= 0) return sym
     }
     throw new IllegalArgumentException(s"invalid $what code")
   }
@@ -221,11 +249,9 @@ private[operators] object Cavlc {
       if (tc == 0) w.u(6, 3)
       else w.u(6, ((tc - 1) << 2) | t1)
     } else if (nC < 0) {
-      val bits = CoeffTokenChromaDc(tc)(t1)
-      w.u(bits.length, Integer.parseInt(bits, 2))
+      writeCode(w, coeffTokenChromaDcEnc(tc)(t1))
     } else {
-      val bits = CoeffTokenVlc(ctxOf(nC))(tc)(t1)
-      w.u(bits.length, Integer.parseInt(bits, 2))
+      writeCode(w, coeffTokenEnc(ctxOf(nC))(tc)(t1))
     }
   }
 
@@ -233,20 +259,16 @@ private[operators] object Cavlc {
     if (maxCoeffs <= 4) readVlc(r, totalZerosChromaMaps(tc - 1), "total_zeros")
     else readVlc(r, totalZerosMaps(tc - 1), "total_zeros")
 
-  private def writeTotalZeros(w: BitWriter, tc: Int, maxCoeffs: Int, tz: Int): Unit = {
-    val bits =
-      if (maxCoeffs <= 4) TotalZerosChromaDc(tc - 1)(tz)
-      else TotalZeros4x4(tc - 1)(tz)
-    w.u(bits.length, Integer.parseInt(bits, 2))
-  }
+  private def writeTotalZeros(w: BitWriter, tc: Int, maxCoeffs: Int, tz: Int): Unit =
+    writeCode(w,
+      if (maxCoeffs <= 4) totalZerosChromaDcEnc(tc - 1)(tz)
+      else totalZeros4x4Enc(tc - 1)(tz))
 
   private def readRunBefore(r: BitReader, zerosLeft: Int): Int =
     readVlc(r, runBeforeMaps(math.min(zerosLeft, 7) - 1), "run_before")
 
-  private def writeRunBefore(w: BitWriter, zerosLeft: Int, run: Int): Unit = {
-    val bits = RunBefore(math.min(zerosLeft, 7) - 1)(run)
-    w.u(bits.length, Integer.parseInt(bits, 2))
-  }
+  private def writeRunBefore(w: BitWriter, zerosLeft: Int, run: Int): Unit =
+    writeCode(w, runBeforeEnc(math.min(zerosLeft, 7) - 1)(run))
 
   // ------------------------------------------------------ level codes
 
@@ -345,11 +367,10 @@ private[operators] object Cavlc {
     * caller's nC bookkeeping. */
   def writeResidual(w: BitWriter, coeffs: Array[Int], nC: Int): Int = {
     val maxCoeffs = coeffs.length
-    val nz = Array.newBuilder[Int]
+    val pos = new Array[Int](maxCoeffs)
+    var tc = 0
     var j = 0
-    while (j < maxCoeffs) { if (coeffs(j) != 0) nz += j; j += 1 }
-    val pos = nz.result()
-    val tc = pos.length
+    while (j < maxCoeffs) { if (coeffs(j) != 0) { pos(tc) = j; tc += 1 }; j += 1 }
     var t1 = 0
     var i = tc - 1
     while (i >= 0 && t1 < 3 && math.abs(coeffs(pos(i))) == 1) {

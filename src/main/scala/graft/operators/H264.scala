@@ -61,9 +61,19 @@ object H264 {
       v
     }
     def u(n: Int): Int = {
+      // byte-at-a-time extraction: same MSB-first value as n calls to
+      // u1(), checked up front so a truncated read consumes nothing
+      if (bitsLeft < n) throw new IllegalArgumentException("eof")
       var v = 0
-      var i = 0
-      while (i < n) { v = (v << 1) | u1(); i += 1 }
+      var rem = n
+      while (rem > 0) {
+        val bitOff = pos & 7
+        val take = if (8 - bitOff < rem) 8 - bitOff else rem
+        v = (v << take) |
+          (((b(pos >> 3) & 0xFF) >> (8 - bitOff - take)) & ((1 << take) - 1))
+        pos += take
+        rem -= take
+      }
       v
     }
     /** Exp-Golomb unsigned. */
@@ -112,19 +122,34 @@ object H264 {
     }
   }
 
-  /** MSB-first bit writer producing an RBSP payload. */
+  /** MSB-first bit writer producing an RBSP payload. Backed by a plain
+    * growable byte array (ByteArrayOutputStream's synchronized
+    * per-byte write was a measured hotspot of the encode kernels). */
   private[operators] final class BitWriter {
-    private val out = new java.io.ByteArrayOutputStream()
+    private var buf = new Array[Byte](256)
+    private var len = 0
     private var cur = 0
     private var nBits = 0
+    private def putByte(v: Int): Unit = {
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len << 1)
+      buf(len) = v.toByte
+      len += 1
+    }
     def u1(v: Int): Unit = {
       cur = (cur << 1) | (v & 1)
       nBits += 1
-      if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+      if (nBits == 8) { putByte(cur); cur = 0; nBits = 0 }
     }
     def u(n: Int, v: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) { u1((v >> i) & 1); i -= 1 }
+      // multi-bit fill: identical MSB-first stream to n calls of u1()
+      var rem = n
+      while (rem > 0) {
+        val take = if (8 - nBits < rem) 8 - nBits else rem
+        cur = (cur << take) | ((v >> (rem - take)) & ((1 << take) - 1))
+        nBits += take
+        rem -= take
+        if (nBits == 8) { putByte(cur); cur = 0; nBits = 0 }
+      }
     }
     def ue(v: Int): Unit = {
       val x = v + 1
@@ -138,12 +163,12 @@ object H264 {
     def byteAlignOne(): Unit = while (nBits != 0) u1(1)
     def writeByteAligned(v: Int): Unit = {
       require(nBits == 0, "not aligned")
-      out.write(v & 0xFF)
+      putByte(v & 0xFF)
     }
     def rbspTrailing(): Unit = { u1(1); byteAlignZero() }
     def toBytes: Array[Byte] = {
       require(nBits == 0, "dangling bits")
-      out.toByteArray
+      java.util.Arrays.copyOf(buf, len)
     }
   }
 
@@ -1538,6 +1563,154 @@ object H264 {
     out
   }
 
+  /** SAD of the 16x16 source macroblock at (mx,my) against the
+    * quarter-pel prediction at (mvx,mvy), abandoning the candidate as
+    * soon as the partial sum reaches `limit`: an abandoned position's
+    * true SAD >= partial >= limit, so it can never win a strict-<
+    * comparison — selection is bit-identical to a full
+    * [[mcLuma16Qpel]] + SAD. The encoder's sub-pel refinement is the
+    * suite's hottest loop (16 candidate interpolations per MB); here
+    * the intermediate half-pel planes are computed lazily PER OUTPUT
+    * ROW (same exact integer arithmetic, same order within each
+    * value), so an early bail also skips the remaining interpolation
+    * work, not just the compare. */
+  private[operators] def sadLuma16QpelBound(refY: Array[Byte], w: Int, h: Int,
+      mx: Int, my: Int, srcY: Array[Byte], mvx: Int, mvy: Int,
+      limit: Int): Int = {
+    val xI = mvx >> 2
+    val yI = mvy >> 2
+    val xF = mvx & 3
+    val yF = mvy & 3
+    val srcBase = my * 16 * w + mx * 16
+    if (xF == 0 && yF == 0) {
+      // integer grid: clamp hoisted out of the pixel loop (segments
+      // where sx clamps to 0 / w-1 are constant per row)
+      val x0 = mx * 16 + xI
+      var cLo = -x0; if (cLo < 0) cLo = 0; if (cLo > 16) cLo = 16
+      var cHi = w - x0; if (cHi > 16) cHi = 16; if (cHi < cLo) cHi = cLo
+      var sad = 0
+      var r = 0
+      while (r < 16 && sad < limit) {
+        val sy = math.max(0, math.min(h - 1, my * 16 + r + yI))
+        val srcRow = srcBase + r * w
+        val refRow = sy * w
+        var c = 0
+        if (cLo > 0) {
+          val e0 = refY(refRow) & 0xFF
+          while (c < cLo) { sad += math.abs((srcY(srcRow + c) & 0xFF) - e0); c += 1 }
+        }
+        val off = refRow + x0
+        while (c < cHi) {
+          sad += math.abs((srcY(srcRow + c) & 0xFF) - (refY(off + c) & 0xFF))
+          c += 1
+        }
+        if (cHi < 16) {
+          val eW = refY(refRow + w - 1) & 0xFF
+          while (c < 16) { sad += math.abs((srcY(srcRow + c) & 0xFF) - eW); c += 1 }
+        }
+        r += 1
+      }
+      return sad
+    }
+    val baseX = mx * 16 + xI
+    val baseY = my * 16 + yI
+    @inline def clip(v: Int): Int = math.max(0, math.min(255, v))
+    // clamped 22x22 sample window, as in mcLuma16Qpel
+    val win = new Array[Int](22 * 22)
+    var r = 0
+    while (r < 22) {
+      val sy = math.max(0, math.min(h - 1, baseY + r - 2))
+      val rowOff = sy * w
+      var c = 0
+      while (c < 22) {
+        val sx = math.max(0, math.min(w - 1, baseX + c - 2))
+        win(r * 22 + c) = refY(rowOff + sx) & 0xFF
+        c += 1
+      }
+      r += 1
+    }
+    val frac = (yF << 2) | xF
+    val needJ = (xF == 2 && yF != 0) || (yF == 2 && xF != 0)
+    val needB = xF != 0 || needJ
+    val needH = yF != 0
+    // bArr rows are filled incrementally (output row r touches sample
+    // rows up to r+5 via j, r+3 via bP(r+1,·)); identical values to the
+    // full precompute, just skipped entirely after a bail
+    val bArr = if (needB) new Array[Int](22 * 17) else null
+    var bDone = 0
+    @inline def ensureB(upTo: Int): Unit = {
+      var rr = bDone
+      while (rr <= upTo) {
+        var c = 0
+        while (c < 17) {
+          val o = rr * 22 + c
+          bArr(rr * 17 + c) = win(o) - 5 * win(o + 1) + 20 * win(o + 2) +
+            20 * win(o + 3) - 5 * win(o + 4) + win(o + 5)
+          c += 1
+        }
+        rr += 1
+      }
+      if (upTo >= bDone) bDone = upTo + 1
+    }
+    val hRow = if (needH) new Array[Int](17) else null
+    val jRow = if (needJ) new Array[Int](16) else null
+    @inline def g(r: Int, c: Int): Int = win((r + 2) * 22 + c + 2)
+    @inline def bP(r: Int, c: Int): Int = clip((bArr((r + 2) * 17 + c) + 16) >> 5)
+    var sad = 0
+    r = 0
+    while (r < 16 && sad < limit) {
+      // fracs 0xD/0xE/0xF read bP(r+1,·) → sample row r+3; j reads
+      // bArr rows r..r+5; plain bP(r,·) reads row r+2
+      if (needB) ensureB(math.min(21,
+        if (needJ) r + 5 else if (frac >= 0xD) r + 3 else r + 2))
+      if (needH) {
+        var c = 0
+        while (c < 17) {
+          val o = r * 22 + c + 2
+          hRow(c) = win(o) - 5 * win(o + 22) + 20 * win(o + 44) +
+            20 * win(o + 66) - 5 * win(o + 88) + win(o + 110)
+          c += 1
+        }
+      }
+      if (needJ) {
+        var c = 0
+        while (c < 16) {
+          val o = r * 17 + c
+          val j1 = bArr(o) - 5 * bArr(o + 17) + 20 * bArr(o + 34) +
+            20 * bArr(o + 51) - 5 * bArr(o + 68) + bArr(o + 85)
+          jRow(c) = clip((j1 + 512) >> 10)
+          c += 1
+        }
+      }
+      @inline def hP(c: Int): Int = clip((hRow(c) + 16) >> 5)
+      val srcRow = srcBase + r * w
+      var c = 0
+      while (c < 16) {
+        val v = frac match {
+          case 0x2 => bP(r, c)
+          case 0x8 => hP(c)
+          case 0xA => jRow(c)
+          case 0x1 => (g(r, c) + bP(r, c) + 1) >> 1
+          case 0x3 => (bP(r, c) + g(r, c + 1) + 1) >> 1
+          case 0x4 => (g(r, c) + hP(c) + 1) >> 1
+          case 0xC => (hP(c) + g(r + 1, c) + 1) >> 1
+          case 0x6 => (bP(r, c) + jRow(c) + 1) >> 1
+          case 0xE => (jRow(c) + bP(r + 1, c) + 1) >> 1
+          case 0x9 => (hP(c) + jRow(c) + 1) >> 1
+          case 0xB => (jRow(c) + hP(c + 1) + 1) >> 1
+          case 0x5 => (bP(r, c) + hP(c) + 1) >> 1
+          case 0x7 => (bP(r, c) + hP(c + 1) + 1) >> 1
+          case 0xD => (hP(c) + bP(r + 1, c) + 1) >> 1
+          case _ => (hP(c + 1) + bP(r + 1, c) + 1) >> 1
+        }
+        sad += math.abs((srcY(srcRow + c) & 0xFF) - v)
+        c += 1
+      }
+      r += 1
+    }
+    sad
+  }
+
   /** 8x8 chroma motion compensation, eighth-pel bilinear
     * (8.4.2.2.2). `mvx`,`mvy` are the partition's QUARTER-LUMA-pel
     * vector — chroma sampling halves it, so full-pel luma motion can
@@ -1944,6 +2117,12 @@ object H264 {
           while (dx <= searchRange) {
             val isZero = dx == 0 && dy == 0
             val limit = if (isZero) Int.MaxValue else bestSad
+            // column clamp hoisted out of the pixel loop: sx clamps to
+            // 0 for c < cLo and to w-1 for c >= cHi, constants per
+            // candidate — values identical to the per-pixel clamp
+            val x0 = mx * 16 + dx
+            var cLo = -x0; if (cLo < 0) cLo = 0; if (cLo > 16) cLo = 16
+            var cHi = w - x0; if (cHi > 16) cHi = 16; if (cHi < cLo) cHi = cLo
             var sad = 0
             var r = 0
             while (r < 16 && sad < limit) {
@@ -1951,11 +2130,23 @@ object H264 {
               val srcRow = (my * 16 + r) * w + mx * 16
               val refRow = sy * w
               var c = 0
-              while (c < 16) {
-                val sx = math.max(0, math.min(w - 1, mx * 16 + c + dx))
+              if (cLo > 0) {
+                val e0 = ref.y(refRow) & 0xFF
+                while (c < cLo) {
+                  sad += math.abs((src.y(srcRow + c) & 0xFF) - e0); c += 1
+                }
+              }
+              val off = refRow + x0
+              while (c < cHi) {
                 sad += math.abs((src.y(srcRow + c) & 0xFF) -
-                  (ref.y(refRow + sx) & 0xFF))
+                  (ref.y(off + c) & 0xFF))
                 c += 1
+              }
+              if (cHi < 16) {
+                val eW = ref.y(refRow + w - 1) & 0xFF
+                while (c < 16) {
+                  sad += math.abs((src.y(srcRow + c) & 0xFF) - eW); c += 1
+                }
               }
               r += 1
             }
@@ -1976,17 +2167,9 @@ object H264 {
           // with row-major candidate order keeps selection
           // deterministic; bestSad already holds the full-pel
           // winner's complete SAD.
-          def sadAt(qx: Int, qy: Int): Int = {
-            val p = mcLuma16Qpel(ref.y, w, h, mx, my, qx, qy)
-            var sad = 0
-            var i = 0
-            while (i < 256) {
-              sad += math.abs(
-                (src.y((my * 16 + i / 16) * w + mx * 16 + i % 16) & 0xFF) - p(i))
-              i += 1
-            }
-            sad
-          }
+          // each candidate scored by the fused bound SAD: a candidate
+          // abandoned at `best` has true SAD >= best, so it never wins
+          // strict-< — selection identical to the full interpolation
           var best = bestSad
           var step = 2
           while (step >= 1) {
@@ -1997,7 +2180,8 @@ object H264 {
               var dx = -step
               while (dx <= step) {
                 if (dx != 0 || dy != 0) {
-                  val s2 = sadAt(cx + dx, cy + dy)
+                  val s2 = sadLuma16QpelBound(ref.y, w, h, mx, my, src.y,
+                    cx + dx, cy + dy, best)
                   if (s2 < best) { best = s2; mvx = cx + dx; mvy = cy + dy }
                 }
                 dx += step
