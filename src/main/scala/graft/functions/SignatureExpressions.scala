@@ -65,6 +65,34 @@ object SignatureExpressions {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** All consecutive 3-codepoint windows of `s`, in order — value-equal
+    * to `transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))`
+    * but ONE linear pass: Substring re-walks the string from byte 0 to
+    * find codepoint i on every call, which made trigram extraction
+    * O(n²) per document (the measured top hotspot of the LM-score
+    * gates). Fewer than 3 codepoints → empty array. */
+  def charTrigramsEval(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val offs = new Array[Int](nb + 1)
+    var n = 0
+    var i = 0
+    while (i < nb) {
+      offs(n) = i
+      n += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(n) = nb
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 2)
+    var k = 0
+    while (k < n - 2) {
+      out(k) = UTF8String.fromBytes(bytes, offs(k), offs(k + 3) - offs(k))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash coefficient families for `k` hashes (computed once per
     * plan — the expression passes them in as reference objects, never
     * re-derived per row). */
@@ -228,6 +256,19 @@ object SignatureExpressions {
         s"graft.functions.SignatureExpressions.minHashesEval($asRef, $bsRef, $c)")
     }
     override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
+  }
+
+  /** `char_trigrams(string)` → array<string>: every consecutive
+    * 3-codepoint substring, one linear pass (see [[charTrigramsEval]]). */
+  case class CharTrigrams(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      charTrigramsEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.charTrigramsEval($c)")
+    override protected def withNewChildInternal(c: Expression): CharTrigrams =
+      copy(child = c)
   }
 
   /** `simhash64(array<string>)` → long: 64-bit SimHash in one pass. */
@@ -744,6 +785,9 @@ object SignatureExpressions {
 
   def minhashes(shingleHashes: Column, k: Int): Column =
     bridge.toColumn(MinHashes(bridge.toExpression(shingleHashes), k))
+
+  def char_trigrams(text: Column): Column =
+    bridge.toColumn(CharTrigrams(bridge.toExpression(text)))
 
   def simhash64(tokens: Column): Column =
     bridge.toColumn(SimHash64(bridge.toExpression(tokens)))

@@ -14,6 +14,65 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Exact double summation via Shewchuk nonoverlapping expansions
+    * (Shewchuk 1997, GROW-EXPANSION + zero elimination): the running
+    * sum is an array of doubles whose exact mathematical sum equals
+    * the exact sum of every value added — commutative and
+    * partition-layout-independent like the BigDecimal fold it
+    * replaces, at a tiny fraction of the cost (`new BigDecimal(double)`
+    * per row×dim was a measured hotspot of the Lloyd rounds; its exact
+    * decimal expansion needs BigInteger.pow). Only the FINAL conversion
+    * touches BigDecimal, through [[toBigDecimal]], so the divide /
+    * rounding semantics (and hence every emitted centroid bit) are
+    * unchanged. */
+  private[operators] object ExactSum {
+    val Cap = 40 // > (double exponent range) / 53 — never hit by finite sums
+
+    /** Add `b` into expansion `e(0..len)`; returns the new length.
+      * `e.length` must be >= Cap. */
+    def add(e: Array[Double], len: Int, b: Double): Int = {
+      var q = b
+      var newLen = 0
+      var k = 0
+      while (k < len) {
+        val a = e(k)
+        val s = a + q
+        val bv = s - a
+        val av = s - bv
+        val err = (a - av) + (q - bv)
+        if (err != 0.0) { e(newLen) = err; newLen += 1 }
+        q = s
+        k += 1
+      }
+      if (q != 0.0 || newLen == 0) {
+        if (newLen >= Cap)
+          throw new IllegalStateException("ExactSum expansion overflow")
+        e(newLen) = q
+        newLen += 1
+      }
+      newLen
+    }
+
+    /** Merge expansion `src(0..srcLen)` into `dst(0..dstLen)`. */
+    def merge(dst: Array[Double], dstLen: Int, src: Array[Double],
+        srcLen: Int): Int = {
+      var len = dstLen
+      var k = 0
+      while (k < srcLen) { len = add(dst, len, src(k)); k += 1 }
+      len
+    }
+
+    /** The exact value as a BigDecimal (sum of the components' exact
+      * decimal expansions — identical to the BigDecimal the per-value
+      * fold would have produced, since both equal the exact sum). */
+    def toBigDecimal(e: Array[Double], len: Int): java.math.BigDecimal = {
+      var acc = java.math.BigDecimal.ZERO
+      var k = 0
+      while (k < len) { acc = acc.add(new java.math.BigDecimal(e(k))); k += 1 }
+      acc
+    }
+  }
+
   /** Dot product of two array<double> columns (composed formulation;
     * [[cosine]] uses the one-pass expression with identical fold order). */
   def dot(a: Column, b: Column): Column =
@@ -323,12 +382,15 @@ object Similarity {
     for (_ <- 0 until iters if cents.nonEmpty) {
       val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
       val k = centArr.length
+      // per-(centroid, dim) exact expansions (see ExactSum) — same
+      // exact sums as the BigDecimal fold, BigDecimal only at the end
       def zero() = (
-        Array.fill(k, dims)(java.math.BigDecimal.ZERO),
+        Array.fill(k * dims)(new Array[Double](ExactSum.Cap)),
+        new Array[Int](k * dims),
         new Array[Long](k))
-      val (sums, counts) = train.select(col("v_c"))
+      val (sums, lens, counts) = train.select(col("v_c"))
         .rdd.treeAggregate(zero())(
-          { case ((s, cnt), row) =>
+          { case ((s, sl, cnt), row) =>
             val v = row.getSeq[Double](0)
             var best = 0; var bestSim = Double.NegativeInfinity
             var j = 0
@@ -344,23 +406,26 @@ object Similarity {
             }
             var i = 0
             while (i < dims) {
-              s(best)(i) = s(best)(i).add(new java.math.BigDecimal(v(i))); i += 1
+              val cell = best * dims + i
+              sl(cell) = ExactSum.add(s(cell), sl(cell), v(i)); i += 1
             }
             cnt(best) += 1
-            (s, cnt) },
-          { case ((s1, c1), (s2, c2)) =>
-            var j = 0
-            while (j < k) {
-              var i = 0
-              while (i < dims) { s1(j)(i) = s1(j)(i).add(s2(j)(i)); i += 1 }
-              c1(j) += c2(j); j += 1
+            (s, sl, cnt) },
+          { case ((s1, l1, c1), (s2, l2, c2)) =>
+            var cell = 0
+            while (cell < k * dims) {
+              l1(cell) = ExactSum.merge(s1(cell), l1(cell), s2(cell), l2(cell))
+              cell += 1
             }
-            (s1, c1) })
+            var j = 0
+            while (j < k) { c1(j) += c2(j); j += 1 }
+            (s1, l1, c1) })
       cents = cents.zipWithIndex.map { case (old, j) =>
         if (counts(j) == 0L) old // empty cluster keeps its centroid
-        else (0 until dims).map(i => sums(j)(i)
-          .divide(java.math.BigDecimal.valueOf(counts(j)),
-            java.math.MathContext.DECIMAL128).doubleValue)
+        else (0 until dims).map(i =>
+          ExactSum.toBigDecimal(sums(j * dims + i), lens(j * dims + i))
+            .divide(java.math.BigDecimal.valueOf(counts(j)),
+              java.math.MathContext.DECIMAL128).doubleValue)
       }
     }
     spark.createDataFrame(
@@ -772,10 +837,12 @@ object Similarity {
       } else rows
     for (_ <- 0 until iters) {
       val cbNow = cb
-      def zero() = (Array.fill(m * ks * dsub)(java.math.BigDecimal.ZERO),
+      // exact expansions per (subspace·code, dim) — see ExactSum
+      def zero() = (Array.fill(m * ks * dsub)(new Array[Double](ExactSum.Cap)),
+        new Array[Int](m * ks * dsub),
         new Array[Long](m * ks))
-      val (sums, counts) = train.select(col("__v")).rdd.treeAggregate(zero())(
-        { case ((sm, cnt), row) =>
+      val (sums, lens, counts) = train.select(col("__v")).rdd.treeAggregate(zero())(
+        { case ((sm, sl, cnt), row) =>
           val x = prep(row.getSeq[Double](0))
           var s = 0
           while (s < m) {
@@ -798,26 +865,29 @@ object Similarity {
             cnt(cell) += 1
             var j = 0
             while (j < dsub) {
-              sm(cell * dsub + j) = sm(cell * dsub + j)
-                .add(new java.math.BigDecimal(x(s * dsub + j)))
+              val e = cell * dsub + j
+              sl(e) = ExactSum.add(sm(e), sl(e), x(s * dsub + j))
               j += 1
             }
             s += 1
           }
-          (sm, cnt) },
-        { case ((s1, c1), (s2, c2)) =>
+          (sm, sl, cnt) },
+        { case ((s1, l1, c1), (s2, l2, c2)) =>
           var i = 0
-          while (i < s1.length) { s1(i) = s1(i).add(s2(i)); i += 1 }
+          while (i < s1.length) {
+            l1(i) = ExactSum.merge(s1(i), l1(i), s2(i), l2(i)); i += 1
+          }
           i = 0
           while (i < c1.length) { c1(i) += c2(i); i += 1 }
-          (s1, c1) })
+          (s1, l1, c1) })
       val next = cb.clone()
       var cell = 0
       while (cell < m * ks) {
         if (counts(cell) > 0) {
           var j = 0
           while (j < dsub) {
-            next(cell * dsub + j) = sums(cell * dsub + j)
+            next(cell * dsub + j) = ExactSum
+              .toBigDecimal(sums(cell * dsub + j), lens(cell * dsub + j))
               .divide(new java.math.BigDecimal(counts(cell)),
                 java.math.MathContext.DECIMAL64).doubleValue()
             j += 1

@@ -341,11 +341,14 @@ object TextAnalysis {
     * out (no likelihood is defined for them). */
   def charTrigramLogLik(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // char_trigrams = transform(sequence(1, length-2), i -> substring(t,i,3))
+    // in one linear pass (Substring re-walks from byte 0 per call →
+    // O(n²)/doc; this was the measured top hotspot of the whole suite)
     val tr = docs
       .select(col(idCol).as("doc_id"), lower(trim(col(textCol))).as("__t"))
       .filter(length(col("__t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(__t) - 2), i -> substring(__t, i, 3))"))
+      .select(col("doc_id"), explode(
+        graft.functions.SignatureExpressions.char_trigrams(col("__t")))
         .as("tri"))
     // Catalyst does not dedupe shared subtrees, so the c3/c2 model
     // branches re-run the explode+agg. Measured at bench scale, the
