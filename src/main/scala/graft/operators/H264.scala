@@ -1456,17 +1456,26 @@ object H264 {
     val baseX = mx * 16 + xI
     val baseY = my * 16 + yI
     @inline def clip(v: Int): Int = math.max(0, math.min(255, v))
-    // win(r)(c) = clamped sample at (baseX + c - 2, baseY + r - 2)
+    // win(r)(c) = clamped sample at (baseX + c - 2, baseY + r - 2);
+    // the column clamp is hoisted to constant segment bounds per row
     val win = new Array[Int](22 * 22)
+    val wLo = { var v = -(baseX - 2); if (v < 0) v = 0; if (v > 22) v = 22; v }
+    val wHi = { var v = w - (baseX - 2); if (v > 22) v = 22; if (v < wLo) v = wLo; v }
     var r = 0
     while (r < 22) {
       val sy = math.max(0, math.min(h - 1, baseY + r - 2))
       val rowOff = sy * w
+      val base = r * 22
       var c = 0
-      while (c < 22) {
-        val sx = math.max(0, math.min(w - 1, baseX + c - 2))
-        win(r * 22 + c) = refY(rowOff + sx) & 0xFF
-        c += 1
+      if (wLo > 0) {
+        val e0 = refY(rowOff) & 0xFF
+        while (c < wLo) { win(base + c) = e0; c += 1 }
+      }
+      val off = rowOff + baseX - 2
+      while (c < wHi) { win(base + c) = refY(off + c) & 0xFF; c += 1 }
+      if (wHi < 22) {
+        val eW = refY(rowOff + w - 1) & 0xFF
+        while (c < 22) { win(base + c) = eW; c += 1 }
       }
       r += 1
     }
@@ -1615,19 +1624,33 @@ object H264 {
     val baseX = mx * 16 + xI
     val baseY = my * 16 + yI
     @inline def clip(v: Int): Int = math.max(0, math.min(255, v))
-    // clamped 22x22 sample window, as in mcLuma16Qpel
+    // clamped 22x22 sample window, as in mcLuma16Qpel — rows filled
+    // incrementally (a bailed candidate skips the rest), with the
+    // column clamp hoisted to constant segment bounds per row
     val win = new Array[Int](22 * 22)
-    var r = 0
-    while (r < 22) {
-      val sy = math.max(0, math.min(h - 1, baseY + r - 2))
-      val rowOff = sy * w
-      var c = 0
-      while (c < 22) {
-        val sx = math.max(0, math.min(w - 1, baseX + c - 2))
-        win(r * 22 + c) = refY(rowOff + sx) & 0xFF
-        c += 1
+    var winDone = 0
+    val wLo = { var v = -(baseX - 2); if (v < 0) v = 0; if (v > 22) v = 22; v }
+    val wHi = { var v = w - (baseX - 2); if (v > 22) v = 22; if (v < wLo) v = wLo; v }
+    @inline def ensureWin(upTo: Int): Unit = {
+      var rr = winDone
+      while (rr <= upTo) {
+        val sy = math.max(0, math.min(h - 1, baseY + rr - 2))
+        val rowOff = sy * w
+        val base = rr * 22
+        var c = 0
+        if (wLo > 0) {
+          val e0 = refY(rowOff) & 0xFF
+          while (c < wLo) { win(base + c) = e0; c += 1 }
+        }
+        val off = rowOff + baseX - 2
+        while (c < wHi) { win(base + c) = refY(off + c) & 0xFF; c += 1 }
+        if (wHi < 22) {
+          val eW = refY(rowOff + w - 1) & 0xFF
+          while (c < 22) { win(base + c) = eW; c += 1 }
+        }
+        rr += 1
       }
-      r += 1
+      if (upTo >= winDone) winDone = upTo + 1
     }
     val frac = (yF << 2) | xF
     val needJ = (xF == 2 && yF != 0) || (yF == 2 && xF != 0)
@@ -1639,6 +1662,7 @@ object H264 {
     val bArr = if (needB) new Array[Int](22 * 17) else null
     var bDone = 0
     @inline def ensureB(upTo: Int): Unit = {
+      ensureWin(upTo)
       var rr = bDone
       while (rr <= upTo) {
         var c = 0
@@ -1657,8 +1681,10 @@ object H264 {
     @inline def g(r: Int, c: Int): Int = win((r + 2) * 22 + c + 2)
     @inline def bP(r: Int, c: Int): Int = clip((bArr((r + 2) * 17 + c) + 16) >> 5)
     var sad = 0
-    r = 0
+    var r = 0
     while (r < 16 && sad < limit) {
+      // h reads win rows r..r+5; g(r+1,·) reads win row r+3
+      ensureWin(math.min(21, r + 5))
       // fracs 0xD/0xE/0xF read bP(r+1,·) → sample row r+3; j reads
       // bArr rows r..r+5; plain bP(r,·) reads row r+2
       if (needB) ensureB(math.min(21,
