@@ -1747,22 +1747,37 @@ object H264 {
     val by = mvy >> 3
     val xF = mvx & 7
     val yF = mvy & 7
-    @inline def s(x: Int, yy: Int): Int = {
-      val cx = math.max(0, math.min(cw - 1, x))
-      val cy = math.max(0, math.min(ch - 1, yy))
-      refC(cy * cw + cx) & 0xFF
-    }
+    @inline def clampX(x: Int): Int = math.max(0, math.min(cw - 1, x))
     val out = new Array[Int](64)
+    // bilinear weights are constant over the block; row clamps hoisted
+    // out of the pixel loop. For the integer grid the expression
+    // reduces exactly to the sample itself ((64·s + 32) >> 6 = s).
+    val w00 = (8 - xF) * (8 - yF)
+    val w10 = xF * (8 - yF)
+    val w01 = (8 - xF) * yF
+    val w11 = xF * yF
     var r = 0
     while (r < 8) {
       val sy = my * 8 + r + by
+      val row0 = math.max(0, math.min(ch - 1, sy)) * cw
+      val row1 = math.max(0, math.min(ch - 1, sy + 1)) * cw
       var c = 0
-      while (c < 8) {
-        val sx = mx * 8 + c + bx
-        out(r * 8 + c) =
-          ((8 - xF) * (8 - yF) * s(sx, sy) + xF * (8 - yF) * s(sx + 1, sy) +
-            (8 - xF) * yF * s(sx, sy + 1) + xF * yF * s(sx + 1, sy + 1) + 32) >> 6
-        c += 1
+      if (xF == 0 && yF == 0) {
+        while (c < 8) {
+          out(r * 8 + c) = refC(row0 + clampX(mx * 8 + c + bx)) & 0xFF
+          c += 1
+        }
+      } else {
+        while (c < 8) {
+          val sx = mx * 8 + c + bx
+          val cx0 = clampX(sx)
+          val cx1 = clampX(sx + 1)
+          out(r * 8 + c) =
+            (w00 * (refC(row0 + cx0) & 0xFF) + w10 * (refC(row0 + cx1) & 0xFF) +
+              w01 * (refC(row1 + cx0) & 0xFF) + w11 * (refC(row1 + cx1) & 0xFF) +
+              32) >> 6
+          c += 1
+        }
       }
       r += 1
     }
@@ -2039,6 +2054,7 @@ object H264 {
           val fetch = (dx: Int, dy: Int) => ry((py0 + dy) * w + px0 + dx) & 0xFF
           var bestMode = -1
           var bestSad = Int.MaxValue
+          var bestPred: Array[Int] = null
           var m = 0
           while (m < 9) {
             if (i4ModeValid(m, gx > 0, gy > fr0 * 4)) {
@@ -2050,11 +2066,13 @@ object H264 {
                   (src.y((py0 + i / 4) * w + px0 + i % 4) & 0xFF) - pr(i))
                 i += 1
               }
-              if (sad < bestSad) { bestSad = sad; bestMode = m }
+              // strict <: lowest mode index wins ties, and its pred
+              // array is kept — no second predIntra4x4 call
+              if (sad < bestSad) { bestSad = sad; bestMode = m; bestPred = pr }
             }
             m += 1
           }
-          val pred = predIntra4x4(bestMode, gx > 0, gy > fr0 * 4, bTr, fetch)
+          val pred = bestPred
           val res = new Array[Int](16)
           var i = 0
           while (i < 16) {
