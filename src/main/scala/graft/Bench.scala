@@ -11,6 +11,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r21: the whole-stage-codegen class cache defaults to 100
+      // entries; a 154-query suite (or any long-running driver serving
+      // many distinct plans — the 100 TB posture) thrashes it and pays
+      // Janino recompile + classload on every re-run of every plan
+      // (ZipFile.getEntryPos was a measured suite-wide profile line).
+      // 5000 entries ≈ a few hundred MB ceiling of generated classes,
+      // appropriate wherever a driver serves a dashboard/query mix.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

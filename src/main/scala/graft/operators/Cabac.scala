@@ -173,10 +173,21 @@ private[operators] object Cabac {
     private var range = 510
     private var outstanding = 0
     private var first = true
+    // local bit buffer: CABAC slice data starts byte-aligned, so whole
+    // bytes go to the writer directly and only the tail (in
+    // [[flushTerminate]]) crosses bit-by-bit — putBit was the measured
+    // top cost of the CABAC gate
+    private var cur = 0
+    private var nBits = 0
+    @inline private def emit(b: Int): Unit = {
+      cur = (cur << 1) | b
+      nBits += 1
+      if (nBits == 8) { w.writeByteAligned(cur); cur = 0; nBits = 0 }
+    }
 
     private def putBit(b: Int): Unit = {
-      if (first) first = false else w.u1(b)
-      while (outstanding > 0) { w.u1(1 - b); outstanding -= 1 }
+      if (first) first = false else emit(b)
+      while (outstanding > 0) { emit(1 - b); outstanding -= 1 }
     }
 
     private def renorm(): Unit =
@@ -219,8 +230,11 @@ private[operators] object Cabac {
     def flushTerminate(): Unit = {
       // terminate(1) already set range = 2 and renormalized
       putBit((low >> 9) & 1)
-      w.u1((low >> 8) & 1)
-      w.u1(1) // rbsp_stop_one_bit folded into the flush
+      emit((low >> 8) & 1)
+      emit(1) // rbsp_stop_one_bit folded into the flush
+      // drain the local buffer's tail into the writer (MSB-first, same
+      // stream as per-bit writes)
+      if (nBits > 0) { w.u(nBits, cur); cur = 0; nBits = 0 }
     }
 
     def egBypass(v: Int): Unit = {
