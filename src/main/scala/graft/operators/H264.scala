@@ -2152,50 +2152,60 @@ object H264 {
         // (its <= tie-break needs the exact sum), preserving the
         // original selection bit-for-bit while cutting the search cost
         // severalfold — this loop dominates the mm_h264_intra4x4 gate.
+        // one candidate's (early-exit) SAD; column clamp hoisted out of
+        // the pixel loop: sx clamps to 0 for c < cLo and to w-1 for
+        // c >= cHi, constants per candidate — values identical to the
+        // per-pixel clamp
+        def sadCand(dx: Int, dy: Int, limit: Int): Int = {
+          val x0 = mx * 16 + dx
+          var cLo = -x0; if (cLo < 0) cLo = 0; if (cLo > 16) cLo = 16
+          var cHi = w - x0; if (cHi > 16) cHi = 16; if (cHi < cLo) cHi = cLo
+          var sad = 0
+          var r = 0
+          while (r < 16 && sad < limit) {
+            val sy = math.max(0, math.min(h - 1, my * 16 + r + dy))
+            val srcRow = (my * 16 + r) * w + mx * 16
+            val refRow = sy * w
+            var c = 0
+            if (cLo > 0) {
+              val e0 = ref.y(refRow) & 0xFF
+              while (c < cLo) {
+                sad += math.abs((src.y(srcRow + c) & 0xFF) - e0); c += 1
+              }
+            }
+            val off = refRow + x0
+            while (c < cHi) {
+              sad += math.abs((src.y(srcRow + c) & 0xFF) -
+                (ref.y(off + c) & 0xFF))
+              c += 1
+            }
+            if (cHi < 16) {
+              val eW = ref.y(refRow + w - 1) & 0xFF
+              while (c < 16) {
+                sad += math.abs((src.y(srcRow + c) & 0xFF) - eW); c += 1
+              }
+            }
+            r += 1
+          }
+          sad
+        }
+        // (0,0) evaluated FIRST with its exact SAD seeding the bound:
+        // the original scan's <= tie-break already hands (0,0) every
+        // tie, and non-zero candidates keep strict-< in the same
+        // row-major order, so the selected vector is bit-identical —
+        // but every other candidate now bails against a tight limit
+        // from the first row instead of warming up the bound slowly
         var bestDx = 0
         var bestDy = 0
-        var bestSad = Int.MaxValue
+        var bestSad = sadCand(0, 0, Int.MaxValue)
         var dy = -searchRange
         while (dy <= searchRange) {
           var dx = -searchRange
           while (dx <= searchRange) {
-            val isZero = dx == 0 && dy == 0
-            val limit = if (isZero) Int.MaxValue else bestSad
-            // column clamp hoisted out of the pixel loop: sx clamps to
-            // 0 for c < cLo and to w-1 for c >= cHi, constants per
-            // candidate — values identical to the per-pixel clamp
-            val x0 = mx * 16 + dx
-            var cLo = -x0; if (cLo < 0) cLo = 0; if (cLo > 16) cLo = 16
-            var cHi = w - x0; if (cHi > 16) cHi = 16; if (cHi < cLo) cHi = cLo
-            var sad = 0
-            var r = 0
-            while (r < 16 && sad < limit) {
-              val sy = math.max(0, math.min(h - 1, my * 16 + r + dy))
-              val srcRow = (my * 16 + r) * w + mx * 16
-              val refRow = sy * w
-              var c = 0
-              if (cLo > 0) {
-                val e0 = ref.y(refRow) & 0xFF
-                while (c < cLo) {
-                  sad += math.abs((src.y(srcRow + c) & 0xFF) - e0); c += 1
-                }
-              }
-              val off = refRow + x0
-              while (c < cHi) {
-                sad += math.abs((src.y(srcRow + c) & 0xFF) -
-                  (ref.y(off + c) & 0xFF))
-                c += 1
-              }
-              if (cHi < 16) {
-                val eW = ref.y(refRow + w - 1) & 0xFF
-                while (c < 16) {
-                  sad += math.abs((src.y(srcRow + c) & 0xFF) - eW); c += 1
-                }
-              }
-              r += 1
+            if (dx != 0 || dy != 0) {
+              val sad = sadCand(dx, dy, bestSad)
+              if (sad < bestSad) { bestSad = sad; bestDx = dx; bestDy = dy }
             }
-            val better = if (isZero) sad <= bestSad else sad < bestSad
-            if (better) { bestSad = sad; bestDx = dx; bestDy = dy }
             dx += 1
           }
           dy += 1

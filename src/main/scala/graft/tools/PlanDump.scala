@@ -2,26 +2,47 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dump `.explain("formatted")` plans of selected gate queries (plan
-  * audit scaffolding for docs/PLANS.md). Args: sfDir key... */
+/** Dump `.explain("formatted")` for a set of SparkEntry queries into an
+  * output directory (one `<key>_<suffix>.txt` per query) — the plan
+  * evidence files the optimization rounds commit under plans/rNN/.
+  *
+  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> k1,k2,...
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val keys = args.drop(1).toSeq
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val keys = args(3).split(",").map(_.trim).filter(_.nonEmpty)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    val qs = graft.SparkEntry.queries
     keys.foreach { k =>
-      println(s"===== $k =====")
-      val df = graft.SparkEntry.queries(k)(spark, sfDir)
-      df.explain("formatted")
+      qs.get(k) match {
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outDir/${k}_$suffix.txt"),
+              plan.getBytes("UTF-8"))
+            println(s"PLAN OK $k")
+          } catch {
+            case e: Throwable => println(s"PLAN FAIL $k: $e")
+          }
+        case None => println(s"PLAN MISSING $k")
+      }
     }
     spark.stop()
   }
