@@ -1,0 +1,126 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r21 optimization-equivalence pins: each rewritten kernel must compute
+  * EXACTLY what the formulation it replaced computed — these specs hold
+  * the slow-but-obviously-correct reference implementation against the
+  * optimized one over randomized inputs. */
+class OptEquivalenceSpec extends AnyFunSuite {
+
+  // ---------------------------------------------------- char_trigrams
+
+  test("charTrigramsEval equals substring(t, i, 3) for i in 1..len-2, " +
+    "including multi-byte codepoints") {
+    val rnd = new Random(42)
+    val alphabets = Seq(
+      "abcdefgh ijklmnop",            // ascii
+      "äöüßéñçø",                     // 2-byte
+      "日本語中文한국어",                // 3-byte
+      "a €𝄞b ö")                      // mixed incl. 4-byte surrogate pair
+    for (alpha <- alphabets; n <- Seq(0, 1, 2, 3, 4, 17, 123)) {
+      val s = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val u = UTF8String.fromString(s)
+      val got = graft.functions.SignatureExpressions.charTrigramsEval(u)
+      val numChars = u.numChars()
+      val want = (1 to math.max(numChars - 2, 0))
+        .map(i => u.substringSQL(i, 3).toString)
+      val gotStrs = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      assert(gotStrs == want, s"trigrams diverge for '$s'")
+    }
+  }
+
+  // -------------------------------------------------------- ExactSum
+
+  test("ExactSum expansions equal per-value BigDecimal accumulation " +
+    "regardless of addition order") {
+    val rnd = new Random(7)
+    (0 until 20).foreach { trial =>
+      val vals = Array.fill(200)((rnd.nextDouble() - 0.5) *
+        math.pow(10, rnd.nextInt(12) - 6))
+      val e = new Array[Double](Similarity.ExactSum.Cap)
+      var len = 0
+      vals.foreach(v => len = Similarity.ExactSum.add(e, len, v))
+      val viaExpansion = Similarity.ExactSum.toBigDecimal(e, len)
+      var viaBd = java.math.BigDecimal.ZERO
+      // reversed order: the guarantee is order independence
+      vals.reverse.foreach(v => viaBd = viaBd.add(new java.math.BigDecimal(v)))
+      assert(viaExpansion.compareTo(viaBd) == 0, s"trial $trial diverged")
+    }
+  }
+
+  test("ExactSum merge equals adding both streams' values") {
+    val rnd = new Random(13)
+    val a = Array.fill(100)(rnd.nextGaussian() * 1e3)
+    val b = Array.fill(100)(rnd.nextGaussian() * 1e-3)
+    val e1 = new Array[Double](Similarity.ExactSum.Cap); var l1 = 0
+    val e2 = new Array[Double](Similarity.ExactSum.Cap); var l2 = 0
+    a.foreach(v => l1 = Similarity.ExactSum.add(e1, l1, v))
+    b.foreach(v => l2 = Similarity.ExactSum.add(e2, l2, v))
+    l1 = Similarity.ExactSum.merge(e1, l1, e2, l2)
+    val all = new Array[Double](Similarity.ExactSum.Cap); var la = 0
+    (a ++ b).foreach(v => la = Similarity.ExactSum.add(all, la, v))
+    assert(Similarity.ExactSum.toBigDecimal(e1, l1)
+      .compareTo(Similarity.ExactSum.toBigDecimal(all, la)) == 0)
+  }
+
+  // --------------------------------------- bound quarter-pel SAD
+
+  test("sadLuma16QpelBound equals mcLuma16Qpel + SAD when not bailing, " +
+    "and never under-reports past the limit") {
+    val rnd = new Random(99)
+    val (w, h) = (32, 32)
+    val ref = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+    val src = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+    for (mx <- 0 to 1; my <- 0 to 1; mvx <- -5 to 5; mvy <- -5 to 5) {
+      val pred = H264.mcLuma16Qpel(ref, w, h, mx, my, mvx, mvy)
+      var want = 0
+      var i = 0
+      while (i < 256) {
+        want += math.abs(
+          (src((my * 16 + i / 16) * w + mx * 16 + i % 16) & 0xFF) - pred(i))
+        i += 1
+      }
+      val full = H264.sadLuma16QpelBound(ref, w, h, mx, my, src,
+        mvx, mvy, Int.MaxValue)
+      assert(full == want, s"full SAD diverges at ($mx,$my,$mvx,$mvy)")
+      // with a random limit, the result must either be the exact SAD
+      // (< limit) or an abandoned partial >= limit — never a value
+      // below the limit that differs from the true SAD
+      val limit = rnd.nextInt(want + 2)
+      val bounded = H264.sadLuma16QpelBound(ref, w, h, mx, my, src,
+        mvx, mvy, limit)
+      if (bounded < limit) assert(bounded == want)
+      else assert(want >= limit)
+    }
+  }
+
+  // ---------------------------------------------------- bit I/O
+
+  test("BitWriter.u(n,v) multi-bit fill equals per-bit writes; " +
+    "BitReader.u(n) equals per-bit reads") {
+    val rnd = new Random(5)
+    (0 until 50).foreach { _ =>
+      val ops = (0 until 200).map { _ =>
+        val n = 1 + rnd.nextInt(24)
+        (n, rnd.nextInt(1 << n))
+      }
+      val w1 = new H264.BitWriter
+      ops.foreach { case (n, v) => w1.u(n, v) }
+      w1.rbspTrailing()
+      val w2 = new H264.BitWriter
+      ops.foreach { case (n, v) =>
+        var i = n - 1
+        while (i >= 0) { w2.u1((v >> i) & 1); i -= 1 }
+      }
+      w2.rbspTrailing()
+      assert(java.util.Arrays.equals(w1.toBytes, w2.toBytes))
+      val r = new H264.BitReader(w1.toBytes)
+      ops.foreach { case (n, v) => assert(r.u(n) == v) }
+    }
+  }
+}
