@@ -118,6 +118,35 @@ object SignatureExpressions {
     new GenericArrayData(mins)
   }
 
+  /** LSH band signatures in one pass: element b = xxhash64 (seed 42,
+    * Spark's XxHash64 on a string) of the comma-joined decimal rendering
+    * of minhash band b's r values — value-equal to
+    * `xxhash64(concat_ws(",", transform(slice(mh, b*r+1, r), cast to
+    * string)))`, whose interpreted nested ArrayTransform + per-element
+    * Cast + ConcatWs allocations were a measured leaf of the minhash
+    * banding path. A band reaching past the end of `mh` joins only the
+    * existing elements (slice semantics). */
+  def bandSignaturesEval(input: ArrayData, bands: Int, r: Int): ArrayData = {
+    val n = input.numElements()
+    val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(r * 21)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var j = b * r
+      val end = math.min(j + r, n)
+      while (j < end) {
+        if (j > b * r) sb.append(',')
+        sb.append(input.getLong(j))
+        j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      out(b) = hashUtf8(u, 42L)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simHash64Eval(input: ArrayData): Long = {
     val n = input.numElements()
     val counts = new Array[Int](64)
@@ -268,6 +297,20 @@ object SignatureExpressions {
       defineCodeGen(ctx, ev, c =>
         s"graft.functions.SignatureExpressions.charTrigramsEval($c)")
     override protected def withNewChildInternal(c: Expression): CharTrigrams =
+      copy(child = c)
+  }
+
+  /** `band_signatures(array<long>, bands, r)` → array<long>: the LSH
+    * band hashes in one pass (see [[bandSignaturesEval]]). */
+  case class BandSignatures(child: Expression, bands: Int, r: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      bandSignaturesEval(input.asInstanceOf[ArrayData], bands, r)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.bandSignaturesEval($c, $bands, $r)")
+    override protected def withNewChildInternal(c: Expression): BandSignatures =
       copy(child = c)
   }
 
@@ -788,6 +831,9 @@ object SignatureExpressions {
 
   def char_trigrams(text: Column): Column =
     bridge.toColumn(CharTrigrams(bridge.toExpression(text)))
+
+  def band_signatures(minhashes: Column, bands: Int, r: Int): Column =
+    bridge.toColumn(BandSignatures(bridge.toExpression(minhashes), bands, r))
 
   def simhash64(tokens: Column): Column =
     bridge.toColumn(SimHash64(bridge.toExpression(tokens)))

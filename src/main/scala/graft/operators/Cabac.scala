@@ -109,10 +109,41 @@ private[operators] object Cabac {
   // ------------------------------------------------- decoding engine
 
   /** §9.3.3.2 arithmetic decoder over an [[H264.BitReader]] positioned
-    * at the first byte-aligned bit of the CABAC slice payload. */
+    * at the first byte-aligned bit of the CABAC slice payload.
+    *
+    * Byte-oriented: bins draw bits from a local 64-bit cache refilled
+    * from the reader in up-to-16-bit gulps, and renormalization takes
+    * all its bits in one shift — the per-bin `r.u1()` loop was the
+    * decode engine's measured top cost. Bit-identical to the per-bit
+    * formulation: every bin consumes exactly the bits it consumed
+    * before (the cache only changes where the *reader's* position
+    * sits, which nothing reads after slice decode), and a demand past
+    * the end of the payload still throws ("eof" → the caller's
+    * checked None fallback). */
   final class Decoder(r: H264.BitReader) {
+    private var cache = 0L
+    private var cacheBits = 0
+    @inline private def bits(n: Int): Int = {
+      while (cacheBits < n) {
+        val avail = r.bitsLeft
+        if (avail == 0) throw new IllegalArgumentException("eof")
+        val take = if (avail < 16) avail else 16
+        cache = (cache << take) | r.u(take).toLong
+        cacheBits += take
+      }
+      cacheBits -= n
+      ((cache >>> cacheBits) & ((1L << n) - 1L)).toInt
+    }
     private var range = 510
-    private var offset = r.u(9)
+    private var offset = bits(9)
+
+    // smallest s with (range << s) >= 256, for range in [2, 255]
+    @inline private def renorm(): Unit =
+      if (range < 256) {
+        val s = Integer.numberOfLeadingZeros(range) - 23
+        range <<= s
+        offset = (offset << s) | bits(s)
+      }
 
     def decision(c: Ctx): Int = {
       val rLps = RangeTabLps(c.state)((range >> 6) & 3)
@@ -130,12 +161,12 @@ private[operators] object Cabac {
           if (c.state < 62) c.state += 1
           b
         }
-      while (range < 256) { range <<= 1; offset = (offset << 1) | r.u1() }
+      renorm()
       bin
     }
 
     def bypass(): Int = {
-      offset = (offset << 1) | r.u1()
+      offset = (offset << 1) | bits(1)
       if (offset >= range) { offset -= range; 1 } else 0
     }
 
@@ -143,10 +174,7 @@ private[operators] object Cabac {
     def terminate(): Int = {
       range -= 2
       if (offset >= range) 1
-      else {
-        while (range < 256) { range <<= 1; offset = (offset << 1) | r.u1() }
-        0
-      }
+      else { renorm(); 0 }
     }
 
     /** Bypass-decoded Exp-Golomb order-0 (UEG0 suffix). */
@@ -156,10 +184,19 @@ private[operators] object Cabac {
         zeros += 1
         if (zeros > 30) throw new IllegalArgumentException("eg overflow")
       }
-      var v = 0
-      var i = 0
-      while (i < zeros) { v = (v << 1) | bypass(); i += 1 }
-      (1 << zeros) - 1 + v
+      if (zeros == 0) 0
+      else {
+        // k consecutive bypass bins in one division: with o < range
+        // maintained by every engine step, k bypass steps map
+        // (o, next k bits B) to offset' = V mod range and decoded
+        // value N = V div range where V = o·2^k + B — exactly the
+        // per-bin compare/subtract recurrence unrolled
+        // (o_{i+1} = 2·o_i + b_i − bit_i·range with 0 ≤ o_{i+1} < range).
+        val v = (offset.toLong << zeros) | bits(zeros).toLong
+        val q = (v / range).toInt
+        offset = (v - q.toLong * range).toInt
+        (1 << zeros) - 1 + q
+      }
     }
   }
 
@@ -167,8 +204,15 @@ private[operators] object Cabac {
 
   /** §9.3.4 arithmetic encoder emitting into an [[H264.BitWriter]].
     * Call [[flushTerminate]] exactly once (after the final
-    * end_of_slice_flag's 1) — it folds the rbsp_stop_one_bit in. */
+    * end_of_slice_flag's 1) — it folds the rbsp_stop_one_bit in.
+    *
+    * PRECONDITION: `w` must be byte-aligned at construction (CABAC
+    * slice data starts after cabac_alignment_one_bit padding) — the
+    * local bit buffer flushes whole bytes via `writeByteAligned`, so
+    * an unaligned writer would only fail 8 emitted bits in. */
   final class Encoder(w: H264.BitWriter) {
+    require(w.byteAligned,
+      "CABAC encoder requires a byte-aligned writer at construction")
     private var low = 0
     private var range = 510
     private var outstanding = 0

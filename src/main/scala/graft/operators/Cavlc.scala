@@ -155,6 +155,26 @@ private[operators] object Cavlc {
     rows.foreach { case (bits, sym) =>
       dec(bits.length)(Integer.parseInt(bits, 2)) = sym
     }
+    // first-level lookup, CACHE-SMALL (<= 256 entries so it lives in
+    // L1, unlike a full 2^16 expansion): fast(fbBits-bit window) =
+    // (len << 16 | sym) for codes of len <= fbBits, -1 when only a
+    // longer code can match. One probe answers the common short codes;
+    // longer ones continue the per-bit walk from fbBits+1, seeded with
+    // the peeked window (prefix-freeness makes both exact).
+    val fbBits: Int = math.min(maxLen, 8)
+    val fast: Array[Int] = {
+      val f = Array.fill(1 << fbBits)(-1)
+      rows.foreach { case (bits, sym) =>
+        val l = bits.length
+        if (l <= fbBits) {
+          val pad = fbBits - l
+          val base = Integer.parseInt(bits, 2) << pad
+          var i = 0
+          while (i < (1 << pad)) { f(base + i) = (l << 16) | sym; i += 1 }
+        }
+      }
+      f
+    }
   }
   private def buildMap(rows: IndexedSeq[(String, Int)]): VlcTable =
     new VlcTable(rows)
@@ -211,9 +231,26 @@ private[operators] object Cavlc {
       (s"run_before zl${i + 1}", row.toSeq) }
 
   private def readVlc(r: BitReader, m: VlcTable, what: String): Int = {
+    val maxLen = m.maxLen
+    val fb = m.fbBits
     var len = 0
     var v = 0
-    val maxLen = m.maxLen
+    if (r.bitsLeft >= fb) {
+      // one L1-sized table probe answers every code of len <= fbBits —
+      // symbol and consumed length identical to the per-bit walk
+      val w = r.peek(fb)
+      val e = m.fast(w)
+      if (e >= 0) { r.skip(e >>> 16); return e & 0xFFFF }
+      if (fb == maxLen)
+        throw new IllegalArgumentException(s"invalid $what code")
+      // longer code: continue the walk from fbBits+1, seeded with the
+      // peeked window (now consumed)
+      r.skip(fb)
+      len = fb
+      v = w
+    }
+    // per-bit walk (long codes, or the buffer tail where eof must fire
+    // exactly where the original formulation fired it)
     val dec = m.dec
     while (len < maxLen) {
       v = (v << 1) | r.u1()
@@ -276,10 +313,30 @@ private[operators] object Cavlc {
     * rules). Prefix capped at 24: conformant levels fit well inside,
     * and the cap bounds hostile inputs. */
   private def readLevelCode(r: BitReader, suffixLength: Int): Int = {
-    var prefix = 0
-    while (r.u1() == 0) {
-      prefix += 1
-      if (prefix > 24) throw new IllegalArgumentException("level_prefix overflow")
+    // level_prefix: leading-zero count over a peeked window (one clz
+    // replaces the per-bit loop); prefixes are almost always < 8, so a
+    // narrow peek answers first; conformant prefixes are <= 24, so a
+    // 25-bit all-zero window is the same overflow the loop threw on
+    val prefix = {
+      val avail = r.bitsLeft
+      var p = -1
+      if (avail >= 8) {
+        val w8 = r.peek(8)
+        if (w8 != 0) { p = Integer.numberOfLeadingZeros(w8) - 24; r.skip(p + 1) }
+      }
+      if (p < 0) {
+        val wlen = if (avail < 25) avail else 25
+        val w = if (wlen == 0) 0 else r.peek(wlen)
+        if (w == 0) {
+          if (wlen == 25)
+            throw new IllegalArgumentException("level_prefix overflow")
+          else throw new IllegalArgumentException("eof")
+        }
+        val nz = Integer.numberOfLeadingZeros(w) - (32 - wlen)
+        r.skip(nz + 1)
+        p = nz
+      }
+      p
     }
     val suffixSize =
       if (prefix == 14 && suffixLength == 0) 4

@@ -108,11 +108,13 @@ object Dedup {
     // bucket join carries only (id, band, sig) — candidate pairs stay
     // narrow; shingles are re-joined once per *unique* pair afterwards
     val bw = Window.partitionBy(col("band"), col("sig"))
+    // one-pass codegen'd band hashes — value-equal to the previous
+    // xxhash64(concat_ws(",", transform(slice(minhashes, b*r+1, r),
+    // cast to string))) per band (pinned by OptEquivalenceSpec), whose
+    // interpreted nested ArrayTransform was a measured profile leaf
     val banded = sigs.select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("minhashes"), b * lit(r) + lit(1), lit(r)),
-              m => m.cast("string")))))).as(Seq("band", "sig")))
+        posexplode(graft.functions.SignatureExpressions
+          .band_signatures(col("minhashes"), bands, r)).as(Seq("band", "sig")))
     val left = banded
       .withColumn("__occ", count(lit(1)).over(bw))
       .withColumn("__hub", min(col("id")).over(bw))

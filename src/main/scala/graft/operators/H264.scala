@@ -76,13 +76,41 @@ object H264 {
       }
       v
     }
-    /** Exp-Golomb unsigned. */
+    /** Up to 56 bits MSB-first WITHOUT consuming — the fixed-width
+      * VLC decode window. Caller must ensure n <= bitsLeft. */
+    def peek(n: Int): Int = {
+      var v = 0L
+      var bp = pos >> 3
+      val need = (pos & 7) + n
+      var bits = 0
+      while (bits < need) { v = (v << 8) | (b(bp) & 0xFF); bp += 1; bits += 8 }
+      ((v >>> (bits - need)) & ((1L << n) - 1L)).toInt
+    }
+    /** Consume n bits previously peeked. */
+    def skip(n: Int): Unit = pos += n
+    /** Exp-Golomb unsigned. The zero-prefix is counted with one clz
+      * over a peeked window — value, consumption, and the overflow /
+      * eof error points are identical to the per-bit loop. */
     def ue(): Int = {
-      var zeros = 0
-      while (u1() == 0) {
-        zeros += 1
-        if (zeros > 31) throw new IllegalArgumentException("ue overflow")
+      val avail = bitsLeft
+      // fast path: prefixes are almost always < 8 zeros — one narrow
+      // peek (<= 2 byte loads) answers them
+      if (avail >= 8) {
+        val w8 = peek(8)
+        if (w8 != 0) {
+          val zeros = Integer.numberOfLeadingZeros(w8) - 24
+          skip(zeros + 1)
+          return (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+        }
       }
+      val wlen = if (avail < 32) avail else 32
+      val w = if (wlen == 0) 0 else peek(wlen)
+      if (w == 0) {
+        if (wlen == 32) throw new IllegalArgumentException("ue overflow")
+        else throw new IllegalArgumentException("eof")
+      }
+      val zeros = Integer.numberOfLeadingZeros(w) - (32 - wlen)
+      skip(zeros + 1)
       (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
     }
     /** Exp-Golomb signed. */
@@ -128,28 +156,32 @@ object H264 {
   private[operators] final class BitWriter {
     private var buf = new Array[Byte](256)
     private var len = 0
-    private var cur = 0
+    // 64-bit MSB-first accumulator: whole-int u(n,v) appends are one
+    // shift+or (the per-<=8-bit-chunk loop was a measured top leaf of
+    // the mm encode kernels); full bytes drain from the top. At most
+    // 7 pending bits before any append, so n <= 32 always fits.
+    private var cur = 0L
     private var nBits = 0
     private def putByte(v: Int): Unit = {
       if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len << 1)
       buf(len) = v.toByte
       len += 1
     }
+    @inline private def drain(): Unit =
+      while (nBits >= 8) {
+        nBits -= 8
+        putByte(((cur >>> nBits) & 0xFF).toInt)
+      }
     def u1(v: Int): Unit = {
       cur = (cur << 1) | (v & 1)
       nBits += 1
-      if (nBits == 8) { putByte(cur); cur = 0; nBits = 0 }
+      if (nBits >= 8) drain()
     }
     def u(n: Int, v: Int): Unit = {
-      // multi-bit fill: identical MSB-first stream to n calls of u1()
-      var rem = n
-      while (rem > 0) {
-        val take = if (8 - nBits < rem) 8 - nBits else rem
-        cur = (cur << take) | ((v >> (rem - take)) & ((1 << take) - 1))
-        nBits += take
-        rem -= take
-        if (nBits == 8) { putByte(cur); cur = 0; nBits = 0 }
-      }
+      // identical MSB-first stream to n calls of u1()
+      cur = (cur << n) | (v.toLong & ((1L << n) - 1L))
+      nBits += n
+      if (nBits >= 8) drain()
     }
     def ue(v: Int): Unit = {
       val x = v + 1
@@ -161,6 +193,7 @@ object H264 {
     def byteAlignZero(): Unit = while (nBits != 0) u1(0)
     /** cabac_alignment_one_bit padding before CABAC slice data. */
     def byteAlignOne(): Unit = while (nBits != 0) u1(1)
+    def byteAligned: Boolean = nBits == 0
     def writeByteAligned(v: Int): Unit = {
       require(nBits == 0, "not aligned")
       putByte(v & 0xFF)
@@ -175,17 +208,25 @@ object H264 {
   /** RBSP → NAL escaping: insert emulation_prevention_three_byte after
     * any 00 00 followed by a byte <= 03. */
   private[operators] def escape(rbsp: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    // plain growable array (ByteArrayOutputStream's synchronized
+    // per-byte write was a measured leaf of the encode kernels)
+    var out = new Array[Byte](rbsp.length + 8)
+    var len = 0
+    @inline def put(v: Int): Unit = {
+      if (len == out.length) out = java.util.Arrays.copyOf(out, len << 1)
+      out(len) = v.toByte
+      len += 1
+    }
     var zeros = 0
     var i = 0
     while (i < rbsp.length) {
       val v = rbsp(i) & 0xFF
-      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
-      out.write(v)
+      if (zeros >= 2 && v <= 3) { put(3); zeros = 0 }
+      put(v)
       zeros = if (v == 0) zeros + 1 else 0
       i += 1
     }
-    out.toByteArray
+    java.util.Arrays.copyOf(out, len)
   }
 
   /** NAL payload → RBSP: drop emulation_prevention_three_bytes. */
@@ -2059,9 +2100,14 @@ object H264 {
           while (m < 9) {
             if (i4ModeValid(m, gx > 0, gy > fr0 * 4)) {
               val pr = predIntra4x4(m, gx > 0, gy > fr0 * 4, bTr, fetch)
+              // running bound: abandon the mode once the partial SAD
+              // reaches the current best — an abandoned mode's true
+              // SAD >= partial >= bestSad, so it could never win under
+              // strict <; same bit-identity argument as the full-pel
+              // motion-search bound
               var sad = 0
               var i = 0
-              while (i < 16) {
+              while (i < 16 && sad < bestSad) {
                 sad += math.abs(
                   (src.y((py0 + i / 4) * w + px0 + i % 4) & 0xFF) - pr(i))
                 i += 1

@@ -463,8 +463,9 @@ object Multimodal {
                 "filter - player parity broken")
           val exact = dec.frames.length == expected.length &&
             dec.frames.zip(expected).forall { case (g, e) =>
-              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
-                g.cr.sameElements(e.cr)
+              java.util.Arrays.equals(g.y, e.y) &&
+                java.util.Arrays.equals(g.cb, e.cb) &&
+                java.util.Arrays.equals(g.cr, e.cr)
             }
           val y0 = dec.frames.head.y
           var sad = 0L
@@ -508,8 +509,9 @@ object Multimodal {
                 "loop filter")
           val exact = dec.frames.length == expected.length &&
             dec.frames.zip(expected).forall { case (g, e) =>
-              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
-                g.cr.sameElements(e.cr)
+              java.util.Arrays.equals(g.y, e.y) &&
+                java.util.Arrays.equals(g.cb, e.cb) &&
+                java.util.Arrays.equals(g.cr, e.cr)
             }
           val y0 = dec.frames.head.y
           var sad = 0L
@@ -555,8 +557,9 @@ object Multimodal {
               s"generated multi-slice H.264 stream failed to decode for doc $id"))
           val exact = dec.frames.length == expected.length &&
             dec.frames.zip(expected).forall { case (g, e) =>
-              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
-                g.cr.sameElements(e.cr)
+              java.util.Arrays.equals(g.y, e.y) &&
+                java.util.Arrays.equals(g.cb, e.cb) &&
+                java.util.Arrays.equals(g.cr, e.cr)
             }
           val y0 = dec.frames.head.y
           var sad = 0L
@@ -595,8 +598,9 @@ object Multimodal {
               s"generated multi-slice I4P H.264 stream failed to decode for doc $id"))
           val exact = dec.frames.length == expected.length &&
             dec.frames.zip(expected).forall { case (g, e) =>
-              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
-                g.cr.sameElements(e.cr)
+              java.util.Arrays.equals(g.y, e.y) &&
+                java.util.Arrays.equals(g.cb, e.cb) &&
+                java.util.Arrays.equals(g.cr, e.cr)
             }
           val y0 = dec.frames.head.y
           var sad = 0L
@@ -646,8 +650,9 @@ object Multimodal {
               s"generated Intra_4x4/P H.264 stream failed to decode for doc $id"))
           val exact = dec.frames.length == expected.length &&
             dec.frames.zip(expected).forall { case (g, e) =>
-              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
-                g.cr.sameElements(e.cr)
+              java.util.Arrays.equals(g.y, e.y) &&
+                java.util.Arrays.equals(g.cb, e.cb) &&
+                java.util.Arrays.equals(g.cr, e.cr)
             }
           val y0 = dec.frames.head.y
           var sad = 0L
@@ -692,8 +697,9 @@ object Multimodal {
               s"generated sub-pel H.264 stream failed to decode for doc $id"))
           val exact = dec.frames.length == expected.length &&
             dec.frames.zip(expected).forall { case (g, e) =>
-              g.y.sameElements(e.y) && g.cb.sameElements(e.cb) &&
-                g.cr.sameElements(e.cr)
+              java.util.Arrays.equals(g.y, e.y) &&
+                java.util.Arrays.equals(g.cb, e.cb) &&
+                java.util.Arrays.equals(g.cr, e.cr)
             }
           val y0 = dec.frames.head.y
           var sad = 0L

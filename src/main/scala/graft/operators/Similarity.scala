@@ -26,11 +26,15 @@ object Similarity {
     * rounding semantics (and hence every emitted centroid bit) are
     * unchanged. */
   private[operators] object ExactSum {
-    val Cap = 40 // > (double exponent range) / 53 — never hit by finite sums
+    val Cap = 40 // > (double exponent range) / 53 — not hit by full-width
+    // components, but narrow-component expansions can theoretically
+    // exceed it, so [[add]] grows the slot on demand instead of throwing
 
-    /** Add `b` into expansion `e(0..len)`; returns the new length.
-      * `e.length` must be >= Cap. */
-    def add(e: Array[Double], len: Int, b: Double): Int = {
+    /** Add `b` into expansion `es(i)(0..len)`; returns the new length.
+      * Grows `es(i)` (Arrays.copyOf, 2×) when the expansion outgrows
+      * it — exactness is never a capacity assumption. */
+    def add(es: Array[Array[Double]], i: Int, len: Int, b: Double): Int = {
+      var e = es(i)
       var q = b
       var newLen = 0
       var k = 0
@@ -45,20 +49,22 @@ object Similarity {
         k += 1
       }
       if (q != 0.0 || newLen == 0) {
-        if (newLen >= Cap)
-          throw new IllegalStateException("ExactSum expansion overflow")
+        if (newLen >= e.length) {
+          e = java.util.Arrays.copyOf(e, e.length << 1)
+          es(i) = e
+        }
         e(newLen) = q
         newLen += 1
       }
       newLen
     }
 
-    /** Merge expansion `src(0..srcLen)` into `dst(0..dstLen)`. */
-    def merge(dst: Array[Double], dstLen: Int, src: Array[Double],
-        srcLen: Int): Int = {
+    /** Merge expansion `src(0..srcLen)` into `dsts(di)(0..dstLen)`. */
+    def merge(dsts: Array[Array[Double]], di: Int, dstLen: Int,
+        src: Array[Double], srcLen: Int): Int = {
       var len = dstLen
       var k = 0
-      while (k < srcLen) { len = add(dst, len, src(k)); k += 1 }
+      while (k < srcLen) { len = add(dsts, di, len, src(k)); k += 1 }
       len
     }
 
@@ -407,14 +413,14 @@ object Similarity {
             var i = 0
             while (i < dims) {
               val cell = best * dims + i
-              sl(cell) = ExactSum.add(s(cell), sl(cell), v(i)); i += 1
+              sl(cell) = ExactSum.add(s, cell, sl(cell), v(i)); i += 1
             }
             cnt(best) += 1
             (s, sl, cnt) },
           { case ((s1, l1, c1), (s2, l2, c2)) =>
             var cell = 0
             while (cell < k * dims) {
-              l1(cell) = ExactSum.merge(s1(cell), l1(cell), s2(cell), l2(cell))
+              l1(cell) = ExactSum.merge(s1, cell, l1(cell), s2(cell), l2(cell))
               cell += 1
             }
             var j = 0
@@ -866,7 +872,7 @@ object Similarity {
             var j = 0
             while (j < dsub) {
               val e = cell * dsub + j
-              sl(e) = ExactSum.add(sm(e), sl(e), x(s * dsub + j))
+              sl(e) = ExactSum.add(sm, e, sl(e), x(s * dsub + j))
               j += 1
             }
             s += 1
@@ -875,7 +881,7 @@ object Similarity {
         { case ((s1, l1, c1), (s2, l2, c2)) =>
           var i = 0
           while (i < s1.length) {
-            l1(i) = ExactSum.merge(s1(i), l1(i), s2(i), l2(i)); i += 1
+            l1(i) = ExactSum.merge(s1, i, l1(i), s2(i), l2(i)); i += 1
           }
           i = 0
           while (i < c1.length) { c1(i) += c2(i); i += 1 }

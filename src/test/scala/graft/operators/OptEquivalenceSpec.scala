@@ -34,6 +34,33 @@ class OptEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------- band_signatures
+
+  test("bandSignaturesEval equals xxhash64(concat_ws(',', " +
+    "transform(slice(mh, b*r+1, r), cast to string))) per band, " +
+    "including negative values and short tails") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new Random(21)
+    for (trial <- 0 until 30; (bands, r) <- Seq((8, 4), (4, 4), (16, 1), (3, 5))) {
+      // lengths exercise exact fit, short tail, and empty tail bands
+      val n = Seq(bands * r, bands * r - rnd.nextInt(r), bands * r - r)(trial % 3)
+      val mh = Array.fill(math.max(n, 0))(rnd.nextLong())
+      val got = graft.functions.SignatureExpressions
+        .bandSignaturesEval(new GenericArrayData(mh), bands, r)
+      (0 until bands).foreach { b =>
+        // reference formulation: 1-based slice of length r, cast each
+        // long to its decimal string, join with ',', xxhash64 seed 42
+        val sliced = mh.slice(b * r, math.min(b * r + r, mh.length))
+        val joined = sliced.map(_.toString).mkString(",")
+        val u = UTF8String.fromString(joined)
+        val want = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        assert(got.getLong(b) == want,
+          s"trial $trial band $b bands=$bands r=$r n=$n diverged")
+      }
+    }
+  }
+
   // -------------------------------------------------------- ExactSum
 
   test("ExactSum expansions equal per-value BigDecimal accumulation " +
@@ -42,10 +69,10 @@ class OptEquivalenceSpec extends AnyFunSuite {
     (0 until 20).foreach { trial =>
       val vals = Array.fill(200)((rnd.nextDouble() - 0.5) *
         math.pow(10, rnd.nextInt(12) - 6))
-      val e = new Array[Double](Similarity.ExactSum.Cap)
+      val es = Array(new Array[Double](Similarity.ExactSum.Cap))
       var len = 0
-      vals.foreach(v => len = Similarity.ExactSum.add(e, len, v))
-      val viaExpansion = Similarity.ExactSum.toBigDecimal(e, len)
+      vals.foreach(v => len = Similarity.ExactSum.add(es, 0, len, v))
+      val viaExpansion = Similarity.ExactSum.toBigDecimal(es(0), len)
       var viaBd = java.math.BigDecimal.ZERO
       // reversed order: the guarantee is order independence
       vals.reverse.foreach(v => viaBd = viaBd.add(new java.math.BigDecimal(v)))
@@ -57,15 +84,15 @@ class OptEquivalenceSpec extends AnyFunSuite {
     val rnd = new Random(13)
     val a = Array.fill(100)(rnd.nextGaussian() * 1e3)
     val b = Array.fill(100)(rnd.nextGaussian() * 1e-3)
-    val e1 = new Array[Double](Similarity.ExactSum.Cap); var l1 = 0
-    val e2 = new Array[Double](Similarity.ExactSum.Cap); var l2 = 0
-    a.foreach(v => l1 = Similarity.ExactSum.add(e1, l1, v))
-    b.foreach(v => l2 = Similarity.ExactSum.add(e2, l2, v))
-    l1 = Similarity.ExactSum.merge(e1, l1, e2, l2)
-    val all = new Array[Double](Similarity.ExactSum.Cap); var la = 0
-    (a ++ b).foreach(v => la = Similarity.ExactSum.add(all, la, v))
-    assert(Similarity.ExactSum.toBigDecimal(e1, l1)
-      .compareTo(Similarity.ExactSum.toBigDecimal(all, la)) == 0)
+    val e1 = Array(new Array[Double](Similarity.ExactSum.Cap)); var l1 = 0
+    val e2 = Array(new Array[Double](Similarity.ExactSum.Cap)); var l2 = 0
+    a.foreach(v => l1 = Similarity.ExactSum.add(e1, 0, l1, v))
+    b.foreach(v => l2 = Similarity.ExactSum.add(e2, 0, l2, v))
+    l1 = Similarity.ExactSum.merge(e1, 0, l1, e2(0), l2)
+    val all = Array(new Array[Double](Similarity.ExactSum.Cap)); var la = 0
+    (a ++ b).foreach(v => la = Similarity.ExactSum.add(all, 0, la, v))
+    assert(Similarity.ExactSum.toBigDecimal(e1(0), l1)
+      .compareTo(Similarity.ExactSum.toBigDecimal(all(0), la)) == 0)
   }
 
   // --------------------------------------- bound quarter-pel SAD
