@@ -118,6 +118,35 @@ object SignatureExpressions {
     new GenericArrayData(mins)
   }
 
+  /** HALF_UP decimal rounding of a double, bit-identical to Spark's
+    * `round(x, scale)` for DoubleType (which evaluates
+    * `BigDecimal.valueOf(x).setScale(scale, HALF_UP).doubleValue()` —
+    * i.e. Double.toString + decimal parse PER ROW, a measured leaf of
+    * every per-pair scored join). Fast path: y = x·10^s decides the
+    * rounding whenever it sits more than 4 ulp from the half-integer
+    * decision boundary — |y − r·10^s| ≤ ~1.5 ulp(y) where r is the
+    * shortest-repr decimal BigDecimal.valueOf parses (|r − x| ≤
+    * ulp(x)/2, 10^s exact for s ≤ 22), so a >4-ulp margin proves both
+    * round the same way, and n/10^s (IEEE correctly-rounded division
+    * by the exact power) equals BigDecimal(n, s).doubleValue(). Cases
+    * within the margin take the original BigDecimal path. */
+  def roundHalfUpEval(d: Double, scale: Int, pow: Double): Double = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return d
+    val y = d * pow
+    val a = math.abs(y)
+    if (a < 2.251799813685248e15) { // 2^51: a + 0.5 and na stay exact
+      val na = Math.floor(a + 0.5)
+      val eps = 4.0 * Math.ulp(a)
+      if (a - (na - 0.5) > eps && (na + 0.5) - a > eps) {
+        if (na == 0.0) return 0.0 // BigDecimal has no -0: -eps rounds to +0.0
+        val n = if (y < 0) -na else na
+        return n / pow
+      }
+    }
+    java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** LSH band signatures in one pass: element b = xxhash64 (seed 42,
     * Spark's XxHash64 on a string) of the comma-joined decimal rendering
     * of minhash band b's r values — value-equal to
@@ -297,6 +326,24 @@ object SignatureExpressions {
       defineCodeGen(ctx, ev, c =>
         s"graft.functions.SignatureExpressions.charTrigramsEval($c)")
     override protected def withNewChildInternal(c: Expression): CharTrigrams =
+      copy(child = c)
+  }
+
+  /** `round_half_up(double, scale)` → double: Spark `round(x, scale)`
+    * for DoubleType, bit-identically (see [[roundHalfUpEval]]), without
+    * the per-row Double.toString + decimal parse on the fast path. */
+  case class RoundHalfUp(child: Expression, scale: Int)
+      extends UnaryExpression {
+    require(scale >= 0 && scale <= 15, s"scale $scale out of range")
+    override def dataType: DataType = DoubleType
+    private val pow: Double = math.pow(10, scale)
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Double.valueOf(
+        roundHalfUpEval(input.asInstanceOf[Double], scale, pow))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SignatureExpressions.roundHalfUpEval($c, $scale, ${pow}D)")
+    override protected def withNewChildInternal(c: Expression): RoundHalfUp =
       copy(child = c)
   }
 
@@ -532,9 +579,13 @@ object SignatureExpressions {
       var c = 0
       while (c < ks) {
         val base = (s * ks + c) * dsub
+        // running bound: terms are >= 0, so once the partial sum
+        // reaches bestD the codeword can never win strict-< — the
+        // abandoned candidate's selection outcome is bit-identical
+        // (same addition order while it runs)
         var d = 0.0
         var j = 0
-        while (j < dsub) {
+        while (j < dsub && d < bestD) {
           val diff = x(s * dsub + j) - cb(base + j)
           d += diff * diff
           j += 1
@@ -834,6 +885,9 @@ object SignatureExpressions {
 
   def band_signatures(minhashes: Column, bands: Int, r: Int): Column =
     bridge.toColumn(BandSignatures(bridge.toExpression(minhashes), bands, r))
+
+  def round_half_up(x: Column, scale: Int): Column =
+    bridge.toColumn(RoundHalfUp(bridge.toExpression(x), scale))
 
   def simhash64(tokens: Column): Column =
     bridge.toColumn(SimHash64(bridge.toExpression(tokens)))

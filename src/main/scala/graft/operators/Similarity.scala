@@ -106,7 +106,7 @@ object Similarity {
     // goes through lshTopK/selfSimilarPairs, never this cross join
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
+      .withColumn("score", graft.functions.SignatureExpressions.round_half_up(cosine(col("v_q"), col("v_c")), 4))
     rankTopK(scored, k, orderCol = "score", outCol = "score")
   }
 
@@ -233,7 +233,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
     val scored = cand.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
-      .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
+      .withColumn("score", graft.functions.SignatureExpressions.round_half_up(cosine(col("v_q"), col("v_c")), 4))
     rankTopK(scored, k, orderCol = "score", outCol = "score")
   }
 
@@ -304,7 +304,7 @@ object Similarity {
       corpusVecs: DataFrame = null, queryVecs: DataFrame = null): DataFrame = {
     import graft.functions.SignatureExpressions._
     val scored = cands.filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist", round(pq_adc(col("tbl"), col("codes"), ks), 6))
+      .withColumn("adc_dist", graft.functions.SignatureExpressions.round_half_up(pq_adc(col("tbl"), col("codes"), ks), 6))
       .withColumn("score", -col("adc_dist"))
     if (refine <= 0) rankTopK(scored, k, orderCol = "score", outCol = "adc_dist")
     else {
@@ -317,7 +317,7 @@ object Similarity {
       // the build side, which would broadcast the corpus at scale
       val re = broadcast(pre).join(corpusVecs, Seq("neighbor_id"))
         .join(broadcast(queryVecs), Seq("query_id"))
-        .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
+        .withColumn("score", graft.functions.SignatureExpressions.round_half_up(cosine(col("v_q"), col("v_c")), 4))
       rankTopK(re, k, orderCol = "score", outCol = "adc_dist")
     }
   }
@@ -581,7 +581,7 @@ object Similarity {
     // is |queries| x nprobe — query-proportional, never corpus-sized
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("v_q"), col("v_c")), 4))
+      .withColumn("score", graft.functions.SignatureExpressions.round_half_up(cosine(col("v_q"), col("v_c")), 4))
     rankTopK(scored, k, orderCol = "score", outCol = "score")
   }
 
@@ -622,7 +622,7 @@ object Similarity {
     cand
       .join(v.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("cosine", graft.functions.SignatureExpressions.round_half_up(cosine(col("v_a"), col("v_b")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -694,7 +694,7 @@ object Similarity {
     val cell =
       if (cents.length <= UnrollCellLimit) {
         val sims = array(cents.map(cv =>
-          round(cosine(col("v"), typedLit(cv)), 4)): _*)
+          graft.functions.SignatureExpressions.round_half_up(cosine(col("v"), typedLit(cv)), 4)): _*)
         array_position(sims, array_max(sims)).cast("long")
       } else
         // production SemDeDup cell counts (~10^5): tight-loop argmax
@@ -737,7 +737,7 @@ object Similarity {
     val right = b.select(col("id").as("id_b"), col("bucket"), col("v").as("v_b"))
     val edges = left.join(right, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("cosine", graft.functions.SignatureExpressions.round_half_up(cosine(col("v_a"), col("v_b")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"))
     val cc = graft.operators.Dedup.connectedComponentsStar(edges)
@@ -857,9 +857,11 @@ object Similarity {
             var c = 0
             while (c < ks) {
               val base = (s * ks + c) * dsub
+              // running bound — abandoning at bestD is bit-identical
+              // under strict-< (terms >= 0, same addition order)
               var d = 0.0
               var j = 0
-              while (j < dsub) {
+              while (j < dsub && d < bestD) {
                 val diff = x(s * dsub + j) - cbNow(base + j)
                 d += diff * diff
                 j += 1

@@ -145,13 +145,17 @@ object LwesQueries {
             // not re-execute the flatMapGroupsWithState plan
             val df = b.toDF().persist()
             try {
-              graft.streaming.StreamOps.keepUncollided(df)
+              // coalesce(1): a micro-batch's verdicts are a few hundred
+              // rows — 4 post-shuffle write tasks per sink were pure
+              // per-task overhead, and 4x the sink files for the
+              // read-back to open (same rows either way)
+              graft.streaming.StreamOps.keepUncollided(df).coalesce(1)
                 .write.format("lwes").option("eventName", "Ned::K")
                 .mode("append").save(dst)
               // the signature journal: reconcileKeepBest reads THESE
               // instead of re-hashing the day's text (heterogeneous
               // journal, A6 — same dir, second event type)
-              graft.streaming.StreamOps.docSigs(df)
+              graft.streaming.StreamOps.docSigs(df).coalesce(1)
                 .write.format("lwes").option("eventName", "Sig::K")
                 .mode("append").save(dst)
             } finally df.unpersist()

@@ -268,7 +268,9 @@ object MediaGen {
     * exactly, so a half-pel-shifted source makes sub-pel motion
     * vectors genuinely win the SAD search. */
   private def tri(t: Int, p: Int): Int = {
-    val m = java.lang.Math.floorMod(t, 2 * p)
+    // every caller passes t >= 0, where floorMod(t, 2p) == t % (2p)
+    // (floorMod was a measured leaf of the subpel gate's frame synth)
+    val m = t % (2 * p)
     math.abs(m - p)
   }
 

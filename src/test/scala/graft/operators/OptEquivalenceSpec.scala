@@ -61,6 +61,49 @@ class OptEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------- roundHalfUp
+
+  test("roundHalfUpEval equals BigDecimal.valueOf(d).setScale(s, HALF_UP)" +
+    ".doubleValue — Spark round(double, s) — over random and adversarial " +
+    "inputs") {
+    def ref(d: Double, s: Int): Double =
+      if (d.isNaN || d.isInfinite) d
+      else java.math.BigDecimal.valueOf(d)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def got(d: Double, s: Int): Double =
+      graft.functions.SignatureExpressions
+        .roundHalfUpEval(d, s, math.pow(10, s))
+    val rnd = new Random(4242)
+    val adversarial = Seq(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue, -Double.MinPositiveValue,
+      0.5, -0.5, 0.00005, -0.00005, 0.000049999999999, 0.15, -0.15,
+      0.44445, -0.44445, 0.123450000000001, 1.0000500000000001,
+      4.9e-324, 1e300, -1e300, 2.2250738585072014e-308,
+      0.9999499999999999, 0.99995, 123456789.000045, -123456789.000045)
+    for (s <- Seq(0, 2, 4, 6)) {
+      adversarial.foreach { d =>
+        val (w, g) = (ref(d, s), got(d, s))
+        assert(java.lang.Double.doubleToRawLongBits(w) ==
+          java.lang.Double.doubleToRawLongBits(g) || (w.isNaN && g.isNaN),
+          s"adversarial d=$d s=$s want=$w got=$g")
+      }
+      (0 until 200000).foreach { i =>
+        val d = rnd.nextInt(4) match {
+          case 0 => rnd.nextDouble() * 2 - 1 // cosine range
+          case 1 => (rnd.nextDouble() * 2 - 1) * math.pow(10, rnd.nextInt(12) - 6)
+          case 2 => // near half-grid decision boundaries
+            (rnd.nextInt(200001) - 100000 + 0.5) / math.pow(10, s) +
+              (rnd.nextInt(7) - 3) * 1e-13
+          case _ => java.lang.Double.longBitsToDouble(rnd.nextLong())
+        }
+        val (w, g) = (ref(d, s), got(d, s))
+        assert(java.lang.Double.doubleToRawLongBits(w) ==
+          java.lang.Double.doubleToRawLongBits(g) || (w.isNaN && g.isNaN),
+          s"i=$i d=$d s=$s want=$w got=$g")
+      }
+    }
+  }
+
   // -------------------------------------------------------- ExactSum
 
   test("ExactSum expansions equal per-value BigDecimal accumulation " +
