@@ -1580,33 +1580,32 @@ object H264 {
     val frac = (yF << 2) | xF
     r = 0
     while (r < 16) {
+      // Table 8-12 sample grid around (x0, y0):
+      //   G a b c H
+      //   d e f g
+      //   h i j k m
+      //   n p q r
+      //   M     s
+      // frac is constant per call: dispatch once per row, not per pixel
+      // (same expressions, same order)
+      val o = r * 16
       var c = 0
-      while (c < 16) {
-        // Table 8-12 sample grid around (x0, y0):
-        //   G a b c H
-        //   d e f g
-        //   h i j k m
-        //   n p q r
-        //   M     s
-        val v = frac match {
-          case 0x2 => bP(r, c) // (2,0)
-          case 0x8 => hP(r, c) // (0,2)
-          case 0xA => jP(r, c) // (2,2)
-          case 0x1 => (g(r, c) + bP(r, c) + 1) >> 1 // (1,0) a
-          case 0x3 => (bP(r, c) + g(r, c + 1) + 1) >> 1 // (3,0) c
-          case 0x4 => (g(r, c) + hP(r, c) + 1) >> 1 // (0,1) d
-          case 0xC => (hP(r, c) + g(r + 1, c) + 1) >> 1 // (0,3) n
-          case 0x6 => (bP(r, c) + jP(r, c) + 1) >> 1 // (2,1) f
-          case 0xE => (jP(r, c) + bP(r + 1, c) + 1) >> 1 // (2,3) q
-          case 0x9 => (hP(r, c) + jP(r, c) + 1) >> 1 // (1,2) i
-          case 0xB => (jP(r, c) + hP(r, c + 1) + 1) >> 1 // (3,2) k
-          case 0x5 => (bP(r, c) + hP(r, c) + 1) >> 1 // (1,1) e
-          case 0x7 => (bP(r, c) + hP(r, c + 1) + 1) >> 1 // (3,1) g
-          case 0xD => (hP(r, c) + bP(r + 1, c) + 1) >> 1 // (1,3) p
-          case _ => (hP(r, c + 1) + bP(r + 1, c) + 1) >> 1 // (3,3) r
-        }
-        out(r * 16 + c) = v
-        c += 1
+      (frac: @annotation.switch) match {
+        case 0x2 => while (c < 16) { out(o + c) = bP(r, c); c += 1 } // (2,0)
+        case 0x8 => while (c < 16) { out(o + c) = hP(r, c); c += 1 } // (0,2)
+        case 0xA => while (c < 16) { out(o + c) = jP(r, c); c += 1 } // (2,2)
+        case 0x1 => while (c < 16) { out(o + c) = (g(r, c) + bP(r, c) + 1) >> 1; c += 1 } // a
+        case 0x3 => while (c < 16) { out(o + c) = (bP(r, c) + g(r, c + 1) + 1) >> 1; c += 1 } // c
+        case 0x4 => while (c < 16) { out(o + c) = (g(r, c) + hP(r, c) + 1) >> 1; c += 1 } // d
+        case 0xC => while (c < 16) { out(o + c) = (hP(r, c) + g(r + 1, c) + 1) >> 1; c += 1 } // n
+        case 0x6 => while (c < 16) { out(o + c) = (bP(r, c) + jP(r, c) + 1) >> 1; c += 1 } // f
+        case 0xE => while (c < 16) { out(o + c) = (jP(r, c) + bP(r + 1, c) + 1) >> 1; c += 1 } // q
+        case 0x9 => while (c < 16) { out(o + c) = (hP(r, c) + jP(r, c) + 1) >> 1; c += 1 } // i
+        case 0xB => while (c < 16) { out(o + c) = (jP(r, c) + hP(r, c + 1) + 1) >> 1; c += 1 } // k
+        case 0x5 => while (c < 16) { out(o + c) = (bP(r, c) + hP(r, c) + 1) >> 1; c += 1 } // e
+        case 0x7 => while (c < 16) { out(o + c) = (bP(r, c) + hP(r, c + 1) + 1) >> 1; c += 1 } // g
+        case 0xD => while (c < 16) { out(o + c) = (hP(r, c) + bP(r + 1, c) + 1) >> 1; c += 1 } // p
+        case _ => while (c < 16) { out(o + c) = (hP(r, c + 1) + bP(r + 1, c) + 1) >> 1; c += 1 } // r
       }
       r += 1
     }
@@ -1751,27 +1750,28 @@ object H264 {
       }
       @inline def hP(c: Int): Int = clip((hRow(c) + 16) >> 5)
       val srcRow = srcBase + r * w
-      var c = 0
-      while (c < 16) {
-        val v = frac match {
-          case 0x2 => bP(r, c)
-          case 0x8 => hP(c)
-          case 0xA => jRow(c)
-          case 0x1 => (g(r, c) + bP(r, c) + 1) >> 1
-          case 0x3 => (bP(r, c) + g(r, c + 1) + 1) >> 1
-          case 0x4 => (g(r, c) + hP(c) + 1) >> 1
-          case 0xC => (hP(c) + g(r + 1, c) + 1) >> 1
-          case 0x6 => (bP(r, c) + jRow(c) + 1) >> 1
-          case 0xE => (jRow(c) + bP(r + 1, c) + 1) >> 1
-          case 0x9 => (hP(c) + jRow(c) + 1) >> 1
-          case 0xB => (jRow(c) + hP(c + 1) + 1) >> 1
-          case 0x5 => (bP(r, c) + hP(c) + 1) >> 1
-          case 0x7 => (bP(r, c) + hP(c + 1) + 1) >> 1
-          case 0xD => (hP(c) + bP(r + 1, c) + 1) >> 1
-          case _ => (hP(c + 1) + bP(r + 1, c) + 1) >> 1
-        }
+      // frac is constant per candidate: dispatch ONCE PER ROW instead
+      // of per pixel (same expressions, same order — a 16-way
+      // tableswitch inside the pixel loop blocked unrolling)
+      @inline def s(c: Int, v: Int): Unit =
         sad += math.abs((srcY(srcRow + c) & 0xFF) - v)
-        c += 1
+      var c = 0
+      (frac: @annotation.switch) match {
+        case 0x2 => while (c < 16) { s(c, bP(r, c)); c += 1 }
+        case 0x8 => while (c < 16) { s(c, hP(c)); c += 1 }
+        case 0xA => while (c < 16) { s(c, jRow(c)); c += 1 }
+        case 0x1 => while (c < 16) { s(c, (g(r, c) + bP(r, c) + 1) >> 1); c += 1 }
+        case 0x3 => while (c < 16) { s(c, (bP(r, c) + g(r, c + 1) + 1) >> 1); c += 1 }
+        case 0x4 => while (c < 16) { s(c, (g(r, c) + hP(c) + 1) >> 1); c += 1 }
+        case 0xC => while (c < 16) { s(c, (hP(c) + g(r + 1, c) + 1) >> 1); c += 1 }
+        case 0x6 => while (c < 16) { s(c, (bP(r, c) + jRow(c) + 1) >> 1); c += 1 }
+        case 0xE => while (c < 16) { s(c, (jRow(c) + bP(r + 1, c) + 1) >> 1); c += 1 }
+        case 0x9 => while (c < 16) { s(c, (hP(c) + jRow(c) + 1) >> 1); c += 1 }
+        case 0xB => while (c < 16) { s(c, (jRow(c) + hP(c + 1) + 1) >> 1); c += 1 }
+        case 0x5 => while (c < 16) { s(c, (bP(r, c) + hP(c) + 1) >> 1); c += 1 }
+        case 0x7 => while (c < 16) { s(c, (bP(r, c) + hP(c + 1) + 1) >> 1); c += 1 }
+        case 0xD => while (c < 16) { s(c, (hP(c) + bP(r + 1, c) + 1) >> 1); c += 1 }
+        case _ => while (c < 16) { s(c, (hP(c + 1) + bP(r + 1, c) + 1) >> 1); c += 1 }
       }
       r += 1
     }
