@@ -1626,52 +1626,66 @@ object H264 {
   private[operators] def sadLuma16QpelBound(refY: Array[Byte], w: Int, h: Int,
       mx: Int, my: Int, srcY: Array[Byte], mvx: Int, mvy: Int,
       limit: Int): Int = {
-    val xI = mvx >> 2
-    val yI = mvy >> 2
-    val xF = mvx & 3
-    val yF = mvy & 3
+    if ((mvx & 3) == 0 && (mvy & 3) == 0)
+      sadLuma16IntBound(refY, w, h, mx, my, srcY, mvx >> 2, mvy >> 2, limit)
+    else
+      sadLuma16QpelBoundWith(
+        new QpelPlanes(refY, w, h, mx, my, mvx >> 2, mvy >> 2),
+        w, mx, my, srcY, mvx, mvy, limit)
+  }
+
+  /** Integer-grid bound SAD (frac (0,0)): clamp hoisted out of the
+    * pixel loop (segments where sx clamps to 0 / w-1 are constant per
+    * row). */
+  private[operators] def sadLuma16IntBound(refY: Array[Byte], w: Int, h: Int,
+      mx: Int, my: Int, srcY: Array[Byte], xI: Int, yI: Int,
+      limit: Int): Int = {
     val srcBase = my * 16 * w + mx * 16
-    if (xF == 0 && yF == 0) {
-      // integer grid: clamp hoisted out of the pixel loop (segments
-      // where sx clamps to 0 / w-1 are constant per row)
-      val x0 = mx * 16 + xI
-      var cLo = -x0; if (cLo < 0) cLo = 0; if (cLo > 16) cLo = 16
-      var cHi = w - x0; if (cHi > 16) cHi = 16; if (cHi < cLo) cHi = cLo
-      var sad = 0
-      var r = 0
-      while (r < 16 && sad < limit) {
-        val sy = math.max(0, math.min(h - 1, my * 16 + r + yI))
-        val srcRow = srcBase + r * w
-        val refRow = sy * w
-        var c = 0
-        if (cLo > 0) {
-          val e0 = refY(refRow) & 0xFF
-          while (c < cLo) { sad += math.abs((srcY(srcRow + c) & 0xFF) - e0); c += 1 }
-        }
-        val off = refRow + x0
-        while (c < cHi) {
-          sad += math.abs((srcY(srcRow + c) & 0xFF) - (refY(off + c) & 0xFF))
-          c += 1
-        }
-        if (cHi < 16) {
-          val eW = refY(refRow + w - 1) & 0xFF
-          while (c < 16) { sad += math.abs((srcY(srcRow + c) & 0xFF) - eW); c += 1 }
-        }
-        r += 1
+    val x0 = mx * 16 + xI
+    var cLo = -x0; if (cLo < 0) cLo = 0; if (cLo > 16) cLo = 16
+    var cHi = w - x0; if (cHi > 16) cHi = 16; if (cHi < cLo) cHi = cLo
+    var sad = 0
+    var r = 0
+    while (r < 16 && sad < limit) {
+      val sy = math.max(0, math.min(h - 1, my * 16 + r + yI))
+      val srcRow = srcBase + r * w
+      val refRow = sy * w
+      var c = 0
+      if (cLo > 0) {
+        val e0 = refY(refRow) & 0xFF
+        while (c < cLo) { sad += math.abs((srcY(srcRow + c) & 0xFF) - e0); c += 1 }
       }
-      return sad
+      val off = refRow + x0
+      while (c < cHi) {
+        sad += math.abs((srcY(srcRow + c) & 0xFF) - (refY(off + c) & 0xFF))
+        c += 1
+      }
+      if (cHi < 16) {
+        val eW = refY(refRow + w - 1) & 0xFF
+        while (c < 16) { sad += math.abs((srcY(srcRow + c) & 0xFF) - eW); c += 1 }
+      }
+      r += 1
     }
-    val baseX = mx * 16 + xI
-    val baseY = my * 16 + yI
-    @inline def clip(v: Int): Int = math.max(0, math.min(255, v))
-    // clamped 22x22 sample window, as in mcLuma16Qpel — rows filled
-    // incrementally (a bailed candidate skips the rest), with the
-    // column clamp hoisted to constant segment bounds per row
+    sad
+  }
+
+  /** Lazily-built clamped 22×22 sample window + unclipped horizontal
+    * 6-tap plane for one (xI, yI) interpolation base. Every value is a
+    * pure function of (refY, w, h, mx, my, xI, yI), so the sub-pel
+    * refinement SHARES one instance across all ring candidates with
+    * the same integer base — the rings rebuilt the same window and b
+    * plane 2-3× each before (a measured ~11% of the subpel gate), with
+    * bit-identical contents either way. Rows fill incrementally, so a
+    * bailed candidate still skips work no candidate has needed yet. */
+  private[operators] final class QpelPlanes(refY: Array[Byte], w: Int, h: Int,
+      mx: Int, my: Int, val xI: Int, val yI: Int) {
+    private val baseX = mx * 16 + xI
+    private val baseY = my * 16 + yI
     val win = new Array[Int](22 * 22)
-    var winDone = 0
-    val wLo = { var v = -(baseX - 2); if (v < 0) v = 0; if (v > 22) v = 22; v }
-    val wHi = { var v = w - (baseX - 2); if (v > 22) v = 22; if (v < wLo) v = wLo; v }
-    @inline def ensureWin(upTo: Int): Unit = {
+    private var winDone = 0
+    private val wLo = { var v = -(baseX - 2); if (v < 0) v = 0; if (v > 22) v = 22; v }
+    private val wHi = { var v = w - (baseX - 2); if (v > 22) v = 22; if (v < wLo) v = wLo; v }
+    def ensureWin(upTo: Int): Unit = {
       var rr = winDone
       while (rr <= upTo) {
         val sy = math.max(0, math.min(h - 1, baseY + rr - 2))
@@ -1692,17 +1706,17 @@ object H264 {
       }
       if (upTo >= winDone) winDone = upTo + 1
     }
-    val frac = (yF << 2) | xF
-    val needJ = (xF == 2 && yF != 0) || (yF == 2 && xF != 0)
-    val needB = xF != 0 || needJ
-    val needH = yF != 0
-    // bArr rows are filled incrementally (output row r touches sample
-    // rows up to r+5 via j, r+3 via bP(r+1,·)); identical values to the
-    // full precompute, just skipped entirely after a bail
-    val bArr = if (needB) new Array[Int](22 * 17) else null
-    var bDone = 0
-    @inline def ensureB(upTo: Int): Unit = {
+    // bArr rows fill incrementally too (output row r touches sample
+    // rows up to r+5 via j, r+3 via bP(r+1,·)); allocated on first use
+    private var bArrOrNull: Array[Int] = null
+    private var bDone = 0
+    def bArrAlloc(): Array[Int] = {
+      if (bArrOrNull == null) bArrOrNull = new Array[Int](22 * 17)
+      bArrOrNull
+    }
+    def ensureB(upTo: Int): Unit = {
       ensureWin(upTo)
+      val bArr = bArrAlloc()
       var rr = bDone
       while (rr <= upTo) {
         var c = 0
@@ -1716,6 +1730,27 @@ object H264 {
       }
       if (upTo >= bDone) bDone = upTo + 1
     }
+  }
+
+  /** Fractional-grid bound SAD over a (possibly shared) [[QpelPlanes]]
+    * for (mvx>>2, mvy>>2). Caller guarantees (mvx&3, mvy&3) != (0,0)
+    * and that `p` was built for this exact (refY, w, h, mx, my,
+    * mvx>>2, mvy>>2). */
+  private[operators] def sadLuma16QpelBoundWith(p: QpelPlanes, w: Int,
+      mx: Int, my: Int, srcY: Array[Byte], mvx: Int, mvy: Int,
+      limit: Int): Int = {
+    val xF = mvx & 3
+    val yF = mvy & 3
+    val srcBase = my * 16 * w + mx * 16
+    @inline def clip(v: Int): Int = math.max(0, math.min(255, v))
+    val win = p.win
+    val frac = (yF << 2) | xF
+    val needJ = (xF == 2 && yF != 0) || (yF == 2 && xF != 0)
+    val needB = xF != 0 || needJ
+    val needH = yF != 0
+    val bArr = if (needB) p.bArrAlloc() else null
+    @inline def ensureWin(upTo: Int): Unit = p.ensureWin(upTo)
+    @inline def ensureB(upTo: Int): Unit = p.ensureB(upTo)
     val hRow = if (needH) new Array[Int](17) else null
     val jRow = if (needJ) new Array[Int](16) else null
     @inline def g(r: Int, c: Int): Int = win((r + 2) * 22 + c + 2)
@@ -2269,8 +2304,28 @@ object H264 {
           // winner's complete SAD.
           // each candidate scored by the fused bound SAD: a candidate
           // abandoned at `best` has true SAD >= best, so it never wins
-          // strict-< — selection identical to the full interpolation
+          // strict-< — selection identical to the full interpolation.
+          // Ring candidates sharing an integer base (mv>>2) share ONE
+          // lazily-built window/b-plane (QpelPlanes — pure functions of
+          // the base, so contents are bit-identical to per-candidate
+          // builds; the rings rebuilt each 2-3x before).
           var best = bestSad
+          val planeCache = new Array[QpelPlanes](8)
+          var nPlanes = 0
+          def planesFor(xi: Int, yi: Int): QpelPlanes = {
+            var i = 0
+            while (i < nPlanes) {
+              val q = planeCache(i)
+              if (q.xI == xi && q.yI == yi) return q
+              i += 1
+            }
+            val q = new QpelPlanes(ref.y, w, h, mx, my, xi, yi)
+            if (nPlanes < planeCache.length) {
+              planeCache(nPlanes) = q
+              nPlanes += 1
+            }
+            q
+          }
           var step = 2
           while (step >= 1) {
             val cx = mvx
@@ -2280,9 +2335,16 @@ object H264 {
               var dx = -step
               while (dx <= step) {
                 if (dx != 0 || dy != 0) {
-                  val s2 = sadLuma16QpelBound(ref.y, w, h, mx, my, src.y,
-                    cx + dx, cy + dy, best)
-                  if (s2 < best) { best = s2; mvx = cx + dx; mvy = cy + dy }
+                  val vx = cx + dx
+                  val vy = cy + dy
+                  val s2 =
+                    if ((vx & 3) == 0 && (vy & 3) == 0)
+                      sadLuma16IntBound(ref.y, w, h, mx, my, src.y,
+                        vx >> 2, vy >> 2, best)
+                    else
+                      sadLuma16QpelBoundWith(planesFor(vx >> 2, vy >> 2),
+                        w, mx, my, src.y, vx, vy, best)
+                  if (s2 < best) { best = s2; mvx = vx; mvy = vy }
                 }
                 dx += step
               }
