@@ -38,7 +38,8 @@ object Contamination {
       .agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
       .withColumn("containment",
-        round(col("shared_shingles").cast("double") /
+        graft.functions.SignatureExpressions.round_half_up(
+          col("shared_shingles").cast("double") /
           greatest(col("probe_size"), lit(1)).cast("double"), 4))
       .select("doc_id", "probe_id", "shared_shingles", "containment")
   }

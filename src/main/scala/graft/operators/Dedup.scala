@@ -80,7 +80,7 @@ object Dedup {
     cand
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("shingles", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", graft.functions.SignatureExpressions.round_half_up(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
@@ -380,7 +380,7 @@ object Dedup {
     pairs
       .join(a, col("id_a") === col("sha.__id"))
       .join(b, col("id_b") === col("shb.__id"))
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", graft.functions.SignatureExpressions.round_half_up(
         size(array_intersect(col("sha.__sh"), col("shb.__sh"))).cast("double") /
           greatest(size(array_union(col("sha.__sh"), col("shb.__sh"))), lit(1)).cast("double"), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
